@@ -1,0 +1,268 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, ClusterOps, TimeSeriesOps}
+
+/** The engine's query surface over the driver testdata, one entry per
+  * implemented operator from SURVEY.md §2 (+ the LLM-data-pipeline
+  * extensions). Each query has a DuckDB oracle in [[Oracles]].
+  *
+  * Parity rules (Spark vs DuckDB on the same parquet):
+  *  - time: `cast(ts as double)` (Spark, µs precision) == `epoch(ts)`
+  *    (DuckDB truncates ns parquet to µs the same way);
+  *  - every floating aggregate is rounded on both sides (sum order differs
+  *    between engines in the low bits);
+  *  - DuckDB `sum(int)` returns HUGEINT → always cast to BIGINT in oracles;
+  *  - exact interpolated median: Spark `percentile(x, 0.5)` == DuckDB
+  *    `median(x)` == numpy `median` (the reference's pervasive reducer).
+  */
+object Queries {
+
+  private def t(c: String = "ts"): Column = col(c).cast("double")
+
+  /** Events with a numeric seconds column, the engine's canonical
+    * time-series shape (reference tables carry double seconds natively). */
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).withColumn("t", t())
+
+  // ---------------------------------------------------------------- scans
+
+  /** S2/S3 + P2/P3: pushdown scan — projection + predicate reach parquet. */
+  def scanPrune(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+
+  // ------------------------------------------------- projections / filters
+
+  /** P1: pixel ↔ normalized coords with y-flip
+    * (externals/methods.py:55-80 semantics on synthetic pixel coords). */
+  def normalize(s: SparkSession, dir: String): DataFrame =
+    // no rounding: identical scalar IEEE arithmetic on both engines yields
+    // bit-identical doubles (rounding would INTRODUCE mismatches at exact
+    // decimal ties, since power-of-two divisors terminate on '5').
+    ev(s, dir).select(
+      col("event_id"),
+      (col("value") * 20 / 2048.0).as("norm_x"),
+      (lit(1.0) - col("value") * 20 / 1536.0).as("norm_y"))
+
+  /** P2: confidence-threshold filter. */
+  def confidenceFilter(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).filter(col("value") >= 75.0)
+      .select(col("event_id"), col("user_id"), col("value"))
+
+  /** P6: per-group z-score outlier filter (|z| <= 2), utils.py:545-578. */
+  def zscoreFilter(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.zScoreFilter(
+        Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value")),
+        "value", Seq("event_type"), 2.0)
+      .select(col("event_id"), col("event_type"))
+
+  /** P9: unit conversion (m/s → mph), odometry.py:197-224. */
+  def unitConvert(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).select(col("event_id"), round(col("value") * 2.23694, 6).as("mph"))
+
+  /** P10: rolling exact-median detrend (±10 rows), labeling.py:773-790. */
+  def medianDetrend(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id")).rowsBetween(-10, 10)
+    ev(s, dir)
+      .withColumn("med", expr("percentile(value, 0.5)").over(w))
+      .select(col("event_id"), round(col("value") - col("med"), 6).as("detrended"))
+  }
+
+  // ---------------------------------------------------------------- joins
+
+  /** J1: windowed as-of join with in-window aggregation (match_time_points,
+    * utils.py:67-132): per click, stats of purchases within ±600 s. */
+  def asofWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    val left = ev(s, dir).filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("t"))
+    val right = ev(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t"), col("value"))
+    AsOfJoin.windowAgg(left, right, "t", "t", Seq("user_id"), 600.0, Seq(
+        count(lit(1)).as("n_right"),
+        round(avg(col("r_value")), 6).as("avg_value"),
+        round(expr("percentile(r_value, 0.5)"), 6).as("med_value")))
+      .select(col("event_id"), col("user_id"), col("n_right"),
+        col("avg_value"), col("med_value"))
+  }
+
+  /** J2: nearest-neighbor as-of join with tolerance
+    * (closest_matches_monocular, externals/data_processing.py:152-184):
+    * nearest purchase per click, within 300 s; ties → earlier right row. */
+  def asofNearest(s: SparkSession, dir: String): DataFrame = {
+    val left = ev(s, dir).filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("t"))
+    val right = ev(s, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("r_event_id"), col("user_id"), col("t"))
+    AsOfJoin.nearest(left, right, "t", "t", Seq("user_id"),
+        rightPrefix = "m_", tolerance = Some(300.0))
+      .select(col("event_id"), col("m_r_event_id").as("match_id"),
+        round(col("m_dt"), 6).as("dt"))
+  }
+
+  /** TPC-H-style multi-join aggregate (broadcast dims): revenue per nation. */
+  def joinAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  // --------------------------------------------------------- aggregations
+
+  /** A1: duplicate-timestamp removal, mode='all' (find_duplicates,
+    * marker_parsing.py:8-29): duplicates induced by flooring t to minutes. */
+  def dedupTimestamps(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.dropDuplicateTimestamps(
+        ev(s, dir).select(col("event_id"), col("user_id"),
+          floor(col("t") / 60).cast("long").as("t_min")),
+        "t_min", Seq("user_id"))
+      .select(col("event_id"))
+
+  /** A2: per-cluster stats with exact median + ptp (marker_cluster_stat,
+    * marker_parsing.py:261-297). */
+  def clusterStats(s: SparkSession, dir: String): DataFrame =
+    ClusterOps.clusterStats(
+      Tables.events(s, dir).select(col("event_type"), col("value")),
+      "event_type", Seq(
+        count(lit(1)).as("n"),
+        round(avg(col("value")), 6).as("avg_value"),
+        round(expr("percentile(value, 0.5)"), 6).as("med_value"),
+        round(max(col("value")) - min(col("value")), 6).as("ptp_value"),
+        round(stddev_samp(col("value")), 6).as("sd_value")))
+
+  /** A4: 2-D histogram via floor-binning (histogram2d,
+    * visualization.py:74-83). */
+  def hist2d(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(floor(col("value") / 10).cast("long").as("bx"),
+        floor(col("user_id") / 5).cast("long").as("by"))
+      .agg(count(lit(1)).as("n"))
+
+  /** A8: sliding event rate, count within ±300 s per user
+    * (get_saccade_rate, labeling.py:508-524). */
+  def slidingRate(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.slidingRate(
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us")),
+        "us", Seq("user_id"), 600000000L, "rate")
+      .select(col("event_id"), col("rate"))
+
+  // ------------------------------------------------------ window/sequence
+
+  /** W1: run-length segments of value>80 runs per user (onoff_from_binary,
+    * utils.py:135-192). */
+  def rleSegments(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.rleSegments(
+        ev(s, dir).select(col("user_id"), col("t"), col("value")),
+        "t", col("value") > 80, Seq("user_id"))
+      .select(col("user_id"), round(col("onset"), 6).as("onset"),
+        round(col("offset"), 6).as("offset"),
+        round(col("duration"), 6).as("duration"), col("n_rows"))
+
+  /** W2: gap-based sessionization (gap > 900 s) + per-session stats
+    * (split_timecourse, marker_parsing.py:187-258). */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.sessionize(
+        ev(s, dir).select(col("user_id"), col("t"), col("value")),
+        "t", Seq("user_id"), 900.0, "session_id")
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("t")) - min(col("t")), 6).as("duration"),
+        round(avg(col("value")), 6).as("avg_value"))
+
+  /** W4: central-difference gradient (compute_eye_velocity,
+    * labeling.py:128-151). */
+  def gradient(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.gradient(
+        ev(s, dir).select(col("event_id"), col("user_id"), col("t"), col("value")),
+        "t", "value", Seq("user_id"), "velocity")
+      .select(col("event_id"), round(col("velocity") * 1e6, 6).as("velocity_u"))
+
+  // ------------------------------------------------------- sorts / setops
+
+  /** O2: union-all of two filtered streams + dedup count (stack_arraydicts,
+    * utils.py:255-269). */
+  def unionStats(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    e.filter(col("event_type") === "click").select(col("user_id"), col("value"))
+      .unionByName(e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("value")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+  }
+
+  /** O5: order-free distinct (unique, utils.py:33-64). */
+  def distinctPairs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("user_id"), col("event_type")).distinct()
+
+  // ------------------------------------------------------------ model fit
+
+  /** M2: per-group least squares y = a·x + b, expressed declaratively as
+    * covariance/variance aggregates (fit_poly_surface is SVD on the driver;
+    * the 1-D analogue is exactly regr_slope/regr_intercept). x = seconds
+    * since 2024-01-01 so slopes are O(1e-5). */
+  def linregByGroup(s: SparkSession, dir: String): DataFrame = {
+    val x = col("t") - 1704067200.0
+    val y = col("value")
+    ev(s, dir).groupBy(col("event_type"))
+      .agg((covar_pop(x, y) / var_pop(x)).as("_slope"),
+        avg(y).as("_my"), avg(x).as("_mx"))
+      .select(col("event_type"),
+        round(col("_slope") * 1e9, 4).as("slope_n"),
+        round(col("_my") - col("_slope") * col("_mx"), 6).as("intercept"))
+  }
+
+  // -------------------------------------------- LLM-data-pipeline surface
+
+  /** Dedup (exact): hash-groupBy on document text; keeper = min doc_id
+    * (the canonical 100 TB exact-dedup shape: one shuffle on the hash). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Text analysis: per-document token count, mean token length, stopword
+    * ratio — whitespace tokenization over trimmed text. */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(trim(col("text")), " ")
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val isStop = (c: Column) => stop.map(w => c === w).reduce(_ || _)
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      round(aggregate(toks, lit(0.0), (acc, x) => acc + length(x))
+        / size(toks), 6).as("avg_token_len"),
+      round(size(filter(toks, isStop)).cast("double") / size(toks), 6)
+        .as("stopword_ratio"))
+  }
+
+  /** Similarity search (brute-force cosine top-k): queries = vec_id < 10,
+    * k = 5 nearest over the full table (excluding self). Baseline for the
+    * ANN variants; distributes as broadcast(queries) × scan. */
+  def simBruteTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val dot = aggregate(zip_with(col("qv"), col("v"), _ * _), lit(0.0), _ + _)
+    val nq = sqrt(aggregate(col("qv"), lit(0.0), (a, x) => a + x * x))
+    val nv = sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
+    val scored = broadcast(q).join(emb, col("q_id") =!= col("vec_id"))
+      .withColumn("sim", dot / (nq * nv))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+}

@@ -1,13 +1,42 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` keys ↔ SURVEY.md §2 operator ids; every entry has a DuckDB
+  * oracle in `oracleSql` unless the operator is not SQL-expressible.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship on sf0.001: gap-sessionized event stream with per-session
+    * stats — the engine's canonical time-series shape (W2 + A2). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.sessionize(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s3_scan_prune" -> (Queries.scanPrune _),
+    "p1_normalize" -> (Queries.normalize _),
+    "p2_conf_filter" -> (Queries.confidenceFilter _),
+    "p6_zscore_filter" -> (Queries.zscoreFilter _),
+    "p9_unit_convert" -> (Queries.unitConvert _),
+    "p10_median_detrend" -> (Queries.medianDetrend _),
+    "j1_asof_window_agg" -> (Queries.asofWindowAgg _),
+    "j2_asof_nearest" -> (Queries.asofNearest _),
+    "join_agg_revenue" -> (Queries.joinAgg _),
+    "a1_dedup_ts" -> (Queries.dedupTimestamps _),
+    "a2_cluster_stats" -> (Queries.clusterStats _),
+    "a4_hist2d" -> (Queries.hist2d _),
+    "a8_sliding_rate" -> (Queries.slidingRate _),
+    "w1_rle_segments" -> (Queries.rleSegments _),
+    "w2_sessionize" -> (Queries.sessionize _),
+    "w4_gradient" -> (Queries.gradient _),
+    "o2_union_stats" -> (Queries.unionStats _),
+    "o5_distinct" -> (Queries.distinctPairs _),
+    "m2_linreg" -> (Queries.linregByGroup _),
+    "dedup_exact" -> (Queries.dedupExact _),
+    "text_stats" -> (Queries.textStats _),
+    "sim_brute_topk" -> (Queries.simBruteTopK _),
+  )
+
+  def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal alignment joins — the engine-defining operators.
+  *
+  * Reference semantics (file:line relative to /root/reference/vedb_gaze):
+  *  - nearest:   `match_time_points(window=None)` utils.py:67-132 and
+  *               `closest_matches_monocular` externals/data_processing.py:152-184 (J2)
+  *  - windowAgg: `match_time_points(window=w, fn=median)` utils.py:67-132 (J1)
+  *  - triple:    `closest_matches_binocular` externals/data_processing.py:116-149 (J3)
+  *
+  * Scale design: none of these are implemented as a naive theta-join.
+  *  - `nearest` uses the union-sort idiom: both tables are unioned on the
+  *    time axis, sorted once per key partition, and the previous/next right
+  *    row is propagated with last/first(ignoreNulls) windows. Cost is one
+  *    shuffle on the keys + a partition-local sort — the same shape as a
+  *    sort-merge join, independent of time density.
+  *  - `windowAgg` buckets both sides by floor(ts / window) and equi-joins on
+  *    (keys, bucket) for the bucket and its two neighbors — a standard range
+  *    join de-thetafication, so Catalyst executes a shuffled hash/sort-merge
+  *    equi-join instead of a broadcast-nested-loop.
+  */
+object AsOfJoin {
+
+  /** J2: for each left row, attach the single right row whose `rightTs` is
+    * nearest to `leftTs` (within the same `keys`). Optionally reject matches
+    * farther than `tolerance` seconds.
+    *
+    * Right columns are carried with prefix `rightPrefix`. Both ts columns
+    * must be numeric (seconds). Ties (equidistant prev/next) resolve to the
+    * EARLIER right row, matching numpy searchsorted + argmin semantics
+    * (externals/data_processing.py:174-184 takes the first minimum).
+    */
+  def nearest(left: DataFrame, right: DataFrame, leftTs: String, rightTs: String,
+              keys: Seq[String], rightPrefix: String = "r_",
+              tolerance: Option[Double] = None): DataFrame = {
+    val rightValCols = right.columns.filterNot(c => keys.contains(c)).toSeq
+    val l = left.withColumn("_t", col(leftTs).cast("double")).withColumn("_isL", lit(true))
+    val r = right.select(
+      keys.map(col) ++ Seq(col(rightTs).cast("double").as("_t")) ++
+        rightValCols.map(c => col(c).as(s"_rv_$c")): _*)
+      .withColumn("_isL", lit(false))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    // Within a key, order by time with right rows before left rows at equal
+    // ts so an exactly-matching right row is visible to the left row.
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_t"), col("_isL"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = w.rowsBetween(0, Window.unboundedFollowing)
+    def rv(c: String) = when(!col("_isL"), col(s"_rv_$c"))
+    val rt = when(!col("_isL"), col("_t"))
+    val carried = u
+      .withColumn("_tPrev", last(rt, ignoreNulls = true).over(wPrev))
+      .withColumn("_tNext", first(rt, ignoreNulls = true).over(wNext))
+    val withVals = rightValCols.foldLeft(carried) { (acc, c) =>
+      acc.withColumn(s"_p_$c", last(rv(c), ignoreNulls = true).over(wPrev))
+        .withColumn(s"_n_$c", first(rv(c), ignoreNulls = true).over(wNext))
+    }
+    val dPrev = col("_t") - col("_tPrev")
+    val dNext = col("_tNext") - col("_t")
+    // prev wins ties (<=): earlier right row, numpy argmin-first semantics
+    val usePrev = col("_tNext").isNull || (col("_tPrev").isNotNull && dPrev <= dNext)
+    val dist = when(usePrev, dPrev).otherwise(dNext)
+    val matched = withVals.filter(col("_isL"))
+      .withColumn(s"${rightPrefix}$rightTs", when(usePrev, col("_tPrev")).otherwise(col("_tNext")))
+      .withColumn(s"${rightPrefix}dt", dist)
+    val withRight = rightValCols.filterNot(_ == rightTs).foldLeft(matched) { (acc, c) =>
+      acc.withColumn(s"$rightPrefix$c", when(usePrev, col(s"_p_$c")).otherwise(col(s"_n_$c")))
+    }
+    val cleaned = withRight.drop(
+      (Seq("_t", "_isL", "_tPrev", "_tNext") ++
+        rightValCols.flatMap(c => Seq(s"_rv_$c", s"_p_$c", s"_n_$c"))): _*)
+    tolerance match {
+      case Some(tol) => cleaned.filter(col(s"${rightPrefix}dt") <= tol)
+      case None      => cleaned
+    }
+  }
+
+  /** J1: for each left row, aggregate all right rows with
+    * |rightTs - leftTs| <= window (same keys) using `aggs` (built from the
+    * prefixed right columns). Left rows with no right row in range are
+    * dropped, matching the reference (unmatched points are excluded,
+    * utils.py:104-121).
+    *
+    * De-thetafied as a bucketed range join: both sides get
+    * bucket = floor(ts/window); each right row is replicated into its own
+    * bucket and both neighbors, then an equi-join on (keys, bucket) plus the
+    * residual |dt| <= window predicate. Replication factor is exactly 3,
+    * the join is hash-partitionable, and the groupBy that follows reuses the
+    * same keys.
+    */
+  def windowAgg(left: DataFrame, right: DataFrame, leftTs: String, rightTs: String,
+                keys: Seq[String], window: Double,
+                aggs: Seq[Column]): DataFrame = {
+    val l = left.withColumn("_lt", col(leftTs).cast("double"))
+      .withColumn("_b", floor(col("_lt") / window).cast("long"))
+    val rBase = right.select(
+      (keys.map(col) :+ col(rightTs).cast("double").as("_rt")) ++
+        right.columns.filterNot(c => keys.contains(c) || c == rightTs)
+          .map(c => col(c).as(s"r_$c")): _*)
+    val r = rBase
+      .withColumn("_rb", floor(col("_rt") / window).cast("long"))
+      .withColumn("_b", explode(array(col("_rb") - 1, col("_rb"), col("_rb") + 1)))
+      .drop("_rb")
+    val joined = l.join(r, keys :+ "_b")
+      .filter(abs(col("_rt") - col("_lt")) <= window)
+    val groupCols = left.columns.map(col).toSeq
+    joined.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** J3: binocular triple as-of — for each reference row, nearest rightA row
+    * AND nearest rightB row; keep matches where the spread
+    * max(ts) - min(ts) across the three timestamps is < `maxDispersion`
+    * (reference: 1/15 s, externals/data_processing.py:116-149).
+    */
+  def triple(ref: DataFrame, rightA: DataFrame, rightB: DataFrame,
+             refTs: String, aTs: String, bTs: String, keys: Seq[String],
+             maxDispersion: Double = 1.0 / 15.0,
+             aPrefix: String = "a_", bPrefix: String = "b_"): DataFrame = {
+    val withA = nearest(ref, rightA, refTs, aTs, keys, aPrefix)
+    val withB = nearest(withA, rightB, refTs, bTs, keys, bPrefix)
+    val ts = col(refTs).cast("double")
+    val ta = col(s"$aPrefix$aTs"); val tb = col(s"$bPrefix$bTs")
+    withB.filter(
+      greatest(ts, ta, tb) - least(ts, ta, tb) < maxDispersion)
+  }
+}

@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cluster-level operators over a label column.
+  *
+  * Reference (file:line relative to /root/reference/vedb_gaze):
+  *  - clusterStats:          `marker_cluster_stat` marker_parsing.py:261-297 (A2)
+  *  - clusterRepresentative: `marker_cluster_stat(return_all_fields=True)`
+  *                           marker_parsing.py:287-295 (J4)
+  *  - clusterGate:           marker_parsing.py:412-467 (A3)
+  *  - dbscan:                `cluster_marker_points` marker_parsing.py:299-410 (A7)
+  *  - bimodalitySplit:       `_bimodality_check` marker_parsing.py:31-50 (A6)
+  */
+object ClusterOps {
+
+  /** A2: per-cluster aggregate of the given columns (plain groupBy — Catalyst
+    * plans partial+final aggregation with map-side combine for free).
+    */
+  def clusterStats(df: DataFrame, clusterCol: String, aggs: Seq[Column]): DataFrame =
+    df.groupBy(col(clusterCol)).agg(aggs.head, aggs.tail: _*)
+
+  /** J4: per cluster, return the single full original row nearest to the
+    * cluster centroid of `featureCols` (argmin of mean |x - centroid_x|;
+    * first row wins ties by (distance, tsCol) ordering — numpy argmin takes
+    * the first minimum). Window-based: centroid via window avg, then
+    * row_number = 1 over the distance ordering. One shuffle on the cluster
+    * key, no join-back.
+    */
+  def clusterRepresentative(df: DataFrame, clusterCol: String,
+                            featureCols: Seq[String], tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(clusterCol))
+    val dist = featureCols.map { c =>
+      abs(col(c).cast("double") - avg(col(c).cast("double")).over(w))
+    }.reduce(_ + _) / featureCols.length
+    val wOrd = w.orderBy(dist.asc, col(tieBreak).asc)
+    df.withColumn("_rn", row_number().over(wOrd)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** A3 cluster-quality gating: keep rows of clusters that pass all gates:
+    * duration in [minDur, maxDur], label != -1 (noise), and any caller
+    * predicates over cluster aggregates. Requires >= minClusters surviving
+    * clusters or the result is empty (reference returns None,
+    * marker_parsing.py:459-465).
+    *
+    * `gatePredicates` are Columns over the aggregated frame (which carries
+    * `_dur` plus `extraAggs`).
+    */
+  def clusterGate(df: DataFrame, clusterCol: String, tsCol: String,
+                  minDur: Double, maxDur: Double,
+                  extraAggs: Seq[Column] = Nil,
+                  gatePredicates: Seq[Column] = Nil,
+                  minClusters: Int = 1): DataFrame = {
+    val baseAggs = Seq(
+      (max(col(tsCol).cast("double")) - min(col(tsCol).cast("double"))).as("_dur")) ++ extraAggs
+    val stats = df.filter(col(clusterCol) =!= -1)
+      .groupBy(col(clusterCol)).agg(baseAggs.head, baseAggs.tail: _*)
+    val gated = gatePredicates.foldLeft(
+      stats.filter(col("_dur") >= minDur && col("_dur") <= maxDur))(_ filter _)
+    val n = gated.count()
+    if (n < minClusters) df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.emptyRDD[Row], df.schema)
+    else df.join(broadcast(gated.select(clusterCol)), Seq(clusterCol), "left_semi")
+  }
+
+  /** A7: DBSCAN per group. Epochs are minutes of data (10^3-10^4 rows), so
+    * each group's clustering runs locally inside `flatMapGroups` — the
+    * distributed axis is the number of groups (sessions × epochs), matching
+    * the reference's per-epoch loop (marker_parsing.py:299-410).
+    *
+    * Features: caller-provided numeric columns (already scaled). eps /
+    * minPoints follow sklearn defaults used by the reference (eps=0.05,
+    * min_samples=5). Output: input rows + `clusterCol` label (-1 = noise).
+    * Labels are assigned in order of first-core-point discovery over the
+    * row order sorted by `orderCol` — deterministic, and cluster-label
+    * permutations never affect downstream gates (they group, not compare).
+    */
+  def dbscan(df: DataFrame, groupCols: Seq[String], featureCols: Seq[String],
+             orderCol: String, eps: Double, minPoints: Int,
+             clusterCol: String = "cluster_id"): DataFrame = {
+    val outSchema = df.schema.add(clusterCol, org.apache.spark.sql.types.LongType)
+    val fIdx = featureCols.map(df.schema.fieldIndex)
+    val oIdx = df.schema.fieldIndex(orderCol)
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    val kv = df.groupByKey { r: Row =>
+      groupCols.map(c => String.valueOf(r.get(r.fieldIndex(c)))).mkString("|")
+    }(org.apache.spark.sql.Encoders.STRING)
+    kv.flatMapGroups { (_, it) =>
+      val rows = it.toArray.sortBy(r => r.get(oIdx) match {
+        case d: java.lang.Double => d.doubleValue()
+        case l: java.lang.Long => l.doubleValue()
+        case i: java.lang.Integer => i.doubleValue()
+        case t: java.sql.Timestamp => t.getTime.toDouble
+        case x => String.valueOf(x).hashCode.toDouble
+      })
+      val feats = rows.map(r => fIdx.map(i => r.getAs[Any](i) match {
+        case d: java.lang.Double => d.doubleValue()
+        case f: java.lang.Float => f.doubleValue()
+        case l: java.lang.Long => l.doubleValue()
+        case i2: java.lang.Integer => i2.doubleValue()
+        case _ => Double.NaN
+      }).toArray)
+      val labels = LocalDbscan.fit(feats, eps, minPoints)
+      rows.iterator.zipWithIndex.map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ labels(i).toLong)
+      }
+    }
+  }
+
+  /** A6 bimodality split: 2-means (k=2, 1-D) on `valueCol`; if the two means
+    * are separated by more than `sigmas` × pooled std, return only rows of
+    * the LARGER-mean mode, else return the input unchanged. The reference
+    * runs this on collected sizes (N ~ 10^3-10^5), so we collect the value
+    * column to the driver (tiny) and filter distributively by the resulting
+    * threshold. (marker_parsing.py:31-50)
+    */
+  def bimodalitySplit(df: DataFrame, valueCol: String, sigmas: Double = 2.5): DataFrame = {
+    val vals = df.select(col(valueCol).cast("double")).na.drop()
+      .collect().map(_.getDouble(0))
+    if (vals.length < 4) return df
+    val (m1, m2) = LocalDbscan.twoMeans(vals)
+    val sd = {
+      val mu = vals.sum / vals.length
+      math.sqrt(vals.map(v => (v - mu) * (v - mu)).sum / (vals.length - 1))
+    }
+    if (math.abs(m2 - m1) > sigmas * sd) {
+      val cut = (m1 + m2) / 2.0
+      val keepHigh = m2 > m1
+      if (keepHigh) df.filter(col(valueCol).cast("double") >= cut)
+      else df.filter(col(valueCol).cast("double") < cut)
+    } else df
+  }
+}
+
+/** Small local kernels used inside flatMapGroups / on the driver. */
+object LocalDbscan {
+  /** Plain DBSCAN over a small in-memory feature matrix (euclidean).
+    * O(n^2) neighbor search — groups are epoch-sized (<= 10^4). Returns
+    * labels; -1 = noise. Cluster ids assigned in discovery order.
+    */
+  def fit(feats: Array[Array[Double]], eps: Double, minPoints: Int): Array[Int] = {
+    val n = feats.length
+    val labels = Array.fill(n)(-2) // -2 unvisited, -1 noise
+    val eps2 = eps * eps
+    def neighbors(i: Int): Array[Int] = {
+      val out = Array.newBuilder[Int]
+      var j = 0
+      while (j < n) {
+        var d = 0.0; var k = 0
+        val a = feats(i); val b = feats(j)
+        while (k < a.length) { val t = a(k) - b(k); d += t * t; k += 1 }
+        if (d <= eps2) out += j
+        j += 1
+      }
+      out.result()
+    }
+    var cluster = 0
+    var i = 0
+    while (i < n) {
+      if (labels(i) == -2) {
+        val nbrs = neighbors(i)
+        if (nbrs.length < minPoints) labels(i) = -1
+        else {
+          labels(i) = cluster
+          val queue = scala.collection.mutable.Queue(nbrs.toIndexedSeq: _*)
+          while (queue.nonEmpty) {
+            val q = queue.dequeue()
+            if (labels(q) == -1) labels(q) = cluster
+            if (labels(q) == -2) {
+              labels(q) = cluster
+              val qn = neighbors(q)
+              if (qn.length >= minPoints) queue ++= qn
+            }
+          }
+          cluster += 1
+        }
+      }
+      i += 1
+    }
+    labels
+  }
+
+  /** 1-D 2-means with deterministic (min, max) init; returns the two means
+    * sorted ascending. */
+  def twoMeans(vals: Array[Double]): (Double, Double) = {
+    var c1 = vals.min; var c2 = vals.max
+    var iter = 0
+    while (iter < 50) {
+      var s1 = 0.0; var n1 = 0; var s2 = 0.0; var n2 = 0
+      vals.foreach { v =>
+        if (math.abs(v - c1) <= math.abs(v - c2)) { s1 += v; n1 += 1 }
+        else { s2 += v; n2 += 1 }
+      }
+      val nc1 = if (n1 > 0) s1 / n1 else c1
+      val nc2 = if (n2 > 0) s2 / n2 else c2
+      if (nc1 == c1 && nc2 == c2) iter = 50 else { c1 = nc1; c2 = nc2 }
+      iter += 1
+    }
+    if (c1 <= c2) (c1, c2) else (c2, c1)
+  }
+}
