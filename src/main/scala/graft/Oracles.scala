@@ -12,7 +12,41 @@ package graft
   */
 object Oracles {
 
+  /** Round-trip double literal for SQL (scientific notation parses as
+    * DOUBLE in DuckDB; plain decimals would parse as DECIMAL). */
+  private def d(v: Double): String = String.format("%.17e", Double.box(v))
+
+  /** M8 oracle: same fold order as [[graft.model.TpsMapModel.tpsCol]] —
+    * ((a0 + a1·px) + a2·py) + ((0 + t0) + t1)…, t_i = ((w·r)·r)·ln(r+1e-6). */
+  private def tpsSql: String = {
+    val anchors = graft.Queries.m8Anchors
+    val theta = graft.Queries.m8Theta
+    val n = anchors.length
+    val warp = anchors.zipWithIndex.foldLeft(d(0.0)) { case (acc, (a, i)) =>
+      val r = s"sqrt(((px - ${d(a(0))}) * (px - ${d(a(0))})) + " +
+        s"((py - ${d(a(1))}) * (py - ${d(a(1))})))"
+      s"($acc + (((${d(theta(i))} * $r) * $r) * ln($r + ${d(1e-6)})))"
+    }
+    val affine = s"((${d(theta(n))} + (${d(theta(n + 1))} * px)) + " +
+      s"(${d(theta(n + 2))} * py))"
+    s"""WITH s AS (SELECT event_id, value/200.0 AS px,
+       |  (user_id % 20)/20.0 AS py FROM events)
+       |SELECT event_id, round($affine + $warp, 6) AS gaze_x FROM s""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "m4_poly_apply" ->
+      """WITH s AS (SELECT event_id, value/200.0 AS x,
+        |  (user_id % 20)/20.0 AS y FROM events)
+        |SELECT event_id,
+        |  x*0.9 + y*0.1 + x*x*0.05 + y*y*-0.02 + x*y*0.03
+        |    + x*x*y*y*0.01 + 1.0*0.02 AS gaze_x,
+        |  x*-0.1 + y*1.1 + x*x*0.02 + y*y*0.06 + x*y*-0.04
+        |    + x*x*y*y*0.02 + 1.0*-0.01 AS gaze_y
+        |FROM s""".stripMargin,
+
+    "m8_tps_apply" -> tpsSql,
+
     "s3_scan_prune" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem WHERE l_quantity > 45""".stripMargin,

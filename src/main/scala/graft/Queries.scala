@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.model.{PolyMapModel, Tps, TpsMapModel}
 import graft.operators.{AsOfJoin, ClusterOps, TimeSeriesOps}
 
 /** The engine's query surface over the driver testdata, one entry per
@@ -223,6 +224,39 @@ object Queries {
         round(col("_slope") * 1e9, 4).as("slope_n"),
         round(col("_my") - col("_slope") * col("_mx"), 6).as("intercept"))
   }
+
+  /** M4: polynomial gaze-map apply (make_map_function, calibrate_2d.py:
+    * 250-409) with fixed n=7 coefficients over synthetic pupil coords —
+    * the fitted-model fast path is pure codegen'd Column arithmetic. */
+  val m4Cx: Array[Double] = Array(0.9, 0.1, 0.05, -0.02, 0.03, 0.01, 0.02)
+  val m4Cy: Array[Double] = Array(-0.1, 1.1, 0.02, 0.06, -0.04, 0.02, -0.01)
+
+  def polyApply(s: SparkSession, dir: String): DataFrame = {
+    val model = PolyMapModel(m4Cx, m4Cy, 7)
+    val pup = ev(s, dir).select(col("event_id"),
+      (col("value") / 200.0).as("norm_x"),
+      ((col("user_id") % 20) / 20.0).as("norm_y"))
+    val (gx, gy) = model.mapCols(col("norm_x"), col("norm_y"))
+    pup.select(col("event_id"), gx.as("gaze_x"), gy.as("gaze_y"))
+  }
+
+  /** M8: TPS gaze-map apply (_map_tps, calibration.py:329-344) with a fixed
+    * deterministic fit — warp kernel evaluated via a higher-order aggregate
+    * over literal anchors (no UDF). */
+  val m8Anchors: Array[Array[Double]] =
+    Array.tabulate(9)(i => Array((i % 3) / 2.0, (i / 3) / 2.0))
+  val m8Theta: Array[Double] =
+    Tps.fit(m8Anchors, m8Anchors.map(a => a(0) * 0.8 + a(1) * a(1) * 0.3), 1e-3)
+
+  def tpsApply(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).select(col("event_id"),
+        (col("value") / 200.0).as("px"),
+        ((col("user_id") % 20) / 20.0).as("py"))
+      // round: JVM Math.log and libm log differ in the last ulp, so the TPS
+      // kernel is not bit-reproducible across engines
+      .select(col("event_id"),
+        round(TpsMapModel.tpsCol(col("px"), col("py"), m8Anchors, m8Theta), 6)
+          .as("gaze_x"))
 
   // -------------------------------------------- LLM-data-pipeline surface
 

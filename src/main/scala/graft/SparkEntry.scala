@@ -33,6 +33,8 @@ object SparkEntry {
     "o2_union_stats" -> (Queries.unionStats _),
     "o5_distinct" -> (Queries.distinctPairs _),
     "m2_linreg" -> (Queries.linregByGroup _),
+    "m4_poly_apply" -> (Queries.polyApply _),
+    "m8_tps_apply" -> (Queries.tpsApply _),
     "dedup_exact" -> (Queries.dedupExact _),
     "text_stats" -> (Queries.textStats _),
     "sim_brute_topk" -> (Queries.simBruteTopK _),

@@ -1,0 +1,143 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+/** M9: the calibration orchestrator — "fit small, apply big".
+  *
+  * Mirrors the reference `Calibration` class (calibration.py:467-720):
+  *  1. J1 time-match pupils to calibration-marker timestamps (median of all
+  *     pupil rows within ± half the median marker frame interval);
+  *  2. confidence filter (default 0.75, the default pipeline tag
+  *     pipelines.py:560-568);
+  *  3. cluster-reduce to one (marker, pupil) pair per marker cluster
+  *     (median, calibration.py:549-582);
+  *  4. driver-side fit (tens-to-hundreds of points) dispatched on
+  *     `calibrationType`: monocular_pl (two-pass poly), monocular_tps,
+  *     monocular_tps_cv (LOO-CV λ + outlier cut, calibration.py:348-412).
+  *
+  * The returned [[GazeModel]] applies distributively as Column arithmetic.
+  */
+object Calibrator {
+
+  /** Default λ grid: logspace(1e-6 → 10, 16), calibration.py DEFAULT_LAMBDA_LIST. */
+  val DefaultLambdas: Array[Double] = {
+    val lo = math.log10(1e-6); val hi = math.log10(10.0)
+    Array.tabulate(16)(i => math.pow(10, lo + (hi - lo) * i / 15.0))
+  }
+
+  case class Config(
+      calibrationType: String = "monocular_tps_cv",
+      minConfidence: Double = 0.75,
+      lambdas: Array[Double] = DefaultLambdas,
+      maxStdsForOutliers: Option[Double] = Some(3.0),
+      clusterReduce: Boolean = true,
+      frameSize: (Double, Double) = (1.0, 1.0))
+
+  /** Matched + reduced calibration points: one row per marker cluster
+    * (or per marker row when clusterReduce = false). Distributed up to the
+    * collect of the reduced table (10¹-10² rows).
+    *
+    * markers: timestamp, norm_x, norm_y [, marker_cluster_index]
+    * pupils:  timestamp, norm_x, norm_y, confidence
+    */
+  def matchedPoints(markers: DataFrame, pupils: DataFrame, cfg: Config): DataFrame = {
+    // A11: matching window = half the median inter-marker interval
+    // (marker_parsing.py:554-556)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("timestamp"))
+    val dts = markers
+      .withColumn("_dt", col("timestamp") - lag(col("timestamp"), 1).over(w))
+      .filter(col("_dt").isNotNull)
+    val halfMedianDt =
+      dts.select(expr("percentile(_dt, 0.5)")).first().getDouble(0) / 2.0
+
+    val matched = AsOfJoin.windowAgg(
+      markers, pupils.select(col("timestamp"), col("norm_x"), col("norm_y"), col("confidence")),
+      "timestamp", "timestamp", Nil, halfMedianDt, Seq(
+        expr("percentile(r_norm_x, 0.5)").as("px"),
+        expr("percentile(r_norm_y, 0.5)").as("py"),
+        expr("percentile(r_confidence, 0.5)").as("p_conf")))
+      .filter(col("p_conf") > cfg.minConfidence)
+
+    if (cfg.clusterReduce && matched.columns.contains("marker_cluster_index"))
+      matched.groupBy(col("marker_cluster_index")).agg(
+        expr("percentile(norm_x, 0.5)").as("mx"),
+        expr("percentile(norm_y, 0.5)").as("my"),
+        expr("percentile(px, 0.5)").as("px"),
+        expr("percentile(py, 0.5)").as("py"))
+    else
+      matched.select(col("norm_x").as("mx"), col("norm_y").as("my"),
+        col("px"), col("py"))
+  }
+
+  def fit(markers: DataFrame, pupils: DataFrame,
+          cfg: Config = Config()): Option[GazeModel] = {
+    val pts = matchedPoints(markers, pupils, cfg)
+      .select("px", "py", "mx", "my").collect()
+    fitPoints(pts.map(r => Array(r.getDouble(0), r.getDouble(1))),
+      pts.map(_.getDouble(2)), pts.map(_.getDouble(3)), cfg)
+  }
+
+  /** Driver-side dispatch on reduced points (pupil xy → marker xy). */
+  def fitPoints(pxy: Array[Array[Double]], mx: Array[Double], my: Array[Double],
+                cfg: Config): Option[GazeModel] = cfg.calibrationType match {
+    case "monocular_pl" =>
+      Poly.calibrate(pxy, mx, my, n = 7, screenSize = cfg.frameSize)
+    case "monocular_tps" =>
+      val l = 0.01
+      Some(TpsMapModel(pxy, Tps.fit(pxy, mx, l), pxy, Tps.fit(pxy, my, l)))
+    case "monocular_tps_cv" =>
+      Some(fitTpsCv(pxy, mx, my, cfg.lambdas, cfg.maxStdsForOutliers))
+    case other =>
+      throw new IllegalArgumentException(s"unknown calibrationType $other")
+  }
+
+  /** M6: _fit_tps_gaze_cv (calibration.py:348-412). LOO over the λ grid on
+    * BOTH axes jointly (error = per-point L2 of the 2-D residual); optional
+    * one-shot outlier cut at median + k·std of the λ-averaged per-point
+    * error, then re-run CV without further cuts; final fit at argmin λ
+    * (first minimum, numpy argmin). */
+  def fitTpsCv(pxy: Array[Array[Double]], mx: Array[Double], my: Array[Double],
+               lambdas: Array[Double], maxStds: Option[Double]): TpsMapModel = {
+    val n = pxy.length
+    // errors(iλ)(iPoint) = ‖LOO prediction − truth‖₂
+    val errors = lambdas.map { l =>
+      Array.tabulate(n) { j =>
+        val keep = (0 until n).filter(_ != j).toArray
+        val xyK = keep.map(pxy)
+        val tx = Tps.fit(xyK, keep.map(mx), l)
+        val ty = Tps.fit(xyK, keep.map(my), l)
+        val ex = Tps.z(pxy(j)(0), pxy(j)(1), xyK, tx) - mx(j)
+        val ey = Tps.z(pxy(j)(0), pxy(j)(1), xyK, ty) - my(j)
+        math.sqrt(ex * ex + ey * ey)
+      }
+    }
+    maxStds match {
+      case Some(k) =>
+        val perPt = Array.tabulate(n)(j => errors.map(_(j)).sum / lambdas.length)
+        val cut = Stats.median(perPt) + k * Stats.stdPop(perPt)
+        val keep = perPt.zipWithIndex.collect { case (e, i) if e <= cut => i }
+        if (keep.length < n)
+          // non-recursive: re-run CV on the kept points with no further cut
+          fitTpsCv(keep.map(pxy), keep.map(mx), keep.map(my), lambdas, None)
+        else finalFit(pxy, mx, my, lambdas, errors)
+      case None => finalFit(pxy, mx, my, lambdas, errors)
+    }
+  }
+
+  private def finalFit(pxy: Array[Array[Double]], mx: Array[Double],
+                       my: Array[Double], lambdas: Array[Double],
+                       errors: Array[Array[Double]]): TpsMapModel = {
+    val meanPerLambda = errors.map(e => e.sum / e.length)
+    var best = 0
+    var i = 1
+    while (i < lambdas.length) {
+      if (meanPerLambda(i) < meanPerLambda(best)) best = i
+      i += 1
+    }
+    val l = lambdas(best)
+    TpsMapModel(pxy, Tps.fit(pxy, mx, l), pxy, Tps.fit(pxy, my, l))
+  }
+}

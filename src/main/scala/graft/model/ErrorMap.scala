@@ -1,0 +1,177 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+/** M11: spatially-interpolated gaze-error surface
+  * (compute_error, /root/reference/vedb_gaze/error_computation.py:18-225).
+  *
+  * Distributed where it counts: matching (as-of join), per-point error
+  * (arithmetic), the vres×hres grid evaluation (sequence crossJoin +
+  * the TPS Column expression), and the gaze 2-D histogram / weighted
+  * summary (groupBy + join). Driver-side only: the TPS LOO-CV fit over
+  * ≤ ~10² reduced points and the convex hull (≤ 10² vertices) that
+  * replaces scipy-griddata's "no extrapolation" masking — the hull
+  * becomes a conjunction of half-plane Column predicates.
+  */
+object ErrorMap {
+
+  case class Config(
+      minPupilConfidence: Double = 0.6,
+      outlierStds: Option[Double] = Some(4.0),
+      lambdas: Array[Double] = Calibrator.DefaultLambdas,
+      resolution: (Int, Int) = (300, 400), // (vres, hres)
+      imageResolution: (Double, Double) = (2048.0, 1536.0),
+      degreesHoriz: Double = 101.0,
+      degreesVert: Double = 75.75,
+      clusterReduce: Boolean = true,
+      extrapolate: Boolean = false)
+
+  case class Result(
+      /** one row per reduced point: mx, my, gx, gy, err_deg, err_angle */
+      points: DataFrame,
+      /** long-form error surface: iy, ix, x, y, err (null = outside hull) */
+      grid: DataFrame,
+      /** single row: gaze_err_weighted, gaze_fraction_excluded, n_points,
+        * err_median, err_mean */
+      summary: DataFrame)
+
+  def pixelsPerDegree(cfg: Config): Double = {
+    val h = cfg.imageResolution._1 / cfg.degreesHoriz
+    val v = cfg.imageResolution._2 / cfg.degreesVert
+    (h + v) / 2.0
+  }
+
+  /** markers: timestamp, norm_x, norm_y [, marker_cluster_index];
+    * gaze: timestamp, norm_x, norm_y, confidence. */
+  def compute(markers: DataFrame, gaze: DataFrame, cfg: Config = Config()): Result = {
+    val spark = markers.sparkSession
+    import spark.implicits._
+    val ppd = pixelsPerDegree(cfg)
+
+    // 1. nearest-gaze match per marker timestamp (match_time_points default)
+    val matched = AsOfJoin.nearest(
+        markers,
+        gaze.select(col("timestamp"),
+          col("norm_x").as("gx"), col("norm_y").as("gy"), col("confidence")),
+        "timestamp", "timestamp", Nil, rightPrefix = "g_")
+      .filter(col("g_confidence") > cfg.minPupilConfidence)
+      .withColumnRenamed("g_gx", "gx").withColumnRenamed("g_gy", "gy")
+
+    // 2. cluster reduction (median per marker cluster)
+    val reduced =
+      if (cfg.clusterReduce && matched.columns.contains("marker_cluster_index"))
+        matched.groupBy(col("marker_cluster_index")).agg(
+          expr("percentile(norm_x, 0.5)").as("mx"),
+          expr("percentile(norm_y, 0.5)").as("my"),
+          expr("percentile(gx, 0.5)").as("gx"),
+          expr("percentile(gy, 0.5)").as("gy"))
+      else matched.select(col("norm_x").as("mx"), col("norm_y").as("my"),
+        col("gx"), col("gy"))
+
+    // 3. per-point angular error (degrees) + error angle
+    val (iw, ih) = cfg.imageResolution
+    val exPix = (col("gx") - col("mx")) * iw
+    val eyPix = (col("gy") - col("my")) * ih
+    val withErr = reduced
+      .withColumn("err_deg", sqrt(exPix * exPix + eyPix * eyPix) / ppd)
+      .withColumn("err_angle", atan2(exPix, eyPix))
+
+    // 4. outlier cut: |err - median| > k·std_pop → drop (driver stats on the
+    // reduced table; tiny). Then require >= 4 points.
+    val errVals = withErr.select(col("err_deg")).collect().map(_.getDouble(0))
+    val pts = cfg.outlierStds match {
+      case Some(k) if errVals.nonEmpty =>
+        val med = Stats.median(errVals); val sd = Stats.stdPop(errVals)
+        withErr.filter(abs(col("err_deg") - med) <= k * sd)
+      case _ => withErr
+    }
+    val ptArr = pts.select("mx", "my", "err_deg").collect()
+      .map(r => (Array(r.getDouble(0), r.getDouble(1)), r.getDouble(2)))
+    require(ptArr.length >= 4,
+      s"Too few points to compute error across visual field (${ptArr.length})")
+    val anchors = ptArr.map(_._1)
+    val errs = ptArr.map(_._2)
+    val minErr = errs.min
+
+    // 5. TPS LOO-CV fit of the error surface (RMS metric,
+    // error_computation.py:183-193)
+    val (bestI, _) = Tps.looSelect(anchors, errs, cfg.lambdas,
+      resid => math.sqrt(resid.map(r => r * r).sum / resid.length))
+    val theta = Tps.fit(anchors, errs, cfg.lambdas(bestI))
+
+    // 6. distributed grid evaluation with convex-hull masking
+    val (vres, hres) = cfg.resolution
+    val xs = col("ix").cast("double") / (hres - 1)
+    val ys = col("iy").cast("double") / (vres - 1)
+    val gridBase = spark.range(vres).toDF("iy")
+      .crossJoin(spark.range(hres).toDF("ix"))
+      .withColumn("x", xs).withColumn("y", ys)
+    val inHull = hullPredicate(anchors, col("x"), col("y"), cfg.extrapolate)
+    val errCol = greatest(
+      TpsMapModel.tpsCol(col("x"), col("y"), anchors, theta), lit(minErr))
+    val grid = gridBase.withColumn("err",
+      when(inHull, errCol).otherwise(lit(null).cast("double")))
+
+    // 7. gaze 2-D histogram over the grid bins + weighted session error
+    val hist = gaze
+      .filter(col("norm_x").between(0, 1) && col("norm_y").between(0, 1))
+      .withColumn("ix", least(floor(col("norm_x") * hres), lit(hres - 1)).cast("long"))
+      .withColumn("iy", least(floor(col("norm_y") * vres), lit(vres - 1)).cast("long"))
+      .groupBy("ix", "iy").agg(count(lit(1)).as("n_gaze"))
+    val joined = grid.join(hist, Seq("ix", "iy"), "left")
+      .withColumn("n_gaze", coalesce(col("n_gaze"), lit(0L)))
+    val summary = joined.agg(
+        sum(col("n_gaze")).as("_total"),
+        sum(when(col("err").isNotNull, col("n_gaze")).otherwise(0L)).as("_in"),
+        sum(when(col("err").isNotNull, col("n_gaze") * col("err"))).as("_werr"))
+      .select(
+        (col("_werr") / col("_total") / (col("_in") / col("_total")))
+          .as("gaze_err_weighted"),
+        ((col("_total") - col("_in")) / col("_total"))
+          .as("gaze_fraction_excluded"),
+        lit(ptArr.length).as("n_points"),
+        lit(Stats.median(errs)).as("err_median"),
+        lit(Stats.mean(errs)).as("err_mean"))
+
+    Result(pts, grid, summary)
+  }
+
+  /** Convex hull of the anchor points (driver-side monotone chain) as a
+    * conjunction of half-plane predicates — the declarative stand-in for
+    * scipy griddata's convex-hull interpolation domain. */
+  def hullPredicate(points: Array[Array[Double]], x: Column, y: Column,
+                    extrapolate: Boolean): Column = {
+    if (extrapolate) return lit(true)
+    val hull = convexHull(points)
+    if (hull.length < 3) return lit(false)
+    // inside (CCW hull): cross((b-a), (p-a)) >= 0 for every edge
+    hull.indices.map { i =>
+      val a = hull(i); val b = hull((i + 1) % hull.length)
+      ((lit(b(0) - a(0))) * (y - a(1)) - (lit(b(1) - a(1))) * (x - a(0))) >= 0
+    }.reduce(_ && _)
+  }
+
+  /** Andrew's monotone chain, CCW order. */
+  def convexHull(points: Array[Array[Double]]): Array[Array[Double]] = {
+    val pts = points.map(p => (p(0), p(1))).distinct.sorted
+    if (pts.length <= 2) return pts.map(p => Array(p._1, p._2))
+    def cross(o: (Double, Double), a: (Double, Double), b: (Double, Double)) =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    val lower = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    for (p <- pts) {
+      while (lower.length >= 2 && cross(lower(lower.length - 2), lower.last, p) <= 0)
+        lower.remove(lower.length - 1)
+      lower += p
+    }
+    val upper = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    for (p <- pts.reverse) {
+      while (upper.length >= 2 && cross(upper(upper.length - 2), upper.last, p) <= 0)
+        upper.remove(upper.length - 1)
+      upper += p
+    }
+    (lower.dropRight(1) ++ upper.dropRight(1)).toArray.map(p => Array(p._1, p._2))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fitted gaze-mapping artifacts (M4/M8 apply side).
+  *
+  * Fits happen on the driver over reduced points (tens-to-hundreds); the
+  * APPLY is the 100 TB-scale operation and is expressed as pure Column
+  * arithmetic — whole-stage-codegen'd, no UDF, broadcast-free (the model is
+  * folded into the plan as literals).
+  *
+  * Reference: make_map_function externals/calibrate_2d.py:250-409 (poly),
+  * _map_tps / map_xy_tps calibration.py:329-344, 628-633 (TPS).
+  */
+sealed trait GazeModel {
+  /** (gazeX, gazeY) column expressions from normalized pupil coords. */
+  def mapCols(px: Column, py: Column): (Column, Column)
+
+  /** M10 gaze-mapping stage: pupil table → gaze table (timestamp,
+    * norm_x/norm_y mapped, confidence carried when present). */
+  def transform(pupils: DataFrame, pxCol: String = "norm_x",
+                pyCol: String = "norm_y"): DataFrame = {
+    val (gx, gy) = mapCols(col(pxCol), col(pyCol))
+    val base = pupils.withColumn("gaze_x", gx).withColumn("gaze_y", gy)
+    val keep = Seq("timestamp", "confidence", "id").filter(pupils.columns.contains)
+    base.select((keep.map(col) ++ Seq(col("gaze_x"), col("gaze_y"))): _*)
+  }
+}
+
+/** Monocular/one-eye polynomial map: gaze = Σ c_i · monomial_i(px, py). */
+case class PolyMapModel(cx: Array[Double], cy: Array[Double], n: Int) extends GazeModel {
+  require(Set(3, 7, 9).contains(n), s"monocular poly map needs n in {3,7,9}, got $n")
+
+  private def terms(px: Column, py: Column): Seq[Column] = n match {
+    case 3 => Seq(px, py, lit(1.0))
+    case 7 => Seq(px, py, px * px, py * py, px * py, px * px * py * py, lit(1.0))
+    case 9 => Seq(px, py, px * px, py * py, px * py, px * px * py * py,
+      px * px * py, py * py * px, lit(1.0))
+  }
+
+  def mapCols(px: Column, py: Column): (Column, Column) = {
+    val ts = terms(px, py)
+    (ts.zip(cx).map { case (t, c) => t * lit(c) }.reduce(_ + _),
+     ts.zip(cy).map { case (t, c) => t * lit(c) }.reduce(_ + _))
+  }
+}
+
+/** Binocular polynomial map over (px0, py0, px1, py1), n ∈ {5,13,17}. */
+case class PolyBinocularModel(cx: Array[Double], cy: Array[Double], n: Int) {
+  require(Set(5, 13, 17).contains(n))
+
+  private def terms(x0: Column, y0: Column, x1: Column, y1: Column): Seq[Column] = n match {
+    case 5 => Seq(x0, y0, x1, y1, lit(1.0))
+    case 13 => Seq(x0, y0, x1, y1, x0 * x0, y0 * y0, x0 * y0, x0 * x0 * y0 * y0,
+      x1 * x1, y1 * y1, x1 * y1, x1 * x1 * y1 * y1, lit(1.0))
+    case 17 => Seq(x0, y0, x1, y1, x0 * x0, y0 * y0, x0 * y0, x0 * x0 * y0 * y0,
+      x1 * x1, y1 * y1, x1 * y1, x1 * x1 * y1 * y1,
+      x0 * x1, x0 * y1, y0 * x1, y0 * y1, lit(1.0))
+  }
+
+  def mapCols(x0: Column, y0: Column, x1: Column, y1: Column): (Column, Column) = {
+    val ts = terms(x0, y0, x1, y1)
+    (ts.zip(cx).map { case (t, c) => t * lit(c) }.reduce(_ + _),
+     ts.zip(cy).map { case (t, c) => t * lit(c) }.reduce(_ + _))
+  }
+}
+
+/** TPS map: anchors (n×2) + θ per output axis, evaluated with a
+  * higher-order `aggregate` over a literal anchor array — stays inside
+  * codegen, O(n_anchors) per row with n_anchors ≤ ~10². */
+case class TpsMapModel(anchorsX: Array[Array[Double]], thetaX: Array[Double],
+                       anchorsY: Array[Array[Double]], thetaY: Array[Double])
+    extends GazeModel {
+
+  def mapCols(px: Column, py: Column): (Column, Column) =
+    (TpsMapModel.tpsCol(px, py, anchorsX, thetaX),
+     TpsMapModel.tpsCol(px, py, anchorsY, thetaY))
+}
+
+object TpsMapModel {
+  /** Σ_i w_i·U(‖p−anchor_i‖) + a0 + ax·px + ay·py as a Column expression.
+    * U(r) = r²·ln(r+1e-6), matching [[Tps.kernel]]. */
+  def tpsCol(px: Column, py: Column, anchors: Array[Array[Double]],
+             theta: Array[Double]): Column = {
+    val n = anchors.length
+    val packed: Seq[(Double, Double, Double)] =
+      anchors.zipWithIndex.map { case (a, i) => (a(0), a(1), theta(i)) }.toSeq
+    val warp = aggregate(typedLit(packed), lit(0.0), (acc, s) => {
+      val dx = px - s.getField("_1")
+      val dy = py - s.getField("_2")
+      val r = sqrt(dx * dx + dy * dy)
+      acc + s.getField("_3") * r * r * log(r + lit(1e-6))
+    })
+    lit(theta(n)) + lit(theta(n + 1)) * px + lit(theta(n + 2)) * py + warp
+  }
+}
