@@ -34,7 +34,195 @@ object Oracles {
        |SELECT event_id, round($affine + $warp, 6) AS gaze_x FROM s""".stripMargin
   }
 
+  /** Shared doc-shingle CTE (3-shingles over whitespace tokens, distinct,
+    * empty when < 3 tokens) — mirrors TextOps.shingles. */
+  private val shingleCte =
+    """d AS (SELECT doc_id AS doc, string_split(trim(text), ' ') AS toks
+      |  FROM documents),
+      |s AS (SELECT doc, list_distinct(list_transform(range(1, len(toks) - 1),
+      |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM d)""".stripMargin
+
+  private def minhashSql: String = {
+    val sigs = (0 until 16).map(i =>
+      s"list_min(list_transform(sh, x -> md5('$i|' || x)))").mkString(",\n    ")
+    val bandSelects = (0 until 4).map { b =>
+      val cat = (1 to 4).map(r => s"sig[${b * 4 + r}]").mkString(" || ")
+      s"SELECT doc, sig, $b AS band_id, md5($cat) AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shingleCte,
+       |sig AS (SELECT doc, [$sigs] AS sig FROM s WHERE len(sh) > 0),
+       |band AS ($bandSelects),
+       |pairs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+       |    a.sig AS sa, b.sig AS sb
+       |  FROM band a JOIN band b ON a.band_id = b.band_id
+       |    AND a.band_hash = b.band_hash AND a.doc < b.doc)
+       |SELECT doc_a, doc_b,
+       |  len(list_filter(range(1, 17), i -> sa[i] = sb[i]))::DOUBLE / 16
+       |    AS est_jaccard
+       |FROM pairs WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i]))::DOUBLE / 16 >= 0.25""".stripMargin
+  }
+
+  private def simhashSql: String = {
+    val sums = (0 until 60).map(j =>
+      s"sum(((h >> $j) & 1) * 2 - 1) AS b$j").mkString(",\n    ")
+    val bits = (0 until 60).map(j =>
+      s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id AS doc, unnest(string_split(trim(text), ' ')) AS w
+       |  FROM documents),
+       |h AS (SELECT doc, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM t),
+       |agg AS (SELECT doc,
+       |    $sums
+       |  FROM h GROUP BY doc)
+       |SELECT doc, ($bits)::BIGINT AS simhash FROM agg""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> minhashSql,
+
+    "dedup_simhash" -> simhashSql,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |e AS (SELECT doc, unnest(sh) AS g FROM s),
+         |sizes AS (SELECT doc, count(*) AS n FROM e GROUP BY doc),
+         |common AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
+         |  FROM e a JOIN e b ON a.g = b.g AND a.doc < b.doc GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  c::DOUBLE / (sa.n + sb.n - c) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON doc_a = sa.doc
+         |JOIN sizes sb ON doc_b = sb.doc
+         |WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.2""".stripMargin,
+
+    "text_langid" ->
+      """WITH d AS (SELECT doc_id AS doc, string_split(trim(text), ' ') AS toks
+        |  FROM documents),
+        |sc AS (SELECT doc,
+        |  len(list_filter(toks, w -> w IN ('der','die','und','nicht','das')))::BIGINT AS s_de,
+        |  len(list_filter(toks, w -> w IN ('the','and','of','to','in')))::BIGINT AS s_en,
+        |  len(list_filter(toks, w -> w IN ('el','la','de','que','y')))::BIGINT AS s_es,
+        |  len(list_filter(toks, w -> w IN ('le','les','et','des','un')))::BIGINT AS s_fr
+        |  FROM d)
+        |SELECT doc, s_de, s_en, s_es, s_fr,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM sc""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |  FROM documents),
+        |h AS (SELECT doc_id, len(toks) AS n,
+        |  list_transform(toks,
+        |    w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % 1000000007) AS hs
+        |  FROM d)
+        |SELECT doc_id, CASE WHEN n >= 4 THEN
+        |  list_min(list_transform(range(1, greatest(n - 3, 1) + 1), i ->
+        |    ((((hs[i] * 31 + hs[i+1]) % 1000000007) * 31 + hs[i+2])
+        |      % 1000000007 * 31 + hs[i+3]) % 1000000007))
+        |  ELSE NULL END AS fingerprint
+        |FROM h""".stripMargin,
+
+    "text_quality" ->
+      """WITH d AS (SELECT doc_id AS doc, trim(text) AS t,
+        |  string_split(trim(text), ' ') AS toks FROM documents),
+        |m AS (SELECT doc, length(t)::BIGINT AS n_chars, len(toks)::BIGINT AS n_words,
+        |  len(list_filter(toks, w -> w IN ('the','a','of','and','to','in')))::DOUBLE
+        |    / len(toks) AS stopword_ratio,
+        |  len(list_filter(toks, w -> length(w) > 6))::DOUBLE / len(toks)
+        |    AS long_word_ratio
+        |  FROM d)
+        |SELECT doc, n_chars, n_words,
+        |  ceil(n_chars::DOUBLE / 4.0e0)::BIGINT AS est_tokens,
+        |  n_chars::DOUBLE / n_words AS mean_word_len,
+        |  stopword_ratio, long_word_ratio,
+        |  1.0e0
+        |    - (CASE WHEN stopword_ratio < 2.0e-2 THEN 4.0e-1 ELSE 0.0e0 END)
+        |    - (CASE WHEN n_words < 5 THEN 4.0e-1 ELSE 0.0e0 END)
+        |    - (CASE WHEN long_word_ratio > 5.0e-1 THEN 2.0e-1 ELSE 0.0e0 END)
+        |    AS quality
+        |FROM m""".stripMargin,
+
+    "ann_lsh_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |a AS (SELECT vec_id AS a_id, v AS av FROM e
+        |  WHERE vec_id BETWEEN 480 AND 485),
+        |dots AS (SELECT e.vec_id AS v_id, a.a_id,
+        |    list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * av[i])) AS d
+        |  FROM e CROSS JOIN a),
+        |buck AS (SELECT v_id,
+        |    string_agg(CASE WHEN d > 0 THEN '1' ELSE '0' END, '' ORDER BY a_id)
+        |      AS bucket
+        |  FROM dots GROUP BY v_id),
+        |ev AS (SELECT e.vec_id AS v_id, v, bucket
+        |  FROM e JOIN buck ON e.vec_id = buck.v_id),
+        |q AS (SELECT v_id AS q_id, v AS qv, bucket FROM ev WHERE v_id < 10),
+        |scored AS (SELECT q.q_id, ev.v_id,
+        |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i]))
+        |    / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(v, x -> x * x)))) AS sim
+        |  FROM q JOIN ev USING (bucket) WHERE q.q_id <> ev.v_id)
+        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, v_id) AS INT) AS rank,
+        |  v_id AS n_id, round(sim, 6) + 0.0e0 AS sim
+        |FROM scored
+        |QUALIFY rank <= 3""".stripMargin,
+
+    "emb_neardup" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+        |    / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+        |       * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.45""".stripMargin,
+
+    "p8_quat_euler" ->
+      """WITH b AS (SELECT event_id, value/200.0 AS w0,
+        |    (user_id % 10)/10.0 - 0.5 AS x0,
+        |    (event_id % 7)/7.0 - 0.5 AS y0, 0.3 AS z0
+        |  FROM events),
+        |nq AS (SELECT event_id,
+        |    w0 / sqrt(w0*w0 + x0*x0 + y0*y0 + z0*z0) AS w,
+        |    x0 / sqrt(w0*w0 + x0*x0 + y0*y0 + z0*z0) AS x0n,
+        |    y0 / sqrt(w0*w0 + x0*x0 + y0*y0 + z0*z0) AS y0n,
+        |    z0 / sqrt(w0*w0 + x0*x0 + y0*y0 + z0*z0) AS z0n
+        |  FROM b),
+        |r AS (SELECT event_id, w, -z0n AS x, x0n AS y, -y0n AS z FROM nq)
+        |SELECT event_id,
+        |  round(-asin(2.0 * (x*z - w*y)) * 5.729577951308232e1, 6) + 0.0e0 AS pitch,
+        |  round(atan2(2.0 * (w*x + y*z), w*w - x*x - y*y + z*z)
+        |    * 5.729577951308232e1, 6) + 0.0e0 AS roll,
+        |  round(atan2(2.0 * (w*z + x*y), w*w + x*x - y*y - z*z)
+        |    * 5.729577951308232e1, 6) + 0.0e0 AS yaw
+        |FROM r""".stripMargin,
+
+    "j4_cluster_rep" ->
+      """WITH s AS (SELECT event_id, value,
+        |    user_id::VARCHAR || '|' ||
+        |      CAST(floor(epoch(ts)/3600) AS BIGINT)::VARCHAR AS cl
+        |  FROM events),
+        |d AS (SELECT *, round(abs(value - avg(value) OVER (PARTITION BY cl))
+        |    / 1, 6) AS dist FROM s)
+        |SELECT cl, event_id, value FROM d
+        |QUALIFY row_number() OVER (PARTITION BY cl ORDER BY dist, event_id) = 1""".stripMargin,
+
+    "a3_cluster_gate" ->
+      """WITH s AS (SELECT event_id, epoch(ts) AS t,
+        |    (user_id % 50)::INT AS cluster_id FROM events),
+        |g AS (SELECT cluster_id, max(t) - min(t) AS dur, count(*) AS n
+        |  FROM s WHERE cluster_id <> -1 GROUP BY cluster_id),
+        |k AS (SELECT cluster_id FROM g
+        |  WHERE dur >= 3600.0 AND dur <= 3.0e7 AND n >= 50),
+        |c AS (SELECT count(*) AS nc FROM k)
+        |SELECT event_id, cluster_id
+        |FROM s JOIN k USING (cluster_id) CROSS JOIN c WHERE nc >= 3""".stripMargin,
+
     "m4_poly_apply" ->
       """WITH s AS (SELECT event_id, value/200.0 AS x,
         |  (user_id % 20)/20.0 AS y FROM events)
@@ -73,7 +261,7 @@ object Oracles {
     "p10_median_detrend" ->
       """SELECT event_id, round(value - median(value) OVER (
         |  PARTITION BY user_id ORDER BY epoch(ts), event_id
-        |  ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING), 6) AS detrended
+        |  ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING), 6) + 0.0e0 AS detrended
         |FROM events""".stripMargin,
 
     "j1_asof_window_agg" ->
@@ -167,7 +355,7 @@ object Oracles {
         |    WHEN tp IS NULL AND tn IS NULL THEN NULL
         |    WHEN tp IS NULL THEN (vn - value) / (tn - t)
         |    WHEN tn IS NULL THEN (value - vp) / (t - tp)
-        |    ELSE (vn - vp) / (tn - tp) END * 1e6, 6) AS velocity_u
+        |    ELSE (vn - vp) / (tn - tp) END * 1e6, 6) + 0.0e0 AS velocity_u
         |FROM d""".stripMargin,
 
     "o2_union_stats" ->
@@ -185,8 +373,8 @@ object Oracles {
       """WITH s AS (SELECT event_type, epoch(ts) - 1704067200.0 AS x, value AS y
         |  FROM events)
         |SELECT event_type,
-        |  round(regr_slope(y, x) * 1e9, 4) AS slope_n,
-        |  round(regr_intercept(y, x), 6) AS intercept
+        |  round(regr_slope(y, x) * 1e9, 4) + 0.0e0 AS slope_n,
+        |  round(regr_intercept(y, x), 6) + 0.0e0 AS intercept
         |FROM s GROUP BY event_type""".stripMargin,
 
     "dedup_exact" ->

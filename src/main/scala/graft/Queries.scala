@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.{PolyMapModel, Tps, TpsMapModel}
-import graft.operators.{AsOfJoin, ClusterOps, TimeSeriesOps}
+import graft.operators.{AsOfJoin, ClusterOps, LabelingOps, OdometryOps,
+  TextOps, TimeSeriesOps, VectorOps}
 
 /** The engine's query surface over the driver testdata, one entry per
   * implemented operator from SURVEY.md §2 (+ the LLM-data-pipeline
@@ -72,7 +73,8 @@ object Queries {
       .orderBy(col("t"), col("event_id")).rowsBetween(-10, 10)
     ev(s, dir)
       .withColumn("med", expr("percentile(value, 0.5)").over(w))
-      .select(col("event_id"), round(col("value") - col("med"), 6).as("detrended"))
+      .select(col("event_id"),
+        (round(col("value") - col("med"), 6) + 0.0).as("detrended"))
   }
 
   // ---------------------------------------------------------------- joins
@@ -189,7 +191,70 @@ object Queries {
     TimeSeriesOps.gradient(
         ev(s, dir).select(col("event_id"), col("user_id"), col("t"), col("value")),
         "t", "value", Seq("user_id"), "velocity")
-      .select(col("event_id"), round(col("velocity") * 1e6, 6).as("velocity_u"))
+      .select(col("event_id"),
+        (round(col("velocity") * 1e6, 6) + 0.0).as("velocity_u"))
+
+  /** J4: cluster representative — the full row nearest the cluster centroid
+    * (marker_cluster_stat(return_all_fields=True), marker_parsing.py:287-295).
+    * Clusters here: events bucketed by (user_id, hour). */
+  def clusterRepresentative(s: SparkSession, dir: String): DataFrame =
+    ClusterOps.clusterRepresentative(
+        ev(s, dir).select(col("event_id"), col("value"),
+          concat_ws("|", col("user_id"),
+            floor(col("t") / 3600).cast("long")).as("cl")),
+        "cl", Seq("value"), tieBreak = "event_id", quantize = Some(6))
+      .select(col("cl"), col("event_id"), col("value"))
+
+  /** A3: cluster-quality gate — keep rows of clusters passing duration and
+    * size gates, empty if < minClusters survive (marker_parsing.py:412-467). */
+  def clusterGate(s: SparkSession, dir: String): DataFrame =
+    ClusterOps.clusterGate(
+        ev(s, dir).select(col("event_id"), col("t"),
+          (col("user_id") % 50).cast("int").as("cluster_id")),
+        "cluster_id", "t", minDur = 3600.0, maxDur = 3e7,
+        extraAggs = Seq(count(lit(1)).as("_n")),
+        gatePredicates = Seq(col("_n") >= 50), minClusters = 3)
+      .select(col("event_id"), col("cluster_id"))
+
+  /** W5: blink FSM over a deterministic planted eyelid-distance pattern
+    * (period 33 ≙ one blink) — not SQL-expressible; rows-only check. */
+  def blinkSegments(s: SparkSession, dir: String): DataFrame = {
+    val pattern: Seq[Double] = Seq.fill(10)(1.4) ++
+      Seq(1.15, 0.9, 0.65, 0.4, 0.15, 0.15) ++
+      Seq(0.35, 0.55, 0.75, 0.95, 1.15, 1.35, 1.4) ++ Seq.fill(10)(1.4)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+    val df = ev(s, dir).select(col("user_id"), col("t"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("d", element_at(typedLit(pattern), (col("rn") % 33) + 1))
+    LabelingOps.blinkSegments(df.select(col("user_id"), col("t"), col("d")),
+      "t", "d", Seq("user_id"), fps = 120.0)
+  }
+
+  /** W6: saccade segments from the value gradient (rows-only check). */
+  def saccadeSegments(s: SparkSession, dir: String): DataFrame =
+    LabelingOps.saccadeSegments(
+      TimeSeriesOps.gradient(
+        ev(s, dir).select(col("user_id"), col("t"), col("value")),
+        "t", "value", Seq("user_id"), "vel"),
+      "t", "vel", Seq("user_id"), velThreshold = 5e-4, minFrames = 2)
+
+  /** W7: uniform hourly resampling with linear interpolation (rows-only). */
+  def resample(s: SparkSession, dir: String): DataFrame =
+    TimeSeriesOps.resampleLinear(
+      ev(s, dir).select(col("user_id"), col("t"), col("value")),
+      "t", Seq("value"), Seq("user_id"), step = 3600.0)
+
+  /** A7: per-group DBSCAN (groups = event_type × day, bounding each local
+    * clustering at ~10³ rows — the reference's per-epoch shape). */
+  def dbscan(s: SparkSession, dir: String): DataFrame =
+    ClusterOps.dbscan(
+        ev(s, dir).select(col("event_id"), col("event_type"),
+          floor(col("t") / 86400).cast("long").as("day"),
+          (col("value") / 200.0).as("fx"),
+          ((col("user_id") % 100) / 100.0).as("fy")),
+        Seq("event_type", "day"), Seq("fx", "fy"), "event_id",
+        eps = 0.05, minPoints = 5)
+      .select(col("event_id"), col("cluster_id"))
 
   // ------------------------------------------------------- sorts / setops
 
@@ -221,8 +286,8 @@ object Queries {
       .agg((covar_pop(x, y) / var_pop(x)).as("_slope"),
         avg(y).as("_my"), avg(x).as("_mx"))
       .select(col("event_type"),
-        round(col("_slope") * 1e9, 4).as("slope_n"),
-        round(col("_my") - col("_slope") * col("_mx"), 6).as("intercept"))
+        (round(col("_slope") * 1e9, 4) + 0.0).as("slope_n"),
+        (round(col("_my") - col("_slope") * col("_mx"), 6) + 0.0).as("intercept"))
   }
 
   /** M4: polynomial gaze-map apply (make_map_function, calibrate_2d.py:
@@ -280,6 +345,70 @@ object Queries {
         / size(toks), 6).as("avg_token_len"),
       round(size(filter(toks, isStop)).cast("double") / size(toks), 6)
         .as("stopword_ratio"))
+  }
+
+  /** Dedup (MinHash + LSH): 3-shingles → 16 md5-minhash sigs → 4 bands →
+    * band-join candidates with estimated Jaccard. */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    TextOps.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Dedup (exact n-gram Jaccard): all pairs ≥ 0.2 via shingle equi-join. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    TextOps.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Dedup (SimHash, 60-bit): token ±1 bit votes → per-doc fingerprint. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    TextOps.simhash(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Text analysis: stopword-marker language ID with deterministic argmax. */
+  def textLangid(s: SparkSession, dir: String): DataFrame =
+    TextOps.langId(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Text analysis: winnowing-style 4-gram rolling-hash fingerprint. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fingerprint"))
+
+  /** Text analysis: quality heuristics + composite keep/drop score. */
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+
+  /** ANN via sign-bit LSH buckets (6 anchors = 64 buckets over the corpus,
+    * sized so buckets hold ~8 vectors), exact cosine rank within bucket,
+    * k=3. */
+  def annLshTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val out = VectorOps.annTopK(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id").between(480, 485)),
+      col("v_id") < 10, k = 3)
+    out.select(col("q_id"), col("rank"), col("n_id"),
+      (round(col("sim"), 6) + 0.0).as("sim"))
+  }
+
+  /** Embedding near-duplicate pairs with cosine ≥ 0.45 (threshold sized to
+    * the synthetic corpus' similarity tail). */
+  def embNearDup(s: SparkSession, dir: String): DataFrame =
+    VectorOps.nearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+
+  /** P8: quaternion → Euler angles (RealSense remap, odometry.py:176-193)
+    * over a synthetic normalized quaternion from event columns. */
+  def quatEuler(s: SparkSession, dir: String): DataFrame = {
+    val base = ev(s, dir).select(col("event_id"),
+      (col("value") / 200.0).as("w0"),
+      ((col("user_id") % 10) / 10.0 - 0.5).as("x0"),
+      ((col("event_id") % 7) / 7.0 - 0.5).as("y0"),
+      lit(0.3).as("z0"))
+    val n = sqrt(col("w0") * col("w0") + col("x0") * col("x0") +
+      col("y0") * col("y0") + col("z0") * col("z0"))
+    val nq = base.select(col("event_id"), (col("w0") / n).as("w"),
+      (col("x0") / n).as("x"), (col("y0") / n).as("y"), (col("z0") / n).as("z"))
+    val (pitch, roll, yaw) = OdometryOps.quatToEuler(
+      col("w"), col("x"), col("y"), col("z"))
+    // + 0.0 normalizes IEEE -0.0 → 0.0 (DuckDB's round keeps the sign,
+    // Spark's BigDecimal path drops it)
+    nq.select(col("event_id"), (round(pitch, 6) + 0.0).as("pitch"),
+      (round(roll, 6) + 0.0).as("roll"), (round(yaw, 6) + 0.0).as("yaw"))
   }
 
   /** Similarity search (brute-force cosine top-k): queries = vec_id < 10,

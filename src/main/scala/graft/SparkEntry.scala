@@ -27,17 +27,32 @@ object SparkEntry {
     "a2_cluster_stats" -> (Queries.clusterStats _),
     "a4_hist2d" -> (Queries.hist2d _),
     "a8_sliding_rate" -> (Queries.slidingRate _),
+    "j4_cluster_rep" -> (Queries.clusterRepresentative _),
+    "a3_cluster_gate" -> (Queries.clusterGate _),
+    "a7_dbscan" -> (Queries.dbscan _),
     "w1_rle_segments" -> (Queries.rleSegments _),
     "w2_sessionize" -> (Queries.sessionize _),
     "w4_gradient" -> (Queries.gradient _),
+    "w5_blink_segments" -> (Queries.blinkSegments _),
+    "w6_saccade_segments" -> (Queries.saccadeSegments _),
+    "w7_resample" -> (Queries.resample _),
     "o2_union_stats" -> (Queries.unionStats _),
     "o5_distinct" -> (Queries.distinctPairs _),
     "m2_linreg" -> (Queries.linregByGroup _),
     "m4_poly_apply" -> (Queries.polyApply _),
     "m8_tps_apply" -> (Queries.tpsApply _),
     "dedup_exact" -> (Queries.dedupExact _),
+    "dedup_minhash_lsh" -> (Queries.dedupMinhashLsh _),
+    "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
+    "dedup_simhash" -> (Queries.dedupSimhash _),
     "text_stats" -> (Queries.textStats _),
+    "text_langid" -> (Queries.textLangid _),
+    "text_fingerprint" -> (Queries.textFingerprint _),
+    "text_quality" -> (Queries.textQuality _),
     "sim_brute_topk" -> (Queries.simBruteTopK _),
+    "ann_lsh_topk" -> (Queries.annLshTopk _),
+    "emb_neardup" -> (Queries.embNearDup _),
+    "p8_quat_euler" -> (Queries.quatEuler _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -30,11 +30,17 @@ object ClusterOps {
     * key, no join-back.
     */
   def clusterRepresentative(df: DataFrame, clusterCol: String,
-                            featureCols: Seq[String], tieBreak: String): DataFrame = {
+                            featureCols: Seq[String], tieBreak: String,
+                            quantize: Option[Int] = None): DataFrame = {
     val w = Window.partitionBy(col(clusterCol))
-    val dist = featureCols.map { c =>
+    val rawDist = featureCols.map { c =>
       abs(col(c).cast("double") - avg(col(c).cast("double")).over(w))
     }.reduce(_ + _) / featureCols.length
+    // quantize: the centroid mean carries summation-order noise in the last
+    // ulp; rounding the ordering metric makes exact-in-the-reals distance
+    // ties actual ties (then broken by tieBreak) instead of noise races —
+    // required for cross-engine reproducibility
+    val dist = quantize.map(dg => round(rawDist, dg)).getOrElse(rawDist)
     val wOrd = w.orderBy(dist.asc, col(tieBreak).asc)
     df.withColumn("_rn", row_number().over(wOrd)).filter(col("_rn") === 1).drop("_rn")
   }

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
+
+/** Eye-event labeling operators (blinks, saccades).
+  *
+  * Reference (file:line relative to /root/reference/vedb_gaze):
+  *  - blinkSegments: `_detect_blinks_eyevel` labeling.py:310-371 (W5) — a
+  *    3-phase FSM (closing / closed / opening) over the eyelid-distance
+  *    velocity with millisecond duration gates. Inherently sequential →
+  *    runs per group inside flatMapGroups over the time-sorted series; the
+  *    distributed axis is (session, eye), matching the reference's
+  *    per-session arrays.
+  *  - saccadeSegments: `find_saccades` labeling.py:615-676 (W6), sans the
+  *    reference's vestigial ClipList dependency: velocity threshold → RLE →
+  *    drop single-frame clips. Fully declarative (windows + groupBy).
+  */
+object LabelingOps {
+
+  /** numpy.gradient with unit spacing over an in-memory series. */
+  private[operators] def gradient1(v: Array[Double]): Array[Double] = {
+    val n = v.length
+    if (n == 1) return Array(0.0)
+    Array.tabulate(n) { i =>
+      if (i == 0) v(1) - v(0)
+      else if (i == n - 1) v(n - 1) - v(n - 2)
+      else (v(i + 1) - v(i - 1)) / 2.0
+    }
+  }
+
+  /** The reference FSM, verbatim semantics over one series: returns
+    * [start, end) index pairs of detected blinks (labeling.py:310-371). */
+  private[operators] def blinkFsm(
+      eyelidDist: Array[Double], fps: Double,
+      minClosingMs: Double = 10, maxClosingMs: Double = 250,
+      maxClosureMs: Double = 17, minOpeningMs: Double = 30,
+      minBlinkMs: Double = 16, maxBlinkMs: Double = 500,
+      negVel: Double = -0.15, posVel: Double = 0.15): Seq[(Int, Int)] = {
+    val vel = gradient1(eyelidDist)
+    val msPerFrame = 1000.0 / fps
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    val n = vel.length
+    var i = 0
+    var done = false
+    while (i < n - 1) {
+      if (vel(i) <= negVel) {
+        val start = i
+        var end = i
+        done = false
+        while (!done && vel(i) <= negVel) {
+          end = i; i += 1
+          if (i > n - 1) done = true
+        }
+        val closing = (end - start) * msPerFrame
+        if (closing < maxClosingMs && closing > minClosingMs && !done) {
+          val mid = i
+          while (!done && vel(i) > negVel && vel(i) < posVel) {
+            end = i; i += 1
+            if (i > n - 1) done = true
+          }
+          if ((mid - end) * msPerFrame < maxClosureMs && !done) {
+            val last = i
+            while (!done && vel(i) > posVel) {
+              end = i; i += 1
+              if (i > n - 1) done = true
+            }
+            val opening = (end - last) * msPerFrame
+            val total = (end - start) * msPerFrame
+            if (opening > minOpeningMs && total < maxBlinkMs &&
+              total > minBlinkMs && !done)
+              out += ((start, end))
+          }
+        }
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** W5: blink segments per group. Input needs (groupCols..., tsCol,
+    * eyelidDistCol); output one row per blink: group cols + onset, offset,
+    * duration, n_frames. */
+  def blinkSegments(df: DataFrame, tsCol: String, distCol: String,
+                    groupCols: Seq[String], fps: Double = 120.0,
+                    negVel: Double = -0.15, posVel: Double = 0.15): DataFrame = {
+    val spark = df.sparkSession
+    val tsIdx = df.schema.fieldIndex(tsCol)
+    val dIdx = df.schema.fieldIndex(distCol)
+    val gIdx = groupCols.map(df.schema.fieldIndex)
+    val outSchema = StructType(
+      groupCols.map(df.schema(_)) :+
+        org.apache.spark.sql.types.StructField("onset", DoubleType) :+
+        org.apache.spark.sql.types.StructField("offset", DoubleType) :+
+        org.apache.spark.sql.types.StructField("duration", DoubleType) :+
+        org.apache.spark.sql.types.StructField("n_frames", LongType))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    df.groupByKey(r => gIdx.map(i => String.valueOf(r.get(i))).mkString("|"))(
+        org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_.getDouble(tsIdx))
+        val dist = rows.map(_.getDouble(dIdx))
+        blinkFsm(dist, fps, negVel = negVel, posVel = posVel).iterator.map {
+          case (s, e) =>
+            val keys = gIdx.map(rows(0).get)
+            // Seq[Any]: Scala numeric widening would silently turn the Long
+            // into a Double in a unified Seq[Double]
+            Row.fromSeq(keys ++ Seq[Any](
+              rows(s).getDouble(tsIdx), rows(e).getDouble(tsIdx),
+              rows(e).getDouble(tsIdx) - rows(s).getDouble(tsIdx),
+              (e - s + 1).toLong))
+        }
+      }
+  }
+
+  /** W6: saccade candidate segments — |velocity| > threshold, RLE'd, with
+    * clips shorter than minFrames dropped. Velocity must already be a
+    * column (compose with TimeSeriesOps.gradient). */
+  def saccadeSegments(df: DataFrame, tsCol: String, velCol: String,
+                      groupCols: Seq[String], velThreshold: Double = 75.0,
+                      minFrames: Int = 2): DataFrame =
+    TimeSeriesOps.rleSegments(df, tsCol, abs(col(velCol)) > velThreshold, groupCols)
+      .filter(col("n_rows") >= minFrames)
+}

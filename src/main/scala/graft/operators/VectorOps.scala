@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector operators (similarity search, near-dup).
+  *
+  * All dot products run in float64 over `transform(v, cast double)` arrays
+  * with sequential left-to-right summation — deterministic and identical to
+  * the DuckDB oracle's list_sum over list_transform.
+  *
+  * Scale shapes:
+  *  - brute-force top-k: broadcast(queries) × full scan, one window per
+  *    query for the top-k — the exact baseline;
+  *  - LSH (random-hyperplane via anchor vectors): bucket = 16 sign bits,
+  *    one shuffle on the bucket key; candidate set is bucket-local, so
+  *    cost is Σ bucket² instead of N² — the 100 TB path (plus per-bucket
+  *    caps / multi-probe against skew).
+  */
+object VectorOps {
+
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k neighbors for each query row. */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("n_id"), toDouble(col(vecCol)).as("cv"))
+    val scored = broadcast(q).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+  }
+
+  /** Sign-bit LSH bucket per vector: bit i = (dot(v, anchor_i) > 0).
+    * Anchors are the engine's stand-in for random hyperplanes — any fixed
+    * small set of vectors (here: rows of the corpus itself chosen by id)
+    * works and keeps the oracle expressible. */
+  def lshBuckets(vecs: DataFrame, idCol: String, vecCol: String,
+                 anchors: DataFrame): DataFrame = {
+    val v = vecs.select(col(idCol).as("v_id"), toDouble(col(vecCol)).as("v"))
+    val a = anchors.select(col(idCol).as("a_id"), toDouble(col(vecCol)).as("av"))
+    v.crossJoin(broadcast(a))
+      .withColumn("bit", when(dot(col("v"), col("av")) > 0, "1").otherwise("0"))
+      .groupBy("v_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("a_id"), col("bit")))),
+        s => s.getField("bit")), "").as("bucket"))
+  }
+
+  /** ANN top-k via LSH buckets: exact cosine ranking restricted to the
+    * query's bucket. Returns (q_id, rank, n_id, sim). */
+  def annTopK(vecs: DataFrame, idCol: String, vecCol: String,
+              anchors: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val buckets = lshBuckets(vecs, idCol, vecCol, anchors)
+    val v = vecs.select(col(idCol).as("v_id"), toDouble(col(vecCol)).as("v"))
+      .join(buckets, "v_id")
+    val q = v.filter(queryPred)
+      .select(col("v_id").as("q_id"), col("v").as("qv"), col("bucket"))
+    val scored = q.join(v, Seq("bucket")).filter(col("q_id") =!= col("v_id"))
+      .withColumn("sim", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("v_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("v_id").as("n_id"), col("sim"))
+  }
+
+  /** Embedding near-duplicate pairs: all (a<b) with cosine >= threshold.
+    * Brute all-pairs here; at scale, run it bucket-local via [[lshBuckets]]. */
+  def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                   minCosine: Double): DataFrame = {
+    val a = vecs.select(col(idCol).as("id_a"), toDouble(col(vecCol)).as("va"))
+    val b = vecs.select(col(idCol).as("id_b"), toDouble(col(vecCol)).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

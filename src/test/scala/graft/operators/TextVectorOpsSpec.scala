@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextVectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 1
+    (3L, "completely different words appear here without overlap whatsoever"),
+    (4L, "el la de que y words appear here"),
+    (5L, "xx yy")) // < 3 tokens
+    .toDF("doc_id", "text")
+
+  test("shingles: empty for short docs, distinct 3-grams otherwise") {
+    val sh = docs.select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(5L).isEmpty)
+    assert(sh(1L).length == 8)
+    assert(sh(1L).contains("the quick brown"))
+  }
+
+  test("minhash LSH flags the near-duplicate pair and not the distinct one") {
+    val pairs = TextOps.minhashLshPairs(docs, "doc_id", "text",
+      minEstJaccard = 0.3).collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((1L, 2L)))
+    assert(!keys.exists { case (a, b) => a == 3L || b == 3L })
+    val est = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+      .get.getDouble(2)
+    assert(est > 0.5) // 8/9 true jaccard; minhash estimate should be high
+  }
+
+  test("ngram jaccard exact value for the constructed pair") {
+    val pairs = TextOps.ngramJaccardPairs(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // doc1/doc2: 10 tokens → 8 shingles each; only the final shingle holds
+    // the differing last token → |A∩B| = 7, union = 8+8−7 = 9
+    assert(math.abs(pairs((1L, 2L)) - 7.0 / 9.0) < 1e-12)
+  }
+
+  test("simhash: identical texts get identical hashes, disjoint texts differ") {
+    val d2 = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc dd"), (3L, "zz yy xx ww"))
+      .toDF("doc_id", "text")
+    val hs = TextOps.simhash(d2, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L))
+    assert(hs(1L) != hs(3L))
+  }
+
+  test("fingerprint: null under 4 tokens, stable otherwise") {
+    val fp = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(fp(5L).isEmpty)
+    assert(fp(1L).nonEmpty)
+  }
+
+  test("langId votes spanish for marker-heavy doc") {
+    val out = TextOps.langId(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc") -> r.getAs[String]("lang_pred")).toMap
+    assert(out(4L) == "es")
+    assert(out(1L) == "en")
+  }
+
+  test("cosine + bruteTopK find the planted nearest neighbor") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)), // nearest to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.1f))).toDF("vec_id", "embedding")
+    val out = VectorOps.bruteTopK(vecs.filter(col("vec_id") === 0), vecs,
+      "vec_id", "embedding", 2).orderBy("rank").collect()
+    assert(out(0).getAs[Long]("n_id") == 1L)
+    assert(math.abs(out(0).getAs[Double]("sim") -
+      0.9 / math.sqrt(0.81 + 0.01)) < 1e-6)
+    assert(out(1).getAs[Long]("n_id") == 2L)
+  }
+
+  test("annTopK returns bucket-local results consistent with brute force") {
+    val rng = new scala.util.Random(9)
+    val vecs = Seq.tabulate(60)(i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val ann = VectorOps.annTopK(vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") < 3), col("v_id") < 5, 3).collect()
+    assert(ann.nonEmpty)
+    // every ANN neighbor must share the query's bucket → sim computable and
+    // rank ordering must be strictly decreasing per query
+    ann.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.sameElements(sims.sortBy(-_)))
+    }
+  }
+}
