@@ -43,14 +43,24 @@ object Oracles {
       |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM d)""".stripMargin
 
   private def minhashSql: String = {
+    val M = graft.operators.TextOps.HashMod
+    val a = graft.operators.TextOps.MinhashA
+    val bc = graft.operators.TextOps.MinhashB
     val sigs = (0 until 16).map(i =>
-      s"list_min(list_transform(sh, x -> md5('$i|' || x)))").mkString(",\n    ")
+      s"list_min(list_transform(hv, h -> (h * ${a(i)} + ${bc(i)}) % $M))")
+      .mkString(",\n    ")
     val bandSelects = (0 until 4).map { b =>
-      val cat = (1 to 4).map(r => s"sig[${b * 4 + r}]").mkString(" || ")
-      s"SELECT doc, sig, $b AS band_id, md5($cat) AS band_hash FROM sig"
+      // same left fold as TextOps.lshBands
+      val hash = (1 until 4).foldLeft(s"sig[${b * 4 + 1}]") { (acc, r) =>
+        s"($acc * 31 + sig[${b * 4 + r + 1}]) % $M"
+      }
+      s"SELECT doc, sig, $b AS band_id, $hash AS band_hash FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""WITH $shingleCte,
-       |sig AS (SELECT doc, [$sigs] AS sig FROM s WHERE len(sh) > 0),
+       |hv AS (SELECT doc, list_transform(sh,
+       |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $M) AS hv
+       |  FROM s WHERE len(sh) > 0),
+       |sig AS (SELECT doc, [$sigs] AS sig FROM hv),
        |band AS ($bandSelects),
        |pairs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
        |    a.sig AS sa, b.sig AS sb
@@ -83,7 +93,9 @@ object Oracles {
 
     "dedup_ngram_jaccard" ->
       s"""WITH $shingleCte,
-         |e AS (SELECT doc, unnest(sh) AS g FROM s),
+         |e AS (SELECT doc, unnest(list_transform(sh,
+         |  x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 1000000007)) AS g
+         |  FROM s),
          |sizes AS (SELECT doc, count(*) AS n FROM e GROUP BY doc),
          |common AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
          |  FROM e a JOIN e b ON a.g = b.g AND a.doc < b.doc GROUP BY 1, 2)
@@ -175,11 +187,13 @@ object Oracles {
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM n),
         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
-        |    / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-        |       * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS sim
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |    list_sum(list_transform(range(1, len(a.vn) + 1),
+        |      i -> a.vn[i] * b.vn[i])) AS sim
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.45""".stripMargin,
 
     "p8_quat_euler" ->

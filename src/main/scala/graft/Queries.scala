@@ -366,8 +366,7 @@ object Queries {
 
   /** Text analysis: winnowing-style 4-gram rolling-hash fingerprint. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(col("doc_id"),
-      TextOps.fingerprint(col("text")).as("fingerprint"))
+    TextOps.fingerprintDf(Tables.documents(s, dir), "doc_id", "text")
 
   /** Text analysis: quality heuristics + composite keep/drop score. */
   def textQuality(s: SparkSession, dir: String): DataFrame =

@@ -23,11 +23,27 @@ object TextOps {
 
   val HashMod = 1000000007L
 
+  /** Fixed universal-hash constants for the minhash family
+    * h_i(x) = (a_i·x + b_i) mod HashMod (a_i < 10⁶ keeps a·x < 2⁶³). */
+  val MinhashA: Array[Long] = {
+    val r = new scala.util.Random(42); Array.fill(64)(1L + r.nextInt(999999))
+  }
+  val MinhashB: Array[Long] = {
+    val r = new scala.util.Random(43); Array.fill(64)(r.nextInt(1000000007))
+  }
+
   def tokens(text: Column): Column = split(trim(text), " ")
 
-  /** Distinct word k-shingles, empty when the doc has < k tokens. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
+  /** Distinct word k-shingles, empty when the doc has < k tokens.
+    *
+    * PERF: only use this single-Column form on small inputs — `toks` is
+    * re-evaluated inside every lambda invocation (Catalyst does not CSE
+    * across higher-order-function boundaries). The pipeline path is
+    * [[shingled]], which materializes the token array first. */
+  def shingles(text: Column, k: Int): Column =
+    shinglesOf(tokens(text), k)
+
+  private def shinglesOf(toks: Column, k: Int): Column = {
     val n = size(toks)
     when(n >= k,
       array_distinct(transform(sequence(lit(1), n - (k - 1)),
@@ -35,30 +51,50 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature: for seed i, min over shingles of md5("i|" + s)
-    * (lexicographic min of hex strings — engine-portable). */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(i =>
-      array_min(transform(shingleCol,
-        s => md5(concat(lit(s"$i|"), s).cast("binary"))))): _*)
+  /** (doc, sh) with the token array materialized in its own Project so the
+    * shingle transform reads an attribute, not a re-computed split.
+    *
+    * The input is repartitioned by doc id first: document corpora often
+    * arrive as few large files, and without the exchange every downstream
+    * shingle/hash/join stage inherits single-file parallelism (locally: one
+    * task doing all the work; on a cluster: one executor). The extra
+    * shuffle moves only (id, text) rows. */
+  def shingled(docs: DataFrame, idCol: String, textCol: String,
+               k: Int): DataFrame =
+    docs.repartition(col(idCol))
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc"), shinglesOf(col("_toks"), k).as("sh"))
 
-  /** LSH band hashes: md5 of the concatenated signature rows per band. */
+  /** MinHash signature from a numeric shingle-hash array: for hash i,
+    * min over shingles of (a_i·h + b_i) mod M. One md5 per shingle total;
+    * the 16 hash functions are integer arithmetic. */
+  def minhashSignature(hashArr: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(hashArr, h =>
+        pmod(h * MinhashA(i) + MinhashB(i), lit(HashMod))))): _*)
+
+  /** LSH band keys: positional rolling hash of each band's signature rows
+    * (integer arithmetic, engine-portable). */
   def lshBands(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map(b =>
-      md5(concat((0 until rowsPerBand).map(r =>
-        element_at(sigCol, b * rowsPerBand + r + 1)): _*).cast("binary"))): _*)
+    array((0 until bands).map { b =>
+      (1 until rowsPerBand).foldLeft(
+        element_at(sigCol, b * rowsPerBand + 1)) { (acc, r) =>
+        pmod(acc * 31 + element_at(sigCol, b * rowsPerBand + r + 1), lit(HashMod))
+      }
+    }: _*)
 
   /** MinHash+LSH near-duplicate candidates: docs sharing at least one band,
-    * with the signature-estimated Jaccard. One shuffle on the band hash,
-    * pair dedup via distinct. */
+    * with the signature-estimated Jaccard. One shuffle on the band key,
+    * pair dedup via distinct. Hot bands (boilerplate-heavy corpora) are the
+    * skew axis at scale — cap band bucket sizes or salt. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       minEstJaccard: Double = 0.25): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSig = docs
-      .select(col(idCol).as("doc"), shingles(col(textCol), shingleK).as("sh"))
+    val withSig = shingled(docs, idCol, textCol, shingleK)
       .filter(size(col("sh")) > 0)
-      .select(col("doc"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .withColumn("hv", transform(col("sh"), s => pmod(hash60(s), lit(HashMod))))
+      .select(col("doc"), minhashSignature(col("hv"), numHashes).as("sig"))
     val banded = withSig.select(col("doc"), col("sig"),
       posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band_id", "band_hash")))
     val a = banded.select(col("band_id"), col("band_hash"),
@@ -79,11 +115,15 @@ object TextOps {
     * → join per-doc set sizes → |A∩B| / (|A|+|B|−|A∩B|). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, minJaccard: Double = 0.2): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("doc"), explode(shingles(col(textCol), shingleK)).as("s"))
+    // join on the 60-bit shingle hash, not the shingle string — same
+    // cardinality (collisions are ~1e-13 and mirrored by the oracle), far
+    // smaller shuffle
+    val sh = shingled(docs, idCol, textCol, shingleK)
+      .withColumn("hv", transform(col("sh"), s => pmod(hash60(s), lit(HashMod))))
+      .select(col("doc"), explode(col("hv")).as("g"))
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
-    val common = sh.select(col("doc").as("doc_a"), col("s"))
-      .join(sh.select(col("doc").as("doc_b"), col("s")), "s")
+    val common = sh.select(col("doc").as("doc_a"), col("g"))
+      .join(sh.select(col("doc").as("doc_b"), col("g")), "g")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
     common
@@ -103,7 +143,7 @@ object TextOps {
     * simhash bit j set iff the vote sum is positive. One explode + one
     * groupBy with 60 declarative sums (map-side combined). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc"),
+    val tok = docs.repartition(col(idCol)).select(col(idCol).as("doc"),
       explode(tokens(col(textCol))).as("w"))
       .withColumn("h", hash60(col("w")))
     val bitSums = (0 until 60).map(j =>
@@ -115,16 +155,24 @@ object TextOps {
   }
 
   /** Document fingerprint: min over 4-token k-gram rolling hashes
-    * (winnowing-style shingle-min; null for docs with < 4 tokens). */
-  def fingerprint(text: Column): Column = {
-    val toks = tokens(text)
-    val hs = transform(toks, w => pmod(hash60(w), lit(HashMod)))
-    val n = size(hs)
-    val grams = transform(sequence(lit(1), greatest(n - 3, lit(1))), i =>
-      pmod(pmod(pmod(element_at(hs, i) * 31 + element_at(hs, i + 1), lit(HashMod))
-        * 31 + element_at(hs, i + 2), lit(HashMod))
-        * 31 + element_at(hs, i + 3), lit(HashMod)))
-    when(n >= 4, array_min(grams)).otherwise(lit(null).cast("long"))
+    * (winnowing-style shingle-min; null for docs with < 4 tokens).
+    * Token-hash array is materialized per row before the gram transform —
+    * the single-expression form re-hashes every token per gram lookup. */
+  def fingerprintDf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = {
+      val hs = col("_hs")
+      transform(sequence(lit(1), greatest(size(hs) - 3, lit(1))), i =>
+        pmod(pmod(pmod(element_at(hs, i) * 31 + element_at(hs, i + 1), lit(HashMod))
+          * 31 + element_at(hs, i + 2), lit(HashMod))
+          * 31 + element_at(hs, i + 3), lit(HashMod)))
+    }
+    docs.repartition(col(idCol))
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), transform(col("_toks"),
+        w => pmod(hash60(w), lit(HashMod))).as("_hs"))
+      .select(col(idCol),
+        when(size(col("_hs")) >= 4, array_min(grams))
+          .otherwise(lit(null).cast("long")).as("fingerprint"))
   }
 
   /** Language-ID by stopword-marker voting with a deterministic argmax

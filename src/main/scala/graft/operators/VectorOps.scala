@@ -22,8 +22,10 @@ object VectorOps {
 
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Native codegen'd dot product (bit-equal to the HOF
+    * aggregate-of-zip_with fold; see [[graft.functions.ArrayDotProduct]]). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    graft.functions.ArrayDot.array_dot(a, b)
 
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
@@ -73,14 +75,26 @@ object VectorOps {
       .select(col("q_id"), col("rank"), col("v_id").as("n_id"), col("sim"))
   }
 
+  /** (id, vn) with unit-normalized double vectors; the norm is materialized
+    * in its own Project first (a transform lambda referencing norm(v) would
+    * recompute the norm per element — no CSE across HOF boundaries). */
+  def normalized(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vecs.repartition(col(idCol))
+      .select(col(idCol), toDouble(col(vecCol)).as("_v"))
+      .select(col(idCol), col("_v"), norm(col("_v")).as("_n"))
+      .select(col(idCol), transform(col("_v"), x => x / col("_n")).as("vn"))
+
   /** Embedding near-duplicate pairs: all (a<b) with cosine >= threshold.
-    * Brute all-pairs here; at scale, run it bucket-local via [[lshBuckets]]. */
+    * Vectors are unit-normalized once up front, so the O(N²) inner loop is
+    * a single dot product. Brute all-pairs here; at scale, run it
+    * bucket-local via [[lshBuckets]]. */
   def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
                    minCosine: Double): DataFrame = {
-    val a = vecs.select(col(idCol).as("id_a"), toDouble(col(vecCol)).as("va"))
-    val b = vecs.select(col(idCol).as("id_b"), toDouble(col(vecCol)).as("vb"))
+    val n = normalized(vecs, idCol, vecCol)
+    val a = n.select(col(idCol).as("id_a"), col("vn").as("va"))
+    val b = n.select(col(idCol).as("id_b"), col("vn").as("vb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim", dot(col("va"), col("vb")))
       .filter(col("sim") >= minCosine)
       .select(col("id_a"), col("id_b"), col("sim"))
   }

@@ -51,10 +51,14 @@ class TextVectorOpsSpec extends SparkSpec {
   }
 
   test("fingerprint: null under 4 tokens, stable otherwise") {
-    val fp = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("f"))
+    val fp = TextOps.fingerprintDf(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(fp(5L).isEmpty)
     assert(fp(1L).nonEmpty)
+    // identical text → identical fingerprint
+    val fp2 = TextOps.fingerprintDf(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(fp == fp2)
   }
 
   test("langId votes spanish for marker-heavy doc") {
