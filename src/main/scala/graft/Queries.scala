@@ -323,6 +323,74 @@ object Queries {
         round(TpsMapModel.tpsCol(col("px"), col("py"), m8Anchors, m8Theta), 6)
           .as("gaze_x"))
 
+  /** §7.3 minimum end-to-end slice — "given one session's markers and
+    * pupils, what is the gaze time series and its weighted validation
+    * error?" A synthetic session is derived deterministically from the
+    * events table (timestamps + per-row noise), then: cluster-reduce →
+    * Calibrator.fit (monocular_tps_cv) → GazeModel.transform → ErrorMap.
+    * Returns the one-row session summary (rows-only driver check). */
+  def gazePipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.{Calibrator, ErrorMap}
+    val w = Window.orderBy(col("t"))
+    val base = ev(s, dir).select(col("t"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 1000)
+      .withColumn("cluster", (col("rn") - 1) % 25)
+      .withColumn("mx", lit(0.1) + (col("cluster") % 5) * 0.2)
+      .withColumn("my", lit(0.1) + floor(col("cluster") / 5) * 0.2)
+      // deterministic sub-milli jitter from the value column
+      .withColumn("jit", (col("value") - 100.0) / 1e5)
+    val markers = base.select(
+      col("rn").cast("double").as("timestamp"),
+      (col("mx") + col("jit")).as("norm_x"),
+      (col("my") - col("jit")).as("norm_y"),
+      col("cluster").cast("long").as("marker_cluster_index"))
+    // pupil = known inverse-affine of the marker (same map as the specs)
+    val pupils = base.select(
+      (col("rn").cast("double") + 0.002).as("timestamp"),
+      (((col("mx") - 0.05) * 0.9 - (col("my") - 0.03) * 0.1 / 0.9) / 0.8
+        + col("jit")).as("norm_x"),
+      ((col("my") - 0.03) / 0.9 - col("jit")).as("norm_y"),
+      lit(0.95).as("confidence"))
+    val model = Calibrator.fit(markers, pupils).get
+    val gaze = model.transform(pupils)
+      .select(col("timestamp"), col("gaze_x").as("norm_x"),
+        col("gaze_y").as("norm_y"), col("confidence"))
+    ErrorMap.compute(markers, gaze,
+      ErrorMap.Config(resolution = (60, 80))).summary
+  }
+
+  /** W10: binocular merge over per-eye streams synthesized from events
+    * (eye id = event_id % 2), batch FSM per user (rows-only check). */
+  def binocularMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.BinocularMerge
+    import s.implicits._
+    val pupils = ev(s, dir).select(
+        concat(lit("u"), col("user_id")).as("session"),
+        col("t").as("timestamp"),
+        (col("event_id") % 2).cast("int").as("id"),
+        (col("value") / 200.0).as("x"),
+        ((col("user_id") % 20) / 20.0).as("y"),
+        when(col("event_type") === "error", 0.3).otherwise(0.9).as("confidence"))
+      .as[BinocularMerge.Pupil]
+    BinocularMerge.mergeBatch(pupils).toDF()
+      .select(col("session"), col("timestamp"), col("topic"),
+        col("confidence"), col("binocular"))
+  }
+
+  /** Multimodal: pack documents as binary media, stub-decode features,
+    * aggregate per media row (rows-only check — the decode seam is a
+    * deterministic byte-histogram stand-in, see MultimodalOps). */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.MultimodalOps
+    val media = MultimodalOps.packAsMedia(
+      Tables.documents(s, dir), "doc_id", "text")
+    MultimodalOps.extractFeatures(media)
+      .select(col("media_id"), size(col("features")).as("dim"),
+        round(aggregate(col("features"), lit(0.0d),
+          (a, x) => a + x.cast("double")), 4).as("feat_sum"))
+  }
+
   // -------------------------------------------- LLM-data-pipeline surface
 
   /** Dedup (exact): hash-groupBy on document text; keeper = min doc_id

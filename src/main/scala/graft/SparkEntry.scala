@@ -8,10 +8,11 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   */
 object SparkEntry {
 
-  /** Flagship on sf0.001: gap-sessionized event stream with per-session
-    * stats — the engine's canonical time-series shape (W2 + A2). */
+  /** Flagship on sf0.001: the SURVEY §7.3 minimum end-to-end slice —
+    * synthetic session → cluster reduce → TPS-CV calibration → gaze
+    * mapping → weighted validation-error summary (one row). */
   def entry(spark: SparkSession): DataFrame =
-    Queries.sessionize(spark, "/root/testdata/sf0.001")
+    Queries.gazePipeline(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s3_scan_prune" -> (Queries.scanPrune _),
@@ -36,6 +37,9 @@ object SparkEntry {
     "w5_blink_segments" -> (Queries.blinkSegments _),
     "w6_saccade_segments" -> (Queries.saccadeSegments _),
     "w7_resample" -> (Queries.resample _),
+    "w10_binocular_merge" -> (Queries.binocularMerge _),
+    "m9_gaze_pipeline" -> (Queries.gazePipeline _),
+    "multimodal_features" -> (Queries.multimodalFeatures _),
     "o2_union_stats" -> (Queries.unionStats _),
     "o5_distinct" -> (Queries.distinctPairs _),
     "m2_linreg" -> (Queries.linregByGroup _),

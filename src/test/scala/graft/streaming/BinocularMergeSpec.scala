@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+class BinocularMergeSpec extends SparkSpec {
+  import BinocularMerge._
+
+  val rng = new scala.util.Random(21)
+
+  /** interleaved 120 Hz per-eye streams with some low-confidence data */
+  def mkPupils(n: Int): Seq[Pupil] =
+    (0 until n).flatMap { i =>
+      val t = i / 120.0
+      Seq(
+        Pupil("s1", t, 0, 0.4 + 0.001 * i, 0.5, if (i % 7 == 3) 0.3 else 0.9),
+        Pupil("s1", t + 0.001, 1, 0.6, 0.5 - 0.001 * i, 0.95))
+    }
+
+  test("FSM pairs temporally-close high-confidence data binocularly") {
+    val out = runSeries(mkPupils(50))
+    assert(out.nonEmpty)
+    val bino = out.filter(_.binocular)
+    val mono = out.filterNot(_.binocular)
+    assert(bino.nonEmpty && mono.nonEmpty)
+    // low-confidence rows (i % 7 == 3 on eye0) must map monocularly
+    assert(mono.exists(_.topic == "gaze.2d.0."))
+    // binocular rows carry averaged timestamp/confidence
+    bino.foreach { g => assert(g.confidence > 0.6) }
+  }
+
+  test("far-apart eyes fall back to monocular") {
+    val ps = Seq(
+      Pupil("s", 0.0, 0, 0.1, 0.1, 0.9),
+      Pupil("s", 5.0, 1, 0.2, 0.2, 0.9), // 5 s apart >> 2×EMA cutoff
+      Pupil("s", 5.01, 1, 0.2, 0.2, 0.9),
+      Pupil("s", 5.02, 1, 0.2, 0.2, 0.9))
+    val out = runSeries(ps)
+    assert(out.forall(!_.binocular))
+  }
+
+  test("batch merge distributes per session and matches the serial FSM") {
+    import spark.implicits._
+    val ps = mkPupils(40) ++ mkPupils(40).map(_.copy(session = "s2"))
+    val got = mergeBatch(ps.toDS()).collect()
+      .groupBy(_.session).view.mapValues(_.sortBy(_.timestamp).toSeq).toMap
+    val expect = runSeries(mkPupils(40).sortBy(_.timestamp))
+    assert(got("s1").map(g => (g.timestamp, g.topic)) ==
+      expect.sortBy(_.timestamp).map(g => (g.timestamp, g.topic)))
+    assert(got("s2").size == got("s1").size)
+  }
+
+  test("streaming merge equals batch on ordered input (parity, SURVEY §5.5)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Pupil]
+    val query = mergeStream(input.toDS())
+      .writeStream.format("memory").queryName("gaze_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val ps = mkPupils(40)
+    // two micro-batches, split mid-stream: state must carry across
+    input.addData(ps.take(40))
+    input.addData(ps.drop(40))
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("gaze_stream").as[Gaze].collect()
+      .sortBy(_.timestamp)
+    val batch = runSeries(ps).sortBy(_.timestamp)
+    assert(streamed.map(g => (g.timestamp, g.topic, g.binocular)).toSeq ==
+      batch.map(g => (g.timestamp, g.topic, g.binocular)))
+  }
+
+  test("applyModels routes binocular vs per-eye models") {
+    import spark.implicits._
+    import graft.model.{PolyBinocularModel, PolyMapModel}
+    val gaze = Seq(
+      Gaze("s", 1.0, "gaze.2d.01.", 0.9, 0.1, 0.2, 0.3, 0.4, true),
+      Gaze("s", 2.0, "gaze.2d.0.", 0.9, 0.1, 0.2, 0.1, 0.2, false)).toDS().toDF()
+    val bino = PolyBinocularModel(
+      Array(1.0, 0, 0, 0, 0), Array(0, 1.0, 0, 0, 0), 5) // gx=x0, gy=y0
+    val mono = PolyMapModel(Array(0, 0, 1.0), Array(0, 0, 2.0), 3) // gx=1,gy=2
+    val out = BinocularMerge.applyModels(gaze, bino, mono, mono)
+      .orderBy("timestamp").collect()
+    assert(out(0).getAs[Double]("gaze_x") == 0.1)
+    assert(out(0).getAs[Double]("gaze_y") == 0.2)
+    assert(out(1).getAs[Double]("gaze_x") == 1.0)
+    assert(out(1).getAs[Double]("gaze_y") == 2.0)
+  }
+}
