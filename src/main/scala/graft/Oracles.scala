@@ -216,6 +216,26 @@ object Oracles {
         |    * 5.729577951308232e1, 6) + 0.0e0 AS yaw
         |FROM r""".stripMargin,
 
+    "j5_snap_ts" ->
+      """WITH c AS (SELECT epoch(ts) AS ct FROM events),
+        |m AS (SELECT event_id, epoch(ts) +
+        |    CASE WHEN event_id % 3 = 0 THEN 4e-9 ELSE 0.0e0 END AS t
+        |  FROM events),
+        |j AS (SELECT m.event_id, m.t,
+        |    min(CASE WHEN abs(c.ct - m.t) < 1e-8 THEN c.ct END) AS snap
+        |  FROM m LEFT JOIN c ON abs(c.ct - m.t) < 1e-8
+        |  GROUP BY m.event_id, m.t)
+        |SELECT event_id, coalesce(snap, t) AS ts FROM j""".stripMargin,
+
+    "j6_searchsorted" ->
+      """WITH c AS (SELECT user_id, epoch(ts) AS ct FROM events),
+        |q AS (SELECT event_id, user_id, epoch(ts) AS t FROM events
+        |  WHERE event_type = 'click')
+        |SELECT q.event_id,
+        |  (SELECT count(*) FROM c
+        |   WHERE c.user_id = q.user_id AND c.ct < q.t) AS frame_index
+        |FROM q""".stripMargin,
+
     "j4_cluster_rep" ->
       """WITH s AS (SELECT event_id, value,
         |    user_id::VARCHAR || '|' ||

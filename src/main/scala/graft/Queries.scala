@@ -108,6 +108,36 @@ object Queries {
         round(col("m_dt"), 6).as("dt"))
   }
 
+  /** J5: float-drift timestamp snap (1e-8) — events jittered by 4e-9 on
+    * every third row, snapped back onto the event clock
+    * (marker_parsing.py:83-102). */
+  def snapTimestamps(s: SparkSession, dir: String): DataFrame = {
+    val clock = ev(s, dir).select(col("t").as("timestamp"))
+    val jittered = ev(s, dir).select(col("event_id"),
+      (col("t") + when(col("event_id") % 3 === 0, 4e-9).otherwise(0.0)).as("ts"))
+    operators.MarkerParsing.snapTimestamps(jittered, clock, "ts", "timestamp")
+      .select(col("event_id"), col("ts"))
+  }
+
+  /** J6: frame-index lookup — numpy searchsorted('left') of click times
+    * into the per-user event timeline (time_to_index, utils.py:216-239). */
+  def searchSorted(s: SparkSession, dir: String): DataFrame = {
+    val clock = ev(s, dir).select(col("user_id"), col("t"))
+    val clicks = ev(s, dir).filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("t").as("qt"))
+    TimeSeriesOps.searchSorted(clicks, clock, "qt", "t", Seq("user_id"))
+      .select(col("event_id"), col("frame_index"))
+  }
+
+  /** W3: brief-detection removal — dense marker subset (value > 20) vs the
+    * full event clock per user; single-frame runs drop (rows-only). */
+  def removeBrief(s: SparkSession, dir: String): DataFrame =
+    operators.MarkerParsing.removeBriefDetections(
+      ev(s, dir).filter(col("value") > 20)
+        .select(col("user_id"), col("event_id"), col("t")),
+      ev(s, dir).select(col("user_id"), col("t")),
+      "t", "t", durationThreshold = 0.6, keys = Seq("user_id"))
+
   /** TPC-H-style multi-join aggregate (broadcast dims): revenue per nation. */
   def joinAgg(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)

@@ -29,6 +29,9 @@ object SparkEntry {
     "a4_hist2d" -> (Queries.hist2d _),
     "a8_sliding_rate" -> (Queries.slidingRate _),
     "j4_cluster_rep" -> (Queries.clusterRepresentative _),
+    "j5_snap_ts" -> (Queries.snapTimestamps _),
+    "j6_searchsorted" -> (Queries.searchSorted _),
+    "w3_remove_brief" -> (Queries.removeBrief _),
     "a3_cluster_gate" -> (Queries.clusterGate _),
     "a7_dbscan" -> (Queries.dbscan _),
     "w1_rle_segments" -> (Queries.rleSegments _),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
 
@@ -123,4 +123,43 @@ object LabelingOps {
                       minFrames: Int = 2): DataFrame =
     TimeSeriesOps.rleSegments(df, tsCol, abs(col(velCol)) > velThreshold, groupCols)
       .filter(col("n_rows") >= minFrames)
+
+  /** M12: PCA eyelid alignment (labeling.py:155-197, 260-276) — fit the
+    * principal axes of a keypoint sample on the driver (2×2 covariance,
+    * Breeze eig), sign-fix PC1 to +x, and rotate every keypoint array
+    * into the aligned frame as Column arithmetic (literal rotation).
+    * Returns df with `<xs>_aligned` / `<ys>_aligned`. */
+  def pcaAlign(df: DataFrame, xsCol: String, ysCol: String,
+               sampleN: Int = 1000): DataFrame = {
+    val sample = df.select(col(xsCol), col(ysCol)).limit(sampleN).collect()
+    val pts = sample.flatMap { r =>
+      val xs = r.getAs[scala.collection.Seq[Double]](0)
+      val ys = r.getAs[scala.collection.Seq[Double]](1)
+      xs.zip(ys)
+    }
+    require(pts.nonEmpty, "pcaAlign: empty sample")
+    val mx = pts.map(_._1).sum / pts.length
+    val my = pts.map(_._2).sum / pts.length
+    var sxx = 0.0; var sxy = 0.0; var syy = 0.0
+    pts.foreach { case (x, y) =>
+      val dx = x - mx; val dy = y - my
+      sxx += dx * dx; sxy += dx * dy; syy += dy * dy
+    }
+    // principal axis of the 2x2 covariance: angle = atan2(2sxy, sxx-syy)/2
+    val theta = 0.5 * math.atan2(2 * sxy, sxx - syy)
+    var c = math.cos(theta); var s = math.sin(theta)
+    if (c < 0) { c = -c; s = -s } // sign-fix: PC1 points toward +x
+    val xs = col(xsCol); val ys = col(ysCol)
+    df
+      .withColumn(s"${xsCol}_aligned",
+        zip_with(xs, ys, (x, y) => (x - mx) * c + (y - my) * s))
+      .withColumn(s"${ysCol}_aligned",
+        zip_with(xs, ys, (x, y) => -(x - mx) * s + (y - my) * c))
+  }
+
+  /** M13: eyelid distance — max vertical gap between the upper and lower
+    * lid keypoint arrays (labeling.py:200-296, sans the pylids polynomial
+    * refinement): pure array Column arithmetic. */
+  def eyelidDistance(topYs: Column, bottomYs: Column): Column =
+    array_max(zip_with(bottomYs, topYs, (b, t) => b - t))
 }

@@ -151,6 +151,28 @@ object TimeSeriesOps {
       "_us", partitionCols, (window * 1e6).round, outCol)
       .drop("_us")
 
+  /** J6: numpy-searchsorted('left') — for each left row, the number of
+    * clock rows with ts strictly below it (= the insertion index into the
+    * timeline, time_to_index / get_frame_indices utils.py:216-239,
+    * 298-319). Union-sort idiom: one shuffle, no range join. */
+  def searchSorted(df: DataFrame, clock: DataFrame, tsCol: String,
+                   clockTs: String, partitionCols: Seq[String] = Nil,
+                   outCol: String = "frame_index"): DataFrame = {
+    val q = df.withColumn("_t", col(tsCol).cast("double"))
+      .withColumn("_isC", lit(0))
+    val c = clock.select((partitionCols.map(col) :+
+        col(clockTs).cast("double").as("_t")): _*)
+      .withColumn("_isC", lit(1))
+    val u = q.unionByName(c, allowMissingColumns = true)
+    // at equal ts the query row sorts first → the equal clock row is not
+    // counted (searchsorted side='left')
+    val w = partWindow(partitionCols).orderBy(col("_t"), col("_isC"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn(outCol, sum(col("_isC")).over(w))
+      .filter(col("_isC") === 0)
+      .drop("_t", "_isC")
+  }
+
   /** W7 uniform resampling with linear interpolation: per group, build a
     * regular grid [gridStart..gridEnd] step `step` (in the units of `tsCol`,
     * which must be numeric seconds), and linearly interpolate `valueCols`

@@ -1,0 +1,131 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** S4: the reference's .pldata (msgpack) + _timestamps.npy session store
+  * (externals/file_methods.py:133-193, odometry.py:43-58) as a Spark
+  * source/sink.
+  *
+  * Read shape: `binaryFile` scan → per-file msgpack decode in
+  * mapPartitions → rows. Each file is one session-topic stream (MBs), so
+  * the distribution axis is files — exactly the engine's session
+  * partitioning. The .npy sidecar rides along by path convention.
+  */
+object PldataSource {
+
+  /** Minimal .npy v1 reader: little-endian float64 1-D ('<f8'). */
+  def readNpyDoubles(path: String): Array[Double] = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    require(bytes.length >= 10 && bytes(1) == 'N'.toByte, s"not npy: $path")
+    val headerLen = ((bytes(9) & 0xff) << 8) | (bytes(8) & 0xff)
+    val header = new String(bytes, 10, headerLen, "ASCII")
+    require(header.contains("'<f8'"), s"unsupported npy dtype: $header")
+    val data = ByteBuffer.wrap(bytes, 10 + headerLen, bytes.length - 10 - headerLen)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val n = (bytes.length - 10 - headerLen) / 8
+    Array.fill(n)(data.getDouble())
+  }
+
+  /** Minimal .npy v1 writer (float64 1-D). */
+  def writeNpyDoubles(path: String, values: Array[Double]): Unit = {
+    val dict = s"{'descr': '<f8', 'fortran_order': False, 'shape': (${values.length},), }"
+    val pad = 64 - ((10 + dict.length + 1) % 64)
+    val header = dict + (" " * pad) + "\n"
+    val buf = ByteBuffer.allocate(10 + header.length + values.length * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(0x93.toByte).put("NUMPY".getBytes("ASCII")).put(1.toByte).put(0.toByte)
+      .putShort(header.length.toShort).put(header.getBytes("ASCII"))
+    values.foreach(buf.putDouble)
+    Files.write(Paths.get(path), buf.array())
+  }
+
+  /** Decode one pldata byte stream into (topic, payload-map) pairs. */
+  def decodeStream(bytes: Array[Byte]): Vector[(String, Map[String, Any])] =
+    MsgPack.unpackStream(bytes).map {
+      case Vector(topic: String, payload: Array[Byte]) =>
+        topic -> MsgPack.unpackStream(payload).head.asInstanceOf[Map[String, Any]]
+      case other =>
+        throw new IllegalArgumentException(s"bad pldata record: $other")
+    }
+
+  /** Read `<dir>/<topic>.pldata` (+ `<topic>_timestamps.npy`) into rows of
+    * the given projection. Fields are pulled from the payload dicts with
+    * the arraydict convention (missing → null); `timestamp` comes from the
+    * sidecar (position-aligned, the reference's zip).
+    *
+    * `fields` maps column name → Spark type (DoubleType,
+    * ArrayType(DoubleType), LongType, StringType supported).
+    */
+  def read(spark: SparkSession, dir: String, topic: String,
+           fields: Seq[(String, DataType)]): DataFrame = {
+    val schema = StructType(
+      StructField("topic", StringType) +:
+        StructField("timestamp", DoubleType) +:
+        fields.map { case (n, t) => StructField(n, t) })
+    // files are session-scoped (MBs): decode distributed, one task per file
+    val binDf = spark.read.format("binaryFile")
+      .load(s"$dir/$topic.pldata")
+      .select("path", "content")
+    val ts = readNpyDoubles(s"$dir/${topic}_timestamps.npy")
+    val tsB = spark.sparkContext.broadcast(ts)
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    binDf.mapPartitions { it =>
+      it.flatMap { r =>
+        val recs = decodeStream(r.getAs[Array[Byte]]("content"))
+        recs.iterator.zipWithIndex.map { case ((top, payload), i) =>
+          val t = if (i < tsB.value.length) tsB.value(i) else Double.NaN
+          Row.fromSeq(top +: t +: fields.map { case (name, dt) =>
+            convert(payload.get(name).orNull, dt)
+          })
+        }
+      }
+    }
+  }
+
+  private def convert(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (x: Long, DoubleType) => x.toDouble
+    case (x: Double, DoubleType) => x
+    case (x: Long, LongType) => x
+    case (x: Double, LongType) => x.toLong
+    case (x: String, StringType) => x
+    case (x: Vector[_], ArrayType(DoubleType, _)) =>
+      x.map {
+        case d: Double => d
+        case l: Long => l.toDouble
+        case other => Double.NaN
+      }
+    case (x, StringType) => String.valueOf(x)
+    case (x, _) =>
+      throw new IllegalArgumentException(s"cannot convert $x to $dt")
+  }
+
+  /** Write rows as a pldata stream + timestamp sidecar (PLData_Writer,
+    * file_methods.py:154-193): each row becomes msgpack (topic,
+    * packed-payload); timestamps collected into the .npy. Driver-side —
+    * session files are small; the 100 TB path writes Parquet. */
+  def write(df: DataFrame, dir: String, topic: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val rows = df.collect()
+    val tsIdx = df.schema.fieldIndex("timestamp")
+    val out = new java.io.ByteArrayOutputStream()
+    val ts = rows.map { r =>
+      val payload: Map[String, Any] = df.schema.fields.zipWithIndex.collect {
+        case (f, i) if f.name != "topic" =>
+          f.name -> (r.get(i) match {
+            case s: collection.Seq[_] => s
+            case x => x
+          })
+      }.toMap
+      out.write(MsgPack.pack((topic, MsgPack.pack(payload))))
+      r.getDouble(tsIdx)
+    }
+    Files.write(Paths.get(dir, s"$topic.pldata"), out.toByteArray)
+    writeNpyDoubles(Paths.get(dir, s"${topic}_timestamps.npy").toString, ts)
+  }
+}

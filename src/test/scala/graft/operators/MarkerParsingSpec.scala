@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MarkerParsingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapTimestamps repairs float drift within 1e-8 (J5)") {
+    val clock = Seq(1.0, 2.0, 3.0).toDF("timestamp")
+    val m = Seq(1.0 + 4e-9, 2.0, 2.5).toDF("timestamp")
+    val out = MarkerParsing.snapTimestamps(m, clock, "timestamp", "timestamp")
+      .select("timestamp").collect().map(_.getDouble(0)).sorted
+    assert(out.toSeq == Seq(1.0, 2.0, 2.5))
+  }
+
+  test("removeBriefDetections drops dup-ts rows and short runs (W3)") {
+    // clock at 10 Hz; markers present for 1.0 s (kept), 0.2 s (dropped),
+    // plus a duplicated timestamp (both copies dropped)
+    val clock = (0 until 100).map(_ * 0.1).toDF("timestamp")
+    val longRun = (10 to 20).map(_ * 0.1) // 1.0 s
+    val shortRun = (50 to 52).map(_ * 0.1) // 0.2 s
+    val dup = Seq(8.0, 8.0)
+    val markers = (longRun ++ shortRun ++ dup).toDF("timestamp")
+      .withColumn("v", col("timestamp") * 10)
+    val out = MarkerParsing.removeBriefDetections(
+        markers, clock, "timestamp", "timestamp", 0.6)
+      .select("timestamp").collect().map(_.getDouble(0)).sorted
+    assert(out.length == longRun.length)
+    assert(math.abs(out.head - 1.0) < 1e-9 && math.abs(out.last - 2.0) < 1e-9)
+  }
+
+  test("sizeAspect + removeSmallDetections gates size and aspect (P5/P7)") {
+    val rows = Seq.tabulate(40)(i =>
+      (i.toDouble, Seq(0.05, 0.05))) ++ // round, normal size
+      Seq((40.0, Seq(0.08, 0.05)), // oblique: aspect 1.6 > 1.2
+        (41.0, Seq(0.002, 0.002))) // tiny
+    val df = rows.toDF("timestamp", "size")
+    val out = MarkerParsing.removeSmallDetections(df, "size",
+      sizeStdThreshold = Some(2.0), bimodalStdThreshold = None)
+    val kept = out.select("timestamp").collect().map(_.getDouble(0))
+    assert(!kept.contains(40.0)) // oblique dropped
+    assert(!kept.contains(41.0)) // small dropped
+    assert(kept.length == 40)
+  }
+
+  test("filterAndCluster end-to-end on a planted two-epoch session") {
+    // two epochs 60 s apart, each with 2 spatial clusters at 30 Hz
+    val fps = 30.0
+    def epoch(t0: Double, xa: Double, xb: Double) = {
+      val a = (0 until 600).map(i => (t0 + i / fps, Seq(xa, 0.4), Seq(0.05, 0.05)))
+      val b = (600 until 1200).map(i => (t0 + i / fps, Seq(xb, 0.6), Seq(0.05, 0.05)))
+      a ++ b
+    }
+    val markers = (epoch(0.0, 0.2, 0.8) ++ epoch(100.0, 0.3, 0.7))
+      .toDF("timestamp", "norm_pos", "size")
+    val clock = (0 until 5000).map(_ / fps).toDF("timestamp")
+    val out = MarkerParsing.filterAndCluster(markers, clock,
+      clusterDuration = (1.0, 60.0))
+    assert(out.count() > 0)
+    val epochs = out.select("epoch").distinct().count()
+    assert(epochs == 2)
+    // each epoch: 2 clusters (plus possible noise label filtered by gate)
+    val clustersPerEpoch = out.groupBy("epoch")
+      .agg(countDistinct("marker_cluster_index").as("n")).collect()
+    clustersPerEpoch.foreach(r => assert(r.getAs[Long]("n") >= 2))
+  }
+}

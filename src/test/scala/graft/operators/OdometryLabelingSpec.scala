@@ -90,4 +90,29 @@ class OdometryLabelingSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out(0).getAs[Long]("n_rows") == 3L)
   }
+
+  test("pcaAlign rotates keypoints onto the principal axis (M12)") {
+    // keypoints along a 30-degree line: aligned x should carry the spread,
+    // aligned y should be ~flat
+    val a = math.toRadians(30)
+    val rows = Seq.tabulate(50) { i =>
+      val t = (i - 25) / 10.0
+      (Seq(t * math.cos(a), t * math.cos(a) * 0.9),
+        Seq(t * math.sin(a), t * math.sin(a) * 0.9))
+    }
+    val df = rows.toDF("xs", "ys")
+    val out = LabelingOps.pcaAlign(df, "xs", "ys").collect()
+    out.foreach { r =>
+      val ya = r.getAs[scala.collection.Seq[Double]]("ys_aligned")
+      ya.foreach(y => assert(math.abs(y) < 1e-9))
+    }
+  }
+
+  test("eyelidDistance = max vertical keypoint gap (M13)") {
+    val df = Seq((Seq(0.2, 0.25, 0.22), Seq(0.6, 0.75, 0.7)))
+      .toDF("top_ys", "bot_ys")
+    val d = df.select(LabelingOps.eyelidDistance(col("top_ys"), col("bot_ys"))
+      .as("d")).collect()(0).getDouble(0)
+    assert(math.abs(d - 0.5) < 1e-12)
+  }
 }

@@ -77,4 +77,13 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(out(5).getAs[Long]("rate") == 5)
     assert(out(0).getAs[Long]("rate") == 3)
   }
+
+  test("searchSorted matches numpy searchsorted 'left' (J6)") {
+    val clock = Seq(0.0, 1.0, 2.0, 3.0).toDF("timestamp")
+    val q = Seq(-0.5, 0.0, 1.5, 2.0, 9.0).toDF("t")
+    val out = TimeSeriesOps.searchSorted(q, clock, "t", "timestamp")
+      .orderBy("t").collect().map(_.getAs[Long]("frame_index"))
+    // numpy: searchsorted([0,1,2,3], [-0.5,0,1.5,2,9], 'left') = [0,0,2,2,4]
+    assert(out.toSeq == Seq(0L, 0L, 2L, 2L, 4L))
+  }
 }

@@ -1,0 +1,64 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class PldataSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("msgpack codec round-trips the pldata value shapes") {
+    val v = Map(
+      "timestamp" -> 12.345,
+      "confidence" -> 0.87,
+      "id" -> 1L,
+      "topic" -> "pupil",
+      "norm_pos" -> Vector(0.1, 0.9),
+      "flag" -> true,
+      "missing" -> null)
+    val back = MsgPack.unpackStream(MsgPack.pack(v)).head
+      .asInstanceOf[Map[String, Any]]
+    assert(back("timestamp") == 12.345)
+    assert(back("norm_pos") == Vector(0.1, 0.9))
+    assert(back("id") == 1L)
+    assert(back("flag") == true)
+    assert(back("missing") == null)
+    // negative + small ints, nested arrays
+    val v2 = Vector(-5L, 127L, -32L, 300L, Vector(Vector(1L, 2L)))
+    assert(MsgPack.unpackStream(MsgPack.pack(v2)).head == v2)
+  }
+
+  test("npy round-trip") {
+    val p = Files.createTempDirectory("npy").resolve("t.npy").toString
+    val a = Array(1.5, -2.25, 3.75e10, 0.0)
+    PldataSource.writeNpyDoubles(p, a)
+    assert(PldataSource.readNpyDoubles(p).sameElements(a))
+  }
+
+  test("pldata write → Spark read round-trip (S4)") {
+    val dir = Files.createTempDirectory("pldata").toString
+    val df = Seq(
+      (0.1, 0.9, Seq(0.2, 0.3), 0L),
+      (0.2, 0.8, Seq(0.4, 0.5), 1L),
+      (0.3, 0.7, Seq(0.6, 0.7), 0L))
+      .toDF("timestamp", "confidence", "norm_pos", "id")
+    PldataSource.write(df, dir, "pupil")
+    val back = PldataSource.read(spark, dir, "pupil", Seq(
+      "confidence" -> DoubleType,
+      "norm_pos" -> ArrayType(DoubleType),
+      "id" -> LongType))
+    assert(back.count() == 3)
+    val r = back.orderBy("timestamp").collect()
+    assert(r(0).getAs[String]("topic") == "pupil")
+    assert(r(0).getAs[Double]("timestamp") == 0.1)
+    assert(r(1).getAs[scala.collection.Seq[Double]]("norm_pos").toSeq ==
+      Seq(0.4, 0.5))
+    assert(r(2).getAs[Long]("id") == 0L)
+    // missing field → null column
+    val withMissing = PldataSource.read(spark, dir, "pupil", Seq(
+      "confidence" -> DoubleType, "nope" -> DoubleType))
+    assert(withMissing.filter(col("nope").isNull).count() == 3)
+  }
+}
