@@ -90,6 +90,12 @@ object Calibrator {
       Some(TpsMapModel(pxy, Tps.fit(pxy, mx, l), pxy, Tps.fit(pxy, my, l)))
     case "monocular_tps_cv" =>
       Some(fitTpsCv(pxy, mx, my, cfg.lambdas, cfg.maxStdsForOutliers))
+    case "monocular_rbf_cv" =>
+      // M7: grid over kernels × smoothnesses, LOO RMS (calibration.py:239-313)
+      val kernels = Seq("multiquadric", "linear", "cubic", "thin_plate")
+      val smooths = Array.tabulate(10)(i => -0.001 + (10.0 + 0.001) * i / 9)
+      val (k, s, _) = Rbf.looSelect(pxy, mx, my, kernels, smooths.toSeq)
+      Some(RbfMapModel(Rbf.fit(pxy, mx, k, s), Rbf.fit(pxy, my, k, s)))
     case other =>
       throw new IllegalArgumentException(s"unknown calibrationType $other")
   }
@@ -125,6 +131,44 @@ object Calibrator {
         else finalFit(pxy, mx, my, lambdas, errors)
       case None => finalFit(pxy, mx, my, lambdas, errors)
     }
+  }
+
+  /** Binocular artifact: the 4-input joint map plus per-eye fallbacks
+    * (calibrate_2d_binocular, calibration.py:212-236 — mapper args
+    * params / params_eye0 / params_eye1). */
+  case class BinocularModels(bino: PolyBinocularModel, eye0: PolyMapModel,
+                             eye1: PolyMapModel)
+
+  /** binocular_pl: J3 triple-match markers to BOTH eyes' pupils (nearest
+    * each, dispersion < 1/15 s), then fit the n=13 joint polynomial and
+    * the two n=7 per-eye fallbacks, each with the two-pass robust cut.
+    * Returns None when any of the three fits rejects all points. */
+  def fitBinocular(markers: DataFrame, pupils0: DataFrame, pupils1: DataFrame,
+                   cfg: Config = Config()): Option[BinocularModels] = {
+    import graft.operators.AsOfJoin
+    val m = markers.select(col("timestamp"), col("norm_x").as("mx"),
+      col("norm_y").as("my"))
+    def eye(df: DataFrame, p: String) = df.select(
+      col("timestamp"), col("norm_x").as(s"${p}x"),
+      col("norm_y").as(s"${p}y"), col("confidence").as(s"${p}c"))
+    val matched = AsOfJoin.triple(m,
+        eye(pupils0, "p0"), eye(pupils1, "p1"),
+        "timestamp", "timestamp", "timestamp", Nil)
+      .filter(col("a_p0c") > cfg.minConfidence &&
+        col("b_p1c") > cfg.minConfidence)
+      .select("a_p0x", "a_p0y", "b_p1x", "b_p1y", "mx", "my").collect()
+    val ins = matched.map(r => Array(r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3)))
+    val mx = matched.map(_.getDouble(4)); val my = matched.map(_.getDouble(5))
+    if (ins.length < 17) return None
+    for {
+      b <- Poly.calibrateRaw(ins, mx, my, n = 13, screenSize = cfg.frameSize)
+        .map { case (cx, cy) => PolyBinocularModel(cx, cy, 13) }
+      e0 <- Poly.calibrate(ins.map(a => Array(a(0), a(1))), mx, my, n = 7,
+        screenSize = cfg.frameSize)
+      e1 <- Poly.calibrate(ins.map(a => Array(a(2), a(3))), mx, my, n = 7,
+        screenSize = cfg.frameSize)
+    } yield BinocularModels(b, e0, e1)
   }
 
   private def finalFit(pxy: Array[Array[Double]], mx: Array[Double],

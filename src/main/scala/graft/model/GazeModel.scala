@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * Reference: make_map_function externals/calibrate_2d.py:250-409 (poly),
   * _map_tps / map_xy_tps calibration.py:329-344, 628-633 (TPS).
   */
-sealed trait GazeModel {
+trait GazeModel { // open: RbfMapModel and future mappers extend it
   /** (gazeX, gazeY) column expressions from normalized pupil coords. */
   def mapCols(px: Column, py: Column): (Column, Column)
 

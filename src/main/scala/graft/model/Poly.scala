@@ -61,7 +61,16 @@ object Poly {
   def calibrate(ins: Array[Array[Double]], tx: Array[Double], ty: Array[Double],
                 n: Int, screenSize: (Double, Double) = (1.0, 1.0),
                 maxAbsErr: Double = 35.0,
-                maxStds: Option[Double] = None): Option[PolyMapModel] = {
+                maxStds: Option[Double] = None): Option[PolyMapModel] =
+    calibrateRaw(ins, tx, ty, n, screenSize, maxAbsErr, maxStds)
+      .map { case (cx, cy) => PolyMapModel(cx, cy, n) }
+
+  /** Two-pass fit returning raw coefficients (for the binocular n∈{5,13,17}
+    * models, which wrap into [[PolyBinocularModel]] instead). */
+  def calibrateRaw(ins: Array[Array[Double]], tx: Array[Double], ty: Array[Double],
+                   n: Int, screenSize: (Double, Double) = (1.0, 1.0),
+                   maxAbsErr: Double = 35.0,
+                   maxStds: Option[Double] = None): Option[(Array[Double], Array[Double])] = {
     val (_, _, ex, ey) = fitSurface(ins, tx, ty, n)
     val errDist = ex.zip(ey).map { case (a, b) =>
       val sx = a * screenSize._1 / 2.0; val sy = b * screenSize._2 / 2.0
@@ -83,7 +92,7 @@ object Poly {
       val keep = inliers.zipWithIndex.collect { case (true, i) => i }
       val (cx, cy, _, _) =
         fitSurface(keep.map(ins), keep.map(tx), keep.map(ty), n)
-      Some(PolyMapModel(cx, cy, n))
+      Some((cx, cy))
     }
   }
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SURVEY §5.4 property-based contracts, run over many seeded random
+  * inputs (plain seeded loops — deterministic, no generator dependency).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("RLE ∘ inverse identity: segments reconstruct the on-mask") {
+    for (seed <- 1 to 15) {
+      val rng = new scala.util.Random(seed)
+      val n = 30 + rng.nextInt(60)
+      val mask = Array.fill(n)(rng.nextBoolean())
+      val df = mask.zipWithIndex.map { case (m, i) => (i.toDouble, m) }
+        .toSeq.toDF("t", "on")
+      val segs = TimeSeriesOps.rleSegments(df, "t", col("on"), Nil).collect()
+      // inverse: a time point is on iff it falls inside some segment
+      val rebuilt = Array.fill(n)(false)
+      segs.foreach { s =>
+        val a = s.getAs[Double]("onset").toInt
+        val b = s.getAs[Double]("offset").toInt
+        (a to b).foreach(rebuilt(_) = true)
+      }
+      assert(rebuilt.sameElements(mask), s"seed=$seed")
+      // segment row counts sum to the number of on rows
+      assert(segs.map(_.getAs[Long]("n_rows")).sum == mask.count(identity))
+    }
+  }
+
+  test("sessionize partitions cover the input; gaps only between sessions") {
+    for (seed <- 1 to 10) {
+      val rng = new scala.util.Random(100 + seed)
+      var t = 0.0
+      val ts = Seq.fill(80) {
+        t += (if (rng.nextDouble() < 0.15) 20.0 + rng.nextDouble() * 10
+              else rng.nextDouble() * 5)
+        t
+      }
+      val df = ts.map(("k", _)).toDF("k", "t")
+      val out = TimeSeriesOps.sessionize(df, "t", Seq("k"), 15.0)
+        .orderBy("t").collect()
+      assert(out.length == ts.length) // covering: no row lost
+      // within a session all gaps <= 15; across consecutive sessions > 15
+      out.sliding(2).foreach { w =>
+        val gap = w(1).getAs[Double]("t") - w(0).getAs[Double]("t")
+        val same = w(1).getAs[Long]("session_id") == w(0).getAs[Long]("session_id")
+        if (same) assert(gap <= 15.0) else assert(gap > 15.0)
+      }
+      // ids are consecutive from 0
+      val ids = out.map(_.getAs[Long]("session_id")).distinct
+      assert(ids.sameElements(0L until ids.length))
+    }
+  }
+
+  test("windowAgg equals brute-force theta join on random data") {
+    for (seed <- 1 to 5) {
+      val rng = new scala.util.Random(200 + seed)
+      val left = Seq.tabulate(30)(i => (i, rng.nextDouble() * 50)).toDF("lid", "ts")
+      val right = Seq.tabulate(120)(i => (rng.nextDouble() * 50, rng.nextDouble()))
+        .toDF("ts", "v")
+      val w = 1.0 + rng.nextDouble() * 8
+      val got = AsOfJoin.windowAgg(left, right, "ts", "ts", Nil, w,
+          Seq(count(lit(1)).as("n"))).select("lid", "n")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val brute = left.as("l").join(right.as("r"),
+          abs(col("r.ts") - col("l.ts")) <= w)
+        .groupBy("l.lid").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == brute, s"seed=$seed w=$w")
+    }
+  }
+
+  test("resample output is monotone and inside the sample span") {
+    for (seed <- 1 to 8) {
+      val rng = new scala.util.Random(300 + seed)
+      var t = 0.0
+      val rows = Seq.fill(40) { t += rng.nextDouble() * 3; (t, rng.nextDouble()) }
+      val df = rows.toDF("t", "v")
+      val out = TimeSeriesOps.resampleLinear(df, "t", Seq("v"), Nil, 0.7)
+        .orderBy("t").collect()
+      val ts = out.map(_.getAs[Double]("t"))
+      assert(ts.sameElements(ts.sorted))
+      assert(ts.head >= rows.head._1 - 1e-9 && ts.last <= rows.last._1 + 1e-9)
+      // interpolated values stay within the global value envelope
+      val (lo, hi) = (rows.map(_._2).min, rows.map(_._2).max)
+      out.foreach(r => assert(r.getAs[Double]("v") >= lo - 1e-9 &&
+        r.getAs[Double]("v") <= hi + 1e-9))
+    }
+  }
+
+  test("dropDuplicateTimestamps removes exactly the duplicated groups") {
+    for (seed <- 1 to 10) {
+      val rng = new scala.util.Random(400 + seed)
+      val ts = Seq.fill(60)(rng.nextInt(40).toDouble)
+      val df = ts.zipWithIndex.map { case (t, i) => (t, i) }.toDF("ts", "id")
+      val out = TimeSeriesOps.dropDuplicateTimestamps(df, "ts").collect()
+      val counts = ts.groupBy(identity).view.mapValues(_.size).toMap
+      assert(out.length == ts.count(t => counts(t) == 1))
+      out.foreach(r => assert(counts(r.getDouble(0)) == 1))
+    }
+  }
+}
