@@ -1,0 +1,45 @@
+package graft
+
+/** Regression guards for the physical-plan properties docs/SCALE.md
+  * claims — a plan change that silently loses pushdown, broadcasts, or
+  * the single-exchange window shape should fail CI, not a 100 TB run. */
+class PlanAuditSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("scan pruning: filter and projection reach the parquet scan") {
+    val p = plan(Queries.scanPrune(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"missing pushed filter in:\n$p")
+    assert(!p.contains("l_comment")) // no stray columns read
+  }
+
+  test("dimension joins broadcast (no shuffle join on small sides)") {
+    val p = plan(Queries.joinAgg(spark, dir))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2, s"expected broadcast dim joins, got:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to sort-merge")
+  }
+
+  test("sessionize: exactly one exchange (window + agg reuse partitioning)") {
+    val p = plan(Queries.sessionize(spark, dir))
+    // hashpartitioning exchanges only; AQE may add AQEShuffleRead wrappers
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, found $exchanges:\n$p")
+  }
+
+  test("as-of windowAgg compiles to an equi-join (no nested-loop)") {
+    val p = plan(Queries.asofWindowAgg(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join de-thetafication lost:\n$p")
+  }
+
+  test("native array_dot appears in vector plans (not HOF aggregate)") {
+    val p = plan(Queries.embNearDup(spark, dir))
+    assert(p.contains("arraydotproduct") || p.contains("ArrayDotProduct"),
+      s"native dot product missing from:\n$p")
+  }
+}
