@@ -216,6 +216,20 @@ object Oracles {
         |    * 5.729577951308232e1, 6) + 0.0e0 AS yaw
         |FROM r""".stripMargin,
 
+    "w7_resample" ->
+      """WITH s AS (SELECT user_id, epoch(ts) AS t, value FROM events),
+        |b AS (SELECT user_id, min(t) AS t0, max(t) AS t1 FROM s GROUP BY user_id),
+        |g AS (SELECT user_id, t0 + 3600.0 * unnest(range(0,
+        |    CAST(floor((t1 - t0) / 3600.0) AS BIGINT) + 1)) AS gt FROM b),
+        |p AS (SELECT g.user_id, g.gt, s.t AS tp, s.value AS vp
+        |  FROM g ASOF JOIN s ON g.user_id = s.user_id AND g.gt >= s.t),
+        |n AS (SELECT g.user_id, g.gt, s.t AS tn, s.value AS vn
+        |  FROM g ASOF JOIN s ON g.user_id = s.user_id AND g.gt <= s.t)
+        |SELECT p.user_id, p.gt AS t,
+        |  CASE WHEN n.tn = p.tp THEN p.vp
+        |    ELSE p.vp + (n.vn - p.vp) * ((p.gt - p.tp) / (n.tn - p.tp)) END AS value
+        |FROM p JOIN n ON p.user_id = n.user_id AND p.gt = n.gt""".stripMargin,
+
     "j5_snap_ts" ->
       """WITH c AS (SELECT epoch(ts) AS ct FROM events),
         |m AS (SELECT event_id, epoch(ts) +
