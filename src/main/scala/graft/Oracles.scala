@@ -216,6 +216,29 @@ object Oracles {
         |    * 5.729577951308232e1, 6) + 0.0e0 AS yaw
         |FROM r""".stripMargin,
 
+    "w6_saccade_segments" ->
+      """WITH s AS (SELECT user_id, epoch(ts) AS t, value FROM events),
+        |d AS (SELECT *,
+        |    lag(t) OVER w AS tp, lead(t) OVER w AS tn,
+        |    lag(value) OVER w AS vp, lead(value) OVER w AS vn
+        |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |v AS (SELECT user_id, t, CASE
+        |    WHEN tp IS NULL AND tn IS NULL THEN NULL
+        |    WHEN tp IS NULL THEN (vn - value) / (tn - t)
+        |    WHEN tn IS NULL THEN (value - vp) / (t - tp)
+        |    ELSE (vn - vp) / (tn - tp) END AS vel FROM d),
+        |o AS (SELECT user_id, t,
+        |    CASE WHEN abs(vel) > 5.0e-4 THEN 1 ELSE 0 END AS onf FROM v),
+        |e AS (SELECT *, CASE WHEN onf <> coalesce(lag(onf) OVER
+        |    (PARTITION BY user_id ORDER BY t), 0) THEN 1 ELSE 0 END AS edge
+        |  FROM o),
+        |r AS (SELECT *, sum(edge) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING) AS run FROM e)
+        |SELECT user_id, min(t) AS onset, max(t) AS offset,
+        |  max(t) - min(t) AS duration, count(*) AS n_rows
+        |FROM r WHERE onf = 1 GROUP BY user_id, run
+        |HAVING count(*) >= 2""".stripMargin,
+
     "w7_resample" ->
       """WITH s AS (SELECT user_id, epoch(ts) AS t, value FROM events),
         |b AS (SELECT user_id, min(t) AS t0, max(t) AS t1 FROM s GROUP BY user_id),
