@@ -94,4 +94,22 @@ object TpsMapModel {
     })
     lit(theta(n)) + lit(theta(n + 1)) * px + lit(theta(n + 2)) * py + warp
   }
+
+  /** Data-driven TPS apply: anchors/θ come from COLUMNS (a model table
+    * row joined onto the data), not literals — the multi-session shape
+    * where thousands of fitted models fan out over their sessions via a
+    * broadcast join. `axCol`/`ayCol`: array<double> anchor coords;
+    * `thetaCol`: array<double> of length n+3. */
+  def tpsColFromColumns(px: Column, py: Column, axCol: Column, ayCol: Column,
+                        thetaCol: Column): Column = {
+    val n = size(axCol)
+    val warp = aggregate(sequence(lit(1), n), lit(0.0), (acc, i) => {
+      val dx = px - element_at(axCol, i)
+      val dy = py - element_at(ayCol, i)
+      val r = sqrt(dx * dx + dy * dy)
+      acc + element_at(thetaCol, i) * r * r * log(r + lit(1e-6))
+    })
+    element_at(thetaCol, n + 1) + element_at(thetaCol, n + 2) * px +
+      element_at(thetaCol, n + 3) * py + warp
+  }
 }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
 object LabelingOps {
 
   /** numpy.gradient with unit spacing over an in-memory series. */
-  private[operators] def gradient1(v: Array[Double]): Array[Double] = {
+  def gradient1(v: Array[Double]): Array[Double] = {
     val n = v.length
     if (n == 1) return Array(0.0)
     Array.tabulate(n) { i =>
@@ -32,7 +32,7 @@ object LabelingOps {
 
   /** The reference FSM, verbatim semantics over one series: returns
     * [start, end) index pairs of detected blinks (labeling.py:310-371). */
-  private[operators] def blinkFsm(
+  def blinkFsm(
       eyelidDist: Array[Double], fps: Double,
       minClosingMs: Double = 10, maxClosingMs: Double = 250,
       maxClosureMs: Double = 17, minOpeningMs: Double = 30,

@@ -1,0 +1,98 @@
+package graft.model
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+case class SesM(session: String, timestamp: Double, norm_x: Double,
+                norm_y: Double, marker_cluster_index: Long)
+case class SesP(session: String, timestamp: Double, norm_x: Double,
+                norm_y: Double, confidence: Double)
+
+/** Multi-session fan-out: three sessions with DIFFERENT planted maps;
+  * every session's pupils must map through its own model. */
+class SessionCalibratorSpec extends SparkSpec {
+  import spark.implicits._
+
+  val rng = new scala.util.Random(29)
+  // per-session affine pupil→gaze maps (ax, bx, cx, ay, by, cy)
+  val maps = Map(
+    "s1" -> (0.8, 0.1, 0.05, -0.05, 0.9, 0.03),
+    "s2" -> (0.7, 0.0, 0.10, 0.00, 0.8, 0.08),
+    "s3" -> (0.9, -0.1, 0.02, 0.05, 0.85, 0.05))
+  def gazeOf(s: String, px: Double, py: Double): (Double, Double) = {
+    val (a, b, c, d, e, f) = maps(s)
+    (a * px + b * py + c, d * px + e * py + f)
+  }
+  def pupilFor(s: String, mx: Double, my: Double): (Double, Double) = {
+    val (a, b, c, d, e, f) = maps(s)
+    val det = a * e - b * d
+    (((mx - c) * e - b * (my - f)) / det, (a * (my - f) - (mx - c) * d) / det)
+  }
+
+  lazy val (markers, pupils) = {
+    val ms = scala.collection.mutable.ArrayBuffer[SesM]()
+    val ps = scala.collection.mutable.ArrayBuffer[SesP]()
+    for (s <- maps.keys) {
+      var t = 0.0; var cl = 0L
+      for (i <- 0 until 4; j <- 0 until 4) {
+        val mx = 0.15 + 0.2 * i; val my = 0.15 + 0.2 * j
+        for (_ <- 0 until 12) {
+          ms += SesM(s, t, mx, my, cl)
+          val (px, py) = pupilFor(s, mx, my)
+          ps += SesP(s, t + 0.003, px + rng.nextGaussian() * 3e-4,
+            py + rng.nextGaussian() * 3e-4, 0.9)
+          t += 1.0 / 30.0
+        }
+        cl += 1; t += 0.4
+      }
+    }
+    (ms.toSeq.toDF(), ps.toSeq.toDF())
+  }
+
+  test("per-session models fit distributed and fan out via the model table") {
+    val reduced = SessionCalibrator.reducedPoints(markers, pupils,
+      "session", window = 1.0 / 30.0, minConfidence = 0.75)
+    assert(reduced.groupBy("session").count().collect()
+      .forall(_.getLong(1) == 16)) // 16 clusters per session
+    val models = SessionCalibrator.fitModels(spark, reduced, "session")
+    assert(models.count() == 3)
+    val gaze = SessionCalibrator.transform(pupils, models, "session")
+    val rows = gaze.collect()
+    assert(rows.length == pupils.count())
+    // join back against the per-session planted truth
+    val pup = pupils.collect()
+    val byKey = rows.map(r => (r.getString(0), r.getDouble(1)) ->
+      (r.getDouble(2), r.getDouble(3))).toMap
+    pup.take(600).foreach { p =>
+      val s = p.getAs[String]("session")
+      val (ex, ey) = gazeOf(s, p.getAs[Double]("norm_x"), p.getAs[Double]("norm_y"))
+      val (gx, gy) = byKey((s, p.getAs[Double]("timestamp")))
+      assert(math.abs(gx - ex) < 0.01, s"$s gx")
+      assert(math.abs(gy - ey) < 0.01, s"$s gy")
+    }
+  }
+
+  test("sessions with too few clusters are dropped, others unaffected") {
+    val tiny = Seq(SesM("s0", 0.0, 0.5, 0.5, 0L), SesM("s0", 0.1, 0.5, 0.5, 0L))
+      .toDF().unionByName(markers)
+    val tinyP = Seq(SesP("s0", 0.001, 0.4, 0.4, 0.9)).toDF().unionByName(pupils)
+    val out = SessionCalibrator.fitTransform(tiny, tinyP, "session",
+      window = 1.0 / 30.0)
+    assert(out.filter(col("session") === "s0").count() == 0)
+    assert(out.select("session").distinct().count() == 3)
+  }
+
+  test("data-driven TPS columns equal the literal-anchor form") {
+    val anchors = Array.tabulate(9)(i => Array((i % 3) / 2.0, (i / 3) / 2.0))
+    val theta = Tps.fit(anchors, anchors.map(a => a(0) * 0.6 + a(1)), 1e-3)
+    val df = Seq((0.3, 0.7)).toDF("px", "py")
+      .withColumn("ax", typedLit(anchors.map(_(0)).toSeq))
+      .withColumn("ay", typedLit(anchors.map(_(1)).toSeq))
+      .withColumn("th", typedLit(theta.toSeq))
+    val lit1 = TpsMapModel.tpsCol(col("px"), col("py"), anchors, theta)
+    val dat = TpsMapModel.tpsColFromColumns(col("px"), col("py"),
+      col("ax"), col("ay"), col("th"))
+    val r = df.select(lit1.as("a"), dat.as("b")).collect()(0)
+    assert(r.getDouble(0) == r.getDouble(1))
+  }
+}
