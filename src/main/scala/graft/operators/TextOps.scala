@@ -95,8 +95,12 @@ object TextOps {
       .filter(size(col("sh")) > 0)
       .withColumn("hv", transform(col("sh"), s => pmod(hash60(s), lit(HashMod))))
       .select(col("doc"), minhashSignature(col("hv"), numHashes).as("sig"))
+    // persist: both self-join sides read `banded` — without it the whole
+    // shingle→hash→signature lineage runs twice (once per side). The
+    // materialized table is tiny (one row per doc×band).
     val banded = withSig.select(col("doc"), col("sig"),
       posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band_id", "band_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band_id"), col("band_hash"),
       col("doc").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band_id"), col("band_hash"),
@@ -118,9 +122,14 @@ object TextOps {
     // join on the 60-bit shingle hash, not the shingle string — same
     // cardinality (collisions are ~1e-13 and mirrored by the oracle), far
     // smaller shuffle
-    val sh = shingled(docs, idCol, textCol, shingleK)
+    // persist the compact pre-explode (doc, hash-array) table — it feeds
+    // sizes + both join sides (one lineage run instead of three), and the
+    // cheap explode re-derives per consumer
+    val pre = shingled(docs, idCol, textCol, shingleK)
       .withColumn("hv", transform(col("sh"), s => pmod(hash60(s), lit(HashMod))))
-      .select(col("doc"), explode(col("hv")).as("g"))
+      .select(col("doc"), col("hv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = pre.select(col("doc"), explode(col("hv")).as("g"))
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
     val common = sh.select(col("doc").as("doc_a"), col("g"))
       .join(sh.select(col("doc").as("doc_b"), col("g")), "g")

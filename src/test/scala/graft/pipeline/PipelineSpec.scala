@@ -49,4 +49,58 @@ class PipelineSpec extends SparkSpec {
     assert(a("src").path != b("src").path)
     assert(b("src").state == Computed) // not memoized across tags
   }
+
+  test("gaze pipeline end-to-end through the orchestrator (memoized stages)") {
+    import graft.model.{Calibrator, GazeModelIO}
+    val root = java.nio.file.Files.createTempDirectory("gazepipe").toString
+    val rng = new scala.util.Random(5)
+    // synthetic session tables (markers + pupils, known affine map)
+    val mk = (0 until 5).flatMap { i => (0 until 5).flatMap { j =>
+      val mx = 0.1 + 0.2 * i; val my = 0.1 + 0.2 * j
+      (0 until 10).map { k =>
+        ((i * 5 + j) * 10 + k, mx, my, (i * 5 + j).toLong) }
+    }}.map { case (n, mx, my, c) => (n / 30.0 + c * 0.5, mx, my, c) }
+    val stages = Seq(
+      Stage("markers", Nil, (s, _) => {
+        import s.implicits._
+        mk.toDF("timestamp", "norm_x", "norm_y", "marker_cluster_index")
+      }),
+      Stage("pupils", Nil, (s, _) => {
+        import s.implicits._
+        mk.map { case (t, mx, my, _) =>
+          (t + 0.002,
+            (mx - 0.05 - 0.1 * (my - 0.03) / 0.9) / 0.8 + rng.nextGaussian() * 3e-4,
+            (my - 0.03) / 0.9 + rng.nextGaussian() * 3e-4, 0.9)
+        }.toDF("timestamp", "norm_x", "norm_y", "confidence")
+      }),
+      Stage("calibration", Seq("markers", "pupils"), (s, in) => {
+        val model = Calibrator.fit(in("markers"), in("pupils")).get
+        GazeModelIO.save(s, model, s"$root/model_artifact")
+        s.read.parquet(s"$root/model_artifact")
+      }),
+      Stage("gaze", Seq("pupils"), (s, in) => {
+        val model = GazeModelIO.load(s, s"$root/model_artifact")
+        model.transform(in("pupils"))
+      }))
+    val r = Pipeline.run(spark, root, stages)
+    assert(r.values.forall(x => x.state == Computed), r.toString)
+    val gaze = spark.read.parquet(r("gaze").path)
+    assert(gaze.count() == mk.length)
+    // gaze maps back near the marker grid
+    val g0 = gaze.orderBy("timestamp").collect()(0)
+    assert(math.abs(g0.getAs[Double]("gaze_x") - 0.1) < 0.01)
+    // re-run memoizes everything
+    val r2 = Pipeline.run(spark, root, stages)
+    assert(r2.values.forall(_.state == Memoized))
+  }
+
+  test("ExactMedian aggregator: nanmedian semantics") {
+    import graft.functions.ExactMedian
+    val df = Seq(("g", 1.0), ("g", 3.0), ("g", 2.0), ("g", Double.NaN),
+      ("h", 5.0), ("h", 7.0)).toDF("k", "v")
+    val out = df.groupBy("k").agg(ExactMedian.median(col("v")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("g") == 2.0) // NaN ignored (nanmedian)
+    assert(out("h") == 6.0) // even count interpolates
+  }
 }
