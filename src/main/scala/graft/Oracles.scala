@@ -253,6 +253,18 @@ object Oracles {
         |    ELSE p.vp + (n.vn - p.vp) * ((p.gt - p.tp) / (n.tn - p.tp)) END AS value
         |FROM p JOIN n ON p.user_id = n.user_id AND p.gt = n.gt""".stripMargin,
 
+    "p7_small_filter" ->
+      """WITH s AS (SELECT event_id, value/100.0 AS sx,
+        |    (value + user_id)/110.0 AS sy FROM events),
+        |m AS (SELECT event_id, (sx + sy)/2.0 AS marker_size,
+        |    sx/sy AS marker_aspect FROM s),
+        |g AS (SELECT median(marker_size)
+        |    - sqrt(avg(marker_size*marker_size)
+        |           - avg(marker_size)*avg(marker_size)) * 1.0 AS fl FROM m)
+        |SELECT event_id, marker_size, marker_aspect
+        |FROM m CROSS JOIN g
+        |WHERE marker_size > fl AND marker_aspect < 1.2""".stripMargin,
+
     "j5_snap_ts" ->
       """WITH c AS (SELECT epoch(ts) AS ct FROM events),
         |m AS (SELECT event_id, epoch(ts) +

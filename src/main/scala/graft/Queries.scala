@@ -138,6 +138,29 @@ object Queries {
       ev(s, dir).select(col("user_id"), col("t")),
       "t", "t", durationThreshold = 0.6, keys = Seq("user_id"))
 
+  /** P5+P7: marker size/aspect derivation + small/oblique filter over
+    * synthetic size arrays (median−k·std floor + aspect gate; bimodality
+    * off so the whole filter is declarative). */
+  def smallFilter(s: SparkSession, dir: String): DataFrame =
+    operators.MarkerParsing.removeSmallDetections(
+        ev(s, dir).select(col("event_id"),
+          array(col("value") / 100.0,
+            (col("value") + col("user_id")) / 110.0).as("size")),
+        "size", sizeStdThreshold = Some(1.0), bimodalStdThreshold = None,
+        aspectThreshold = Some(1.2))
+      .select(col("event_id"), col("marker_size"), col("marker_aspect"))
+
+  /** A6: bimodality split (driver 2-means gate) — rows-only (iterative
+    * k-means is not SQL-expressible). The planted minority mode is 1-in-10:
+    * a two-point mixture only exceeds k·σ separation when p(1−p) is small
+    * (|m₂−m₁|/σ = 1/√(p(1−p)); 2.5σ needs p ≲ 0.19). */
+  def bimodality(s: SparkSession, dir: String): DataFrame =
+    ClusterOps.bimodalitySplit(
+      ev(s, dir).select(col("event_id"),
+        when(col("event_id") % 10 === 0, col("value") / 1000.0 + 10.0)
+          .otherwise(col("value") / 1000.0).as("sz")),
+      "sz", sigmas = 2.5)
+
   /** TPC-H-style multi-join aggregate (broadcast dims): revenue per nation. */
   def joinAgg(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)

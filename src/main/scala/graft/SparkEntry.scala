@@ -19,6 +19,8 @@ object SparkEntry {
     "p1_normalize" -> (Queries.normalize _),
     "p2_conf_filter" -> (Queries.confidenceFilter _),
     "p6_zscore_filter" -> (Queries.zscoreFilter _),
+    "p7_small_filter" -> (Queries.smallFilter _),
+    "a6_bimodality" -> (Queries.bimodality _),
     "p9_unit_convert" -> (Queries.unitConvert _),
     "p10_median_detrend" -> (Queries.medianDetrend _),
     "j1_asof_window_agg" -> (Queries.asofWindowAgg _),
