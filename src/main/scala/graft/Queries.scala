@@ -505,6 +505,14 @@ object Queries {
       (round(col("sim"), 6) + 0.0).as("sim"))
   }
 
+  /** ANN via IVF (k-means coarse quantizer, nprobe=4 of 16 cells) —
+    * rows-only: the quantizer is fitted at runtime. */
+  def annIvfTopk(s: SparkSession, dir: String): DataFrame =
+    VectorOps.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("v_id") < 10, k = 3)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        (round(col("sim"), 6) + 0.0).as("sim"))
+
   /** Embedding near-duplicate pairs with cosine ≥ 0.45 (threshold sized to
     * the synthetic corpus' similarity tail). */
   def embNearDup(s: SparkSession, dir: String): DataFrame =

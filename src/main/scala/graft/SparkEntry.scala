@@ -60,6 +60,7 @@ object SparkEntry {
     "text_quality" -> (Queries.textQuality _),
     "sim_brute_topk" -> (Queries.simBruteTopK _),
     "ann_lsh_topk" -> (Queries.annLshTopk _),
+    "ann_ivf_topk" -> (Queries.annIvfTopk _),
     "emb_neardup" -> (Queries.embNearDup _),
     "p8_quat_euler" -> (Queries.quatEuler _),
   )

@@ -84,6 +84,70 @@ object VectorOps {
       .select(col(idCol), col("_v"), norm(col("_v")).as("_n"))
       .select(col(idCol), transform(col("_v"), x => x / col("_n")).as("vn"))
 
+  /** Deterministic Lloyd k-means (driver-side, for the IVF coarse
+    * quantizer): init = first k vectors, argmin-first assignment. */
+  def kmeans(vecs: Array[Array[Double]], k: Int, iters: Int = 10): Array[Array[Double]] = {
+    var cents = vecs.take(k).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](vecs(0).length))
+      val counts = new Array[Long](k)
+      vecs.foreach { v =>
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    cents
+  }
+
+  /** IVF ANN: coarse k-means quantizer (fitted on a driver-side sample),
+    * vectors assigned to their nearest centroid cell, queries probe the
+    * `nprobe` nearest cells and rank candidates by exact cosine. The
+    * centroid table is broadcast; candidate cost is Σ probed-cell sizes
+    * instead of N per query — the IVF scale path next to [[annTopK]]'s
+    * LSH buckets. */
+  def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int, nCells: Int = 16,
+              nprobe: Int = 4, sampleN: Int = 10000): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val v = normalized(vecs, idCol, vecCol)
+      .select(col(idCol).as("v_id"), col("vn"))
+    val sample = v.limit(sampleN).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("vn").toArray)
+    val cents = kmeans(sample, nCells)
+    val centDf = broadcast(cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "centroid"))
+    def centDist = aggregate(
+      zip_with(col("vn"), col("centroid"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), _ + _)
+    val w = Window.partitionBy(col("v_id")).orderBy(col("_d"), col("cid"))
+    val assigned = v.crossJoin(centDf).withColumn("_d", centDist)
+      .withColumn("_rn", row_number().over(w))
+    val cells = assigned.filter(col("_rn") === 1)
+      .select(col("v_id"), col("vn"), col("cid"))
+    val qProbes = assigned.filter(col("_rn") <= nprobe)
+      .filter(queryPred)
+      .select(col("v_id").as("q_id"), col("vn").as("qv"), col("cid"))
+    val scored = qProbes.join(cells, Seq("cid"))
+      .filter(col("q_id") =!= col("v_id"))
+      .withColumn("sim", dot(col("qv"), col("vn")))
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("v_id"))
+    scored.withColumn("rank", row_number().over(wq)).filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("v_id").as("n_id"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs: all (a<b) with cosine >= threshold.
     * Vectors are unit-normalized once up front, so the O(N²) inner loop is
     * a single dot product. Brute all-pairs here; at scale, run it

@@ -97,4 +97,29 @@ class TextVectorOpsSpec extends SparkSpec {
       assert(sims.sameElements(sims.sortBy(-_)))
     }
   }
+
+  test("ivfTopK: high recall vs brute force on clustered vectors") {
+    val rng = new scala.util.Random(31)
+    // 4 planted clusters of 30 vectors each
+    val centers = Array.fill(4)(Array.fill(8)(rng.nextGaussian() * 2))
+    val vecs = (0 until 120).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qp = col("v_id") < 8
+    val brute = VectorOps.bruteTopK(vecs.filter(col("vec_id") < 8), vecs,
+      "vec_id", "embedding", 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val ivf = VectorOps.ivfTopK(vecs, "vec_id", "embedding", qp,
+      k = 3, nCells = 8, nprobe = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    assert(ivf.nonEmpty)
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall > 0.8, s"recall $recall")
+    // deterministic across runs
+    val ivf2 = VectorOps.ivfTopK(vecs, "vec_id", "embedding", qp,
+      k = 3, nCells = 8, nprobe = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    assert(ivf == ivf2)
+  }
 }

@@ -55,12 +55,15 @@ class BinocularMergeSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Pupil]
+    // default trigger: AvailableNow snapshots offsets at start and races
+    // with addData-after-start (can terminate on an empty snapshot)
     val query = mergeStream(input.toDS())
       .writeStream.format("memory").queryName("gaze_stream")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      .outputMode("append").start()
     val ps = mkPupils(40)
     // two micro-batches, split mid-stream: state must carry across
     input.addData(ps.take(40))
+    query.processAllAvailable()
     input.addData(ps.drop(40))
     query.processAllAvailable()
     query.stop()
