@@ -290,7 +290,7 @@ object Oracles {
         |    user_id::VARCHAR || '|' ||
         |      CAST(floor(epoch(ts)/3600) AS BIGINT)::VARCHAR AS cl
         |  FROM events),
-        |d AS (SELECT *, round(abs(value - avg(value) OVER (PARTITION BY cl))
+        |d AS (SELECT *, round(abs(value - median(value) OVER (PARTITION BY cl))
         |    / 1, 6) AS dist FROM s)
         |SELECT cl, event_id, value FROM d
         |QUALIFY row_number() OVER (PARTITION BY cl ORDER BY dist, event_id) = 1""".stripMargin,
@@ -301,7 +301,7 @@ object Oracles {
         |g AS (SELECT cluster_id, max(t) - min(t) AS dur, count(*) AS n
         |  FROM s WHERE cluster_id <> -1 GROUP BY cluster_id),
         |k AS (SELECT cluster_id FROM g
-        |  WHERE dur >= 3600.0 AND dur <= 3.0e7 AND n >= 50),
+        |  WHERE dur > 3600.0 AND dur < 3.0e7 AND n >= 50),
         |c AS (SELECT count(*) AS nc FROM k)
         |SELECT event_id, cluster_id
         |FROM s JOIN k USING (cluster_id) CROSS JOIN c WHERE nc >= 3""".stripMargin,

@@ -94,7 +94,11 @@ object AsOfJoin {
   def windowAgg(left: DataFrame, right: DataFrame, leftTs: String, rightTs: String,
                 keys: Seq[String], window: Double,
                 aggs: Seq[Column]): DataFrame = {
-    val l = left.withColumn("_lt", col(leftTs).cast("double"))
+    // row identity: duplicate left rows must each produce their own output
+    // (the reference matches per input row), so group on a synthetic uid,
+    // not just the column values
+    val l = left.withColumn("_luid", monotonically_increasing_id())
+      .withColumn("_lt", col(leftTs).cast("double"))
       .withColumn("_b", floor(col("_lt") / window).cast("long"))
     val rBase = right.select(
       (keys.map(col) :+ col(rightTs).cast("double").as("_rt")) ++
@@ -106,8 +110,9 @@ object AsOfJoin {
       .drop("_rb")
     val joined = l.join(r, keys :+ "_b")
       .filter(abs(col("_rt") - col("_lt")) <= window)
-    val groupCols = left.columns.map(col).toSeq
+    val groupCols = col("_luid") +: left.columns.map(col).toSeq
     joined.groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
+      .drop("_luid")
   }
 
   /** J3: binocular triple as-of — for each reference row, nearest rightA row
@@ -123,7 +128,9 @@ object AsOfJoin {
     val withB = nearest(withA, rightB, refTs, bTs, keys, bPrefix)
     val ts = col(refTs).cast("double")
     val ta = col(s"$aPrefix$aTs"); val tb = col(s"$bPrefix$bTs")
-    withB.filter(
+    // both matches must exist: greatest/least skip NULLs, which would let
+    // a ref row with a missing eye slip through the dispersion gate
+    withB.filter(ta.isNotNull && tb.isNotNull &&
       greatest(ts, ta, tb) - least(ts, ta, tb) < maxDispersion)
   }
 }

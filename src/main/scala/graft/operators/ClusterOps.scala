@@ -33,8 +33,11 @@ object ClusterOps {
                             featureCols: Seq[String], tieBreak: String,
                             quantize: Option[Int] = None): DataFrame = {
     val w = Window.partitionBy(col(clusterCol))
+    // centroid = per-cluster exact MEDIAN (the reference reduces with
+    // np.nanmedian by default, marker_parsing.py:261-295), not the mean
     val rawDist = featureCols.map { c =>
-      abs(col(c).cast("double") - avg(col(c).cast("double")).over(w))
+      abs(col(c).cast("double") -
+        expr(s"percentile($c, 0.5)").over(w))
     }.reduce(_ + _) / featureCols.length
     // quantize: the centroid mean carries summation-order noise in the last
     // ulp; rounding the ordering metric makes exact-in-the-reals distance
@@ -63,8 +66,9 @@ object ClusterOps {
       (max(col(tsCol).cast("double")) - min(col(tsCol).cast("double"))).as("_dur")) ++ extraAggs
     val stats = df.filter(col(clusterCol) =!= -1)
       .groupBy(col(clusterCol)).agg(baseAggs.head, baseAggs.tail: _*)
+    // strict bounds: the reference gates with > and < (marker_parsing.py:422-425)
     val gated = gatePredicates.foldLeft(
-      stats.filter(col("_dur") >= minDur && col("_dur") <= maxDur))(_ filter _)
+      stats.filter(col("_dur") > minDur && col("_dur") < maxDur))(_ filter _)
     val n = gated.count()
     if (n < minClusters) df.sparkSession.createDataFrame(
       df.sparkSession.sparkContext.emptyRDD[Row], df.schema)
@@ -116,28 +120,32 @@ object ClusterOps {
     }
   }
 
-  /** A6 bimodality split: 2-means (k=2, 1-D) on `valueCol`; if the two means
-    * are separated by more than `sigmas` × pooled std, return only rows of
-    * the LARGER-mean mode, else return the input unchanged. The reference
+  /** A6 bimodality split: 2-means (k=2, 1-D) on `valueCol`; bimodal iff the
+    * cluster means are separated by more than `sigmas` × the PER-CLUSTER
+    * stds on each side — (c_hi − k·σ_hi) > (c_lo + k·σ_lo), the reference's
+    * exact criterion (_bimodality_check, marker_parsing.py:31-50) — in
+    * which case only rows of the larger-mean mode are kept (the 1-D k-means
+    * assignment boundary is the midpoint of the two means). The reference
     * runs this on collected sizes (N ~ 10^3-10^5), so we collect the value
-    * column to the driver (tiny) and filter distributively by the resulting
-    * threshold. (marker_parsing.py:31-50)
+    * column to the driver (tiny) and filter distributively.
     */
   def bimodalitySplit(df: DataFrame, valueCol: String, sigmas: Double = 2.5): DataFrame = {
     val vals = df.select(col(valueCol).cast("double")).na.drop()
       .collect().map(_.getDouble(0))
     if (vals.length < 4) return df
     val (m1, m2) = LocalDbscan.twoMeans(vals)
-    val sd = {
-      val mu = vals.sum / vals.length
-      math.sqrt(vals.map(v => (v - mu) * (v - mu)).sum / (vals.length - 1))
-    }
-    if (math.abs(m2 - m1) > sigmas * sd) {
-      val cut = (m1 + m2) / 2.0
-      val keepHigh = m2 > m1
-      if (keepHigh) df.filter(col(valueCol).cast("double") >= cut)
-      else df.filter(col(valueCol).cast("double") < cut)
-    } else df
+    val cut = (m1 + m2) / 2.0
+    def stdOf(xs: Array[Double]): Double =
+      if (xs.isEmpty) 0.0
+      else {
+        val mu = xs.sum / xs.length
+        math.sqrt(xs.map(v => (v - mu) * (v - mu)).sum / xs.length) // np.std
+      }
+    val lo = vals.filter(_ < cut); val hi = vals.filter(_ >= cut)
+    val (cLo, cHi) = (math.min(m1, m2), math.max(m1, m2))
+    val isBimodal = (cHi - sigmas * stdOf(hi)) > (cLo + sigmas * stdOf(lo))
+    if (isBimodal) df.filter(col(valueCol).cast("double") >= cut)
+    else df
   }
 }
 

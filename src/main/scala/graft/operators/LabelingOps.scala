@@ -105,12 +105,15 @@ object LabelingOps {
         blinkFsm(dist, fps, negVel = negVel, posVel = posVel).iterator.map {
           case (s, e) =>
             val keys = gIdx.map(rows(0).get)
+            // half-open [s, e): the reference labels frames s..e-1
+            // (pred_blink_labels[start:end], labeling.py:369)
+            val last = e - 1
             // Seq[Any]: Scala numeric widening would silently turn the Long
             // into a Double in a unified Seq[Double]
             Row.fromSeq(keys ++ Seq[Any](
-              rows(s).getDouble(tsIdx), rows(e).getDouble(tsIdx),
-              rows(e).getDouble(tsIdx) - rows(s).getDouble(tsIdx),
-              (e - s + 1).toLong))
+              rows(s).getDouble(tsIdx), rows(last).getDouble(tsIdx),
+              rows(last).getDouble(tsIdx) - rows(s).getDouble(tsIdx),
+              (e - s).toLong))
         }
       }
   }

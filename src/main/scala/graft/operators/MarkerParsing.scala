@@ -136,17 +136,20 @@ object MarkerParsing {
                        dbscanEps: Double = 0.05,
                        dbscanMinPoints: Int = 5,
                        clusterDuration: (Double, Double) = (0.2, 5.0),
-                       minClusters: Int = 1): DataFrame = {
+                       minClusters: Int = 1,
+                       assumedEpochTime: Double = 90.0): DataFrame = {
     val cleaned = removeSmallDetections(
       removeBriefDetections(markers, clock, tsCol, clockTs), sizeCol)
     val epoched = TimeSeriesOps.sessionDurationFilter(
       TimeSeriesOps.sessionize(cleaned, tsCol, Nil, epochGap, "epoch"),
       tsCol, Nil, "epoch", epochDuration._1, epochDuration._2)
-    // per-epoch normalized features (marker_parsing.py:366-378):
-    // t scaled to [2,3] within the epoch, x scaled by image aspect, y raw
+    // per-epoch normalized features (marker_parsing.py:366-378): t scaled
+    // by the CONSTANT assumed epoch time of 90 s (the reference explicitly
+    // comments out ptp so cluster spacing is consistent across epochs),
+    // offset +2; x scaled by image aspect, y raw
     val w = Window.partitionBy(col("epoch"))
     val t = col(tsCol).cast("double")
-    val tn = (t - min(t).over(w)) / (max(t).over(w) - min(t).over(w)) + 2.0
+    val tn = (t - min(t).over(w)) / assumedEpochTime + 2.0
     val feat = epoched
       .withColumn("_ft", tn)
       .withColumn("_fx", element_at(col("norm_pos"), 1) * imageAspect)

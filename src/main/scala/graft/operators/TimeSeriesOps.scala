@@ -51,7 +51,9 @@ object TimeSeriesOps {
                             maxDuration: Double): DataFrame = {
     val w = partWindow(partitionCols :+ sessionCol)
     val dur = max(col(tsCol).cast("double")).over(w) - min(col(tsCol).cast("double")).over(w)
-    df.withColumn("_dur", dur).filter(col("_dur") >= minDuration && col("_dur") <= maxDuration)
+    // strict bounds, matching the reference's epoch gate
+    // (split_timecourse, marker_parsing.py:247)
+    df.withColumn("_dur", dur).filter(col("_dur") > minDuration && col("_dur") < maxDuration)
       .drop("_dur")
   }
 
@@ -66,7 +68,9 @@ object TimeSeriesOps {
   def rleSegments(df: DataFrame, tsCol: String, onCol: Column,
                   partitionCols: Seq[String]): DataFrame = {
     val w = partWindow(partitionCols).orderBy(col(tsCol))
-    val on = onCol.cast("int")
+    // null on-values are OFF (a null =!= comparison would otherwise yield
+    // no edge and merge runs across null gaps)
+    val on = coalesce(onCol.cast("int"), lit(0))
     val prev = lag(on, 1, 0).over(w)
     val runId = sum(when(on =!= prev, 1).otherwise(0)).over(
       w.rowsBetween(Window.unboundedPreceding, Window.currentRow))

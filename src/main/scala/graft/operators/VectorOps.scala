@@ -86,7 +86,9 @@ object VectorOps {
 
   /** Deterministic Lloyd k-means (driver-side, for the IVF coarse
     * quantizer): init = first k vectors, argmin-first assignment. */
-  def kmeans(vecs: Array[Array[Double]], k: Int, iters: Int = 10): Array[Array[Double]] = {
+  def kmeans(vecs: Array[Array[Double]], k0: Int, iters: Int = 10): Array[Array[Double]] = {
+    require(vecs.nonEmpty, "kmeans on empty input")
+    val k = math.min(k0, vecs.length) // fewer points than cells: one each
     var cents = vecs.take(k).map(_.clone())
     for (_ <- 0 until iters) {
       val sums = Array.fill(k)(new Array[Double](vecs(0).length))
@@ -126,6 +128,10 @@ object VectorOps {
       .select(col(idCol).as("v_id"), col("vn"))
     val sample = v.limit(sampleN).collect()
       .map(_.getAs[scala.collection.Seq[Double]]("vn").toArray)
+    if (sample.isEmpty)
+      return spark.emptyDataFrame
+        .select(lit(0L).as("q_id"), lit(0).as("rank"),
+          lit(0L).as("n_id"), lit(0.0).as("sim")).limit(0)
     val cents = kmeans(sample, nCells)
     val centDf = broadcast(cents.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "centroid"))

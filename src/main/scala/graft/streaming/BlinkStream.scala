@@ -46,13 +46,16 @@ object BlinkStream {
             negVel = negVel, posVel = posVel)
           val safeEnd = dist.length - horizon
           val (emit, pending) = blinks.partition(_._2 < safeEnd)
-          // trim to just after the last emitted blink (quiet zone), but
-          // never into a pending blink
-          val trim = (emit.map(_._2 + 1) :+ 0).max min
-            (pending.map(_._1) :+ Int.MaxValue).min
+          // trim the whole safe prefix (any blink starting before safeEnd
+          // must end inside the buffer, so it is either emitted now or
+          // pending) — but never into a pending blink. Blink-free streams
+          // therefore stay bounded at the horizon.
+          val trim = math.max(0, math.min(safeEnd,
+            (pending.map(_._1) :+ Int.MaxValue).min))
           state.update(BufState(ts.drop(trim), dist.drop(trim)))
           emit.iterator.map { case (s, e) =>
-            Blink(session, ts(s), ts(e), ts(e) - ts(s), (e - s + 1).toLong)
+            // half-open [s, e): mirror the reference's label slice
+            Blink(session, ts(s), ts(e - 1), ts(e - 1) - ts(s), (e - s).toLong)
           }
         })
   }
@@ -63,6 +66,7 @@ object BlinkStream {
             negVel: Double = -0.15, posVel: Double = 0.15): Seq[Blink] =
     LabelingOps.blinkFsm(st.dist, fps, negVel = negVel, posVel = posVel)
       .map { case (s, e) =>
-        Blink(session, st.ts(s), st.ts(e), st.ts(e) - st.ts(s), (e - s + 1).toLong)
+        Blink(session, st.ts(s), st.ts(e - 1), st.ts(e - 1) - st.ts(s),
+          (e - s).toLong)
       }
 }

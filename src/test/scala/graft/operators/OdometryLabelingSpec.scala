@@ -75,7 +75,8 @@ class OdometryLabelingSpec extends SparkSpec {
     assert(out.length == 2)
     out.foreach { r =>
       assert(math.abs(r.getAs[Double]("onset") - 10 / 120.0) < 1e-9)
-      assert(r.getAs[Long]("n_frames") == 11L)
+      // half-open [s, e): reference labels frames 10..19 → 10 frames
+      assert(r.getAs[Long]("n_frames") == 10L)
     }
   }
 

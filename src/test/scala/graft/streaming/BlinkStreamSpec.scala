@@ -41,7 +41,7 @@ class BlinkStreamSpec extends SparkSpec {
     streamed.foreach { b =>
       assert(batchOnsets.exists(o => math.abs(o - b.onset) < 1e-9),
         s"streamed blink at ${b.onset} not in batch $batchOnsets")
-      assert(b.n_frames == 11L)
+      assert(b.n_frames == 10L)
     }
     // at least the blinks outside the final horizon arrived
     val horizon = horizonFrames(120.0)
