@@ -42,7 +42,10 @@ object Oracles {
       |s AS (SELECT doc, list_distinct(list_transform(range(1, len(toks) - 1),
       |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM d)""".stripMargin
 
-  private def minhashSql: String = {
+  /** Shared MinHash CTE chain (shingles → 60-bit hash arrays → 16-hash
+    * signatures → 4 LSH bands) — mirrors TextOps.minhashSignature/lshBands;
+    * prefix for both the LSH-candidate and the gated-exact-Jaccard oracles. */
+  private def minhashBandCtes: String = {
     val M = graft.operators.TextOps.HashMod
     val a = graft.operators.TextOps.MinhashA
     val bc = graft.operators.TextOps.MinhashB
@@ -56,12 +59,16 @@ object Oracles {
       }
       s"SELECT doc, sig, $b AS band_id, $hash AS band_hash FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $shingleCte,
+    s"""$shingleCte,
        |hv AS (SELECT doc, list_transform(sh,
        |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $M) AS hv
        |  FROM s WHERE len(sh) > 0),
        |sig AS (SELECT doc, [$sigs] AS sig FROM hv),
-       |band AS ($bandSelects),
+       |band AS ($bandSelects)""".stripMargin
+  }
+
+  private def minhashSql: String =
+    s"""WITH $minhashBandCtes,
        |pairs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
        |    a.sig AS sa, b.sig AS sb
        |  FROM band a JOIN band b ON a.band_id = b.band_id
@@ -70,7 +77,22 @@ object Oracles {
        |  len(list_filter(range(1, 17), i -> sa[i] = sb[i]))::DOUBLE / 16
        |    AS est_jaccard
        |FROM pairs WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i]))::DOUBLE / 16 >= 0.25""".stripMargin
-  }
+
+  /** Gated n-gram Jaccard: MinHash band candidates → exact set Jaccard via
+    * list_intersect — mirrors TextOps.ngramJaccardPairsGated. */
+  private def ngramGatedSql: String =
+    s"""WITH $minhashBandCtes,
+       |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+       |  FROM band a JOIN band b ON a.band_id = b.band_id
+       |    AND a.band_hash = b.band_hash AND a.doc < b.doc),
+       |j AS (SELECT doc_a, doc_b,
+       |    len(list_intersect(ha.hv, hb.hv))::DOUBLE AS c,
+       |    len(ha.hv) AS na, len(hb.hv) AS nb
+       |  FROM cand
+       |  JOIN hv ha ON doc_a = ha.doc
+       |  JOIN hv hb ON doc_b = hb.doc)
+       |SELECT doc_a, doc_b, c / (na + nb - c) AS jaccard
+       |FROM j WHERE c / (na + nb - c) >= 0.2""".stripMargin
 
   private def simhashSql: String = {
     val sums = (0 until 60).map(j =>
@@ -86,25 +108,58 @@ object Oracles {
        |SELECT doc, ($bits)::BIGINT AS simhash FROM agg""".stripMargin
   }
 
+  /** emb_neardup oracle: banded sign-LSH (4 bands × 4 bits over anchors
+    * vec_id 400-415, ordered by anchor id) with Hamming-1 multi-probe on
+    * the candidate side, exact-cosine verify — mirrors
+    * VectorOps.nearDupPairsLsh(multiProbe = true). */
+  private def embNearDupSql: String = {
+    val rpb = 4
+    // probe keys: r = 0 exact, r = 1..4 the key with bit r flipped
+    // (per-position concat — list slicing like bl[1:0] is NULL in DuckDB,
+    // which would silently null out edge-bit flips)
+    val probeSelects = (0 to rpb).map { r =>
+      val key = (1 to rpb).map { j =>
+        if (j == r) s"(CASE WHEN bl[$j] = '1' THEN '0' ELSE '1' END)"
+        else s"bl[$j]"
+      }.mkString(" || ")
+      s"SELECT v_id, band_id, $key AS band_key FROM bl"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM n),
+       |anch AS (SELECT v AS av,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS rk
+       |  FROM e WHERE vec_id BETWEEN 400 AND 415),
+       |bits AS (SELECT u.vec_id AS v_id, rk // $rpb AS band_id, rk,
+       |    CASE WHEN list_sum(list_transform(range(1, len(vn) + 1),
+       |      i -> vn[i] * av[i])) > 0 THEN '1' ELSE '0' END AS bit
+       |  FROM u CROSS JOIN anch),
+       |bl AS (SELECT v_id, band_id, list(bit ORDER BY rk) AS bl
+       |  FROM bits GROUP BY v_id, band_id),
+       |exact AS (SELECT v_id, band_id, array_to_string(bl, '') AS band_key
+       |  FROM bl),
+       |probe AS ($probeSelects),
+       |cand AS (SELECT DISTINCT p.v_id AS id_a, x.v_id AS id_b
+       |  FROM probe p JOIN exact x ON p.band_id = x.band_id
+       |    AND p.band_key = x.band_key AND p.v_id < x.v_id),
+       |pr AS (SELECT id_a, id_b,
+       |    list_sum(list_transform(range(1, len(ua.vn) + 1),
+       |      i -> ua.vn[i] * ub.vn[i])) AS sim
+       |  FROM cand
+       |  JOIN u ua ON id_a = ua.vec_id
+       |  JOIN u ub ON id_b = ub.vec_id)
+       |SELECT id_a, id_b, round(sim, 6) AS sim FROM pr WHERE sim >= 0.45""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashSql,
 
     "dedup_simhash" -> simhashSql,
 
-    "dedup_ngram_jaccard" ->
-      s"""WITH $shingleCte,
-         |e AS (SELECT doc, unnest(list_transform(sh,
-         |  x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 1000000007)) AS g
-         |  FROM s),
-         |sizes AS (SELECT doc, count(*) AS n FROM e GROUP BY doc),
-         |common AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
-         |  FROM e a JOIN e b ON a.g = b.g AND a.doc < b.doc GROUP BY 1, 2)
-         |SELECT doc_a, doc_b,
-         |  c::DOUBLE / (sa.n + sb.n - c) AS jaccard
-         |FROM common
-         |JOIN sizes sa ON doc_a = sa.doc
-         |JOIN sizes sb ON doc_b = sb.doc
-         |WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.2""".stripMargin,
+    "dedup_ngram_jaccard" -> ngramGatedSql,
 
     "text_langid" ->
       """WITH d AS (SELECT doc_id AS doc, string_split(trim(text), ' ') AS toks
@@ -183,18 +238,10 @@ object Oracles {
         |FROM scored
         |QUALIFY rank <= 3""".stripMargin,
 
-    "emb_neardup" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-        |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM n),
-        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    list_sum(list_transform(range(1, len(a.vn) + 1),
-        |      i -> a.vn[i] * b.vn[i])) AS sim
-        |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.45""".stripMargin,
+    // banded sign-LSH candidates (anchors = vec_id 400-415, 4 bands × 4
+    // bits, bit order = anchor-id rank) with Hamming-1 multi-probe →
+    // exact-cosine verify; mirrors VectorOps.nearDupPairsLsh(multiProbe)
+    "emb_neardup" -> embNearDupSql,
 
     "p8_quat_euler" ->
       """WITH b AS (SELECT event_id, value/200.0 AS w0,

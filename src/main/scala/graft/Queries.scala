@@ -473,9 +473,11 @@ object Queries {
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     TextOps.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text")
 
-  /** Dedup (exact n-gram Jaccard): all pairs ≥ 0.2 via shingle equi-join. */
+  /** Dedup (n-gram Jaccard ≥ 0.2): MinHash/LSH band candidates → exact
+    * array_intersect verification — the scale shape; the all-pairs
+    * shingle equi-join remains in TextOps as the verification baseline. */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    TextOps.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text")
+    TextOps.ngramJaccardPairsGated(Tables.documents(s, dir), "doc_id", "text")
 
   /** Dedup (SimHash, 60-bit): token ±1 bit votes → per-doc fingerprint. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
@@ -514,10 +516,16 @@ object Queries {
         (round(col("sim"), 6) + 0.0).as("sim"))
 
   /** Embedding near-duplicate pairs with cosine ≥ 0.45 (threshold sized to
-    * the synthetic corpus' similarity tail). */
-  def embNearDup(s: SparkSession, dir: String): DataFrame =
-    VectorOps.nearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
+    * the synthetic corpus' similarity tail): banded sign-LSH candidates
+    * (16 literal anchors = 4 bands × 4 bits) → exact-cosine verification.
+    * The brute all-pairs form remains in VectorOps as the baseline. */
+  def embNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    VectorOps.nearDupPairsLsh(emb, "vec_id", "embedding",
+        col("vec_id").between(400, 415), bands = 4, rowsPerBand = 4, 0.45,
+        multiProbe = true)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
 
   /** P8: quaternion → Euler angles (RealSense remap, odometry.py:176-193)
     * over a synthetic normalized quaternion from event columns. */

@@ -114,9 +114,50 @@ object TextOps {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
+  /** Exact n-gram Jaccard gated behind MinHash/LSH candidates — the scale
+    * shape for [[ngramJaccardPairs]] (which stays as the exact all-pairs
+    * verification baseline). Candidate pairs are docs sharing at least one
+    * LSH band of their minhash signature (one shuffle on the band key,
+    * Σ bucket² candidate pairs); each candidate is then verified with the
+    * EXACT set Jaccard via `array_intersect` over the per-doc shingle-hash
+    * arrays — so precision is exact and only recall depends on the band
+    * layout. The all-pairs shingle equi-join this replaces is Σd² on hot
+    * shingles (boilerplate) and cannot run at 100 TB. */
+  def ngramJaccardPairsGated(docs: DataFrame, idCol: String, textCol: String,
+                             shingleK: Int = 3, minJaccard: Double = 0.2,
+                             numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val pre = shingled(docs, idCol, textCol, shingleK)
+      .filter(size(col("sh")) > 0)
+      .withColumn("hv", transform(col("sh"), s => pmod(hash60(s), lit(HashMod))))
+      .select(col("doc"), col("hv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band keys only (no signature columns carried into the self-join);
+    // persisted because both candidate sides read it
+    val banded = pre
+      .select(col("doc"), minhashSignature(col("hv"), numHashes).as("sig"))
+      .select(col("doc"),
+        posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band_id", "band_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = banded.select(col("doc").as("doc_a"), col("band_id"), col("band_hash"))
+      .join(banded.select(col("doc").as("doc_b"), col("band_id"), col("band_hash")),
+        Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(pre.select(col("doc").as("doc_a"), col("hv").as("ha")), "doc_a")
+      .join(pre.select(col("doc").as("doc_b"), col("hv").as("hb")), "doc_b")
+      .withColumn("c", size(array_intersect(col("ha"), col("hb"))).cast("double"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c") / (size(col("ha")) + size(col("hb")) - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs above a threshold:
     * explode shingles → equi-join on the shingle → pair intersection counts
-    * → join per-doc set sizes → |A∩B| / (|A|+|B|−|A∩B|). */
+    * → join per-doc set sizes → |A∩B| / (|A|+|B|−|A∩B|). Verification
+    * baseline for [[ngramJaccardPairsGated]] — Σd² on hot shingles, do not
+    * run standalone at scale. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, minJaccard: Double = 0.2): DataFrame = {
     // join on the 60-bit shingle hash, not the shingle string — same

@@ -154,10 +154,70 @@ object VectorOps {
       .select(col("q_id"), col("rank"), col("v_id").as("n_id"), col("sim"))
   }
 
+  /** Banded sign-LSH near-duplicate pairs — the scale shape for
+    * [[nearDupPairs]] (which stays as the exact all-pairs verification
+    * baseline for small inputs).
+    *
+    * Anchor rows (a fixed, deterministic subset of the corpus selected by
+    * `anchorPred`) are collected to the driver and folded into the plan as
+    * array literals — the same move as the IVF coarse quantizer — so the
+    * per-row band keys are pure codegen'd Column math: no anchor join, no
+    * row replication. Each band key is `rowsPerBand` sign bits of
+    * vn·anchor (random-hyperplane LSH); a pair is a candidate if it agrees
+    * on ALL bits of ANY band, then candidates are verified with the exact
+    * cosine. Cost is one shuffle on (band_id, band_key) plus Σ bucket²
+    * bucket-local pairs instead of N² — with miss probability
+    * (1 − pᵏ)ᵇ per true pair, p = 1 − θ/π per bit (≈1.4% at cos θ = 0.9
+    * with 4×4 bands), vs. the all-pairs join that cannot run at 100 TB. */
+  def nearDupPairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
+                      anchorPred: Column, bands: Int, rowsPerBand: Int,
+                      minCosine: Double, multiProbe: Boolean = false): DataFrame = {
+    val n = normalized(vecs, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val anchors = vecs.filter(anchorPred)
+      .select(col(idCol).as("a_id"), toDouble(col(vecCol)).as("av"))
+      .orderBy("a_id").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("av").toArray)
+    require(anchors.length == bands * rowsPerBand,
+      s"anchorPred selected ${anchors.length} rows, need ${bands * rowsPerBand}")
+    def bit(b: Int, r: Int): Column = {
+      val av = array(anchors(b * rowsPerBand + r).map(lit): _*)
+      when(dot(col("vn"), av) > 0, "1").otherwise("0")
+    }
+    def flip(c: Column): Column = when(c === "1", "0").otherwise("1")
+    // exact band keys; with multiProbe also every Hamming-1 key per band —
+    // probe side carries (1 + rowsPerBand) keys, index side stays exact, so
+    // a Hamming-≤1 band difference still collides (found from either end by
+    // flip symmetry; recall 1-(1-(p^k + k·p^(k-1)(1-p)))^b vs 1-(1-p^k)^b)
+    val exactKey = (0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        concat((0 until rowsPerBand).map(bit(b, _)): _*).as("band_key"))
+    }
+    val probeKey = exactKey ++ (if (!multiProbe) Nil else
+      for (b <- 0 until bands; f <- 0 until rowsPerBand) yield
+        struct(lit(b).as("band_id"),
+          concat((0 until rowsPerBand).map(r =>
+            if (r == f) flip(bit(b, r)) else bit(b, r)): _*).as("band_key")))
+    def keyed(keys: Seq[Column], id: String) =
+      n.select(col(idCol).as(id), explode(array(keys: _*)).as("_k"))
+        .select(col(id), col("_k.band_id").as("band_id"),
+          col("_k.band_key").as("band_key"))
+    val cand = keyed(probeKey, "id_a")
+      .join(keyed(exactKey, "id_b"), Seq("band_id", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(n.select(col(idCol).as("id_a"), col("vn").as("va")), "id_a")
+      .join(n.select(col(idCol).as("id_b"), col("vn").as("vb")), "id_b")
+      .withColumn("sim", dot(col("va"), col("vb")))
+      .filter(col("sim") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs: all (a<b) with cosine >= threshold.
     * Vectors are unit-normalized once up front, so the O(N²) inner loop is
-    * a single dot product. Brute all-pairs here; at scale, run it
-    * bucket-local via [[lshBuckets]]. */
+    * a single dot product. Brute all-pairs — the small-input verification
+    * baseline for [[nearDupPairsLsh]], which is the scale path. */
   def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
                    minCosine: Double): DataFrame = {
     val n = normalized(vecs, idCol, vecCol)

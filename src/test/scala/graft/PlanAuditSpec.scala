@@ -37,6 +37,16 @@ class PlanAuditSpec extends SparkSpec {
       s"range join de-thetafication lost:\n$p")
   }
 
+  test("gated dedup paths plan as equi-joins (no all-pairs nested loop)") {
+    for ((name, df) <- Seq(
+        "emb_neardup" -> Queries.embNearDup(spark, dir),
+        "dedup_ngram_jaccard" -> Queries.dedupNgramJaccard(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name degraded to an all-pairs join:\n$p")
+    }
+  }
+
   test("native array_dot appears in vector plans (not HOF aggregate)") {
     val p = plan(Queries.embNearDup(spark, dir))
     assert(p.contains("arraydotproduct") || p.contains("ArrayDotProduct"),

@@ -41,6 +41,38 @@ class TextVectorOpsSpec extends SparkSpec {
     assert(math.abs(pairs((1L, 2L)) - 7.0 / 9.0) < 1e-12)
   }
 
+  test("gated ngram jaccard: subset of exact with identical values, finds the near-dup") {
+    val exact = TextOps.ngramJaccardPairs(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val gated = TextOps.ngramJaccardPairsGated(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // precision is exact: every gated pair appears in the exact result with
+    // the same Jaccard (verification stage recomputes the true value)
+    gated.foreach { case (k, v) => assert(math.abs(exact(k) - v) < 1e-12) }
+    assert(gated.contains((1L, 2L))) // the planted near-dup survives the gate
+  }
+
+  test("nearDupPairsLsh: subset of brute with identical sims, multi-probe recall") {
+    val rng = new scala.util.Random(17)
+    val vecs = Seq.tabulate(80)(i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val brute = VectorOps.nearDupPairs(vecs, "vec_id", "embedding", 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val gated = VectorOps.nearDupPairsLsh(vecs, "vec_id", "embedding",
+        col("vec_id") < 16, bands = 4, rowsPerBand = 4, 0.5, multiProbe = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(brute.nonEmpty)
+    gated.foreach { case (k, v) => assert(math.abs(brute(k) - v) < 1e-12) }
+    val single = VectorOps.nearDupPairsLsh(vecs, "vec_id", "embedding",
+        col("vec_id") < 16, bands = 4, rowsPerBand = 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // multi-probe candidates strictly contain the single-probe ones
+    assert(single.subsetOf(gated.keySet))
+    val recall = gated.size.toDouble / brute.size
+    assert(recall >= 0.5, s"multi-probe recall $recall over ${brute.size} pairs")
+  }
+
   test("simhash: identical texts get identical hashes, disjoint texts differ") {
     val d2 = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc dd"), (3L, "zz yy xx ww"))
       .toDF("doc_id", "text")
