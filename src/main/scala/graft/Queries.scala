@@ -413,6 +413,42 @@ object Queries {
       ErrorMap.Config(resolution = (60, 80))).summary
   }
 
+  /** Multi-session calibration fan-out over ≥100 sessions (session =
+    * user_id mod 100): markers/pupils synthesized per session from events
+    * with the same planted affine map as m9, then SessionCalibrator's
+    * distributed reduce → flatMapGroups TPS fits → broadcast model-table
+    * apply. Returns one summary row per calibrated session (rows-only
+    * driver check — the TPS LOO-CV fit is not SQL-expressible). */
+  def multiSessionPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.SessionCalibrator
+    val w = Window.partitionBy(col("session")).orderBy(col("t"))
+    val base = ev(s, dir)
+      .select(col("t"), col("value"),
+        concat(lit("s"), col("user_id") % 100).as("session"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cluster", (col("rn") - 1) % 25)
+      .withColumn("mx", lit(0.1) + (col("cluster") % 5) * 0.2)
+      .withColumn("my", lit(0.1) + floor(col("cluster") / 5) * 0.2)
+      .withColumn("jit", (col("value") - 100.0) / 1e5)
+    val markers = base.select(col("session"),
+      col("rn").cast("double").as("timestamp"),
+      (col("mx") + col("jit")).as("norm_x"),
+      (col("my") - col("jit")).as("norm_y"),
+      col("cluster").cast("long").as("marker_cluster_index"))
+    val pupils = base.select(col("session"),
+      (col("rn").cast("double") + 0.002).as("timestamp"),
+      (((col("mx") - 0.05) * 0.9 - (col("my") - 0.03) * 0.1 / 0.9) / 0.8
+        + col("jit")).as("norm_x"),
+      ((col("my") - 0.03) / 0.9 - col("jit")).as("norm_y"),
+      lit(0.95).as("confidence"))
+    SessionCalibrator.fitTransform(markers, pupils, "session",
+        window = 1.0 / 60.0)
+      .groupBy("session")
+      .agg(count(lit(1)).as("n_gaze"),
+        round(avg(col("gaze_x")), 6).as("avg_gx"),
+        round(avg(col("gaze_y")), 6).as("avg_gy"))
+  }
+
   /** W10: binocular merge over per-eye streams synthesized from events
     * (eye id = event_id % 2), batch FSM per user (rows-only check). */
   def binocularMerge(s: SparkSession, dir: String): DataFrame = {

@@ -44,6 +44,7 @@ object SparkEntry {
     "w7_resample" -> (Queries.resample _),
     "w10_binocular_merge" -> (Queries.binocularMerge _),
     "m9_gaze_pipeline" -> (Queries.gazePipeline _),
+    "m9_multisession" -> (Queries.multiSessionPipeline _),
     "multimodal_features" -> (Queries.multimodalFeatures _),
     "o2_union_stats" -> (Queries.unionStats _),
     "o5_distinct" -> (Queries.distinctPairs _),

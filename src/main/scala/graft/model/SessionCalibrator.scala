@@ -8,14 +8,13 @@ import org.apache.spark.sql.functions._
   * model reused across many runs/epochs).
   *
   * The corpus axis is sessions: cluster reduction runs distributed and
-  * GROUPED BY SESSION (one shuffle); only the reduced points (10¹-10²
-  * rows × sessions) come to the driver, where each session's TPS is
-  * fitted independently (embarrassingly parallel — a .par loop here, a
-  * job-per-partition on a real cluster when sessions number 10⁶). The
-  * fitted models become a MODEL TABLE (session, anchors_x, anchors_y,
-  * theta_x, theta_y) that broadcast-joins onto the full pupil stream and
-  * evaluates via the data-driven TPS columns — a single map stage over
-  * 10¹² rows, no per-session literals, no driver round-trips.
+  * GROUPED BY SESSION (one shuffle), and each session's TPS-CV model is
+  * fitted INSIDE `flatMapGroups` over the reduced points — embarrassingly
+  * parallel across executors, nothing but the model table ever exists on
+  * the driver. The fitted models become a MODEL TABLE (session, anchors_x,
+  * anchors_y, theta_x, theta_y) that broadcast-joins onto the full pupil
+  * stream and evaluates via the data-driven TPS columns — a single map
+  * stage over 10¹² rows, no per-session literals, no driver round-trips.
   */
 object SessionCalibrator {
 
@@ -45,33 +44,40 @@ object SessionCalibrator {
 
   /** Fit one TPS-CV model per session over the reduced points; returns
     * the model table. Sessions with < minPoints reduced clusters are
-    * dropped (the reference's too-few-clusters None gate). */
+    * dropped (the reference's too-few-clusters None gate).
+    *
+    * Distributed: the fits run inside `flatMapGroups` over the session key
+    * — one shuffle of the already-reduced points (10¹-10² rows/session),
+    * then each executor fits its sessions' TPS-CV models independently
+    * (`Calibrator.fitTpsCv` is pure JVM/Breeze). At 10⁵-10⁶ sessions the
+    * 16λ × LOO(N) × O(N³) fits are the pipeline's dominant compute; this
+    * shape spreads them across the cluster instead of serializing them on
+    * the driver. Rows are sorted within each group so the fit input order
+    * (and thus the anchor/theta layout) is shuffle-independent. */
   def fitModels(spark: SparkSession, reduced: DataFrame, sessionCol: String,
                 cfg: Calibrator.Config = Calibrator.Config(),
                 minPoints: Int = 4): DataFrame = {
     import spark.implicits._
-    val bySession = reduced
+    val lambdas = cfg.lambdas
+    val maxStds = cfg.maxStdsForOutliers
+    reduced
       .select(col(sessionCol).cast("string"), col("px"), col("py"),
         col("mx"), col("my"))
-      .collect()
-      .groupBy(_.getString(0))
-    // sequential driver loop (scala-parallel-collections is not on the
-    // classpath); per-session fits are independent — at 10⁶ sessions run
-    // this as a job over reduced-points partitions instead
-    val rows = bySession.toSeq.sortBy(_._1).flatMap { case (session, rs) =>
-      if (rs.length < minPoints) None
-      else {
-        val pxy = rs.map(r => Array(r.getDouble(1), r.getDouble(2)))
-        val mx = rs.map(_.getDouble(3))
-        val my = rs.map(_.getDouble(4))
-        val m = Calibrator.fitTpsCv(pxy, mx, my, cfg.lambdas,
-          cfg.maxStdsForOutliers)
-        Some((session,
-          m.anchorsX.map(_(0)).toSeq, m.anchorsX.map(_(1)).toSeq,
-          m.thetaX.toSeq, m.thetaY.toSeq))
+      .as[(String, Double, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (session: String, it: Iterator[(String, Double, Double, Double, Double)]) =>
+        val rs = it.toArray.sortBy(r => (r._4, r._5, r._2, r._3))
+        if (rs.length < minPoints) Iterator.empty
+        else {
+          val pxy = rs.map(r => Array(r._2, r._3))
+          val m = Calibrator.fitTpsCv(pxy, rs.map(_._4), rs.map(_._5),
+            lambdas, maxStds)
+          Iterator((session,
+            m.anchorsX.map(_(0)).toSeq, m.anchorsX.map(_(1)).toSeq,
+            m.thetaX.toSeq, m.thetaY.toSeq))
+        }
       }
-    }
-    rows.toDF(sessionCol, "ax", "ay", "theta_x", "theta_y")
+      .toDF(sessionCol, "ax", "ay", "theta_x", "theta_y")
   }
 
   /** Apply the model table to the full pupil stream: broadcast join by
