@@ -67,8 +67,12 @@ object ClusterOps {
     val stats = df.filter(col(clusterCol) =!= -1)
       .groupBy(col(clusterCol)).agg(baseAggs.head, baseAggs.tail: _*)
     // strict bounds: the reference gates with > and < (marker_parsing.py:422-425)
+    // persisted: the min-clusters gate (count) and the semi-join both read
+    // this tiny frame — without the persist the whole upstream aggregation
+    // lineage would execute twice
     val gated = gatePredicates.foldLeft(
       stats.filter(col("_dur") > minDur && col("_dur") < maxDur))(_ filter _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = gated.count()
     if (n < minClusters) df.sparkSession.createDataFrame(
       df.sparkSession.sparkContext.emptyRDD[Row], df.schema)
@@ -132,20 +136,43 @@ object ClusterOps {
   def bimodalitySplit(df: DataFrame, valueCol: String, sigmas: Double = 2.5): DataFrame = {
     val vals = df.select(col(valueCol).cast("double")).na.drop()
       .collect().map(_.getDouble(0))
-    if (vals.length < 4) return df
-    val (m1, m2) = LocalDbscan.twoMeans(vals)
-    val cut = (m1 + m2) / 2.0
-    def stdOf(xs: Array[Double]): Double =
-      if (xs.isEmpty) 0.0
-      else {
-        val mu = xs.sum / xs.length
-        math.sqrt(xs.map(v => (v - mu) * (v - mu)).sum / xs.length) // np.std
+    LocalDbscan.bimodalCut(vals, sigmas) match {
+      case Some(cut) => df.filter(col(valueCol).cast("double") >= cut)
+      case None => df
+    }
+  }
+
+  /** A6 bimodality split, grouped form — the scale shape: the reference
+    * applies the check per session's marker set, so at corpus scale the
+    * 2-means fit runs INSIDE `flatMapGroups` per (session/epoch) group —
+    * same distribution axis as [[dbscan]] — instead of collecting the
+    * whole corpus' value column to the driver. Criterion and cut are
+    * identical to [[bimodalitySplit]] (shared [[LocalDbscan.bimodalCut]]);
+    * a single-group input reproduces the driver form exactly. */
+  def bimodalitySplitGrouped(df: DataFrame, groupCols: Seq[String],
+                             valueCol: String, sigmas: Double = 2.5): DataFrame = {
+    val vIdx = df.schema.fieldIndex(valueCol)
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(df.schema)
+    def valOf(r: Row): Double = r.get(vIdx) match {
+      case null => Double.NaN
+      case d: java.lang.Double => d.doubleValue()
+      case f: java.lang.Float => f.doubleValue()
+      case l: java.lang.Long => l.doubleValue()
+      case i: java.lang.Integer => i.doubleValue()
+      case _ => Double.NaN
+    }
+    df.groupByKey { r: Row =>
+        groupCols.map(c => String.valueOf(r.get(r.fieldIndex(c)))).mkString("|")
+      }(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val vals = rows.map(valOf).filterNot(_.isNaN)
+        LocalDbscan.bimodalCut(vals) match {
+          case Some(cut) => rows.iterator.filter(valOf(_) >= cut)
+          case None => rows.iterator
+        }
       }
-    val lo = vals.filter(_ < cut); val hi = vals.filter(_ >= cut)
-    val (cLo, cHi) = (math.min(m1, m2), math.max(m1, m2))
-    val isBimodal = (cHi - sigmas * stdOf(hi)) > (cLo + sigmas * stdOf(lo))
-    if (isBimodal) df.filter(col(valueCol).cast("double") >= cut)
-    else df
   }
 }
 
@@ -195,6 +222,26 @@ object LocalDbscan {
       i += 1
     }
     labels
+  }
+
+  /** The A6 bimodality criterion over an in-memory value array: 2-means,
+    * bimodal iff (c_hi − k·σ_hi) > (c_lo + k·σ_lo) with per-cluster np.std
+    * (_bimodality_check, marker_parsing.py:31-50). Returns Some(cut) — the
+    * midpoint assignment boundary, keep values >= cut — when bimodal. */
+  def bimodalCut(vals: Array[Double], sigmas: Double = 2.5): Option[Double] = {
+    if (vals.length < 4) return None
+    val (m1, m2) = twoMeans(vals)
+    val cut = (m1 + m2) / 2.0
+    def stdOf(xs: Array[Double]): Double =
+      if (xs.isEmpty) 0.0
+      else {
+        val mu = xs.sum / xs.length
+        math.sqrt(xs.map(v => (v - mu) * (v - mu)).sum / xs.length) // np.std
+      }
+    val lo = vals.filter(_ < cut); val hi = vals.filter(_ >= cut)
+    val (cLo, cHi) = (math.min(m1, m2), math.max(m1, m2))
+    if ((cHi - sigmas * stdOf(hi)) > (cLo + sigmas * stdOf(lo))) Some(cut)
+    else None
   }
 
   /** 1-D 2-means with deterministic (min, max) init; returns the two means

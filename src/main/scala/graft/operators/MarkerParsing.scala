@@ -90,7 +90,14 @@ object MarkerParsing {
 
   /** P7: remove small/oblique detections — bimodality keep-larger-mode
     * (A6, driver-side 2-means on the collected size column), optional
-    * median−k·std size floor, aspect-ratio gate (:114-184). */
+    * median−k·std size floor, aspect-ratio gate (:114-184).
+    *
+    * All keep-masks are computed over the FULL marker set and intersected
+    * (the reference ANDs the three masks, and median/std come from the
+    * unfiltered sizes — marker_parsing.py:157-175), NOT applied
+    * sequentially: with both thresholds set, a sequential composition
+    * would compute the std floor over the already-bimodality-filtered
+    * sizes and diverge. */
   def removeSmallDetections(df: DataFrame, sizeCol: String,
                             sizeStdThreshold: Option[Double] = None,
                             bimodalStdThreshold: Option[Double] = Some(2.5),
@@ -98,27 +105,23 @@ object MarkerParsing {
                             aspectType: String = "x/y",
                             keepLessThan: Boolean = true): DataFrame = {
     val withSz = sizeAspect(df, sizeCol, aspectType)
-    val afterBimodal = bimodalStdThreshold match {
-      case Some(k) => ClusterOps.bimodalitySplit(withSz, "marker_size", k)
-      case None => withSz
+    val sz = col("marker_size").cast("double")
+    val bimodalPred: Option[Column] = bimodalStdThreshold.flatMap { k =>
+      val vals = withSz.select(sz).na.drop().collect().map(_.getDouble(0))
+      LocalDbscan.bimodalCut(vals, k).map(cut => sz >= cut)
     }
-    val afterStd = sizeStdThreshold match {
-      case Some(k) =>
-        val r = afterBimodal.agg(
-          expr("percentile(marker_size, 0.5)"),
-          // population std, numpy np.std semantics
-          sqrt(avg(col("marker_size") * col("marker_size")) -
-            avg(col("marker_size")) * avg(col("marker_size")))).first()
-        val floor = r.getDouble(0) - r.getDouble(1) * k
-        afterBimodal.filter(col("marker_size") > floor)
-      case None => afterBimodal
+    val stdPred: Option[Column] = sizeStdThreshold.map { k =>
+      val r = withSz.agg(
+        expr("percentile(marker_size, 0.5)"),
+        // population std, numpy np.std semantics
+        sqrt(avg(col("marker_size") * col("marker_size")) -
+          avg(col("marker_size")) * avg(col("marker_size")))).first()
+      sz > (r.getDouble(0) - r.getDouble(1) * k)
     }
-    aspectThreshold match {
-      case Some(t) =>
-        if (keepLessThan) afterStd.filter(col("marker_aspect") < t)
-        else afterStd.filter(col("marker_aspect") > t)
-      case None => afterStd
+    val aspectPred: Option[Column] = aspectThreshold.map { t =>
+      if (keepLessThan) col("marker_aspect") < t else col("marker_aspect") > t
     }
+    (bimodalPred.toSeq ++ stdPred ++ aspectPred).foldLeft(withSz)(_ filter _)
   }
 
   /** The full marker-cleaning composition (filter_and_cluster):

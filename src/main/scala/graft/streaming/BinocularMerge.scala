@@ -112,23 +112,62 @@ object BinocularMerge {
     }
   }
 
+  /** Internal row shape carrying the event-time column the watermark is
+    * defined on (timestamp seconds → TimestampType). Public only because
+    * encoder codegen must reach it. */
+  case class PupilEt(session: String, timestamp: Double, id: Int,
+                     x: Double, y: Double, confidence: Double,
+                     event_time: java.sql.Timestamp)
+
   /** Streaming: same FSM as managed group state (queues + EMA). Assumes
     * per-session timestamp-ordered arrival (the reference makes the same
     * assumption for its online path); out-of-order data should be
-    * pre-sorted by a watermark stage. */
-  def mergeStream(pupils: Dataset[Pupil]): Dataset[Gaze] = {
+    * pre-sorted by a watermark stage.
+    *
+    * State is BOUNDED: sessions idle for more than `idleTimeoutSec` of
+    * EVENT time (watermark-driven) are evicted — their queued pupils drain
+    * monocularly (the same shape as the queue-overflow drain) and the
+    * group state is removed, so session-churn streams don't accumulate
+    * dead state. A session that resumes after eviction restarts with a
+    * fresh EMA, exactly like a new session. */
+  def mergeStream(pupils: Dataset[Pupil], idleTimeoutSec: Double = 600.0,
+                  watermarkDelay: String = "10 seconds"): Dataset[Gaze] = {
     import pupils.sparkSession.implicits._
-    pupils.groupByKey(_.session)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: String, it: Iterator[Pupil], state: GroupState[MergeState]) => {
-          var st = state.getOption.getOrElse(
-            MergeState(Nil, Nil, InitialFrameInterval))
-          val out = mutable.ArrayBuffer[Gaze]()
-          it.toSeq.sortBy(_.timestamp).foreach { p =>
-            val (g, st2) = step(st, p); out ++= g; st = st2
+    val idleMillis = (idleTimeoutSec * 1000.0).toLong
+    // event_time is only watermark/timeout bookkeeping; the constant shift
+    // keeps sessions whose clock starts at 0 (epoch) above the operator's
+    // initial watermark, which silently drops rows at/below it
+    val etOffsetSec = 86400.0
+    pupils
+      .withColumn("event_time",
+        (col("timestamp") + etOffsetSec).cast("timestamp"))
+      .as[PupilEt]
+      .withWatermark("event_time", watermarkDelay)
+      .groupByKey(_.session)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (_: String, it: Iterator[PupilEt], state: GroupState[MergeState]) => {
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            ((st.eye0 ++ st.eye1).sortBy(_.timestamp).map(p =>
+              Gaze(p.session, p.timestamp, s"gaze.2d.${p.id}.", p.confidence,
+                p.x, p.y, p.x, p.y, binocular = false))).iterator
+          } else {
+            var st = state.getOption.getOrElse(
+              MergeState(Nil, Nil, InitialFrameInterval))
+            val out = mutable.ArrayBuffer[Gaze]()
+            val batch = it.toSeq.sortBy(_.timestamp)
+            batch.foreach { p =>
+              val (g, st2) = step(st,
+                Pupil(p.session, p.timestamp, p.id, p.x, p.y, p.confidence))
+              out ++= g; st = st2
+            }
+            state.update(st)
+            if (batch.nonEmpty)
+              state.setTimeoutTimestamp(
+                ((batch.last.timestamp + etOffsetSec) * 1000.0).toLong + idleMillis)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
         })
   }
 

@@ -44,6 +44,50 @@ class MarkerParsingSpec extends SparkSpec {
     assert(kept.length == 40)
   }
 
+  test("conjunctive masks: std floor comes from the FULL set, not post-bimodality") {
+    // bimodal sizes: 30 big (~0.06) + 10 small (~0.01). The full-set std
+    // (~0.022) puts the k=1 floor at median−std ≈ 0.038: small mode dropped
+    // by BOTH masks. A sequential composition would recompute std over the
+    // big mode only (~0.001) and keep every big row regardless — same here —
+    // but with k large enough the full-set floor keeps all 40 while the
+    // bimodality mask still cuts: intersection ≠ composition is covered by
+    // asserting the exact kept set under both thresholds.
+    val rows = Seq.tabulate(30)(i => (i.toDouble, Seq(0.06 + 1e-4 * i, 0.06))) ++
+      Seq.tabulate(10)(i => (100.0 + i, Seq(0.01 + 1e-4 * i, 0.01)))
+    val df = rows.toDF("timestamp", "size")
+    val out = MarkerParsing.removeSmallDetections(df, "size",
+      sizeStdThreshold = Some(1.0), bimodalStdThreshold = Some(2.5),
+      aspectThreshold = None)
+    val kept = out.select("timestamp").collect().map(_.getDouble(0)).sorted
+    assert(kept.length == 30 && kept.forall(_ < 100.0))
+    // replicate the reference's mask arithmetic on the driver
+    val sizes = rows.map { case (_, s) => (s(0) + s(1)) / 2.0 }
+    val med = sizes.sorted.apply(20 - 1) // n=40 → median = avg of 20th/21st
+    val med2 = (med + sizes.sorted.apply(20)) / 2.0
+    val mu = sizes.sum / sizes.length
+    val sd = math.sqrt(sizes.map(v => (v - mu) * (v - mu)).sum / sizes.length)
+    val floor = med2 - sd * 1.0
+    assert(sizes.count(_ > floor) == 30) // full-set floor alone cuts the small mode
+  }
+
+  test("grouped bimodality equals the driver split per group (A6 scale form)") {
+    // g1 bimodal (keeps the large mode), g2 unimodal (kept whole)
+    val g1 = Seq.tabulate(30)(i => ("g1", 0.06 + 1e-4 * i)) ++
+      Seq.tabulate(10)(i => ("g1", 0.01 + 1e-4 * i))
+    val g2 = Seq.tabulate(20)(i => ("g2", 0.05 + 1e-4 * i))
+    val df = (g1 ++ g2).toDF("g", "v")
+    val grouped = graft.operators.ClusterOps
+      .bimodalitySplitGrouped(df, Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sorted
+    val expected = (
+      graft.operators.ClusterOps.bimodalitySplit(g1.toDF("g", "v"), "v")
+        .collect().map(r => (r.getString(0), r.getDouble(1))) ++
+      graft.operators.ClusterOps.bimodalitySplit(g2.toDF("g", "v"), "v")
+        .collect().map(r => (r.getString(0), r.getDouble(1)))).sorted
+    assert(grouped.toSeq == expected.toSeq)
+    assert(grouped.count(_._1 == "g1") == 30 && grouped.count(_._1 == "g2") == 20)
+  }
+
   test("filterAndCluster end-to-end on a planted two-epoch session") {
     // two epochs 60 s apart, each with 2 spatial clusters at 30 Hz
     val fps = 30.0

@@ -74,6 +74,35 @@ class BinocularMergeSpec extends SparkSpec {
       batch.map(g => (g.timestamp, g.topic, g.binocular)))
   }
 
+  test("idle sessions are evicted by the event-time timeout (queues drained mono)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Pupil]
+    val query = mergeStream(input.toDS(), idleTimeoutSec = 5.0,
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("gaze_evict")
+      .outputMode("append").start()
+    // session a: 3 eye0-only pupils — nothing pairs, all three sit queued
+    input.addData(Seq(
+      Pupil("a", 0.00, 0, 0.1, 0.1, 0.9),
+      Pupil("a", 0.01, 0, 0.1, 0.1, 0.9),
+      Pupil("a", 0.02, 0, 0.1, 0.1, 0.9)))
+    query.processAllAvailable()
+    assert(spark.table("gaze_evict")
+      .filter(org.apache.spark.sql.functions.col("session") === "a").count() == 0)
+    // session b far in the future advances the watermark past a's timeout …
+    input.addData(Seq(Pupil("b", 100.0, 0, 0.2, 0.2, 0.9)))
+    query.processAllAvailable()
+    // … and the next micro-batch fires a's timeout: queued rows drain mono
+    input.addData(Seq(Pupil("b", 101.0, 0, 0.2, 0.2, 0.9)))
+    query.processAllAvailable()
+    query.stop()
+    val drained = spark.table("gaze_evict").as[Gaze].collect()
+      .filter(_.session == "a").sortBy(_.timestamp)
+    assert(drained.length == 3)
+    assert(drained.forall(g => !g.binocular && g.topic == "gaze.2d.0."))
+  }
+
   test("applyModels routes binocular vs per-eye models") {
     import spark.implicits._
     import graft.model.{PolyBinocularModel, PolyMapModel}
