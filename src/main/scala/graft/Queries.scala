@@ -279,8 +279,10 @@ object Queries {
     val df = ev(s, dir).select(col("user_id"), col("t"))
       .withColumn("rn", row_number().over(w))
       .withColumn("d", element_at(typedLit(pattern), (col("rn") % 33) + 1))
+    // thresholds scaled to the planted fixture's units (the detect_blinks
+    // defaults ±0.02 are for real eyelid-distance series)
     LabelingOps.blinkSegments(df.select(col("user_id"), col("t"), col("d")),
-      "t", "d", Seq("user_id"), fps = 120.0)
+      "t", "d", Seq("user_id"), fps = 120.0, negVel = -0.15, posVel = 0.15)
   }
 
   /** W6: saccade segments from the value gradient (rows-only check). */

@@ -8,8 +8,8 @@ import graft.operators.AsOfJoin
 /** M9: the calibration orchestrator — "fit small, apply big".
   *
   * Mirrors the reference `Calibration` class (calibration.py:467-720):
-  *  1. J1 time-match pupils to calibration-marker timestamps (median of all
-  *     pupil rows within ± half the median marker frame interval);
+  *  1. J2 nearest-frame match of pupils to calibration-marker timestamps
+  *     (match_time_points with window=None, calibration.py:534);
   *  2. confidence filter (default 0.75, the default pipeline tag
   *     pipelines.py:560-568);
   *  3. cluster-reduce to one (marker, pupil) pair per marker cluster
@@ -44,22 +44,21 @@ object Calibrator {
     * pupils:  timestamp, norm_x, norm_y, confidence
     */
   def matchedPoints(markers: DataFrame, pupils: DataFrame, cfg: Config): DataFrame = {
-    // A11: matching window = half the median inter-marker interval
-    // (marker_parsing.py:554-556)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("timestamp"))
-    val dts = markers
-      .withColumn("_dt", col("timestamp") - lag(col("timestamp"), 1).over(w))
-      .filter(col("_dt").isNotNull)
-    val halfMedianDt =
-      dts.select(expr("percentile(_dt, 0.5)")).first().getDouble(0) / 2.0
-
-    val matched = AsOfJoin.windowAgg(
-      markers, pupils.select(col("timestamp"), col("norm_x"), col("norm_y"), col("confidence")),
-      "timestamp", "timestamp", Nil, halfMedianDt, Seq(
-        expr("percentile(r_norm_x, 0.5)").as("px"),
-        expr("percentile(r_norm_y, 0.5)").as("py"),
-        expr("percentile(r_confidence, 0.5)").as("p_conf")))
-      .filter(col("p_conf") > cfg.minConfidence)
+    // NEAREST-frame matching: the executed calibration path calls
+    // match_time_points with window=None (calibration.py:534 →
+    // utils.py:78-105) — argmin |t_pupil − t_marker| per marker row, all
+    // pupil fields taken from that single row. The confidence gate then
+    // applies to the MATCHED rows (calibration.py:555-560). The
+    // windowed-median variant (marker_parsing.py:554-556) sits in a branch
+    // that raises NotImplementedError and is deliberately not used here.
+    // Same J2 union-sort idiom as ErrorMap.compute.
+    val matched = AsOfJoin.nearest(
+        markers,
+        pupils.select(col("timestamp"), col("norm_x").as("pnx"),
+          col("norm_y").as("pny"), col("confidence")),
+        "timestamp", "timestamp", Nil, rightPrefix = "p_")
+      .filter(col("p_confidence") > cfg.minConfidence)
+      .withColumnRenamed("p_pnx", "px").withColumnRenamed("p_pny", "py")
 
     if (cfg.clusterReduce && matched.columns.contains("marker_cluster_index"))
       matched.groupBy(col("marker_cluster_index")).agg(
@@ -91,9 +90,13 @@ object Calibrator {
     case "monocular_tps_cv" =>
       Some(fitTpsCv(pxy, mx, my, cfg.lambdas, cfg.maxStdsForOutliers))
     case "monocular_rbf_cv" =>
-      // M7: grid over kernels × smoothnesses, LOO RMS (calibration.py:239-313)
-      val kernels = Seq("multiquadric", "linear", "cubic", "thin_plate")
-      val smooths = Array.tabulate(10)(i => -0.001 + (10.0 + 0.001) * i / 9)
+      // M7: the reference's exact grid (calibration.py:239-245):
+      // smoothnesses np.linspace(-0.001, 10, 100) OUTER × methods
+      // ['thin-plate','multiquadric','linear','cubic'] inner — argmin over
+      // errors[s, m] row-major, so first-minimum tie-break follows the
+      // same iteration order
+      val kernels = Seq("thin_plate", "multiquadric", "linear", "cubic")
+      val smooths = Array.tabulate(100)(i => -0.001 + (10.0 + 0.001) * i / 99)
       val (k, s, _) = Rbf.looSelect(pxy, mx, my, kernels, smooths.toSeq)
       Some(RbfMapModel(Rbf.fit(pxy, mx, k, s), Rbf.fit(pxy, my, k, s)))
     case other =>

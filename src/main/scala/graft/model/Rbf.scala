@@ -56,14 +56,16 @@ object Rbf {
     Model(xy, w.toArray, kernel, e)
   }
 
-  /** LOO-CV over (method × smoothness) grid, RMS of the joint 2-D residual
+  /** LOO-CV over the (smoothness × method) grid — smoothness-OUTER, the
+    * reference's errors[s, m] layout — RMS of the joint 2-D residual
     * (x and y maps fitted with the same hyperparameters); first minimum
-    * wins (numpy argmin). Returns (bestKernel, bestSmooth, errors). */
+    * in row-major order wins (np.unravel_index(errors.argmin())).
+    * Returns (bestKernel, bestSmooth, errors). */
   def looSelect(pxy: Array[Array[Double]], mx: Array[Double], my: Array[Double],
                 kernels: Seq[String], smoothnesses: Seq[Double]):
       (String, Double, Array[Double]) = {
     val n = pxy.length
-    val grid = for (k <- kernels; s <- smoothnesses) yield (k, s)
+    val grid = for (s <- smoothnesses; k <- kernels) yield (k, s)
     val errs = grid.map { case (k, s) =>
       var sum = 0.0
       var j = 0

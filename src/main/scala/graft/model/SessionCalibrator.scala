@@ -18,23 +18,27 @@ import org.apache.spark.sql.functions._
   */
 object SessionCalibrator {
 
-  /** Distributed cluster-median reduction per session: markers/pupils
-    * matched within each session by the J1 windowed as-of join, reduced
-    * to one (pupil, marker) pair per (session, cluster). */
+  /** Distributed cluster-median reduction per session: each session's
+    * markers nearest-matched to pupils (match_time_points window=None
+    * parity, same as Calibrator.matchedPoints) via the keyed J2 union-sort
+    * join, confidence-gated on the matched rows, reduced to one
+    * (pupil, marker) pair per (session, cluster). `window` bounds the
+    * nearest match (a marker whose closest pupil is further than `window`
+    * away is dropped) — corpus hygiene for sessions with pupil dropouts;
+    * pass Double.MaxValue for the reference's unbounded behavior. */
   def reducedPoints(markers: DataFrame, pupils: DataFrame,
                     sessionCol: String, window: Double,
                     minConfidence: Double): DataFrame = {
     import graft.operators.AsOfJoin
-    val matched = AsOfJoin.windowAgg(
+    val matched = AsOfJoin.nearest(
       markers.select(col(sessionCol), col("timestamp"), col("norm_x"),
         col("norm_y"), col("marker_cluster_index")),
       pupils.select(col(sessionCol), col("timestamp"),
-        col("norm_x"), col("norm_y"), col("confidence")),
-      "timestamp", "timestamp", Seq(sessionCol), window, Seq(
-        expr("percentile(r_norm_x, 0.5)").as("px"),
-        expr("percentile(r_norm_y, 0.5)").as("py"),
-        expr("percentile(r_confidence, 0.5)").as("p_conf")))
-      .filter(col("p_conf") > minConfidence)
+        col("norm_x").as("pnx"), col("norm_y").as("pny"), col("confidence")),
+      "timestamp", "timestamp", Seq(sessionCol), rightPrefix = "p_",
+      tolerance = Some(window))
+      .filter(col("p_confidence") > minConfidence)
+      .withColumnRenamed("p_pnx", "px").withColumnRenamed("p_pny", "py")
     matched.groupBy(col(sessionCol), col("marker_cluster_index")).agg(
       expr("percentile(norm_x, 0.5)").as("mx"),
       expr("percentile(norm_y, 0.5)").as("my"),

@@ -31,13 +31,17 @@ object LabelingOps {
   }
 
   /** The reference FSM, verbatim semantics over one series: returns
-    * [start, end) index pairs of detected blinks (labeling.py:310-371). */
+    * [start, end) index pairs of detected blinks (labeling.py:310-371).
+    * Velocity-threshold defaults ±0.02 follow the public `detect_blinks`
+    * entry point (labeling.py:377-378); the GitW-derived module constants
+    * (−0.74 / +0.59, labeling.py:304-309) are the `_detect_blinks_eyevel`
+    * internal defaults — pass them explicitly for that variant. */
   def blinkFsm(
       eyelidDist: Array[Double], fps: Double,
       minClosingMs: Double = 10, maxClosingMs: Double = 250,
       maxClosureMs: Double = 17, minOpeningMs: Double = 30,
       minBlinkMs: Double = 16, maxBlinkMs: Double = 500,
-      negVel: Double = -0.15, posVel: Double = 0.15): Seq[(Int, Int)] = {
+      negVel: Double = -0.02, posVel: Double = 0.02): Seq[(Int, Int)] = {
     val vel = gradient1(eyelidDist)
     val msPerFrame = 1000.0 / fps
     val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
@@ -84,7 +88,7 @@ object LabelingOps {
     * duration, n_frames. */
   def blinkSegments(df: DataFrame, tsCol: String, distCol: String,
                     groupCols: Seq[String], fps: Double = 120.0,
-                    negVel: Double = -0.15, posVel: Double = 0.15): DataFrame = {
+                    negVel: Double = -0.02, posVel: Double = 0.02): DataFrame = {
     val spark = df.sparkSession
     val tsIdx = df.schema.fieldIndex(tsCol)
     val dIdx = df.schema.fieldIndex(distCol)

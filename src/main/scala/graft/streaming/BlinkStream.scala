@@ -31,7 +31,7 @@ object BlinkStream {
   def horizonFrames(fps: Double): Int = math.ceil(fps * 0.75).toInt + 2
 
   def mergeStream(frames: Dataset[Frame], fps: Double = 120.0,
-                  negVel: Double = -0.15, posVel: Double = 0.15): Dataset[Blink] = {
+                  negVel: Double = -0.02, posVel: Double = 0.02): Dataset[Blink] = {
     import frames.sparkSession.implicits._
     val horizon = horizonFrames(fps)
     frames.groupByKey(_.session)
@@ -63,7 +63,7 @@ object BlinkStream {
   /** Flush helper for batch-driven tests / end-of-stream: run the FSM over
     * whatever remains in a buffer with no horizon. */
   def drain(session: String, st: BufState, fps: Double,
-            negVel: Double = -0.15, posVel: Double = 0.15): Seq[Blink] =
+            negVel: Double = -0.02, posVel: Double = 0.02): Seq[Blink] =
     LabelingOps.blinkFsm(st.dist, fps, negVel = negVel, posVel = posVel)
       .map { case (s, e) =>
         Blink(session, st.ts(s), st.ts(e - 1), st.ts(e - 1) - st.ts(s),

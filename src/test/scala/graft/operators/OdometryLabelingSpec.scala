@@ -57,7 +57,7 @@ class OdometryLabelingSpec extends SparkSpec {
     val dist = Array.fill(10)(1.4) ++
       Array(1.15, 0.9, 0.65, 0.4, 0.15, 0.15) ++
       Array(0.35, 0.55, 0.75, 0.95, 1.15, 1.35, 1.4) ++ Array.fill(10)(1.4)
-    val segs = LabelingOps.blinkFsm(dist, fps = 120.0)
+    val segs = LabelingOps.blinkFsm(dist, fps = 120.0, negVel = -0.15, posVel = 0.15)
     assert(segs == Seq((10, 20)))
   }
 
@@ -70,7 +70,8 @@ class OdometryLabelingSpec extends SparkSpec {
       (d, i) <- dist.zipWithIndex
     } yield (eye, i / 120.0, d)
     val df = rows.toDF("eye", "t", "d")
-    val out = LabelingOps.blinkSegments(df, "t", "d", Seq("eye"))
+    val out = LabelingOps.blinkSegments(df, "t", "d", Seq("eye"),
+        negVel = -0.15, posVel = 0.15)
       .orderBy("eye").collect()
     assert(out.length == 2)
     out.foreach { r =>

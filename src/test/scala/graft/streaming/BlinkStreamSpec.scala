@@ -23,7 +23,7 @@ class BlinkStreamSpec extends SparkSpec {
       Frame("e0", i / 120.0, d)
     }
     val input = MemoryStream[Frame]
-    val q = mergeStream(input.toDS()).writeStream
+    val q = mergeStream(input.toDS(), negVel = -0.15, posVel = 0.15).writeStream
       .format("memory").queryName("blinks")
       .outputMode("append").start()
     // three uneven micro-batches, splits inside quiet zones and mid-blink
@@ -33,7 +33,7 @@ class BlinkStreamSpec extends SparkSpec {
     q.stop()
     val streamed = spark.table("blinks").as[Blink].collect()
       .sortBy(_.onset)
-    val batch = LabelingOps.blinkFsm(dist, 120.0)
+    val batch = LabelingOps.blinkFsm(dist, 120.0, negVel = -0.15, posVel = 0.15)
     // streaming emits all blinks fully inside the safe prefix; the final
     // horizon (last ~92 frames) may hold the tail blinks back
     assert(streamed.nonEmpty)
@@ -55,7 +55,7 @@ class BlinkStreamSpec extends SparkSpec {
     val dist = series(8)
     val frames = dist.zipWithIndex.map { case (d, i) => Frame("x", i / 120.0, d) }
     val input = MemoryStream[Frame]
-    val q = mergeStream(input.toDS()).writeStream
+    val q = mergeStream(input.toDS(), negVel = -0.15, posVel = 0.15).writeStream
       .format("memory").queryName("blinks2")
       .outputMode("append").start()
     frames.grouped(25).foreach { chunk =>
