@@ -88,6 +88,20 @@ object MarkerParsing {
       .withColumn("marker_aspect", aspect)
   }
 
+  /** P5 checkerboard variant: derive the `size` array from the
+    * corner-extent ptp of the checkerboard corner grid, with the x extent
+    * scaled by the image aspect ratio — norm_pos is 0-1 on both axes, so
+    * marker aspect is wrong without the correction
+    * (marker_parsing.py:150-156). Output feeds [[sizeAspect]] /
+    * [[removeSmallDetections]] exactly like the circles path. */
+  def checkerboardSize(df: DataFrame,
+                       cornersCol: String = "norm_pos_full_checkerboard",
+                       imageAspectRatio: Double = 4.0 / 3.0): DataFrame = {
+    def axis(i: Int) = transform(col(cornersCol), c => element_at(c, i))
+    def ptp(i: Int) = array_max(axis(i)) - array_min(axis(i))
+    df.withColumn("size", array(ptp(1) * imageAspectRatio, ptp(2)))
+  }
+
   /** P7: remove small/oblique detections — bimodality keep-larger-mode
     * (A6, driver-side 2-means on the collected size column), optional
     * median−k·std size floor, aspect-ratio gate (:114-184).

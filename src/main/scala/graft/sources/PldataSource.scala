@@ -87,12 +87,19 @@ object PldataSource {
     }
   }
 
+  /** Read a topic with a [[graft.schemas.Schemas]] catalog StructType
+    * (timestamp supplied by the .npy sidecar). */
+  def readAs(spark: SparkSession, dir: String, topic: String,
+             schema: StructType): DataFrame =
+    read(spark, dir, topic, graft.schemas.Schemas.pldataFields(schema))
+
   private def convert(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (x: Long, DoubleType) => x.toDouble
     case (x: Double, DoubleType) => x
     case (x: Long, LongType) => x
     case (x: Double, LongType) => x.toLong
+    case (x: Long, IntegerType) => x.toInt
     case (x: String, StringType) => x
     case (x: Vector[_], ArrayType(DoubleType, _)) =>
       x.map {
@@ -100,6 +107,11 @@ object PldataSource {
         case l: Long => l.toDouble
         case other => Double.NaN
       }
+    case (x: Vector[_], ArrayType(inner, _)) => x.map(convert(_, inner))
+    // nested detector dicts (e.g. the pupil `ellipse` struct)
+    case (x: Map[_, _], st: StructType) =>
+      val m = x.asInstanceOf[Map[String, Any]]
+      Row.fromSeq(st.fields.toSeq.map(f => convert(m.get(f.name).orNull, f.dataType)))
     case (x, StringType) => String.valueOf(x)
     case (x, _) =>
       throw new IllegalArgumentException(s"cannot convert $x to $dt")
@@ -114,13 +126,16 @@ object PldataSource {
     val rows = df.collect()
     val tsIdx = df.schema.fieldIndex("timestamp")
     val out = new java.io.ByteArrayOutputStream()
+    // nested structs (e.g. the pupil ellipse) → msgpack maps
+    def plain(v: Any): Any = v match {
+      case r: Row => r.schema.fields.zipWithIndex
+        .map { case (f, i) => f.name -> plain(r.get(i)) }.toMap
+      case s: collection.Seq[_] => s.map(plain)
+      case x => x
+    }
     val ts = rows.map { r =>
       val payload: Map[String, Any] = df.schema.fields.zipWithIndex.collect {
-        case (f, i) if f.name != "topic" =>
-          f.name -> (r.get(i) match {
-            case s: collection.Seq[_] => s
-            case x => x
-          })
+        case (f, i) if f.name != "topic" => f.name -> plain(r.get(i))
       }.toMap
       out.write(MsgPack.pack((topic, MsgPack.pack(payload))))
       r.getDouble(tsIdx)

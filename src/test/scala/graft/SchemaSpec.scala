@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.schemas.Schemas
+
+/** SURVEY §1.2 catalog: every promised StructType exists, matches the
+  * reference's field inventory, and round-trips through the sources and
+  * operators that produce/consume it. */
+class SchemaSpec extends SparkSpec {
+  import spark.implicits._
+
+  def names(s: StructType): Seq[String] = s.fields.map(_.name).toSeq
+
+  test("catalog field inventory matches SURVEY §1.2") {
+    assert(names(Schemas.pupil) == Seq("timestamp", "norm_pos", "confidence",
+      "diameter", "ellipse", "luminance", "id"))
+    assert(Schemas.pupil("ellipse").dataType == Schemas.ellipse)
+    assert(names(Schemas.pupilPylids).takeRight(3) ==
+      Seq("dlc_kpts_x", "dlc_kpts_y", "dlc_confidence"))
+    assert(names(Schemas.markerCircles) ==
+      Seq("timestamp", "location", "norm_pos", "size"))
+    assert(names(Schemas.markerCheckerboard) == Seq("timestamp",
+      "location_full_checkerboard", "norm_pos_full_checkerboard",
+      "location", "norm_pos"))
+    assert(names(Schemas.clusteredMarker).last == "marker_cluster_index")
+    assert(names(Schemas.gaze) == Seq("timestamp", "norm_pos", "confidence"))
+    assert(names(Schemas.gazeBinocular).takeRight(2) == Seq("topic", "base_data"))
+    assert(Schemas.gazeBinocular("base_data").dataType ==
+      ArrayType(Schemas.pupil))
+    assert(names(Schemas.odometry).takeRight(4) ==
+      Seq("absolute_linear_velocity", "roll", "pitch", "yaw"))
+    assert(names(Schemas.segment) == Seq("onset", "offset", "duration"))
+    assert(names(Schemas.calibrationModel).head == "model_type")
+    assert(names(Schemas.errorGrid) == Seq("y", "x", "err"))
+  }
+
+  test("opencvEllipse emits the catalog ellipse struct") {
+    val df = Seq((10.0, 20.0, 3.5, 5.0, 2.0))
+      .toDF("cx", "cy", "minor_r", "major_r", "angle_rad")
+    val out = graft.operators.EllipseGeometry.opencvEllipse(df,
+      "cx", "cy", "minor_r", "major_r", "angle_rad")
+    assert(out.schema("ellipse").dataType.asInstanceOf[StructType]
+      .fields.map(f => (f.name, f.dataType.catalogString)).toSeq ==
+      Schemas.ellipse.fields.map(f => (f.name, f.dataType.catalogString)).toSeq)
+  }
+
+  test("pldata round-trip with the pupil catalog schema (nested ellipse)") {
+    val dir = java.nio.file.Files.createTempDirectory("pldata_schema").toString
+    val rows = Seq(
+      (0.1, Seq(0.5, 0.5), 0.9, 30.0, ((Seq(10.0, 20.0), Seq(7.0, 10.0), 24.5)), 0.4, 0),
+      (0.2, Seq(0.6, 0.4), 0.8, 31.0, ((Seq(11.0, 21.0), Seq(6.0, 9.0), 20.0)), 0.5, 1))
+    val df = rows.toDF("timestamp", "norm_pos", "confidence", "diameter",
+        "ellipse", "luminance", "id")
+      .withColumn("ellipse", col("ellipse").cast(Schemas.ellipse))
+      .withColumn("topic", lit("pupil"))
+    graft.sources.PldataSource.write(df, dir, "pupil")
+    val back = graft.sources.PldataSource.readAs(spark, dir, "pupil", Schemas.pupil)
+    assert(back.schema("ellipse").dataType == Schemas.ellipse)
+    val got = back.orderBy("timestamp").collect()
+    assert(got.length == 2)
+    val e0 = got(0).getAs[org.apache.spark.sql.Row]("ellipse")
+    assert(e0.getAs[scala.collection.Seq[Double]]("center").toSeq == Seq(10.0, 20.0))
+    assert(e0.getAs[Double]("angle") == 24.5)
+    assert(got(0).getAs[Int]("id") == 0 && got(1).getAs[Int]("id") == 1)
+    assert(got(1).getAs[Double]("luminance") == 0.5)
+  }
+
+  test("checkerboard corner-ptp size (P5 variant) feeds the P7 gate") {
+    // 2×2 corner grid spanning 0.3 in x, 0.3 in y → size (0.4, 0.3) after
+    // the 4/3 x-aspect correction; aspect x/y = 4/3 > 1.2 → gated out
+    val corners = Seq(Seq(0.1, 0.2), Seq(0.4, 0.2), Seq(0.1, 0.5), Seq(0.4, 0.5))
+    // square grid 0.3×0.4 → size (0.4, 0.4), aspect 1.0 → kept
+    val square = Seq(Seq(0.1, 0.1), Seq(0.4, 0.1), Seq(0.1, 0.5), Seq(0.4, 0.5))
+    val df = Seq((1.0, corners), (2.0, square))
+      .toDF("timestamp", "norm_pos_full_checkerboard")
+    val sized = graft.operators.MarkerParsing.checkerboardSize(df)
+    val s = sized.orderBy("timestamp").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("size").toSeq)
+    assert(math.abs(s(0)(0) - 0.4) < 1e-12 && s(0)(1) == 0.3)
+    assert(math.abs(s(1)(0) - 0.4) < 1e-12 && s(1)(1) == 0.4)
+    val kept = graft.operators.MarkerParsing.removeSmallDetections(
+        sized, "size", bimodalStdThreshold = None)
+      .select("timestamp").collect().map(_.getDouble(0)).toSeq
+    assert(kept == Seq(2.0))
+  }
+}
