@@ -263,6 +263,71 @@ object Oracles {
         |    * 5.729577951308232e1, 6) + 0.0e0 AS yaw
         |FROM r""".stripMargin,
 
+    // W3 mirror: dedup exact (user, t) duplicates (mode 'all') → presence
+    // RLE over the per-user event clock → duration gate > 0.6 s →
+    // keep marker rows inside surviving segments. The snap step is the
+    // identity here (marker timestamps are a subset of the clock).
+    "w3_remove_brief" ->
+      """WITH m0 AS (SELECT user_id, event_id, epoch(ts) AS t FROM events
+        |  WHERE value > 20),
+        |d AS (SELECT user_id, event_id, t FROM (
+        |  SELECT *, count(*) OVER (PARTITION BY user_id, t) AS c FROM m0)
+        |  WHERE c = 1),
+        |c0 AS (SELECT user_id, epoch(ts) AS ct FROM events),
+        |mk AS (SELECT c0.user_id, c0.ct,
+        |    CASE WHEN p.t IS NOT NULL THEN 1 ELSE 0 END AS onf
+        |  FROM c0 LEFT JOIN (SELECT DISTINCT user_id, t FROM d) p
+        |    ON c0.user_id = p.user_id AND c0.ct = p.t),
+        |e AS (SELECT *, CASE WHEN onf <> coalesce(lag(onf) OVER
+        |    (PARTITION BY user_id ORDER BY ct), 0) THEN 1 ELSE 0 END AS edge
+        |  FROM mk),
+        |r AS (SELECT *, sum(edge) OVER (PARTITION BY user_id ORDER BY ct
+        |    ROWS UNBOUNDED PRECEDING) AS run FROM e),
+        |seg AS (SELECT user_id, min(ct) AS onset, max(ct) AS offset
+        |  FROM r WHERE onf = 1 GROUP BY user_id, run
+        |  HAVING max(ct) - min(ct) > 0.6)
+        |SELECT d.user_id, d.event_id, d.t
+        |FROM d JOIN seg ON d.user_id = seg.user_id
+        |  AND d.t >= seg.onset AND d.t <= seg.offset""".stripMargin,
+
+    // W5 analytic oracle: the planted eyelid pattern repeats every 33
+    // frames with one blink at positions 10-19, so the FSM's output is
+    // known in closed form: onset at rn ≡ 10 (mod 33), offset 9 frames
+    // later, 10 frames labeled; a blink is emitted iff the series extends
+    // ≥ 12 frames past onset (the FSM's opening-exit horizon on this
+    // pattern — verified against the scalar FSM at both sf0.001/sf0.01).
+    "w5_blink_segments" ->
+      """WITH s AS (SELECT user_id, epoch(ts) AS t,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch(ts))
+        |      AS rn
+        |  FROM events),
+        |mx AS (SELECT user_id, max(rn) AS mr FROM s GROUP BY user_id),
+        |o AS (SELECT user_id, rn, t AS onset FROM s WHERE rn % 33 = 10)
+        |SELECT o.user_id, o.onset, f.t AS offset,
+        |  f.t - o.onset AS duration, CAST(10 AS BIGINT) AS n_frames
+        |FROM o
+        |JOIN s f ON f.user_id = o.user_id AND f.rn = o.rn + 9
+        |JOIN mx ON mx.user_id = o.user_id AND mx.mr >= o.rn + 12""".stripMargin,
+
+    // A6 analytic oracle: the planted mixture separates by ~10 ≫ 2.5σ of
+    // either mode, so the 2-means cut always lands between the modes and
+    // the surviving rows are exactly the 1-in-10 high-mode rows.
+    "a6_bimodality" ->
+      """SELECT event_id, value / 1.0e3 + 1.0e1 AS sz FROM events
+        |WHERE event_id % 10 = 0""".stripMargin,
+
+    // Multimodal stub-decode oracle: the 16-bin byte histogram normalizes
+    // to 1 and round(hist[3]·n) recovers the exact byte count of bytes
+    // ≡ 3 (mod 16) — ASCII corpus, so ascii() = byte value.
+    "multimodal_features" ->
+      """WITH d AS (SELECT doc_id AS media_id, text,
+        |    octet_length(text::BLOB) AS n FROM documents)
+        |SELECT media_id, CAST(16 AS INT) AS dim,
+        |  CASE WHEN n > 0 THEN 1.0e0 ELSE 0.0e0 END AS feat_sum,
+        |  len(list_filter(range(1, n + 1),
+        |    i -> (ascii(substr(text, i, 1)) % 16) = 3)) AS bin3_count
+        |FROM d""".stripMargin,
+
     "w6_saccade_segments" ->
       """WITH s AS (SELECT user_id, epoch(ts) AS t, value FROM events),
         |d AS (SELECT *,

@@ -474,12 +474,20 @@ object Queries {
     * deterministic byte-histogram stand-in, see MultimodalOps). */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.MultimodalOps
-    val media = MultimodalOps.packAsMedia(
-      Tables.documents(s, dir), "doc_id", "text")
+    val docs = Tables.documents(s, dir)
+    val media = MultimodalOps.packAsMedia(docs, "doc_id", "text")
+    // byte length joined back so the bin count un-normalizes exactly:
+    // round(hist[3] · n) recovers the integer byte count, giving the
+    // oracle an exact value to match (float32 noise < rounding slack)
+    val lens = docs.select(col("doc_id").cast("long").as("media_id"),
+      octet_length(col("text")).cast("double").as("_n"))
     MultimodalOps.extractFeatures(media)
+      .join(lens, "media_id")
       .select(col("media_id"), size(col("features")).as("dim"),
         round(aggregate(col("features"), lit(0.0d),
-          (a, x) => a + x.cast("double")), 4).as("feat_sum"))
+          (a, x) => a + x.cast("double")), 4).as("feat_sum"),
+        round(element_at(col("features"), 4).cast("double") * col("_n"))
+          .cast("long").as("bin3_count"))
   }
 
   // -------------------------------------------- LLM-data-pipeline surface
