@@ -11,7 +11,9 @@ import org.apache.spark.sql.SparkSession
   */
 object GazeModelIO {
 
-  def save(spark: SparkSession, model: GazeModel, path: String): Unit = {
+  /** Model → the one-row typed DataFrame (the persisted layout, also used
+    * directly as a pipeline-stage artifact). */
+  def toDF(spark: SparkSession, model: GazeModel): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val row = model match {
       case PolyMapModel(cx, cy, n) =>
@@ -26,12 +28,15 @@ object GazeModelIO {
           s"persistence for ${other.getClass.getSimpleName} not supported")
     }
     Seq(row).toDF("model_type", "n", "cx", "cy",
-        "anchors_x", "theta_x", "anchors_y", "theta_y")
-      .write.mode("overwrite").parquet(path)
+      "anchors_x", "theta_x", "anchors_y", "theta_y")
   }
 
-  def load(spark: SparkSession, path: String): GazeModel = {
-    val r = spark.read.parquet(path).collect()(0)
+  def save(spark: SparkSession, model: GazeModel, path: String): Unit =
+    toDF(spark, model).write.mode("overwrite").parquet(path)
+
+  /** Reconstruct a model from the one-row DataFrame layout. */
+  def fromDF(df: org.apache.spark.sql.DataFrame): GazeModel = {
+    val r = df.collect()(0)
     def arr(i: Int): Array[Double] =
       r.getAs[scala.collection.Seq[Double]](i).toArray
     def mat(i: Int): Array[Array[Double]] =
@@ -43,4 +48,7 @@ object GazeModelIO {
       case t => throw new IllegalArgumentException(s"unknown model_type $t")
     }
   }
+
+  def load(spark: SparkSession, path: String): GazeModel =
+    fromDF(spark.read.parquet(path))
 }

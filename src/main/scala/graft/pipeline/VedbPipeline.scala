@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{Calibrator, ErrorMap, GazeModelIO}
+import graft.operators.MarkerParsing
+
+/** `pipeline_vedb` as a registered [[Pipeline]] composition
+  * (pipelines.py:557-819): detection tables in → error summary out, with
+  * the orchestrator's S8 memoization and S7 failure short-circuit at every
+  * stage boundary.
+  *
+  * Stage graph (each stage a Parquet artifact under the run root):
+  *
+  *   markers_filtered  — filter_and_cluster (A1→W3→P7→W2→A7→A3)
+  *   ├─ markers_cal    — earliest surviving epoch (calibration epoch)
+  *   └─ markers_val    — remaining epochs (validation)
+  *   calibration       — Calibrator.fit on markers_cal (model table row;
+  *                       a rejected fit raises → S7 Failed sentinel)
+  *   gaze              — model table → distributed Column apply on pupils
+  *   error             — ErrorMap vs markers_val (one summary row)
+  *
+  * The calibration artifact is the [[GazeModelIO]] typed one-row layout,
+  * so a memoized re-run reconstructs the model from Parquet without
+  * refitting — the reference's .npz reuse semantics.
+  */
+object VedbPipeline {
+  import Pipeline.Stage
+
+  private def named(df: DataFrame): DataFrame = df.select(
+    col("timestamp"),
+    element_at(col("norm_pos"), 1).as("norm_x"),
+    element_at(col("norm_pos"), 2).as("norm_y"),
+    col("marker_cluster_index"))
+
+  /** Epoch id of the earliest epoch (the session's calibration epoch). */
+  private def calEpoch(f: DataFrame): Long =
+    f.groupBy("epoch").agg(min("timestamp").as("t0"))
+      .orderBy("t0").select("epoch").first().getLong(0)
+
+  def stages(markers: DataFrame, clock: DataFrame, pupils: DataFrame,
+             cfg: Calibrator.Config = Calibrator.Config(),
+             epochDuration: (Double, Double) = (30.0, 150.0),
+             clusterDuration: (Double, Double) = (0.2, 5.0),
+             errorResolution: (Int, Int) = (60, 80)): Seq[Stage] = Seq(
+    Stage("markers_filtered", Nil, (_, _) =>
+      MarkerParsing.filterAndCluster(markers, clock,
+        epochDuration = epochDuration, clusterDuration = clusterDuration)),
+    Stage("markers_cal", Seq("markers_filtered"), (_, in) => {
+      val f = in("markers_filtered")
+      f.filter(col("epoch") === calEpoch(f))
+    }),
+    Stage("markers_val", Seq("markers_filtered"), (_, in) => {
+      val f = in("markers_filtered")
+      f.filter(col("epoch") =!= calEpoch(f))
+    }),
+    Stage("calibration", Seq("markers_cal"), (s, in) => {
+      val model = Calibrator.fit(named(in("markers_cal")), pupils, cfg)
+        .getOrElse(throw new IllegalStateException(
+          "calibration rejected all points"))
+      GazeModelIO.toDF(s, model)
+    }),
+    Stage("gaze", Seq("calibration"), (_, in) =>
+      GazeModelIO.fromDF(in("calibration")).transform(pupils)
+        .select(col("timestamp"), col("gaze_x").as("norm_x"),
+          col("gaze_y").as("norm_y"), col("confidence"))),
+    Stage("error", Seq("gaze", "markers_val"), (_, in) =>
+      ErrorMap.compute(named(in("markers_val")), in("gaze"),
+        ErrorMap.Config(resolution = errorResolution)).summary))
+
+  /** Run the full composition; returns the per-stage status map. */
+  def run(spark: SparkSession, root: String, markers: DataFrame,
+          clock: DataFrame, pupils: DataFrame,
+          cfg: Calibrator.Config = Calibrator.Config(),
+          epochDuration: (Double, Double) = (30.0, 150.0),
+          clusterDuration: (Double, Double) = (0.2, 5.0),
+          tags: Map[String, String] = Map.empty): Map[String, Pipeline.StageResult] =
+    Pipeline.run(spark, root,
+      stages(markers, clock, pupils, cfg, epochDuration, clusterDuration),
+      tags)
+}

@@ -131,4 +131,33 @@ class GoldenSessionSpec extends SparkSpec {
       s"median err ${sm.getAs[Double]("err_median")}")
     assert(sm.getAs[Double]("gaze_err_weighted") < 0.5)
   }
+
+  test("pipeline_vedb: registered stages with memoized re-run and S7 short-circuit") {
+    import graft.pipeline.{Pipeline, VedbPipeline}
+    val root = java.nio.file.Files.createTempDirectory("vedb_pipe").toString
+    val run1 = VedbPipeline.run(spark, root, markers, clock, pupils,
+      epochDuration = (30.0, 150.0), clusterDuration = (0.5, 5.0))
+    assert(run1.values.forall(_.state == Pipeline.Computed),
+      run1.values.map(r => s"${r.name}=${r.state}").mkString(","))
+    assert(run1("error").rows == 1)
+    val errRow = spark.read.parquet(run1("error").path).collect()(0)
+    assert(errRow.getAs[Double]("err_median") < 0.2)
+
+    // S8: identical tags → every stage memoized from its Parquet artifact
+    val run2 = VedbPipeline.run(spark, root, markers, clock, pupils,
+      epochDuration = (30.0, 150.0), clusterDuration = (0.5, 5.0))
+    assert(run2.values.forall(_.state == Pipeline.Memoized),
+      run2.values.map(r => s"${r.name}=${r.state}").mkString(","))
+
+    // S7: an impossible confidence gate starves the fit → calibration
+    // fails, gaze and error short-circuit without executing
+    val root3 = java.nio.file.Files.createTempDirectory("vedb_pipe_f").toString
+    val run3 = VedbPipeline.run(spark, root3, markers, clock, pupils,
+      cfg = graft.model.Calibrator.Config(minConfidence = 1.1),
+      epochDuration = (30.0, 150.0), clusterDuration = (0.5, 5.0))
+    assert(run3("markers_filtered").state == Pipeline.Computed)
+    assert(run3("calibration").state == Pipeline.Failed)
+    assert(run3("gaze").state == Pipeline.SkippedUpstreamFailure)
+    assert(run3("error").state == Pipeline.SkippedUpstreamFailure)
+  }
 }
