@@ -87,9 +87,27 @@ object TextOps {
     * with the signature-estimated Jaccard. One shuffle on the band key,
     * pair dedup via distinct. Hot bands (boilerplate-heavy corpora) are the
     * skew axis at scale — cap band bucket sizes or salt. */
+  /** Hot-band skew lever: drop (band_id, band_hash) buckets holding more
+    * than `cap` docs before the candidate self-join. A bucket of size B
+    * contributes B² candidate pairs, so one boilerplate band (every doc
+    * sharing a header/footer) turns the join quadratic; truly-similar
+    * pairs still collide in their other, non-boilerplate bands. The window
+    * partitions on the same key the join shuffles on, so the cap costs no
+    * extra exchange. */
+  private def capBuckets(banded: DataFrame, cap: Option[Int]): DataFrame =
+    cap match {
+      case Some(c) =>
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_id"), col("band_hash"))
+        banded.withColumn("_bn", count(lit(1)).over(wb))
+          .filter(col("_bn") <= c).drop("_bn")
+      case None => banded
+    }
+
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                      minEstJaccard: Double = 0.25): DataFrame = {
+                      minEstJaccard: Double = 0.25,
+                      maxBandBucket: Option[Int] = None): DataFrame = {
     val rowsPerBand = numHashes / bands
     val withSig = shingled(docs, idCol, textCol, shingleK)
       .filter(size(col("sh")) > 0)
@@ -98,8 +116,10 @@ object TextOps {
     // persist: both self-join sides read `banded` — without it the whole
     // shingle→hash→signature lineage runs twice (once per side). The
     // materialized table is tiny (one row per doc×band).
-    val banded = withSig.select(col("doc"), col("sig"),
-      posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band_id", "band_hash")))
+    val banded = capBuckets(
+      withSig.select(col("doc"), col("sig"),
+        posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band_id", "band_hash"))),
+      maxBandBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("band_id"), col("band_hash"),
       col("doc").as("doc_a"), col("sig").as("sig_a"))
@@ -125,7 +145,8 @@ object TextOps {
     * shingles (boilerplate) and cannot run at 100 TB. */
   def ngramJaccardPairsGated(docs: DataFrame, idCol: String, textCol: String,
                              shingleK: Int = 3, minJaccard: Double = 0.2,
-                             numHashes: Int = 16, bands: Int = 4): DataFrame = {
+                             numHashes: Int = 16, bands: Int = 4,
+                             maxBandBucket: Option[Int] = None): DataFrame = {
     val rowsPerBand = numHashes / bands
     val pre = shingled(docs, idCol, textCol, shingleK)
       .filter(size(col("sh")) > 0)
@@ -134,10 +155,11 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band keys only (no signature columns carried into the self-join);
     // persisted because both candidate sides read it
-    val banded = pre
-      .select(col("doc"), minhashSignature(col("hv"), numHashes).as("sig"))
-      .select(col("doc"),
-        posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band_id", "band_hash")))
+    val banded = capBuckets(
+      pre.select(col("doc"), minhashSignature(col("hv"), numHashes).as("sig"))
+        .select(col("doc"),
+          posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band_id", "band_hash"))),
+      maxBandBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = banded.select(col("doc").as("doc_a"), col("band_id"), col("band_hash"))
       .join(banded.select(col("doc").as("doc_b"), col("band_id"), col("band_hash")),

@@ -60,14 +60,34 @@ object VectorOps {
   }
 
   /** ANN top-k via LSH buckets: exact cosine ranking restricted to the
-    * query's bucket. Returns (q_id, rank, n_id, sim). */
+    * query's bucket. Returns (q_id, rank, n_id, sim).
+    *
+    * `multiProbe`: the standard recall lever — queries also probe every
+    * bucket at Hamming distance 1 (one sign bit flipped), multiplying the
+    * probed volume by (1 + bits) while the indexed side stays one bucket
+    * per vector. Near-neighbors that straddle a single hyperplane stop
+    * being missed; recall goes from 1−(1−pᵇ) to covering all 1-bit-off
+    * buckets. Default off (exact single-bucket, the oracle-checked
+    * shape). */
   def annTopK(vecs: DataFrame, idCol: String, vecCol: String,
-              anchors: DataFrame, queryPred: Column, k: Int): DataFrame = {
+              anchors: DataFrame, queryPred: Column, k: Int,
+              multiProbe: Boolean = false): DataFrame = {
     val buckets = lshBuckets(vecs, idCol, vecCol, anchors)
     val v = vecs.select(col(idCol).as("v_id"), toDouble(col(vecCol)).as("v"))
       .join(buckets, "v_id")
-    val q = v.filter(queryPred)
+    val q0 = v.filter(queryPred)
       .select(col("v_id").as("q_id"), col("v").as("qv"), col("bucket"))
+    val q = if (!multiProbe) q0 else {
+      val bits = anchors.count().toInt
+      def flipAt(r: Int): Column = concat(
+        substring(col("bucket"), 1, r),
+        when(substring(col("bucket"), r + 1, 1) === "1", "0").otherwise("1"),
+        substring(col("bucket"), r + 2, bits - r - 1))
+      q0.withColumn("bucket",
+        explode(array(col("bucket") +: (0 until bits).map(flipAt): _*)))
+    }
+    // no pair dedup needed: each vector indexes exactly one bucket and the
+    // probe keys are distinct, so a (q, v) pair matches via at most one key
     val scored = q.join(v, Seq("bucket")).filter(col("q_id") =!= col("v_id"))
       .withColumn("sim", cosine(col("qv"), col("v")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("v_id"))

@@ -73,6 +73,57 @@ class TextVectorOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"multi-probe recall $recall over ${brute.size} pairs")
   }
 
+  test("band-bucket cap defuses a boilerplate-dominated corpus (skew lever)") {
+    // 200 docs share one boilerplate body (one hot band bucket of 200 →
+    // ~20k candidate pairs); 4 distinct docs include one planted near-dup
+    // pair. With the cap the hot bucket drops out entirely while the
+    // planted pair — whose bands are untouched by the cap — survives.
+    val boiler = (0 until 200).map(i =>
+      (i.toLong, "the quarterly report header is identical across documents every single time"))
+    val distinct = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (901L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near-dup of 900
+      (902L, "completely different content lives here with no overlap at all"),
+      (903L, "yet another unrelated document body goes right here today"))
+    val docs = (boiler ++ distinct).toDF("doc_id", "text")
+    val uncapped = TextOps.minhashLshPairs(docs, "doc_id", "text",
+      minEstJaccard = 0.0)
+    val capped = TextOps.minhashLshPairs(docs, "doc_id", "text",
+      minEstJaccard = 0.0, maxBandBucket = Some(50))
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.count() >= 199L * 200 / 2) // quadratic without the cap
+    assert(cappedPairs.contains((900L, 901L))) // planted pair survives
+    assert(!cappedPairs.exists { case (a, b) => a < 200 && b < 200 }) // hot bucket gone
+    // gated exact-Jaccard path honors the same cap
+    val gated = TextOps.ngramJaccardPairsGated(docs, "doc_id", "text",
+      maxBandBucket = Some(50)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gated.contains((900L, 901L)))
+    assert(!gated.exists { case (a, b) => a < 200 && b < 200 })
+  }
+
+  test("annTopK multi-probe recall dominates single-probe (recall lever)") {
+    val rng = new scala.util.Random(23)
+    val vecs = Seq.tabulate(120)(i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val anchors = vecs.filter(col("vec_id") < 5)
+    def hits(multiProbe: Boolean): Set[(Long, Long)] =
+      VectorOps.annTopK(vecs, "vec_id", "embedding", anchors,
+        col("v_id") < 10, k = 3, multiProbe = multiProbe)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val single = hits(multiProbe = false)
+    val multi = hits(multiProbe = true)
+    val brute = VectorOps.bruteTopK(vecs.filter(col("vec_id") < 10), vecs,
+      "vec_id", "embedding", 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    def recall(s: Set[(Long, Long)]) = (brute intersect s).size.toDouble / brute.size
+    assert(recall(multi) >= recall(single))
+    assert(recall(multi) > 0.4, s"multi-probe recall ${recall(multi)}")
+    // multi-probe only widens the candidate set per query
+    assert(single.subsetOf(multi) || recall(multi) > recall(single))
+  }
+
   test("simhash: identical texts get identical hashes, disjoint texts differ") {
     val d2 = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc dd"), (3L, "zz yy xx ww"))
       .toDF("doc_id", "text")
