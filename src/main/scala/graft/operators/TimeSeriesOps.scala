@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -226,5 +226,45 @@ object TimeSeriesOps {
     }
     interped.filter(col("_isGrid"))
       .select(keys ++ Seq(col("_gt").as(tsCol)) ++ valueCols.map(col): _*)
+  }
+
+  /** P10 with exact scipy parity: `signal.medfilt` (ZERO-padded sliding
+    * kernel, odd size) detrend plus the reference's impute-mean
+    * recentering (detrend_median, labeling.py:773-790: out = v − medfilt(v)
+    * + impute). The window-function form (p10 query) is the declarative
+    * scale path but shrinks its window at series edges; this per-group
+    * kernel reproduces scipy's zero-padded edge medians bit-for-bit.
+    * Output: input columns + `detrended`. */
+  def medfiltDetrend(df: DataFrame, tsCol: String, valueCol: String,
+                     keys: Seq[String], kernelSize: Int,
+                     impute: Option[Double] = Some(0.5)): DataFrame = {
+    require(kernelSize % 2 == 1, s"medfilt kernel must be odd: $kernelSize")
+    val tsIdx = df.schema.fieldIndex(tsCol)
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val gIdx = keys.map(df.schema.fieldIndex)
+    val outSchema = df.schema.add("detrended",
+      org.apache.spark.sql.types.DoubleType)
+    val half = kernelSize / 2
+    val add = impute.getOrElse(0.0)
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    df.groupByKey(r => gIdx.map(i => String.valueOf(r.get(i))).mkString("|"))(
+        org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_.getDouble(tsIdx))
+        val v = rows.map(_.getDouble(vIdx))
+        val n = v.length
+        val buf = new Array[Double](kernelSize)
+        rows.iterator.zipWithIndex.map { case (r, i) =>
+          var j = 0
+          while (j < kernelSize) {
+            val k = i - half + j
+            buf(j) = if (k < 0 || k >= n) 0.0 else v(k) // scipy zero-pad
+            j += 1
+          }
+          val sorted = buf.sorted
+          Row.fromSeq(r.toSeq :+ (v(i) - sorted(half) + add))
+        }
+      }
   }
 }

@@ -86,4 +86,33 @@ class TimeSeriesOpsSpec extends SparkSpec {
     // numpy: searchsorted([0,1,2,3], [-0.5,0,1.5,2,9], 'left') = [0,0,2,2,4]
     assert(out.toSeq == Seq(0L, 0L, 2L, 2L, 4L))
   }
+
+  test("medfiltDetrend: scipy zero-padded kernel + impute recenter (P10)") {
+    import spark.implicits._
+    val v = Seq(0.52, 0.48, 0.55, 0.61, 0.43, 0.50, 0.58, 0.47)
+    // expected = v - medfilt(v, 5) + 0.5 with scipy's zero-padded edges
+    val expect = Seq(0.54, 0.45999999999999996, 0.53, 0.61,
+      0.37999999999999995, 0.5, 0.61, 0.5)
+    val df = v.zipWithIndex.map { case (x, i) => ("s", i.toDouble, x) }
+      .toDF("session", "ts", "v")
+    val out = TimeSeriesOps.medfiltDetrend(df, "ts", "v", Seq("session"),
+        kernelSize = 5, impute = Some(0.5))
+      .orderBy("ts").collect().map(_.getAs[Double]("detrended"))
+    out.zip(expect).foreach { case (g, e) => assert(g == e) }
+    // two groups detrend independently (second group shifted by +1.0)
+    val df2 = df.unionByName(
+      v.zipWithIndex.map { case (x, i) => ("t", i.toDouble, x + 1.0) }
+        .toDF("session", "ts", "v"))
+    val out2 = TimeSeriesOps.medfiltDetrend(df2, "ts", "v", Seq("session"),
+      kernelSize = 5, impute = None)
+    assert(out2.count() == 16)
+    // interior rows (full windows): detrend is shift-invariant there, but
+    // zero-padded EDGE windows are not — the shifted group's edge medians
+    // still include the zero pad, a reference-faithful artifact
+    val a = out2.filter($"session" === "s" && $"ts" === 3.0)
+      .collect()(0).getAs[Double]("detrended")
+    val b = out2.filter($"session" === "t" && $"ts" === 3.0)
+      .collect()(0).getAs[Double]("detrended")
+    assert(math.abs(a - b) < 1e-12)
+  }
 }
