@@ -116,8 +116,7 @@ object Calibrator {
       Array.tabulate(n) { j =>
         val keep = (0 until n).filter(_ != j).toArray
         val xyK = keep.map(pxy)
-        val tx = Tps.fit(xyK, keep.map(mx), l)
-        val ty = Tps.fit(xyK, keep.map(my), l)
+        val (tx, ty) = Tps.fit2(xyK, keep.map(mx), keep.map(my), l)
         val ex = Tps.z(pxy(j)(0), pxy(j)(1), xyK, tx) - mx(j)
         val ey = Tps.z(pxy(j)(0), pxy(j)(1), xyK, ty) - my(j)
         math.sqrt(ex * ex + ey * ey)
@@ -185,6 +184,7 @@ object Calibrator {
       i += 1
     }
     val l = lambdas(best)
-    TpsMapModel(pxy, Tps.fit(pxy, mx, l), pxy, Tps.fit(pxy, my, l))
+    val (tx, ty) = Tps.fit2(pxy, mx, my, l)
+    TpsMapModel(pxy, tx, pxy, ty)
   }
 }

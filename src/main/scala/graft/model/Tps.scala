@@ -45,6 +45,37 @@ object Tps {
     theta.toArray
   }
 
+  /** Fit the x and y maps together, sharing ONE factorization of the
+    * common system matrix (it depends only on the anchors and λ, not the
+    * values) — halves the dominant cost of the LOO-CV loop, which refits
+    * both axes at every (λ, leave-out) grid point. Solutions are
+    * column-wise identical to two [[fit]] calls (same LU, independent
+    * triangular solves per RHS column). */
+  def fit2(xy: Array[Array[Double]], vx: Array[Double], vy: Array[Double],
+           lambd: Double): (Array[Double], Array[Double]) = {
+    val n = xy.length
+    require(n >= 3, s"TPS fit needs >= 3 points, got $n")
+    val a = DenseMatrix.zeros[Double](n + 3, n + 3)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        val dx = xy(i)(0) - xy(j)(0)
+        val dy = xy(i)(1) - xy(j)(1)
+        a(i, j) = kernel(math.sqrt(dx * dx + dy * dy)) + (if (i == j) lambd else 0.0)
+        j += 1
+      }
+      a(i, n) = 1.0; a(i, n + 1) = xy(i)(0); a(i, n + 2) = xy(i)(1)
+      a(n, i) = 1.0; a(n + 1, i) = xy(i)(0); a(n + 2, i) = xy(i)(1)
+      i += 1
+    }
+    val rhs = DenseMatrix.zeros[Double](n + 3, 2)
+    i = 0
+    while (i < n) { rhs(i, 0) = vx(i); rhs(i, 1) = vy(i); i += 1 }
+    val theta = a \ rhs
+    (theta(::, 0).toArray, theta(::, 1).toArray)
+  }
+
   /** Evaluate the fitted spline at (x, y). */
   def z(x: Double, y: Double, xy: Array[Array[Double]], theta: Array[Double]): Double = {
     val n = xy.length

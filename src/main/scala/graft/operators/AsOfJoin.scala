@@ -48,15 +48,24 @@ object AsOfJoin {
     // ts so an exactly-matching right row is visible to the left row.
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_t"), col("_isL"))
     val wPrev = w.rowsBetween(Window.unboundedPreceding, 0)
-    val wNext = w.rowsBetween(0, Window.unboundedFollowing)
+    // "next" carries run over the REVERSED sort with the same running
+    // frame: Spark executes (0, unboundedFollowing) frames by
+    // re-aggregating from scratch at every row — O(n²) per key partition —
+    // while running (unboundedPreceding, 0) frames are a single O(n) pass.
+    // Reversed tie order (_isL desc) keeps an equal-ts right row out of a
+    // left row's "next" frame, exactly as (_isL asc) kept it out of the
+    // forward following-frame.
+    val wNext = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").desc, col("_isL").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     def rv(c: String) = when(!col("_isL"), col(s"_rv_$c"))
     val rt = when(!col("_isL"), col("_t"))
     val carried = u
       .withColumn("_tPrev", last(rt, ignoreNulls = true).over(wPrev))
-      .withColumn("_tNext", first(rt, ignoreNulls = true).over(wNext))
+      .withColumn("_tNext", last(rt, ignoreNulls = true).over(wNext))
     val withVals = rightValCols.foldLeft(carried) { (acc, c) =>
       acc.withColumn(s"_p_$c", last(rv(c), ignoreNulls = true).over(wPrev))
-        .withColumn(s"_n_$c", first(rv(c), ignoreNulls = true).over(wNext))
+        .withColumn(s"_n_$c", last(rv(c), ignoreNulls = true).over(wNext))
     }
     val dPrev = col("_t") - col("_tPrev")
     val dNext = col("_tNext") - col("_t")

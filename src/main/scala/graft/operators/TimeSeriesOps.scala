@@ -204,13 +204,20 @@ object TimeSeriesOps {
       .withColumn("_isGrid", lit(false))
     val unioned = grid.unionByName(samples, allowMissingColumns = true)
     val wAll = partWindow(partitionCols).orderBy(col("_gt"), col("_isGrid"))
+    // the "next" carry runs over the REVERSED sort with a running frame —
+    // Spark's (0, unboundedFollowing) frames re-aggregate per row (O(n²)
+    // per partition); the reversed running frame is one O(n) pass. The
+    // reversed tie order (_isGrid desc) keeps an equal-ts sample out of a
+    // grid row's "next", mirroring the forward ordering's semantics.
+    val wAllRev = partWindow(partitionCols)
+      .orderBy(col("_gt").desc, col("_isGrid").desc)
     // carry (t, v) of previous real sample forward and next real sample backward
     def carry(c: String, dir: String) = {
       val base = when(!col("_isGrid"), col(c))
       if (dir == "prev") last(base, ignoreNulls = true)
         .over(wAll.rowsBetween(Window.unboundedPreceding, 0))
-      else first(base, ignoreNulls = true)
-        .over(wAll.rowsBetween(0, Window.unboundedFollowing))
+      else last(base, ignoreNulls = true)
+        .over(wAllRev.rowsBetween(Window.unboundedPreceding, 0))
     }
     val withT = unioned
       .withColumn("_tPrev", carry("_gt", "prev"))
