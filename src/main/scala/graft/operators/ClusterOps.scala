@@ -99,9 +99,9 @@ object ClusterOps {
     val oIdx = df.schema.fieldIndex(orderCol)
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(outSchema)
-    val kv = df.groupByKey { r: Row =>
-      groupCols.map(c => String.valueOf(r.get(r.fieldIndex(c)))).mkString("|")
-    }(org.apache.spark.sql.Encoders.STRING)
+    val dgIdx = groupCols.map(df.schema.fieldIndex)
+    val kv = df.groupByKey { r: Row => GroupKeys.of(r, dgIdx) }(
+      org.apache.spark.sql.Encoders.STRING)
     kv.flatMapGroups { (_, it) =>
       val rows = it.toArray.sortBy(r => r.get(oIdx) match {
         case d: java.lang.Double => d.doubleValue()
@@ -152,6 +152,7 @@ object ClusterOps {
   def bimodalitySplitGrouped(df: DataFrame, groupCols: Seq[String],
                              valueCol: String, sigmas: Double = 2.5): DataFrame = {
     val vIdx = df.schema.fieldIndex(valueCol)
+    val gIdx = groupCols.map(df.schema.fieldIndex)
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(df.schema)
     def valOf(r: Row): Double = r.get(vIdx) match {
@@ -160,20 +161,36 @@ object ClusterOps {
       case f: java.lang.Float => f.doubleValue()
       case l: java.lang.Long => l.doubleValue()
       case i: java.lang.Integer => i.doubleValue()
+      case b: java.math.BigDecimal => b.doubleValue()
       case _ => Double.NaN
     }
-    df.groupByKey { r: Row =>
-        groupCols.map(c => String.valueOf(r.get(r.fieldIndex(c)))).mkString("|")
-      }(org.apache.spark.sql.Encoders.STRING)
+    df.groupByKey { r: Row => GroupKeys.of(r, gIdx) }(
+        org.apache.spark.sql.Encoders.STRING)
       .flatMapGroups { (_, it) =>
         val rows = it.toArray
         val vals = rows.map(valOf).filterNot(_.isNaN)
-        LocalDbscan.bimodalCut(vals) match {
-          case Some(cut) => rows.iterator.filter(valOf(_) >= cut)
+        LocalDbscan.bimodalCut(vals, sigmas) match {
+          case Some(cut) =>
+            // NaN/null rows pass the gate — Spark SQL orders NaN above
+            // every value, so the driver form's `col >= cut` keeps them
+            rows.iterator.filter { r =>
+              val v = valOf(r); v.isNaN || v >= cut
+            }
           case None => rows.iterator
         }
       }
   }
+}
+
+/** Collision-free string group keys for Row-typed groupByKey: each key
+  * component is escaped before joining, so values containing the
+  * separator cannot alias another key tuple ("x|y","z" vs "x","y|z"). */
+object GroupKeys {
+  def of(r: org.apache.spark.sql.Row, idxs: Seq[Int]): String =
+    idxs.map { i =>
+      String.valueOf(r.get(i))
+        .replace("\\", "\\\\").replace("|", "\\|")
+    }.mkString("|")
 }
 
 /** Small local kernels used inside flatMapGroups / on the driver. */

@@ -66,13 +66,20 @@ object EllipseGeometry {
       .withColumn("location", col("ellipse.center"))
   }
 
-  /** Score every (point × ellipse) pair below `maxDist`: the candidate
-    * filter step of the circle detector, distributed as a broadcast of the
-    * (small) ellipse table against the point cloud. */
+  /** Assign each point its nearest ellipse: the candidate-scoring step of
+    * the circle detector, distributed as a broadcast of the (small)
+    * ellipse table against the point cloud.
+    *
+    * `points` needs (pointId, pxCol, pyCol); `ellipses` needs (ellipseId,
+    * exCol, eyCol, dxCol, dyCol, angleCol) — all names parameterized. */
   def nearestEllipse(points: DataFrame, ellipses: DataFrame,
-                     pointId: String, ellipseId: String): DataFrame = {
-    val d = distToEllipse(col("px"), col("py"), col("ex"), col("ey"),
-      col("dx"), col("dy"), col("angle"))
+                     pointId: String, ellipseId: String,
+                     pxCol: String = "px", pyCol: String = "py",
+                     exCol: String = "ex", eyCol: String = "ey",
+                     dxCol: String = "dx", dyCol: String = "dy",
+                     angleCol: String = "angle"): DataFrame = {
+    val d = distToEllipse(col(pxCol), col(pyCol), col(exCol), col(eyCol),
+      col(dxCol), col(dyCol), col(angleCol))
     points.crossJoin(broadcast(ellipses))
       .withColumn("dist", d)
       .withColumn("_rn", row_number().over(

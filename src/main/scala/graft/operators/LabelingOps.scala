@@ -101,7 +101,7 @@ object LabelingOps {
         org.apache.spark.sql.types.StructField("n_frames", LongType))
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(outSchema)
-    df.groupByKey(r => gIdx.map(i => String.valueOf(r.get(i))).mkString("|"))(
+    df.groupByKey(r => GroupKeys.of(r, gIdx))(
         org.apache.spark.sql.Encoders.STRING)
       .flatMapGroups { (_, it) =>
         val rows = it.toArray.sortBy(_.getDouble(tsIdx))

@@ -67,7 +67,7 @@ object RoiTracker {
         StructField("used_roi", BooleanType)))
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(outSchema)
-    df.groupByKey(r => gIdx.map(i => String.valueOf(r.get(i))).mkString("|"))(
+    df.groupByKey(r => GroupKeys.of(r, gIdx))(
         org.apache.spark.sql.Encoders.STRING)
       .flatMapGroups { (_, it) =>
         val rows = it.toArray.sortBy(_.getLong(fIdx))

@@ -255,12 +255,14 @@ object TimeSeriesOps {
     val add = impute.getOrElse(0.0)
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(outSchema)
-    df.groupByKey(r => gIdx.map(i => String.valueOf(r.get(i))).mkString("|"))(
+    df.groupByKey(r => GroupKeys.of(r, gIdx))(
         org.apache.spark.sql.Encoders.STRING)
       .flatMapGroups { (_, it) =>
         val rows = it.toArray.sortBy(_.getDouble(tsIdx))
         val v = rows.map(_.getDouble(vIdx))
         val n = v.length
+        // reused primitive scratch + Arrays.sort(double[]): no boxing or
+        // per-row allocation in the O(rows × kernel) hot loop
         val buf = new Array[Double](kernelSize)
         rows.iterator.zipWithIndex.map { case (r, i) =>
           var j = 0
@@ -269,8 +271,8 @@ object TimeSeriesOps {
             buf(j) = if (k < 0 || k >= n) 0.0 else v(k) // scipy zero-pad
             j += 1
           }
-          val sorted = buf.sorted
-          Row.fromSeq(r.toSeq :+ (v(i) - sorted(half) + add))
+          java.util.Arrays.sort(buf)
+          Row.fromSeq(r.toSeq :+ (v(i) - buf(half) + add))
         }
       }
   }

@@ -78,6 +78,9 @@ object VectorOps {
     val q0 = v.filter(queryPred)
       .select(col("v_id").as("q_id"), col("v").as("qv"), col("bucket"))
     val q = if (!multiProbe) q0 else {
+      // one tiny count job over the anchor dim table (10¹ rows) to learn
+      // the bucket bit-width at plan-build time — negligible next to the
+      // query itself, and the flip loop needs a concrete arity
       val bits = anchors.count().toInt
       def flipAt(r: Int): Column = concat(
         substring(col("bucket"), 1, r),

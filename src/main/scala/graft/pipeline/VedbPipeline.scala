@@ -37,7 +37,10 @@ object VedbPipeline {
   /** Epoch id of the earliest epoch (the session's calibration epoch). */
   private def calEpoch(f: DataFrame): Long =
     f.groupBy("epoch").agg(min("timestamp").as("t0"))
-      .orderBy("t0").select("epoch").first().getLong(0)
+      .orderBy("t0").select("epoch").limit(1).collect()
+      .headOption.map(_.getLong(0))
+      .getOrElse(throw new IllegalStateException(
+        "no epochs survived marker filtering"))
 
   def stages(markers: DataFrame, clock: DataFrame, pupils: DataFrame,
              cfg: Calibrator.Config = Calibrator.Config(),
@@ -51,9 +54,14 @@ object VedbPipeline {
       val f = in("markers_filtered")
       f.filter(col("epoch") === calEpoch(f))
     }),
-    Stage("markers_val", Seq("markers_filtered"), (_, in) => {
-      val f = in("markers_filtered")
-      f.filter(col("epoch") =!= calEpoch(f))
+    // derives the calibration epoch from the (tiny) markers_cal artifact
+    // instead of re-running the epoch-min aggregation over the full
+    // filtered table a second time
+    Stage("markers_val", Seq("markers_filtered", "markers_cal"), (_, in) => {
+      val cal = in("markers_cal").select("epoch").limit(1).collect()
+        .headOption.map(_.getLong(0))
+        .getOrElse(throw new IllegalStateException("empty calibration epoch"))
+      in("markers_filtered").filter(col("epoch") =!= cal)
     }),
     Stage("calibration", Seq("markers_cal"), (s, in) => {
       val model = Calibrator.fit(named(in("markers_cal")), pupils, cfg)
