@@ -154,7 +154,102 @@ object Oracles {
        |SELECT id_a, id_b, round(sim, 6) AS sim FROM pr WHERE sim >= 0.45""".stripMargin
   }
 
+  /** W10 oracle: an independent scalar replay of the binocular-merge FSM
+    * as a DuckDB RECURSIVE CTE — per session, one recursion step per
+    * time-ordered pupil row, carrying (queue0, queue1, EMA, emitted) as
+    * list/struct state. Mirrors BinocularMerge.step exactly: queue insert,
+    * per-queue mean frame interval (sequential sum of diffs — NOT the
+    * telescoped closed form, so fp addition order matches), EMA smoothing
+    * 1/50, cutoff 2·EMA, and the 5-way branch (low-confidence head →
+    * mono; both non-empty → pop older, pair within cutoff else mono;
+    * queue > 10 → drain mono). Cross-checked against a second independent
+    * Python replay at sf0.001 (bit-exact, 891 rows). */
+  private def w10Sql: String = {
+    val emitMono = (q: String) =>
+      s"{'ts': $q[1].ts, 'topic': 'gaze.2d.' || $q[1].id || '.', " +
+        s"'conf': $q[1].conf, 'bino': false}"
+    val meanDiff = (q: String) =>
+      s"CASE WHEN len($q) >= 2 THEN list_sum(list_transform(range(1, len($q)), " +
+        s"i -> $q[i+1].ts - $q[i].ts)) / (len($q) - 1) ELSE NULL END"
+    s"""WITH RECURSIVE
+       |pp AS (SELECT 'u' || user_id AS session, epoch(ts) AS t,
+       |    CAST(event_id % 2 AS INT) AS id,
+       |    CASE WHEN event_type = 'error' THEN 3.0e-1 ELSE 9.0e-1 END AS conf
+       |  FROM events),
+       |p AS (SELECT *, CAST(row_number() OVER (PARTITION BY session ORDER BY t)
+       |    AS INT) AS rn FROM pp),
+       |mx AS (SELECT session, max(rn) AS mr FROM p GROUP BY session),
+       |fsm AS (
+       |  SELECT session, 0 AS rn,
+       |    CAST([] AS STRUCT(ts DOUBLE, id INT, conf DOUBLE)[]) AS q0,
+       |    CAST([] AS STRUCT(ts DOUBLE, id INT, conf DOUBLE)[]) AS q1,
+       |    CAST(1.0 AS DOUBLE) / 120.0 AS ema,
+       |    CAST([] AS STRUCT(ts DOUBLE, topic VARCHAR, conf DOUBLE,
+       |      bino BOOLEAN)[]) AS outb
+       |  FROM (SELECT DISTINCT session FROM p)
+       |  UNION ALL
+       |  SELECT session, rn,
+       |    CASE WHEN br IN (1, 3, 5) THEN q0i[2:] ELSE q0i END AS q0,
+       |    CASE WHEN br IN (2, 4, 6) THEN q1i[2:] ELSE q1i END AS q1,
+       |    ema2 AS ema,
+       |    CASE WHEN g IS NULL THEN outb ELSE list_append(outb, g) END AS outb
+       |  FROM (
+       |    SELECT *,
+       |      CASE WHEN br = 1 THEN ${emitMono("q0i")}
+       |           WHEN br = 2 THEN ${emitMono("q1i")}
+       |           WHEN br IN (3, 4) THEN
+       |             CASE WHEN abs(q0i[1].ts - q1i[1].ts) < 2 * ema2 THEN
+       |               {'ts': (q0i[1].ts + q1i[1].ts) / 2.0,
+       |                'topic': 'gaze.2d.01.',
+       |                'conf': (q0i[1].conf + q1i[1].conf) / 2.0, 'bino': true}
+       |             ELSE CASE WHEN br = 3 THEN ${emitMono("q0i")}
+       |                  ELSE ${emitMono("q1i")} END
+       |             END
+       |           WHEN br = 5 THEN ${emitMono("q0i")}
+       |           WHEN br = 6 THEN ${emitMono("q1i")}
+       |           ELSE NULL END AS g
+       |    FROM (
+       |      SELECT *,
+       |        CASE WHEN len(q0i) > 0 AND q0i[1].conf < 6.0e-1 THEN 1
+       |             WHEN len(q1i) > 0 AND q1i[1].conf < 6.0e-1 THEN 2
+       |             WHEN len(q0i) > 0 AND len(q1i) > 0
+       |               AND q0i[1].ts < q1i[1].ts THEN 3
+       |             WHEN len(q0i) > 0 AND len(q1i) > 0 THEN 4
+       |             WHEN len(q0i) > 10 THEN 5
+       |             WHEN len(q1i) > 10 THEN 6
+       |             ELSE 0 END AS br
+       |      FROM (
+       |        SELECT *, CASE WHEN raw IS NULL THEN ema0
+       |          ELSE ema0 + (raw - ema0) * (CAST(1.0 AS DOUBLE) / 50.0)
+       |          END AS ema2
+       |        FROM (
+       |          SELECT *,
+       |            CASE WHEN d0 IS NOT NULL AND d1 IS NOT NULL
+       |              THEN greatest(d0, d1) ELSE coalesce(d0, d1) END AS raw
+       |          FROM (
+       |            SELECT *, ${meanDiff("q0i")} AS d0, ${meanDiff("q1i")} AS d1
+       |            FROM (
+       |              SELECT f.session, pr.rn,
+       |                CASE WHEN pr.id = 0 THEN list_append(f.q0,
+       |                  {'ts': pr.t, 'id': pr.id, 'conf': pr.conf})
+       |                  ELSE f.q0 END AS q0i,
+       |                CASE WHEN pr.id = 1 THEN list_append(f.q1,
+       |                  {'ts': pr.t, 'id': pr.id, 'conf': pr.conf})
+       |                  ELSE f.q1 END AS q1i,
+       |                f.ema AS ema0, f.outb
+       |              FROM fsm f JOIN p pr
+       |                ON pr.session = f.session AND pr.rn = f.rn + 1
+       |            )))))))
+       |SELECT f.session, u.g.ts AS timestamp, u.g.topic AS topic,
+       |  u.g.conf AS confidence, u.g.bino AS binocular
+       |FROM fsm f
+       |JOIN mx ON f.session = mx.session AND f.rn = mx.mr
+       |CROSS JOIN (SELECT unnest(outb) AS g) u""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "w10_binocular_merge" -> w10Sql,
+
     "dedup_minhash_lsh" -> minhashSql,
 
     "dedup_simhash" -> simhashSql,
