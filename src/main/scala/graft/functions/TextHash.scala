@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-hashing kernels for the dedup pipelines.
+  *
+  * The declarative formulation — `transform(sequence(...), i →
+  * concat_ws(element_at…))` → `array_distinct` → per-shingle
+  * `conv(substring(md5(...)))` → 16 × `array_min(transform(...))` —
+  * evaluates every lambda through the interpreted HOF path: tens of
+  * interpreted expression evals per shingle per row. These expressions do
+  * the identical arithmetic in one `eval` per row with tight JVM loops.
+  *
+  * Bit-parity contract (DuckDB-oracle-checked): tokens =
+  * `trim(text)` split on a single literal space keeping empties
+  * (Spark `split(str, " ")` ≡ Java `split(" ", -1)`; UTF8String.trim ≡
+  * String.trim for ASCII); shingles joined with one space, first-occurrence
+  * distinct; hash = first 15 lowercase-hex chars of md5(UTF-8 bytes)
+  * parsed base-16 (60 bits, always non-negative) mod M; minhash_i =
+  * min over shingles of (h·a_i + b_i) mod M — identical to
+  * TextOps.hash60 / minhashSignature.
+  */
+object TextHash {
+
+  /** Distinct word-k-shingle 60-bit hashes of a text column (empty array
+    * when the doc has < k tokens). */
+  case class ShingleHash60(child: Expression, k: Int, mod: Long)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingle_hash60 needs a string arg, got ${child.dataType.simpleString}")
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      val toks = text.trim.split(" ", -1)
+      if (toks.length < k) return new GenericArrayData(Array.empty[Long])
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i <= toks.length - k) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var o = 0
+      while (it.hasNext) {
+        val digest = md.digest(it.next().getBytes("UTF-8"))
+        // first 15 lowercase-hex chars = high 60 bits of the digest
+        var h = 0L
+        var b = 0
+        while (b < 7) { h = (h << 8) | (digest(b) & 0xffL); b += 1 }
+        h = (h << 4) | ((digest(7) & 0xf0L) >> 4) // 7.5 bytes = 15 hex chars
+        out(o) = h % mod
+        o += 1
+        md.reset()
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): ShingleHash60 =
+      copy(child = c)
+  }
+
+  /** MinHash signature over a 60-bit shingle-hash array: one pass, all
+    * hash functions per element. */
+  case class MinhashSig(child: Expression, a: Seq[Long], b: Seq[Long], mod: Long)
+      extends UnaryExpression with CodegenFallback {
+    require(a.length == b.length, "minhash coefficient arrays differ")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"minhash_sig needs array<long>, got ${other.simpleString}")
+      }
+
+    private val aArr = a.toArray
+    private val bArr = b.toArray
+
+    override def nullSafeEval(input: Any): Any = {
+      val hv = input.asInstanceOf[ArrayData]
+      val n = hv.numElements()
+      val m = aArr.length
+      val mins = Array.fill(m)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h = hv.getLong(i)
+        var j = 0
+        while (j < m) {
+          val v = (h * aArr(j) + bArr(j)) % mod
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      // empty input → all-null semantics match array_min over empty: the
+      // callers filter size(hv) > 0 first, so mins are always populated
+      new GenericArrayData(mins)
+    }
+
+    override protected def withNewChildInternal(c: Expression): MinhashSig =
+      copy(child = c)
+  }
+
+  def shingle_hash60(text: Column, k: Int, mod: Long): Column =
+    Bridge.column(ShingleHash60(Bridge.expression(text), k, mod))
+
+  def minhash_sig(hv: Column, a: Seq[Long], b: Seq[Long], mod: Long): Column =
+    Bridge.column(MinhashSig(Bridge.expression(hv), a, b, mod))
+}

@@ -104,15 +104,25 @@ object TextOps {
       case None => banded
     }
 
+  /** (doc, hv) distinct shingle-hash arrays via the native one-eval-per-row
+    * kernel ([[graft.functions.TextHash.ShingleHash60]] — bit-identical to
+    * the declarative shingled→hash60 chain, ~5× cheaper). */
+  private def shingleHashed(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int): DataFrame =
+    docs.repartition(col(idCol))
+      .select(col(idCol).as("doc"),
+        graft.functions.TextHash.shingle_hash60(col(textCol), k, HashMod).as("hv"))
+      .filter(size(col("hv")) > 0)
+
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       minEstJaccard: Double = 0.25,
                       maxBandBucket: Option[Int] = None): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSig = shingled(docs, idCol, textCol, shingleK)
-      .filter(size(col("sh")) > 0)
-      .withColumn("hv", transform(col("sh"), s => pmod(hash60(s), lit(HashMod))))
-      .select(col("doc"), minhashSignature(col("hv"), numHashes).as("sig"))
+    val withSig = shingleHashed(docs, idCol, textCol, shingleK)
+      .select(col("doc"), graft.functions.TextHash.minhash_sig(col("hv"),
+        MinhashA.take(numHashes).toSeq, MinhashB.take(numHashes).toSeq,
+        HashMod).as("sig"))
     // persist: both self-join sides read `banded` — without it the whole
     // shingle→hash→signature lineage runs twice (once per side). The
     // materialized table is tiny (one row per doc×band).
@@ -148,15 +158,14 @@ object TextOps {
                              numHashes: Int = 16, bands: Int = 4,
                              maxBandBucket: Option[Int] = None): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val pre = shingled(docs, idCol, textCol, shingleK)
-      .filter(size(col("sh")) > 0)
-      .withColumn("hv", transform(col("sh"), s => pmod(hash60(s), lit(HashMod))))
-      .select(col("doc"), col("hv"))
+    val pre = shingleHashed(docs, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band keys only (no signature columns carried into the self-join);
     // persisted because both candidate sides read it
     val banded = capBuckets(
-      pre.select(col("doc"), minhashSignature(col("hv"), numHashes).as("sig"))
+      pre.select(col("doc"), graft.functions.TextHash.minhash_sig(col("hv"),
+          MinhashA.take(numHashes).toSeq, MinhashB.take(numHashes).toSeq,
+          HashMod).as("sig"))
         .select(col("doc"),
           posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band_id", "band_hash"))),
       maxBandBucket)

@@ -22,6 +22,38 @@ class TextVectorOpsSpec extends SparkSpec {
     assert(sh(1L).contains("the quick brown"))
   }
 
+  test("native shingle/minhash kernels are bit-equal to the declarative chain") {
+    import graft.functions.TextHash
+    import graft.operators.TextOps._
+    // edge cases: consecutive spaces (empty tokens), leading/trailing
+    // whitespace, exactly k tokens, duplicated shingles
+    val tricky = docs.unionByName(Seq(
+      (10L, "  a b  c d a b  c  "),
+      (11L, "x y z"),
+      (12L, "a b c a b c a b c")).toDF("doc_id", "text"))
+    val declar = tricky
+      .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
+      .withColumn("hv", transform(col("sh"), s => pmod(hash60(s), lit(HashMod))))
+      .select(col("doc_id"), col("hv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = tricky
+      .select(col("doc_id"),
+        TextHash.shingle_hash60(col("text"), 3, HashMod).as("hv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == declar)
+    val hvDf = tricky.select(col("doc_id"),
+      TextHash.shingle_hash60(col("text"), 3, HashMod).as("hv"))
+      .filter(size(col("hv")) > 0)
+    val sigD = hvDf.select(col("doc_id"),
+        minhashSignature(col("hv"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sigN = hvDf.select(col("doc_id"),
+        TextHash.minhash_sig(col("hv"), MinhashA.take(16).toSeq,
+          MinhashB.take(16).toSeq, HashMod).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigN == sigD)
+  }
+
   test("minhash LSH flags the near-duplicate pair and not the distinct one") {
     val pairs = TextOps.minhashLshPairs(docs, "doc_id", "text",
       minEstJaccard = 0.3).collect()
