@@ -247,8 +247,65 @@ object Oracles {
        |CROSS JOIN (SELECT unnest(outb) AS g) u""".stripMargin
   }
 
+  /** ann_ivf oracle: the deterministic Lloyd quantizer replayed as 10
+    * UNROLLED, MATERIALIZED CTE iterations (inlined CTEs would re-expand
+    * the chain exponentially) — init = first 16 sample vectors by id,
+    * argmin assignment ordered (dist, cid) like the Scala first-minimum,
+    * per-centroid means summed in vec_id order (the Scala foreach order),
+    * empty centroids carried over — then cell assignment, nprobe=4 probes
+    * for queries v_id < 10, exact-cosine rerank, k=3. Mirrors
+    * VectorOps.ivfTopK + kmeans bit-for-bit (cross-checked against an
+    * independent Python replay at sf0.001). */
+  private def ivfSql: String = {
+    val iters = (0 until 10).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT vec_id, vn, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+         |  FROM (SELECT s.vec_id, s.vn, c.cid,
+         |      list_sum(list_transform(range(1, len(s.vn) + 1),
+         |        j -> (s.vn[j] - c.c[j]) * (s.vn[j] - c.c[j]))) AS d
+         |    FROM s CROSS JOIN c$i c)),
+         |g$i AS MATERIALIZED (SELECT cid, list(vn ORDER BY vec_id) AS vl
+         |  FROM a$i WHERE rk = 1 GROUP BY cid),
+         |c${i + 1} AS MATERIALIZED (SELECT c.cid, CASE WHEN g.vl IS NULL THEN c.c ELSE
+         |    list_transform(range(1, len(c.c) + 1),
+         |      j -> list_sum(list_transform(g.vl, v -> v[j])) / len(g.vl)) END AS c
+         |  FROM c$i c LEFT JOIN g$i g USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |u AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(v, x -> x / nrm) AS vn FROM n),
+       |s AS MATERIALIZED (SELECT vec_id, vn FROM u ORDER BY vec_id LIMIT 10000),
+       |c0 AS MATERIALIZED (SELECT
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, vn AS c
+       |  FROM (SELECT vec_id, vn FROM s ORDER BY vec_id LIMIT 16)),
+       |$iters,
+       |fin AS (SELECT u.vec_id AS v_id, u.vn, c.cid,
+       |    row_number() OVER (PARTITION BY u.vec_id ORDER BY
+       |      list_sum(list_transform(range(1, len(u.vn) + 1),
+       |        j -> (u.vn[j] - c.c[j]) * (u.vn[j] - c.c[j]))), c.cid) AS rk
+       |  FROM u CROSS JOIN c10 c),
+       |cells AS (SELECT v_id, vn, cid FROM fin WHERE rk = 1),
+       |qp AS (SELECT v_id AS q_id, vn AS qv, cid FROM fin
+       |  WHERE rk <= 4 AND v_id < 10),
+       |scored AS (SELECT q.q_id, cl.v_id,
+       |    list_sum(list_transform(range(1, len(q.qv) + 1),
+       |      j -> q.qv[j] * cl.vn[j])) AS sim
+       |  FROM qp q JOIN cells cl USING (cid) WHERE q.q_id <> cl.v_id)
+       |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, v_id) AS INT) AS rank,
+       |  v_id AS n_id, round(sim, 6) + 0.0e0 AS sim
+       |FROM scored
+       |QUALIFY rank <= 3""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "w10_binocular_merge" -> w10Sql,
+
+    "ann_ivf_topk" -> ivfSql,
 
     "dedup_minhash_lsh" -> minhashSql,
 

@@ -149,7 +149,10 @@ object VectorOps {
     import spark.implicits._
     val v = normalized(vecs, idCol, vecCol)
       .select(col(idCol).as("v_id"), col("vn"))
-    val sample = v.limit(sampleN).collect()
+    // deterministic sample order (by id): the k-means init and the
+    // per-centroid summation order depend on it, so an order-free limit
+    // would make the fitted quantizer run-dependent
+    val sample = v.orderBy("v_id").limit(sampleN).collect()
       .map(_.getAs[scala.collection.Seq[Double]]("vn").toArray)
     if (sample.isEmpty)
       return spark.emptyDataFrame
