@@ -66,9 +66,9 @@ case class PolyBinocularModel(cx: Array[Double], cy: Array[Double], n: Int) {
   }
 }
 
-/** TPS map: anchors (n×2) + θ per output axis, evaluated with a
-  * higher-order `aggregate` over a literal anchor array — stays inside
-  * codegen, O(n_anchors) per row with n_anchors ≤ ~10². */
+/** TPS map: anchors (n×2) + θ per output axis, evaluated by the native
+  * [[graft.functions.TpsEval]] flat loop — O(n_anchors) per row with
+  * n_anchors ≤ ~10², one expression eval per row. */
 case class TpsMapModel(anchorsX: Array[Array[Double]], thetaX: Array[Double],
                        anchorsY: Array[Array[Double]], thetaY: Array[Double])
     extends GazeModel {
@@ -82,18 +82,10 @@ object TpsMapModel {
   /** Σ_i w_i·U(‖p−anchor_i‖) + a0 + ax·px + ay·py as a Column expression.
     * U(r) = r²·ln(r+1e-6), matching [[Tps.kernel]]. */
   def tpsCol(px: Column, py: Column, anchors: Array[Array[Double]],
-             theta: Array[Double]): Column = {
-    val n = anchors.length
-    val packed: Seq[(Double, Double, Double)] =
-      anchors.zipWithIndex.map { case (a, i) => (a(0), a(1), theta(i)) }.toSeq
-    val warp = aggregate(typedLit(packed), lit(0.0), (acc, s) => {
-      val dx = px - s.getField("_1")
-      val dy = py - s.getField("_2")
-      val r = sqrt(dx * dx + dy * dy)
-      acc + s.getField("_3") * r * r * log(r + lit(1e-6))
-    })
-    lit(theta(n)) + lit(theta(n + 1)) * px + lit(theta(n + 2)) * py + warp
-  }
+             theta: Array[Double]): Column =
+    tpsColFromColumns(px, py,
+      typedLit(anchors.map(_(0)).toSeq), typedLit(anchors.map(_(1)).toSeq),
+      typedLit(theta.toSeq))
 
   /** Data-driven TPS apply: anchors/θ come from COLUMNS (a model table
     * row joined onto the data), not literals — the multi-session shape
@@ -101,15 +93,9 @@ object TpsMapModel {
     * broadcast join. `axCol`/`ayCol`: array<double> anchor coords;
     * `thetaCol`: array<double> of length n+3. */
   def tpsColFromColumns(px: Column, py: Column, axCol: Column, ayCol: Column,
-                        thetaCol: Column): Column = {
-    val n = size(axCol)
-    val warp = aggregate(sequence(lit(1), n), lit(0.0), (acc, i) => {
-      val dx = px - element_at(axCol, i)
-      val dy = py - element_at(ayCol, i)
-      val r = sqrt(dx * dx + dy * dy)
-      acc + element_at(thetaCol, i) * r * r * log(r + lit(1e-6))
-    })
-    element_at(thetaCol, n + 1) + element_at(thetaCol, n + 2) * px +
-      element_at(thetaCol, n + 3) * py + warp
-  }
+                        thetaCol: Column): Column =
+    // native flat-loop evaluation (one eval per row instead of an
+    // interpreted HOF lambda per anchor); op order identical to the
+    // previous aggregate/element_at formulation — bit-equal results
+    graft.functions.TpsEval.tps_eval(px, py, axCol, ayCol, thetaCol)
 }

@@ -82,17 +82,36 @@ class SessionCalibratorSpec extends SparkSpec {
     assert(out.select("session").distinct().count() == 3)
   }
 
-  test("data-driven TPS columns equal the literal-anchor form") {
+  test("native TPS eval is bit-equal to the HOF formulation and the scalar kernel") {
     val anchors = Array.tabulate(9)(i => Array((i % 3) / 2.0, (i / 3) / 2.0))
     val theta = Tps.fit(anchors, anchors.map(a => a(0) * 0.6 + a(1)), 1e-3)
-    val df = Seq((0.3, 0.7)).toDF("px", "py")
+    val df = Seq((0.3, 0.7), (0.05, 0.9)).toDF("px", "py")
       .withColumn("ax", typedLit(anchors.map(_(0)).toSeq))
       .withColumn("ay", typedLit(anchors.map(_(1)).toSeq))
       .withColumn("th", typedLit(theta.toSeq))
+    // the interpreted HOF formulation the native TpsEval replaced — kept
+    // inline here as the bit-parity reference
+    val hof = {
+      val nIdx = size(col("ax"))
+      val warp = aggregate(sequence(lit(1), nIdx), lit(0.0), (acc, i) => {
+        val dx = col("px") - element_at(col("ax"), i)
+        val dy = col("py") - element_at(col("ay"), i)
+        val r = sqrt(dx * dx + dy * dy)
+        acc + element_at(col("th"), i) * r * r * log(r + lit(1e-6))
+      })
+      element_at(col("th"), nIdx + 1) + element_at(col("th"), nIdx + 2) * col("px") +
+        element_at(col("th"), nIdx + 3) * col("py") + warp
+    }
     val lit1 = TpsMapModel.tpsCol(col("px"), col("py"), anchors, theta)
     val dat = TpsMapModel.tpsColFromColumns(col("px"), col("py"),
       col("ax"), col("ay"), col("th"))
-    val r = df.select(lit1.as("a"), dat.as("b")).collect()(0)
-    assert(r.getDouble(0) == r.getDouble(1))
+    val rows = df.select(hof.as("h"), lit1.as("a"), dat.as("b"),
+      col("px"), col("py")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1) && r.getDouble(1) == r.getDouble(2))
+      // and against the driver-side scalar kernel
+      val z = Tps.z(r.getDouble(3), r.getDouble(4), anchors, theta)
+      assert(math.abs(r.getDouble(2) - z) < 1e-12)
+    }
   }
 }
