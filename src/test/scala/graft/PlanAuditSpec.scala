@@ -52,4 +52,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("arraydotproduct") || p.contains("ArrayDotProduct"),
       s"native dot product missing from:\n$p")
   }
+
+  test("native tps_eval appears in gaze-apply plans (not HOF aggregate)") {
+    val p = plan(Queries.tpsApply(spark, dir)).toLowerCase
+    assert(p.contains("tpseval"), s"native TPS eval missing from:\n$p")
+    assert(!p.contains("aggregate(sequence"), "TPS apply degraded to HOF")
+  }
+
+  test("native shingle/minhash kernels appear in the dedup plans") {
+    val p = plan(Queries.dedupMinhashLsh(spark, dir)).toLowerCase
+    assert(p.contains("shinglehash60") && p.contains("minhashsig"),
+      s"native text-hash kernels missing from:\n$p")
+  }
 }
