@@ -67,8 +67,69 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native squared euclidean distance over two array<double> columns —
+  * the IVF assignment kernel. Same ascending-index left fold as the
+  * `aggregate(zip_with(a, b, (x,y) ⇒ (x−y)·(x−y)), 0, +)` HOF
+  * formulation and the oracle's list_sum, so results are bit-equal. */
+case class ArraySqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"array_sq_dist needs two array<double> args, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val t = x.getDouble(i) - y.getDouble(i)
+      acc += t * t
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val t = ctx.freshName("t")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $t = $x.getDouble($i) - $y.getDouble($i);
+         |  $acc += $t * $t;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArraySqDist =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayDot {
   /** Column API for the native dot product. */
   def array_dot(a: Column, b: Column): Column =
     Bridge.column(ArrayDotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API for the native squared distance. */
+  def array_sq_dist(a: Column, b: Column): Column =
+    Bridge.column(ArraySqDist(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -161,9 +161,9 @@ object VectorOps {
     val cents = kmeans(sample, nCells)
     val centDf = broadcast(cents.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "centroid"))
-    def centDist = aggregate(
-      zip_with(col("vn"), col("centroid"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), _ + _)
+    // native codegen'd kernel, bit-equal to the zip_with/aggregate fold
+    def centDist = graft.functions.ArrayDot.array_sq_dist(
+      col("vn"), col("centroid"))
     val w = Window.partitionBy(col("v_id")).orderBy(col("_d"), col("cid"))
     val assigned = v.crossJoin(centDf).withColumn("_d", centDist)
       .withColumn("_rn", row_number().over(w))
