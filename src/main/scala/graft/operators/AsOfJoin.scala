@@ -58,29 +58,32 @@ object AsOfJoin {
     val wNext = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t").desc, col("_isL").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    def rv(c: String) = when(!col("_isL"), col(s"_rv_$c"))
-    val rt = when(!col("_isL"), col("_t"))
+    // ALL carried right-side fields travel in one struct, so the whole
+    // carry is 2 window functions (one per direction) instead of
+    // 2·(1 + #value-columns) — same values, fewer frame evaluations
+    // internal `_rv_`-prefixed field names avoid collisions with user
+    // columns (e.g. a right table whose value column is literally "t")
+    val rv = when(!col("_isL"), struct(
+      col("_t").as("_t") +: rightValCols.map(c => col(s"_rv_$c")): _*))
     val carried = u
-      .withColumn("_tPrev", last(rt, ignoreNulls = true).over(wPrev))
-      .withColumn("_tNext", last(rt, ignoreNulls = true).over(wNext))
-    val withVals = rightValCols.foldLeft(carried) { (acc, c) =>
-      acc.withColumn(s"_p_$c", last(rv(c), ignoreNulls = true).over(wPrev))
-        .withColumn(s"_n_$c", last(rv(c), ignoreNulls = true).over(wNext))
-    }
-    val dPrev = col("_t") - col("_tPrev")
-    val dNext = col("_tNext") - col("_t")
+      .withColumn("_prev", last(rv, ignoreNulls = true).over(wPrev))
+      .withColumn("_next", last(rv, ignoreNulls = true).over(wNext))
+    val dPrev = col("_t") - col("_prev._t")
+    val dNext = col("_next._t") - col("_t")
     // prev wins ties (<=): earlier right row, numpy argmin-first semantics
-    val usePrev = col("_tNext").isNull || (col("_tPrev").isNotNull && dPrev <= dNext)
+    val usePrev = col("_next").isNull || (col("_prev").isNotNull && dPrev <= dNext)
     val dist = when(usePrev, dPrev).otherwise(dNext)
-    val matched = withVals.filter(col("_isL"))
-      .withColumn(s"${rightPrefix}$rightTs", when(usePrev, col("_tPrev")).otherwise(col("_tNext")))
+    val matched = carried.filter(col("_isL"))
+      .withColumn(s"${rightPrefix}$rightTs",
+        when(usePrev, col("_prev._t")).otherwise(col("_next._t")))
       .withColumn(s"${rightPrefix}dt", dist)
     val withRight = rightValCols.filterNot(_ == rightTs).foldLeft(matched) { (acc, c) =>
-      acc.withColumn(s"$rightPrefix$c", when(usePrev, col(s"_p_$c")).otherwise(col(s"_n_$c")))
+      acc.withColumn(s"$rightPrefix$c",
+        when(usePrev, col(s"_prev._rv_$c")).otherwise(col(s"_next._rv_$c")))
     }
     val cleaned = withRight.drop(
-      (Seq("_t", "_isL", "_tPrev", "_tNext") ++
-        rightValCols.flatMap(c => Seq(s"_rv_$c", s"_p_$c", s"_n_$c"))): _*)
+      (Seq("_t", "_isL", "_prev", "_next") ++
+        rightValCols.map(c => s"_rv_$c")): _*)
     tolerance match {
       case Some(tol) => cleaned.filter(col(s"${rightPrefix}dt") <= tol)
       case None      => cleaned

@@ -211,19 +211,21 @@ object TimeSeriesOps {
     // grid row's "next", mirroring the forward ordering's semantics.
     val wAllRev = partWindow(partitionCols)
       .orderBy(col("_gt").desc, col("_isGrid").desc)
-    // carry (t, v) of previous real sample forward and next real sample backward
-    def carry(c: String, dir: String) = {
-      val base = when(!col("_isGrid"), col(c))
-      if (dir == "prev") last(base, ignoreNulls = true)
-        .over(wAll.rowsBetween(Window.unboundedPreceding, 0))
-      else last(base, ignoreNulls = true)
-        .over(wAllRev.rowsBetween(Window.unboundedPreceding, 0))
-    }
+    // carry (t, values…) of the previous/next real sample as ONE struct
+    // per direction: 2 window functions total instead of 2·(1 + #values)
+    // internal `_v_`-prefixed field names avoid collisions with a value
+    // column literally named "t"
+    val sample = when(!col("_isGrid"), struct(
+      col("_gt").as("_t") +: valueCols.map(c => col(s"_v_$c")): _*))
     val withT = unioned
-      .withColumn("_tPrev", carry("_gt", "prev"))
-      .withColumn("_tNext", carry("_gt", "next"))
+      .withColumn("_prev", last(sample, ignoreNulls = true)
+        .over(wAll.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_next", last(sample, ignoreNulls = true)
+        .over(wAllRev.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_tPrev", col("_prev._t"))
+      .withColumn("_tNext", col("_next._t"))
     val interped = valueCols.foldLeft(withT) { (acc, c) =>
-      val vp = carry(s"_v_$c", "prev"); val vn = carry(s"_v_$c", "next")
+      val vp = col(s"_prev._v_$c"); val vn = col(s"_next._v_$c")
       val frac = (col("_gt") - col("_tPrev")) / (col("_tNext") - col("_tPrev"))
       acc.withColumn(c,
         when(col("_tNext") === col("_tPrev"), vp)
