@@ -88,10 +88,16 @@ case class ArraySqDist(left: Expression, right: Expression)
         s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   }
 
+  override def nullable: Boolean = true
+
+  // null on length mismatch: zip_with pads the shorter side with nulls and
+  // the null poisons the aggregate — a malformed row must surface as null,
+  // not as a truncated-but-plausible distance
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -109,13 +115,17 @@ case class ArraySqDist(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val t = ctx.freshName("t")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $t = $x.getDouble($i) - $y.getDouble($i);
-         |  $acc += $t * $t;
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $t = $x.getDouble($i) - $y.getDouble($i);
+         |    $acc += $t * $t;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

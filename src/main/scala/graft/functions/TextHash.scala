@@ -44,7 +44,14 @@ object TextHash {
 
     override def nullSafeEval(input: Any): Any = {
       val text = input.asInstanceOf[UTF8String].toString
-      val toks = text.trim.split(" ", -1)
+      // Spark's trim() strips SPACES only (0x20) — Java String.trim strips
+      // every char <= 0x20 and would eat trailing newlines/tabs, changing
+      // the token set vs the declarative chain and the DuckDB oracle
+      var lo = 0
+      var hi = text.length
+      while (lo < hi && text.charAt(lo) == ' ') lo += 1
+      while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
+      val toks = text.substring(lo, hi).split(" ", -1)
       if (toks.length < k) return new GenericArrayData(Array.empty[Long])
       val md = java.security.MessageDigest.getInstance("MD5")
       val seen = new java.util.LinkedHashSet[String]()
@@ -98,13 +105,22 @@ object TextHash {
     private val aArr = a.toArray
     private val bArr = b.toArray
 
+    override def nullable: Boolean = true
+
     override def nullSafeEval(input: Any): Any = {
       val hv = input.asInstanceOf[ArrayData]
       val n = hv.numElements()
+      // empty shingle set → null signature, like array_min over an empty
+      // array (callers filter size(hv) > 0, but the public API shouldn't
+      // emit Long.MaxValue garbage if they don't)
+      if (n == 0) return null
       val m = aArr.length
       val mins = Array.fill(m)(Long.MaxValue)
       var i = 0
       while (i < n) {
+        // contract: inputs are already reduced mod M (ShingleHash60
+        // output, < 2^31), so h·a < 2^63 and % stays non-negative — the
+        // same domain the declarative pmod formulation is exact on
         val h = hv.getLong(i)
         var j = 0
         while (j < m) {
@@ -114,8 +130,6 @@ object TextHash {
         }
         i += 1
       }
-      // empty input → all-null semantics match array_min over empty: the
-      // callers filter size(hv) > 0 first, so mins are always populated
       new GenericArrayData(mins)
     }
 

@@ -28,6 +28,21 @@ case class TpsEval(px: Expression, py: Expression, ax: Expression,
   override def nullable: Boolean = children.exists(_.nullable)
   override def dataType: DataType = DoubleType
 
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.ArrayType
+    val scalarsOk = Seq(px, py).forall(_.dataType == DoubleType)
+    val arraysOk = Seq(ax, ay, theta).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (scalarsOk && arraysOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"tps_eval needs (double, double, array<double>, array<double>, " +
+        s"array<double>), got ${children.map(_.dataType.simpleString).mkString(", ")}")
+  }
+
   override def eval(input: InternalRow): Any = {
     val pxv = px.eval(input)
     val pyv = py.eval(input)
@@ -48,7 +63,10 @@ case class TpsEval(px: Expression, py: Expression, ax: Expression,
       val dx = x - axA.getDouble(i)
       val dy = y - ayA.getDouble(i)
       val r = math.sqrt(dx * dx + dy * dy)
-      acc += th.getDouble(i) * r * r * math.log(r + 1e-6)
+      // StrictMath.log: Spark's Log expression evaluates via StrictMath,
+      // and Math.log diverges in the last ulp once the C2 intrinsic kicks
+      // in — the bit-equality contract with the HOF form requires strict
+      acc += th.getDouble(i) * r * r * StrictMath.log(r + 1e-6)
       i += 1
     }
     th.getDouble(n) + th.getDouble(n + 1) * x + th.getDouble(n + 2) * y + acc

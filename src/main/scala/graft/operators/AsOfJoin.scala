@@ -60,7 +60,10 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, 0)
     // ALL carried right-side fields travel in one struct, so the whole
     // carry is 2 window functions (one per direction) instead of
-    // 2·(1 + #value-columns) — same values, fewer frame evaluations
+    // 2·(1 + #value-columns). Carries are ROW-consistent: the matched
+    // right row's fields come back together, so a null value field stays
+    // null (a per-column carry would silently mix fields from different
+    // right rows when values are null — an as-of join must not)
     // internal `_rv_`-prefixed field names avoid collisions with user
     // columns (e.g. a right table whose value column is literally "t")
     val rv = when(!col("_isL"), struct(

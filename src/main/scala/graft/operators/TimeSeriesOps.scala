@@ -212,7 +212,12 @@ object TimeSeriesOps {
     val wAllRev = partWindow(partitionCols)
       .orderBy(col("_gt").desc, col("_isGrid").desc)
     // carry (t, values…) of the previous/next real sample as ONE struct
-    // per direction: 2 window functions total instead of 2·(1 + #values)
+    // per direction: 2 window functions total instead of 2·(1 + #values).
+    // Carries are ROW-consistent: a sample row with a null value yields a
+    // null interpolation at grid points it bounds — drop null/NaN rows
+    // first (the reference's remove_nans) rather than relying on the old
+    // per-column skip, which interpolated against a value from a
+    // DIFFERENT sample's timestamp
     // internal `_v_`-prefixed field names avoid collisions with a value
     // column literally named "t"
     val sample = when(!col("_isGrid"), struct(

@@ -30,7 +30,11 @@ class TextVectorOpsSpec extends SparkSpec {
     val tricky = docs.unionByName(Seq(
       (10L, "  a b  c d a b  c  "),
       (11L, "x y z"),
-      (12L, "a b c a b c a b c")).toDF("doc_id", "text"))
+      (12L, "a b c a b c a b c"),
+      // control chars: Spark trim() strips SPACES only — tokens keep the
+      // embedded/trailing \t and \n, and the native kernel must too
+      (13L, "\tp q r s\n"),
+      (14L, " p q\tr s t\n u ")).toDF("doc_id", "text"))
     val declar = tricky
       .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
       .withColumn("hv", transform(col("sh"), s => pmod(hash60(s), lit(HashMod))))
