@@ -43,7 +43,7 @@ object Poly {
   def fitSurface(ins: Array[Array[Double]], tx: Array[Double], ty: Array[Double],
                  n: Int): (Array[Double], Array[Double], Array[Double], Array[Double]) = {
     val rows = ins.map(features(_, n))
-    val m = DenseMatrix(rows: _*)
+    val m = DenseMatrix(rows.toIndexedSeq: _*)
     val s = svd.reduced(m)
     // pinv = V · diag(1/w) · Uᵀ
     val pinv = s.rightVectors.t * diag(s.singularValues.map(1.0 / _)) * s.leftVectors.t

@@ -32,7 +32,7 @@ object MarkerParsing {
     d.join(c, Seq("_b"), "left")
       .withColumn("_match",
         when(abs(col("_ct") - col(tsCol).cast("double")) < tol, col("_ct")))
-      .groupBy(df.columns.map(col): _*)
+      .groupBy(df.columns.toIndexedSeq.map(col): _*)
       .agg(min(col("_match")).as("_snap"))
       .withColumn(tsCol, coalesce(col("_snap"), col(tsCol).cast("double")))
       .drop("_snap")

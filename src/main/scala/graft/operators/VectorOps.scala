@@ -207,7 +207,7 @@ object VectorOps {
     require(anchors.length == bands * rowsPerBand,
       s"anchorPred selected ${anchors.length} rows, need ${bands * rowsPerBand}")
     def bit(b: Int, r: Int): Column = {
-      val av = array(anchors(b * rowsPerBand + r).map(lit): _*)
+      val av = array(anchors(b * rowsPerBand + r).toIndexedSeq.map(lit): _*)
       when(dot(col("vn"), av) > 0, "1").otherwise("0")
     }
     def flip(c: Column): Column = when(c === "1", "0").otherwise("1")
