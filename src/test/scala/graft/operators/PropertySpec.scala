@@ -102,4 +102,56 @@ class PropertySpec extends SparkSpec {
       out.foreach(r => assert(counts(r.getDouble(0)) == 1))
     }
   }
+
+  test("LSH-gated near-dup is a subset of brute with identical sims (seeded sweeps)") {
+    for (seed <- Seq(3, 11, 42)) {
+      val rng = new scala.util.Random(seed)
+      val vecs = Seq.tabulate(60)(i =>
+        (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+      val brute = VectorOps.nearDupPairs(vecs, "vec_id", "embedding", 0.4)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val gated = VectorOps.nearDupPairsLsh(vecs, "vec_id", "embedding",
+          col("vec_id") < 16, bands = 4, rowsPerBand = 4, 0.4, multiProbe = true)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      gated.foreach { case (k, v) =>
+        assert(brute.contains(k) && brute(k) == v, s"seed $seed pair $k")
+      }
+    }
+  }
+
+  test("spline resample: grid bounded by the sample span, knots interpolated") {
+    for (seed <- Seq(5, 19)) {
+      val rng = new scala.util.Random(seed)
+      val n = 6 + rng.nextInt(10)
+      val xs = Array.iterate(0.0, n)(_ + 0.5 + rng.nextDouble()).map(x => x)
+      val ys = Array.fill(n)(rng.nextGaussian())
+      // cubic interpolates its knots exactly
+      val atKnots = SplineOps.cubicInterp(xs, ys, xs)
+      atKnots.zip(ys).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9) }
+      // distributed grid stays inside [t0, t1)
+      val df = xs.zip(ys).map { case (x, y) => ("g", x, y) }.toSeq
+        .toDF("s", "ts", "v")
+      val out = SplineOps.resampleSpline(df, "ts", "v", Seq("s"), fps = 3.0)
+        .collect().map(_.getDouble(1))
+      assert(out.nonEmpty && out.forall(t => t >= xs.head && t < xs.last))
+    }
+  }
+
+  test("medfilt detrend: interior of a constant series detrends to the impute") {
+    for (impute <- Seq(None, Some(0.5))) {
+      val df = (0 until 40).map(i => ("s", i.toDouble, 3.0)).toDF("s", "ts", "v")
+      val out = TimeSeriesOps.medfiltDetrend(df, "ts", "v", Seq("s"),
+          kernelSize = 5, impute = impute)
+        .collect().map(r => r.getDouble(1) -> r.getAs[Double]("detrended")).toMap
+      val base = impute.getOrElse(0.0)
+      // interior rows (full windows, no zero pad): v − median(v…) = 0
+      (2 to 37).foreach(i => assert(out(i.toDouble) == base))
+      // edge rows feel the scipy zero padding: median of {0,0,3,3,3} = 3 at
+      // offset 1, but {0,0,3,3,3} sorted mid is 3 → row 1 is base too;
+      // row 0 has pad {0,0,3,3,3} → median 3 → base as well for k=5; the
+      // property that matters: no NaNs and group-local output size
+      assert(out.size == 40 && out.values.forall(!_.isNaN))
+    }
+  }
 }
