@@ -43,12 +43,15 @@ object Oracles {
       |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM d)""".stripMargin
 
   /** Shared MinHash CTE chain (shingles → 60-bit hash arrays → 16-hash
-    * signatures → 4 LSH bands) — mirrors TextOps.minhashSignature/lshBands;
-    * prefix for both the LSH-candidate and the gated-exact-Jaccard oracles. */
+    * signatures → 4 LSH bands, hot buckets capped) — mirrors
+    * TextOps.minhashSignature/lshBands + the default-on capBuckets skew
+    * lever; prefix for both the LSH-candidate and the gated-exact-Jaccard
+    * oracles. */
   private def minhashBandCtes: String = {
     val M = graft.operators.TextOps.HashMod
     val a = graft.operators.TextOps.MinhashA
     val bc = graft.operators.TextOps.MinhashB
+    val cap = graft.operators.TextOps.DefaultMaxBandBucket
     val sigs = (0 until 16).map(i =>
       s"list_min(list_transform(hv, h -> (h * ${a(i)} + ${bc(i)}) % $M))")
       .mkString(",\n    ")
@@ -64,7 +67,9 @@ object Oracles {
        |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $M) AS hv
        |  FROM s WHERE len(sh) > 0),
        |sig AS (SELECT doc, [$sigs] AS sig FROM hv),
-       |band AS ($bandSelects)""".stripMargin
+       |band0 AS ($bandSelects),
+       |band AS (SELECT * FROM band0 QUALIFY count(*) OVER
+       |  (PARTITION BY band_id, band_hash) <= $cap)""".stripMargin
   }
 
   private def minhashSql: String =
@@ -152,6 +157,49 @@ object Oracles {
        |  JOIN u ua ON id_a = ua.vec_id
        |  JOIN u ub ON id_b = ub.vec_id)
        |SELECT id_a, id_b, round(sim, 6) AS sim FROM pr WHERE sim >= 0.45""".stripMargin
+  }
+
+  /** ann_lsh oracle: 6-bit sign-LSH buckets (anchors vec_id 480-485) with
+    * Hamming-1 MULTI-PROBE on the query side — mirrors
+    * VectorOps.annTopK(multiProbe = true): queries probe their exact
+    * bucket plus every bucket with one sign bit flipped; the indexed side
+    * stays one bucket per vector, so a (q, v) pair matches via at most one
+    * probe key (no pair dedup needed). */
+  private def annLshSql: String = {
+    val bits = 6
+    val probeSelects = "SELECT q_id, qv, bucket FROM q0" +:
+      (1 to bits).map { r =>
+        val flipped = s"substr(bucket, 1, ${r - 1}) || " +
+          s"(CASE WHEN substr(bucket, $r, 1) = '1' THEN '0' ELSE '1' END) || " +
+          s"substr(bucket, ${r + 1}, ${bits - r})"
+        s"SELECT q_id, qv, $flipped AS bucket FROM q0"
+      }
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |a AS (SELECT vec_id AS a_id, v AS av FROM e
+       |  WHERE vec_id BETWEEN 480 AND 485),
+       |dots AS (SELECT e.vec_id AS v_id, a.a_id,
+       |    list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * av[i])) AS d
+       |  FROM e CROSS JOIN a),
+       |buck AS (SELECT v_id,
+       |    string_agg(CASE WHEN d > 0 THEN '1' ELSE '0' END, '' ORDER BY a_id)
+       |      AS bucket
+       |  FROM dots GROUP BY v_id),
+       |ev AS (SELECT e.vec_id AS v_id, v, bucket
+       |  FROM e JOIN buck ON e.vec_id = buck.v_id),
+       |q0 AS (SELECT v_id AS q_id, v AS qv, bucket FROM ev WHERE v_id < 10),
+       |q AS (${probeSelects.mkString("\n  UNION ALL ")}),
+       |scored AS (SELECT q.q_id, ev.v_id,
+       |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i]))
+       |    / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+       |       * sqrt(list_sum(list_transform(v, x -> x * x)))) AS sim
+       |  FROM q JOIN ev USING (bucket) WHERE q.q_id <> ev.v_id)
+       |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, v_id) AS INT) AS rank,
+       |  v_id AS n_id, round(sim, 6) + 0.0e0 AS sim
+       |FROM scored
+       |QUALIFY rank <= 3""".stripMargin
   }
 
   /** W10 oracle: an independent scalar replay of the binocular-merge FSM
@@ -363,32 +411,7 @@ object Oracles {
         |    AS quality
         |FROM m""".stripMargin,
 
-    "ann_lsh_topk" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |a AS (SELECT vec_id AS a_id, v AS av FROM e
-        |  WHERE vec_id BETWEEN 480 AND 485),
-        |dots AS (SELECT e.vec_id AS v_id, a.a_id,
-        |    list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * av[i])) AS d
-        |  FROM e CROSS JOIN a),
-        |buck AS (SELECT v_id,
-        |    string_agg(CASE WHEN d > 0 THEN '1' ELSE '0' END, '' ORDER BY a_id)
-        |      AS bucket
-        |  FROM dots GROUP BY v_id),
-        |ev AS (SELECT e.vec_id AS v_id, v, bucket
-        |  FROM e JOIN buck ON e.vec_id = buck.v_id),
-        |q AS (SELECT v_id AS q_id, v AS qv, bucket FROM ev WHERE v_id < 10),
-        |scored AS (SELECT q.q_id, ev.v_id,
-        |    list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * v[i]))
-        |    / (sqrt(list_sum(list_transform(qv, x -> x * x)))
-        |       * sqrt(list_sum(list_transform(v, x -> x * x)))) AS sim
-        |  FROM q JOIN ev USING (bucket) WHERE q.q_id <> ev.v_id)
-        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
-        |    ORDER BY sim DESC, v_id) AS INT) AS rank,
-        |  v_id AS n_id, round(sim, 6) + 0.0e0 AS sim
-        |FROM scored
-        |QUALIFY rank <= 3""".stripMargin,
+    "ann_lsh_topk" -> annLshSql,
 
     // banded sign-LSH candidates (anchors = vec_id 400-415, 4 bands × 4
     // bits, bit order = anchor-id rank) with Hamming-1 multi-probe →

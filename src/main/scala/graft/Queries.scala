@@ -150,16 +150,18 @@ object Queries {
         aspectThreshold = Some(1.2))
       .select(col("event_id"), col("marker_size"), col("marker_aspect"))
 
-  /** A6: bimodality split (driver 2-means gate) — rows-only (iterative
-    * k-means is not SQL-expressible). The planted minority mode is 1-in-10:
-    * a two-point mixture only exceeds k·σ separation when p(1−p) is small
+  /** A6: bimodality split via the GROUPED 2-means gate (the 2-means fit
+    * runs inside `flatMapGroups`, not on driver-collected values; the
+    * single planted group makes it equivalent to the reference's
+    * one-marker-table form). The planted minority mode is 1-in-10: a
+    * two-point mixture only exceeds k·σ separation when p(1−p) is small
     * (|m₂−m₁|/σ = 1/√(p(1−p)); 2.5σ needs p ≲ 0.19). */
   def bimodality(s: SparkSession, dir: String): DataFrame =
-    ClusterOps.bimodalitySplit(
+    ClusterOps.bimodalitySplitGrouped(
       ev(s, dir).select(col("event_id"),
         when(col("event_id") % 10 === 0, col("value") / 1000.0 + 10.0)
           .otherwise(col("value") / 1000.0).as("sz")),
-      "sz", sigmas = 2.5)
+      Nil, "sz", sigmas = 2.5)
 
   /** TPC-H-style multi-join aggregate (broadcast dims): revenue per nation. */
   def joinAgg(s: SparkSession, dir: String): DataFrame = {
@@ -542,13 +544,14 @@ object Queries {
     TextOps.qualityScore(Tables.documents(s, dir), "doc_id", "text")
 
   /** ANN via sign-bit LSH buckets (6 anchors = 64 buckets over the corpus,
-    * sized so buckets hold ~8 vectors), exact cosine rank within bucket,
-    * k=3. */
+    * sized so buckets hold ~8 vectors) with Hamming-1 multi-probe (the
+    * recall lever, on by default in the shipped path), exact cosine rank
+    * within the probed buckets, k=3. */
   def annLshTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val out = VectorOps.annTopK(emb, "vec_id", "embedding",
       emb.filter(col("vec_id").between(480, 485)),
-      col("v_id") < 10, k = 3)
+      col("v_id") < 10, k = 3, multiProbe = true)
     out.select(col("q_id"), col("rank"), col("n_id"),
       (round(col("sim"), 6) + 0.0).as("sim"))
   }
@@ -595,17 +598,16 @@ object Queries {
 
   /** Similarity search (brute-force cosine top-k): queries = vec_id < 10,
     * k = 5 nearest over the full table (excluding self). Baseline for the
-    * ANN variants; distributes as broadcast(queries) × scan. */
+    * ANN variants; distributes as broadcast(queries) × scan. Scoring runs
+    * through the native array_dot kernel (bit-equal to the HOF fold the
+    * oracle mirrors). */
   def simBruteTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val dot = aggregate(zip_with(col("qv"), col("v"), _ * _), lit(0.0), _ + _)
-    val nq = sqrt(aggregate(col("qv"), lit(0.0), (a, x) => a + x * x))
-    val nv = sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
     val scored = broadcast(q).join(emb, col("q_id") =!= col("vec_id"))
-      .withColumn("sim", dot / (nq * nv))
+      .withColumn("sim", VectorOps.cosine(col("qv"), col("v")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))

@@ -129,9 +129,12 @@ object ClusterOps {
     * stds on each side — (c_hi − k·σ_hi) > (c_lo + k·σ_lo), the reference's
     * exact criterion (_bimodality_check, marker_parsing.py:31-50) — in
     * which case only rows of the larger-mean mode are kept (the 1-D k-means
-    * assignment boundary is the midpoint of the two means). The reference
-    * runs this on collected sizes (N ~ 10^3-10^5), so we collect the value
-    * column to the driver (tiny) and filter distributively.
+    * assignment boundary is the midpoint of the two means).
+    *
+    * Driver-collect form — fit-small paths only (collects the value column
+    * at plan-build time). Every shipped path routes through
+    * [[bimodalitySplitGrouped]] / [[bimodalKeepFlag]], which run the same
+    * kernel inside `flatMapGroups`.
     */
   def bimodalitySplit(df: DataFrame, valueCol: String, sigmas: Double = 2.5): DataFrame = {
     val vals = df.select(col(valueCol).cast("double")).na.drop()
@@ -155,30 +158,64 @@ object ClusterOps {
     val gIdx = groupCols.map(df.schema.fieldIndex)
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(df.schema)
-    def valOf(r: Row): Double = r.get(vIdx) match {
-      case null => Double.NaN
-      case d: java.lang.Double => d.doubleValue()
-      case f: java.lang.Float => f.doubleValue()
-      case l: java.lang.Long => l.doubleValue()
-      case i: java.lang.Integer => i.doubleValue()
-      case b: java.math.BigDecimal => b.doubleValue()
-      case _ => Double.NaN
-    }
     df.groupByKey { r: Row => GroupKeys.of(r, gIdx) }(
         org.apache.spark.sql.Encoders.STRING)
       .flatMapGroups { (_, it) =>
         val rows = it.toArray
-        val vals = rows.map(valOf).filterNot(_.isNaN)
+        val vals = rows.map(valOf(_, vIdx)).filterNot(_.isNaN)
         LocalDbscan.bimodalCut(vals, sigmas) match {
           case Some(cut) =>
             // NaN/null rows pass the gate — Spark SQL orders NaN above
             // every value, so the driver form's `col >= cut` keeps them
             rows.iterator.filter { r =>
-              val v = valOf(r); v.isNaN || v >= cut
+              val v = valOf(r, vIdx); v.isNaN || v >= cut
             }
           case None => rows.iterator
         }
       }
+  }
+
+  /** A6 as a keep-FLAG column instead of a filter: emits every input row
+    * plus boolean `flagCol` (true = row survives the bimodality gate of
+    * its group). The P7 conjunctive-mask composition needs this form —
+    * the bimodality mask must be computed over the FULL marker set and
+    * intersected with the size/aspect masks (marker_parsing.py:157-175),
+    * so a filtering operator cannot be used there. Same grouped
+    * `flatMapGroups` shape and shared [[LocalDbscan.bimodalCut]] kernel as
+    * [[bimodalitySplitGrouped]]; `groupCols = Nil` = one global group (the
+    * per-session marker-table case). */
+  def bimodalKeepFlag(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                      sigmas: Double = 2.5,
+                      flagCol: String = "_bimodal_keep"): DataFrame = {
+    val outSchema = df.schema.add(flagCol, org.apache.spark.sql.types.BooleanType)
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val gIdx = groupCols.map(df.schema.fieldIndex)
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    df.groupByKey { r: Row => GroupKeys.of(r, gIdx) }(
+        org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val vals = rows.map(valOf(_, vIdx)).filterNot(_.isNaN)
+        val cut = LocalDbscan.bimodalCut(vals, sigmas)
+        rows.iterator.map { r =>
+          val keep = cut match {
+            case Some(c) => val v = valOf(r, vIdx); v.isNaN || v >= c
+            case None => true
+          }
+          Row.fromSeq(r.toSeq :+ keep)
+        }
+      }
+  }
+
+  private def valOf(r: Row, vIdx: Int): Double = r.get(vIdx) match {
+    case null => Double.NaN
+    case d: java.lang.Double => d.doubleValue()
+    case f: java.lang.Float => f.doubleValue()
+    case l: java.lang.Long => l.doubleValue()
+    case i: java.lang.Integer => i.doubleValue()
+    case b: java.math.BigDecimal => b.doubleValue()
+    case _ => Double.NaN
   }
 }
 

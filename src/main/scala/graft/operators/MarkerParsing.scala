@@ -111,19 +111,28 @@ object MarkerParsing {
     * unfiltered sizes — marker_parsing.py:157-175), NOT applied
     * sequentially: with both thresholds set, a sequential composition
     * would compute the std floor over the already-bimodality-filtered
-    * sizes and diverge. */
+    * sizes and diverge.
+    *
+    * The bimodality mask is computed per `groupCols` group inside
+    * `flatMapGroups` ([[ClusterOps.bimodalKeepFlag]]) — no driver collect;
+    * `groupCols = Nil` is the reference's one-marker-table-per-session
+    * case (one global group). */
   def removeSmallDetections(df: DataFrame, sizeCol: String,
                             sizeStdThreshold: Option[Double] = None,
                             bimodalStdThreshold: Option[Double] = Some(2.5),
                             aspectThreshold: Option[Double] = Some(1.2),
                             aspectType: String = "x/y",
-                            keepLessThan: Boolean = true): DataFrame = {
+                            keepLessThan: Boolean = true,
+                            groupCols: Seq[String] = Nil): DataFrame = {
     val withSz = sizeAspect(df, sizeCol, aspectType)
     val sz = col("marker_size").cast("double")
-    val bimodalPred: Option[Column] = bimodalStdThreshold.flatMap { k =>
-      val vals = withSz.select(sz).na.drop().collect().map(_.getDouble(0))
-      LocalDbscan.bimodalCut(vals, k).map(cut => sz >= cut)
-    }
+    val (flagged, bimodalPred): (DataFrame, Option[Column]) =
+      bimodalStdThreshold match {
+        case Some(k) =>
+          (ClusterOps.bimodalKeepFlag(withSz, groupCols, "marker_size", k),
+            Some(col("_bimodal_keep")))
+        case None => (withSz, None)
+      }
     val stdPred: Option[Column] = sizeStdThreshold.map { k =>
       val r = withSz.agg(
         expr("percentile(marker_size, 0.5)"),
@@ -135,7 +144,8 @@ object MarkerParsing {
     val aspectPred: Option[Column] = aspectThreshold.map { t =>
       if (keepLessThan) col("marker_aspect") < t else col("marker_aspect") > t
     }
-    (bimodalPred.toSeq ++ stdPred ++ aspectPred).foldLeft(withSz)(_ filter _)
+    (bimodalPred.toSeq ++ stdPred ++ aspectPred).foldLeft(flagged)(_ filter _)
+      .drop("_bimodal_keep")
   }
 
   /** The full marker-cleaning composition (filter_and_cluster):

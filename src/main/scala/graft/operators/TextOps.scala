@@ -23,6 +23,15 @@ object TextOps {
 
   val HashMod = 1000000007L
 
+  /** Default LSH band-bucket cap (see [[capBuckets]]): one boilerplate
+    * band (every doc sharing a header/footer) makes the candidate join
+    * quadratic at corpus scale, so the pipeline-facing dedup entry points
+    * cap bucket sizes by default. 1000 docs/bucket ⇒ ≤ 10⁶ candidate
+    * pairs per bucket — bounded work per bucket regardless of corpus
+    * size, while true near-dups (which collide in their other bands too)
+    * keep ~full recall. */
+  val DefaultMaxBandBucket = 1000
+
   /** Fixed universal-hash constants for the minhash family
     * h_i(x) = (a_i·x + b_i) mod HashMod (a_i < 10⁶ keeps a·x < 2⁶³). */
   val MinhashA: Array[Long] = {
@@ -117,7 +126,7 @@ object TextOps {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       minEstJaccard: Double = 0.25,
-                      maxBandBucket: Option[Int] = None): DataFrame = {
+                      maxBandBucket: Option[Int] = Some(DefaultMaxBandBucket)): DataFrame = {
     val rowsPerBand = numHashes / bands
     val withSig = shingleHashed(docs, idCol, textCol, shingleK)
       .select(col("doc"), graft.functions.TextHash.minhash_sig(col("hv"),
@@ -156,7 +165,7 @@ object TextOps {
   def ngramJaccardPairsGated(docs: DataFrame, idCol: String, textCol: String,
                              shingleK: Int = 3, minJaccard: Double = 0.2,
                              numHashes: Int = 16, bands: Int = 4,
-                             maxBandBucket: Option[Int] = None): DataFrame = {
+                             maxBandBucket: Option[Int] = Some(DefaultMaxBandBucket)): DataFrame = {
     val rowsPerBand = numHashes / bands
     val pre = shingleHashed(docs, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

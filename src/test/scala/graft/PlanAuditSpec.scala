@@ -48,9 +48,23 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("native array_dot appears in vector plans (not HOF aggregate)") {
-    val p = plan(Queries.embNearDup(spark, dir))
-    assert(p.contains("arraydotproduct") || p.contains("ArrayDotProduct"),
-      s"native dot product missing from:\n$p")
+    for ((name, df) <- Seq(
+        "emb_neardup" -> Queries.embNearDup(spark, dir),
+        "sim_brute_topk" -> Queries.simBruteTopK(spark, dir))) {
+      val p = plan(df)
+      assert(p.contains("arraydotproduct") || p.contains("ArrayDotProduct"),
+        s"$name: native dot product missing from:\n$p")
+    }
+  }
+
+  test("a6 bimodality runs grouped (flatMapGroups), no driver-collected cut") {
+    val p = plan(Queries.bimodality(spark, dir))
+    // the grouped form shows an object FlatMapGroups; the old driver form
+    // would show only scan + Filter(literal cut) and — the real tell —
+    // a LocalTableScan of collected values in pathological variants
+    assert(p.contains("FlatMapGroups") || p.toLowerCase.contains("mapgroups"),
+      s"a6 lost the grouped flatMapGroups shape:\n$p")
+    assert(!p.contains("LocalTableScan"), s"a6 plan embeds collected values:\n$p")
   }
 
   test("native tps_eval appears in gaze-apply plans (not HOF aggregate)") {

@@ -160,6 +160,35 @@ class TextVectorOpsSpec extends SparkSpec {
     assert(single.subsetOf(multi) || recall(multi) > recall(single))
   }
 
+  test("array_dot / array_sq_dist: null on length mismatch, never truncation") {
+    import graft.functions.ArrayDot
+    val rows = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),   // well-formed
+      (2L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0)),        // malformed right
+      (3L, Seq(1.0), Seq(4.0, 5.0, 6.0)))             // malformed left
+      .toDF("id", "a", "b")
+    val out = rows.select(col("id"),
+        ArrayDot.array_dot(col("a"), col("b")).as("dot"),
+        ArrayDot.array_sq_dist(col("a"), col("b")).as("sq"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(1L) == (Some(32.0), Some(27.0)))
+    // a malformed embedding row surfaces as null — a min-length truncation
+    // would yield a plausible-but-wrong 14.0 / 18.0 here
+    assert(out(2L) == (None, None))
+    assert(out(3L) == (None, None))
+    // interpreted path agrees with codegen: eval directly on literals
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def arrLit(xs: Seq[Double]) = Literal(
+      CatalystTypeConverters.convertToCatalyst(xs), ArrayType(DoubleType))
+    val e = graft.functions.ArrayDotProduct(arrLit(Seq(1.0, 2.0)), arrLit(Seq(3.0)))
+    assert(e.eval(null) == null)
+    val ok = graft.functions.ArrayDotProduct(
+      arrLit(Seq(1.0, 2.0)), arrLit(Seq(3.0, 4.0)))
+    assert(ok.eval(null) == 11.0)
+  }
+
   test("simhash: identical texts get identical hashes, disjoint texts differ") {
     val d2 = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc dd"), (3L, "zz yy xx ww"))
       .toDF("doc_id", "text")
