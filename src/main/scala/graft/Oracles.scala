@@ -202,6 +202,57 @@ object Oracles {
        |QUALIFY rank <= 3""".stripMargin
   }
 
+  /** a7 oracle: DBSCAN restated order-free as graph reachability, made
+    * hash-checkable by canonical labels. The engine's per-group BFS
+    * (ClusterOps.LocalDbscan, mirroring sklearn's index-order scan —
+    * marker_parsing.py:387-401 semantics) is equivalent to:
+    *
+    *  - clusters = connected components of CORE points (≥ minPts
+    *    neighbors incl. self) under eps-adjacency — recursive CTE
+    *    propagating reachable core ids, component root = min core id;
+    *  - border points (non-core within eps of a core) join the
+    *    earliest-DISCOVERED adjacent component; discovery order is
+    *    ascending min-core-id because the outer scan runs in event_id
+    *    order and each seed's full BFS completes before the next seed —
+    *    so "earliest" = min(root) over adjacent cores, order-free;
+    *  - everything else is noise (−1);
+    *  - both sides relabel clusters to min member id (borders included).
+    *
+    * Cross-checked bit-exact against an independent Python replay of the
+    * BFS at sf0.001 and sf0.01 (1000/10000 rows, 145 clusters). */
+  private def a7Sql: String = {
+    val eps2 = 0.05 * 0.05 // the engine compares d ≤ eps² in the double domain
+    val minPts = 5
+    s"""WITH RECURSIVE pts AS (SELECT event_id AS id, event_type AS et,
+       |    CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+       |    value/2.0e2 AS fx, (user_id % 100)/1.0e2 AS fy
+       |  FROM events),
+       |nb AS (SELECT a.id AS ida, b.id AS idb
+       |  FROM pts a JOIN pts b ON a.et = b.et AND a.day = b.day
+       |    AND ((a.fx-b.fx)*(a.fx-b.fx)) + ((a.fy-b.fy)*(a.fy-b.fy))
+       |      <= ${d(eps2)}),
+       |core AS (SELECT ida AS id FROM nb GROUP BY ida
+       |  HAVING count(*) >= $minPts),
+       |ce AS (SELECT n.ida AS a, n.idb AS b FROM nb n
+       |  JOIN core ca ON n.ida = ca.id JOIN core cb ON n.idb = cb.id),
+       |cc AS (
+       |  SELECT id AS node, id AS lbl FROM core
+       |  UNION
+       |  SELECT ce.b AS node, cc.lbl FROM cc JOIN ce ON cc.node = ce.a
+       |),
+       |comp AS (SELECT node, min(lbl) AS root FROM cc GROUP BY node),
+       |bord AS (SELECT n.ida AS id, min(c.root) AS root
+       |  FROM nb n JOIN comp c ON n.idb = c.node
+       |  WHERE n.ida NOT IN (SELECT id FROM core)
+       |  GROUP BY n.ida),
+       |member AS (SELECT node AS id, root FROM comp
+       |  UNION ALL SELECT id, root FROM bord),
+       |lab AS (SELECT root, min(id) AS cluster_id FROM member GROUP BY root),
+       |labeled AS (SELECT m.id, l.cluster_id FROM member m JOIN lab l USING (root))
+       |SELECT p.id AS event_id, coalesce(o.cluster_id, -1) AS cluster_id
+       |FROM pts p LEFT JOIN labeled o ON p.id = o.id""".stripMargin
+  }
+
   /** W10 oracle: an independent scalar replay of the binocular-merge FSM
     * as a DuckDB RECURSIVE CTE — per session, one recursion step per
     * time-ordered pupil row, carrying (queue0, queue1, EMA, emitted) as
@@ -352,6 +403,29 @@ object Oracles {
 
   val sql: Map[String, String] = Map(
     "w10_binocular_merge" -> w10Sql,
+
+    "a7_dbscan" -> a7Sql,
+
+    // m9 ANALYTIC oracles: the m9 constructions plant pupils as a known
+    // inverse affine of the markers (Queries.m9Base/m9Pupils), so the
+    // fitted TPS map must reproduce the planted affine within the jitter
+    // bound — the Spark side computes planted_ok/err_weighted_ok from the
+    // actual fitted-model output; the oracle knows the answer (true) and
+    // the exact row counts in closed form.
+    "m9_gaze_pipeline" ->
+      """SELECT count(*) AS n_gaze, true AS planted_ok,
+        |  true AS err_weighted_ok FROM events""".stripMargin,
+
+    // per-session counts; sessions below SessionCalibrator's
+    // 4-reduced-cluster fit gate drop on both sides (none do at the
+    // shipped scale factors — min 21 distinct clusters per session)
+    "m9_multisession" ->
+      """WITH s AS (SELECT 's' || (user_id % 100) AS session,
+        |    event_id % 25 AS cl FROM events),
+        |g AS (SELECT session, count(*) AS n_gaze,
+        |    count(DISTINCT cl) AS ncl FROM s GROUP BY session)
+        |SELECT session, n_gaze, true AS planted_ok FROM g
+        |WHERE ncl >= 4""".stripMargin,
 
     "ann_ivf_topk" -> ivfSql,
 

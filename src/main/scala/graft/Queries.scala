@@ -302,16 +302,25 @@ object Queries {
       "t", Seq("value"), Seq("user_id"), step = 3600.0)
 
   /** A7: per-group DBSCAN (groups = event_type × day, bounding each local
-    * clustering at ~10³ rows — the reference's per-epoch shape). */
-  def dbscan(s: SparkSession, dir: String): DataFrame =
-    ClusterOps.dbscan(
-        ev(s, dir).select(col("event_id"), col("event_type"),
-          floor(col("t") / 86400).cast("long").as("day"),
-          (col("value") / 200.0).as("fx"),
-          ((col("user_id") % 100) / 100.0).as("fy")),
-        Seq("event_type", "day"), Seq("fx", "fy"), "event_id",
-        eps = 0.05, minPoints = 5)
+    * clustering at ~10³ rows — the reference's per-epoch shape). Labels
+    * are CANONICAL: each cluster is relabeled to the min member event_id
+    * (label-permutation-invariant, so the result is hash-checkable against
+    * the oracle's connected-components relabeling; noise stays −1). */
+  def dbscan(s: SparkSession, dir: String): DataFrame = {
+    val labeled = ClusterOps.dbscan(
+      ev(s, dir).select(col("event_id"), col("event_type"),
+        floor(col("t") / 86400).cast("long").as("day"),
+        (col("value") / 200.0).as("fx"),
+        ((col("user_id") % 100) / 100.0).as("fy")),
+      Seq("event_type", "day"), Seq("fx", "fy"), "event_id",
+      eps = 0.05, minPoints = 5)
+    val w = Window.partitionBy(col("event_type"), col("day"), col("cluster_id"))
+    labeled
+      .withColumn("cluster_id",
+        when(col("cluster_id") === -1, lit(-1L))
+          .otherwise(min(col("event_id")).over(w)))
       .select(col("event_id"), col("cluster_id"))
+  }
 
   // ------------------------------------------------------- sorts / setops
 
@@ -380,77 +389,110 @@ object Queries {
         round(TpsMapModel.tpsCol(col("px"), col("py"), m8Anchors, m8Theta), 6)
           .as("gaze_x"))
 
-  /** §7.3 minimum end-to-end slice — "given one session's markers and
-    * pupils, what is the gaze time series and its weighted validation
-    * error?" A synthetic session is derived deterministically from the
-    * events table (timestamps + per-row noise), then: cluster-reduce →
-    * Calibrator.fit (monocular_tps_cv) → GazeModel.transform → ErrorMap.
-    * Returns the one-row session summary (rows-only driver check). */
-  def gazePipeline(s: SparkSession, dir: String): DataFrame = {
-    import graft.model.{Calibrator, ErrorMap}
-    val w = Window.orderBy(col("t"))
-    val base = ev(s, dir).select(col("t"), col("value"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 1000)
-      .withColumn("cluster", (col("rn") - 1) % 25)
+  /** Planted-session construction shared by the two m9 queries: markers on
+    * a 5×5 grid (cluster = event_id % 25) with deterministic sub-milli
+    * jitter, pupils = a known inverse affine of the marker + jitter. All
+    * columns derive from event_id/value arithmetic — no row_number, no
+    * keyless windows — so the construction itself is SQL-mirrorable and
+    * the fitted map's output admits an ANALYTIC oracle: the TPS must
+    * reproduce the planted affine to within the jitter bound. */
+  private def m9Base(s: SparkSession, dir: String, session: Column): DataFrame =
+    ev(s, dir)
+      .select(col("event_id"), col("value"), session.as("session"))
+      .withColumn("cluster", col("event_id") % 25)
       .withColumn("mx", lit(0.1) + (col("cluster") % 5) * 0.2)
       .withColumn("my", lit(0.1) + floor(col("cluster") / 5) * 0.2)
       // deterministic sub-milli jitter from the value column
       .withColumn("jit", (col("value") - 100.0) / 1e5)
-    val markers = base.select(
-      col("rn").cast("double").as("timestamp"),
-      (col("mx") + col("jit")).as("norm_x"),
-      (col("my") - col("jit")).as("norm_y"),
-      col("cluster").cast("long").as("marker_cluster_index"))
-    // pupil = known inverse-affine of the marker (same map as the specs)
-    val pupils = base.select(
-      (col("rn").cast("double") + 0.002).as("timestamp"),
-      (((col("mx") - 0.05) * 0.9 - (col("my") - 0.03) * 0.1 / 0.9) / 0.8
-        + col("jit")).as("norm_x"),
-      ((col("my") - 0.03) / 0.9 - col("jit")).as("norm_y"),
-      lit(0.95).as("confidence"))
-    val model = Calibrator.fit(markers, pupils).get
-    val gaze = model.transform(pupils)
-      .select(col("timestamp"), col("gaze_x").as("norm_x"),
-        col("gaze_y").as("norm_y"), col("confidence"))
-    ErrorMap.compute(markers, gaze,
-      ErrorMap.Config(resolution = (60, 80))).summary
+
+  private def m9Markers(base: DataFrame): DataFrame = base.select(
+    col("session"),
+    col("event_id").cast("double").as("timestamp"),
+    (col("mx") + col("jit")).as("norm_x"),
+    (col("my") - col("jit")).as("norm_y"),
+    col("cluster").cast("long").as("marker_cluster_index"))
+
+  private def m9Pupils(base: DataFrame): DataFrame = base.select(
+    col("session"),
+    (col("event_id").cast("double") + 0.002).as("timestamp"),
+    (((col("mx") - 0.05) * 0.9 - (col("my") - 0.03) * 0.1 / 0.9) / 0.8
+      + col("jit")).as("norm_x"),
+    ((col("my") - 0.03) / 0.9 - col("jit")).as("norm_y"),
+    lit(0.95).as("confidence"))
+
+  /** Forward affine the construction inverts: A(px, py) = the marker the
+    * pupil row was derived from (up to jitter). */
+  private def m9Affine(px: Column, py: Column): (Column, Column) =
+    ((px * 0.8 + py * 0.1) / 0.9 + 0.05, py * 0.9 + 0.03)
+
+  /** |gaze − A(pupil)| < tol on both axes. The fitted TPS reproduces the
+    * planted affine to ~2e-4 (cluster-median jitter residual); 0.01 is
+    * 50× that margin and 20× below the 0.2 grid spacing. */
+  private val m9Tol = 0.01
+
+  /** §7.3 minimum end-to-end slice — "given one session's markers and
+    * pupils, what is the gaze time series and its weighted validation
+    * error?" — routed through [[graft.model.SessionCalibrator]] with one
+    * session (distributed reduce → flatMapGroups TPS fit → broadcast model
+    * apply; every join/window keyed, no single-partition stages), then
+    * ErrorMap (M11). Output is one row of ANALYTIC checks the oracle
+    * mirrors: n_gaze (= event count), planted_ok (every gaze row within
+    * [[m9Tol]] of the planted affine), err_weighted_ok (weighted
+    * validation error below 1°— the planted construction's jitter maps to
+    * ~0.1° of angular error, an order of magnitude inside the bound). */
+  def gazePipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.{ErrorMap, SessionCalibrator}
+    val base = m9Base(s, dir, lit("cal"))
+    val markers = m9Markers(base)
+    val pupils = m9Pupils(base)
+    val gaze = SessionCalibrator.fitTransform(markers, pupils, "session",
+      window = 1.0 / 60.0)
+    val (ax, ay) = m9Affine(col("px"), col("py"))
+    val checked = gaze
+      .join(pupils.select(col("session"), col("timestamp"),
+        col("norm_x").as("px"), col("norm_y").as("py")),
+        Seq("session", "timestamp"))
+      .withColumn("_ok",
+        abs(col("gaze_x") - ax) < m9Tol && abs(col("gaze_y") - ay) < m9Tol)
+    val summary = ErrorMap.compute(markers,
+      gaze.select(col("session"), col("timestamp"),
+        col("gaze_x").as("norm_x"), col("gaze_y").as("norm_y"),
+        col("confidence")),
+      ErrorMap.Config(resolution = (60, 80), matchKeys = Seq("session"))).summary
+    checked.agg(
+        count(lit(1)).as("n_gaze"),
+        (count(lit(1)) === sum(when(col("_ok"), 1L).otherwise(0L)))
+          .as("planted_ok"))
+      .crossJoin(summary.select(
+        (col("gaze_err_weighted") < 1.0).as("err_weighted_ok")))
   }
 
-  /** Multi-session calibration fan-out over ≥100 sessions (session =
-    * user_id mod 100): markers/pupils synthesized per session from events
-    * with the same planted affine map as m9, then SessionCalibrator's
-    * distributed reduce → flatMapGroups TPS fits → broadcast model-table
-    * apply. Returns one summary row per calibrated session (rows-only
-    * driver check — the TPS LOO-CV fit is not SQL-expressible). */
+  /** Multi-session calibration fan-out over the full session axis
+    * (session = user_id mod 100): the same planted construction per
+    * session, SessionCalibrator's distributed reduce → flatMapGroups TPS
+    * fits → broadcast model-table apply. One row per calibrated session
+    * with the ANALYTIC planted-affine check: n_gaze = the session's pupil
+    * count and every gaze row within [[m9Tol]] of the planted affine —
+    * hash-checked against the closed-form oracle (sessions below the
+    * 4-reduced-cluster fit gate are dropped on both sides). */
   def multiSessionPipeline(s: SparkSession, dir: String): DataFrame = {
     import graft.model.SessionCalibrator
-    val w = Window.partitionBy(col("session")).orderBy(col("t"))
-    val base = ev(s, dir)
-      .select(col("t"), col("value"),
-        concat(lit("s"), col("user_id") % 100).as("session"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cluster", (col("rn") - 1) % 25)
-      .withColumn("mx", lit(0.1) + (col("cluster") % 5) * 0.2)
-      .withColumn("my", lit(0.1) + floor(col("cluster") / 5) * 0.2)
-      .withColumn("jit", (col("value") - 100.0) / 1e5)
-    val markers = base.select(col("session"),
-      col("rn").cast("double").as("timestamp"),
-      (col("mx") + col("jit")).as("norm_x"),
-      (col("my") - col("jit")).as("norm_y"),
-      col("cluster").cast("long").as("marker_cluster_index"))
-    val pupils = base.select(col("session"),
-      (col("rn").cast("double") + 0.002).as("timestamp"),
-      (((col("mx") - 0.05) * 0.9 - (col("my") - 0.03) * 0.1 / 0.9) / 0.8
-        + col("jit")).as("norm_x"),
-      ((col("my") - 0.03) / 0.9 - col("jit")).as("norm_y"),
-      lit(0.95).as("confidence"))
-    SessionCalibrator.fitTransform(markers, pupils, "session",
-        window = 1.0 / 60.0)
+    val base = m9Base(s, dir, concat(lit("s"), col("user_id") % 100))
+    val markers = m9Markers(base)
+    val pupils = m9Pupils(base)
+    val gaze = SessionCalibrator.fitTransform(markers, pupils, "session",
+      window = 1.0 / 60.0)
+    val (ax, ay) = m9Affine(col("px"), col("py"))
+    gaze
+      .join(pupils.select(col("session"), col("timestamp"),
+        col("norm_x").as("px"), col("norm_y").as("py")),
+        Seq("session", "timestamp"))
+      .withColumn("_ok",
+        abs(col("gaze_x") - ax) < m9Tol && abs(col("gaze_y") - ay) < m9Tol)
       .groupBy("session")
       .agg(count(lit(1)).as("n_gaze"),
-        round(avg(col("gaze_x")), 6).as("avg_gx"),
-        round(avg(col("gaze_y")), 6).as("avg_gy"))
+        (count(lit(1)) === sum(when(col("_ok"), 1L).otherwise(0L)))
+          .as("planted_ok"))
   }
 
   /** W10: binocular merge over per-eye streams synthesized from events

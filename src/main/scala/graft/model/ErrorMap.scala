@@ -27,7 +27,13 @@ object ErrorMap {
       degreesHoriz: Double = 101.0,
       degreesVert: Double = 75.75,
       clusterReduce: Boolean = true,
-      extrapolate: Boolean = false)
+      extrapolate: Boolean = false,
+      /** equality keys for the marker↔gaze nearest match. The reference is
+        * per-session so its match is keyless; passing the session column
+        * here keeps the as-of join's windows partitioned (no single-
+        * partition `Window.orderBy` stage) — required shape for the
+        * flagship path. */
+      matchKeys: Seq[String] = Nil)
 
   case class Result(
       /** one row per reduced point: mx, my, gx, gy, err_deg, err_angle */
@@ -54,9 +60,10 @@ object ErrorMap {
     // 1. nearest-gaze match per marker timestamp (match_time_points default)
     val matched = AsOfJoin.nearest(
         markers,
-        gaze.select(col("timestamp"),
-          col("norm_x").as("gx"), col("norm_y").as("gy"), col("confidence")),
-        "timestamp", "timestamp", Nil, rightPrefix = "g_")
+        gaze.select((cfg.matchKeys.map(col) :+ col("timestamp") :+
+          col("norm_x").as("gx") :+ col("norm_y").as("gy") :+
+          col("confidence")): _*),
+        "timestamp", "timestamp", cfg.matchKeys, rightPrefix = "g_")
       .filter(col("g_confidence") > cfg.minPupilConfidence)
       .withColumnRenamed("g_gx", "gx").withColumnRenamed("g_gy", "gy")
 

@@ -67,6 +67,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("LocalTableScan"), s"a6 plan embeds collected values:\n$p")
   }
 
+  test("m9 plans contain no keyless (single-partition) windows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for ((name, df) <- Seq(
+        "m9_multisession" -> Queries.multiSessionPipeline(spark, dir),
+        "m9_gaze_pipeline" -> Queries.gazePipeline(spark, dir))) {
+      val keyless = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(keyless.isEmpty,
+        s"$name: ${keyless.length} keyless window(s) — single-partition stage")
+    }
+  }
+
   test("native tps_eval appears in gaze-apply plans (not HOF aggregate)") {
     val p = plan(Queries.tpsApply(spark, dir)).toLowerCase
     assert(p.contains("tpseval"), s"native TPS eval missing from:\n$p")
