@@ -12,11 +12,16 @@ import org.apache.spark.sql.SparkSession
   * - results are drained with a full materialization (count of a 1-column
   *   projection would let Parquet prune; we hash one column instead of
   *   collecting) — cheap but forces the whole plan.
+  * - SPARK_GRAFT_BENCH_RUNS=N (default 1): repeat the whole suite N times
+  *   and report the per-query MEDIAN — run-to-run contention on a shared
+  *   box can inflate single measurements several-fold, and a median of 3
+  *   keeps one contended pass from masquerading as a regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -35,17 +40,25 @@ object Bench {
       .foreach(q => try drain(SparkEntry.queries(q)(spark, warmDir))
       catch { case _: Throwable => () })
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { drain(fn(spark, sfDir)); true }
-      catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -1.0)
+    def onePass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { drain(fn(spark, sfDir)); true }
+        catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        name -> (if (ok) dt else -1.0)
+      }
+    val passes = Seq.fill(runs)(onePass())
+    // median over passes per query; a query that failed any pass stays -1
+    val results = passes.head.map(_._1).map { name =>
+      val ts = passes.map(_.find(_._1 == name).get._2)
+      name -> (if (ts.exists(_ < 0)) -1.0
+               else ts.sorted.apply((ts.length - 1) / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }
