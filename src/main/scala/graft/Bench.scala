@@ -46,6 +46,9 @@ object Bench {
         val ok = try { drain(fn(spark, sfDir)); true }
         catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
+        // between queries: operator-scoped caches from this query must not
+        // occupy storage while the next one is measured
+        CacheRegistry.releaseAll()
         name -> (if (ok) dt else -1.0)
       }
     val passes = Seq.fill(runs)(onePass())

@@ -72,7 +72,7 @@ object ClusterOps {
     // lineage would execute twice
     val gated = gatePredicates.foldLeft(
       stats.filter(col("_dur") > minDur && col("_dur") < maxDur))(_ filter _)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.persistTracked(_))
     val n = gated.count()
     if (n < minClusters) df.sparkSession.createDataFrame(
       df.sparkSession.sparkContext.emptyRDD[Row], df.schema)

@@ -139,7 +139,7 @@ object TextOps {
       withSig.select(col("doc"), col("sig"),
         posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band_id", "band_hash"))),
       maxBandBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.persistTracked(_))
     val a = banded.select(col("band_id"), col("band_hash"),
       col("doc").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band_id"), col("band_hash"),
@@ -168,7 +168,7 @@ object TextOps {
                              maxBandBucket: Option[Int] = Some(DefaultMaxBandBucket)): DataFrame = {
     val rowsPerBand = numHashes / bands
     val pre = shingleHashed(docs, idCol, textCol, shingleK)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.persistTracked(_))
     // band keys only (no signature columns carried into the self-join);
     // persisted because both candidate sides read it
     val banded = capBuckets(
@@ -178,7 +178,7 @@ object TextOps {
         .select(col("doc"),
           posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band_id", "band_hash"))),
       maxBandBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.persistTracked(_))
     val cand = banded.select(col("doc").as("doc_a"), col("band_id"), col("band_hash"))
       .join(banded.select(col("doc").as("doc_b"), col("band_id"), col("band_hash")),
         Seq("band_id", "band_hash"))
@@ -209,7 +209,7 @@ object TextOps {
     val pre = shingled(docs, idCol, textCol, shingleK)
       .withColumn("hv", transform(col("sh"), s => pmod(hash60(s), lit(HashMod))))
       .select(col("doc"), col("hv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.persistTracked(_))
     val sh = pre.select(col("doc"), explode(col("hv")).as("g"))
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
     val common = sh.select(col("doc").as("doc_a"), col("g"))

@@ -199,7 +199,7 @@ object VectorOps {
                       anchorPred: Column, bands: Int, rowsPerBand: Int,
                       minCosine: Double, multiProbe: Boolean = false): DataFrame = {
     val n = normalized(vecs, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheRegistry.persistTracked(_))
     val anchors = vecs.filter(anchorPred)
       .select(col(idCol).as("a_id"), toDouble(col(vecCol)).as("av"))
       .orderBy("a_id").collect()

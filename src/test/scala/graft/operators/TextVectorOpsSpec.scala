@@ -189,6 +189,30 @@ class TextVectorOpsSpec extends SparkSpec {
     assert(ok.eval(null) == 11.0)
   }
 
+  test("operator caches release after materialization (no storage leak)") {
+    import graft.CacheRegistry
+    CacheRegistry.releaseAll() // clean slate
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // three cache-carrying operators, materialized end to end
+    val pairs = TextOps.ngramJaccardPairsGated(docs, "doc_id", "text").count()
+    val rng = new scala.util.Random(5)
+    val vecs = Seq.tabulate(40)(i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    VectorOps.nearDupPairsLsh(vecs, "vec_id", "embedding",
+      col("vec_id") < 16, bands = 4, rowsPerBand = 4, 0.5).count()
+    assert(CacheRegistry.trackedCount > 0, "operators stopped tracking caches")
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "expected live caches before release")
+    CacheRegistry.releaseAll()
+    assert(CacheRegistry.trackedCount == 0)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      s"storage not empty after release: ${spark.sparkContext.getPersistentRDDs}")
+    // results survive release (lineage recompute, not failure)
+    assert(TextOps.ngramJaccardPairsGated(docs, "doc_id", "text").count() == pairs)
+    CacheRegistry.releaseAll()
+  }
+
   test("simhash: identical texts get identical hashes, disjoint texts differ") {
     val d2 = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc dd"), (3L, "zz yy xx ww"))
       .toDF("doc_id", "text")
