@@ -95,14 +95,19 @@ object BinocularMerge {
     (out.toSeq, MergeState(eye0, eye1, ema))
   }
 
-  def runSeries(ps: Iterable[Pupil]): Seq[Gaze] = {
-    var st = MergeState(Nil, Nil, InitialFrameInterval)
+  /** Feed a time-ordered series through the FSM starting from `st0`;
+    * returns the emitted gaze and the final state. */
+  def runSeriesFrom(st0: MergeState, ps: Iterable[Pupil]): (Seq[Gaze], MergeState) = {
+    var st = st0
     val out = mutable.ArrayBuffer[Gaze]()
     ps.foreach { p =>
       val (g, st2) = step(st, p); out ++= g; st = st2
     }
-    out.toSeq
+    (out.toSeq, st)
   }
+
+  def runSeries(ps: Iterable[Pupil]): Seq[Gaze] =
+    runSeriesFrom(MergeState(Nil, Nil, InitialFrameInterval), ps)._1
 
   /** Batch: one FSM per session over the time-sorted rows. */
   def mergeBatch(pupils: Dataset[Pupil]): Dataset[Gaze] = {
@@ -119,25 +124,46 @@ object BinocularMerge {
                      x: Double, y: Double, confidence: Double,
                      event_time: java.sql.Timestamp)
 
-  /** Streaming: same FSM as managed group state (queues + EMA). Assumes
-    * per-session timestamp-ordered arrival (the reference makes the same
-    * assumption for its online path); out-of-order data should be
-    * pre-sorted by a watermark stage.
+  /** Group state for the streaming path: the FSM state plus a WATERMARK
+    * REORDER BUFFER. Rows are held in `buffer` until the watermark passes
+    * their event time; only then do they feed the FSM, sorted. Rows that
+    * could still be preceded by a late arrival are therefore never
+    * replayed early, so cross-BATCH disorder (a later micro-batch carrying
+    * earlier event times, within the watermark delay) produces exactly the
+    * batch FSM output — the in-order-arrival assumption moves from the
+    * input contract to the watermark, which is the streaming-correct
+    * form. */
+  case class BufferedState(buffer: List[Pupil], fsm: MergeState)
+
+  /** Streaming: same FSM as managed group state, behind the watermark
+    * reorder buffer ([[BufferedState]]). `reorder = false` bypasses the
+    * buffer (rows feed the FSM the micro-batch they arrive, sorted within
+    * the batch only) — the reference's in-order online assumption, with
+    * minimal latency; with the default `reorder = true` emission lags
+    * the watermark delay but tolerates cross-batch disorder inside it.
     *
     * State is BOUNDED: sessions idle for more than `idleTimeoutSec` of
-    * EVENT time (watermark-driven) are evicted — their queued pupils drain
-    * monocularly (the same shape as the queue-overflow drain) and the
-    * group state is removed, so session-churn streams don't accumulate
-    * dead state. A session that resumes after eviction restarts with a
-    * fresh EMA, exactly like a new session. */
+    * EVENT time (watermark-driven) are evicted — buffered rows replay
+    * through the FSM in order, remaining queued pupils drain monocularly
+    * (the same shape as the queue-overflow drain) and the group state is
+    * removed, so session-churn streams don't accumulate dead state. A
+    * session that resumes after eviction restarts with a fresh EMA,
+    * exactly like a new session. */
   def mergeStream(pupils: Dataset[Pupil], idleTimeoutSec: Double = 600.0,
-                  watermarkDelay: String = "10 seconds"): Dataset[Gaze] = {
+                  watermarkDelay: String = "10 seconds",
+                  reorder: Boolean = true): Dataset[Gaze] = {
     import pupils.sparkSession.implicits._
     val idleMillis = (idleTimeoutSec * 1000.0).toLong
     // event_time is only watermark/timeout bookkeeping; the constant shift
     // keeps sessions whose clock starts at 0 (epoch) above the operator's
     // initial watermark, which silently drops rows at/below it
     val etOffsetSec = 86400.0
+    def etMs(tsSec: Double): Long =
+      math.floor((tsSec + etOffsetSec) * 1000.0).toLong
+    def monoDrain(q: Seq[Pupil]): Seq[Gaze] =
+      q.sortBy(_.timestamp).map(p =>
+        Gaze(p.session, p.timestamp, s"gaze.2d.${p.id}.", p.confidence,
+          p.x, p.y, p.x, p.y, binocular = false))
     pupils
       .withColumn("event_time",
         (col("timestamp") + etOffsetSec).cast("timestamp"))
@@ -145,27 +171,37 @@ object BinocularMerge {
       .withWatermark("event_time", watermarkDelay)
       .groupByKey(_.session)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        (_: String, it: Iterator[PupilEt], state: GroupState[MergeState]) => {
+        (_: String, it: Iterator[PupilEt], state: GroupState[BufferedState]) => {
           if (state.hasTimedOut) {
             val st = state.get
             state.remove()
-            ((st.eye0 ++ st.eye1).sortBy(_.timestamp).map(p =>
-              Gaze(p.session, p.timestamp, s"gaze.2d.${p.id}.", p.confidence,
-                p.x, p.y, p.x, p.y, binocular = false))).iterator
+            // eviction: replay what the watermark never released, in
+            // order, THEN drain the FSM queues — same relative order the
+            // rows would have fed the FSM had the stream continued
+            val (flushed, fsm) =
+              runSeriesFrom(st.fsm, st.buffer.sortBy(_.timestamp))
+            (flushed ++ monoDrain(fsm.eye0 ++ fsm.eye1)).iterator
           } else {
-            var st = state.getOption.getOrElse(
-              MergeState(Nil, Nil, InitialFrameInterval))
-            val out = mutable.ArrayBuffer[Gaze]()
-            val batch = it.toSeq.sortBy(_.timestamp)
-            batch.foreach { p =>
-              val (g, st2) = step(st,
-                Pupil(p.session, p.timestamp, p.id, p.x, p.y, p.confidence))
-              out ++= g; st = st2
-            }
-            state.update(st)
-            if (batch.nonEmpty)
+            val st = state.getOption.getOrElse(
+              BufferedState(Nil, MergeState(Nil, Nil, InitialFrameInterval)))
+            val incoming = it.map(p =>
+              Pupil(p.session, p.timestamp, p.id, p.x, p.y, p.confidence)).toList
+            val all = st.buffer ++ incoming
+            // release rows the watermark has passed: a future arrival is
+            // guaranteed (late-row filter) to carry a LATER event time
+            // than anything released here, so the FSM feed stays globally
+            // time-ordered per session; strict < and the floor in etMs
+            // keep the release conservative at the ms boundary
+            val (release, hold) =
+              if (reorder) {
+                val wm = state.getCurrentWatermarkMs()
+                all.partition(p => etMs(p.timestamp) < wm)
+              } else (all, List.empty[Pupil])
+            val (out, fsm) = runSeriesFrom(st.fsm, release.sortBy(_.timestamp))
+            state.update(BufferedState(hold, fsm))
+            if (incoming.nonEmpty)
               state.setTimeoutTimestamp(
-                ((batch.last.timestamp + etOffsetSec) * 1000.0).toLong + idleMillis)
+                etMs(incoming.map(_.timestamp).max) + idleMillis)
             out.iterator
           }
         })

@@ -57,7 +57,9 @@ class BinocularMergeSpec extends SparkSpec {
     val input = MemoryStream[Pupil]
     // default trigger: AvailableNow snapshots offsets at start and races
     // with addData-after-start (can terminate on an empty snapshot)
-    val query = mergeStream(input.toDS())
+    // reorder = false: the reference's in-order online contract — rows
+    // feed the FSM the batch they arrive (minimal latency, no buffer)
+    val query = mergeStream(input.toDS(), reorder = false)
       .writeStream.format("memory").queryName("gaze_stream")
       .outputMode("append").start()
     val ps = mkPupils(40)
@@ -72,6 +74,44 @@ class BinocularMergeSpec extends SparkSpec {
     val batch = runSeries(ps).sortBy(_.timestamp)
     assert(streamed.map(g => (g.timestamp, g.topic, g.binocular)).toSeq ==
       batch.map(g => (g.timestamp, g.topic, g.binocular)))
+  }
+
+  test("watermark buffer replays cross-batch disorder in event-time order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Pupil]
+    val query = mergeStream(input.toDS(), idleTimeoutSec = 5.0)
+      .writeStream.format("memory").queryName("gaze_disorder")
+      .outputMode("append").start()
+    val ps = mkPupils(40) // 80 rows spanning 0 .. 0.34 s
+    // CROSS-BATCH disorder: the later two thirds arrive first, the
+    // earliest rows arrive a micro-batch later (0.34 s of disorder, well
+    // inside the 10 s watermark delay). Without the buffer the FSM would
+    // see the early rows after the late ones and pair them wrongly.
+    input.addData(ps.drop(26))
+    query.processAllAvailable()
+    input.addData(ps.take(26))
+    query.processAllAvailable()
+    // a far-future session advances the watermark past s1's idle timeout;
+    // the batch after that fires the eviction, which flushes the buffer
+    // through the FSM in order and drains the leftover queues mono
+    input.addData(Seq(Pupil("zz", 100.0, 0, 0.2, 0.2, 0.9)))
+    query.processAllAvailable()
+    input.addData(Seq(Pupil("zz", 101.0, 0, 0.2, 0.2, 0.9)))
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("gaze_disorder").as[Gaze].collect()
+      .filter(_.session == "s1").sortBy(g => (g.timestamp, g.topic)).toSeq
+    val batchOut = runSeries(ps).sortBy(g => (g.timestamp, g.topic))
+    // every batch-FSM emission appears identically …
+    val streamedSet = streamed.map(g => (g.timestamp, g.topic, g.binocular)).toSet
+    assert(batchOut.forall(g =>
+      streamedSet.contains((g.timestamp, g.topic, g.binocular))),
+      "buffered replay diverged from the batch FSM")
+    // … and the only extras are the eviction's monocular tail drain
+    val extras = streamed.map(g => (g.timestamp, g.topic, g.binocular)).toSet --
+      batchOut.map(g => (g.timestamp, g.topic, g.binocular)).toSet
+    assert(extras.forall(!_._3), s"unexpected non-drain extras: $extras")
   }
 
   test("idle sessions are evicted by the event-time timeout (queues drained mono)") {
