@@ -194,4 +194,31 @@ object MarkerParsing {
     ClusterOps.clusterGate(clustered, "marker_cluster_index", tsCol,
       clusterDuration._1, clusterDuration._2, minClusters = minClusters)
   }
+
+  /** [[filterAndCluster]] for CHECKERBOARD detections
+    * (schemas.Schemas.markerCheckerboard): the reference derives the size
+    * pair from the corner-grid ptp (x scaled by the image aspect) when
+    * the marker table has `norm_pos_full_checkerboard` instead of `size`
+    * (remove_small_detections, marker_parsing.py:148-156; detection rows
+    * from find_checkerboard_frame, marker_detection.py:243-258). Every
+    * downstream step — brief-removal, P7 masks, epoch split, DBSCAN,
+    * cluster gates — is identical to the circles path; the corner arrays
+    * ride along into the clustered output. */
+  def filterAndClusterCheckerboard(markers: DataFrame, clock: DataFrame,
+                                   tsCol: String = "timestamp",
+                                   clockTs: String = "timestamp",
+                                   cornersCol: String = "norm_pos_full_checkerboard",
+                                   imageAspect: Double = 4.0 / 3.0,
+                                   epochGap: Double = 15.0,
+                                   epochDuration: (Double, Double) = (30.0, 150.0),
+                                   dbscanEps: Double = 0.05,
+                                   dbscanMinPoints: Int = 5,
+                                   clusterDuration: (Double, Double) = (0.2, 5.0),
+                                   minClusters: Int = 1): DataFrame =
+    filterAndCluster(
+      checkerboardSize(markers, cornersCol, imageAspect), clock,
+      tsCol, clockTs, sizeCol = "size", imageAspect = imageAspect,
+      epochGap = epochGap, epochDuration = epochDuration,
+      dbscanEps = dbscanEps, dbscanMinPoints = dbscanMinPoints,
+      clusterDuration = clusterDuration, minClusters = minClusters)
 }

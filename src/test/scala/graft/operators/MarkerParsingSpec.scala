@@ -88,6 +88,49 @@ class MarkerParsingSpec extends SparkSpec {
     assert(grouped.count(_._1 == "g1") == 30 && grouped.count(_._1 == "g2") == 20)
   }
 
+  test("checkerboard session end-to-end: corner-ptp size feeds the full pipeline") {
+    // markerCheckerboard rows: corner grid around each center, no `size`
+    // column — the pipeline must derive it from the corner ptp with the
+    // x extent scaled by the 4/3 image aspect (marker_parsing.py:148-156)
+    val fps = 30.0
+    def corners(cx: Double, cy: Double, hx: Double, hy: Double) =
+      Seq(Seq(cx - hx, cy - hy), Seq(cx + hx, cy - hy),
+        Seq(cx - hx, cy + hy), Seq(cx + hx, cy + hy))
+    // square boards: x-ptp 0.045·(4/3) = 0.06, y-ptp 0.06 → aspect 1.0
+    def epoch(t0: Double, xa: Double, xb: Double) = {
+      val a = (0 until 600).map(i => (t0 + i / fps,
+        Seq(xa, 0.4), corners(xa, 0.4, 0.0225, 0.03)))
+      val b = (600 until 1200).map(i => (t0 + i / fps,
+        Seq(xb, 0.6), corners(xb, 0.6, 0.0225, 0.03)))
+      a ++ b
+    }
+    // oblique boards (x-ptp 0.045·4/3 = 0.06 vs y 0.03 → aspect 2.0 > 1.2;
+    // mean size 0.045 — the SMALLER mode, so the bimodality gate agrees
+    // with the aspect gate instead of fighting it) planted throughout
+    // epoch 1: the masks must remove every one
+    val oblique = (0 until 600).map(i => (0.013 + i / fps,
+      Seq(0.5, 0.5), corners(0.5, 0.5, 0.0225, 0.015)))
+    val markers = (epoch(0.0, 0.2, 0.8) ++ epoch(100.0, 0.3, 0.7) ++ oblique)
+      .toDF("timestamp", "norm_pos", "norm_pos_full_checkerboard")
+    val clock = ((0 until 5000).map(_ / fps) ++
+      (0 until 600).map(0.013 + _ / fps)).toDF("timestamp")
+    val out = MarkerParsing.filterAndClusterCheckerboard(markers, clock,
+      clusterDuration = (1.0, 60.0))
+    assert(out.count() > 0)
+    // derived size/aspect columns carry the reference arithmetic
+    val first = out.orderBy("timestamp").select("marker_size", "marker_aspect")
+      .collect()(0)
+    assert(math.abs(first.getDouble(0) - 0.06) < 1e-9)
+    assert(math.abs(first.getDouble(1) - 1.0) < 1e-9)
+    // obliques are gone; both epochs and their spatial clusters survive
+    assert(out.filter(element_at(col("norm_pos"), 1) === 0.5).count() == 0)
+    assert(out.select("epoch").distinct().count() == 2)
+    out.groupBy("epoch").agg(countDistinct("marker_cluster_index").as("n"))
+      .collect().foreach(r => assert(r.getAs[Long]("n") >= 2))
+    // the corner arrays ride through to the clustered output
+    assert(out.columns.contains("norm_pos_full_checkerboard"))
+  }
+
   test("filterAndCluster end-to-end on a planted two-epoch session") {
     // two epochs 60 s apart, each with 2 spatial clusters at 30 Hz
     val fps = 30.0
