@@ -445,8 +445,12 @@ object Queries {
     val base = m9Base(s, dir, lit("cal"))
     val markers = m9Markers(base)
     val pupils = m9Pupils(base)
-    val gaze = SessionCalibrator.fitTransform(markers, pupils, "session",
-      window = 1.0 / 60.0)
+    // persisted (tracked): the gaze stream feeds both the planted-affine
+    // check and the ErrorMap histogram — two actions over the full
+    // match + fit + apply lineage
+    val gaze = graft.CacheRegistry.persistTracked(
+      SessionCalibrator.fitTransform(markers, pupils, "session",
+        window = 1.0 / 60.0))
     val (ax, ay) = m9Affine(col("px"), col("py"))
     val checked = gaze
       .join(pupils.select(col("session"), col("timestamp"),

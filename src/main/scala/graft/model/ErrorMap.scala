@@ -82,9 +82,12 @@ object ErrorMap {
     val (iw, ih) = cfg.imageResolution
     val exPix = (col("gx") - col("mx")) * iw
     val eyPix = (col("gy") - col("my")) * ih
-    val withErr = reduced
+    // persisted (tracked): the reduced table feeds three consumers — the
+    // outlier-stat collect, the point-array collect, and the returned
+    // points frame — each an action over the match+reduce lineage
+    val withErr = graft.CacheRegistry.persistTracked(reduced
       .withColumn("err_deg", sqrt(exPix * exPix + eyPix * eyPix) / ppd)
-      .withColumn("err_angle", atan2(exPix, eyPix))
+      .withColumn("err_angle", atan2(exPix, eyPix)))
 
     // 4. outlier cut: |err - median| > k·std_pop → drop (driver stats on the
     // reduced table; tiny). Then require >= 4 points.

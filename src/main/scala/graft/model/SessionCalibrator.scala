@@ -99,14 +99,18 @@ object SessionCalibrator {
       gy.as("gaze_y"), col("confidence"))
   }
 
-  /** The full fan-out: reduce → fit per session → apply. */
+  /** The full fan-out: reduce → fit per session → apply. The model table
+    * is persisted (tracked — [[graft.CacheRegistry]]): it is tiny, every
+    * downstream action broadcasts it, and without the persist each action
+    * re-runs the whole reduce + fit lineage. */
   def fitTransform(markers: DataFrame, pupils: DataFrame, sessionCol: String,
                    window: Double = 1.0 / 60.0,
                    cfg: Calibrator.Config = Calibrator.Config()): DataFrame = {
     val spark = markers.sparkSession
     val reduced = reducedPoints(markers, pupils, sessionCol, window,
       cfg.minConfidence)
-    val models = fitModels(spark, reduced, sessionCol, cfg)
+    val models = graft.CacheRegistry.persistTracked(
+      fitModels(spark, reduced, sessionCol, cfg))
     transform(pupils, models, sessionCol)
   }
 }

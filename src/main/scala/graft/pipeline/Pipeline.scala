@@ -91,6 +91,10 @@ object Pipeline {
           }
         }
       results(stage.name) = res
+      // operator-scoped caches die with their stage (each stage's output
+      // is materialized to Parquet above, so nothing downstream re-reads
+      // the cached lineage)
+      graft.CacheRegistry.releaseAll()
     }
     results.toMap
   }
