@@ -68,8 +68,8 @@ object Oracles {
        |  FROM s WHERE len(sh) > 0),
        |sig AS (SELECT doc, [$sigs] AS sig FROM hv),
        |band0 AS ($bandSelects),
-       |band AS (SELECT * FROM band0 QUALIFY count(*) OVER
-       |  (PARTITION BY band_id, band_hash) <= $cap)""".stripMargin
+       |band AS (SELECT * FROM band0 QUALIFY row_number() OVER
+       |  (PARTITION BY band_id, band_hash ORDER BY doc) <= $cap)""".stripMargin
   }
 
   private def minhashSql: String =

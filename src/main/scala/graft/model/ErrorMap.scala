@@ -28,11 +28,16 @@ object ErrorMap {
       degreesVert: Double = 75.75,
       clusterReduce: Boolean = true,
       extrapolate: Boolean = false,
-      /** equality keys for the marker↔gaze nearest match. The reference is
-        * per-session so its match is keyless; passing the session column
-        * here keeps the as-of join's windows partitioned (no single-
-        * partition `Window.orderBy` stage) — required shape for the
-        * flagship path. */
+      /** equality keys for the marker↔gaze nearest match and the cluster
+        * reduction. `compute` remains PER-SESSION semantics end to end —
+        * the outlier stats, TPS surface fit, hull, and summary pool every
+        * reduced point into one model, exactly like the reference
+        * (error_computation.py:18-225) — so pass a key that is constant
+        * over the input (the flagship passes its single session column to
+        * keep the as-of join's windows partitioned instead of a keyless
+        * single-partition `Window.orderBy` stage). Multi-session error
+        * surfaces = one `compute` per session (pipeline_mri's per-epoch
+        * loop) or a SessionCalibrator-style grouped fan-out. */
       matchKeys: Seq[String] = Nil)
 
   case class Result(
@@ -67,10 +72,14 @@ object ErrorMap {
       .filter(col("g_confidence") > cfg.minPupilConfidence)
       .withColumnRenamed("g_gx", "gx").withColumnRenamed("g_gy", "gy")
 
-    // 2. cluster reduction (median per marker cluster)
+    // 2. cluster reduction (median per marker cluster; keyed by matchKeys
+    // too so a non-constant key can never merge same-numbered clusters of
+    // different sessions — though per the Config contract the key should
+    // be constant here)
     val reduced =
       if (cfg.clusterReduce && matched.columns.contains("marker_cluster_index"))
-        matched.groupBy(col("marker_cluster_index")).agg(
+        matched.groupBy(
+            (cfg.matchKeys.map(col) :+ col("marker_cluster_index")): _*).agg(
           expr("percentile(norm_x, 0.5)").as("mx"),
           expr("percentile(norm_y, 0.5)").as("my"),
           expr("percentile(gx, 0.5)").as("gx"),

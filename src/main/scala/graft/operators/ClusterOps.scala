@@ -153,25 +153,34 @@ object ClusterOps {
     * identical to [[bimodalitySplit]] (shared [[LocalDbscan.bimodalCut]]);
     * a single-group input reproduces the driver form exactly. */
   def bimodalitySplitGrouped(df: DataFrame, groupCols: Seq[String],
-                             valueCol: String, sigmas: Double = 2.5): DataFrame = {
-    val vIdx = df.schema.fieldIndex(valueCol)
-    val gIdx = groupCols.map(df.schema.fieldIndex)
+                             valueCol: String, sigmas: Double = 2.5): DataFrame =
+    bimodalKeepFlag(df, groupCols, valueCol, sigmas)
+      .filter(col("_bimodal_keep")).drop("_bimodal_keep")
+
+  /** Per-group 2-means cut table: one row per group, `_cut` null when the
+    * group is not bimodal. Only (groupCols, value) is shuffled into the
+    * per-group fit — the iterative 2-means needs the group's raw values
+    * in memory (the same arrays the reference's in-process fit holds,
+    * marker_parsing.py:31-50), but never the full rows, so wide columns
+    * (corner grids, embeddings) stay out of the single fit task. */
+  private def bimodalCuts(df: DataFrame, groupCols: Seq[String],
+                          valueCol: String, sigmas: Double): DataFrame = {
+    val slim = df.select(
+      (groupCols.map(col) :+ col(valueCol).cast("double").as("_v")): _*)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      groupCols.map(slim.schema(_)) :+
+        org.apache.spark.sql.types.StructField(
+          "_cut", org.apache.spark.sql.types.DoubleType, nullable = true))
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
-      org.apache.spark.sql.Encoders.row(df.schema)
-    df.groupByKey { r: Row => GroupKeys.of(r, gIdx) }(
+      org.apache.spark.sql.Encoders.row(outSchema)
+    val gIdx = groupCols.indices
+    slim.groupByKey { r: Row => GroupKeys.of(r, gIdx) }(
         org.apache.spark.sql.Encoders.STRING)
-      .flatMapGroups { (_, it) =>
+      .mapGroups { (_, it) =>
         val rows = it.toArray
-        val vals = rows.map(valOf(_, vIdx)).filterNot(_.isNaN)
-        LocalDbscan.bimodalCut(vals, sigmas) match {
-          case Some(cut) =>
-            // NaN/null rows pass the gate — Spark SQL orders NaN above
-            // every value, so the driver form's `col >= cut` keeps them
-            rows.iterator.filter { r =>
-              val v = valOf(r, vIdx); v.isNaN || v >= cut
-            }
-          case None => rows.iterator
-        }
+        val vals = rows.map(valOf(_, gIdx.length)).filterNot(_.isNaN)
+        val cut = LocalDbscan.bimodalCut(vals, sigmas)
+        Row.fromSeq(gIdx.map(rows(0).get(_)) :+ cut.map(Double.box).orNull)
       }
   }
 
@@ -180,32 +189,28 @@ object ClusterOps {
     * its group). The P7 conjunctive-mask composition needs this form —
     * the bimodality mask must be computed over the FULL marker set and
     * intersected with the size/aspect masks (marker_parsing.py:157-175),
-    * so a filtering operator cannot be used there. Same grouped
-    * `flatMapGroups` shape and shared [[LocalDbscan.bimodalCut]] kernel as
-    * [[bimodalitySplitGrouped]]; `groupCols = Nil` = one global group (the
-    * per-session marker-table case). */
+    * so a filtering operator cannot be used there.
+    *
+    * Shape: [[bimodalCuts]] fits one cut per group over the value column
+    * only, then the tiny cut table broadcast-joins back and the flag is a
+    * codegen'd Column predicate — full rows never enter the fit task.
+    * `groupCols = Nil` = one global group (the per-session marker-table
+    * case). Gate semantics match the driver form's `sz >= cut` Spark
+    * predicate exactly: when bimodal, NaN survives (Spark orders NaN above
+    * every value) and NULL drops (three-valued comparison); when not
+    * bimodal, every row survives. */
   def bimodalKeepFlag(df: DataFrame, groupCols: Seq[String], valueCol: String,
                       sigmas: Double = 2.5,
                       flagCol: String = "_bimodal_keep"): DataFrame = {
-    val outSchema = df.schema.add(flagCol, org.apache.spark.sql.types.BooleanType)
-    val vIdx = df.schema.fieldIndex(valueCol)
-    val gIdx = groupCols.map(df.schema.fieldIndex)
-    implicit val enc: org.apache.spark.sql.Encoder[Row] =
-      org.apache.spark.sql.Encoders.row(outSchema)
-    df.groupByKey { r: Row => GroupKeys.of(r, gIdx) }(
-        org.apache.spark.sql.Encoders.STRING)
-      .flatMapGroups { (_, it) =>
-        val rows = it.toArray
-        val vals = rows.map(valOf(_, vIdx)).filterNot(_.isNaN)
-        val cut = LocalDbscan.bimodalCut(vals, sigmas)
-        rows.iterator.map { r =>
-          val keep = cut match {
-            case Some(c) => val v = valOf(r, vIdx); v.isNaN || v >= c
-            case None => true
-          }
-          Row.fromSeq(r.toSeq :+ keep)
-        }
-      }
+    val cuts = bimodalCuts(df, groupCols, valueCol, sigmas)
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(cuts))
+      else df.join(broadcast(cuts), groupCols, "left")
+    val v = col(valueCol).cast("double")
+    joined.withColumn(flagCol,
+        when(col("_cut").isNull, lit(true))
+          .otherwise(coalesce(isnan(v) || (v >= col("_cut")), lit(false))))
+      .drop("_cut")
   }
 
   private def valOf(r: Row, vIdx: Int): Double = r.get(vIdx) match {

@@ -28,8 +28,11 @@ object TextOps {
     * quadratic at corpus scale, so the pipeline-facing dedup entry points
     * cap bucket sizes by default. 1000 docs/bucket ⇒ ≤ 10⁶ candidate
     * pairs per bucket — bounded work per bucket regardless of corpus
-    * size, while true near-dups (which collide in their other bands too)
-    * keep ~full recall. */
+    * size. Recall notes: near-dup pairs that differ anywhere keep their
+    * other, uncapped bands; a MASS-duplicate cluster larger than the cap
+    * (identical in every band) keeps pairs only among its `cap`
+    * smallest-id members — byte-identical copies belong to exact dedup
+    * (run it first), not LSH. */
   val DefaultMaxBandBucket = 1000
 
   /** Fixed universal-hash constants for the minhash family
@@ -96,20 +99,25 @@ object TextOps {
     * with the signature-estimated Jaccard. One shuffle on the band key,
     * pair dedup via distinct. Hot bands (boilerplate-heavy corpora) are the
     * skew axis at scale — cap band bucket sizes or salt. */
-  /** Hot-band skew lever: drop (band_id, band_hash) buckets holding more
-    * than `cap` docs before the candidate self-join. A bucket of size B
-    * contributes B² candidate pairs, so one boilerplate band (every doc
-    * sharing a header/footer) turns the join quadratic; truly-similar
-    * pairs still collide in their other, non-boilerplate bands. The window
-    * partitions on the same key the join shuffles on, so the cap costs no
-    * extra exchange. */
+  /** Hot-band skew lever: cap every (band_id, band_hash) bucket at its
+    * `cap` smallest doc ids before the candidate self-join. A bucket of
+    * size B contributes B² candidate pairs, so one boilerplate band
+    * (every doc sharing a header/footer) turns the join quadratic.
+    * Rank-capping (not dropping the whole bucket) keeps the bucket's
+    * first `cap` members pairing — so even a mass-duplicate cluster
+    * identical in EVERY band still yields pairs among its smallest-id
+    * members (the canonical keepers) instead of silently losing all of
+    * them; truly-similar pairs that differ anywhere also keep their
+    * other, non-boilerplate bands. The window partitions on the same key
+    * the join shuffles on, so the cap costs no extra exchange. */
   private def capBuckets(banded: DataFrame, cap: Option[Int]): DataFrame =
     cap match {
       case Some(c) =>
         val wb = org.apache.spark.sql.expressions.Window
           .partitionBy(col("band_id"), col("band_hash"))
-        banded.withColumn("_bn", count(lit(1)).over(wb))
-          .filter(col("_bn") <= c).drop("_bn")
+          .orderBy(col("doc"))
+        banded.withColumn("_brn", row_number().over(wb))
+          .filter(col("_brn") <= c).drop("_brn")
       case None => banded
     }
 

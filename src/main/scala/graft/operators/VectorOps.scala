@@ -67,8 +67,9 @@ object VectorOps {
     * probed volume by (1 + bits) while the indexed side stays one bucket
     * per vector. Near-neighbors that straddle a single hyperplane stop
     * being missed; recall goes from 1−(1−pᵇ) to covering all 1-bit-off
-    * buckets. Default off (exact single-bucket, the oracle-checked
-    * shape). */
+    * buckets. The shipped ann_lsh_topk query and its oracle both use the
+    * multi-probe shape; the default stays off for library callers who
+    * want the minimal single-bucket probe. */
   def annTopK(vecs: DataFrame, idCol: String, vecCol: String,
               anchors: DataFrame, queryPred: Column, k: Int,
               multiProbe: Boolean = false): DataFrame = {

@@ -50,17 +50,22 @@ object MriPipeline {
 
   /** List `<base>/<subject>/ses-<session>/runs` and parse (task, run)
     * from each parquet file name (pipelines.py:893-905). Files that do
-    * not match the naming convention are ignored. */
+    * not match the naming convention are ignored. Runs are ordered by the
+    * PARSED (task, run index) — a lexicographic file sort would put
+    * run-10 before run-2 and shift every positional selector
+    * (calibrationEpoch, evaluateRuns). */
   def discoverRuns(baseDir: String, subjectId: String,
                    session: String): Seq[RunTable] = {
     val dir = Paths.get(baseDir, subjectId, s"ses-$session", "runs")
     if (!Files.isDirectory(dir)) return Nil
-    val names = Files.list(dir).iterator().asScala
-      .map(_.toString).toSeq.sorted
+    val listing = Files.list(dir)
+    val names =
+      try listing.iterator().asScala.map(_.toString).toList
+      finally listing.close()
     names.flatMap {
       case p @ RunRe(task, run) => Some(RunTable(task, run.toInt, p))
       case _ => None
-    }
+    }.sortBy(r => (r.task, r.run))
   }
 
   /** Build the stage list from the discovered layout.

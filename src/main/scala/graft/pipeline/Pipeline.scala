@@ -86,8 +86,9 @@ object Pipeline {
             case e: Throwable =>
               Files.createDirectories(Paths.get(path))
               if (!Files.exists(failed)) Files.createFile(failed)
+              // getMessage can be null (bare RuntimeException, errors)
               StageResult(stage.name, Failed, path, 0,
-                Some(e.getMessage.take(200)))
+                Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)))
           }
         }
       results(stage.name) = res

@@ -112,8 +112,10 @@ class TextVectorOpsSpec extends SparkSpec {
   test("band-bucket cap defuses a boilerplate-dominated corpus (skew lever)") {
     // 200 docs share one boilerplate body (one hot band bucket of 200 →
     // ~20k candidate pairs); 4 distinct docs include one planted near-dup
-    // pair. With the cap the hot bucket drops out entirely while the
-    // planted pair — whose bands are untouched by the cap — survives.
+    // pair. The RANK cap keeps each hot bucket's 50 smallest ids pairing
+    // (bounded cap² work, canonical keepers retained — a whole-bucket drop
+    // would lose every mass-duplicate pair) while the planted pair, whose
+    // bands are untouched by the cap, survives.
     val boiler = (0 until 200).map(i =>
       (i.toLong, "the quarterly report header is identical across documents every single time"))
     val distinct = Seq(
@@ -123,19 +125,23 @@ class TextVectorOpsSpec extends SparkSpec {
       (903L, "yet another unrelated document body goes right here today"))
     val docs = (boiler ++ distinct).toDF("doc_id", "text")
     val uncapped = TextOps.minhashLshPairs(docs, "doc_id", "text",
-      minEstJaccard = 0.0)
+      minEstJaccard = 0.0, maxBandBucket = None)
     val capped = TextOps.minhashLshPairs(docs, "doc_id", "text",
       minEstJaccard = 0.0, maxBandBucket = Some(50))
     val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.count() >= 199L * 200 / 2) // quadratic without the cap
     assert(cappedPairs.contains((900L, 901L))) // planted pair survives
-    assert(!cappedPairs.exists { case (a, b) => a < 200 && b < 200 }) // hot bucket gone
+    val boilerPairs = cappedPairs.filter { case (a, b) => a < 200 && b < 200 }
+    assert(boilerPairs.size == 50 * 49 / 2, // exactly the 50 smallest ids pair
+      s"got ${boilerPairs.size} boilerplate pairs")
+    assert(boilerPairs.forall { case (a, b) => a < 50 && b < 50 })
     // gated exact-Jaccard path honors the same cap
     val gated = TextOps.ngramJaccardPairsGated(docs, "doc_id", "text",
       maxBandBucket = Some(50)).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gated.contains((900L, 901L)))
-    assert(!gated.exists { case (a, b) => a < 200 && b < 200 })
+    assert(gated.filter { case (a, b) => a < 200 && b < 200 }
+      .forall { case (a, b) => a < 50 && b < 50 })
   }
 
   test("annTopK multi-probe recall dominates single-probe (recall lever)") {

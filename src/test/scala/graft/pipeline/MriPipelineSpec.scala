@@ -59,6 +59,17 @@ class MriPipelineSpec extends SparkSpec {
     assert(runs.filter(_.task == "mri").map(_.run) == Seq(0, 1, 2))
   }
 
+  test("discovery orders by the parsed run index, not lexicographically") {
+    val base = Files.createTempDirectory("mri").toString
+    val runDir = Paths.get(base, "sub01", "ses-a", "runs")
+    Files.createDirectories(runDir)
+    // 11 runs: a lexicographic listing would order 0, 1, 10, 2, …
+    for (k <- 0 to 10)
+      Files.createFile(runDir.resolve(s"sub01_ses-a_task-mri_run-$k.parquet"))
+    val runs = MriPipeline.discoverRuns(base, "sub01", "a")
+    assert(runs.map(_.run) == (0 to 10))
+  }
+
   test("golden layout: one calibration fans out over all runs; memoized re-run") {
     val base = Files.createTempDirectory("mri").toString
     writeLayout(base)
