@@ -41,7 +41,9 @@ object ErrorMap {
       matchKeys: Seq[String] = Nil)
 
   case class Result(
-      /** one row per reduced point: mx, my, gx, gy, err_deg, err_angle */
+      /** one row per reduced point: mx, my, gx, gy, err_deg, err_angle —
+        * plus, when clusterReduce is on, the matchKeys columns and
+        * marker_cluster_index the reduction grouped by */
       points: DataFrame,
       /** long-form error surface: iy, ix, x, y, err (null = outside hull) */
       grid: DataFrame,

@@ -203,9 +203,19 @@ object ClusterOps {
                       sigmas: Double = 2.5,
                       flagCol: String = "_bimodal_keep"): DataFrame = {
     val cuts = bimodalCuts(df, groupCols, valueCol, sigmas)
+    // null-safe key equality: a NULL group key is a real group (the
+    // fit sees it via the string-encoded key), so its rows must meet
+    // their cut — a plain equi-join would never match them and the gate
+    // would silently pass every null-key row. NOTE: the input lineage is
+    // read twice (cut fit + join probe side); callers with an expensive
+    // upstream should persist it (removeSmallDetections does).
     val joined =
       if (groupCols.isEmpty) df.crossJoin(broadcast(cuts))
-      else df.join(broadcast(cuts), groupCols, "left")
+      else {
+        val c = broadcast(cuts)
+        val cond = groupCols.map(k => df(k) <=> c(k)).reduce(_ && _)
+        groupCols.foldLeft(df.join(c, cond, "left"))((j, k) => j.drop(c(k)))
+      }
     val v = col(valueCol).cast("double")
     joined.withColumn(flagCol,
         when(col("_cut").isNull, lit(true))

@@ -124,7 +124,10 @@ object MarkerParsing {
                             aspectType: String = "x/y",
                             keepLessThan: Boolean = true,
                             groupCols: Seq[String] = Nil): DataFrame = {
-    val withSz = sizeAspect(df, sizeCol, aspectType)
+    // persisted (tracked): up to three consumers read this frame — the
+    // bimodality cut fit, the join probe side, and the std-floor agg
+    val withSz = graft.CacheRegistry.persistTracked(
+      sizeAspect(df, sizeCol, aspectType))
     val sz = col("marker_size").cast("double")
     val (flagged, bimodalPred): (DataFrame, Option[Column]) =
       bimodalStdThreshold match {

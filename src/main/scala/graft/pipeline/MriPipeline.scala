@@ -42,8 +42,11 @@ object MriPipeline {
   import Pipeline.Stage
 
   /** One discovered run table. `run` is the index parsed from the file
-    * name; discovery returns runs sorted by file name, matching the
-    * reference's sorted glob (pipelines.py:897). */
+    * name; discovery orders runs by the PARSED (task, run) — a
+    * deliberate divergence from the reference's lexicographic sorted
+    * glob (pipelines.py:897), which orders run-10 before run-2 and makes
+    * positional selectors (calibration_epoch, evaluate_runs) pick the
+    * wrong run once a task reaches 10 runs. */
   case class RunTable(task: String, run: Int, path: String)
 
   private val RunRe = """.*_task-([A-Za-z0-9]+)_run-(\d+)\.parquet$""".r

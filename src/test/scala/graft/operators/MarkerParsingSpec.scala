@@ -88,6 +88,22 @@ class MarkerParsingSpec extends SparkSpec {
     assert(grouped.count(_._1 == "g1") == 30 && grouped.count(_._1 == "g2") == 20)
   }
 
+  test("grouped bimodality gates NULL group keys (null-safe join-back)") {
+    // the null-key group is bimodal: its small mode must drop, exactly
+    // like a named group — a plain equi-join would never match the cut
+    // row back and every null-key row would silently pass
+    val rows = (Seq.tabulate(30)(i => (None: Option[String], 0.06 + 1e-4 * i)) ++
+      Seq.tabulate(10)(i => (None: Option[String], 0.01 + 1e-4 * i)) ++
+      Seq.tabulate(20)(i => (Some("g2"), 0.05 + 1e-4 * i)))
+      .toDF("g", "v")
+    val kept = graft.operators.ClusterOps
+      .bimodalitySplitGrouped(rows, Seq("g"), "v")
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1)))
+    assert(kept.count(_._1.isEmpty) == 30) // null-key small mode dropped
+    assert(kept.filter(_._1.isEmpty).forall(_._2 > 0.05))
+    assert(kept.count(_._1.contains("g2")) == 20) // unimodal group intact
+  }
+
   test("checkerboard session end-to-end: corner-ptp size feeds the full pipeline") {
     // markerCheckerboard rows: corner grid around each center, no `size`
     // column — the pipeline must derive it from the corner ptp with the
