@@ -166,8 +166,12 @@ object VectorOps {
     def centDist = graft.functions.ArrayDot.array_sq_dist(
       col("vn"), col("centroid"))
     val w = Window.partitionBy(col("v_id")).orderBy(col("_d"), col("cid"))
-    val assigned = v.crossJoin(centDf).withColumn("_d", centDist)
-      .withColumn("_rn", row_number().over(w))
+    // persisted (tracked): both the cell table and the query probes read
+    // the ranked assignment — without it the normalize + crossJoin +
+    // window lineage runs twice
+    val assigned = graft.CacheRegistry.persistTracked(
+      v.crossJoin(centDf).withColumn("_d", centDist)
+        .withColumn("_rn", row_number().over(w)))
     val cells = assigned.filter(col("_rn") === 1)
       .select(col("v_id"), col("vn"), col("cid"))
     val qProbes = assigned.filter(col("_rn") <= nprobe)

@@ -143,4 +143,24 @@ object PldataSource {
     Files.write(Paths.get(dir, s"$topic.pldata"), out.toByteArray)
     writeNpyDoubles(Paths.get(dir, s"${topic}_timestamps.npy").toString, ts)
   }
+
+  /** S5: Pupil-Labs `gaze_positions.csv` export scan (read_pl_gaze_csv,
+    * utils.py:12-17): resolves the reference's
+    * `<session>/exports/<id><id><id>/gaze_positions.csv` layout (the
+    * export sub-directory is the output id repeated three times) and
+    * reshapes the flat export columns into the catalog gaze row
+    * (timestamp, norm_pos array, confidence). Plain `spark.read.csv` —
+    * header + schema inference on doubles only. */
+  def readGazeCsv(spark: SparkSession, sessionFolder: String,
+                  outputId: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sub = outputId.toString * 3
+    val path = Paths.get(sessionFolder, "exports", sub, "gaze_positions.csv")
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(path.toString)
+      .select(col("gaze_timestamp").cast("double").as("timestamp"),
+        array(col("norm_pos_x").cast("double"),
+          col("norm_pos_y").cast("double")).as("norm_pos"),
+        col("confidence").cast("double"))
+  }
 }

@@ -61,4 +61,23 @@ class PldataSpec extends SparkSpec {
       "confidence" -> DoubleType, "nope" -> DoubleType))
     assert(withMissing.filter(col("nope").isNull).count() == 3)
   }
+
+  test("gaze_positions.csv export scan (S5) resolves layout and reshapes") {
+    val root = java.nio.file.Files.createTempDirectory("plcsv")
+    val dir = root.resolve("exports/222")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("gaze_positions.csv"),
+      """gaze_timestamp,world_index,confidence,norm_pos_x,norm_pos_y
+        |12.5,0,0.95,0.41,0.52
+        |12.6,1,0.20,0.44,0.55
+        |12.7,2,0.90,0.47,0.58
+        |""".stripMargin)
+    val df = PldataSource.readGazeCsv(spark, root.toString, outputId = 2)
+    assert(df.columns.toSeq == Seq("timestamp", "norm_pos", "confidence"))
+    val rows = df.orderBy("timestamp").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getDouble(0) == 12.5)
+    assert(rows(0).getSeq[Double](1) == Seq(0.41, 0.52))
+    assert(rows(1).getDouble(2) == 0.20)
+  }
 }
