@@ -59,12 +59,16 @@ class PlanAuditSpec extends SparkSpec {
 
   test("a6 bimodality runs grouped (flatMapGroups), no driver-collected cut") {
     val p = plan(Queries.bimodality(spark, dir))
-    // the grouped form shows an object FlatMapGroups; the old driver form
-    // would show only scan + Filter(literal cut) and — the real tell —
-    // a LocalTableScan of collected values in pathological variants
+    // the grouped form shows an object MapGroups (the cut fit); the old
+    // driver form would show only scan + Filter(literal cut) and — the
+    // real tell — a LocalTableScan of collected values
     assert(p.contains("FlatMapGroups") || p.toLowerCase.contains("mapgroups"),
-      s"a6 lost the grouped flatMapGroups shape:\n$p")
+      s"a6 lost the grouped mapGroups shape:\n$p")
     assert(!p.contains("LocalTableScan"), s"a6 plan embeds collected values:\n$p")
+    // the cut table joins back broadcast, never sort-merge (it is one row
+    // per group)
+    assert(!p.contains("SortMergeJoin"),
+      s"a6 cut join degraded to sort-merge:\n$p")
   }
 
   test("m9 plans contain no keyless (single-partition) windows") {

@@ -9,6 +9,40 @@ import org.apache.spark.sql.functions._
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
+  test("canonical DBSCAN labels are input-order invariant (seeded sweeps)") {
+    // the shipped a7 relabeling (min member id per cluster) must be a pure
+    // function of the point SET: shuffling the input rows may not change
+    // any label — this is what makes the query hash-checkable against the
+    // order-free connected-components oracle
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed)
+      val pts = (0 until 300).map { i =>
+        // a few dense blobs + uniform noise
+        val blob = i % 4
+        val (cx, cy) = (0.2 + 0.2 * blob, 0.3 + 0.1 * blob)
+        if (i % 5 == 0) (i.toLong, rng.nextDouble(), rng.nextDouble())
+        else (i.toLong, cx + rng.nextGaussian() * 0.01,
+          cy + rng.nextGaussian() * 0.01)
+      }
+      def run(rows: Seq[(Long, Double, Double)]): Map[Long, Long] = {
+        val df = rows.toDF("id", "fx", "fy").withColumn("g", lit(1))
+        val labeled = ClusterOps.dbscan(df, Seq("g"), Seq("fx", "fy"),
+          "id", eps = 0.05, minPoints = 5)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g"), col("cluster_id"))
+        labeled.withColumn("canon",
+            when(col("cluster_id") === -1, lit(-1L))
+              .otherwise(min(col("id")).over(w)))
+          .select("id", "canon").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      val a = run(pts)
+      val b = run(rng.shuffle(pts))
+      assert(a == b, s"seed $seed: canonical labels depend on input order")
+      assert(a.values.exists(_ >= 0), s"seed $seed: no clusters formed")
+    }
+  }
+
   test("RLE ∘ inverse identity: segments reconstruct the on-mask") {
     for (seed <- 1 to 15) {
       val rng = new scala.util.Random(seed)
