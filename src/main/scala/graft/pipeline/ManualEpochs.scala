@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** S6/`split_time`: manual epoch ranges from `marker_times.yaml`
+  * (pipelines.py:519-539). The session operator curates calibration /
+  * validation frame ranges by hand; the pipeline reads them and limits
+  * each detection scan to its epoch's frame range (the O4 frame-range
+  * limit — a pushdown-able predicate, not a post-filter).
+  *
+  * File shape (the reference's vedb-specific keys):
+  * {{{
+  * calibration_frames:
+  *   - [1200, 4400]
+  * validation_frames:
+  *   - [9000, 10000]
+  *   - [30000, 31000]
+  * }}}
+  */
+object ManualEpochs {
+
+  /** One manual epoch: index + [startFrame, endFrame]. */
+  case class Epoch(epoch: Int, startFrame: Long, endFrame: Long)
+
+  /** split_time parity: epochs under `key` ('calibration_frames' /
+    * 'validation_frames'); missing key → empty; the single degenerate
+    * `[x, x]` epoch → empty (the reference's "not annotated" marker,
+    * pipelines.py:534-538). */
+  def splitTime(markerTimeFile: String, key: String): Seq[Epoch] = {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(markerTimeFile)),
+      "UTF-8")
+    val root = Option(yaml.load[java.util.Map[String, Any]](text))
+      .map(_.asScala).getOrElse(Map.empty[String, Any])
+    root.get(key) match {
+      case Some(l: java.util.List[_]) =>
+        val ranges = l.asScala.toSeq.map {
+          case pair: java.util.List[_] =>
+            val p = pair.asScala.toSeq.map(x => x.toString.toLong)
+            require(p.length == 2, s"epoch range needs 2 frames, got $p")
+            (p(0), p(1))
+          case other =>
+            throw new IllegalArgumentException(s"bad epoch entry: $other")
+        }
+        if (ranges.length == 1 && ranges.head._1 == ranges.head._2) Nil
+        else ranges.zipWithIndex.map { case ((s, e), i) => Epoch(i, s, e) }
+      case _ => Nil
+    }
+  }
+
+  /** Tag rows with their manual epoch and drop rows outside every range.
+    * The per-epoch predicate is a plain range comparison on `frameCol`,
+    * so parquet scans prune on it (O4); ranges follow the reference's
+    * slice semantics — start inclusive, end exclusive. */
+  def applyEpochs(df: DataFrame, frameCol: String,
+                  epochs: Seq[Epoch]): DataFrame = {
+    if (epochs.isEmpty)
+      return df.withColumn("epoch", lit(null).cast("int")).limit(0)
+    val f = col(frameCol)
+    val tag: Column = epochs.foldLeft(lit(null).cast("int")) { (acc, e) =>
+      when(f >= e.startFrame && f < e.endFrame, lit(e.epoch)).otherwise(acc)
+    }
+    df.withColumn("epoch", tag).filter(col("epoch").isNotNull)
+  }
+}

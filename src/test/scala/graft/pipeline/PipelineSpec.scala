@@ -103,4 +103,34 @@ class PipelineSpec extends SparkSpec {
     assert(out("g") == 2.0) // NaN ignored (nanmedian)
     assert(out("h") == 6.0) // even count interpolates
   }
+
+  test("split_time parity: manual epochs from marker_times.yaml (S6/O4)") {
+    import ManualEpochs._
+    val f = Files.createTempFile("marker_times", ".yaml")
+    Files.writeString(f,
+      """calibration_frames:
+        |  - [1200, 4400]
+        |validation_frames:
+        |  - [9000, 10000]
+        |  - [30000, 31000]
+        |degenerate_frames:
+        |  - [5, 5]
+        |""".stripMargin)
+    assert(splitTime(f.toString, "calibration_frames") ==
+      Seq(Epoch(0, 1200, 4400)))
+    assert(splitTime(f.toString, "validation_frames") ==
+      Seq(Epoch(0, 9000, 10000), Epoch(1, 30000, 31000)))
+    // the reference's "not annotated" marker: one [x, x] epoch -> none
+    assert(splitTime(f.toString, "degenerate_frames").isEmpty)
+    assert(splitTime(f.toString, "missing_key").isEmpty)
+    // tagging: start inclusive, end exclusive, rows outside ranges drop
+    val df = Seq(8999L, 9000L, 9999L, 10000L, 30000L, 40000L).toDF("frame")
+    val tagged = applyEpochs(df, "frame",
+        splitTime(f.toString, "validation_frames"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tagged == Map(9000L -> 0, 9999L -> 0, 30000L -> 1))
+    // empty epochs -> empty tagged frame with the epoch column present
+    val none = applyEpochs(df, "frame", Nil)
+    assert(none.columns.contains("epoch") && none.count() == 0)
+  }
 }
