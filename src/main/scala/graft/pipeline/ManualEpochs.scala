@@ -66,4 +66,18 @@ object ManualEpochs {
     }
     df.withColumn("epoch", tag).filter(col("epoch").isNotNull)
   }
+
+  /** Apply FRAME-indexed manual epochs to a TIMESTAMPED table: the frame
+    * index of each row is its searchsorted position in the world clock
+    * (J6 — the reference's timestamps are per-frame, so position ≡ frame
+    * number), then [[applyEpochs]] tags and prunes. This is the
+    * `split_time` → per-epoch-scan composition of pipeline_vedb
+    * (pipelines.py:630-649) expressed over detection tables. */
+  def splitByFrames(df: DataFrame, clock: DataFrame, tsCol: String,
+                    clockTs: String, epochs: Seq[Epoch],
+                    keys: Seq[String] = Nil): DataFrame = {
+    val withFrame = graft.operators.TimeSeriesOps.searchSorted(
+      df, clock, tsCol, clockTs, keys)
+    applyEpochs(withFrame, "frame_index", epochs)
+  }
 }

@@ -132,5 +132,18 @@ class PipelineSpec extends SparkSpec {
     // empty epochs -> empty tagged frame with the epoch column present
     val none = applyEpochs(df, "frame", Nil)
     assert(none.columns.contains("epoch") && none.count() == 0)
+    // frame-indexed split over a timestamped table: the clock position IS
+    // the frame number (J6 searchsorted), so time-stamped markers land in
+    // their frame-range epochs
+    val clock = (0 until 100).map(_ * 0.1).toDF("timestamp")
+    val markers = Seq(0.95, 1.0, 2.0, 2.95, 5.0).toDF("ts")
+    val split = splitByFrames(markers, clock, "ts", "timestamp",
+        Seq(Epoch(0, 10, 20), Epoch(1, 29, 31)))
+      .collect().map(r => r.getDouble(0) -> r.getInt(r.fieldIndex("epoch")))
+      .toMap
+    // 0.95 -> frame 10 (epoch 0, start-inclusive), 1.0 -> 10? no: clock
+    // frame of t is count of clock entries < t: 1.0 -> 10, 2.0 -> 20
+    // (end-exclusive, out), 2.95 -> 30 (epoch 1), 5.0 -> 50 (out)
+    assert(split == Map(0.95 -> 0, 1.0 -> 0, 2.95 -> 1))
   }
 }
