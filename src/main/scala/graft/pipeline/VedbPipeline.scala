@@ -87,4 +87,51 @@ object VedbPipeline {
     Pipeline.run(spark, root,
       stages(markers, clock, pupils, cfg, epochDuration, clusterDuration),
       tags)
+
+  /** The MANUAL-epoch branch of pipeline_vedb: when the session carries a
+    * curated `marker_times.yaml`, the reference scans exactly those frame
+    * ranges instead of gap-splitting (split_time, pipelines.py:630-649)
+    * and runs one validation pass PER manual epoch (:672-693). Stage
+    * graph: `markers_cal` (calibration ranges → filter_and_cluster) →
+    * `calibration` → `gaze` → per validation epoch j: `markers_val_<j>` →
+    * `error_<j>`. Epoch-duration gates are skipped — the curated ranges
+    * ARE the epochs (the internal gap split still runs and is the
+    * identity on a contiguous range). */
+  def manualStages(markers: DataFrame, clock: DataFrame, pupils: DataFrame,
+                   calEpochs: Seq[ManualEpochs.Epoch],
+                   valEpochs: Seq[ManualEpochs.Epoch],
+                   cfg: Calibrator.Config = Calibrator.Config(),
+                   clusterDuration: (Double, Double) = (0.2, 5.0),
+                   errorResolution: (Int, Int) = (60, 80)): Seq[Pipeline.Stage] = {
+    require(calEpochs.nonEmpty, "manual pipeline needs >= 1 calibration epoch")
+    def cluster(sub: DataFrame) =
+      MarkerParsing.filterAndCluster(
+        sub.drop("epoch", "frame_index"), clock,
+        // a curated range is one epoch by construction — no duration gate
+        epochDuration = (0.0, Double.MaxValue),
+        clusterDuration = clusterDuration)
+    def slice(epochs: Seq[ManualEpochs.Epoch]) =
+      ManualEpochs.splitByFrames(markers, clock, "timestamp", "timestamp",
+        epochs)
+    val calStage = Stage("markers_cal", Nil, (_, _) => cluster(slice(calEpochs)))
+    val fitStage = Stage("calibration", Seq("markers_cal"), (s, in) => {
+      val model = Calibrator.fit(named(in("markers_cal")), pupils, cfg)
+        .getOrElse(throw new IllegalStateException(
+          "calibration rejected all points"))
+      GazeModelIO.toDF(s, model)
+    })
+    val gazeStage = Stage("gaze", Seq("calibration"), (_, in) =>
+      GazeModelIO.fromDF(in("calibration")).transform(pupils)
+        .select(col("timestamp"), col("gaze_x").as("norm_x"),
+          col("gaze_y").as("norm_y"), col("confidence")))
+    val valStages = valEpochs.flatMap { e =>
+      Seq(
+        Stage(s"markers_val_${e.epoch}", Nil, (_, _) =>
+          cluster(slice(Seq(e)))),
+        Stage(s"error_${e.epoch}", Seq("gaze", s"markers_val_${e.epoch}"),
+          (_, in) => ErrorMap.compute(named(in(s"markers_val_${e.epoch}")),
+            in("gaze"), ErrorMap.Config(resolution = errorResolution)).summary))
+    }
+    Seq(calStage, fitStage, gazeStage) ++ valStages
+  }
 }

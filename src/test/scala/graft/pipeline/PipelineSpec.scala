@@ -146,4 +146,63 @@ class PipelineSpec extends SparkSpec {
     // (end-exclusive, out), 2.95 -> 30 (epoch 1), 5.0 -> 50 (out)
     assert(split == Map(0.95 -> 0, 1.0 -> 0, 2.95 -> 1))
   }
+
+  test("pipeline_vedb manual-epoch branch: marker_times.yaml drives cal/val stages") {
+    import graft.operators.MarkerParsing
+    val root = Files.createTempDirectory("vedbmanual").toString
+    val fps = 30.0
+    val rng = new scala.util.Random(7)
+    // marker_times.yaml: one curated calibration range + one validation range
+    val yamlF = Files.createTempFile("marker_times", ".yaml")
+    Files.writeString(yamlF,
+      """calibration_frames:
+        |  - [300, 800]
+        |validation_frames:
+        |  - [2400, 2900]
+        |""".stripMargin)
+    val calEp = ManualEpochs.splitTime(yamlF.toString, "calibration_frames")
+    val valEp = ManualEpochs.splitTime(yamlF.toString, "validation_frames")
+    assert(calEp == Seq(ManualEpochs.Epoch(0, 300, 800)))
+    // 5 spatial clusters, 100 frames (3.3 s) each, inside each range
+    val grid = Seq((0.2, 0.3), (0.4, 0.5), (0.6, 0.3), (0.8, 0.6), (0.3, 0.7))
+    def detections(startFrame: Int) = (0 until 500).map { i =>
+      val (mx, my) = grid(i / 100)
+      ((startFrame + i) / fps, Seq(mx, my), Seq(0.05, 0.05))
+    }
+    val markers = (detections(300) ++ detections(2400))
+      .toDF("timestamp", "norm_pos", "size")
+    val clock = (0 until 5000).map(_ / fps).toDF("timestamp")
+    // pupils: inverse affine of the marker position at each detection time
+    val pupils = (detections(300) ++ detections(2400)).map { case (t, np, _) =>
+      val (mx, my) = (np(0), np(1))
+      (t + 0.002,
+        ((mx - 0.05) * 0.9 - (my - 0.03) * 0.1 / 0.9) / 0.8
+          + rng.nextGaussian() * 3e-4,
+        (my - 0.03) / 0.9 + rng.nextGaussian() * 3e-4, 0.95)
+    }.toDF("timestamp", "norm_pos_x", "norm_pos_y", "confidence")
+      .select(col("timestamp"),
+        array(col("norm_pos_x"), col("norm_pos_y")).as("norm_pos"),
+        col("confidence"))
+      .select(col("timestamp"),
+        element_at(col("norm_pos"), 1).as("norm_x"),
+        element_at(col("norm_pos"), 2).as("norm_y"), col("confidence"))
+    val r = Pipeline.run(spark, root,
+      VedbPipeline.manualStages(markers, clock, pupils, calEp, valEp))
+    assert(r.keySet == Set("markers_cal", "calibration", "gaze",
+      "markers_val_0", "error_0"), r.toString)
+    assert(r.values.forall(_.state == Computed), r.toString)
+    // the curated ranges really bound the stages: cal markers only from
+    // frames 300-799, and 5 surviving clusters
+    val cal = spark.read.parquet(r("markers_cal").path)
+    val ts = cal.agg(min("timestamp"), max("timestamp")).collect()(0)
+    assert(ts.getDouble(0) >= 300 / fps && ts.getDouble(1) < 800 / fps)
+    assert(cal.select("marker_cluster_index").distinct().count() == 5)
+    // planted affine -> sub-degree validation error
+    val err = spark.read.parquet(r("error_0").path).collect()(0)
+    assert(err.getAs[Double]("gaze_err_weighted") < 1.0, err.toString)
+    // memoized re-run
+    val r2 = Pipeline.run(spark, root,
+      VedbPipeline.manualStages(markers, clock, pupils, calEp, valEp))
+    assert(r2.values.forall(_.state == Memoized))
+  }
 }
