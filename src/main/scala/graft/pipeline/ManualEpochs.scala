@@ -53,26 +53,39 @@ object ManualEpochs {
   }
 
   /** Tag rows with their manual epoch and drop rows outside every range.
-    * The per-epoch predicate is a plain range comparison on `frameCol`,
-    * so parquet scans prune on it (O4); ranges follow the reference's
-    * slice semantics — start inclusive, end exclusive. */
+    * Ranges follow the reference's slice semantics — start inclusive,
+    * end exclusive. Row-drop happens via the plain range DISJUNCTION on
+    * `frameCol`, which is pushdown-eligible when `frameCol` is a scan
+    * column (O4); the epoch tag is a derived CASE on top.
+    *
+    * Single-pass tagging assigns each row to exactly ONE epoch (ranges
+    * are expected disjoint; on overlap the LAST matching range wins).
+    * The reference scans each range independently, so an overlapping
+    * frame lands in every epoch it covers — for that duplication
+    * semantics slice per range instead (the manual pipeline branch,
+    * [[VedbPipeline.manualStages]], does). */
   def applyEpochs(df: DataFrame, frameCol: String,
                   epochs: Seq[Epoch]): DataFrame = {
     if (epochs.isEmpty)
       return df.withColumn("epoch", lit(null).cast("int")).limit(0)
     val f = col(frameCol)
+    val inAny: Column = epochs
+      .map(e => f >= e.startFrame && f < e.endFrame).reduce(_ || _)
     val tag: Column = epochs.foldLeft(lit(null).cast("int")) { (acc, e) =>
       when(f >= e.startFrame && f < e.endFrame, lit(e.epoch)).otherwise(acc)
     }
-    df.withColumn("epoch", tag).filter(col("epoch").isNotNull)
+    df.filter(inAny).withColumn("epoch", tag)
   }
 
   /** Apply FRAME-indexed manual epochs to a TIMESTAMPED table: the frame
     * index of each row is its searchsorted position in the world clock
     * (J6 — the reference's timestamps are per-frame, so position ≡ frame
-    * number), then [[applyEpochs]] tags and prunes. This is the
-    * `split_time` → per-epoch-scan composition of pipeline_vedb
-    * (pipelines.py:630-649) expressed over detection tables. */
+    * number), then [[applyEpochs]] tags and filters. The filter sits
+    * above the window-computed frame index, so no scan pruning here —
+    * callers with a REAL frame column should apply [[applyEpochs]] to it
+    * directly. This is the `split_time` → per-epoch-scan composition of
+    * pipeline_vedb (pipelines.py:630-649) expressed over detection
+    * tables. */
   def splitByFrames(df: DataFrame, clock: DataFrame, tsCol: String,
                     clockTs: String, epochs: Seq[Epoch],
                     keys: Seq[String] = Nil): DataFrame = {

@@ -63,16 +63,8 @@ object VedbPipeline {
         .getOrElse(throw new IllegalStateException("empty calibration epoch"))
       in("markers_filtered").filter(col("epoch") =!= cal)
     }),
-    Stage("calibration", Seq("markers_cal"), (s, in) => {
-      val model = Calibrator.fit(named(in("markers_cal")), pupils, cfg)
-        .getOrElse(throw new IllegalStateException(
-          "calibration rejected all points"))
-      GazeModelIO.toDF(s, model)
-    }),
-    Stage("gaze", Seq("calibration"), (_, in) =>
-      GazeModelIO.fromDF(in("calibration")).transform(pupils)
-        .select(col("timestamp"), col("gaze_x").as("norm_x"),
-          col("gaze_y").as("norm_y"), col("confidence"))),
+    calibrationStage("calibration", "markers_cal", pupils, cfg),
+    gazeStage("gaze", "calibration", pupils),
     Stage("error", Seq("gaze", "markers_val"), (_, in) =>
       ErrorMap.compute(named(in("markers_val")), in("gaze"),
         ErrorMap.Config(resolution = errorResolution)).summary))
@@ -88,50 +80,89 @@ object VedbPipeline {
       stages(markers, clock, pupils, cfg, epochDuration, clusterDuration),
       tags)
 
-  /** The MANUAL-epoch branch of pipeline_vedb: when the session carries a
-    * curated `marker_times.yaml`, the reference scans exactly those frame
-    * ranges instead of gap-splitting (split_time, pipelines.py:630-649)
-    * and runs one validation pass PER manual epoch (:672-693). Stage
-    * graph: `markers_cal` (calibration ranges → filter_and_cluster) →
-    * `calibration` → `gaze` → per validation epoch j: `markers_val_<j>` →
-    * `error_<j>`. Epoch-duration gates are skipped — the curated ranges
-    * ARE the epochs (the internal gap split still runs and is the
-    * identity on a contiguous range). */
-  def manualStages(markers: DataFrame, clock: DataFrame, pupils: DataFrame,
-                   calEpochs: Seq[ManualEpochs.Epoch],
-                   valEpochs: Seq[ManualEpochs.Epoch],
-                   cfg: Calibrator.Config = Calibrator.Config(),
-                   clusterDuration: (Double, Double) = (0.2, 5.0),
-                   errorResolution: (Int, Int) = (60, 80)): Seq[Pipeline.Stage] = {
-    require(calEpochs.nonEmpty, "manual pipeline needs >= 1 calibration epoch")
-    def cluster(sub: DataFrame) =
-      MarkerParsing.filterAndCluster(
-        sub.drop("epoch", "frame_index"), clock,
-        // a curated range is one epoch by construction — no duration gate
-        epochDuration = (0.0, Double.MaxValue),
-        clusterDuration = clusterDuration)
-    def slice(epochs: Seq[ManualEpochs.Epoch]) =
-      ManualEpochs.splitByFrames(markers, clock, "timestamp", "timestamp",
-        epochs)
-    val calStage = Stage("markers_cal", Nil, (_, _) => cluster(slice(calEpochs)))
-    val fitStage = Stage("calibration", Seq("markers_cal"), (s, in) => {
-      val model = Calibrator.fit(named(in("markers_cal")), pupils, cfg)
+  /** Calibration-fit stage shared by both branches: a rejected fit
+    * raises → S7 Failed sentinel. */
+  private def calibrationStage(name: String, markersStage: String,
+                               pupils: DataFrame,
+                               cfg: Calibrator.Config): Stage =
+    Stage(name, Seq(markersStage), (s, in) => {
+      val model = Calibrator.fit(named(in(markersStage)), pupils, cfg)
         .getOrElse(throw new IllegalStateException(
           "calibration rejected all points"))
       GazeModelIO.toDF(s, model)
     })
-    val gazeStage = Stage("gaze", Seq("calibration"), (_, in) =>
-      GazeModelIO.fromDF(in("calibration")).transform(pupils)
+
+  /** Gaze-apply stage shared by both branches. */
+  private def gazeStage(name: String, calibStage: String,
+                        pupils: DataFrame): Stage =
+    Stage(name, Seq(calibStage), (_, in) =>
+      GazeModelIO.fromDF(in(calibStage)).transform(pupils)
         .select(col("timestamp"), col("gaze_x").as("norm_x"),
           col("gaze_y").as("norm_y"), col("confidence")))
+
+  /** The MANUAL-epoch branch of pipeline_vedb: when the session carries a
+    * curated `marker_times.yaml`, the reference scans exactly those frame
+    * ranges instead of gap-splitting and fits on ONE selected calibration
+    * epoch (`calibrationEpoch` index, default 0 — pipelines.py:635-651),
+    * with one validation pass PER validation epoch (:672-693).
+    *
+    * Stage graph (names carry the `_manual` discriminator so the S8
+    * memoization namespace can NEVER collide with the automatic branch's
+    * artifacts on a shared run root; epoch-range edits should also go
+    * into `tags` — e.g. `Map("marker_times" -> <file hash>)` — mirroring
+    * the reference's input-hashed filenames, pipelines.py:604-612):
+    *
+    *   markers_frames_manual   — ONE searchsorted frame-index pass over
+    *                             markers vs the world clock (J6; the
+    *                             single-partition sort inherent to one
+    *                             session runs once, not once per epoch)
+    *   markers_cal_manual      — selected calibration range → cluster
+    *   markers_val_manual_<j>  — each validation range → cluster
+    *                             (independent per-range slices, so
+    *                             overlapping curated ranges contribute to
+    *                             every epoch they cover, like the
+    *                             reference's per-range scans)
+    *   calibration_manual → gaze_manual → error_manual_<j>
+    *
+    * Epoch-duration gates are skipped — the curated ranges ARE the epochs
+    * (the internal gap split still runs and is the identity on a
+    * contiguous range). */
+  def manualStages(markers: DataFrame, clock: DataFrame, pupils: DataFrame,
+                   calEpochs: Seq[ManualEpochs.Epoch],
+                   valEpochs: Seq[ManualEpochs.Epoch],
+                   calibrationEpoch: Int = 0,
+                   cfg: Calibrator.Config = Calibrator.Config(),
+                   clusterDuration: (Double, Double) = (0.2, 5.0),
+                   errorResolution: (Int, Int) = (60, 80)): Seq[Pipeline.Stage] = {
+    require(calEpochs.length > calibrationEpoch,
+      s"manual pipeline needs > $calibrationEpoch calibration epochs, " +
+        s"found ${calEpochs.length}")
+    val calEp = calEpochs(calibrationEpoch)
+    def rangeOf(in: Map[String, DataFrame], e: ManualEpochs.Epoch) =
+      in("markers_frames_manual").filter(
+        col("frame_index") >= e.startFrame && col("frame_index") < e.endFrame)
+    def cluster(sub: DataFrame) =
+      MarkerParsing.filterAndCluster(
+        sub.drop("frame_index"), clock,
+        epochDuration = (0.0, Double.MaxValue),
+        clusterDuration = clusterDuration)
+    val frameStage = Stage("markers_frames_manual", Nil, (_, _) =>
+      graft.operators.TimeSeriesOps.searchSorted(
+        markers, clock.select(col("timestamp")), "timestamp", "timestamp"))
+    val calStage = Stage("markers_cal_manual", Seq("markers_frames_manual"),
+      (_, in) => cluster(rangeOf(in, calEp)))
     val valStages = valEpochs.flatMap { e =>
       Seq(
-        Stage(s"markers_val_${e.epoch}", Nil, (_, _) =>
-          cluster(slice(Seq(e)))),
-        Stage(s"error_${e.epoch}", Seq("gaze", s"markers_val_${e.epoch}"),
-          (_, in) => ErrorMap.compute(named(in(s"markers_val_${e.epoch}")),
-            in("gaze"), ErrorMap.Config(resolution = errorResolution)).summary))
+        Stage(s"markers_val_manual_${e.epoch}", Seq("markers_frames_manual"),
+          (_, in) => cluster(rangeOf(in, e))),
+        Stage(s"error_manual_${e.epoch}",
+          Seq("gaze_manual", s"markers_val_manual_${e.epoch}"),
+          (_, in) => ErrorMap.compute(
+            named(in(s"markers_val_manual_${e.epoch}")), in("gaze_manual"),
+            ErrorMap.Config(resolution = errorResolution)).summary))
     }
-    Seq(calStage, fitStage, gazeStage) ++ valStages
+    Seq(frameStage, calStage,
+      calibrationStage("calibration_manual", "markers_cal_manual", pupils, cfg),
+      gazeStage("gaze_manual", "calibration_manual", pupils)) ++ valStages
   }
 }

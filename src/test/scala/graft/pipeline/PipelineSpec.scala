@@ -154,15 +154,19 @@ class PipelineSpec extends SparkSpec {
     val rng = new scala.util.Random(7)
     // marker_times.yaml: one curated calibration range + one validation range
     val yamlF = Files.createTempFile("marker_times", ".yaml")
+    // two curated calibration ranges: the fit must use ONLY the selected
+    // calibrationEpoch (index 0), like the reference (pipelines.py:641-651)
     Files.writeString(yamlF,
       """calibration_frames:
         |  - [300, 800]
+        |  - [4000, 4500]
         |validation_frames:
         |  - [2400, 2900]
         |""".stripMargin)
     val calEp = ManualEpochs.splitTime(yamlF.toString, "calibration_frames")
     val valEp = ManualEpochs.splitTime(yamlF.toString, "validation_frames")
-    assert(calEp == Seq(ManualEpochs.Epoch(0, 300, 800)))
+    assert(calEp == Seq(ManualEpochs.Epoch(0, 300, 800),
+      ManualEpochs.Epoch(1, 4000, 4500)))
     // 5 spatial clusters, 100 frames (3.3 s) each, inside each range
     val grid = Seq((0.2, 0.3), (0.4, 0.5), (0.6, 0.3), (0.8, 0.6), (0.3, 0.7))
     def detections(startFrame: Int) = (0 until 500).map { i =>
@@ -188,21 +192,27 @@ class PipelineSpec extends SparkSpec {
         element_at(col("norm_pos"), 2).as("norm_y"), col("confidence"))
     val r = Pipeline.run(spark, root,
       VedbPipeline.manualStages(markers, clock, pupils, calEp, valEp))
-    assert(r.keySet == Set("markers_cal", "calibration", "gaze",
-      "markers_val_0", "error_0"), r.toString)
+    assert(r.keySet == Set("markers_frames_manual", "markers_cal_manual",
+      "calibration_manual", "gaze_manual", "markers_val_manual_0",
+      "error_manual_0"), r.toString)
     assert(r.values.forall(_.state == Computed), r.toString)
-    // the curated ranges really bound the stages: cal markers only from
-    // frames 300-799, and 5 surviving clusters
-    val cal = spark.read.parquet(r("markers_cal").path)
+    // the SELECTED calibration range bounds the fit stage: markers only
+    // from frames 300-799 (the second curated range is not merged in),
+    // and 5 surviving clusters
+    val cal = spark.read.parquet(r("markers_cal_manual").path)
     val ts = cal.agg(min("timestamp"), max("timestamp")).collect()(0)
     assert(ts.getDouble(0) >= 300 / fps && ts.getDouble(1) < 800 / fps)
     assert(cal.select("marker_cluster_index").distinct().count() == 5)
     // planted affine -> sub-degree validation error
-    val err = spark.read.parquet(r("error_0").path).collect()(0)
+    val err = spark.read.parquet(r("error_manual_0").path).collect()(0)
     assert(err.getAs[Double]("gaze_err_weighted") < 1.0, err.toString)
     // memoized re-run
     val r2 = Pipeline.run(spark, root,
       VedbPipeline.manualStages(markers, clock, pupils, calEp, valEp))
     assert(r2.values.forall(_.state == Memoized))
+    // the _manual stage names cannot collide with the automatic branch's
+    // memoization namespace on a shared root
+    assert(r.keySet.intersect(Set("markers_cal", "calibration", "gaze",
+      "markers_filtered", "markers_val", "error")).isEmpty)
   }
 }
