@@ -108,21 +108,26 @@ object VedbPipeline {
     *
     * Stage graph (names carry the `_manual` discriminator so the S8
     * memoization namespace can NEVER collide with the automatic branch's
-    * artifacts on a shared run root; epoch-range edits should also go
-    * into `tags` — e.g. `Map("marker_times" -> <file hash>)` — mirroring
-    * the reference's input-hashed filenames, pipelines.py:604-612):
+    * artifacts on a shared run root, and every calibration-dependent
+    * stage additionally carries `e<calibrationEpoch>` so switching the
+    * selected epoch recomputes instead of serving the other epoch's
+    * memoized fit; epoch-range edits should still go into `tags` — e.g.
+    * `Map("marker_times" -> <file hash>)` — mirroring the reference's
+    * input-hashed filenames, pipelines.py:604-612):
     *
-    *   markers_frames_manual   — ONE searchsorted frame-index pass over
-    *                             markers vs the world clock (J6; the
-    *                             single-partition sort inherent to one
-    *                             session runs once, not once per epoch)
-    *   markers_cal_manual      — selected calibration range → cluster
-    *   markers_val_manual_<j>  — each validation range → cluster
-    *                             (independent per-range slices, so
-    *                             overlapping curated ranges contribute to
-    *                             every epoch they cover, like the
-    *                             reference's per-range scans)
-    *   calibration_manual → gaze_manual → error_manual_<j>
+    *   markers_frames_manual     — ONE searchsorted frame-index pass over
+    *                               markers vs the world clock (J6; the
+    *                               single-partition sort inherent to one
+    *                               session runs once, not once per epoch)
+    *   markers_cal_manual_e<c>   — selected calibration range → cluster
+    *   markers_val_manual_<j>    — each validation range → cluster
+    *                               (independent per-range slices, so
+    *                               overlapping curated ranges contribute
+    *                               to every epoch they cover, like the
+    *                               reference's per-range scans; epoch-
+    *                               independent, so reusable across
+    *                               calibration selections)
+    *   calibration_manual_e<c> → gaze_manual_e<c> → error_manual_e<c>_<j>
     *
     * Epoch-duration gates are skipped — the curated ranges ARE the epochs
     * (the internal gap split still runs and is the identity on a
@@ -134,10 +139,11 @@ object VedbPipeline {
                    cfg: Calibrator.Config = Calibrator.Config(),
                    clusterDuration: (Double, Double) = (0.2, 5.0),
                    errorResolution: (Int, Int) = (60, 80)): Seq[Pipeline.Stage] = {
-    require(calEpochs.length > calibrationEpoch,
-      s"manual pipeline needs > $calibrationEpoch calibration epochs, " +
-        s"found ${calEpochs.length}")
+    require(calibrationEpoch >= 0 && calibrationEpoch < calEpochs.length,
+      s"calibrationEpoch $calibrationEpoch out of range for " +
+        s"${calEpochs.length} calibration epochs")
     val calEp = calEpochs(calibrationEpoch)
+    val ce = s"e$calibrationEpoch"
     def rangeOf(in: Map[String, DataFrame], e: ManualEpochs.Epoch) =
       in("markers_frames_manual").filter(
         col("frame_index") >= e.startFrame && col("frame_index") < e.endFrame)
@@ -149,20 +155,21 @@ object VedbPipeline {
     val frameStage = Stage("markers_frames_manual", Nil, (_, _) =>
       graft.operators.TimeSeriesOps.searchSorted(
         markers, clock.select(col("timestamp")), "timestamp", "timestamp"))
-    val calStage = Stage("markers_cal_manual", Seq("markers_frames_manual"),
+    val calStage = Stage(s"markers_cal_manual_$ce", Seq("markers_frames_manual"),
       (_, in) => cluster(rangeOf(in, calEp)))
     val valStages = valEpochs.flatMap { e =>
       Seq(
         Stage(s"markers_val_manual_${e.epoch}", Seq("markers_frames_manual"),
           (_, in) => cluster(rangeOf(in, e))),
-        Stage(s"error_manual_${e.epoch}",
-          Seq("gaze_manual", s"markers_val_manual_${e.epoch}"),
+        Stage(s"error_manual_${ce}_${e.epoch}",
+          Seq(s"gaze_manual_$ce", s"markers_val_manual_${e.epoch}"),
           (_, in) => ErrorMap.compute(
-            named(in(s"markers_val_manual_${e.epoch}")), in("gaze_manual"),
+            named(in(s"markers_val_manual_${e.epoch}")), in(s"gaze_manual_$ce"),
             ErrorMap.Config(resolution = errorResolution)).summary))
     }
     Seq(frameStage, calStage,
-      calibrationStage("calibration_manual", "markers_cal_manual", pupils, cfg),
-      gazeStage("gaze_manual", "calibration_manual", pupils)) ++ valStages
+      calibrationStage(s"calibration_manual_$ce", s"markers_cal_manual_$ce",
+        pupils, cfg),
+      gazeStage(s"gaze_manual_$ce", s"calibration_manual_$ce", pupils)) ++ valStages
   }
 }

@@ -167,17 +167,20 @@ class PipelineSpec extends SparkSpec {
     val valEp = ManualEpochs.splitTime(yamlF.toString, "validation_frames")
     assert(calEp == Seq(ManualEpochs.Epoch(0, 300, 800),
       ManualEpochs.Epoch(1, 4000, 4500)))
-    // 5 spatial clusters, 100 frames (3.3 s) each, inside each range
+    // 5 spatial clusters, 100 frames (3.3 s) each, inside EVERY range —
+    // including the second calibration range, so a regression back to
+    // merging all calibration ranges would change markers_cal and fail
     val grid = Seq((0.2, 0.3), (0.4, 0.5), (0.6, 0.3), (0.8, 0.6), (0.3, 0.7))
     def detections(startFrame: Int) = (0 until 500).map { i =>
       val (mx, my) = grid(i / 100)
       ((startFrame + i) / fps, Seq(mx, my), Seq(0.05, 0.05))
     }
-    val markers = (detections(300) ++ detections(2400))
+    val markers = (detections(300) ++ detections(2400) ++ detections(4000))
       .toDF("timestamp", "norm_pos", "size")
     val clock = (0 until 5000).map(_ / fps).toDF("timestamp")
     // pupils: inverse affine of the marker position at each detection time
-    val pupils = (detections(300) ++ detections(2400)).map { case (t, np, _) =>
+    val pupils = (detections(300) ++ detections(2400) ++ detections(4000))
+      .map { case (t, np, _) =>
       val (mx, my) = (np(0), np(1))
       (t + 0.002,
         ((mx - 0.05) * 0.9 - (my - 0.03) * 0.1 / 0.9) / 0.8
@@ -192,27 +195,41 @@ class PipelineSpec extends SparkSpec {
         element_at(col("norm_pos"), 2).as("norm_y"), col("confidence"))
     val r = Pipeline.run(spark, root,
       VedbPipeline.manualStages(markers, clock, pupils, calEp, valEp))
-    assert(r.keySet == Set("markers_frames_manual", "markers_cal_manual",
-      "calibration_manual", "gaze_manual", "markers_val_manual_0",
-      "error_manual_0"), r.toString)
+    assert(r.keySet == Set("markers_frames_manual", "markers_cal_manual_e0",
+      "calibration_manual_e0", "gaze_manual_e0", "markers_val_manual_0",
+      "error_manual_e0_0"), r.toString)
     assert(r.values.forall(_.state == Computed), r.toString)
     // the SELECTED calibration range bounds the fit stage: markers only
-    // from frames 300-799 (the second curated range is not merged in),
-    // and 5 surviving clusters
-    val cal = spark.read.parquet(r("markers_cal_manual").path)
+    // from frames 300-799 — detections exist in [4000, 4500) too, so a
+    // regression to merging all calibration ranges fails here
+    val cal = spark.read.parquet(r("markers_cal_manual_e0").path)
     val ts = cal.agg(min("timestamp"), max("timestamp")).collect()(0)
     assert(ts.getDouble(0) >= 300 / fps && ts.getDouble(1) < 800 / fps)
     assert(cal.select("marker_cluster_index").distinct().count() == 5)
     // planted affine -> sub-degree validation error
-    val err = spark.read.parquet(r("error_manual_0").path).collect()(0)
+    val err = spark.read.parquet(r("error_manual_e0_0").path).collect()(0)
     assert(err.getAs[Double]("gaze_err_weighted") < 1.0, err.toString)
     // memoized re-run
     val r2 = Pipeline.run(spark, root,
       VedbPipeline.manualStages(markers, clock, pupils, calEp, valEp))
     assert(r2.values.forall(_.state == Memoized))
-    // the _manual stage names cannot collide with the automatic branch's
-    // memoization namespace on a shared root
-    assert(r.keySet.intersect(Set("markers_cal", "calibration", "gaze",
-      "markers_filtered", "markers_val", "error")).isEmpty)
+    // switching the selected calibration epoch must NOT reuse the other
+    // epoch's memoized fit: e1 stages recompute on the same root, bounded
+    // by the second range, while the epoch-independent slices memoize
+    val r3 = Pipeline.run(spark, root, VedbPipeline.manualStages(
+      markers, clock, pupils, calEp, valEp, calibrationEpoch = 1))
+    assert(r3("markers_cal_manual_e1").state == Computed, r3.toString)
+    assert(r3("calibration_manual_e1").state == Computed)
+    assert(r3("markers_frames_manual").state == Memoized)
+    assert(r3("markers_val_manual_0").state == Memoized)
+    val cal1 = spark.read.parquet(r3("markers_cal_manual_e1").path)
+    val ts1 = cal1.agg(min("timestamp"), max("timestamp")).collect()(0)
+    assert(ts1.getDouble(0) >= 4000 / fps && ts1.getDouble(1) < 4500 / fps)
+    // cross-branch collision: the AUTOMATIC branch on the SAME root must
+    // compute its own artifacts, not serve the manual branch's
+    val ra = Pipeline.run(spark, root, VedbPipeline.stages(markers, clock,
+      pupils, epochDuration = (5.0, 150.0)))
+    assert(ra("markers_filtered").state == Computed, ra.toString)
+    assert(ra("calibration").state == Computed)
   }
 }
