@@ -72,6 +72,58 @@ object Oracles {
        |  (PARTITION BY band_id, band_hash ORDER BY doc) <= $cap)""".stripMargin
   }
 
+  /** dedup_clusters oracle: the same capped-band LSH candidates as
+    * `dedup_minhash_lsh` (shared CTEs, same est-Jaccard gate), then
+    * connected components via recursive min-label propagation over the
+    * symmetric edge set — the canonical-min-label technique proven on the
+    * a7 DBSCAN oracle. Every document row appears; singletons (no
+    * surviving pair) self-cluster via the LEFT JOIN coalesce. */
+  private def dedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashBandCtes,
+       |prs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+       |  FROM band a JOIN band b ON a.band_id = b.band_id
+       |    AND a.band_hash = b.band_hash AND a.doc < b.doc
+       |  WHERE len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))::DOUBLE
+       |    / 16 >= 0.25),
+       |ed AS (SELECT doc_a AS a, doc_b AS b FROM prs
+       |  UNION SELECT doc_b, doc_a FROM prs),
+       |cc AS (
+       |  SELECT DISTINCT a AS node, a AS lbl FROM ed
+       |  UNION
+       |  SELECT ed.b AS node, cc.lbl FROM cc JOIN ed ON cc.node = ed.a
+       |),
+       |comp AS (SELECT node, min(lbl) AS root FROM cc GROUP BY node)
+       |SELECT d.doc_id AS doc, coalesce(c.root, d.doc_id) AS cluster_id,
+       |  coalesce(c.root, d.doc_id) = d.doc_id AS is_keeper
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin
+
+  /** sample_stratified oracle: language-ID CASE chain (mirrors
+    * text_langid) + the salted md5-threshold keep rule with the SAME
+    * integer thresholds the Spark side computes. */
+  private def sampleStratifiedSql: String = {
+    val dflt = graft.operators.SampleOps.threshold(1.0)
+    val cases = graft.Queries.sampleRates.map { case (stratum, rate) =>
+      s"WHEN lang_pred = '$stratum' THEN ${graft.operators.SampleOps.threshold(rate)}"
+    }.mkString(" ")
+    s"""WITH d AS (SELECT doc_id AS doc, string_split(trim(text), ' ') AS toks
+       |  FROM documents),
+       |sc AS (SELECT doc,
+       |  len(list_filter(toks, w -> w IN ('der','die','und','nicht','das')))::BIGINT AS s_de,
+       |  len(list_filter(toks, w -> w IN ('the','and','of','to','in')))::BIGINT AS s_en,
+       |  len(list_filter(toks, w -> w IN ('el','la','de','que','y')))::BIGINT AS s_es,
+       |  len(list_filter(toks, w -> w IN ('le','les','et','des','un')))::BIGINT AS s_fr
+       |  FROM d),
+       |l AS (SELECT doc,
+       |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es >= s_fr THEN 'es'
+       |       ELSE 'fr' END AS lang_pred
+       |  FROM sc)
+       |SELECT doc, lang_pred FROM l
+       |WHERE ('0x' || substr(md5('s42' || doc), 1, 15))::BIGINT <
+       |  CASE $cases ELSE $dflt END""".stripMargin
+  }
+
   private def minhashSql: String =
     s"""WITH $minhashBandCtes,
        |pairs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
@@ -430,6 +482,23 @@ object Oracles {
     "ann_ivf_topk" -> ivfSql,
 
     "dedup_minhash_lsh" -> minhashSql,
+
+    "dedup_clusters" -> dedupClustersSql,
+
+    "sample_stratified" -> sampleStratifiedSql,
+
+    // per-shard concat-and-chunk packing; sum(BIGINT) widens to HUGEINT in
+    // DuckDB, normalized via the double division before the BIGINT cast
+    "pack_chunks" ->
+      """WITH t AS (SELECT doc_id AS doc, doc_id % 32 AS shard,
+        |    ceil(length(trim(text))::DOUBLE / 4.0e0)::BIGINT AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc, shard, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM t)
+        |SELECT doc, shard, n_tokens,
+        |  floor(cum::DOUBLE / 2048)::BIGINT AS chunk FROM c""".stripMargin,
 
     "dedup_simhash" -> simhashSql,
 

@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.{PolyMapModel, Tps, TpsMapModel}
-import graft.operators.{AsOfJoin, ClusterOps, LabelingOps, OdometryOps,
-  TextOps, TimeSeriesOps, VectorOps}
+import graft.operators.{AsOfJoin, ClusterOps, GraphOps, LabelingOps,
+  OdometryOps, SampleOps, TextOps, TimeSeriesOps, VectorOps}
 
 /** The engine's query surface over the driver testdata, one entry per
   * implemented operator from SURVEY.md §2 (+ the LLM-data-pipeline
@@ -621,6 +621,46 @@ object Queries {
         multiProbe = true)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
+
+  /** Dedup (clusters): the pair→cluster step a real dedup pass needs —
+    * MinHash/LSH near-dup pairs (est. Jaccard ≥ 0.25, the shipped
+    * `dedup_minhash_lsh` composition) → connected components via
+    * large-star/small-star (O(log n) rounds, chain-proof) → canonical
+    * cluster id = min doc id of the component; `is_keeper` marks the
+    * representative. Every document appears: singletons cluster to
+    * themselves. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = TextOps.minhashLshPairs(docs, "doc_id", "text")
+    val comp = GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("node", "doc")
+    docs.select(col("doc_id").cast("long").as("doc"))
+      .join(comp, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("component"), col("doc")).as("cluster_id"),
+        (coalesce(col("component"), col("doc")) === col("doc")).as("is_keeper"))
+  }
+
+  /** Corpus curation: deterministic stratified sampling — language-ID the
+    * corpus, then down-sample the dominant strata (en 0.5, es 0.8) with a
+    * salted md5-threshold keep rule. Zero shuffle, bit-reproducible across
+    * re-runs and engines (what a memoized 100 TB pipeline needs from its
+    * sampler). */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val lang = TextOps.langId(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc"), col("lang_pred"))
+    SampleOps.stratified(lang, "doc", "lang_pred", sampleRates,
+      defaultRate = 1.0, salt = "s42")
+  }
+
+  /** Shared with the oracle builder so rates can't drift. */
+  val sampleRates: Map[String, Double] = Map("en" -> 0.5, "es" -> 0.8)
+
+  /** Corpus curation: doc-level sequence packing — per-shard
+    * concat-and-chunk layout (ctx 2048 tokens, 32 shards), embarrassingly
+    * parallel across shards. */
+  def packChunks(s: SparkSession, dir: String): DataFrame =
+    SampleOps.packChunks(Tables.documents(s, dir), "doc_id", "text")
 
   /** P8: quaternion → Euler angles (RealSense remap, odometry.py:176-193)
     * over a synthetic normalized quaternion from event columns. */

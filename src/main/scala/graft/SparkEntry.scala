@@ -54,6 +54,9 @@ object SparkEntry {
     "dedup_exact" -> (Queries.dedupExact _),
     "dedup_minhash_lsh" -> (Queries.dedupMinhashLsh _),
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
+    "dedup_clusters" -> (Queries.dedupClusters _),
+    "sample_stratified" -> (Queries.sampleStratified _),
+    "pack_chunks" -> (Queries.packChunks _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "text_stats" -> (Queries.textStats _),
     "text_langid" -> (Queries.textLangid _),

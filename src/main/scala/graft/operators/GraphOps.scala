@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives for the dedup pipeline.
+  *
+  * Near-duplicate detection emits PAIRS (LSH candidates verified by exact
+  * similarity); an actual dedup pass needs per-document CLUSTER ids so one
+  * representative per cluster survives. Pair→cluster is connected
+  * components — and at 100 TB the component graph can chain (doc A ~ B,
+  * B ~ C, … with A !~ C), so naive min-label propagation needs O(diameter)
+  * rounds. This implements the alternating large-star / small-star
+  * algorithm (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14), which converges in O(log n) rounds regardless of
+  * diameter, using only equi-joins and partial-aggregated groupBys — no
+  * per-node neighbor arrays, so a celebrity node (one doc near-dup to
+  * millions) cannot blow a task: its neighborhood min is a map-side-combined
+  * aggregate and its edge emissions stay row-per-row through joins (AQE
+  * handles residual join skew).
+  */
+object GraphOps {
+
+  /** Connected components of the undirected graph given as an edge list.
+    *
+    * Returns one row per node incident to at least one (non-self-loop)
+    * edge: `(node BIGINT, component BIGINT)` where `component` is the
+    * MINIMUM node id of the node's component — the canonical label, so
+    * equal inputs give byte-equal outputs on any engine (the same
+    * canonicalization the DBSCAN oracle uses).
+    *
+    * Each round:
+    *  - large-star: every node x computes m = min(N(x) ∪ x) (one groupBy
+    *    over both edge orientations) and re-points its LARGER neighbors at
+    *    m — join the bidirected edges (x, y) with m(x), keep y > x, emit
+    *    (y, m);
+    *  - small-star: orient edges (big, small); every big computes
+    *    m = min of its smaller neighbors and the star collapses — emit
+    *    (small, m) for each smaller neighbor plus (big, m).
+    *
+    * Both phases strictly shrink a monotone potential, and the fixed point
+    * is a forest of stars pointing at component minima. Convergence is
+    * checked by set equality (count + one-sided anti semantics via
+    * `except`) on the persisted per-round edge sets; each round
+    * materializes before the previous round's cache is released.
+    *
+    * Scale notes: every step is an equi-join or groupBy on the node id —
+    * one shuffle each, AQE-coalesced; edge sets are `distinct`ed each
+    * round so the working set only shrinks. Each round is cut with an
+    * eager `localCheckpoint` — iterative lineage otherwise compounds
+    * (round k's plan embeds round k−1's) until plan traversal itself
+    * overflows the stack; checkpointing makes every round's input a flat
+    * scan of materialized partitions. On a real cluster with executor
+    * churn, swap for reliable `checkpoint()` against the checkpoint dir
+    * (localCheckpoint partitions die with their executor).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 64): DataFrame = {
+    var e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var eCount = e.count()
+    var converged = eCount == 0L
+    var it = 0
+    while (!converged && it < maxIter) {
+      // large-star: m(x) over BOTH orientations, larger neighbors re-point
+      val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = bidir.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+        .withColumnRenamed("u", "x")
+      val large = bidir
+        .join(mins, bidir("u") === mins("x"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: edges already oriented (u=big, v=small); the star
+      // collapses onto the min smaller neighbor
+      val smins = large.groupBy("u").agg(min(col("v")).as("m"))
+        .withColumnRenamed("u", "x")
+      val next = large
+        .join(smins, large("u") === smins("x"))
+        .select(col("v").as("n"), col("m"))
+        .union(smins.select(col("x").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(greatest(col("n"), col("m")).as("u"), least(col("n"), col("m")).as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.except(e).isEmpty
+      e = next
+      eCount = nextCount
+      it += 1
+    }
+    if (!converged && eCount > 0L)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($eCount edges remain)")
+    // fixed point = stars: members point at the root, roots self-label.
+    // The groupBy(min) is a cheap belt-and-braces canonicalization (the
+    // fixed point already has one target per member).
+    val out = e.select(col("u").as("node"), col("v").as("component"))
+      .union(e.select(col("v").as("node"), col("v").as("component")))
+      .groupBy("node").agg(min(col("component")).as("component"))
+    // the output (which two consumers — the keeper join and any count
+    // gate — may read) goes through the registry so Verify/Bench release
+    // it with everything else; the checkpointed rounds are reclaimed by
+    // the ContextCleaner once dereferenced
+    graft.CacheRegistry.persistTracked(out)
+    out
+  }
+}

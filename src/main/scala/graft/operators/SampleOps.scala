@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: deterministic sampling and sequence packing.
+  *
+  * A 100 TB training-data pipeline cannot use `rand()`-based sampling —
+  * re-runs (memoized stages, speculative retries, a second cluster
+  * rebuilding one shard) must select the SAME rows, and stratum rates must
+  * be auditable. Both operators here are pure row-local functions of the
+  * row's key (md5, the engine-portable hash used everywhere in graft), so
+  * they shuffle nothing, reproduce bit-identically on any engine, and
+  * compose with predicate pushdown (the sample filter sits directly over
+  * the scan).
+  */
+object SampleOps {
+
+  /** 2^60 — the hash-unit denominator. A rate r keeps ids whose 60-bit
+    * md5 prefix is < r·2^60 (exact integer threshold, no float compare). */
+  val HashSpace: Long = 1L << 60
+
+  /** Uniform 60-bit hash of (salt ++ id-as-string) — decorrelated from any
+    * other md5-derived key in the pipeline by the salt. */
+  def hash60(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string")).cast("binary")),
+      1, 15), 16, 10).cast("long")
+
+  /** Integer threshold for a keep-rate in [0, 1] — public so the DuckDB
+    * oracle builder inlines the SAME integer, not a re-derived one. */
+  def threshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0, 1]")
+    math.round(rate * HashSpace.toDouble)
+  }
+
+  /** Deterministic Bernoulli sample: keep a row iff
+    * hash60(salt ++ id) < rate·2^60. Row-local — no shuffle, reproducible
+    * across runs, engines, and partial re-runs. */
+  def bernoulli(df: DataFrame, idCol: String, rate: Double,
+                salt: String = "graft"): DataFrame =
+    df.filter(hash60(col(idCol), salt) < threshold(rate))
+
+  /** Deterministic STRATIFIED sample: per-stratum keep-rates (e.g.
+    * down-sample the dominant language, keep the rest). Strata absent
+    * from `rates` keep `defaultRate`. The rate lookup folds into one
+    * codegen CASE chain — still row-local, still zero-shuffle. */
+  def stratified(df: DataFrame, idCol: String, stratumCol: String,
+                 rates: Map[String, Double], defaultRate: Double = 1.0,
+                 salt: String = "graft"): DataFrame = {
+    val thr = rates.foldLeft(lit(threshold(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(stratumCol) === stratum, lit(threshold(rate))).otherwise(acc)
+    }
+    df.filter(hash60(col(idCol), salt) < thr)
+  }
+
+  /** Doc-level sequence packing: assign each document a (shard, chunk)
+    * slot as if the shard's docs were concatenated in id order and cut
+    * every `contextTokens` tokens — `chunk = floor(tokens-before-doc /
+    * contextTokens)`, the streaming concat-and-chunk layout LLM
+    * pretraining uses, at document granularity.
+    *
+    * Sharding makes it scale: the running sum is per-shard
+    * (`Window.partitionBy(shard)`), so packing is embarrassingly parallel
+    * across `numShards` — on a cluster, shards ≈ files/buckets and each
+    * task packs one shard sequentially, which is exactly how a packer
+    * writes its output anyway. Token counts use the chars/4 estimate
+    * (mirrors [[TextOps.qualityScore]]'s `est_tokens`). */
+  def packChunks(docs: DataFrame, idCol: String, textCol: String,
+                 contextTokens: Int = 2048, numShards: Int = 32): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol).cast("long").as("doc"),
+        pmod(col(idCol).cast("long"), lit(numShards.toLong)).as("shard"),
+        ceil(length(trim(col(textCol))).cast("double") / 4.0).cast("long")
+          .as("n_tokens"))
+      .withColumn("chunk",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)).cast("double")
+          / contextTokens).cast("long"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Connected components: property-checked against a driver-side
+  * union-find on random graphs, plus the adversarial shapes that break
+  * naive propagation (long chains) and the star/clique fixed points. */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side union-find reference. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val out = GraphOps.connectedComponents(
+        edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    graft.CacheRegistry.releaseAll()
+    out
+  }
+
+  test("chain graph (worst case for naive propagation) resolves in O(log n)") {
+    val n = 200L
+    val edges = (0L until n - 1).map(i => (i, i + 1))
+    val got = run(edges)
+    assert(got.size == n)
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("disjoint cliques + singleton edges") {
+    val clique = for {
+      base <- Seq(100L, 200L, 300L)
+      i <- 0 until 5; j <- (i + 1) until 5
+    } yield (base + i, base + j)
+    val got = run(clique ++ Seq((7L, 9L)))
+    assert(got(104L) == 100L && got(204L) == 200L && got(304L) == 300L)
+    assert(got(9L) == 7L && got(7L) == 7L)
+  }
+
+  test("random graphs match union-find") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 5) {
+      val n = 50 + trial * 30
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val expect = unionFind(edges)
+      val got = run(edges)
+      assert(got == expect, s"trial $trial: $got vs $expect")
+    }
+  }
+
+  test("duplicate / reversed edges and empty input") {
+    val got = run(Seq((3L, 1L), (1L, 3L), (3L, 1L), (5L, 5L)))
+    assert(got == Map(1L -> 1L, 3L -> 1L)) // self-loop 5 contributes nothing
+    assert(run(Nil).isEmpty)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SampleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (0L until 2000L).map(i =>
+    (i, if (i % 4 == 0) "de" else "en")).toDF("id", "lang")
+
+  test("bernoulli is deterministic, rate-accurate, and a pure subset") {
+    val s1 = SampleOps.bernoulli(docs, "id", 0.3, "s1").select("id").as[Long].collect().toSet
+    val s2 = SampleOps.bernoulli(docs, "id", 0.3, "s1").select("id").as[Long].collect().toSet
+    assert(s1 == s2)
+    // md5 uniformity: 2000 draws at p=0.3 → ±5σ ≈ ±102
+    assert(math.abs(s1.size - 600) < 110, s"got ${s1.size}")
+    // a higher rate with the same salt is a superset (threshold semantics)
+    val s3 = SampleOps.bernoulli(docs, "id", 0.5, "s1").select("id").as[Long].collect().toSet
+    assert(s1.subsetOf(s3))
+    // different salt decorrelates
+    val s4 = SampleOps.bernoulli(docs, "id", 0.3, "other").select("id").as[Long].collect().toSet
+    assert(s4 != s1)
+  }
+
+  test("rate 0 and 1 are exact") {
+    assert(SampleOps.bernoulli(docs, "id", 0.0).count() == 0)
+    assert(SampleOps.bernoulli(docs, "id", 1.0).count() == 2000)
+  }
+
+  test("stratified applies per-stratum rates") {
+    val out = SampleOps.stratified(docs, "id", "lang",
+      Map("en" -> 0.2), defaultRate = 1.0, salt = "s9")
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("de") == 500) // default rate 1.0 keeps all
+    assert(math.abs(byLang("en") - 300) < 100) // 1500 × 0.2 ± 5σ
+    // per-stratum selection must equal the bernoulli of that stratum alone
+    val enOnly = SampleOps.bernoulli(docs.filter($"lang" === "en"), "id", 0.2, "s9")
+      .select("id").as[Long].collect().toSet
+    assert(out.filter($"lang" === "en").select("id").as[Long].collect().toSet == enOnly)
+  }
+
+  test("packChunks: per-shard running layout, no doc lost, chunks contiguous") {
+    val d = (0L until 400L).map(i => (i, Seq.fill(50 + (i % 37).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = SampleOps.packChunks(d, "doc_id", "text",
+      contextTokens = 100, numShards = 4)
+      .select("doc", "shard", "n_tokens", "chunk")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 400)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_._1)
+      var cum = 0L
+      sorted.foreach { case (doc, _, n, chunk) =>
+        assert(doc % 4 == shard)
+        assert(chunk == cum / 100, s"doc $doc")
+        cum += n
+      }
+      // chunks are contiguous non-decreasing within the shard
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq)
+    }
+    // chars/4 estimate: ceil(len/4) — spot-check doc 0: 50 tokens of "w " = 99 chars
+    assert(out.find(_._1 == 0L).get._3 == math.ceil(99 / 4.0).toLong)
+  }
+}
