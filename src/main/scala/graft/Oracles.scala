@@ -453,6 +453,75 @@ object Oracles {
        |QUALIFY rank <= 3""".stripMargin
   }
 
+  /** ann_pq_topk oracle: replay of the per-subspace Lloyd training (the
+    * ivfSql unrolled-iteration technique, keyed by `sub` — 8 independent
+    * k-means in one CTE chain), then PQ-encode the full corpus (argmin
+    * cid per (vec, sub)), reconstruct, rank by asymmetric similarity,
+    * exact re-rank of the top 10. Centroid arithmetic and every dot/dist
+    * fold run in the same sequential order as the Spark kernels, so the
+    * tie-breaks are bit-identical. */
+  private def pqSql: String = {
+    val m = 8; val subDim = 8; val k = 16; val rerank = 10
+    val iters = (0 until 10).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT vec_id, sub, sv, cid,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rk
+         |  FROM (SELECT p.vec_id, p.sub, p.sv, c.cid,
+         |      list_sum(list_transform(range(1, len(p.sv) + 1),
+         |        j -> (p.sv[j] - c.c[j]) * (p.sv[j] - c.c[j]))) AS d
+         |    FROM smp p JOIN c$i c USING (sub))),
+         |g$i AS MATERIALIZED (SELECT sub, cid, list(sv ORDER BY vec_id) AS vl
+         |  FROM a$i WHERE rk = 1 GROUP BY sub, cid),
+         |c${i + 1} AS MATERIALIZED (SELECT c.sub, c.cid,
+         |    CASE WHEN g.vl IS NULL THEN c.c ELSE
+         |    list_transform(range(1, len(c.c) + 1),
+         |      j -> list_sum(list_transform(g.vl, v -> v[j])) / len(g.vl)) END AS c
+         |  FROM c$i c LEFT JOIN g$i g USING (sub, cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |u AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(v, x -> x / nrm) AS vn FROM n),
+       |sub AS MATERIALIZED (SELECT vec_id, t.s AS sub,
+       |    vn[t.s * $subDim + 1 : (t.s + 1) * $subDim] AS sv
+       |  FROM u CROSS JOIN (SELECT unnest(range(0, $m)) AS s) t),
+       |smp AS MATERIALIZED (SELECT vec_id, sub, sv FROM sub
+       |  WHERE vec_id IN (SELECT vec_id FROM u ORDER BY vec_id LIMIT 10000)),
+       |c0 AS MATERIALIZED (SELECT sub,
+       |    CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS INT)
+       |      AS cid, sv AS c
+       |  FROM smp QUALIFY cid <= $k),
+       |$iters,
+       |enc AS MATERIALIZED (SELECT vec_id, sub, cid FROM (
+       |  SELECT b.vec_id, b.sub, c.cid,
+       |    row_number() OVER (PARTITION BY b.vec_id, b.sub ORDER BY
+       |      list_sum(list_transform(range(1, len(b.sv) + 1),
+       |        j -> (b.sv[j] - c.c[j]) * (b.sv[j] - c.c[j]))), c.cid) AS rk
+       |  FROM sub b JOIN c10 c USING (sub)) WHERE rk = 1),
+       |rec AS MATERIALIZED (SELECT vec_id, flatten(list(c.c ORDER BY e2.sub))
+       |    AS rv
+       |  FROM enc e2 JOIN c10 c USING (sub, cid) GROUP BY vec_id),
+       |qs AS (SELECT vec_id AS q_id, vn AS qv FROM u WHERE vec_id < 10),
+       |ap AS (SELECT q.q_id, r.vec_id AS v_id, q.qv,
+       |    list_sum(list_transform(range(1, len(q.qv) + 1),
+       |      j -> q.qv[j] * r.rv[j])) AS asim
+       |  FROM qs q JOIN rec r ON q.q_id <> r.vec_id),
+       |cand AS (SELECT q_id, qv, v_id FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY asim DESC, v_id)
+       |      AS arn FROM ap) WHERE arn <= $rerank),
+       |ex AS (SELECT c.q_id, c.v_id,
+       |    list_sum(list_transform(range(1, len(c.qv) + 1),
+       |      j -> c.qv[j] * u.vn[j])) AS sim
+       |  FROM cand c JOIN u ON c.v_id = u.vec_id)
+       |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, v_id) AS INT) AS rank,
+       |  v_id AS n_id, round(sim, 6) + 0.0e0 AS sim
+       |FROM ex
+       |QUALIFY rank <= 3""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "w10_binocular_merge" -> w10Sql,
 
@@ -480,6 +549,8 @@ object Oracles {
         |WHERE ncl >= 4""".stripMargin,
 
     "ann_ivf_topk" -> ivfSql,
+
+    "ann_pq_topk" -> pqSql,
 
     "dedup_minhash_lsh" -> minhashSql,
 

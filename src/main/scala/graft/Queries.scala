@@ -610,6 +610,17 @@ object Queries {
       .select(col("q_id"), col("rank"), col("n_id"),
         (round(col("sim"), 6) + 0.0).as("sim"))
 
+  /** ANN via product quantization: 8 subspaces × 16 centroids (driver-
+    * trained per-subspace Lloyd, deterministic sample) compress each
+    * 64-dim vector to 8 one-byte codes — a 32× scan-size reduction at
+    * corpus scale; candidates ranked by the asymmetric (query ×
+    * reconstructed) similarity, top-10 re-scored exactly, k=3. */
+  def annPqTopk(s: SparkSession, dir: String): DataFrame =
+    VectorOps.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("v_id") < 10, k = 3)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        (round(col("sim"), 6) + 0.0).as("sim"))
+
   /** Embedding near-duplicate pairs with cosine ≥ 0.45 (threshold sized to
     * the synthetic corpus' similarity tail): banded sign-LSH candidates
     * (16 literal anchors = 4 bands × 4 bits) → exact-cosine verification.

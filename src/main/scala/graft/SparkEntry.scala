@@ -65,6 +65,7 @@ object SparkEntry {
     "sim_brute_topk" -> (Queries.simBruteTopK _),
     "ann_lsh_topk" -> (Queries.annLshTopk _),
     "ann_ivf_topk" -> (Queries.annIvfTopk _),
+    "ann_pq_topk" -> (Queries.annPqTopk _),
     "emb_neardup" -> (Queries.embNearDup _),
     "p8_quat_euler" -> (Queries.quatEuler _),
   )

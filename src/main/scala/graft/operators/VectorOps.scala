@@ -185,6 +185,94 @@ object VectorOps {
       .select(col("q_id"), col("rank"), col("v_id").as("n_id"), col("sim"))
   }
 
+  /** Product-quantization codebooks: split the (unit-normalized) vectors
+    * into `m` contiguous subspaces and run the deterministic [[kmeans]]
+    * independently per subspace over the driver-side sample. Returns
+    * codebooks(s)(c) = centroid c of subspace s. */
+  def pqTrain(sample: Array[Array[Double]], m: Int, k: Int,
+              iters: Int = 10): Array[Array[Array[Double]]] = {
+    require(sample.nonEmpty, "pqTrain on empty sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by $m subspaces")
+    val subDim = dim / m
+    Array.tabulate(m)(s =>
+      kmeans(sample.map(_.slice(s * subDim, (s + 1) * subDim)), k, iters))
+  }
+
+  /** PQ-encode: one row per vector, `codes(s)` = 1-based index of the
+    * nearest subspace-`s` centroid (argmin-first on ties, matching
+    * [[kmeans]]' assignment rule). The codes column IS the compressed
+    * index a 100 TB deployment persists: m bytes per vector instead of
+    * 4·dim — the 8-subspace/16-centroid default stores 64-dim float
+    * vectors in 8 bytes, a 32× scan-size reduction. Codebooks fold into
+    * the plan as literals (like the IVF centroids and LSH anchors), so
+    * encoding is a pure codegen map over the scan: the sub-slices are
+    * materialized as columns first (no CSE across expression copies), and
+    * each code is `array_position(dists, array_min(dists))` over the
+    * per-centroid native sq-dist kernel. */
+  def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val subDim = codebooks(0)(0).length
+    val v = normalized(vecs, idCol, vecCol)
+      .select(col(idCol).as("v_id"), col("vn"))
+    val sliced = v.select(col("v_id") +: col("vn") +:
+      (0 until m).map(s => slice(col("vn"), s * subDim + 1, subDim).as(s"_s$s")): _*)
+    def code(s: Int): Column = {
+      val dists = array(codebooks(s).map(c =>
+        graft.functions.ArrayDot.array_sq_dist(col(s"_s$s"),
+          array(c.toIndexedSeq.map(lit): _*))): _*)
+      array_position(dists, array_min(dists)).cast("int")
+    }
+    sliced.select(col("v_id"), col("vn"),
+      array((0 until m).map(code): _*).as("codes"))
+  }
+
+  /** PQ ANN top-k: exact queries against the PQ-compressed corpus —
+    * candidates ranked by the asymmetric distance (query dot
+    * reconstructed centroid chain, which decomposes per subspace exactly
+    * like an ADC lookup table), then the top `rerank` candidates
+    * re-scored with the EXACT vectors and cut to k. The scan side reads
+    * codes (m bytes/vector); reconstruction is `element_at` into literal
+    * codebooks — no join, no shuffle on the corpus side beyond the final
+    * per-query top-k window. Composable with [[ivfTopK]]'s coarse cells
+    * (IVF-PQ) by running the same encode inside each probed cell. */
+  def pqTopK(vecs: DataFrame, idCol: String, vecCol: String,
+             queryPred: Column, k: Int, m: Int = 8, codebookK: Int = 16,
+             rerank: Int = 10, sampleN: Int = 10000): DataFrame = {
+    val spark = vecs.sparkSession
+    // deterministic sample order (by id) — same contract as ivfTopK
+    val v0 = normalized(vecs, idCol, vecCol)
+      .select(col(idCol).as("v_id"), col("vn"))
+    val sample = v0.orderBy("v_id").limit(sampleN).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("vn").toArray)
+    if (sample.isEmpty)
+      return spark.emptyDataFrame
+        .select(lit(0L).as("q_id"), lit(0).as("rank"),
+          lit(0L).as("n_id"), lit(0.0).as("sim")).limit(0)
+    val codebooks = pqTrain(sample, m, codebookK)
+    val encoded = graft.CacheRegistry.persistTracked(
+      pqEncode(vecs, idCol, vecCol, codebooks))
+    def bookLit(s: Int): Column =
+      array(codebooks(s).map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
+    val recon = flatten(array((0 until m).map(s =>
+      element_at(bookLit(s), element_at(col("codes"), s + 1))): _*))
+    val q = encoded.filter(queryPred)
+      .select(col("v_id").as("q_id"), col("vn").as("qv"))
+    val approx = broadcast(q)
+      .join(encoded.select(col("v_id"), col("codes")), col("q_id") =!= col("v_id"))
+      .withColumn("asim", dot(col("qv"), recon))
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("asim").desc, col("v_id"))
+    val cand = approx.withColumn("_arn", row_number().over(wa))
+      .filter(col("_arn") <= rerank)
+      .select(col("q_id"), col("qv"), col("v_id"))
+    val exact = cand.join(encoded.select(col("v_id"), col("vn")), "v_id")
+      .withColumn("sim", dot(col("qv"), col("vn")))
+    val we = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("v_id"))
+    exact.withColumn("rank", row_number().over(we)).filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("v_id").as("n_id"), col("sim"))
+  }
+
   /** Banded sign-LSH near-duplicate pairs — the scale shape for
     * [[nearDupPairs]] (which stays as the exact all-pairs verification
     * baseline for small inputs).

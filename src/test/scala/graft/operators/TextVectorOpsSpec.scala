@@ -166,6 +166,40 @@ class TextVectorOpsSpec extends SparkSpec {
     assert(single.subsetOf(multi) || recall(multi) > recall(single))
   }
 
+  test("PQ: codes well-formed, encode deterministic, top-k recall vs brute") {
+    // 64-dim corpus clustered around 6 planted centers — the regime PQ
+    // serves (structure each subspace can quantize)
+    val rng = new scala.util.Random(31)
+    val centers = Array.fill(6)(Array.fill(64)(rng.nextGaussian()))
+    val vecs = Seq.tabulate(150) { i =>
+      val c = centers(i % 6)
+      (i.toLong, c.map(x => (x + 0.3 * rng.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val sample = VectorOps.normalized(vecs, "vec_id", "embedding")
+      .orderBy("vec_id").limit(10000).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("vn").toArray)
+    val books = VectorOps.pqTrain(sample, m = 8, k = 16)
+    assert(books.length == 8 && books.forall(_.length == 16)
+      && books.forall(_.forall(_.length == 8)))
+    val enc1 = VectorOps.pqEncode(vecs, "vec_id", "embedding", books)
+      .collect().map(r => r.getAs[Long]("v_id") ->
+        r.getSeq[Int](r.fieldIndex("codes"))).toMap
+    val enc2 = VectorOps.pqEncode(vecs, "vec_id", "embedding", books)
+      .collect().map(r => r.getAs[Long]("v_id") ->
+        r.getSeq[Int](r.fieldIndex("codes"))).toMap
+    assert(enc1 == enc2)
+    assert(enc1.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 1 && c <= 16)))
+    val pq = VectorOps.pqTopK(vecs, "vec_id", "embedding",
+        col("v_id") < 10, k = 3)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    graft.CacheRegistry.releaseAll()
+    val brute = VectorOps.bruteTopK(vecs.filter(col("vec_id") < 10), vecs,
+        "vec_id", "embedding", 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    assert(recall >= 0.6, s"PQ recall $recall over ${brute.size} pairs")
+  }
+
   test("array_dot / array_sq_dist: null on length mismatch, never truncation") {
     import graft.functions.ArrayDot
     val rows = Seq(
