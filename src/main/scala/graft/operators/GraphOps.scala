@@ -71,16 +71,22 @@ object GraphOps {
       val mins = bidir.groupBy("u")
         .agg(least(min(col("v")), first(col("u"))).as("m"))
         .withColumnRenamed("u", "x")
+      // persisted for the round: `large` feeds smins AND the join (3 plan
+      // references), `smins` the join AND the union (2) — without the
+      // persists the bidir-join-mins work re-executes per reference
+      // (persist-at-reuse-points, SCALE.md pitfall 4)
       val large = bidir
         .join(mins, bidir("u") === mins("x"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
+        .persist()
       // small-star: edges already oriented (u=big, v=small); the star
       // collapses onto the min smaller neighbor
       val smins = large.groupBy("u").agg(min(col("v")).as("m"))
         .withColumnRenamed("u", "x")
+        .persist()
       val next = large
         .join(smins, large("u") === smins("x"))
         .select(col("v").as("n"), col("m"))
@@ -90,6 +96,9 @@ object GraphOps {
         .distinct()
         .localCheckpoint(true)
       val nextCount = next.count()
+      // next is checkpoint-materialized: the round's intermediates can go
+      large.unpersist(blocking = false)
+      smins.unpersist(blocking = false)
       converged = nextCount == eCount && next.except(e).isEmpty
       e = next
       eCount = nextCount

@@ -22,10 +22,11 @@ object SampleOps {
   val HashSpace: Long = 1L << 60
 
   /** Uniform 60-bit hash of (salt ++ id-as-string) — decorrelated from any
-    * other md5-derived key in the pipeline by the salt. */
+    * other md5-derived key in the pipeline by the salt. Delegates to the
+    * one engine-portable hash kernel ([[TextOps.hash60]]) so the parity-
+    * critical md5-prefix rule lives in exactly one place. */
   def hash60(id: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt), id.cast("string")).cast("binary")),
-      1, 15), 16, 10).cast("long")
+    TextOps.hash60(concat(lit(salt), id.cast("string")))
 
   /** Integer threshold for a keep-rate in [0, 1] — public so the DuckDB
     * oracle builder inlines the SAME integer, not a re-derived one. */
