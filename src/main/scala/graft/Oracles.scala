@@ -124,6 +124,43 @@ object Oracles {
        |  CASE $cases ELSE $dflt END""".stripMargin
   }
 
+  /** BM25 (rational-idf) keyword search — mirrors TextOps.bm25TopK term by
+    * term with the identical float expression tree (same literals, same
+    * parenthesization, left-assoc sum), so scores are bit-equal. */
+  private def bm25Sql: String = {
+    val terms = graft.Queries.bm25Terms
+    val (k1, b, k) = ("1.2e0", "0.75e0", 20)
+    val tfCols = terms.indices.map(i =>
+      s"len(list_filter(toks, w -> w = '${terms(i)}'))::BIGINT AS tf$i")
+      .mkString(",\n    ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::BIGINT AS df$i")
+      .mkString(",\n    ")
+    val avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    val contribs = terms.indices.map { i =>
+      s"""(CASE WHEN tf$i > 0 THEN
+         |    ((CAST(n_docs - df$i AS DOUBLE) + 0.5e0)
+         |      / (CAST(df$i AS DOUBLE) + 0.5e0))
+         |    * ((CAST(tf$i AS DOUBLE) * ($k1 + 1.0e0))
+         |      / (CAST(tf$i AS DOUBLE) + $k1 * ((1.0e0 - $b)
+         |        + $b * (CAST(dl AS DOUBLE) / $avgdl))))
+         |  ELSE 0.0e0 END)""".stripMargin
+    }.mkString("\n  + ")
+    s"""WITH d AS (SELECT doc_id AS doc, string_split(trim(text), ' ') AS toks
+       |  FROM documents),
+       |tf AS (SELECT doc, len(toks)::BIGINT AS dl,
+       |    $tfCols
+       |  FROM d),
+       |st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
+       |    $dfCols
+       |  FROM tf),
+       |sc AS (SELECT doc, dl,
+       |  $contribs AS score
+       |  FROM tf CROSS JOIN st)
+       |SELECT doc, dl, score FROM sc WHERE score > 0
+       |ORDER BY score DESC, doc LIMIT $k""".stripMargin
+  }
+
   private def minhashSql: String =
     s"""WITH $minhashBandCtes,
        |pairs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
@@ -624,6 +661,74 @@ object Oracles {
         |    - (CASE WHEN long_word_ratio > 5.0e-1 THEN 2.0e-1 ELSE 0.0e0 END)
         |    AS quality
         |FROM m""".stripMargin,
+
+    // decontamination: distinct 3-shingle hashes of the src0 "benchmark"
+    // docs vs every other doc's shingle hashes (mirrors TextOps.decontaminate;
+    // duplicates in hv count like the Spark explode does)
+    "text_decontaminate" -> {
+      val M = graft.operators.TextOps.HashMod
+      s"""WITH d AS (SELECT doc_id AS doc, source,
+         |    string_split(trim(text), ' ') AS toks FROM documents),
+         |s AS (SELECT doc, source, list_distinct(list_transform(
+         |    range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM d),
+         |hv AS (SELECT doc, source, list_transform(sh,
+         |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $M) AS hv FROM s),
+         |b AS (SELECT DISTINCT unnest(hv) AS h FROM hv WHERE source = 'src0'),
+         |t AS (SELECT doc, hv FROM hv WHERE source <> 'src0'),
+         |e AS (SELECT doc, unnest(hv) AS h FROM t),
+         |o AS (SELECT e.doc, count(*) AS n_overlap FROM e
+         |  JOIN b USING (h) GROUP BY 1)
+         |SELECT t.doc, len(t.hv)::BIGINT AS n_shingles,
+         |  coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
+         |  coalesce(o.n_overlap, 0) >= 1 AS contaminated
+         |FROM t LEFT JOIN o USING (doc)""".stripMargin
+    },
+
+    // planted-PII detect + scrub; regex constants shared verbatim with
+    // TextOps (RE2/Java-portable subset), replacement order email→ip→phone
+    "text_pii" -> {
+      val (em, ip, ph) = (graft.operators.TextOps.EmailRe,
+        graft.operators.TextOps.Ipv4Re, graft.operators.TextOps.PhoneRe)
+      s"""WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 3 <> 0 THEN
+         |    text || ' reach user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com via 10.' || CAST(doc_id % 256 AS VARCHAR)
+         |      || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+         |      || ' tel 555-867-'
+         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    ELSE text END AS t FROM documents)
+         |SELECT doc_id AS doc,
+         |  len(regexp_extract_all(t, '$em'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(t, '$ip'))::BIGINT AS n_ips,
+         |  len(regexp_extract_all(t, '$ph'))::BIGINT AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+         |    '$ph', '<PHONE>', 'g') AS scrubbed
+         |FROM aug""".stripMargin
+    },
+
+    // repetition metrics; distinct 3-grams mirror TextOps.shinglesOf
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id AS doc, string_split(trim(text), ' ') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc, len(toks)::BIGINT AS n_tokens,
+        |  len(list_distinct(toks))::BIGINT AS n_unique,
+        |  len(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))::BIGINT AS n3
+        |  FROM d),
+        |t AS (SELECT doc, unnest(toks) AS w FROM d),
+        |c AS (SELECT doc, w, count(*) AS c FROM t GROUP BY 1, 2),
+        |tc AS (SELECT doc, max(c) AS top_cnt FROM c GROUP BY 1)
+        |SELECT m.doc, m.n_tokens, m.n_unique,
+        |  round(m.n_unique::DOUBLE / m.n_tokens, 6) AS unique_ratio,
+        |  round(tc.top_cnt::DOUBLE / m.n_tokens, 6) AS top_token_frac,
+        |  CASE WHEN m.n_tokens >= 3 THEN
+        |    round(1.0e0 - m.n3::DOUBLE / (m.n_tokens - 2), 6) END
+        |    AS dup_3gram_frac
+        |FROM m JOIN tc USING (doc)""".stripMargin,
+
+    "bm25_topk" -> bm25Sql,
 
     "ann_lsh_topk" -> annLshSql,
 

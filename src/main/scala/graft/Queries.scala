@@ -589,6 +589,44 @@ object Queries {
   def textQuality(s: SparkSession, dir: String): DataFrame =
     TextOps.qualityScore(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Decontamination: docs from source 'src0' stand in for the eval
+    * benchmark; every other doc is checked for 3-gram shingle overlap
+    * against the broadcast benchmark set. */
+  def textDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextOps.decontaminate(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      "doc_id", "text")
+  }
+
+  /** PII detect + scrub over text with DETERMINISTICALLY PLANTED PII (the
+    * synthetic corpus contains none): docs with doc_id % 3 != 0 get an
+    * email + IPv4 + phone suffix derived from doc_id; the oracle plants
+    * the identical suffix, so counts and scrubbed text are exact. */
+  def textPii(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = concat(col("text"),
+      lit(" reach user"), id.cast("string"),
+      lit("@example.com via 10."), (id % 256).cast("string"),
+      lit(".0."), ((id * 7) % 256).cast("string"),
+      lit(" tel 555-867-"), lpad((id % 10000).cast("string"), 4, "0"))
+    val aug = Tables.documents(s, dir).select(id.as("doc_id"),
+      when(id % 3 =!= 0, planted).otherwise(col("text")).as("text"))
+    TextOps.piiScrub(aug, "doc_id", "text")
+  }
+
+  /** Repetition / boilerplate metrics per document. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Keyword-search query terms for [[bm25Topk]] (shared with the oracle). */
+  val bm25Terms: Seq[String] = Seq("spark", "vector", "merge", "customer")
+
+  /** BM25 top-20 keyword search (rational-idf variant, see TextOps). */
+  def bm25Topk(s: SparkSession, dir: String): DataFrame =
+    TextOps.bm25TopK(Tables.documents(s, dir), "doc_id", "text", bm25Terms)
+
   /** ANN via sign-bit LSH buckets (6 anchors = 64 buckets over the corpus,
     * sized so buckets hold ~8 vectors) with Hamming-1 multi-probe (the
     * recall lever, on by default in the shipped path), exact cosine rank

@@ -62,6 +62,10 @@ object SparkEntry {
     "text_langid" -> (Queries.textLangid _),
     "text_fingerprint" -> (Queries.textFingerprint _),
     "text_quality" -> (Queries.textQuality _),
+    "text_decontaminate" -> (Queries.textDecontaminate _),
+    "text_pii" -> (Queries.textPii _),
+    "text_repetition" -> (Queries.textRepetition _),
+    "bm25_topk" -> (Queries.bm25Topk _),
     "sim_brute_topk" -> (Queries.simBruteTopK _),
     "ann_lsh_topk" -> (Queries.annLshTopk _),
     "ann_ivf_topk" -> (Queries.annIvfTopk _),

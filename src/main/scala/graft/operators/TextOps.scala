@@ -297,6 +297,136 @@ object TextOps {
         .otherwise("fr"))
   }
 
+  /** Benchmark decontamination: flag training documents sharing at least
+    * `minOverlap` k-gram shingles with a benchmark/eval set — the standard
+    * train-set hygiene pass before LLM training (n-gram overlap filtering).
+    *
+    * Scale shape: the benchmark side is small by construction (eval suites
+    * are KBs-MBs against a 100 TB corpus), so its distinct shingle-hash set
+    * is broadcast; the training side is scanned once through the native
+    * shingle-hash kernel, exploded, and hash-joined against the broadcast
+    * set — no shuffle of the corpus, one groupBy(doc) on the (rare) hits.
+    * Docs with fewer than k tokens have zero shingles and pass clean. */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, k: Int = 3, minOverlap: Int = 1): DataFrame = {
+    import graft.functions.TextHash
+    val benchH = bench
+      .select(explode(TextHash.shingle_hash60(col(textCol), k, HashMod)).as("h"))
+      .distinct()
+    // persisted: feeds both the overlap count and the per-doc shingle sizes
+    val trainH = train.repartition(col(idCol))
+      .select(col(idCol).as("doc"),
+        TextHash.shingle_hash60(col(textCol), k, HashMod).as("hv"))
+      .transform(graft.CacheRegistry.persistTracked(_))
+    val overlap = trainH.select(col("doc"), explode(col("hv")).as("h"))
+      .join(broadcast(benchH), "h")
+      .groupBy("doc").agg(count(lit(1)).as("n_overlap"))
+    trainH.select(col("doc"), size(col("hv")).cast("long").as("n_shingles"))
+      .join(overlap, Seq("doc"), "left")
+      .select(col("doc"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
+  /** PII patterns (portable Java-regex / RE2 subset — shared verbatim with
+    * the DuckDB oracle; no lookarounds, no backreferences). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII detection + scrub: per-doc counts of emails / IPv4 addresses /
+    * phone numbers and the text with each replaced by a typed placeholder.
+    * Row-local (codegen regex over each row, no shuffle) — the shape that
+    * matters at 100 TB is simply one scan. Replacement order is fixed
+    * (email → ip → phone); the placeholders match no later pattern. */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol).as("doc"),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>").as("scrubbed"))
+  }
+
+  /** Gopher-style repetition metrics: unique-token ratio, most-frequent-
+    * token fraction, and duplicate-3-gram fraction (1 − distinct/total
+    * 3-grams; null for docs with < 3 tokens). Repetition is the strongest
+    * single heuristic for machine-generated/boilerplate text in
+    * training-data pipelines.
+    *
+    * Per-row metrics (counts, distincts, grams) are higher-order-function
+    * folds over the materialized token array — no shuffle; only the
+    * top-token multiplicity needs the explode → two-level groupBy (both
+    * levels map-side combined, keyed by doc). */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.repartition(col(idCol))
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc"), col("_toks"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("_toks"))).cast("long").as("n_unique"),
+        size(shinglesOf(col("_toks"), 3)).cast("long").as("n3_distinct"))
+      .transform(graft.CacheRegistry.persistTracked(_))
+    val top = base.select(col("doc"), explode(col("_toks")).as("w"))
+      .groupBy("doc", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc").agg(max(col("c")).as("top_cnt"))
+    base.join(top, "doc")
+      .select(col("doc"), col("n_tokens"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_tokens"), 6).as("unique_ratio"),
+        round(col("top_cnt").cast("double") / col("n_tokens"), 6).as("top_token_frac"),
+        when(col("n_tokens") >= 3,
+          round(lit(1.0) - col("n3_distinct").cast("double") / (col("n_tokens") - 2), 6))
+          .otherwise(lit(null).cast("double")).as("dup_3gram_frac"))
+  }
+
+  /** BM25-ranked keyword search over the corpus (rational-idf variant).
+    *
+    * Standard BM25 with one engine-portability substitution: the idf uses
+    * the raw Robertson–Sparck-Jones odds ratio (N − df + 0.5)/(df + 0.5)
+    * WITHOUT the log — log implementations may differ in the last ulp
+    * across engines, which would break exact cross-engine verification.
+    * log is monotone so per-term ranking is unchanged; multi-term scores
+    * weight rare terms more sharply than the log form. k1/b are the
+    * classic Robertson defaults.
+    *
+    * Scale shape: per-term tf is a per-row HOF count over the fixed
+    * literal term set (no explode, no inverted-index materialization),
+    * corpus stats (N, Σdl, per-term df) reduce to ONE row broadcast back,
+    * and the top-k is orderBy + limit = TakeOrderedAndProject
+    * (per-partition heaps, driver merges k rows — no global sort shuffle).
+    * Every float expression is a fixed tree (no float sum across rows), so
+    * scores are bit-reproducible regardless of partitioning. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = docs.repartition(col(idCol))
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("_toks"))
+      .select(Seq(col("doc"), size(col("_toks")).cast("long").as("dl")) ++
+        terms.indices.map(i => size(filter(col("_toks"),
+          w => w === terms(i))).cast("long").as(s"tf$i")): _*)
+      .transform(graft.CacheRegistry.persistTracked(_))
+    val aggCols = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = tf.agg(aggCols.head, aggCols.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val contribs = terms.indices.map { i =>
+      val tfD = col(s"tf$i").cast("double")
+      val idf = ((col("n_docs") - col(s"df$i")).cast("double") + lit(0.5)) /
+        (col(s"df$i").cast("double") + lit(0.5))
+      when(col(s"tf$i") > 0,
+        idf * ((tfD * (lit(k1) + lit(1.0))) /
+          (tfD + lit(k1) * ((lit(1.0) - lit(b)) +
+            lit(b) * (col("dl").cast("double") / avgdl)))))
+        .otherwise(lit(0.0))
+    }
+    tf.crossJoin(broadcast(stats))
+      .select(col("doc"), col("dl"), contribs.reduce(_ + _).as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc"))
+      .limit(k)
+  }
+
   /** Quality heuristics: char/word counts, mean word length, long-word and
     * stopword ratios, est. LLM tokens (chars/4 rule), plus a composite
     * keep/drop score in [0,1]. */

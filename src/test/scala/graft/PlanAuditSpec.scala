@@ -95,4 +95,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("shinglehash60") && p.contains("minhashsig"),
       s"native text-hash kernels missing from:\n$p")
   }
+
+  test("bm25 top-k plans as TakeOrdered (no global sort shuffle)") {
+    val p = plan(Queries.bm25Topk(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bm25 limit lost the TakeOrdered shape:\n$p")
+    // the 1-row stats table must broadcast, not shuffle
+    assert(!p.contains("SortMergeJoin"), s"bm25 stats join degraded:\n$p")
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("decontaminate: benchmark set broadcast, no corpus shuffle join") {
+    val p = plan(Queries.textDecontaminate(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark hash set not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decontaminate degraded to all-pairs:\n$p")
+    graft.CacheRegistry.releaseAll()
+  }
 }

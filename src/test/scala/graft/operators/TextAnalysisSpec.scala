@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Decontamination, PII scrub, repetition metrics, BM25 search. */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate: shingle overlap with the benchmark set") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "zzz alpha beta gamma yyy"), // shares "alpha beta gamma"
+      (2L, "no shared phrases at all here"),
+      (3L, "xx yy")) // < 3 tokens → zero shingles
+      .toDF("doc_id", "text")
+    val out = TextOps.decontaminate(train, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L)._2 == 1L && out(1L)._3)
+    assert(out(2L)._2 == 0L && !out(2L)._3)
+    assert(out(3L) == ((0L, 0L, false)))
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("piiScrub: counts and placeholder replacement") {
+    val docs = Seq(
+      (1L, "mail bob.smith@corp.example.org from 192.168.1.17 tel 415-555-0042"),
+      (2L, "two mails a@b.io c.d@e.net and versions 1.2.3 and 10.0.0.1"),
+      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = TextOps.piiScrub(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((1L, 1L, 1L, "mail <EMAIL> from <IP> tel <PHONE>")))
+    // "1.2.3" is not an IPv4; both emails caught
+    assert(out(2L)._1 == 2L && out(2L)._2 == 1L && out(2L)._3 == 0L)
+    assert(out(2L)._4 == "two mails <EMAIL> <EMAIL> and versions 1.2.3 and <IP>")
+    assert(out(3L) == ((0L, 0L, 0L, "nothing sensitive here")))
+  }
+
+  test("repetitionStats: unique ratio, top-token fraction, dup 3-grams") {
+    val docs = Seq(
+      (1L, "a a a b"),     // 4 toks, 2 unique, top=3; grams {aaa,aab} → dup 0
+      (2L, "a a a a"),     // grams: "a a a"×2 → distinct 1 of 2 → dup 0.5
+      (3L, "w1 w2 w3 w4"), // all unique
+      (4L, "x y"))         // < 3 tokens → null dup_3gram_frac
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          if (r.isNullAt(5)) Double.NaN else r.getDouble(5)))).toMap
+    assert(out(1L) == ((4L, 2L, 0.5, 0.75, 0.0)))
+    assert(out(2L)._5 == 0.5)
+    assert(out(3L) == ((4L, 4L, 1.0, 0.25, 0.0)))
+    assert(out(4L)._5.isNaN)
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("bm25TopK: rational-idf scores, ordering, k cut") {
+    val docs = Seq(
+      (1L, "x x y a"), // rare y + double x → top
+      (2L, "x a b c"),
+      (3L, "a b c d")) // no query terms → excluded
+      .toDF("doc_id", "text")
+    val rows = TextOps.bm25TopK(docs, "doc_id", "text", Seq("x", "y"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L))
+    // N=3, avgdl=4, df_x=2, df_y=1 ⇒ idf_x=0.6, idf_y=5/3; len norm = 1
+    // d1 = 0.6·(2·2.2/3.2) + (5/3)·(2.2/2.2); d2 = 0.6·(2.2/2.2)
+    assert(math.abs(rows(0)._2 - (0.6 * (2 * 2.2 / 3.2) + 5.0 / 3.0)) < 1e-12)
+    assert(math.abs(rows(1)._2 - 0.6) < 1e-12)
+    // k cut: k=1 keeps only the best
+    assert(TextOps.bm25TopK(docs, "doc_id", "text", Seq("x", "y"), k = 1)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    graft.CacheRegistry.releaseAll()
+  }
+}
