@@ -1071,16 +1071,21 @@ object Oracles {
         |  count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
-    "text_stats" ->
-      """WITH s AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
-        |  FROM documents)
-        |SELECT doc_id, len(toks) AS n_tokens,
-        |  round(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
-        |    / len(toks), 6) AS avg_token_len,
-        |  round(CAST(len(list_filter(toks, x -> x IN
-        |    ('the','a','of','and','to','in'))) AS DOUBLE) / len(toks), 6)
-        |    AS stopword_ratio
-        |FROM s""".stripMargin,
+    // bpe_tokens: the BPE-ish pattern, shared verbatim with
+    // TextOps.BpeTokenRe (leading apostrophe doubled for SQL)
+    "text_stats" -> {
+      val re = graft.operators.TextOps.BpeTokenRe.replace("'", "''")
+      s"""WITH s AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks
+         |  FROM documents)
+         |SELECT doc_id, len(toks) AS n_tokens,
+         |  len(regexp_extract_all(text, '$re'))::BIGINT AS bpe_tokens,
+         |  round(list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+         |    / len(toks), 6) AS avg_token_len,
+         |  round(CAST(len(list_filter(toks, x -> x IN
+         |    ('the','a','of','and','to','in'))) AS DOUBLE) / len(toks), 6)
+         |    AS stopword_ratio
+         |FROM s""".stripMargin
+    },
 
     "sim_brute_topk" ->
       """WITH e AS (SELECT vec_id,

@@ -547,8 +547,8 @@ object Queries {
       .groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** Text analysis: per-document token count, mean token length, stopword
-    * ratio — whitespace tokenization over trimmed text. */
+  /** Text analysis: per-document token counts (whitespace + BPE-ish regex
+    * pre-tokenizer), mean token length, stopword ratio. */
   def textStats(s: SparkSession, dir: String): DataFrame = {
     val toks = split(trim(col("text")), " ")
     val stop = Seq("the", "a", "of", "and", "to", "in")
@@ -556,6 +556,7 @@ object Queries {
     Tables.documents(s, dir).select(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
+      TextOps.bpeTokenCount(col("text")).as("bpe_tokens"),
       round(aggregate(toks, lit(0.0), (acc, x) => acc + length(x))
         / size(toks), 6).as("avg_token_len"),
       round(size(filter(toks, isStop)).cast("double") / size(toks), 6)

@@ -328,6 +328,20 @@ object TextOps {
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
+  /** BPE-ish pre-tokenizer pattern (GPT-2 style: contraction suffixes,
+    * space-prefixed letter runs / digit runs / punctuation runs, residual
+    * whitespace) in the portable Java-regex / RE2 subset — the original
+    * pattern's `\s+(?!\S)` lookahead is dropped (RE2 has no lookarounds);
+    * counts differ from tiktoken only on runs of 3+ spaces. Non-overlapping
+    * leftmost-first match count ≈ LLM token count, far closer than the
+    * chars/4 rule for code and punctuation-heavy text. */
+  val BpeTokenRe: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish token count of a string column (see [[BpeTokenRe]]). */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeTokenRe)).cast("long")
+
   /** PII patterns (portable Java-regex / RE2 subset — shared verbatim with
     * the DuckDB oracle; no lookarounds, no backreferences). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -56,6 +56,22 @@ class TextAnalysisSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("bpeTokenCount: contractions, digits, punctuation, multi-space") {
+    val rows = Seq(
+      (1L, "I'll say it's 42 dogs, maybe 3.14!"),
+      (2L, "plain words only here"),
+      (3L, "a  b"), // double space → one \s+ token between the letters
+      (4L, "x=1;y=2")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // I | 'll | say | it | 's | 42 | dogs | , | maybe | 3 | . | 14 | !
+    assert(rows(1L) == 13L)
+    assert(rows(2L) == 4L)
+    assert(rows(3L) == 3L)
+    // x | = | 1 | ; | y | = | 2
+    assert(rows(4L) == 7L)
+  }
+
   test("bm25TopK: rational-idf scores, ordering, k cut") {
     val docs = Seq(
       (1L, "x x y a"), // rare y + double x → top
