@@ -12,16 +12,18 @@ import org.apache.spark.sql.SparkSession
   * - results are drained with a full materialization (count of a 1-column
   *   projection would let Parquet prune; we hash one column instead of
   *   collecting) — cheap but forces the whole plan.
-  * - SPARK_GRAFT_BENCH_RUNS=N (default 1): repeat the whole suite N times
+  * - SPARK_GRAFT_BENCH_RUNS=N (default 3): repeat the whole suite N times
   *   and report the per-query MEDIAN — run-to-run contention on a shared
-  *   box can inflate single measurements several-fold, and a median of 3
-  *   keeps one contended pass from masquerading as a regression.
+  *   box inflates single measurements several-fold (round 2's recorded
+  *   bench was a 2.8× artifact of exactly this), and a median of 3 keeps
+  *   one contended pass from masquerading as a regression. Set to 1 for
+  *   quick iteration.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt)
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "32")

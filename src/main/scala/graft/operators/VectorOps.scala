@@ -219,7 +219,7 @@ object VectorOps {
     val sliced = v.select(col("v_id") +: col("vn") +:
       (0 until m).map(s => slice(col("vn"), s * subDim + 1, subDim).as(s"_s$s")): _*)
     def code(s: Int): Column = {
-      val dists = array(codebooks(s).map(c =>
+      val dists = array(codebooks(s).toIndexedSeq.map(c =>
         graft.functions.ArrayDot.array_sq_dist(col(s"_s$s"),
           array(c.toIndexedSeq.map(lit): _*))): _*)
       array_position(dists, array_min(dists)).cast("int")
@@ -254,7 +254,7 @@ object VectorOps {
     val encoded = graft.CacheRegistry.persistTracked(
       pqEncode(vecs, idCol, vecCol, codebooks))
     def bookLit(s: Int): Column =
-      array(codebooks(s).map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
+      array(codebooks(s).toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
     val recon = flatten(array((0 until m).map(s =>
       element_at(bookLit(s), element_at(col("codes"), s + 1))): _*))
     val q = encoded.filter(queryPred)
@@ -267,6 +267,100 @@ object VectorOps {
       .filter(col("_arn") <= rerank)
       .select(col("q_id"), col("qv"), col("v_id"))
     val exact = cand.join(encoded.select(col("v_id"), col("vn")), "v_id")
+      .withColumn("sim", dot(col("qv"), col("vn")))
+    val we = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("v_id"))
+    exact.withColumn("rank", row_number().over(we)).filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("v_id").as("n_id"), col("sim"))
+  }
+
+  /** IVF-PQ ANN: coarse k-means cells + product-quantized RESIDUALS
+    * within each cell — the standard billion-scale composition (Jégou,
+    * Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011: residual energy ≪ vector energy, so the same codebook
+    * budget quantizes much finer than PQ over raw vectors).
+    *
+    * Index side: one coarse assignment (broadcast centroid crossJoin +
+    * native sq-dist + per-vector rank), residual = vn − centroid via
+    * `zip_with`, per-subspace codes against literal codebooks — all
+    * codegen over one scan; the persisted table a deployment would write
+    * is (v_id, cid, codes): m bytes + a cell id per vector. Query side:
+    * probe the `nprobe` nearest cells, rank candidates by the asymmetric
+    * similarity qv · (centroid + reconstructed residual), re-score the
+    * top `rerank` exactly. Candidate cost is Σ probed-cell sizes with
+    * code-width scans — the shape that holds at 10⁹ vectors. */
+  def ivfPqTopK(vecs: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, k: Int, nCells: Int = 16, nprobe: Int = 4,
+                m: Int = 8, codebookK: Int = 16, rerank: Int = 10,
+                sampleN: Int = 10000): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val v = normalized(vecs, idCol, vecCol)
+      .select(col(idCol).as("v_id"), col("vn"))
+    // deterministic sample order (by id) — same contract as ivfTopK/pqTopK
+    val sample = v.orderBy("v_id").limit(sampleN).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("vn").toArray)
+    if (sample.isEmpty)
+      return spark.emptyDataFrame
+        .select(lit(0L).as("q_id"), lit(0).as("rank"),
+          lit(0L).as("n_id"), lit(0.0).as("sim")).limit(0)
+    val cents = kmeans(sample, nCells)
+    def nearestCell(x: Array[Double]): Int = {
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        var d = 0.0; var i = 0
+        while (i < x.length) { val t = x(i) - cents(c)(i); d += t * t; i += 1 }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      best
+    }
+    // codebooks trained on the sample's residuals (argmin-first cell rule,
+    // identical to the distributed assignment below)
+    val residuals = sample.map { x =>
+      val ct = cents(nearestCell(x))
+      Array.tabulate(x.length)(i => x(i) - ct(i))
+    }
+    val books = pqTrain(residuals, m, codebookK)
+    val subDim = sample(0).length / m
+    val centDf = broadcast(cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "centroid"))
+    val w = Window.partitionBy(col("v_id")).orderBy(col("_d"), col("cid"))
+    // persisted (tracked): the coarse-ranked table feeds the index side,
+    // the probe side, and the exact re-rank
+    val ranked = graft.CacheRegistry.persistTracked(
+      v.crossJoin(centDf)
+        .withColumn("_d", graft.functions.ArrayDot.array_sq_dist(
+          col("vn"), col("centroid")))
+        .withColumn("_rn", row_number().over(w)))
+    val sliced = ranked.filter(col("_rn") === 1)
+      .withColumn("res", zip_with(col("vn"), col("centroid"), _ - _))
+      .select(col("v_id") +: col("cid") +: col("centroid") +:
+        (0 until m).map(s =>
+          slice(col("res"), s * subDim + 1, subDim).as(s"_s$s")): _*)
+    def code(s: Int): Column = {
+      val dists = array(books(s).toIndexedSeq.map(c =>
+        graft.functions.ArrayDot.array_sq_dist(col(s"_s$s"),
+          array(c.toIndexedSeq.map(lit): _*))): _*)
+      array_position(dists, array_min(dists)).cast("int")
+    }
+    val encoded = sliced.select(col("v_id"), col("cid"), col("centroid"),
+      array((0 until m).map(code): _*).as("codes"))
+    def bookLit(s: Int): Column =
+      array(books(s).toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
+    val recon = flatten(array((0 until m).map(s =>
+      element_at(bookLit(s), element_at(col("codes"), s + 1))): _*))
+    val q = ranked.filter(col("_rn") <= nprobe).filter(queryPred)
+      .select(col("v_id").as("q_id"), col("vn").as("qv"), col("cid"))
+    val approx = q.join(encoded, Seq("cid"))
+      .filter(col("q_id") =!= col("v_id"))
+      .withColumn("asim", dot(col("qv"),
+        zip_with(col("centroid"), recon, _ + _)))
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("asim").desc, col("v_id"))
+    val cand = approx.withColumn("_arn", row_number().over(wa))
+      .filter(col("_arn") <= rerank)
+      .select(col("q_id"), col("qv"), col("v_id"))
+    val exact = cand
+      .join(ranked.filter(col("_rn") === 1).select(col("v_id"), col("vn")), "v_id")
       .withColumn("sim", dot(col("qv"), col("vn")))
     val we = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("v_id"))
     exact.withColumn("rank", row_number().over(we)).filter(col("rank") <= k)

@@ -200,6 +200,33 @@ class TextVectorOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"PQ recall $recall over ${brute.size} pairs")
   }
 
+  test("ivfPqTopK: residual-PQ recall vs brute, deterministic") {
+    val rng = new scala.util.Random(47)
+    // clustered 64-dim corpus: coarse cells absorb the cluster structure,
+    // the residual codebooks only have to quantize the in-cluster noise
+    val centers = Array.fill(5)(Array.fill(64)(rng.nextGaussian()))
+    val vecs = Seq.tabulate(150) { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => (x + 0.25 * rng.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val qp = col("v_id") < 10
+    val run1 = VectorOps.ivfPqTopK(vecs, "vec_id", "embedding", qp,
+        k = 3, nCells = 8, nprobe = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    graft.CacheRegistry.releaseAll()
+    val brute = VectorOps.bruteTopK(vecs.filter(col("vec_id") < 10), vecs,
+        "vec_id", "embedding", 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    assert(run1.nonEmpty)
+    val recall = (brute intersect run1).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF-PQ recall $recall over ${brute.size} pairs")
+    val run2 = VectorOps.ivfPqTopK(vecs, "vec_id", "embedding", qp,
+        k = 3, nCells = 8, nprobe = 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    graft.CacheRegistry.releaseAll()
+    assert(run1 == run2)
+  }
+
   test("array_dot / array_sq_dist: null on length mismatch, never truncation") {
     import graft.functions.ArrayDot
     val rows = Seq(

@@ -55,6 +55,27 @@ class DedupStreamSpec extends SparkSpec {
     assert(runStream(prefix.map(Seq(_))) == batchPairs(prefix))
   }
 
+  test("property: random corpora, random splits — stream == batch (seeded)") {
+    val vocab = Array("spark", "join", "window", "scan", "agg", "hash",
+      "table", "row", "batch", "merge", "key", "value")
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed)
+      // random docs, some near-dups (shared prefix + divergent tail)
+      val base = Array.fill(8 + rng.nextInt(6))(vocab(rng.nextInt(vocab.length)))
+      val corpus = (1L to 14L).map { i =>
+        val toks =
+          if (rng.nextBoolean()) base ++ Array.fill(1 + rng.nextInt(3))(
+            vocab(rng.nextInt(vocab.length)))
+          else Array.fill(6 + rng.nextInt(8))(vocab(rng.nextInt(vocab.length)))
+        (i, toks.mkString(" "))
+      }
+      // random micro-batch split points
+      val splits = corpus.grouped(1 + rng.nextInt(5)).map(_.toSeq).toSeq
+      assert(runStream(splits) == batchPairs(corpus),
+        s"seed $seed: stream/batch divergence")
+    }
+  }
+
   test("bucket cap: overflow docs still pair against stored members") {
     // identical docs → same bucket in every band; cap 2 stores first two
     val same = (1L to 4L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
