@@ -559,6 +559,115 @@ object Oracles {
        |QUALIFY rank <= 3""".stripMargin
   }
 
+  /** ann_ivf_pq_topk oracle: the two proven Lloyd-replay techniques
+    * composed — the coarse-quantizer chain (ivfSql's unrolled iterations
+    * over the full vectors) feeds cell assignments, residuals of each
+    * vector against its FINAL cell centroid feed the per-subspace PQ
+    * chain (pqSql's grouped iterations, renamed pa/pg/pc), the corpus is
+    * residual-encoded (argmin-first per subspace), reconstructed as
+    * centroid + concatenated codewords, ranked by the asymmetric
+    * similarity within the probed cells, and the top 10 re-scored
+    * exactly. Every fold runs in the same sequential order as the Spark
+    * kernels, so ties break bit-identically. */
+  private def ivfPqSql: String = {
+    val m = 8; val subDim = 8; val k = 16; val rerank = 10
+    val nprobe = 4
+    val coarse = (0 until 10).map { i =>
+      s"""a$i AS MATERIALIZED (SELECT vec_id, vn, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+         |  FROM (SELECT s.vec_id, s.vn, c.cid,
+         |      list_sum(list_transform(range(1, len(s.vn) + 1),
+         |        j -> (s.vn[j] - c.c[j]) * (s.vn[j] - c.c[j]))) AS d
+         |    FROM s CROSS JOIN c$i c)),
+         |g$i AS MATERIALIZED (SELECT cid, list(vn ORDER BY vec_id) AS vl
+         |  FROM a$i WHERE rk = 1 GROUP BY cid),
+         |c${i + 1} AS MATERIALIZED (SELECT c.cid, CASE WHEN g.vl IS NULL THEN c.c ELSE
+         |    list_transform(range(1, len(c.c) + 1),
+         |      j -> list_sum(list_transform(g.vl, v -> v[j])) / len(g.vl)) END AS c
+         |  FROM c$i c LEFT JOIN g$i g USING (cid))""".stripMargin
+    }.mkString(",\n")
+    val pq = (0 until 10).map { i =>
+      s"""pa$i AS MATERIALIZED (SELECT vec_id, sub, sv, cid,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rk
+         |  FROM (SELECT p.vec_id, p.sub, p.sv, c.cid,
+         |      list_sum(list_transform(range(1, len(p.sv) + 1),
+         |        j -> (p.sv[j] - c.c[j]) * (p.sv[j] - c.c[j]))) AS d
+         |    FROM smp p JOIN pc$i c USING (sub))),
+         |pg$i AS MATERIALIZED (SELECT sub, cid, list(sv ORDER BY vec_id) AS vl
+         |  FROM pa$i WHERE rk = 1 GROUP BY sub, cid),
+         |pc${i + 1} AS MATERIALIZED (SELECT c.sub, c.cid,
+         |    CASE WHEN g.vl IS NULL THEN c.c ELSE
+         |    list_transform(range(1, len(c.c) + 1),
+         |      j -> list_sum(list_transform(g.vl, v -> v[j])) / len(g.vl)) END AS c
+         |  FROM pc$i c LEFT JOIN pg$i g USING (sub, cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |u AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(v, x -> x / nrm) AS vn FROM n),
+       |s AS MATERIALIZED (SELECT vec_id, vn FROM u ORDER BY vec_id LIMIT 10000),
+       |c0 AS MATERIALIZED (SELECT
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, vn AS c
+       |  FROM (SELECT vec_id, vn FROM s ORDER BY vec_id LIMIT $k)),
+       |$coarse,
+       |fin AS MATERIALIZED (SELECT u.vec_id AS v_id, u.vn, c.cid,
+       |    row_number() OVER (PARTITION BY u.vec_id ORDER BY
+       |      list_sum(list_transform(range(1, len(u.vn) + 1),
+       |        j -> (u.vn[j] - c.c[j]) * (u.vn[j] - c.c[j]))), c.cid) AS rk
+       |  FROM u CROSS JOIN c10 c),
+       |cells AS MATERIALIZED (SELECT v_id, vn, cid FROM fin WHERE rk = 1),
+       |fres AS MATERIALIZED (SELECT cl.v_id AS vec_id, cl.cid AS ccid,
+       |    list_transform(range(1, len(cl.vn) + 1),
+       |      j -> cl.vn[j] - cm.c[j]) AS rv
+       |  FROM cells cl JOIN c10 cm ON cl.cid = cm.cid),
+       |smp AS MATERIALIZED (SELECT f.vec_id, t.s AS sub,
+       |    f.rv[t.s * $subDim + 1 : (t.s + 1) * $subDim] AS sv
+       |  FROM fres f CROSS JOIN (SELECT unnest(range(0, $m)) AS s) t
+       |  WHERE f.vec_id IN (SELECT vec_id FROM s)),
+       |pc0 AS MATERIALIZED (SELECT sub,
+       |    CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS INT)
+       |      AS cid, sv AS c
+       |  FROM smp QUALIFY cid <= $k),
+       |$pq,
+       |fsub AS MATERIALIZED (SELECT f.vec_id, f.ccid, t.s AS sub,
+       |    f.rv[t.s * $subDim + 1 : (t.s + 1) * $subDim] AS sv
+       |  FROM fres f CROSS JOIN (SELECT unnest(range(0, $m)) AS s) t),
+       |enc AS MATERIALIZED (SELECT vec_id, ccid, sub, cid FROM (
+       |  SELECT b.vec_id, b.ccid, b.sub, c.cid,
+       |    row_number() OVER (PARTITION BY b.vec_id, b.sub ORDER BY
+       |      list_sum(list_transform(range(1, len(b.sv) + 1),
+       |        j -> (b.sv[j] - c.c[j]) * (b.sv[j] - c.c[j]))), c.cid) AS rk
+       |  FROM fsub b JOIN pc10 c USING (sub)) WHERE rk = 1),
+       |rec AS MATERIALIZED (SELECT e2.vec_id, e2.ccid,
+       |    flatten(list(c.c ORDER BY e2.sub)) AS rv
+       |  FROM enc e2 JOIN pc10 c USING (sub, cid) GROUP BY e2.vec_id, e2.ccid),
+       |apx AS MATERIALIZED (SELECT r.vec_id, r.ccid,
+       |    list_transform(range(1, len(cm.c) + 1),
+       |      j -> cm.c[j] + r.rv[j]) AS av
+       |  FROM rec r JOIN c10 cm ON r.ccid = cm.cid),
+       |qp AS (SELECT v_id AS q_id, vn AS qv, cid FROM fin
+       |  WHERE rk <= $nprobe AND v_id < 10),
+       |ap AS (SELECT q.q_id, a.vec_id AS v_id, q.qv,
+       |    list_sum(list_transform(range(1, len(q.qv) + 1),
+       |      j -> q.qv[j] * a.av[j])) AS asim
+       |  FROM qp q JOIN apx a ON a.ccid = q.cid AND q.q_id <> a.vec_id),
+       |cand AS (SELECT q_id, qv, v_id FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY asim DESC, v_id)
+       |      AS arn FROM ap) WHERE arn <= $rerank),
+       |ex AS (SELECT c.q_id, c.v_id,
+       |    list_sum(list_transform(range(1, len(c.qv) + 1),
+       |      j -> c.qv[j] * u.vn[j])) AS sim
+       |  FROM cand c JOIN u ON c.v_id = u.vec_id)
+       |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, v_id) AS INT) AS rank,
+       |  v_id AS n_id, round(sim, 6) + 0.0e0 AS sim
+       |FROM ex
+       |QUALIFY rank <= 3""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "w10_binocular_merge" -> w10Sql,
 
@@ -588,6 +697,8 @@ object Oracles {
     "ann_ivf_topk" -> ivfSql,
 
     "ann_pq_topk" -> pqSql,
+
+    "ann_ivf_pq_topk" -> ivfPqSql,
 
     "dedup_minhash_lsh" -> minhashSql,
 

@@ -660,6 +660,16 @@ object Queries {
       .select(col("q_id"), col("rank"), col("n_id"),
         (round(col("sim"), 6) + 0.0).as("sim"))
 
+  /** ANN via IVF-PQ (coarse cells + residual product quantization, the
+    * billion-scale composition): candidates ranked by the asymmetric
+    * similarity within nprobe=4 of 16 cells over 8×16 residual codebooks,
+    * top-10 re-scored exactly, k=3. */
+  def annIvfPqTopk(s: SparkSession, dir: String): DataFrame =
+    VectorOps.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("v_id") < 10, k = 3)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        (round(col("sim"), 6) + 0.0).as("sim"))
+
   /** Embedding near-duplicate pairs with cosine ≥ 0.45 (threshold sized to
     * the synthetic corpus' similarity tail): banded sign-LSH candidates
     * (16 literal anchors = 4 bands × 4 bits) → exact-cosine verification.

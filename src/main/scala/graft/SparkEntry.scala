@@ -70,6 +70,7 @@ object SparkEntry {
     "ann_lsh_topk" -> (Queries.annLshTopk _),
     "ann_ivf_topk" -> (Queries.annIvfTopk _),
     "ann_pq_topk" -> (Queries.annPqTopk _),
+    "ann_ivf_pq_topk" -> (Queries.annIvfPqTopk _),
     "emb_neardup" -> (Queries.embNearDup _),
     "p8_quat_euler" -> (Queries.quatEuler _),
   )
