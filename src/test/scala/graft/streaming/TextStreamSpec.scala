@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Doc(doc_id: Long, text: String)
+
+/** Row-local text analysis is a pure projection, so the SAME operator
+  * code runs unchanged over a stream — no state store, no watermark, no
+  * shuffle introduced by the operator itself — and the streamed output
+  * equals the batch output on the same rows regardless of how the input
+  * is split into micro-batches. This is the ingest-time scoring shape a
+  * training-data pipeline runs in front of the dedup/pack stages.
+  * (repetitionStats is excluded by design: its top-token multiplicity
+  * needs an aggregation, which append-mode requires a watermark for.) */
+class TextStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    Doc(1L, "the quick brown fox jumps over the lazy dog and the cat"),
+    Doc(2L, "contact me at alice@example.com or 192.168.0.1 please"),
+    Doc(3L, "der hund und die katze sind nicht das problem"),
+    Doc(4L, "el perro y la casa de que hablas"),
+    Doc(5L, ""),
+    Doc(6L, "le chat et les chiens des villes un jour"),
+    Doc(7L, "short"),
+    Doc(8L, "a b c d e f g h i j k l m n o p q r s t u v w x y z"))
+
+  /** Run `op` over the docs as a 3-micro-batch stream, assert zero
+    * stateful operators, and return the sink rows. */
+  private def streamed(name: String, op: DataFrame => DataFrame): Seq[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = op(input.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    input.addData(docs.take(3))
+    q.processAllAvailable()
+    input.addData(docs.slice(3, 5))
+    q.processAllAvailable()
+    input.addData(docs.drop(5))
+    q.processAllAvailable()
+    val stateOps = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+    q.stop()
+    assert(stateOps.isEmpty, s"$name: row-local op grew state: $stateOps")
+    spark.table(name).orderBy("doc").collect().toSeq
+  }
+
+  test("pii -> quality over scrubbed text: stream == batch, stateless") {
+    val op = (df: DataFrame) =>
+      TextOps.qualityScore(
+        TextOps.piiScrub(df, "doc_id", "text")
+          .withColumnRenamed("doc", "doc_id"), "doc_id", "scrubbed")
+    val got = streamed("pii_quality", op)
+    val want = op(docs.toDF()).orderBy("doc").collect().toSeq
+    assert(got == want)
+    assert(got.size == docs.size)
+  }
+
+  test("langId + bpe token count: stream == batch across splits") {
+    val lang = (df: DataFrame) => TextOps.langId(df, "doc_id", "text")
+    assert(streamed("lang_stream", lang) ==
+      lang(docs.toDF()).orderBy("doc").collect().toSeq)
+
+    val bpe = (df: DataFrame) => df.select(col("doc_id").as("doc"),
+      TextOps.bpeTokenCount(col("text")).as("n_bpe"))
+    assert(streamed("bpe_stream", bpe) ==
+      bpe(docs.toDF()).orderBy("doc").collect().toSeq)
+  }
+
+  test("fingerprint: stream == batch (repartition is stream-legal)") {
+    val fp = (df: DataFrame) => TextOps.fingerprintDf(df, "doc_id", "text")
+      .withColumnRenamed("doc_id", "doc")
+    assert(streamed("fp_stream", fp) ==
+      fp(docs.toDF()).orderBy("doc").collect().toSeq)
+  }
+}
