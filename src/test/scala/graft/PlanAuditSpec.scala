@@ -105,6 +105,24 @@ class PlanAuditSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("ann_ivf_pq: native sq-dist kernel, only the bounded centroid cross") {
+    val p = plan(Queries.annIvfPqTopk(spark, dir))
+    assert(p.toLowerCase.contains("arraysqdist"),
+      s"native sq-dist kernel missing from IVF-PQ assignment:\n$p")
+    // the one permitted nested-loop is vectors × 16 broadcast centroids
+    // (bounded fan-out), which lives INSIDE the persisted coarse-ranking
+    // subplan — its string form is reprinted at every cached-scan
+    // reference, so count distinct nested-loop sites, not occurrences
+    val df = Queries.annIvfPqTopk(spark, dir)
+    val bnlj = df.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.length
+    assert(bnlj <= 1, s"IVF-PQ grew $bnlj nested-loop join sites:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"IVF-PQ degraded to a cartesian candidate join:\n$p")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("decontaminate: benchmark set broadcast, no corpus shuffle join") {
     val p = plan(Queries.textDecontaminate(spark, dir))
     assert(p.contains("BroadcastHashJoin"),
