@@ -102,6 +102,19 @@ object GraftExtensions {
         TextHash.MinhashSig(hv, TextOps.MinhashA.take(n).toSeq,
           TextOps.MinhashB.take(n).toSeq, TextOps.HashMod)
       }),
+    (FunctionIdentifier("graft_bpe_token_count"),
+      info("graft_bpe_token_count",
+        "graft_bpe_token_count(text) - token count under the GPT-2-style " +
+          "pre-tokenizer regex (the library's est-token metric)"),
+      (args: Seq[Expression]) => args match {
+        // the same regexp_count(text, BpeTokenRe)::long as
+        // TextOps.bpeTokenCount, built as a Catalyst tree (a Column
+        // bridged inside a builder stays unresolved)
+        case Seq(t) => Cast(
+          org.apache.spark.sql.catalyst.expressions.RegExpCount(
+            t, Literal(TextOps.BpeTokenRe)), LongType)
+        case _ => wrongArgs("graft_bpe_token_count", "1", args.length)
+      }),
     (FunctionIdentifier("graft_tps_eval"),
       info("graft_tps_eval",
         "graft_tps_eval(px, py, ax, ay, theta) - evaluate a fitted " +

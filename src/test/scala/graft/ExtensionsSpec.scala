@@ -71,6 +71,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(sql.toSeq == api.toSeq)
   }
 
+  test("SQL bpe token count matches the Column API") {
+    val s = installed()
+    Tables.documents(s, dir).limit(100).createOrReplaceTempView("docs_bpe")
+    val sql = s.sql(
+      "SELECT doc_id, graft_bpe_token_count(text) AS n FROM docs_bpe")
+      .orderBy("doc_id").collect()
+    val api = Tables.documents(s, dir).limit(100)
+      .select(col("doc_id"),
+        operators.TextOps.bpeTokenCount(col("text")).as("n"))
+      .orderBy("doc_id").collect()
+    assert(sql.toSeq == api.toSeq)
+  }
+
   test("SQL tps_eval matches the Column API kernel") {
     val s = installed()
     import s.implicits._
