@@ -137,12 +137,33 @@ object VectorOps {
     cents
   }
 
+  /** Per-row coarse-cell ranking as pure codegen: squared distance to
+    * each of the (driver-fitted, literal-folded) centroids, sorted
+    * ascending by (d, cid) via `array_sort` over structs — struct
+    * ordering is field-by-field, so ties break on the lower cid exactly
+    * like the former `row_number() OVER (ORDER BY d, cid)` form, but with
+    * NO centroid join, NO 16× row replication, and NO shuffle: at 100 TB
+    * the assignment is one map-side pass instead of an exchange of
+    * nCells·N rows. Same literal-folding move as the PQ codebooks and
+    * the near-dup anchors. Returns array<struct<d,cid>>. */
+  private def cellRanks(vn: Column, cents: Array[Array[Double]]): Column =
+    array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        graft.functions.ArrayDot.array_sq_dist(vn,
+          array(c.toIndexedSeq.map(lit): _*)).as("d"),
+        lit(i).as("cid"))
+    }.toIndexedSeq: _*))
+
+  /** The probed cell ids: fields of the first `nprobe` ranked cells. */
+  private def probeCids(cells: Column, nprobe: Int): Column =
+    transform(slice(cells, 1, nprobe), s => s.getField("cid"))
+
   /** IVF ANN: coarse k-means quantizer (fitted on a driver-side sample),
     * vectors assigned to their nearest centroid cell, queries probe the
     * `nprobe` nearest cells and rank candidates by exact cosine. The
-    * centroid table is broadcast; candidate cost is Σ probed-cell sizes
-    * instead of N per query — the IVF scale path next to [[annTopK]]'s
-    * LSH buckets. */
+    * centroids fold into the plan as literals; candidate cost is
+    * Σ probed-cell sizes instead of N per query — the IVF scale path next
+    * to [[annTopK]]'s LSH buckets. */
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, nCells: Int = 16,
               nprobe: Int = 4, sampleN: Int = 10000): DataFrame = {
@@ -160,23 +181,16 @@ object VectorOps {
         .select(lit(0L).as("q_id"), lit(0).as("rank"),
           lit(0L).as("n_id"), lit(0.0).as("sim")).limit(0)
     val cents = kmeans(sample, nCells)
-    val centDf = broadcast(cents.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "centroid"))
-    // native codegen'd kernel, bit-equal to the zip_with/aggregate fold
-    def centDist = graft.functions.ArrayDot.array_sq_dist(
-      col("vn"), col("centroid"))
-    val w = Window.partitionBy(col("v_id")).orderBy(col("_d"), col("cid"))
     // persisted (tracked): both the cell table and the query probes read
-    // the ranked assignment — without it the normalize + crossJoin +
-    // window lineage runs twice
+    // the assignment — without it the normalize + rank lineage runs twice
     val assigned = graft.CacheRegistry.persistTracked(
-      v.crossJoin(centDf).withColumn("_d", centDist)
-        .withColumn("_rn", row_number().over(w)))
-    val cells = assigned.filter(col("_rn") === 1)
-      .select(col("v_id"), col("vn"), col("cid"))
-    val qProbes = assigned.filter(col("_rn") <= nprobe)
-      .filter(queryPred)
-      .select(col("v_id").as("q_id"), col("vn").as("qv"), col("cid"))
+      v.withColumn("_cells", cellRanks(col("vn"), cents)))
+    val cells = assigned
+      .select(col("v_id"), col("vn"),
+        col("_cells").getItem(0).getField("cid").as("cid"))
+    val qProbes = assigned.filter(queryPred)
+      .select(col("v_id").as("q_id"), col("vn").as("qv"),
+        explode(probeCids(col("_cells"), nprobe)).as("cid"))
     val scored = qProbes.join(cells, Seq("cid"))
       .filter(col("q_id") =!= col("v_id"))
       .withColumn("sim", dot(col("qv"), col("vn")))
@@ -322,17 +336,18 @@ object VectorOps {
     }
     val books = pqTrain(residuals, m, codebookK)
     val subDim = sample(0).length / m
-    val centDf = broadcast(cents.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cid", "centroid"))
-    val w = Window.partitionBy(col("v_id")).orderBy(col("_d"), col("cid"))
-    // persisted (tracked): the coarse-ranked table feeds the index side,
-    // the probe side, and the exact re-rank
+    // centroid lookup as a 2-D literal (nCells × dim) — same literal
+    // folding as the codebooks; the assignment itself is the zero-shuffle
+    // sorted-struct ranking
+    val centLit = array(cents.map(c =>
+      array(c.toIndexedSeq.map(lit): _*)).toIndexedSeq: _*)
+    // persisted (tracked): the assignment feeds the index side, the probe
+    // side, and the exact re-rank
     val ranked = graft.CacheRegistry.persistTracked(
-      v.crossJoin(centDf)
-        .withColumn("_d", graft.functions.ArrayDot.array_sq_dist(
-          col("vn"), col("centroid")))
-        .withColumn("_rn", row_number().over(w)))
-    val sliced = ranked.filter(col("_rn") === 1)
+      v.withColumn("_cells", cellRanks(col("vn"), cents)))
+    val sliced = ranked
+      .withColumn("cid", col("_cells").getItem(0).getField("cid"))
+      .withColumn("centroid", element_at(centLit, col("cid") + 1))
       .withColumn("res", zip_with(col("vn"), col("centroid"), _ - _))
       .select(col("v_id") +: col("cid") +: col("centroid") +:
         (0 until m).map(s =>
@@ -349,8 +364,9 @@ object VectorOps {
       array(books(s).toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
     val recon = flatten(array((0 until m).map(s =>
       element_at(bookLit(s), element_at(col("codes"), s + 1))): _*))
-    val q = ranked.filter(col("_rn") <= nprobe).filter(queryPred)
-      .select(col("v_id").as("q_id"), col("vn").as("qv"), col("cid"))
+    val q = ranked.filter(queryPred)
+      .select(col("v_id").as("q_id"), col("vn").as("qv"),
+        explode(probeCids(col("_cells"), nprobe)).as("cid"))
     val approx = q.join(encoded, Seq("cid"))
       .filter(col("q_id") =!= col("v_id"))
       .withColumn("asim", dot(col("qv"),
@@ -360,7 +376,7 @@ object VectorOps {
       .filter(col("_arn") <= rerank)
       .select(col("q_id"), col("qv"), col("v_id"))
     val exact = cand
-      .join(ranked.filter(col("_rn") === 1).select(col("v_id"), col("vn")), "v_id")
+      .join(ranked.select(col("v_id"), col("vn")), "v_id")
       .withColumn("sim", dot(col("qv"), col("vn")))
     val we = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("v_id"))
     exact.withColumn("rank", row_number().over(we)).filter(col("rank") <= k)
