@@ -293,8 +293,8 @@ object VectorOps {
     * TPAMI 2011: residual energy ≪ vector energy, so the same codebook
     * budget quantizes much finer than PQ over raw vectors).
     *
-    * Index side: one coarse assignment (broadcast centroid crossJoin +
-    * native sq-dist + per-vector rank), residual = vn − centroid via
+    * Index side: one coarse assignment (zero-shuffle literal-centroid
+    * sorted-struct ranking, native sq-dist), residual = vn − centroid via
     * `zip_with`, per-subspace codes against literal codebooks — all
     * codegen over one scan; the persisted table a deployment would write
     * is (v_id, cid, codes): m bytes + a cell id per vector. Query side:
