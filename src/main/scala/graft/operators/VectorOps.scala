@@ -146,7 +146,7 @@ object VectorOps {
     * the assignment is one map-side pass instead of an exchange of
     * nCells·N rows. Same literal-folding move as the PQ codebooks and
     * the near-dup anchors. Returns array<struct<d,cid>>. */
-  private def cellRanks(vn: Column, cents: Array[Array[Double]]): Column =
+  private[operators] def cellRanks(vn: Column, cents: Array[Array[Double]]): Column =
     array_sort(array(cents.zipWithIndex.map { case (c, i) =>
       struct(
         graft.functions.ArrayDot.array_sq_dist(vn,

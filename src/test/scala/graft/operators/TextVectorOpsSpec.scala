@@ -337,6 +337,37 @@ class TextVectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("cellRanks: sorted-struct ranking == brute (d, cid) order, cid ties") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val cents = Array.fill(6)(Array.fill(4)(rng.nextGaussian()))
+    // exact distance tie for EVERY vector: centroid 3 duplicates centroid
+    // 1, so rank order between them must fall back to the lower cid —
+    // the property the hash-parity oracles (ORDER BY d, cid) rely on
+    cents(3) = cents(1).clone()
+    val rows = (0 until 50).map(i =>
+      (i.toLong, Array.fill(4)(rng.nextGaussian()))).toDF("vec_id", "vn")
+    val got = rows
+      .withColumn("cells", VectorOps.cellRanks(col("vn"), cents))
+      .select("vn", "cells").collect()
+    got.foreach { r =>
+      val vn = r.getAs[scala.collection.Seq[Double]]("vn").toArray
+      // brute reference: sequential left-to-right sum (= ArraySqDist
+      // fold order), sort by (d, cid)
+      val expect = cents.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < vn.length) { val t = vn(j) - c(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(identity).toSeq
+      val ranked = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("cells")
+        .map(s => (s.getDouble(0), s.getInt(1)))
+      assert(ranked == expect)
+      // the planted tie is adjacent and ordered cid 1 before cid 3
+      val pos1 = ranked.indexWhere(_._2 == 1)
+      assert(ranked(pos1 + 1)._2 == 3)
+    }
+  }
+
   test("ivfTopK: high recall vs brute force on clustered vectors") {
     val rng = new scala.util.Random(31)
     // 4 planted clusters of 30 vectors each
