@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ index persistence — build once, search many times.
+  *
+  * The reference materializes every fitted model as an artifact
+  * (calibration.py:675-690 saves `map_params` + inputs as .npz) and
+  * reloads it for downstream stages; the gaze tier here already does the
+  * same through [[graft.model.GazeModelIO]]. This applies that discipline
+  * to the ANN tier, where it matters most at scale: encoding a 100 TB
+  * corpus against the quantizer is THE expensive pass, so it must happen
+  * once — a per-query refit/re-encode (the inline
+  * [[VectorOps.ivfPqTopK]]) is a correctness baseline, not a deployment
+  * shape.
+  *
+  * Layout under `path/` (all typed Parquet, no opaque blobs):
+  *  - `quantizer/` — rows (kind, i, j, vec):
+  *      kind='coarse': i = cell id,  j = 0,            vec = centroid
+  *      kind='book'  : i = subspace, j = centroid idx, vec = residual centroid
+  *  - `index/` — the `(v_id, cid, codes)` table from
+  *    [[VectorOps.ivfPqEncode]], partitioned BY COARSE CELL so a search
+  *    probing `nprobe` of `nCells` cells prunes the rest of the corpus at
+  *    the file-listing level (partition pruning on `cid`).
+  */
+object AnnIndexIO {
+
+  /** Quantizer → typed Parquet rows (the persisted layout). */
+  def modelToDF(spark: SparkSession, model: VectorOps.IvfPqModel): DataFrame = {
+    import spark.implicits._
+    val coarse = model.cents.zipWithIndex.toSeq.map { case (c, i) =>
+      ("coarse", i, 0, c.toSeq)
+    }
+    val books = for {
+      (book, s) <- model.books.zipWithIndex.toSeq
+      (c, j) <- book.zipWithIndex
+    } yield ("book", s, j, c.toSeq)
+    (coarse ++ books).toDF("kind", "i", "j", "vec")
+  }
+
+  /** Reconstruct the quantizer from the persisted layout. */
+  def modelFromDF(df: DataFrame): VectorOps.IvfPqModel = {
+    val rows = df.collect()
+    def vec(r: Row): Array[Double] =
+      r.getAs[scala.collection.Seq[Double]]("vec").toArray
+    val cents = rows.filter(_.getAs[String]("kind") == "coarse")
+      .sortBy(_.getAs[Int]("i")).map(vec)
+    val books = rows.filter(_.getAs[String]("kind") == "book")
+      .groupBy(_.getAs[Int]("i")).toArray.sortBy(_._1)
+      .map { case (_, rs) => rs.sortBy(_.getAs[Int]("j")).map(vec) }
+    VectorOps.IvfPqModel(cents, books)
+  }
+
+  def saveModel(spark: SparkSession, model: VectorOps.IvfPqModel,
+                path: String): Unit =
+    modelToDF(spark, model).write.mode("overwrite")
+      .parquet(s"$path/quantizer")
+
+  def loadModel(spark: SparkSession, path: String): VectorOps.IvfPqModel =
+    modelFromDF(spark.read.parquet(s"$path/quantizer"))
+
+  /** Build the index: fit the quantizer on a deterministic corpus sample,
+    * persist it, and write the encoded `(v_id, cid, codes)` table
+    * cell-partitioned. One full pass over the corpus; returns the fitted
+    * model (None — and nothing written — on an empty corpus). */
+  def build(vecs: DataFrame, idCol: String, vecCol: String, path: String,
+            nCells: Int = 16, m: Int = 8, codebookK: Int = 16,
+            sampleN: Int = 10000): Option[VectorOps.IvfPqModel] =
+    VectorOps.ivfPqTrain(vecs, idCol, vecCol, nCells, m, codebookK, sampleN)
+      .map { model =>
+        saveModel(vecs.sparkSession, model, path)
+        VectorOps.ivfPqEncode(vecs, idCol, vecCol, model)
+          .write.mode("overwrite").partitionBy("cid")
+          .parquet(s"$path/index")
+        model
+      }
+
+  /** Load the persisted (quantizer, index-table) pair. */
+  def load(spark: SparkSession, path: String): (VectorOps.IvfPqModel, DataFrame) =
+    (loadModel(spark, path), spark.read.parquet(s"$path/index"))
+
+  /** Search a prebuilt index: bit-identical to the inline
+    * [[VectorOps.ivfPqTopK]] on the same corpus (spec-proven), minus the
+    * refit and the corpus re-encode. */
+  def search(spark: SparkSession, path: String, corpus: DataFrame,
+             idCol: String, vecCol: String, queryPred: Column, k: Int,
+             nprobe: Int = 4, rerank: Int = 10): DataFrame = {
+    val (model, index) = load(spark, path)
+    VectorOps.ivfPqSearch(model, index, corpus, idCol, vecCol, queryPred,
+      k, nprobe, rerank)
+  }
+}

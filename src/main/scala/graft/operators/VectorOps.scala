@@ -103,7 +103,14 @@ object VectorOps {
     * in its own Project first (a transform lambda referencing norm(v) would
     * recompute the norm per element — no CSE across HOF boundaries). */
   def normalized(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
-    vecs.repartition(col(idCol))
+    normalizedNarrow(vecs.repartition(col(idCol)), idCol, vecCol)
+
+  /** [[normalized]] minus the repartition: a pure narrow projection, the
+    * form a STREAMING ingest maps over each micro-batch (and the shared
+    * math, so batch and stream normalize bit-identically). */
+  private[graft] def normalizedNarrow(vecs: DataFrame, idCol: String,
+                                      vecCol: String): DataFrame =
+    vecs
       .select(col(idCol), toDouble(col(vecCol)).as("_v"))
       .select(col(idCol), col("_v"), norm(col("_v")).as("_n"))
       .select(col(idCol), transform(col("_v"), x => x / col("_n")).as("vn"))
@@ -250,11 +257,26 @@ object VectorOps {
     * codes (m bytes/vector); reconstruction is `element_at` into literal
     * codebooks — no join, no shuffle on the corpus side beyond the final
     * per-query top-k window. Composable with [[ivfTopK]]'s coarse cells
-    * (IVF-PQ) by running the same encode inside each probed cell. */
+    * (IVF-PQ) by running the same encode inside each probed cell.
+    *
+    * SCALE: flat PQ is by definition a per-query linear scan of ALL codes
+    * (a broadcast nested-loop of queries × compressed corpus) — correct,
+    * and 32× cheaper than scanning raw vectors, but still O(N) per query.
+    * Beyond ~10⁷ corpus rows compose with coarse cells instead:
+    * [[ivfPqTopK]] bounds the candidate set to the probed cells. A
+    * warning is logged when the optimizer's row estimate for `vecs`
+    * exceeds `flatScanWarnRows`. */
   def pqTopK(vecs: DataFrame, idCol: String, vecCol: String,
              queryPred: Column, k: Int, m: Int = 8, codebookK: Int = 16,
-             rerank: Int = 10, sampleN: Int = 10000): DataFrame = {
+             rerank: Int = 10, sampleN: Int = 10000,
+             flatScanWarnRows: Long = 10000000L): DataFrame = {
     val spark = vecs.sparkSession
+    vecs.queryExecution.optimizedPlan.stats.rowCount.foreach { n =>
+      if (n > BigInt(flatScanWarnRows))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"pqTopK: flat-PQ ADC scans all $n corpus rows per query; " +
+            s"compose with IVF (ivfPqTopK) beyond ~$flatScanWarnRows rows")
+    }
     // deterministic sample order (by id) — same contract as ivfTopK
     val v0 = normalized(vecs, idCol, vecCol)
       .select(col(idCol).as("v_id"), col("vn"))
@@ -287,37 +309,24 @@ object VectorOps {
       .select(col("q_id"), col("rank"), col("v_id").as("n_id"), col("sim"))
   }
 
-  /** IVF-PQ ANN: coarse k-means cells + product-quantized RESIDUALS
-    * within each cell — the standard billion-scale composition (Jégou,
-    * Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
-    * TPAMI 2011: residual energy ≪ vector energy, so the same codebook
-    * budget quantizes much finer than PQ over raw vectors).
-    *
-    * Index side: one coarse assignment (zero-shuffle literal-centroid
-    * sorted-struct ranking, native sq-dist), residual = vn − centroid via
-    * `zip_with`, per-subspace codes against literal codebooks — all
-    * codegen over one scan; the persisted table a deployment would write
-    * is (v_id, cid, codes): m bytes + a cell id per vector. Query side:
-    * probe the `nprobe` nearest cells, rank candidates by the asymmetric
-    * similarity qv · (centroid + reconstructed residual), re-score the
-    * top `rerank` exactly. Candidate cost is Σ probed-cell sizes with
-    * code-width scans — the shape that holds at 10⁹ vectors. */
-  def ivfPqTopK(vecs: DataFrame, idCol: String, vecCol: String,
-                queryPred: Column, k: Int, nCells: Int = 16, nprobe: Int = 4,
-                m: Int = 8, codebookK: Int = 16, rerank: Int = 10,
-                sampleN: Int = 10000): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val v = normalized(vecs, idCol, vecCol)
-      .select(col(idCol).as("v_id"), col("vn"))
-    // deterministic sample order (by id) — same contract as ivfTopK/pqTopK
-    val sample = v.orderBy("v_id").limit(sampleN).collect()
-      .map(_.getAs[scala.collection.Seq[Double]]("vn").toArray)
-    if (sample.isEmpty)
-      return spark.emptyDataFrame
-        .select(lit(0L).as("q_id"), lit(0).as("rank"),
-          lit(0L).as("n_id"), lit(0.0).as("sim")).limit(0)
-    val cents = kmeans(sample, nCells)
+  /** Fitted IVF-PQ quantizer: `cents` = coarse k-means centroids (over
+    * unit-normalized vectors), `books(s)(c)` = residual-PQ centroid `c` of
+    * subspace `s`. A few KB total — it folds into query plans as literals
+    * and round-trips as typed Parquet rows ([[AnnIndexIO]]), the
+    * reference's model-artifact discipline (calibration.py:675-690)
+    * applied to the ANN tier: at 100 TB the corpus encode is the expensive
+    * pass, so the quantizer + the (v_id, cid, codes) table are build-once
+    * artifacts and every query runs [[VectorOps.ivfPqSearch]] over them. */
+  case class IvfPqModel(cents: Array[Array[Double]],
+                        books: Array[Array[Array[Double]]]) {
+    def nCells: Int = cents.length
+    def m: Int = books.length
+    def codebookK: Int = books(0).length
+    def subDim: Int = books(0)(0).length
+    def dim: Int = m * subDim
+
+    /** Nearest coarse cell, argmin-first on ties — the driver-side twin
+      * of [[VectorOps.cellRanks]]' (d, cid) ordering. */
     def nearestCell(x: Array[Double]): Int = {
       var best = 0; var bd = Double.MaxValue; var c = 0
       while (c < cents.length) {
@@ -328,45 +337,110 @@ object VectorOps {
       }
       best
     }
-    // codebooks trained on the sample's residuals (argmin-first cell rule,
-    // identical to the distributed assignment below)
-    val residuals = sample.map { x =>
-      val ct = cents(nearestCell(x))
-      Array.tabulate(x.length)(i => x(i) - ct(i))
+  }
+
+  /** Fit the IVF-PQ quantizer from a deterministic (id-ordered) corpus
+    * sample: coarse k-means cells, then per-subspace codebooks over the
+    * sample's RESIDUALS (Jégou, Douze, Schmid, "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011: residual energy ≪ vector
+    * energy, so the same codebook budget quantizes much finer than PQ
+    * over raw vectors). None on an empty corpus. */
+  def ivfPqTrain(vecs: DataFrame, idCol: String, vecCol: String,
+                 nCells: Int = 16, m: Int = 8, codebookK: Int = 16,
+                 sampleN: Int = 10000): Option[IvfPqModel] = {
+    val v = normalized(vecs, idCol, vecCol)
+      .select(col(idCol).as("v_id"), col("vn"))
+    // deterministic sample order (by id) — same contract as ivfTopK/pqTopK
+    val sample = v.orderBy("v_id").limit(sampleN).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("vn").toArray)
+    if (sample.isEmpty) None
+    else {
+      val cents = kmeans(sample, nCells)
+      val coarse = IvfPqModel(cents, Array(Array(Array.empty[Double])))
+      // codebooks trained on the sample's residuals (argmin-first cell
+      // rule, identical to the distributed assignment in ivfPqEncode)
+      val residuals = sample.map { x =>
+        val ct = cents(coarse.nearestCell(x))
+        Array.tabulate(x.length)(i => x(i) - ct(i))
+      }
+      Some(IvfPqModel(cents, pqTrain(residuals, m, codebookK)))
     }
-    val books = pqTrain(residuals, m, codebookK)
-    val subDim = sample(0).length / m
+  }
+
+  /** IVF-PQ corpus encode — the build-once index pass: one coarse
+    * assignment (zero-shuffle literal-centroid sorted-struct ranking,
+    * native sq-dist), residual = vn − centroid via `zip_with`,
+    * per-subspace codes against literal codebooks — all codegen over one
+    * scan, stateless per row (so the same call ingests a STREAM of
+    * arriving vectors, see [[graft.streaming.AnnIngest]]). Returns the
+    * persistable index table `(v_id, cid, codes)`: m bytes + a cell id
+    * per vector. */
+  def ivfPqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+                  model: IvfPqModel): DataFrame =
+    ivfPqEncodeNormalized(
+      normalized(vecs, idCol, vecCol).select(col(idCol).as("v_id"), col("vn")),
+      model)
+
+  /** Encode core over an already-normalized `(v_id, vn)` frame — shared
+    * verbatim by batch ([[ivfPqEncode]]) and streaming ingest
+    * ([[graft.streaming.AnnIngest]]), so the two paths cannot drift. */
+  private[graft] def ivfPqEncodeNormalized(v: DataFrame,
+                                           model: IvfPqModel): DataFrame = {
+    val m = model.m
+    val subDim = model.subDim
     // centroid lookup as a 2-D literal (nCells × dim) — same literal
     // folding as the codebooks; the assignment itself is the zero-shuffle
     // sorted-struct ranking
-    val centLit = array(cents.map(c =>
+    val centLit = array(model.cents.map(c =>
       array(c.toIndexedSeq.map(lit): _*)).toIndexedSeq: _*)
-    // persisted (tracked): the assignment feeds the index side, the probe
-    // side, and the exact re-rank
-    val ranked = graft.CacheRegistry.persistTracked(
-      v.withColumn("_cells", cellRanks(col("vn"), cents)))
-    val sliced = ranked
-      .withColumn("cid", col("_cells").getItem(0).getField("cid"))
+    val sliced = v
+      .withColumn("cid", cellRanks(col("vn"), model.cents)
+        .getItem(0).getField("cid"))
       .withColumn("centroid", element_at(centLit, col("cid") + 1))
       .withColumn("res", zip_with(col("vn"), col("centroid"), _ - _))
-      .select(col("v_id") +: col("cid") +: col("centroid") +:
+      .select(col("v_id") +: col("cid") +:
         (0 until m).map(s =>
           slice(col("res"), s * subDim + 1, subDim).as(s"_s$s")): _*)
     def code(s: Int): Column = {
-      val dists = array(books(s).toIndexedSeq.map(c =>
+      val dists = array(model.books(s).toIndexedSeq.map(c =>
         graft.functions.ArrayDot.array_sq_dist(col(s"_s$s"),
           array(c.toIndexedSeq.map(lit): _*))): _*)
       array_position(dists, array_min(dists)).cast("int")
     }
-    val encoded = sliced.select(col("v_id"), col("cid"), col("centroid"),
+    sliced.select(col("v_id"), col("cid"),
       array((0 until m).map(code): _*).as("codes"))
+  }
+
+  /** IVF-PQ search over a prebuilt `(v_id, cid, codes)` index table:
+    * queries (drawn from `corpus` by `queryPred`) probe the `nprobe`
+    * nearest cells, candidates are ranked by the asymmetric similarity
+    * qv · (centroid + reconstructed residual) — `element_at` into literal
+    * codebooks, no join — and the top `rerank` are re-scored exactly
+    * against the corpus vectors. Candidate cost is Σ probed-cell sizes at
+    * code width — the shape that holds at 10⁹ vectors. Both the candidate
+    * and re-rank joins are equi-joins (plan-audited: zero nested-loop). */
+  def ivfPqSearch(model: IvfPqModel, index: DataFrame, corpus: DataFrame,
+                  idCol: String, vecCol: String, queryPred: Column, k: Int,
+                  nprobe: Int = 4, rerank: Int = 10): DataFrame = {
+    val m = model.m
+    val centLit = array(model.cents.map(c =>
+      array(c.toIndexedSeq.map(lit): _*)).toIndexedSeq: _*)
     def bookLit(s: Int): Column =
-      array(books(s).toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
+      array(model.books(s).toIndexedSeq.map(c =>
+        array(c.toIndexedSeq.map(lit): _*)): _*)
     val recon = flatten(array((0 until m).map(s =>
       element_at(bookLit(s), element_at(col("codes"), s + 1))): _*))
-    val q = ranked.filter(queryPred)
+    // persisted (tracked): the normalized corpus feeds the probe side and
+    // the exact re-rank — two consumers of the same normalize lineage
+    val v = graft.CacheRegistry.persistTracked(
+      normalized(corpus, idCol, vecCol)
+        .select(col(idCol).as("v_id"), col("vn")))
+    val q = v.filter(queryPred)
+      .withColumn("_cells", cellRanks(col("vn"), model.cents))
       .select(col("v_id").as("q_id"), col("vn").as("qv"),
         explode(probeCids(col("_cells"), nprobe)).as("cid"))
+    val encoded = index.select(col("v_id"), col("cid"), col("codes"))
+      .withColumn("centroid", element_at(centLit, col("cid") + 1))
     val approx = q.join(encoded, Seq("cid"))
       .filter(col("q_id") =!= col("v_id"))
       .withColumn("asim", dot(col("qv"),
@@ -376,12 +450,34 @@ object VectorOps {
       .filter(col("_arn") <= rerank)
       .select(col("q_id"), col("qv"), col("v_id"))
     val exact = cand
-      .join(ranked.select(col("v_id"), col("vn")), "v_id")
+      .join(v, "v_id")
       .withColumn("sim", dot(col("qv"), col("vn")))
     val we = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("v_id"))
     exact.withColumn("rank", row_number().over(we)).filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("v_id").as("n_id"), col("sim"))
   }
+
+  /** IVF-PQ ANN, inline composition: [[ivfPqTrain]] → [[ivfPqEncode]] →
+    * [[ivfPqSearch]] in one call (the index table lives in the cache
+    * registry instead of Parquet). A deployment that queries more than
+    * once should build the index ONCE via [[AnnIndexIO.build]] and call
+    * [[ivfPqSearch]] over the loaded artifacts — bit-identical results,
+    * no per-call refit/re-encode. */
+  def ivfPqTopK(vecs: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, k: Int, nCells: Int = 16, nprobe: Int = 4,
+                m: Int = 8, codebookK: Int = 16, rerank: Int = 10,
+                sampleN: Int = 10000): DataFrame =
+    ivfPqTrain(vecs, idCol, vecCol, nCells, m, codebookK, sampleN) match {
+      case None =>
+        vecs.sparkSession.emptyDataFrame
+          .select(lit(0L).as("q_id"), lit(0).as("rank"),
+            lit(0L).as("n_id"), lit(0.0).as("sim")).limit(0)
+      case Some(model) =>
+        val index = graft.CacheRegistry.persistTracked(
+          ivfPqEncode(vecs, idCol, vecCol, model))
+        ivfPqSearch(model, index, vecs, idCol, vecCol, queryPred, k,
+          nprobe, rerank)
+    }
 
   /** Banded sign-LSH near-duplicate pairs — the scale shape for
     * [[nearDupPairs]] (which stays as the exact all-pairs verification

@@ -26,7 +26,12 @@ import graft.operators.TextOps
   * matters). Divergence: the bucket cap keeps the FIRST-ARRIVED `maxBucket`
   * members (the stream cannot know about future smaller doc ids, so the
   * batch rank-by-id rule is unreachable); overflow docs still emit pairs
-  * against the stored members but are not added.
+  * against the stored members but are not added. Overflow doc ids ARE
+  * remembered in a bounded recency buffer (the most recent `maxBucket` per
+  * bucket) so an at-least-once source re-delivering a recent overflow doc
+  * does not re-emit its pairs; a re-delivery arriving after `maxBucket`
+  * further overflows in the same bucket can still re-emit — downstream
+  * consumers under at-least-once delivery must dedup pairs regardless.
   *
   * Scale: state per key is bounded by `maxBucket`; hot boilerplate bands
   * stop growing at the cap instead of going quadratic — the same skew
@@ -36,8 +41,11 @@ object DedupStream {
 
   case class Banded(bandId: Int, bandHash: Long, doc: Long, sig: Array[Long])
   /** sigs flattened row-major (numHashes per member) — keeps the state
-    * encoder to flat primitive arrays. */
-  case class BucketState(docs: Array[Long], sigsFlat: Array[Long])
+    * encoder to flat primitive arrays. `overflow` is the bounded recency
+    * buffer of doc ids that arrived after the cap (so re-deliveries are
+    * recognized without storing their signatures). */
+  case class BucketState(docs: Array[Long], sigsFlat: Array[Long],
+                         overflow: Array[Long])
   case class CandPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
 
   /** Stateless per-row banding (shared by stream and its spec): one output
@@ -72,14 +80,16 @@ object DedupStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: (Int, Long), it: Iterator[Banded], state: GroupState[BucketState]) => {
           val prev = state.getOption.getOrElse(
-            BucketState(Array.empty, Array.empty))
+            BucketState(Array.empty, Array.empty, Array.empty))
           var docIds = prev.docs
           var sigs = prev.sigsFlat
+          var overflow = prev.overflow
           // sort incoming by doc id: emission order (and which members a
           // same-batch pair counts against) is then arrival-order-free
           val incoming = it.toArray.sortBy(_.doc)
           val out = Seq.newBuilder[CandPair]
-          for (b <- incoming if !docIds.contains(b.doc)) {
+          for (b <- incoming
+               if !docIds.contains(b.doc) && !overflow.contains(b.doc)) {
             val n = b.sig.length
             var i = 0
             while (i < docIds.length) {
@@ -94,9 +104,11 @@ object DedupStream {
             if (docIds.length < maxBucket) {
               docIds = docIds :+ b.doc
               sigs = sigs ++ b.sig
+            } else {
+              overflow = (overflow :+ b.doc).takeRight(maxBucket)
             }
           }
-          state.update(BucketState(docIds, sigs))
+          state.update(BucketState(docIds, sigs, overflow))
           out.result().iterator
         })
   }

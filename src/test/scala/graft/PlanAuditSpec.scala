@@ -105,19 +105,19 @@ class PlanAuditSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
-  test("ann_ivf_pq: native sq-dist kernel, only the bounded centroid cross") {
+  test("ann_ivf_pq: native sq-dist kernel, zero nested-loop joins") {
     val p = plan(Queries.annIvfPqTopk(spark, dir))
     assert(p.toLowerCase.contains("arraysqdist"),
       s"native sq-dist kernel missing from IVF-PQ assignment:\n$p")
-    // the one permitted nested-loop is vectors × 16 broadcast centroids
-    // (bounded fan-out), which lives INSIDE the persisted coarse-ranking
-    // subplan — its string form is reprinted at every cached-scan
-    // reference, so count distinct nested-loop sites, not occurrences
+    // the coarse assignment folds the centroids as literals (sorted-struct
+    // ranking, no centroid join) and both the candidate and re-rank joins
+    // are equi-joins — a regression back to the vectors × centroids cross
+    // join must fail here
     val df = Queries.annIvfPqTopk(spark, dir)
     val bnlj = df.queryExecution.executedPlan.collect {
       case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
     }.length
-    assert(bnlj <= 1, s"IVF-PQ grew $bnlj nested-loop join sites:\n$p")
+    assert(bnlj == 0, s"IVF-PQ grew $bnlj nested-loop join site(s):\n$p")
     assert(!p.contains("CartesianProduct"),
       s"IVF-PQ degraded to a cartesian candidate join:\n$p")
     graft.CacheRegistry.releaseAll()

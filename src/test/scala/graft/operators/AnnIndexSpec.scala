@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.streaming.AnnIngest
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Build/search split of the IVF-PQ index (AnnIndexIO) + streaming ingest:
+  * the persisted-artifact path must be bit-identical to the inline
+  * ivfPqTopK, and the stream encode must equal the batch encode for any
+  * micro-batch split. */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // clustered 64-dim corpus (same regime as the ivfPqTopK spec: coarse
+  // cells absorb cluster structure, codebooks quantize in-cluster noise)
+  lazy val vecs = {
+    val rng = new scala.util.Random(53)
+    val centers = Array.fill(5)(Array.fill(64)(rng.nextGaussian()))
+    Seq.tabulate(120) { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => (x + 0.25 * rng.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"annindex_$tag").toString
+
+  test("quantizer round-trips through typed Parquet exactly") {
+    val model = VectorOps.ivfPqTrain(vecs, "vec_id", "embedding",
+      nCells = 8).get
+    val dir = tmpDir("model")
+    AnnIndexIO.saveModel(spark, model, dir)
+    val loaded = AnnIndexIO.loadModel(spark, dir)
+    assert(loaded.nCells == model.nCells && loaded.m == model.m &&
+      loaded.codebookK == model.codebookK && loaded.subDim == model.subDim)
+    assert(loaded.cents.zip(model.cents).forall { case (a, b) => a.sameElements(b) })
+    assert(loaded.books.zip(model.books).forall { case (ba, bb) =>
+      ba.zip(bb).forall { case (a, b) => a.sameElements(b) } })
+  }
+
+  test("search over a built index == inline ivfPqTopK, bit-for-bit") {
+    val qp = col("v_id") < 10
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("sim"))))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val inline = rows(VectorOps.ivfPqTopK(vecs, "vec_id", "embedding", qp,
+      k = 3, nCells = 8, nprobe = 3))
+    graft.CacheRegistry.releaseAll()
+    val dir = tmpDir("index")
+    val built = AnnIndexIO.build(vecs, "vec_id", "embedding", dir, nCells = 8)
+    assert(built.nonEmpty)
+    // the index table is cell-partitioned on disk (partition pruning axis)
+    val idxDir = new java.io.File(s"$dir/index")
+    assert(idxDir.listFiles().exists(_.getName.startsWith("cid=")),
+      "index table not partitioned by cid")
+    val viaIndex = rows(AnnIndexIO.search(spark, dir, vecs, "vec_id",
+      "embedding", qp, k = 3, nprobe = 3))
+    graft.CacheRegistry.releaseAll()
+    assert(viaIndex.nonEmpty && viaIndex == inline)
+  }
+
+  test("streaming ingest encode == batch encode, any micro-batch split") {
+    val model = VectorOps.ivfPqTrain(vecs, "vec_id", "embedding",
+      nCells = 8).get
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("v_id"), r.getAs[Int]("cid"),
+        r.getSeq[Int](r.fieldIndex("codes")).toList)
+    val batch = VectorOps.ivfPqEncode(vecs, "vec_id", "embedding", model)
+      .collect().map(key).toSet
+    val rows = vecs.as[(Long, Seq[Float])].collect().toSeq
+    for ((splitSize, tag) <- Seq(7 -> "a", 40 -> "b", rows.length -> "c")) {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, Seq[Float])]
+      val name = s"ann_ingest_${tag}_${System.nanoTime()}"
+      val q = AnnIngest.encodeStream(
+          input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          model)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      rows.grouped(splitSize).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      q.stop()
+      val streamed = spark.table(name).collect().map(key).toSet
+      assert(streamed == batch, s"split $splitSize diverged from batch")
+    }
+  }
+}

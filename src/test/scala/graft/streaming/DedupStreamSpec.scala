@@ -85,4 +85,25 @@ class DedupStreamSpec extends SparkSpec {
     assert(gotPairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)))
     assert(got.forall(_._3 == 1.0))
   }
+
+  test("at-least-once: re-delivered docs (stored OR overflow) emit nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val same = (1L to 4L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    val input = MemoryStream[(Long, String)]
+    val name = s"dedup_redeliver_${System.nanoTime()}"
+    val q = candidatesStream(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", maxBucket = 2)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    same.foreach { d => input.addData(Seq(d)); q.processAllAvailable() }
+    val firstPass = spark.table(name).as[CandPair].collect().toSeq
+    // re-deliver a stored member (1) and an overflow doc (3): the overflow
+    // recency buffer must recognize both, so no new pairs appear
+    input.addData(Seq(same(0), same(2))); q.processAllAvailable()
+    val afterRedeliver = spark.table(name).as[CandPair].collect().toSeq
+    q.stop()
+    assert(afterRedeliver.size == firstPass.size,
+      s"re-delivery emitted ${afterRedeliver.size - firstPass.size} extra pairs")
+  }
 }
