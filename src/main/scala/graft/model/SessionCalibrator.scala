@@ -84,13 +84,27 @@ object SessionCalibrator {
       .toDF(sessionCol, "ax", "ay", "theta_x", "theta_y")
   }
 
-  /** Apply the model table to the full pupil stream: broadcast join by
+  /** Apply the model table to the full pupil stream: keyed join by
     * session + data-driven TPS evaluation. Pupils of sessions without a
     * model are dropped (inner join), mirroring the reference's
-    * failed-calibration short-circuit. */
-  def transform(pupils: DataFrame, models: DataFrame,
-                sessionCol: String): DataFrame = {
-    val joined = pupils.join(broadcast(models), Seq(sessionCol))
+    * failed-calibration short-circuit.
+    *
+    * The broadcast hint is SIZE-GATED, not unconditional: the model table
+    * broadcasts while it holds ≤ `maxBroadcastSessions` rows (checked
+    * with a `limit(n+1).count()` probe — bounded work however large the
+    * table, and against the already-persisted table in the
+    * [[fitTransform]] path it is a cache read). Beyond the gate the hint
+    * is dropped and Spark's own strategy (AQE shuffled-hash/sort-merge on
+    * the session key) takes over — at the 10⁵-10⁶-session design point a
+    * model table of KB-sized TPS rows stops being broadcast-material, and
+    * a forced broadcast there is an executor OOM, not an optimization. */
+  def transform(pupils: DataFrame, models: DataFrame, sessionCol: String,
+                maxBroadcastSessions: Long = 10000L): DataFrame = {
+    val probe = math.min(maxBroadcastSessions + 1, Int.MaxValue.toLong).toInt
+    val modelSide =
+      if (models.limit(probe).count() <= maxBroadcastSessions) broadcast(models)
+      else models
+    val joined = pupils.join(modelSide, Seq(sessionCol))
     val gx = TpsMapModel.tpsColFromColumns(col("norm_x"), col("norm_y"),
       col("ax"), col("ay"), col("theta_x"))
     val gy = TpsMapModel.tpsColFromColumns(col("norm_x"), col("norm_y"),

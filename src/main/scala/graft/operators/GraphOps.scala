@@ -47,21 +47,32 @@ object GraphOps {
     * Scale notes: every step is an equi-join or groupBy on the node id —
     * one shuffle each, AQE-coalesced; edge sets are `distinct`ed each
     * round so the working set only shrinks. Each round is cut with an
-    * eager `localCheckpoint` — iterative lineage otherwise compounds
-    * (round k's plan embeds round k−1's) until plan traversal itself
-    * overflows the stack; checkpointing makes every round's input a flat
-    * scan of materialized partitions. On a real cluster with executor
-    * churn, swap for reliable `checkpoint()` against the checkpoint dir
-    * (localCheckpoint partitions die with their executor).
+    * eager checkpoint — iterative lineage otherwise compounds (round k's
+    * plan embeds round k−1's) until plan traversal itself overflows the
+    * stack; checkpointing makes every round's input a flat scan of
+    * materialized partitions.
+    *
+    * `checkpointDir`: None (default) uses `localCheckpoint` — fine on
+    * local[N] and for short jobs, but the materialized partitions live on
+    * executors, so one executor loss mid-round fails the job. On a real
+    * cluster pass a reliable (HDFS/S3) directory: rounds then cut with
+    * `checkpoint()` against it and survive executor churn — the durable
+    * choice for a 100 TB dedup pass, at the price of one distributed
+    * write per round.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 64): DataFrame = {
-    var e = edges
+                          maxIter: Int = 64,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val sc = edges.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    var e = cut(edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var eCount = e.count()
     var converged = eCount == 0L
     var it = 0
@@ -87,14 +98,13 @@ object GraphOps {
       val smins = large.groupBy("u").agg(min(col("v")).as("m"))
         .withColumnRenamed("u", "x")
         .persist()
-      val next = large
+      val next = cut(large
         .join(smins, large("u") === smins("x"))
         .select(col("v").as("n"), col("m"))
         .union(smins.select(col("x").as("n"), col("m")))
         .filter(col("n") =!= col("m"))
         .select(greatest(col("n"), col("m")).as("u"), least(col("n"), col("m")).as("v"))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       val nextCount = next.count()
       // next is checkpoint-materialized: the round's intermediates can go
       large.unpersist(blocking = false)

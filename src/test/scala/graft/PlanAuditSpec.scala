@@ -84,6 +84,13 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("m9 model table broadcasts at bench session counts (size-gated hint)") {
+    val p = plan(Queries.multiSessionPipeline(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"model-table fan-out join lost its broadcast at bench scale:\n$p")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("native tps_eval appears in gaze-apply plans (not HOF aggregate)") {
     val p = plan(Queries.tpsApply(spark, dir)).toLowerCase
     assert(p.contains("tpseval"), s"native TPS eval missing from:\n$p")

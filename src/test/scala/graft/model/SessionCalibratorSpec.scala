@@ -82,6 +82,44 @@ class SessionCalibratorSpec extends SparkSpec {
     assert(out.select("session").distinct().count() == 3)
   }
 
+  test("model join survives past the broadcast gate (forced keyed join)") {
+    val reduced = SessionCalibrator.reducedPoints(markers, pupils,
+      "session", window = 1.0 / 30.0, minConfidence = 0.75)
+    val models = graft.CacheRegistry.persistTracked(
+      SessionCalibrator.fitModels(spark, reduced, "session"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        java.lang.Double.doubleToLongBits(r.getDouble(3))))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val viaBroadcast = SessionCalibrator.transform(pupils, models, "session")
+    assert(viaBroadcast.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "gate under threshold must broadcast")
+    val expected = rows(viaBroadcast)
+    // past the gate AND with Spark's own auto-broadcast off: the join must
+    // degrade gracefully to a keyed shuffle join with identical results
+    val autoKey = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val prevAuto = spark.conf.get(autoKey)
+    val prevAqe = spark.conf.getOption(aqeKey)
+    try {
+      spark.conf.set(autoKey, "-1")
+      spark.conf.set(aqeKey, "-1")
+      val keyed = SessionCalibrator.transform(pupils, models, "session",
+        maxBroadcastSessions = 0L)
+      assert(!keyed.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"), "gate at 0 must not broadcast")
+      assert(rows(keyed) == expected)
+    } finally {
+      spark.conf.set(autoKey, prevAuto)
+      prevAqe match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
+      graft.CacheRegistry.releaseAll()
+    }
+  }
+
   test("native TPS eval is bit-equal to the HOF formulation and the scalar kernel") {
     val anchors = Array.tabulate(9)(i => Array((i % 3) / 2.0, (i / 3) / 2.0))
     val theta = Tps.fit(anchors, anchors.map(a => a(0) * 0.6 + a(1)), 1e-3)

@@ -65,4 +65,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 3L -> 1L)) // self-loop 5 contributes nothing
     assert(run(Nil).isEmpty)
   }
+
+  test("reliable checkpointDir: same labels, round files actually written") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    // chain + clique mix so the run takes several rounds
+    val edges = (0L until 60L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val expect = run(edges) // localCheckpoint (default) path
+    val got = GraphOps.connectedComponents(
+        edges.toDF("a", "b"), "a", "b", checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    graft.CacheRegistry.releaseAll()
+    assert(got == expect)
+    // the durable path must really have gone through the reliable store
+    def anyFile(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles()).exists(_.exists(anyFile))
+    assert(anyFile(new java.io.File(dir)),
+      s"no checkpoint data written under $dir")
+  }
+
+  test("celebrity node: one doc near-dup to 10^3 others, bounded and canonical") {
+    // hub 0 connected to 1..1000 (the LSH celebrity shape) plus a tail
+    // chain hanging off a leaf — labels must all collapse to 0
+    val hub = (1L to 1000L).map(i => (0L, i))
+    val tail = (1000L until 1010L).map(i => (i, i + 1))
+    val got = run(hub ++ tail)
+    assert(got.size == 1011)
+    assert(got.values.toSet == Set(0L))
+    // keeper semantics downstream: exactly one self-labeled root
+    assert(got.count { case (n, c) => n == c } == 1)
+  }
 }
