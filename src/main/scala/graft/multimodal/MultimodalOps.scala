@@ -7,13 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal (image/audio/video) column plumbing.
   *
   * Media travel as opaque `binary` columns with a typed metadata struct —
-  * the engine never interprets the bytes outside the decode seam. The
-  * decode kernels themselves (JPEG decode, resampling, frame extraction)
-  * are STUBBED with deterministic byte-level fakes — the image/audio
-  * libraries are not in this container — but every Spark-side contract a
-  * real decoder needs is in place and tested: schema, partition-local
-  * batched iteration in mapPartitions, per-row 0..n frame fan-out,
-  * metadata propagation.
+  * the engine never interprets the bytes outside the decode seam.
+  *
+  * The IMAGE arm of the seam is a REAL kernel: `javax.imageio` ships in
+  * the JDK (PNG/BMP/GIF/JPEG readers, zero external deps), so rows whose
+  * `meta.format` is `image/…` are actually decoded and their features /
+  * luminance computed from pixels. Video (and the `fake/raw` test medium)
+  * stays on the deterministic byte-level stub — the JDK has no video
+  * codecs — behind the same batched mapPartitions contract, so swapping a
+  * real codec in changes one function, not the plumbing: schema,
+  * partition-local batched iteration, per-row 0..n frame fan-out and
+  * metadata propagation are shared and tested.
   *
   * Reference analogue: the video batch scan S1 + per-frame kernels C1-C7
   * (pupil_detection_pl.py:94-133, marker_detection.py:29-47) — frames
@@ -62,13 +66,63 @@ object MultimodalOps {
     hist
   }
 
-  /** Decode/feature-extract: media table → (media_id, features). Batch
-    * shape: one mapPartitions pass, rows streamed, no per-row JVM↔native
-    * round-trips in a real decoder. */
+  /** Real image decode via the JDK (`javax.imageio`): None when the
+    * bytes are not a decodable image — callers fall back to the byte
+    * stub, preserving the original contract for non-image media. The
+    * in-memory stream cache avoids temp-file IO inside executor tasks. */
+  private[multimodal] def decodeImage(
+      bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes == null || bytes.isEmpty) None
+    else try {
+      javax.imageio.ImageIO.setUseCache(false)
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    } catch { case _: java.io.IOException => None }
+
+  /** Rec.601 luma (0.299R + 0.587G + 0.114B) of every pixel, row-major —
+    * the grayscale plane the reference's scans load (`color='gray'`,
+    * pupil_detection_pl.py:107-112). */
+  private[multimodal] def lumaPixels(img: java.awt.image.BufferedImage): Array[Double] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        out(y * w + x) = 0.299 * r + 0.587 * g + 0.114 * b
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Image feature kernel: 16-bin normalized LUMINANCE histogram
+    * (bin = floor(luma · 16 / 256), top bin closed) — same shape and
+    * normalization as the byte stub, computed from decoded pixels. */
+  private[multimodal] def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val luma = lumaPixels(img)
+    val hist = new Array[Float](FeatureDim)
+    if (luma.isEmpty) return hist
+    luma.foreach { l =>
+      hist(math.min((l * FeatureDim / 256.0).toInt, FeatureDim - 1)) += 1f
+    }
+    var j = 0
+    while (j < FeatureDim) { hist(j) /= luma.length; j += 1 }
+    hist
+  }
+
+  /** Decode/feature-extract: media table → (media_id, features). Rows
+    * with an `image/…` format are REALLY decoded (luminance histogram
+    * from pixels); anything else — or an undecodable image — takes the
+    * byte-histogram stub. Batch shape: one mapPartitions pass, rows
+    * streamed, no per-row JVM↔native round-trips in a real decoder. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val idIdx = media.schema.fieldIndex("media_id")
     val bIdx = media.schema.fieldIndex("bytes")
+    val mIdx = media.schema.fieldIndex("meta")
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("features", ArrayType(FloatType))))
@@ -76,7 +130,47 @@ object MultimodalOps {
       org.apache.spark.sql.Encoders.row(outSchema)
     media.mapPartitions { it =>
       it.map { r =>
-        Row(r.getLong(idIdx), decodeStub(r.getAs[Array[Byte]](bIdx)).toSeq)
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        val fmt = Option(r.getStruct(mIdx))
+          .flatMap(m => Option(m.getAs[String]("format"))).getOrElse("")
+        val feats =
+          if (fmt.startsWith("image/"))
+            decodeImage(bytes).map(imageFeatures).getOrElse(decodeStub(bytes))
+          else decodeStub(bytes)
+        Row(r.getLong(idIdx), feats.toSeq)
+      }
+    }
+  }
+
+  /** A9 frame luminance (`np.mean(frame)` per frame,
+    * pupil_detection_pl.py:126): mean decoded gray value per media row —
+    * REAL for image formats via the JDK decoder; the mean unsigned byte
+    * stands in for undecodable/non-image media. */
+  def frameLuminance(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    val mIdx = media.schema.fieldIndex("meta")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("luminance", DoubleType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        val fmt = Option(r.getStruct(mIdx))
+          .flatMap(m => Option(m.getAs[String]("format"))).getOrElse("")
+        val decoded =
+          if (fmt.startsWith("image/")) decodeImage(bytes) else None
+        val lum = decoded match {
+          case Some(img) =>
+            val luma = lumaPixels(img)
+            if (luma.isEmpty) 0.0 else luma.sum / luma.length
+          case None =>
+            if (bytes == null || bytes.isEmpty) 0.0
+            else bytes.map(_ & 0xff).sum.toDouble / bytes.length
+        }
+        Row(r.getLong(idIdx), lum)
       }
     }
   }

@@ -49,4 +49,84 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getInt(0) == (orig.getInt(0) * 0.5).toInt)
     assert(r.getAs[Array[Byte]](1).sameElements(orig.getAs[Array[Byte]](1)))
   }
+
+  /** Encode a pixel matrix as real image bytes (PNG/BMP are lossless, so
+    * the decode side is exact and the oracle closed-form). */
+  def imageBytes(pixels: Array[Array[Int]], format: String): Array[Byte] = {
+    val h = pixels.length; val w = pixels(0).length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  def mediaRow(id: Long, bytes: Array[Byte], fmt: String, w: Int, h: Int) =
+    (id, bytes, (fmt, w, h, 1))
+
+  def asMedia(rows: Seq[(Long, Array[Byte], (String, Int, Int, Int))]) =
+    rows.toDF("media_id", "bytes", "m").select(
+      col("media_id"), col("bytes"),
+      struct(col("m._1").as("format"), col("m._2").as("width"),
+        col("m._3").as("height"), col("m._4").as("n_frames")).as("meta"))
+
+  // planted 2×2 image: red, green, blue, white — Rec.601 lumas are
+  // closed-form: 76.245, 149.685, 29.07, 255.0
+  val planted = Array(
+    Array(0xff0000, 0x00ff00),
+    Array(0x0000ff, 0xffffff))
+  val plantedLumas = Seq(
+    0.299 * 255, 0.587 * 255, 0.114 * 255, 255.0)
+
+  test("planted PNG/BMP decode: closed-form luminance (A9 real for images)") {
+    for (fmt <- Seq("png", "bmp")) {
+      val m = asMedia(Seq(
+        mediaRow(1L, imageBytes(planted, fmt), s"image/$fmt", 2, 2)))
+      val lum = MultimodalOps.frameLuminance(m).collect()(0).getDouble(1)
+      val expect = plantedLumas.sum / 4
+      assert(math.abs(lum - expect) < 1e-9,
+        s"$fmt: decoded mean luminance $lum != closed-form $expect")
+    }
+  }
+
+  test("planted PNG decode: luminance histogram bins are closed-form") {
+    val m = asMedia(Seq(
+      mediaRow(1L, imageBytes(planted, "png"), "image/png", 2, 2)))
+    val f = MultimodalOps.extractFeatures(m).collect()(0).getSeq[Float](1)
+    assert(f.length == MultimodalOps.FeatureDim)
+    // expected bins: floor(luma·16/256) per pixel, each weight 1/4
+    val expect = new Array[Float](MultimodalOps.FeatureDim)
+    plantedLumas.foreach { l =>
+      expect(math.min((l * 16 / 256.0).toInt, 15)) += 0.25f
+    }
+    assert(f == expect.toSeq, s"got $f, expect ${expect.toSeq}")
+  }
+
+  test("undecodable image bytes fall back to the byte stub; video stays stubbed") {
+    val junk = Array[Byte](1, 2, 3, 4, 5)
+    val m = asMedia(Seq(
+      mediaRow(1L, junk, "image/png", 0, 0),     // claims image, isn't
+      mediaRow(2L, junk, "video/mp4", 0, 0)))    // video: stub by contract
+    val f = MultimodalOps.extractFeatures(m).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val stub = MultimodalOps.decodeStub(junk).toSeq
+    assert(f(1L) == stub && f(2L) == stub)
+    val lum = MultimodalOps.frameLuminance(m).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lum(1L) == 3.0 && lum(2L) == 3.0) // mean unsigned byte
+  }
+
+  test("decoded dimensions round-trip through a non-square planted image") {
+    val px = Array.tabulate(3, 5)((y, x) => (y * 5 + x) * 0x010101)
+    val img = MultimodalOps.decodeImage(imageBytes(px, "png")).get
+    assert(img.getWidth == 5 && img.getHeight == 3)
+    // gray pixels: luma == gray value exactly (0.299+0.587+0.114 == 1)
+    val lumas = MultimodalOps.lumaPixels(img)
+    val expect = Array.tabulate(15)(i =>
+      (0.299 + 0.587 + 0.114) * i)
+    lumas.zip(expect).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9)
+    }
+  }
 }
