@@ -115,6 +115,16 @@ object GraftExtensions {
             t, Literal(TextOps.BpeTokenRe)), LongType)
         case _ => wrongArgs("graft_bpe_token_count", "1", args.length)
       }),
+    (FunctionIdentifier("graft_bpe_merge_count"),
+      info("graft_bpe_merge_count",
+        "graft_bpe_merge_count(text) - EXACT merge-table BPE token count " +
+          "(greedy lowest-rank merges over GPT-2-style pre-tokens against " +
+          "the library's built-in merge table)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => graft.functions.BpeMerge.BpeMergeCount(t,
+          TextOps.DefaultBpeMerges, TextOps.BpeTokenRe)
+        case _ => wrongArgs("graft_bpe_merge_count", "1", args.length)
+      }),
     (FunctionIdentifier("graft_tps_eval"),
       info("graft_tps_eval",
         "graft_tps_eval(px, py, ax, ay, theta) - evaluate a fitted " +

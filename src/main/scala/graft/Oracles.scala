@@ -559,6 +559,44 @@ object Oracles {
        |QUALIFY rank <= 3""".stripMargin
   }
 
+  /** bpe_tokenize oracle: the FULL greedy merge-table BPE algorithm
+    * replayed in SQL — pre-tokenize with the shared regex, split each
+    * pre-token into characters, then one recursive-CTE iteration merges
+    * the leftmost occurrence of the lowest-rank adjacent pair (min_by
+    * over position-enumerated pairs joined to the merge table) until no
+    * pair remains; the final state per word is the max-iteration row.
+    * Equivalent to the kernel's loop by construction: both merge one
+    * leftmost-lowest-rank pair per step (BpeMerge.mergeWord), and for a
+    * valid (producer-before-consumer) merge table that equals textbook
+    * BPE. Merge table and regex are shared verbatim with TextOps. */
+  private def bpeTokenizeSql: String = {
+    val re = graft.operators.TextOps.BpeTokenRe.replace("'", "''")
+    val mvals = graft.operators.TextOps.DefaultBpeMerges.zipWithIndex
+      .map { case ((l, r), i) => s"(${i + 1},'$l','$r')" }.mkString(",")
+    s"""WITH RECURSIVE
+       |merges(rank, l, r) AS (VALUES $mvals),
+       |pre AS (
+       |  SELECT doc_id AS doc, u.w, u.wi FROM documents,
+       |    (SELECT unnest(regexp_extract_all(text, '$re')) AS w,
+       |            generate_subscripts(regexp_extract_all(text, '$re'), 1) AS wi) u),
+       |state(doc, wi, toks, it) AS (
+       |  SELECT doc, wi, string_split(w, ''), 0 FROM pre
+       |  UNION ALL
+       |  SELECT doc, wi,
+       |    toks[1:p-1] || [toks[p] || toks[p+1]] || toks[p+2:], it + 1
+       |  FROM (
+       |    SELECT doc, wi, toks, it,
+       |      (SELECT min_by(i, m.rank * 1000000 + i)
+       |       FROM (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+       |       JOIN merges m ON m.l = toks[i] AND m.r = toks[i+1]) AS p
+       |    FROM state) s
+       |  WHERE p IS NOT NULL),
+       |fin AS (SELECT doc, wi, max_by(toks, it) AS toks FROM state GROUP BY doc, wi),
+       |cnt AS (SELECT doc, sum(len(toks)) AS n FROM fin GROUP BY doc)
+       |SELECT d.doc_id AS doc, coalesce(cnt.n, 0)::BIGINT AS n_bpe_tokens
+       |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc""".stripMargin
+  }
+
   /** ann_ivf_pq_topk oracle: the two proven Lloyd-replay techniques
     * composed — the coarse-quantizer chain (ivfSql's unrolled iterations
     * over the full vectors) feeds cell assignments, residuals of each
@@ -720,6 +758,8 @@ object Oracles {
         |  floor(cum::DOUBLE / 2048)::BIGINT AS chunk FROM c""".stripMargin,
 
     "dedup_simhash" -> simhashSql,
+
+    "bpe_tokenize" -> bpeTokenizeSql,
 
     "dedup_ngram_jaccard" -> ngramGatedSql,
 

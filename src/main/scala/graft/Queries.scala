@@ -722,6 +722,16 @@ object Queries {
   def packChunks(s: SparkSession, dir: String): DataFrame =
     SampleOps.packChunks(Tables.documents(s, dir), "doc_id", "text")
 
+  /** EXACT merge-table BPE tokenization: greedy lowest-rank merges over
+    * GPT-2-style pre-tokens against the engine's built-in merge table
+    * (native kernel, row-local — one scan at any corpus size). The oracle
+    * replays the full greedy merge loop one step per recursive-CTE
+    * iteration, so this hash-checks the ALGORITHM, not just a count. */
+  def bpeTokenize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id").cast("long").as("doc"),
+      TextOps.mergeBpeTokenCount(col("text")).as("n_bpe_tokens"))
+
   /** P8: quaternion → Euler angles (RealSense remap, odometry.py:176-193)
     * over a synthetic normalized quaternion from event columns. */
   def quatEuler(s: SparkSession, dir: String): DataFrame = {

@@ -57,6 +57,7 @@ object SparkEntry {
     "dedup_clusters" -> (Queries.dedupClusters _),
     "sample_stratified" -> (Queries.sampleStratified _),
     "pack_chunks" -> (Queries.packChunks _),
+    "bpe_tokenize" -> (Queries.bpeTokenize _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "text_stats" -> (Queries.textStats _),
     "text_langid" -> (Queries.textLangid _),

@@ -66,16 +66,23 @@ object SampleOps {
     * (`Window.partitionBy(shard)`), so packing is embarrassingly parallel
     * across `numShards` — on a cluster, shards ≈ files/buckets and each
     * task packs one shard sequentially, which is exactly how a packer
-    * writes its output anyway. Token counts use the chars/4 estimate
-    * (mirrors [[TextOps.qualityScore]]'s `est_tokens`). */
+    * writes its output anyway.
+    *
+    * `tokenCount`: how to count a document's tokens. Default is the
+    * chars/4 estimate (mirrors [[TextOps.qualityScore]]'s `est_tokens`);
+    * pass `TextOps.mergeBpeTokenCount(col(textCol))` for EXACT
+    * merge-table BPE counts so the `contextTokens` budget is real, not a
+    * heuristic — same row-local cost class. */
   def packChunks(docs: DataFrame, idCol: String, textCol: String,
-                 contextTokens: Int = 2048, numShards: Int = 32): DataFrame = {
+                 contextTokens: Int = 2048, numShards: Int = 32,
+                 tokenCount: Option[Column] = None): DataFrame = {
+    val nTokens = tokenCount.getOrElse(
+      ceil(length(trim(col(textCol))).cast("double") / 4.0).cast("long"))
     val w = Window.partitionBy("shard").orderBy("doc")
       .rowsBetween(Window.unboundedPreceding, -1)
     docs.select(col(idCol).cast("long").as("doc"),
         pmod(col(idCol).cast("long"), lit(numShards.toLong)).as("shard"),
-        ceil(length(trim(col(textCol))).cast("double") / 4.0).cast("long")
-          .as("n_tokens"))
+        nTokens.cast("long").as("n_tokens"))
       .withColumn("chunk",
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)).cast("double")
           / contextTokens).cast("long"))

@@ -342,6 +342,43 @@ object TextOps {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit(BpeTokenRe)).cast("long")
 
+  /** The engine's built-in merge table (merges.txt line order = rank):
+    * frequent English pairs, VALID by construction (every merge consuming
+    * a produced token — 'th'+'e', 'an'+'d' — ranks after the producer).
+    * Deployments load their model's real table via
+    * [[graft.functions.BpeMerge.parseMerges]]; this one is shared
+    * verbatim with the DuckDB oracle so the parity gate exercises the
+    * full greedy-merge mechanics. */
+  val DefaultBpeMerges: Seq[(String, String)] = graft.functions.BpeMerge.parseMerges(
+    """t h
+      |i n
+      |a n
+      |o n
+      |e r
+      |r e
+      |th e
+      |an d
+      |o u
+      |s t
+      |e n
+      |o r
+      |i t
+      |e s""".stripMargin.linesIterator)
+
+  /** EXACT merge-table BPE token count: greedy lowest-rank merges over
+    * [[BpeTokenRe]] pre-tokens (native kernel,
+    * [[graft.functions.BpeMerge]]). Row-local — one scan at any corpus
+    * size; exact counts are what make packing budgets real
+    * ([[SampleOps.packChunks]]'s `tokenCount` hook). */
+  def mergeBpeTokenCount(text: Column,
+                         merges: Seq[(String, String)] = DefaultBpeMerges): Column =
+    graft.functions.BpeMerge.bpe_merge_count(text, merges, BpeTokenRe)
+
+  /** The merged BPE token sequence (see [[mergeBpeTokenCount]]). */
+  def mergeBpeTokens(text: Column,
+                     merges: Seq[(String, String)] = DefaultBpeMerges): Column =
+    graft.functions.BpeMerge.bpe_merge_tokens(text, merges, BpeTokenRe)
+
   /** PII patterns (portable Java-regex / RE2 subset — shared verbatim with
     * the DuckDB oracle; no lookarounds, no backreferences). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -84,6 +84,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(sql.toSeq == api.toSeq)
   }
 
+  test("SQL bpe MERGE count matches the Column API kernel") {
+    val s = installed()
+    Tables.documents(s, dir).limit(100).createOrReplaceTempView("docs_bpem")
+    val sql = s.sql(
+      "SELECT doc_id, graft_bpe_merge_count(text) AS n FROM docs_bpem")
+      .orderBy("doc_id").collect()
+    val api = Tables.documents(s, dir).limit(100)
+      .select(col("doc_id"),
+        operators.TextOps.mergeBpeTokenCount(col("text")).as("n"))
+      .orderBy("doc_id").collect()
+    assert(sql.toSeq == api.toSeq)
+    // exact merge count is bounded above by the pre-token-unit count only
+    // after merging shrinks it: merged <= plain char count, >= pre-tokens
+    val both = Tables.documents(s, dir).limit(100)
+      .select(operators.TextOps.bpeTokenCount(col("text")).as("pre"),
+        operators.TextOps.mergeBpeTokenCount(col("text")).as("merged"))
+      .collect()
+    both.foreach(r => assert(r.getLong(1) >= r.getLong(0),
+      "merged tokens are sub-word: at least one per pre-token"))
+  }
+
   test("SQL tps_eval matches the Column API kernel") {
     val s = installed()
     import s.implicits._
