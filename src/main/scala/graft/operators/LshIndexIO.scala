@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** MinHash/LSH text-index persistence — build once, dedup many times.
+  *
+  * The expensive pass of LSH dedup at corpus scale is the
+  * shingle→hash→signature scan over every document; the band table it
+  * produces is tiny (one row per doc × band). Persisting that table as a
+  * typed Parquet artifact lets every downstream consumer — candidate-pair
+  * generation ([[TextOps.minhashPairsFromBands]]), pair→cluster connected
+  * components ([[GraphOps.connectedComponents]]), audit queries — run
+  * WITHOUT re-shingling the corpus. Same build/search discipline as the
+  * ANN tier ([[AnnIndexIO]]) and the reference's model-artifact
+  * persistence (calibration.py:675-690 saves fitted params as .npz and
+  * reloads them downstream).
+  *
+  * Layout under `path/`: `bands/` — the `(doc, sig, band_id, band_hash)`
+  * table, partitioned by `band_id` so a consumer probing one band layout
+  * prunes the rest at the file-listing level. The signature column rides
+  * along (a long array, numHashes entries) so pair verification needs no
+  * join back to the corpus.
+  */
+object LshIndexIO {
+
+  /** One full corpus pass: shingle → minhash → band keys, written as the
+    * persisted band table. Returns the row count written. */
+  def build(docs: DataFrame, idCol: String, textCol: String, path: String,
+            shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4): Long = {
+    val table = TextOps.lshBandTable(docs, idCol, textCol, shingleK,
+      numHashes, bands)
+    table.write.mode("overwrite").partitionBy("band_id")
+      .parquet(s"$path/bands")
+    docs.sparkSession.read.parquet(s"$path/bands").count()
+  }
+
+  /** Load the persisted band table. */
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/bands")
+
+  /** Candidate pairs over the prebuilt index — bit-identical to the
+    * inline [[TextOps.minhashLshPairs]] on the same corpus (spec-proven),
+    * minus the full-corpus shingle pass. */
+  def pairs(spark: SparkSession, path: String, numHashes: Int = 16,
+            minEstJaccard: Double = 0.25,
+            maxBandBucket: Option[Int] = Some(TextOps.DefaultMaxBandBucket)): DataFrame =
+    TextOps.minhashPairsFromBands(load(spark, path), numHashes,
+      minEstJaccard, maxBandBucket)
+}

@@ -131,22 +131,36 @@ object TextOps {
         graft.functions.TextHash.shingle_hash60(col(textCol), k, HashMod).as("hv"))
       .filter(size(col("hv")) > 0)
 
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
-                      minEstJaccard: Double = 0.25,
-                      maxBandBucket: Option[Int] = Some(DefaultMaxBandBucket)): DataFrame = {
+  /** The LSH band table — one row per doc × band: `(doc, sig, band_id,
+    * band_hash)`, uncapped (the skew cap is a query-time lever applied in
+    * [[minhashPairsFromBands]]). This is the persistable "text index": one
+    * full shingle→hash→signature pass over the corpus, after which every
+    * downstream dedup consumer (pair generation, clustering, streaming
+    * parity checks) reads the tiny banded table instead of re-shingling —
+    * the [[LshIndexIO]] build/search split, mirroring the ANN tier's
+    * [[AnnIndexIO]]. */
+  def lshBandTable(docs: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int = 3, numHashes: Int = 16,
+                   bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSig = shingleHashed(docs, idCol, textCol, shingleK)
+    shingleHashed(docs, idCol, textCol, shingleK)
       .select(col("doc"), graft.functions.TextHash.minhash_sig(col("hv"),
         MinhashA.take(numHashes).toSeq, MinhashB.take(numHashes).toSeq,
         HashMod).as("sig"))
+      .select(col("doc"), col("sig"),
+        posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band_id", "band_hash")))
+  }
+
+  /** Candidate pairs from a (possibly persisted/reloaded) band table —
+    * the join half of [[minhashLshPairs]]; bit-identical whether the band
+    * table is the inline lineage or a Parquet round-trip. */
+  def minhashPairsFromBands(bandTable: DataFrame, numHashes: Int = 16,
+                            minEstJaccard: Double = 0.25,
+                            maxBandBucket: Option[Int] = Some(DefaultMaxBandBucket)): DataFrame = {
     // persist: both self-join sides read `banded` — without it the whole
-    // shingle→hash→signature lineage runs twice (once per side). The
-    // materialized table is tiny (one row per doc×band).
-    val banded = capBuckets(
-      withSig.select(col("doc"), col("sig"),
-        posexplode(lshBands(col("sig"), bands, rowsPerBand)).as(Seq("band_id", "band_hash"))),
-      maxBandBucket)
+    // upstream lineage runs twice (once per side). The materialized table
+    // is tiny (one row per doc×band).
+    val banded = capBuckets(bandTable, maxBandBucket)
       .transform(graft.CacheRegistry.persistTracked(_))
     val a = banded.select(col("band_id"), col("band_hash"),
       col("doc").as("doc_a"), col("sig").as("sig_a"))
@@ -160,6 +174,14 @@ object TextOps {
       .distinct()
       .filter(col("est_jaccard") >= minEstJaccard)
   }
+
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                      minEstJaccard: Double = 0.25,
+                      maxBandBucket: Option[Int] = Some(DefaultMaxBandBucket)): DataFrame =
+    minhashPairsFromBands(
+      lshBandTable(docs, idCol, textCol, shingleK, numHashes, bands),
+      numHashes, minEstJaccard, maxBandBucket)
 
   /** Exact n-gram Jaccard gated behind MinHash/LSH candidates — the scale
     * shape for [[ngramJaccardPairs]] (which stays as the exact all-pairs
