@@ -1238,6 +1238,101 @@ object Oracles {
          |FROM s""".stripMargin
     },
 
+    // CV kernel oracles: replay the planted-marker inclusion rule over the
+    // same integer pixel grid the fixture rasterized, then apply the
+    // IDENTICAL moment / eigen / radial arithmetic the Scala kernel runs.
+    // Every sum is over integer coordinates (exact in doubles), every
+    // double expression mirrors the kernel's expression tree, so the
+    // decode→detect pipeline is hash-checked end-to-end.
+    "cv_pupil" ->
+      """WITH pp AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    24 + CAST(doc_id AS BIGINT) % 13 AS ecx,
+        |    24 + (CAST(doc_id AS BIGINT) * 3) % 13 AS ecy,
+        |    8 + CAST(doc_id AS BIGINT) % 5 AS a,
+        |    4 + CAST(doc_id AS BIGINT) % 3 AS b
+        |  FROM documents),
+        |g AS (SELECT media_id, gx.x AS x, gy.y AS y
+        |  FROM pp, range(0, 64) gx(x), range(0, 64) gy(y)
+        |  WHERE (CAST(gx.x - ecx AS DOUBLE) / a) * (CAST(gx.x - ecx AS DOUBLE) / a)
+        |      + (CAST(gy.y - ecy AS DOUBLE) / b) * (CAST(gy.y - ecy AS DOUBLE) / b)
+        |      <= 1.0),
+        |m AS (SELECT media_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        |  FROM g GROUP BY media_id),
+        |c AS (SELECT media_id, n, sxx, syy, sxy,
+        |    CAST(sx AS DOUBLE) / n AS cx, CAST(sy AS DOUBLE) / n AS cy FROM m),
+        |v AS (SELECT media_id, n, cx, cy,
+        |    CAST(sxx AS DOUBLE) / n - cx * cx AS mxx,
+        |    CAST(syy AS DOUBLE) / n - cy * cy AS myy,
+        |    CAST(sxy AS DOUBLE) / n - cx * cy AS mxy FROM c),
+        |e AS (SELECT media_id, n, cx, cy, mxx, myy, mxy,
+        |    sqrt(greatest((mxx + myy) * (mxx + myy) / 4.0
+        |      - (mxx * myy - mxy * mxy), 0.0)) AS disc FROM v),
+        |ax AS (SELECT media_id, n, cx, cy, mxx, myy, mxy,
+        |    4.0 * sqrt(greatest((mxx + myy) / 2.0 + disc, 0.0)) AS major,
+        |    4.0 * sqrt(greatest((mxx + myy) / 2.0 - disc, 0.0)) AS minor
+        |  FROM e)
+        |SELECT media_id, n AS n_dark,
+        |  round(cx, 6) + 0.0e0 AS center_x,
+        |  round(cy, 6) + 0.0e0 AS center_y,
+        |  round(major, 6) + 0.0e0 AS axis_major,
+        |  round(minor, 6) + 0.0e0 AS axis_minor,
+        |  round(0.5 * atan2(2.0 * mxy, mxx - myy) * 180.0 / pi(), 6) + 0.0e0
+        |    AS angle_deg,
+        |  round(major, 6) + 0.0e0 AS diameter,
+        |  round(least(CAST(n AS DOUBLE)
+        |    / (pi() * (major / 2.0) * (minor / 2.0)), 1.0), 6) + 0.0e0
+        |    AS confidence
+        |FROM ax""".stripMargin,
+
+    // Corners of a full-frame 7×4-cell board are closed-form (i·s, j·s):
+    // the transition detector recovers them exactly from decoded pixels.
+    "cv_checkerboard" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    6 + 2 * (CAST(doc_id AS BIGINT) % 3) AS s FROM documents)
+        |SELECT media_id,
+        |  CAST(ri.i * s AS DOUBLE) AS corner_x,
+        |  CAST(rj.j * s AS DOUBLE) AS corner_y,
+        |  round(CAST(ri.i * s AS DOUBLE) / (7 * s), 6) + 0.0e0 AS norm_x,
+        |  round(CAST(rj.j * s AS DOUBLE) / (4 * s), 6) + 0.0e0 AS norm_y
+        |FROM p, range(1, 7) ri(i), range(1, 4) rj(j)""".stripMargin,
+
+    // Ring-pixel replay: the same integer d² inclusion rule the fixture
+    // rasterized; centroid sums are exact, size = sqrt(max d²), ring
+    // count = runs over distinct floor(radius). Both contrast arms land
+    // on the same dark set, so the oracle has no parity branch.
+    "cv_circles" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    30 + CAST(doc_id AS BIGINT) % 5 AS ccx,
+        |    30 + (CAST(doc_id AS BIGINT) * 7) % 5 AS ccy,
+        |    2 + CAST(doc_id AS BIGINT) % 2 AS nr,
+        |    CAST(doc_id AS BIGINT) % 3 AS rb FROM documents),
+        |rings AS (SELECT media_id, 6 * t.k + rb AS r
+        |  FROM p, range(1, 4) t(k) WHERE t.k <= nr),
+        |px AS (SELECT p.media_id, gx.x AS x, gy.y AS y,
+        |    (gx.x - ccx) * (gx.x - ccx) + (gy.y - ccy) * (gy.y - ccy) AS d2
+        |  FROM p, range(0, 64) gx(x), range(0, 64) gy(y)),
+        |dark AS (SELECT px.media_id, px.x, px.y, px.d2
+        |  FROM px JOIN rings rg ON rg.media_id = px.media_id
+        |    AND (rg.r - 1) * (rg.r - 1) <= px.d2
+        |    AND px.d2 <= (rg.r + 1) * (rg.r + 1)),
+        |m AS (SELECT media_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    max(d2) AS maxd2 FROM dark GROUP BY media_id),
+        |fl AS (SELECT DISTINCT media_id,
+        |    CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT) AS f FROM dark),
+        |fr AS (SELECT media_id, f,
+        |    lag(f) OVER (PARTITION BY media_id ORDER BY f) AS pf FROM fl),
+        |nrg AS (SELECT media_id, CAST(count(*) FILTER (WHERE pf IS NULL
+        |    OR f - pf > 1) AS INT) AS n_rings FROM fr GROUP BY media_id)
+        |SELECT m.media_id, m.media_id % 2 = 1 AS inverted, m.n AS n_dark,
+        |  round(CAST(m.sx AS DOUBLE) / m.n, 6) + 0.0e0 AS loc_x,
+        |  round(CAST(m.sy AS DOUBLE) / m.n, 6) + 0.0e0 AS loc_y,
+        |  round(CAST(m.sx AS DOUBLE) / m.n / 64, 6) + 0.0e0 AS norm_x,
+        |  round(CAST(m.sy AS DOUBLE) / m.n / 64, 6) + 0.0e0 AS norm_y,
+        |  round(sqrt(CAST(m.maxd2 AS DOUBLE)), 6) + 0.0e0 AS size,
+        |  nrg.n_rings
+        |FROM m JOIN nrg ON nrg.media_id = m.media_id""".stripMargin,
+
     "sim_brute_topk" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -688,10 +688,20 @@ object Queries {
     * large-star/small-star (O(log n) rounds, chain-proof) → canonical
     * cluster id = min doc id of the component; `is_keeper` marks the
     * representative. Every document appears: singletons cluster to
-    * themselves. */
+    * themselves.
+    *
+    * Index-fed: the corpus is shingled ONCE into the persisted LSH band
+    * table ([[operators.LshIndexIO]]) and the pair join reads the loaded
+    * artifact — the composed pipeline (pairs + clusters + any audit)
+    * costs one corpus scan, not one per consumer. Pair values are
+    * bit-identical to the inline lineage (Parquet round-trips the
+    * long/array columns exactly), so the hash oracle is unchanged. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = TextOps.minhashLshPairs(docs, "doc_id", "text")
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_lsh_idx")
+      .toString
+    operators.LshIndexIO.build(docs, "doc_id", "text", idxPath)
+    val pairs = operators.LshIndexIO.pairs(s, idxPath)
     val comp = GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
       .withColumnRenamed("node", "doc")
     docs.select(col("doc_id").cast("long").as("doc"))
@@ -750,6 +760,74 @@ object Queries {
     // Spark's BigDecimal path drops it)
     nq.select(col("event_id"), (round(pitch, 6) + 0.0).as("pitch"),
       (round(roll, 6) + 0.0).as("roll"), (round(yaw, 6) + 0.0).as("yaw"))
+  }
+
+  // ------------------------------------------------------------ CV kernels
+
+  /** C1 pupil detection END-TO-END on real pixels: planted PNG eye
+    * frames (one axis-aligned dark ellipse per doc, geometry derived
+    * from doc_id) → javax.imageio decode → luma plane → moment-based
+    * ellipse fit ([[graft.multimodal.VisionOps.pupilEllipse]]). The
+    * oracle replays the identical inclusion rule over the integer pixel
+    * grid and the identical moment/eigen arithmetic — a full-pipeline
+    * hash check of encode→decode→detect. */
+  def cvPupil(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{VisionFixtures, VisionOps}
+    val media = VisionFixtures.plantMedia(
+      Tables.documents(s, dir), "doc_id", "pupil")
+    VisionOps.detectPupils(media).select(
+      col("media_id"), col("n_dark"),
+      (round(col("center_x"), 6) + 0.0).as("center_x"),
+      (round(col("center_y"), 6) + 0.0).as("center_y"),
+      (round(col("axis_major"), 6) + 0.0).as("axis_major"),
+      (round(col("axis_minor"), 6) + 0.0).as("axis_minor"),
+      (round(col("angle_deg"), 6) + 0.0).as("angle_deg"),
+      (round(col("diameter"), 6) + 0.0).as("diameter"),
+      (round(col("confidence"), 6) + 0.0).as("confidence"))
+  }
+
+  /** C4 checkerboard corners on real pixels: planted full-frame boards
+    * (7×4 cells, size from doc_id, either leading color) → decode →
+    * binary-transition corner intersection
+    * ([[graft.multimodal.VisionOps.checkerboardCorners]]); one row per
+    * interior corner with full-pixel + normalized positions (the
+    * find_checkerboard_frame output contract). Oracle: corners are
+    * closed-form (i·s, j·s). */
+  def cvCheckerboard(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{VisionFixtures, VisionOps}
+    val media = VisionFixtures.plantMedia(
+      Tables.documents(s, dir), "doc_id", "checkerboard")
+    VisionOps.findCheckerboard(media).select(
+      col("media_id"), col("corner_x"), col("corner_y"),
+      (round(col("norm_x"), 6) + 0.0).as("norm_x"),
+      (round(col("norm_y"), 6) + 0.0).as("norm_y"))
+  }
+
+  /** C3 concentric-circle markers + C7 contrast inversion on real
+    * pixels: planted ring markers (2-3 rings, geometry from doc_id; ODD
+    * ids rendered light-on-dark and detected with the reference's
+    * `invert_contrast` pre-step, marker_detection.py:339-340) → decode →
+    * radial marker statistics
+    * ([[graft.multimodal.VisionOps.concentricCircles]]). The hash
+    * equality across both arms proves inversion-neutrality; the oracle
+    * replays the ring inclusion rule on the integer grid. */
+  def cvCircles(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{VisionFixtures, VisionOps}
+    val media = VisionFixtures.plantMedia(
+      Tables.documents(s, dir), "doc_id", "circles")
+    val even = VisionOps.findCircles(
+      media.filter(col("media_id") % 2 === 0), invertContrast = false)
+    val odd = VisionOps.findCircles(
+      media.filter(col("media_id") % 2 === 1), invertContrast = true)
+    even.unionByName(odd).select(
+      col("media_id"), (col("media_id") % 2 === 1).as("inverted"),
+      col("n_dark"),
+      (round(col("loc_x"), 6) + 0.0).as("loc_x"),
+      (round(col("loc_y"), 6) + 0.0).as("loc_y"),
+      (round(col("norm_x"), 6) + 0.0).as("norm_x"),
+      (round(col("norm_y"), 6) + 0.0).as("norm_y"),
+      (round(col("size"), 6) + 0.0).as("size"),
+      col("n_rings"))
   }
 
   /** Similarity search (brute-force cosine top-k): queries = vec_id < 10,

@@ -74,6 +74,9 @@ object SparkEntry {
     "ann_ivf_pq_topk" -> (Queries.annIvfPqTopk _),
     "emb_neardup" -> (Queries.embNearDup _),
     "p8_quat_euler" -> (Queries.quatEuler _),
+    "cv_pupil" -> (Queries.cvPupil _),
+    "cv_checkerboard" -> (Queries.cvCheckerboard _),
+    "cv_circles" -> (Queries.cvCircles _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

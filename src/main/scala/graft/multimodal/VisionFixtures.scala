@@ -1,0 +1,121 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Deterministic planted-marker image synthesis for the CV kernel tier.
+  *
+  * Each renderer derives marker geometry from the row id with integer
+  * arithmetic and rasterizes with an EXACT inclusion rule (integer or
+  * half-ulp-free double comparisons), writes a real PNG (lossless), and
+  * the decode→detect pipeline recovers the planted geometry bit-for-bit
+  * — so an external SQL oracle can replay the same inclusion rule over
+  * the same integer grid and hash-match the detector output. This is the
+  * image analogue of the planted-affine m9 oracles: the fixture carries
+  * its own ground truth.
+  *
+  * Dark = 32, light = 224 (both safely across the 128 binarization
+  * threshold after Rec.601 luma of a gray pixel, which is exactly
+  * (0.299+0.587+0.114)·v).
+  */
+object VisionFixtures {
+
+  val Dark = 32
+  val Light = 224
+
+  /** Rasterize + PNG-encode: `isDark(x, y)` drives the two-tone image. */
+  def pngBytes(w: Int, h: Int, invert: Boolean)(
+      isDark: (Int, Int) => Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val dark = isDark(x, y) ^ invert
+        val v = if (dark) Dark else Light
+        img.setRGB(x, y, v * 0x010101)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  // Planted geometry per id — integer arithmetic only, mirrored verbatim
+  // by the oracle SQL.
+
+  /** Pupil: axis-aligned filled ellipse, 64×64 frame. */
+  def pupilParams(id: Long): (Int, Int, Int, Int) =
+    ((24 + id % 13).toInt, (24 + (id * 3) % 13).toInt,
+      (8 + id % 5).toInt, (4 + id % 3).toInt)
+
+  def renderPupil(id: Long): Array[Byte] = {
+    val (cx, cy, a, b) = pupilParams(id)
+    pngBytes(64, 64, invert = false) { (x, y) =>
+      val tx = (x - cx).toDouble / a
+      val ty = (y - cy).toDouble / b
+      tx * tx + ty * ty <= 1.0
+    }
+  }
+
+  /** Checkerboard: full-frame 7×4 cells (6×3 interior corners — the
+    * reference's checkerboard_size=(3,6) default), cell size s ∈
+    * {6,8,10}, leading color alternating by id. */
+  def checkerboardParams(id: Long): Int = (6 + 2 * (id % 3)).toInt
+
+  def renderCheckerboard(id: Long): Array[Byte] = {
+    val s = checkerboardParams(id)
+    pngBytes(7 * s, 4 * s, invert = false) { (x, y) =>
+      ((x / s + y / s) % 2 == 0) == (id % 2 == 0)
+    }
+  }
+
+  /** Concentric circles: 2-3 rings of half-thickness 1 around an
+    * integral center, 64×64 frame; odd ids are rendered CONTRAST-
+    * INVERTED (light rings on dark) — the C7 arm; detectors must pass
+    * `invertContrast = true` for those. */
+  def circleParams(id: Long): (Int, Int, Int, Int) =
+    ((30 + id % 5).toInt, (30 + (id * 7) % 5).toInt,
+      (2 + id % 2).toInt, (id % 3).toInt)
+
+  def renderCircles(id: Long): Array[Byte] = {
+    val (cx, cy, nr, rb) = circleParams(id)
+    pngBytes(64, 64, invert = id % 2 == 1) { (x, y) =>
+      val d2 = (x - cx).toLong * (x - cx) + (y - cy).toLong * (y - cy)
+      (1 to nr).exists { k =>
+        val r = 6 * k + rb
+        (r - 1).toLong * (r - 1) <= d2 && d2 <= (r + 1).toLong * (r + 1)
+      }
+    }
+  }
+
+  /** Plant a media table (media_id, bytes, meta) from any id column:
+    * one real PNG per row. `kind` ∈ pupil | checkerboard | circles. */
+  def plantMedia(df: DataFrame, idCol: String, kind: String): DataFrame = {
+    val spark = df.sparkSession
+    val render: Long => (Array[Byte], Int, Int) = kind match {
+      case "pupil" => id => (renderPupil(id), 64, 64)
+      case "checkerboard" => id =>
+        val s = checkerboardParams(id); (renderCheckerboard(id), 7 * s, 4 * s)
+      case "circles" => id => (renderCircles(id), 64, 64)
+      case other => throw new IllegalArgumentException(s"unknown kind $other")
+    }
+    val outSchema = MultimodalOps.mediaSchema
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    import org.apache.spark.sql.functions.col
+    val ids = df.select(col(idCol).cast("long"))
+    val idIdx = 0
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val (bytes, w, h) = render(id)
+        Row(id, bytes, Row("image/png", w, h, 1))
+      }
+    }
+  }
+}

@@ -1,0 +1,273 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Pure-JVM per-frame CV kernels over DECODED images — the C1/C3/C4/C7
+  * tier that was container-blocked while the decode seam was a stub. With
+  * real `javax.imageio` decode in place ([[MultimodalOps.decodeImage]]),
+  * these run on actual pixels end-to-end: PNG bytes → luma plane →
+  * detector → typed feature rows.
+  *
+  * Deliberately simplified relative to the reference's OpenCV/pupil-labs
+  * kernels (no sub-pixel refinement, no adaptive thresholds, no contour
+  * trees): each detector keeps the reference's OUTPUT CONTRACT and overall
+  * geometry while using closed-form, exactly-reproducible math —
+  * moment-based ellipse fit instead of Detector2D's contour search
+  * (pupil_detection_pl.py:94-133), binary-transition corner intersection
+  * instead of cv2.findChessboardCorners + cornerSubPix
+  * (marker_detection.py:185-258), radial dark-pixel statistics instead of
+  * the contour-nesting concentric-circle search
+  * (externals/circle_detector.py:205-454). Contrast inversion (C7) is the
+  * reference's `255 - frame` pre-step for black-background markers
+  * (marker_detection.py:339-340), applied to the luma plane before
+  * thresholding.
+  *
+  * Scale shape: every detector is a row-local mapPartitions over the
+  * media table — embarrassingly parallel, no shuffle; the frame never
+  * becomes a long-lived table, only per-frame feature rows do (the S1
+  * batch-scan contract).
+  */
+object VisionOps {
+
+  /** Decoded grayscale plane, row-major. */
+  final case class Gray(w: Int, h: Int, px: Array[Double]) {
+    def apply(x: Int, y: Int): Double = px(y * w + x)
+  }
+
+  /** C7: contrast inversion, `255 - v` (marker_detection.py:339-340). */
+  def invert(g: Gray): Gray = {
+    val out = new Array[Double](g.px.length)
+    var i = 0
+    while (i < g.px.length) { out(i) = 255.0 - g.px(i); i += 1 }
+    Gray(g.w, g.h, out)
+  }
+
+  /** Default binarization threshold: dark iff luma < 128. */
+  val DarkThreshold = 128.0
+
+  def grayOf(img: java.awt.image.BufferedImage): Gray =
+    Gray(img.getWidth, img.getHeight, MultimodalOps.lumaPixels(img))
+
+  // ------------------------------------------------------------- C1 pupil
+
+  /** Moment-based ellipse fit of the dark-pixel region.
+    *
+    * Mirrors the pupil datum contract of `_opencv_ellipse_to_dict`
+    * (marker_detection.py:14-26): center, full axes (major/minor),
+    * orientation angle in degrees, diameter = max axis, confidence. The
+    * fit is the classic image-moment ellipse: center = first moments,
+    * axes = 4·sqrt(eigenvalues of the second-moment covariance) (the
+    * full-axis lengths that make a perfect filled ellipse's covariance
+    * a²/16, b²/16 round-trip), angle = major-axis orientation from
+    * atan2 of the covariance terms (the reference reports the detector's
+    * angle convention shifted by −90°; ours is the plain covariance
+    * orientation, documented here). Confidence = fill ratio of dark
+    * pixels inside the fitted-axes ellipse area, clamped to 1 — the
+    * analogue of Detector2D's support ratio.
+    *
+    * All moment sums are over integer pixel coordinates, so they are
+    * EXACT in doubles (values ≤ 2^53): the downstream double arithmetic
+    * is a fixed expression tree an external SQL oracle replays
+    * bit-for-bit.
+    */
+  final case class PupilDatum(n: Long, cx: Double, cy: Double,
+                              major: Double, minor: Double,
+                              angleDeg: Double, diameter: Double,
+                              confidence: Double)
+
+  def pupilEllipse(g: Gray, thresh: Double = DarkThreshold): Option[PupilDatum] = {
+    var n = 0L
+    var sx = 0L; var sy = 0L; var sxx = 0L; var syy = 0L; var sxy = 0L
+    var y = 0
+    while (y < g.h) {
+      var x = 0
+      while (x < g.w) {
+        if (g(x, y) < thresh) {
+          n += 1
+          sx += x; sy += y
+          sxx += x.toLong * x; syy += y.toLong * y; sxy += x.toLong * y
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (n == 0) None
+    else {
+      val cx = sx.toDouble / n
+      val cy = sy.toDouble / n
+      val mxx = sxx.toDouble / n - cx * cx
+      val myy = syy.toDouble / n - cy * cy
+      val mxy = sxy.toDouble / n - cx * cy
+      val tr = mxx + myy
+      val det = mxx * myy - mxy * mxy
+      val disc = math.sqrt(math.max(tr * tr / 4.0 - det, 0.0))
+      val l1 = tr / 2.0 + disc
+      val l2 = tr / 2.0 - disc
+      val major = 4.0 * math.sqrt(math.max(l1, 0.0))
+      val minor = 4.0 * math.sqrt(math.max(l2, 0.0))
+      val angle = 0.5 * math.atan2(2.0 * mxy, mxx - myy) * 180.0 / math.Pi
+      val area = math.Pi * (major / 2.0) * (minor / 2.0)
+      val conf = if (area > 0.0) math.min(n.toDouble / area, 1.0) else 0.0
+      Some(PupilDatum(n, cx, cy, major, minor, angle, major, conf))
+    }
+  }
+
+  // ------------------------------------------------------- C4 checkerboard
+
+  /** Interior-corner detection for a full-frame axis-aligned checkerboard.
+    *
+    * Binary-transition form of `find_checkerboard_frame`
+    * (marker_detection.py:185-258): a column x is a vertical cell
+    * boundary iff the binarized image flips across x at EVERY row
+    * (horizontally adjacent cells always differ), and symmetrically for
+    * rows; interior corners are the boundary intersections. Corner
+    * positions are exact integers (no sub-pixel step — the planted
+    * boards put corners on the pixel grid); output mirrors the
+    * reference: full-pixel corner coordinates plus 0-1 normalized
+    * positions (corners / [hdim, vdim], marker_detection.py:246-249).
+    * Detection is inversion-invariant (transitions survive `255 - v`),
+    * matching cv2's tolerance of either leading cell color.
+    */
+  final case class Corner(x: Int, y: Int)
+
+  def checkerboardCorners(g: Gray, thresh: Double = DarkThreshold): Seq[Corner] = {
+    val dark = Array.tabulate(g.h, g.w)((y, x) => g(x, y) < thresh)
+    val vb = (1 until g.w).filter { x =>
+      (0 until g.h).forall(y => dark(y)(x - 1) != dark(y)(x))
+    }
+    val hb = (1 until g.h).filter { y =>
+      (0 until g.w).forall(x => dark(y - 1)(x) != dark(y)(x))
+    }
+    for (y <- hb; x <- vb) yield Corner(x, y)
+  }
+
+  // --------------------------------------------------------- C3 circles
+
+  /** Radial concentric-circle marker statistics.
+    *
+    * Simplified `find_pupil_circle_marker`
+    * (externals/circle_detector.py:205-454) keeping the output contract
+    * of `_find_circles_frame` (marker_detection.py:29-47): `location` =
+    * mean position of the ring pixels (the planted markers are
+    * symmetric, so this is the exact ring center), `norm_pos` =
+    * location / [hdim, vdim], `size` = the outermost ring's maximal
+    * pixel radius (reference: max ellipse radii). `n_rings` counts
+    * maximal runs in the sorted distinct floor(radius) values of dark
+    * pixels — the ring-nesting count the reference gets from its
+    * contour tree (min_ellipses_num gate, circle_detector.py:258-262).
+    *
+    * Sums are over integer coordinates (exact in doubles); distances are
+    * sqrt of exact integer d², so every emitted value is replayable
+    * bit-for-bit by an external oracle over the same grid.
+    */
+  final case class CircleMarker(n: Long, locX: Double, locY: Double,
+                                size: Double, nRings: Int)
+
+  def concentricCircles(g: Gray, thresh: Double = DarkThreshold): Option[CircleMarker] = {
+    var n = 0L; var sx = 0L; var sy = 0L
+    var y = 0
+    while (y < g.h) {
+      var x = 0
+      while (x < g.w) {
+        if (g(x, y) < thresh) { n += 1; sx += x; sy += y }
+        x += 1
+      }
+      y += 1
+    }
+    if (n == 0) return None
+    val cx = sx.toDouble / n
+    val cy = sy.toDouble / n
+    var maxD2 = 0.0
+    val floors = scala.collection.mutable.SortedSet.empty[Long]
+    y = 0
+    while (y < g.h) {
+      var x = 0
+      while (x < g.w) {
+        if (g(x, y) < thresh) {
+          val dx = x - cx; val dy = y - cy
+          val d2 = dx * dx + dy * dy
+          if (d2 > maxD2) maxD2 = d2
+          floors += math.floor(math.sqrt(d2)).toLong
+        }
+        x += 1
+      }
+      y += 1
+    }
+    var rings = 0
+    var prev = Long.MinValue
+    floors.foreach { f =>
+      if (prev == Long.MinValue || f - prev > 1) rings += 1
+      prev = f
+    }
+    Some(CircleMarker(n, cx, cy, math.sqrt(maxD2), rings))
+  }
+
+  // -------------------------------------------------- DataFrame entry points
+
+  private def mediaPlanes(media: DataFrame, invertContrast: Boolean)(
+      f: (Long, Gray) => Iterator[Row], outSchema: StructType): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        MultimodalOps.decodeImage(r.getAs[Array[Byte]](bIdx)) match {
+          case Some(img) =>
+            val g0 = grayOf(img)
+            f(r.getLong(idIdx), if (invertContrast) invert(g0) else g0)
+          case None => Iterator.empty
+        }
+      }
+    }
+  }
+
+  /** C1 over a media table: one pupil datum row per decodable frame.
+    * `invertContrast` mirrors the reference's black-background option. */
+  def detectPupils(media: DataFrame, invertContrast: Boolean = false,
+                   thresh: Double = DarkThreshold): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_dark", LongType),
+      StructField("center_x", DoubleType), StructField("center_y", DoubleType),
+      StructField("axis_major", DoubleType), StructField("axis_minor", DoubleType),
+      StructField("angle_deg", DoubleType), StructField("diameter", DoubleType),
+      StructField("confidence", DoubleType)))
+    mediaPlanes(media, invertContrast)((id, g) =>
+      pupilEllipse(g, thresh).iterator.map(p =>
+        Row(id, p.n, p.cx, p.cy, p.major, p.minor, p.angleDeg, p.diameter,
+          p.confidence)), schema)
+  }
+
+  /** C4 over a media table: one row per detected interior corner, with
+    * full-pixel and 0-1 normalized positions. */
+  def findCheckerboard(media: DataFrame, invertContrast: Boolean = false,
+                       thresh: Double = DarkThreshold): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("corner_x", DoubleType), StructField("corner_y", DoubleType),
+      StructField("norm_x", DoubleType), StructField("norm_y", DoubleType)))
+    mediaPlanes(media, invertContrast)((id, g) =>
+      checkerboardCorners(g, thresh).iterator.map(c =>
+        Row(id, c.x.toDouble, c.y.toDouble,
+          c.x.toDouble / g.w, c.y.toDouble / g.h)), schema)
+  }
+
+  /** C3 over a media table: one marker-statistics row per decodable
+    * frame; `invertContrast` = the C7 pre-step. */
+  def findCircles(media: DataFrame, invertContrast: Boolean = false,
+                  thresh: Double = DarkThreshold): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_dark", LongType),
+      StructField("loc_x", DoubleType), StructField("loc_y", DoubleType),
+      StructField("norm_x", DoubleType), StructField("norm_y", DoubleType),
+      StructField("size", DoubleType),
+      StructField("n_rings", IntegerType)))
+    mediaPlanes(media, invertContrast)((id, g) =>
+      concentricCircles(g, thresh).iterator.map(m =>
+        Row(id, m.n, m.locX, m.locY, m.locX / g.w, m.locY / g.h,
+          m.size, m.nRings)), schema)
+  }
+}

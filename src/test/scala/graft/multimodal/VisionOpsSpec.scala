@@ -1,0 +1,124 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VisionOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  def grayFrom(bytes: Array[Byte]): VisionOps.Gray =
+    VisionOps.grayOf(MultimodalOps.decodeImage(bytes).get)
+
+  // ----------------------------------------------------------- C1 pupil
+
+  test("pupil ellipse recovers a planted axis-aligned ellipse exactly") {
+    val (cx, cy, a, b) = VisionFixtures.pupilParams(7L)
+    val p = VisionOps.pupilEllipse(grayFrom(VisionFixtures.renderPupil(7L))).get
+    // symmetric planted set → integer-exact center, zero cross-moment
+    assert(p.cx == cx.toDouble && p.cy == cy.toDouble)
+    assert(math.abs(p.angleDeg) < 1e-9)
+    // moment axes of a discretized filled ellipse land within a pixel
+    assert(math.abs(p.major - 2.0 * a) < 1.5, s"major ${p.major} vs ${2 * a}")
+    assert(math.abs(p.minor - 2.0 * b) < 1.5, s"minor ${p.minor} vs ${2 * b}")
+    assert(p.diameter == p.major)
+    assert(p.confidence > 0.9 && p.confidence <= 1.0)
+  }
+
+  test("pupil ellipse recovers orientation of a rotated ellipse") {
+    val th = math.toRadians(30.0)
+    val (cx, cy, a, b) = (32.0, 32.0, 14.0, 6.0)
+    val bytes = VisionFixtures.pngBytes(64, 64, invert = false) { (x, y) =>
+      val dx = x - cx; val dy = y - cy
+      val u = (dx * math.cos(th) + dy * math.sin(th)) / a
+      val v = (-dx * math.sin(th) + dy * math.cos(th)) / b
+      u * u + v * v <= 1.0
+    }
+    val p = VisionOps.pupilEllipse(grayFrom(bytes)).get
+    assert(math.abs(p.cx - cx) < 0.5 && math.abs(p.cy - cy) < 0.5)
+    assert(math.abs(p.angleDeg - 30.0) < 2.0, s"angle ${p.angleDeg}")
+    assert(math.abs(p.major - 2 * a) < 1.5 && math.abs(p.minor - 2 * b) < 1.5)
+  }
+
+  // ----------------------------------------------------- C4 checkerboard
+
+  test("checkerboard corners are the exact planted grid, either phase") {
+    for (id <- Seq(0L, 1L, 2L)) {
+      val s = VisionFixtures.checkerboardParams(id)
+      val corners = VisionOps.checkerboardCorners(
+        grayFrom(VisionFixtures.renderCheckerboard(id)))
+      val expect = (for (j <- 1 to 3; i <- 1 to 6)
+        yield VisionOps.Corner(i * s, j * s)).toSet
+      assert(corners.toSet == expect, s"id $id: ${corners.size} corners")
+      // marker position = mean of corners = board center (reference
+      // contract: location = np.mean(corners, axis=0))
+      val mx = corners.map(_.x).sum.toDouble / corners.size
+      val my = corners.map(_.y).sum.toDouble / corners.size
+      assert(mx == 3.5 * s && my == 2.0 * s)
+    }
+  }
+
+  test("checkerboard detection is contrast-inversion invariant (C7)") {
+    val g = grayFrom(VisionFixtures.renderCheckerboard(4L))
+    assert(VisionOps.checkerboardCorners(g) ==
+      VisionOps.checkerboardCorners(VisionOps.invert(g)))
+  }
+
+  // --------------------------------------------------------- C3 circles
+
+  test("concentric circles: center, ring count, outer size on planted rings") {
+    for (id <- Seq(0L, 2L, 4L)) { // even = normal contrast
+      val (cx, cy, nr, rb) = VisionFixtures.circleParams(id)
+      val m = VisionOps.concentricCircles(
+        grayFrom(VisionFixtures.renderCircles(id))).get
+      assert(m.locX == cx.toDouble && m.locY == cy.toDouble)
+      assert(m.nRings == nr, s"id $id rings ${m.nRings} != $nr")
+      val rmax = 6 * nr + rb
+      assert(m.size <= rmax + 1 + 1e-9 && m.size >= rmax - 1)
+    }
+  }
+
+  test("C7 inversion arm: inverted render + invert flag == normal render") {
+    // ids 1 and 3 are rendered light-on-dark; the invert pre-step must
+    // recover the identical marker statistics a normal render gives
+    for (id <- Seq(1L, 3L)) {
+      val inv = VisionOps.concentricCircles(
+        VisionOps.invert(grayFrom(VisionFixtures.renderCircles(id)))).get
+      val (cx, cy, nr, rb) = VisionFixtures.circleParams(id)
+      val normal = VisionOps.concentricCircles(grayFrom(
+        VisionFixtures.pngBytes(64, 64, invert = false) { (x, y) =>
+          val d2 = (x - cx).toLong * (x - cx) + (y - cy).toLong * (y - cy)
+          (1 to nr).exists { k =>
+            val r = 6 * k + rb
+            (r - 1).toLong * (r - 1) <= d2 && d2 <= (r + 1).toLong * (r + 1)
+          }
+        })).get
+      assert(inv == normal)
+    }
+  }
+
+  // ------------------------------------------- DataFrame plumbing
+
+  test("detectPupils over a planted media table: exact centers, one row per id") {
+    val ids = Seq(0L, 5L, 11L).toDF("doc_id")
+    val media = VisionFixtures.plantMedia(ids, "doc_id", "pupil")
+    val rows = VisionOps.detectPupils(media).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Double]("center_x"), r.getAs[Double]("center_y"))).toMap
+    assert(rows.keySet == Set(0L, 5L, 11L))
+    for (id <- rows.keys) {
+      val (cx, cy, _, _) = VisionFixtures.pupilParams(id)
+      assert(rows(id) == (cx.toDouble, cy.toDouble))
+    }
+  }
+
+  test("undecodable media yield no rows from any detector") {
+    val junk = Seq((1L, Array[Byte](9, 9, 9), ("image/png", 0, 0, 1)))
+      .toDF("media_id", "bytes", "m")
+      .select(col("media_id"), col("bytes"),
+        struct(col("m._1").as("format"), col("m._2").as("width"),
+          col("m._3").as("height"), col("m._4").as("n_frames")).as("meta"))
+    assert(VisionOps.detectPupils(junk).count() == 0)
+    assert(VisionOps.findCheckerboard(junk).count() == 0)
+    assert(VisionOps.findCircles(junk).count() == 0)
+  }
+}
