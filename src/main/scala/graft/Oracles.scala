@@ -1333,6 +1333,67 @@ object Oracles {
         |  nrg.n_rings
         |FROM m JOIN nrg ON nrg.media_id = m.media_id""".stripMargin,
 
+    // Per-frame replay of the drifting-pupil raw video: same grid, same
+    // per-frame ellipse rule, same moment arithmetic as cv_pupil.
+    "cv_video_pupils" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    2 + CAST(doc_id AS BIGINT) % 3 AS nf,
+        |    16 + CAST(doc_id AS BIGINT) % 9 AS cx0,
+        |    16 + (CAST(doc_id AS BIGINT) * 3) % 9 AS cy0,
+        |    6 + CAST(doc_id AS BIGINT) % 3 AS a,
+        |    3 + CAST(doc_id AS BIGINT) % 2 AS b FROM documents),
+        |fr AS (SELECT media_id, CAST(t.f AS INT) AS frame_index,
+        |    cx0 + t.f AS ecx, cy0 + t.f AS ecy, a, b
+        |  FROM p, range(0, 5) t(f) WHERE t.f < nf),
+        |g AS (SELECT media_id, frame_index, gx.x AS x, gy.y AS y
+        |  FROM fr, range(0, 48) gx(x), range(0, 48) gy(y)
+        |  WHERE (CAST(gx.x - ecx AS DOUBLE) / a) * (CAST(gx.x - ecx AS DOUBLE) / a)
+        |      + (CAST(gy.y - ecy AS DOUBLE) / b) * (CAST(gy.y - ecy AS DOUBLE) / b)
+        |      <= 1.0),
+        |m AS (SELECT media_id, frame_index, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM g GROUP BY media_id, frame_index),
+        |c AS (SELECT media_id, frame_index, n, sxx, syy,
+        |    CAST(sx AS DOUBLE) / n AS cx, CAST(sy AS DOUBLE) / n AS cy FROM m),
+        |v AS (SELECT media_id, frame_index, n, cx, cy,
+        |    CAST(sxx AS DOUBLE) / n - cx * cx AS mxx,
+        |    CAST(syy AS DOUBLE) / n - cy * cy AS myy FROM c)
+        |SELECT media_id, frame_index, n AS n_dark,
+        |  round(cx, 6) + 0.0e0 AS center_x,
+        |  round(cy, 6) + 0.0e0 AS center_y,
+        |  round(4.0 * sqrt(greatest((mxx + myy) / 2.0
+        |    + sqrt(greatest((mxx + myy) * (mxx + myy) / 4.0
+        |      - (mxx * myy - 0.0 * 0.0), 0.0)), 0.0)), 6) + 0.0e0
+        |    AS axis_major,
+        |  round(4.0 * sqrt(greatest((mxx + myy) / 2.0
+        |    - sqrt(greatest((mxx + myy) * (mxx + myy) / 4.0
+        |      - (mxx * myy - 0.0 * 0.0), 0.0)), 0.0)), 6) + 0.0e0
+        |    AS axis_minor
+        |FROM v""".stripMargin,
+
+    // Audio replay: regenerate the planted square wave per sample index
+    // with the same integer formula the WAV fixture encoded, then apply
+    // the kernel's exact-integer-sum feature arithmetic.
+    "audio_features" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    4 + CAST(doc_id AS BIGINT) % 5 AS hp,
+        |    8000 + 100 * (CAST(doc_id AS BIGINT) % 7) AS amp,
+        |    800 + 16 * (CAST(doc_id AS BIGINT) % 11) AS nn FROM documents),
+        |s AS (SELECT media_id, t.i AS i,
+        |    CASE WHEN (t.i // hp) % 2 = 0 THEN amp ELSE -amp END AS v
+        |  FROM p, range(0, 1000) t(i) WHERE t.i < nn),
+        |l AS (SELECT media_id, i, v,
+        |    lag(v) OVER (PARTITION BY media_id ORDER BY i) AS pv FROM s),
+        |m AS (SELECT media_id, count(*) AS n, sum(v * v) AS ss,
+        |    max(abs(v)) AS peak,
+        |    count(*) FILTER (WHERE pv IS NOT NULL AND pv * v < 0) AS zc
+        |  FROM l GROUP BY media_id)
+        |SELECT media_id, CAST(8000 AS INT) AS sample_rate, n AS n_samples,
+        |  round(CAST(n AS DOUBLE) / 8000, 6) + 0.0e0 AS duration_sec,
+        |  round(sqrt(CAST(ss AS DOUBLE) / n), 6) + 0.0e0 AS rms,
+        |  CAST(peak AS INT) AS peak, zc AS zero_crossings
+        |FROM m""".stripMargin,
+
     "sim_brute_topk" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -830,6 +830,40 @@ object Queries {
       col("n_rings"))
   }
 
+  /** S1 video batch scan END-TO-END: planted raw-video blobs (2-4 gray
+    * frames each, a dark pupil drifting one pixel per frame) → container
+    * decode → per-frame moment ellipse fit — one row per (media, frame),
+    * the reference's find_pupils-over-video shape
+    * (pupil_detection_pl.py:94-133). The oracle replays the per-frame
+    * inclusion rule and moment arithmetic over the integer grid. */
+  def cvVideoPupils(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{VisionFixtures, VisionOps}
+    val media = VisionFixtures.plantMedia(
+      Tables.documents(s, dir), "doc_id", "video")
+    VisionOps.detectPupilsVideo(media).select(
+      col("media_id"), col("frame_index"), col("n_dark"),
+      (round(col("center_x"), 6) + 0.0).as("center_x"),
+      (round(col("center_y"), 6) + 0.0).as("center_y"),
+      (round(col("axis_major"), 6) + 0.0).as("axis_major"),
+      (round(col("axis_minor"), 6) + 0.0).as("axis_minor"))
+  }
+
+  /** Audio features END-TO-END on real bytes: planted square-wave WAV
+    * clips (half period / amplitude / length from doc_id) → RIFF/PCM
+    * decode ([[graft.multimodal.AudioOps.decodeWav]]) → RMS, peak,
+    * zero-crossings, duration from exact integer samples. The oracle
+    * replays the generator formula per sample index — encode→decode→
+    * feature checked bit-for-bit. */
+  def audioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.AudioOps
+    val media = AudioOps.plantAudioMedia(Tables.documents(s, dir), "doc_id")
+    AudioOps.extractAudioFeatures(media).select(
+      col("media_id"), col("sample_rate"), col("n_samples"),
+      (round(col("duration_sec"), 6) + 0.0).as("duration_sec"),
+      (round(col("rms"), 6) + 0.0).as("rms"),
+      col("peak"), col("zero_crossings"))
+  }
+
   /** Similarity search (brute-force cosine top-k): queries = vec_id < 10,
     * k = 5 nearest over the full table (excluding self). Baseline for the
     * ANN variants; distributes as broadcast(queries) × scan. Scoring runs

@@ -77,6 +77,8 @@ object SparkEntry {
     "cv_pupil" -> (Queries.cvPupil _),
     "cv_checkerboard" -> (Queries.cvCheckerboard _),
     "cv_circles" -> (Queries.cvCircles _),
+    "audio_features" -> (Queries.audioFeatures _),
+    "cv_video_pupils" -> (Queries.cvVideoPupils _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql

@@ -1,0 +1,172 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Audio-column kernels: a REAL zero-dependency WAV (RIFF/PCM) decoder +
+  * per-clip feature extraction, completing the multimodal tier's audio
+  * arm (images decode via javax.imageio; video stays a documented stub —
+  * the JVM ships no video codecs).
+  *
+  * The decoder hand-parses the RIFF container (chunk walk, unknown
+  * chunks skipped, 16-bit little-endian mono/stereo PCM) rather than
+  * going through javax.sound — ~40 lines, fully deterministic, and the
+  * sample values are exact integers, so every downstream feature (RMS,
+  * zero-crossings, peak) is integer-sum arithmetic an external SQL
+  * oracle can replay bit-for-bit.
+  *
+  * Scale shape: one row-local mapPartitions pass over the media table —
+  * no shuffle; clips never become long-lived frame tables, only feature
+  * rows do (the same S1 batch contract as the vision kernels).
+  */
+object AudioOps {
+
+  final case class Wav(sampleRate: Int, channels: Int, samples: Array[Int])
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    ((b(o + 1) << 8) | (b(o) & 0xff)).toShort.toInt
+
+  private def le32(b: Array[Byte], o: Int): Int =
+    ((b(o + 3) & 0xff) << 24) | ((b(o + 2) & 0xff) << 16) |
+      ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+
+  private def tag(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Parse a RIFF/WAVE byte array; None unless it is a well-formed
+    * 16-bit PCM file. Interleaved channels are kept as-is (callers see
+    * frames·channels samples). */
+  def decodeWav(bytes: Array[Byte]): Option[Wav] = {
+    if (bytes == null || bytes.length < 44) return None
+    if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+    var off = 12
+    var rate = 0; var channels = 0; var bits = 0
+    var data: Option[(Int, Int)] = None
+    while (off + 8 <= bytes.length) {
+      val id = tag(bytes, off)
+      val sz = le32(bytes, off + 4)
+      if (sz < 0 || off + 8 + sz > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (sz < 16) return None
+          val fmt = le16(bytes, off + 8)
+          if (fmt != 1) return None // PCM only
+          channels = le16(bytes, off + 10)
+          rate = le32(bytes, off + 12)
+          bits = le16(bytes, off + 22)
+        case "data" => data = Some((off + 8, sz))
+        case _ => // skip unknown chunks (LIST, fact, ...)
+      }
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    data match {
+      case Some((o, sz)) if rate > 0 && channels > 0 && bits == 16 =>
+        val n = sz / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) { out(i) = le16(bytes, o + 2 * i); i += 1 }
+        Some(Wav(rate, channels, out))
+      case _ => None
+    }
+  }
+
+  /** Encode 16-bit PCM mono samples as WAV bytes (fixture writer — the
+    * inverse of [[decodeWav]], values clamped to short range). */
+  def encodeWavMono(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val n = samples.length
+    val out = new Array[Byte](44 + 2 * n)
+    def putTag(o: Int, s: String): Unit = {
+      var i = 0; while (i < 4) { out(o + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def put32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    def put16(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+    }
+    putTag(0, "RIFF"); put32(4, 36 + 2 * n); putTag(8, "WAVE")
+    putTag(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, 1)
+    put32(24, sampleRate); put32(28, sampleRate * 2); put16(32, 2)
+    put16(34, 16)
+    putTag(36, "data"); put32(40, 2 * n)
+    var i = 0
+    while (i < n) {
+      put16(44 + 2 * i, math.max(-32768, math.min(32767, samples(i))))
+      i += 1
+    }
+    out
+  }
+
+  /** Planted audio fixture: a deterministic square wave per id (half
+    * period, amplitude and length all integer functions of the id),
+    * encoded as REAL WAV bytes — the audio analogue of
+    * [[VisionFixtures]]: the decode→feature pipeline recovers planted
+    * integer samples exactly, so an external SQL oracle can replay the
+    * same generator formula and hash-match the features. */
+  def squareWaveParams(id: Long): (Int, Int, Int) =
+    ((4 + id % 5).toInt, (8000 + 100 * (id % 7)).toInt,
+      (800 + 16 * (id % 11)).toInt)
+
+  val FixtureRate = 8000
+
+  def plantAudioMedia(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = MultimodalOps.mediaSchema
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    import org.apache.spark.sql.functions.col
+    df.select(col(idCol).cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val (hp, amp, n) = squareWaveParams(id)
+        val samples = Array.tabulate(n)(i =>
+          if ((i / hp) % 2 == 0) amp else -amp)
+        Row(id, encodeWavMono(FixtureRate, samples),
+          Row("audio/wav", 0, 0, 1))
+      }
+    }
+  }
+
+  /** Per-clip features from exact integer samples:
+    *  - `duration_sec` = frames / rate
+    *  - `rms` = sqrt(Σ s² / n) (sums exact in doubles up to 2⁵³)
+    *  - `peak` = max |s|
+    *  - `zero_crossings` = #{i : s(i−1)·s(i) < 0}
+    * Rows whose bytes are not decodable WAV yield no output (the same
+    * sentinel-free contract as the vision detectors). */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("duration_sec", DoubleType),
+      StructField("rms", DoubleType),
+      StructField("peak", IntegerType),
+      StructField("zero_crossings", LongType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeWav(r.getAs[Array[Byte]](bIdx)).iterator.map { w =>
+          val n = w.samples.length
+          var ss = 0L; var peak = 0; var zc = 0L
+          var i = 0
+          while (i < n) {
+            val s = w.samples(i)
+            ss += s.toLong * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            if (i > 0 && w.samples(i - 1).toLong * s < 0) zc += 1
+            i += 1
+          }
+          val frames = n / w.channels
+          Row(r.getLong(idIdx), w.sampleRate, n.toLong,
+            frames.toDouble / w.sampleRate,
+            math.sqrt(if (n == 0) 0.0 else ss.toDouble / n), peak, zc)
+        }
+      }
+    }
+  }
+}

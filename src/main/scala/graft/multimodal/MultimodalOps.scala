@@ -113,6 +113,40 @@ object MultimodalOps {
     hist
   }
 
+  /** Raw grayscale video container — the deterministic stand-in for a
+    * codec the JVM doesn't ship: `GRVD | w:i32le | h:i32le | n:i32le |
+    * n planes of w·h unsigned-gray bytes`. It exercises the REAL S1
+    * batch-scan plumbing (multi-frame blob → frame fan-out → per-frame
+    * kernel rows, pupil_detection_pl.py:94-133) with exact pixel
+    * round-trips; swapping in an FFI codec replaces only this parser. */
+  final case class RawVideo(w: Int, h: Int, frames: Array[Array[Byte]])
+
+  def encodeRawVideo(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.forall(_.length == w * h), "frame plane size mismatch")
+    val out = java.nio.ByteBuffer.allocate(16 + frames.length * w * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GRVD".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.putInt(w).putInt(h).putInt(frames.length)
+    frames.foreach(out.put)
+    out.array()
+  }
+
+  def decodeRawVideo(bytes: Array[Byte]): Option[RawVideo] = {
+    if (bytes == null || bytes.length < 16) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4); bb.get(magic)
+    if (!magic.sameElements("GRVD".getBytes)) return None
+    val w = bb.getInt; val h = bb.getInt; val n = bb.getInt
+    if (w <= 0 || h <= 0 || n < 0 ||
+        bytes.length < 16L + n.toLong * w * h) return None
+    Some(RawVideo(w, h, Array.tabulate(n) { i =>
+      val plane = new Array[Byte](w * h)
+      System.arraycopy(bytes, 16 + i * w * h, plane, 0, w * h)
+      plane
+    }))
+  }
+
   /** Decode/feature-extract: media table → (media_id, features). Rows
     * with an `image/…` format are REALLY decoded (luminance histogram
     * from pixels); anything else — or an undecodable image — takes the

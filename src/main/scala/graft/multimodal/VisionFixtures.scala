@@ -93,15 +93,41 @@ object VisionFixtures {
     }
   }
 
+  /** Raw video: 2-4 frames of 48×48 gray with a dark pupil ellipse
+    * drifting one pixel per frame (axis-aligned; geometry from the id,
+    * exactly in-bounds at every frame). */
+  def videoParams(id: Long): (Int, Int, Int, Int, Int) =
+    ((2 + id % 3).toInt, (16 + id % 9).toInt, (16 + (id * 3) % 9).toInt,
+      (6 + id % 3).toInt, (3 + id % 2).toInt)
+
+  def renderVideo(id: Long): Array[Byte] = {
+    val (nf, cx0, cy0, a, b) = videoParams(id)
+    val frames = (0 until nf).map { f =>
+      val cx = cx0 + f; val cy = cy0 + f
+      Array.tabulate(48 * 48) { i =>
+        val x = i % 48; val y = i / 48
+        val tx = (x - cx).toDouble / a
+        val ty = (y - cy).toDouble / b
+        (if (tx * tx + ty * ty <= 1.0) Dark else Light).toByte
+      }
+    }
+    MultimodalOps.encodeRawVideo(48, 48, frames)
+  }
+
   /** Plant a media table (media_id, bytes, meta) from any id column:
     * one real PNG per row. `kind` ∈ pupil | checkerboard | circles. */
   def plantMedia(df: DataFrame, idCol: String, kind: String): DataFrame = {
     val spark = df.sparkSession
-    val render: Long => (Array[Byte], Int, Int) = kind match {
-      case "pupil" => id => (renderPupil(id), 64, 64)
+    // (bytes, format, width, height, n_frames)
+    val render: Long => (Array[Byte], String, Int, Int, Int) = kind match {
+      case "pupil" => id => (renderPupil(id), "image/png", 64, 64, 1)
       case "checkerboard" => id =>
-        val s = checkerboardParams(id); (renderCheckerboard(id), 7 * s, 4 * s)
-      case "circles" => id => (renderCircles(id), 64, 64)
+        val s = checkerboardParams(id)
+        (renderCheckerboard(id), "image/png", 7 * s, 4 * s, 1)
+      case "circles" => id => (renderCircles(id), "image/png", 64, 64, 1)
+      case "video" => id =>
+        val nf = videoParams(id)._1
+        (renderVideo(id), "video/x-graft-raw", 48, 48, nf)
       case other => throw new IllegalArgumentException(s"unknown kind $other")
     }
     val outSchema = MultimodalOps.mediaSchema
@@ -113,8 +139,8 @@ object VisionFixtures {
     ids.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(idIdx)
-        val (bytes, w, h) = render(id)
-        Row(id, bytes, Row("image/png", w, h, 1))
+        val (bytes, fmt, w, h, nf) = render(id)
+        Row(id, bytes, Row(fmt, w, h, nf))
       }
     }
   }

@@ -240,6 +240,44 @@ object VisionOps {
           p.confidence)), schema)
   }
 
+  /** S1 + C5 + C1 composed: the per-frame video batch scan. Raw-video
+    * blobs ([[MultimodalOps.decodeRawVideo]]) fan out to per-frame luma
+    * planes (raw gray: pixel value IS the luma, no colorimetric
+    * rounding) and the pupil kernel runs on every frame — one output
+    * row per (media, frame), the reference's find_pupils shape: frames
+    * stay task-local, only detection rows survive. */
+  def detectPupilsVideo(media: DataFrame, invertContrast: Boolean = false,
+                        thresh: Double = DarkThreshold): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_index", IntegerType, nullable = false),
+      StructField("n_dark", LongType),
+      StructField("center_x", DoubleType), StructField("center_y", DoubleType),
+      StructField("axis_major", DoubleType),
+      StructField("axis_minor", DoubleType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        MultimodalOps.decodeRawVideo(r.getAs[Array[Byte]](bIdx)) match {
+          case Some(v) =>
+            v.frames.iterator.zipWithIndex.flatMap { case (plane, f) =>
+              val px = new Array[Double](plane.length)
+              var i = 0
+              while (i < plane.length) { px(i) = (plane(i) & 0xff).toDouble; i += 1 }
+              val g0 = Gray(v.w, v.h, px)
+              pupilEllipse(if (invertContrast) invert(g0) else g0, thresh)
+                .iterator.map(p => Row(r.getLong(idIdx), f, p.n, p.cx, p.cy,
+                  p.major, p.minor))
+            }
+          case None => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** C4 over a media table: one row per detected interior corner, with
     * full-pixel and 0-1 normalized positions. */
   def findCheckerboard(media: DataFrame, invertContrast: Boolean = false,

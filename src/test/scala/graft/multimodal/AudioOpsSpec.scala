@@ -1,0 +1,73 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AudioOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("WAV encode/decode round-trips exact 16-bit samples") {
+    val samples = Array(0, 1, -1, 32767, -32768, 1234, -4321)
+    val w = AudioOps.decodeWav(AudioOps.encodeWavMono(44100, samples)).get
+    assert(w.sampleRate == 44100 && w.channels == 1)
+    assert(w.samples.sameElements(samples))
+  }
+
+  test("encode clamps out-of-range samples to the 16-bit lattice") {
+    val w = AudioOps.decodeWav(
+      AudioOps.encodeWavMono(8000, Array(99999, -99999))).get
+    assert(w.samples.sameElements(Array(32767, -32768)))
+  }
+
+  test("decoder skips unknown chunks and tolerates word-aligned odd sizes") {
+    val base = AudioOps.encodeWavMono(8000, Array(5, -5, 7))
+    // splice an odd-sized junk chunk between fmt and data
+    val junkPayload = Array[Byte](1, 2, 3) // size 3 → padded to 4
+    val junk = "LIST".getBytes ++
+      Array[Byte](3, 0, 0, 0) ++ junkPayload ++ Array[Byte](0)
+    val spliced = base.slice(0, 36) ++ junk ++ base.drop(36)
+    // fix RIFF size field
+    val total = spliced.length - 8
+    spliced(4) = total.toByte; spliced(5) = (total >> 8).toByte
+    spliced(6) = (total >> 16).toByte; spliced(7) = (total >> 24).toByte
+    val w = AudioOps.decodeWav(spliced).get
+    assert(w.samples.sameElements(Array(5, -5, 7)))
+  }
+
+  test("malformed bytes are rejected, not mis-parsed") {
+    assert(AudioOps.decodeWav(null).isEmpty)
+    assert(AudioOps.decodeWav(Array[Byte](1, 2, 3)).isEmpty)
+    assert(AudioOps.decodeWav("RIFFxxxxWAVE".getBytes ++
+      new Array[Byte](40)).isEmpty) // no fmt/data chunks
+    // truncated data chunk (declared size beyond buffer)
+    val good = AudioOps.encodeWavMono(8000, Array(1, 2, 3, 4))
+    assert(AudioOps.decodeWav(good.dropRight(4)).isEmpty)
+  }
+
+  test("square-wave features are closed-form: rms == amp, peak == amp") {
+    val ids = Seq(0L, 3L, 10L).toDF("doc_id")
+    val feats = AudioOps.extractAudioFeatures(
+        AudioOps.plantAudioMedia(ids, "doc_id")).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(feats.keySet == Set(0L, 3L, 10L))
+    for ((id, r) <- feats) {
+      val (hp, amp, n) = AudioOps.squareWaveParams(id)
+      assert(r.getAs[Long]("n_samples") == n)
+      // every sample is ±amp → rms is exactly amp, peak is amp
+      assert(r.getAs[Double]("rms") == amp.toDouble)
+      assert(r.getAs[Int]("peak") == amp)
+      // sign flips at every multiple of hp in (0, n)
+      assert(r.getAs[Long]("zero_crossings") == (n - 1) / hp)
+      assert(r.getAs[Double]("duration_sec") == n.toDouble / 8000)
+    }
+  }
+
+  test("non-audio bytes in a media table yield no feature rows") {
+    val junk = Seq((1L, Array[Byte](9, 9, 9), ("audio/wav", 0, 0, 1)))
+      .toDF("media_id", "bytes", "m")
+      .select(col("media_id"), col("bytes"),
+        struct(col("m._1").as("format"), col("m._2").as("width"),
+          col("m._3").as("height"), col("m._4").as("n_frames")).as("meta"))
+    assert(AudioOps.extractAudioFeatures(junk).count() == 0)
+  }
+}

@@ -111,6 +111,33 @@ class VisionOpsSpec extends SparkSpec {
     }
   }
 
+  test("raw video: per-frame pupil rows track the planted drift exactly") {
+    val ids = Seq(0L, 4L, 7L).toDF("doc_id")
+    val media = VisionFixtures.plantMedia(ids, "doc_id", "video")
+    val rows = VisionOps.detectPupilsVideo(media).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame_index")) ->
+        (r.getAs[Double]("center_x"), r.getAs[Double]("center_y"))).toMap
+    for (id <- Seq(0L, 4L, 7L)) {
+      val (nf, cx0, cy0, _, _) = VisionFixtures.videoParams(id)
+      assert(rows.keys.count(_._1 == id) == nf)
+      for (f <- 0 until nf)
+        assert(rows((id, f)) == ((cx0 + f).toDouble, (cy0 + f).toDouble))
+    }
+  }
+
+  test("raw video container round-trips planes; malformed blobs rejected") {
+    val planes = Seq(Array.tabulate(6)(i => i.toByte),
+      Array.tabulate(6)(i => (100 + i).toByte))
+    val enc = MultimodalOps.encodeRawVideo(3, 2, planes)
+    val dec = MultimodalOps.decodeRawVideo(enc).get
+    assert(dec.w == 3 && dec.h == 2 && dec.frames.length == 2)
+    assert(dec.frames(1).sameElements(planes(1)))
+    assert(MultimodalOps.decodeRawVideo(enc.dropRight(1)).isEmpty)
+    assert(MultimodalOps.decodeRawVideo("JUNK".getBytes ++
+      new Array[Byte](20)).isEmpty)
+    assert(MultimodalOps.decodeRawVideo(null).isEmpty)
+  }
+
   test("undecodable media yield no rows from any detector") {
     val junk = Seq((1L, Array[Byte](9, 9, 9), ("image/png", 0, 0, 1)))
       .toDF("media_id", "bytes", "m")
