@@ -124,6 +124,80 @@ object Oracles {
        |  CASE $cases ELSE $dflt END""".stripMargin
   }
 
+  /** curation_pipeline oracle: the five stages as composed CTEs — exact
+    * dedup window, decontamination EXISTS gate against the src0 shingle
+    * set, PII scrub, quality score OVER THE SCRUBBED TEXT, language ID +
+    * salted stratified threshold. Same constants as the Spark stages
+    * (regexes, HashMod, thresholds) inlined from the same objects. */
+  private def curationPipelineSql: String = {
+    val M = graft.operators.TextOps.HashMod
+    val (em, ip, ph) = (graft.operators.TextOps.EmailRe,
+      graft.operators.TextOps.Ipv4Re, graft.operators.TextOps.PhoneRe)
+    val dflt = graft.operators.SampleOps.threshold(1.0)
+    val cases = graft.Queries.sampleRates.map { case (stratum, rate) =>
+      s"WHEN lang_pred = '$stratum' THEN ${graft.operators.SampleOps.threshold(rate)}"
+    }.mkString(" ")
+    s"""WITH uniq AS (SELECT doc_id, text, source FROM (
+       |    SELECT doc_id, text, source,
+       |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM documents) WHERE rn = 1),
+       |bd AS (SELECT string_split(trim(text), ' ') AS toks
+       |  FROM documents WHERE source = 'src0'),
+       |bs AS (SELECT DISTINCT unnest(list_transform(
+       |    list_distinct(list_transform(range(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
+       |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $M)) AS h FROM bd),
+       |tr AS (SELECT doc_id AS doc, text,
+       |    list_transform(list_distinct(list_transform(
+       |      range(1, len(string_split(trim(text), ' ')) - 1),
+       |      i -> string_split(trim(text), ' ')[i] || ' '
+       |        || string_split(trim(text), ' ')[i+1] || ' '
+       |        || string_split(trim(text), ' ')[i+2])),
+       |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $M) AS hv
+       |  FROM uniq WHERE source <> 'src0'),
+       |ex AS (SELECT doc, unnest(hv) AS h FROM tr),
+       |ov AS (SELECT ex.doc, count(*) AS novl FROM ex
+       |  JOIN bs USING (h) GROUP BY ex.doc),
+       |clean AS (SELECT tr.doc, tr.text FROM tr LEFT JOIN ov USING (doc)
+       |  WHERE coalesce(ov.novl, 0) < 5),
+       |scr AS (SELECT doc, regexp_replace(regexp_replace(regexp_replace(
+       |    text, '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+       |    '$ph', '<PHONE>', 'g') AS sc FROM clean),
+       |q AS (SELECT doc, sc, trim(sc) AS t,
+       |    string_split(trim(sc), ' ') AS toks FROM scr),
+       |m AS (SELECT doc, sc, toks, length(t)::BIGINT AS n_chars,
+       |    len(toks)::BIGINT AS n_words,
+       |    len(list_filter(toks, w -> w IN
+       |      ('the','a','of','and','to','in')))::DOUBLE / len(toks) AS sr,
+       |    len(list_filter(toks, w -> length(w) > 6))::DOUBLE / len(toks)
+       |      AS lr FROM q),
+       |k AS (SELECT doc, sc, toks, n_chars,
+       |    1.0e0
+       |      - (CASE WHEN sr < 2.0e-2 THEN 4.0e-1 ELSE 0.0e0 END)
+       |      - (CASE WHEN n_words < 5 THEN 4.0e-1 ELSE 0.0e0 END)
+       |      - (CASE WHEN lr > 5.0e-1 THEN 2.0e-1 ELSE 0.0e0 END) AS quality
+       |  FROM m),
+       |kk AS (SELECT * FROM k WHERE quality >= 6.0e-1),
+       |sc2 AS (SELECT doc, sc, quality, n_chars,
+       |  len(list_filter(toks, w -> w IN ('der','die','und','nicht','das')))::BIGINT AS s_de,
+       |  len(list_filter(toks, w -> w IN ('the','and','of','to','in')))::BIGINT AS s_en,
+       |  len(list_filter(toks, w -> w IN ('el','la','de','que','y')))::BIGINT AS s_es,
+       |  len(list_filter(toks, w -> w IN ('le','les','et','des','un')))::BIGINT AS s_fr
+       |  FROM kk),
+       |l AS (SELECT doc, sc, quality, n_chars,
+       |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es >= s_fr THEN 'es'
+       |       ELSE 'fr' END AS lang_pred
+       |  FROM sc2)
+       |SELECT doc, lang_pred, round(quality, 6) + 0.0e0 AS quality,
+       |  ceil(n_chars::DOUBLE / 4.0e0)::BIGINT AS est_tokens,
+       |  md5(sc) AS scrub_hash
+       |FROM l
+       |WHERE ('0x' || substr(md5('s42' || doc), 1, 15))::BIGINT <
+       |  CASE $cases ELSE $dflt END""".stripMargin
+  }
+
   /** BM25 (rational-idf) keyword search — mirrors TextOps.bm25TopK term by
     * term with the identical float expression tree (same literals, same
     * parenthesization, left-assoc sum), so scores are bit-equal. */
@@ -762,6 +836,8 @@ object Oracles {
     "bpe_tokenize" -> bpeTokenizeSql,
 
     "dedup_ngram_jaccard" -> ngramGatedSql,
+
+    "curation_pipeline" -> curationPipelineSql,
 
     "text_langid" ->
       """WITH d AS (SELECT doc_id AS doc, string_split(trim(text), ' ') AS toks

@@ -762,6 +762,55 @@ object Queries {
       (round(roll, 6) + 0.0).as("roll"), (round(yaw, 6) + 0.0).as("yaw"))
   }
 
+  /** The COMPOSED curation pipeline — the end-to-end pass a training-data
+    * run makes over a raw corpus, as ONE lineage:
+    *
+    *   1. exact dedup (keep min doc_id per md5(text) — one shuffle),
+    *   2. benchmark decontamination (src0 = eval set, broadcast shingle
+    *      set, no corpus shuffle; docs sharing ≥ 5 shingles drop —
+    *      tuned above the synthetic corpus' heavy phrase reuse so the
+    *      gate removes the worst ~20%, not 85%),
+    *   3. PII scrub (row-local regex),
+    *   4. quality gate on the SCRUBBED text (keep composite ≥ 0.6),
+    *   5. language ID + deterministic stratified down-sampling
+    *      (en 0.5 / es 0.8, salted md5 threshold — zero shuffle).
+    *
+    * Total shuffles: the dedup window, the decontamination hit-groupBy,
+    * and the stage joins on `doc` — everything else is scan-local, which
+    * is what makes the composition viable at 100 TB. The oracle replays
+    * all five stages as composed CTEs, so the hash checks stage ORDER
+    * and interaction (e.g. quality is scored on scrubbed text), not just
+    * each stage alone. */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val wdup = Window.partitionBy(md5(col("text").cast("binary")))
+      .orderBy(col("doc_id"))
+    val uniq = docs.withColumn("_rn", row_number().over(wdup))
+      .filter(col("_rn") === 1).drop("_rn")
+    val clean = TextOps.decontaminate(
+        uniq.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), "doc_id", "text",
+        minOverlap = 5)
+      .filter(!col("contaminated")).select(col("doc"))
+      .join(uniq.select(col("doc_id").cast("long").as("doc"), col("text")),
+        "doc")
+    val scrubbed = TextOps.piiScrub(clean, "doc", "text")
+      .select(col("doc"), col("scrubbed"))
+    val kept = TextOps.qualityScore(scrubbed, "doc", "scrubbed")
+      .filter(col("quality") >= 0.6)
+      .select(col("doc"), col("est_tokens"), col("quality"))
+      .join(scrubbed, "doc")
+    val lang = TextOps.langId(kept, "doc", "scrubbed")
+      .select(col("doc"), col("lang_pred"))
+    SampleOps.stratified(lang, "doc", "lang_pred", sampleRates,
+        defaultRate = 1.0, salt = "s42")
+      .join(kept, "doc")
+      .select(col("doc"), col("lang_pred"),
+        (round(col("quality"), 6) + 0.0).as("quality"),
+        col("est_tokens"),
+        md5(col("scrubbed").cast("binary")).as("scrub_hash"))
+  }
+
   // ------------------------------------------------------------ CV kernels
 
   /** C1 pupil detection END-TO-END on real pixels: planted PNG eye

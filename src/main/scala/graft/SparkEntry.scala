@@ -79,6 +79,7 @@ object SparkEntry {
     "cv_circles" -> (Queries.cvCircles _),
     "audio_features" -> (Queries.audioFeatures _),
     "cv_video_pupils" -> (Queries.cvVideoPupils _),
+    "curation_pipeline" -> (Queries.curationPipeline _),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql
