@@ -115,7 +115,9 @@ object AudioOps {
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(outSchema)
     import org.apache.spark.sql.functions.col
-    df.select(col(idCol).cast("long")).mapPartitions { it =>
+    // pre-render repartition: same single-file-parallelism rationale as
+    // VisionFixtures.plantMedia / TextOps.shingled
+    df.select(col(idCol).cast("long")).repartition(col(idCol)).mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val (hp, amp, n) = squareWaveParams(id)

@@ -209,6 +209,35 @@ object MultimodalOps {
     }
   }
 
+  /** A9 for VIDEO: per-frame mean gray (`np.mean(frame)` per frame,
+    * pupil_detection_pl.py:126) over the raw-video container — one row
+    * per (media, frame). Raw gray planes make the mean exact integer
+    * arithmetic (Σ unsigned bytes / count). */
+  def videoFrameLuminance(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_index", IntegerType),
+      StructField("luminance", DoubleType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeRawVideo(r.getAs[Array[Byte]](bIdx)) match {
+          case Some(v) =>
+            v.frames.iterator.zipWithIndex.map { case (plane, f) =>
+              var s = 0L; var i = 0
+              while (i < plane.length) { s += (plane(i) & 0xff); i += 1 }
+              Row(r.getLong(idIdx), f,
+                if (plane.isEmpty) 0.0 else s.toDouble / plane.length)
+            }
+          case None => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** Frame sampling: fan each media row out to every `stride`-th frame
     * index (0..n_frames) — the S1 "frame-range batch" shape, rows stay
     * partition-local until a downstream shuffle asks otherwise. */

@@ -134,7 +134,11 @@ object VisionFixtures {
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(outSchema)
     import org.apache.spark.sql.functions.col
-    val ids = df.select(col(idCol).cast("long"))
+    // repartition BEFORE the render/decode/detect lineage: media corpora
+    // often arrive as few large files, and the whole per-row kernel chain
+    // would otherwise inherit single-file parallelism (same rationale as
+    // TextOps.shingled). The exchange moves only the tiny id column.
+    val ids = df.select(col(idCol).cast("long")).repartition(col(idCol))
     val idIdx = 0
     ids.mapPartitions { it =>
       it.map { r =>

@@ -138,4 +138,32 @@ class PlanAuditSpec extends SparkSpec {
       s"decontaminate degraded to all-pairs:\n$p")
     graft.CacheRegistry.releaseAll()
   }
+
+  test("modal kernels: only the pre-render id repartition shuffles") {
+    // render → decode → detect is one mapPartitions lineage per media
+    // arm, fed by ONE tiny id exchange that buys kernel parallelism when
+    // the corpus arrives as few files (TextOps.shingled rationale); any
+    // exchange beyond one per arm means a kernel stage lost scan-locality
+    for ((name, arms, df) <- Seq(
+        ("cv_pupil", 1, Queries.cvPupil(spark, dir)),
+        ("cv_checkerboard", 1, Queries.cvCheckerboard(spark, dir)),
+        ("cv_circles", 2, Queries.cvCircles(spark, dir)), // normal + inverted
+        ("cv_video_pupils", 1, Queries.cvVideoPupils(spark, dir)),
+        ("audio_features", 1, Queries.audioFeatures(spark, dir)))) {
+      val p = plan(df)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges <= arms,
+        s"$name: $exchanges exchanges (> $arms arms) in a row-local kernel pipeline:\n$p")
+      assert(p.contains("MapPartitions"), s"$name lost its kernel stage:\n$p")
+    }
+  }
+
+  test("curation pipeline: benchmark broadcast survives the composition") {
+    val p = plan(Queries.curationPipeline(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"composed decontamination lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"composition degraded to all-pairs:\n$p")
+    graft.CacheRegistry.releaseAll()
+  }
 }

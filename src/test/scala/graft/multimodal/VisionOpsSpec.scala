@@ -125,6 +125,26 @@ class VisionOpsSpec extends SparkSpec {
     }
   }
 
+  test("video frame luminance is the closed-form two-tone mean per frame") {
+    val ids = Seq(1L, 5L).toDF("doc_id")
+    val media = VisionFixtures.plantMedia(ids, "doc_id", "video")
+    val lum = MultimodalOps.videoFrameLuminance(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (id <- Seq(1L, 5L)) {
+      val (nf, cx0, cy0, a, b) = VisionFixtures.videoParams(id)
+      for (f <- 0 until nf) {
+        val cx = cx0 + f; val cy = cy0 + f
+        val nDark = (for (y <- 0 until 48; x <- 0 until 48) yield {
+          val tx = (x - cx).toDouble / a; val ty = (y - cy).toDouble / b
+          tx * tx + ty * ty <= 1.0
+        }).count(identity)
+        val expect = (nDark.toLong * VisionFixtures.Dark +
+          (2304L - nDark) * VisionFixtures.Light).toDouble / 2304
+        assert(lum((id, f)) == expect, s"id $id frame $f")
+      }
+    }
+  }
+
   test("raw video container round-trips planes; malformed blobs rejected") {
     val planes = Seq(Array.tabulate(6)(i => i.toByte),
       Array.tabulate(6)(i => (100 + i).toByte))
