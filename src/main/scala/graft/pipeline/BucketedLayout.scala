@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed table layout — co-located joins decided at WRITE time.
+  *
+  * A join between two tables bucketed (and sorted) by the join key into
+  * the same bucket count plans with ZERO exchanges and zero sorts: each
+  * task reads bucket i of both sides and merges. At 100 TB this is the
+  * difference between re-shuffling the fact table on every consuming
+  * query and shuffling it exactly once at layout time — the batch
+  * analogue of co-partitioned stream-stream joins, and the standing
+  * answer SCALE.md's partitioning model gives for "the same big join
+  * runs nightly".
+  *
+  * Buckets are Spark catalog tables (`saveAsTable` — bucket metadata
+  * lives in the metastore; plain `parquet(path)` cannot carry it).
+  * Bucket count is the write-time parallelism knob: pick so one bucket
+  * of the FACT side fits an executor's memory comfortably
+  * (SCALE.md: ~128-512 MB per bucket at the target SF).
+  */
+object BucketedLayout {
+
+  /** Persist `df` bucketed+sorted by `key` into `buckets` buckets as
+    * catalog table `name` (overwrite; clears an orphaned location left
+    * by a crashed previous write — saveAsTable refuses to reuse it). */
+  def writeBucketed(df: DataFrame, name: String, key: String,
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val orphan = new java.io.File(warehouse, name.toLowerCase)
+    if (orphan.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(orphan)
+    }
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(name)
+  }
+
+  def table(spark: SparkSession, name: String): DataFrame =
+    spark.table(name)
+
+  /** Join two same-bucketed tables on `key`. With
+    * `spark.sql.sources.bucketing.enabled` (default true) and matching
+    * bucket counts this is exchange-free (spec-asserted). */
+  def coLocatedJoin(spark: SparkSession, left: String, right: String,
+                    key: String): DataFrame =
+    table(spark, left).join(table(spark, right), key)
+}
