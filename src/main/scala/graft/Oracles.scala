@@ -1409,6 +1409,53 @@ object Oracles {
         |  nrg.n_rings
         |FROM m JOIN nrg ON nrg.media_id = m.media_id""".stripMargin,
 
+    // Multi-marker replay: per planted marker, the same ring-inclusion
+    // rule and radial statistics as cv_circles; the frame-local marker
+    // index is a window over marker position.
+    "cv_multi_markers" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    1 + CAST(doc_id AS BIGINT) % 2 AS nm,
+        |    CAST(doc_id AS BIGINT) AS id FROM documents),
+        |mk AS (SELECT media_id, t.m AS m,
+        |    CASE WHEN t.m = 0 THEN 16 + id % 3 ELSE 44 + id % 3 END AS ccx,
+        |    CASE WHEN t.m = 0 THEN 16 + (id * 5) % 3
+        |         ELSE 44 + (id * 7) % 3 END AS ccy,
+        |    CASE WHEN t.m = 0 THEN id % 2 ELSE id % 3 END AS tt
+        |  FROM p, range(0, 2) t(m) WHERE t.m < nm),
+        |rings AS (SELECT media_id, m, ccx, ccy, 5 * rk.k + tt AS r
+        |  FROM mk, range(1, 3) rk(k)),
+        |px AS (SELECT mk.media_id, mk.m, gx.x AS x, gy.y AS y,
+        |    (gx.x - ccx) * (gx.x - ccx) + (gy.y - ccy) * (gy.y - ccy) AS d2
+        |  FROM mk, range(0, 64) gx(x), range(0, 64) gy(y)),
+        |dark AS (SELECT px.media_id, px.m, px.x, px.y, px.d2
+        |  FROM px JOIN rings rg
+        |    ON rg.media_id = px.media_id AND rg.m = px.m
+        |    AND (rg.r - 1) * (rg.r - 1) <= px.d2
+        |    AND px.d2 <= (rg.r + 1) * (rg.r + 1)),
+        |agg AS (SELECT media_id, m, count(*) AS n, sum(x) AS sx,
+        |    sum(y) AS sy, max(d2) AS maxd2 FROM dark GROUP BY media_id, m),
+        |fl AS (SELECT DISTINCT media_id, m,
+        |    CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT) AS f FROM dark),
+        |fr AS (SELECT media_id, m, f,
+        |    lag(f) OVER (PARTITION BY media_id, m ORDER BY f) AS pf FROM fl),
+        |nrg AS (SELECT media_id, m, CAST(count(*) FILTER (WHERE pf IS NULL
+        |    OR f - pf > 1) AS INT) AS n_rings FROM fr GROUP BY media_id, m),
+        |mstat AS (SELECT a.media_id, a.n,
+        |    CAST(a.sx AS DOUBLE) / a.n AS lx,
+        |    CAST(a.sy AS DOUBLE) / a.n AS ly,
+        |    sqrt(CAST(a.maxd2 AS DOUBLE)) AS sz, g.n_rings
+        |  FROM agg a JOIN nrg g ON g.media_id = a.media_id AND g.m = a.m)
+        |SELECT media_id,
+        |  CAST(row_number() OVER (PARTITION BY media_id
+        |    ORDER BY lx, ly) - 1 AS INT) AS marker_idx,
+        |  n AS n_dark,
+        |  round(lx, 6) + 0.0e0 AS loc_x,
+        |  round(ly, 6) + 0.0e0 AS loc_y,
+        |  round(lx / 64, 6) + 0.0e0 AS norm_x,
+        |  round(ly / 64, 6) + 0.0e0 AS norm_y,
+        |  round(sz, 6) + 0.0e0 AS size, n_rings
+        |FROM mstat""".stripMargin,
+
     // Per-frame replay of the drifting-pupil raw video: same grid, same
     // per-frame ellipse rule, same moment arithmetic as cv_pupil.
     "cv_video_pupils" ->

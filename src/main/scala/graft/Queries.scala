@@ -879,6 +879,28 @@ object Queries {
       col("n_rings"))
   }
 
+  /** C3 in its TRUE generator shape: 0..n concentric-ring markers per
+    * frame (the reference's world_circles list,
+    * marker_detection.py:33-47) — planted scenes carry 1-2 markers at
+    * separated centers; the detector labels connected components and
+    * groups rings into markers by recovered center
+    * ([[graft.multimodal.VisionOps.concentricMarkers]]), emitting a
+    * frame-local ordered marker index. Oracle: per-marker ring replay +
+    * a window for the index. */
+  def cvMultiMarkers(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{VisionFixtures, VisionOps}
+    val media = VisionFixtures.plantMedia(
+      Tables.documents(s, dir), "doc_id", "multi_markers")
+    VisionOps.findMarkers(media).select(
+      col("media_id"), col("marker_idx"), col("n_dark"),
+      (round(col("loc_x"), 6) + 0.0).as("loc_x"),
+      (round(col("loc_y"), 6) + 0.0).as("loc_y"),
+      (round(col("norm_x"), 6) + 0.0).as("norm_x"),
+      (round(col("norm_y"), 6) + 0.0).as("norm_y"),
+      (round(col("size"), 6) + 0.0).as("size"),
+      col("n_rings"))
+  }
+
   /** S1 video batch scan END-TO-END: planted raw-video blobs (2-4 gray
     * frames each, a dark pupil drifting one pixel per frame) → container
     * decode → per-frame moment ellipse fit — one row per (media, frame),

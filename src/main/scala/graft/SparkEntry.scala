@@ -77,6 +77,7 @@ object SparkEntry {
     "cv_pupil" -> (Queries.cvPupil _),
     "cv_checkerboard" -> (Queries.cvCheckerboard _),
     "cv_circles" -> (Queries.cvCircles _),
+    "cv_multi_markers" -> (Queries.cvMultiMarkers _),
     "audio_features" -> (Queries.audioFeatures _),
     "cv_video_pupils" -> (Queries.cvVideoPupils _),
     "curation_pipeline" -> (Queries.curationPipeline _),

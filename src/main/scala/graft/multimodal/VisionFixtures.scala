@@ -93,6 +93,31 @@ object VisionFixtures {
     }
   }
 
+  /** Multi-marker scene: 1-2 concentric-ring markers per 64×64 frame at
+    * well-separated integral centers (ring radii rk = 5k + t per
+    * marker), so a frame fans out to 0..n marker rows — the
+    * world_circles generator shape. */
+  def multiMarkerParams(id: Long): Seq[(Int, Int, Int, Int)] = {
+    val m0 = ((16 + id % 3).toInt, (16 + (id * 5) % 3).toInt, 2,
+      (id % 2).toInt)
+    val m1 = ((44 + id % 3).toInt, (44 + (id * 7) % 3).toInt, 2,
+      (id % 3).toInt)
+    if (id % 2 == 0) Seq(m0) else Seq(m0, m1)
+  }
+
+  def renderMultiMarkers(id: Long): Array[Byte] = {
+    val markers = multiMarkerParams(id)
+    pngBytes(64, 64, invert = false) { (x, y) =>
+      markers.exists { case (cx, cy, nr, t) =>
+        val d2 = (x - cx).toLong * (x - cx) + (y - cy).toLong * (y - cy)
+        (1 to nr).exists { k =>
+          val r = 5 * k + t
+          (r - 1).toLong * (r - 1) <= d2 && d2 <= (r + 1).toLong * (r + 1)
+        }
+      }
+    }
+  }
+
   /** Raw video: 2-4 frames of 48×48 gray with a dark pupil ellipse
     * drifting one pixel per frame (axis-aligned; geometry from the id,
     * exactly in-bounds at every frame). */
@@ -125,6 +150,8 @@ object VisionFixtures {
         val s = checkerboardParams(id)
         (renderCheckerboard(id), "image/png", 7 * s, 4 * s, 1)
       case "circles" => id => (renderCircles(id), "image/png", 64, 64, 1)
+      case "multi_markers" => id =>
+        (renderMultiMarkers(id), "image/png", 64, 64, 1)
       case "video" => id =>
         val nf = videoParams(id)._1
         (renderVideo(id), "video/x-graft-raw", 48, 48, nf)

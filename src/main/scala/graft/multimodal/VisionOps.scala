@@ -203,6 +203,91 @@ object VisionOps {
     Some(CircleMarker(n, cx, cy, math.sqrt(maxD2), rings))
   }
 
+  /** MULTI-marker concentric-circle detection — the reference's true
+    * output shape: `find_pupil_circle_marker` returns a LIST of markers
+    * per frame (world_circles, marker_detection.py:33-47), each an
+    * ellipse cluster. Here: binarize → 4-connected component labeling
+    * (each ring is its own component) → group components into markers by
+    * their rounded centroids (every ring of a concentric marker has the
+    * SAME center; for symmetric rings the centroid recovers it exactly,
+    * so integer rounding is a safe group key at ≥ 2 px marker
+    * separation) → per marker the [[CircleMarker]] statistics. Emitted
+    * sorted by (locX, locY) with a frame-local marker index — no shuffle
+    * needed for a deterministic order. */
+  def concentricMarkers(g: Gray, thresh: Double = DarkThreshold): Seq[CircleMarker] = {
+    val n = g.w * g.h
+    val label = new Array[Int](n)
+    java.util.Arrays.fill(label, -1)
+    val stack = new Array[Int](n)
+    var next = 0
+    var i = 0
+    while (i < n) {
+      if (label(i) < 0 && g.px(i) < thresh) {
+        var top = 0
+        stack(0) = i; label(i) = next; top = 1
+        while (top > 0) {
+          top -= 1
+          val p = stack(top)
+          val x = p % g.w; val y = p / g.w
+          var d = 0
+          while (d < 4) {
+            val (nx, ny) = d match {
+              case 0 => (x - 1, y); case 1 => (x + 1, y)
+              case 2 => (x, y - 1); case _ => (x, y + 1)
+            }
+            if (nx >= 0 && nx < g.w && ny >= 0 && ny < g.h) {
+              val q = ny * g.w + nx
+              if (label(q) < 0 && g.px(q) < thresh) {
+                label(q) = next; stack(top) = q; top += 1
+              }
+            }
+            d += 1
+          }
+        }
+        next += 1
+      }
+      i += 1
+    }
+    if (next == 0) return Seq.empty
+    // per-component integer moment sums
+    val cn = new Array[Long](next); val csx = new Array[Long](next)
+    val csy = new Array[Long](next)
+    i = 0
+    while (i < n) {
+      val l = label(i)
+      if (l >= 0) { cn(l) += 1; csx(l) += i % g.w; csy(l) += i / g.w }
+      i += 1
+    }
+    // group components by rounded centroid = marker identity
+    val groups = (0 until next).groupBy { c =>
+      (math.rint(csx(c).toDouble / cn(c)), math.rint(csy(c).toDouble / cn(c)))
+    }
+    groups.toSeq.map { case (_, comps) =>
+      val mn = comps.map(cn(_)).sum
+      val sx = comps.map(csx(_)).sum; val sy = comps.map(csy(_)).sum
+      val cx = sx.toDouble / mn; val cy = sy.toDouble / mn
+      var maxD2 = 0.0
+      val floors = scala.collection.mutable.SortedSet.empty[Long]
+      val member = comps.toSet
+      var p = 0
+      while (p < n) {
+        if (label(p) >= 0 && member(label(p))) {
+          val dx = p % g.w - cx; val dy = p / g.w - cy
+          val d2 = dx * dx + dy * dy
+          if (d2 > maxD2) maxD2 = d2
+          floors += math.floor(math.sqrt(d2)).toLong
+        }
+        p += 1
+      }
+      var rings = 0; var prev = Long.MinValue
+      floors.foreach { f =>
+        if (prev == Long.MinValue || f - prev > 1) rings += 1
+        prev = f
+      }
+      CircleMarker(mn, cx, cy, math.sqrt(maxD2), rings)
+    }.sortBy(m => (m.locX, m.locY))
+  }
+
   // -------------------------------------------------- DataFrame entry points
 
   private def mediaPlanes(media: DataFrame, invertContrast: Boolean)(
@@ -290,6 +375,26 @@ object VisionOps {
       checkerboardCorners(g, thresh).iterator.map(c =>
         Row(id, c.x.toDouble, c.y.toDouble,
           c.x.toDouble / g.w, c.y.toDouble / g.h)), schema)
+  }
+
+  /** C3 MULTI-marker form over a media table: 0..n marker rows per
+    * decodable frame (the world_circles generator shape), frame-local
+    * `marker_idx` ordered by position. */
+  def findMarkers(media: DataFrame, invertContrast: Boolean = false,
+                  thresh: Double = DarkThreshold): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("marker_idx", IntegerType, nullable = false),
+      StructField("n_dark", LongType),
+      StructField("loc_x", DoubleType), StructField("loc_y", DoubleType),
+      StructField("norm_x", DoubleType), StructField("norm_y", DoubleType),
+      StructField("size", DoubleType),
+      StructField("n_rings", IntegerType)))
+    mediaPlanes(media, invertContrast)((id, g) =>
+      concentricMarkers(g, thresh).iterator.zipWithIndex.map { case (m, idx) =>
+        Row(id, idx, m.n, m.locX, m.locY, m.locX / g.w, m.locY / g.h,
+          m.size, m.nRings)
+      }, schema)
   }
 
   /** C3 over a media table: one marker-statistics row per decodable

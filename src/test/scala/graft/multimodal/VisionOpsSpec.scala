@@ -96,6 +96,30 @@ class VisionOpsSpec extends SparkSpec {
     }
   }
 
+  test("multi-marker frames: one row per planted marker, exact centers") {
+    for (id <- Seq(2L, 3L, 7L, 10L)) { // even = 1 marker, odd = 2
+      val markers = VisionOps.concentricMarkers(
+        grayFrom(VisionFixtures.renderMultiMarkers(id)))
+      val planted = VisionFixtures.multiMarkerParams(id)
+      assert(markers.size == planted.size,
+        s"id $id: ${markers.size} markers != ${planted.size}")
+      val expect = planted.map { case (cx, cy, _, _) =>
+        (cx.toDouble, cy.toDouble)
+      }.sorted
+      assert(markers.map(m => (m.locX, m.locY)) == expect)
+      // every marker reports its own ring count (2 planted per marker)
+      assert(markers.forall(_.nRings == 2))
+    }
+  }
+
+  test("multi-marker detection degrades to single-marker on circles fixtures") {
+    // a one-marker scene through the multi path == the single-marker path
+    val g = grayFrom(VisionFixtures.renderCircles(2L))
+    val multi = VisionOps.concentricMarkers(g)
+    val single = VisionOps.concentricCircles(g).get
+    assert(multi.size == 1 && multi.head == single)
+  }
+
   // ------------------------------------------- DataFrame plumbing
 
   test("detectPupils over a planted media table: exact centers, one row per id") {
