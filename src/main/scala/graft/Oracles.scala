@@ -935,6 +935,32 @@ object Oracles {
          |FROM aug""".stripMargin
     },
 
+    // line-level dedup: rebuild the planted line structure (8-token
+    // chunks + the shared boilerplate line on 3/4 of docs), count lines
+    // corpus-wide, drop > 10 occurrences, reassemble in position order
+    "text_line_dedup" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc, list_transform(range(0, (len(toks) + 7) // 8),
+        |    i -> array_to_string(toks[i*8+1 : i*8+8], ' ')) AS lines0
+        |  FROM d),
+        |aug AS (SELECT doc, CASE WHEN doc % 4 <> 0
+        |    THEN list_append(lines0, 'subscribe to the graft newsletter today')
+        |    ELSE lines0 END AS lines FROM b),
+        |l AS (SELECT doc, unnest(list_transform(range(1, len(lines) + 1),
+        |    i -> {'pos': i, 'ln': lines[i]})) AS u FROM aug),
+        |ll AS (SELECT doc, u.pos AS pos, u.ln AS ln FROM l),
+        |c AS (SELECT ln FROM ll GROUP BY ln HAVING count(*) > 10),
+        |k AS (SELECT doc, pos, ln FROM ll
+        |  WHERE ln NOT IN (SELECT ln FROM c)),
+        |agg AS (SELECT doc, count(*) AS n_kept,
+        |    string_agg(ln, chr(10) ORDER BY pos) AS text_dedup
+        |  FROM k GROUP BY doc)
+        |SELECT a.doc, len(a.lines)::BIGINT AS n_lines,
+        |  coalesce(g.n_kept, 0)::BIGINT AS n_kept,
+        |  coalesce(g.text_dedup, '') AS text_dedup
+        |FROM aug a LEFT JOIN agg g USING (doc)""".stripMargin,
+
     // repetition metrics; distinct 3-grams mirror TextOps.shinglesOf
     "text_repetition" ->
       """WITH d AS (SELECT doc_id AS doc, string_split(trim(text), ' ') AS toks

@@ -617,6 +617,26 @@ object Queries {
     TextOps.piiScrub(aug, "doc_id", "text")
   }
 
+  /** Line-level dedup (CCNet-style): the corpus has no line structure,
+    * so the fixture plants it — tokens chunked 8-per-line joined by
+    * newline, plus a SHARED boilerplate line appended to 3 of 4 docs
+    * (the cookie-banner analogue, ~375 occurrences ≫ the threshold 10).
+    * [[operators.TextOps.dedupLines]] must drop exactly the over-
+    * threshold lines and reassemble the rest in order. */
+  def textLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nChunks = ((size(toks) + lit(7)) / lit(8)).cast("int")
+    val lines = transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(toks, i * 8 + 1, lit(8))))
+    val boiler = lit("subscribe to the graft newsletter today")
+    val arr = when(col("doc_id") % 4 =!= 0,
+      concat(lines, array(boiler))).otherwise(lines)
+    val aug = Tables.documents(s, dir).select(
+      col("doc_id").cast("long").as("doc_id"),
+      array_join(arr, "\n").as("text"))
+    TextOps.dedupLines(aug, "doc_id", "text")
+  }
+
   /** Repetition / boilerplate metrics per document. */
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextOps.repetitionStats(Tables.documents(s, dir), "doc_id", "text")

@@ -66,6 +66,7 @@ object SparkEntry {
     "text_decontaminate" -> (Queries.textDecontaminate _),
     "text_pii" -> (Queries.textPii _),
     "text_repetition" -> (Queries.textRepetition _),
+    "text_line_dedup" -> (Queries.textLineDedup _),
     "bm25_topk" -> (Queries.bm25Topk _),
     "sim_brute_topk" -> (Queries.simBruteTopK _),
     "ann_lsh_topk" -> (Queries.annLshTopk _),

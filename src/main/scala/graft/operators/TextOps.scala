@@ -183,6 +183,44 @@ object TextOps {
       lshBandTable(docs, idCol, textCol, shingleK, numHashes, bands),
       numHashes, minEstJaccard, maxBandBucket)
 
+  /** Line-level dedup (CCNet-style boilerplate removal): drop every line
+    * that occurs more than `maxOccurrences` times CORPUS-WIDE (cookie
+    * banners, nav text, signatures), keep the rest in original order.
+    *
+    * Scale shape: one explode + one map-side-combined count on the line
+    * hash; the over-threshold "boilerplate set" is SMALL by construction
+    * (only lines repeated corpus-wide), so the removal join is a
+    * broadcast LEFT ANTI — the corpus lines shuffle once for the count
+    * and once for the per-doc reassembly, never against each other.
+    * Reassembly is order-exact: lines collect with their positions and
+    * re-join sorted, so surviving text is the original minus dropped
+    * lines. Docs whose every line drops stay in the output with empty
+    * text (auditable, not silently vanished). */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 sep: String = "\n", maxOccurrences: Int = 10): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val lines = docs.repartition(col(idCol))
+      .select(col(idCol).as("doc"), split(col(textCol), quoted).as("_parts"))
+      .select(col("doc"), size(col("_parts")).as("n_lines"),
+        posexplode(col("_parts")).as(Seq("pos", "ln")))
+      .transform(graft.CacheRegistry.persistTracked(_))
+    val boiler = lines.groupBy(col("ln"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > maxOccurrences)
+      .select(col("ln"))
+    val kept = lines.join(broadcast(boiler), Seq("ln"), "left_anti")
+      .groupBy(col("doc")).agg(
+        count(lit(1)).cast("long").as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("ln")))),
+          x => x.getField("ln")), sep).as("text_dedup"))
+    docs.select(col(idCol).as("doc"),
+        size(split(col(textCol), quoted)).cast("long").as("n_lines"))
+      .join(kept, Seq("doc"), "left")
+      .select(col("doc"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   /** Exact n-gram Jaccard gated behind MinHash/LSH candidates — the scale
     * shape for [[ngramJaccardPairs]] (which stays as the exact all-pairs
     * verification baseline). Candidate pairs are docs sharing at least one

@@ -90,4 +90,31 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(1L))
     graft.CacheRegistry.releaseAll()
   }
+
+  test("dedupLines drops corpus-wide boilerplate, keeps order, keeps empty docs") {
+    val boiler = "subscribe now"
+    val docs = (1L to 6L).map { i =>
+      val own = s"unique line $i a" + "\n" + s"unique line $i b"
+      (i, if (i <= 5) own + "\n" + boiler else boiler)
+    }.toDF("doc_id", "text")
+    // boiler appears 6 times > max 4 -> dropped everywhere
+    val out = TextOps.dedupLines(docs, "doc_id", "text", "\n", maxOccurrences = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    graft.CacheRegistry.releaseAll()
+    for (i <- 1L to 5L) {
+      assert(out(i)._1 == 3 && out(i)._2 == 2)
+      assert(out(i)._3 == s"unique line $i a" + "\n" + s"unique line $i b")
+    }
+    // doc 6 was ONLY boilerplate: present, empty text
+    assert(out(6L) == ((1L, 0L, "")))
+  }
+
+  test("dedupLines below threshold keeps everything verbatim") {
+    val docs = Seq((1L, "a\nb\nc"), (2L, "a\nx")).toDF("doc_id", "text")
+    val out = TextOps.dedupLines(docs, "doc_id", "text", "\n", maxOccurrences = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    graft.CacheRegistry.releaseAll()
+    assert(out(1L) == "a\nb\nc" && out(2L) == "a\nx")
+  }
 }
