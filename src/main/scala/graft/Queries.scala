@@ -718,8 +718,16 @@ object Queries {
     * long/array columns exactly), so the hash oracle is unchanged. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val idxPath = java.nio.file.Files.createTempDirectory("graft_lsh_idx")
-      .toString
+    // deterministic per-corpus artifact path, overwritten on rebuild —
+    // repeated invocations reuse one location instead of leaking a
+    // fresh temp dir each run. Cluster deployments set
+    // spark.graft.lsh.indexDir to a shared filesystem; the tmpdir
+    // default only makes sense for local mode.
+    val base = s.conf.getOption("spark.graft.lsh.indexDir")
+      .getOrElse(sys.props("java.io.tmpdir"))
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val idxPath = s"$base/graft_lsh_idx_$tag"
     operators.LshIndexIO.build(docs, "doc_id", "text", idxPath)
     val pairs = operators.LshIndexIO.pairs(s, idxPath)
     val comp = GraphOps.connectedComponents(pairs, "doc_a", "doc_b")

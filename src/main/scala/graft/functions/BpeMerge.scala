@@ -89,18 +89,15 @@ object BpeMerge {
     toks.toArray
   }
 
-  /** Shared eval: pre-tokenize, merge each word, stream the results. */
+  /** Shared eval: pre-tokenize, merge each word, collect the results
+    * (plain loop — a matcher-driven Iterator would side-effect `find()`
+    * inside hasNext, which breaks under double-hasNext callers). */
   private def tokenize(text: String, pattern: java.util.regex.Pattern,
-                       ranks: java.util.HashMap[String, Integer]): Iterator[String] = {
+                       ranks: java.util.HashMap[String, Integer]): Array[String] = {
     val m = pattern.matcher(text)
-    new Iterator[java.util.Iterator[String]] {
-      def hasNext: Boolean = m.find()
-      def next(): java.util.Iterator[String] =
-        java.util.Arrays.asList(mergeWord(m.group(), ranks): _*).iterator()
-    }.flatMap(it => new Iterator[String] {
-      def hasNext: Boolean = it.hasNext
-      def next(): String = it.next()
-    })
+    val out = Array.newBuilder[String]
+    while (m.find()) out ++= mergeWord(m.group(), ranks)
+    out.result()
   }
 
   /** Exact merge-table BPE token count of a string column. */
@@ -151,8 +148,8 @@ object BpeMerge {
 
     override def nullSafeEval(input: Any): Any = {
       val text = input.asInstanceOf[UTF8String].toString
-      val out = tokenize(text, re, ranks)
-        .map(t => UTF8String.fromString(t).asInstanceOf[AnyRef]).toArray
+      val out: Array[AnyRef] = tokenize(text, re, ranks)
+        .map(t => UTF8String.fromString(t).asInstanceOf[AnyRef])
       new GenericArrayData(out)
     }
 

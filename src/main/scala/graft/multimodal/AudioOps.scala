@@ -45,7 +45,9 @@ object AudioOps {
     while (off + 8 <= bytes.length) {
       val id = tag(bytes, off)
       val sz = le32(bytes, off + 4)
-      if (sz < 0 || off + 8 + sz > bytes.length) return None
+      // bounds in Long: a crafted sz near Int.MaxValue must fail the
+      // check, not wrap negative and pass it
+      if (sz < 0 || off.toLong + 8 + sz > bytes.length) return None
       id match {
         case "fmt " =>
           if (sz < 16) return None
@@ -153,14 +155,18 @@ object AudioOps {
       it.flatMap { r =>
         decodeWav(r.getAs[Array[Byte]](bIdx)).iterator.map { w =>
           val n = w.samples.length
+          val ch = w.channels
           var ss = 0L; var peak = 0; var zc = 0L
           var i = 0
           while (i < n) {
             val s = w.samples(i)
             ss += s.toLong * s
+            // samples sit in Int storage, so abs(-32768) = 32768 exactly
             val a = math.abs(s)
             if (a > peak) peak = a
-            if (i > 0 && w.samples(i - 1).toLong * s < 0) zc += 1
+            // crossings stride by channel: adjacent INTERLEAVED samples
+            // of a stereo clip belong to different channels
+            if (i >= ch && w.samples(i - ch).toLong * s < 0) zc += 1
             i += 1
           }
           val frames = n / w.channels

@@ -202,7 +202,13 @@ object MultimodalOps {
             if (luma.isEmpty) 0.0 else luma.sum / luma.length
           case None =>
             if (bytes == null || bytes.isEmpty) 0.0
-            else bytes.map(_ & 0xff).sum.toDouble / bytes.length
+            else {
+              // Long accumulator: an Int sum wraps past ~16.8 MB of
+              // high-valued bytes (and .map would copy the blob)
+              var s = 0L; var i = 0
+              while (i < bytes.length) { s += bytes(i) & 0xff; i += 1 }
+              s.toDouble / bytes.length
+            }
         }
         Row(r.getLong(idIdx), lum)
       }

@@ -347,9 +347,17 @@ object VectorOps {
     * over raw vectors). None on an empty corpus. */
   def ivfPqTrain(vecs: DataFrame, idCol: String, vecCol: String,
                  nCells: Int = 16, m: Int = 8, codebookK: Int = 16,
-                 sampleN: Int = 10000): Option[IvfPqModel] = {
-    val v = normalized(vecs, idCol, vecCol)
-      .select(col(idCol).as("v_id"), col("vn"))
+                 sampleN: Int = 10000): Option[IvfPqModel] =
+    ivfPqTrainNormalized(
+      normalized(vecs, idCol, vecCol).select(col(idCol).as("v_id"), col("vn")),
+      nCells, m, codebookK, sampleN)
+
+  /** Train core over an already-normalized `(v_id, vn)` frame — lets the
+    * inline composition share ONE normalize lineage across train /
+    * encode / search instead of re-running it per stage. */
+  private[graft] def ivfPqTrainNormalized(v: DataFrame, nCells: Int, m: Int,
+                                          codebookK: Int,
+                                          sampleN: Int): Option[IvfPqModel] = {
     // deterministic sample order (by id) — same contract as ivfTopK/pqTopK
     val sample = v.orderBy("v_id").limit(sampleN).collect()
       .map(_.getAs[scala.collection.Seq[Double]]("vn").toArray)
@@ -421,7 +429,21 @@ object VectorOps {
     * and re-rank joins are equi-joins (plan-audited: zero nested-loop). */
   def ivfPqSearch(model: IvfPqModel, index: DataFrame, corpus: DataFrame,
                   idCol: String, vecCol: String, queryPred: Column, k: Int,
-                  nprobe: Int = 4, rerank: Int = 10): DataFrame = {
+                  nprobe: Int = 4, rerank: Int = 10): DataFrame =
+    // persisted (tracked): the normalized corpus feeds the probe side and
+    // the exact re-rank — two consumers of the same normalize lineage
+    ivfPqSearchNormalized(model, index,
+      graft.CacheRegistry.persistTracked(
+        normalized(corpus, idCol, vecCol)
+          .select(col(idCol).as("v_id"), col("vn"))),
+      queryPred, k, nprobe, rerank)
+
+  /** Search core over an already-normalized (and caller-persisted)
+    * `(v_id, vn)` corpus frame. */
+  private[graft] def ivfPqSearchNormalized(model: IvfPqModel, index: DataFrame,
+                                           v: DataFrame, queryPred: Column,
+                                           k: Int, nprobe: Int,
+                                           rerank: Int): DataFrame = {
     val m = model.m
     val centLit = array(model.cents.map(c =>
       array(c.toIndexedSeq.map(lit): _*)).toIndexedSeq: _*)
@@ -430,11 +452,6 @@ object VectorOps {
         array(c.toIndexedSeq.map(lit): _*)): _*)
     val recon = flatten(array((0 until m).map(s =>
       element_at(bookLit(s), element_at(col("codes"), s + 1))): _*))
-    // persisted (tracked): the normalized corpus feeds the probe side and
-    // the exact re-rank — two consumers of the same normalize lineage
-    val v = graft.CacheRegistry.persistTracked(
-      normalized(corpus, idCol, vecCol)
-        .select(col(idCol).as("v_id"), col("vn")))
     val q = v.filter(queryPred)
       .withColumn("_cells", cellRanks(col("vn"), model.cents))
       .select(col("v_id").as("q_id"), col("vn").as("qv"),
@@ -466,18 +483,22 @@ object VectorOps {
   def ivfPqTopK(vecs: DataFrame, idCol: String, vecCol: String,
                 queryPred: Column, k: Int, nCells: Int = 16, nprobe: Int = 4,
                 m: Int = 8, codebookK: Int = 16, rerank: Int = 10,
-                sampleN: Int = 10000): DataFrame =
-    ivfPqTrain(vecs, idCol, vecCol, nCells, m, codebookK, sampleN) match {
+                sampleN: Int = 10000): DataFrame = {
+    // ONE normalize lineage, persisted, shared by all three stages —
+    // train sample, corpus encode, and probe/re-rank all read `v`
+    val v = graft.CacheRegistry.persistTracked(
+      normalized(vecs, idCol, vecCol).select(col(idCol).as("v_id"), col("vn")))
+    ivfPqTrainNormalized(v, nCells, m, codebookK, sampleN) match {
       case None =>
         vecs.sparkSession.emptyDataFrame
           .select(lit(0L).as("q_id"), lit(0).as("rank"),
             lit(0L).as("n_id"), lit(0.0).as("sim")).limit(0)
       case Some(model) =>
         val index = graft.CacheRegistry.persistTracked(
-          ivfPqEncode(vecs, idCol, vecCol, model))
-        ivfPqSearch(model, index, vecs, idCol, vecCol, queryPred, k,
-          nprobe, rerank)
+          ivfPqEncodeNormalized(v, model))
+        ivfPqSearchNormalized(model, index, v, queryPred, k, nprobe, rerank)
     }
+  }
 
   /** Banded sign-LSH near-duplicate pairs — the scale shape for
     * [[nearDupPairs]] (which stays as the exact all-pairs verification

@@ -22,20 +22,30 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object BucketedLayout {
 
   /** Persist `df` bucketed+sorted by `key` into `buckets` buckets as
-    * catalog table `name` (overwrite; clears an orphaned location left
-    * by a crashed previous write — saveAsTable refuses to reuse it). */
+    * catalog table `name` (overwrite).
+    *
+    * Also clears an orphaned LOCAL warehouse location left by a crashed
+    * previous write (saveAsTable refuses to reuse one). The cleanup is
+    * deliberately scoped to local-filesystem warehouses and unqualified
+    * default-database names — the local-mode crash case; on a shared
+    * metastore with an HDFS/S3 warehouse an orphaned location is an
+    * operational condition to resolve deliberately, not something a
+    * library write should delete. */
   def writeBucketed(df: DataFrame, name: String, key: String,
                     buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $name")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:")
-    val orphan = new java.io.File(warehouse, name.toLowerCase)
-    if (orphan.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    val local = !warehouse.contains("://") || warehouse.startsWith("file:")
+    if (local && !name.contains(".")) {
+      val orphan = new java.io.File(
+        warehouse.stripPrefix("file:"), name.toLowerCase)
+      if (orphan.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(orphan)
       }
-      rm(orphan)
     }
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)

@@ -34,6 +34,36 @@ class AudioOpsSpec extends SparkSpec {
     assert(w.samples.sameElements(Array(5, -5, 7)))
   }
 
+  test("stereo zero-crossings stride per channel, not across interleave") {
+    import org.apache.spark.sql.functions.{col, struct}
+    // L constantly +100, R constantly -100 → neither channel crosses
+    val interleaved = Array.tabulate(40)(i => if (i % 2 == 0) 100 else -100)
+    val bytes = AudioOps.encodeWavMono(8000, interleaved)
+    bytes(22) = 2 // patch fmt.channels to stereo
+    val w = AudioOps.decodeWav(bytes).get
+    assert(w.channels == 2)
+    val media = Seq((1L, bytes, ("audio/wav", 0, 0, 1)))
+      .toDF("media_id", "bytes", "m")
+      .select(col("media_id"), col("bytes"),
+        struct(col("m._1").as("format"), col("m._2").as("width"),
+          col("m._3").as("height"), col("m._4").as("n_frames")).as("meta"))
+    val r = AudioOps.extractAudioFeatures(media).collect()(0)
+    assert(r.getAs[Long]("zero_crossings") == 0L)
+    assert(r.getAs[Double]("duration_sec") == 20.0 / 8000) // frames/rate
+  }
+
+  test("full-scale negative samples report the correct peak (32768)") {
+    val w = AudioOps.encodeWavMono(8000, Array(-32768, 5, -5))
+    import org.apache.spark.sql.functions.{col, struct}
+    val media = Seq((1L, w, ("audio/wav", 0, 0, 1)))
+      .toDF("media_id", "bytes", "m")
+      .select(col("media_id"), col("bytes"),
+        struct(col("m._1").as("format"), col("m._2").as("width"),
+          col("m._3").as("height"), col("m._4").as("n_frames")).as("meta"))
+    val r = AudioOps.extractAudioFeatures(media).collect()(0)
+    assert(r.getAs[Int]("peak") == 32768)
+  }
+
   test("malformed bytes are rejected, not mis-parsed") {
     assert(AudioOps.decodeWav(null).isEmpty)
     assert(AudioOps.decodeWav(Array[Byte](1, 2, 3)).isEmpty)
