@@ -671,6 +671,21 @@ object Oracles {
        |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc""".stripMargin
   }
 
+  /** pack_chunks_bpe oracle: the full BPE replay feeding the per-shard
+    * concat-and-chunk arithmetic — token budgets are EXACT counts, not
+    * the chars/4 estimate (the r3 packing caveat, closed). */
+  private def packChunksBpeSql: String =
+    s"""WITH b AS (SELECT * FROM (
+       |${bpeTokenizeSql.linesIterator.map("  " + _).mkString("\n")}
+       |) t),
+       |c AS (SELECT doc, doc % 32 AS shard, n_bpe_tokens AS n_tokens,
+       |    coalesce(sum(n_bpe_tokens) OVER (PARTITION BY doc % 32
+       |      ORDER BY doc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS cum
+       |  FROM b)
+       |SELECT doc, shard, n_tokens::BIGINT AS n_tokens,
+       |  floor(cum::DOUBLE / 2048)::BIGINT AS chunk FROM c""".stripMargin
+
   /** ann_ivf_pq_topk oracle: the two proven Lloyd-replay techniques
     * composed — the coarse-quantizer chain (ivfSql's unrolled iterations
     * over the full vectors) feeds cell assignments, residuals of each
@@ -834,6 +849,8 @@ object Oracles {
     "dedup_simhash" -> simhashSql,
 
     "bpe_tokenize" -> bpeTokenizeSql,
+
+    "pack_chunks_bpe" -> packChunksBpeSql,
 
     "dedup_ngram_jaccard" -> ngramGatedSql,
 

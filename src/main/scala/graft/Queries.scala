@@ -760,6 +760,15 @@ object Queries {
   def packChunks(s: SparkSession, dir: String): DataFrame =
     SampleOps.packChunks(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Sequence packing with EXACT merge-BPE budgets: the same per-shard
+    * concat-and-chunk layout as `pack_chunks`, but token counts come
+    * from the greedy merge-table tokenizer instead of the chars/4
+    * estimate — context budgets are real. The oracle feeds the full
+    * recursive-CTE BPE replay into the pack arithmetic. */
+  def packChunksBpe(s: SparkSession, dir: String): DataFrame =
+    SampleOps.packChunks(Tables.documents(s, dir), "doc_id", "text",
+      tokenCount = Some(TextOps.mergeBpeTokenCount(col("text"))))
+
   /** EXACT merge-table BPE tokenization: greedy lowest-rank merges over
     * GPT-2-style pre-tokens against the engine's built-in merge table
     * (native kernel, row-local — one scan at any corpus size). The oracle

@@ -58,6 +58,7 @@ object SparkEntry {
     "sample_stratified" -> (Queries.sampleStratified _),
     "pack_chunks" -> (Queries.packChunks _),
     "bpe_tokenize" -> (Queries.bpeTokenize _),
+    "pack_chunks_bpe" -> (Queries.packChunksBpe _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "text_stats" -> (Queries.textStats _),
     "text_langid" -> (Queries.textLangid _),

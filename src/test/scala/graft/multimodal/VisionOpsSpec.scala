@@ -120,6 +120,34 @@ class VisionOpsSpec extends SparkSpec {
     assert(multi.size == 1 && multi.head == single)
   }
 
+  test("property: random rotated ellipses recover center/axes/angle (seeded sweep)") {
+    val rng = new scala.util.Random(97)
+    for (_ <- 1 to 25) {
+      val cx = 24 + rng.nextInt(17).toDouble
+      val cy = 24 + rng.nextInt(17).toDouble
+      val a = 10.0 + rng.nextInt(8)
+      val b = 4.0 + rng.nextInt(4) // a - b >= 2: orientation well-defined
+      val th = math.toRadians(rng.nextInt(180).toDouble)
+      val bytes = VisionFixtures.pngBytes(64, 64, invert = false) { (x, y) =>
+        val dx = x - cx; val dy = y - cy
+        val u = (dx * math.cos(th) + dy * math.sin(th)) / a
+        val v = (-dx * math.sin(th) + dy * math.cos(th)) / b
+        u * u + v * v <= 1.0
+      }
+      val p = VisionOps.pupilEllipse(grayFrom(bytes)).get
+      assert(math.abs(p.cx - cx) < 0.6 && math.abs(p.cy - cy) < 0.6,
+        s"center ($cx,$cy) a=$a b=$b th=$th -> (${p.cx},${p.cy})")
+      assert(math.abs(p.major - 2 * a) < 2.0 && math.abs(p.minor - 2 * b) < 2.0,
+        s"axes ($a,$b) th=$th -> (${p.major},${p.minor})")
+      // angle mod 180 within 6 deg (discretization-limited at small b)
+      val planted = math.toDegrees(th)
+      val diff0 = math.abs(p.angleDeg - planted) % 180.0
+      val diff = math.min(diff0, 180.0 - diff0)
+      assert(diff < 6.0, s"angle $planted -> ${p.angleDeg} (a=$a b=$b)")
+      assert(p.confidence > 0.85 && p.confidence <= 1.0)
+    }
+  }
+
   // ------------------------------------------- DataFrame plumbing
 
   test("detectPupils over a planted media table: exact centers, one row per id") {
