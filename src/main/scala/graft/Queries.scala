@@ -23,6 +23,11 @@ import graft.operators.{AsOfJoin, ClusterOps, GraphOps, LabelingOps,
   */
 object Queries {
 
+  /** Application-private base for derived index artifacts (LSH bands):
+    * created once per JVM, unguessable, never shared across processes. */
+  private[graft] lazy val privateIndexBase: String =
+    java.nio.file.Files.createTempDirectory("graft_idx_").toString
+
   private def t(c: String = "ts"): Column = col(c).cast("double")
 
   /** Events with a numeric seconds column, the engine's canonical
@@ -718,13 +723,16 @@ object Queries {
     * long/array columns exactly), so the hash oracle is unchanged. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    // deterministic per-corpus artifact path, overwritten on rebuild —
-    // repeated invocations reuse one location instead of leaking a
-    // fresh temp dir each run. Cluster deployments set
-    // spark.graft.lsh.indexDir to a shared filesystem; the tmpdir
-    // default only makes sense for local mode.
+    // per-corpus artifact path, overwritten on rebuild — repeated
+    // invocations within one application reuse one location instead of
+    // leaking a fresh temp dir each run. The DEFAULT base is private to
+    // this application (a createTempDirectory made once per JVM): a
+    // fixed world-shared /tmp name would let two concurrent processes
+    // overwrite each other's band files mid-scan, and is a symlink
+    // hazard on multi-user hosts. Cluster deployments that WANT
+    // cross-run index sharing set spark.graft.lsh.indexDir explicitly.
     val base = s.conf.getOption("spark.graft.lsh.indexDir")
-      .getOrElse(sys.props("java.io.tmpdir"))
+      .getOrElse(Queries.privateIndexBase)
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val idxPath = s"$base/graft_lsh_idx_$tag"

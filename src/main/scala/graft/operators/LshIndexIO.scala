@@ -24,14 +24,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object LshIndexIO {
 
   /** One full corpus pass: shingle → minhash → band keys, written as the
-    * persisted band table. Returns the row count written. */
+    * persisted band table. Returns the row count written — observed on the
+    * write itself (`Dataset.observe`), NOT by re-reading the artifact: at
+    * corpus scale a count-after-write doubles the file-listing cost of
+    * every build. */
   def build(docs: DataFrame, idCol: String, textCol: String, path: String,
             shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4): Long = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{count, lit}
     val table = TextOps.lshBandTable(docs, idCol, textCol, shingleK,
       numHashes, bands)
-    table.write.mode("overwrite").partitionBy("band_id")
+    val obs = Observation()
+    table.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").partitionBy("band_id")
       .parquet(s"$path/bands")
-    docs.sparkSession.read.parquet(s"$path/bands").count()
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** Load the persisted band table. */

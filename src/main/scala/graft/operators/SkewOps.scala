@@ -39,12 +39,21 @@ object SkewOps {
                  factIdCol: String, salts: Int = 8,
                  saltSeed: String = "skew"): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val saltedFact = fact.withColumn("_salt",
+    val salt = freshName("_salt", fact.columns ++ dim.columns)
+    val saltedFact = fact.withColumn(salt,
       saltOf(col(factIdCol), salts, saltSeed))
     val saltedDim = dim
-      .withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
-      .withColumn("_salt", col("_salt").cast("int"))
-    saltedFact.join(saltedDim, Seq(key, "_salt")).drop("_salt")
+      .withColumn(salt, explode(sequence(lit(0), lit(salts - 1))))
+      .withColumn(salt, col(salt).cast("int"))
+    saltedFact.join(saltedDim, Seq(key, salt)).drop(salt)
+  }
+
+  /** Working-column name guaranteed absent from `existing` — a caller
+    * column literally named `_salt` must survive the join untouched. */
+  private def freshName(base: String, existing: Seq[String]): String = {
+    var c = base
+    while (existing.contains(c)) c += "_"
+    c
   }
 
   /** Salted two-phase aggregation: count/sum-like partial aggregation is
@@ -55,8 +64,10 @@ object SkewOps {
     * decomposable pair (merge ∘ partial ≡ direct). */
   def saltedAgg(df: DataFrame, key: String, idCol: String,
                 partial: Seq[Column], merge: Seq[Column],
-                salts: Int = 8, saltSeed: String = "skew"): DataFrame =
-    df.withColumn("_salt", saltOf(col(idCol), salts, saltSeed))
-      .groupBy(col(key), col("_salt")).agg(partial.head, partial.tail: _*)
+                salts: Int = 8, saltSeed: String = "skew"): DataFrame = {
+    val salt = freshName("_salt", df.columns)
+    df.withColumn(salt, saltOf(col(idCol), salts, saltSeed))
+      .groupBy(col(key), col(salt)).agg(partial.head, partial.tail: _*)
       .groupBy(col(key)).agg(merge.head, merge.tail: _*)
+  }
 }

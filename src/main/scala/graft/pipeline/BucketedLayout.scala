@@ -35,11 +35,14 @@ object BucketedLayout {
                     buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val local = !warehouse.contains("://") || warehouse.startsWith("file:")
-    if (local && !name.contains(".")) {
-      val orphan = new java.io.File(
-        warehouse.stripPrefix("file:"), name.toLowerCase)
+    // Resolve the table's REAL managed location through the catalog
+    // (honours the session's current database) — concatenating
+    // warehouse + name would point at default.<name> even when the
+    // current database is something else, deleting live data.
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    val location = spark.sessionState.catalog.defaultTablePath(ident)
+    if (location.getScheme == null || location.getScheme == "file") {
+      val orphan = new java.io.File(location.getPath)
       if (orphan.exists()) {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()

@@ -38,6 +38,14 @@ object Pipeline {
   case class StageResult(name: String, state: State, path: String,
                          rows: Long, error: Option[String])
 
+  private def rowsSidecar(path: String): Option[Long] = {
+    val f = Paths.get(path, "_ROWS")
+    if (Files.exists(f))
+      scala.util.Try(new String(Files.readAllBytes(f), "UTF-8")
+        .trim.toLong).toOption
+    else None
+  }
+
   def tagHash(tags: Map[String, String]): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(tags.toSeq.sorted.map { case (k, v) => s"$k=$v" }
@@ -66,16 +74,28 @@ object Pipeline {
         else if (Files.exists(failed))
           StageResult(stage.name, Failed, path, 0, Some("failed sentinel"))
         else if (Files.exists(success)) {
-          val df = spark.read.parquet(path)
-          StageResult(stage.name, Memoized, path, df.count(), None)
+          // rows come from the _ROWS sidecar written at compute time —
+          // the memoized branch must not re-scan (or even re-list) the
+          // artifact just to report a count. Fallback count() only for
+          // artifacts written before the sidecar existed.
+          val rows = rowsSidecar(path).getOrElse(
+            spark.read.parquet(path).count())
+          StageResult(stage.name, Memoized, path, rows, None)
         } else {
           try {
             val inputs = stage.deps.map { d =>
               d -> spark.read.parquet(outPath(d))
             }.toMap
             val out = stage.run(spark, inputs)
-            out.write.mode("overwrite").parquet(path)
-            val n = spark.read.parquet(path).count()
+            // row count observed on the write itself — no post-write scan
+            val obs = org.apache.spark.sql.Observation()
+            out.observe(obs,
+                org.apache.spark.sql.functions.count(
+                  org.apache.spark.sql.functions.lit(1)).as("rows"))
+              .write.mode("overwrite").parquet(path)
+            val n = obs.get("rows").asInstanceOf[Long]
+            Files.write(Paths.get(path, "_ROWS"),
+              n.toString.getBytes("UTF-8"))
             if (n == 0) { // reference: empty result == failed step
               Files.createDirectories(Paths.get(path))
               Files.deleteIfExists(success)
