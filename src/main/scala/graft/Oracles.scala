@@ -1576,5 +1576,266 @@ object Oracles {
         |  vec_id AS neighbor_id
         |FROM scored
         |QUALIFY rank <= 5""".stripMargin,
+
+    // ---------------------------------- direct per-operator oracles (r5)
+
+    "a11_median_interval" ->
+      """WITH d AS (SELECT user_id, epoch(ts) - lag(epoch(ts)) OVER
+        |    (PARTITION BY user_id ORDER BY epoch(ts), event_id) AS dt
+        |  FROM events)
+        |SELECT user_id, round(median(dt), 6) + 0.0e0 AS med_dt
+        |FROM d GROUP BY user_id""".stripMargin,
+
+    "o1_time_sort" ->
+      """SELECT event_id, CAST(row_number() OVER (PARTITION BY user_id
+        |  ORDER BY epoch(ts), event_id) AS INT) AS seq FROM events""".stripMargin,
+
+    "o3_top1_fit" ->
+      """SELECT event_type, event_id AS best_id, value AS best_err
+        |FROM events QUALIFY row_number() OVER (PARTITION BY event_type
+        |  ORDER BY value, event_id) = 1""".stripMargin,
+
+    "p4_mask_filter" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE value > 50.0 AND event_type <> 'error'""".stripMargin,
+
+    "p11_ppd" ->
+      s"""SELECT event_id, value / ${d(graft.model.ErrorMap.pixelsPerDegree(
+           graft.model.ErrorMap.Config()))} AS err_deg FROM events""",
+
+    "c6_ellipse_dist" ->
+      """WITH e AS (SELECT event_id,
+        |    (event_id % 10) * 0.5e0 AS ex, (user_id % 8) * 0.4e0 AS ey,
+        |    4.0e0 + (event_id % 4) AS dx, 2.0e0 + (event_id % 3) AS dy,
+        |    (event_id % 12) * 30.0e0 - 90.0e0 AS ang,
+        |    (event_id % 10) * 0.5e0 + 0.5e0 + value / 1000.0e0 AS px,
+        |    (user_id % 8) * 0.4e0 + (user_id % 7) / 10.0e0 AS py
+        |  FROM events),
+        |g AS (SELECT event_id, px - ex AS tx, py - ey AS ty,
+        |    dx / 2.0e0 AS rx, dy / 2.0e0 AS ry, ang / 180.0e0 * pi() AS a
+        |  FROM e),
+        |h AS (SELECT event_id,
+        |    (tx * cos(a) + ty * sin(a)) / rx AS nx,
+        |    (-tx * sin(a) + ty * cos(a)) / ry AS ny, rx, ry FROM g),
+        |i AS (SELECT event_id, nx, ny, rx, ry,
+        |    sqrt(nx * nx + ny * ny) AS nm FROM h)
+        |SELECT event_id, round(sqrt(
+        |    (nx * (abs(nm - 1.0e0) / nm) * rx) * (nx * (abs(nm - 1.0e0) / nm) * rx)
+        |  + (ny * (abs(nm - 1.0e0) / nm) * ry) * (ny * (abs(nm - 1.0e0) / nm) * ry)),
+        |  6) + 0.0e0 AS dist
+        |FROM i""".stripMargin,
+
+    "w8_savgol" -> {
+      val c = graft.operators.OdometryOps.savgolCoeffs(5, 2)
+      s"""WITH w AS (SELECT event_id,
+         |    lag(value, 2) OVER win AS vm2, lag(value, 1) OVER win AS vm1,
+         |    value AS v0,
+         |    lead(value, 1) OVER win AS vp1, lead(value, 2) OVER win AS vp2
+         |  FROM events WINDOW win AS (PARTITION BY user_id ORDER BY event_id))
+         |SELECT event_id,
+         |  ((((vm2 * ${d(c(0))} + vm1 * ${d(c(1))}) + v0 * ${d(c(2))})
+         |    + vp1 * ${d(c(3))}) + vp2 * ${d(c(4))}) AS smoothed
+         |FROM w""".stripMargin
+    },
+
+    // bit-exact recursive replay of the sequential EMA recurrence (same
+    // association order as TimeSeriesOps.ema / BinocularMerge.step)
+    "w9_ema" ->
+      s"""WITH RECURSIVE b AS (SELECT event_id, user_id, epoch(ts) AS t
+         |  FROM events),
+         |d0 AS (SELECT event_id, user_id,
+         |    abs(t - lag(t) OVER (PARTITION BY user_id ORDER BY event_id)) AS dt,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn
+         |  FROM b),
+         |d AS (SELECT * FROM d0 WHERE dt IS NOT NULL),
+         |r AS (
+         |  SELECT event_id, user_id, rn,
+         |    ${d(1.0 / 120.0)} + (dt - ${d(1.0 / 120.0)}) * ${d(1.0 / 50.0)} AS ema
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.event_id, d.user_id, d.rn,
+         |    r.ema + (d.dt - r.ema) * ${d(1.0 / 50.0)}
+         |  FROM r JOIN d ON d.user_id = r.user_id AND d.rn = r.rn + 1)
+         |SELECT event_id, ema FROM r""".stripMargin,
+
+    // nearest-each-side replay (argmin-first tie-break, j2 precedent) +
+    // three-timestamp dispersion gate
+    "j3_binocular_triple" ->
+      """WITH refs AS (SELECT event_id, user_id, epoch(ts) AS t FROM events
+        |  WHERE event_type = 'click'),
+        |pa AS (SELECT event_id AS a_id, user_id, epoch(ts) AS rt FROM events
+        |  WHERE event_type = 'purchase'),
+        |pb AS (SELECT event_id AS b_id, user_id, epoch(ts) AS rt FROM events
+        |  WHERE event_type = 'error'),
+        |ja AS (SELECT r.event_id, r.user_id, r.t, a.a_id, a.rt AS at
+        |  FROM refs r JOIN pa a ON r.user_id = a.user_id
+        |  QUALIFY row_number() OVER (PARTITION BY r.event_id
+        |    ORDER BY abs(a.rt - r.t), a.rt) = 1),
+        |jb AS (SELECT ja.event_id, ja.t, ja.a_id, ja.at, b.b_id, b.rt AS bt
+        |  FROM ja JOIN pb b ON ja.user_id = b.user_id
+        |  QUALIFY row_number() OVER (PARTITION BY ja.event_id
+        |    ORDER BY abs(b.rt - ja.t), b.rt) = 1)
+        |SELECT event_id, a_id, b_id,
+        |  greatest(t, at, bt) - least(t, at, bt) AS dispersion
+        |FROM jb
+        |WHERE greatest(t, at, bt) - least(t, at, bt) < 120.0""".stripMargin,
+
+    // closed-form replay of the predict/refresh schedule: full-frame scans
+    // at frame 0 of each 37-frame teleport block (ROI miss → fallback) and
+    // at offset 31 (the 30-roi-frame refresh), ROI hits everywhere else
+    "w11_roi_tracker" ->
+      """WITH f AS (SELECT event_id % 5 AS session, event_id // 5 AS frame
+        |  FROM events)
+        |SELECT session, frame AS frame_index,
+        |  (CASE WHEN ((frame // 37) % 2) = 0 THEN 100.0e0 ELSE 400.0e0 END)
+        |    + 3.0e0 * ((frame * 7) % 11) AS det_x,
+        |  (CASE WHEN ((frame // 37) % 2) = 0 THEN 100.0e0 ELSE 350.0e0 END)
+        |    + 2.0e0 * ((frame * 3) % 13) AS det_y,
+        |  ((frame % 37) % 31) <> 0 AS used_roi
+        |FROM f""".stripMargin,
+
+    "s4_pldata_roundtrip" ->
+      """SELECT event_id AS id, epoch(ts) AS timestamp, value / 500.0 AS nx,
+        |  (user_id % 20) / 20.0 AS ny, value / 1000.0 AS confidence
+        |FROM events""".stripMargin,
+
+    "s2_timestamp_scan" ->
+      """SELECT row_number() OVER (ORDER BY epoch(ts), event_id) - 1
+        |  AS frame_index, epoch(ts) AS timestamp FROM events""".stripMargin,
+
+    "s5_gaze_csv" ->
+      """SELECT epoch(ts) AS timestamp, value / 500.0 AS nx,
+        |  (user_id % 20) / 20.0 AS ny, value / 1000.0 AS confidence
+        |FROM events""".stripMargin,
+
+    "s9_intrinsics" ->
+      s"""SELECT event_id,
+         |  CASE WHEN user_id % 4 = 0 THEN 'radial'
+         |       WHEN user_id % 4 = 1 THEN 'radial'
+         |       WHEN user_id % 4 = 2 THEN 'fisheye' END AS model,
+         |  CASE WHEN user_id % 4 = 0 THEN ${d(1000.0)}
+         |       WHEN user_id % 4 = 1 THEN ${d(280.0)}
+         |       WHEN user_id % 4 = 2 THEN ${d(282.0)} END AS fx,
+         |  CASE WHEN user_id % 4 = 0 THEN ${d(0.1)}
+         |       WHEN user_id % 4 = 1 THEN ${d(0.02)}
+         |       WHEN user_id % 4 = 2 THEN ${d(0.03)} END AS k1
+         |FROM events""".stripMargin,
+
+    "s6_manual_epochs" ->
+      """WITH f AS (SELECT event_id, event_id % 10000 AS frame FROM events)
+        |SELECT event_id, CAST(0 AS INT) AS epoch, 'cal' AS split FROM f
+        |  WHERE frame >= 1000 AND frame < 3000
+        |UNION ALL
+        |SELECT event_id,
+        |  CAST(CASE WHEN frame >= 5000 AND frame < 7000 THEN 0 ELSE 1 END AS INT),
+        |  'val' FROM f
+        |  WHERE (frame >= 5000 AND frame < 7000)
+        |     OR (frame >= 8000 AND frame < 9000)""".stripMargin,
+
+    "s7_pipeline_sentinel" ->
+      """SELECT 'clicks' AS stage, 'Computed' AS state,
+        |  (SELECT count(*) FROM events WHERE event_type = 'click')::BIGINT AS "rows"
+        |UNION ALL SELECT 'none', 'Failed', 0
+        |UNION ALL SELECT 'downstream', 'SkippedUpstreamFailure', 0
+        |UNION ALL SELECT 'clickagg', 'Computed',
+        |  (SELECT count(DISTINCT user_id) FROM events
+        |   WHERE event_type = 'click')::BIGINT""".stripMargin,
+
+    "s8_pipeline_memo" ->
+      """SELECT 'clicks' AS stage, 'Memoized' AS state,
+        |  (SELECT count(*) FROM events WHERE event_type = 'click')::BIGINT AS "rows"
+        |UNION ALL SELECT 'none', 'Failed', 0
+        |UNION ALL SELECT 'downstream', 'SkippedUpstreamFailure', 0
+        |UNION ALL SELECT 'clickagg', 'Memoized',
+        |  (SELECT count(DISTINCT user_id) FROM events
+        |   WHERE event_type = 'click')::BIGINT""".stripMargin,
+
+    "m1_poly_features" ->
+      """WITH p AS (SELECT event_id, value / 500.0 AS px,
+        |    (user_id % 20) / 20.0 AS py FROM events)
+        |SELECT event_id, px AS f1, py AS f2, px * px AS f3, py * py AS f4,
+        |  px * py AS f5, px * px * py * py AS f6, px * px * py AS f7,
+        |  py * py * px AS f8, 1.0e0 AS f9 FROM p""".stripMargin,
+
+    // planted-affine analytic oracle: pass 1 over all rows, the |err|<=8
+    // gate drops exactly cluster 7's rows, pass 2 on exactly-affine
+    // inliers recovers the planted coefficients (PlantedFitSpec proves the
+    // classification margins: inliers < 4, outliers > 16)
+    "m3_robust_poly" ->
+      s"""SELECT count(*)::BIGINT AS n_points,
+         |  ${d(0.8)} AS cx1, ${d(-0.3)} AS cx2, ${d(0.15)} AS cx3,
+         |  ${d(0.2)} AS cy1, ${d(1.1)} AS cy2, ${d(-0.05)} AS cy3
+         |FROM events""".stripMargin,
+
+    "m5_tps_fit" ->
+      """SELECT event_id % 25 AS cluster, count(*)::BIGINT AS n,
+        |  true AS all_ok FROM events GROUP BY cluster""".stripMargin,
+
+    // the λ-averaged LOO cut drops exactly the 2 planted outlier anchors
+    // (PlantedFitSpec), the refit is the exact planted affine
+    "m6_tps_cv" ->
+      """SELECT event_id % 25 AS cluster, count(*)::BIGINT AS n,
+        |  true AS all_ok, CAST(23 AS INT) AS n_anchors
+        |FROM events GROUP BY cluster""".stripMargin,
+
+    // grid winner pinned by PlantedFitSpec: multiquadric @ smoothness 0
+    // (LOO err 0.030 vs 0.035 for the runner-up; heavy smoothing loses by
+    // an order of magnitude), and the zero-smoothness fit interpolates
+    "m7_rbf_cv" ->
+      s"""SELECT event_id % 25 AS cluster, count(*)::BIGINT AS n,
+         |  true AS all_ok, 'multiquadric' AS best_kernel,
+         |  ${d(0.0)} AS best_smooth
+         |FROM events GROUP BY cluster""".stripMargin,
+
+    "m12_pca_align" ->
+      """WITH k AS (SELECT doc_id,
+        |    (doc_id % 7) * 0.5e0 + 1.0e0 AS x1, (doc_id % 11) * 0.3e0 AS x2,
+        |    (doc_id % 13) * 0.25e0 AS x3,
+        |    (doc_id % 5) * 0.8e0 AS y1, (doc_id % 17) * 0.15e0 + 0.2e0 AS y2,
+        |    (doc_id % 3) * 1.1e0 AS y3
+        |  FROM documents),
+        |pts AS (SELECT x1 AS x, y1 AS y FROM k
+        |  UNION ALL SELECT x2, y2 FROM k
+        |  UNION ALL SELECT x3, y3 FROM k),
+        |m AS (SELECT sum(x) / count(*) AS mx, sum(y) / count(*) AS my FROM pts),
+        |cv AS (SELECT sum((p.x - m.mx) * (p.x - m.mx)) AS sxx,
+        |    sum((p.x - m.mx) * (p.y - m.my)) AS sxy,
+        |    sum((p.y - m.my) * (p.y - m.my)) AS syy,
+        |    max(m.mx) AS mx, max(m.my) AS my
+        |  FROM pts p CROSS JOIN m),
+        |th AS (SELECT 0.5e0 * atan2(2 * sxy, sxx - syy) AS theta, mx, my FROM cv),
+        |cs AS (SELECT CASE WHEN cos(theta) < 0 THEN -cos(theta)
+        |    ELSE cos(theta) END AS c,
+        |  CASE WHEN cos(theta) < 0 THEN -sin(theta) ELSE sin(theta) END AS s,
+        |  mx, my FROM th)
+        |SELECT doc_id,
+        |  round((x1 - mx) * c + (y1 - my) * s, 6) + 0.0e0 AS ax1,
+        |  round((x2 - mx) * c + (y2 - my) * s, 6) + 0.0e0 AS ax2,
+        |  round((x3 - mx) * c + (y3 - my) * s, 6) + 0.0e0 AS ax3,
+        |  round(-(x1 - mx) * s + (y1 - my) * c, 6) + 0.0e0 AS ay1,
+        |  round(-(x2 - mx) * s + (y2 - my) * c, 6) + 0.0e0 AS ay2,
+        |  round(-(x3 - mx) * s + (y3 - my) * c, 6) + 0.0e0 AS ay3
+        |FROM k CROSS JOIN cs""".stripMargin,
+
+    "m13_eyelid_dist" ->
+      """SELECT event_id, greatest(
+        |    (value / 100.0 + 1.0e0) - (value / 100.0),
+        |    (value / 100.0 + (user_id % 7) * 0.3e0)
+        |      - (value / 100.0 + (user_id % 5) * 0.1e0),
+        |    (value / 100.0 + (event_id % 4) * 0.5e0)
+        |      - (value / 100.0 - (event_id % 3) * 0.2e0)
+        |  ) AS lid_dist FROM events""".stripMargin,
+
+    "a10_avg_frames" ->
+      """WITH f AS (SELECT event_type, value / 100.0 AS e1,
+        |    (user_id % 20) * 0.05e0 AS e2, (event_id % 7) * 0.1e0 AS e3,
+        |    value / 250.0 + (user_id % 3) AS e4,
+        |    (event_id % 11) * 0.02e0 AS e5
+        |  FROM events)
+        |SELECT event_type,
+        |  round(avg(e1), 6) + 0.0e0 AS m1, round(avg(e2), 6) + 0.0e0 AS m2,
+        |  round(avg(e3), 6) + 0.0e0 AS m3, round(avg(e4), 6) + 0.0e0 AS m4,
+        |  round(avg(e5), 6) + 0.0e0 AS m5
+        |FROM f GROUP BY event_type""".stripMargin,
   )
 }

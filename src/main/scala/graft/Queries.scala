@@ -4,9 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.model.{PolyMapModel, Tps, TpsMapModel}
-import graft.operators.{AsOfJoin, ClusterOps, GraphOps, LabelingOps,
-  OdometryOps, SampleOps, TextOps, TimeSeriesOps, VectorOps}
+import graft.model.{Calibrator, ErrorMap, Poly, PolyFeatures, PolyMapModel,
+  Rbf, RbfMapModel, Tps, TpsMapModel}
+import graft.operators.{AsOfJoin, ClusterOps, EllipseGeometry, GraphOps,
+  LabelingOps, OdometryOps, RoiTracker, SampleOps, TextOps, TimeSeriesOps,
+  VectorOps}
+import graft.pipeline.{ManualEpochs, Pipeline}
+import graft.sources.{IntrinsicsStore, PldataSource}
 
 /** The engine's query surface over the driver testdata, one entry per
   * implemented operator from SURVEY.md §2 (+ the LLM-data-pipeline
@@ -995,5 +999,478 @@ object Queries {
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
+  // -------------------------------------- direct per-operator oracles (r5)
+  // Every §2 operator that previously rode on ScalaTest alone gets its own
+  // hash-matched CORRECTNESS row here.
+
+  /** A11: median frame interval per series (median(diff(timestamps)) — the
+    * join-window derivation, marker_parsing.py:555-556). */
+  def medianInterval(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    ev(s, dir)
+      .withColumn("dt", col("t") - lag(col("t"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg((round(expr("percentile(dt, 0.5)"), 6) + 0.0).as("med_dt"))
+  }
+
+  /** O1: time sort — the observable form (rank within series under the
+    * deterministic (ts, id) order); a bare global sort is invisible to the
+    * row-multiset hash compare. */
+  def timeSort(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    ev(s, dir).select(col("event_id"), row_number().over(w).as("seq"))
+  }
+
+  /** O3: top-1 by fit quality — argmin with FIRST-minimum tie-break
+    * (np.argmin semantics, calibration.py:293-296, 407-408), the
+    * declarative distributed form over a per-group candidate table. */
+  def top1Fit(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    ev(s, dir)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("event_type"), col("event_id").as("best_id"),
+        col("value").as("best_err"))
+  }
+
+  /** P4: boolean-mask row selection — the arraydict mask filter
+    * (file_methods.py arraydict __getitem__ with a bool array): the mask
+    * is materialized as a COLUMN, then applied to every column of the row
+    * (= row selection). */
+  def maskFilter(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("mask", col("value") > 50.0 && col("event_type") =!= "error")
+      .filter(col("mask"))
+      .select(col("event_id"), col("user_id"), col("value"))
+
+  /** P11: pixels-per-degree (error_computation.py:64-66) — the px→deg
+    * conversion constant applied distributively. */
+  def ppdConvert(s: SparkSession, dir: String): DataFrame = {
+    val ppd = ErrorMap.pixelsPerDegree(ErrorMap.Config())
+    ev(s, dir).select(col("event_id"), (col("value") / ppd).as("err_deg"))
+  }
+
+  /** C6: point-to-ellipse distance (dist_pts_ellipse,
+    * externals/methods.py:83-120) over per-row ellipse params — points
+    * planted strictly off-center so the NaN center case (spec-covered)
+    * stays out of the hash. */
+  def ellipseDist(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+      .withColumn("ex", (col("event_id") % 10).cast("double") * 0.5)
+      .withColumn("ey", (col("user_id") % 8).cast("double") * 0.4)
+      .withColumn("dx", lit(4.0) + (col("event_id") % 4).cast("double"))
+      .withColumn("dy", lit(2.0) + (col("event_id") % 3).cast("double"))
+      .withColumn("ang", (col("event_id") % 12).cast("double") * 30.0 - 90.0)
+      .withColumn("px", col("ex") + 0.5 + col("value") / 1000.0)
+      .withColumn("py", col("ey") + (col("user_id") % 7).cast("double") / 10.0)
+    e.select(col("event_id"),
+      (round(EllipseGeometry.distToEllipse(col("px"), col("py"), col("ex"),
+        col("ey"), col("dx"), col("dy"), col("ang")), 6) + 0.0).as("dist"))
+  }
+
+  /** W8: Savitzky-Golay FIR smoothing (odometry.py:82-92), window 5 /
+    * polyorder 2 per series; series order = event_id (unique), nulls at
+    * the two edge rows. The closed-form coefficients make the windowed
+    * dot product bit-replayable. */
+  def savgol(s: SparkSession, dir: String): DataFrame =
+    OdometryOps.savgol(
+        ev(s, dir).select(col("event_id"), col("user_id"), col("value"))
+          .withColumn("eid", col("event_id").cast("double")),
+        "eid", "value", Seq("user_id"), window = 5, polyorder = 2,
+        outCol = "smoothed")
+      .select(col("event_id"), col("smoothed"))
+
+  /** W9: EMA frame-interval smoothing (gaze_mappers.py:33-36, 71-91
+    * constants: smoothing 1/50, initial 1/120) over per-series |Δt|,
+    * series order = event_id. Sequential per group; the oracle replays
+    * the identical recurrence with a recursive CTE. */
+  def emaFramerate(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val dts = ev(s, dir)
+      .withColumn("dt", abs(col("t") - lag(col("t"), 1).over(w)))
+      .filter(col("dt").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("event_id").cast("double").as("eid"), col("dt"))
+    TimeSeriesOps.ema(dts, "eid", "dt", Seq("user_id"),
+        smoothing = 1.0 / 50.0, init = 1.0 / 120.0)
+      .select(col("event_id"), col("ema"))
+  }
+
+  /** J3: binocular triple as-of (closest_matches_binocular,
+    * externals/data_processing.py:116-149): nearest purchase AND nearest
+    * error per click, kept when the three-timestamp spread < 120 s. */
+  def binocularTriple(s: SparkSession, dir: String): DataFrame = {
+    val refs = ev(s, dir).filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("t"))
+    val a = ev(s, dir).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("t"), col("event_id").as("pa_id"))
+    val b = ev(s, dir).filter(col("event_type") === "error")
+      .select(col("user_id"), col("t"), col("event_id").as("pb_id"))
+    AsOfJoin.triple(refs, a, b, "t", "t", "t", Seq("user_id"),
+        maxDispersion = 120.0)
+      .select(col("event_id"), col("a_pa_id").as("a_id"),
+        col("b_pb_id").as("b_id"),
+        (greatest(col("t"), col("a_t"), col("b_t")) -
+          least(col("t"), col("a_t"), col("b_t"))).as("dispersion"))
+  }
+
+  /** W11: ROI-tracked detection (CircleTracker.update,
+    * externals/circle_detector.py:22-202): full-frame detect every 30
+    * frames or on ROI miss, else detect inside the ROI around the last
+    * hit. The planted marker drifts ≤ 30 px/frame (inside the 40 px ROI
+    * pad) and TELEPORTS every 37 frames (> pad → ROI miss → full-frame
+    * fallback), so the full/roi schedule and the detections are both in
+    * closed form for the oracle. */
+  def roiTracker(s: SparkSession, dir: String): DataFrame = {
+    val frames = ev(s, dir).select(
+      (col("event_id") % 5).as("session"),
+      expr("event_id DIV 5").as("frame"))
+    def px(f: Long): Double =
+      (if ((f / 37) % 2 == 0) 100.0 else 400.0) + 3.0 * ((f * 7) % 11)
+    def py(f: Long): Double =
+      (if ((f / 37) % 2 == 0) 100.0 else 350.0) + 2.0 * ((f * 3) % 13)
+    val detect = (i: Long, roi: RoiTracker.Roi) => {
+      val (x, y) = (px(i), py(i))
+      if (x >= roi.x && x <= roi.x + roi.w && y >= roi.y && y <= roi.y + roi.h)
+        Some((x, y))
+      else None
+    }
+    RoiTracker.trackFrames(frames, "frame", Seq("session"), detect,
+      frameW = 1000.0, frameH = 1000.0, pad = 40.0, fullFrameEvery = 30)
+  }
+
+  // ------------------------------------------- source round-trips (r5)
+
+  /** S4: .pldata (msgpack) + _timestamps.npy round-trip
+    * (file_methods.py:133-193): events → PLData write (topic stream +
+    * sidecar) → distributed binaryFile scan + decode → rows. Exact:
+    * msgpack and npy both carry IEEE doubles losslessly. */
+  def pldataRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pldata").toString
+    val rows = ev(s, dir).orderBy(col("event_id")).select(
+      lit("gaze").as("topic"), col("t").as("timestamp"),
+      array(col("value") / 500.0, (col("user_id") % 20) / 20.0).as("norm_pos"),
+      (col("value") / 1000.0).as("confidence"), col("event_id").as("id"))
+    PldataSource.write(rows, tmp, "gaze")
+    PldataSource.read(s, tmp, "gaze", Seq(
+        "norm_pos" -> ArrayType(DoubleType), "confidence" -> DoubleType,
+        "id" -> LongType))
+      .select(col("id"), col("timestamp"),
+        element_at(col("norm_pos"), 1).as("nx"),
+        element_at(col("norm_pos"), 2).as("ny"), col("confidence"))
+  }
+
+  /** S2: timestamp sidecar scan — the per-topic `_timestamps.npy` world
+    * clock (odometry.py:43-58): write the sorted event clock as .npy v1
+    * float64, read it back, emit (frame_index, timestamp). Exact doubles
+    * both ways. */
+  def timestampScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_npy").toString
+    val ts = ev(s, dir).orderBy(col("t"), col("event_id"))
+      .select(col("t")).collect().map(_.getDouble(0))
+    val path = s"$tmp/world_timestamps.npy"
+    PldataSource.writeNpyDoubles(path, ts)
+    PldataSource.readNpyDoubles(path).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq
+      .toDF("frame_index", "timestamp")
+  }
+
+  /** S5: Pupil-Labs gaze_positions.csv export scan (read_pl_gaze_csv,
+    * utils.py:12-17) — write the export layout
+    * (`<session>/exports/111/gaze_positions.csv`), scan it back through
+    * the CSV reader. Exact: Double.toString is shortest-round-trip and
+    * the CSV parser reads it back to the same bits. */
+  def gazeCsvScan(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val rows = ev(s, dir).orderBy(col("event_id")).select(
+      col("t").as("gaze_timestamp"), (col("value") / 500.0).as("norm_pos_x"),
+      ((col("user_id") % 20) / 20.0).as("norm_pos_y"),
+      (col("value") / 1000.0).as("confidence")).collect()
+    val sb = new StringBuilder("gaze_timestamp,norm_pos_x,norm_pos_y,confidence\n")
+    rows.foreach { r =>
+      sb.append(r.getDouble(0)).append(',').append(r.getDouble(1)).append(',')
+        .append(r.getDouble(2)).append(',').append(r.getDouble(3)).append('\n')
+    }
+    val exportDir = java.nio.file.Paths.get(tmp, "exports", "111")
+    java.nio.file.Files.createDirectories(exportDir)
+    java.nio.file.Files.write(exportDir.resolve("gaze_positions.csv"),
+      sb.toString.getBytes("UTF-8"))
+    PldataSource.readGazeCsv(s, tmp, 1)
+      .select(col("timestamp"), element_at(col("norm_pos"), 1).as("nx"),
+        element_at(col("norm_pos"), 2).as("ny"), col("confidence"))
+  }
+
+  /** S9: intrinsics store round-trip + broadcast attach
+    * (file_methods.py:348-407): typed store → parquet → load → left join
+    * onto a frame table by (camera, width, height); unknown cameras keep
+    * null intrinsics. */
+  def intrinsicsAttach(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_intr").toString
+    val store = IntrinsicsStore.toDf(s, Seq(
+      IntrinsicsStore.Intrinsics("world", 2048, 1536, "radial",
+        Seq(1000.0, 0.0, 1024.0, 0.0, 1000.0, 768.0, 0.0, 0.0, 1.0),
+        Seq(0.1, -0.05)),
+      IntrinsicsStore.Intrinsics("eye0", 400, 400, "radial",
+        Seq(280.0, 0.0, 200.0, 0.0, 280.0, 200.0, 0.0, 0.0, 1.0),
+        Seq(0.02, -0.01)),
+      IntrinsicsStore.Intrinsics("eye1", 400, 400, "fisheye",
+        Seq(282.0, 0.0, 201.0, 0.0, 282.0, 199.0, 0.0, 0.0, 1.0),
+        Seq(0.03, -0.02))))
+    IntrinsicsStore.save(store, s"$tmp/intrinsics")
+    val loaded = IntrinsicsStore.load(s, s"$tmp/intrinsics")
+    val frames = ev(s, dir).select(col("event_id"),
+      when(col("user_id") % 4 === 0, "world")
+        .when(col("user_id") % 4 === 1, "eye0")
+        .when(col("user_id") % 4 === 2, "eye1")
+        .otherwise("depth").as("camera"),
+      when(col("user_id") % 4 === 0, 2048).otherwise(400).as("width"),
+      when(col("user_id") % 4 === 0, 1536).otherwise(400).as("height"))
+    IntrinsicsStore.attach(frames, loaded)
+      .select(col("event_id"), col("model"),
+        element_at(col("cameraMatrix"), 1).as("fx"),
+        element_at(col("distCoeffs"), 1).as("k1"))
+  }
+
+  /** S6: manual epoch ranges from marker_times.yaml (split_time,
+    * pipelines.py:519-539) driving the O4 frame-range limit: parse the
+    * yaml, tag + filter a frame table per epoch list (start inclusive,
+    * end exclusive). */
+  def manualEpochsQuery(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_yaml").toString
+    val yaml =
+      """calibration_frames:
+        |  - [1000, 3000]
+        |validation_frames:
+        |  - [5000, 7000]
+        |  - [8000, 9000]
+        |""".stripMargin
+    val file = java.nio.file.Paths.get(tmp, "marker_times.yaml")
+    java.nio.file.Files.write(file, yaml.getBytes("UTF-8"))
+    val cal = ManualEpochs.splitTime(file.toString, "calibration_frames")
+    val vld = ManualEpochs.splitTime(file.toString, "validation_frames")
+    val frames = ev(s, dir).select(col("event_id"),
+      (col("event_id") % 10000).as("frame"))
+    ManualEpochs.applyEpochs(frames, "frame", cal)
+      .withColumn("split", lit("cal"))
+      .unionByName(ManualEpochs.applyEpochs(frames, "frame", vld)
+        .withColumn("split", lit("val")))
+      .select(col("event_id"), col("epoch"), col("split"))
+  }
+
+  /** Shared S7/S8 stage DAG over the events table: one computed stage,
+    * one empty→failed stage, one skipped downstream, one computed agg. */
+  private def sentinelStages(dir: String): Seq[Pipeline.Stage] = Seq(
+    Pipeline.Stage("clicks", Nil, (sp, _) =>
+      ev(sp, dir).filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("value"))),
+    Pipeline.Stage("none", Nil, (sp, _) =>
+      ev(sp, dir).filter(col("value") < 0.0)
+        .select(col("event_id"))),
+    Pipeline.Stage("downstream", Seq("none"), (_, in) => in("none")),
+    Pipeline.Stage("clickagg", Seq("clicks"), (_, in) =>
+      in("clicks").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))))
+
+  /** S7: failure sentinel + downstream short-circuit (pipelines.py:
+    * 112-115): the empty stage fails, its dependent is skipped, the
+    * independent branch computes. Status table = the queryable lineage. */
+  def pipelineSentinel(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    val res = Pipeline.run(s, root, sentinelStages(dir))
+    Pipeline.statusTable(s, res).select(col("stage"), col("state"), col("rows"))
+  }
+
+  /** S8: memoization (pipelines.py:84-92): run the same DAG twice against
+    * one root; the second run must re-read `_SUCCESS`-marked outputs
+    * (Memoized, exact row counts from the sidecar) and re-skip failures. */
+  def pipelineMemo(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_memo").toString
+    Pipeline.run(s, root, sentinelStages(dir))
+    val second = Pipeline.run(s, root, sentinelStages(dir))
+    Pipeline.statusTable(s, second).select(col("stage"), col("state"), col("rows"))
+  }
+
+  // --------------------------------------- planted-fit model oracles (r5)
+
+  /** M1: the monomial design-matrix expansion (n=9 monocular set,
+    * externals/calibrate_2d.py:89-247) as a distributed projection. */
+  def polyFeaturesQuery(s: SparkSession, dir: String): DataFrame = {
+    val px = col("value") / 500.0
+    val py = (col("user_id") % 20) / 20.0
+    val fs = PolyFeatures.cols(px, py, 9)
+    ev(s, dir).select(col("event_id") +:
+      fs.zipWithIndex.map { case (f, i) => f.as(s"f${i + 1}") }: _*)
+  }
+
+  /** Planted calibration grid shared by the direct model-fit queries
+    * (m3/m5/m6/m7): 25 clusters on a deliberately IRREGULAR 5×5 grid
+    * (breaks kernel-matrix symmetry → well-conditioned TPS/RBF systems),
+    * pupil coords constant per cluster (jitter-free → the reduced points
+    * are the same exact constants at every scale factor), marker targets
+    * an EXACT affine of the pupil: gaze-model fits must reproduce the
+    * affine to fp precision, which is the analytic oracle. */
+  private def fitBase(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("cluster", col("event_id") % 25)
+      .withColumn("px", lit(0.1) + (col("cluster") % 5) * 0.2 +
+        ((col("cluster") * 7) % 3) * 0.013)
+      .withColumn("py", lit(0.1) + floor(col("cluster") / 5) * 0.2 +
+        ((col("cluster") * 3) % 5) * 0.007)
+      .withColumn("mx", col("px") * 0.8 - col("py") * 0.3 + 0.15)
+      .withColumn("my", col("px") * 0.2 + col("py") * 1.1 - 0.05)
+
+  /** The 25 reduced (pupil, marker) constants, deterministic order. */
+  private def fitPointsOf(base: DataFrame, mxCol: String = "mx",
+                          myCol: String = "my"):
+      (Array[Array[Double]], Array[Double], Array[Double]) = {
+    val rows = base.select(col("cluster"), col("px"), col("py"),
+        col(mxCol), col(myCol)).distinct().orderBy(col("cluster")).collect()
+    (rows.map(r => Array(r.getDouble(1), r.getDouble(2))),
+      rows.map(_.getDouble(3)), rows.map(_.getDouble(4)))
+  }
+
+  /** M3: two-pass robust polynomial calibration (calibrate_2d.py:19-86 /
+    * calibration.py:102-183), n=3 affine model: cluster 7's targets are
+    * grossly offset (+20/−20); pass 1 fits all rows, the |err| ≤ 8 gate
+    * drops exactly the planted outlier rows, pass 2 on the exactly-affine
+    * inliers recovers the planted coefficients to fp precision — the
+    * coefficient row IS the oracle. */
+  def robustPoly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = fitBase(s, dir)
+      .withColumn("tx", col("mx") + when(col("cluster") === 7, 20.0).otherwise(0.0))
+      .withColumn("ty", col("my") - when(col("cluster") === 7, 20.0).otherwise(0.0))
+    val pts = base.select(col("px"), col("py"), col("tx"), col("ty")).collect()
+    val ins = pts.map(r => Array(r.getDouble(0), r.getDouble(1)))
+    val model = Poly.calibrate(ins, pts.map(_.getDouble(2)),
+        pts.map(_.getDouble(3)), n = 3, screenSize = (2.0, 2.0),
+        maxAbsErr = 8.0)
+      .getOrElse(sys.error("robust poly fit rejected all points"))
+    Seq((ins.length.toLong,
+        rnd6(model.cx(0)), rnd6(model.cx(1)), rnd6(model.cx(2)),
+        rnd6(model.cy(0)), rnd6(model.cy(1)), rnd6(model.cy(2))))
+      .toDF("n_points", "cx1", "cx2", "cx3", "cy1", "cy2", "cy3")
+  }
+
+  private def rnd6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
+  /** M5: plain TPS fit (monocular_tps, λ=0.01; calibration.py:315-344):
+    * TPS carries an exact affine tail, so on exactly-affine targets the
+    * fitted warp is zero and the map reproduces the affine at EVERY
+    * point — checked per cluster over all rows. */
+  def tpsFitQuery(s: SparkSession, dir: String): DataFrame = {
+    val base = fitBase(s, dir)
+    val (pxy, mx, my) = fitPointsOf(base)
+    val model = Calibrator.fitPoints(pxy, mx, my,
+      Calibrator.Config(calibrationType = "monocular_tps")).get
+    val (gx, gy) = model.mapCols(col("px"), col("py"))
+    base.withColumn("_ok",
+        abs(gx - col("mx")) < 1e-6 && abs(gy - col("my")) < 1e-6)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), bool_and(col("_ok")).as("all_ok"))
+  }
+
+  /** M6: TPS LOO-CV λ selection + outlier cut (_fit_tps_gaze_cv,
+    * calibration.py:348-412): clusters 7 and 18 carry +5-offset targets;
+    * the λ-averaged LOO error cut (median + 3σ) must drop exactly those
+    * two anchors, and the refit on the 23 exactly-affine survivors is the
+    * exact affine — n_anchors and the per-cluster check are both
+    * analytic. */
+  def tpsCvQuery(s: SparkSession, dir: String): DataFrame = {
+    val base = fitBase(s, dir)
+      .withColumn("tx", col("mx") +
+        when(col("cluster") === 7 || col("cluster") === 18, 5.0).otherwise(0.0))
+      .withColumn("ty", col("my") +
+        when(col("cluster") === 7 || col("cluster") === 18, 5.0).otherwise(0.0))
+    val (pxy, tx, ty) = fitPointsOf(base, "tx", "ty")
+    val model = Calibrator.fitTpsCv(pxy, tx, ty, Calibrator.DefaultLambdas,
+      maxStds = Some(3.0))
+    val (gx, gy) = model.mapCols(col("px"), col("py"))
+    base.withColumn("_ok",
+        abs(gx - col("mx")) < 1e-6 && abs(gy - col("my")) < 1e-6)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), bool_and(col("_ok")).as("all_ok"))
+      .withColumn("n_anchors", lit(model.anchorsX.length))
+  }
+
+  /** M7: RBF LOO-CV over the (smoothness × kernel) grid (_fit_rbf_cv,
+    * calibration.py:239-313; grid order + first-minimum argmin parity).
+    * Smoothness grid {0, 5, 50} on exactly-affine targets: smooth=0 wins
+    * (heavy smoothing degrades LOO badly), and the winning
+    * zero-smoothness fit INTERPOLATES its nodes — every event row sits on
+    * a node, so gaze == marker to fp precision. */
+  def rbfCvQuery(s: SparkSession, dir: String): DataFrame = {
+    val base = fitBase(s, dir)
+    val (pxy, mx, my) = fitPointsOf(base)
+    val kernels = Seq("thin_plate", "multiquadric", "linear", "cubic")
+    val (k, sm, _) = Rbf.looSelect(pxy, mx, my, kernels, Seq(0.0, 5.0, 50.0))
+    val model = RbfMapModel(Rbf.fit(pxy, mx, k, sm), Rbf.fit(pxy, my, k, sm))
+    val (gx, gy) = model.mapCols(col("px"), col("py"))
+    base.withColumn("_ok",
+        abs(gx - col("mx")) < 1e-4 && abs(gy - col("my")) < 1e-4)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), bool_and(col("_ok")).as("all_ok"))
+      .withColumn("best_kernel", lit(k))
+      .withColumn("best_smooth", lit(sm))
+  }
+
+  /** M12: PCA keypoint alignment (labeling.py:155-197, 260-276): 2×2
+    * covariance of the pooled keypoints (sample = the full table here),
+    * principal-axis rotation with the PC1→+x sign fix, applied
+    * element-wise to every keypoint array. */
+  def pcaAlignQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      array((col("doc_id") % 7).cast("double") * 0.5 + 1.0,
+        (col("doc_id") % 11).cast("double") * 0.3,
+        (col("doc_id") % 13).cast("double") * 0.25).as("xs"),
+      array((col("doc_id") % 5).cast("double") * 0.8,
+        (col("doc_id") % 17).cast("double") * 0.15 + 0.2,
+        (col("doc_id") % 3).cast("double") * 1.1).as("ys"))
+    LabelingOps.pcaAlign(docs, "xs", "ys", sampleN = 1000000)
+      .select(col("doc_id"),
+        (round(element_at(col("xs_aligned"), 1), 6) + 0.0).as("ax1"),
+        (round(element_at(col("xs_aligned"), 2), 6) + 0.0).as("ax2"),
+        (round(element_at(col("xs_aligned"), 3), 6) + 0.0).as("ax3"),
+        (round(element_at(col("ys_aligned"), 1), 6) + 0.0).as("ay1"),
+        (round(element_at(col("ys_aligned"), 2), 6) + 0.0).as("ay2"),
+        (round(element_at(col("ys_aligned"), 3), 6) + 0.0).as("ay3"))
+  }
+
+  /** M13: eyelid distance — max vertical gap between the lower and upper
+    * lid keypoint arrays (labeling.py:200-296). */
+  def eyelidDistQuery(s: SparkSession, dir: String): DataFrame = {
+    val top = array((col("value") / 100.0),
+      (col("value") / 100.0) + (col("user_id") % 5).cast("double") * 0.1,
+      (col("value") / 100.0) - (col("event_id") % 3).cast("double") * 0.2)
+    val bottom = array((col("value") / 100.0) + 1.0,
+      (col("value") / 100.0) + (col("user_id") % 7).cast("double") * 0.3,
+      (col("value") / 100.0) + (col("event_id") % 4).cast("double") * 0.5)
+    ev(s, dir).select(col("event_id"),
+      LabelingOps.eyelidDistance(top, bottom).as("lid_dist"))
+  }
+
+  /** A10: element-wise mean of array frames per group (the average-frames
+    * QC image, visualization.py:501-522) via the partial-aggregating
+    * [[graft.functions.ArrayMean]] Aggregator. */
+  def avgFrames(s: SparkSession, dir: String): DataFrame = {
+    val frame = array(col("value") / 100.0,
+      (col("user_id") % 20).cast("double") * 0.05,
+      (col("event_id") % 7).cast("double") * 0.1,
+      col("value") / 250.0 + (col("user_id") % 3).cast("double"),
+      (col("event_id") % 11).cast("double") * 0.02)
+    ev(s, dir).select(col("event_type"), frame.as("frame"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.ArrayMean.arrayMean(col("frame")).as("m"))
+      .select(col("event_type"),
+        (round(element_at(col("m"), 1), 6) + 0.0).as("m1"),
+        (round(element_at(col("m"), 2), 6) + 0.0).as("m2"),
+        (round(element_at(col("m"), 3), 6) + 0.0).as("m3"),
+        (round(element_at(col("m"), 4), 6) + 0.0).as("m4"),
+        (round(element_at(col("m"), 5), 6) + 0.0).as("m5"))
   }
 }

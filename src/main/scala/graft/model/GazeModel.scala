@@ -28,19 +28,42 @@ trait GazeModel { // open: RbfMapModel and future mappers extend it
   }
 }
 
-/** Monocular/one-eye polynomial map: gaze = Σ c_i · monomial_i(px, py). */
-case class PolyMapModel(cx: Array[Double], cy: Array[Double], n: Int) extends GazeModel {
-  require(Set(3, 7, 9).contains(n), s"monocular poly map needs n in {3,7,9}, got $n")
-
-  private def terms(px: Column, py: Column): Seq[Column] = n match {
+/** M1: the monomial feature expansion as Column expressions — the
+  * distributed twin of [[Poly.features]] (same monomial sets and order,
+  * externals/calibrate_2d.py:89-247), shared by the poly map models and
+  * directly queryable (a design-matrix build over 10¹² rows is a plain
+  * projection). */
+object PolyFeatures {
+  /** Monocular n ∈ {3,7,9}. */
+  def cols(px: Column, py: Column, n: Int): Seq[Column] = n match {
     case 3 => Seq(px, py, lit(1.0))
     case 7 => Seq(px, py, px * px, py * py, px * py, px * px * py * py, lit(1.0))
     case 9 => Seq(px, py, px * px, py * py, px * py, px * px * py * py,
       px * px * py, py * py * px, lit(1.0))
+    case _ => throw new IllegalArgumentException(
+      s"monocular poly features need n in {3,7,9}, got $n")
   }
 
+  /** Binocular n ∈ {5,13,17}. */
+  def colsBinocular(x0: Column, y0: Column, x1: Column, y1: Column,
+                    n: Int): Seq[Column] = n match {
+    case 5 => Seq(x0, y0, x1, y1, lit(1.0))
+    case 13 => Seq(x0, y0, x1, y1, x0 * x0, y0 * y0, x0 * y0, x0 * x0 * y0 * y0,
+      x1 * x1, y1 * y1, x1 * y1, x1 * x1 * y1 * y1, lit(1.0))
+    case 17 => Seq(x0, y0, x1, y1, x0 * x0, y0 * y0, x0 * y0, x0 * x0 * y0 * y0,
+      x1 * x1, y1 * y1, x1 * y1, x1 * x1 * y1 * y1,
+      x0 * x1, x0 * y1, y0 * x1, y0 * y1, lit(1.0))
+    case _ => throw new IllegalArgumentException(
+      s"binocular poly features need n in {5,13,17}, got $n")
+  }
+}
+
+/** Monocular/one-eye polynomial map: gaze = Σ c_i · monomial_i(px, py). */
+case class PolyMapModel(cx: Array[Double], cy: Array[Double], n: Int) extends GazeModel {
+  require(Set(3, 7, 9).contains(n), s"monocular poly map needs n in {3,7,9}, got $n")
+
   def mapCols(px: Column, py: Column): (Column, Column) = {
-    val ts = terms(px, py)
+    val ts = PolyFeatures.cols(px, py, n)
     (ts.zip(cx).map { case (t, c) => t * lit(c) }.reduce(_ + _),
      ts.zip(cy).map { case (t, c) => t * lit(c) }.reduce(_ + _))
   }
@@ -50,17 +73,8 @@ case class PolyMapModel(cx: Array[Double], cy: Array[Double], n: Int) extends Ga
 case class PolyBinocularModel(cx: Array[Double], cy: Array[Double], n: Int) {
   require(Set(5, 13, 17).contains(n))
 
-  private def terms(x0: Column, y0: Column, x1: Column, y1: Column): Seq[Column] = n match {
-    case 5 => Seq(x0, y0, x1, y1, lit(1.0))
-    case 13 => Seq(x0, y0, x1, y1, x0 * x0, y0 * y0, x0 * y0, x0 * x0 * y0 * y0,
-      x1 * x1, y1 * y1, x1 * y1, x1 * x1 * y1 * y1, lit(1.0))
-    case 17 => Seq(x0, y0, x1, y1, x0 * x0, y0 * y0, x0 * y0, x0 * x0 * y0 * y0,
-      x1 * x1, y1 * y1, x1 * y1, x1 * x1 * y1 * y1,
-      x0 * x1, x0 * y1, y0 * x1, y0 * y1, lit(1.0))
-  }
-
   def mapCols(x0: Column, y0: Column, x1: Column, y1: Column): (Column, Column) = {
-    val ts = terms(x0, y0, x1, y1)
+    val ts = PolyFeatures.colsBinocular(x0, y0, x1, y1, n)
     (ts.zip(cx).map { case (t, c) => t * lit(c) }.reduce(_ + _),
      ts.zip(cy).map { case (t, c) => t * lit(c) }.reduce(_ + _))
   }

@@ -147,6 +147,48 @@ object MultimodalOps {
     }))
   }
 
+  /** PNG-framed video container: `GPNV | n:i32le | n × (len:i32le, PNG
+    * bytes)`. Unlike the raw-gray GRVD stand-in, every frame decodes
+    * through a REAL image codec (`javax.imageio` PNG, lossless) — the
+    * closest the JDK gets to a codec-exercising video path, and the exact
+    * oracle survives because PNG round-trips pixels bit-for-bit. Frame
+    * dims come from the decoded frames themselves. */
+  def encodePngVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val total = 8 + frames.map(_.length + 4).sum
+    val out = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GPNV".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.putInt(frames.length)
+    frames.foreach { f => out.putInt(f.length); out.put(f) }
+    out.array()
+  }
+
+  /** Decode a GPNV blob to per-frame luma planes (real PNG decode per
+    * frame). None on bad magic / truncation / undecodable frame. */
+  def decodePngVideo(bytes: Array[Byte]): Option[Seq[java.awt.image.BufferedImage]] = {
+    if (bytes == null || bytes.length < 8) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4); bb.get(magic)
+    if (!magic.sameElements("GPNV".getBytes)) return None
+    val n = bb.getInt
+    if (n < 0) return None
+    val frames = Vector.newBuilder[java.awt.image.BufferedImage]
+    var i = 0
+    while (i < n) {
+      if (bb.remaining() < 4) return None
+      val len = bb.getInt
+      if (len < 0 || bb.remaining() < len) return None
+      val buf = new Array[Byte](len); bb.get(buf)
+      decodeImage(buf) match {
+        case Some(img) => frames += img
+        case None => return None
+      }
+      i += 1
+    }
+    Some(frames.result())
+  }
+
   /** Decode/feature-extract: media table → (media_id, features). Rows
     * with an `image/…` format are REALLY decoded (luminance histogram
     * from pixels); anything else — or an undecodable image — takes the

@@ -283,4 +283,37 @@ object TimeSeriesOps {
         }
       }
   }
+
+  /** W9: exponential-moving-average smoothing of a per-group series —
+    * the reference's online frame-interval estimate
+    * (Binocular_Gaze_Mapper, externals/gaze_mappers.py:33-36, 71-91:
+    * `ema += (x − ema) · smoothing`, initial 1/120 s, smoothing 1/50).
+    * Inherently sequential per series → per-group scan inside
+    * flatMapGroups, the same distribution axis as the blink FSM (groups
+    * = sessions are the corpus axis; each series is frames-per-session
+    * sized). Output: input columns + `outCol`, one row per input row,
+    * the update applied in input-series order (ties on `tsCol` broken by
+    * input order after the stable sort). */
+  def ema(df: DataFrame, tsCol: String, valueCol: String, keys: Seq[String],
+          smoothing: Double, init: Double,
+          outCol: String = "ema"): DataFrame = {
+    val tsIdx = df.schema.fieldIndex(tsCol)
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val gIdx = keys.map(df.schema.fieldIndex)
+    val outSchema = df.schema.add(outCol,
+      org.apache.spark.sql.types.DoubleType)
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    df.groupByKey(r => GroupKeys.of(r, gIdx))(
+        org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_.getDouble(tsIdx))
+        var acc = init
+        rows.iterator.map { r =>
+          // same arithmetic order as the streaming FSM (BinocularMerge.step)
+          acc = acc + (r.getDouble(vIdx) - acc) * smoothing
+          Row.fromSeq(r.toSeq :+ acc)
+        }
+      }
+  }
 }
