@@ -795,7 +795,9 @@ object Oracles {
        |QUALIFY rank <= 3""".stripMargin
   }
 
-  val sql: Map[String, String] = Map(
+  val sql: Map[String, String] = sqlMain ++ sqlRest
+
+  private def sqlMain: Map[String, String] = Map(
     "w10_binocular_merge" -> w10Sql,
 
     "a7_dbscan" -> a7Sql,
@@ -1406,14 +1408,20 @@ object Oracles {
 
     // Corners of a full-frame 7×4-cell board are closed-form (i·s, j·s):
     // the transition detector recovers them exactly from decoded pixels.
+    // r5: boards carry light margins (mx, my per side); interior corners
+    // sit at (mx + i·s, my + j·s), normalized by the full frame dims
     "cv_checkerboard" ->
       """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
-        |    6 + 2 * (CAST(doc_id AS BIGINT) % 3) AS s FROM documents)
+        |    6 + 2 * (CAST(doc_id AS BIGINT) % 3) AS s,
+        |    (CAST(doc_id AS BIGINT) * 3) % 7 AS mx,
+        |    (CAST(doc_id AS BIGINT) * 5) % 5 AS my FROM documents)
         |SELECT media_id,
-        |  CAST(ri.i * s AS DOUBLE) AS corner_x,
-        |  CAST(rj.j * s AS DOUBLE) AS corner_y,
-        |  round(CAST(ri.i * s AS DOUBLE) / (7 * s), 6) + 0.0e0 AS norm_x,
-        |  round(CAST(rj.j * s AS DOUBLE) / (4 * s), 6) + 0.0e0 AS norm_y
+        |  CAST(mx + ri.i * s AS DOUBLE) AS corner_x,
+        |  CAST(my + rj.j * s AS DOUBLE) AS corner_y,
+        |  round(CAST(mx + ri.i * s AS DOUBLE) / (7 * s + 2 * mx), 6) + 0.0e0
+        |    AS norm_x,
+        |  round(CAST(my + rj.j * s AS DOUBLE) / (4 * s + 2 * my), 6) + 0.0e0
+        |    AS norm_y
         |FROM p, range(1, 7) ri(i), range(1, 4) rj(j)""".stripMargin,
 
     // Ring-pixel replay: the same integer d² inclusion rule the fixture
@@ -1496,12 +1504,33 @@ object Oracles {
         |  round(ly, 6) + 0.0e0 AS loc_y,
         |  round(lx / 64, 6) + 0.0e0 AS norm_x,
         |  round(ly / 64, 6) + 0.0e0 AS norm_y,
-        |  round(sz, 6) + 0.0e0 AS size, n_rings
+        |  round(sz, 6) + 0.0e0 AS size, n_rings,
+        |  CASE WHEN media_id % 2 = 0 THEN 32.0e0 ELSE 224.0e0 END AS ring_luma,
+        |  CASE WHEN media_id % 2 = 0 THEN 224.0e0 ELSE 32.0e0 END AS dot_luma,
+        |  CASE WHEN media_id % 2 = 0 THEN 'Ref' ELSE 'Stop' END AS marker_type
         |FROM mstat""".stripMargin,
 
-    // Per-frame replay of the drifting-pupil raw video: same grid, same
-    // per-frame ellipse rule, same moment arithmetic as cv_pupil.
-    "cv_video_pupils" ->
+    // Per-frame replay of the drifting-pupil video: same grid, same
+    // per-frame ellipse rule, same moment arithmetic as cv_pupil. Shared
+    // verbatim by the raw-gray (GRVD) and PNG-framed (GPNV) container
+    // queries — PNG is lossless, so the decoded planes are identical.
+    "cv_video_pupils" -> videoPupilsSql,
+
+    "cv_video_png" -> videoPupilsSql,
+
+    // gradient-CoM replay: weights are the integer gray-level differences
+    // across the anti-aliased boundary column, den = (m−32)+(224−m) = 192
+    "cv_subpixel_edge" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    10 + CAST(doc_id AS BIGINT) % 20 AS xb,
+        |    64 + 32 * (CAST(doc_id AS BIGINT) % 4) AS m FROM documents)
+        |SELECT media_id,
+        |  round(((m - 32) * (xb - 1 + 0.5e0) + (224 - m) * (xb + 0.5e0))
+        |    / ((m - 32) + (224 - m)), 6) + 0.0e0 AS edge_x
+        |FROM p""".stripMargin,
+  )
+
+  private def videoPupilsSql: String =
       """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
         |    2 + CAST(doc_id AS BIGINT) % 3 AS nf,
         |    16 + CAST(doc_id AS BIGINT) % 9 AS cx0,
@@ -1535,8 +1564,9 @@ object Oracles {
         |    - sqrt(greatest((mxx + myy) * (mxx + myy) / 4.0
         |      - (mxx * myy - 0.0 * 0.0), 0.0)), 0.0)), 6) + 0.0e0
         |    AS axis_minor
-        |FROM v""".stripMargin,
+        |FROM v""".stripMargin
 
+  private def sqlRest: Map[String, String] = Map(
     // Audio replay: regenerate the planted square wave per sample index
     // with the same integer formula the WAV fixture encoded, then apply
     // the kernel's exact-integer-sum feature arithmetic.

@@ -692,12 +692,26 @@ object Queries {
   /** ANN via IVF-PQ (coarse cells + residual product quantization, the
     * billion-scale composition): candidates ranked by the asymmetric
     * similarity within nprobe=4 of 16 cells over 8×16 residual codebooks,
-    * top-10 re-scored exactly, k=3. */
-  def annIvfPqTopk(s: SparkSession, dir: String): DataFrame =
-    VectorOps.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+    * top-10 re-scored exactly, k=3.
+    *
+    * INDEX-FED (r5, like `dedup_clusters`): the quantizer is fitted and
+    * the corpus encoded ONCE into the persisted cell-partitioned
+    * [[operators.AnnIndexIO]] artifact; the search reads the loaded index
+    * — bit-identical to the inline lineage (spec-proven), minus the
+    * per-invocation refit + re-encode. Repeated invocations within one
+    * application reuse the artifact. */
+  def annIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val idxPath = s"${Queries.privateIndexBase}/graft_ann_idx_$tag"
+    if (!new java.io.File(s"$idxPath/index").exists())
+      operators.AnnIndexIO.build(emb, "vec_id", "embedding", idxPath)
+    operators.AnnIndexIO.search(s, idxPath, emb, "vec_id", "embedding",
         col("v_id") < 10, k = 3)
       .select(col("q_id"), col("rank"), col("n_id"),
         (round(col("sim"), 6) + 0.0).as("sim"))
+  }
 
   /** Embedding near-duplicate pairs with cosine ≥ 0.45 (threshold sized to
     * the synthetic corpus' similarity tail): banded sign-LSH candidates
@@ -940,14 +954,21 @@ object Queries {
     import graft.multimodal.{VisionFixtures, VisionOps}
     val media = VisionFixtures.plantMedia(
       Tables.documents(s, dir), "doc_id", "multi_markers")
-    VisionOps.findMarkers(media).select(
+    // odd frames render light-on-dark → the C7 arm; their markers must
+    // classify "Stop" (ring brighter than dot in the original image),
+    // even frames' dark-ring markers "Ref" (circle_detector.py:339-452)
+    val even = VisionOps.findMarkers(
+      media.filter(col("media_id") % 2 === 0), invertContrast = false)
+    val odd = VisionOps.findMarkers(
+      media.filter(col("media_id") % 2 === 1), invertContrast = true)
+    even.unionByName(odd).select(
       col("media_id"), col("marker_idx"), col("n_dark"),
       (round(col("loc_x"), 6) + 0.0).as("loc_x"),
       (round(col("loc_y"), 6) + 0.0).as("loc_y"),
       (round(col("norm_x"), 6) + 0.0).as("norm_x"),
       (round(col("norm_y"), 6) + 0.0).as("norm_y"),
       (round(col("size"), 6) + 0.0).as("size"),
-      col("n_rings"))
+      col("n_rings"), col("ring_luma"), col("dot_luma"), col("marker_type"))
   }
 
   /** S1 video batch scan END-TO-END: planted raw-video blobs (2-4 gray
@@ -966,6 +987,37 @@ object Queries {
       (round(col("center_y"), 6) + 0.0).as("center_y"),
       (round(col("axis_major"), 6) + 0.0).as("axis_major"),
       (round(col("axis_minor"), 6) + 0.0).as("axis_minor"))
+  }
+
+  /** S1 video batch scan over the PNG-FRAMED container: same planted
+    * drifting-pupil geometry as `cv_video_pupils`, but every frame passes
+    * through the real `javax.imageio` PNG codec
+    * ([[graft.multimodal.MultimodalOps.decodePngVideo]]) — the video path
+    * exercising an actual image codec end-to-end. PNG is lossless, so
+    * the oracle replay is identical to the raw-gray arm. */
+  def cvVideoPng(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{VisionFixtures, VisionOps}
+    val media = VisionFixtures.plantMedia(
+      Tables.documents(s, dir), "doc_id", "video_png")
+    VisionOps.detectPupilsVideo(media).select(
+      col("media_id"), col("frame_index"), col("n_dark"),
+      (round(col("center_x"), 6) + 0.0).as("center_x"),
+      (round(col("center_y"), 6) + 0.0).as("center_y"),
+      (round(col("axis_major"), 6) + 0.0).as("axis_major"),
+      (round(col("axis_minor"), 6) + 0.0).as("axis_minor"))
+  }
+
+  /** Sub-pixel edge localization (the cornerSubPix tier,
+    * marker_detection.py:234-240, restated in 1-D): planted anti-aliased
+    * step edges whose boundary-column gray level encodes the fractional
+    * position; the gradient center of mass recovers it from real decoded
+    * pixels, and the oracle replays the integer-weight arithmetic. */
+  def cvSubpixelEdge(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{VisionFixtures, VisionOps}
+    val media = VisionFixtures.plantMedia(
+      Tables.documents(s, dir), "doc_id", "edge")
+    VisionOps.findEdgeSubpixel(media).select(
+      col("media_id"), (round(col("edge_x"), 6) + 0.0).as("edge_x"))
   }
 
   /** Audio features END-TO-END on real bytes: planted square-wave WAV

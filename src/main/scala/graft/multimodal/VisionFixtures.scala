@@ -62,15 +62,21 @@ object VisionFixtures {
     }
   }
 
-  /** Checkerboard: full-frame 7×4 cells (6×3 interior corners — the
-    * reference's checkerboard_size=(3,6) default), cell size s ∈
-    * {6,8,10}, leading color alternating by id. */
-  def checkerboardParams(id: Long): Int = (6 + 2 * (id % 3)).toInt
+  /** Checkerboard: 7×4 cells (6×3 interior corners — the reference's
+    * checkerboard_size=(3,6) default), cell size s ∈ {6,8,10}, leading
+    * color alternating by id, surrounded by a LIGHT MARGIN of
+    * (mx, my) ∈ [0,6]×[0,4] pixels per side (r5: boards sit anywhere in
+    * the frame, marker_detection.py:218-233 — margin 0 covers the old
+    * full-frame case). */
+  def checkerboardParams(id: Long): (Int, Int, Int) =
+    ((6 + 2 * (id % 3)).toInt, ((id * 3) % 7).toInt, ((id * 5) % 5).toInt)
 
   def renderCheckerboard(id: Long): Array[Byte] = {
-    val s = checkerboardParams(id)
-    pngBytes(7 * s, 4 * s, invert = false) { (x, y) =>
-      ((x / s + y / s) % 2 == 0) == (id % 2 == 0)
+    val (s, mx, my) = checkerboardParams(id)
+    pngBytes(7 * s + 2 * mx, 4 * s + 2 * my, invert = false) { (x, y) =>
+      val bx = x - mx; val by = y - my
+      bx >= 0 && bx < 7 * s && by >= 0 && by < 4 * s &&
+        (((bx / s + by / s) % 2 == 0) == (id % 2 == 0))
     }
   }
 
@@ -105,9 +111,13 @@ object VisionFixtures {
     if (id % 2 == 0) Seq(m0) else Seq(m0, m1)
   }
 
+  /** Odd frames are rendered CONTRAST-INVERTED (light rings on dark):
+    * detected through the C7 arm, their markers classify as "Stop"
+    * (rings brighter than the enclosed dot in the original image); even
+    * frames' dark-ring markers classify as "Ref". */
   def renderMultiMarkers(id: Long): Array[Byte] = {
     val markers = multiMarkerParams(id)
-    pngBytes(64, 64, invert = false) { (x, y) =>
+    pngBytes(64, 64, invert = id % 2 == 1) { (x, y) =>
       markers.exists { case (cx, cy, nr, t) =>
         val d2 = (x - cx).toLong * (x - cx) + (y - cy).toLong * (y - cy)
         (1 to nr).exists { k =>
@@ -116,6 +126,50 @@ object VisionFixtures {
         }
       }
     }
+  }
+
+  /** Anti-aliased vertical edge: dark left half, light right half, one
+    * intermediate-gray boundary column whose level m ∈ {64,96,128,160}
+    * encodes the sub-pixel edge position — the planted ground truth for
+    * the gradient-CoM refinement (the cornerSubPix tier). */
+  def edgeParams(id: Long): (Int, Int) =
+    ((10 + id % 20).toInt, (64 + 32 * (id % 4)).toInt)
+
+  def renderEdge(id: Long): Array[Byte] = {
+    val (xb, m) = edgeParams(id)
+    val img = new java.awt.image.BufferedImage(
+      48, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 48) {
+      var x = 0
+      while (x < 48) {
+        val v = if (x < xb) Dark else if (x == xb) m else Light
+        img.setRGB(x, y, v * 0x010101)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** PNG-framed video: the same drifting-pupil geometry as [[renderVideo]]
+    * but every frame is a real PNG — the decode path exercises the
+    * `javax.imageio` codec per frame (lossless, so the oracle replay is
+    * unchanged from the raw-gray container). */
+  def renderVideoPng(id: Long): Array[Byte] = {
+    val (nf, cx0, cy0, a, b) = videoParams(id)
+    val frames = (0 until nf).map { f =>
+      val cx = cx0 + f; val cy = cy0 + f
+      pngBytes(48, 48, invert = false) { (x, y) =>
+        val tx = (x - cx).toDouble / a
+        val ty = (y - cy).toDouble / b
+        tx * tx + ty * ty <= 1.0
+      }
+    }
+    MultimodalOps.encodePngVideo(frames)
   }
 
   /** Raw video: 2-4 frames of 48×48 gray with a dark pupil ellipse
@@ -147,14 +201,18 @@ object VisionFixtures {
     val render: Long => (Array[Byte], String, Int, Int, Int) = kind match {
       case "pupil" => id => (renderPupil(id), "image/png", 64, 64, 1)
       case "checkerboard" => id =>
-        val s = checkerboardParams(id)
-        (renderCheckerboard(id), "image/png", 7 * s, 4 * s, 1)
+        val (s, mx, my) = checkerboardParams(id)
+        (renderCheckerboard(id), "image/png", 7 * s + 2 * mx, 4 * s + 2 * my, 1)
       case "circles" => id => (renderCircles(id), "image/png", 64, 64, 1)
       case "multi_markers" => id =>
         (renderMultiMarkers(id), "image/png", 64, 64, 1)
+      case "edge" => id => (renderEdge(id), "image/png", 48, 48, 1)
       case "video" => id =>
         val nf = videoParams(id)._1
         (renderVideo(id), "video/x-graft-raw", 48, 48, nf)
+      case "video_png" => id =>
+        val nf = videoParams(id)._1
+        (renderVideoPng(id), "video/x-graft-png", 48, 48, nf)
       case other => throw new IllegalArgumentException(s"unknown kind $other")
     }
     val outSchema = MultimodalOps.mediaSchema

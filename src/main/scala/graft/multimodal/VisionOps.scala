@@ -131,15 +131,63 @@ object VisionOps {
     */
   final case class Corner(x: Int, y: Int)
 
+  /** MARGIN-TOLERANT since r5: `cv2.findChessboardCorners` finds boards
+    * anywhere in the frame (marker_detection.py:218-233), so the flip rule
+    * runs inside the BOARD BOUNDING BOX rather than demanding the board
+    * fill the frame. The box is the dark-pixel bounding box — exact for a
+    * checkerboard on a uniform light margin, because every pixel row and
+    * column of the board contains dark cells (cells alternate), while the
+    * margin contains none. Documented residual approximation: margins must
+    * be clutter-free (a second dark object would widen the box); the
+    * reference's cv2 search handles clutter via its quad filtering. The
+    * board's own outer edges never qualify as boundaries (margin→cell
+    * transitions only flip on alternating cell rows), so exactly the
+    * interior corners emerge, as before. */
   def checkerboardCorners(g: Gray, thresh: Double = DarkThreshold): Seq[Corner] = {
     val dark = Array.tabulate(g.h, g.w)((y, x) => g(x, y) < thresh)
-    val vb = (1 until g.w).filter { x =>
-      (0 until g.h).forall(y => dark(y)(x - 1) != dark(y)(x))
+    var x0 = Int.MaxValue; var x1 = Int.MinValue
+    var y0 = Int.MaxValue; var y1 = Int.MinValue
+    var y = 0
+    while (y < g.h) {
+      var x = 0
+      while (x < g.w) {
+        if (dark(y)(x)) {
+          if (x < x0) x0 = x; if (x > x1) x1 = x
+          if (y < y0) y0 = y; if (y > y1) y1 = y
+        }
+        x += 1
+      }
+      y += 1
     }
-    val hb = (1 until g.h).filter { y =>
-      (0 until g.w).forall(x => dark(y - 1)(x) != dark(y)(x))
+    if (x1 < x0) return Seq.empty // no dark pixels at all
+    val vb = (x0 + 1 to x1).filter { x =>
+      (y0 to y1).forall(y => dark(y)(x - 1) != dark(y)(x))
+    }
+    val hb = (y0 + 1 to y1).filter { y =>
+      (x0 to x1).forall(x => dark(y - 1)(x) != dark(y)(x))
     }
     for (y <- hb; x <- vb) yield Corner(x, y)
+  }
+
+  /** Sub-pixel edge localization — the 1-D restatement of cornerSubPix
+    * (marker_detection.py:234-240): within each pixel row, the edge
+    * position is the gradient-magnitude center of mass,
+    * Σ |I(x+1)−I(x)| · (x+0.5) / Σ |I(x+1)−I(x)| — for an ideal
+    * anti-aliased step [D, D, m, L, L] this recovers the fractional edge
+    * position the mixing value m encodes. Luma is rounded to the integer
+    * gray level first (`rint`) so the weights are exact integers and the
+    * single division is the only rounding — replayable bit-for-bit by an
+    * external oracle. Returns None for a gradient-free (uniform) row. */
+  def subpixelEdgeX(g: Gray, y: Int): Option[Double] = {
+    var num = 0.0
+    var den = 0L
+    var x = 0
+    while (x < g.w - 1) {
+      val w = math.abs(math.rint(g(x + 1, y)).toLong - math.rint(g(x, y)).toLong)
+      if (w != 0) { num += w.toDouble * (x + 0.5); den += w }
+      x += 1
+    }
+    if (den == 0L) None else Some(num / den)
   }
 
   // --------------------------------------------------------- C3 circles
@@ -214,7 +262,25 @@ object VisionOps {
     * separation) → per marker the [[CircleMarker]] statistics. Emitted
     * sorted by (locX, locY) with a frame-local marker index — no shuffle
     * needed for a deterministic order. */
-  def concentricMarkers(g: Gray, thresh: Double = DarkThreshold): Seq[CircleMarker] = {
+  def concentricMarkers(g: Gray, thresh: Double = DarkThreshold): Seq[CircleMarker] =
+    concentricMarkersTyped(g, inverted = false, thresh).map(_.marker)
+
+  /** Ref/Stop-classified marker (r5): the reference classifies each
+    * concentric marker by ring-vs-dot brightness — dark rings around a
+    * light center are calibration "Ref" markers, the inverted polarity is
+    * the epoch-ending "Stop" marker (find_pupil_circle_marker,
+    * externals/circle_detector.py:339-452, types emitted at :401/:449).
+    * `ringLuma` = mean ORIGINAL-image gray level of the marker's ring
+    * pixels, `dotLuma` = original gray level at the marker center (the
+    * enclosed dot/background); type = Ref iff the rings are darker than
+    * the dot. Luma is rounded to the integer gray level (`rint`) before
+    * the mean so the sums are exact integers (replayable by the oracle). */
+  final case class TypedMarker(marker: CircleMarker, ringLuma: Double,
+                               dotLuma: Double, markerType: String)
+
+  /** 4-connected component labeling of the dark set. Returns (label map,
+    * component count); non-dark pixels carry label −1. */
+  private def labelDark(g: Gray, thresh: Double): (Array[Int], Int) = {
     val n = g.w * g.h
     val label = new Array[Int](n)
     java.util.Arrays.fill(label, -1)
@@ -248,11 +314,25 @@ object VisionOps {
       }
       i += 1
     }
+    (label, next)
+  }
+
+  /** [[concentricMarkers]] + the Ref/Stop classification. `inverted`
+    * says the plane was contrast-inverted BEFORE detection (the C7 arm),
+    * so original gray = 255 − plane value for the luma statistics. */
+  def concentricMarkersTyped(g: Gray, inverted: Boolean,
+                             thresh: Double = DarkThreshold): Seq[TypedMarker] = {
+    val n = g.w * g.h
+    val (label, next) = labelDark(g, thresh)
     if (next == 0) return Seq.empty
+    def origLuma(i: Int): Long = {
+      val v = math.rint(g.px(i)).toLong
+      if (inverted) 255L - v else v
+    }
     // per-component integer moment sums
     val cn = new Array[Long](next); val csx = new Array[Long](next)
     val csy = new Array[Long](next)
-    i = 0
+    var i = 0
     while (i < n) {
       val l = label(i)
       if (l >= 0) { cn(l) += 1; csx(l) += i % g.w; csy(l) += i / g.w }
@@ -267,6 +347,7 @@ object VisionOps {
       val sx = comps.map(csx(_)).sum; val sy = comps.map(csy(_)).sum
       val cx = sx.toDouble / mn; val cy = sy.toDouble / mn
       var maxD2 = 0.0
+      var lumaSum = 0L
       val floors = scala.collection.mutable.SortedSet.empty[Long]
       val member = comps.toSet
       var p = 0
@@ -276,6 +357,7 @@ object VisionOps {
           val d2 = dx * dx + dy * dy
           if (d2 > maxD2) maxD2 = d2
           floors += math.floor(math.sqrt(d2)).toLong
+          lumaSum += origLuma(p)
         }
         p += 1
       }
@@ -284,8 +366,15 @@ object VisionOps {
         if (prev == Long.MinValue || f - prev > 1) rings += 1
         prev = f
       }
-      CircleMarker(mn, cx, cy, math.sqrt(maxD2), rings)
-    }.sortBy(m => (m.locX, m.locY))
+      val ringLuma = lumaSum.toDouble / mn
+      val dcx = math.rint(cx).toInt; val dcy = math.rint(cy).toInt
+      val dotLuma =
+        if (dcx >= 0 && dcx < g.w && dcy >= 0 && dcy < g.h)
+          origLuma(dcy * g.w + dcx).toDouble
+        else ringLuma
+      TypedMarker(CircleMarker(mn, cx, cy, math.sqrt(maxD2), rings),
+        ringLuma, dotLuma, if (ringLuma < dotLuma) "Ref" else "Stop")
+    }.sortBy(m => (m.marker.locX, m.marker.locY))
   }
 
   // -------------------------------------------------- DataFrame entry points
@@ -331,6 +420,25 @@ object VisionOps {
     * rounding) and the pupil kernel runs on every frame — one output
     * row per (media, frame), the reference's find_pupils shape: frames
     * stay task-local, only detection rows survive. */
+  /** Per-blob frame fan-out, container-dispatched: GRVD raw-gray planes
+    * (byte value IS the luma) or GPNV PNG-framed video (every frame runs
+    * through the real `javax.imageio` codec). */
+  private def videoFrames(bytes: Array[Byte]): Iterator[Gray] =
+    MultimodalOps.decodeRawVideo(bytes) match {
+      case Some(v) =>
+        v.frames.iterator.map { plane =>
+          val px = new Array[Double](plane.length)
+          var i = 0
+          while (i < plane.length) { px(i) = (plane(i) & 0xff).toDouble; i += 1 }
+          Gray(v.w, v.h, px)
+        }
+      case None =>
+        MultimodalOps.decodePngVideo(bytes) match {
+          case Some(frames) => frames.iterator.map(grayOf)
+          case None => Iterator.empty
+        }
+    }
+
   def detectPupilsVideo(media: DataFrame, invertContrast: Boolean = false,
                         thresh: Double = DarkThreshold): DataFrame = {
     val idIdx = media.schema.fieldIndex("media_id")
@@ -346,19 +454,12 @@ object VisionOps {
       org.apache.spark.sql.Encoders.row(schema)
     media.mapPartitions { it =>
       it.flatMap { r =>
-        MultimodalOps.decodeRawVideo(r.getAs[Array[Byte]](bIdx)) match {
-          case Some(v) =>
-            v.frames.iterator.zipWithIndex.flatMap { case (plane, f) =>
-              val px = new Array[Double](plane.length)
-              var i = 0
-              while (i < plane.length) { px(i) = (plane(i) & 0xff).toDouble; i += 1 }
-              val g0 = Gray(v.w, v.h, px)
-              pupilEllipse(if (invertContrast) invert(g0) else g0, thresh)
-                .iterator.map(p => Row(r.getLong(idIdx), f, p.n, p.cx, p.cy,
-                  p.major, p.minor))
-            }
-          case None => Iterator.empty
-        }
+        videoFrames(r.getAs[Array[Byte]](bIdx)).zipWithIndex
+          .flatMap { case (g0, f) =>
+            pupilEllipse(if (invertContrast) invert(g0) else g0, thresh)
+              .iterator.map(p => Row(r.getLong(idIdx), f, p.n, p.cx, p.cy,
+                p.major, p.minor))
+          }
       }
     }
   }
@@ -379,7 +480,8 @@ object VisionOps {
 
   /** C3 MULTI-marker form over a media table: 0..n marker rows per
     * decodable frame (the world_circles generator shape), frame-local
-    * `marker_idx` ordered by position. */
+    * `marker_idx` ordered by position, each marker Ref/Stop-classified
+    * from its ring/dot luma statistics (circle_detector.py:339-452). */
   def findMarkers(media: DataFrame, invertContrast: Boolean = false,
                   thresh: Double = DarkThreshold): DataFrame = {
     val schema = StructType(Seq(
@@ -389,12 +491,27 @@ object VisionOps {
       StructField("loc_x", DoubleType), StructField("loc_y", DoubleType),
       StructField("norm_x", DoubleType), StructField("norm_y", DoubleType),
       StructField("size", DoubleType),
-      StructField("n_rings", IntegerType)))
+      StructField("n_rings", IntegerType),
+      StructField("ring_luma", DoubleType), StructField("dot_luma", DoubleType),
+      StructField("marker_type", StringType)))
     mediaPlanes(media, invertContrast)((id, g) =>
-      concentricMarkers(g, thresh).iterator.zipWithIndex.map { case (m, idx) =>
-        Row(id, idx, m.n, m.locX, m.locY, m.locX / g.w, m.locY / g.h,
-          m.size, m.nRings)
-      }, schema)
+      concentricMarkersTyped(g, invertContrast, thresh).iterator.zipWithIndex
+        .map { case (t, idx) =>
+          val m = t.marker
+          Row(id, idx, m.n, m.locX, m.locY, m.locX / g.w, m.locY / g.h,
+            m.size, m.nRings, t.ringLuma, t.dotLuma, t.markerType)
+        }, schema)
+  }
+
+  /** Sub-pixel edge localization over a media table (the cornerSubPix
+    * tier on real decoded pixels): one row per decodable frame with the
+    * gradient-CoM edge position of the frame's middle row. */
+  def findEdgeSubpixel(media: DataFrame, thresh: Double = DarkThreshold): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("edge_x", DoubleType)))
+    mediaPlanes(media, invertContrast = false)((id, g) =>
+      subpixelEdgeX(g, g.h / 2).iterator.map(e => Row(id, e)), schema)
   }
 
   /** C3 over a media table: one marker-statistics row per decodable

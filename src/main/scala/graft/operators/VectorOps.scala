@@ -69,7 +69,14 @@ object VectorOps {
     * being missed; recall goes from 1−(1−pᵇ) to covering all 1-bit-off
     * buckets. The shipped ann_lsh_topk query and its oracle both use the
     * multi-probe shape; the default stays off for library callers who
-    * want the minimal single-bucket probe. */
+    * want the minimal single-bucket probe.
+    *
+    * SCALE: this inline form hashes the corpus per invocation. Serving
+    * workloads (many queries over one corpus) should persist the encoded
+    * index once and search it — the [[AnnIndexIO]] build/search split is
+    * that shape for the IVF-PQ tier, and the same discipline applies
+    * here: one corpus pass at build time, per-query work bounded by the
+    * probed buckets. */
   def annTopK(vecs: DataFrame, idCol: String, vecCol: String,
               anchors: DataFrame, queryPred: Column, k: Int,
               multiProbe: Boolean = false): DataFrame = {
@@ -170,7 +177,15 @@ object VectorOps {
     * `nprobe` nearest cells and rank candidates by exact cosine. The
     * centroids fold into the plan as literals; candidate cost is
     * Σ probed-cell sizes instead of N per query — the IVF scale path next
-    * to [[annTopK]]'s LSH buckets. */
+    * to [[annTopK]]'s LSH buckets.
+    *
+    * SCALE: this inline form refits the quantizer (one TakeOrdered
+    * sample scan + driver k-means) and re-assigns every corpus vector on
+    * EVERY invocation — a correctness baseline, not a serving shape.
+    * Serving workloads use the [[AnnIndexIO]] build/search split: the
+    * quantizer is fitted once, the corpus encoded once into a
+    * cell-partitioned table, and each search prunes to its probed cells
+    * at the file-listing level. */
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, nCells: Int = 16,
               nprobe: Int = 4, sampleN: Int = 10000): DataFrame = {

@@ -42,13 +42,27 @@ object VedbPipeline {
       .getOrElse(throw new IllegalStateException(
         "no epochs survived marker filtering"))
 
+  /** Ref/Stop consumption (r5): when the detection table carries the
+    * `marker_type` classification ([[graft.multimodal.VisionOps]] typed
+    * markers, circle_detector.py:339-452), only "Ref" markers are
+    * calibration/validation material — "Stop" markers are epoch
+    * DELIMITERS (the session operator shows one to close an epoch) and
+    * must not enter clustering or fitting. Dropping them BEFORE the gap
+    * split both removes them from the fit and widens the time gap at
+    * their position, which is exactly how a delimiter splits epochs under
+    * the W2 gap rule. Untyped tables pass through unchanged. */
+  private def refOnly(markers: DataFrame): DataFrame =
+    if (markers.columns.contains("marker_type"))
+      markers.filter(col("marker_type") === "Ref").drop("marker_type")
+    else markers
+
   def stages(markers: DataFrame, clock: DataFrame, pupils: DataFrame,
              cfg: Calibrator.Config = Calibrator.Config(),
              epochDuration: (Double, Double) = (30.0, 150.0),
              clusterDuration: (Double, Double) = (0.2, 5.0),
              errorResolution: (Int, Int) = (60, 80)): Seq[Stage] = Seq(
     Stage("markers_filtered", Nil, (_, _) =>
-      MarkerParsing.filterAndCluster(markers, clock,
+      MarkerParsing.filterAndCluster(refOnly(markers), clock,
         epochDuration = epochDuration, clusterDuration = clusterDuration)),
     Stage("markers_cal", Seq("markers_filtered"), (_, in) => {
       val f = in("markers_filtered")
@@ -154,7 +168,8 @@ object VedbPipeline {
         clusterDuration = clusterDuration)
     val frameStage = Stage("markers_frames_manual", Nil, (_, _) =>
       graft.operators.TimeSeriesOps.searchSorted(
-        markers, clock.select(col("timestamp")), "timestamp", "timestamp"))
+        refOnly(markers), clock.select(col("timestamp")), "timestamp",
+        "timestamp"))
     val calStage = Stage(s"markers_cal_manual_$ce", Seq("markers_frames_manual"),
       (_, in) => cluster(rangeOf(in, calEp)))
     val valStages = valEpochs.flatMap { e =>

@@ -41,26 +41,35 @@ class VisionOpsSpec extends SparkSpec {
 
   // ----------------------------------------------------- C4 checkerboard
 
-  test("checkerboard corners are the exact planted grid, either phase") {
-    for (id <- Seq(0L, 1L, 2L)) {
-      val s = VisionFixtures.checkerboardParams(id)
+  test("checkerboard corners are the exact planted grid, either phase, " +
+      "with or without margins") {
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L)) {
+      val (s, mx0, my0) = VisionFixtures.checkerboardParams(id)
       val corners = VisionOps.checkerboardCorners(
         grayFrom(VisionFixtures.renderCheckerboard(id)))
       val expect = (for (j <- 1 to 3; i <- 1 to 6)
-        yield VisionOps.Corner(i * s, j * s)).toSet
-      assert(corners.toSet == expect, s"id $id: ${corners.size} corners")
+        yield VisionOps.Corner(mx0 + i * s, my0 + j * s)).toSet
+      assert(corners.toSet == expect,
+        s"id $id (margins $mx0,$my0): ${corners.size} corners")
       // marker position = mean of corners = board center (reference
       // contract: location = np.mean(corners, axis=0))
-      val mx = corners.map(_.x).sum.toDouble / corners.size
-      val my = corners.map(_.y).sum.toDouble / corners.size
-      assert(mx == 3.5 * s && my == 2.0 * s)
+      val cmx = corners.map(_.x).sum.toDouble / corners.size
+      val cmy = corners.map(_.y).sum.toDouble / corners.size
+      assert(cmx == mx0 + 3.5 * s && cmy == my0 + 2.0 * s)
     }
   }
 
-  test("checkerboard detection is contrast-inversion invariant (C7)") {
-    val g = grayFrom(VisionFixtures.renderCheckerboard(4L))
-    assert(VisionOps.checkerboardCorners(g) ==
-      VisionOps.checkerboardCorners(VisionOps.invert(g)))
+  test("checkerboard detection is contrast-inversion invariant (C7) on " +
+      "margin-free boards") {
+    // like cv2.findChessboardCorners' white-border requirement, boards
+    // WITH margins need the correct polarity (the C7 pre-step restores
+    // it); zero-margin boards are invariant under plain inversion
+    val (_, mx, my) = VisionFixtures.checkerboardParams(0L)
+    assert(mx == 0 && my == 0)
+    val g = grayFrom(VisionFixtures.renderCheckerboard(0L))
+    assert(VisionOps.checkerboardCorners(g).nonEmpty &&
+      VisionOps.checkerboardCorners(g) ==
+        VisionOps.checkerboardCorners(VisionOps.invert(g)))
   }
 
   // --------------------------------------------------------- C3 circles
@@ -96,19 +105,31 @@ class VisionOpsSpec extends SparkSpec {
     }
   }
 
-  test("multi-marker frames: one row per planted marker, exact centers") {
-    for (id <- Seq(2L, 3L, 7L, 10L)) { // even = 1 marker, odd = 2
-      val markers = VisionOps.concentricMarkers(
-        grayFrom(VisionFixtures.renderMultiMarkers(id)))
+  test("multi-marker frames: one row per planted marker, exact centers, " +
+      "Ref/Stop classified") {
+    for (id <- Seq(2L, 3L, 7L, 10L)) { // even = 1 marker Ref; odd = 2, Stop
+      val inverted = id % 2 == 1 // odd frames render light-on-dark (C7 arm)
+      val g0 = grayFrom(VisionFixtures.renderMultiMarkers(id))
+      val markers = VisionOps.concentricMarkersTyped(
+        if (inverted) VisionOps.invert(g0) else g0, inverted)
       val planted = VisionFixtures.multiMarkerParams(id)
       assert(markers.size == planted.size,
         s"id $id: ${markers.size} markers != ${planted.size}")
       val expect = planted.map { case (cx, cy, _, _) =>
         (cx.toDouble, cy.toDouble)
       }.sorted
-      assert(markers.map(m => (m.locX, m.locY)) == expect)
+      assert(markers.map(m => (m.marker.locX, m.marker.locY)) == expect)
       // every marker reports its own ring count (2 planted per marker)
-      assert(markers.forall(_.nRings == 2))
+      assert(markers.forall(_.marker.nRings == 2))
+      // ring/dot luma classification (circle_detector.py:339-452): dark
+      // rings on light → Ref; the inverted arm's original image has light
+      // rings on dark → Stop
+      val wantType = if (inverted) "Stop" else "Ref"
+      assert(markers.forall(_.markerType == wantType),
+        s"id $id types ${markers.map(_.markerType)}")
+      assert(markers.forall(m =>
+        m.ringLuma == (if (inverted) 224.0 else 32.0) &&
+          m.dotLuma == (if (inverted) 32.0 else 224.0)))
     }
   }
 
@@ -208,6 +229,39 @@ class VisionOpsSpec extends SparkSpec {
     assert(MultimodalOps.decodeRawVideo("JUNK".getBytes ++
       new Array[Byte](20)).isEmpty)
     assert(MultimodalOps.decodeRawVideo(null).isEmpty)
+  }
+
+  test("PNG-framed video container decodes to the same planes as raw-gray") {
+    for (id <- Seq(0L, 3L, 5L)) {
+      val raw = MultimodalOps.decodeRawVideo(VisionFixtures.renderVideo(id)).get
+      val png = MultimodalOps.decodePngVideo(VisionFixtures.renderVideoPng(id)).get
+      assert(png.length == raw.frames.length)
+      png.zip(raw.frames).foreach { case (img, plane) =>
+        val luma = VisionOps.grayOf(img)
+        assert(luma.w == raw.w && luma.h == raw.h)
+        // identical two-tone geometry: binarized planes must agree exactly
+        (0 until raw.w * raw.h).foreach { i =>
+          assert((luma.px(i) < 128.0) == ((plane(i) & 0xff) < 128))
+        }
+      }
+    }
+    assert(MultimodalOps.decodePngVideo("JUNK".getBytes ++
+      new Array[Byte](20)).isEmpty)
+    assert(MultimodalOps.decodePngVideo(null).isEmpty)
+  }
+
+  test("sub-pixel edge: gradient CoM recovers the planted AA boundary") {
+    for (id <- Seq(0L, 1L, 2L, 3L)) {
+      val (xb, m) = VisionFixtures.edgeParams(id)
+      val g = grayFrom(VisionFixtures.renderEdge(id))
+      val e = VisionOps.subpixelEdgeX(g, 24).get
+      val want = ((m - 32).toDouble * (xb - 1 + 0.5) +
+        (224 - m).toDouble * (xb + 0.5)) / 192.0
+      assert(math.abs(e - want) < 1e-12, s"id $id: $e != $want")
+      // the refinement is genuinely sub-pixel: between the two integer
+      // boundary candidates, biased toward the heavier gradient
+      assert(e > xb - 0.5 && e < xb + 0.5)
+    }
   }
 
   test("undecodable media yield no rows from any detector") {

@@ -232,4 +232,38 @@ class PipelineSpec extends SparkSpec {
     assert(ra("markers_filtered").state == Computed, ra.toString)
     assert(ra("calibration").state == Computed)
   }
+
+  test("Ref/Stop consumption: Stop markers never reach clustering or fit") {
+    val root = Files.createTempDirectory("vedbtyped").toString
+    val fps = 30.0
+    // two Ref epochs of 5 clusters each, separated by a run of Stop
+    // delimiter markers (circle_detector.py:339-452 types); the Stop rows
+    // sit between the epochs and must not appear in any filtered artifact
+    val grid = Seq((0.2, 0.3), (0.4, 0.5), (0.6, 0.3), (0.8, 0.6), (0.3, 0.7))
+    def refs(startFrame: Int) = (0 until 500).map { i =>
+      val (mx, my) = grid(i / 100)
+      ((startFrame + i) / fps, Seq(mx, my), Seq(0.05, 0.05), "Ref")
+    }
+    val stops = (0 until 60).map { i =>
+      ((1000 + i) / fps, Seq(0.95, 0.95), Seq(0.05, 0.05), "Stop")
+    }
+    val markers = (refs(300) ++ stops ++ refs(2400))
+      .toDF("timestamp", "norm_pos", "size", "marker_type")
+    val clock = (0 until 5000).map(_ / fps).toDF("timestamp")
+    val stage1 = VedbPipeline.stages(markers, clock,
+      markers.select(col("timestamp"),
+        element_at(col("norm_pos"), 1).as("norm_x"),
+        element_at(col("norm_pos"), 2).as("norm_y"),
+        lit(0.95).as("confidence")),
+      epochDuration = (5.0, 150.0)).take(1)
+    val r = Pipeline.run(spark, root, stage1)
+    assert(r("markers_filtered").state == Computed, r.toString)
+    val filtered = spark.read.parquet(r("markers_filtered").path)
+    // no row at the Stop position or inside the Stop time span survives
+    assert(filtered.filter(element_at(col("norm_pos"), 1) > 0.9).count() == 0)
+    assert(filtered.filter(col("timestamp").between(1000 / fps, 1059 / fps))
+      .count() == 0)
+    // both Ref epochs survive with their 5 clusters each
+    assert(filtered.select("epoch").distinct().count() == 2)
+  }
 }
