@@ -357,6 +357,21 @@ object TextOps {
         .otherwise("fr"))
   }
 
+  /** [[langId]]'s winner as a single Column — the inline form a one-
+    * lineage streaming chain needs (same marker sets, same ≥ tie order;
+    * value-identical to joining `langId` back). */
+  def langPredCol(text: Column): Column = {
+    val toks = tokens(text)
+    def score(ws: Seq[String]): Column =
+      size(filter(toks, w => ws.map(m => w === m).reduce(_ || _))).cast("long")
+    val de = score(langMarkers("de")); val en = score(langMarkers("en"))
+    val es = score(langMarkers("es")); val fr = score(langMarkers("fr"))
+    when(de >= en && de >= es && de >= fr, "de")
+      .when(en >= es && en >= fr, "en")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
   /** Benchmark decontamination: flag training documents sharing at least
     * `minOverlap` k-gram shingles with a benchmark/eval set — the standard
     * train-set hygiene pass before LLM training (n-gram overlap filtering).
@@ -538,6 +553,31 @@ object TextOps {
       .limit(k)
   }
 
+  /** The composite-quality stopword set (distinct from the language
+    * markers; shared with [[qualityCol]]). */
+  val QualityStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** The composite keep/drop score as a single Column — one source of
+    * truth shared by [[qualityScore]] and the streaming curation chain
+    * (favor mid-length docs with some stopwords, few long words). */
+  def qualityCol(text: Column): Column = {
+    val toks = tokens(text)
+    val nWords = size(toks).cast("long")
+    val stopRatio = size(filter(toks,
+        w => QualityStopwords.map(m => w === m).reduce(_ || _)))
+      .cast("double") / size(toks)
+    val longRatio = size(filter(toks, w => length(w) > 6)).cast("double") / size(toks)
+    lit(1.0) -
+      when(stopRatio < 0.02, 0.4).otherwise(0.0) -
+      when(nWords < 5, 0.4).otherwise(0.0) -
+      when(longRatio > 0.5, 0.2).otherwise(0.0)
+  }
+
+  /** chars/4 LLM-token estimate (the heuristic tier next to the exact
+    * [[mergeBpeTokenCount]]). */
+  def estTokensCol(text: Column): Column =
+    ceil(length(trim(text)).cast("double") / 4.0).cast("long")
+
   /** Quality heuristics: char/word counts, mean word length, long-word and
     * stopword ratios, est. LLM tokens (chars/4 rule), plus a composite
     * keep/drop score in [0,1]. */
@@ -546,21 +586,17 @@ object TextOps {
     val toks = tokens(col(textCol))
     val nChars = length(t).cast("long")
     val nWords = size(toks).cast("long")
-    val stop = Seq("the", "a", "of", "and", "to", "in")
-    val stopRatio = size(filter(toks, w => stop.map(m => w === m).reduce(_ || _)))
+    val stopRatio = size(filter(toks,
+        w => QualityStopwords.map(m => w === m).reduce(_ || _)))
       .cast("double") / size(toks)
     val longRatio = size(filter(toks, w => length(w) > 6)).cast("double") / size(toks)
     val meanLen = nChars.cast("double") / nWords
     docs.select(col(idCol).as("doc"),
       nChars.as("n_chars"), nWords.as("n_words"),
-      ceil(nChars.cast("double") / 4.0).cast("long").as("est_tokens"),
+      estTokensCol(col(textCol)).as("est_tokens"),
       meanLen.as("mean_word_len"),
       stopRatio.as("stopword_ratio"),
       longRatio.as("long_word_ratio"),
-      // composite: favor mid-length docs with some stopwords, few long words
-      (lit(1.0)
-        - when(stopRatio < 0.02, 0.4).otherwise(0.0)
-        - when(nWords < 5, 0.4).otherwise(0.0)
-        - when(longRatio > 0.5, 0.2).otherwise(0.0)).as("quality"))
+      qualityCol(col(textCol)).as("quality"))
   }
 }

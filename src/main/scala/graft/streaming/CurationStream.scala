@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.{SampleOps, TextOps}
+
+/** Ingest-time corpus curation — the streaming twin of the composed batch
+  * `curation_pipeline` (dedup → decontaminate → PII scrub → quality gate →
+  * deterministic stratified sample; the reference's batch-DAG shape,
+  * pipelines.py:557-819, re-aimed at a training-data ingest).
+  *
+  * Everything after the dedup is ROW-LOCAL (regex scrub, quality
+  * heuristics, language id, salted-threshold sampling — the stateless tier
+  * proven stream≡batch in TextStreamSpec), expressed on ONE lineage via
+  * the shared Column forms ([[TextOps.qualityCol]], [[TextOps.langPredCol]],
+  * [[TextOps.estTokensCol]]) so no stream-stream join-back is needed. The
+  * only state the stream carries is the exact-dedup seen-set:
+  *
+  *  - **dedup-at-ingest**: `flatMapGroupsWithState` keyed by the text's
+  *    md5 — the first-arriving document of each distinct text passes,
+  *    later copies drop. State per key is one boolean (the key itself is
+  *    the fingerprint). The batch twin's window-over-md5 keeps the
+  *    minimum doc id, which equals first-arrival whenever ingest is
+  *    id-ordered (append-ordered ingest; the parity spec's feed).
+  *  - **decontamination**: the benchmark shingle-hash set is tiny by
+  *    construction (eval suites are KBs-MBs against a 100 TB stream), so
+  *    it rides into the plan as a LITERAL array and the overlap count is
+  *    `size(array_intersect(hv, bench))` per row — the same
+  *    distinct-shingle-overlap rule as [[TextOps.decontaminate]] (whose
+  *    broadcast hash-join form the batch pipeline uses) with zero
+  *    stream-side shuffle and no watermark requirement.
+  *
+  * Output matches the batch pipeline row shape: (doc, lang_pred, quality,
+  * est_tokens, scrub_hash).
+  */
+object CurationStream {
+
+  /** Exact dedup at ingest: key = md5(text); the first document of each
+    * key passes, duplicates drop. Same-batch ties resolve to the smallest
+    * doc id (arrival-order-free within a micro-batch, and equal to the
+    * batch window rule under id-ordered ingest). Works identically on a
+    * batch DataFrame (flatMapGroupsWithState degrades to a group-scan). */
+  def dedupExactStream(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val outSchema = docs.schema
+    val keyed = docs.withColumn("_key", md5(col(textCol).cast("binary")))
+    val kIdx = keyed.schema.fieldIndex("_key")
+    val idIdx = keyed.schema.fieldIndex(idCol)
+    implicit val outEnc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    implicit val boolEnc: org.apache.spark.sql.Encoder[Boolean] =
+      org.apache.spark.sql.Encoders.scalaBoolean
+    keyed.groupByKey(_.getString(kIdx))(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: String, it: Iterator[Row], state: GroupState[Boolean]) => {
+          if (state.getOption.contains(true)) Iterator.empty
+          else {
+            state.update(true)
+            val first = it.minBy(_.getLong(idIdx))
+            Iterator(Row.fromSeq(first.toSeq.dropRight(1)))
+          }
+        })
+  }
+
+  /** The row-local contamination test: ≥ `minOverlap` distinct shingle
+    * hashes shared with the benchmark set (the literal-array form of
+    * [[TextOps.decontaminate]]'s broadcast join). */
+  def contaminated(textCol: Column, benchHashes: Seq[Long],
+                   k: Int = 3, minOverlap: Int = 1): Column =
+    size(array_intersect(
+      graft.functions.TextHash.shingle_hash60(textCol, k, TextOps.HashMod),
+      typedLit(benchHashes))) >= minOverlap
+
+  /** Distinct shingle-hash set of a (small) benchmark table — collected
+    * once at plan-build time. */
+  def benchShingleHashes(bench: DataFrame, textCol: String,
+                         k: Int = 3): Seq[Long] =
+    bench.select(explode(graft.functions.TextHash.shingle_hash60(
+        col(textCol), k, TextOps.HashMod)).as("h"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+
+  /** The full ingest-time curation chain. `docs` may be streaming or
+    * batch — the lineage is identical. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             benchHashes: Seq[Long], minOverlap: Int = 5,
+             minQuality: Double = 0.6,
+             rates: Map[String, Double] = Map.empty,
+             defaultRate: Double = 1.0, salt: String = "graft"): DataFrame = {
+    val uniq = dedupExactStream(docs, idCol, textCol)
+      .filter(!contaminated(col(textCol), benchHashes, minOverlap = minOverlap))
+    val scrubbed = TextOps.piiScrub(uniq, idCol, textCol)
+      .select(col("doc"), col("scrubbed"))
+    val enriched = scrubbed
+      .withColumn("quality", TextOps.qualityCol(col("scrubbed")))
+      .withColumn("est_tokens", TextOps.estTokensCol(col("scrubbed")))
+      .withColumn("lang_pred", TextOps.langPredCol(col("scrubbed")))
+      .filter(col("quality") >= minQuality)
+    SampleOps.stratified(enriched, "doc", "lang_pred", rates, defaultRate, salt)
+      .select(col("doc"), col("lang_pred"), col("quality"), col("est_tokens"),
+        md5(col("scrubbed").cast("binary")).as("scrub_hash"))
+  }
+}
