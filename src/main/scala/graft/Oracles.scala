@@ -518,7 +518,10 @@ object Oracles {
     * for queries v_id < 10, exact-cosine rerank, k=3. Mirrors
     * VectorOps.ivfTopK + kmeans bit-for-bit (cross-checked against an
     * independent Python replay at sf0.001). */
-  private def ivfSql: String = {
+  /** The coarse-quantizer CTE chain (normalize → sample → 10 unrolled
+    * Lloyd iterations → final assignment) shared by the IVF and SemDeDup
+    * oracles — ends with `fin` (all cell ranks) and `cells` (rank-1). */
+  private def ivfCellCtes: String = {
     val iters = (0 until 10).map { i =>
       s"""a$i AS MATERIALIZED (SELECT vec_id, vn, cid,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
@@ -533,7 +536,7 @@ object Oracles {
          |      j -> list_sum(list_transform(g.vl, v -> v[j])) / len(g.vl)) END AS c
          |  FROM c$i c LEFT JOIN g$i g USING (cid))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id,
+    s"""e AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |n AS (SELECT vec_id, v,
@@ -550,7 +553,11 @@ object Oracles {
        |      list_sum(list_transform(range(1, len(u.vn) + 1),
        |        j -> (u.vn[j] - c.c[j]) * (u.vn[j] - c.c[j]))), c.cid) AS rk
        |  FROM u CROSS JOIN c10 c),
-       |cells AS (SELECT v_id, vn, cid FROM fin WHERE rk = 1),
+       |cells AS (SELECT v_id, vn, cid FROM fin WHERE rk = 1)""".stripMargin
+  }
+
+  private def ivfSql: String =
+    s"""WITH $ivfCellCtes,
        |qp AS (SELECT v_id AS q_id, vn AS qv, cid FROM fin
        |  WHERE rk <= 4 AND v_id < 10),
        |scored AS (SELECT q.q_id, cl.v_id,
@@ -562,7 +569,18 @@ object Oracles {
        |  v_id AS n_id, round(sim, 6) + 0.0e0 AS sim
        |FROM scored
        |QUALIFY rank <= 3""".stripMargin
-  }
+
+  /** emb_semdedup oracle: the shared coarse-quantizer chain, then the
+    * intra-cell lower-id near-duplicate rule — a vector is dropped iff a
+    * same-cell member with a smaller id sits at cosine ≥ the threshold. */
+  private def semDedupSql: String =
+    s"""WITH $ivfCellCtes,
+       |dup AS (SELECT DISTINCT a.v_id FROM cells a JOIN cells b
+       |  ON a.cid = b.cid AND b.v_id < a.v_id
+       |  AND list_sum(list_transform(range(1, len(a.vn) + 1),
+       |    j -> a.vn[j] * b.vn[j])) >= ${d(graft.Queries.semDedupThreshold)})
+       |SELECT c.v_id, c.cid, d.v_id IS NULL AS is_kept
+       |FROM cells c LEFT JOIN dup d USING (v_id)""".stripMargin
 
   /** ann_pq_topk oracle: replay of the per-subspace Lloyd training (the
     * ivfSql unrolled-iteration technique, keyed by `sub` — 8 independent
@@ -1589,6 +1607,8 @@ object Oracles {
         |  round(sqrt(CAST(ss AS DOUBLE) / n), 6) + 0.0e0 AS rms,
         |  CAST(peak AS INT) AS peak, zc AS zero_crossings
         |FROM m""".stripMargin,
+
+    "emb_semdedup" -> semDedupSql,
 
     "sim_brute_topk" ->
       """WITH e AS (SELECT vec_id,

@@ -713,6 +713,19 @@ object Queries {
         (round(col("sim"), 6) + 0.0).as("sim"))
   }
 
+  /** Shared with the oracle builder so the threshold can't drift. */
+  val semDedupThreshold: Double = 0.45
+
+  /** SemDeDup — semantic dedup over embeddings (Abbas et al. 2023):
+    * deterministic coarse k-means cells, then within each cell the
+    * lower-id near-duplicate rule at cosine ≥ [[semDedupThreshold]] —
+    * one representative per semantic-duplicate chain survives. Quadratic
+    * work bounded per cell; cell assignment is literal-centroid codegen
+    * (no join, no shuffle). */
+  def semDedup(s: SparkSession, dir: String): DataFrame =
+    VectorOps.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+      threshold = semDedupThreshold)
+
   /** Embedding near-duplicate pairs with cosine ≥ 0.45 (threshold sized to
     * the synthetic corpus' similarity tail): banded sign-LSH candidates
     * (16 literal anchors = 4 bands × 4 bits) → exact-cosine verification.

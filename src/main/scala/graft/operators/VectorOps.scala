@@ -589,4 +589,51 @@ object VectorOps {
       .filter(col("sim") >= minCosine)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
+
+  /** SemDeDup — SEMANTIC dedup over embeddings (Abbas et al. 2023,
+    * arXiv:2303.09540, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): cluster the normalized embeddings
+    * with the deterministic coarse k-means, then WITHIN each cell drop
+    * every vector that has a lower-id member at cosine ≥ `threshold` —
+    * one representative per duplicate chain survives (the public
+    * SemDeDup implementation's keep-the-first-in-order rule, with the
+    * stable id order standing in for its cluster-internal ordering).
+    *
+    * Scale shape — the reason the recipe clusters FIRST: the quadratic
+    * pair scoring is bounded per cell (Σ|cell|² ≪ N²), the cell join is a
+    * plain equi-join on cid, and the centroids fold into the plan as
+    * literals (no join, no shuffle for the assignment). Cross-cell
+    * near-dups are missed by construction — the paper's documented
+    * recall tradeoff, tuned via nCells.
+    *
+    * Output: (v_id, cid, is_kept) for every input vector. */
+  def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nCells: Int = 16,
+               sampleN: Int = 10000): DataFrame = {
+    val spark = vecs.sparkSession
+    val v = normalized(vecs, idCol, vecCol)
+      .select(col(idCol).as("v_id"), col("vn"))
+    // deterministic sample order (by id) — same quantizer contract as ivfTopK
+    val sample = v.orderBy("v_id").limit(sampleN).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("vn").toArray)
+    if (sample.isEmpty)
+      return spark.emptyDataFrame
+        .select(lit(0L).as("v_id"), lit(0).as("cid"),
+          lit(true).as("is_kept")).limit(0)
+    val cents = kmeans(sample, nCells)
+    // persisted (tracked): both sides of the intra-cell pair join read it
+    val cells = graft.CacheRegistry.persistTracked(
+      v.withColumn("cid",
+        cellRanks(col("vn"), cents).getItem(0).getField("cid")))
+    val dup = cells.as("a")
+      .join(cells.as("b"),
+        col("a.cid") === col("b.cid") && col("b.v_id") < col("a.v_id"))
+      .filter(dot(col("a.vn"), col("b.vn")) >= threshold)
+      .select(col("a.v_id").as("v_id")).distinct()
+    cells
+      .join(dup.withColumn("_dup", lit(true)), Seq("v_id"), "left")
+      .select(col("v_id"), col("cid"),
+        coalesce(col("_dup"), lit(false)).as("_d"))
+      .select(col("v_id"), col("cid"), (!col("_d")).as("is_kept"))
+  }
 }

@@ -392,4 +392,42 @@ class TextVectorOpsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
     assert(ivf == ivf2)
   }
+
+  test("semDedup: lower-id rule per cell, chains keep one representative") {
+    val rng = new scala.util.Random(47)
+    // 20 scattered vectors FIRST (they seed the k-means init), then 3
+    // planted near-dup groups (cos ≈ 1 within group)
+    val rest = (0 until 20).map(i =>
+      (i.toLong, Array.fill(8)((rng.nextGaussian() * 2).toFloat)))
+    val groups = Array.fill(3)(Array.fill(8)(rng.nextGaussian() * 2))
+    val dups = (0 until 9).map { i =>
+      val g = groups(i / 3)
+      ((20 + i).toLong, g.map(x => (x + rng.nextGaussian() * 1e-3).toFloat))
+    }
+    val vecs = (rest ++ dups).toDF("vec_id", "embedding")
+    val out = VectorOps.semDedup(vecs, "vec_id", "embedding",
+      threshold = 0.95, nCells = 8).collect()
+    assert(out.length == 29) // every vector classified exactly once
+    val byId = out.map(r => r.getAs[Long]("v_id") ->
+      (r.getAs[Int]("cid"), r.getAs[Boolean]("is_kept"))).toMap
+    // each near-dup group collapses to its minimum id (same cell by
+    // construction: cos ≈ 1 → same nearest centroid)
+    for (g <- 0 until 3) {
+      val ids = (20 + g * 3) until (20 + g * 3 + 3)
+      assert(ids.map(i => byId(i)._1).distinct.size == 1, s"group $g split")
+      assert(byId(ids.head)._2, s"group $g representative dropped")
+      assert(ids.tail.forall(i => !byId(i)._2), s"group $g dup kept")
+    }
+    // independent replay: kept == greedy lower-id filtering of the
+    // intra-cell near-dup pair graph
+    val cells = out.map(r => r.getAs[Long]("v_id") -> r.getAs[Int]("cid")).toMap
+    val pairs = VectorOps.nearDupPairs(vecs, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+      .filter { case (a, b) => cells(a) == cells(b) }
+    val expectDropped = pairs.map(_._2).toSet // a < b always ⇒ b has a lower-id dup
+    out.foreach { r =>
+      val id = r.getAs[Long]("v_id")
+      assert(r.getAs[Boolean]("is_kept") == !expectDropped(id), s"id $id")
+    }
+  }
 }
