@@ -166,4 +166,26 @@ class PlanAuditSpec extends SparkSpec {
       s"composition degraded to all-pairs:\n$p")
     graft.CacheRegistry.releaseAll()
   }
+
+  test("semDedup: intra-cell pair join is an equi-join on cid (no all-pairs)") {
+    val p = plan(Queries.semDedup(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semDedup degraded to an all-pairs join:\n$p")
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("j3 triple as-of: two keyed union-sort passes, no nested-loop") {
+    val p = plan(Queries.binocularTriple(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"triple as-of lost the union-sort shape:\n$p")
+  }
+
+  test("manual epochs: the frame-range disjunction reaches the scan filter") {
+    // applyEpochs' range filter sits directly over the projection (O4);
+    // with a real frame column it is pushdown-eligible — here it must at
+    // least plan as a data Filter, never a post-shuffle one
+    val p = plan(Queries.manualEpochsQuery(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"epoch tagging should be scan-local (union of filters):\n$p")
+  }
 }
