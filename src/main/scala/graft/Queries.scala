@@ -27,10 +27,21 @@ import graft.sources.{IntrinsicsStore, PldataSource}
   */
 object Queries {
 
-  /** Application-private base for derived index artifacts (LSH bands):
-    * created once per JVM, unguessable, never shared across processes. */
-  private[graft] lazy val privateIndexBase: String =
-    java.nio.file.Files.createTempDirectory("graft_idx_").toString
+  /** Application-private base for derived index artifacts (LSH bands,
+    * ANN index): created once per JVM, unguessable, never shared across
+    * processes, removed at JVM exit (the artifacts are per-application
+    * caches — deliberate cross-run sharing goes through the explicit
+    * spark.graft.*.indexDir conf instead). */
+  private[graft] lazy val privateIndexBase: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
 
   private def t(c: String = "ts"): Column = col(c).cast("double")
 
