@@ -1610,6 +1610,32 @@ object Oracles {
 
     "emb_semdedup" -> semDedupSql,
 
+    // Contour-fit pupil: the boundary-pixel rule replayed on the integer
+    // grid (dark with any non-dark 4-neighbor; no planted ellipse touches
+    // the frame edge); the Fitzgibbon fit's planted-geometry recovery is
+    // sweep-proven over all 195 distinct configs (VisionOpsSpec), making
+    // planted_ok analytic at any scale factor.
+    "cv_pupil_contour" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    24 + CAST(doc_id AS BIGINT) % 13 AS ecx,
+        |    24 + (CAST(doc_id AS BIGINT) * 3) % 13 AS ecy,
+        |    8 + CAST(doc_id AS BIGINT) % 5 AS a,
+        |    4 + CAST(doc_id AS BIGINT) % 3 AS b FROM documents),
+        |g AS (SELECT media_id, gx.x AS x, gy.y AS y,
+        |    (CAST(gx.x - ecx AS DOUBLE) / a) * (CAST(gx.x - ecx AS DOUBLE) / a)
+        |  + (CAST(gy.y - ecy AS DOUBLE) / b) * (CAST(gy.y - ecy AS DOUBLE) / b)
+        |    <= 1.0 AS dk
+        |  FROM p, range(0, 64) gx(x), range(0, 64) gy(y)),
+        |n1 AS (SELECT media_id, dk,
+        |    coalesce(lag(dk) OVER (PARTITION BY media_id, y ORDER BY x), false) AS dkl,
+        |    coalesce(lead(dk) OVER (PARTITION BY media_id, y ORDER BY x), false) AS dkr,
+        |    coalesce(lag(dk) OVER (PARTITION BY media_id, x ORDER BY y), false) AS dku,
+        |    coalesce(lead(dk) OVER (PARTITION BY media_id, x ORDER BY y), false) AS dkd
+        |  FROM g)
+        |SELECT media_id, count(*) AS n_boundary, true AS planted_ok
+        |FROM n1 WHERE dk AND NOT (dkl AND dkr AND dku AND dkd)
+        |GROUP BY media_id""".stripMargin,
+
     "sim_brute_topk" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -922,6 +922,31 @@ object Queries {
       (round(col("confidence"), 6) + 0.0).as("confidence"))
   }
 
+  /** C1, Detector2D-shaped: CONTOUR-based pupil detection — boundary
+    * pixels of the dark region + Fitzgibbon direct least-squares ellipse
+    * fit ([[graft.multimodal.VisionOps.contourEllipse]], the cv2
+    * fitEllipse algorithm Detector2D calls). The oracle replays the
+    * boundary-pixel rule on the integer grid (n_boundary exact) and
+    * knows the fit must recover the planted geometry within the
+    * rasterization tolerance (VisionOpsSpec sweeps ALL 195 distinct
+    * planted configurations, so `planted_ok = true` is analytic at any
+    * scale factor). */
+  def cvPupilContour(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{VisionFixtures, VisionOps}
+    val media = VisionFixtures.plantMedia(
+      Tables.documents(s, dir), "doc_id", "pupil")
+    val fits = VisionOps.detectPupilsContour(media)
+    // planted geometry from the id (VisionFixtures.pupilParams)
+    val pcx = (lit(24) + col("media_id") % 13).cast("double")
+    val pcy = (lit(24) + (col("media_id") * 3) % 13).cast("double")
+    val pa = (lit(8) + col("media_id") % 5).cast("double")
+    val pb = (lit(4) + col("media_id") % 3).cast("double")
+    fits.select(col("media_id"), col("n_boundary"),
+      (abs(col("center_x") - pcx) < 0.7 && abs(col("center_y") - pcy) < 0.7 &&
+        abs(col("axis_major") - pa * 2) < 2.0 &&
+        abs(col("axis_minor") - pb * 2) < 2.0).as("planted_ok"))
+  }
+
   /** C4 checkerboard corners on real pixels: planted full-frame boards
     * (7×4 cells, size from doc_id, either leading color) → decode →
     * binary-transition corner intersection

@@ -113,6 +113,132 @@ object VisionOps {
     }
   }
 
+  /** CONTOUR-based pupil ellipse (r5) — the Detector2D-shaped path next
+    * to the moment fit: extract the dark region's BOUNDARY pixels (a dark
+    * pixel with a non-dark 4-neighbor or on the image edge — the pixel
+    * set cv2's border following walks) and fit an ellipse to them by
+    * Fitzgibbon-Pilu-Fisher DIRECT least squares (the algorithm behind
+    * cv2.fitEllipse, which Detector2D calls on its contour candidates —
+    * pupil_detection_pl.py:94-133 → Detector2D → fitEllipse). Points are
+    * mean-centered before the scatter matrices for conditioning; the
+    * 4ac−b² > 0 constraint picks the elliptical eigenvector.
+    *
+    * Returns (nBoundary, cx, cy, major, minor, angleDeg) — full axes,
+    * major-axis orientation in degrees. None when the boundary has < 6
+    * points or the constrained eigensystem has no elliptical solution
+    * (degenerate regions). */
+  final case class ContourEllipse(nBoundary: Long, cx: Double, cy: Double,
+                                  major: Double, minor: Double,
+                                  angleDeg: Double)
+
+  def contourEllipse(g: Gray, thresh: Double = DarkThreshold): Option[ContourEllipse] = {
+    // boundary set: dark with a non-dark 4-neighbor (or at the frame edge)
+    val pts = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    var y = 0
+    while (y < g.h) {
+      var x = 0
+      while (x < g.w) {
+        if (g(x, y) < thresh) {
+          val edge = x == 0 || x == g.w - 1 || y == 0 || y == g.h - 1
+          if (edge || g(x - 1, y) >= thresh || g(x + 1, y) >= thresh ||
+              g(x, y - 1) >= thresh || g(x, y + 1) >= thresh)
+            pts += ((x.toDouble, y.toDouble))
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (pts.length < 6) return None
+    val n = pts.length
+    val mx = pts.iterator.map(_._1).sum / n
+    val my = pts.iterator.map(_._2).sum / n
+    import breeze.linalg.{inv, DenseMatrix, DenseVector, eig}
+    val d1 = DenseMatrix.zeros[Double](n, 3) // x², xy, y² (centered)
+    val d2 = DenseMatrix.zeros[Double](n, 3) // x, y, 1
+    var i = 0
+    while (i < n) {
+      val px = pts(i)._1 - mx; val py = pts(i)._2 - my
+      d1(i, 0) = px * px; d1(i, 1) = px * py; d1(i, 2) = py * py
+      d2(i, 0) = px; d2(i, 1) = py; d2(i, 2) = 1.0
+      i += 1
+    }
+    val s1 = d1.t * d1; val s2 = d1.t * d2; val s3 = d2.t * d2
+    val t = -inv(s3) * s2.t
+    val m0 = s1 + s2 * t
+    // C1⁻¹ rows for constraint matrix [[0,0,2],[0,-1,0],[2,0,0]]
+    val m = DenseMatrix.zeros[Double](3, 3)
+    for (j <- 0 until 3) {
+      m(0, j) = m0(2, j) / 2.0; m(1, j) = -m0(1, j); m(2, j) = m0(0, j) / 2.0
+    }
+    val e = eig(m)
+    // the elliptical eigenvector: REAL eigenvalue + 4ac − b² > 0 (exactly
+    // one satisfies the constraint, Fitzgibbon et al. 1999, §3)
+    var best = -1
+    var k = 0
+    while (k < 3 && best < 0) {
+      if (math.abs(e.eigenvaluesComplex(k)) < 1e-9) {
+        val a0 = e.eigenvectors(0, k); val b0 = e.eigenvectors(1, k)
+        val c0 = e.eigenvectors(2, k)
+        if (4.0 * a0 * c0 - b0 * b0 > 0) best = k
+      }
+      k += 1
+    }
+    if (best < 0) return None
+    val a1 = DenseVector(e.eigenvectors(0, best), e.eigenvectors(1, best),
+      e.eigenvectors(2, best))
+    val a2 = t * a1
+    // conic in centered coords: a x² + b xy + c y² + d x + e y + f = 0,
+    // sign-normalized so the quadratic part is positive definite
+    var Array(ca, cb, cc, cd, ce, cf) =
+      Array(a1(0), a1(1), a1(2), a2(0), a2(1), a2(2))
+    if (ca < 0) { ca = -ca; cb = -cb; cc = -cc; cd = -cd; ce = -ce; cf = -cf }
+    val den = cb * cb - 4.0 * ca * cc // < 0 for an ellipse
+    val ccx = (2.0 * cc * cd - cb * ce) / den
+    val ccy = (2.0 * ca * ce - cb * cd) / den
+    // λ± of [[a, b/2], [b/2, c]] (both > 0 after normalization): the
+    // SMALLER eigenvalue's direction is the major axis
+    val tr = ca + cc
+    val det = ca * cc - cb * cb / 4.0
+    val disc = math.sqrt(math.max(tr * tr / 4.0 - det, 0.0))
+    val lMin = tr / 2.0 - disc
+    val lMax = tr / 2.0 + disc
+    val fc = ca * ccx * ccx + cb * ccx * ccy + cc * ccy * ccy +
+      cd * ccx + ce * ccy + cf
+    if (!(fc < 0.0) || lMin <= 0.0) return None
+    val major = 2.0 * math.sqrt(-fc / lMin)
+    val minor = 2.0 * math.sqrt(-fc / lMax)
+    // eigenvector of λmin from whichever defining row is non-degenerate
+    var vx = cb / 2.0; var vy = lMin - ca
+    if (math.abs(vx) + math.abs(vy) < 1e-12 * (math.abs(lMin) + 1.0)) {
+      vx = lMin - cc; vy = cb / 2.0
+    }
+    val angle0 =
+      if (math.abs(vx) + math.abs(vy) == 0.0) 0.0 // circle: any axis
+      else math.atan2(vy, vx) * 180.0 / math.Pi
+    // normalize to (−90, 90], the pupilEllipse convention
+    val angle = {
+      val a = ((angle0 % 180.0) + 180.0) % 180.0
+      if (a > 90.0) a - 180.0 else a
+    }
+    Some(ContourEllipse(n.toLong, ccx + mx, ccy + my, major, minor, angle))
+  }
+
+  /** Contour-fit pupil detection over a media table — the Detector2D-
+    * shaped sibling of [[detectPupils]]. */
+  def detectPupilsContour(media: DataFrame, invertContrast: Boolean = false,
+                          thresh: Double = DarkThreshold): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_boundary", LongType),
+      StructField("center_x", DoubleType), StructField("center_y", DoubleType),
+      StructField("axis_major", DoubleType), StructField("axis_minor", DoubleType),
+      StructField("angle_deg", DoubleType)))
+    mediaPlanes(media, invertContrast)((id, g) =>
+      contourEllipse(g, thresh).iterator.map(c =>
+        Row(id, c.nBoundary, c.cx, c.cy, c.major, c.minor, c.angleDeg)),
+      schema)
+  }
+
   // ------------------------------------------------------- C4 checkerboard
 
   /** Interior-corner detection for a full-frame axis-aligned checkerboard.

@@ -39,6 +39,42 @@ class VisionOpsSpec extends SparkSpec {
     assert(math.abs(p.major - 2 * a) < 1.5 && math.abs(p.minor - 2 * b) < 1.5)
   }
 
+  test("contour ellipse: EVERY distinct planted pupil config recovers " +
+      "center/axes within rasterization tolerance") {
+    // id params cycle with lcm(13, 13, 5, 3) = 195 — sweeping 0..194
+    // covers every configuration any scale factor can produce, which is
+    // what makes the cv_pupil_contour oracle's planted_ok=true analytic
+    for (id <- 0L until 195L) {
+      val (cx, cy, a, b) = VisionFixtures.pupilParams(id)
+      val c = VisionOps.contourEllipse(
+        grayFrom(VisionFixtures.renderPupil(id))).get
+      assert(math.abs(c.cx - cx) < 0.7 && math.abs(c.cy - cy) < 0.7,
+        s"id $id center (${c.cx}, ${c.cy}) != ($cx, $cy)")
+      assert(math.abs(c.major - 2 * a) < 2.0,
+        s"id $id major ${c.major} != ${2 * a}")
+      assert(math.abs(c.minor - 2 * b) < 2.0,
+        s"id $id minor ${c.minor} != ${2 * b}")
+      // axis-aligned with a > b: major axis along x
+      assert(math.abs(c.angleDeg) < 10.0 || math.abs(c.angleDeg) > 170.0,
+        s"id $id angle ${c.angleDeg}")
+    }
+  }
+
+  test("contour ellipse recovers a rotated ellipse's orientation") {
+    val (cx, cy, a, b) = (31.0, 30.0, 14.0, 7.0)
+    val th = math.toRadians(30.0)
+    val bytes = VisionFixtures.pngBytes(64, 64, invert = false) { (x, y) =>
+      val dx = x - cx; val dy = y - cy
+      val u = (dx * math.cos(th) + dy * math.sin(th)) / a
+      val v = (-dx * math.sin(th) + dy * math.cos(th)) / b
+      u * u + v * v <= 1.0
+    }
+    val c = VisionOps.contourEllipse(grayFrom(bytes)).get
+    assert(math.abs(c.cx - cx) < 0.7 && math.abs(c.cy - cy) < 0.7)
+    assert(math.abs(c.angleDeg - 30.0) < 3.0, s"angle ${c.angleDeg}")
+    assert(math.abs(c.major - 2 * a) < 2.0 && math.abs(c.minor - 2 * b) < 2.0)
+  }
+
   // ----------------------------------------------------- C4 checkerboard
 
   test("checkerboard corners are the exact planted grid, either phase, " +
