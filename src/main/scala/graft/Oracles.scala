@@ -1534,6 +1534,57 @@ object Oracles {
     // queries — PNG is lossless, so the decoded planes are identical.
     "cv_video_pupils" -> videoPupilsSql,
 
+    // World-camera video: the multi-marker ring replay with the per-frame
+    // drift (+f on both centers); all frames dark-on-light → 'Ref'.
+    "cv_video_markers" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    1 + CAST(doc_id AS BIGINT) % 2 AS nm,
+        |    2 + CAST(doc_id AS BIGINT) % 3 AS nf,
+        |    CAST(doc_id AS BIGINT) AS id FROM documents),
+        |vfr AS (SELECT media_id, nm, id, CAST(t.f AS INT) AS frame_index,
+        |    t.f AS fo FROM p, range(0, 5) t(f) WHERE t.f < nf),
+        |mk AS (SELECT media_id, frame_index, t.m AS m,
+        |    (CASE WHEN t.m = 0 THEN 16 + id % 3 ELSE 44 + id % 3 END) + fo AS ccx,
+        |    (CASE WHEN t.m = 0 THEN 16 + (id * 5) % 3
+        |          ELSE 44 + (id * 7) % 3 END) + fo AS ccy,
+        |    CASE WHEN t.m = 0 THEN id % 2 ELSE id % 3 END AS tt
+        |  FROM vfr, range(0, 2) t(m) WHERE t.m < nm),
+        |rings AS (SELECT media_id, frame_index, m, ccx, ccy, 5 * rk.k + tt AS r
+        |  FROM mk, range(1, 3) rk(k)),
+        |px AS (SELECT mk.media_id, mk.frame_index, mk.m, gx.x AS x, gy.y AS y,
+        |    (gx.x - ccx) * (gx.x - ccx) + (gy.y - ccy) * (gy.y - ccy) AS d2
+        |  FROM mk, range(0, 64) gx(x), range(0, 64) gy(y)),
+        |dark AS (SELECT px.media_id, px.frame_index, px.m, px.x, px.y, px.d2
+        |  FROM px JOIN rings rg ON rg.media_id = px.media_id
+        |    AND rg.frame_index = px.frame_index AND rg.m = px.m
+        |    AND (rg.r - 1) * (rg.r - 1) <= px.d2
+        |    AND px.d2 <= (rg.r + 1) * (rg.r + 1)),
+        |agg AS (SELECT media_id, frame_index, m, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, max(d2) AS maxd2
+        |  FROM dark GROUP BY media_id, frame_index, m),
+        |fl AS (SELECT DISTINCT media_id, frame_index, m,
+        |    CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT) AS fv FROM dark),
+        |fr2 AS (SELECT media_id, frame_index, m, fv,
+        |    lag(fv) OVER (PARTITION BY media_id, frame_index, m
+        |      ORDER BY fv) AS pf FROM fl),
+        |nrg AS (SELECT media_id, frame_index, m,
+        |    CAST(count(*) FILTER (WHERE pf IS NULL OR fv - pf > 1) AS INT)
+        |      AS n_rings FROM fr2 GROUP BY media_id, frame_index, m),
+        |mstat AS (SELECT a.media_id, a.frame_index, a.n,
+        |    CAST(a.sx AS DOUBLE) / a.n AS lx,
+        |    CAST(a.sy AS DOUBLE) / a.n AS ly,
+        |    sqrt(CAST(a.maxd2 AS DOUBLE)) AS sz, g.n_rings
+        |  FROM agg a JOIN nrg g ON g.media_id = a.media_id
+        |    AND g.frame_index = a.frame_index AND g.m = a.m)
+        |SELECT media_id, frame_index,
+        |  CAST(row_number() OVER (PARTITION BY media_id, frame_index
+        |    ORDER BY lx, ly) - 1 AS INT) AS marker_idx,
+        |  n AS n_dark,
+        |  round(lx, 6) + 0.0e0 AS loc_x,
+        |  round(ly, 6) + 0.0e0 AS loc_y,
+        |  round(sz, 6) + 0.0e0 AS size, n_rings, 'Ref' AS marker_type
+        |FROM mstat""".stripMargin,
+
     "cv_video_png" -> videoPupilsSql,
 
     // gradient-CoM replay: weights are the integer gray-level differences

@@ -1069,6 +1069,23 @@ object Queries {
       col("media_id"), (round(col("edge_x"), 6) + 0.0).as("edge_x"))
   }
 
+  /** The WORLD-camera video scan (marker_detection.py:98-117): planted
+    * PNG-framed video blobs whose 1-2 concentric markers drift one pixel
+    * per frame → real per-frame PNG decode → typed multi-marker
+    * detection — 0..n marker rows per (media, frame). Oracle: the
+    * multi-marker ring replay extended with the frame drift. */
+  def cvVideoMarkers(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{VisionFixtures, VisionOps}
+    val media = VisionFixtures.plantMedia(
+      Tables.documents(s, dir), "doc_id", "video_markers")
+    VisionOps.detectMarkersVideo(media).select(
+      col("media_id"), col("frame_index"), col("marker_idx"), col("n_dark"),
+      (round(col("loc_x"), 6) + 0.0).as("loc_x"),
+      (round(col("loc_y"), 6) + 0.0).as("loc_y"),
+      (round(col("size"), 6) + 0.0).as("size"),
+      col("n_rings"), col("marker_type"))
+  }
+
   /** Audio features END-TO-END on real bytes: planted square-wave WAV
     * clips (half period / amplitude / length from doc_id) → RIFF/PCM
     * decode ([[graft.multimodal.AudioOps.decodeWav]]) → RMS, peak,

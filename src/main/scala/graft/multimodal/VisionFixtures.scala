@@ -155,6 +155,30 @@ object VisionFixtures {
     bos.toByteArray
   }
 
+  /** World-camera video: the multi-marker scene drifting one pixel per
+    * frame (both markers together), 2-4 PNG frames per blob — the
+    * reference's find-markers-over-world-video shape
+    * (marker_detection.py:98-117 loads world.mp4 and runs the circle
+    * finder per frame). Geometry stays exactly in-bounds at every
+    * frame. */
+  def renderVideoMarkers(id: Long): Array[Byte] = {
+    val nf = (2 + id % 3).toInt
+    val markers = multiMarkerParams(id)
+    val frames = (0 until nf).map { f =>
+      pngBytes(64, 64, invert = false) { (x, y) =>
+        markers.exists { case (cx0, cy0, nr, t) =>
+          val cx = cx0 + f; val cy = cy0 + f
+          val d2 = (x - cx).toLong * (x - cx) + (y - cy).toLong * (y - cy)
+          (1 to nr).exists { k =>
+            val r = 5 * k + t
+            (r - 1).toLong * (r - 1) <= d2 && d2 <= (r + 1).toLong * (r + 1)
+          }
+        }
+      }
+    }
+    MultimodalOps.encodePngVideo(frames)
+  }
+
   /** PNG-framed video: the same drifting-pupil geometry as [[renderVideo]]
     * but every frame is a real PNG — the decode path exercises the
     * `javax.imageio` codec per frame (lossless, so the oracle replay is
@@ -213,6 +237,9 @@ object VisionFixtures {
       case "video_png" => id =>
         val nf = videoParams(id)._1
         (renderVideoPng(id), "video/x-graft-png", 48, 48, nf)
+      case "video_markers" => id =>
+        (renderVideoMarkers(id), "video/x-graft-png", 64, 64,
+          (2 + id % 3).toInt)
       case other => throw new IllegalArgumentException(s"unknown kind $other")
     }
     val outSchema = MultimodalOps.mediaSchema

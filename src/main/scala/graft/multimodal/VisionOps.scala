@@ -590,6 +590,41 @@ object VisionOps {
     }
   }
 
+  /** The world-camera video scan: marker detection per video frame
+    * (marker_detection.py:98-117 — world.mp4 → find_circles per frame),
+    * 0..n typed marker rows per (media, frame), frame-local index. Same
+    * container dispatch as [[detectPupilsVideo]]. */
+  def detectMarkersVideo(media: DataFrame, invertContrast: Boolean = false,
+                         thresh: Double = DarkThreshold): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_index", IntegerType, nullable = false),
+      StructField("marker_idx", IntegerType, nullable = false),
+      StructField("n_dark", LongType),
+      StructField("loc_x", DoubleType), StructField("loc_y", DoubleType),
+      StructField("size", DoubleType),
+      StructField("n_rings", IntegerType),
+      StructField("marker_type", StringType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        videoFrames(r.getAs[Array[Byte]](bIdx)).zipWithIndex
+          .flatMap { case (g0, f) =>
+            val g = if (invertContrast) invert(g0) else g0
+            concentricMarkersTyped(g, invertContrast, thresh).iterator
+              .zipWithIndex.map { case (t, idx) =>
+                val m = t.marker
+                Row(r.getLong(idIdx), f, idx, m.n, m.locX, m.locY,
+                  m.size, m.nRings, t.markerType)
+              }
+          }
+      }
+    }
+  }
+
   /** C4 over a media table: one row per detected interior corner, with
     * full-pixel and 0-1 normalized positions. */
   def findCheckerboard(media: DataFrame, invertContrast: Boolean = false,
