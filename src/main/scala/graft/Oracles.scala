@@ -1534,6 +1534,28 @@ object Oracles {
     // queries — PNG is lossless, so the decoded planes are identical.
     "cv_video_pupils" -> videoPupilsSql,
 
+    // A9: per-frame mean gray from the exact dark-pixel count of the
+    // planted drifting ellipse (Dark=32, Light=224 over a 48×48 plane)
+    "a9_frame_luminance" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    2 + CAST(doc_id AS BIGINT) % 3 AS nf,
+        |    16 + CAST(doc_id AS BIGINT) % 9 AS cx0,
+        |    16 + (CAST(doc_id AS BIGINT) * 3) % 9 AS cy0,
+        |    6 + CAST(doc_id AS BIGINT) % 3 AS a,
+        |    3 + CAST(doc_id AS BIGINT) % 2 AS b FROM documents),
+        |fr AS (SELECT media_id, CAST(t.f AS INT) AS frame_index,
+        |    cx0 + t.f AS ecx, cy0 + t.f AS ecy, a, b
+        |  FROM p, range(0, 5) t(f) WHERE t.f < nf),
+        |m AS (SELECT media_id, frame_index, count(*) AS n
+        |  FROM fr, range(0, 48) gx(x), range(0, 48) gy(y)
+        |  WHERE (CAST(gx.x - ecx AS DOUBLE) / a) * (CAST(gx.x - ecx AS DOUBLE) / a)
+        |      + (CAST(gy.y - ecy AS DOUBLE) / b) * (CAST(gy.y - ecy AS DOUBLE) / b)
+        |      <= 1.0
+        |  GROUP BY media_id, frame_index)
+        |SELECT media_id, frame_index,
+        |  round((n * 32 + (2304 - n) * 224) / 2304.0, 6) + 0.0e0 AS luminance
+        |FROM m""".stripMargin,
+
     // World-camera video: the multi-marker ring replay with the per-frame
     // drift (+f on both centers); all frames dark-on-light → 'Ref'.
     "cv_video_markers" ->

@@ -1069,6 +1069,19 @@ object Queries {
       col("media_id"), (round(col("edge_x"), 6) + 0.0).as("edge_x"))
   }
 
+  /** A9 direct: per-frame mean gray (`np.mean(frame)` per frame,
+    * pupil_detection_pl.py:126) over the raw-gray video container — the
+    * planes make the mean exact integer arithmetic, so the oracle
+    * replays it from the per-frame dark-pixel count. */
+  def frameLuminance(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{MultimodalOps, VisionFixtures}
+    val media = VisionFixtures.plantMedia(
+      Tables.documents(s, dir), "doc_id", "video")
+    MultimodalOps.videoFrameLuminance(media).select(
+      col("media_id"), col("frame_index"),
+      (round(col("luminance"), 6) + 0.0).as("luminance"))
+  }
+
   /** The WORLD-camera video scan (marker_detection.py:98-117): planted
     * PNG-framed video blobs whose 1-2 concentric markers drift one pixel
     * per frame → real per-frame PNG decode → typed multi-marker
