@@ -520,8 +520,9 @@ object Oracles {
     * independent Python replay at sf0.001). */
   /** The coarse-quantizer CTE chain (normalize → sample → 10 unrolled
     * Lloyd iterations → final assignment) shared by the IVF and SemDeDup
-    * oracles — ends with `fin` (all cell ranks) and `cells` (rank-1). */
-  private def ivfCellCtes: String = {
+    * oracles — ends with `fin` (all cell ranks) and `cells` (rank-1).
+    * `nCells` = the k-means arity (init = first nCells sample vectors). */
+  private def ivfCellCtes(nCells: Int): String = {
     val iters = (0 until 10).map { i =>
       s"""a$i AS MATERIALIZED (SELECT vec_id, vn, cid,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
@@ -546,7 +547,7 @@ object Oracles {
        |s AS MATERIALIZED (SELECT vec_id, vn FROM u ORDER BY vec_id LIMIT 10000),
        |c0 AS MATERIALIZED (SELECT
        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, vn AS c
-       |  FROM (SELECT vec_id, vn FROM s ORDER BY vec_id LIMIT 16)),
+       |  FROM (SELECT vec_id, vn FROM s ORDER BY vec_id LIMIT $nCells)),
        |$iters,
        |fin AS (SELECT u.vec_id AS v_id, u.vn, c.cid,
        |    row_number() OVER (PARTITION BY u.vec_id ORDER BY
@@ -557,7 +558,7 @@ object Oracles {
   }
 
   private def ivfSql: String =
-    s"""WITH $ivfCellCtes,
+    s"""WITH ${ivfCellCtes(16)},
        |qp AS (SELECT v_id AS q_id, vn AS qv, cid FROM fin
        |  WHERE rk <= 4 AND v_id < 10),
        |scored AS (SELECT q.q_id, cl.v_id,
@@ -570,17 +571,84 @@ object Oracles {
        |FROM scored
        |QUALIFY rank <= 3""".stripMargin
 
-  /** emb_semdedup oracle: the shared coarse-quantizer chain, then the
-    * intra-cell lower-id near-duplicate rule — a vector is dropped iff a
-    * same-cell member with a smaller id sits at cosine ≥ the threshold. */
+  /** emb_semdedup oracle: the shared coarse-quantizer chain (at the
+    * query's 256-cell arity), then the intra-cell lower-id
+    * near-duplicate rule — a vector is dropped iff a same-cell member
+    * with a smaller id sits at cosine ≥ the threshold. The b side is
+    * capped to each cell's [[graft.Queries.semDedupCellCap]] lowest-id
+    * members, mirroring the engine's hot-cell cap. */
   private def semDedupSql: String =
-    s"""WITH $ivfCellCtes,
-       |dup AS (SELECT DISTINCT a.v_id FROM cells a JOIN cells b
+    s"""WITH ${ivfCellCtes(graft.Queries.semDedupCells)},
+       |bs AS (SELECT * FROM (SELECT cells.*,
+       |    row_number() OVER (PARTITION BY cid ORDER BY v_id) AS rk
+       |  FROM cells) WHERE rk <= ${graft.Queries.semDedupCellCap}),
+       |dup AS (SELECT DISTINCT a.v_id FROM cells a JOIN bs b
        |  ON a.cid = b.cid AND b.v_id < a.v_id
        |  AND list_sum(list_transform(range(1, len(a.vn) + 1),
        |    j -> a.vn[j] * b.vn[j])) >= ${d(graft.Queries.semDedupThreshold)})
        |SELECT c.v_id, c.cid, d.v_id IS NULL AS is_kept
        |FROM cells c LEFT JOIN dup d USING (v_id)""".stripMargin
+
+  /** emb_semdedup_hier oracle: the TWO-LEVEL quantizer replayed — the
+    * shared level-1 chain (ivfCellCtes at k1) feeds per-super-cell
+    * level-2 Lloyd fits using the grouped-iteration technique from the
+    * PQ oracle (keyed by scid instead of sub; init = each super's first
+    * k2 sample members by id; supers with no sample members keep their
+    * super centroid as a single child), then every corpus vector is
+    * assigned scid (level-1 argmin) → ccid (argmin among that super's
+    * children) → cid = scid·stride + ccid, and the same capped
+    * intra-cell lower-id rule runs over the two-level cells. Every fold
+    * and tie-break matches the Scala kernels
+    * (VectorOps.hierKmeans/assignHierCells) bit-for-bit. */
+  private def semDedupHierSql: String = {
+    val k2 = graft.Queries.semDedupHierK2
+    val iters = (0 until 10).map { i =>
+      s"""ha$i AS MATERIALIZED (SELECT v_id, scid, vn, ccid,
+         |    row_number() OVER (PARTITION BY v_id ORDER BY d, ccid) AS rk
+         |  FROM (SELECT m.v_id, m.scid, m.vn, h.ccid,
+         |      list_sum(list_transform(range(1, len(m.vn) + 1),
+         |        j -> (m.vn[j] - h.c[j]) * (m.vn[j] - h.c[j]))) AS d
+         |    FROM scs m JOIN h$i h USING (scid))),
+         |hg$i AS MATERIALIZED (SELECT scid, ccid, list(vn ORDER BY v_id) AS vl
+         |  FROM ha$i WHERE rk = 1 GROUP BY scid, ccid),
+         |h${i + 1} AS MATERIALIZED (SELECT h.scid, h.ccid,
+         |    CASE WHEN g.vl IS NULL THEN h.c ELSE
+         |    list_transform(range(1, len(h.c) + 1),
+         |      j -> list_sum(list_transform(g.vl, v -> v[j])) / len(g.vl)) END AS c
+         |  FROM h$i h LEFT JOIN hg$i g USING (scid, ccid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${ivfCellCtes(graft.Queries.semDedupHierK1)},
+       |scs AS MATERIALIZED (SELECT c.v_id, c.vn, c.cid AS scid FROM cells c
+       |  WHERE c.v_id IN (SELECT vec_id FROM s)),
+       |h0 AS MATERIALIZED (
+       |  SELECT scid, ccid, vn AS c FROM (SELECT scid, vn,
+       |      CAST(row_number() OVER (PARTITION BY scid ORDER BY v_id) - 1
+       |        AS INT) AS ccid
+       |    FROM scs) WHERE ccid < $k2
+       |  UNION ALL
+       |  SELECT c.cid AS scid, 0 AS ccid, c.c
+       |  FROM c10 c WHERE NOT EXISTS (SELECT 1 FROM scs WHERE scs.scid = c.cid)),
+       |$iters,
+       |stride AS (SELECT max(cnt) AS st FROM
+       |  (SELECT scid, count(*) AS cnt FROM h10 GROUP BY scid)),
+       |hfin AS MATERIALIZED (SELECT cl.v_id, cl.vn, cl.cid AS scid, h.ccid,
+       |    row_number() OVER (PARTITION BY cl.v_id ORDER BY
+       |      list_sum(list_transform(range(1, len(cl.vn) + 1),
+       |        j -> (cl.vn[j] - h.c[j]) * (cl.vn[j] - h.c[j]))), h.ccid) AS rk
+       |  FROM cells cl JOIN h10 h ON h.scid = cl.cid),
+       |hc AS MATERIALIZED (SELECT v_id, vn,
+       |    CAST(scid * (SELECT st FROM stride) + ccid AS INT) AS cid
+       |  FROM hfin WHERE rk = 1),
+       |bs AS (SELECT * FROM (SELECT hc.*,
+       |    row_number() OVER (PARTITION BY cid ORDER BY v_id) AS rk
+       |  FROM hc) WHERE rk <= ${graft.Queries.semDedupCellCap}),
+       |dup AS (SELECT DISTINCT a.v_id FROM hc a JOIN bs b
+       |  ON a.cid = b.cid AND b.v_id < a.v_id
+       |  AND list_sum(list_transform(range(1, len(a.vn) + 1),
+       |    j -> a.vn[j] * b.vn[j])) >= ${d(graft.Queries.semDedupThreshold)})
+       |SELECT c.v_id, c.cid, d.v_id IS NULL AS is_kept
+       |FROM hc c LEFT JOIN dup d USING (v_id)""".stripMargin
+  }
 
   /** ann_pq_topk oracle: replay of the per-subspace Lloyd training (the
     * ivfSql unrolled-iteration technique, keyed by `sub` — 8 independent
@@ -716,7 +784,8 @@ object Oracles {
     * kernels, so ties break bit-identically. */
   private def ivfPqSql: String = {
     val m = 8; val subDim = 8; val k = 16; val rerank = 10
-    val nprobe = 4
+    val nc = graft.Queries.annIvfPqCells
+    val nprobe = graft.Queries.annIvfPqNprobe
     val coarse = (0 until 10).map { i =>
       s"""a$i AS MATERIALIZED (SELECT vec_id, vn, cid,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
@@ -756,7 +825,7 @@ object Oracles {
        |s AS MATERIALIZED (SELECT vec_id, vn FROM u ORDER BY vec_id LIMIT 10000),
        |c0 AS MATERIALIZED (SELECT
        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, vn AS c
-       |  FROM (SELECT vec_id, vn FROM s ORDER BY vec_id LIMIT $k)),
+       |  FROM (SELECT vec_id, vn FROM s ORDER BY vec_id LIMIT $nc)),
        |$coarse,
        |fin AS MATERIALIZED (SELECT u.vec_id AS v_id, u.vn, c.cid,
        |    row_number() OVER (PARTITION BY u.vec_id ORDER BY
@@ -1682,6 +1751,7 @@ object Oracles {
         |FROM m""".stripMargin,
 
     "emb_semdedup" -> semDedupSql,
+    "emb_semdedup_hier" -> semDedupHierSql,
 
     // Contour-fit pupil: the boundary-pixel rule replayed on the integer
     // grid (dark with any non-dark 4-neighbor; no planted ellipse touches
@@ -1827,7 +1897,7 @@ object Oracles {
         |SELECT event_id, a_id, b_id,
         |  greatest(t, at, bt) - least(t, at, bt) AS dispersion
         |FROM jb
-        |WHERE greatest(t, at, bt) - least(t, at, bt) < 120.0""".stripMargin,
+        |WHERE greatest(t, at, bt) - least(t, at, bt) < 14400.0""".stripMargin,
 
     // closed-form replay of the predict/refresh schedule: full-frame scans
     // at frame 0 of each 37-frame teleport block (ROI miss → fallback) and

@@ -676,7 +676,7 @@ object Queries {
     val emb = Tables.embeddings(s, dir)
     val out = VectorOps.annTopK(emb, "vec_id", "embedding",
       emb.filter(col("vec_id").between(480, 485)),
-      col("v_id") < 10, k = 3, multiProbe = true)
+      col("v_id") < 10, k = 3, multiProbe = true, anchorBits = Some(6))
     out.select(col("q_id"), col("rank"), col("n_id"),
       (round(col("sim"), 6) + 0.0).as("sim"))
   }
@@ -700,10 +700,17 @@ object Queries {
       .select(col("q_id"), col("rank"), col("n_id"),
         (round(col("sim"), 6) + 0.0).as("sim"))
 
+  /** Cell count / probe width for the IVF-PQ query, shared with the
+    * oracle builder. 256 cells (same ceiling-break as [[semDedupCells]])
+    * probed 16-wide — the same 6% probe ratio a 10⁴-cell production
+    * index would run. */
+  val annIvfPqCells: Int = 256
+  val annIvfPqNprobe: Int = 16
+
   /** ANN via IVF-PQ (coarse cells + residual product quantization, the
     * billion-scale composition): candidates ranked by the asymmetric
-    * similarity within nprobe=4 of 16 cells over 8×16 residual codebooks,
-    * top-10 re-scored exactly, k=3.
+    * similarity within nprobe=[[annIvfPqNprobe]] of [[annIvfPqCells]]
+    * cells over 8×16 residual codebooks, top-10 re-scored exactly, k=3.
     *
     * INDEX-FED (r5, like `dedup_clusters`): the quantizer is fitted and
     * the corpus encoded ONCE into the persisted cell-partitioned
@@ -713,13 +720,17 @@ object Queries {
     * application reuse the artifact. */
   def annIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
+    // the tag keys the cached artifact by input AND quantizer arity, so a
+    // parameter change can never silently reuse a stale index
     val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      .digest(s"$dir|nCells=$annIvfPqCells".getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
     val idxPath = s"${Queries.privateIndexBase}/graft_ann_idx_$tag"
     if (!new java.io.File(s"$idxPath/index").exists())
-      operators.AnnIndexIO.build(emb, "vec_id", "embedding", idxPath)
+      operators.AnnIndexIO.build(emb, "vec_id", "embedding", idxPath,
+        nCells = annIvfPqCells)
     operators.AnnIndexIO.search(s, idxPath, emb, "vec_id", "embedding",
-        col("v_id") < 10, k = 3)
+        col("v_id") < 10, k = 3, nprobe = annIvfPqNprobe)
       .select(col("q_id"), col("rank"), col("n_id"),
         (round(col("sim"), 6) + 0.0).as("sim"))
   }
@@ -727,15 +738,44 @@ object Queries {
   /** Shared with the oracle builder so the threshold can't drift. */
   val semDedupThreshold: Double = 0.45
 
+  /** Coarse-cell count for the SemDeDup and IVF-PQ queries — shared
+    * with the oracle builder. 256 (vs the old 16): the quantizer
+    * ceiling the r5/r6 verdicts flagged is gone now that the centroid
+    * matrix is ONE literal (plan size no longer grows with nCells), and
+    * the SemDeDup recipe wants cells small enough that the intra-cell
+    * quadratic stays bounded — Σ(N/nCells)² at 10⁹ rows needs nCells in
+    * the 10⁴–10⁵ range, which the two-level [[operators.VectorOps
+    * .hierKmeans]] path reaches (see `emb_semdedup_hier`). */
+  val semDedupCells: Int = 256
+
   /** SemDeDup — semantic dedup over embeddings (Abbas et al. 2023):
-    * deterministic coarse k-means cells, then within each cell the
-    * lower-id near-duplicate rule at cosine ≥ [[semDedupThreshold]] —
-    * one representative per semantic-duplicate chain survives. Quadratic
-    * work bounded per cell; cell assignment is literal-centroid codegen
+    * deterministic coarse k-means cells ([[semDedupCells]] of them),
+    * then within each cell the lower-id near-duplicate rule at cosine ≥
+    * [[semDedupThreshold]] — one representative per semantic-duplicate
+    * chain survives. Quadratic work bounded per cell AND per member by
+    * the hot-cell cap (128: inert at bench scale, a straggler guard at
+    * corpus scale); cell assignment is single-literal-matrix codegen
     * (no join, no shuffle). */
   def semDedup(s: SparkSession, dir: String): DataFrame =
     VectorOps.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
-      threshold = semDedupThreshold)
+      threshold = semDedupThreshold, nCells = semDedupCells,
+      maxCellCompare = Some(semDedupCellCap))
+
+  /** Hot-cell comparison cap, shared with the oracle builder. */
+  val semDedupCellCap: Int = 128
+
+  /** SemDeDup over the TWO-LEVEL quantizer (16×16 supers×children) —
+    * the same keep-first semantics as `emb_semdedup` with the
+    * O((k1+k2)·dim) assignment that scales the recipe to 10⁴–10⁵
+    * cells; oracle-attested via the grouped two-level Lloyd replay. */
+  def semDedupHier(s: SparkSession, dir: String): DataFrame =
+    VectorOps.semDedupHier(Tables.embeddings(s, dir), "vec_id", "embedding",
+      threshold = semDedupThreshold, k1 = semDedupHierK1, k2 = semDedupHierK2,
+      maxCellCompare = Some(semDedupCellCap))
+
+  /** Two-level quantizer arity, shared with the oracle builder. */
+  val semDedupHierK1: Int = 16
+  val semDedupHierK2: Int = 16
 
   /** Embedding near-duplicate pairs with cosine ≥ 0.45 (threshold sized to
     * the synthetic corpus' similarity tail): banded sign-LSH candidates
@@ -1231,7 +1271,12 @@ object Queries {
 
   /** J3: binocular triple as-of (closest_matches_binocular,
     * externals/data_processing.py:116-149): nearest purchase AND nearest
-    * error per click, kept when the three-timestamp spread < 120 s. */
+    * error per click, kept when the three-timestamp spread is inside the
+    * dispersion gate. The reference's gate is relative to its stream
+    * cadence (±1/15 s at 120 Hz); the testdata's click/purchase/error
+    * cadence is ~hours, so the gate is 4 h here — chosen so the oracle
+    * attests a NON-EMPTY survivor set (tens of triples at sf0.01, a few
+    * at sf0.001) AND a non-trivial rejection (most candidates fail). */
   def binocularTriple(s: SparkSession, dir: String): DataFrame = {
     val refs = ev(s, dir).filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("t"))
@@ -1240,7 +1285,7 @@ object Queries {
     val b = ev(s, dir).filter(col("event_type") === "error")
       .select(col("user_id"), col("t"), col("event_id").as("pb_id"))
     AsOfJoin.triple(refs, a, b, "t", "t", "t", Seq("user_id"),
-        maxDispersion = 120.0)
+        maxDispersion = 14400.0)
       .select(col("event_id"), col("a_pa_id").as("a_id"),
         col("b_pb_id").as("b_id"),
         (greatest(col("t"), col("a_t"), col("b_t")) -

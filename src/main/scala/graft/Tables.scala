@@ -16,17 +16,35 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark 4
-    * rejects by default. Read ns as long and truncate to µs timestamps with
-    * integer division — bit-identical to DuckDB's ns→µs truncation, so
-    * `cast(ts as double)` == DuckDB `epoch(ts)` on the same file. */
+  /** The events table's `ts` column is a compatibility surface — the driver
+    * has shipped it as three parquet shapes so far, and all must read to the
+    * same session-UTC `TimestampType` so `cast(ts as double)` equals DuckDB
+    * `epoch(ts)` bit-exactly:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 rejects it by default; read ns as long
+    *    (`nanosAsLong`) and truncate to µs with integer division, matching
+    *    DuckDB's ns→µs truncation.
+    *  - naive timestamp[us]: Spark 4 reads it as TIMESTAMP_NTZ, on which
+    *    `cast(as double)` is illegal; cast NTZ→TimestampType first. Under the
+    *    engine's pinned UTC session timezone this is a bitwise reinterpret.
+    *  - TIMESTAMP(MICROS) with tz: reads as TimestampType directly.
+    */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    normalizeEventTs(load(spark, sfDir, "events"))
+  }
+
+  /** Normalize any historical `ts` shape to session-UTC TimestampType. */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")

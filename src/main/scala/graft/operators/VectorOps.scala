@@ -79,17 +79,18 @@ object VectorOps {
     * probed buckets. */
   def annTopK(vecs: DataFrame, idCol: String, vecCol: String,
               anchors: DataFrame, queryPred: Column, k: Int,
-              multiProbe: Boolean = false): DataFrame = {
+              multiProbe: Boolean = false,
+              anchorBits: Option[Int] = None): DataFrame = {
     val buckets = lshBuckets(vecs, idCol, vecCol, anchors)
     val v = vecs.select(col(idCol).as("v_id"), toDouble(col(vecCol)).as("v"))
       .join(buckets, "v_id")
     val q0 = v.filter(queryPred)
       .select(col("v_id").as("q_id"), col("v").as("qv"), col("bucket"))
     val q = if (!multiProbe) q0 else {
-      // one tiny count job over the anchor dim table (10¹ rows) to learn
-      // the bucket bit-width at plan-build time — negligible next to the
-      // query itself, and the flip loop needs a concrete arity
-      val bits = anchors.count().toInt
+      // the flip loop needs a concrete bit arity at plan-build time:
+      // callers that know their anchor count pass it (zero jobs); the
+      // fallback is one tiny count over the 10¹-row anchor dim table
+      val bits = anchorBits.getOrElse(anchors.count().toInt)
       def flipAt(r: Int): Column = concat(
         substring(col("bucket"), 1, r),
         when(substring(col("bucket"), r + 1, 1) === "1", "0").otherwise("1"),
@@ -151,22 +152,32 @@ object VectorOps {
     cents
   }
 
-  /** Per-row coarse-cell ranking as pure codegen: squared distance to
-    * each of the (driver-fitted, literal-folded) centroids, sorted
-    * ascending by (d, cid) via `array_sort` over structs — struct
+  /** The centroid matrix as ONE literal node (`typedLit` of the nested
+    * Seq): plan-tree size is O(1) in nCells — the former per-centroid
+    * expression tree grew as nCells·dim nodes, which capped nCells at
+    * ~10² before analysis/codegen blew up. The matrix itself ships with
+    * the serialized plan once per stage (nCells·dim·8 B — 5 MB at 10⁴
+    * cells × 64 dims), not per row. */
+  private def centMatrixLit(cents: Array[Array[Double]]): Column =
+    typedLit(cents.map(_.toIndexedSeq).toIndexedSeq)
+
+  /** Per-row coarse-cell ranking as pure map-side compute: squared
+    * distance to every centroid via a `transform` over the single
+    * matrix literal (native sq-dist kernel inside the lambda), zipped
+    * with the cell index and sorted ascending by (d, cid) — struct
     * ordering is field-by-field, so ties break on the lower cid exactly
-    * like the former `row_number() OVER (ORDER BY d, cid)` form, but with
-    * NO centroid join, NO 16× row replication, and NO shuffle: at 100 TB
-    * the assignment is one map-side pass instead of an exchange of
-    * nCells·N rows. Same literal-folding move as the PQ codebooks and
-    * the near-dup anchors. Returns array<struct<d,cid>>. */
-  private[operators] def cellRanks(vn: Column, cents: Array[Array[Double]]): Column =
-    array_sort(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(
-        graft.functions.ArrayDot.array_sq_dist(vn,
-          array(c.toIndexedSeq.map(lit): _*)).as("d"),
-        lit(i).as("cid"))
-    }.toIndexedSeq: _*))
+    * like a `row_number() OVER (ORDER BY d, cid)`, but with NO centroid
+    * join, NO nCells× row replication, and NO shuffle: at 100 TB the
+    * assignment is one narrow pass instead of an exchange of nCells·N
+    * rows. Per-row COST is still O(nCells·dim); above ~10³ cells use the
+    * two-level [[hierCellId]] (O(k1+k2) per row) — same ceiling-breaking
+    * role, different axis. Returns array<struct<d,cid>>. */
+  private[graft] def cellRanks(vn: Column, cents: Array[Array[Double]]): Column =
+    array_sort(zip_with(
+      transform(centMatrixLit(cents),
+        c => graft.functions.ArrayDot.array_sq_dist(vn, c)),
+      sequence(lit(0), lit(cents.length - 1)),
+      (d, i) => struct(d.as("d"), i.cast("int").as("cid"))))
 
   /** The probed cell ids: fields of the first `nprobe` ranked cells. */
   private def probeCids(cells: Column, nprobe: Int): Column =
@@ -255,9 +266,8 @@ object VectorOps {
     val sliced = v.select(col("v_id") +: col("vn") +:
       (0 until m).map(s => slice(col("vn"), s * subDim + 1, subDim).as(s"_s$s")): _*)
     def code(s: Int): Column = {
-      val dists = array(codebooks(s).toIndexedSeq.map(c =>
-        graft.functions.ArrayDot.array_sq_dist(col(s"_s$s"),
-          array(c.toIndexedSeq.map(lit): _*))): _*)
+      val dists = transform(centMatrixLit(codebooks(s)),
+        c => graft.functions.ArrayDot.array_sq_dist(col(s"_s$s"), c))
       array_position(dists, array_min(dists)).cast("int")
     }
     sliced.select(col("v_id"), col("vn"),
@@ -304,8 +314,7 @@ object VectorOps {
     val codebooks = pqTrain(sample, m, codebookK)
     val encoded = graft.CacheRegistry.persistTracked(
       pqEncode(vecs, idCol, vecCol, codebooks))
-    def bookLit(s: Int): Column =
-      array(codebooks(s).toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
+    def bookLit(s: Int): Column = centMatrixLit(codebooks(s))
     val recon = flatten(array((0 until m).map(s =>
       element_at(bookLit(s), element_at(col("codes"), s + 1))): _*))
     val q = encoded.filter(queryPred)
@@ -411,11 +420,9 @@ object VectorOps {
                                            model: IvfPqModel): DataFrame = {
     val m = model.m
     val subDim = model.subDim
-    // centroid lookup as a 2-D literal (nCells × dim) — same literal
-    // folding as the codebooks; the assignment itself is the zero-shuffle
-    // sorted-struct ranking
-    val centLit = array(model.cents.map(c =>
-      array(c.toIndexedSeq.map(lit): _*)).toIndexedSeq: _*)
+    // centroid lookup through the same single-literal matrix the ranking
+    // uses; the assignment itself is the zero-shuffle sorted-struct ranking
+    val centLit = centMatrixLit(model.cents)
     val sliced = v
       .withColumn("cid", cellRanks(col("vn"), model.cents)
         .getItem(0).getField("cid"))
@@ -425,9 +432,8 @@ object VectorOps {
         (0 until m).map(s =>
           slice(col("res"), s * subDim + 1, subDim).as(s"_s$s")): _*)
     def code(s: Int): Column = {
-      val dists = array(model.books(s).toIndexedSeq.map(c =>
-        graft.functions.ArrayDot.array_sq_dist(col(s"_s$s"),
-          array(c.toIndexedSeq.map(lit): _*))): _*)
+      val dists = transform(centMatrixLit(model.books(s)),
+        c => graft.functions.ArrayDot.array_sq_dist(col(s"_s$s"), c))
       array_position(dists, array_min(dists)).cast("int")
     }
     sliced.select(col("v_id"), col("cid"),
@@ -460,11 +466,8 @@ object VectorOps {
                                            k: Int, nprobe: Int,
                                            rerank: Int): DataFrame = {
     val m = model.m
-    val centLit = array(model.cents.map(c =>
-      array(c.toIndexedSeq.map(lit): _*)).toIndexedSeq: _*)
-    def bookLit(s: Int): Column =
-      array(model.books(s).toIndexedSeq.map(c =>
-        array(c.toIndexedSeq.map(lit): _*)): _*)
+    val centLit = centMatrixLit(model.cents)
+    def bookLit(s: Int): Column = centMatrixLit(model.books(s))
     val recon = flatten(array((0 until m).map(s =>
       element_at(bookLit(s), element_at(col("codes"), s + 1))): _*))
     val q = v.filter(queryPred)
@@ -609,24 +612,74 @@ object VectorOps {
     * Output: (v_id, cid, is_kept) for every input vector. */
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nCells: Int = 16,
-               sampleN: Int = 10000): DataFrame = {
+               sampleN: Int = 10000,
+               maxCellCompare: Option[Int] = None): DataFrame = {
     val spark = vecs.sparkSession
     val v = normalized(vecs, idCol, vecCol)
       .select(col(idCol).as("v_id"), col("vn"))
     // deterministic sample order (by id) — same quantizer contract as ivfTopK
     val sample = v.orderBy("v_id").limit(sampleN).collect()
       .map(_.getAs[scala.collection.Seq[Double]]("vn").toArray)
-    if (sample.isEmpty)
-      return spark.emptyDataFrame
-        .select(lit(0L).as("v_id"), lit(0).as("cid"),
-          lit(true).as("is_kept")).limit(0)
+    if (sample.isEmpty) return emptySemDedup(spark)
     val cents = kmeans(sample, nCells)
-    // persisted (tracked): both sides of the intra-cell pair join read it
-    val cells = graft.CacheRegistry.persistTracked(
+    semDedupWithinCells(
       v.withColumn("cid",
-        cellRanks(col("vn"), cents).getItem(0).getField("cid")))
+        cellRanks(col("vn"), cents).getItem(0).getField("cid")),
+      threshold, maxCellCompare)
+  }
+
+  /** [[semDedup]] with the TWO-LEVEL quantizer — the 10⁴–10⁵-cell scale
+    * path: identical keep-first semantics, cells from [[hierKmeans]] +
+    * [[assignHierCells]] (O((k1+k2)·dim) per row instead of
+    * O(k1·k2·dim)). nCells = the populated (scid, ccid) leaves,
+    * numbered scid·stride + ccid. */
+  def semDedupHier(vecs: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, k1: Int = 16, k2: Int = 16,
+                   sampleN: Int = 10000,
+                   maxCellCompare: Option[Int] = None): DataFrame = {
+    val spark = vecs.sparkSession
+    val v = normalized(vecs, idCol, vecCol)
+      .select(col(idCol).as("v_id"), col("vn"))
+    val sample = v.orderBy("v_id").limit(sampleN).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("vn").toArray)
+    if (sample.isEmpty) return emptySemDedup(spark)
+    val model = hierKmeans(sample, k1, k2)
+    semDedupWithinCells(
+      assignHierCells(v, "vn", model).select(col("v_id"), col("vn"), col("cid")),
+      threshold, maxCellCompare)
+  }
+
+  private def emptySemDedup(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.emptyDataFrame
+      .select(lit(0L).as("v_id"), lit(0).as("cid"),
+        lit(true).as("is_kept")).limit(0)
+
+  /** The shared intra-cell keep-first pass over an assigned `(v_id, vn,
+    * cid)` frame: drop every vector with a lower-id same-cell member at
+    * cosine ≥ threshold.
+    *
+    * `maxCellCompare` is the HOT-CELL CAP (the [[graft.operators.TextOps]]
+    * per-band-rank-cap discipline applied here): when set, only each
+    * cell's `cap` lowest-id members serve as the comparison (b) side, so
+    * a skewed cell costs |cell|·cap pairs instead of |cell|² — the
+    * difference between a bounded task and a straggler that never
+    * finishes when one cell collects 10⁷ near-identical web pages.
+    * Documented recall tradeoff: a duplicate whose ONLY lower-id match
+    * ranks beyond the cap survives; representatives (lowest ids) are
+    * never affected. None = exact (every lower-id member compares). */
+  private def semDedupWithinCells(assigned: DataFrame, threshold: Double,
+                                  maxCellCompare: Option[Int]): DataFrame = {
+    // persisted (tracked): both sides of the intra-cell pair join read it
+    val cells = graft.CacheRegistry.persistTracked(assigned)
+    val bSide = maxCellCompare match {
+      case None => cells
+      case Some(cap) =>
+        val w = Window.partitionBy(col("cid")).orderBy(col("v_id"))
+        cells.withColumn("_rk", row_number().over(w))
+          .filter(col("_rk") <= cap).drop("_rk")
+    }
     val dup = cells.as("a")
-      .join(cells.as("b"),
+      .join(bSide.as("b"),
         col("a.cid") === col("b.cid") && col("b.v_id") < col("a.v_id"))
       .filter(dot(col("a.vn"), col("b.vn")) >= threshold)
       .select(col("a.v_id").as("v_id")).distinct()
@@ -635,5 +688,76 @@ object VectorOps {
       .select(col("v_id"), col("cid"),
         coalesce(col("_dup"), lit(false)).as("_d"))
       .select(col("v_id"), col("cid"), (!col("_d")).as("is_kept"))
+  }
+
+  // ------------------------------------------- two-level coarse quantizer
+
+  /** Two-level hierarchical coarse quantizer (the IMI / hierarchical-
+    * k-means shape): `supers(s)` = level-1 centroid, `children(s)(c)` =
+    * level-2 centroid inside super-cell `s`. Global cell id =
+    * scid·stride + ccid (stride = max children per super) — sparse but
+    * deterministic and stable under refit of other supers' children.
+    *
+    * WHY: the flat quantizer's assignment costs O(nCells·dim) per row —
+    * fine at 10² cells, hopeless at the 10⁴–10⁵ cells the SemDeDup
+    * recipe wants over 10⁹ rows. Two-level assignment is O((k1+k2)·dim):
+    * at k1 = k2 = 316 that's ~630 distance kernels for 10⁵ effective
+    * cells, a 160× cut, while both argmins stay narrow map-side compute
+    * (single-literal matrices, no join, no shuffle). */
+  case class HierKmeansModel(supers: Array[Array[Double]],
+                             children: Array[Array[Array[Double]]]) {
+    val stride: Int = children.map(_.length).max
+    def nCells: Int = children.map(_.length).sum
+  }
+
+  /** Fit: level-1 [[kmeans]] over the sample, then an independent
+    * level-2 [[kmeans]] over each super-cell's sample members
+    * (argmin-first assignment, members in sample order — the grouped
+    * twin of [[pqTrain]]'s per-subspace fits). A super-cell with no
+    * sample members keeps its super centroid as a single child, so
+    * corpus vectors landing there at assignment time still get a cell. */
+  def hierKmeans(sample: Array[Array[Double]], k1: Int, k2: Int,
+                 iters: Int = 10): HierKmeansModel = {
+    require(sample.nonEmpty, "hierKmeans on empty sample")
+    val supers = kmeans(sample, k1, iters)
+    val members = Array.fill(supers.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+    sample.foreach { v =>
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < supers.length) {
+        var d = 0.0; var i = 0
+        while (i < v.length) { val t = v(i) - supers(c)(i); d += t * t; i += 1 }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      members(best) += v
+    }
+    val children = Array.tabulate(supers.length)(s =>
+      if (members(s).isEmpty) Array(supers(s).clone())
+      else kmeans(members(s).toArray, k2, iters))
+    HierKmeansModel(supers, children)
+  }
+
+  /** Two-level cell assignment as staged narrow projections (each stage
+    * references the previous stage's attribute, so nothing is computed
+    * twice): argmin over the k1 super matrix, then argmin over THAT
+    * super's child matrix — one `element_at` into the ragged 3-D
+    * literal. Both argmins are first-minimum (`array_position` of
+    * `array_min`), matching [[kmeans]]' assignment rule. Adds
+    * (scid, ccid, cid) to `v`. */
+  def assignHierCells(v: DataFrame, vnCol: String,
+                      model: HierKmeansModel): DataFrame = {
+    val superLit = centMatrixLit(model.supers)
+    val childLit = typedLit(model.children.map(
+      _.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
+    def argmin(dists: Column): Column =
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    v.withColumn("scid", argmin(transform(superLit,
+        c => graft.functions.ArrayDot.array_sq_dist(col(vnCol), c))))
+      .withColumn("_cd", transform(element_at(childLit, col("scid") + 1),
+        c => graft.functions.ArrayDot.array_sq_dist(col(vnCol), c)))
+      .withColumn("ccid", argmin(col("_cd")))
+      .drop("_cd")
+      .withColumn("cid", col("scid") * model.stride + col("ccid"))
   }
 }

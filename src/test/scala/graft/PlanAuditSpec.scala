@@ -168,10 +168,34 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("semDedup: intra-cell pair join is an equi-join on cid (no all-pairs)") {
-    val p = plan(Queries.semDedup(spark, dir))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"semDedup degraded to an all-pairs join:\n$p")
+    for (df <- Seq(Queries.semDedup(spark, dir),
+                   Queries.semDedupHier(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"semDedup degraded to an all-pairs join:\n$p")
+    }
     graft.CacheRegistry.releaseAll()
+  }
+
+  test("centroid assignment: plan size is O(1) in nCells (single literal)") {
+    // the r5/r6 quantizer ceiling: per-centroid expression trees grew the
+    // plan as nCells·dim nodes, capping nCells ≈ 10². The matrix-literal
+    // form must keep the expression TREE constant-size as cells grow —
+    // only the literal's data payload (not walked by codegen) scales.
+    import graft.operators.VectorOps
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def treeSize(nCells: Int): Long = {
+      val cents = Array.tabulate(nCells)(i => Array.tabulate(8)(j => i + j * 0.5))
+      val df = Seq((1L, Seq.fill(8)(0.1))).toDF("v_id", "vn")
+        .select(col("v_id"), expr("transform(vn, x -> cast(x as double))").as("vn"))
+        .withColumn("cells", VectorOps.cellRanks(col("vn"), cents))
+      df.queryExecution.analyzed.map(_.expressions.map(_.collect { case e => e }.size).sum).sum
+    }
+    val (small, large) = (treeSize(16), treeSize(1024))
+    assert(large <= small + 8,
+      s"cellRanks expression tree grew with nCells: 16 cells → $small nodes, " +
+        s"1024 cells → $large nodes")
   }
 
   test("j3 triple as-of: two keyed union-sort passes, no nested-loop") {

@@ -67,6 +67,39 @@ class SchemaSpec extends SparkSpec {
     assert(got(1).getAs[Double]("luminance") == 0.5)
   }
 
+  // Drift guard: the driver has regenerated events.parquet with a new ts
+  // physical type twice (TIMESTAMP(NANOS) → naive µs/NTZ). Treat
+  // Tables.loadEvents as a compatibility surface: every historical shape
+  // must normalize to session-UTC TimestampType so `cast(ts as double)`
+  // == DuckDB `epoch(ts)`.
+  test("events ts drift guard: all historical parquet shapes normalize") {
+    // 2024-01-01T00:00:00.123456Z = 1704067200.123456 epoch seconds
+    val want = 1704067200.123456
+    val ntz = Seq(1L).toDF("event_id")
+      .withColumn("ts", to_timestamp_ntz(lit("2024-01-01 00:00:00.123456")))
+    val tz = Seq(1L).toDF("event_id")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00.123456")))
+    val ns = Seq(1L).toDF("event_id")
+      .withColumn("ts", lit(1704067200123456789L))
+    assert(ntz.schema("ts").dataType == TimestampNTZType)
+    for (raw <- Seq(ntz, tz, ns)) {
+      val out = Tables.normalizeEventTs(raw)
+      assert(out.schema("ts").dataType == TimestampType)
+      val got = out.select(col("ts").cast("double")).head.getDouble(0)
+      assert(math.abs(got - want) < 1e-9, s"got $got want $want")
+    }
+  }
+
+  test("events ts drift guard: the real driver testdata reads and t() resolves") {
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+    assert(df.schema("ts").dataType == TimestampType,
+      s"events.ts surfaced as ${df.schema("ts").dataType} — extend " +
+        "Tables.normalizeEventTs for this new driver parquet shape")
+    val r = df.select(col("ts").cast("double").as("t")).agg(
+      count(lit(1)).as("n"), count(col("t")).as("nt")).head
+    assert(r.getLong(0) > 0 && r.getLong(0) == r.getLong(1))
+  }
+
   test("checkerboard corner-ptp size (P5 variant) feeds the P7 gate") {
     // 2×2 corner grid spanning 0.3 in x, 0.3 in y → size (0.4, 0.3) after
     // the 4/3 x-aspect correction; aspect x/y = 4/3 > 1.2 → gated out

@@ -430,4 +430,59 @@ class TextVectorOpsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("is_kept") == !expectDropped(id), s"id $id")
     }
   }
+
+  test("hierKmeans + semDedupHier: two-level cells, same keep-first law") {
+    val rng = new scala.util.Random(53)
+    val rest = (0 until 40).map(i =>
+      (i.toLong, Array.fill(8)((rng.nextGaussian() * 2).toFloat)))
+    val groups = Array.fill(3)(Array.fill(8)(rng.nextGaussian() * 2))
+    val dups = (0 until 9).map { i =>
+      val g = groups(i / 3)
+      ((40 + i).toLong, g.map(x => (x + rng.nextGaussian() * 1e-3).toFloat))
+    }
+    val vecs = (rest ++ dups).toDF("vec_id", "embedding")
+    val out = VectorOps.semDedupHier(vecs, "vec_id", "embedding",
+      threshold = 0.95, k1 = 4, k2 = 4).collect()
+    assert(out.length == 49)
+    val byId = out.map(r => r.getAs[Long]("v_id") ->
+      (r.getAs[Int]("cid"), r.getAs[Boolean]("is_kept"))).toMap
+    // near-identical vectors land in the same two-level cell; each group
+    // keeps exactly its minimum id
+    for (g <- 0 until 3) {
+      val ids = (40 + g * 3) until (40 + g * 3 + 3)
+      assert(ids.map(i => byId(i)._1).distinct.size == 1, s"group $g split")
+      assert(byId(ids.head)._2 && ids.tail.forall(i => !byId(i)._2))
+    }
+    // deterministic across runs
+    val out2 = VectorOps.semDedupHier(vecs, "vec_id", "embedding",
+      threshold = 0.95, k1 = 4, k2 = 4).collect()
+    assert(out.map(_.toSeq).toSet == out2.map(_.toSeq).toSet)
+    // every (scid, ccid) honors the stride numbering: cid / stride < k1
+    val model = VectorOps.hierKmeans(
+      vecs.orderBy("vec_id").collect().map(
+        _.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(_.toDouble).toArray).map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+      }, 4, 4)
+    assert(model.nCells <= 16 && model.stride <= 4)
+    out.foreach(r => assert(r.getAs[Int]("cid") / model.stride < 4))
+  }
+
+  test("semDedup hot-cell cap: bounded pairs, documented recall miss") {
+    // one cell (nCells=1). A=e0, B=e1 (orthogonal to A), C≈B with a
+    // higher id. Exact: C is dropped (dup of B). cap=1: C only compares
+    // against the cell's single lowest-id member A → survives — the
+    // documented recall tradeoff; representatives are never affected.
+    val a = Array.tabulate(8)(i => if (i == 0) 1f else 0f)
+    val b = Array.tabulate(8)(i => if (i == 1) 1f else 0f)
+    val c = b.clone(); c(2) = 0.01f
+    val vecs = Seq((1L, a), (2L, b), (3L, c)).toDF("vec_id", "embedding")
+    def kept(cap: Option[Int]): Map[Long, Boolean] =
+      VectorOps.semDedup(vecs, "vec_id", "embedding", threshold = 0.9,
+        nCells = 1, maxCellCompare = cap).collect()
+        .map(r => r.getAs[Long]("v_id") -> r.getAs[Boolean]("is_kept")).toMap
+    assert(kept(None) == Map(1L -> true, 2L -> true, 3L -> false))
+    assert(kept(Some(1)) == Map(1L -> true, 2L -> true, 3L -> true))
+    assert(kept(Some(2)) == Map(1L -> true, 2L -> true, 3L -> false))
+  }
 }
