@@ -64,6 +64,60 @@ object CurationStream {
         })
   }
 
+  /** TTL-bounded exact dedup for an UNBOUNDED ingest — the production
+    * form of [[dedupExactStream]], whose seen-set otherwise grows one
+    * entry per distinct document forever (the r5/r6 verdicts' named
+    * leak). Same first-wins rule, but each fingerprint's state expires
+    * once the EVENT-TIME watermark (on `tsCol`, lateness
+    * `watermarkDelay`) passes its last sighting + `ttlMs` — every
+    * sighting of a text, duplicate or not, extends its horizon.
+    *
+    * RECALL SEMANTICS (documented tradeoff, not a bug): a duplicate
+    * arriving within `ttlMs` of its text's last sighting is dropped
+    * exactly like the unbounded form; a duplicate arriving later is
+    * RE-ADMITTED — its seen-state was evicted, so it is
+    * indistinguishable from a first sighting. Exact-dedup recall is
+    * therefore scoped to the TTL window (the CCNet/web-crawl setting:
+    * re-crawls cluster in time, so a TTL of one crawl cycle catches
+    * nearly all of them while state stays O(distinct texts per window)
+    * instead of O(all texts ever)). The unbounded form remains the
+    * batch-parity baseline and the right choice for bounded backfills. */
+  def dedupExactStreamTtl(docs: DataFrame, idCol: String, textCol: String,
+                          tsCol: String, ttlMs: Long,
+                          watermarkDelay: String = "0 seconds"): DataFrame = {
+    val outSchema = docs.schema
+    val keyed = docs.withWatermark(tsCol, watermarkDelay)
+      .withColumn("_key", md5(col(textCol).cast("binary")))
+    val kIdx = keyed.schema.fieldIndex("_key")
+    val idIdx = keyed.schema.fieldIndex(idCol)
+    val tsIdx = keyed.schema.fieldIndex(tsCol)
+    implicit val outEnc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    implicit val boolEnc: org.apache.spark.sql.Encoder[Boolean] =
+      org.apache.spark.sql.Encoders.scalaBoolean
+    keyed.groupByKey(_.getString(kIdx))(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (_: String, it: Iterator[Row], state: GroupState[Boolean]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = it.toSeq
+            val maxTs = rows.map(_.getTimestamp(tsIdx).getTime).max
+            val out =
+              if (state.getOption.contains(true)) Iterator.empty
+              else {
+                state.update(true)
+                val first = rows.minBy(_.getLong(idIdx))
+                Iterator(Row.fromSeq(first.toSeq.dropRight(1)))
+              }
+            // every sighting refreshes the eviction horizon; rows passed
+            // the watermark filter, so maxTs + ttl is always ahead of it
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            out
+          }
+        })
+  }
+
   /** The row-local contamination test: ≥ `minOverlap` distinct shingle
     * hashes shared with the benchmark set (the literal-array form of
     * [[TextOps.decontaminate]]'s broadcast join). */
@@ -82,13 +136,22 @@ object CurationStream {
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
 
   /** The full ingest-time curation chain. `docs` may be streaming or
-    * batch — the lineage is identical. */
+    * batch — the lineage is identical. `dedupTtl = Some((tsCol, ttlMs))`
+    * swaps the unbounded seen-set for the TTL-bounded
+    * [[dedupExactStreamTtl]] (the unbounded default is the batch-parity
+    * baseline; any long-running ingest should pass a TTL). */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              benchHashes: Seq[Long], minOverlap: Int = 5,
              minQuality: Double = 0.6,
              rates: Map[String, Double] = Map.empty,
-             defaultRate: Double = 1.0, salt: String = "graft"): DataFrame = {
-    val uniq = dedupExactStream(docs, idCol, textCol)
+             defaultRate: Double = 1.0, salt: String = "graft",
+             dedupTtl: Option[(String, Long)] = None): DataFrame = {
+    val deduped = dedupTtl match {
+      case Some((tsCol, ttlMs)) =>
+        dedupExactStreamTtl(docs, idCol, textCol, tsCol, ttlMs)
+      case None => dedupExactStream(docs, idCol, textCol)
+    }
+    val uniq = deduped
       .filter(!contaminated(col(textCol), benchHashes, minOverlap = minOverlap))
     val scrubbed = TextOps.piiScrub(uniq, idCol, textCol)
       .select(col("doc"), col("scrubbed"))

@@ -106,6 +106,52 @@ class CurationStreamSpec extends SparkSpec {
       .orderBy("doc").collect().toSeq
     assert(got == batchCurate(docs.toDF()).orderBy("doc").collect().toSeq)
   }
+
+  // ------------------------------------------ TTL-bounded dedup state
+
+  // offset from epoch 0: Spark's initial watermark is 0, and a row AT the
+  // watermark is late — event times must start strictly above it
+  def tsDoc(id: Long, text: String, sec: Long) =
+    CurTsDoc(id, text, new java.sql.Timestamp((86400 + sec) * 1000))
+
+  def runTtl(batches: Seq[Seq[CurTsDoc]], ttlMs: Long): Seq[Long] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CurTsDoc]
+    val name = s"ttl_${ttlMs}_${batches.map(_.size).mkString("_")}"
+    val q = CurationStream.dedupExactStreamTtl(input.toDF(), "doc_id",
+        "text", "ts", ttlMs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    spark.table(name).orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+  }
+
+  test("TTL dedup: in-window dups drop, evicted keys re-admit (bounded state)") {
+    val batches = Seq(
+      // watermark after batch: 5s. A and B emit; horizons 30s/35s (ttl 30s)
+      Seq(tsDoc(1, "text aaa", 0), tsDoc(2, "text bbb", 5)),
+      // dup of A inside its window → dropped (state alive); C advances the
+      // watermark to 100s at batch end, past both horizons
+      Seq(tsDoc(3, "text aaa", 10), tsDoc(4, "text ccc", 100)),
+      // no data for A/B in this batch → their timed-out state is evicted
+      Seq(tsDoc(5, "text ddd", 150)),
+      // dup of A AFTER eviction → re-admitted (the documented recall
+      // tradeoff of bounding the seen-set)
+      Seq(tsDoc(6, "text aaa", 160)))
+    assert(runTtl(batches, ttlMs = 30000) == Seq(1L, 2L, 4L, 5L, 6L))
+  }
+
+  test("TTL dedup: with TTL >= feed span it equals the unbounded form") {
+    val batches = Seq(
+      Seq(tsDoc(1, "text aaa", 0), tsDoc(2, "text bbb", 5)),
+      Seq(tsDoc(3, "text aaa", 10), tsDoc(4, "text ccc", 100)),
+      Seq(tsDoc(5, "text ddd", 150)),
+      Seq(tsDoc(6, "text aaa", 160)))
+    // unbounded replay of the same feed: 6 (the late dup) must stay dropped
+    assert(runTtl(batches, ttlMs = 1000L * 1000) == Seq(1L, 2L, 4L, 5L))
+  }
 }
 
 case class CurDoc(doc_id: Long, text: String)
+case class CurTsDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
