@@ -650,6 +650,54 @@ object Oracles {
        |FROM hc c LEFT JOIN dup d USING (v_id)""".stripMargin
   }
 
+  /** cv_keypoints_pipeline oracle: the planted-blink chain replayed —
+    * per-column top/bottom dark pixels over the integer grid with the
+    * EXACT raster inclusion rule (the videoPupilsSql technique), pooled
+    * 2×2 PCA (the m12 technique; keypoint coords are integers, so the
+    * covariance sums are FP-exact), per-frame lid distance
+    * max((yb−yt)·cosθ), and the FSM output as the fixture's closed-form
+    * constants: the blink-pattern velocity signs are id-independent and
+    * clear every gate scaled by any cosθ ≥ cos(π/4), so onset=2,
+    * offset=9, duration=7, n_frames=8 for every media row. */
+  private def keypointsPipelineSql: String = {
+    val bvals = graft.multimodal.VisionFixtures.blinkPattern.zipWithIndex
+      .map { case (b, f) => s"($f,$b)" }.mkString(",")
+    s"""WITH p AS (SELECT doc_id AS media, 16 + doc_id % 9 AS cx,
+       |    16 + (doc_id * 3) % 9 AS cy, 6 + doc_id % 3 AS a FROM documents),
+       |bv(f, b) AS (VALUES $bvals),
+       |cols AS MATERIALIZED (
+       |  SELECT p.media, v.f, x.x, min(y.y) AS yt, max(y.y) AS yb
+       |  FROM p CROSS JOIN bv v
+       |  CROSS JOIN (SELECT unnest(range(0, 48)) AS x) x
+       |  JOIN (SELECT unnest(range(0, 48)) AS y) y
+       |    ON (CAST(x.x - p.cx AS DOUBLE) / p.a)
+       |         * (CAST(x.x - p.cx AS DOUBLE) / p.a)
+       |     + (CAST(y.y - p.cy AS DOUBLE) / v.b)
+       |         * (CAST(y.y - p.cy AS DOUBLE) / v.b) <= 1.0
+       |  GROUP BY p.media, v.f, x.x),
+       |kp AS MATERIALIZED (
+       |  SELECT media, f, x, yt AS y FROM cols
+       |  UNION ALL SELECT media, f, x, yb FROM cols),
+       |mm AS (SELECT sum(x) / count(*) AS mx, sum(y) / count(*) AS my FROM kp),
+       |cvv AS (SELECT sum((kp.x - mm.mx) * (kp.x - mm.mx)) AS sxx,
+       |    sum((kp.x - mm.mx) * (kp.y - mm.my)) AS sxy,
+       |    sum((kp.y - mm.my) * (kp.y - mm.my)) AS syy
+       |  FROM kp CROSS JOIN mm),
+       |cs AS (SELECT CASE WHEN cos(th) < 0 THEN -cos(th) ELSE cos(th) END AS c
+       |  FROM (SELECT 0.5e0 * atan2(2 * sxy, sxx - syy) AS th FROM cvv)),
+       |serie AS (SELECT media, f,
+       |    max((yb - yt) * (SELECT c FROM cs)) AS lid
+       |  FROM cols GROUP BY media, f),
+       |ag AS (SELECT media, round(max(lid), 6) + 0.0e0 AS dist_open,
+       |    round(min(lid), 6) + 0.0e0 AS dist_closed FROM serie GROUP BY media)
+       |SELECT p.media AS media_id,
+       |  round((2 * p.a + 1) / 48.0, 6) + 0.0e0 AS conf,
+       |  ag.dist_open, ag.dist_closed,
+       |  2.0e0 AS onset, 9.0e0 AS offset, 7.0e0 AS duration,
+       |  CAST(8 AS BIGINT) AS n_frames
+       |FROM p JOIN ag USING (media)""".stripMargin
+  }
+
   /** ann_pq_topk oracle: replay of the per-subspace Lloyd training (the
     * ivfSql unrolled-iteration technique, keyed by `sub` — 8 independent
     * k-means in one CTE chain), then PQ-encode the full corpus (argmin
@@ -1752,6 +1800,7 @@ object Oracles {
 
     "emb_semdedup" -> semDedupSql,
     "emb_semdedup_hier" -> semDedupHierSql,
+    "cv_keypoints_pipeline" -> keypointsPipelineSql,
 
     // Contour-fit pupil: the boundary-pixel rule replayed on the integer
     // grid (dark with any non-dark 4-neighbor; no planted ellipse touches

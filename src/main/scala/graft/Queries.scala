@@ -1630,6 +1630,43 @@ object Queries {
       LabelingOps.eyelidDistance(top, bottom).as("lid_dist"))
   }
 
+  /** C2 → M12 → M13 → W5 composed: the pylids keypoint seam exercised
+    * end-to-end (pipelines.py:105-106, 736). The detector-shaped kernel
+    * ([[graft.multimodal.VisionOps.detectKeypointsVideo]]) emits the
+    * reference's `dlc_kpts_x/y` + `dlc_confidence` columns per decoded
+    * eye-video frame of the planted-blink fixture; the keypoints are
+    * PCA-aligned (M12), reduced to a per-frame eyelid distance (M13),
+    * and the blink FSM (W5) recovers the planted closure — whose
+    * segment is the fixture's closed-form constant, so the oracle
+    * attests the whole chain, not just the kernel. */
+  def cvKeypointsPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{VisionFixtures, VisionOps}
+    val media = VisionFixtures.plantMedia(
+      Tables.documents(s, dir), "doc_id", "video_blink")
+    val kp = VisionOps.detectKeypointsVideo(media)
+    val aligned = LabelingOps.pcaAlign(kp, "dlc_kpts_x", "dlc_kpts_y",
+      sampleN = 1000000)
+    val n = (size(col("dlc_kpts_y_aligned")) / 2).cast("int")
+    val series = CacheRegistry.persistTracked(aligned.select(
+      col("media_id"),
+      col("frame_index").cast("double").as("t"),
+      col("dlc_confidence"),
+      LabelingOps.eyelidDistance(
+        slice(col("dlc_kpts_y_aligned"), lit(1), n),
+        slice(col("dlc_kpts_y_aligned"), n + lit(1), n)).as("lid_dist")))
+    val blinks = LabelingOps.blinkSegments(
+      series.select("media_id", "t", "lid_dist"), "t", "lid_dist",
+      Seq("media_id"))
+    val perMedia = series.groupBy(col("media_id")).agg(
+      (round(max(col("dlc_confidence")), 6) + 0.0).as("conf"),
+      (round(max(col("lid_dist")), 6) + 0.0).as("dist_open"),
+      (round(min(col("lid_dist")), 6) + 0.0).as("dist_closed"))
+    blinks.join(perMedia, "media_id")
+      .select(col("media_id"), col("conf"), col("dist_open"),
+        col("dist_closed"), col("onset"), col("offset"), col("duration"),
+        col("n_frames"))
+  }
+
   /** A10: element-wise mean of array frames per group (the average-frames
     * QC image, visualization.py:501-522) via the partial-aggregating
     * [[graft.functions.ArrayMean]] Aggregator. */

@@ -196,6 +196,31 @@ object VisionFixtures {
     MultimodalOps.encodePngVideo(frames)
   }
 
+  /** Eye-blink video: 14 PNG frames of a FIXED-center dark ellipse whose
+    * semi-minor axis follows [[blinkPattern]] — a planted lid closure
+    * (squeeze to b=1 mid-sequence, gradual re-open). The per-frame
+    * eyelid distance the keypoint→M13 chain recovers is 2·b·cos(θ_pca),
+    * whose velocity sign pattern is the SAME for every id and clears the
+    * blink-FSM gates by construction, so the detected segment is the
+    * closed-form constant (onset=2, offset=9, duration=7, n_frames=8)
+    * the oracle plants (the fixture-carries-its-own-truth discipline). */
+  val blinkPattern: Array[Int] = Array(6, 6, 6, 5, 2, 1, 2, 3, 4, 5, 6, 6, 6, 6)
+
+  def blinkParams(id: Long): (Int, Int, Int) =
+    ((16 + id % 9).toInt, (16 + (id * 3) % 9).toInt, (6 + id % 3).toInt)
+
+  def renderVideoBlink(id: Long): Array[Byte] = {
+    val (cx, cy, a) = blinkParams(id)
+    val frames = blinkPattern.toSeq.map { b =>
+      pngBytes(48, 48, invert = false) { (x, y) =>
+        val tx = (x - cx).toDouble / a
+        val ty = (y - cy).toDouble / b
+        tx * tx + ty * ty <= 1.0
+      }
+    }
+    MultimodalOps.encodePngVideo(frames)
+  }
+
   /** Raw video: 2-4 frames of 48×48 gray with a dark pupil ellipse
     * drifting one pixel per frame (axis-aligned; geometry from the id,
     * exactly in-bounds at every frame). */
@@ -240,6 +265,9 @@ object VisionFixtures {
       case "video_markers" => id =>
         (renderVideoMarkers(id), "video/x-graft-png", 64, 64,
           (2 + id % 3).toInt)
+      case "video_blink" => id =>
+        (renderVideoBlink(id), "video/x-graft-png", 48, 48,
+          blinkPattern.length)
       case other => throw new IllegalArgumentException(s"unknown kind $other")
     }
     val outSchema = MultimodalOps.mediaSchema

@@ -590,6 +590,59 @@ object VisionOps {
     }
   }
 
+  /** C2 seam — the pylids-shaped keypoint detector (pipelines.py:105-106,
+    * 736; keypoint columns labeling.py:184-188, 270-272): one row per
+    * (media, frame) carrying `dlc_kpts_x` / `dlc_kpts_y` /
+    * `dlc_confidence`, the exact column contract the reference's DNN
+    * detector emits — so the M12 (PCA align) → M13 (eyelid distance) →
+    * W5 (blink FSM) chain downstream cannot tell the producer apart.
+    * The DNN itself has no public weights (genuinely blocked); this
+    * kernel is the deterministic stand-in: per frame it scans every
+    * pixel column and emits the topmost dark pixel (upper-lid arc) and
+    * bottommost dark pixel (lower-lid arc) of each column containing
+    * any dark pixel — upper arc first, then lower, both in ascending x,
+    * confidence = fraction of columns with a detection. Swapping in a
+    * real DNN is a kernel substitution behind the same schema. */
+  def detectKeypointsVideo(media: DataFrame,
+                           thresh: Double = DarkThreshold): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_index", IntegerType, nullable = false),
+      StructField("dlc_kpts_x", ArrayType(DoubleType), nullable = false),
+      StructField("dlc_kpts_y", ArrayType(DoubleType), nullable = false),
+      StructField("dlc_confidence", DoubleType, nullable = false)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        videoFrames(r.getAs[Array[Byte]](bIdx)).zipWithIndex.map {
+          case (g, f) =>
+            val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+            val tops = scala.collection.mutable.ArrayBuffer.empty[Double]
+            val bots = scala.collection.mutable.ArrayBuffer.empty[Double]
+            var x = 0
+            while (x < g.w) {
+              var top = -1; var bot = -1; var y = 0
+              while (y < g.h) {
+                if (g.px(y * g.w + x) < thresh) {
+                  if (top < 0) top = y
+                  bot = y
+                }
+                y += 1
+              }
+              if (top >= 0) { xs += x; tops += top; bots += bot }
+              x += 1
+            }
+            Row(r.getLong(idIdx), f,
+              (xs ++ xs).toArray, (tops ++ bots).toArray,
+              xs.length.toDouble / g.w)
+        }
+      }
+    }
+  }
+
   /** The world-camera video scan: marker detection per video frame
     * (marker_detection.py:98-117 — world.mp4 → find_circles per frame),
     * 0..n typed marker rows per (media, frame), frame-local index. Same

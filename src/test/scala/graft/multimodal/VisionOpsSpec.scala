@@ -309,5 +309,37 @@ class VisionOpsSpec extends SparkSpec {
     assert(VisionOps.detectPupils(junk).count() == 0)
     assert(VisionOps.findCheckerboard(junk).count() == 0)
     assert(VisionOps.findCircles(junk).count() == 0)
+    assert(VisionOps.detectKeypointsVideo(junk).count() == 0)
+  }
+
+  test("keypoint detector (C2 stand-in) recovers the planted lid arcs") {
+    for (id <- Seq(0L, 5L, 7L)) {
+      val (cx, cy, a) = VisionFixtures.blinkParams(id)
+      val media = Seq((id, VisionFixtures.renderVideoBlink(id)))
+        .toDF("media_id", "bytes")
+        .withColumn("meta", struct(lit("video/x-graft-png").as("format"),
+          lit(48).as("width"), lit(48).as("height"),
+          lit(VisionFixtures.blinkPattern.length).as("n_frames")))
+      val rows = VisionOps.detectKeypointsVideo(media)
+        .orderBy("frame_index").collect()
+      assert(rows.length == VisionFixtures.blinkPattern.length)
+      rows.zip(VisionFixtures.blinkPattern).foreach { case (r, b) =>
+        val xs = r.getAs[scala.collection.Seq[Double]]("dlc_kpts_x")
+        val ys = r.getAs[scala.collection.Seq[Double]]("dlc_kpts_y")
+        val n = 2 * a + 1 // dark columns span cx-a .. cx+a every frame
+        assert(xs.length == 2 * n && ys.length == 2 * n)
+        assert(r.getAs[Double]("dlc_confidence") == n.toDouble / 48)
+        // upper arc then lower arc, both ascending x; at the center
+        // column the arcs sit exactly b above/below cy
+        assert(xs.take(n) == xs.drop(n) &&
+          xs.take(n).toSeq == (cx - a to cx + a).map(_.toDouble))
+        val ci = xs.take(n).indexOf(cx.toDouble)
+        assert(ys(ci) == (cy - b).toDouble &&
+          ys(n + ci) == (cy + b).toDouble)
+        // lid gap at the center column is the frame's planted 2b maximum
+        val gaps = (0 until n).map(i => ys(n + i) - ys(i))
+        assert(gaps.max == 2.0 * b && gaps(ci) == 2.0 * b)
+      }
+    }
   }
 }
