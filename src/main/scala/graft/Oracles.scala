@@ -698,6 +698,83 @@ object Oracles {
        |FROM p JOIN ag USING (media)""".stripMargin
   }
 
+  /** Shared CTE prefix of the planted-surface A5/M11 oracles: the
+    * cluster medians, constant per-point error (same arithmetic shape as
+    * ErrorMap.compute: (gx−mx)·2048 etc. over the pixels-per-degree
+    * mean), the four hull half-planes (hull vertices ARE the exact
+    * corner literals by the symmetric-jitter construction), and the
+    * gaze histogram. The TPS solve is NOT replayed: the planted surface
+    * is constant, so grid cells inside the hull carry min(err) up to
+    * solver noise ≪ the round-6 quantum. */
+  private def m11Ctes: String =
+    s"""b AS (SELECT event_id, event_id % 4 AS cl, event_id // 4 AS j
+       |  FROM events WHERE event_id < 20),
+       |mk AS (SELECT cl,
+       |    (CASE WHEN cl IN (1,2) THEN 0.8e0 ELSE 0.2e0 END
+       |      + (j - 2) * 0.01e0) AS mx0,
+       |    (CASE WHEN cl IN (2,3) THEN 0.8e0 ELSE 0.2e0 END
+       |      + (j * 3 % 5 - 2) * 0.01e0) AS my0,
+       |    ((CASE WHEN cl IN (1,2) THEN 0.8e0 ELSE 0.2e0 END
+       |      + (j - 2) * 0.01e0) + 0.01e0) AS gx0,
+       |    (CASE WHEN cl IN (2,3) THEN 0.8e0 ELSE 0.2e0 END
+       |      + (j * 3 % 5 - 2) * 0.01e0) AS gy0
+       |  FROM b),
+       |red AS (SELECT cl, quantile_cont(mx0, 0.5e0) AS mx,
+       |    quantile_cont(my0, 0.5e0) AS my, quantile_cont(gx0, 0.5e0) AS gx,
+       |    quantile_cont(gy0, 0.5e0) AS gy
+       |  FROM mk GROUP BY cl),
+       |er AS (SELECT cl,
+       |    sqrt(((gx - mx) * 2048.0e0) * ((gx - mx) * 2048.0e0)
+       |       + ((gy - my) * 1536.0e0) * ((gy - my) * 1536.0e0))
+       |      / ((2048.0e0 / 101.0e0 + 1536.0e0 / 75.75e0) / 2.0e0) AS err
+       |  FROM red),
+       |oc AS (SELECT min(err) AS c FROM er),
+       |g AS (SELECT t1.iy, t2.ix,
+       |    CAST(t2.ix AS DOUBLE) / 399 AS x, CAST(t1.iy AS DOUBLE) / 299 AS y
+       |  FROM (SELECT unnest(range(0, 300)) AS iy) t1
+       |  CROSS JOIN (SELECT unnest(range(0, 400)) AS ix) t2),
+       |ing AS (SELECT iy, ix, x, y,
+       |    ((0.8e0 - 0.2e0) * (y - 0.2e0) - (0.2e0 - 0.2e0) * (x - 0.2e0)) >= 0
+       |    AND ((0.8e0 - 0.8e0) * (y - 0.2e0) - (0.8e0 - 0.2e0) * (x - 0.8e0)) >= 0
+       |    AND ((0.2e0 - 0.8e0) * (y - 0.8e0) - (0.8e0 - 0.8e0) * (x - 0.8e0)) >= 0
+       |    AND ((0.2e0 - 0.2e0) * (y - 0.8e0) - (0.2e0 - 0.8e0) * (x - 0.2e0)) >= 0
+       |      AS inh
+       |  FROM g),
+       |gz AS (SELECT gx0 AS px, gy0 AS py FROM mk
+       |  UNION ALL
+       |  SELECT 0.05e0, 0.05e0 + (event_id % 5) * 0.001e0 FROM events
+       |  WHERE event_id >= 20 AND event_id < 40),
+       |hist AS (SELECT least(CAST(floor(px * 400) AS BIGINT), 399) AS ix,
+       |    least(CAST(floor(py * 300) AS BIGINT), 299) AS iy,
+       |    count(*) AS n_gaze
+       |  FROM gz WHERE px BETWEEN 0 AND 1 AND py BETWEEN 0 AND 1
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private def m11GridSql: String =
+    s"""WITH $m11Ctes
+       |SELECT iy, ix, CASE WHEN inh THEN round((SELECT c FROM oc), 6) + 0.0e0
+       |  ELSE NULL END AS err
+       |FROM ing""".stripMargin
+
+  private def a5SummarySql: String =
+    s"""WITH $m11Ctes,
+       |jg AS (SELECT i.iy, i.ix, i.inh, coalesce(h.n_gaze, 0) AS n
+       |  FROM ing i LEFT JOIN hist h USING (iy, ix)),
+       |sm AS (SELECT sum(n) AS total,
+       |    sum(CASE WHEN inh THEN n ELSE 0 END) AS n_in,
+       |    sum(CASE WHEN inh THEN n * (SELECT c FROM oc) END) AS werr
+       |  FROM jg)
+       |SELECT
+       |  round(werr / total / (n_in * 1.0e0 / total), 6) + 0.0e0
+       |    AS gaze_err_weighted,
+       |  round((total - n_in) * 1.0e0 / total, 6) + 0.0e0
+       |    AS gaze_fraction_excluded,
+       |  CAST(4 AS INT) AS n_points,
+       |  round((SELECT quantile_cont(err, 0.5e0) FROM er), 6) + 0.0e0
+       |    AS err_median,
+       |  round((SELECT avg(err) FROM er), 6) + 0.0e0 AS err_mean
+       |FROM sm""".stripMargin
+
   /** ann_pq_topk oracle: replay of the per-subspace Lloyd training (the
     * ivfSql unrolled-iteration technique, keyed by `sub` — 8 independent
     * k-means in one CTE chain), then PQ-encode the full corpus (argmin
@@ -1801,6 +1878,8 @@ object Oracles {
     "emb_semdedup" -> semDedupSql,
     "emb_semdedup_hier" -> semDedupHierSql,
     "cv_keypoints_pipeline" -> keypointsPipelineSql,
+    "m11_error_grid" -> m11GridSql,
+    "a5_weighted_error" -> a5SummarySql,
 
     // Contour-fit pupil: the boundary-pixel rule replayed on the integer
     // grid (dark with any non-dark 4-neighbor; no planted ellipse touches

@@ -1667,6 +1667,61 @@ object Queries {
         col("n_frames"))
   }
 
+  /** Planted inputs for the DIRECT A5/M11 queries: 4 marker clusters of 5
+    * symmetric-jitter detections whose medians are EXACTLY the corners of
+    * the unit-square-inset hull (0.2/0.8), matched gaze offset by a
+    * constant +0.01 in x (dy = 0), so every reduced point carries the
+    * same angular error and the TPS surface degenerates to that constant
+    * — the planted-surface trick: grid value, hull mask, histogram
+    * weights, and the summary all have closed forms the oracle replays
+    * without touching the Breeze solve. 20 extra unmatched gaze rows sit
+    * at (0.05, ~0.05) OUTSIDE the hull, so the excluded fraction and the
+    * weighted error attest the hull clamp non-vacuously. */
+  private def m11Inputs(s: SparkSession, dir: String): ErrorMap.Result = {
+    val base = Tables.events(s, dir).filter(col("event_id") < 20)
+      .select(col("event_id"),
+        (col("event_id") % 4).as("cl"), expr("event_id DIV 4").as("j"))
+    val cx = when(col("cl").isin(1, 2), 0.8).otherwise(0.2)
+    val cy = when(col("cl").isin(2, 3), 0.8).otherwise(0.2)
+    val jx = (col("j") - 2) * 0.01
+    val jy = (col("j") * 3 % 5 - 2) * 0.01
+    val markers = base.select(
+      col("event_id").cast("double").as("timestamp"),
+      (cx + jx).as("norm_x"), (cy + jy).as("norm_y"),
+      col("cl").as("marker_cluster_index"), lit(0L).as("session"))
+    val gazeMatched = base.select(
+      col("event_id").cast("double").as("timestamp"),
+      ((cx + jx) + 0.01).as("norm_x"), (cy + jy).as("norm_y"),
+      lit(1.0).as("confidence"), lit(0L).as("session"))
+    val gazeExtra = Tables.events(s, dir)
+      .filter(col("event_id") >= 20 && col("event_id") < 40)
+      .select((col("event_id") + 1000).cast("double").as("timestamp"),
+        lit(0.05).as("norm_x"),
+        (lit(0.05) + (col("event_id") % 5) * 0.001).as("norm_y"),
+        lit(1.0).as("confidence"), lit(0L).as("session"))
+    model.ErrorMap.compute(markers, gazeMatched.unionByName(gazeExtra),
+      model.ErrorMap.Config(matchKeys = Seq("session")))
+  }
+
+  /** M11 direct: the 300×400 error surface itself — inside-hull cells
+    * carry the planted constant error, outside-hull cells are null, so a
+    * regression in the grid evaluation or the convex-hull mask can no
+    * longer hide behind `m9_gaze_pipeline`'s summary hash. */
+  def m11ErrorGrid(s: SparkSession, dir: String): DataFrame =
+    m11Inputs(s, dir).grid.select(col("iy"), col("ix"),
+      (round(col("err"), 6) + 0.0).as("err"))
+
+  /** A5 direct: the gaze-histogram-weighted session error summary
+    * (error_computation.py:151-214) over the same planted surface. */
+  def a5WeightedError(s: SparkSession, dir: String): DataFrame =
+    m11Inputs(s, dir).summary.select(
+      (round(col("gaze_err_weighted"), 6) + 0.0).as("gaze_err_weighted"),
+      (round(col("gaze_fraction_excluded"), 6) + 0.0)
+        .as("gaze_fraction_excluded"),
+      col("n_points"),
+      (round(col("err_median"), 6) + 0.0).as("err_median"),
+      (round(col("err_mean"), 6) + 0.0).as("err_mean"))
+
   /** A10: element-wise mean of array frames per group (the average-frames
     * QC image, visualization.py:501-522) via the partial-aggregating
     * [[graft.functions.ArrayMean]] Aggregator. */
