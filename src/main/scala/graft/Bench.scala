@@ -42,8 +42,13 @@ object Bench {
       .foreach(q => try drain(SparkEntry.queries(q)(spark, warmDir))
       catch { case _: Throwable => () })
 
+    // dev-only subset filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 (driver runs unset)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     def onePass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { drain(fn(spark, sfDir)); true }
         catch { case _: Throwable => false }

@@ -308,8 +308,13 @@ object Oracles {
        |bl AS (SELECT v_id, band_id, list(bit ORDER BY rk) AS bl
        |  FROM bits GROUP BY v_id, band_id),
        |exact AS (SELECT v_id, band_id, array_to_string(bl, '') AS band_key
-       |  FROM bl),
-       |probe AS ($probeSelects),
+       |  FROM bl
+       |  QUALIFY row_number() OVER (PARTITION BY band_id,
+       |    array_to_string(bl, '') ORDER BY v_id)
+       |    <= ${graft.operators.VectorOps.DefaultMaxBucket}),
+       |probe AS (SELECT * FROM ($probeSelects)
+       |  QUALIFY row_number() OVER (PARTITION BY band_id, band_key
+       |    ORDER BY v_id) <= ${graft.operators.VectorOps.DefaultMaxBucket}),
        |cand AS (SELECT DISTINCT p.v_id AS id_a, x.v_id AS id_b
        |  FROM probe p JOIN exact x ON p.band_id = x.band_id
        |    AND p.band_key = x.band_key AND p.v_id < x.v_id),

@@ -1643,9 +1643,13 @@ object Queries {
     import graft.multimodal.{VisionFixtures, VisionOps}
     val media = VisionFixtures.plantMedia(
       Tables.documents(s, dir), "doc_id", "video_blink")
-    val kp = VisionOps.detectKeypointsVideo(media)
-    val aligned = LabelingOps.pcaAlign(kp, "dlc_kpts_x", "dlc_kpts_y",
-      sampleN = 1000000)
+    // persisted: the PCA moment aggregations AND the downstream series
+    // all read the detect output — without it the decode+detect kernel
+    // lineage runs once per consumer (3× the heaviest work in the query)
+    val kp = CacheRegistry.persistTracked(
+      VisionOps.detectKeypointsVideo(media))
+    val aligned = LabelingOps.pcaAlignDistributed(kp,
+      "dlc_kpts_x", "dlc_kpts_y")
     val n = (size(col("dlc_kpts_y_aligned")) / 2).cast("int")
     val series = CacheRegistry.persistTracked(aligned.select(
       col("media_id"),

@@ -169,4 +169,39 @@ object LabelingOps {
     * refinement): pure array Column arithmetic. */
   def eyelidDistance(topYs: Column, bottomYs: Column): Column =
     array_max(zip_with(bottomYs, topYs, (b, t) => b - t))
+
+  /** [[pcaAlign]] with the moments computed DISTRIBUTIVELY over the whole
+    * table — the corpus-scale form: the driver receives five scalars
+    * (n, Σx, Σy and the two-pass deviation sums) instead of collecting
+    * every keypoint array (the sample-collect form moves O(rows·points)
+    * to the driver — 76 MB at sf0.1 for the keypoint query, unbounded at
+    * 100 TB). Per-row folds are HOF aggregates (fixed within-row order);
+    * cross-row sum order is Spark's — for integer-valued coordinates the
+    * first pass is FP-exact and the deviation pass agrees with any order
+    * to ~1e-12, far inside the round-6 oracle quantum. */
+  def pcaAlignDistributed(df: DataFrame, xsCol: String,
+                          ysCol: String): DataFrame = {
+    val xs = col(xsCol); val ys = col(ysCol)
+    def fold(c: Column): Column = aggregate(c, lit(0.0), (a, v) => a + v)
+    val first = df.agg(
+      sum(size(xs).cast("long")).as("n"),
+      sum(fold(xs)).as("sx"), sum(fold(ys)).as("sy")).head
+    val n = first.getLong(0)
+    require(n > 0, "pcaAlignDistributed: empty input")
+    val mx = first.getDouble(1) / n
+    val my = first.getDouble(2) / n
+    val second = df.agg(
+      sum(fold(transform(xs, x => (x - mx) * (x - mx)))).as("sxx"),
+      sum(fold(zip_with(xs, ys, (x, y) => (x - mx) * (y - my)))).as("sxy"),
+      sum(fold(transform(ys, y => (y - my) * (y - my)))).as("syy")).head
+    val theta = 0.5 * math.atan2(2 * second.getDouble(1),
+      second.getDouble(0) - second.getDouble(2))
+    var c = math.cos(theta); var s = math.sin(theta)
+    if (c < 0) { c = -c; s = -s } // sign-fix: PC1 points toward +x
+    df
+      .withColumn(s"${xsCol}_aligned",
+        zip_with(xs, ys, (x, y) => (x - mx) * c + (y - my) * s))
+      .withColumn(s"${ysCol}_aligned",
+        zip_with(xs, ys, (x, y) => -(x - mx) * s + (y - my) * c))
+  }
 }

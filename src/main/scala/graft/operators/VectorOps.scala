@@ -533,9 +533,14 @@ object VectorOps {
     * bucket-local pairs instead of N² — with miss probability
     * (1 − pᵏ)ᵇ per true pair, p = 1 − θ/π per bit (≈1.4% at cos θ = 0.9
     * with 4×4 bands), vs. the all-pairs join that cannot run at 100 TB. */
+  /** Default hot-bucket cap for [[nearDupPairsLsh]] — shared with the
+    * oracle builder. */
+  val DefaultMaxBucket: Int = 1000
+
   def nearDupPairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
                       anchorPred: Column, bands: Int, rowsPerBand: Int,
-                      minCosine: Double, multiProbe: Boolean = false): DataFrame = {
+                      minCosine: Double, multiProbe: Boolean = false,
+                      maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
     val n = normalized(vecs, idCol, vecCol)
       .transform(graft.CacheRegistry.persistTracked(_))
     val anchors = vecs.filter(anchorPred)
@@ -566,8 +571,24 @@ object VectorOps {
       n.select(col(idCol).as(id), explode(array(keys: _*)).as("_k"))
         .select(col(id), col("_k.band_id").as("band_id"),
           col("_k.band_key").as("band_key"))
-    val cand = keyed(probeKey, "id_a")
-      .join(keyed(exactKey, "id_b"), Seq("band_id", "band_key"))
+    // HOT-BUCKET CAP (the TextOps.minhashPairsFromBands:113 discipline,
+    // measured necessary at the 10× bench sweep: uncapped, a filling
+    // bucket makes the candidate join Σ bucket² — the only superlinear
+    // head in the sweep): each (band_id, band_key) bucket keeps its cap
+    // smallest ids on BOTH join sides, so a mass-duplicate cluster costs
+    // cap² per band instead of |cluster|². Canonical keepers (lowest
+    // ids) still pair; a pair of two beyond-cap members of a hot bucket
+    // is the documented recall miss. None = exact.
+    def capped(df: DataFrame, id: String) = maxBucket match {
+      case Some(c) =>
+        val w = Window.partitionBy(col("band_id"), col("band_key"))
+          .orderBy(col(id))
+        df.withColumn("_brn", row_number().over(w))
+          .filter(col("_brn") <= c).drop("_brn")
+      case None => df
+    }
+    val cand = capped(keyed(probeKey, "id_a"), "id_a")
+      .join(capped(keyed(exactKey, "id_b"), "id_b"), Seq("band_id", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     cand

@@ -110,6 +110,28 @@ class OdometryLabelingSpec extends SparkSpec {
     }
   }
 
+  test("pcaAlignDistributed == full-sample pcaAlign (corpus-scale form)") {
+    // integer keypoints (the detector contract) so the first-pass sums
+    // are FP-exact in any order
+    val rows = Seq.tabulate(40) { i =>
+      (Seq.tabulate(5)(j => (i + 3 * j % 7).toDouble),
+        Seq.tabulate(5)(j => (2 * i % 11 + j).toDouble))
+    }
+    val df = rows.toDF("xs", "ys")
+    val want = LabelingOps.pcaAlign(df, "xs", "ys", sampleN = 1000000)
+      .select("xs", "xs_aligned", "ys_aligned").collect()
+      .map(r => (r.getSeq[Double](0), r.getSeq[Double](1), r.getSeq[Double](2)))
+      .sortBy(_._1.mkString(","))
+    val got = LabelingOps.pcaAlignDistributed(df, "xs", "ys")
+      .select("xs", "xs_aligned", "ys_aligned").collect()
+      .map(r => (r.getSeq[Double](0), r.getSeq[Double](1), r.getSeq[Double](2)))
+      .sortBy(_._1.mkString(","))
+    want.zip(got).foreach { case ((_, wx, wy), (_, gx, gy)) =>
+      wx.zip(gx).foreach { case (w, g) => assert(math.abs(w - g) < 1e-9) }
+      wy.zip(gy).foreach { case (w, g) => assert(math.abs(w - g) < 1e-9) }
+    }
+  }
+
   test("eyelidDistance = max vertical keypoint gap (M13)") {
     val df = Seq((Seq(0.2, 0.25, 0.22), Seq(0.6, 0.75, 0.7)))
       .toDF("top_ys", "bot_ys")
