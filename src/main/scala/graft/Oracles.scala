@@ -605,8 +605,13 @@ object Oracles {
     * intra-cell lower-id rule runs over the two-level cells. Every fold
     * and tie-break matches the Scala kernels
     * (VectorOps.hierKmeans/assignHierCells) bit-for-bit. */
-  private def semDedupHierSql: String = {
-    val k2 = graft.Queries.semDedupHierK2
+  /** The TWO-LEVEL coarse-quantizer CTE chain: level-1 [[ivfCellCtes]]
+    * at k1 feeds per-super grouped level-2 Lloyd fits (the PQ oracle's
+    * keyed-iteration technique, keyed by scid), ending with `h10` (child
+    * centroids), `stride`, and `hc` (every corpus vector's two-level
+    * assignment: v_id, vn, scid, ccid, global cid). Shared by the
+    * hier-SemDeDup and hier-IVF-PQ oracles. */
+  private def hierCellCtes(k1: Int, k2: Int): String = {
     val iters = (0 until 10).map { i =>
       s"""ha$i AS MATERIALIZED (SELECT v_id, scid, vn, ccid,
          |    row_number() OVER (PARTITION BY v_id ORDER BY d, ccid) AS rk
@@ -622,7 +627,7 @@ object Oracles {
          |      j -> list_sum(list_transform(g.vl, v -> v[j])) / len(g.vl)) END AS c
          |  FROM h$i h LEFT JOIN hg$i g USING (scid, ccid))""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${ivfCellCtes(graft.Queries.semDedupHierK1)},
+    s"""${ivfCellCtes(k1)},
        |scs AS MATERIALIZED (SELECT c.v_id, c.vn, c.cid AS scid FROM cells c
        |  WHERE c.v_id IN (SELECT vec_id FROM s)),
        |h0 AS MATERIALIZED (
@@ -641,9 +646,14 @@ object Oracles {
        |      list_sum(list_transform(range(1, len(cl.vn) + 1),
        |        j -> (cl.vn[j] - h.c[j]) * (cl.vn[j] - h.c[j]))), h.ccid) AS rk
        |  FROM cells cl JOIN h10 h ON h.scid = cl.cid),
-       |hc AS MATERIALIZED (SELECT v_id, vn,
+       |hc AS MATERIALIZED (SELECT v_id, vn, scid, ccid,
        |    CAST(scid * (SELECT st FROM stride) + ccid AS INT) AS cid
-       |  FROM hfin WHERE rk = 1),
+       |  FROM hfin WHERE rk = 1)""".stripMargin
+  }
+
+  private def semDedupHierSql: String =
+    s"""WITH ${hierCellCtes(graft.Queries.semDedupHierK1,
+                            graft.Queries.semDedupHierK2)},
        |bs AS (SELECT * FROM (SELECT hc.*,
        |    row_number() OVER (PARTITION BY cid ORDER BY v_id) AS rk
        |  FROM hc) WHERE rk <= ${graft.Queries.semDedupCellCap}),
@@ -653,6 +663,92 @@ object Oracles {
        |    j -> a.vn[j] * b.vn[j])) >= ${d(graft.Queries.semDedupThreshold)})
        |SELECT c.v_id, c.cid, d.v_id IS NULL AS is_kept
        |FROM hc c LEFT JOIN dup d USING (v_id)""".stripMargin
+
+  /** ann_ivf_pq_hier_topk oracle: the hier coarse chain ([[hierCellCtes]])
+    * composed with the residual-PQ grouped-Lloyd chain (the ivfPqSql
+    * technique over CHILD-centroid residuals) and the TWO-LEVEL probe:
+    * per query the `probeSupers` nearest supers (fin ranks), then all
+    * their children ranked jointly by exact child distance with ties on
+    * the lower global cid — exactly VectorOps.hierProbeCids — feeding the
+    * asymmetric rank + exact re-rank tail. */
+  private def ivfPqHierSql: String = {
+    val m = 8; val subDim = 8; val k = 16; val rerank = 10
+    val probeSupers = graft.Queries.annIvfPqHierProbeSupers
+    val nprobe = graft.Queries.annIvfPqHierNprobe
+    val pq = (0 until 10).map { i =>
+      s"""pa$i AS MATERIALIZED (SELECT vec_id, sub, sv, cid,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rk
+         |  FROM (SELECT p.vec_id, p.sub, p.sv, c.cid,
+         |      list_sum(list_transform(range(1, len(p.sv) + 1),
+         |        j -> (p.sv[j] - c.c[j]) * (p.sv[j] - c.c[j]))) AS d
+         |    FROM psmp p JOIN pc$i c USING (sub))),
+         |pg$i AS MATERIALIZED (SELECT sub, cid, list(sv ORDER BY vec_id) AS vl
+         |  FROM pa$i WHERE rk = 1 GROUP BY sub, cid),
+         |pc${i + 1} AS MATERIALIZED (SELECT c.sub, c.cid,
+         |    CASE WHEN g.vl IS NULL THEN c.c ELSE
+         |    list_transform(range(1, len(c.c) + 1),
+         |      j -> list_sum(list_transform(g.vl, v -> v[j])) / len(g.vl)) END AS c
+         |  FROM pc$i c LEFT JOIN pg$i g USING (sub, cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${hierCellCtes(graft.Queries.annIvfPqHierK1,
+                            graft.Queries.annIvfPqHierK2)},
+       |hres AS MATERIALIZED (SELECT hc.v_id AS vec_id, hc.cid AS hcid,
+       |    list_transform(range(1, len(hc.vn) + 1),
+       |      j -> hc.vn[j] - h.c[j]) AS rv
+       |  FROM hc JOIN h10 h ON h.scid = hc.scid AND h.ccid = hc.ccid),
+       |psmp AS MATERIALIZED (SELECT f.vec_id, t.s AS sub,
+       |    f.rv[t.s * $subDim + 1 : (t.s + 1) * $subDim] AS sv
+       |  FROM hres f CROSS JOIN (SELECT unnest(range(0, $m)) AS s) t
+       |  WHERE f.vec_id IN (SELECT vec_id FROM s)),
+       |pc0 AS MATERIALIZED (SELECT sub,
+       |    CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS INT)
+       |      AS cid, sv AS c
+       |  FROM psmp QUALIFY cid <= $k),
+       |$pq,
+       |fsub AS MATERIALIZED (SELECT f.vec_id, f.hcid, t.s AS sub,
+       |    f.rv[t.s * $subDim + 1 : (t.s + 1) * $subDim] AS sv
+       |  FROM hres f CROSS JOIN (SELECT unnest(range(0, $m)) AS s) t),
+       |enc AS MATERIALIZED (SELECT vec_id, hcid, sub, cid FROM (
+       |  SELECT b.vec_id, b.hcid, b.sub, c.cid,
+       |    row_number() OVER (PARTITION BY b.vec_id, b.sub ORDER BY
+       |      list_sum(list_transform(range(1, len(b.sv) + 1),
+       |        j -> (b.sv[j] - c.c[j]) * (b.sv[j] - c.c[j]))), c.cid) AS rk
+       |  FROM fsub b JOIN pc10 c USING (sub)) WHERE rk = 1),
+       |rec AS MATERIALIZED (SELECT e2.vec_id, e2.hcid,
+       |    flatten(list(c.c ORDER BY e2.sub)) AS rv
+       |  FROM enc e2 JOIN pc10 c USING (sub, cid) GROUP BY e2.vec_id, e2.hcid),
+       |apx AS MATERIALIZED (SELECT r.vec_id, r.hcid,
+       |    list_transform(range(1, len(h.c) + 1),
+       |      j -> h.c[j] + r.rv[j]) AS av
+       |  FROM rec r JOIN h10 h
+       |    ON h.scid = r.hcid // (SELECT st FROM stride)
+       |    AND h.ccid = r.hcid % (SELECT st FROM stride)),
+       |qsup AS (SELECT f.v_id AS q_id, f.vn AS qv, f.cid AS scid FROM fin f
+       |  WHERE f.rk <= $probeSupers AND f.v_id < 10),
+       |qch AS (SELECT q.q_id, q.qv,
+       |    CAST(h.scid * (SELECT st FROM stride) + h.ccid AS INT) AS cid,
+       |    list_sum(list_transform(range(1, len(q.qv) + 1),
+       |      j -> (q.qv[j] - h.c[j]) * (q.qv[j] - h.c[j]))) AS d
+       |  FROM qsup q JOIN h10 h USING (scid)),
+       |qp AS (SELECT q_id, qv, cid FROM qch
+       |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d, cid)
+       |    <= $nprobe),
+       |ap AS (SELECT q.q_id, a.vec_id AS v_id, q.qv,
+       |    list_sum(list_transform(range(1, len(q.qv) + 1),
+       |      j -> q.qv[j] * a.av[j])) AS asim
+       |  FROM qp q JOIN apx a ON a.hcid = q.cid AND q.q_id <> a.vec_id),
+       |cand AS (SELECT q_id, qv, v_id FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY asim DESC, v_id)
+       |      AS arn FROM ap) WHERE arn <= $rerank),
+       |ex AS (SELECT c.q_id, c.v_id,
+       |    list_sum(list_transform(range(1, len(c.qv) + 1),
+       |      j -> c.qv[j] * u.vn[j])) AS sim
+       |  FROM cand c JOIN u ON c.v_id = u.vec_id)
+       |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, v_id) AS INT) AS rank,
+       |  v_id AS n_id, round(sim, 6) + 0.0e0 AS sim
+       |FROM ex
+       |QUALIFY rank <= 3""".stripMargin
   }
 
   /** cv_keypoints_pipeline oracle: the planted-blink chain replayed —
@@ -1882,6 +1978,7 @@ object Oracles {
 
     "emb_semdedup" -> semDedupSql,
     "emb_semdedup_hier" -> semDedupHierSql,
+    "ann_ivf_pq_hier_topk" -> ivfPqHierSql,
     "cv_keypoints_pipeline" -> keypointsPipelineSql,
     "m11_error_grid" -> m11GridSql,
     "a5_weighted_error" -> a5SummarySql,

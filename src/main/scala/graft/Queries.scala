@@ -735,6 +735,27 @@ object Queries {
         (round(col("sim"), 6) + 0.0).as("sim"))
   }
 
+  /** Two-level ANN arity (shared with the oracle builder): 16×16 supers ×
+    * children probed 4-super/16-cell wide — the IMI shape whose
+    * per-query assignment cost is O((k1 + probeSupers·k2)·dim) instead
+    * of O(nCells·dim). */
+  val annIvfPqHierK1: Int = 16
+  val annIvfPqHierK2: Int = 16
+  val annIvfPqHierProbeSupers: Int = 4
+  val annIvfPqHierNprobe: Int = 16
+
+  /** ANN via the TWO-LEVEL IVF-PQ ([[operators.VectorOps.ivfPqHierTopK]]):
+    * hier coarse quantizer + residual PQ + joint child ranking across the
+    * probed supers, exact re-rank, k=3 — oracle-attested end to end (the
+    * hier-cells chain composed with the grouped residual-PQ replay). */
+  def annIvfPqHierTopk(s: SparkSession, dir: String): DataFrame =
+    operators.VectorOps.ivfPqHierTopK(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("v_id") < 10, k = 3,
+        k1 = annIvfPqHierK1, k2 = annIvfPqHierK2,
+        probeSupers = annIvfPqHierProbeSupers, nprobe = annIvfPqHierNprobe)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        (round(col("sim"), 6) + 0.0).as("sim"))
+
   /** Shared with the oracle builder so the threshold can't drift. */
   val semDedupThreshold: Double = 0.45
 

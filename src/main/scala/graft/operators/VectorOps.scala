@@ -518,6 +518,178 @@ object VectorOps {
     }
   }
 
+  // ---------------------------------------- hierarchical IVF-PQ (IMI)
+
+  /** Two-level IVF-PQ: the [[hierKmeans]] coarse quantizer composed with
+    * residual product quantization — the inverted-multi-index shape that
+    * carries the ANN tier to 10⁴–10⁵ cells: assignment and probing cost
+    * O((k1+k2)·dim) per row instead of the flat O(nCells·dim), while the
+    * index stays the same `(v_id, cid, codes)` table (global cid =
+    * scid·stride + ccid). */
+  case class IvfPqHierModel(coarse: HierKmeansModel,
+                            books: Array[Array[Array[Double]]]) {
+    def m: Int = books.length
+    def subDim: Int = books(0)(0).length
+
+    /** Driver-side twin of [[assignHierCells]]: nearest super, then
+      * nearest child of that super, both argmin-first. */
+    def nearestCell(x: Array[Double]): (Int, Int) = {
+      def argmin(cents: Array[Array[Double]]): Int = {
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < x.length) { val t = x(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        best
+      }
+      val sc = argmin(coarse.supers)
+      (sc, argmin(coarse.children(sc)))
+    }
+  }
+
+  /** Fit: two-level coarse quantizer over the deterministic sample, then
+    * per-subspace codebooks over the sample's residuals against the
+    * assigned CHILD centroid (same residual discipline as
+    * [[ivfPqTrainNormalized]]). */
+  private[graft] def ivfPqTrainHierNormalized(v: DataFrame, k1: Int, k2: Int,
+                                              m: Int, codebookK: Int,
+                                              sampleN: Int): Option[IvfPqHierModel] = {
+    val sample = v.orderBy("v_id").limit(sampleN).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("vn").toArray)
+    if (sample.isEmpty) None
+    else {
+      val coarse = hierKmeans(sample, k1, k2)
+      val model0 = IvfPqHierModel(coarse, Array(Array(Array.empty[Double])))
+      val residuals = sample.map { x =>
+        val (sc, cc) = model0.nearestCell(x)
+        val ct = coarse.children(sc)(cc)
+        Array.tabulate(x.length)(i => x(i) - ct(i))
+      }
+      Some(IvfPqHierModel(coarse, pqTrain(residuals, m, codebookK)))
+    }
+  }
+
+  /** The ragged children matrix as ONE 3-D literal. */
+  private def childMatrixLit(model: HierKmeansModel): Column =
+    typedLit(model.children.map(
+      _.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
+
+  /** Encode: two-level assignment ([[assignHierCells]]) → residual vs the
+    * assigned child centroid → per-subspace codes. Same stateless
+    * per-row shape as the flat encode (stream-ingestable). */
+  private[graft] def ivfPqEncodeHierNormalized(v: DataFrame,
+                                               model: IvfPqHierModel): DataFrame = {
+    val m = model.m
+    val subDim = model.subDim
+    val childLit = childMatrixLit(model.coarse)
+    val sliced = assignHierCells(v, "vn", model.coarse)
+      .withColumn("centroid",
+        element_at(element_at(childLit, col("scid") + 1), col("ccid") + 1))
+      .withColumn("res", zip_with(col("vn"), col("centroid"), _ - _))
+      .select(col("v_id") +: col("cid") +:
+        (0 until m).map(s =>
+          slice(col("res"), s * subDim + 1, subDim).as(s"_s$s")): _*)
+    def code(s: Int): Column = {
+      val dists = transform(centMatrixLit(model.books(s)),
+        c => graft.functions.ArrayDot.array_sq_dist(col(s"_s$s"), c))
+      array_position(dists, array_min(dists)).cast("int")
+    }
+    sliced.select(col("v_id"), col("cid"),
+      array((0 until m).map(code): _*).as("codes"))
+  }
+
+  /** Probed global cell ids for a query vector: rank supers by distance,
+    * take the `probeSupers` nearest, rank ALL their children jointly by
+    * exact child distance (ties on the lower global cid, the
+    * [[cellRanks]] rule), take `nprobe`. Pure narrow compute over the
+    * two matrix literals — O((k1 + probeSupers·k2)·dim) per query. */
+  private def hierProbeCids(vn: Column, model: HierKmeansModel,
+                            probeSupers: Int, nprobe: Int): Column = {
+    val superLit = centMatrixLit(model.supers)
+    val childLit = childMatrixLit(model)
+    val stride = model.stride
+    val rankedSupers = array_sort(zip_with(
+      transform(superLit, c => graft.functions.ArrayDot.array_sq_dist(vn, c)),
+      sequence(lit(0), lit(model.supers.length - 1)),
+      (d, i) => struct(d.as("d"), i.cast("int").as("cid"))))
+    val topS = transform(slice(rankedSupers, 1, probeSupers),
+      s => s.getField("cid"))
+    val childStructs = flatten(transform(topS, sc => {
+      val children = element_at(childLit, sc + 1)
+      zip_with(
+        transform(children,
+          c => graft.functions.ArrayDot.array_sq_dist(vn, c)),
+        sequence(lit(0), size(children) - 1),
+        (d, i) => struct(d.as("d"), (sc * stride + i).cast("int").as("cid")))
+    }))
+    transform(slice(array_sort(childStructs), 1, nprobe),
+      s => s.getField("cid"))
+  }
+
+  /** Search over a prebuilt hier index — the flat [[ivfPqSearchNormalized]]
+    * with the two-level probe and child-centroid reconstruction. */
+  private[graft] def ivfPqSearchHierNormalized(model: IvfPqHierModel,
+                                               index: DataFrame, v: DataFrame,
+                                               queryPred: Column, k: Int,
+                                               probeSupers: Int, nprobe: Int,
+                                               rerank: Int): DataFrame = {
+    val m = model.m
+    val childLit = childMatrixLit(model.coarse)
+    val stride = model.coarse.stride
+    def bookLit(s: Int): Column = centMatrixLit(model.books(s))
+    val recon = flatten(array((0 until m).map(s =>
+      element_at(bookLit(s), element_at(col("codes"), s + 1))): _*))
+    val q = v.filter(queryPred)
+      .select(col("v_id").as("q_id"), col("vn").as("qv"),
+        explode(hierProbeCids(col("vn"), model.coarse, probeSupers, nprobe))
+          .as("cid"))
+    val encoded = index.select(col("v_id"), col("cid"), col("codes"))
+      .withColumn("centroid", element_at(
+        element_at(childLit, expr(s"cid DIV $stride").cast("int") + 1),
+        pmod(col("cid"), lit(stride)).cast("int") + 1))
+    val approx = q.join(encoded, Seq("cid"))
+      .filter(col("q_id") =!= col("v_id"))
+      .withColumn("asim", dot(col("qv"),
+        zip_with(col("centroid"), recon, _ + _)))
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("asim").desc, col("v_id"))
+    val cand = approx.withColumn("_arn", row_number().over(wa))
+      .filter(col("_arn") <= rerank)
+      .select(col("q_id"), col("qv"), col("v_id"))
+    val exact = cand
+      .join(v, "v_id")
+      .withColumn("sim", dot(col("qv"), col("vn")))
+    val we = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("v_id"))
+    exact.withColumn("rank", row_number().over(we)).filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("v_id").as("n_id"), col("sim"))
+  }
+
+  /** Hier IVF-PQ ANN, inline composition — train → encode → search over
+    * ONE persisted normalize lineage. With k1 = 1 this is bit-identical
+    * to [[ivfPqTopK]] at nCells = k2 (spec-pinned): a single super cell
+    * makes the two-level fit, assignment, probe ranking, residuals, and
+    * codes all collapse to the flat forms. */
+  def ivfPqHierTopK(vecs: DataFrame, idCol: String, vecCol: String,
+                    queryPred: Column, k: Int, k1: Int = 16, k2: Int = 16,
+                    probeSupers: Int = 4, nprobe: Int = 16, m: Int = 8,
+                    codebookK: Int = 16, rerank: Int = 10,
+                    sampleN: Int = 10000): DataFrame = {
+    val v = graft.CacheRegistry.persistTracked(
+      normalized(vecs, idCol, vecCol).select(col(idCol).as("v_id"), col("vn")))
+    ivfPqTrainHierNormalized(v, k1, k2, m, codebookK, sampleN) match {
+      case None =>
+        vecs.sparkSession.emptyDataFrame
+          .select(lit(0L).as("q_id"), lit(0).as("rank"),
+            lit(0L).as("n_id"), lit(0.0).as("sim")).limit(0)
+      case Some(model) =>
+        val index = graft.CacheRegistry.persistTracked(
+          ivfPqEncodeHierNormalized(v, model))
+        ivfPqSearchHierNormalized(model, index, v, queryPred, k,
+          probeSupers, nprobe, rerank)
+    }
+  }
+
   /** Banded sign-LSH near-duplicate pairs — the scale shape for
     * [[nearDupPairs]] (which stays as the exact all-pairs verification
     * baseline for small inputs).

@@ -468,6 +468,50 @@ class TextVectorOpsSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Int]("cid") / model.stride < 4))
   }
 
+  test("ivfPqHierTopK: k1=1 collapses to the flat ivfPqTopK bit-for-bit") {
+    val rng = new scala.util.Random(61)
+    val centers = Array.fill(4)(Array.fill(16)(rng.nextGaussian() * 2))
+    val vecs = (0 until 120).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qp = col("v_id") < 6
+    val flat = VectorOps.ivfPqTopK(vecs, "vec_id", "embedding", qp,
+      k = 3, nCells = 8, nprobe = 4, m = 8, codebookK = 8).collect()
+      .map(_.toSeq).toSet
+    val hier = VectorOps.ivfPqHierTopK(vecs, "vec_id", "embedding", qp,
+      k = 3, k1 = 1, k2 = 8, probeSupers = 1, nprobe = 4, m = 8,
+      codebookK = 8).collect().map(_.toSeq).toSet
+    assert(flat == hier,
+      "single-super hier IVF-PQ must equal the flat path exactly")
+  }
+
+  test("ivfPqHierTopK: two-level probe keeps recall on clustered vectors") {
+    val rng = new scala.util.Random(67)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian() * 2))
+    val vecs = (0 until 240).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qp = col("v_id") < 8
+    val brute = VectorOps.bruteTopK(vecs.filter(col("vec_id") < 8), vecs,
+      "vec_id", "embedding", 3).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val hier = VectorOps.ivfPqHierTopK(vecs, "vec_id", "embedding", qp,
+      k = 3, k1 = 4, k2 = 4, probeSupers = 2, nprobe = 6,
+      rerank = 16).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    assert(hier.nonEmpty)
+    val recall = (brute intersect hier).size.toDouble / brute.size
+    assert(recall > 0.7, s"recall $recall")
+    // deterministic across runs
+    val hier2 = VectorOps.ivfPqHierTopK(vecs, "vec_id", "embedding", qp,
+      k = 3, k1 = 4, k2 = 4, probeSupers = 2, nprobe = 6,
+      rerank = 16).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    assert(hier == hier2)
+  }
+
   test("semDedup hot-cell cap: bounded pairs, documented recall miss") {
     // one cell (nCells=1). A=e0, B=e1 (orthogonal to A), C≈B with a
     // higher id. Exact: C is dropped (dup of B). cap=1: C only compares
