@@ -90,4 +90,76 @@ object AnnIndexIO {
     VectorOps.ivfPqSearch(model, index, corpus, idCol, vecCol, queryPred,
       k, nprobe, rerank)
   }
+
+  // -------------------------------------------- two-level (hier) layout
+
+  /** Hier quantizer → typed Parquet rows: kind='super' (i = super id),
+    * kind='child' (i = super id, j = child id), kind='book' as the flat
+    * layout. Same artifact discipline, one extra kind. */
+  def hierModelToDF(spark: SparkSession,
+                    model: VectorOps.IvfPqHierModel): DataFrame = {
+    import spark.implicits._
+    val supers = model.coarse.supers.zipWithIndex.toSeq.map { case (c, i) =>
+      ("super", i, 0, c.toSeq)
+    }
+    val children = for {
+      (kids, sc) <- model.coarse.children.zipWithIndex.toSeq
+      (c, cc) <- kids.zipWithIndex
+    } yield ("child", sc, cc, c.toSeq)
+    val books = for {
+      (book, s) <- model.books.zipWithIndex.toSeq
+      (c, j) <- book.zipWithIndex
+    } yield ("book", s, j, c.toSeq)
+    (supers ++ children ++ books).toDF("kind", "i", "j", "vec")
+  }
+
+  def hierModelFromDF(df: DataFrame): VectorOps.IvfPqHierModel = {
+    val rows = df.collect()
+    def vec(r: Row): Array[Double] =
+      r.getAs[scala.collection.Seq[Double]]("vec").toArray
+    def ofKind(k: String) = rows.filter(_.getAs[String]("kind") == k)
+    val supers = ofKind("super").sortBy(_.getAs[Int]("i")).map(vec)
+    val children = ofKind("child").groupBy(_.getAs[Int]("i")).toArray
+      .sortBy(_._1).map { case (_, rs) => rs.sortBy(_.getAs[Int]("j")).map(vec) }
+    val books = ofKind("book").groupBy(_.getAs[Int]("i")).toArray
+      .sortBy(_._1).map { case (_, rs) => rs.sortBy(_.getAs[Int]("j")).map(vec) }
+    VectorOps.IvfPqHierModel(VectorOps.HierKmeansModel(supers, children), books)
+  }
+
+  /** Build the TWO-LEVEL index: fit hier quantizer + residual codebooks
+    * on the deterministic sample, persist, write the encoded
+    * `(v_id, cid, codes)` table cell-partitioned — one corpus pass. */
+  def buildHier(vecs: DataFrame, idCol: String, vecCol: String, path: String,
+                k1: Int = 16, k2: Int = 16, m: Int = 8, codebookK: Int = 16,
+                sampleN: Int = 10000): Option[VectorOps.IvfPqHierModel] = {
+    val v = graft.CacheRegistry.persistTracked(
+      VectorOps.normalized(vecs, idCol, vecCol)
+        .select(org.apache.spark.sql.functions.col(idCol).as("v_id"),
+          org.apache.spark.sql.functions.col("vn")))
+    VectorOps.ivfPqTrainHierNormalized(v, k1, k2, m, codebookK, sampleN)
+      .map { model =>
+        hierModelToDF(vecs.sparkSession, model).write.mode("overwrite")
+          .parquet(s"$path/quantizer")
+        VectorOps.ivfPqEncodeHierNormalized(v, model)
+          .write.mode("overwrite").partitionBy("cid")
+          .parquet(s"$path/index")
+        model
+      }
+  }
+
+  /** Search a prebuilt hier index — bit-identical to the inline
+    * [[VectorOps.ivfPqHierTopK]] on the same corpus (spec-proven). */
+  def searchHier(spark: SparkSession, path: String, corpus: DataFrame,
+                 idCol: String, vecCol: String, queryPred: Column, k: Int,
+                 probeSupers: Int = 4, nprobe: Int = 16,
+                 rerank: Int = 10): DataFrame = {
+    val model = hierModelFromDF(spark.read.parquet(s"$path/quantizer"))
+    val index = spark.read.parquet(s"$path/index")
+    VectorOps.ivfPqSearchHierNormalized(model, index,
+      graft.CacheRegistry.persistTracked(
+        VectorOps.normalized(corpus, idCol, vecCol)
+          .select(org.apache.spark.sql.functions.col(idCol).as("v_id"),
+            org.apache.spark.sql.functions.col("vn"))),
+      queryPred, k, probeSupers, nprobe, rerank)
+  }
 }

@@ -130,6 +130,20 @@ class PlanAuditSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("ann_ivf_pq_hier: native sq-dist kernel, zero nested-loop joins") {
+    val df = Queries.annIvfPqHierTopk(spark, dir)
+    val p = plan(df)
+    assert(p.toLowerCase.contains("arraysqdist"),
+      s"native sq-dist kernel missing from hier assignment:\n$p")
+    val bnlj = df.queryExecution.executedPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.length
+    assert(bnlj == 0, s"hier IVF-PQ grew $bnlj nested-loop join site(s):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"hier IVF-PQ degraded to a cartesian candidate join:\n$p")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("decontaminate: benchmark set broadcast, no corpus shuffle join") {
     val p = plan(Queries.textDecontaminate(spark, dir))
     assert(p.contains("BroadcastHashJoin"),

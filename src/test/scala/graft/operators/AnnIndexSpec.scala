@@ -62,6 +62,34 @@ class AnnIndexSpec extends SparkSpec {
     assert(viaIndex.nonEmpty && viaIndex == inline)
   }
 
+  test("hier search over a built index == inline ivfPqHierTopK, bit-for-bit") {
+    val qp = col("v_id") < 10
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("sim"))))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val inline = rows(VectorOps.ivfPqHierTopK(vecs, "vec_id", "embedding",
+      qp, k = 3, k1 = 3, k2 = 3, probeSupers = 2, nprobe = 4))
+    graft.CacheRegistry.releaseAll()
+    val dir = tmpDir("hier")
+    val built = AnnIndexIO.buildHier(vecs, "vec_id", "embedding", dir,
+      k1 = 3, k2 = 3)
+    graft.CacheRegistry.releaseAll()
+    assert(built.nonEmpty)
+    // quantizer artifact round-trips the ragged children exactly
+    val loaded = AnnIndexIO.hierModelFromDF(
+      spark.read.parquet(s"$dir/quantizer"))
+    assert(loaded.coarse.stride == built.get.coarse.stride)
+    assert(loaded.coarse.children.zip(built.get.coarse.children).forall {
+      case (ka, kb) => ka.length == kb.length &&
+        ka.zip(kb).forall { case (a, b) => a.sameElements(b) } })
+    val viaIndex = rows(AnnIndexIO.searchHier(spark, dir, vecs, "vec_id",
+      "embedding", qp, k = 3, probeSupers = 2, nprobe = 4))
+    graft.CacheRegistry.releaseAll()
+    assert(viaIndex.nonEmpty && viaIndex == inline)
+  }
+
   test("streaming ingest encode == batch encode, any micro-batch split") {
     val model = VectorOps.ivfPqTrain(vecs, "vec_id", "embedding",
       nCells = 8).get
