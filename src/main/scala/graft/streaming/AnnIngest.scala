@@ -35,4 +35,18 @@ object AnnIngest {
         .select(col(idCol).as("v_id"), col("vn")),
       model)
   }
+
+  /** [[encodeStream]] against a TWO-LEVEL quantizer
+    * ([[graft.operators.AnnIndexIO.buildHier]]) — the same stateless
+    * shape (two-level assignment + residual codes are pure per-row
+    * functions of the matrix literals), shared verbatim with the batch
+    * encode so stream rows equal batch rows for any micro-batch split. */
+  def encodeStreamHier(vecs: DataFrame, idCol: String, vecCol: String,
+                       model: VectorOps.IvfPqHierModel): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    VectorOps.ivfPqEncodeHierNormalized(
+      VectorOps.normalizedNarrow(vecs, idCol, vecCol)
+        .select(col(idCol).as("v_id"), col("vn")),
+      model)
+  }
 }

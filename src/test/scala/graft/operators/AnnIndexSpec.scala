@@ -116,4 +116,34 @@ class AnnIndexSpec extends SparkSpec {
       assert(streamed == batch, s"split $splitSize diverged from batch")
     }
   }
+
+  test("hier streaming ingest encode == batch hier encode across splits") {
+    import org.apache.spark.sql.functions.col
+    val v = VectorOps.normalized(vecs, "vec_id", "embedding")
+      .select(col("vec_id").as("v_id"), col("vn"))
+    val model = VectorOps.ivfPqTrainHierNormalized(v, k1 = 3, k2 = 3,
+      m = 8, codebookK = 8, sampleN = 10000).get
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("v_id"), r.getAs[Int]("cid"),
+        r.getSeq[Int](r.fieldIndex("codes")).toList)
+    val batch = VectorOps.ivfPqEncodeHierNormalized(v, model)
+      .collect().map(key).toSet
+    val rows = vecs.as[(Long, Seq[Float])].collect().toSeq
+    for ((splitSize, tag) <- Seq(11 -> "a", rows.length -> "b")) {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, Seq[Float])]
+      val name = s"ann_hier_ingest_${tag}_${System.nanoTime()}"
+      val q = AnnIngest.encodeStreamHier(
+          input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          model)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      rows.grouped(splitSize).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      q.stop()
+      val streamed = spark.table(name).collect().map(key).toSet
+      assert(streamed == batch, s"split $splitSize diverged from batch")
+    }
+  }
 }
