@@ -312,9 +312,7 @@ object Oracles {
        |  QUALIFY row_number() OVER (PARTITION BY band_id,
        |    array_to_string(bl, '') ORDER BY v_id)
        |    <= ${graft.operators.VectorOps.DefaultMaxBucket}),
-       |probe AS (SELECT * FROM ($probeSelects)
-       |  QUALIFY row_number() OVER (PARTITION BY band_id, band_key
-       |    ORDER BY v_id) <= ${graft.operators.VectorOps.DefaultMaxBucket}),
+       |probe AS ($probeSelects),
        |cand AS (SELECT DISTINCT p.v_id AS id_a, x.v_id AS id_b
        |  FROM probe p JOIN exact x ON p.band_id = x.band_id
        |    AND p.band_key = x.band_key AND p.v_id < x.v_id),

@@ -745,22 +745,26 @@ object VectorOps {
           col("_k.band_key").as("band_key"))
     // HOT-BUCKET CAP (the TextOps.minhashPairsFromBands:113 discipline,
     // measured necessary at the 10× bench sweep: uncapped, a filling
-    // bucket makes the candidate join Σ bucket² — the only superlinear
-    // head in the sweep): each (band_id, band_key) bucket keeps its cap
-    // smallest ids on BOTH join sides, so a mass-duplicate cluster costs
-    // cap² per band instead of |cluster|². Canonical keepers (lowest
-    // ids) still pair; a pair of two beyond-cap members of a hot bucket
-    // is the documented recall miss. None = exact.
-    def capped(df: DataFrame, id: String) = maxBucket match {
+    // bucket makes the candidate join Σ |bucket|² — the only superlinear
+    // head in the sweep). INDEX side only: each (band_id, band_key)
+    // bucket keeps its cap smallest ids as join candidates, so the
+    // join output is bounded by |probe bucket|·cap — linear in N — while
+    // the probe side needs no cap (its growth is one row per vector per
+    // key) and skips a pre-join sort. Canonical keepers (lowest ids)
+    // still pair; a pair of two beyond-cap members of a hot bucket is
+    // the documented recall miss (either member still pairs with the
+    // bucket's keepers, so duplicate CLUSTERS are still detected).
+    // None = exact.
+    val indexSide = maxBucket match {
       case Some(c) =>
         val w = Window.partitionBy(col("band_id"), col("band_key"))
-          .orderBy(col(id))
-        df.withColumn("_brn", row_number().over(w))
+          .orderBy(col("id_b"))
+        keyed(exactKey, "id_b").withColumn("_brn", row_number().over(w))
           .filter(col("_brn") <= c).drop("_brn")
-      case None => df
+      case None => keyed(exactKey, "id_b")
     }
-    val cand = capped(keyed(probeKey, "id_a"), "id_a")
-      .join(capped(keyed(exactKey, "id_b"), "id_b"), Seq("band_id", "band_key"))
+    val cand = keyed(probeKey, "id_a")
+      .join(indexSide, Seq("band_id", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     cand
