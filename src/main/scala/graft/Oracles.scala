@@ -749,6 +749,35 @@ object Oracles {
        |QUALIFY rank <= 3""".stripMargin
   }
 
+  /** mm_resize_luminance oracle: the resize chain replayed over the
+    * integer grid — planted-pupil pixel values (raster inclusion rule),
+    * the EXACT luma expression (0.299v + 0.587v + 0.114v, same op
+    * order), 2×2 block mean + half-up rounding (block values sit at
+    * 224 − 48·darkcount, far from .5 boundaries, so the rounding is
+    * ulp-safe), a second luma pass over the quantized block values, and
+    * the plane mean rounded to 6. */
+  private def resizeLuminanceSql: String =
+    s"""WITH p AS (SELECT doc_id AS media, 24 + doc_id % 13 AS cx,
+       |    24 + (doc_id * 3) % 13 AS cy, 8 + doc_id % 5 AS a,
+       |    4 + doc_id % 3 AS b FROM documents),
+       |px AS (SELECT p.media, xs.x, ys.y,
+       |    CASE WHEN (CAST(xs.x - p.cx AS DOUBLE) / p.a)
+       |             * (CAST(xs.x - p.cx AS DOUBLE) / p.a)
+       |           + (CAST(ys.y - p.cy AS DOUBLE) / p.b)
+       |             * (CAST(ys.y - p.cy AS DOUBLE) / p.b) <= 1.0
+       |      THEN 32 ELSE 224 END AS v
+       |  FROM p
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS x) xs
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS y) ys),
+       |blk AS (SELECT media, x // 2 AS bx, y // 2 AS by,
+       |    CAST(least(255, round(sum(0.299e0 * v + 0.587e0 * v
+       |      + 0.114e0 * v) / 4.0e0)) AS INT) AS v2
+       |  FROM px GROUP BY media, x // 2, y // 2)
+       |SELECT media AS media_id, 32 AS w, 32 AS h,
+       |  round(sum(0.299e0 * v2 + 0.587e0 * v2 + 0.114e0 * v2) / 1024.0e0,
+       |    6) + 0.0e0 AS mean_gray
+       |FROM blk GROUP BY media""".stripMargin
+
   /** cv_keypoints_pipeline oracle: the planted-blink chain replayed —
     * per-column top/bottom dark pixels over the integer grid with the
     * EXACT raster inclusion rule (the videoPupilsSql technique), pooled
@@ -1977,6 +2006,7 @@ object Oracles {
     "emb_semdedup" -> semDedupSql,
     "emb_semdedup_hier" -> semDedupHierSql,
     "ann_ivf_pq_hier_topk" -> ivfPqHierSql,
+    "mm_resize_luminance" -> resizeLuminanceSql,
     "cv_keypoints_pipeline" -> keypointsPipelineSql,
     "m11_error_grid" -> m11GridSql,
     "a5_weighted_error" -> a5SummarySql,

@@ -1747,6 +1747,26 @@ object Queries {
       (round(col("err_median"), 6) + 0.0).as("err_median"),
       (round(col("err_mean"), 6) + 0.0).as("err_mean"))
 
+  /** REAL image resize attested end-to-end: planted pupil PNGs →
+    * [[graft.multimodal.MultimodalOps.resizeHalf]] (decode → 2×2
+    * area-average → re-encode) → a SECOND decode via
+    * [[graft.multimodal.MultimodalOps.frameLuminance]]. The output mean
+    * gray of the resized plane has a closed form from the planted
+    * ellipse (per-block dark counts + the shared luma/rounding rules),
+    * so any pixel error in the resample or the re-encode shifts the
+    * hash. */
+  def mmResizeLuminance(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{MultimodalOps, VisionFixtures}
+    val media = VisionFixtures.plantMedia(
+      Tables.documents(s, dir), "doc_id", "pupil")
+    val rs = CacheRegistry.persistTracked(MultimodalOps.resizeHalf(media))
+    MultimodalOps.frameLuminance(rs)
+      .join(rs.select(col("media_id"), col("meta.width").as("w"),
+        col("meta.height").as("h")), "media_id")
+      .select(col("media_id"), col("w"), col("h"),
+        (round(col("luminance"), 6) + 0.0).as("mean_gray"))
+  }
+
   /** A10: element-wise mean of array frames per group (the average-frames
     * QC image, visualization.py:501-522) via the partial-aggregating
     * [[graft.functions.ArrayMean]] Aggregator. */

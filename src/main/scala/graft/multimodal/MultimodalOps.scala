@@ -295,12 +295,79 @@ object MultimodalOps {
         greatest(col("meta.n_frames") - 1, lit(0)), lit(stride)))
         .as("frame_index"))
 
-  /** Resize: metadata-only transform (a real decoder would re-encode
-    * bytes; dims update is the contract downstream operators read). */
+  /** Resize: metadata-only transform (dims update is the contract
+    * downstream operators read). For image formats [[resizeHalf]] is the
+    * REAL pixel path. */
   def resizeMeta(media: DataFrame, scale: Double): DataFrame =
     media.withColumn("meta", struct(
       col("meta.format").as("format"),
       (col("meta.width") * scale).cast("int").as("width"),
       (col("meta.height") * scale).cast("int").as("height"),
       col("meta.n_frames").as("n_frames")))
+
+  /** REAL 2× downsample of decodable images: decode through the JDK
+    * codec, AREA-AVERAGE each 2×2 luma block (the antialias-correct
+    * pyramid step; block mean of ≤255 ints is exact in doubles — sums
+    * are integers, /4 is a power-of-two division — and `Math.round`
+    * half-up quantizes back to 8-bit), re-encode as a real gray PNG,
+    * and update meta dims. Odd trailing row/col is dropped (w/2 × h/2
+    * floor). Non-image or undecodable media pass through untouched —
+    * the same fallback contract as [[extractFeatures]]. The rounding
+    * rule and block arithmetic are oracle-replayable, so the resized
+    * bytes are hash-attested END-TO-END through a second decode (the
+    * `mm_resize_luminance` query). */
+  def resizeHalf(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    val mIdx = media.schema.fieldIndex("meta")
+    val outSchema = mediaSchema
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        val meta = r.getStruct(mIdx)
+        // positional reads: when two typed map operators fuse, the nested
+        // meta Row arrives schemaless and name lookups throw; the media
+        // struct layout is fixed (format, width, height, n_frames)
+        val fmt = Option(meta)
+          .flatMap(m => Option(m.getString(0))).getOrElse("")
+        val resized =
+          if (fmt.startsWith("image/")) decodeImage(bytes).flatMap { img =>
+            val w2 = img.getWidth / 2; val h2 = img.getHeight / 2
+            if (w2 == 0 || h2 == 0) None
+            else {
+              val luma = lumaPixels(img)
+              val w = img.getWidth
+              val out = new java.awt.image.BufferedImage(
+                w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h2) {
+                var x = 0
+                while (x < w2) {
+                  val m = (luma(2 * y * w + 2 * x) +
+                    luma(2 * y * w + 2 * x + 1) +
+                    luma((2 * y + 1) * w + 2 * x) +
+                    luma((2 * y + 1) * w + 2 * x + 1)) / 4.0
+                  val v = math.min(255L, Math.round(m)).toInt
+                  out.setRGB(x, y, v * 0x010101)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.setUseCache(false)
+              javax.imageio.ImageIO.write(out, "png", bos)
+              Some((bos.toByteArray, w2, h2))
+            }
+          } else None
+        resized match {
+          case Some((b2, w2, h2)) =>
+            Row(r.getLong(idIdx), b2, Row("image/png", w2, h2,
+              meta.getInt(3)))
+          case None => Row(r.getLong(idIdx), bytes, meta)
+        }
+      }
+    }
+  }
 }

@@ -50,6 +50,34 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[Array[Byte]](1).sameElements(orig.getAs[Array[Byte]](1)))
   }
 
+  test("resizeHalf: real 2x2 area-average through decode -> re-encode") {
+    // gray 4×4 with known blocks: means 20, 100, (60+80+120+140)/4=100, 255
+    val g = Array(
+      Array(20, 20, 100, 100),
+      Array(20, 20, 100, 100),
+      Array(60, 80, 255, 255),
+      Array(120, 140, 255, 255))
+    val px = g.map(_.map(v => v * 0x010101))
+    val df = Seq((7L, imageBytes(px, "png"),
+        ("image/png", 4, 4, 1))).toDF("media_id", "bytes", "m")
+      .select(col("media_id"), col("bytes"),
+        struct(col("m._1").as("format"), col("m._2").as("width"),
+          col("m._3").as("height"), col("m._4").as("n_frames")).as("meta"))
+    val out = MultimodalOps.resizeHalf(df).collect()(0)
+    val meta = out.getStruct(2)
+    assert(meta.getAs[Int]("width") == 2 && meta.getAs[Int]("height") == 2)
+    val img = MultimodalOps.decodeImage(out.getAs[Array[Byte]](1)).get
+    val vals = Array.tabulate(2, 2)((y, x) => img.getRGB(x, y) & 0xff)
+    assert(vals(0)(0) == 20 && vals(0)(1) == 100)
+    assert(vals(1)(0) == 100 && vals(1)(1) == 255)
+    // non-image media pass through untouched
+    val thr = MultimodalOps.resizeHalf(media).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val orig = media.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    orig.foreach { case (id, b) => assert(thr(id).sameElements(b)) }
+  }
+
   /** Encode a pixel matrix as real image bytes (PNG/BMP are lossless, so
     * the decode side is exact and the oracle closed-form). */
   def imageBytes(pixels: Array[Array[Int]], format: String): Array[Byte] = {
