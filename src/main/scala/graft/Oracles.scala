@@ -778,6 +778,35 @@ object Oracles {
        |    6) + 0.0e0 AS mean_gray
        |FROM blk GROUP BY media""".stripMargin
 
+  /** mm_video_resize oracle: the resize replay of mm_resize_luminance
+    * applied PER FRAME of the drifting-pupil GPNV fixture (videoParams
+    * geometry: center drifts +1 px/frame, 48×48 planes → 24×24 blocks,
+    * same luma/rounding rules). */
+  private def videoResizeSql: String =
+    s"""WITH p AS (SELECT doc_id AS media, 2 + doc_id % 3 AS nf,
+       |    16 + doc_id % 9 AS cx0, 16 + (doc_id * 3) % 9 AS cy0,
+       |    6 + doc_id % 3 AS a, 3 + doc_id % 2 AS b FROM documents),
+       |fr AS (SELECT p.media, ff.f, p.cx0 + ff.f AS cx, p.cy0 + ff.f AS cy,
+       |    p.a, p.b
+       |  FROM p JOIN (SELECT unnest(range(0, 4)) AS f) ff ON ff.f < p.nf),
+       |px AS (SELECT fr.media, fr.f, xs.x, ys.y,
+       |    CASE WHEN (CAST(xs.x - fr.cx AS DOUBLE) / fr.a)
+       |             * (CAST(xs.x - fr.cx AS DOUBLE) / fr.a)
+       |           + (CAST(ys.y - fr.cy AS DOUBLE) / fr.b)
+       |             * (CAST(ys.y - fr.cy AS DOUBLE) / fr.b) <= 1.0
+       |      THEN 32 ELSE 224 END AS v
+       |  FROM fr
+       |  CROSS JOIN (SELECT unnest(range(0, 48)) AS x) xs
+       |  CROSS JOIN (SELECT unnest(range(0, 48)) AS y) ys),
+       |blk AS (SELECT media, f, x // 2 AS bx, y // 2 AS by,
+       |    CAST(least(255, round(sum(0.299e0 * v + 0.587e0 * v
+       |      + 0.114e0 * v) / 4.0e0)) AS INT) AS v2
+       |  FROM px GROUP BY media, f, x // 2, y // 2)
+       |SELECT media AS media_id, CAST(f AS INT) AS frame_index,
+       |  round(sum(0.299e0 * v2 + 0.587e0 * v2 + 0.114e0 * v2) / 576.0e0,
+       |    6) + 0.0e0 AS mean_gray
+       |FROM blk GROUP BY media, f""".stripMargin
+
   /** cv_keypoints_pipeline oracle: the planted-blink chain replayed —
     * per-column top/bottom dark pixels over the integer grid with the
     * EXACT raster inclusion rule (the videoPupilsSql technique), pooled
@@ -2007,6 +2036,7 @@ object Oracles {
     "emb_semdedup_hier" -> semDedupHierSql,
     "ann_ivf_pq_hier_topk" -> ivfPqHierSql,
     "mm_resize_luminance" -> resizeLuminanceSql,
+    "mm_video_resize" -> videoResizeSql,
     "cv_keypoints_pipeline" -> keypointsPipelineSql,
     "m11_error_grid" -> m11GridSql,
     "a5_weighted_error" -> a5SummarySql,

@@ -1767,6 +1767,21 @@ object Queries {
         (round(col("luminance"), 6) + 0.0).as("mean_gray"))
   }
 
+  /** VIDEO resize attested per frame: drifting-pupil GPNV containers →
+    * [[graft.multimodal.MultimodalOps.resizeHalfVideo]] (every frame
+    * decode → 2×2 area-average → re-encode) → per-frame luminance
+    * through a second decode. Same planted-grid replay as
+    * `mm_resize_luminance`, keyed by (media, frame) with the per-frame
+    * drifted ellipse center. */
+  def mmVideoResize(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{MultimodalOps, VisionFixtures}
+    val media = VisionFixtures.plantMedia(
+      Tables.documents(s, dir), "doc_id", "video_png")
+    MultimodalOps.videoFrameLuminance(MultimodalOps.resizeHalfVideo(media))
+      .select(col("media_id"), col("frame_index"),
+        (round(col("luminance"), 6) + 0.0).as("mean_gray"))
+  }
+
   /** A10: element-wise mean of array frames per group (the average-frames
     * QC image, visualization.py:501-522) via the partial-aggregating
     * [[graft.functions.ArrayMean]] Aggregator. */

@@ -280,7 +280,70 @@ object MultimodalOps {
               Row(r.getLong(idIdx), f,
                 if (plane.isEmpty) 0.0 else s.toDouble / plane.length)
             }
-          case None => Iterator.empty
+          case None =>
+            // GPNV dispatch (same container rule as VisionOps
+            // .videoFrames): per-frame Rec.601 luma mean through the
+            // real codec — previously PNG-framed video silently yielded
+            // no rows here
+            decodePngVideo(r.getAs[Array[Byte]](bIdx)) match {
+              case Some(frames) =>
+                frames.iterator.zipWithIndex.map { case (img, f) =>
+                  val luma = lumaPixels(img)
+                  Row(r.getLong(idIdx), f,
+                    if (luma.isEmpty) 0.0 else luma.sum / luma.length)
+                }
+              case None => Iterator.empty
+            }
+        }
+      }
+    }
+  }
+
+  /** [[resizeHalf]] for PNG-FRAMED VIDEO (`GPNV`): every frame decodes
+    * through the real codec, area-averages 2×2, and re-encodes; the
+    * container re-wraps the resized frames and meta dims halve. Other
+    * containers/formats pass through untouched. */
+  def resizeHalfVideo(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    val mIdx = media.schema.fieldIndex("meta")
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(mediaSchema)
+    media.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        val meta = r.getStruct(mIdx)
+        decodePngVideo(bytes) match {
+          case Some(frames) if frames.nonEmpty &&
+              frames.head.getWidth >= 2 && frames.head.getHeight >= 2 =>
+            val resized = frames.map { img =>
+              val w = img.getWidth; val w2 = w / 2; val h2 = img.getHeight / 2
+              val luma = lumaPixels(img)
+              val out = new java.awt.image.BufferedImage(
+                w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h2) {
+                var x = 0
+                while (x < w2) {
+                  val m = (luma(2 * y * w + 2 * x) +
+                    luma(2 * y * w + 2 * x + 1) +
+                    luma((2 * y + 1) * w + 2 * x) +
+                    luma((2 * y + 1) * w + 2 * x + 1)) / 4.0
+                  val v = math.min(255L, Math.round(m)).toInt
+                  out.setRGB(x, y, v * 0x010101)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.setUseCache(false)
+              javax.imageio.ImageIO.write(out, "png", bos)
+              bos.toByteArray
+            }
+            Row(r.getLong(idIdx), encodePngVideo(resized),
+              Row(meta.getString(0), frames.head.getWidth / 2,
+                frames.head.getHeight / 2, meta.getInt(3)))
+          case _ => Row(r.getLong(idIdx), bytes, meta)
         }
       }
     }
