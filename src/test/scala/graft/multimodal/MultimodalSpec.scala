@@ -78,6 +78,33 @@ class MultimodalSpec extends SparkSpec {
     orig.foreach { case (id, b) => assert(thr(id).sameElements(b)) }
   }
 
+  test("resizeHalfVideo: per-frame area-average, container re-wrapped") {
+    // two 4×4 frames with distinct known blocks
+    def frame(base: Int) = {
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 4)
+        img.setRGB(x, y, (base + 10 * (y / 2) + 20 * (x / 2)) * 0x010101)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val blob = MultimodalOps.encodePngVideo(Seq(frame(40), frame(100)))
+    val df = Seq((9L, blob, ("video/x-graft-png", 4, 4, 2)))
+      .toDF("media_id", "bytes", "m")
+      .select(col("media_id"), col("bytes"),
+        struct(col("m._1").as("format"), col("m._2").as("width"),
+          col("m._3").as("height"), col("m._4").as("n_frames")).as("meta"))
+    val out = MultimodalOps.resizeHalfVideo(df).collect()(0)
+    assert(out.getStruct(2).getAs[Int]("width") == 2 &&
+      out.getStruct(2).getAs[Int]("n_frames") == 2)
+    val frames = MultimodalOps.decodePngVideo(out.getAs[Array[Byte]](1)).get
+    assert(frames.length == 2)
+    // uniform 2×2 blocks → resized pixel == block value exactly
+    for ((f, base) <- frames.zip(Seq(40, 100)); y <- 0 until 2; x <- 0 until 2)
+      assert((f.getRGB(x, y) & 0xff) == base + 10 * y + 20 * x)
+  }
+
   /** Encode a pixel matrix as real image bytes (PNG/BMP are lossless, so
     * the decode side is exact and the oracle closed-form). */
   def imageBytes(pixels: Array[Array[Int]], format: String): Array[Byte] = {
