@@ -172,6 +172,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("hier cell assignment: Column path == driver twin on random data") {
+    // the invariant every hier oracle leans on: the distributed two-level
+    // argmin (matrix-literal HOF columns) must agree with the model's
+    // driver-side nearestCell for ALL vectors, including ones far from
+    // any sample point and at ragged (short-children) supers
+    import org.apache.spark.sql.functions._
+    for (seed <- Seq(11, 23, 31)) {
+      val rng = new scala.util.Random(seed)
+      val sample = Array.fill(60)(Array.fill(6)(rng.nextGaussian() * 2))
+      val model = VectorOps.hierKmeans(sample, k1 = 5, k2 = 3)
+      val probe = Array.fill(200)(Array.fill(6)(rng.nextGaussian() * 3))
+      val df = probe.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq.toDF("v_id", "vn")
+      val got = VectorOps.assignHierCells(df, "vn", model)
+        .select("v_id", "scid", "ccid", "cid").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3)))
+        .toMap
+      probe.zipWithIndex.foreach { case (v, i) =>
+        val hm = VectorOps.IvfPqHierModel(model,
+          Array(Array(Array.empty[Double])))
+        val (sc, cc) = hm.nearestCell(v)
+        assert(got(i.toLong) == ((sc, cc, sc * model.stride + cc)),
+          s"seed $seed vector $i: column ${got(i.toLong)} != driver ($sc, $cc)")
+      }
+    }
+  }
+
   test("medfilt detrend: interior of a constant series detrends to the impute") {
     for (impute <- Seq(None, Some(0.5))) {
       val df = (0 until 40).map(i => ("s", i.toDouble, 3.0)).toDF("s", "ts", "v")
