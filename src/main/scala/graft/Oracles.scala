@@ -2168,7 +2168,7 @@ object Oracles {
     // nearest-each-side replay (argmin-first tie-break, j2 precedent) +
     // three-timestamp dispersion gate
     "j3_binocular_triple" ->
-      """WITH refs AS (SELECT event_id, user_id, epoch(ts) AS t FROM events
+      s"""WITH refs AS (SELECT event_id, user_id, epoch(ts) AS t FROM events
         |  WHERE event_type = 'click'),
         |pa AS (SELECT event_id AS a_id, user_id, epoch(ts) AS rt FROM events
         |  WHERE event_type = 'purchase'),
@@ -2185,7 +2185,7 @@ object Oracles {
         |SELECT event_id, a_id, b_id,
         |  greatest(t, at, bt) - least(t, at, bt) AS dispersion
         |FROM jb
-        |WHERE greatest(t, at, bt) - least(t, at, bt) < 14400.0""".stripMargin,
+        |WHERE greatest(t, at, bt) - least(t, at, bt) < ${d(graft.Queries.j3DispersionGate)}""".stripMargin,
 
     // closed-form replay of the predict/refresh schedule: full-frame scans
     // at frame 0 of each 37-frame teleport block (ROI miss → fallback) and

@@ -162,4 +162,49 @@ object AnnIndexIO {
             org.apache.spark.sql.functions.col("vn"))),
       queryPred, k, probeSupers, nprobe, rerank)
   }
+
+  // ------------------------------------- arity-dispatched default entry
+
+  /** Arity-dispatched build — the DEFAULT index entry point: FLAT coarse
+    * quantizer below `hierThreshold` cells (bit-identical to [[build]]),
+    * TWO-LEVEL (k1 = k2 = ⌈√nCells⌉, [[VectorOps.hierArity]]) at or
+    * above it, where the flat per-row assignment cost O(nCells·dim)
+    * stops being defensible. Both paths persist the same
+    * `quantizer/` + cell-partitioned `index/` layout; the quantizer's
+    * `kind` rows record which was fitted, so [[searchAuto]] needs no
+    * caller-side flag. Returns whether anything was built (false only on
+    * an empty corpus). */
+  def buildAuto(vecs: DataFrame, idCol: String, vecCol: String, path: String,
+                nCells: Int = 16, m: Int = 8, codebookK: Int = 16,
+                sampleN: Int = 10000,
+                hierThreshold: Int = VectorOps.HierCellThreshold): Boolean =
+    if (nCells < hierThreshold)
+      build(vecs, idCol, vecCol, path, nCells, m, codebookK, sampleN).nonEmpty
+    else {
+      val k12 = VectorOps.hierArity(nCells)
+      buildHier(vecs, idCol, vecCol, path, k12, k12, m, codebookK,
+        sampleN).nonEmpty
+    }
+
+  /** Search a [[buildAuto]]-built index: dispatches on the persisted
+    * quantizer kind ('super' rows ⇒ hier, probed `probeSupers` supers
+    * wide; else flat, where `probeSupers` is ignored). Bit-identical to
+    * the matching explicit search either way. */
+  def searchAuto(spark: SparkSession, path: String, corpus: DataFrame,
+                 idCol: String, vecCol: String, queryPred: Column, k: Int,
+                 nprobe: Int = 4, rerank: Int = 10,
+                 probeSupers: Int = 4): DataFrame = {
+    val qdf = spark.read.parquet(s"$path/quantizer")
+    val isHier = qdf.filter(col("kind") === "super").limit(1).count() > 0
+    val index = spark.read.parquet(s"$path/index")
+    if (isHier)
+      VectorOps.ivfPqSearchHierNormalized(hierModelFromDF(qdf), index,
+        graft.CacheRegistry.persistTracked(
+          VectorOps.normalized(corpus, idCol, vecCol)
+            .select(col(idCol).as("v_id"), col("vn"))),
+        queryPred, k, probeSupers, nprobe, rerank)
+    else
+      VectorOps.ivfPqSearch(modelFromDF(qdf), index, corpus, idCol, vecCol,
+        queryPred, k, nprobe, rerank)
+  }
 }

@@ -176,9 +176,16 @@ object LabelingOps {
     * every keypoint array (the sample-collect form moves O(rows·points)
     * to the driver — 76 MB at sf0.1 for the keypoint query, unbounded at
     * 100 TB). Per-row folds are HOF aggregates (fixed within-row order);
-    * cross-row sum order is Spark's — for integer-valued coordinates the
-    * first pass is FP-exact and the deviation pass agrees with any order
-    * to ~1e-12, far inside the round-6 oracle quantum. */
+    * cross-row sum order is Spark's.
+    *
+    * PRECONDITION (determinism contract): cross-partition summation order
+    * is nondeterministic, so the fitted (mx, my, θ) can drift by ~1e-12
+    * between runs. Callers that hash or exactly compare the aligned
+    * output must either (a) feed integer-valued coordinates (the first
+    * pass is then FP-exact) and round the output coarsely enough that a
+    * 1e-12 moment drift cannot cross a rounding boundary (≥ ~1e-7 slack
+    * at round-6), or (b) accept run-to-run last-ulp variation. Use
+    * [[pcaAlign]] (deterministic driver-side sample) when neither holds. */
   def pcaAlignDistributed(df: DataFrame, xsCol: String,
                           ysCol: String): DataFrame = {
     val xs = col(xsCol); val ys = col(ysCol)

@@ -520,6 +520,23 @@ object VectorOps {
 
   // ---------------------------------------- hierarchical IVF-PQ (IMI)
 
+  /** Coarse-cell count above which the index tier defaults to the
+    * TWO-LEVEL quantizer: the flat per-row assignment costs
+    * O(nCells·dim) distance kernels — fine at 10²-10³ cells, the wrong
+    * default at the 10⁴-10⁵ cells a 10⁹-row corpus wants — while the
+    * two-level form costs O(2·√nCells·dim) for the same effective cell
+    * count. 1024 ≈ where the flat assignment's per-row work (65k mults
+    * at dim 64) starts dominating the scan; both forms share the same
+    * `(v_id, cid, codes)` index layout so the switch is invisible to
+    * the search tier ([[AnnIndexIO.searchAuto]] dispatches on the
+    * persisted quantizer kind). */
+  val HierCellThreshold: Int = 1024
+
+  /** The two-level arity for a requested flat cell count:
+    * k1 = k2 = ⌈√nCells⌉ (nominal k1·k2 ≥ nCells). */
+  def hierArity(nCells: Int): Int =
+    math.ceil(math.sqrt(nCells.toDouble)).toInt
+
   /** Two-level IVF-PQ: the [[hierKmeans]] coarse quantizer composed with
     * residual product quantization — the inverted-multi-index shape that
     * carries the ANN tier to 10⁴–10⁵ cells: assignment and probing cost

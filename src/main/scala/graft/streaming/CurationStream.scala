@@ -45,9 +45,13 @@ object CurationStream {
   def dedupExactStream(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
     val outSchema = docs.schema
-    val keyed = docs.withColumn("_key", md5(col(textCol).cast("binary")))
-    val kIdx = keyed.schema.fieldIndex("_key")
+    val key = freshKeyName(docs)
+    val keyed = docs.withColumn(key, md5(col(textCol).cast("binary")))
+    val kIdx = keyed.schema.fieldIndex(key)
     val idIdx = keyed.schema.fieldIndex(idCol)
+    // project the output by the ORIGINAL schema's field positions, not a
+    // positional tail-drop — robust to any future internal-column layout
+    val outIdx = outSchema.fieldNames.map(keyed.schema.fieldIndex)
     implicit val outEnc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(outSchema)
     implicit val boolEnc: org.apache.spark.sql.Encoder[Boolean] =
@@ -59,9 +63,19 @@ object CurationStream {
           else {
             state.update(true)
             val first = it.minBy(_.getLong(idIdx))
-            Iterator(Row.fromSeq(first.toSeq.dropRight(1)))
+            Iterator(Row.fromSeq(outIdx.toSeq.map(first.get)))
           }
         })
+  }
+
+  /** A collision-safe internal key-column name: `__graft_dedup_key`,
+    * suffixed until it is fresh in `docs` — a caller column of the same
+    * name can never be replaced-in-place and then stripped (the r7
+    * advisory's silent-corruption path). */
+  private def freshKeyName(docs: DataFrame): String = {
+    var k = "__graft_dedup_key"
+    while (docs.columns.contains(k)) k += "_"
+    k
   }
 
   /** TTL-bounded exact dedup for an UNBOUNDED ingest — the production
@@ -86,11 +100,17 @@ object CurationStream {
                           tsCol: String, ttlMs: Long,
                           watermarkDelay: String = "0 seconds"): DataFrame = {
     val outSchema = docs.schema
-    val keyed = docs.withWatermark(tsCol, watermarkDelay)
-      .withColumn("_key", md5(col(textCol).cast("binary")))
-    val kIdx = keyed.schema.fieldIndex("_key")
+    val key = freshKeyName(docs)
+    // a null event time has no place on the TTL horizon (and would NPE the
+    // state-timeout math); watermark semantics drop such rows anyway, so
+    // the explicit filter just makes the contract visible in the plan
+    val keyed = docs.filter(col(tsCol).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .withColumn(key, md5(col(textCol).cast("binary")))
+    val kIdx = keyed.schema.fieldIndex(key)
     val idIdx = keyed.schema.fieldIndex(idCol)
     val tsIdx = keyed.schema.fieldIndex(tsCol)
+    val outIdx = outSchema.fieldNames.map(keyed.schema.fieldIndex)
     implicit val outEnc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(outSchema)
     implicit val boolEnc: org.apache.spark.sql.Encoder[Boolean] =
@@ -108,7 +128,7 @@ object CurationStream {
               else {
                 state.update(true)
                 val first = rows.minBy(_.getLong(idIdx))
-                Iterator(Row.fromSeq(first.toSeq.dropRight(1)))
+                Iterator(Row.fromSeq(outIdx.toSeq.map(first.get)))
               }
             // every sighting refreshes the eviction horizon; rows passed
             // the watermark filter, so maxTs + ttl is always ahead of it

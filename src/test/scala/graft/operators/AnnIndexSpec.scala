@@ -90,6 +90,50 @@ class AnnIndexSpec extends SparkSpec {
     assert(viaIndex.nonEmpty && viaIndex == inline)
   }
 
+  test("arity dispatch: flat below the cell threshold, hier at/above it") {
+    val qp = col("v_id") < 10
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("sim"))))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    // BELOW: buildAuto(8 cells) must be the flat path, bit-identical to
+    // the explicit build/search
+    val flatDir = tmpDir("auto_flat")
+    assert(AnnIndexIO.buildAuto(vecs, "vec_id", "embedding", flatDir,
+      nCells = 8))
+    val flatQ = spark.read.parquet(s"$flatDir/quantizer")
+    assert(flatQ.filter(col("kind") === "super").isEmpty,
+      "below-threshold build fitted a hier quantizer")
+    val viaAuto = rows(AnnIndexIO.searchAuto(spark, flatDir, vecs, "vec_id",
+      "embedding", qp, k = 3, nprobe = 3))
+    graft.CacheRegistry.releaseAll()
+    val viaFlat = rows(AnnIndexIO.search(spark, flatDir, vecs, "vec_id",
+      "embedding", qp, k = 3, nprobe = 3))
+    graft.CacheRegistry.releaseAll()
+    assert(viaAuto.nonEmpty && viaAuto == viaFlat)
+
+    // AT/ABOVE: a lowered threshold flips the same request to the
+    // two-level quantizer with k1 = k2 = ceil(sqrt(nCells)), bit-identical
+    // to the explicit hier search at that arity
+    assert(VectorOps.hierArity(9) == 3 && VectorOps.hierArity(10000) == 100)
+    val hierDir = tmpDir("auto_hier")
+    assert(AnnIndexIO.buildAuto(vecs, "vec_id", "embedding", hierDir,
+      nCells = 9, hierThreshold = 9))
+    graft.CacheRegistry.releaseAll()
+    val hierQ = spark.read.parquet(s"$hierDir/quantizer")
+    assert(!hierQ.filter(col("kind") === "super").isEmpty,
+      "at-threshold build did not fit the hier quantizer")
+    val viaAutoH = rows(AnnIndexIO.searchAuto(spark, hierDir, vecs, "vec_id",
+      "embedding", qp, k = 3, nprobe = 4, probeSupers = 2))
+    graft.CacheRegistry.releaseAll()
+    val inlineH = rows(VectorOps.ivfPqHierTopK(vecs, "vec_id", "embedding",
+      qp, k = 3, k1 = 3, k2 = 3, probeSupers = 2, nprobe = 4))
+    graft.CacheRegistry.releaseAll()
+    assert(viaAutoH.nonEmpty && viaAutoH == inlineH)
+  }
+
   test("streaming ingest encode == batch encode, any micro-batch split") {
     val model = VectorOps.ivfPqTrain(vecs, "vec_id", "embedding",
       nCells = 8).get

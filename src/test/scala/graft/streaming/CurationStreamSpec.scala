@@ -142,6 +142,23 @@ class CurationStreamSpec extends SparkSpec {
     assert(runTtl(batches, ttlMs = 30000) == Seq(1L, 2L, 4L, 5L, 6L))
   }
 
+  test("dedup is collision-safe: a caller __graft_dedup_key column survives") {
+    val df = docs.take(4).toDF()
+      .withColumn("__graft_dedup_key", concat(lit("keep"), col("doc_id")))
+    val out = CurationStream.dedupExactStream(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    // the caller's column came through untouched (not replaced by the md5)
+    assert(out.map(_.getAs[String]("__graft_dedup_key")).toSeq ==
+      Seq("keep1", "keep2", "keep4"))
+  }
+
+  test("TTL dedup drops null-event-time rows instead of NPEing") {
+    val batches = Seq(Seq(tsDoc(1, "text aaa", 0),
+      CurTsDoc(2, "text bbb", null)))
+    assert(runTtl(batches, ttlMs = 30000) == Seq(1L))
+  }
+
   test("TTL dedup: with TTL >= feed span it equals the unbounded form") {
     val batches = Seq(
       Seq(tsDoc(1, "text aaa", 0), tsDoc(2, "text bbb", 5)),
