@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1393,10 +1395,15 @@ object Queries {
   def timestampScan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_npy").toString
-    val ts = ev(s, dir).orderBy(col("t"), col("event_id"))
-      .select(col("t")).collect().map(_.getDouble(0))
+    // BOUNDED fixture write (r7 verdict #4): the sorted clock streams out
+    // through toLocalIterator (one partition resident at a time) into the
+    // buffered npy writer — driver memory stays flat in sf, vs. the old
+    // full-collect whose Row array grew with the table
+    val sorted = ev(s, dir).orderBy(col("t"), col("event_id")).select(col("t"))
+    val n = sorted.count()
     val path = s"$tmp/world_timestamps.npy"
-    PldataSource.writeNpyDoubles(path, ts)
+    PldataSource.writeNpyDoublesStream(path, n,
+      sorted.toLocalIterator().asScala.map(_.getDouble(0)))
     PldataSource.readNpyDoubles(path).zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toSeq
       .toDF("frame_index", "timestamp")
@@ -1409,19 +1416,27 @@ object Queries {
     * the CSV parser reads it back to the same bits. */
   def gazeCsvScan(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val exportDir = java.nio.file.Paths.get(tmp, "exports", "111")
+    java.nio.file.Files.createDirectories(exportDir)
+    // BOUNDED fixture write (r7 verdict #4): rows stream to the file
+    // through toLocalIterator + a buffered writer — no full collect, no
+    // whole-file StringBuilder; driver memory stays flat in sf
     val rows = ev(s, dir).orderBy(col("event_id")).select(
       col("t").as("gaze_timestamp"), (col("value") / 500.0).as("norm_pos_x"),
       ((col("user_id") % 20) / 20.0).as("norm_pos_y"),
-      (col("value") / 1000.0).as("confidence")).collect()
-    val sb = new StringBuilder("gaze_timestamp,norm_pos_x,norm_pos_y,confidence\n")
-    rows.foreach { r =>
-      sb.append(r.getDouble(0)).append(',').append(r.getDouble(1)).append(',')
-        .append(r.getDouble(2)).append(',').append(r.getDouble(3)).append('\n')
-    }
-    val exportDir = java.nio.file.Paths.get(tmp, "exports", "111")
-    java.nio.file.Files.createDirectories(exportDir)
-    java.nio.file.Files.write(exportDir.resolve("gaze_positions.csv"),
-      sb.toString.getBytes("UTF-8"))
+      (col("value") / 1000.0).as("confidence"))
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      java.nio.file.Files.newOutputStream(
+        exportDir.resolve("gaze_positions.csv")), "UTF-8"), 64 * 1024)
+    try {
+      w.write("gaze_timestamp,norm_pos_x,norm_pos_y,confidence\n")
+      rows.toLocalIterator().asScala.foreach { r =>
+        w.write(r.getDouble(0).toString); w.write(",")
+        w.write(r.getDouble(1).toString); w.write(",")
+        w.write(r.getDouble(2).toString); w.write(",")
+        w.write(r.getDouble(3).toString); w.write("\n")
+      }
+    } finally w.close()
     PldataSource.readGazeCsv(s, tmp, 1)
       .select(col("timestamp"), element_at(col("norm_pos"), 1).as("nx"),
         element_at(col("norm_pos"), 2).as("ny"), col("confidence"))
@@ -1794,16 +1809,19 @@ object Queries {
   }
 
   /** VIDEO resize attested per frame: drifting-pupil GPNV containers →
-    * [[graft.multimodal.MultimodalOps.resizeHalfVideo]] (every frame
-    * decode → 2×2 area-average → re-encode) → per-frame luminance
-    * through a second decode. Same planted-grid replay as
-    * `mm_resize_luminance`, keyed by (media, frame) with the per-frame
-    * drifted ellipse center. */
+    * the FUSED [[graft.multimodal.MultimodalOps.resizeHalfVideoLuminance]]
+    * (per frame: decode → 2×2 area-average → mean luma of the resized
+    * plane, one codec pass — bit-identical to the two-operator
+    * resizeHalfVideo → videoFrameLuminance composition, which pays a
+    * re-encode + re-decode per frame for an artifact this lineage never
+    * persists; MultimodalSpec pins the parity, the oracle is unchanged).
+    * Same planted-grid replay as `mm_resize_luminance`, keyed by
+    * (media, frame) with the per-frame drifted ellipse center. */
   def mmVideoResize(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.{MultimodalOps, VisionFixtures}
     val media = VisionFixtures.plantMedia(
       Tables.documents(s, dir), "doc_id", "video_png")
-    MultimodalOps.videoFrameLuminance(MultimodalOps.resizeHalfVideo(media))
+    MultimodalOps.resizeHalfVideoLuminance(media)
       .select(col("media_id"), col("frame_index"),
         (round(col("luminance"), 6) + 0.0).as("mean_gray"))
   }

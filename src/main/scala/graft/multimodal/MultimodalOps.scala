@@ -318,19 +318,14 @@ object MultimodalOps {
               frames.head.getWidth >= 2 && frames.head.getHeight >= 2 =>
             val resized = frames.map { img =>
               val w = img.getWidth; val w2 = w / 2; val h2 = img.getHeight / 2
-              val luma = lumaPixels(img)
+              val plane = resizePlane(lumaPixels(img), w, w2, h2)
               val out = new java.awt.image.BufferedImage(
                 w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
               var y = 0
               while (y < h2) {
                 var x = 0
                 while (x < w2) {
-                  val m = (luma(2 * y * w + 2 * x) +
-                    luma(2 * y * w + 2 * x + 1) +
-                    luma((2 * y + 1) * w + 2 * x) +
-                    luma((2 * y + 1) * w + 2 * x + 1)) / 4.0
-                  val v = math.min(255L, Math.round(m)).toInt
-                  out.setRGB(x, y, v * 0x010101)
+                  out.setRGB(x, y, plane(y * w2 + x) * 0x010101)
                   x += 1
                 }
                 y += 1
@@ -344,6 +339,101 @@ object MultimodalOps {
               Row(meta.getString(0), frames.head.getWidth / 2,
                 frames.head.getHeight / 2, meta.getInt(3)))
           case _ => Row(r.getLong(idIdx), bytes, meta)
+        }
+      }
+    }
+  }
+
+  /** The shared per-frame 2×2 area-average kernel: luma plane → resized
+    * 8-bit gray values, row-major, with the [[resizeHalf]] rounding rule
+    * (block mean is exact in doubles, `Math.round` half-up back to 8-bit).
+    * Both the artifact-producing resize (which re-encodes these values as
+    * PNG) and the fused resize→consume path read it, so the two cannot
+    * drift. */
+  private def resizePlane(luma: Array[Double], w: Int,
+                          w2: Int, h2: Int): Array[Int] = {
+    val out = new Array[Int](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        val m = (luma(2 * y * w + 2 * x) +
+          luma(2 * y * w + 2 * x + 1) +
+          luma((2 * y + 1) * w + 2 * x) +
+          luma((2 * y + 1) * w + 2 * x + 1)) / 4.0
+        out(y * w2 + x) = math.min(255L, Math.round(m)).toInt
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** FUSED resize→luminance for PNG-framed video: [[resizeHalfVideo]]
+    * composed with [[videoFrameLuminance]] in ONE mapPartitions pass —
+    * per frame: real PNG decode → 2×2 area-average → mean luma of the
+    * RESIZED plane, skipping the re-encode + re-decode the two-operator
+    * composition pays when the resized artifact is also consumed in the
+    * same lineage (the r7 verdict's double-codec nit: the artifact
+    * contract costs one PNG encode + decode per frame that a fused
+    * consumer never looks at).
+    *
+    * BIT-IDENTICAL to `videoFrameLuminance(resizeHalfVideo(media))`
+    * (spec-pinned, same oracle): the PNG round-trip is lossless for the
+    * 8-bit gray planes the resize emits, and the resized pixel's luma —
+    * 0.299v + 0.587v + 0.114v for r=g=b=v — is evaluated here in the
+    * exact association order [[lumaPixels]] uses, summed in the same
+    * row-major order. Containers the resize passes through untouched
+    * (GRVD raw-gray, <2×2 frames, undecodable) take the composition's
+    * passthrough branch: per-frame luminance of the ORIGINAL frames.
+    * Use [[resizeHalfVideo]] when the resized artifact itself must be
+    * persisted. */
+  def resizeHalfVideoLuminance(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_index", IntegerType),
+      StructField("luminance", DoubleType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    // the re-decoded gray pixel (v, v, v) through lumaPixels' exact rule
+    def grayLuma(v: Int): Double = 0.299 * v + 0.587 * v + 0.114 * v
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        val id = r.getLong(idIdx)
+        decodePngVideo(bytes) match {
+          case Some(frames) if frames.nonEmpty &&
+              frames.head.getWidth >= 2 && frames.head.getHeight >= 2 =>
+            frames.iterator.zipWithIndex.map { case (img, f) =>
+              val w = img.getWidth
+              val w2 = w / 2; val h2 = img.getHeight / 2
+              val plane = resizePlane(lumaPixels(img), w, w2, h2)
+              var s = 0.0; var i = 0
+              while (i < plane.length) { s += grayLuma(plane(i)); i += 1 }
+              Row(id, f, if (plane.isEmpty) 0.0 else s / plane.length)
+            }
+          case Some(frames) =>
+            // resize passthrough (tiny/empty frames): luminance of the
+            // ORIGINAL decoded frames, matching the composition
+            frames.iterator.zipWithIndex.map { case (img, f) =>
+              val luma = lumaPixels(img)
+              Row(id, f, if (luma.isEmpty) 0.0 else luma.sum / luma.length)
+            }
+          case None =>
+            // non-GPNV media pass the resize untouched; GRVD raw-gray then
+            // takes videoFrameLuminance's integer-mean branch
+            decodeRawVideo(bytes) match {
+              case Some(v) =>
+                v.frames.iterator.zipWithIndex.map { case (plane, f) =>
+                  var s = 0L; var i = 0
+                  while (i < plane.length) { s += (plane(i) & 0xff); i += 1 }
+                  Row(id, f,
+                    if (plane.isEmpty) 0.0 else s.toDouble / plane.length)
+                }
+              case None => Iterator.empty
+            }
         }
       }
     }
@@ -400,20 +490,14 @@ object MultimodalOps {
             val w2 = img.getWidth / 2; val h2 = img.getHeight / 2
             if (w2 == 0 || h2 == 0) None
             else {
-              val luma = lumaPixels(img)
-              val w = img.getWidth
+              val plane = resizePlane(lumaPixels(img), img.getWidth, w2, h2)
               val out = new java.awt.image.BufferedImage(
                 w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
               var y = 0
               while (y < h2) {
                 var x = 0
                 while (x < w2) {
-                  val m = (luma(2 * y * w + 2 * x) +
-                    luma(2 * y * w + 2 * x + 1) +
-                    luma((2 * y + 1) * w + 2 * x) +
-                    luma((2 * y + 1) * w + 2 * x + 1)) / 4.0
-                  val v = math.min(255L, Math.round(m)).toInt
-                  out.setRGB(x, y, v * 0x010101)
+                  out.setRGB(x, y, plane(y * w2 + x) * 0x010101)
                   x += 1
                 }
                 y += 1

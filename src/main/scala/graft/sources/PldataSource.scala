@@ -31,16 +31,37 @@ object PldataSource {
   }
 
   /** Minimal .npy v1 writer (float64 1-D). */
-  def writeNpyDoubles(path: String, values: Array[Double]): Unit = {
-    val dict = s"{'descr': '<f8', 'fortran_order': False, 'shape': (${values.length},), }"
+  def writeNpyDoubles(path: String, values: Array[Double]): Unit =
+    writeNpyDoublesStream(path, values.length.toLong, values.iterator)
+
+  /** Streaming .npy v1 writer: `n` values drawn from `it` through a
+    * fixed 64 KB buffer — the fixture-write form for driver-side exports
+    * fed by `toLocalIterator` (one partition resident at a time) instead
+    * of a full `collect`, so driver memory stays FLAT in the table size
+    * (the npy shape header needs the count up front; a Spark `count()`
+    * is one cheap aggregate next to materializing the rows). */
+  def writeNpyDoublesStream(path: String, n: Long,
+                            it: Iterator[Double]): Unit = {
+    val dict = s"{'descr': '<f8', 'fortran_order': False, 'shape': ($n,), }"
     val pad = 64 - ((10 + dict.length + 1) % 64)
     val header = dict + (" " * pad) + "\n"
-    val buf = ByteBuffer.allocate(10 + header.length + values.length * 8)
-      .order(ByteOrder.LITTLE_ENDIAN)
-    buf.put(0x93.toByte).put("NUMPY".getBytes("ASCII")).put(1.toByte).put(0.toByte)
-      .putShort(header.length.toShort).put(header.getBytes("ASCII"))
-    values.foreach(buf.putDouble)
-    Files.write(Paths.get(path), buf.array())
+    val out = new java.io.BufferedOutputStream(
+      Files.newOutputStream(Paths.get(path)), 64 * 1024)
+    try {
+      val hb = ByteBuffer.allocate(10 + header.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      hb.put(0x93.toByte).put("NUMPY".getBytes("ASCII"))
+        .put(1.toByte).put(0.toByte)
+        .putShort(header.length.toShort).put(header.getBytes("ASCII"))
+      out.write(hb.array())
+      val vb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      var written = 0L
+      while (it.hasNext) {
+        vb.clear(); vb.putDouble(it.next())
+        out.write(vb.array()); written += 1
+      }
+      require(written == n, s"npy writer: declared $n values, got $written")
+    } finally out.close()
   }
 
   /** Decode one pldata byte stream into (topic, payload-map) pairs. */

@@ -105,6 +105,44 @@ class MultimodalSpec extends SparkSpec {
       assert((f.getRGB(x, y) & 0xff) == base + 10 * y + 20 * x)
   }
 
+  test("fused resizeHalfVideoLuminance == resizeHalfVideo → videoFrameLuminance, bit-for-bit") {
+    // realistic non-uniform frames (PNG-framed), a GRVD raw-gray row, and
+    // a too-small-to-resize GPNV row — every branch of the composition
+    def frame(seed: Int) = {
+      val img = new java.awt.image.BufferedImage(
+        6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 6)
+        img.setRGB(x, y, ((seed + 37 * x + 91 * y + x * y * 13) % 256) * 0x010101)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def tiny = {
+      val img = new java.awt.image.BufferedImage(
+        1, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 200 * 0x010101)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = asMedia(Seq(
+      (1L, MultimodalOps.encodePngVideo(Seq(frame(5), frame(120), frame(201))),
+        ("video/x-graft-png", 6, 4, 3)),
+      (2L, MultimodalOps.encodeRawVideo(2, 2,
+        Seq(Array[Byte](10, 20, 30, 40), Array[Byte](-1, 0, 5, 9))),
+        ("video/x-graft-raw", 2, 2, 2)),
+      (3L, MultimodalOps.encodePngVideo(Seq(tiny)),
+        ("video/x-graft-png", 1, 1, 1))))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))
+    val composed = MultimodalOps.videoFrameLuminance(
+      MultimodalOps.resizeHalfVideo(media)).collect().map(key).sorted.toSeq
+    val fused = MultimodalOps.resizeHalfVideoLuminance(media)
+      .collect().map(key).sorted.toSeq
+    assert(composed.nonEmpty && fused == composed)
+  }
+
   /** Encode a pixel matrix as real image bytes (PNG/BMP are lossless, so
     * the decode side is exact and the oracle closed-form). */
   def imageBytes(pixels: Array[Array[Int]], format: String): Array[Byte] = {
