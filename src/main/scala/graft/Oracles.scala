@@ -1181,6 +1181,18 @@ object Oracles {
       """SELECT count(*) AS n_gaze, true AS planted_ok,
         |  true AS err_weighted_ok FROM events""".stripMargin,
 
+    // binocular end-to-end: merge schedule counts are CLOSED-FORM under
+    // the planted timing (eye gap 0.002 s < the constant 1/60 s pairing
+    // cutoff < the >=1 s inter-event gap, queues never reach length 2 so
+    // the EMA never moves): one binocular pair per event, each leftover
+    // eye1 point drains monocularly at the next event, the last never
+    // drains — n_bino = N, n_gaze = 2N-1. planted_ok/err_weighted_ok:
+    // Spark measures the fitted n=13/n=7 maps against the planted
+    // forward affines; the oracle knows the answer (true).
+    "m9_binocular" ->
+      """SELECT 2 * count(*) - 1 AS n_gaze, count(*) AS n_bino,
+        |  true AS planted_ok, true AS err_weighted_ok FROM events""".stripMargin,
+
     // per-session counts; sessions below SessionCalibrator's
     // 4-reduced-cluster fit gate drop on both sides (none do at the
     // shipped scale factors — min 21 distinct clusters per session)

@@ -521,6 +521,98 @@ object Queries {
           .as("planted_ok"))
   }
 
+  /** Forward affine planted into the EYE1 stream of `m9_binocular`
+    * (eye0 reuses [[m9Affine]]): A1(px, py) = (0.7·px + 0.12,
+    * 0.85·py + 0.05). */
+  private def m9bAffine1(px: Column, py: Column): (Column, Column) =
+    (px * 0.7 + 0.12, py * 0.85 + 0.05)
+
+  /** M9 BINOCULAR end-to-end (r7 verdict #5) — the composition the
+    * reference runs across gaze_mappers.py:38-66 + calibration.py:516-536
+    * and no previous round attested as ONE lineage:
+    * W10 merge ([[graft.streaming.BinocularMerge.mergeBatch]]) →
+    * binocular calibration ([[graft.model.Calibrator.fitBinocular]]: J3
+    * triple-match, n=13 joint fit + n=7 per-eye fallbacks, two-pass
+    * robust cut) → model apply on the merged stream
+    * ([[graft.streaming.BinocularMerge.applyModels]]: binocular rows take
+    * the 4-input map, monocular rows their eye's fallback) → ErrorMap.
+    *
+    * PLANTED two-eye construction: markers on the m9 5×5 grid; eye0 =
+    * [[m9Affine]]⁻¹(marker) + jitter at t+0.002; eye1 =
+    * [[m9bAffine1]]⁻¹(marker) + independent jitter at t+0.004 (the
+    * independent jitters keep the n=13 design full-rank — with exactly
+    * collinear eyes the joint fit's pseudoinverse is undefined). The
+    * merge FSM's schedule is CLOSED-FORM under this timing: the intra-
+    * event eye gap (0.002 s) sits inside the constant pairing cutoff
+    * (2·EMA = 1/60 s — queues never hold two same-eye points, so the EMA
+    * never moves off its 1/120 s init) and the inter-event gap (≥ 1 s)
+    * outside it, so each event emits one binocular pair and each
+    * leftover eye1 point drains monocularly when the next event arrives:
+    * n_bino = N, n_mono = N−1, n_gaze = 2N−1 (BinocularMergeSpec pins
+    * the schedule against the pure FSM). The analytic oracle checks the
+    * counts and that every mapped row — binocular AND fallback —
+    * reproduces its planted forward affine within [[m9Tol]], plus the
+    * weighted validation error bound, exactly the `m9_gaze_pipeline`
+    * discipline. */
+  def binocularPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.BinocularMerge
+    import s.implicits._
+    val base = m9Base(s, dir, lit("cal"))
+      .withColumn("jit1", ((col("event_id") * 7 % 11) - 5) / 1e4)
+      .withColumn("jit2", ((col("event_id") * 3 % 13) - 6) / 1e4)
+    val markers = m9Markers(base)
+    // eye0: the m9 inverse-affine pupils (jitter jit1) at t + 0.002
+    val pupils0 = base.select(
+      col("session"),
+      (col("event_id").cast("double") + 0.002).as("timestamp"),
+      (((col("mx") - 0.05) * 0.9 - (col("my") - 0.03) * 0.1 / 0.9) / 0.8
+        + col("jit1")).as("norm_x"),
+      ((col("my") - 0.03) / 0.9 - col("jit1")).as("norm_y"),
+      lit(0.95).as("confidence"))
+    // eye1: the A1 inverse (jitter jit2) at t + 0.004
+    val pupils1 = base.select(
+      col("session"),
+      (col("event_id").cast("double") + 0.004).as("timestamp"),
+      ((col("mx") - 0.12) / 0.7 + col("jit2")).as("norm_x"),
+      ((col("my") - 0.05) / 0.85 - col("jit2")).as("norm_y"),
+      lit(0.95).as("confidence"))
+    val models = Calibrator.fitBinocular(markers, pupils0, pupils1)
+      .getOrElse(throw new IllegalStateException(
+        "binocular calibration rejected all points"))
+    def asPupil(df: DataFrame, id: Int) = df.select(
+      col("session"), col("timestamp"), lit(id).as("id"),
+      col("norm_x").as("x"), col("norm_y").as("y"), col("confidence"))
+    val merged = BinocularMerge.mergeBatch(
+      asPupil(pupils0, 0).unionByName(asPupil(pupils1, 1))
+        .as[BinocularMerge.Pupil])
+    // persisted (tracked): the mapped stream feeds the planted check AND
+    // the ErrorMap histogram
+    val mapped = CacheRegistry.persistTracked(BinocularMerge.applyModels(
+      merged.toDF(), models.bino, models.eye0, models.eye1))
+    val (a0x, a0y) = m9Affine(col("x0"), col("y0"))
+    val (a1x, a1y) = m9bAffine1(col("x1"), col("y1"))
+    // binocular rows must reproduce the eye0 forward affine (both eyes
+    // derive from the same marker); monocular fallbacks their own eye's
+    val expX = when(col("binocular") || col("topic") === "gaze.2d.0.", a0x)
+      .otherwise(a1x)
+    val expY = when(col("binocular") || col("topic") === "gaze.2d.0.", a0y)
+      .otherwise(a1y)
+    val checked = mapped.withColumn("_ok",
+      abs(col("gaze_x") - expX) < m9Tol && abs(col("gaze_y") - expY) < m9Tol)
+    val summary = ErrorMap.compute(markers,
+      checked.select(col("session"), col("timestamp"),
+        col("gaze_x").as("norm_x"), col("gaze_y").as("norm_y"),
+        col("confidence")),
+      ErrorMap.Config(resolution = (60, 80), matchKeys = Seq("session"))).summary
+    checked.agg(
+        count(lit(1)).as("n_gaze"),
+        sum(when(col("binocular"), 1L).otherwise(0L)).as("n_bino"),
+        (count(lit(1)) === sum(when(col("_ok"), 1L).otherwise(0L)))
+          .as("planted_ok"))
+      .crossJoin(summary.select(
+        (col("gaze_err_weighted") < 1.0).as("err_weighted_ok")))
+  }
+
   /** W10: binocular merge over per-eye streams synthesized from events
     * (eye id = event_id % 2), batch FSM per user (rows-only check). */
   def binocularMerge(s: SparkSession, dir: String): DataFrame = {

@@ -30,6 +30,28 @@ class BinocularMergeSpec extends SparkSpec {
     bino.foreach { g => assert(g.confidence > 0.6) }
   }
 
+  test("m9_binocular planted timing: closed-form schedule N bino / N-1 mono") {
+    // the m9_binocular oracle's count law: eye gap 0.002 s < constant
+    // 1/60 s cutoff < >=1 s inter-event gap, queues never hold two
+    // same-eye points (EMA pinned at its 1/120 init) => one binocular
+    // pair per event, each leftover eye1 point drains monocularly at the
+    // next event, the last never drains
+    for (n <- Seq(1, 2, 5, 40)) {
+      val ps = (0 until n).flatMap { i =>
+        Seq(Pupil("cal", i + 0.002, 0, 0.1 * i, 0.2, 0.95),
+            Pupil("cal", i + 0.004, 1, 0.3, 0.1 * i, 0.95))
+      }
+      val out = runSeries(ps)
+      assert(out.count(_.binocular) == n, s"n=$n bino")
+      assert(out.count(!_.binocular) == n - 1, s"n=$n mono")
+      assert(out.filterNot(_.binocular).forall(_.topic == "gaze.2d.1."))
+      // binocular pairs are intra-event: both coords from the same i
+      out.filter(_.binocular).zipWithIndex.foreach { case (g, i) =>
+        assert(g.x0 == 0.1 * i && g.y1 == 0.1 * i, s"n=$n pair $i")
+      }
+    }
+  }
+
   test("far-apart eyes fall back to monocular") {
     val ps = Seq(
       Pupil("s", 0.0, 0, 0.1, 0.1, 0.9),
