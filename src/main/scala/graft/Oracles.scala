@@ -2269,6 +2269,21 @@ object Oracles {
         |  (SELECT count(DISTINCT user_id) FROM events
         |   WHERE event_type = 'click')::BIGINT""".stripMargin,
 
+    // MRI multi-run fan-out: discovery + fit + model fan-out + per-epoch
+    // error, attested through the status table — the gaze stages carry
+    // their run's closed-form pupil count (event_id % 3 split), the
+    // calibration model table and the error summary are one row each
+    "mri_pipeline" ->
+      """SELECT 'calibration' AS stage, 'Computed' AS state,
+        |  1::BIGINT AS "rows"
+        |UNION ALL SELECT 'gaze_val_1', 'Computed',
+        |  (SELECT count(*) FROM events WHERE event_id % 3 = 0)::BIGINT
+        |UNION ALL SELECT 'gaze_main_0', 'Computed',
+        |  (SELECT count(*) FROM events WHERE event_id % 3 = 1)::BIGINT
+        |UNION ALL SELECT 'gaze_main_1', 'Computed',
+        |  (SELECT count(*) FROM events WHERE event_id % 3 = 2)::BIGINT
+        |UNION ALL SELECT 'error_val_1', 'Computed', 1""".stripMargin,
+
     "m1_poly_features" ->
       """WITH p AS (SELECT event_id, value / 500.0 AS px,
         |    (user_id % 20) / 20.0 AS py FROM events)

@@ -1624,6 +1624,37 @@ object Queries {
     Pipeline.statusTable(s, second).select(col("stage"), col("state"), col("rows"))
   }
 
+  /** MRI multi-run pipeline (pipeline_mri, pipelines.py:826-1041)
+    * attested the way s7/s8 attest VedbPipeline (r7 verdict #6): the
+    * BIDS-ish layout is WRITTEN from the planted m9 construction —
+    * a fixed marker table plus four discovered run files (calibration
+    * run-0 fits, run-1 is the validation epoch, task-mri runs 0/1 are
+    * the main task; the event_id % 3 split gives each run a closed-form
+    * row count) — then [[graft.pipeline.MriPipeline.run]] discovers the
+    * runs by parsed (task, run), fits ONE calibration, fans the model
+    * table out over every validation epoch and main run, and computes
+    * the per-epoch error summary. The status table IS the oracle row:
+    * stage × state × rows, with gaze stages preserving their run's
+    * pupil count and the model/error stages each one artifact row. */
+  def mriPipelineQuery(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_mri").toString
+    val b = m9Base(s, dir, lit("cal"))
+    m9Markers(b).drop("session").coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/calibration_markers.parquet")
+    val runsDir = s"$base/sub01/ses-01/runs"
+    def writeRun(task: String, run: Int, pred: Column): Unit =
+      m9Pupils(b.filter(pred)).drop("session").coalesce(1)
+        .write.mode("overwrite")
+        .parquet(s"$runsDir/sub01_ses-01_task-${task}_run-$run.parquet")
+    writeRun("calibration", 0, lit(true))
+    writeRun("calibration", 1, col("event_id") % 3 === 0)
+    writeRun("mri", 0, col("event_id") % 3 === 1)
+    writeRun("mri", 1, col("event_id") % 3 === 2)
+    val res = pipeline.MriPipeline.run(s, base, "sub01", "01", "mri")
+    Pipeline.statusTable(s, res)
+      .select(col("stage"), col("state"), col("rows"))
+  }
+
   // --------------------------------------- planted-fit model oracles (r5)
 
   /** M1: the monomial design-matrix expansion (n=9 monocular set,
