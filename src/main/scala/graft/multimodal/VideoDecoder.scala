@@ -1,0 +1,80 @@
+package graft.multimodal
+
+import graft.multimodal.VisionOps.Gray
+
+/** Decoder-injection seam — the contract an FFI video codec implements
+  * to close the mp4 gap (pupil_detection_pl.py:94-112 decodes mp4 via
+  * OpenCV; the JVM ships no video codec and the sandbox has no ffmpeg,
+  * so the engine runs on the GRVD/GPNV stand-in containers today).
+  *
+  * The contract is exactly the shape every per-frame kernel already
+  * consumes (see `VisionOps.videoFrames`): bytes → an ITERATOR of
+  * row-major grayscale planes, `None` when the container is not this
+  * decoder's. Laziness is the scale property — a 10 GB blob's frames
+  * are decoded one at a time inside the consuming `mapPartitions` task
+  * and never materialized together; an FFI decoder should hand frames
+  * out of native memory the same way (decode-next per `next()`, free
+  * after copy).
+  *
+  * Swapping in ffmpeg/JavaCV = implementing `frames` (magic-sniff the
+  * container, wrap the native demux/decode loop, emit Rec.601 luma
+  * planes) and passing the decoder — alone or ahead of the defaults via
+  * [[VideoDecoder.Chain]] — to the video operators' `decoder` parameter
+  * (`VisionOps.detectPupilsVideo` / `detectKeypointsVideo` /
+  * `detectMarkersVideo`). No schema, partitioning, or kernel change:
+  * the full contract is documented in docs/CODEC.md.
+  */
+trait VideoDecoder extends Serializable {
+
+  /** Decode a media blob to per-frame luma planes.
+    *
+    * @return `Some(frames)` when the bytes are this decoder's container
+    *         (even if it holds zero frames); `None` to let the next
+    *         decoder in the chain sniff. Implementations must be
+    *         EXECUTOR-SAFE: serializable, no shared mutable state, and
+    *         tolerant of truncated/corrupt bytes (return `None`, never
+    *         throw). */
+  def frames(bytes: Array[Byte]): Option[Iterator[Gray]]
+}
+
+object VideoDecoder {
+
+  /** GRVD raw-gray container: the byte value IS the luma (exact
+    * integer round-trip, no colorimetric rounding). */
+  object Grvd extends VideoDecoder {
+    def frames(bytes: Array[Byte]): Option[Iterator[Gray]] =
+      MultimodalOps.decodeRawVideo(bytes).map { v =>
+        v.frames.iterator.map { plane =>
+          val px = new Array[Double](plane.length)
+          var i = 0
+          while (i < plane.length) { px(i) = (plane(i) & 0xff).toDouble; i += 1 }
+          Gray(v.w, v.h, px)
+        }
+      }
+  }
+
+  /** GPNV PNG-framed container: every frame decodes through the real
+    * `javax.imageio` codec, luma via Rec.601. */
+  object Gpnv extends VideoDecoder {
+    def frames(bytes: Array[Byte]): Option[Iterator[Gray]] =
+      MultimodalOps.decodePngVideo(bytes)
+        .map(_.iterator.map(VisionOps.grayOf))
+  }
+
+  /** First-match dispatch over a decoder list — prepend an FFI decoder
+    * to the defaults to add a container without touching the kernels. */
+  final case class Chain(decoders: Seq[VideoDecoder]) extends VideoDecoder {
+    def frames(bytes: Array[Byte]): Option[Iterator[Gray]] = {
+      val it = decoders.iterator
+      while (it.hasNext) {
+        val r = it.next().frames(bytes)
+        if (r.isDefined) return r
+      }
+      None
+    }
+  }
+
+  /** The shipped dispatch: GRVD (cheap 4-byte sniff) then GPNV — the
+    * order `VisionOps.videoFrames` has always used. */
+  val default: VideoDecoder = Chain(Seq(Grvd, Gpnv))
+}

@@ -546,27 +546,19 @@ object VisionOps {
     * rounding) and the pupil kernel runs on every frame — one output
     * row per (media, frame), the reference's find_pupils shape: frames
     * stay task-local, only detection rows survive. */
-  /** Per-blob frame fan-out, container-dispatched: GRVD raw-gray planes
-    * (byte value IS the luma) or GPNV PNG-framed video (every frame runs
-    * through the real `javax.imageio` codec). */
-  private def videoFrames(bytes: Array[Byte]): Iterator[Gray] =
-    MultimodalOps.decodeRawVideo(bytes) match {
-      case Some(v) =>
-        v.frames.iterator.map { plane =>
-          val px = new Array[Double](plane.length)
-          var i = 0
-          while (i < plane.length) { px(i) = (plane(i) & 0xff).toDouble; i += 1 }
-          Gray(v.w, v.h, px)
-        }
-      case None =>
-        MultimodalOps.decodePngVideo(bytes) match {
-          case Some(frames) => frames.iterator.map(grayOf)
-          case None => Iterator.empty
-        }
-    }
+  /** Per-blob frame fan-out through the [[VideoDecoder]] seam: the
+    * shipped default chain dispatches GRVD raw-gray planes (byte value
+    * IS the luma) then GPNV PNG-framed video (every frame through the
+    * real `javax.imageio` codec); an FFI codec (ffmpeg/JavaCV) joins by
+    * implementing the one-method trait and riding the `decoder`
+    * parameter of the video operators — see docs/CODEC.md. */
+  private def videoFrames(bytes: Array[Byte],
+                          decoder: VideoDecoder = VideoDecoder.default): Iterator[Gray] =
+    decoder.frames(bytes).getOrElse(Iterator.empty)
 
   def detectPupilsVideo(media: DataFrame, invertContrast: Boolean = false,
-                        thresh: Double = DarkThreshold): DataFrame = {
+                        thresh: Double = DarkThreshold,
+                        decoder: VideoDecoder = VideoDecoder.default): DataFrame = {
     val idIdx = media.schema.fieldIndex("media_id")
     val bIdx = media.schema.fieldIndex("bytes")
     val schema = StructType(Seq(
@@ -580,7 +572,7 @@ object VisionOps {
       org.apache.spark.sql.Encoders.row(schema)
     media.mapPartitions { it =>
       it.flatMap { r =>
-        videoFrames(r.getAs[Array[Byte]](bIdx)).zipWithIndex
+        videoFrames(r.getAs[Array[Byte]](bIdx), decoder).zipWithIndex
           .flatMap { case (g0, f) =>
             pupilEllipse(if (invertContrast) invert(g0) else g0, thresh)
               .iterator.map(p => Row(r.getLong(idIdx), f, p.n, p.cx, p.cy,
@@ -604,7 +596,8 @@ object VisionOps {
     * confidence = fraction of columns with a detection. Swapping in a
     * real DNN is a kernel substitution behind the same schema. */
   def detectKeypointsVideo(media: DataFrame,
-                           thresh: Double = DarkThreshold): DataFrame = {
+                           thresh: Double = DarkThreshold,
+                           decoder: VideoDecoder = VideoDecoder.default): DataFrame = {
     val idIdx = media.schema.fieldIndex("media_id")
     val bIdx = media.schema.fieldIndex("bytes")
     val schema = StructType(Seq(
@@ -617,7 +610,7 @@ object VisionOps {
       org.apache.spark.sql.Encoders.row(schema)
     media.mapPartitions { it =>
       it.flatMap { r =>
-        videoFrames(r.getAs[Array[Byte]](bIdx)).zipWithIndex.map {
+        videoFrames(r.getAs[Array[Byte]](bIdx), decoder).zipWithIndex.map {
           case (g, f) =>
             val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
             val tops = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -648,7 +641,8 @@ object VisionOps {
     * 0..n typed marker rows per (media, frame), frame-local index. Same
     * container dispatch as [[detectPupilsVideo]]. */
   def detectMarkersVideo(media: DataFrame, invertContrast: Boolean = false,
-                         thresh: Double = DarkThreshold): DataFrame = {
+                         thresh: Double = DarkThreshold,
+                         decoder: VideoDecoder = VideoDecoder.default): DataFrame = {
     val idIdx = media.schema.fieldIndex("media_id")
     val bIdx = media.schema.fieldIndex("bytes")
     val schema = StructType(Seq(
@@ -664,7 +658,7 @@ object VisionOps {
       org.apache.spark.sql.Encoders.row(schema)
     media.mapPartitions { it =>
       it.flatMap { r =>
-        videoFrames(r.getAs[Array[Byte]](bIdx)).zipWithIndex
+        videoFrames(r.getAs[Array[Byte]](bIdx), decoder).zipWithIndex
           .flatMap { case (g0, f) =>
             val g = if (invertContrast) invert(g0) else g0
             concentricMarkersTyped(g, invertContrast, thresh).iterator
