@@ -56,6 +56,9 @@ object Bench {
         // between queries: operator-scoped caches from this query must not
         // occupy storage while the next one is measured
         CacheRegistry.releaseAll()
+        // dev-only: live per-query progress for long sweeps (driver runs unset)
+        if (sys.env.contains("SPARK_GRAFT_BENCH_PROGRESS"))
+          System.err.println(f"[bench] $name%-28s ${if (ok) dt else -1.0}%8.1f s")
         name -> (if (ok) dt else -1.0)
       }
     val passes = Seq.fill(runs)(onePass())

@@ -148,4 +148,32 @@ object AsOfJoin {
     withB.filter(ta.isNotNull && tb.isNotNull &&
       greatest(ts, ta, tb) - least(ts, ta, tb) < maxDispersion)
   }
+
+  /** Cadence-derived dispersion gate for [[triple]]: `multiplier` × the
+    * median inter-sample interval of `df`'s time column. The reference's
+    * gate is cadence-relative (1/15 s against a ~120 Hz pupil stream ≈ 8
+    * sample periods, externals/data_processing.py:128-131), so a caller
+    * whose stream cadence is unknown derives the gate from the data
+    * instead of hardcoding seconds.
+    *
+    * Cost: ONE extra aggregation job — a per-key lag diff (shuffle on
+    * `keys`, partition-local sort) reduced by `percentile_approx` (a
+    * single-pass distributed sketch, no sort of the diffs). Returns None
+    * on a stream with < 2 rows per every key.
+    *
+    * The shipped `j3_binocular_triple` query keeps a named CONSTANT gate
+    * ([[graft.Queries.j3DispersionGate]]) so the DuckDB oracle replay
+    * stays stateless; this helper is the generalizing path.
+    */
+  def cadenceGate(df: DataFrame, tsCol: String, keys: Seq[String],
+                  multiplier: Double = 8.0): Option[Double] = {
+    val t = col(tsCol).cast("double")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(t)
+    val med = df
+      .withColumn("_dt", t - lag(t, 1).over(w))
+      .filter(col("_dt").isNotNull && col("_dt") > 0)
+      .agg(percentile_approx(col("_dt"), lit(0.5), lit(10000)).as("m"))
+      .head()
+    if (med.isNullAt(0)) None else Some(multiplier * med.getDouble(0))
+  }
 }

@@ -67,4 +67,17 @@ class AsOfJoinSpec extends SparkSpec {
       .select("id").collect().map(_.getInt(0))
     assert(out.toSeq == Seq(1)) // ref=50: spread 50.2-49.0 = 1.2 > 1/15
   }
+
+  test("cadenceGate derives multiplier x median inter-sample interval") {
+    // 120 Hz-ish stream: uniform 1/120 s cadence, two keys
+    val rows = for (k <- 0 to 1; i <- 0 until 240)
+      yield (k, i / 120.0 + k * 1000)
+    val df = rows.toDF("key", "ts")
+    val g = AsOfJoin.cadenceGate(df, "ts", Seq("key"), multiplier = 8.0)
+    assert(g.isDefined)
+    assert(math.abs(g.get - 8.0 / 120.0) < 1e-6)
+    // degenerate stream: no positive diffs -> None, not NPE
+    val one = Seq((0, 5.0)).toDF("key", "ts")
+    assert(AsOfJoin.cadenceGate(one, "ts", Seq("key")).isEmpty)
+  }
 }
