@@ -2199,6 +2199,36 @@ object Oracles {
         |FROM jb
         |WHERE greatest(t, at, bt) - least(t, at, bt) < ${d(graft.Queries.j3DispersionGate)}""".stripMargin,
 
+    // same triple as-of, gate DERIVED from the matched streams' cadence:
+    // multiplier × the pooled median inter-sample interval per user over
+    // purchase+error (DuckDB median == quantile_cont(0.5), the same
+    // interpolating median as Spark's exact percentile(0.5))
+    "j3_cadence_gate" ->
+      s"""WITH refs AS (SELECT event_id, user_id, epoch(ts) AS t FROM events
+        |  WHERE event_type = 'click'),
+        |pa AS (SELECT event_id AS a_id, user_id, epoch(ts) AS rt FROM events
+        |  WHERE event_type = 'purchase'),
+        |pb AS (SELECT event_id AS b_id, user_id, epoch(ts) AS rt FROM events
+        |  WHERE event_type = 'error'),
+        |pup AS (SELECT user_id, rt FROM pa UNION ALL SELECT user_id, rt FROM pb),
+        |diffs AS (SELECT rt - lag(rt) OVER (
+        |    PARTITION BY user_id ORDER BY rt) AS dt FROM pup),
+        |g AS (SELECT ${d(graft.Queries.j3CadenceMultiplier)} * median(dt)
+        |  AS gate FROM diffs WHERE dt IS NOT NULL AND dt > 0),
+        |ja AS (SELECT r.event_id, r.user_id, r.t, a.a_id, a.rt AS at
+        |  FROM refs r JOIN pa a ON r.user_id = a.user_id
+        |  QUALIFY row_number() OVER (PARTITION BY r.event_id
+        |    ORDER BY abs(a.rt - r.t), a.rt) = 1),
+        |jb AS (SELECT ja.event_id, ja.t, ja.a_id, ja.at, b.b_id, b.rt AS bt
+        |  FROM ja JOIN pb b ON ja.user_id = b.user_id
+        |  QUALIFY row_number() OVER (PARTITION BY ja.event_id
+        |    ORDER BY abs(b.rt - ja.t), b.rt) = 1)
+        |SELECT event_id, a_id, b_id,
+        |  greatest(t, at, bt) - least(t, at, bt) AS dispersion,
+        |  round((SELECT gate FROM g), 6) AS gate
+        |FROM jb
+        |WHERE greatest(t, at, bt) - least(t, at, bt) < (SELECT gate FROM g)""".stripMargin,
+
     // closed-form replay of the predict/refresh schedule: full-frame scans
     // at frame 0 of each 37-frame teleport block (ROI miss → fallback) and
     // at offset 31 (the 30-roi-frame refresh), ROI hits everywhere else

@@ -26,6 +26,37 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndexIO {
 
+  /** Quantizer-kind sidecar (`path/_KIND`, ASCII "flat" | "hier"),
+    * written at build time so [[searchAuto]] dispatches with a pure
+    * driver-side metadata read — the former probe (`filter(kind ===
+    * "super").limit(1).count()`) cost a Spark job on EVERY search
+    * against the index. Hadoop FS API, so the sidecar follows the index
+    * onto whatever filesystem the Parquet goes to. */
+  private def kindPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_KIND")
+
+  private def writeKind(spark: SparkSession, path: String,
+                        kind: String): Unit = {
+    val p = kindPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(kind.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readKind(spark: SparkSession, path: String): Option[String] = {
+    val p = kindPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](16)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
   /** Quantizer → typed Parquet rows (the persisted layout). */
   def modelToDF(spark: SparkSession, model: VectorOps.IvfPqModel): DataFrame = {
     import spark.implicits._
@@ -73,6 +104,7 @@ object AnnIndexIO {
         VectorOps.ivfPqEncode(vecs, idCol, vecCol, model)
           .write.mode("overwrite").partitionBy("cid")
           .parquet(s"$path/index")
+        writeKind(vecs.sparkSession, path, "flat")
         model
       }
 
@@ -143,6 +175,7 @@ object AnnIndexIO {
         VectorOps.ivfPqEncodeHierNormalized(v, model)
           .write.mode("overwrite").partitionBy("cid")
           .parquet(s"$path/index")
+        writeKind(vecs.sparkSession, path, "hier")
         model
       }
   }
@@ -187,15 +220,21 @@ object AnnIndexIO {
     }
 
   /** Search a [[buildAuto]]-built index: dispatches on the persisted
-    * quantizer kind ('super' rows ⇒ hier, probed `probeSupers` supers
-    * wide; else flat, where `probeSupers` is ignored). Bit-identical to
-    * the matching explicit search either way. */
+    * quantizer kind (hier ⇒ probed `probeSupers` supers wide; flat ⇒
+    * `probeSupers` ignored). Bit-identical to the matching explicit
+    * search either way. The kind comes from the `_KIND` sidecar written
+    * at build time — a driver-side FS read, NO Spark job; indexes
+    * predating the sidecar fall back to a one-row probe of the
+    * quantizer table. */
   def searchAuto(spark: SparkSession, path: String, corpus: DataFrame,
                  idCol: String, vecCol: String, queryPred: Column, k: Int,
                  nprobe: Int = 4, rerank: Int = 10,
                  probeSupers: Int = 4): DataFrame = {
     val qdf = spark.read.parquet(s"$path/quantizer")
-    val isHier = qdf.filter(col("kind") === "super").limit(1).count() > 0
+    val isHier = readKind(spark, path) match {
+      case Some(kind) => kind == "hier"
+      case None => qdf.filter(col("kind") === "super").limit(1).count() > 0
+    }
     val index = spark.read.parquet(s"$path/index")
     if (isHier)
       VectorOps.ivfPqSearchHierNormalized(hierModelFromDF(qdf), index,

@@ -157,22 +157,35 @@ object AsOfJoin {
     * instead of hardcoding seconds.
     *
     * Cost: ONE extra aggregation job — a per-key lag diff (shuffle on
-    * `keys`, partition-local sort) reduced by `percentile_approx` (a
-    * single-pass distributed sketch, no sort of the diffs). Returns None
-    * on a stream with < 2 rows per every key.
+    * `keys`, partition-local sort) reduced by a median. By default the
+    * median is `percentile_approx` (a single-pass distributed sketch, no
+    * sort of the diffs — the 100 TB shape); `exact = true` switches to
+    * the exact interpolating `percentile`, which buffers the diffs per
+    * partition — use it when the gate must be bit-reproducible (e.g. an
+    * oracle replay against DuckDB's `median`, which interpolates the
+    * same way), on streams where the diff count is bounded.
     *
-    * The shipped `j3_binocular_triple` query keeps a named CONSTANT gate
-    * ([[graft.Queries.j3DispersionGate]]) so the DuckDB oracle replay
-    * stays stateless; this helper is the generalizing path.
+    * Returns None when NO key contributes a strictly positive
+    * inter-sample interval — every key has < 2 rows, or all timestamps
+    * within each key are duplicated (zero diffs are discarded); a single
+    * key with two distinctly-timed rows is enough for Some. The median
+    * POOLS the diffs of all keys into one estimate, so with
+    * heterogeneous per-key cadences the densest stream contributes the
+    * most diffs and dominates the gate — if per-key robustness is
+    * wanted, compute a per-key median first and aggregate those.
     */
   def cadenceGate(df: DataFrame, tsCol: String, keys: Seq[String],
-                  multiplier: Double = 8.0): Option[Double] = {
+                  multiplier: Double = 8.0,
+                  exact: Boolean = false): Option[Double] = {
     val t = col(tsCol).cast("double")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(t)
+    val medAgg =
+      if (exact) percentile(col("_dt"), lit(0.5))
+      else percentile_approx(col("_dt"), lit(0.5), lit(10000))
     val med = df
       .withColumn("_dt", t - lag(t, 1).over(w))
       .filter(col("_dt").isNotNull && col("_dt") > 0)
-      .agg(percentile_approx(col("_dt"), lit(0.5), lit(10000)).as("m"))
+      .agg(medAgg.as("m"))
       .head()
     if (med.isNullAt(0)) None else Some(multiplier * med.getDouble(0))
   }

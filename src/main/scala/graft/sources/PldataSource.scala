@@ -64,6 +64,46 @@ object PldataSource {
     } finally out.close()
   }
 
+  /** Incremental .npy v1 float64 writer — values appended one at a time,
+    * the true count patched into the header on `close()`. The shape field
+    * is a fixed 20-char right-padded placeholder so the patch rewrites
+    * the header in place at the SAME length (trailing spaces inside a
+    * tuple are valid Python literal syntax, so numpy reads it unchanged).
+    * Fixture writers fed by `toLocalIterator` use this instead of the
+    * count-first [[writeNpyDoublesStream]]: no extra Spark `count()` job
+    * just to know the header up front. */
+  final class NpyDoubleWriter(path: String) {
+    private def dictFor(n: Long): String = {
+      val nStr = n.toString.padTo(20, ' ')
+      s"{'descr': '<f8', 'fortran_order': False, 'shape': ($nStr,), }"
+    }
+    private val pad = 64 - ((10 + dictFor(0).length + 1) % 64)
+    private def headerBytes(n: Long): Array[Byte] = {
+      val header = dictFor(n) + (" " * pad) + "\n"
+      val hb = ByteBuffer.allocate(10 + header.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      hb.put(0x93.toByte).put("NUMPY".getBytes("ASCII"))
+        .put(1.toByte).put(0.toByte)
+        .putShort(header.length.toShort).put(header.getBytes("ASCII"))
+      hb.array()
+    }
+    private val out = new java.io.BufferedOutputStream(
+      Files.newOutputStream(Paths.get(path)), 64 * 1024)
+    out.write(headerBytes(0))
+    private val vb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    private var n = 0L
+    def write(v: Double): Unit = {
+      vb.clear(); vb.putDouble(v); out.write(vb.array()); n += 1
+    }
+    /** Flush, patch the true count into the header, return it. */
+    def close(): Long = {
+      out.close()
+      val raf = new java.io.RandomAccessFile(path, "rw")
+      try raf.write(headerBytes(n)) finally raf.close()
+      n
+    }
+  }
+
   /** Decode one pldata byte stream into (topic, payload-map) pairs. */
   def decodeStream(bytes: Array[Byte]): Vector[(String, Map[String, Any])] =
     MsgPack.unpackStream(bytes).map {
@@ -140,13 +180,14 @@ object PldataSource {
 
   /** Write rows as a pldata stream + timestamp sidecar (PLData_Writer,
     * file_methods.py:154-193): each row becomes msgpack (topic,
-    * packed-payload); timestamps collected into the .npy. Driver-side —
-    * session files are small; the 100 TB path writes Parquet. */
+    * packed-payload); timestamps go to the .npy. BOUNDED driver memory:
+    * rows stream through `toLocalIterator` (one partition resident at a
+    * time) into buffered file writers — no collect, no whole-stream byte
+    * buffer — so the fixture write stays flat in the table size. The
+    * 100 TB path writes Parquet; this is the session-file export. */
   def write(df: DataFrame, dir: String, topic: String): Unit = {
     Files.createDirectories(Paths.get(dir))
-    val rows = df.collect()
     val tsIdx = df.schema.fieldIndex("timestamp")
-    val out = new java.io.ByteArrayOutputStream()
     // nested structs (e.g. the pupil ellipse) → msgpack maps
     def plain(v: Any): Any = v match {
       case r: Row => r.schema.fields.zipWithIndex
@@ -154,15 +195,20 @@ object PldataSource {
       case s: collection.Seq[_] => s.map(plain)
       case x => x
     }
-    val ts = rows.map { r =>
-      val payload: Map[String, Any] = df.schema.fields.zipWithIndex.collect {
-        case (f, i) if f.name != "topic" => f.name -> plain(r.get(i))
-      }.toMap
-      out.write(MsgPack.pack((topic, MsgPack.pack(payload))))
-      r.getDouble(tsIdx)
-    }
-    Files.write(Paths.get(dir, s"$topic.pldata"), out.toByteArray)
-    writeNpyDoubles(Paths.get(dir, s"${topic}_timestamps.npy").toString, ts)
+    val out = new java.io.BufferedOutputStream(
+      Files.newOutputStream(Paths.get(dir, s"$topic.pldata")), 64 * 1024)
+    val tsW = new NpyDoubleWriter(
+      Paths.get(dir, s"${topic}_timestamps.npy").toString)
+    try {
+      import scala.jdk.CollectionConverters._
+      df.toLocalIterator().asScala.foreach { r =>
+        val payload: Map[String, Any] = df.schema.fields.zipWithIndex.collect {
+          case (f, i) if f.name != "topic" => f.name -> plain(r.get(i))
+        }.toMap
+        out.write(MsgPack.pack((topic, MsgPack.pack(payload))))
+        tsW.write(r.getDouble(tsIdx))
+      }
+    } finally { out.close(); tsW.close() }
   }
 
   /** S5: Pupil-Labs `gaze_positions.csv` export scan (read_pl_gaze_csv,

@@ -106,6 +106,10 @@ class AnnIndexSpec extends SparkSpec {
     val flatQ = spark.read.parquet(s"$flatDir/quantizer")
     assert(flatQ.filter(col("kind") === "super").isEmpty,
       "below-threshold build fitted a hier quantizer")
+    // the build stamped the _KIND sidecar searchAuto dispatches on
+    // (driver-side FS read, no Spark job)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(flatDir, "_KIND")), "UTF-8").trim == "flat")
     val viaAuto = rows(AnnIndexIO.searchAuto(spark, flatDir, vecs, "vec_id",
       "embedding", qp, k = 3, nprobe = 3))
     graft.CacheRegistry.releaseAll()
@@ -125,6 +129,11 @@ class AnnIndexSpec extends SparkSpec {
     val hierQ = spark.read.parquet(s"$hierDir/quantizer")
     assert(!hierQ.filter(col("kind") === "super").isEmpty,
       "at-threshold build did not fit the hier quantizer")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(hierDir, "_KIND")), "UTF-8").trim == "hier")
+    // sidecar-less index (predates _KIND): searchAuto falls back to the
+    // quantizer-table probe and still dispatches hier
+    java.nio.file.Files.delete(java.nio.file.Paths.get(hierDir, "_KIND"))
     val viaAutoH = rows(AnnIndexIO.searchAuto(spark, hierDir, vecs, "vec_id",
       "embedding", qp, k = 3, nprobe = 4, probeSupers = 2))
     graft.CacheRegistry.releaseAll()

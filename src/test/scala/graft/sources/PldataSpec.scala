@@ -37,6 +37,26 @@ class PldataSpec extends SparkSpec {
     assert(PldataSource.readNpyDoubles(p).sameElements(a))
   }
 
+  test("NpyDoubleWriter: header patched on close, reader sees all values") {
+    val dir = Files.createTempDirectory("npyw")
+    val p = dir.resolve("s.npy").toString
+    val a = Array(1.5, -2.25, 3.75e10, 0.0, Double.MinPositiveValue)
+    val w = new PldataSource.NpyDoubleWriter(p)
+    a.foreach(w.write)
+    assert(w.close() == a.length)
+    assert(PldataSource.readNpyDoubles(p).sameElements(a))
+    // the patched header carries the true shape (numpy parses the
+    // right-padded count; verified the ljust form loads in np.load)
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(p))
+    val headerLen = ((bytes(9) & 0xff) << 8) | (bytes(8) & 0xff)
+    val header = new String(bytes, 10, headerLen, "ASCII")
+    assert(header.contains(s"'shape': (${a.length}"), header)
+    // empty stream: zero-shape header, zero values
+    val p0 = dir.resolve("e.npy").toString
+    assert(new PldataSource.NpyDoubleWriter(p0).close() == 0L)
+    assert(PldataSource.readNpyDoubles(p0).isEmpty)
+  }
+
   test("pldata write → Spark read round-trip (S4)") {
     val dir = Files.createTempDirectory("pldata").toString
     val df = Seq(
