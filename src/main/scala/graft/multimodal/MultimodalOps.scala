@@ -76,7 +76,10 @@ object MultimodalOps {
     else try {
       javax.imageio.ImageIO.setUseCache(false)
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    } catch { case _: java.io.IOException => None }
+      // NonFatal, not just IOException: ImageIO throws runtime exceptions
+      // (IllegalArgument, NegativeArraySize, IndexOutOfBounds) on some
+      // malformed payloads, and the decoder contract is never-throw
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Rec.601 luma (0.299R + 0.587G + 0.114B) of every pixel, row-major —
     * the grayscale plane the reference's scans load (`color='gray'`,

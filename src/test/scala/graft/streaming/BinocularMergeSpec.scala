@@ -165,6 +165,74 @@ class BinocularMergeSpec extends SparkSpec {
     assert(drained.forall(g => !g.binocular && g.topic == "gaze.2d.0."))
   }
 
+  test("streaming twin of m9_binocular: merge→apply ≡ batch across micro-batch splits") {
+    import spark.implicits._
+    import graft.model.{PolyBinocularModel, PolyMapModel}
+    implicit val sqlCtx = spark.sqlContext
+    // the m9_binocular planted timing (eye gap 0.002 s inside the cutoff,
+    // ≥1 s between events) with non-trivial coordinates per eye
+    val n = 20
+    val ps = (0 until n).flatMap { i =>
+      Seq(Pupil("cal", i + 0.002, 0, 0.05 + 0.01 * i, 0.2 + 0.005 * i, 0.95),
+          Pupil("cal", i + 0.004, 1, 0.3 - 0.004 * i, 0.1 + 0.007 * i, 0.95))
+    }
+    // fixed models (coef order (x, y, 1) / (x0, y0, x1, y1, 1)): the twin
+    // pins the merge→apply COMPOSITION, not a fit
+    val bino = PolyBinocularModel(
+      Array(0.4, 0.1, 0.3, 0.05, 0.01), Array(0.05, 0.45, 0.1, 0.35, 0.02), 5)
+    val eye0 = PolyMapModel(Array(0.9, 0.1, 0.02), Array(-0.1, 0.85, 0.03), 3)
+    val eye1 = PolyMapModel(Array(0.8, -0.05, 0.1), Array(0.2, 0.7, -0.01), 3)
+    def mappedKeys(gaze: org.apache.spark.sql.DataFrame) =
+      BinocularMerge.applyModels(gaze, bino, eye0, eye1).collect()
+        .map(r => (r.getAs[Double]("timestamp"), r.getAs[String]("topic"),
+          r.getAs[Boolean]("binocular"), r.getAs[Double]("gaze_x"),
+          r.getAs[Double]("gaze_y"))).sortBy(t => (t._1, t._2)).toSeq
+    // expected: the pure FSM over the ordered series PLUS its eviction
+    // drain (leftover queued pupils mono, in time order) — what the
+    // stream emits once the watermark evicts the idle session — mapped
+    // through the SAME applyModels Columns
+    val (out, st) = runSeriesFrom(
+      MergeState(Nil, Nil, InitialFrameInterval), ps.sortBy(_.timestamp))
+    val drain = (st.eye0 ++ st.eye1).sortBy(_.timestamp).map(p =>
+      Gaze(p.session, p.timestamp, s"gaze.2d.${p.id}.", p.confidence,
+        p.x, p.y, p.x, p.y, binocular = false))
+    val expected = mappedKeys((out ++ drain).toDS().toDF())
+    // stream: watermark reorder buffer, CROSS-BATCH disorder (the later
+    // two thirds arrive a micro-batch before the earliest rows)
+    val input = MemoryStream[Pupil]
+    // watermark delay must cover the full 19 s of cross-batch disorder
+    // (the planted schedule spans n seconds); rows later than the delay
+    // would be dropped at the watermark, not buffered
+    val query = BinocularMerge.applyModels(
+        mergeStream(input.toDS(), idleTimeoutSec = 5.0,
+          watermarkDelay = "60 seconds").toDF(),
+        bino, eye0, eye1)
+      .writeStream.format("memory").queryName("gaze_m9_twin")
+      .outputMode("append").start()
+    input.addData(ps.drop(14))
+    query.processAllAvailable()
+    input.addData(ps.take(14))
+    query.processAllAvailable()
+    // far-future session advances the watermark past cal's idle timeout;
+    // the next batch fires the eviction (buffer replay + mono drain)
+    input.addData(Seq(Pupil("zz", 1000.0, 0, 0.2, 0.2, 0.9)))
+    query.processAllAvailable()
+    input.addData(Seq(Pupil("zz", 1001.0, 0, 0.2, 0.2, 0.9)))
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("gaze_m9_twin")
+      .filter(org.apache.spark.sql.functions.col("session") === "cal")
+      .collect()
+      .map(r => (r.getAs[Double]("timestamp"), r.getAs[String]("topic"),
+        r.getAs[Boolean]("binocular"), r.getAs[Double]("gaze_x"),
+        r.getAs[Double]("gaze_y"))).sortBy(t => (t._1, t._2)).toSeq
+    // exact ≡ including the mapped coordinates (same Column arithmetic,
+    // bit-identical doubles)
+    assert(streamed == expected)
+    // and the planted schedule held: N binocular + N-1 mono + 1 drained tail
+    assert(streamed.count(_._3) == n && streamed.count(!_._3) == n)
+  }
+
   test("applyModels routes binocular vs per-eye models") {
     import spark.implicits._
     import graft.model.{PolyBinocularModel, PolyMapModel}
