@@ -189,4 +189,28 @@ object AsOfJoin {
       .head()
     if (med.isNullAt(0)) None else Some(multiplier * med.getDouble(0))
   }
+
+  /** [[cadenceGate]] with per-key robustness: the median inter-sample
+    * interval is computed PER KEY first, then the gate is `multiplier` ×
+    * the median of those per-key medians — every key contributes exactly
+    * one vote, so a dense stream cannot drag the gate below what a
+    * sparse key's cadence supports (the pooled form's documented bias).
+    * Same plan shape plus one extra (tiny: one row per key) aggregation;
+    * same None condition as the pooled form. */
+  def cadenceGatePerKey(df: DataFrame, tsCol: String, keys: Seq[String],
+                        multiplier: Double = 8.0,
+                        exact: Boolean = false): Option[Double] = {
+    val t = col(tsCol).cast("double")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(t)
+    def med(c: Column) =
+      if (exact) percentile(c, lit(0.5))
+      else percentile_approx(c, lit(0.5), lit(10000))
+    val row = df
+      .withColumn("_dt", t - lag(t, 1).over(w))
+      .filter(col("_dt").isNotNull && col("_dt") > 0)
+      .groupBy(keys.map(col): _*).agg(med(col("_dt")).as("_keyMed"))
+      .agg(med(col("_keyMed")).as("m"))
+      .head()
+    if (row.isNullAt(0)) None else Some(multiplier * row.getDouble(0))
+  }
 }

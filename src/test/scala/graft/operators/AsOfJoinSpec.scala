@@ -79,5 +79,32 @@ class AsOfJoinSpec extends SparkSpec {
     // degenerate stream: no positive diffs -> None, not NPE
     val one = Seq((0, 5.0)).toDF("key", "ts")
     assert(AsOfJoin.cadenceGate(one, "ts", Seq("key")).isEmpty)
+    // all-duplicate timestamps: rows exist but every diff is zero -> None
+    val dup = Seq((0, 5.0), (0, 5.0), (0, 5.0)).toDF("key", "ts")
+    assert(AsOfJoin.cadenceGate(dup, "ts", Seq("key")).isEmpty)
+  }
+
+  test("cadenceGatePerKey: one vote per key vs density-weighted pooling") {
+    // key 0: dense 100 Hz (500 diffs of 0.01); key 1: sparse 1 Hz (10
+    // diffs of 1.0). Pooled median is dominated by the dense stream;
+    // per-key gives each cadence one vote (median of {0.01, 1.0}).
+    val rows = (0 until 501).map(i => (0, i / 100.0)) ++
+      (0 until 11).map(i => (1, i.toDouble))
+    val df = rows.toDF("key", "ts")
+    val pooled = AsOfJoin.cadenceGate(df, "ts", Seq("key"),
+      multiplier = 1.0, exact = true).get
+    val perKey = AsOfJoin.cadenceGatePerKey(df, "ts", Seq("key"),
+      multiplier = 1.0, exact = true).get
+    assert(math.abs(pooled - 0.01) < 1e-9, s"pooled=$pooled")
+    assert(math.abs(perKey - (0.01 + 1.0) / 2) < 1e-9, s"perKey=$perKey")
+    // homogeneous cadences: the two forms agree
+    val homo = (for (k <- 0 to 2; i <- 0 until 60) yield (k, i / 120.0))
+      .toDF("key", "ts")
+    val gp = AsOfJoin.cadenceGate(homo, "ts", Seq("key"), 8.0, exact = true).get
+    val gk = AsOfJoin.cadenceGatePerKey(homo, "ts", Seq("key"), 8.0, exact = true).get
+    assert(math.abs(gp - gk) < 1e-12)
+    // same None condition
+    assert(AsOfJoin.cadenceGatePerKey(
+      Seq((0, 5.0), (0, 5.0)).toDF("key", "ts"), "ts", Seq("key")).isEmpty)
   }
 }
