@@ -38,7 +38,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Newest round the driver has recorded (BENCH_r<N>.json), or 0. */
-  private def lastRecordedRound(repo: java.io.File): Int =
+  private[graft] def lastRecordedRound(repo: java.io.File): Int =
     Option(repo.listFiles()).getOrElse(Array.empty)
       .flatMap { f =>
         "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
@@ -48,8 +48,11 @@ object Bench {
   /** Prior per-query seconds: the prior round's full tracked file if it
     * exists, else whatever query:value pairs survive in the truncated
     * driver artifact. Regex-scavenged (no JSON lib needed): quoted name,
-    * colon, decimal literal — non-query scalar keys are excluded. */
-  private def priorTimes(repo: java.io.File, round: Int): Map[String, Double] = {
+    * colon, decimal literal — with an optional backslash before the
+    * closing quote, because the driver artifact embeds the stdout tail
+    * as a JSON STRING whose quotes are escaped (`\"name\":1.23`).
+    * Non-query scalar keys are excluded. */
+  private[graft] def priorTimes(repo: java.io.File, round: Int): Map[String, Double] = {
     val candidates = Seq(
       new java.io.File(repo, f"docs/bench_r$round%02d.json"),
       new java.io.File(repo, s"docs/bench_r$round.json"),
@@ -59,7 +62,7 @@ object Bench {
     candidates.find(_.isFile).map { f =>
       val text = new String(
         java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      "\"([A-Za-z0-9_]+)\":(-?\\d+\\.\\d+)".r.findAllMatchIn(text)
+      "\"([A-Za-z0-9_]+)\\\\?\":(-?\\d+\\.\\d+)".r.findAllMatchIn(text)
         .map(m => m.group(1) -> m.group(2).toDouble)
         .filterNot { case (k, v) => excluded(k) || v < 0 }
         .toMap

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench evidence chain's pure parts: round discovery from the
+  * driver's recorded artifacts and prior-time scavenging (full tracked
+  * file preferred, truncated driver tail as fallback) — the inputs the
+  * contention guard keys off. */
+class BenchChainSpec extends AnyFunSuite {
+
+  private def tmpRepo(): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory("bench_chain").toFile
+    new java.io.File(d, "docs").mkdirs()
+    d
+  }
+
+  private def write(repo: java.io.File, name: String, text: String): Unit =
+    java.nio.file.Files.write(new java.io.File(repo, name).toPath,
+      text.getBytes("UTF-8"))
+
+  test("lastRecordedRound: max BENCH_r<N>.json, 0 when none") {
+    val repo = tmpRepo()
+    assert(Bench.lastRecordedRound(repo) == 0)
+    write(repo, "BENCH_r01.json", "{}")
+    write(repo, "BENCH_r08.json", "{}")
+    write(repo, "BENCH_nope.json", "{}")
+    write(repo, "CORRECTNESS_r09.json", "{}")
+    assert(Bench.lastRecordedRound(repo) == 8)
+  }
+
+  test("priorTimes prefers the full tracked file over the driver artifact") {
+    val repo = tmpRepo()
+    write(repo, "BENCH_r07.json",
+      """{"n":7,"rc":0,"tail":"\"q_b\":9.99}","sf":0.1}""")
+    write(repo, "docs/bench_r07.json",
+      """{"queries":{"q_a":1.25,"q_b":2.5,"q_fail":-1.0},"sf":"x","runs":3,"metric":"total","unit":"sec","value":3.75}""")
+    val p = Bench.priorTimes(repo, 7)
+    // tracked file wins, failed (-1) and non-query scalar keys excluded
+    assert(p == Map("q_a" -> 1.25, "q_b" -> 2.5))
+  }
+
+  test("priorTimes scavenges the truncated driver tail when no tracked file exists") {
+    val repo = tmpRepo()
+    // the driver artifact: JSON whose tail field holds a TRUNCATED
+    // fragment of the stdout line (starts mid-map), like BENCH_r08.json
+    write(repo, "BENCH_r08.json",
+      """{"n": 8, "rc": 0, "cpus": 32, "sf": 0.1, "tail": "rep\":0.885,\"j5_snap_ts\":1.318,\"value\":70.9", "parsed": null}""")
+    val p = Bench.priorTimes(repo, 8)
+    // the severed leading pair ("...rep":0.885 lost its name start is
+    // still a name:value match on its surviving suffix) is fine for the
+    // guard; scalar keys (sf, value) must be excluded
+    assert(p.get("j5_snap_ts").contains(1.318))
+    assert(!p.contains("sf") && !p.contains("value") && !p.contains("n"))
+    assert(Bench.priorTimes(repo, 3).isEmpty) // no artifact for that round
+  }
+}
