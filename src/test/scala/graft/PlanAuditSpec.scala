@@ -144,6 +144,27 @@ class PlanAuditSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("served ANN search prunes the cell-partitioned index scan (DPP)") {
+    // the AnnIndexIO scale claim: a search probing `nprobe` of the cells
+    // reads ONLY those cells' files. The probe side broadcasts, so
+    // Spark's dynamic partition pruning plants a runtime IN-subquery
+    // filter on the index scan's `cid` partition column — this is the
+    // file-listing-level pruning, and it must not silently vanish
+    // (e.g. via a join reorder that stops broadcasting the probe side)
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("ann_dpp").toString
+    assert(operators.AnnIndexIO.buildAuto(emb, "vec_id", "embedding", idx,
+      nCells = Queries.annIvfPqCells))
+    val df = operators.AnnIndexIO.searchAuto(spark, idx, emb, "vec_id",
+      "embedding", col("v_id") < 10, k = 3, nprobe = 2)
+    val p = plan(df)
+    assert(p.contains("dynamicpruningexpression"),
+      s"index scan lost dynamic partition pruning on cid:\n$p")
+    assert(df.count() > 0)
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("decontaminate: benchmark set broadcast, no corpus shuffle join") {
     val p = plan(Queries.textDecontaminate(spark, dir))
     assert(p.contains("BroadcastHashJoin"),
