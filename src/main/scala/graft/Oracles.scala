@@ -1629,9 +1629,12 @@ object Oracles {
         |SELECT event_id, match_id, round(dt, 6) AS dt FROM j
         |WHERE dt <= 300.0""".stripMargin,
 
+    // money sum in DECIMAL (order-independent, exact — see Queries.joinAgg):
+    // double summation drifts past the cent-rounding grain at 100× scale
     "join_agg_revenue" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  round(sum(l_extendedprice::DECIMAL(14,2) *
+        |    (1::DECIMAL(4,2) - l_discount::DECIMAL(4,2))), 2)::DOUBLE AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
