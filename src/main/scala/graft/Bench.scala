@@ -135,8 +135,11 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     // queries first, totals last: the driver's tail capture keeps the end
     val line = s"""{"queries":$qs,"sf":"$sfDir","runs":$runs,"metric":"total","unit":"sec","value":$total}"""
+    // SPARK_GRAFT_BENCH_TRACK=0: dev smokes (small sf, runs=1) must not
+    // clobber the round's recorded full-fidelity bench file
+    val track = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRACK", "1") != "0"
     val tracked = new java.io.File(repo, f"docs/bench_r$round%02d.json")
-    try {
+    if (track) try {
       tracked.getParentFile.mkdirs()
       java.nio.file.Files.write(tracked.toPath, (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // stdout line is still the artifact

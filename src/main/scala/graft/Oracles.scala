@@ -97,15 +97,11 @@ object Oracles {
        |  coalesce(c.root, d.doc_id) = d.doc_id AS is_keeper
        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin
 
-  /** sample_stratified oracle: language-ID CASE chain (mirrors
-    * text_langid) + the salted md5-threshold keep rule with the SAME
-    * integer thresholds the Spark side computes. */
-  private def sampleStratifiedSql: String = {
-    val dflt = graft.operators.SampleOps.threshold(1.0)
-    val cases = graft.Queries.sampleRates.map { case (stratum, rate) =>
-      s"WHEN lang_pred = '$stratum' THEN ${graft.operators.SampleOps.threshold(rate)}"
-    }.mkString(" ")
-    s"""WITH d AS (SELECT doc_id AS doc, string_split(trim(text), ' ') AS toks
+  /** Shared language-ID CTE chain (mirrors text_langid / the Spark
+    * `TextOps.langId`): yields `l(doc, lang_pred)`. One source of truth
+    * for both sampling oracles so the marker lists cannot drift. */
+  private def langIdCtes: String =
+    s"""d AS (SELECT doc_id AS doc, string_split(trim(text), ' ') AS toks
        |  FROM documents),
        |sc AS (SELECT doc,
        |  len(list_filter(toks, w -> w IN ('der','die','und','nicht','das')))::BIGINT AS s_de,
@@ -118,11 +114,64 @@ object Oracles {
        |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
        |       WHEN s_es >= s_fr THEN 'es'
        |       ELSE 'fr' END AS lang_pred
-       |  FROM sc)
+       |  FROM sc)""".stripMargin
+
+  /** Decontamination replay (mirrors TextOps.decontaminate; duplicates in
+    * hv count like the Spark explode does). Registered under BOTH
+    * `text_decontaminate` and `text_decontaminate_bloom` — the Bloom
+    * plan's verify join makes its output bit-identical to the exact one,
+    * and sharing the SQL is the attestation of exactly that claim. */
+  private def decontaminateSql: String = {
+    val M = graft.operators.TextOps.HashMod
+    s"""WITH d AS (SELECT doc_id AS doc, source,
+       |    string_split(trim(text), ' ') AS toks FROM documents),
+       |s AS (SELECT doc, source, list_distinct(list_transform(
+       |    range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM d),
+       |hv AS (SELECT doc, source, list_transform(sh,
+       |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $M) AS hv FROM s),
+       |b AS (SELECT DISTINCT unnest(hv) AS h FROM hv WHERE source = 'src0'),
+       |t AS (SELECT doc, hv FROM hv WHERE source <> 'src0'),
+       |e AS (SELECT doc, unnest(hv) AS h FROM t),
+       |o AS (SELECT e.doc, count(*) AS n_overlap FROM e
+       |  JOIN b USING (h) GROUP BY 1)
+       |SELECT t.doc, len(t.hv)::BIGINT AS n_shingles,
+       |  coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
+       |  coalesce(o.n_overlap, 0) >= 1 AS contaminated
+       |FROM t LEFT JOIN o USING (doc)""".stripMargin
+  }
+
+  /** sample_stratified oracle: language-ID CASE chain (mirrors
+    * text_langid) + the salted md5-threshold keep rule with the SAME
+    * integer thresholds the Spark side computes. */
+  private def sampleStratifiedSql: String = {
+    val dflt = graft.operators.SampleOps.threshold(1.0)
+    val cases = graft.Queries.sampleRates.map { case (stratum, rate) =>
+      s"WHEN lang_pred = '$stratum' THEN ${graft.operators.SampleOps.threshold(rate)}"
+    }.mkString(" ")
+    s"""WITH $langIdCtes
        |SELECT doc, lang_pred FROM l
        |WHERE ('0x' || substr(md5('s42' || doc), 1, 15))::BIGINT <
        |  CASE $cases ELSE $dflt END""".stripMargin
   }
+
+  /** sample_mixture oracle: the rates are DERIVED in SQL — per-language
+    * counts, `sqrt(c_min/c_s)` (correctly-rounded IEEE ops only, so the
+    * double is bit-identical to the Spark side's), then the same
+    * `floor(rate·2^60)` integer threshold. 1.152921504606846976e18 is
+    * 2^60 exactly (e-notation: DuckDB parses plain decimals as DECIMAL,
+    * docs/SCALE.md pitfall 5). */
+  private def sampleMixtureSql: String =
+    s"""WITH $langIdCtes,
+       |c AS (SELECT lang_pred, count(*)::BIGINT AS cnt FROM l GROUP BY 1),
+       |m AS (SELECT lang_pred, cnt, min(cnt) OVER () AS cmin FROM c),
+       |r AS (SELECT lang_pred,
+       |  sqrt(cmin::DOUBLE / cnt::DOUBLE) AS rate FROM m)
+       |SELECT l.doc, l.lang_pred, r.rate
+       |FROM l JOIN r USING (lang_pred)
+       |WHERE ('0x' || substr(md5('m42' || l.doc), 1, 15))::BIGINT <
+       |  CAST(floor(r.rate * 1.152921504606846976e18) AS BIGINT)""".stripMargin
 
   /** curation_pipeline oracle: the five stages as composed CTEs — exact
     * dedup window, decontamination EXISTS gate against the src0 shingle
@@ -1215,6 +1264,7 @@ object Oracles {
     "dedup_clusters" -> dedupClustersSql,
 
     "sample_stratified" -> sampleStratifiedSql,
+    "sample_mixture" -> sampleMixtureSql,
 
     // per-shard concat-and-chunk packing; sum(BIGINT) widens to HUGEINT in
     // DuckDB, normalized via the double division before the BIGINT cast
@@ -1292,26 +1342,11 @@ object Oracles {
     // decontamination: distinct 3-shingle hashes of the src0 "benchmark"
     // docs vs every other doc's shingle hashes (mirrors TextOps.decontaminate;
     // duplicates in hv count like the Spark explode does)
-    "text_decontaminate" -> {
-      val M = graft.operators.TextOps.HashMod
-      s"""WITH d AS (SELECT doc_id AS doc, source,
-         |    string_split(trim(text), ' ') AS toks FROM documents),
-         |s AS (SELECT doc, source, list_distinct(list_transform(
-         |    range(1, len(toks) - 1),
-         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-         |  FROM d),
-         |hv AS (SELECT doc, source, list_transform(sh,
-         |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $M) AS hv FROM s),
-         |b AS (SELECT DISTINCT unnest(hv) AS h FROM hv WHERE source = 'src0'),
-         |t AS (SELECT doc, hv FROM hv WHERE source <> 'src0'),
-         |e AS (SELECT doc, unnest(hv) AS h FROM t),
-         |o AS (SELECT e.doc, count(*) AS n_overlap FROM e
-         |  JOIN b USING (h) GROUP BY 1)
-         |SELECT t.doc, len(t.hv)::BIGINT AS n_shingles,
-         |  coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
-         |  coalesce(o.n_overlap, 0) >= 1 AS contaminated
-         |FROM t LEFT JOIN o USING (doc)""".stripMargin
-    },
+    "text_decontaminate" -> decontaminateSql,
+
+    // the Bloom-prefiltered plan is bit-identical by construction (no
+    // false negatives + exact verify join), so the SAME SQL attests it
+    "text_decontaminate_bloom" -> decontaminateSql,
 
     // planted-PII detect + scrub; regex constants shared verbatim with
     // TextOps (RE2/Java-portable subset), replacement order email→ip→phone
@@ -1360,6 +1395,31 @@ object Oracles {
         |  coalesce(g.n_kept, 0)::BIGINT AS n_kept,
         |  coalesce(g.text_dedup, '') AS text_dedup
         |FROM aug a LEFT JOIN agg g USING (doc)""".stripMargin,
+
+    // span-level substring dedup: gram md5 -> cross-doc min!=max ->
+    // island merge, the exact chain of TextOps.substringDedupSpans with
+    // the same k (Queries.substringDedupK) inlined
+    "text_substring_dedup" -> {
+      val k = graft.Queries.substringDedupK
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+         |    string_split(trim(text), ' ') AS toks FROM documents),
+         |nn AS (SELECT doc, toks, len(toks) AS n FROM d),
+         |g AS (SELECT doc, unnest(range(1, n - $k + 2)) AS i, toks
+         |  FROM nn WHERE n >= $k),
+         |h AS (SELECT doc, i, ('0x' || substr(md5(
+         |    array_to_string(toks[i:i+${k - 1}], ' ')), 1, 15))::BIGINT AS h
+         |  FROM g),
+         |mm AS (SELECT h, min(doc) AS mn, max(doc) AS mx FROM h GROUP BY h),
+         |dup AS (SELECT doc, i FROM h JOIN mm USING (h) WHERE mn <> mx),
+         |brk AS (SELECT doc, i, CASE WHEN coalesce(lag(i) OVER
+         |    (PARTITION BY doc ORDER BY i), -1000000) + $k < i
+         |    THEN 1 ELSE 0 END AS b FROM dup),
+         |isl AS (SELECT doc, i, sum(b) OVER (PARTITION BY doc ORDER BY i)
+         |    AS island FROM brk)
+         |SELECT doc, min(i) AS span_start, max(i) + ${k - 1} AS span_end,
+         |  max(i) + $k - min(i) AS span_toks
+         |FROM isl GROUP BY doc, island""".stripMargin
+    },
 
     // repetition metrics; distinct 3-grams mirror TextOps.shinglesOf
     "text_repetition" ->

@@ -732,6 +732,20 @@ object Queries {
       "doc_id", "text")
   }
 
+  /** Decontamination via the BLOOM-PREFILTERED plan ([[operators.TextOps
+    * .decontaminateBloom]]) — the shape for benchmark sets too big to
+    * broadcast: broadcast sketch + row-local prefilter + exact verify
+    * join on the survivors. Bit-identical output to [[textDecontaminate]]
+    * (no false negatives in the Bloom; the verify join removes the false
+    * positives), so the SAME oracle SQL attests both plans. */
+  def textDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextOps.decontaminateBloom(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      "doc_id", "text")
+  }
+
   /** PII detect + scrub over text with DETERMINISTICALLY PLANTED PII (the
     * synthetic corpus contains none): docs with doc_id % 3 != 0 get an
     * email + IPv4 + phone suffix derived from doc_id; the oracle plants
@@ -767,6 +781,21 @@ object Queries {
       array_join(arr, "\n").as("text"))
     TextOps.dedupLines(aug, "doc_id", "text")
   }
+
+  /** Gram width for the span-level substring dedup — shared with the
+    * oracle builder so the two sides cannot drift. 10 tokens ≈ the
+    * 50-BPE-token span threshold of the published substring-dedup recipe,
+    * scaled to this corpus's short synthetic docs. */
+  val substringDedupK: Int = 10
+
+  /** SPAN-LEVEL exact substring dedup ([[operators.TextOps
+    * .substringDedupSpans]]): maximal cross-doc duplicated token ranges —
+    * what doc-level MinHash cannot see (a boilerplate paragraph pasted
+    * into otherwise-distinct pages). The oracle replays the whole chain
+    * (gram md5 → cross-doc min≠max → island merge) in SQL. */
+  def textSubstringDedup(s: SparkSession, dir: String): DataFrame =
+    TextOps.substringDedupSpans(Tables.documents(s, dir), "doc_id", "text",
+      k = substringDedupK)
 
   /** Repetition / boilerplate metrics per document. */
   def textRepetition(s: SparkSession, dir: String): DataFrame =
@@ -993,6 +1022,19 @@ object Queries {
 
   /** Shared with the oracle builder so rates can't drift. */
   val sampleRates: Map[String, Double] = Map("en" -> 0.5, "es" -> 0.8)
+
+  /** Corpus curation: temperature-rebalanced mixture sampling — rates
+    * DERIVED from the corpus's own language counts (`sqrt(c_min/c_s)`,
+    * τ = 1/2) instead of hand-tuned, [[operators.SampleOps
+    * .mixtureTemperature]]. The oracle recomputes the counts, the rates,
+    * and the integer threshold from the same parquet — auditing that the
+    * whole derivation (not just the keep rule) is engine-portable. */
+  def sampleMixture(s: SparkSession, dir: String): DataFrame = {
+    val lang = TextOps.langId(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc"), col("lang_pred"))
+    SampleOps.mixtureTemperature(lang, "doc", "lang_pred", salt = "m42")
+      .select(col("doc"), col("lang_pred"), col("rate"))
+  }
 
   /** Corpus curation: doc-level sequence packing — per-shard
     * concat-and-chunk layout (ctx 2048 tokens, 32 shards), embarrassingly

@@ -56,6 +56,39 @@ object SampleOps {
     df.filter(hash60(col(idCol), salt) < thr)
   }
 
+  /** Temperature-REBALANCED mixture sample at τ = 1/2: per-stratum
+    * keep-rates are DERIVED from the corpus's own stratum counts instead
+    * of hand-tuned — `rate(s) = (c_min / c_s)^(1-τ) = sqrt(c_min / c_s)`,
+    * the multilingual-pretraining recipe that up-weights tail domains
+    * without flattening the mixture entirely (rate = 1 for the rarest
+    * stratum, < 1 for the head).
+    *
+    * τ is FIXED at 1/2 deliberately: `sqrt` and IEEE division are
+    * correctly-rounded operations on every IEEE-754 engine, so the
+    * derived rate — and therefore the integer keep-threshold
+    * `floor(rate·2^60)` — is bit-identical on Spark and any replaying
+    * engine with NO rounding hacks. A general `pow(c, τ-1)` is
+    * transcendental and not bit-portable (docs/SCALE.md pitfall 5).
+    *
+    * Plan shape: one map-side-combined count per stratum (|strata| rows),
+    * a global window over those few rows for `c_min`, a broadcast join of
+    * the derived rates back onto the corpus, then the same row-local
+    * md5-threshold rule as [[stratified]] — the corpus itself never
+    * shuffles. The returned frame carries the audit column `rate`. */
+  def mixtureTemperature(df: DataFrame, idCol: String, stratumCol: String,
+                         salt: String = "graft"): DataFrame = {
+    // global window over the per-stratum counts: |strata| rows by
+    // construction, so the single-partition window is bounded
+    val w = Window.partitionBy()
+    val rates = df.groupBy(stratumCol).agg(count(lit(1)).as("_cnt"))
+      .select(col(stratumCol),
+        sqrt(min(col("_cnt")).over(w).cast("double") /
+          col("_cnt").cast("double")).as("rate"))
+    df.join(broadcast(rates), stratumCol)
+      .filter(hash60(col(idCol), salt) <
+        floor(col("rate") * lit(HashSpace.toDouble)).cast("long"))
+  }
+
   /** Doc-level sequence packing: assign each document a (shard, chunk)
     * slot as if the shard's docs were concatenated in id order and cut
     * every `contextTokens` tokens — `chunk = floor(tokens-before-doc /

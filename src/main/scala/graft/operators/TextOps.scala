@@ -403,6 +403,55 @@ object TextOps {
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
+  /** Decontamination for the regime where the benchmark shingle set is
+    * TOO BIG TO BROADCAST (the [[decontaminate]] plan hash-joins every
+    * corpus shingle against a broadcast set — fine for one eval suite,
+    * wrong when the "benchmark" is a multi-GB union of every held-out
+    * set): a Bloom filter over the benchmark hashes (a few MB at any
+    * fpp·n) broadcasts instead, prefilters the exploded corpus shingles
+    * row-locally, and ONLY the surviving (doc, h) pairs — true overlaps
+    * plus the fpp sliver — pay the shuffle join against the full
+    * benchmark table for EXACT verification. No false negatives in the
+    * Bloom ⇒ the verified output is bit-identical to [[decontaminate]]
+    * (same oracle SQL attests both), while the corpus-side shuffle
+    * shrinks from every shingle to ≈ (overlap + fpp·corpus).
+    *
+    * The membership probe is a broadcast-sketch UDF — off the
+    * whole-stage-codegen path by design: it FILTERS the explode output
+    * before the only shuffle, which is the trade that matters at 100 TB
+    * (a codegen'd join that moves 1000× the bytes loses to a UDF filter
+    * that doesn't). */
+  def decontaminateBloom(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, k: Int = 3, minOverlap: Int = 1,
+                         fpp: Double = 0.01): DataFrame = {
+    import graft.functions.TextHash
+    val spark = train.sparkSession
+    val benchH = bench
+      .select(explode(TextHash.shingle_hash60(col(textCol), k, HashMod)).as("h"))
+      .distinct()
+      .transform(graft.CacheRegistry.persistTracked(_))
+    // one bounded build-side pass: the count sizes the sketch, the
+    // aggregation tree assembles it — both O(|bench|), driver gets only
+    // the fixed-size bitset
+    val nBench = benchH.count()
+    val bloom = benchH.stat.bloomFilter("h", math.max(nBench, 1L), fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    val trainH = train.repartition(col(idCol))
+      .select(col(idCol).as("doc"),
+        TextHash.shingle_hash60(col(textCol), k, HashMod).as("hv"))
+      .transform(graft.CacheRegistry.persistTracked(_))
+    val survivors = trainH.select(col("doc"), explode(col("hv")).as("h"))
+      .filter(mightContain(col("h")))
+    val overlap = survivors.join(benchH, "h")
+      .groupBy("doc").agg(count(lit(1)).as("n_overlap"))
+    trainH.select(col("doc"), size(col("hv")).cast("long").as("n_shingles"))
+      .join(overlap, Seq("doc"), "left")
+      .select(col("doc"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
   /** BPE-ish pre-tokenizer pattern (GPT-2 style: contraction suffixes,
     * space-prefixed letter runs / digit runs / punctuation runs, residual
     * whitespace) in the portable Java-regex / RE2 subset — the original
@@ -577,6 +626,66 @@ object TextOps {
     * [[mergeBpeTokenCount]]). */
   def estTokensCol(text: Column): Column =
     ceil(length(trim(text)).cast("double") / 4.0).cast("long")
+
+  /** SPAN-LEVEL exact substring dedup (the Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" shape, at token
+    * granularity): find every `k`-token gram that occurs in MORE THAN ONE
+    * distinct document, and merge the duplicated positions per document
+    * into maximal spans `[span_start, span_end]` (1-based token indices,
+    * inclusive; spans merge when they overlap or touch). Doc-level dedup
+    * (MinHash/SimHash) cannot see a boilerplate paragraph pasted into a
+    * million otherwise-distinct pages — this operator returns exactly the
+    * token ranges a curation pass would cut.
+    *
+    * Plan shape (scale-first):
+    *  1. one row-local pass hashes every gram — `hash60(md5)` of the
+    *     joined token window, the engine-portable key used everywhere in
+    *     graft; the token array is materialized as a named column BEFORE
+    *     the gram lambda (docs/SCALE.md pitfall #1: no CSE across HOF
+    *     boundaries);
+    *  2. cross-doc duplication is `min(doc) != max(doc)` per gram hash —
+    *     a map-side-combined aggregate (NOT a window over the raw
+    *     positions: a boilerplate gram with 10⁶ occurrences would pile
+    *     into one window task; the combiner reduces it on the map side);
+    *  3. duplicated positions come back via a shuffle join on the hash
+    *     (AQE splits the skewed hot-gram keys), and the island merge is
+    *     per-doc windows over ONLY the duplicated positions — typically a
+    *     tiny fraction of the corpus.
+    * At 100 TB the position stream is the cost driver (one 24-byte row
+    * per token); the standard tightening is winnowing (Schleimer et al.,
+    * SIGMOD'03) — keep only per-window minimum hashes, which this
+    * layout composes with by replacing step 1's dense positions. */
+  def substringDedupSpans(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.repartition(col(idCol))
+      .select(col(idCol).cast("long").as("doc"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc"),
+        when(size(col("_toks")) >= k,
+          transform(sequence(lit(1), size(col("_toks")) - (k - 1)), i =>
+            hash60(array_join(slice(col("_toks"), i, lit(k)), " "))))
+          .otherwise(array().cast("array<long>")).as("_gh"))
+      .select(col("doc"), posexplode(col("_gh")).as(Seq("i0", "h")))
+      .select(col("doc"), (col("i0") + 1).cast("long").as("i"), col("h"))
+      .transform(graft.CacheRegistry.persistTracked(_))
+    val dupH = grams.groupBy("h")
+      .agg(min("doc").as("_mn"), max("doc").as("_mx"))
+      .filter(col("_mn") =!= col("_mx")).select("h")
+    val dup = grams.join(dupH, "h").select("doc", "i")
+    val wLag = Window.partitionBy("doc").orderBy("i")
+    val brk = dup
+      .withColumn("_b",
+        when(coalesce(lag(col("i"), 1).over(wLag), lit(-1000000L)) + k < col("i"),
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("island",
+        sum(col("_b")).over(wLag.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    brk.groupBy("doc", "island")
+      .agg(min("i").as("span_start"),
+        (max("i") + (k - 1)).as("span_end"),
+        (max("i") + k - min(col("i"))).as("span_toks"))
+      .drop("island")
+  }
 
   /** Quality heuristics: char/word counts, mean word length, long-word and
     * stopword ratios, est. LLM tokens (chars/4 rule), plus a composite

@@ -62,4 +62,26 @@ class SampleOpsSpec extends SparkSpec {
     // chars/4 estimate: ceil(len/4) — spot-check doc 0: 50 tokens of "w " = 99 chars
     assert(out.find(_._1 == 0L).get._3 == math.ceil(99 / 4.0).toLong)
   }
+
+  test("mixtureTemperature: rates derived as sqrt(cmin/c), rarest kept whole") {
+    // 500 de / 1500 en → rate(de) = 1, rate(en) = sqrt(500/1500)
+    val out = SampleOps.mixtureTemperature(docs, "id", "lang", salt = "mt")
+    val rates = out.select("lang", "rate").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(rates("de") == 1.0)
+    assert(rates("en") == math.sqrt(500.0 / 1500.0))
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("de") == 500) // rate 1 keeps the whole rarest stratum
+    // 1500 × 0.577 ≈ 866 ± 5σ ≈ ±96
+    assert(math.abs(byLang("en") - 866) < 100, s"got ${byLang("en")}")
+    // the en selection equals a bernoulli at the derived rate (same salt)
+    val enOnly = SampleOps.bernoulli(docs.filter($"lang" === "en"), "id",
+      math.sqrt(500.0 / 1500.0), "mt").select("id").as[Long].collect().toSet
+    assert(out.filter($"lang" === "en").select("id").as[Long].collect().toSet
+      == enOnly)
+    // determinism across re-runs
+    val again = SampleOps.mixtureTemperature(docs, "id", "lang", salt = "mt")
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+  }
 }

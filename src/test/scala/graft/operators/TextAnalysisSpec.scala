@@ -117,4 +117,69 @@ class TextAnalysisSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
     assert(out(1L) == "a\nb\nc" && out(2L) == "a\nx")
   }
+
+  test("substringDedupSpans: cross-doc spans found, merged, and bounded") {
+    // shared run of 6 tokens s1..s6 inside two docs; doc 3 clean; doc 4
+    // repeats a gram WITHIN itself only (must NOT count as duplicated)
+    val shared = (1 to 6).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a b c $shared x y z"),
+      (2L, s"p q $shared r"),
+      (3L, "totally unrelated text with no overlap at all whatsoever"),
+      (4L, "m n o m n o m n o m n o")) // self-repetition only
+      .toDF("doc_id", "text")
+    val out = TextOps.substringDedupSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    graft.CacheRegistry.releaseAll()
+    // doc 1: tokens a b c s1..s6 x y z — the duplicated 3-grams are those
+    // fully inside s1..s6: positions 4..7, one merged span [4, 9]
+    // doc 2: tokens p q s1..s6 r — positions 3..6 → span [3, 8]
+    assert(out sameElements Array(
+      (1L, 4L, 9L, 6L), (2L, 3L, 8L, 6L)))
+  }
+
+  test("substringDedupSpans: adjacent-but-distinct gram islands stay split") {
+    // two duplicated grams separated by a gap > k must yield two spans
+    val docs = Seq(
+      (1L, "dup1 dup1 dup1 g1 g2 g3 g4 g5 dup2 dup2 dup2"),
+      (2L, "dup1 dup1 dup1 h1 h2 h3 h4 h5 dup2 dup2 dup2"))
+      .toDF("doc_id", "text")
+    val out = TextOps.substringDedupSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    graft.CacheRegistry.releaseAll()
+    assert(out sameElements Array(
+      (1L, 1L, 3L), (1L, 9L, 11L), (2L, 1L, 3L), (2L, 9L, 11L)))
+  }
+
+  test("decontaminateBloom ≡ decontaminate even at an absurd fpp") {
+    // fpp = 0.5 floods the prefilter with false positives — the exact
+    // verify join must remove every one (bit-identical outputs)
+    val bench = (0 until 50).map(i =>
+      (1000L + i, s"alpha$i beta$i gamma$i delta$i")).toDF("doc_id", "text")
+    val train = (0 until 500).map { i =>
+      val t = if (i % 10 == 0) s"x alpha${i % 50} beta${i % 50} gamma${i % 50} y"
+      else s"t$i u$i v$i w$i"
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    val exact = canon(TextOps.decontaminate(train, bench, "doc_id", "text"))
+    graft.CacheRegistry.releaseAll()
+    val bloomy = canon(TextOps.decontaminateBloom(train, bench, "doc_id",
+      "text", fpp = 0.5))
+    graft.CacheRegistry.releaseAll()
+    assert(bloomy == exact)
+    // and the planted contamination is actually found (non-vacuous)
+    assert(exact.count(_._4) == 50)
+  }
+
+  test("substringDedupSpans: docs shorter than k produce no rows") {
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextOps.substringDedupSpans(docs, "doc_id", "text", k = 3)
+    assert(out.count() == 0)
+    graft.CacheRegistry.releaseAll()
+  }
 }
