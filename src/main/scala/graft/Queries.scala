@@ -902,14 +902,35 @@ object Queries {
   /** ANN via the TWO-LEVEL IVF-PQ ([[operators.VectorOps.ivfPqHierTopK]]):
     * hier coarse quantizer + residual PQ + joint child ranking across the
     * probed supers, exact re-rank, k=3 — oracle-attested end to end (the
-    * hier-cells chain composed with the grouped residual-PQ replay). */
-  def annIvfPqHierTopk(s: SparkSession, dir: String): DataFrame =
-    operators.VectorOps.ivfPqHierTopK(Tables.embeddings(s, dir), "vec_id",
-        "embedding", col("v_id") < 10, k = 3,
-        k1 = annIvfPqHierK1, k2 = annIvfPqHierK2,
-        probeSupers = annIvfPqHierProbeSupers, nprobe = annIvfPqHierNprobe)
+    * hier-cells chain composed with the grouped residual-PQ replay).
+    *
+    * INDEX-FED (r9, same amortization as [[annIvfPqTopk]]): the hier
+    * quantizer fit + corpus encode happen ONCE into the persisted
+    * cell-partitioned artifact via the arity-dispatched [[operators
+    * .AnnIndexIO.buildAuto]] (nCells = k1·k2 = 10⁴ ⇒ the hier path,
+    * k1 = k2 = ⌈√10⁴⌉ = 100 — the same arity as the inline form);
+    * repeated searches reuse it. AnnIndexSpec pins buildAuto+searchAuto
+    * bit-identical to the inline [[operators.VectorOps.ivfPqHierTopK]],
+    * so the inline-lineage oracle attests the served plan too. */
+  def annIvfPqHierTopk(s: SparkSession, dir: String): DataFrame = {
+    require(operators.VectorOps.hierArity(annIvfPqHierK1 * annIvfPqHierK2)
+      == annIvfPqHierK1 && annIvfPqHierK1 == annIvfPqHierK2,
+      "index-fed arity must match the inline/oracle form")
+    val emb = Tables.embeddings(s, dir)
+    val nCells = annIvfPqHierK1 * annIvfPqHierK2
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|nCells=$nCells".getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val idxPath = s"${Queries.privateIndexBase}/graft_ann_idx_$tag"
+    if (!new java.io.File(s"$idxPath/index").exists())
+      operators.AnnIndexIO.buildAuto(emb, "vec_id", "embedding", idxPath,
+        nCells = nCells)
+    operators.AnnIndexIO.searchAuto(s, idxPath, emb, "vec_id", "embedding",
+        col("v_id") < 10, k = 3, nprobe = annIvfPqHierNprobe,
+        probeSupers = annIvfPqHierProbeSupers)
       .select(col("q_id"), col("rank"), col("n_id"),
         (round(col("sim"), 6) + 0.0).as("sim"))
+  }
 
   /** Shared with the oracle builder so the threshold can't drift. */
   val semDedupThreshold: Double = 0.45

@@ -219,6 +219,75 @@ object AnnIndexIO {
         sampleN).nonEmpty
     }
 
+  /** INCREMENTAL append — index maintenance without a quantizer retrain:
+    * encode `newVecs` against the PERSISTED quantizer (flat or hier, from
+    * the `_KIND` sidecar) and append the encoded rows to the
+    * cell-partitioned `index/` table. Cell-partitioned parquet makes this
+    * cheap at any scale: an append only ADDS files under the touched
+    * `cid=` directories — no rewrite, no shuffle of the existing corpus,
+    * and a concurrent [[searchAuto]] keeps partition-pruning correctly.
+    *
+    * This is the daily-ingest shape for a served 100 TB index: the
+    * expensive pass (quantizer fit) amortizes across appends, encode is
+    * one map-only pass over the NEW batch. The price is quantizer drift —
+    * appended vectors from a shifted distribution crowd into few cells,
+    * degrading probe recall — which is what [[occupancyStats]] watches;
+    * when it recommends a retrain, [[buildAuto]] rebuilds from the full
+    * corpus. Searching appended rows is bit-identical to a fresh encode
+    * of the union with the SAME model (spec-pinned): search correctness
+    * never depends on WHEN a row was encoded, only on the model version.
+    */
+  def appendAuto(spark: SparkSession, path: String, newVecs: DataFrame,
+                 idCol: String, vecCol: String): Unit = {
+    val isHier = readKind(spark, path) match {
+      case Some(kind) => kind == "hier"
+      case None => spark.read.parquet(s"$path/quantizer")
+        .filter(col("kind") === "super").limit(1).count() > 0
+    }
+    val encoded =
+      if (isHier) {
+        val model = hierModelFromDF(spark.read.parquet(s"$path/quantizer"))
+        VectorOps.ivfPqEncodeHierNormalized(
+          VectorOps.normalized(newVecs, idCol, vecCol)
+            .select(col(idCol).as("v_id"), col("vn")), model)
+      } else {
+        val model = modelFromDF(spark.read.parquet(s"$path/quantizer"))
+        VectorOps.ivfPqEncode(newVecs, idCol, vecCol, model)
+      }
+    encoded.write.mode("append").partitionBy("cid").parquet(s"$path/index")
+  }
+
+  /** Cell-occupancy monitor for a built index: one map-side-combined
+    * aggregate over the (pruned-to-metadata) index scan. Returns a
+    * single-row frame —
+    * `n_rows, n_cells, mean_occupancy, max_occupancy, skew,
+    *  recommend_retrain` — where `skew = max/mean` and the retrain flag
+    * trips at `skew > skewThreshold`. A healthy quantizer keeps cells
+    * near-uniform; drifted appends pile into few cells, which first
+    * costs probe recall (queries probe `nprobe` cells, a crowded cell
+    * holds more of the true neighbors' competitors) and then search
+    * latency (one giant cell serializes its partition's scan).
+    *
+    * NOTE `skew = max/mean` is bounded above by the POPULATED cell count
+    * (all rows in one cell of c gives skew = c), so the default
+    * threshold 8 assumes production arity (hundreds of cells or more);
+    * a toy index with < ~16 populated cells needs a proportionally
+    * smaller `skewThreshold` to be able to trip at all. */
+  def occupancyStats(spark: SparkSession, path: String,
+                     skewThreshold: Double = 8.0): DataFrame = {
+    val perCell = spark.read.parquet(s"$path/index")
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+    perCell.agg(
+        sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_cells"),
+        avg(col("n")).as("mean_occupancy"),
+        max(col("n")).as("max_occupancy"))
+      .select(col("n_rows"), col("n_cells"), col("mean_occupancy"),
+        col("max_occupancy"),
+        (col("max_occupancy") / col("mean_occupancy")).as("skew"))
+      .withColumn("recommend_retrain", col("skew") > skewThreshold)
+  }
+
   /** Search a [[buildAuto]]-built index: dispatches on the persisted
     * quantizer kind (hier ⇒ probed `probeSupers` supers wide; flat ⇒
     * `probeSupers` ignored). Bit-identical to the matching explicit

@@ -199,4 +199,84 @@ class AnnIndexSpec extends SparkSpec {
       assert(streamed == batch, s"split $splitSize diverged from batch")
     }
   }
+
+  test("appendAuto: built-on-half + appended-half == one encode of the union") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("sim"))))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val first = vecs.filter(col("vec_id") < 60)
+    val rest = vecs.filter(col("vec_id") >= 60)
+    val qp = col("v_id") < 10
+    // flat path: quantizer fitted on the FIRST HALF ONLY, second half
+    // encoded against that frozen model via appendAuto
+    val dir = tmpDir("append_flat")
+    assert(AnnIndexIO.buildAuto(first, "vec_id", "embedding", dir, nCells = 8))
+    AnnIndexIO.appendAuto(spark, dir, rest, "vec_id", "embedding")
+    val appended = rows(AnnIndexIO.searchAuto(spark, dir, vecs, "vec_id",
+      "embedding", qp, k = 3, nprobe = 3))
+    graft.CacheRegistry.releaseAll()
+    // reference: the SAME frozen model encoding the whole corpus at once
+    val model = AnnIndexIO.loadModel(spark, dir)
+    val oneShot = rows(VectorOps.ivfPqSearch(model,
+      VectorOps.ivfPqEncode(vecs, "vec_id", "embedding", model),
+      vecs, "vec_id", "embedding", qp, k = 3, nprobe = 3))
+    graft.CacheRegistry.releaseAll()
+    assert(appended.nonEmpty && appended == oneShot)
+    // appended rows landed in the cell partitions, not a side table
+    assert(AnnIndexIO.occupancyStats(spark, dir)
+      .collect()(0).getAs[Long]("n_rows") == 120L)
+  }
+
+  test("appendAuto on a hier index dispatches via the sidecar") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"))).sortBy(t => (t._1, t._2)).toSeq
+    val first = vecs.filter(col("vec_id") < 60)
+    val rest = vecs.filter(col("vec_id") >= 60)
+    val qp = col("v_id") < 10
+    val dir = tmpDir("append_hier")
+    // 3×3 supers×children: small but exercises the hier encode+search
+    assert(AnnIndexIO.buildAuto(first, "vec_id", "embedding", dir,
+      nCells = 9, hierThreshold = 9))
+    AnnIndexIO.appendAuto(spark, dir, rest, "vec_id", "embedding")
+    val appended = key(AnnIndexIO.searchAuto(spark, dir, vecs, "vec_id",
+      "embedding", qp, k = 3, nprobe = 4, probeSupers = 2))
+    graft.CacheRegistry.releaseAll()
+    val model = AnnIndexIO.hierModelFromDF(
+      spark.read.parquet(s"$dir/quantizer"))
+    val vnorm = VectorOps.normalized(vecs, "vec_id", "embedding")
+      .select(col("vec_id").as("v_id"), col("vn"))
+    val oneShot = key(VectorOps.ivfPqSearchHierNormalized(model,
+      VectorOps.ivfPqEncodeHierNormalized(vnorm, model), vnorm,
+      qp, k = 3, probeSupers = 2, nprobe = 4, rerank = 10))
+    graft.CacheRegistry.releaseAll()
+    assert(appended.nonEmpty && appended == oneShot)
+  }
+
+  test("occupancyStats flags a drifted append, stays quiet on a healthy one") {
+    val dir = tmpDir("occupancy")
+    assert(AnnIndexIO.buildAuto(vecs, "vec_id", "embedding", dir, nCells = 8))
+    // skew = max/mean is bounded by the populated-cell count (8 here),
+    // so this toy index probes with a proportional threshold, not the
+    // production default (see occupancyStats doc)
+    val thr = 4.0
+    val healthy = AnnIndexIO.occupancyStats(spark, dir, thr).collect()(0)
+    assert(healthy.getAs[Long]("n_rows") == 120L)
+    assert(!healthy.getAs[Boolean]("recommend_retrain"),
+      s"healthy build flagged: skew ${healthy.getAs[Double]("skew")}")
+    // drift: a large batch from ONE tight off-distribution cluster —
+    // every appended vector lands in the same coarse cell
+    val rng = new scala.util.Random(97)
+    val off = Array.fill(64)(rng.nextGaussian() * 3)
+    val drifted = Seq.tabulate(2000) { i =>
+      (10000L + i, off.map(x => (x + 0.01 * rng.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    AnnIndexIO.appendAuto(spark, dir, drifted, "vec_id", "embedding")
+    val after = AnnIndexIO.occupancyStats(spark, dir, thr).collect()(0)
+    assert(after.getAs[Long]("n_rows") == 2120L)
+    assert(after.getAs[Boolean]("recommend_retrain"),
+      s"drifted append not flagged: skew ${after.getAs[Double]("skew")}")
+  }
 }
