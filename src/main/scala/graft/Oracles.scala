@@ -1421,6 +1421,43 @@ object Oracles {
          |FROM isl GROUP BY doc, island""".stripMargin
     },
 
+    // MOSS winnowing replay: dense grams -> per-window rightmost-min
+    // selection (windows exploded; short docs = one whole-doc window,
+    // the documented deviation) -> distinct (doc, h) -> rank cap ->
+    // pair counts; constants shared with TextOps.winnowPairs
+    "text_winnow_pairs" -> {
+      val k = graft.Queries.winnowK
+      val w = graft.Queries.winnowW
+      val cap = graft.operators.TextOps.DefaultMaxBandBucket
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+         |    string_split(trim(text), ' ') AS toks FROM documents),
+         |nn AS (SELECT doc, toks, len(toks) AS n FROM d),
+         |g AS (SELECT doc, unnest(range(1, n - $k + 2)) AS i, toks
+         |  FROM nn WHERE n >= $k),
+         |h AS (SELECT doc, i, ('0x' || substr(md5(
+         |    array_to_string(toks[i:i+${k - 1}], ' ')), 1, 15))::BIGINT AS h
+         |  FROM g),
+         |gc AS (SELECT doc, max(i) AS gmax FROM h GROUP BY doc),
+         |win AS (SELECT doc,
+         |  CASE WHEN gmax >= $w THEN gmax - ${w - 1} ELSE 1 END AS nwin,
+         |  CASE WHEN gmax >= $w THEN $w ELSE gmax END AS wlen FROM gc),
+         |wj AS (SELECT doc, unnest(range(1, nwin + 1)) AS j, wlen FROM win),
+         |pr AS (SELECT w.doc, w.j, hh.i, hh.h FROM wj w JOIN h hh
+         |  ON hh.doc = w.doc AND hh.i >= w.j AND hh.i < w.j + w.wlen),
+         |wm AS (SELECT doc, j, min(h) AS mh FROM pr GROUP BY doc, j),
+         |pick AS (SELECT pr.doc, pr.j, max(pr.i) AS si FROM pr
+         |  JOIN wm USING (doc, j) WHERE pr.h = wm.mh GROUP BY pr.doc, pr.j),
+         |fp AS (SELECT DISTINCT s.doc, h.h
+         |  FROM (SELECT DISTINCT doc, si FROM pick) s
+         |  JOIN h ON h.doc = s.doc AND h.i = s.si),
+         |rk AS (SELECT doc, h,
+         |  row_number() OVER (PARTITION BY h ORDER BY doc) AS r FROM fp),
+         |cap AS (SELECT doc, h FROM rk WHERE r <= $cap)
+         |SELECT a.doc AS doc_a, b.doc AS doc_b, count(*)::BIGINT AS n_shared
+         |FROM cap a JOIN cap b ON a.h = b.h AND a.doc < b.doc
+         |GROUP BY 1, 2 HAVING count(*) >= 1""".stripMargin
+    },
+
     // repetition metrics; distinct 3-grams mirror TextOps.shinglesOf
     "text_repetition" ->
       """WITH d AS (SELECT doc_id AS doc, string_split(trim(text), ' ') AS toks

@@ -797,6 +797,20 @@ object Queries {
     TextOps.substringDedupSpans(Tables.documents(s, dir), "doc_id", "text",
       k = substringDedupK)
 
+  /** Gram width / winnow window for the MOSS fingerprint query — shared
+    * with the oracle builder. Detection guarantee: shared runs of
+    * ≥ w + k − 1 = 8 tokens always collide on a selected fingerprint. */
+  val winnowK: Int = 5
+  val winnowW: Int = 4
+
+  /** MOSS-style winnowed-fingerprint candidate pairs ([[operators
+    * .TextOps.winnowPairs]]): the published position-thinning lever for
+    * substring-level dedup ([[textSubstringDedup]]'s 100 TB path),
+    * selection replayed window-by-window in the oracle. */
+  def textWinnowPairs(s: SparkSession, dir: String): DataFrame =
+    TextOps.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
+      k = winnowK, w = winnowW)
+
   /** Repetition / boilerplate metrics per document. */
   def textRepetition(s: SparkSession, dir: String): DataFrame =
     TextOps.repetitionStats(Tables.documents(s, dir), "doc_id", "text")

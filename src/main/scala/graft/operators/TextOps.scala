@@ -655,17 +655,31 @@ object TextOps {
     * per token); the standard tightening is winnowing (Schleimer et al.,
     * SIGMOD'03) — keep only per-window minimum hashes, which this
     * layout composes with by replacing step 1's dense positions. */
-  def substringDedupSpans(docs: DataFrame, idCol: String, textCol: String,
-                          k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = docs.repartition(col(idCol))
+  /** (doc, _gh): per-document array of `hash60(md5)` k-token-gram keys,
+    * position p (1-based) at array index p. The token array materializes
+    * as a named column before the gram lambda (docs/SCALE.md pitfall 1).
+    * Shared by [[substringDedupSpans]] (dense positions) and
+    * [[winnowedFingerprints]] (row-local thinning BEFORE the explode). */
+  private def gramHashArray(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int): DataFrame =
+    docs.repartition(col(idCol))
       .select(col(idCol).cast("long").as("doc"), tokens(col(textCol)).as("_toks"))
       .select(col("doc"),
         when(size(col("_toks")) >= k,
           transform(sequence(lit(1), size(col("_toks")) - (k - 1)), i =>
             hash60(array_join(slice(col("_toks"), i, lit(k)), " "))))
           .otherwise(array().cast("array<long>")).as("_gh"))
-      .select(col("doc"), posexplode(col("_gh")).as(Seq("i0", "h")))
+
+  def substringDedupSpans(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // posexplode_OUTER + post-filter (not posexplode): the inferred
+    // `size > 0` generate-filter would re-evaluate the whole gram
+    // transform in a pushed-down scan Filter — 2× the md5 work here,
+    // quadratic for winnow (docs/SCALE.md pitfall 1b)
+    val grams = gramHashArray(docs, idCol, textCol, k)
+      .select(col("doc"), posexplode_outer(col("_gh")).as(Seq("i0", "h")))
+      .filter(col("h").isNotNull)
       .select(col("doc"), (col("i0") + 1).cast("long").as("i"), col("h"))
       .transform(graft.CacheRegistry.persistTracked(_))
     val dupH = grams.groupBy("h")
@@ -685,6 +699,88 @@ object TextOps {
         (max("i") + (k - 1)).as("span_end"),
         (max("i") + k - min(col("i"))).as("span_toks"))
       .drop("island")
+  }
+
+  /** WINNOWED document fingerprints (Schleimer, Wilkerson, Aiken —
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03; the MOSS selection rule): from each doc's dense k-token
+    * gram-hash sequence, keep only the RIGHTMOST MINIMUM of every window
+    * of `w` consecutive hashes. Guarantee: any shared token run of
+    * length ≥ w + k − 1 contains a full common window in both documents,
+    * whose (context-free) pick is the same gram — so every sufficiently
+    * long match still collides on at least one selected fingerprint,
+    * while the position stream thins ~w/2× on random text. This is the
+    * published tightening [[substringDedupSpans]]'s scaladoc points at:
+    * selection happens ROW-LOCALLY on the per-doc hash array BEFORE the
+    * explode, so the thinning is real — the shuffle moves only selected
+    * positions.
+    *
+    * Docs with 1 ≤ grams < w have no full window; plain winnowing emits
+    * nothing for them, which would blind dedup to short documents — we
+    * treat the whole doc as one window (select its rightmost global
+    * min), a documented deviation mirrored by the oracle.
+    *
+    * The selection is an O(G·w) codegen'd HOF chain (windows ×
+    * in-window argmin); the O(G) monotonic-deque form only pays off once
+    * w is large, which dedup configs (w ≤ 16) don't reach.
+    * Returns (doc, i, h) — selected 1-based position and its gram key. */
+  def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 5, w: Int = 4): DataFrame = {
+    require(w >= 1, s"window w=$w must be >= 1")
+    val gh = col("_gh")
+    // rightmost argmin over positions [j, j+len-1] of the hash array:
+    // <= keeps the LATER equal hash, which is exactly the rightmost-
+    // minimum tie rule
+    def pick(j: Column, len: Column) =
+      aggregate(sequence(j, j + len - 1),
+        struct(lit(Long.MaxValue).as("mh"), lit(0).as("mp")),
+        (acc, q) => when(element_at(gh, q) <= acc.getField("mh"),
+          struct(element_at(gh, q).as("mh"), q.as("mp"))).otherwise(acc))
+        .getField("mp")
+    val selected =
+      when(size(gh) >= w,
+        array_distinct(transform(sequence(lit(1), size(gh) - (w - 1)),
+          j => pick(j, lit(w)))))
+      .when(size(gh) >= 1, array(pick(lit(1), size(gh))))
+      .otherwise(array().cast("array<int>"))
+    // (i, h) pairs are materialized BEFORE the explode so the gram array
+    // itself never rides through the exploded stream.
+    // explode_OUTER + post-filter, NOT explode: InferFiltersFromGenerate
+    // would add `size(_fp) > 0`, and predicate pushdown substitutes the
+    // ENTIRE selection expression into a scan-side Filter where it
+    // re-evaluates as one giant no-CSE expression — measured 65 s → 2 s
+    // at sf0.01 (docs/SCALE.md pitfall 1b)
+    gramHashArray(docs, idCol, textCol, k)
+      .select(col("doc"),
+        transform(selected, p =>
+          struct(p.cast("long").as("i"), element_at(gh, p).as("h"))).as("_fp"))
+      .select(col("doc"), explode_outer(col("_fp")).as("fp"))
+      .filter(col("fp").isNotNull)
+      .select(col("doc"), col("fp.i").as("i"), col("fp.h").as("h"))
+  }
+
+  /** MOSS-style near-dup CANDIDATE PAIRS from winnowed fingerprints:
+    * docs sharing ≥ `minShared` selected fingerprints, with the shared
+    * count. The join is on the thinned fingerprint stream (~2/w of the
+    * gram positions), and hot fingerprints — corpus-wide boilerplate —
+    * are rank-capped per bucket exactly like the LSH band buckets
+    * ([[DefaultMaxBandBucket]] semantics): deterministic by id-rank, so
+    * the cap is a recall lever, not a nondeterminism source. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 5, w: Int = 4, minShared: Int = 1,
+                  maxBucket: Int = DefaultMaxBandBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = winnowedFingerprints(docs, idCol, textCol, k, w)
+      .select(col("doc"), col("h")).distinct()
+      .transform(graft.CacheRegistry.persistTracked(_))
+    val ranked = fp.withColumn("_r",
+      row_number().over(Window.partitionBy("h").orderBy("doc")))
+      .filter(col("_r") <= maxBucket).drop("_r")
+    ranked.as("a").join(ranked.as("b"),
+        col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** Quality heuristics: char/word counts, mean word length, long-word and

@@ -176,6 +176,63 @@ class TextAnalysisSpec extends SparkSpec {
     assert(exact.count(_._4) == 50)
   }
 
+  test("winnowedFingerprints == brute per-window rightmost-min reference") {
+    val rng = new scala.util.Random(11)
+    val vocab = Array.tabulate(40)(i => s"v$i")
+    val docs = Seq.tabulate(30) { d =>
+      val n = 1 + rng.nextInt(25) // includes < k and < w shapes
+      (d.toLong, Seq.fill(n)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val (k, w) = (3, 4)
+    val got = TextOps.winnowedFingerprints(docs, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute reference: dense gram hashes per doc, every full window's
+    // rightmost min (whole doc as one window when grams < w)
+    def hash60Ref(s: String): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.take(15), 16)
+    }
+    val want = docs.collect().flatMap { r =>
+      val toks = r.getString(1).trim.split(" ")
+      val grams = (0 to toks.length - k)
+        .map(i => hash60Ref(toks.slice(i, i + k).mkString(" ")))
+      if (grams.isEmpty) Seq.empty
+      else {
+        val windows =
+          if (grams.length >= w) (0 to grams.length - w).map(j => (j, w))
+          else Seq((0, grams.length))
+        windows.map { case (j, len) =>
+          val p = (j until j + len).minBy(q => (grams(q), -q))
+          (r.getLong(0), (p + 1).toLong)
+        }.distinct
+      }
+    }.toSet
+    assert(got == want)
+    // thinning is real: ≈ 2/(w+1) of dense positions on random text
+    val dense = docs.collect().map(r =>
+      math.max(r.getString(1).trim.split(" ").length - k + 1, 0)).sum
+    assert(got.size < dense, s"no thinning: ${got.size} of $dense")
+  }
+
+  test("winnowing guarantee: shared runs >= w+k-1 tokens always collide") {
+    val rng = new scala.util.Random(23)
+    val vocab = Array.tabulate(50)(i => s"u$i")
+    val (k, w) = (5, 4)
+    val shared = Seq.fill(w + k - 1)(vocab(rng.nextInt(50))).mkString(" ")
+    val docs = Seq.tabulate(20) { d =>
+      val pre = Seq.fill(rng.nextInt(15))(vocab(rng.nextInt(50))).mkString(" ")
+      val post = Seq.fill(rng.nextInt(15))(vocab(rng.nextInt(50))).mkString(" ")
+      (d.toLong, s"$pre $shared $post".trim)
+    }.toDF("doc_id", "text")
+    val pairs = TextOps.winnowPairs(docs, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CacheRegistry.releaseAll()
+    // every doc pair shares the planted run -> every pair must appear
+    val all = (for (a <- 0L until 20L; b <- a + 1 until 20L) yield (a, b)).toSet
+    assert(pairs == all, s"missing ${(all -- pairs).take(5)}")
+  }
+
   test("substringDedupSpans: docs shorter than k produce no rows") {
     val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
     val out = TextOps.substringDedupSpans(docs, "doc_id", "text", k = 3)
