@@ -2,26 +2,39 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev probe: is the winnow selection plan re-computing the gram array
-  * per element_at (CollapseProject inlining, docs/SCALE.md pitfall 1)?
-  * Prints md5-occurrence count in the optimized plan + wall time. */
+/** Dev probe for docs/SCALE.md pitfall 1b: does a query's optimized plan
+  * contain a Filter node with an expensive kernel substituted into it
+  * (InferFiltersFromGenerate + pushdown re-evaluating a computed-array
+  * producer)? Dumps suspicious Filter lines per SparkEntry query.
+  *
+  * Usage: runMain graft.tools.WinnowProbe [queryName ...]
+  * (no args = a curated list of explode-bearing queries) */
 object WinnowProbe {
+  val Suspicious = Seq("md5", "shingle_hash60", "minhash_sig", "sequence(",
+    "array_sq_dist", "transform(", "aggregate(")
+
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "text_substring_dedup", "text_winnow_pairs", "text_decontaminate",
+      "text_decontaminate_bloom", "dedup_simhash", "bm25_topk",
+      "ann_ivf_topk", "ann_ivf_pq_topk", "w7_resample", "dedup_minhash_lsh")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = graft.Tables.documents(spark, dir)
-    val fp = graft.operators.TextOps.winnowedFingerprints(docs, "doc_id", "text")
-    val plan = fp.queryExecution.optimizedPlan.toString
-    println(s"[probe] md5 occurrences in optimized plan: " +
-      "md5".r.findAllIn(plan).length)
-    println(s"[probe] plan size chars: ${plan.length}")
-    plan.split("\n").foreach(l => println("[plan] " + l.take(400)))
-    val t0 = System.nanoTime()
-    val n = fp.count()
-    println(f"[probe] winnowedFingerprints count=$n in ${(System.nanoTime()-t0)/1e9}%.2f s")
+    names.foreach { n =>
+      try {
+        val plan = graft.SparkEntry.queries(n)(spark, dir)
+          .queryExecution.optimizedPlan.toString
+        val bad = plan.split("\n").filter(l =>
+          l.contains("Filter ") && Suspicious.exists(l.contains))
+        println(s"[probe] $n: ${bad.length} suspicious Filter line(s)")
+        bad.foreach(l => println("[probe]   " + l.trim.take(300)))
+      } catch { case e: Throwable =>
+        println(s"[probe] $n: ERROR ${e.getMessage}")
+      } finally graft.CacheRegistry.releaseAll()
+    }
     spark.stop()
   }
 }

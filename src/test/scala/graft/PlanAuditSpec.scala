@@ -247,4 +247,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"),
       s"epoch tagging should be scan-local (union of filters):\n$p")
   }
+
+  test("winnow/substring gram pass evaluates ONCE (pitfall 1b pinned)") {
+    // a non-outer explode would let InferFiltersFromGenerate +
+    // predicate pushdown substitute the whole gram/selection chain into
+    // a scan Filter — md5 would then appear in several plan positions
+    // and re-evaluate with no CSE (measured 22× on winnow selection)
+    val docs = Tables.documents(spark, dir)
+    val winnowed = operators.TextOps
+      .winnowedFingerprints(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert("md5".r.findAllIn(winnowed).length == 1,
+      s"gram hash duplicated in winnow plan:\n${winnowed.take(3000)}")
+    // the spans plan persists the gram table and reads it twice, so md5
+    // prints once per cached consumer — the pitfall's actual signature
+    // is the gram chain substituted into a FILTER node
+    val spans = operators.TextOps
+      .substringDedupSpans(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    graft.CacheRegistry.releaseAll()
+    val md5Filters = spans.split("\n")
+      .filter(l => l.contains("Filter ") && l.contains("md5"))
+    assert(md5Filters.isEmpty,
+      s"gram hash substituted into a Filter:\n${md5Filters.mkString("\n").take(2000)}")
+  }
 }
