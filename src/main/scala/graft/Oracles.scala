@@ -1421,6 +1421,40 @@ object Oracles {
          |FROM isl GROUP BY doc, island""".stripMargin
     },
 
+    // nearest-centroid quality classifier replay: features (exact ratio
+    // arithmetic), planted train split + quality-rule labels, per-class
+    // conditional-mean centroids (the ONLY rounded aggregates, 6 dp),
+    // squared-distance compare with the same left-assoc term order
+    "quality_classify" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+        |    string_split(trim(text), ' ') AS toks,
+        |    length(trim(text)) AS nc FROM documents),
+        |f AS (SELECT doc,
+        |  len(list_filter(toks, w -> w IN ('the','a','of','and','to','in')))::DOUBLE
+        |    / len(toks) AS f1,
+        |  len(list_filter(toks, w -> length(w) > 6))::DOUBLE / len(toks) AS f2,
+        |  nc::DOUBLE / len(toks)::DOUBLE / 1.0e1 AS f3,
+        |  (1.0e0
+        |    - (CASE WHEN len(list_filter(toks, w -> w IN ('the','a','of','and','to','in')))::DOUBLE / len(toks) < 2.0e-2 THEN 4.0e-1 ELSE 0.0e0 END)
+        |    - (CASE WHEN len(toks) < 5 THEN 4.0e-1 ELSE 0.0e0 END)
+        |    - (CASE WHEN len(list_filter(toks, w -> length(w) > 6))::DOUBLE / len(toks) > 5.0e-1 THEN 2.0e-1 ELSE 0.0e0 END)
+        |  ) >= 8.0e-1 AS y,
+        |  doc % 5 = 0 AS tr FROM d),
+        |c AS (SELECT
+        |  round(avg(CASE WHEN y THEN f1 END), 6) AS a1,
+        |  round(avg(CASE WHEN y THEN f2 END), 6) AS a2,
+        |  round(avg(CASE WHEN y THEN f3 END), 6) AS a3,
+        |  round(avg(CASE WHEN NOT y THEN f1 END), 6) AS b1,
+        |  round(avg(CASE WHEN NOT y THEN f2 END), 6) AS b2,
+        |  round(avg(CASE WHEN NOT y THEN f3 END), 6) AS b3
+        |  FROM f WHERE tr)
+        |SELECT f.doc, f.tr AS is_train,
+        |  ((f1-a1)*(f1-a1) + (f2-a2)*(f2-a2) + (f3-a3)*(f3-a3)) <
+        |    ((f1-b1)*(f1-b1) + (f2-b2)*(f2-b2) + (f3-b3)*(f3-b3)) AS label_pred,
+        |  ((f1-b1)*(f1-b1) + (f2-b2)*(f2-b2) + (f3-b3)*(f3-b3)) -
+        |    ((f1-a1)*(f1-a1) + (f2-a2)*(f2-a2) + (f3-a3)*(f3-a3)) AS margin
+        |FROM f CROSS JOIN c""".stripMargin,
+
     // MOSS winnowing replay: dense grams -> per-window rightmost-min
     // selection (windows exploded; short docs = one whole-doc window,
     // the documented deviation) -> distinct (doc, h) -> rank cap ->

@@ -732,6 +732,17 @@ object Queries {
       "doc_id", "text")
   }
 
+  /** Model-based quality gate ([[operators.TextOps.centroidClassifier]]):
+    * nearest-centroid classifier trained on the planted 20% split
+    * (doc_id % 5 == 0) with labels from the composite quality rule,
+    * applied corpus-wide. The oracle replays train (conditional-mean
+    * centroids, the only rounded aggregates) AND apply (exact distance
+    * arithmetic) in SQL. */
+  def qualityClassify(s: SparkSession, dir: String): DataFrame =
+    TextOps.centroidClassifier(Tables.documents(s, dir), "doc_id", "text",
+      isTrain = col("doc_id") % 5 === 0,
+      label = TextOps.qualityCol(col("text")) >= 0.8)
+
   /** Decontamination via the BLOOM-PREFILTERED plan ([[operators.TextOps
     * .decontaminateBloom]]) — the shape for benchmark sets too big to
     * broadcast: broadcast sketch + row-local prefilter + exact verify

@@ -622,6 +622,61 @@ object TextOps {
       when(longRatio > 0.5, 0.2).otherwise(0.0)
   }
 
+  /** MODEL-BASED quality filtering — a nearest-centroid (Rocchio)
+    * classifier over the row-local quality features, the engine-portable
+    * stand-in for the fastText-style classifiers modern curation stacks
+    * (CCNet, FineWeb-Edu, DCLM) gate documents with. TRAIN: per-class
+    * feature centroids over the rows matching `isTrain` (one map-side-
+    * combined aggregate — conditional means, |classes|·|features| cells
+    * in a single row). APPLY: broadcast the 1-row centroid frame and
+    * label every document by squared-distance comparison — row-local,
+    * zero corpus shuffle, composes with scan pushdown.
+    *
+    * Determinism/parity contract: features are exact ratio arithmetic;
+    * the centroids are the ONLY multi-row aggregates, so they — and
+    * nothing else — are rounded (6 dp, docs/SCALE.md pitfall 5), making
+    * distances and margins deterministic scalar arithmetic an oracle
+    * replays bit-for-bit. A real fastText/DNN classifier slots into the
+    * same shape: its scores become one more row-local column; the
+    * train/broadcast/apply split is what this operator pins.
+    *
+    * Features: stopword ratio, long-word ratio, mean word length / 10
+    * (scaled to the ratios' range). `label` must be non-null on train
+    * rows; a single-class train set yields null centroids for the
+    * missing class and null predictions — surface, don't mask.
+    * Returns (doc, is_train, label_pred, margin); margin = d²(neg) −
+    * d²(pos), positive ⇒ closer to the positive centroid. */
+  def centroidClassifier(docs: DataFrame, idCol: String, textCol: String,
+                         isTrain: Column, label: Column): DataFrame = {
+    val t = trim(col(textCol))
+    val toks = tokens(col(textCol))
+    val stopRatio = size(filter(toks,
+        w => QualityStopwords.map(m => w === m).reduce(_ || _)))
+      .cast("double") / size(toks)
+    val longRatio = size(filter(toks, w => length(w) > 6))
+      .cast("double") / size(toks)
+    val meanLen10 = length(t).cast("double") / size(toks).cast("double") / 10.0
+    val base = docs.select(col(idCol).cast("long").as("doc"),
+      stopRatio.as("f1"), longRatio.as("f2"), meanLen10.as("f3"),
+      isTrain.as("is_train"), label.as("_y"))
+    val feats = Seq("f1", "f2", "f3")
+    val cents = base.filter(col("is_train")).agg(
+      round(avg(when(col("_y"), col("f1"))), 6).as("a1"),
+      round(avg(when(col("_y"), col("f2"))), 6).as("a2"),
+      round(avg(when(col("_y"), col("f3"))), 6).as("a3"),
+      round(avg(when(!col("_y"), col("f1"))), 6).as("b1"),
+      round(avg(when(!col("_y"), col("f2"))), 6).as("b2"),
+      round(avg(when(!col("_y"), col("f3"))), 6).as("b3"))
+    def sqDist(pre: String): Column = feats.zipWithIndex.map { case (f, i) =>
+      val d = col(f) - col(s"$pre${i + 1}")
+      d * d
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(cents))
+      .select(col("doc"), col("is_train"),
+        (sqDist("a") < sqDist("b")).as("label_pred"),
+        (sqDist("b") - sqDist("a")).as("margin"))
+  }
+
   /** chars/4 LLM-token estimate (the heuristic tier next to the exact
     * [[mergeBpeTokenCount]]). */
   def estTokensCol(text: Column): Column =

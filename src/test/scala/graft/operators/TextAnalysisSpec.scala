@@ -233,6 +233,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pairs == all, s"missing ${(all -- pairs).take(5)}")
   }
 
+  test("centroidClassifier separates planted classes, holds out correctly") {
+    // class A: stopword-rich short words; class B: long rare words.
+    // Train on even ids only; odd ids are held out but same-shaped.
+    val docs = (0L until 200L).map { i =>
+      val t = if (i % 2 == 0 || i % 3 == 0) // mixed assignment, not id-aligned
+        "the of and to in the of and to in"
+      else
+        "hyperborean vicissitudes perspicacious grandiloquent obstreperous"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val out = TextOps.centroidClassifier(docs, "doc_id", "text",
+      isTrain = col("doc_id") % 5 === 0,
+      label = col("doc_id") % 2 === 0 || col("doc_id") % 3 === 0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getDouble(3)))).toMap
+    // every doc — train or held-out — lands with its class
+    for (i <- 0L until 200L) {
+      val expect = i % 2 == 0 || i % 3 == 0
+      assert(out(i)._2 == expect, s"doc $i misclassified")
+      assert(out(i)._1 == (i % 5 == 0))
+      // margin sign agrees with the label
+      assert((out(i)._3 > 0) == expect, s"doc $i margin ${out(i)._3}")
+    }
+  }
+
+  test("centroidClassifier: single-class train surfaces null predictions") {
+    val docs = (0L until 20L).map(i => (i, "the of and to in common text"))
+      .toDF("doc_id", "text")
+    val out = TextOps.centroidClassifier(docs, "doc_id", "text",
+      isTrain = col("doc_id") < 10, label = lit(true))
+    // negative centroid is null → comparisons are null, not fabricated
+    assert(out.filter(col("label_pred").isNull).count() == 20)
+  }
+
   test("substringDedupSpans: docs shorter than k produce no rows") {
     val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
     val out = TextOps.substringDedupSpans(docs, "doc_id", "text", k = 3)
