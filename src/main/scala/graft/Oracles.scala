@@ -116,6 +116,29 @@ object Oracles {
        |       ELSE 'fr' END AS lang_pred
        |  FROM sc)""".stripMargin
 
+  /** Shared detection CTE chain for the span-level substring dedup
+    * (gram md5 → cross-doc min≠max → island merge): yields
+    * `nn(doc, toks, n)` and `isl(doc, i, island)`. One source of truth
+    * for the detect and apply oracles. */
+  private def substringDetectionCtes: String = {
+    val k = graft.Queries.substringDedupK
+    s"""d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+       |    string_split(trim(text), ' ') AS toks FROM documents),
+       |nn AS (SELECT doc, toks, len(toks) AS n FROM d),
+       |g AS (SELECT doc, unnest(range(1, n - $k + 2)) AS i, toks
+       |  FROM nn WHERE n >= $k),
+       |h AS (SELECT doc, i, ('0x' || substr(md5(
+       |    array_to_string(toks[i:i+${k - 1}], ' ')), 1, 15))::BIGINT AS h
+       |  FROM g),
+       |mm AS (SELECT h, min(doc) AS mn, max(doc) AS mx FROM h GROUP BY h),
+       |dup AS (SELECT doc, i FROM h JOIN mm USING (h) WHERE mn <> mx),
+       |brk AS (SELECT doc, i, CASE WHEN coalesce(lag(i) OVER
+       |    (PARTITION BY doc ORDER BY i), -1000000) + $k < i
+       |    THEN 1 ELSE 0 END AS b FROM dup),
+       |isl AS (SELECT doc, i, sum(b) OVER (PARTITION BY doc ORDER BY i)
+       |    AS island FROM brk)""".stripMargin
+  }
+
   /** Decontamination replay (mirrors TextOps.decontaminate; duplicates in
     * hv count like the Spark explode does). Registered under BOTH
     * `text_decontaminate` and `text_decontaminate_bloom` — the Bloom
@@ -1399,26 +1422,32 @@ object Oracles {
     // span-level substring dedup: gram md5 -> cross-doc min!=max ->
     // island merge, the exact chain of TextOps.substringDedupSpans with
     // the same k (Queries.substringDedupK) inlined
-    "text_substring_dedup" -> {
+    "text_substring_dedup" ->
+      s"""WITH $substringDetectionCtes
+         |SELECT doc, min(i) AS span_start,
+         |  max(i) + ${graft.Queries.substringDedupK - 1} AS span_end,
+         |  max(i) + ${graft.Queries.substringDedupK} - min(i) AS span_toks
+         |FROM isl GROUP BY doc, island""".stripMargin,
+
+    // APPLY side: the same detection chain composed with an anti-EXISTS
+    // positional filter and an ordered string_agg rejoin (mirrors
+    // TextOps.removeDuplicatedSpans; fully-duplicated docs -> '')
+    "text_substring_dedup_apply" -> {
       val k = graft.Queries.substringDedupK
-      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
-         |    string_split(trim(text), ' ') AS toks FROM documents),
-         |nn AS (SELECT doc, toks, len(toks) AS n FROM d),
-         |g AS (SELECT doc, unnest(range(1, n - $k + 2)) AS i, toks
-         |  FROM nn WHERE n >= $k),
-         |h AS (SELECT doc, i, ('0x' || substr(md5(
-         |    array_to_string(toks[i:i+${k - 1}], ' ')), 1, 15))::BIGINT AS h
-         |  FROM g),
-         |mm AS (SELECT h, min(doc) AS mn, max(doc) AS mx FROM h GROUP BY h),
-         |dup AS (SELECT doc, i FROM h JOIN mm USING (h) WHERE mn <> mx),
-         |brk AS (SELECT doc, i, CASE WHEN coalesce(lag(i) OVER
-         |    (PARTITION BY doc ORDER BY i), -1000000) + $k < i
-         |    THEN 1 ELSE 0 END AS b FROM dup),
-         |isl AS (SELECT doc, i, sum(b) OVER (PARTITION BY doc ORDER BY i)
-         |    AS island FROM brk)
-         |SELECT doc, min(i) AS span_start, max(i) + ${k - 1} AS span_end,
-         |  max(i) + $k - min(i) AS span_toks
-         |FROM isl GROUP BY doc, island""".stripMargin
+      s"""WITH $substringDetectionCtes,
+         |sp AS (SELECT doc, min(i) AS s, max(i) + ${k - 1} AS e
+         |  FROM isl GROUP BY doc, island),
+         |tp AS (SELECT doc, unnest(range(1, n + 1)) AS i, toks FROM nn),
+         |tw AS (SELECT doc, i, toks[i] AS w FROM tp),
+         |kept AS (SELECT tw.doc, tw.i, tw.w FROM tw WHERE NOT EXISTS
+         |  (SELECT 1 FROM sp WHERE sp.doc = tw.doc
+         |     AND tw.i BETWEEN sp.s AND sp.e)),
+         |ka AS (SELECT doc, count(*) AS n_kept,
+         |    string_agg(w, ' ' ORDER BY i) AS txt FROM kept GROUP BY doc)
+         |SELECT nn.doc, nn.n::BIGINT AS n_tokens,
+         |  (nn.n - coalesce(ka.n_kept, 0))::BIGINT AS n_removed,
+         |  coalesce(ka.txt, '') AS text_dedup
+         |FROM nn LEFT JOIN ka USING (doc)""".stripMargin
     },
 
     // nearest-centroid quality classifier replay: features (exact ratio

@@ -808,6 +808,15 @@ object Queries {
     TextOps.substringDedupSpans(Tables.documents(s, dir), "doc_id", "text",
       k = substringDedupK)
 
+  /** APPLY side of the span-level dedup ([[operators.TextOps
+    * .removeDuplicatedSpans]]): duplicated token ranges cut out, text
+    * reassembled in order; fully-duplicated docs stay with empty text.
+    * The oracle composes the full detection chain with an anti-EXISTS
+    * positional filter + ordered string_agg. */
+  def textSubstringDedupApply(s: SparkSession, dir: String): DataFrame =
+    TextOps.removeDuplicatedSpans(Tables.documents(s, dir), "doc_id", "text",
+      k = substringDedupK)
+
   /** Gram width / winnow window for the MOSS fingerprint query — shared
     * with the oracle builder. Detection guarantee: shared runs of
     * ≥ w + k − 1 = 8 tokens always collide on a selected fingerprint. */

@@ -756,6 +756,37 @@ object TextOps {
       .drop("island")
   }
 
+  /** APPLY side of the span-level dedup: cut every duplicated span out
+    * of each document and reassemble the remainder in order — the
+    * curation action [[substringDedupSpans]]'s detection feeds. The
+    * per-doc span list rides back as ONE array column (spans per doc are
+    * few by construction — they are merged maximal islands), so removal
+    * is a row-local positional filter + rejoin; docs without spans pass
+    * through the same canonical single-space rejoin. Output mirrors
+    * [[dedupLines]]'s shape: (doc, n_tokens, n_removed, text_dedup),
+    * with fully-duplicated docs kept as empty text, not dropped. */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int = 10): DataFrame = {
+    val spans = substringDedupSpans(docs, idCol, textCol, k)
+      .groupBy("doc")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
+    val keepTok = (w: Column, i: Column) =>
+      !exists(col("_spans"), s =>
+        i + 1 >= s.getField("span_start") && i + 1 <= s.getField("span_end"))
+    docs.select(col(idCol).cast("long").as("doc"), tokens(col(textCol)).as("_toks"))
+      .join(spans, Seq("doc"), "left")
+      .select(col("doc"), col("_toks"),
+        coalesce(col("_spans"),
+          array().cast("array<struct<span_start:bigint,span_end:bigint>>"))
+          .as("_spans"))
+      .select(col("doc"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        filter(col("_toks"), keepTok).as("_kept"))
+      .select(col("doc"), col("n_tokens"),
+        (col("n_tokens") - size(col("_kept"))).cast("long").as("n_removed"),
+        array_join(col("_kept"), " ").as("text_dedup"))
+  }
+
   /** WINNOWED document fingerprints (Schleimer, Wilkerson, Aiken —
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD'03; the MOSS selection rule): from each doc's dense k-token

@@ -273,4 +273,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.count() == 0)
     graft.CacheRegistry.releaseAll()
   }
+
+  test("removeDuplicatedSpans cuts exactly the spans, keeps clean docs verbatim") {
+    val shared = (1 to 6).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a b c $shared x y z"),      // span [4,9] cut
+      (2L, s"p q $shared r"),            // span [3,8] cut
+      (3L, "clean doc stays exactly as written"),
+      (4L, shared), (5L, shared))        // fully duplicated -> empty
+      .toDF("doc_id", "text")
+    val out = TextOps.removeDuplicatedSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    graft.CacheRegistry.releaseAll()
+    assert(out(1L) == ((12L, 6L, "a b c x y z")))
+    assert(out(2L) == ((9L, 6L, "p q r")))
+    assert(out(3L) == ((6L, 0L, "clean doc stays exactly as written")))
+    // whole-doc duplicates: kept rows with empty text, not dropped
+    assert(out(4L) == ((6L, 6L, "")) && out(5L) == ((6L, 6L, "")))
+  }
 }
