@@ -646,8 +646,9 @@ object TextOps {
     * missing class and null predictions — surface, don't mask.
     * Returns (doc, is_train, label_pred, margin); margin = d²(neg) −
     * d²(pos), positive ⇒ closer to the positive centroid. */
-  def centroidClassifier(docs: DataFrame, idCol: String, textCol: String,
-                         isTrain: Column, label: Column): DataFrame = {
+  /** The classifier's feature projection — one definition feeds batch
+    * train, batch apply, and the frozen streaming apply. */
+  private def qualityFeatureCols(textCol: String): Seq[Column] = {
     val t = trim(col(textCol))
     val toks = tokens(col(textCol))
     val stopRatio = size(filter(toks,
@@ -656,25 +657,62 @@ object TextOps {
     val longRatio = size(filter(toks, w => length(w) > 6))
       .cast("double") / size(toks)
     val meanLen10 = length(t).cast("double") / size(toks).cast("double") / 10.0
-    val base = docs.select(col(idCol).cast("long").as("doc"),
-      stopRatio.as("f1"), longRatio.as("f2"), meanLen10.as("f3"),
-      isTrain.as("is_train"), label.as("_y"))
-    val feats = Seq("f1", "f2", "f3")
-    val cents = base.filter(col("is_train")).agg(
-      round(avg(when(col("_y"), col("f1"))), 6).as("a1"),
-      round(avg(when(col("_y"), col("f2"))), 6).as("a2"),
-      round(avg(when(col("_y"), col("f3"))), 6).as("a3"),
-      round(avg(when(!col("_y"), col("f1"))), 6).as("b1"),
-      round(avg(when(!col("_y"), col("f2"))), 6).as("b2"),
-      round(avg(when(!col("_y"), col("f3"))), 6).as("b3"))
-    def sqDist(pre: String): Column = feats.zipWithIndex.map { case (f, i) =>
+    Seq(stopRatio.as("f1"), longRatio.as("f2"), meanLen10.as("f3"))
+  }
+
+  private def sqDistTo(pre: String): Column =
+    Seq("f1", "f2", "f3").zipWithIndex.map { case (f, i) =>
       val d = col(f) - col(s"$pre${i + 1}")
       d * d
     }.reduce(_ + _)
-    base.crossJoin(broadcast(cents))
+
+  /** TRAIN step alone: the 1-row per-class centroid frame
+    * (a1..a3 = positive class, b1..b3 = negative) — what a deployment
+    * persists and later feeds to [[centroidApplyFrozen]] at the ingest
+    * edge. The 6-dp round is the parity contract (see
+    * [[centroidClassifier]]). */
+  def centroidFit(docs: DataFrame, idCol: String, textCol: String,
+                  isTrain: Column, label: Column): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc") +:
+        qualityFeatureCols(textCol) :+ isTrain.as("is_train") :+
+        label.as("_y"): _*)
+      .filter(col("is_train")).agg(
+        round(avg(when(col("_y"), col("f1"))), 6).as("a1"),
+        round(avg(when(col("_y"), col("f2"))), 6).as("a2"),
+        round(avg(when(col("_y"), col("f3"))), 6).as("a3"),
+        round(avg(when(!col("_y"), col("f1"))), 6).as("b1"),
+        round(avg(when(!col("_y"), col("f2"))), 6).as("b2"),
+        round(avg(when(!col("_y"), col("f3"))), 6).as("b3"))
+
+  def centroidClassifier(docs: DataFrame, idCol: String, textCol: String,
+                         isTrain: Column, label: Column): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc") +:
+      qualityFeatureCols(textCol) :+ isTrain.as("is_train"): _*)
+    base.crossJoin(broadcast(
+        centroidFit(docs, idCol, textCol, isTrain, label)))
       .select(col("doc"), col("is_train"),
-        (sqDist("a") < sqDist("b")).as("label_pred"),
-        (sqDist("b") - sqDist("a")).as("margin"))
+        (sqDistTo("a") < sqDistTo("b")).as("label_pred"),
+        (sqDistTo("b") - sqDistTo("a")).as("margin"))
+  }
+
+  /** Serve-side apply of FROZEN centroids (the 6 doubles a batch train
+    * produced): pure row-local projection — no aggregate, no state, no
+    * watermark — so it runs UNCHANGED over `readStream` for
+    * classify-at-ingest, like the other row-local text scorers. Feature
+    * and distance arithmetic are the same shared definitions as
+    * [[centroidClassifier]], so frozen-apply ≡ batch apply bit-for-bit
+    * when fed that train's centroids (spec-pinned over stream splits). */
+  def centroidApplyFrozen(docs: DataFrame, idCol: String, textCol: String,
+                          pos: Seq[Double], neg: Seq[Double]): DataFrame = {
+    require(pos.length == 3 && neg.length == 3, "3 features per centroid")
+    val centCols =
+      pos.zipWithIndex.map { case (v, i) => lit(v).as(s"a${i + 1}") } ++
+      neg.zipWithIndex.map { case (v, i) => lit(v).as(s"b${i + 1}") }
+    docs.select(col(idCol).cast("long").as("doc") +:
+        (qualityFeatureCols(textCol) ++ centCols): _*)
+      .select(col("doc"),
+        (sqDistTo("a") < sqDistTo("b")).as("label_pred"),
+        (sqDistTo("b") - sqDistTo("a")).as("margin"))
   }
 
   /** chars/4 LLM-token estimate (the heuristic tier next to the exact

@@ -77,4 +77,24 @@ class TextStreamSpec extends SparkSpec {
     assert(streamed("fp_stream", fp) ==
       fp(docs.toDF()).orderBy("doc").collect().toSeq)
   }
+
+  test("centroid classify-at-ingest: frozen apply over stream == batch") {
+    // batch-train once, freeze the 6 centroid doubles, serve them at the
+    // ingest edge — pure row-local projection, zero state operators
+    val isTrain = col("doc_id") % 2 === 0
+    val label = TextOps.qualityCol(col("text")) >= 0.8
+    val c = TextOps.centroidFit(docs.toDF(), "doc_id", "text", isTrain, label)
+      .collect()(0)
+    val pos = Seq(c.getDouble(0), c.getDouble(1), c.getDouble(2))
+    val neg = Seq(c.getDouble(3), c.getDouble(4), c.getDouble(5))
+    val op = (df: DataFrame) =>
+      TextOps.centroidApplyFrozen(df, "doc_id", "text", pos, neg)
+    val got = streamed("centroid_stream", op)
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getDouble(2)))
+    val want = TextOps.centroidClassifier(docs.toDF(), "doc_id", "text",
+        isTrain, label)
+      .orderBy("doc").collect().toSeq
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getDouble(3)))
+    assert(got == want)
+  }
 }
