@@ -1289,6 +1289,23 @@ object Oracles {
     "sample_stratified" -> sampleStratifiedSql,
     "sample_mixture" -> sampleMixtureSql,
 
+    // balanced serpentine sharding: plain global row_number replays the
+    // engine's two-pass distributed rank; same snake arithmetic (pos via
+    // mod, block via the exactly-divisible (rank-1-pos)/S)
+    "shard_balance" -> {
+      val s = graft.Queries.balancedShardCount
+      s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+         |    ceil(length(trim(text))::DOUBLE / 4.0e0)::BIGINT AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT doc, n_tokens, row_number() OVER
+         |    (ORDER BY n_tokens DESC, doc) AS rank FROM d)
+         |SELECT doc, n_tokens, rank,
+         |  CASE WHEN ((rank - 1 - (rank - 1) % $s) / $s)::BIGINT % 2 = 0
+         |       THEN (rank - 1) % $s
+         |       ELSE $s - 1 - (rank - 1) % $s END AS shard
+         |FROM r""".stripMargin
+    },
+
     // per-shard concat-and-chunk packing; sum(BIGINT) widens to HUGEINT in
     // DuckDB, normalized via the double division before the BIGINT cast
     "pack_chunks" ->

@@ -1091,6 +1091,18 @@ object Queries {
       .select(col("doc"), col("lang_pred"), col("rate"))
   }
 
+  /** Shard count for the balanced writer — shared with the oracle. */
+  val balancedShardCount: Int = 16
+
+  /** Balanced shard assignment ([[operators.SampleOps.balancedShards]]):
+    * serpentine placement over the global token-count rank (computed by
+    * the two-pass distributed-rank recipe), per-shard token totals
+    * near-equal by construction. The oracle replays the rank with a
+    * plain global row_number and the same snake arithmetic. */
+  def shardBalance(s: SparkSession, dir: String): DataFrame =
+    SampleOps.balancedShards(Tables.documents(s, dir), "doc_id", "text",
+      numShards = balancedShardCount)
+
   /** Corpus curation: doc-level sequence packing — per-shard
     * concat-and-chunk layout (ctx 2048 tokens, 32 shards), embarrassingly
     * parallel across shards. */

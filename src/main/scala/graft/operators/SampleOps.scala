@@ -89,6 +89,65 @@ object SampleOps {
         floor(col("rate") * lit(HashSpace.toDouble)).cast("long"))
   }
 
+  /** BALANCED shard assignment for the training-data writer: serpentine
+    * (snake) placement over the global token-count rank — rank 1..S fill
+    * shards 0..S−1, ranks S+1..2S fill S−1..0, and so on — which keeps
+    * per-shard token totals near-equal without any greedy state (the
+    * whole assignment is a pure function of the rank, so it reproduces
+    * bit-identically and replays in SQL). Naive `id % S` sharding skews
+    * by content length; a skewed output shard becomes the straggler
+    * task of every downstream epoch.
+    *
+    * The GLOBAL RANK is the scale problem — `row_number()` over a
+    * global ORDER BY is a single-partition window. This computes it with
+    * the two-pass recipe a 100 TB sort uses: range-repartition on the
+    * sort key (narrow (doc, n) rows), per-partition local ranks, plus a
+    * driver-collected per-partition count prefix — bounded by the
+    * partition COUNT (config), not the data — broadcast back as
+    * offsets. Range partition i holds keys ≤ partition i+1's, so
+    * `offset(pid) + local_rank` IS the global rank.
+    *
+    * Returns (doc, n_tokens, rank, shard). Ties rank by doc id —
+    * deterministic under any partitioning. */
+  def balancedShards(docs: DataFrame, idCol: String, textCol: String,
+                     numShards: Int = 32,
+                     tokenCount: Option[Column] = None,
+                     rangeParts: Int = 32): DataFrame = {
+    val nTokens = tokenCount.getOrElse(
+      ceil(length(trim(col(textCol))).cast("double") / 4.0).cast("long"))
+    val sorted = docs
+      .select(col(idCol).cast("long").as("doc"), nTokens.as("n_tokens"))
+      .repartitionByRange(rangeParts, col("n_tokens").desc, col("doc").asc)
+      .sortWithinPartitions(col("n_tokens").desc, col("doc").asc)
+      .withColumn("_pid", spark_partition_id())
+      .transform(graft.CacheRegistry.persistTracked(_))
+    // per-partition counts: <= rangeParts rows on the driver (bounded by
+    // config, not data)
+    val counts = sorted.groupBy("_pid").agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
+      (pid, acc + c)
+    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("_pid", "_off")
+    val w = Window.partitionBy("_pid")
+      .orderBy(col("n_tokens").desc, col("doc").asc)
+    val ranked = sorted
+      .withColumn("_lr", row_number().over(w).cast("long"))
+      .join(broadcast(offDf), "_pid")
+      .select(col("doc"), col("n_tokens"),
+        (col("_off") + col("_lr")).as("rank"))
+    // pos exact via pmod; block via (rank-1-pos)/S — exactly divisible,
+    // so the division is exact in any engine (no floor-div semantics to
+    // match across SQL dialects)
+    val pos = pmod(col("rank") - 1, lit(numShards.toLong))
+    val block = ((col("rank") - 1 - pos) / numShards).cast("long")
+    ranked.withColumn("shard",
+      when(pmod(block, lit(2L)) === 0, pos)
+        .otherwise(lit(numShards.toLong) - 1 - pos))
+  }
+
   /** Doc-level sequence packing: assign each document a (shard, chunk)
     * slot as if the shard's docs were concatenated in id order and cut
     * every `contextTokens` tokens — `chunk = floor(tokens-before-doc /

@@ -63,6 +63,44 @@ class SampleOpsSpec extends SparkSpec {
     assert(out.find(_._1 == 0L).get._3 == math.ceil(99 / 4.0).toLong)
   }
 
+  test("balancedShards: snake layout, exact rank, near-equal shard totals") {
+    val rng = new scala.util.Random(7)
+    val d = (0L until 1000L).map { i =>
+      (i, Seq.fill(8 + rng.nextInt(400))("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = SampleOps.balancedShards(d, "doc_id", "text", numShards = 8,
+        rangeParts = 8)
+      .select("doc", "n_tokens", "rank", "shard")
+      .as[(Long, Long, Long, Long)].collect()
+    graft.CacheRegistry.releaseAll()
+    assert(out.length == 1000)
+    // the two-pass rank equals the brute global rank
+    val brute = out.sortBy(t => (-t._2, t._1)).zipWithIndex
+      .map { case (t, i) => t._1 -> (i + 1).toLong }.toMap
+    out.foreach { case (doc, _, rank, _) =>
+      assert(rank == brute(doc), s"doc $doc rank $rank != ${brute(doc)}") }
+    // snake arithmetic
+    out.foreach { case (_, _, rank, shard) =>
+      val pos = (rank - 1) % 8
+      val expect = if (((rank - 1) / 8) % 2 == 0) pos else 7 - pos
+      assert(shard == expect) }
+    // balance: serpentine spread stays within one max item; id-mod
+    // sharding on the same data is far worse
+    val totals = out.groupBy(_._4).map(_._2.map(_._2).sum)
+    val spread = totals.max - totals.min
+    val maxItem = out.map(_._2).max
+    assert(spread <= maxItem, s"spread $spread > max item $maxItem")
+    val naive = out.groupBy(t => t._1 % 8).map(_._2.map(_._2).sum)
+    assert(spread < (naive.max - naive.min),
+      s"snake $spread not better than id-mod ${naive.max - naive.min}")
+    // determinism across re-runs (fresh lineage)
+    val again = SampleOps.balancedShards(d, "doc_id", "text", numShards = 8,
+        rangeParts = 8)
+      .select("doc", "shard").as[(Long, Long)].collect().toMap
+    graft.CacheRegistry.releaseAll()
+    out.foreach { case (doc, _, _, shard) => assert(again(doc) == shard) }
+  }
+
   test("mixtureTemperature: rates derived as sqrt(cmin/c), rarest kept whole") {
     // 500 de / 1500 en → rate(de) = 1, rate(en) = sqrt(500/1500)
     val out = SampleOps.mixtureTemperature(docs, "id", "lang", salt = "mt")
