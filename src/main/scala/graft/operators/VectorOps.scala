@@ -333,6 +333,165 @@ object VectorOps {
       .select(col("q_id"), col("rank"), col("v_id").as("n_id"), col("sim"))
   }
 
+  /** Driver-side PQ reconstruction of one (already-rotated) vector:
+    * per-subspace nearest centroid (argmin-first on ties, the [[kmeans]]
+    * assignment rule), concatenated. */
+  private def pqReconstructArr(y: Array[Double],
+                               books: Array[Array[Array[Double]]]): Array[Double] = {
+    val m = books.length
+    val subDim = books(0)(0).length
+    val out = new Array[Double](y.length)
+    var s = 0
+    while (s < m) {
+      var best = 0; var bd = Double.MaxValue; var c = 0
+      while (c < books(s).length) {
+        var d = 0.0; var i = 0
+        while (i < subDim) {
+          val t = y(s * subDim + i) - books(s)(c)(i); d += t * t; i += 1
+        }
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      System.arraycopy(books(s)(best), 0, out, s * subDim, subDim)
+      s += 1
+    }
+    out
+  }
+
+  private def matVec(r: Array[Array[Double]], x: Array[Double]): Array[Double] = {
+    val out = new Array[Double](r.length)
+    var i = 0
+    while (i < r.length) {
+      var acc = 0.0; var j = 0
+      while (j < x.length) { acc += r(i)(j) * x(j); j += 1 }
+      out(i) = acc; i += 1
+    }
+    out
+  }
+
+  /** OPQ — Optimized Product Quantization (Ge, He, Ke, Sun, CVPR 2013):
+    * learn an ORTHOGONAL rotation `R` that redistributes variance across
+    * the contiguous subspace split before PQ coding, by alternating
+    *   1. codebooks ← [[pqTrain]] on the rotated sample `R·x`,
+    *   2. R ← argmin over orthogonal R of Σ‖R·x − x̂‖² — the orthogonal
+    *      Procrustes solution `U·Vᵀ` from `SVD(X̂·Xᵀ)` (Breeze LAPACK,
+    *      deterministic).
+    * Plain PQ quantizes whatever falls into dims [0,subDim), …; when
+    * correlated dimensions straddle subspace boundaries the independent
+    * codebooks waste bits re-coding shared structure — the learned
+    * rotation is the published fix. Driver-side over the deterministic
+    * sample like every other quantizer fit; `altIters = 0` returns
+    * R = I and plain-PQ codebooks (the parity anchor the spec pins).
+    * Returns (rotation rows, codebooks). */
+  def opqTrain(sample: Array[Array[Double]], m: Int, k: Int,
+               altIters: Int = 5, pqIters: Int = 10)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    import breeze.linalg.{svd, DenseMatrix}
+    require(sample.nonEmpty, "opqTrain on empty sample")
+    val dim = sample(0).length
+    var rot = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var books = pqTrain(sample, m, k, pqIters)
+    for (_ <- 0 until altIters) {
+      val y = sample.map(matVec(rot, _))
+      books = pqTrain(y, m, k, pqIters)
+      val yhat = y.map(pqReconstructArr(_, books))
+      // Procrustes: maximize tr(Rᵀ·M), M = X̂·Xᵀ  (columns = samples)
+      val xM = new DenseMatrix(dim, sample.length,
+        sample.flatten.toArray)                    // column-major: col n = x_n
+      val hM = new DenseMatrix(dim, sample.length, yhat.flatten.toArray)
+      val m0 = hM * xM.t
+      val s = svd(m0)
+      val rM = s.U * s.Vt
+      rot = Array.tabulate(dim, dim)((i, j) => rM(i, j))
+    }
+    // final codebooks consistent with the final rotation
+    (rot, pqTrain(sample.map(matVec(rot, _)), m, k, pqIters))
+  }
+
+  /** Mean squared PQ reconstruction error of `sample` under rotation +
+    * codebooks — the objective [[opqTrain]] descends; exposed so specs
+    * (and capacity planning) can compare quantizer variants. */
+  def pqMse(sample: Array[Array[Double]], rot: Array[Array[Double]],
+            books: Array[Array[Array[Double]]]): Double = {
+    val errs = sample.map { x =>
+      val y = matVec(rot, x)
+      val h = pqReconstructArr(y, books)
+      var d = 0.0; var i = 0
+      while (i < y.length) { val t = y(i) - h(i); d += t * t; i += 1 }
+      d
+    }
+    errs.sum / errs.length
+  }
+
+  /** OPQ-encode: rotate each unit-normalized vector in-plan (the
+    * rotation folds in as a matrix literal over the native dot kernel,
+    * like the centroid matrices) and PQ-code the rotated copy. Keeps
+    * (v_id, vn, codes) — `vn` stays the ORIGINAL normalized vector so
+    * the exact re-rank needs no inverse rotation. */
+  def opqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+                rot: Array[Array[Double]],
+                codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val subDim = codebooks(0)(0).length
+    val v = normalized(vecs, idCol, vecCol)
+      .select(col(idCol).as("v_id"), col("vn"))
+      .withColumn("_vr", transform(centMatrixLit(rot),
+        r => graft.functions.ArrayDot.array_dot(r, col("vn"))))
+    val sliced = v.select(col("v_id") +: col("vn") +: col("_vr") +:
+      (0 until m).map(s => slice(col("_vr"), s * subDim + 1, subDim).as(s"_s$s")): _*)
+    def code(s: Int): Column = {
+      val dists = transform(centMatrixLit(codebooks(s)),
+        c => graft.functions.ArrayDot.array_sq_dist(col(s"_s$s"), c))
+      array_position(dists, array_min(dists)).cast("int")
+    }
+    sliced.select(col("v_id"), col("vn"), col("_vr"),
+      array((0 until m).map(code): _*).as("codes"))
+  }
+
+  /** OPQ ANN top-k — [[pqTopK]] with the learned rotation: asymmetric
+    * ranking happens in the ROTATED space (rotated query dot
+    * reconstructed rotated-centroid chain), the exact re-rank on the
+    * original vectors (orthogonal R preserves cosine, so the two spaces
+    * rank identically in the exact tier). `altIters = 0` is bit-identical
+    * to [[pqTopK]] (spec-pinned). */
+  def opqTopK(vecs: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int, m: Int = 8, codebookK: Int = 16,
+              rerank: Int = 10, sampleN: Int = 10000,
+              altIters: Int = 5): DataFrame = {
+    val spark = vecs.sparkSession
+    val v0 = normalized(vecs, idCol, vecCol)
+      .select(col(idCol).as("v_id"), col("vn"))
+    val sample = v0.orderBy("v_id").limit(sampleN).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("vn").toArray)
+    if (sample.isEmpty)
+      return spark.emptyDataFrame
+        .select(lit(0L).as("q_id"), lit(0).as("rank"),
+          lit(0L).as("n_id"), lit(0.0).as("sim")).limit(0)
+    val (rot, books) = opqTrain(sample, m, codebookK, altIters)
+    val encoded = graft.CacheRegistry.persistTracked(
+      opqEncode(vecs, idCol, vecCol, rot, books))
+    def bookLit(s: Int): Column = centMatrixLit(books(s))
+    val recon = flatten(array((0 until m).map(s =>
+      element_at(bookLit(s), element_at(col("codes"), s + 1))): _*))
+    val q = encoded.filter(queryPred)
+      .select(col("v_id").as("q_id"), col("_vr").as("qr"))
+    val approx = broadcast(q)
+      .join(encoded.select(col("v_id"), col("codes")), col("q_id") =!= col("v_id"))
+      .withColumn("asim", dot(col("qr"), recon))
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("asim").desc, col("v_id"))
+    val cand = approx.withColumn("_arn", row_number().over(wa))
+      .filter(col("_arn") <= rerank)
+      .select(col("q_id"), col("v_id"))
+    val qx = encoded.filter(queryPred)
+      .select(col("v_id").as("q_id"), col("vn").as("qv"))
+    val exact = cand.join(broadcast(qx), "q_id")
+      .join(encoded.select(col("v_id"), col("vn")), "v_id")
+      .withColumn("sim", dot(col("qv"), col("vn")))
+    val we = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("v_id"))
+    exact.withColumn("rank", row_number().over(we)).filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("v_id").as("n_id"), col("sim"))
+  }
+
   /** Fitted IVF-PQ quantizer: `cents` = coarse k-means centroids (over
     * unit-normalized vectors), `books(s)(c)` = residual-PQ centroid `c` of
     * subspace `s`. A few KB total — it folds into query plans as literals

@@ -512,6 +512,71 @@ class TextVectorOpsSpec extends SparkSpec {
     assert(hier == hier2)
   }
 
+  test("opqTrain: orthogonal rotation, lower MSE on cross-subspace structure") {
+    // plant correlation STRADDLING the contiguous subspace split: dim j
+    // and dim j+8 nearly equal, so plain PQ's independent subspace
+    // codebooks re-code shared structure the learned rotation removes
+    val rng = new scala.util.Random(71)
+    val sample = Array.fill(400) {
+      val base = Array.fill(8)(rng.nextGaussian())
+      val x = new Array[Double](16)
+      for (j <- 0 until 8) {
+        x(j) = base(j)
+        x(j + 8) = base(j) + 0.05 * rng.nextGaussian()
+      }
+      val n = math.sqrt(x.map(v => v * v).sum)
+      x.map(_ / n)
+    }
+    val (rot, books) = VectorOps.opqTrain(sample, m = 2, k = 8, altIters = 8)
+    // orthogonality: RᵀR = I
+    val dim = 16
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val e = (0 until dim).map(t => rot(t)(i) * rot(t)(j)).sum
+      assert(math.abs(e - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"R not orthogonal at ($i,$j): $e")
+    }
+    val eye = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    val pqBooks = VectorOps.pqTrain(sample, 2, 8)
+    val msePq = VectorOps.pqMse(sample, eye, pqBooks)
+    val mseOpq = VectorOps.pqMse(sample, rot, books)
+    assert(mseOpq < msePq * 0.9,
+      s"OPQ MSE $mseOpq not clearly below plain PQ $msePq")
+    // deterministic refit
+    val (rot2, _) = VectorOps.opqTrain(sample, m = 2, k = 8, altIters = 8)
+    assert(rot.zip(rot2).forall { case (a, b) => a.sameElements(b) })
+  }
+
+  test("opqTopK at altIters=0 == pqTopK bit-for-bit; rotated path sane") {
+    val rng = new scala.util.Random(73)
+    val centers = Array.fill(4)(Array.fill(16)(rng.nextGaussian() * 2))
+    val vecs = (0 until 120).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rng.nextGaussian() * 0.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qp = col("v_id") < 6
+    val pq = VectorOps.pqTopK(vecs, "vec_id", "embedding", qp,
+      k = 3, m = 2, codebookK = 8).collect().map(_.toSeq).toSet
+    graft.CacheRegistry.releaseAll()
+    val opq0 = VectorOps.opqTopK(vecs, "vec_id", "embedding", qp,
+      k = 3, m = 2, codebookK = 8, altIters = 0).collect()
+      .map(_.toSeq).toSet
+    graft.CacheRegistry.releaseAll()
+    assert(opq0 == pq, "identity-rotation OPQ must equal plain PQ")
+    // learned rotation: valid ranked output, deterministic
+    val opq = VectorOps.opqTopK(vecs, "vec_id", "embedding", qp,
+      k = 3, m = 2, codebookK = 8, altIters = 4).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"))).toSet
+    graft.CacheRegistry.releaseAll()
+    val opq2 = VectorOps.opqTopK(vecs, "vec_id", "embedding", qp,
+      k = 3, m = 2, codebookK = 8, altIters = 4).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"))).toSet
+    graft.CacheRegistry.releaseAll()
+    assert(opq.nonEmpty && opq == opq2)
+    assert(opq.groupBy(_._1).forall(_._2.size == 3))
+  }
+
   test("semDedup hot-cell cap: bounded pairs, documented recall miss") {
     // one cell (nCells=1). A=e0, B=e1 (orthogonal to A), C≈B with a
     // higher id. Exact: C is dropped (dup of B). cap=1: C only compares
