@@ -20,9 +20,16 @@ import org.apache.spark.sql.functions._
   *      kind='coarse': i = cell id,  j = 0,            vec = centroid
   *      kind='book'  : i = subspace, j = centroid idx, vec = residual centroid
   *  - `index/` — the `(v_id, cid, codes)` table from
-  *    [[VectorOps.ivfPqEncode]], partitioned BY COARSE CELL so a search
-  *    probing `nprobe` of `nCells` cells prunes the rest of the corpus at
-  *    the file-listing level (partition pruning on `cid`).
+  *    [[VectorOps.ivfPqEncode]]. FLAT indexes partition it by coarse
+  *    cell, so a search probing `nprobe` of `nCells` cells prunes the
+  *    rest of the corpus at the file-listing level (partition pruning on
+  *    `cid`). HIER indexes partition by SUPER cell (`sid` = cid DIV k2,
+  *    k1 directories) with rows sorted by (sid, cid) inside each file —
+  *    10⁴ global cells as 10⁴ directories is a tiny-file pathology at
+  *    every corpus size below enormous, and the probed-cell pruning the
+  *    layout exists for is preserved by the sid partition filter plus a
+  *    `cid IN` row-group pushdown over the within-file sort
+  *    (see [[CidPushdownLimit]]).
   */
 object AnnIndexIO {
 
@@ -172,12 +179,63 @@ object AnnIndexIO {
       .map { model =>
         hierModelToDF(vecs.sparkSession, model).write.mode("overwrite")
           .parquet(s"$path/quantizer")
+        // Directory layout: partition by SUPER cell (`sid`, k1 dirs) with
+        // rows range-placed and sorted by (sid, cid) inside each file —
+        // NOT by the k1·k2 global cell id. cid-partitioning at 10⁴ cells
+        // means 10⁴ directories of near-empty files until the corpus is
+        // enormous: the listing alone cost ~4.5 s/query at sf0.1 and
+        // every open pays a footer read. k1 dirs keep partition pruning
+        // on the probed supers, the within-file cid sort keeps row-group
+        // stats tight for the cid pushdown, and each writer task covers
+        // a contiguous (sid, cid) range so a dir gets few files — the
+        // same layout discipline a 100 TB deployment wants (file counts
+        // bounded by writer parallelism, not by quantizer arity).
+        val stride = model.coarse.stride
         VectorOps.ivfPqEncodeHierNormalized(v, model)
-          .write.mode("overwrite").partitionBy("cid")
+          .withColumn("sid", expr(s"cid DIV $stride").cast("int"))
+          .repartitionByRange(col("sid"), col("cid"))
+          .sortWithinPartitions("sid", "cid")
+          .write.mode("overwrite").partitionBy("sid")
           .parquet(s"$path/index")
         writeKind(vecs.sparkSession, path, "hier")
         model
       }
+  }
+
+  /** Cap on the number of probed cell ids folded into the index scan as
+    * a literal `cid IN (...)` pushdown — beyond it (a probe set
+    * approaching every cell) the filter buys nothing and a 10⁴-term OR
+    * chain costs the parquet stats evaluator; the sid partition filter
+    * alone carries the pruning. */
+  val CidPushdownLimit = 2048
+
+  /** The hier index scan pruned to the queries' probed cells: the probe
+    * set is computed ONCE driver-side (one tiny job over the FILTERED
+    * query rows — bounded by total cells, ≤ 40 KB at 10⁴ cells, so the
+    * collect is safe at any query-batch size) and folded into the scan
+    * as STATIC filters: `sid IN` prunes partitions at file-listing
+    * level, `cid IN` prunes row groups via the within-file sort. Pure IO
+    * pruning — the cid equi-join downstream already restricts to probed
+    * cells, so results are bit-identical with or without it (spec).
+    * Legacy cid-partitioned indexes (no `sid` column) pass through to
+    * the DPP join path unchanged. */
+  private def prunedHierIndex(spark: SparkSession, path: String,
+                              model: VectorOps.IvfPqHierModel,
+                              queries: DataFrame, probeSupers: Int,
+                              nprobe: Int): DataFrame = {
+    val index = spark.read.parquet(s"$path/index")
+    if (!index.columns.contains("sid")) index
+    else {
+      val cids = VectorOps.probeCidFrame(queries, model.coarse,
+          probeSupers, nprobe)
+        .collect().map(_.getInt(0)).sorted
+      val stride = model.coarse.stride
+      val sids = cids.map(_ / stride).distinct.toSeq
+      val bySid = index.filter(col("sid").isin(sids: _*))
+      if (cids.length <= CidPushdownLimit)
+        bySid.filter(col("cid").isin(cids.toSeq: _*))
+      else bySid
+    }
   }
 
   /** Search a prebuilt hier index — bit-identical to the inline
@@ -187,12 +245,13 @@ object AnnIndexIO {
                  probeSupers: Int = 4, nprobe: Int = 16,
                  rerank: Int = 10): DataFrame = {
     val model = hierModelFromDF(spark.read.parquet(s"$path/quantizer"))
-    val index = spark.read.parquet(s"$path/index")
-    VectorOps.ivfPqSearchHierNormalized(model, index,
-      graft.CacheRegistry.persistTracked(
-        VectorOps.normalized(corpus, idCol, vecCol)
-          .select(org.apache.spark.sql.functions.col(idCol).as("v_id"),
-            org.apache.spark.sql.functions.col("vn"))),
+    val v = graft.CacheRegistry.persistTracked(
+      VectorOps.normalized(corpus, idCol, vecCol)
+        .select(org.apache.spark.sql.functions.col(idCol).as("v_id"),
+          org.apache.spark.sql.functions.col("vn")))
+    val index = prunedHierIndex(spark, path, model, v.filter(queryPred),
+      probeSupers, nprobe)
+    VectorOps.ivfPqSearchHierNormalized(model, index, v,
       queryPred, k, probeSupers, nprobe, rerank)
   }
 
@@ -244,17 +303,26 @@ object AnnIndexIO {
       case None => spark.read.parquet(s"$path/quantizer")
         .filter(col("kind") === "super").limit(1).count() > 0
     }
-    val encoded =
-      if (isHier) {
-        val model = hierModelFromDF(spark.read.parquet(s"$path/quantizer"))
-        VectorOps.ivfPqEncodeHierNormalized(
-          VectorOps.normalized(newVecs, idCol, vecCol)
-            .select(col(idCol).as("v_id"), col("vn")), model)
-      } else {
-        val model = modelFromDF(spark.read.parquet(s"$path/quantizer"))
-        VectorOps.ivfPqEncode(newVecs, idCol, vecCol, model)
-      }
-    encoded.write.mode("append").partitionBy("cid").parquet(s"$path/index")
+    if (isHier) {
+      val model = hierModelFromDF(spark.read.parquet(s"$path/quantizer"))
+      val encoded = VectorOps.ivfPqEncodeHierNormalized(
+        VectorOps.normalized(newVecs, idCol, vecCol)
+          .select(col(idCol).as("v_id"), col("vn")), model)
+      // match the existing directory layout: sid-partitioned for indexes
+      // written by the current buildHier, legacy cid-partitioned otherwise
+      if (spark.read.parquet(s"$path/index").columns.contains("sid")) {
+        val stride = model.coarse.stride
+        encoded.withColumn("sid", expr(s"cid DIV $stride").cast("int"))
+          .repartitionByRange(col("sid"), col("cid"))
+          .sortWithinPartitions("sid", "cid")
+          .write.mode("append").partitionBy("sid").parquet(s"$path/index")
+      } else
+        encoded.write.mode("append").partitionBy("cid").parquet(s"$path/index")
+    } else {
+      val model = modelFromDF(spark.read.parquet(s"$path/quantizer"))
+      VectorOps.ivfPqEncode(newVecs, idCol, vecCol, model)
+        .write.mode("append").partitionBy("cid").parquet(s"$path/index")
+    }
   }
 
   /** Cell-occupancy monitor for a built index: one map-side-combined
@@ -304,15 +372,18 @@ object AnnIndexIO {
       case Some(kind) => kind == "hier"
       case None => qdf.filter(col("kind") === "super").limit(1).count() > 0
     }
-    val index = spark.read.parquet(s"$path/index")
-    if (isHier)
-      VectorOps.ivfPqSearchHierNormalized(hierModelFromDF(qdf), index,
-        graft.CacheRegistry.persistTracked(
-          VectorOps.normalized(corpus, idCol, vecCol)
-            .select(col(idCol).as("v_id"), col("vn"))),
+    if (isHier) {
+      val model = hierModelFromDF(qdf)
+      val v = graft.CacheRegistry.persistTracked(
+        VectorOps.normalized(corpus, idCol, vecCol)
+          .select(col(idCol).as("v_id"), col("vn")))
+      val index = prunedHierIndex(spark, path, model, v.filter(queryPred),
+        probeSupers, nprobe)
+      VectorOps.ivfPqSearchHierNormalized(model, index, v,
         queryPred, k, probeSupers, nprobe, rerank)
-    else
-      VectorOps.ivfPqSearch(modelFromDF(qdf), index, corpus, idCol, vecCol,
+    } else
+      VectorOps.ivfPqSearch(modelFromDF(qdf),
+        spark.read.parquet(s"$path/index"), corpus, idCol, vecCol,
         queryPred, k, nprobe, rerank)
   }
 }

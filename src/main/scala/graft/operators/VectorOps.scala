@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -752,6 +752,49 @@ object VectorOps {
     typedLit(model.children.map(
       _.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
 
+  /** The children matrix as a ONE-ROW broadcast frame (`_jk` = 1,
+    * `_cmat` = the 3-D matrix). A plan LITERAL of k1·k2·dim doubles
+    * (5 MB boxed at 10⁴ cells × 64 dims) is Java-deserialized per TASK
+    * in every stage that references it — measured ~4 s of pure
+    * scheduling overhead per hier search at 32 tasks/stage — while a
+    * broadcast relation ships binary UnsafeRows once per executor.
+    * Consumers join on the constant key and must project the per-row
+    * derivation (probe list, centroid) in the SAME codegen stage, so
+    * the matrix never copies per output row. Streaming encode keeps the
+    * literal form ([[assignHierCells]]): a pure projection stays legal
+    * in any stream position, and the encode stage count is 1. */
+  private def childMatFrame(spark: SparkSession,
+                            model: HierKmeansModel): DataFrame = {
+    import spark.implicits._
+    Seq((1, model.children.map(_.map(_.toSeq).toSeq).toSeq))
+      .toDF("_jk", "_cmat")
+  }
+
+  /** (cid, centroid) child-centroid rows — the broadcast-join form of
+    * the per-candidate centroid lookup (k1·k2 rows, a few MB). */
+  private def childCentFrame(spark: SparkSession,
+                             model: HierKmeansModel): DataFrame = {
+    import spark.implicits._
+    model.children.zipWithIndex.flatMap { case (cs, si) =>
+      cs.zipWithIndex.map { case (c, ci) =>
+        (si * model.stride + ci, c.toSeq)
+      }
+    }.toSeq.toDF("cid", "centroid")
+  }
+
+  /** DISTINCT probed cell ids of a (v_id, vn) query frame — the tiny
+    * driver-collectable probe set (bounded by k1·k2) the served search
+    * folds into the index scan as static partition/row-group filters.
+    * Rides the broadcast matrix frame, not a plan literal. */
+  private[graft] def probeCidFrame(queries: DataFrame,
+                                   model: HierKmeansModel,
+                                   probeSupers: Int, nprobe: Int): DataFrame =
+    queries.withColumn("_jk", lit(1))
+      .join(broadcast(childMatFrame(queries.sparkSession, model)), "_jk")
+      .select(explode(hierProbeCidsOver(col("vn"), col("_cmat"),
+        model.supers, model.stride, probeSupers, nprobe)).as("cid"))
+      .distinct()
+
   /** Encode: two-level assignment ([[assignHierCells]]) → residual vs the
     * assigned child centroid → per-subspace codes. Same stateless
     * per-row shape as the flat encode (stream-ingestable). */
@@ -781,19 +824,26 @@ object VectorOps {
     * exact child distance (ties on the lower global cid, the
     * [[cellRanks]] rule), take `nprobe`. Pure narrow compute over the
     * two matrix literals — O((k1 + probeSupers·k2)·dim) per query. */
-  private def hierProbeCids(vn: Column, model: HierKmeansModel,
-                            probeSupers: Int, nprobe: Int): Column = {
-    val superLit = centMatrixLit(model.supers)
-    val childLit = childMatrixLit(model)
-    val stride = model.stride
+  private[graft] def hierProbeCids(vn: Column, model: HierKmeansModel,
+                                   probeSupers: Int, nprobe: Int): Column =
+    hierProbeCidsOver(vn, childMatrixLit(model), model.supers, model.stride,
+      probeSupers, nprobe)
+
+  /** [[hierProbeCids]] over an EXPLICIT children-matrix Column — either
+    * the literal (streaming / tiny models) or the broadcast frame's
+    * `_cmat` (the served batch path). Arithmetic identical either way. */
+  private def hierProbeCidsOver(vn: Column, childMat: Column,
+                                supers: Array[Array[Double]], stride: Int,
+                                probeSupers: Int, nprobe: Int): Column = {
+    val superLit = centMatrixLit(supers)
     val rankedSupers = array_sort(zip_with(
       transform(superLit, c => graft.functions.ArrayDot.array_sq_dist(vn, c)),
-      sequence(lit(0), lit(model.supers.length - 1)),
+      sequence(lit(0), lit(supers.length - 1)),
       (d, i) => struct(d.as("d"), i.cast("int").as("cid"))))
     val topS = transform(slice(rankedSupers, 1, probeSupers),
       s => s.getField("cid"))
     val childStructs = flatten(transform(topS, sc => {
-      val children = element_at(childLit, sc + 1)
+      val children = element_at(childMat, sc + 1)
       zip_with(
         transform(children,
           c => graft.functions.ArrayDot.array_sq_dist(vn, c)),
@@ -811,20 +861,22 @@ object VectorOps {
                                                queryPred: Column, k: Int,
                                                probeSupers: Int, nprobe: Int,
                                                rerank: Int): DataFrame = {
+    val spark = index.sparkSession
     val m = model.m
-    val childLit = childMatrixLit(model.coarse)
     val stride = model.coarse.stride
     def bookLit(s: Int): Column = centMatrixLit(model.books(s))
     val recon = flatten(array((0 until m).map(s =>
       element_at(bookLit(s), element_at(col("codes"), s + 1))): _*))
+    // both sides ride broadcast relations, not plan literals — see
+    // childMatFrame: a 5 MB literal re-deserializes per task per stage
     val q = v.filter(queryPred)
+      .withColumn("_jk", lit(1))
+      .join(broadcast(childMatFrame(spark, model.coarse)), "_jk")
       .select(col("v_id").as("q_id"), col("vn").as("qv"),
-        explode(hierProbeCids(col("vn"), model.coarse, probeSupers, nprobe))
-          .as("cid"))
+        explode(hierProbeCidsOver(col("vn"), col("_cmat"),
+          model.coarse.supers, stride, probeSupers, nprobe)).as("cid"))
     val encoded = index.select(col("v_id"), col("cid"), col("codes"))
-      .withColumn("centroid", element_at(
-        element_at(childLit, expr(s"cid DIV $stride").cast("int") + 1),
-        pmod(col("cid"), lit(stride)).cast("int") + 1))
+      .join(broadcast(childCentFrame(spark, model.coarse)), Seq("cid"))
     val approx = q.join(encoded, Seq("cid"))
       .filter(col("q_id") =!= col("v_id"))
       .withColumn("asim", dot(col("qv"),

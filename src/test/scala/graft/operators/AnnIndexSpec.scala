@@ -90,6 +90,31 @@ class AnnIndexSpec extends SparkSpec {
     assert(viaIndex.nonEmpty && viaIndex == inline)
   }
 
+  test("hier index layout: sid-partitioned dirs, pruned probe scan") {
+    val qp = col("v_id") < 10
+    val dir = tmpDir("hier_layout")
+    assert(AnnIndexIO.buildHier(vecs, "vec_id", "embedding", dir,
+      k1 = 3, k2 = 3).nonEmpty)
+    // directories are SUPER cells (k1 of them), not k1·k2 global cells —
+    // the 10⁴-cell regime must not mint 10⁴ directories of tiny files
+    val idxDir = new java.io.File(s"$dir/index")
+    val parts = idxDir.listFiles().map(_.getName).filter(_.contains("="))
+    assert(parts.nonEmpty && parts.forall(_.startsWith("sid=")),
+      s"hier index not sid-partitioned: ${parts.mkString(",")}")
+    assert(parts.length <= 3, s"more sid dirs than supers: ${parts.length}")
+    // the served scan carries the static probe filters: partition
+    // pruning on sid plus the cid row-group pushdown
+    val df = AnnIndexIO.searchHier(spark, dir, vecs, "vec_id", "embedding",
+      qp, k = 3, probeSupers = 1, nprobe = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*sid".r.findFirstIn(plan).isDefined,
+      s"probe scan lost the sid partition filter:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*In\\(cid".r.findFirstIn(plan).isDefined,
+      s"probe scan lost the cid row-group pushdown:\n$plan")
+    assert(df.count() > 0)
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("arity dispatch: flat below the cell threshold, hier at/above it") {
     val qp = col("v_id") < 10
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
