@@ -1073,6 +1073,44 @@ object Oracles {
        |QUALIFY rank <= 3""".stripMargin
   }
 
+  /** bpe_train oracle: the vocabulary-induction loop unrolled (the
+    * pqSql/ivfSql iteration technique). Per iteration: adjacent-pair
+    * counts over the word-frequency table (freq-weighted), the
+    * (cnt DESC, l, r) argmax, and the merge applied as the SAME
+    * sentinel-space non-overlapping replace the engine runs — C-style
+    * left-to-right replace IS the leftmost-rescan merge rule, so the
+    * two loops agree word-for-word at every step. */
+  private def bpeTrainSql: String = {
+    val n = 12
+    val iters = (1 to n).map { i =>
+      s"""p$i AS (SELECT x.toks[u.i] AS l, x.toks[u.i + 1] AS r,
+         |    sum(x.freq)::BIGINT AS cnt
+         |  FROM (SELECT freq, string_split(trim(s), ' ') AS toks
+         |        FROM s${i - 1}) x,
+         |    unnest(generate_series(1, len(x.toks) - 1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i
+         |  ORDER BY cnt DESC, l, r LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT p.freq,
+         |    CASE WHEN b.l IS NULL THEN p.s
+         |    ELSE replace(p.s, ' ' || b.l || ' ' || b.r || ' ',
+         |                 ' ' || b.l || b.r || ' ') END AS s
+         |  FROM s${i - 1} p LEFT JOIN b$i b ON true)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to n).map(i =>
+      s"SELECT $i AS rank, l AS lhs, r AS rhs, cnt FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH t AS (SELECT unnest(string_split(trim(text), ' ')) AS w
+       |  FROM documents),
+       |w0 AS (SELECT w, count(*)::BIGINT AS freq FROM t
+       |  WHERE w <> '' GROUP BY w),
+       |s0 AS MATERIALIZED (SELECT freq,
+       |    ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+       |  FROM w0),
+       |$iters
+       |$out""".stripMargin
+  }
+
   /** bpe_tokenize oracle: the FULL greedy merge-table BPE algorithm
     * replayed in SQL — pre-tokenize with the shared regex, split each
     * pre-token into characters, then one recursive-CTE iteration merges
@@ -1288,6 +1326,66 @@ object Oracles {
 
     "sample_stratified" -> sampleStratifiedSql,
     "sample_mixture" -> sampleMixtureSql,
+
+    // BPE vocabulary induction: the learning loop unrolled — per
+    // iteration a pair-count aggregate over the word table, the
+    // (cnt DESC, l, r) argmax, and the sentinel-space replace; LEFT JOIN
+    // ON true keeps the word table flowing when a small corpus exhausts
+    // its pairs before the last iteration
+    "bpe_train" -> bpeTrainSql,
+
+    // corpus-trained bigram LM scoring: counts, vocab, and the add-one
+    // smoothed per-transition log-prob re-derived in SQL; the mean is
+    // order-insensitive at round-6 (ln magnitudes ≤ ~15, ≤ a few
+    // hundred transitions per doc)
+    "text_lm_score" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+        |    string_split(trim(text), ' ') AS toks FROM documents),
+        |tr AS (SELECT doc, toks[u.i] AS w1, toks[u.i + 1] AS w2
+        |  FROM d, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+        |c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM tr GROUP BY w1),
+        |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12
+        |  FROM tr GROUP BY w1, w2),
+        |v AS (SELECT count(DISTINCT t.tok)::BIGINT AS nv
+        |  FROM (SELECT unnest(toks) AS tok FROM d) t),
+        |sc AS (SELECT tr.doc, count(*)::BIGINT AS n_trans,
+        |    avg(ln((c12.c12 + 1)::DOUBLE / (c1.c1 + v.nv))) AS alp
+        |  FROM tr JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |  GROUP BY tr.doc)
+        |SELECT d.doc, coalesce(sc.n_trans, 0)::BIGINT AS n_trans,
+        |  round(-sc.alp, 6) + 0.0e0 AS nll
+        |FROM d LEFT JOIN sc USING (doc)""".stripMargin,
+
+    // DSIR importance weights: hashed bigram buckets (the shared md5
+    // 60-bit rule), target/raw bucket distributions add-one smoothed
+    // over B buckets, per-doc log-ratio sum; the target flag is the
+    // same composite-quality expression `quality_classify` labels with
+    "sample_dsir" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+        |    string_split(trim(text), ' ') AS toks FROM documents),
+        |g AS (SELECT doc, toks,
+        |  (1.0e0
+        |    - (CASE WHEN len(list_filter(toks, w -> w IN ('the','a','of','and','to','in')))::DOUBLE / len(toks) < 2.0e-2 THEN 4.0e-1 ELSE 0.0e0 END)
+        |    - (CASE WHEN len(toks) < 5 THEN 4.0e-1 ELSE 0.0e0 END)
+        |    - (CASE WHEN len(list_filter(toks, w -> length(w) > 6))::DOUBLE / len(toks) > 5.0e-1 THEN 2.0e-1 ELSE 0.0e0 END)
+        |  ) >= 8.0e-1 AS is_t FROM d),
+        |f AS (SELECT doc, is_t,
+        |    ('0x' || substr(md5(toks[u.i] || ' ' || toks[u.i + 1]), 1, 15))::BIGINT
+        |      % 1024 AS b
+        |  FROM g, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+        |cr AS (SELECT b, count(*)::BIGINT AS cr FROM f GROUP BY b),
+        |ct AS (SELECT b, count(*)::BIGINT AS ct FROM f WHERE is_t GROUP BY b),
+        |tot AS (SELECT count(*)::BIGINT AS nr,
+        |    count(CASE WHEN is_t THEN 1 END)::BIGINT AS nt FROM f),
+        |pr AS (SELECT cr.b,
+        |    ln(((coalesce(ct.ct, 0) + 1)::DOUBLE / (tot.nt + 1024)) /
+        |       ((cr.cr + 1)::DOUBLE / (tot.nr + 1024))) AS lr
+        |  FROM cr LEFT JOIN ct USING (b) CROSS JOIN tot),
+        |sc AS (SELECT f.doc, count(*)::BIGINT AS n_feat, sum(pr.lr) AS lw
+        |  FROM f JOIN pr USING (b) GROUP BY f.doc)
+        |SELECT g.doc, coalesce(sc.n_feat, 0)::BIGINT AS n_feat,
+        |  round(sc.lw, 6) + 0.0e0 AS logw, g.is_t AS is_target
+        |FROM g LEFT JOIN sc USING (doc)""".stripMargin,
 
     // balanced serpentine sharding: plain global row_number replays the
     // engine's two-pass distributed rank; same snake arithmetic (pos via

@@ -757,6 +757,29 @@ object Queries {
       "doc_id", "text")
   }
 
+  /** CCNet-style perplexity quality score ([[operators.TextOps.lmScore]]):
+    * an add-one-smoothed bigram LM trained on the corpus's own tokens,
+    * each document scored by mean negative log-likelihood per
+    * transition. The oracle re-derives the counts, vocab size, and
+    * per-transition log-probs in SQL. */
+  def textLmScore(s: SparkSession, dir: String): DataFrame =
+    TextOps.lmScore(Tables.documents(s, dir), "doc_id", "text")
+
+  /** DSIR importance weights ([[operators.TextOps.dsirWeights]]): hashed
+    * bigram-bucket features, target = docs passing the composite quality
+    * gate at 0.8 (the same expression `quality_classify` labels with, so
+    * the oracle replay is shared arithmetic). */
+  def sampleDsir(s: SparkSession, dir: String): DataFrame =
+    TextOps.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+      targetPred = TextOps.qualityCol(col("text")) >= 0.8)
+
+  /** BPE vocabulary induction ([[operators.TextOps.bpeTrain]]): learn the
+    * 12 highest-count merges from the corpus's own words. The oracle
+    * unrolls the identical loop — pair counts, lexicographic-tie argmax,
+    * sentinel-space replace — iteration by iteration in SQL. */
+  def bpeTrainQuery(s: SparkSession, dir: String): DataFrame =
+    TextOps.bpeTrain(Tables.documents(s, dir), "doc_id", "text")
+
   /** PII detect + scrub over text with DETERMINISTICALLY PLANTED PII (the
     * synthetic corpus contains none): docs with doc_id % 3 != 0 get an
     * email + IPv4 + phone suffix derived from doc_id; the oracle plants

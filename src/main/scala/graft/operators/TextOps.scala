@@ -928,4 +928,163 @@ object TextOps {
       longRatio.as("long_word_ratio"),
       qualityCol(col(textCol)).as("quality"))
   }
+
+  /** Per-document (w1, w2) adjacent-token transitions — the shared
+    * feature explode for [[lmScore]] and [[dsirWeights]]. Docs with
+    * < 2 tokens contribute no rows. */
+  private def transitions(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = greatest(size(toks) - 1, lit(0))
+    docs.select(col(idCol).as("doc"),
+        explode(zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("_bg"))
+      .select(col("doc"), col("_bg.w1"), col("_bg.w2"))
+  }
+
+  /** Perplexity-style LM quality scoring (the CCNet recipe — Wenzek et
+    * al. 2020 rank Common Crawl documents by KenLM perplexity and keep
+    * the low tail), engine-trained: an add-one-smoothed BIGRAM model is
+    * fitted on the corpus's own whitespace tokens and every document is
+    * scored by its mean negative log-likelihood per transition,
+    * `nll = −avg ln[(c(w1,w2)+1) / (c(w1)+V)]` — low = fluent relative
+    * to the corpus, high = outlier gibberish. Returns
+    * (doc, n_trans, nll); docs with < 2 tokens carry null nll (no
+    * transitions to score) and survive for the caller to triage.
+    *
+    * Scale shape: both count tables are map-side-combined aggregates of
+    * the SAME transition explode (vocab- and bigram-bounded, not
+    * corpus-bounded); the score join is a shuffle equi-join on the
+    * bigram key — hot function-word bigrams skew it, which AQE's skew
+    * split handles (the counts side is one row per key, so replication
+    * is cheap); the vocab size rides a 1-row broadcast. One corpus
+    * explode feeds everything — no second tokenize pass. */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tr = transitions(docs, idCol, textCol)
+    val c1 = tr.groupBy("w1").agg(count(lit(1)).as("_c1"))
+    val c12 = tr.groupBy("w1", "w2").agg(count(lit(1)).as("_c12"))
+    val vocab = docs.select(explode(tokens(col(textCol))).as("_w"))
+      .agg(countDistinct(col("_w")).as("_nv"))
+    val scored = tr
+      .join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("_lp", log((col("_c12") + 1).cast("double") /
+        (col("_c1") + col("_nv"))))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_trans"), avg(col("_lp")).as("_alp"))
+    docs.select(col(idCol).as("doc")).join(scored, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        (round(-col("_alp"), 6) + 0.0).as("nll"))
+  }
+
+  /** BPE VOCABULARY INDUCTION — learn the merge table itself (Sennrich
+    * et al. 2016), the "train a tokenizer on the corpus" pipeline stage
+    * next to the APPLY side ([[mergeBpeTokens]], which consumes a given
+    * table). Textbook loop: start from characters, repeatedly merge the
+    * most frequent adjacent symbol pair (ties broken lexicographically
+    * on (left, right) — fully deterministic), weighting pairs by word
+    * frequency. Returns the learned table (rank, lhs, rhs, cnt); fewer
+    * rows than `numMerges` when the corpus exhausts its pairs.
+    *
+    * Scale shape: ONE corpus pass builds the word-frequency table
+    * (map-side combined, vocab-bounded); every iteration after that
+    * runs on the WORD TABLE, not the corpus — a pair-count aggregate
+    * over ≤vocab rows plus a 1-row driver collect (the same
+    * driver-iterates / cluster-reduces discipline as the k-means fits).
+    * Words are held as space-delimited symbol strings with sentinel
+    * spaces, so applying a merge is ONE non-overlapping left-to-right
+    * `replace(" l r ", " lr ")` — exactly the leftmost-rescan merge
+    * rule, and bit-identical in any engine with C-style replace. Each
+    * iteration's table is persisted and forced before the previous one
+    * releases, so iteration i never re-derives the chain from scratch. */
+  def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
+               numMerges: Int = 12): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
+          .as("s"))
+    var cur = graft.CacheRegistry.persistTracked(words)
+    cur.count()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      val toks = split(trim(col("s")), " ")
+      val n = greatest(size(toks) - 1, lit(0))
+      val best = cur.select(col("freq"), explode(zip_with(
+          slice(toks, lit(1), n), slice(toks, lit(2), n),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((i + 1, l, r, c))
+        val next = graft.CacheRegistry.persistTracked(cur.select(col("freq"),
+          replace(col("s"), lit(s" $l $r "), lit(s" $l$r ")).as("s")))
+        next.count()
+        cur = next
+        i += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "lhs", "rhs", "cnt")
+  }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al., 2023):
+    * rank raw documents by how target-like they are under hashed n-gram
+    * features. Features are bigram transitions hashed into `buckets`
+    * cells ([[hash60]] mod B); the TARGET distribution is fitted on the
+    * rows satisfying `targetPred` (in-corpus exemplars — the published
+    * method's "formal text" side), the RAW distribution on the whole
+    * corpus; both add-one smoothed over the B buckets. A document's
+    * log-importance weight is Σ over its feature occurrences of
+    * ln(p_target(b) / p_raw(b)) — resampling keeps the high tail.
+    * Returns (doc, n_feat, logw, is_target); docs with < 2 tokens score
+    * null logw.
+    *
+    * Scale shape: the two distributions are B-row map-side-combined
+    * aggregates (B = `buckets`, thousands — NOT vocab-sized), so the
+    * per-doc scoring join BROADCASTS the fused prob table and the corpus
+    * never shuffles: one explode, one broadcast hash join, one per-doc
+    * re-agg. That is the whole point of the hashed feature space at
+    * 100 TB — the model is O(B), not O(vocab²). */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, buckets: Int = 1024): DataFrame = {
+    // the flag rides the explode (a join back on doc would shuffle the
+    // corpus-sized transition table for a per-doc boolean)
+    val toks = tokens(col(textCol))
+    val n = greatest(size(toks) - 1, lit(0))
+    val feats = docs.select(col(idCol).as("doc"), targetPred.as("_is_t"),
+        explode(zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("_bg"))
+      .withColumn("_b", pmod(hash60(concat_ws(" ",
+        col("_bg.w1"), col("_bg.w2"))), lit(buckets)))
+      .select(col("doc"), col("_is_t"), col("_b"))
+    val raw = feats.groupBy("_b").agg(count(lit(1)).as("_cr"))
+    val tgt = feats.filter(col("_is_t")).groupBy("_b")
+      .agg(count(lit(1)).as("_ct"))
+    val totals = feats.agg(count(lit(1)).as("_nr"),
+      count(when(col("_is_t"), 1)).as("_nt"))
+    val probs = raw.join(tgt, Seq("_b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("_b"),
+        log(((coalesce(col("_ct"), lit(0L)) + 1).cast("double") /
+          (col("_nt") + buckets)) /
+          ((col("_cr") + 1).cast("double") / (col("_nr") + buckets)))
+          .as("_lr"))
+    val scored = feats.join(broadcast(probs), Seq("_b"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_feat"), sum(col("_lr")).as("_lw"))
+    docs.select(col(idCol).as("doc"), targetPred.as("is_target"))
+      .join(scored, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+        (round(col("_lw"), 6) + 0.0).as("logw"), col("is_target"))
+  }
 }

@@ -292,4 +292,93 @@ class TextAnalysisSpec extends SparkSpec {
     // whole-doc duplicates: kept rows with empty text, not dropped
     assert(out(4L) == ((6L, 6L, "")) && out(5L) == ((6L, 6L, "")))
   }
+
+  test("bpeTrain learns the hand-computed merge sequence; feeds apply side") {
+    // words: "aaab" ×2, "ab" ×1
+    //   iter1 pairs: (a,a)=4 (two per "aaab"), (a,b)=3   → merge (a,a)
+    //   iter2: (aa,a)=2, (a,b)=3                          → merge (a,b)
+    //   iter3: (aa,ab)=2                                  → merge (aa,ab)
+    //   iter4: no pairs left                              → stop early
+    val docs = Seq((1L, "aaab aaab"), (2L, "ab")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs, "doc_id", "text", numMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    graft.CacheRegistry.releaseAll()
+    assert(merges == Seq((1, "a", "a", 4L), (2, "a", "b", 3L),
+      (3, "aa", "ab", 2L)))
+    // the learned table drives the existing APPLY kernel: "aaab" merges
+    // to one token; the second occurrence pre-tokenizes as " aaab"
+    // (leading-space rule), whose space symbol stays unmerged → 2 tokens
+    val learned = merges.map(m => (m._2, m._3))
+    val counts = docs.select(col("doc_id"),
+        TextOps.mergeBpeTokenCount(col("text"), learned).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(1L) == 3L && counts(2L) == 1L)
+  }
+
+  test("bpeTrain tie-break is lexicographic on (lhs, rhs)") {
+    // "xy" and "zw" both occur 3 times and share no symbols: first merge
+    // must pick (x,y) < (z,w) lexicographically, second picks (z,w)
+    val docs = Seq((1L, "xy zw xy zw"), (2L, "zw xy")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs, "doc_id", "text", numMerges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    graft.CacheRegistry.releaseAll()
+    assert(merges == Seq((1, "x", "y", 3L), (2, "z", "w", 3L)))
+  }
+
+  test("lmScore == hand-computed add-one bigram NLL; short docs null") {
+    // corpus: "a b" ×2 docs plus "a c"; vocab {a,b,c} → V=3
+    // transitions: (a,b) ×2, (a,c) ×1 → c1(a)=3, c12(a,b)=2, c12(a,c)=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextOps.lmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    graft.CacheRegistry.releaseAll()
+    // vocab includes "solo" and "" → V=5; p(b|a)=(2+1)/(3+5), p(c|a)=(1+1)/(3+5)
+    val nllAb = BigDecimal(-math.log(3.0 / 8.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nllAc = BigDecimal(-math.log(2.0 / 8.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((1L, Some(nllAb))) && out(2L) == ((1L, Some(nllAb))))
+    assert(out(3L) == ((1L, Some(nllAc))))
+    // the frequent transition scores more fluent (lower NLL)
+    assert(nllAb < nllAc)
+    // < 2 tokens → nothing to score: null nll, zero transitions
+    assert(out(4L) == ((0L, None)) && out(5L) == ((0L, None)))
+  }
+
+  test("dsirWeights: target-like docs score higher; flags and nulls right") {
+    // target style: "the cat sat on the mat"-ish function-word bigrams;
+    // raw-only style: code-ish tokens. The target gate is a planted flag.
+    val tgt = (1L to 6L).map(i => (i, "the cat sat on the mat again"))
+    val raw = (7L to 12L).map(i => (i, "x1 += fn(ptr, 0xFF) >> 3"))
+    val docs = (tgt ++ raw ++ Seq((13L, "solo"))).toDF("doc_id", "text")
+    val out = TextOps.dsirWeights(docs, "doc_id", "text",
+        targetPred = col("doc_id") <= 6, buckets = 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getBoolean(3)))).toMap
+    graft.CacheRegistry.releaseAll()
+    // every target doc outweighs every raw doc (disjoint feature buckets
+    // ⇒ ln ratios strictly positive vs strictly negative)
+    val tw = (1L to 6L).map(out(_)._2.get)
+    val rw = (7L to 12L).map(out(_)._2.get)
+    assert(tw.min > rw.max)
+    assert(tw.forall(_ > 0) && rw.forall(_ < 0))
+    // flags mirror the predicate; feature counts = transitions
+    assert((1L to 6L).forall(out(_)._3) && (7L to 12L).forall(!out(_)._3))
+    assert(out(1L)._1 == 6L && out(7L)._1 == 5L)
+    // single-token doc: no features, null weight, flag still evaluated
+    assert(out(13L) == ((0L, None, false)))
+    // deterministic re-run
+    val again = TextOps.dsirWeights(docs, "doc_id", "text",
+        targetPred = col("doc_id") <= 6, buckets = 64)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    graft.CacheRegistry.releaseAll()
+    assert(again == out.map { case (k, v) => (k, v._2) }.toSet)
+  }
 }
