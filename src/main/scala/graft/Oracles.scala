@@ -2322,6 +2322,62 @@ object Oracles {
         |  CAST(peak AS INT) AS peak, zc AS zero_crossings
         |FROM m""".stripMargin,
 
+    // strided frame sampling over the long planted PNG videos: the a9
+    // drifting-ellipse luminance replay with the Rec.601 per-pixel sum
+    // (the videoResizeSql rule), restricted to frame_index % 3 = 0
+    "mm_frame_sample" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    8 + CAST(doc_id AS BIGINT) % 5 AS nf,
+        |    16 + CAST(doc_id AS BIGINT) % 9 AS cx0,
+        |    16 + (CAST(doc_id AS BIGINT) * 3) % 9 AS cy0,
+        |    6 + CAST(doc_id AS BIGINT) % 3 AS a,
+        |    3 + CAST(doc_id AS BIGINT) % 2 AS b FROM documents),
+        |fr AS (SELECT media_id, CAST(t.f AS INT) AS frame_index,
+        |    cx0 + t.f AS ecx, cy0 + t.f AS ecy, a, b
+        |  FROM p, range(0, 12) t(f) WHERE t.f < nf AND t.f % 3 = 0),
+        |px AS (SELECT media_id, frame_index,
+        |    CASE WHEN (CAST(gx.x - ecx AS DOUBLE) / a)
+        |             * (CAST(gx.x - ecx AS DOUBLE) / a)
+        |           + (CAST(gy.y - ecy AS DOUBLE) / b)
+        |             * (CAST(gy.y - ecy AS DOUBLE) / b) <= 1.0
+        |      THEN 32 ELSE 224 END AS v
+        |  FROM fr, range(0, 48) gx(x), range(0, 48) gy(y))
+        |SELECT media_id, frame_index,
+        |  round(sum(0.299e0 * v + 0.587e0 * v + 0.114e0 * v) / 2304.0e0, 6)
+        |    + 0.0e0 AS luminance
+        |FROM px GROUP BY media_id, frame_index""".stripMargin,
+
+    // VAD segmentation: the gated square wave replayed sample-exact,
+    // integer window energies, the same IS-DISTINCT-FROM break rule and
+    // cumsum segment ids, active runs renumbered by start window
+    "audio_vad" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    4 + CAST(doc_id AS BIGINT) % 5 AS hp,
+        |    8000 + 100 * (CAST(doc_id AS BIGINT) % 7) AS amp,
+        |    800 + 16 * (CAST(doc_id AS BIGINT) % 11) AS nn FROM documents),
+        |s AS (SELECT media_id, t.i AS i,
+        |    CASE WHEN (t.i // 200) % 2 = 0 THEN
+        |      CASE WHEN (t.i // hp) % 2 = 0 THEN amp ELSE -amp END
+        |    ELSE 0 END AS v
+        |  FROM p, range(0, 1000) t(i) WHERE t.i < nn),
+        |w AS (SELECT media_id, CAST(i // 160 AS INT) AS win_idx,
+        |    sum(v * v)::BIGINT AS energy
+        |  FROM s GROUP BY 1, 2),
+        |a AS (SELECT *, energy >= 5000000000 AS act FROM w),
+        |d AS (SELECT *, CASE WHEN lag(act) OVER
+        |      (PARTITION BY media_id ORDER BY win_idx)
+        |      IS DISTINCT FROM act THEN 1 ELSE 0 END AS brk FROM a),
+        |r AS (SELECT *, sum(brk) OVER (PARTITION BY media_id
+        |    ORDER BY win_idx ROWS UNBOUNDED PRECEDING) AS sid FROM d),
+        |g AS (SELECT media_id, sid, min(win_idx) AS start_win,
+        |    max(win_idx) AS end_win, count(*)::BIGINT AS n_win,
+        |    sum(energy)::BIGINT AS energy
+        |  FROM r WHERE act GROUP BY media_id, sid)
+        |SELECT media_id, CAST(row_number() OVER (PARTITION BY media_id
+        |    ORDER BY start_win) AS INT) AS seg_id,
+        |  start_win, end_win, n_win, energy
+        |FROM g""".stripMargin,
+
     "emb_semdedup" -> semDedupSql,
     "emb_semdedup_hier" -> semDedupHierSql,
     "ann_ivf_pq_hier_topk" -> ivfPqHierSql,

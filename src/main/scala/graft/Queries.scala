@@ -1404,6 +1404,22 @@ object Queries {
       (round(col("luminance"), 6) + 0.0).as("luminance"))
   }
 
+  /** Uniform-stride frame sampling with the decode SKIPPED for
+    * unsampled frames ([[multimodal.MultimodalOps.sampleFramesLuminance]]
+    * over every 3rd frame of 8-12-frame planted PNG videos): the GPNV
+    * walk seeks past unsampled bodies by their length headers, so the
+    * codec runs on ~1/3 of the frames — the decode-cut tier of video
+    * ingest. Oracle: the planted drifting-ellipse luminance replay
+    * restricted to frame_index % 3 = 0. */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{MultimodalOps, VisionFixtures}
+    val media = VisionFixtures.plantMedia(
+      Tables.documents(s, dir), "doc_id", "video_long")
+    MultimodalOps.sampleFramesLuminance(media, stride = 3).select(
+      col("media_id"), col("frame_index"),
+      (round(col("luminance"), 6) + 0.0).as("luminance"))
+  }
+
   /** The WORLD-camera video scan (marker_detection.py:98-117): planted
     * PNG-framed video blobs whose 1-2 concentric markers drift one pixel
     * per frame → real per-frame PNG decode → typed multi-marker
@@ -1435,6 +1451,17 @@ object Queries {
       (round(col("duration_sec"), 6) + 0.0).as("duration_sec"),
       (round(col("rms"), 6) + 0.0).as("rms"),
       col("peak"), col("zero_crossings"))
+  }
+
+  /** Energy-threshold VAD segmentation over speech-shaped planted WAVs
+    * ([[multimodal.AudioOps.vadSegments]]): real RIFF/PCM decode →
+    * exact integer window energies → threshold + run-length merge. The
+    * oracle replays the gated square wave and the identical
+    * window/RLE arithmetic. */
+  def audioVad(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.AudioOps
+    val media = AudioOps.plantSpeechMedia(Tables.documents(s, dir), "doc_id")
+    AudioOps.vadSegments(media)
   }
 
   /** Similarity search (brute-force cosine top-k): queries = vec_id < 10,

@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Audio-column kernels: a REAL zero-dependency WAV (RIFF/PCM) decoder +
@@ -129,6 +130,93 @@ object AudioOps {
           Row("audio/wav", 0, 0, 1))
       }
     }
+  }
+
+  /** Speech-shaped planted fixture: the square wave gated by a silence
+    * comb — sample i carries the wave iff `(i / gap) % 2 == 0`, else 0.
+    * Gives every clip alternating voiced/silent runs so the VAD tier
+    * has real segment structure to find; same exact-integer replay
+    * contract as [[plantAudioMedia]]. */
+  def plantSpeechMedia(df: DataFrame, idCol: String,
+                       gap: Int = 200): DataFrame = {
+    val outSchema = MultimodalOps.mediaSchema
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    import org.apache.spark.sql.functions.col
+    df.select(col(idCol).cast("long")).repartition(col(idCol)).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val (hp, amp, n) = squareWaveParams(id)
+        val samples = Array.tabulate(n)(i =>
+          if ((i / gap) % 2 == 0) { if ((i / hp) % 2 == 0) amp else -amp }
+          else 0)
+        Row(id, encodeWavMono(FixtureRate, samples),
+          Row("audio/wav", 0, 0, 1))
+      }
+    }
+  }
+
+  /** Per-WINDOW energies: non-overlapping windows of `win` samples,
+    * energy = Σ s² as an exact Long (≤ 2³¹·win — no overflow at any
+    * realistic window). One decode pass, rows streamed; the last,
+    * partial window keeps its true (smaller) sample count's energy. */
+  def windowEnergies(media: DataFrame, win: Int = 160): DataFrame = {
+    require(win >= 1, s"window must be >= 1, got $win")
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("win_idx", IntegerType),
+      StructField("energy", LongType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeWav(r.getAs[Array[Byte]](bIdx)).iterator.flatMap { w =>
+          val n = w.samples.length
+          (0 until (n + win - 1) / win).iterator.map { wi =>
+            var e = 0L
+            var i = wi * win
+            val end = math.min(i + win, n)
+            while (i < end) {
+              val s = w.samples(i); e += s.toLong * s; i += 1
+            }
+            Row(r.getLong(idIdx), wi, e)
+          }
+        }
+      }
+    }
+  }
+
+  /** Energy-threshold VAD segmentation: windows at/above `threshold`
+    * are voiced; consecutive voiced windows merge into segments
+    * (media_id, seg_id, start_win, end_win, n_win, energy) — the audio
+    * analogue of the W1 RLE tier, and the clip-trimming stage a speech
+    * training pipeline runs before transcription/packing. The kernel
+    * emits only (window, energy) rows; the run-length merge is the
+    * declarative lag/cumsum shape, so Catalyst owns the shuffle and the
+    * whole chain replays exactly in SQL (integer energies, integer
+    * compares — no float thresholds). */
+  def vadSegments(media: DataFrame, win: Int = 160,
+                  threshold: Long = 5000000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = windowEnergies(media, win)
+      .withColumn("_act", col("energy") >= threshold)
+    val w = Window.partitionBy("media_id").orderBy("win_idx")
+    val prev = lag(col("_act"), 1).over(w)
+    val seg = e
+      .withColumn("_brk",
+        when(prev.isNull || prev =!= col("_act"), 1).otherwise(0))
+      .withColumn("_sid", sum(col("_brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("_act"))
+      .groupBy(col("media_id"), col("_sid"))
+      .agg(min("win_idx").as("start_win"), max("win_idx").as("end_win"),
+        count(lit(1)).as("n_win"), sum("energy").as("energy"))
+    seg.withColumn("seg_id", row_number().over(
+        Window.partitionBy("media_id").orderBy("start_win")))
+      .select(col("media_id"), col("seg_id"), col("start_win"),
+        col("end_win"), col("n_win"), col("energy"))
   }
 
   /** Per-clip features from exact integer samples:

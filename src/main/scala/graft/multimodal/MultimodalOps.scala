@@ -192,6 +192,91 @@ object MultimodalOps {
     Some(frames.result())
   }
 
+  /** STRIDED GRVD walk: planes address directly (header + f·w·h), so
+    * skipped frames are never copied. Same validation as
+    * [[decodeRawVideo]] (magic, dims, total length). */
+  private[multimodal] def decodeRawVideoStrided(bytes: Array[Byte],
+      stride: Int): Option[Iterator[(Int, Int, Int, Array[Byte])]] = {
+    if (bytes == null || bytes.length < 16) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4); bb.get(magic)
+    if (!magic.sameElements("GRVD".getBytes)) return None
+    val w = bb.getInt; val h = bb.getInt; val n = bb.getInt
+    if (w <= 0 || h <= 0 || n < 0 ||
+        bytes.length < 16L + n.toLong * w * h) return None
+    Some((0 until n by stride).iterator.map { f =>
+      val plane = new Array[Byte](w * h)
+      System.arraycopy(bytes, 16 + f * w * h, plane, 0, w * h)
+      (f, w, h, plane)
+    })
+  }
+
+  /** STRIDED GPNV walk: the per-frame length headers are validated for
+    * EVERY frame (the walk is the container contract), but the PNG codec
+    * runs only on sampled frames — skipped bodies are seeked past.
+    * Consequence, by design: a corrupt body inside a skipped frame goes
+    * unnoticed; a corrupt LENGTH still fails the whole blob to None. */
+  private[multimodal] def decodePngVideoStrided(bytes: Array[Byte],
+      stride: Int): Option[Iterator[(Int, java.awt.image.BufferedImage)]] = {
+    if (bytes == null || bytes.length < 8) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4); bb.get(magic)
+    if (!magic.sameElements("GPNV".getBytes)) return None
+    val n = bb.getInt
+    if (n < 0) return None
+    val out = Vector.newBuilder[(Int, java.awt.image.BufferedImage)]
+    var f = 0
+    while (f < n) {
+      if (bb.remaining() < 4) return None
+      val len = bb.getInt
+      if (len < 0 || bb.remaining() < len) return None
+      if (f % stride == 0) {
+        val buf = new Array[Byte](len); bb.get(buf)
+        decodeImage(buf) match {
+          case Some(img) => out += ((f, img))
+          case None => return None
+        }
+      } else bb.position(bb.position() + len)
+      f += 1
+    }
+    Some(out.result().iterator)
+  }
+
+  /** Frame SAMPLING with the decode skipped for unsampled frames — the
+    * uniform-stride tier of video ingest (`every k-th frame`), where the
+    * point at scale is NOT the fan-out but the decode cut: the container
+    * walks (GRVD: direct addressing; GPNV: seek by length header; an FFI
+    * codec: keyframe/index seek via [[VideoDecoder.framesStrided]]) run
+    * the codec only on frames kept, so a stride-30 sample of a 100 TB
+    * corpus pays ~1/30 of the decode CPU, not all of it. One
+    * mapPartitions pass; one row per sampled frame with its ORIGINAL
+    * frame index and mean luminance (the cheap content signature
+    * downstream dedup/quality stages key on). */
+  def sampleFramesLuminance(media: DataFrame, stride: Int,
+      decoder: VideoDecoder = VideoDecoder.default): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_index", IntegerType),
+      StructField("luminance", DoubleType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        decoder.framesStrided(r.getAs[Array[Byte]](bIdx), stride) match {
+          case Some(fs) => fs.map { case (f, g) =>
+            Row(r.getLong(idIdx), f,
+              if (g.px.isEmpty) 0.0 else g.px.sum / g.px.length)
+          }
+          case None => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** Decode/feature-extract: media table → (media_id, features). Rows
     * with an `image/…` format are REALLY decoded (luminance histogram
     * from pixels); anything else — or an undecodable image — takes the

@@ -35,6 +35,24 @@ trait VideoDecoder extends Serializable {
     *         tolerant of truncated/corrupt bytes (return `None`, never
     *         throw). */
   def frames(bytes: Array[Byte]): Option[Iterator[Gray]]
+
+  /** STRIDED decode — every `stride`-th frame with its original index.
+    * The default decodes everything and drops the rest (always correct);
+    * container-aware decoders OVERRIDE it to SKIP the undecoded frames
+    * (seek by frame length / plane size), which is the scale property of
+    * frame sampling: decode cost proportional to frames KEPT, not frames
+    * stored — at a 100 TB video corpus with stride 30, a 30× decode cut.
+    * Skip-capable implementations still validate the container WALK
+    * (magic, counts, lengths) but not the bodies of skipped frames —
+    * sampling trusts the framing, by design. Same never-throw rule as
+    * [[frames]]. */
+  def framesStrided(bytes: Array[Byte],
+                    stride: Int): Option[Iterator[(Int, Gray)]] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    frames(bytes).map(_.zipWithIndex.collect {
+      case (g, i) if i % stride == 0 => (i, g)
+    })
+  }
 }
 
 object VideoDecoder {
@@ -51,6 +69,20 @@ object VideoDecoder {
           Gray(v.w, v.h, px)
         }
       }
+
+    /** Fixed plane size ⇒ sampled frames address directly; skipped
+      * planes are never copied out of the blob. */
+    override def framesStrided(bytes: Array[Byte],
+                               stride: Int): Option[Iterator[(Int, Gray)]] = {
+      require(stride >= 1, s"stride must be >= 1, got $stride")
+      MultimodalOps.decodeRawVideoStrided(bytes, stride).map(_.map {
+        case (f, w, h, plane) =>
+          val px = new Array[Double](plane.length)
+          var i = 0
+          while (i < plane.length) { px(i) = (plane(i) & 0xff).toDouble; i += 1 }
+          (f, Gray(w, h, px))
+      })
+    }
   }
 
   /** GPNV PNG-framed container: every frame decodes through the real
@@ -59,6 +91,15 @@ object VideoDecoder {
     def frames(bytes: Array[Byte]): Option[Iterator[Gray]] =
       MultimodalOps.decodePngVideo(bytes)
         .map(_.iterator.map(VisionOps.grayOf))
+
+    /** The length headers let the walk SEEK past unsampled frames —
+      * the real codec runs only on frames kept. */
+    override def framesStrided(bytes: Array[Byte],
+                               stride: Int): Option[Iterator[(Int, Gray)]] = {
+      require(stride >= 1, s"stride must be >= 1, got $stride")
+      MultimodalOps.decodePngVideoStrided(bytes, stride)
+        .map(_.map { case (f, img) => (f, VisionOps.grayOf(img)) })
+    }
   }
 
   /** First-match dispatch over a decoder list — prepend an FFI decoder
@@ -68,6 +109,16 @@ object VideoDecoder {
       val it = decoders.iterator
       while (it.hasNext) {
         val r = it.next().frames(bytes)
+        if (r.isDefined) return r
+      }
+      None
+    }
+
+    override def framesStrided(bytes: Array[Byte],
+                               stride: Int): Option[Iterator[(Int, Gray)]] = {
+      val it = decoders.iterator
+      while (it.hasNext) {
+        val r = it.next().framesStrided(bytes, stride)
         if (r.isDefined) return r
       }
       None

@@ -228,6 +228,26 @@ object VisionFixtures {
     ((2 + id % 3).toInt, (16 + id % 9).toInt, (16 + (id * 3) % 9).toInt,
       (6 + id % 3).toInt, (3 + id % 2).toInt)
 
+  /** Long-video params: same drifting ellipse, 8–12 frames — enough for
+    * a strided sample (every 3rd) to keep several frames and skip more
+    * than it keeps. */
+  def videoLongParams(id: Long): (Int, Int, Int, Int, Int) =
+    ((8 + id % 5).toInt, (16 + id % 9).toInt, (16 + (id * 3) % 9).toInt,
+      (6 + id % 3).toInt, (3 + id % 2).toInt)
+
+  def renderVideoLongPng(id: Long): Array[Byte] = {
+    val (nf, cx0, cy0, a, b) = videoLongParams(id)
+    val frames = (0 until nf).map { f =>
+      val cx = cx0 + f; val cy = cy0 + f
+      pngBytes(48, 48, invert = false) { (x, y) =>
+        val tx = (x - cx).toDouble / a
+        val ty = (y - cy).toDouble / b
+        tx * tx + ty * ty <= 1.0
+      }
+    }
+    MultimodalOps.encodePngVideo(frames)
+  }
+
   def renderVideo(id: Long): Array[Byte] = {
     val (nf, cx0, cy0, a, b) = videoParams(id)
     val frames = (0 until nf).map { f =>
@@ -262,6 +282,9 @@ object VisionFixtures {
       case "video_png" => id =>
         val nf = videoParams(id)._1
         (renderVideoPng(id), "video/x-graft-png", 48, 48, nf)
+      case "video_long" => id =>
+        val nf = videoLongParams(id)._1
+        (renderVideoLongPng(id), "video/x-graft-png", 48, 48, nf)
       case "video_markers" => id =>
         (renderVideoMarkers(id), "video/x-graft-png", 64, 64,
           (2 + id % 3).toInt)

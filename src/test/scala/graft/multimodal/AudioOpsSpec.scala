@@ -100,4 +100,40 @@ class AudioOpsSpec extends SparkSpec {
           col("m._3").as("height"), col("m._4").as("n_frames")).as("meta"))
     assert(AudioOps.extractAudioFeatures(junk).count() == 0)
   }
+
+  private def mediaOf(id: Long, samples: Array[Int]) =
+    Seq((id, AudioOps.encodeWavMono(8000, samples), ("audio/wav", 0, 0, 1)))
+      .toDF("media_id", "bytes", "m")
+      .select(col("media_id"), col("bytes"),
+        struct(col("m._1").as("format"), col("m._2").as("width"),
+          col("m._3").as("height"), col("m._4").as("n_frames")).as("meta"))
+
+  test("windowEnergies: exact integer energies, partial last window") {
+    // 10 samples, window 4 → windows [0,4), [4,8), [8,10)
+    val s = Array(3, -3, 3, -3, 0, 0, 0, 1, 2, -2)
+    val out = AudioOps.windowEnergies(mediaOf(7L, s), win = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(out == Seq((0, 36L), (1, 1L), (2, 8L)))
+  }
+
+  test("vadSegments merges voiced runs, splits on silence, renumbers") {
+    // window 2, threshold 10: energies 18,18 | 0 | 13,25 | 0,0 | 16
+    val s = Array(3, 3, 3, 3, 0, 0, 2, 3, 3, 4, 0, 0, 0, 0, 4, 0)
+    val out = AudioOps.vadSegments(mediaOf(9L, s), win = 2, threshold = 10L)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    // segments: wins 0-1 (E 18+18), wins 3-4 (13+25), win 7 (16)
+    assert(out == Seq((1, 0, 1, 2L, 36L), (2, 3, 4, 2L, 38L),
+      (3, 7, 7, 1L, 16L)))
+  }
+
+  test("vadSegments: all-silent and all-voiced clips are the edge laws") {
+    val silent = AudioOps.vadSegments(
+      mediaOf(1L, Array.fill(8)(0)), win = 2, threshold = 1L)
+    assert(silent.count() == 0)
+    val voiced = AudioOps.vadSegments(
+      mediaOf(2L, Array.fill(8)(5)), win = 2, threshold = 1L)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(voiced.toSeq == Seq((1, 0, 3)))
+  }
 }

@@ -66,4 +66,52 @@ class VideoDecoderSpec extends SparkSpec {
     assert(VideoDecoder.default.frames("junk".getBytes).isEmpty)
     assert(VideoDecoder.default.frames(null).isEmpty)
   }
+
+  test("framesStrided == full decode + filter on both containers") {
+    def keyOf(fs: Iterator[(Int, Gray)]) =
+      fs.map { case (i, g) => (i, g.w, g.h, g.px.toSeq) }.toSeq
+    val grvd = MultimodalOps.encodeRawVideo(2, 2,
+      (0 until 7).map(f => Array[Byte](f.toByte, 1, 2, 3)))
+    val gpnv = VisionFixtures.renderVideoLongPng(3L)
+    for (blob <- Seq(grvd, gpnv); stride <- Seq(1, 2, 3, 5)) {
+      val fast = keyOf(VideoDecoder.default.framesStrided(blob, stride).get)
+      val slow = keyOf(VideoDecoder.default.frames(blob).get.zipWithIndex
+        .collect { case (g, i) if i % stride == 0 => (i, g) })
+      assert(fast == slow, s"stride=$stride mismatch")
+      assert(fast.nonEmpty && fast.map(_._1).forall(_ % stride == 0))
+    }
+    // a skip-capable decoder that is not the blob's container still sniffs
+    assert(VideoDecoder.Gpnv.framesStrided(grvd, 2).isEmpty)
+    assert(VideoDecoder.default.framesStrided("junk".getBytes, 2).isEmpty)
+    assert(VideoDecoder.default.framesStrided(null, 2).isEmpty)
+  }
+
+  test("strided GPNV skips corrupt UNSAMPLED bodies, fails corrupt lengths") {
+    // build a GPNV of 3 identical single-frame PNGs, then trash frame 1's
+    // BODY (its IHDR chunk-length bytes — decode fails fast, walk intact)
+    val png = MultimodalOps.decodePngVideoStrided(
+      VisionFixtures.renderVideoLongPng(2L), 1).get.toSeq
+    assert(png.nonEmpty)
+    val one = {
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(png.head._2, "png", buf); buf.toByteArray
+    }
+    val blob = MultimodalOps.encodePngVideo(Seq(one, one, one))
+    // frame layout: 8-byte header, then (4+len) per frame
+    val corrupt = blob.clone()
+    val f1Off = 8 + 4 + one.length + 4 + 10
+    corrupt(f1Off) = 0x7f; corrupt(f1Off + 1) = 0x7f
+    // stride 2 samples frames 0 and 2 — the corrupt body in frame 1 is
+    // seeked past and tolerated (the documented trade)
+    assert(MultimodalOps.decodePngVideoStrided(corrupt, 2).isDefined)
+    // stride 1 tries to DECODE frame 1 → whole blob rejected
+    assert(MultimodalOps.decodePngVideoStrided(corrupt, 1).isEmpty)
+    // corrupt LENGTH fails the walk at any stride
+    val badLen = blob.clone()
+    badLen(8 + 4 + one.length) = -1 // frame 1's length field low byte
+    badLen(8 + 4 + one.length + 1) = -1
+    badLen(8 + 4 + one.length + 2) = -1
+    badLen(8 + 4 + one.length + 3) = -1
+    assert(MultimodalOps.decodePngVideoStrided(badLen, 2).isEmpty)
+  }
 }
