@@ -1327,6 +1327,33 @@ object Oracles {
     "sample_stratified" -> sampleStratifiedSql,
     "sample_mixture" -> sampleMixtureSql,
 
+    // URL curation: identical planted url, identical anchored-regex
+    // normalization chain, last-two-label domain, literal blocklist
+    "text_url_normalize" ->
+      """WITH u AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END) ||
+        |    (CASE WHEN doc_id % 3 = 1 THEN 'www.'
+        |          WHEN doc_id % 3 = 2 THEN 'cdn.' ELSE '' END) ||
+        |    'Site' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '.com'
+        |          WHEN doc_id % 3 = 1 THEN '.net' ELSE '.org' END) ||
+        |    '/Page/' || CAST(doc_id AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |n AS (SELECT doc,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(url), '^[a-z][a-z0-9+.-]*://', ''), '^www\.', ''),
+        |      '[?#].*$', ''), '/+$', '') AS url_norm FROM u),
+        |h AS (SELECT doc, url_norm,
+        |    regexp_extract(url_norm, '^[^/]+') AS host FROM n)
+        |SELECT doc, url_norm, host,
+        |  regexp_extract(host, '[^.]+\.[^.]+$') AS domain,
+        |  regexp_extract(host, '[^.]+\.[^.]+$') IN
+        |    ('site7.com', 'site13.net', 'site21.org') AS blocked
+        |FROM h""".stripMargin,
+
     // BPE vocabulary induction: the learning loop unrolled — per
     // iteration a pair-count aggregate over the word table, the
     // (cnt DESC, l, r) argmax, and the sentinel-space replace; LEFT JOIN

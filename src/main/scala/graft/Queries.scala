@@ -773,6 +773,32 @@ object Queries {
     TextOps.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
       targetPred = TextOps.qualityCol(col("text")) >= 0.8)
 
+  /** URL curation over DETERMINISTICALLY PLANTED urls (the corpus has no
+    * url column — the `text_pii` planting discipline): mixed-case
+    * schemes, www/cdn subdomains, rotating TLDs, query strings,
+    * fragments and trailing slashes, all functions of doc_id, then
+    * [[operators.TextOps.urlCurate]] normalizes, extracts host/domain
+    * and flags the blocklist. The oracle plants the identical url and
+    * replays the same anchored-regex normalization. */
+  def textUrlNormalize(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 2 === 0, lit("HTTPS://")).otherwise(lit("http://")),
+      when(id % 3 === 1, lit("www.")).when(id % 3 === 2, lit("cdn."))
+        .otherwise(lit("")),
+      lit("Site"), (id % 50).cast("string"),
+      when(id % 3 === 0, lit(".com")).when(id % 3 === 1, lit(".net"))
+        .otherwise(lit(".org")),
+      lit("/Page/"), id.cast("string"),
+      when(id % 4 === 0, lit("/")).otherwise(lit("")),
+      when(id % 5 === 0, lit("?utm_source=x")).otherwise(lit("")),
+      when(id % 7 === 0, lit("#frag")).otherwise(lit("")))
+    val docs = Tables.documents(s, dir)
+      .select(id.as("doc_id"), url.as("url"))
+    TextOps.urlCurate(docs, "doc_id", "url",
+      blocklist = Seq("site7.com", "site13.net", "site21.org"))
+  }
+
   /** BPE vocabulary induction ([[operators.TextOps.bpeTrain]]): learn the
     * 12 highest-count merges from the corpus's own words. The oracle
     * unrolls the identical loop — pair counts, lexicographic-tie argmax,

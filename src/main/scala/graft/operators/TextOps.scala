@@ -977,6 +977,32 @@ object TextOps {
         (round(-col("_alp"), 6) + 0.0).as("nll"))
   }
 
+  /** URL normalization + domain curation — the web-corpus hygiene stage
+    * (FineWeb/CCNet-style): lowercase, strip scheme / leading `www.` /
+    * query+fragment / trailing slashes, extract host and a last-two-label
+    * registered domain (documented heuristic — no public-suffix list in
+    * a dependency-free engine), and flag blocklisted domains. Entirely
+    * row-local (codegen regex), so it streams unchanged and costs one
+    * narrow pass at any corpus size; the per-domain rollup downstream of
+    * it is a map-side-combined aggregate bounded by domain count.
+    * Patterns are in the portable RE2/Java subset, shared with the
+    * oracle replay. */
+  def urlCurate(docs: DataFrame, idCol: String, urlCol: String,
+                blocklist: Seq[String]): DataFrame = {
+    val lower0 = lower(col(urlCol))
+    val noScheme = regexp_replace(lower0, "^[a-z][a-z0-9+.-]*://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val noQuery = regexp_replace(noWww, "[?#].*$", "")
+    val norm = regexp_replace(noQuery, "/+$", "")
+    val host = regexp_extract(norm, "^[^/]+", 0)
+    val domain = regexp_extract(host, "[^.]+\\.[^.]+$", 0)
+    val blocked =
+      if (blocklist.isEmpty) lit(false)
+      else blocklist.map(b => domain === b).reduce(_ || _)
+    docs.select(col(idCol).as("doc"), norm.as("url_norm"),
+      host.as("host"), domain.as("domain"), blocked.as("blocked"))
+  }
+
   /** BPE VOCABULARY INDUCTION — learn the merge table itself (Sennrich
     * et al. 2016), the "train a tokenizer on the corpus" pipeline stage
     * next to the APPLY side ([[mergeBpeTokens]], which consumes a given

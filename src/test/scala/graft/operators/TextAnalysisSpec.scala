@@ -293,6 +293,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == ((6L, 6L, "")) && out(5L) == ((6L, 6L, "")))
   }
 
+  test("urlCurate normalizes the tricky shapes and flags the blocklist") {
+    val docs = Seq(
+      (1L, "HTTPS://WWW.Example.COM/a/b/?q=1#frag"), // scheme+www+query+frag+slash
+      (2L, "http://cdn.Example.com/x"),              // cdn kept, www-only strip
+      (3L, "example.com"),                           // bare host, no scheme
+      (4L, "ftp://files.sub.example.org/d///"),      // other scheme, slash run
+      (5L, "https://bad.site/page"),                 // blocklisted domain
+      (6L, "www.only-host.net")                      // www without scheme
+    ).toDF("doc_id", "url")
+    val out = TextOps.urlCurate(docs, "doc_id", "url", Seq("bad.site"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) == (("example.com/a/b", "example.com", "example.com", false)))
+    assert(out(2L) == (("cdn.example.com/x", "cdn.example.com", "example.com", false)))
+    assert(out(3L) == (("example.com", "example.com", "example.com", false)))
+    assert(out(4L) == (("files.sub.example.org/d", "files.sub.example.org",
+      "example.org", false)))
+    assert(out(5L) == (("bad.site/page", "bad.site", "bad.site", true)))
+    assert(out(6L) == (("only-host.net", "only-host.net", "only-host.net", false)))
+    // empty blocklist: nothing blocked
+    assert(TextOps.urlCurate(docs, "doc_id", "url", Seq.empty)
+      .filter(col("blocked")).count() == 0)
+  }
+
   test("bpeTrain learns the hand-computed merge sequence; feeds apply side") {
     // words: "aaab" ×2, "ab" ×1
     //   iter1 pairs: (a,a)=4 (two per "aaab"), (a,b)=3   → merge (a,a)
