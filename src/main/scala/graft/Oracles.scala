@@ -1354,6 +1354,48 @@ object Oracles {
         |    ('site7.com', 'site13.net', 'site21.org') AS blocked
         |FROM h""".stripMargin,
 
+    // composed web curation: planted urls → normalization → blocklist →
+    // salted-md5 per-domain cap (rank partitioned on (domain, blocked)
+    // so blocked rows consume no slots) → quality gate → verdict
+    "web_curation_pipeline" ->
+      """WITH u AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+        |    string_split(trim(text), ' ') AS toks,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END) ||
+        |    (CASE WHEN doc_id % 3 = 1 THEN 'www.'
+        |          WHEN doc_id % 3 = 2 THEN 'cdn.' ELSE '' END) ||
+        |    'Site' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '.com'
+        |          WHEN doc_id % 3 = 1 THEN '.net' ELSE '.org' END) ||
+        |    '/Page/' || CAST(doc_id AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |n AS (SELECT doc, toks,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(url), '^[a-z][a-z0-9+.-]*://', ''), '^www\.', ''),
+        |      '[?#].*$', ''), '/+$', '') AS url_norm FROM u),
+        |h AS (SELECT doc, toks,
+        |    regexp_extract(regexp_extract(url_norm, '^[^/]+'),
+        |      '[^.]+\.[^.]+$') AS domain FROM n),
+        |b AS (SELECT doc, domain,
+        |    domain IN ('site7.com', 'site13.net', 'site21.org') AS blocked,
+        |    (1.0e0
+        |      - (CASE WHEN len(list_filter(toks, w -> w IN ('the','a','of','and','to','in')))::DOUBLE / len(toks) < 2.0e-2 THEN 4.0e-1 ELSE 0.0e0 END)
+        |      - (CASE WHEN len(toks) < 5 THEN 4.0e-1 ELSE 0.0e0 END)
+        |      - (CASE WHEN len(list_filter(toks, w -> length(w) > 6))::DOUBLE / len(toks) > 5.0e-1 THEN 2.0e-1 ELSE 0.0e0 END)
+        |    ) >= 8.0e-1 AS q FROM h),
+        |r AS (SELECT *, CASE WHEN blocked THEN NULL ELSE
+        |    row_number() OVER (PARTITION BY domain, blocked
+        |      ORDER BY ('0x' || substr(md5('w42' || CAST(doc AS VARCHAR)),
+        |        1, 15))::BIGINT, doc) END AS rk FROM b)
+        |SELECT doc, domain,
+        |  CASE WHEN blocked THEN 'blocked'
+        |       WHEN rk > 3 THEN 'over_cap'
+        |       WHEN NOT q THEN 'low_quality'
+        |       ELSE 'kept' END AS verdict
+        |FROM r""".stripMargin,
+
     // BPE vocabulary induction: the learning loop unrolled — per
     // iteration a pair-count aggregate over the word table, the
     // (cnt DESC, l, r) argmax, and the sentinel-space replace; LEFT JOIN

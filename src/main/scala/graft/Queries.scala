@@ -780,23 +780,61 @@ object Queries {
     * [[operators.TextOps.urlCurate]] normalizes, extracts host/domain
     * and flags the blocklist. The oracle plants the identical url and
     * replays the same anchored-regex normalization. */
+  /** The deterministically planted url (shared by [[textUrlNormalize]]
+    * and [[webCurationPipeline]], mirrored verbatim in their oracles). */
+  private def plantedUrl(id: Column): Column = concat(
+    when(id % 2 === 0, lit("HTTPS://")).otherwise(lit("http://")),
+    when(id % 3 === 1, lit("www.")).when(id % 3 === 2, lit("cdn."))
+      .otherwise(lit("")),
+    lit("Site"), (id % 50).cast("string"),
+    when(id % 3 === 0, lit(".com")).when(id % 3 === 1, lit(".net"))
+      .otherwise(lit(".org")),
+    lit("/Page/"), id.cast("string"),
+    when(id % 4 === 0, lit("/")).otherwise(lit("")),
+    when(id % 5 === 0, lit("?utm_source=x")).otherwise(lit("")),
+    when(id % 7 === 0, lit("#frag")).otherwise(lit("")))
+
+  /** The shared url blocklist (oracle-mirrored). */
+  private val urlBlocklist = Seq("site7.com", "site13.net", "site21.org")
+
   def textUrlNormalize(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
-    val url = concat(
-      when(id % 2 === 0, lit("HTTPS://")).otherwise(lit("http://")),
-      when(id % 3 === 1, lit("www.")).when(id % 3 === 2, lit("cdn."))
-        .otherwise(lit("")),
-      lit("Site"), (id % 50).cast("string"),
-      when(id % 3 === 0, lit(".com")).when(id % 3 === 1, lit(".net"))
-        .otherwise(lit(".org")),
-      lit("/Page/"), id.cast("string"),
-      when(id % 4 === 0, lit("/")).otherwise(lit("")),
-      when(id % 5 === 0, lit("?utm_source=x")).otherwise(lit("")),
-      when(id % 7 === 0, lit("#frag")).otherwise(lit("")))
     val docs = Tables.documents(s, dir)
-      .select(id.as("doc_id"), url.as("url"))
-    TextOps.urlCurate(docs, "doc_id", "url",
-      blocklist = Seq("site7.com", "site13.net", "site21.org"))
+      .select(id.as("doc_id"), plantedUrl(id).as("url"))
+    TextOps.urlCurate(docs, "doc_id", "url", blocklist = urlBlocklist)
+  }
+
+  /** COMPOSED web-curation lineage — the FineWeb-ish front half of a web
+    * pipeline as ONE oracle row: planted urls → [[operators.TextOps
+    * .urlCurate]] → blocklist drop → PER-DOMAIN CAP (keep the 3
+    * pseudo-randomly-ranked docs per domain — salted-md5 rank, the
+    * `sample_stratified` determinism rule, so "random" is bit-stable
+    * cross-engine) → composite quality gate → a per-doc verdict column
+    * (`blocked` / `over_cap` / `low_quality` / `kept`, precedence in
+    * that order). Scale shape: row-local normalize, one window over the
+    * domain key (bounded fan-in per domain by construction), row-local
+    * gate — no corpus-wide shuffle beyond the domain partition. */
+  def webCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = Tables.documents(s, dir)
+      .select(id.as("doc_id"), plantedUrl(id).as("url"), col("text"))
+    val cur = TextOps.urlCurate(docs, "doc_id", "url", urlBlocklist)
+      .join(docs.select(id.as("doc"),
+        (TextOps.qualityCol(col("text")) >= 0.8).as("_q")), "doc")
+    // rank ONLY unblocked docs against each other: blocked rows must not
+    // consume cap slots, so the rank window partitions on the flag too
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"), col("blocked"))
+      .orderBy(TextOps.hash60(concat(lit("w42"), col("doc").cast("string"))),
+        col("doc"))
+    cur
+      .withColumn("_rk", when(col("blocked"), lit(null))
+        .otherwise(row_number().over(rk)))
+      .select(col("doc"), col("domain"),
+        when(col("blocked"), lit("blocked"))
+          .when(col("_rk") > 3, lit("over_cap"))
+          .when(!col("_q"), lit("low_quality"))
+          .otherwise(lit("kept")).as("verdict"))
   }
 
   /** BPE vocabulary induction ([[operators.TextOps.bpeTrain]]): learn the
