@@ -1076,11 +1076,13 @@ object TextOps {
     * null logw.
     *
     * Scale shape: the two distributions are B-row map-side-combined
-    * aggregates (B = `buckets`, thousands — NOT vocab-sized), so the
-    * per-doc scoring join BROADCASTS the fused prob table and the corpus
-    * never shuffles: one explode, one broadcast hash join, one per-doc
-    * re-agg. That is the whole point of the hashed feature space at
-    * 100 TB — the model is O(B), not O(vocab²). */
+    * aggregates (B = `buckets`, thousands — NOT vocab-sized); the
+    * fitted prob table then COLLECTS (B rows, bounded by config) and
+    * serves as a one-row broadcast lookup map with a row-local fold
+    * over each doc's own feature array — the scoring pass touches the
+    * corpus exactly once with ZERO shuffles. That is the whole point of
+    * the hashed feature space at 100 TB — the model is O(B), not
+    * O(vocab²), so it rides a broadcast instead of a join. */
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   targetPred: Column, buckets: Int = 1024): DataFrame = {
     // the flag rides the explode (a join back on doc would shuffle the
@@ -1105,12 +1107,29 @@ object TextOps {
           (col("_nt") + buckets)) /
           ((col("_cr") + 1).cast("double") / (col("_nr") + buckets)))
           .as("_lr"))
-    val scored = feats.join(broadcast(probs), Seq("_b"))
-      .groupBy("doc")
-      .agg(count(lit(1)).as("n_feat"), sum(col("_lr")).as("_lw"))
-    docs.select(col(idCol).as("doc"), targetPred.as("is_target"))
-      .join(scored, Seq("doc"), "left")
-      .select(col("doc"), coalesce(col("n_feat"), lit(0L)).as("n_feat"),
-        (round(col("_lw"), 6) + 0.0).as("logw"), col("is_target"))
+    // SERVE row-locally: the fitted model is B rows — collect it into a
+    // lookup map riding a one-row broadcast frame (bounded by `buckets`,
+    // never by data) and fold each doc's own feature array. The scoring
+    // pass then touches the corpus exactly once with ZERO shuffles —
+    // the train aggregates above are the only exchanges, and they
+    // reduce to B-row tables map-side.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lrMap = probs.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val model = Seq((1, lrMap)).toDF("_jk", "_m")
+    val lrs = zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+      (a, b) => element_at(col("_m"),
+        pmod(hash60(concat_ws(" ", a, b)), lit(buckets))))
+    docs.withColumn("_jk", lit(1))
+      .join(broadcast(model), "_jk")
+      .select(col(idCol).as("doc"), size(toks).as("_ntok"),
+        aggregate(lrs, lit(0.0), _ + _).as("_lw"),
+        targetPred.as("is_target"))
+      .select(col("doc"),
+        greatest(col("_ntok") - 1, lit(0)).cast("long").as("n_feat"),
+        when(col("_ntok") >= 2, round(col("_lw"), 6) + 0.0)
+          .otherwise(lit(null).cast("double")).as("logw"),
+        col("is_target"))
   }
 }

@@ -271,4 +271,68 @@ class PlanAuditSpec extends SparkSpec {
     assert(md5Filters.isEmpty,
       s"gram hash substituted into a Filter:\n${md5Filters.mkString("\n").take(2000)}")
   }
+
+  test("dsir serving: zero corpus shuffles — model rides a 1-row broadcast") {
+    // the O(B) model is the whole point: the fitted prob table collects
+    // (B rows, data-independent) and serves as a one-row broadcast map
+    // with a row-local fold — the scoring plan must contain NO exchange
+    // and NO shuffle join of the corpus. (Catalyst folds the
+    // constant-key equi join to a 1-row BroadcastNestedLoopJoin —
+    // that IS the intended free-broadcast shape.)
+    val p = plan(Queries.sampleDsir(spark, dir))
+    assert(p.contains("Broadcast"), s"dsir model not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") &&
+           !p.contains("Exchange hashpartitioning"),
+      s"dsir scoring shuffled the corpus:\n$p")
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("lm score: no all-pairs plan; vocab stats ride a broadcast") {
+    // the count-table joins shuffle on the bigram key (unavoidable and
+    // skew-handled by AQE); what must never appear is a cartesian plan
+    // or a shuffled 1-row vocab
+    val p = plan(Queries.textLmScore(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"lm scoring degraded to all-pairs:\n$p")
+    assert(p.contains("Broadcast"),
+      s"1-row vocab stats not broadcast:\n$p")
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("frozen lm score: zero exchanges beyond the 1-row model broadcast") {
+    val dirTmp = java.nio.file.Files.createTempDirectory("lm_audit").toString
+    val docs = Tables.documents(spark, dir)
+    operators.LmModelIO.build(docs, "doc_id", "text", dirTmp)
+    val p = plan(operators.LmModelIO.score(spark, dirTmp, docs, "doc_id", "text"))
+    assert(p.contains("Broadcast"), s"frozen model not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") &&
+           !p.contains("Exchange hashpartitioning"),
+      s"frozen lm score should not shuffle the corpus:\n$p")
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("web curation: row-local normalize, one exchange for the domain cap") {
+    val p = plan(Queries.webCurationPipeline(spark, dir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"web curation grew beyond the domain window + gate join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"web curation degraded to all-pairs:\n$p")
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("vad: kernel emits windows; the RLE merge is one required exchange") {
+    // two exchanges total: the deliberate pre-render id repartition
+    // (REPARTITION_BY_COL — fixture parallelism, same as the modal
+    // kernels) and ONE required media_id exchange that every window/agg
+    // stage downstream reuses
+    val p = plan(Queries.audioVad(spark, dir))
+    val required = p.split("\n")
+      .count(l => l.contains("Exchange hashpartitioning") &&
+        l.contains("ENSURE_REQUIREMENTS"))
+    assert(required <= 1,
+      s"vad RLE chain stopped reusing the media partitioning:\n$p")
+    graft.CacheRegistry.releaseAll()
+  }
 }
