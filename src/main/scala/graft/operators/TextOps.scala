@@ -1021,18 +1021,24 @@ object TextOps {
     * spaces, so applying a merge is ONE non-overlapping left-to-right
     * `replace(" l r ", " lr ")` — exactly the leftmost-rescan merge
     * rule, and bit-identical in any engine with C-style replace. Each
-    * iteration's table is persisted and forced before the previous one
-    * releases, so iteration i never re-derives the chain from scratch. */
+    * iteration's table is persisted (and materialized by the NEXT
+    * iteration's argmax — nothing unpersists mid-loop), so iteration i
+    * never re-derives the chain from scratch. */
   def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
                numMerges: Int = 12): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // the word table is vocab-bounded — coalesce it so the 12 iteration
+    // jobs schedule a handful of tasks each instead of a full shuffle
+    // width of near-empty ones (measured: most of the fit's wall time
+    // was per-job scheduling overhead at sf0.1's ~40-word vocab)
     val words = docs.select(explode(tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("freq"),
         concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
           .as("s"))
+      .coalesce(8)
     var cur = graft.CacheRegistry.persistTracked(words)
     cur.count()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
@@ -1053,10 +1059,11 @@ object TextOps {
         val (l, r, c) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((i + 1, l, r, c))
-        val next = graft.CacheRegistry.persistTracked(cur.select(col("freq"),
+        // no forcing count: the next iteration's argmax materializes the
+        // cache (one replace step over the already-cached parent), and
+        // nothing unpersists mid-loop — one job per iteration, not two
+        cur = graft.CacheRegistry.persistTracked(cur.select(col("freq"),
           replace(col("s"), lit(s" $l $r "), lit(s" $l$r ")).as("s")))
-        next.count()
-        cur = next
         i += 1
       }
     }
@@ -1089,34 +1096,39 @@ object TextOps {
     // corpus-sized transition table for a per-doc boolean)
     val toks = tokens(col(textCol))
     val n = greatest(size(toks) - 1, lit(0))
+    // NOT persisted: the three train aggregates each re-run the explode,
+    // but the re-evaluation (sub-second, codegen'd) is cheaper than
+    // building a columnar cache of the exploded rows (measured 0.5 s vs
+    // 6 s at sf0.1 — tools/DsirProbe); at real scale the aggregates are
+    // map-side-combined over the same scan anyway
     val feats = docs.select(col(idCol).as("doc"), targetPred.as("_is_t"),
         explode(zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("_bg"))
       .withColumn("_b", pmod(hash60(concat_ws(" ",
         col("_bg.w1"), col("_bg.w2"))), lit(buckets)))
       .select(col("doc"), col("_is_t"), col("_b"))
-    val raw = feats.groupBy("_b").agg(count(lit(1)).as("_cr"))
-    val tgt = feats.filter(col("_is_t")).groupBy("_b")
-      .agg(count(lit(1)).as("_ct"))
-    val totals = feats.agg(count(lit(1)).as("_nr"),
-      count(when(col("_is_t"), 1)).as("_nt"))
-    val probs = raw.join(tgt, Seq("_b"), "left")
-      .crossJoin(broadcast(totals))
-      .select(col("_b"),
-        log(((coalesce(col("_ct"), lit(0L)) + 1).cast("double") /
-          (col("_nt") + buckets)) /
-          ((col("_cr") + 1).cast("double") / (col("_nr") + buckets)))
-          .as("_lr"))
-    // SERVE row-locally: the fitted model is B rows — collect it into a
-    // lookup map riding a one-row broadcast frame (bounded by `buckets`,
-    // never by data) and fold each doc's own feature array. The scoring
-    // pass then touches the corpus exactly once with ZERO shuffles —
-    // the train aggregates above are the only exchanges, and they
-    // reduce to B-row tables map-side.
+    // ONE train pass: per-bucket raw AND target counts from a single
+    // map-side-combined aggregate (three separate aggregates would each
+    // re-run the explode — measured ~3× the train cost); the totals and
+    // the smoothed log-ratios finish DRIVER-side over the B collected
+    // rows with the identical arithmetic (same IEEE ops, same
+    // `Math.log` the codegen expression compiles to — oracle-shared).
+    val bucketCounts = feats.groupBy("_b").agg(
+      count(lit(1)).as("_cr"),
+      count(when(col("_is_t"), 1)).as("_ct"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nr = bucketCounts.map(_._2).sum
+    val nt = bucketCounts.map(_._3).sum
+    // SERVE row-locally: the fitted model is B rows — a lookup map on a
+    // one-row broadcast frame (bounded by `buckets`, never by data) and
+    // a fold over each doc's own feature array. The scoring pass touches
+    // the corpus exactly once with ZERO shuffles.
     val spark = docs.sparkSession
     import spark.implicits._
-    val lrMap = probs.collect()
-      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val lrMap = bucketCounts.map { case (b, cr, ct) =>
+      b -> math.log(((ct + 1).toDouble / (nt + buckets)) /
+        ((cr + 1).toDouble / (nr + buckets)))
+    }.toMap
     val model = Seq((1, lrMap)).toDF("_jk", "_m")
     val lrs = zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
       (a, b) => element_at(col("_m"),
