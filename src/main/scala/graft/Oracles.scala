@@ -2447,6 +2447,33 @@ object Oracles {
         |  start_win, end_win, n_win, energy
         |FROM g""".stripMargin,
 
+    // image aHash dedup: per-block dark counts from the planted ellipse
+    // (content keyed doc_id % 40), block sums in exact integers, the
+    // same cross-multiplied mean compare, bits row-major by (by, bx)
+    "mm_image_dedup" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CAST(doc_id % 40 AS BIGINT) AS ck FROM documents),
+        |e AS (SELECT media_id,
+        |    24 + ck % 13 AS ecx, 24 + (ck * 3) % 13 AS ecy,
+        |    8 + ck % 5 AS a, 4 + ck % 3 AS b FROM p),
+        |g AS (SELECT media_id, gx.x // 8 AS bx, gy.y // 8 AS by,
+        |    CASE WHEN (CAST(gx.x - ecx AS DOUBLE) / a)
+        |             * (CAST(gx.x - ecx AS DOUBLE) / a)
+        |           + (CAST(gy.y - ecy AS DOUBLE) / b)
+        |             * (CAST(gy.y - ecy AS DOUBLE) / b) <= 1.0
+        |      THEN 32 ELSE 224 END AS v
+        |  FROM e, range(0, 64) gx(x), range(0, 64) gy(y)),
+        |blk AS (SELECT media_id, bx, by, sum(v)::BIGINT AS s
+        |  FROM g GROUP BY 1, 2, 3),
+        |tot AS (SELECT media_id, sum(s)::BIGINT AS t FROM blk GROUP BY 1),
+        |bits AS (SELECT b.media_id,
+        |    string_agg(CASE WHEN b.s * 64 >= t.t THEN '1' ELSE '0' END,
+        |      '' ORDER BY b.by, b.bx) AS ahash
+        |  FROM blk b JOIN tot t USING (media_id) GROUP BY b.media_id)
+        |SELECT ahash, min(media_id) AS keeper_id,
+        |  count(*)::BIGINT AS n_copies
+        |FROM bits GROUP BY ahash""".stripMargin,
+
     "emb_semdedup" -> semDedupSql,
     "emb_semdedup_hier" -> semDedupHierSql,
     "ann_ivf_pq_hier_topk" -> ivfPqHierSql,

@@ -1484,6 +1484,24 @@ object Queries {
       (round(col("luminance"), 6) + 0.0).as("luminance"))
   }
 
+  /** IMAGE exact/near dedup via perceptual average hash
+    * ([[multimodal.MultimodalOps.imageAHash]]): media planted with
+    * content keyed by `doc_id % 40` (so every image has ~12 byte-
+    * identical twins), decoded for real, aHashed on integer luma, and
+    * grouped — (ahash, keeper_id, n_copies), the image analogue of
+    * `dedup_exact`. The oracle replays the planted ellipse's per-block
+    * dark counts and the same cross-multiplied integer mean compare. */
+  def mmImageDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{MultimodalOps, VisionFixtures}
+    val media = VisionFixtures.plantMediaKeyed(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 40).as("ck")),
+      "doc_id", "ck", "pupil")
+    MultimodalOps.imageAHash(media)
+      .groupBy("ahash")
+      .agg(min("media_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+  }
+
   /** The WORLD-camera video scan (marker_detection.py:98-117): planted
     * PNG-framed video blobs whose 1-2 concentric markers drift one pixel
     * per frame → real per-frame PNG decode → typed multi-marker

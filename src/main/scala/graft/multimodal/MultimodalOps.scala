@@ -277,6 +277,76 @@ object MultimodalOps {
     }
   }
 
+  /** Perceptual AVERAGE HASH (aHash) of decodable images — the image
+    * tier of the dedup family: decode → integer luma (per-pixel
+    * `round(0.299R+0.587G+0.114B)`, so gray round-trips exactly) →
+    * `grid`×`grid` equal blocks over the truncated
+    * (w − w%grid)×(h − h%grid) region → bit_i = "block i's mean ≥ the
+    * region mean", emitted as a bit STRING in row-major block order.
+    * All arithmetic is INTEGER (block sums exact, the mean compare is
+    * cross-multiplied: `blockSum·nBlocks ≥ regionSum`) — no float sum
+    * order anywhere near a hard bit decision, which is what lets an
+    * external replay hash-match bit-for-bit. Near-identical images
+    * (resize/re-encode survivors) collide; grouping on the hash is the
+    * image analogue of exact-text dedup, and Hamming-banding the string
+    * is the LSH extension. Undecodable rows yield no output. */
+  def imageAHash(media: DataFrame, grid: Int = 8): DataFrame = {
+    require(grid >= 1, s"grid must be >= 1, got $grid")
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", StringType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeImage(r.getAs[Array[Byte]](bIdx)).iterator.flatMap { img =>
+          val w = img.getWidth; val h = img.getHeight
+          val bw = w / grid; val bh = h / grid
+          if (bw == 0 || bh == 0) Iterator.empty
+          else {
+            val sums = Array.ofDim[Long](grid * grid)
+            var total = 0L
+            var by = 0
+            while (by < grid) {
+              var bx = 0
+              while (bx < grid) {
+                var s = 0L
+                var y = by * bh
+                while (y < (by + 1) * bh) {
+                  var x = bx * bw
+                  while (x < (bx + 1) * bw) {
+                    val rgb = img.getRGB(x, y)
+                    val lum = math.round(
+                      0.299 * ((rgb >> 16) & 0xff) +
+                      0.587 * ((rgb >> 8) & 0xff) +
+                      0.114 * (rgb & 0xff)).toInt
+                    s += lum
+                    x += 1
+                  }
+                  y += 1
+                }
+                sums(by * grid + bx) = s
+                total += s
+                bx += 1
+              }
+              by += 1
+            }
+            val n = grid * grid
+            val bits = new StringBuilder(n)
+            var i = 0
+            while (i < n) {
+              bits.append(if (sums(i) * n >= total) '1' else '0')
+              i += 1
+            }
+            Iterator.single(Row(r.getLong(idIdx), bits.toString))
+          }
+        }
+      }
+    }
+  }
+
   /** Decode/feature-extract: media table → (media_id, features). Rows
     * with an `image/…` format are REALLY decoded (luminance histogram
     * from pixels); anything else — or an undecodable image — takes the

@@ -264,10 +264,9 @@ object VisionFixtures {
 
   /** Plant a media table (media_id, bytes, meta) from any id column:
     * one real PNG per row. `kind` ∈ pupil | checkerboard | circles. */
-  def plantMedia(df: DataFrame, idCol: String, kind: String): DataFrame = {
-    val spark = df.sparkSession
-    // (bytes, format, width, height, n_frames)
-    val render: Long => (Array[Byte], String, Int, Int, Int) = kind match {
+  /** The per-kind renderer: id → (bytes, format, width, height, n_frames). */
+  private def renderFor(kind: String): Long => (Array[Byte], String, Int, Int, Int) =
+    kind match {
       case "pupil" => id => (renderPupil(id), "image/png", 64, 64, 1)
       case "checkerboard" => id =>
         val (s, mx, my) = checkerboardParams(id)
@@ -293,6 +292,9 @@ object VisionFixtures {
           blinkPattern.length)
       case other => throw new IllegalArgumentException(s"unknown kind $other")
     }
+
+  def plantMedia(df: DataFrame, idCol: String, kind: String): DataFrame = {
+    val render = renderFor(kind)
     val outSchema = MultimodalOps.mediaSchema
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(outSchema)
@@ -308,6 +310,27 @@ object VisionFixtures {
         val id = r.getLong(idIdx)
         val (bytes, fmt, w, h, nf) = render(id)
         Row(id, bytes, Row(fmt, w, h, nf))
+      }
+    }
+  }
+
+  /** [[plantMedia]] with a SEPARATE content key: `media_id` = `idCol`,
+    * rendered content = `renderFor(kind)(keyCol)` — distinct media rows
+    * carrying identical bytes, the duplicate structure an image-dedup
+    * fixture needs. */
+  def plantMediaKeyed(df: DataFrame, idCol: String, keyCol: String,
+                      kind: String): DataFrame = {
+    val render = renderFor(kind)
+    val outSchema = MultimodalOps.mediaSchema
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    import org.apache.spark.sql.functions.col
+    val ids = df.select(col(idCol).cast("long"), col(keyCol).cast("long"))
+      .repartition(col(idCol))
+    ids.mapPartitions { it =>
+      it.map { r =>
+        val (bytes, fmt, w, h, nf) = render(r.getLong(1))
+        Row(r.getLong(0), bytes, Row(fmt, w, h, nf))
       }
     }
   }

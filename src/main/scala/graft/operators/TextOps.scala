@@ -1101,7 +1101,13 @@ object TextOps {
     // building a columnar cache of the exploded rows (measured 0.5 s vs
     // 6 s at sf0.1 — tools/DsirProbe); at real scale the aggregates are
     // map-side-combined over the same scan anyway
-    val feats = docs.select(col(idCol).as("doc"), targetPred.as("_is_t"),
+    // targetPred (interpreted HOF filters over the token array) must
+    // evaluate ONCE PER DOC, not once per exploded feature: the Project
+    // sits UNDER the Generate (CollapseProject cannot merge across it),
+    // so `_is_t` reaches the explode as a materialized attribute
+    val flagged = docs.select(col(idCol).as("doc"),
+      targetPred.as("_is_t"), col(textCol))
+    val feats = flagged.select(col("doc"), col("_is_t"),
         explode(zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("_bg"))
       .withColumn("_b", pmod(hash60(concat_ws(" ",

@@ -222,4 +222,27 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(a - b) < 1e-9)
     }
   }
+
+  test("imageAHash: byte-identical images collide, content keys separate") {
+    // 9 media rows over 3 content keys → every same-key pair shares the
+    // hash; different keys may collide (perceptual) but same-key never split
+    val df = (0L to 8L).map(i => (i, i % 3)).toDF("doc_id", "ck")
+    val media = VisionFixtures.plantMediaKeyed(df, "doc_id", "ck", "pupil")
+    val out = MultimodalOps.imageAHash(media).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 9)
+    assert(out.values.forall(h => h.length == 64 &&
+      h.forall(c => c == '0' || c == '1')))
+    for (i <- 0L to 8L; j <- 0L to 8L if i % 3 == j % 3)
+      assert(out(i) == out(j), s"same content key split: $i vs $j")
+    // the planted ellipses at keys 0/1/2 differ enough to separate
+    assert(out.values.toSet.size == 3)
+    // undecodable rows yield no hash
+    val junk = Seq((99L, Array[Byte](1, 2, 3), ("image/png", 0, 0, 1)))
+      .toDF("media_id", "bytes", "m")
+      .select(col("media_id"), col("bytes"),
+        struct(col("m._1").as("format"), col("m._2").as("width"),
+          col("m._3").as("height"), col("m._4").as("n_frames")).as("meta"))
+    assert(MultimodalOps.imageAHash(junk).count() == 0)
+  }
 }
