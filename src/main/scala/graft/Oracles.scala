@@ -2474,6 +2474,49 @@ object Oracles {
         |  count(*)::BIGINT AS n_copies
         |FROM bits GROUP BY ahash""".stripMargin,
 
+    // image near-dup: the aHash replay with the jittered plant
+    // (+dx on the center for doc_id % 5 = 4), banded candidates with the
+    // same rank cap, exact Hamming over the bit strings at <= 7
+    "mm_image_neardup" -> {
+      val cap = graft.Queries.imageNearDupBucketCap
+      s"""WITH p AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CAST(doc_id % 40 AS BIGINT) AS base,
+        |    CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS dx
+        |  FROM documents),
+        |e AS (SELECT media_id,
+        |    24 + base % 13 + dx AS ecx, 24 + (base * 3) % 13 AS ecy,
+        |    8 + base % 5 AS a, 4 + base % 3 AS b FROM p),
+        |g AS (SELECT media_id, gx.x // 8 AS bx, gy.y // 8 AS by,
+        |    CASE WHEN (CAST(gx.x - ecx AS DOUBLE) / a)
+        |             * (CAST(gx.x - ecx AS DOUBLE) / a)
+        |           + (CAST(gy.y - ecy AS DOUBLE) / b)
+        |             * (CAST(gy.y - ecy AS DOUBLE) / b) <= 1.0
+        |      THEN 32 ELSE 224 END AS v
+        |  FROM e, range(0, 64) gx(x), range(0, 64) gy(y)),
+        |blk AS (SELECT media_id, bx, by, sum(v)::BIGINT AS s
+        |  FROM g GROUP BY 1, 2, 3),
+        |tot AS (SELECT media_id, sum(s)::BIGINT AS t FROM blk GROUP BY 1),
+        |bits AS (SELECT b.media_id,
+        |    string_agg(CASE WHEN b.s * 64 >= t.t THEN '1' ELSE '0' END,
+        |      '' ORDER BY b.by, b.bx) AS ahash
+        |  FROM blk b JOIN tot t USING (media_id) GROUP BY b.media_id),
+        |band AS (SELECT media_id, ahash, t.b AS band_id,
+        |    substr(ahash, CAST(t.b * 8 + 1 AS INT), 8) AS band_bits
+        |  FROM bits, range(0, 8) t(b)),
+        |cap AS (SELECT media_id, ahash, band_id, band_bits FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY band_id, band_bits
+        |    ORDER BY media_id) AS rn FROM band) WHERE rn <= $cap),
+        |pr AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+        |    a.ahash AS ha, b.ahash AS hb
+        |  FROM cap a JOIN cap b ON a.band_id = b.band_id
+        |    AND a.band_bits = b.band_bits AND a.media_id < b.media_id),
+        |h AS (SELECT id_a, id_b, len(list_filter(generate_series(1, 64),
+        |    i -> substr(ha, CAST(i AS INT), 1)
+        |      <> substr(hb, CAST(i AS INT), 1)))::BIGINT AS hamming
+        |  FROM pr)
+        |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 7""".stripMargin
+    },
+
     "emb_semdedup" -> semDedupSql,
     "emb_semdedup_hier" -> semDedupHierSql,
     "ann_ivf_pq_hier_topk" -> ivfPqHierSql,

@@ -1502,6 +1502,33 @@ object Queries {
       .agg(min("media_id").as("keeper_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** IMAGE NEAR-dup pairs ([[multimodal.MultimodalOps
+    * .imageNearDupPairs]]): content keyed `doc_id % 40` with every
+    * `doc_id % 5 == 4` row rendered as a one-pixel-shifted JITTERED twin
+    * — so both exact pairs (hamming 0) and genuine near pairs survive
+    * the banded candidate join + exact Hamming verify at ≤ 7 (the
+    * pigeonhole-complete regime for 8 bands). */
+  /** Band-bucket cap for the image near-dup query, oracle-shared. Tight
+    * on purpose: aHash bands are LOW-entropy (an all-light band is the
+    * image analogue of a boilerplate text band — at sf0.01 one band
+    * value collects 400+ members and alone mints ~10⁵ candidate pairs),
+    * so the cap is the lever that keeps the candidate join bounded,
+    * exactly like [[operators.TextOps.DefaultMaxBandBucket]] on the
+    * text side. Capped recall follows the text-LSH rule: pairs keep
+    * their other bands, and the smallest-id members of a flooded bucket
+    * keep pairing. */
+  val imageNearDupBucketCap: Int = 100
+
+  def mmImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{MultimodalOps, VisionFixtures}
+    val id = col("doc_id")
+    val media = VisionFixtures.plantMediaKeyed(
+      Tables.documents(s, dir).select(id.as("doc_id"),
+        ((id % 40) * 2 + when(id % 5 === 4, 1).otherwise(0)).as("ck")),
+      "doc_id", "ck", "pupil_jitter")
+    MultimodalOps.imageNearDupPairs(media, maxBucket = imageNearDupBucketCap)
+  }
+
   /** The WORLD-camera video scan (marker_detection.py:98-117): planted
     * PNG-framed video blobs whose 1-2 concentric markers drift one pixel
     * per frame → real per-frame PNG decode → typed multi-marker

@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -345,6 +346,52 @@ object MultimodalOps {
         }
       }
     }
+  }
+
+  /** Image NEAR-duplicate pairs by Hamming-banded aHash — the LSH
+    * extension of [[imageAHash]] exact grouping: the `grid²`-bit hash
+    * splits into `bands` equal substrings, images sharing ≥1 band pair
+    * up (one shuffle on the band key, buckets rank-capped like the text
+    * LSH — `maxBucket` bounds a degenerate all-same-hash corpus), and
+    * survivors verify with the EXACT full-hash Hamming distance
+    * (row-local) at `maxHamming`. Pigeonhole guarantee: any pair with
+    * distance < `bands` shares an untouched band, so recall is COMPLETE
+    * for `maxHamming ≤ bands − 1` (the shipped configuration) — beyond
+    * that it degrades into ordinary LSH recall. Returns
+    * (id_a, id_b, hamming), id_a < id_b. */
+  def imageNearDupPairs(media: DataFrame, grid: Int = 8, bands: Int = 8,
+                        maxHamming: Int = 7,
+                        maxBucket: Int = 1000): DataFrame = {
+    val nBits = grid * grid
+    require(bands >= 1 && nBits % bands == 0,
+      s"bands must divide $nBits, got $bands")
+    val bandLen = nBits / bands
+    val hashes = imageAHash(media, grid)
+    val banded = hashes.select(col("media_id"), col("ahash"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band_id"),
+            substring(col("ahash"), b * bandLen + 1, bandLen)
+              .as("band_bits"))): _*)).as("_b"))
+      .select(col("media_id"), col("ahash"),
+        col("_b.band_id"), col("_b.band_bits"))
+    val wb = Window.partitionBy(col("band_id"), col("band_bits"))
+      .orderBy(col("media_id"))
+    val capped = banded.withColumn("_rn", row_number().over(wb))
+      .filter(col("_rn") <= maxBucket).drop("_rn")
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_bits") === col("b.band_bits") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.ahash").as("_ha"), col("b.ahash").as("_hb"))
+      .distinct()
+    val hamming = size(filter(
+      zip_with(split(col("_ha"), ""), split(col("_hb"), ""),
+        (x, y) => x =!= y),
+      d => d))
+    pairs.withColumn("hamming", hamming.cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Decode/feature-extract: media table → (media_id, features). Rows

@@ -268,6 +268,17 @@ object VisionFixtures {
   private def renderFor(kind: String): Long => (Array[Byte], String, Int, Int, Int) =
     kind match {
       case "pupil" => id => (renderPupil(id), "image/png", 64, 64, 1)
+      // near-dup plant: params from id/2, center shifted by the low bit —
+      // a jittered twin of the even sibling (image near-dup fixtures)
+      case "pupil_jitter" => id => {
+        val (cx, cy, a, b) = pupilParams(id / 2)
+        val dx = (id % 2).toInt
+        (pngBytes(64, 64, invert = false) { (x, y) =>
+          val tx = (x - cx - dx).toDouble / a
+          val ty = (y - cy).toDouble / b
+          tx * tx + ty * ty <= 1.0
+        }, "image/png", 64, 64, 1)
+      }
       case "checkerboard" => id =>
         val (s, mx, my) = checkerboardParams(id)
         (renderCheckerboard(id), "image/png", 7 * s + 2 * mx, 4 * s + 2 * my, 1)

@@ -245,4 +245,24 @@ class MultimodalSpec extends SparkSpec {
           col("m._3").as("height"), col("m._4").as("n_frames")).as("meta"))
     assert(MultimodalOps.imageAHash(junk).count() == 0)
   }
+
+  test("imageNearDupPairs == brute-force Hamming <= bands-1 (pigeonhole)") {
+    // 12 media over 4 jittered content keys: exact twins at hamming 0,
+    // jittered twins near; uncapped run must equal the brute-force pair
+    // set — the banded candidate join loses NOTHING below `bands`
+    val df = (0L to 11L).map(i => (i, (i % 4) * 2 + (i % 3) / 2))
+      .toDF("doc_id", "ck")
+    val media = VisionFixtures.plantMediaKeyed(df, "doc_id", "ck",
+      "pupil_jitter")
+    val got = MultimodalOps.imageNearDupPairs(media, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val hashes = MultimodalOps.imageAHash(media).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = ha.zip(hb).count { case (x, y) => x != y } if d <= 7
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == brute && got.exists(_._3 == 0L))
+  }
 }
