@@ -1403,6 +1403,29 @@ object Oracles {
     // its pairs before the last iteration
     "bpe_train" -> bpeTrainSql,
 
+    // per-source KL drift: counts, smoothing, and the full-vocab grid
+    // (sources × words incl. absent-word floor rows) re-derived in SQL
+    "text_source_drift" ->
+      """WITH t AS (SELECT source AS src,
+        |    unnest(string_split(trim(text), ' ')) AS w FROM documents),
+        |csw AS (SELECT src, w, count(*)::BIGINT AS csw
+        |  FROM t GROUP BY src, w),
+        |cw AS (SELECT w, count(*)::BIGINT AS cw FROM t GROUP BY w),
+        |ns AS (SELECT src, sum(csw)::BIGINT AS ns FROM csw GROUP BY src),
+        |st AS (SELECT count(*)::BIGINT AS v, sum(cw)::BIGINT AS n FROM cw),
+        |grid AS (SELECT ns.src, cw.w, ns.ns, cw.cw, st.v, st.n,
+        |    coalesce(csw.csw, 0) AS csw
+        |  FROM ns CROSS JOIN st CROSS JOIN cw
+        |  LEFT JOIN csw ON csw.src = ns.src AND csw.w = cw.w),
+        |k AS (SELECT src, ns,
+        |    sum(((csw + 1)::DOUBLE / (ns + v)) *
+        |        ln(((csw + 1)::DOUBLE / (ns + v)) /
+        |           ((cw + 1)::DOUBLE / (n + v)))) AS kl
+        |  FROM grid GROUP BY src, ns)
+        |SELECT src AS source, ns AS n_tokens,
+        |  round(kl, 6) + 0.0e0 AS kl
+        |FROM k""".stripMargin,
+
     // corpus-trained bigram LM scoring: counts, vocab, and the add-one
     // smoothed per-transition log-prob re-derived in SQL; the mean is
     // order-insensitive at round-6 (ln magnitudes ≤ ~15, ≤ a few

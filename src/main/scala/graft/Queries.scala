@@ -780,6 +780,12 @@ object Queries {
     * [[operators.TextOps.urlCurate]] normalizes, extracts host/domain
     * and flags the blocklist. The oracle plants the identical url and
     * replays the same anchored-regex normalization. */
+  /** Per-source token-distribution drift ([[operators.TextOps
+    * .sourceDrift]]): KL divergence of each source's smoothed unigram
+    * distribution to the corpus mixture — the data-mixing QA row. */
+  def textSourceDrift(s: SparkSession, dir: String): DataFrame =
+    TextOps.sourceDrift(Tables.documents(s, dir), "doc_id", "text", "source")
+
   /** The deterministically planted url (shared by [[textUrlNormalize]]
     * and [[webCurationPipeline]], mirrored verbatim in their oracles). */
   private def plantedUrl(id: Column): Column = concat(

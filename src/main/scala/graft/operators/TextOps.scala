@@ -977,6 +977,60 @@ object TextOps {
         (round(-col("_alp"), 6) + 0.0).as("nll"))
   }
 
+  /** Per-source token-distribution DRIFT — the data-mixing QA monitor:
+    * for every source, the KL divergence from its add-one-smoothed
+    * unigram distribution to the corpus-wide mixture,
+    * `KL(s) = Σ_w p_s(w)·ln(p_s(w)/q(w))` over the FULL corpus vocab
+    * (absent words take the smoothing floor). High KL = the source
+    * speaks a different language than the blend — the signal mixture
+    * tuning and contamination triage key on (cf. the domain-reweighting
+    * line of work, e.g. DoReMi, which optimizes exactly these
+    * per-domain distribution gaps).
+    *
+    * Scale shape: ONE corpus explode feeds two map-side-combined
+    * aggregates (per-(source,word) and per-word — both vocab-bounded);
+    * the KL sum then runs on the (sources × vocab) frame built from a
+    * broadcast of the corpus table — no corpus-sized join, and the
+    * result is one row per source. */
+  def sourceDrift(docs: DataFrame, idCol: String, textCol: String,
+                  srcCol: String, topVocab: Int = 0): DataFrame = {
+    val tok = docs.select(col(srcCol).as("src"),
+      explode(tokens(col(textCol))).as("w"))
+    val csw = tok.groupBy("src", "w").agg(count(lit(1)).as("_csw"))
+    val cwAll = tok.groupBy("w").agg(count(lit(1)).as("_cw"))
+    // extreme-vocab lever: the grid is (sources × vocab); restrict it to
+    // the TOP-K corpus words (count desc, word asc — deterministic) when
+    // the full vocab would blow the frame up. The distribution mass a
+    // drift monitor watches lives in the head; totals `_n`/`_ns` then
+    // renormalize over the kept words so the KL stays a true divergence
+    // on the truncated support.
+    val cw =
+      if (topVocab <= 0) cwAll
+      else cwAll.withColumn("_vr", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("_cw").desc, col("w"))))
+        .filter(col("_vr") <= topVocab).drop("_vr")
+    // per-source totals over the SCORED support (≡ all tokens when the
+    // vocab is untruncated), so p and q stay true distributions
+    val ns = csw.join(cw.select("w"), Seq("w"))
+      .groupBy("src").agg(sum("_csw").as("_ns"))
+    val stats = cw.agg(count(lit(1)).as("_v"), sum("_cw").as("_n"))
+    // (source × vocab) grid: every source scores every corpus word, so
+    // absent words contribute their smoothing-floor mass
+    val grid = ns.crossJoin(broadcast(stats))
+      .crossJoin(cw)
+      .join(csw, Seq("src", "w"), "left")
+      .withColumn("_p", (coalesce(col("_csw"), lit(0L)) + 1).cast("double") /
+        (col("_ns") + col("_v")))
+      .withColumn("_q", (col("_cw") + 1).cast("double") /
+        (col("_n") + col("_v")))
+    grid.groupBy("src")
+      .agg(first(col("_ns")).as("n_tokens"),
+        sum(col("_p") * log(col("_p") / col("_q"))).as("_kl"))
+      .select(col("src").as("source"), col("n_tokens"),
+        (round(col("_kl"), 6) + 0.0).as("kl"))
+  }
+
   /** URL normalization + domain curation — the web-corpus hygiene stage
     * (FineWeb/CCNet-style): lowercase, strip scheme / leading `www.` /
     * query+fragment / trailing slashes, extract host and a last-two-label

@@ -293,6 +293,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == ((6L, 6L, "")) && out(5L) == ((6L, 6L, "")))
   }
 
+  test("sourceDrift: drifted source scores highest; KL laws hold") {
+    // srcA/srcB share the blend; srcC speaks different words entirely
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "srcA"),
+      (2L, "the dog sat on the rug", "srcA"),
+      (3L, "the cat ran to the rug", "srcB"),
+      (4L, "the dog ran to the mat", "srcB"),
+      (5L, "zeta omega psi chi phi xi", "srcC"),
+      (6L, "omega zeta xi phi chi psi", "srcC"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.sourceDrift(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out.keySet == Set("srcA", "srcB", "srcC"))
+    assert(out.values.forall(_._1 == 12L))
+    // KL ≥ 0 always; the alien source dominates the two blended ones
+    assert(out.values.forall(_._2 >= 0))
+    assert(out("srcC")._2 > out("srcA")._2 && out("srcC")._2 > out("srcB")._2)
+    // a source ≡ the corpus scores (near) the smoothing floor
+    val uni = Seq((1L, "a b c", "s1"), (2L, "a b c", "s2"))
+      .toDF("doc_id", "text", "source")
+    val u = TextOps.sourceDrift(uni, "doc_id", "text", "source")
+      .collect().map(_.getDouble(2))
+    assert(u.forall(_ == 0.0)) // identical distributions → exactly 0 at round-6
+    // topVocab truncation keeps only the head support
+    val top = TextOps.sourceDrift(docs, "doc_id", "text", "source",
+        topVocab = 1) // "the" only
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(top("srcA") == 4L && top("srcB") == 4L)
+    // a source with zero kept tokens has no distribution to score
+    assert(!top.contains("srcC"))
+  }
+
   test("urlCurate normalizes the tricky shapes and flags the blocklist") {
     val docs = Seq(
       (1L, "HTTPS://WWW.Example.COM/a/b/?q=1#frag"), // scheme+www+query+frag+slash
