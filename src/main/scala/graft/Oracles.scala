@@ -1403,6 +1403,23 @@ object Oracles {
     // its pairs before the last iteration
     "bpe_train" -> bpeTrainSql,
 
+    // overlapping chunking: identical start-sequence rule
+    // (1, 1+stride, … ≤ max(n−overlap, 1)), inclusive-slice windows
+    "text_chunk" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+        |    string_split(trim(text), ' ') AS toks FROM documents),
+        |c AS (SELECT doc, toks, u.i AS start_tok,
+        |    CAST((u.i - 1) / 24 + 1 AS INT) AS chunk_id
+        |  FROM d, unnest(generate_series(1,
+        |    greatest(len(toks) - 8, 1), 24)) AS u(i))
+        |SELECT doc, chunk_id, start_tok,
+        |  len(toks[start_tok : least(start_tok + 31, len(toks))])::BIGINT
+        |    AS n_tokens,
+        |  array_to_string(
+        |    toks[start_tok : least(start_tok + 31, len(toks))], ' ')
+        |    AS chunk
+        |FROM c""".stripMargin,
+
     // per-source KL drift: counts, smoothing, and the full-vocab grid
     // (sources × words incl. absent-word floor rows) re-derived in SQL
     "text_source_drift" ->

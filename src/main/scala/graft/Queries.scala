@@ -780,6 +780,12 @@ object Queries {
     * [[operators.TextOps.urlCurate]] normalizes, extracts host/domain
     * and flags the blocklist. The oracle plants the identical url and
     * replays the same anchored-regex normalization. */
+  /** Overlapping token-window chunking ([[operators.TextOps
+    * .chunkTokens]], 32-token windows, 8 overlap) — the retrieval /
+    * pretraining splitter as an oracle row. */
+  def textChunk(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkTokens(Tables.documents(s, dir), "doc_id", "text")
+
   /** Per-source token-distribution drift ([[operators.TextOps
     * .sourceDrift]]): KL divergence of each source's smoothed unigram
     * distribution to the corpus mixture — the data-mixing QA row. */

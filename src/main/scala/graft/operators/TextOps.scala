@@ -977,6 +977,33 @@ object TextOps {
         (round(-col("_alp"), 6) + 0.0).as("nll"))
   }
 
+  /** Overlapping token-window CHUNKING — the retrieval/pretraining
+    * splitter: windows of `size` tokens starting every
+    * `stride = size − overlap` tokens; the last window keeps its true
+    * (shorter) length; a doc of ≤ `overlap` tokens yields exactly one
+    * chunk. Start positions are `1, 1+stride, …` up to
+    * `max(n − overlap, 1)` — deterministic, so chunk ids are stable
+    * across runs and engines. Entirely row-local (explode of a
+    * per-row sequence): streams unchanged, no shuffle, and the chunk
+    * fan-out is the only row growth. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int = 32, overlap: Int = 8): DataFrame = {
+    require(chunkSize >= 1 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got $chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    docs.select(col(idCol).as("doc"), toks.as("_toks"),
+        posexplode(sequence(lit(1), greatest(n - overlap, lit(1)),
+          lit(stride))).as(Seq("_k", "_start")))
+      .select(col("doc"), (col("_k") + 1).as("chunk_id"),
+        col("_start").as("start_tok"),
+        size(slice(col("_toks"), col("_start"), lit(chunkSize)))
+          .cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("_toks"), col("_start"), lit(chunkSize)))
+          .as("chunk"))
+  }
+
   /** Per-source token-distribution DRIFT — the data-mixing QA monitor:
     * for every source, the KL divergence from its add-one-smoothed
     * unigram distribution to the corpus-wide mixture,

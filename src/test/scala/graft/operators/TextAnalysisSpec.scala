@@ -293,6 +293,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == ((6L, 6L, "")) && out(5L) == ((6L, 6L, "")))
   }
 
+  test("chunkTokens: coverage, overlap, tail, and short-doc laws") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
+      (2L, "a b"),                                    // <= overlap → 1 chunk
+      (3L, "")                                        // "" token → 1 chunk
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkTokens(docs, "doc_id", "text",
+        chunkSize = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val d1 = out.filter(_._1 == 1L)
+    // starts 1,3,5,7 (up to n-overlap=8): windows of 4, tail full here
+    assert(d1.map(c => (c._2, c._3, c._4)) ==
+      Seq((1, 1, 4L), (2, 3, 4L), (3, 5, 4L), (4, 7, 4L)))
+    assert(d1.head._5 == "t1 t2 t3 t4" && d1.last._5 == "t7 t8 t9 t10")
+    // consecutive chunks share exactly `overlap` tokens
+    assert(d1(0)._5.split(" ").takeRight(2).toSeq ==
+      d1(1)._5.split(" ").take(2).toSeq)
+    // every token position is covered
+    assert(d1.flatMap(c => c._3 until (c._3 + c._4.toInt)).toSet ==
+      (1 to 10).toSet)
+    assert(out.filter(_._1 == 2L) == Seq((2L, 1, 1, 2L, "a b")))
+    assert(out.filter(_._1 == 3L).map(c => (c._2, c._4)) == Seq((1, 1L)))
+    // a 9-token doc: start 7 window truncates to the true tail length
+    val tail = TextOps.chunkTokens(
+        Seq((9L, (1 to 9).map("x" + _).mkString(" "))).toDF("doc_id", "text"),
+        "doc_id", "text", chunkSize = 4, overlap = 2)
+      .collect().map(r => (r.getInt(2), r.getLong(3))).sortBy(_._1).toSeq
+    assert(tail == Seq((1, 4L), (3, 4L), (5, 4L), (7, 3L)))
+  }
+
   test("sourceDrift: drifted source scores highest; KL laws hold") {
     // srcA/srcB share the blend; srcC speaks different words entirely
     val docs = Seq(
