@@ -1403,6 +1403,39 @@ object Oracles {
     // its pairs before the last iteration
     "bpe_train" -> bpeTrainSql,
 
+    // capstone composition: dedup keepers → quality gate → chunking →
+    // global rank → serpentine shard → per-shard totals, each stage the
+    // already-attested replay, composed on one lineage
+    "pretrain_pipeline" -> {
+      val sh = graft.Queries.pretrainShardCount
+      s"""WITH k AS (SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, row_number() OVER
+         |      (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1),
+         |q AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+         |    string_split(trim(text), ' ') AS toks FROM k
+         |  WHERE (1.0e0
+         |    - (CASE WHEN len(list_filter(string_split(trim(text), ' '), w -> w IN ('the','a','of','and','to','in')))::DOUBLE / len(string_split(trim(text), ' ')) < 2.0e-2 THEN 4.0e-1 ELSE 0.0e0 END)
+         |    - (CASE WHEN len(string_split(trim(text), ' ')) < 5 THEN 4.0e-1 ELSE 0.0e0 END)
+         |    - (CASE WHEN len(list_filter(string_split(trim(text), ' '), w -> length(w) > 6))::DOUBLE / len(string_split(trim(text), ' ')) > 5.0e-1 THEN 2.0e-1 ELSE 0.0e0 END)
+         |  ) >= 8.0e-1),
+         |c AS (SELECT doc, CAST((u.i - 1) / 24 + 1 AS BIGINT) AS chunk_id,
+         |    len(toks[u.i : least(u.i + 31, len(toks))])::BIGINT AS nt
+         |  FROM q, unnest(generate_series(1,
+         |    greatest(len(toks) - 8, 1), 24)) AS u(i)),
+         |ch AS (SELECT doc * 1000000 + chunk_id AS cid, nt FROM c),
+         |r AS (SELECT cid, nt, row_number() OVER
+         |    (ORDER BY nt DESC, cid) AS rank FROM ch),
+         |s AS (SELECT nt,
+         |    CASE WHEN ((rank - 1 - (rank - 1) % $sh) / $sh)::BIGINT % 2 = 0
+         |         THEN (rank - 1) % $sh
+         |         ELSE $sh - 1 - (rank - 1) % $sh END AS shard
+         |  FROM r)
+         |SELECT shard, count(*)::BIGINT AS n_chunks,
+         |  sum(nt)::BIGINT AS sum_tokens
+         |FROM s GROUP BY shard""".stripMargin
+    },
+
     // overlapping chunking: identical start-sequence rule
     // (1, 1+stride, … ≤ max(n−overlap, 1)), inclusive-slice windows
     "text_chunk" ->

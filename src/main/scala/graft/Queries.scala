@@ -786,6 +786,35 @@ object Queries {
   def textChunk(s: SparkSession, dir: String): DataFrame =
     TextOps.chunkTokens(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Shard count for the composed pretrain pipeline (oracle-shared). */
+  val pretrainShardCount: Int = 8
+
+  /** CAPSTONE composed lineage — raw documents to balanced training
+    * shards as ONE oracle row: exact dedup (md5 groups, min-id keeper)
+    * → composite quality gate → overlapping 32/8 token chunking →
+    * serpentine token-balanced shard placement over the chunk table →
+    * per-shard totals. Every stage is an already-attested operator; the
+    * composition pins that they agree end-to-end on one lineage (the
+    * `curation_pipeline` discipline applied to the chunk/shard tier).
+    * Chunk ids pack as doc·10⁶ + chunk_id (a collision needs a single
+    * 24-million-token document; ids stay well inside Long). */
+  def pretrainPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val keep = docs.withColumn("_rn", row_number().over(wd))
+      .filter(col("_rn") === 1).drop("_rn")
+      .filter(TextOps.qualityCol(col("text")) >= 0.8)
+    val chunks = TextOps.chunkTokens(keep, "doc_id", "text")
+      .withColumn("cid", col("doc") * 1000000L + col("chunk_id"))
+    val sharded = operators.SampleOps.balancedShards(
+      chunks.select(col("cid"), col("n_tokens").as("_nt")),
+      "cid", "_nt", numShards = pretrainShardCount,
+      tokenCount = Some(col("_nt")))
+    sharded.groupBy("shard")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("sum_tokens"))
+  }
+
   /** Per-source token-distribution drift ([[operators.TextOps
     * .sourceDrift]]): KL divergence of each source's smoothed unigram
     * distribution to the corpus mixture — the data-mixing QA row. */

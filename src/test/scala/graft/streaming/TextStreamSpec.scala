@@ -49,6 +49,19 @@ class TextStreamSpec extends SparkSpec {
     spark.table(name).orderBy("doc").collect().toSeq
   }
 
+  test("chunking at ingest: stream == batch, stateless") {
+    // chunkTokens is a per-row sequence explode — stream-legal as-is
+    val op = (df: DataFrame) =>
+      TextOps.chunkTokens(df, "doc_id", "text", chunkSize = 6, overlap = 2)
+    val got = streamed("chunk_ingest", op)
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    val want = op(docs.toDF()).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(4)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(got == want && got.nonEmpty)
+  }
+
   test("pii -> quality over scrubbed text: stream == batch, stateless") {
     val op = (df: DataFrame) =>
       TextOps.qualityScore(
