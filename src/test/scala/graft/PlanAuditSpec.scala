@@ -322,6 +322,31 @@ class PlanAuditSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("image near-dup: banded equi-join, no all-pairs plan") {
+    val p = plan(Queries.mmImageNearDup(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"image near-dup degraded to all-pairs:\n$p")
+    // the bucket cap's window partitions on the SAME key the candidate
+    // join shuffles on — capping must not add its own exchange beyond
+    // the band key (plus the two fixture/id repartitions)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"),
+      s"banded candidate join missing:\n$p")
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("pretrain pipeline: composition stays bounded, no all-pairs") {
+    val p = plan(Queries.pretrainPipeline(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"pretrain pipeline degraded to all-pairs:\n$p")
+    // dedup window + chunk explode + the two-pass rank machinery: the
+    // rank offsets must ride a broadcast, never a shuffled join
+    assert(p.contains("BroadcastHashJoin") || p.contains("Broadcast"),
+      s"rank offsets not broadcast:\n$p")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("vad: kernel emits windows; the RLE merge is one required exchange") {
     // two exchanges total: the deliberate pre-render id repartition
     // (REPARTITION_BY_COL — fixture parallelism, same as the modal

@@ -325,6 +325,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(tail == Seq((1, 4L), (3, 4L), (5, 4L), (7, 3L)))
   }
 
+  test("chunkTokens property sweep: coverage and reassembly at random shapes") {
+    val rnd = new scala.util.Random(1234)
+    val docs = (1L to 30L).map { i =>
+      val n = rnd.nextInt(40) // 0..39 tokens
+      (i, (1 to n).map(k => s"w${i}_$k").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for ((size, ov) <- Seq((4, 2), (7, 3), (5, 0), (3, 2))) {
+      val out = TextOps.chunkTokens(df, "doc_id", "text", size, ov)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getString(4))).groupBy(_._1)
+      for ((id, text) <- docs) {
+        val toks = text.split(" ", -1).toSeq // "" → Seq("")
+        val chunks = out(id).sortBy(_._2)
+        // every chunk is the exact slice it claims to be
+        chunks.foreach { case (_, _, start, chunk) =>
+          assert(chunk == toks.slice(start - 1,
+            math.min(start - 1 + size, toks.length)).mkString(" "))
+        }
+        // positions 1..n are covered with no gaps
+        val covered = chunks.flatMap { case (_, _, start, chunk) =>
+          start until (start + chunk.split(" ", -1).length)
+        }.toSet
+        assert(covered == (1 to toks.length).toSet,
+          s"doc $id size=$size ov=$ov: coverage hole")
+      }
+    }
+  }
+
   test("sourceDrift: drifted source scores highest; KL laws hold") {
     // srcA/srcB share the blend; srcC speaks different words entirely
     val docs = Seq(

@@ -44,6 +44,17 @@ class MediaStreamSpec extends SparkSpec {
     assert(got == want && got.size == ids.size)
   }
 
+  test("image aHash at ingest: stream == batch, stateless") {
+    val op = (df: DataFrame) =>
+      graft.multimodal.MultimodalOps.imageAHash(
+        VisionFixtures.plantMedia(df, "doc_id", "pupil"))
+    val got = streamed("media_ahash", op)
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val want = op(ids.toDF("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    assert(got == want && got.size == ids.size)
+  }
+
   test("VAD at ingest: inline segments stream == batch, stateless") {
     // the row-local twin (vadSegmentsInline) is the stream shape — the
     // declarative form's window functions are not stream-legal, which
