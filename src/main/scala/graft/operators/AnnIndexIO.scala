@@ -255,6 +255,80 @@ object AnnIndexIO {
       queryPred, k, probeSupers, nprobe, rerank)
   }
 
+  // ------------------------------------------------- OPQ artifact tier
+
+  def opqModelToDF(spark: SparkSession, rot: Array[Array[Double]],
+                   books: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    val rotRows = rot.zipWithIndex.toSeq.map { case (r, i) =>
+      ("rot", i, 0, r.toSeq)
+    }
+    val bookRows = for {
+      (book, s) <- books.zipWithIndex.toSeq
+      (c, j) <- book.zipWithIndex
+    } yield ("book", s, j, c.toSeq)
+    (rotRows ++ bookRows).toDF("kind", "i", "j", "vec")
+  }
+
+  def opqModelFromDF(df: DataFrame)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val rows = df.collect()
+    def vec(r: Row): Array[Double] =
+      r.getAs[scala.collection.Seq[Double]]("vec").toArray
+    val rot = rows.filter(_.getAs[String]("kind") == "rot")
+      .sortBy(_.getAs[Int]("i")).map(vec)
+    val books = rows.filter(_.getAs[String]("kind") == "book")
+      .groupBy(_.getAs[Int]("i")).toArray.sortBy(_._1)
+      .map { case (_, rs) => rs.sortBy(_.getAs[Int]("j")).map(vec) }
+    (rot, books)
+  }
+
+  /** Build the OPQ index: learned-rotation PQ fitted on the
+    * deterministic sample, persisted as (rotation rows + codebooks) and
+    * the `(v_id, codes)` table. The CELL-LESS tier of the artifact
+    * family — every search scans all codes asymmetrically (no probe
+    * pruning), which is the right trade when the corpus fits a scan but
+    * the 8-byte codes must replace the raw vectors; the probe-pruned
+    * regimes are [[build]]/[[buildHier]]. Returns false on an empty
+    * corpus. */
+  def buildOpq(vecs: DataFrame, idCol: String, vecCol: String, path: String,
+               m: Int = 8, codebookK: Int = 16, altIters: Int = 5,
+               sampleN: Int = 10000): Boolean = {
+    val spark = vecs.sparkSession
+    val v = graft.CacheRegistry.persistTracked(
+      VectorOps.normalized(vecs, idCol, vecCol)
+        .select(col(idCol).as("v_id"), col("vn")))
+    val sample = v.orderBy("v_id").limit(sampleN).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("vn").toArray)
+    if (sample.isEmpty) false
+    else {
+      val (rot, books) = VectorOps.opqTrain(sample, m, codebookK, altIters)
+      opqModelToDF(spark, rot, books).write.mode("overwrite")
+        .parquet(s"$path/quantizer")
+      VectorOps.opqEncode(vecs, idCol, vecCol, rot, books)
+        .select(col("v_id"), col("codes"))
+        .write.mode("overwrite").parquet(s"$path/index")
+      writeKind(spark, path, "opq")
+      true
+    }
+  }
+
+  /** Search a prebuilt OPQ index — bit-identical to the inline
+    * [[VectorOps.opqTopK]] on the same corpus (spec-pinned): the
+    * deterministic sample yields the same rotation and codebooks, and
+    * the on-the-fly query rotation is the same arithmetic the encode
+    * ran. */
+  def searchOpq(spark: SparkSession, path: String, corpus: DataFrame,
+                idCol: String, vecCol: String, queryPred: Column, k: Int,
+                rerank: Int = 10): DataFrame = {
+    val (rot, books) = opqModelFromDF(spark.read.parquet(s"$path/quantizer"))
+    val v = graft.CacheRegistry.persistTracked(
+      VectorOps.normalized(corpus, idCol, vecCol)
+        .select(col(idCol).as("v_id"), col("vn")))
+    VectorOps.opqSearchNormalized(rot, books,
+      spark.read.parquet(s"$path/index"), v, queryPred, k, rerank)
+  }
+
   // ------------------------------------- arity-dispatched default entry
 
   /** Arity-dispatched build — the DEFAULT index entry point: FLAT coarse

@@ -470,22 +470,45 @@ object VectorOps {
     val (rot, books) = opqTrain(sample, m, codebookK, altIters)
     val encoded = graft.CacheRegistry.persistTracked(
       opqEncode(vecs, idCol, vecCol, rot, books))
+    opqSearchNormalized(rot, books,
+      encoded.select(col("v_id"), col("codes")),
+      encoded.select(col("v_id"), col("vn"), col("_vr")),
+      queryPred, k, rerank)
+  }
+
+  /** Search an OPQ-coded index given the fitted (rotation, codebooks):
+    * asymmetric rank in the rotated space, exact re-rank on the
+    * original normalized vectors. `v` must carry (v_id, vn) and MAY
+    * carry a pre-rotated `_vr` (the inline path reuses the encode's);
+    * without one the query rows rotate on the fly — identical
+    * arithmetic, so both forms are bit-identical (spec). */
+  private[graft] def opqSearchNormalized(rot: Array[Array[Double]],
+                                         books: Array[Array[Array[Double]]],
+                                         index: DataFrame, v: DataFrame,
+                                         queryPred: Column, k: Int,
+                                         rerank: Int): DataFrame = {
+    val m = books.length
     def bookLit(s: Int): Column = centMatrixLit(books(s))
     val recon = flatten(array((0 until m).map(s =>
       element_at(bookLit(s), element_at(col("codes"), s + 1))): _*))
-    val q = encoded.filter(queryPred)
+    val qsrc =
+      if (v.columns.contains("_vr")) v
+      else v.withColumn("_vr", transform(centMatrixLit(rot),
+        r => graft.functions.ArrayDot.array_dot(r, col("vn"))))
+    val q = qsrc.filter(queryPred)
       .select(col("v_id").as("q_id"), col("_vr").as("qr"))
     val approx = broadcast(q)
-      .join(encoded.select(col("v_id"), col("codes")), col("q_id") =!= col("v_id"))
+      .join(index.select(col("v_id"), col("codes")),
+        col("q_id") =!= col("v_id"))
       .withColumn("asim", dot(col("qr"), recon))
     val wa = Window.partitionBy(col("q_id")).orderBy(col("asim").desc, col("v_id"))
     val cand = approx.withColumn("_arn", row_number().over(wa))
       .filter(col("_arn") <= rerank)
       .select(col("q_id"), col("v_id"))
-    val qx = encoded.filter(queryPred)
+    val qx = qsrc.filter(queryPred)
       .select(col("v_id").as("q_id"), col("vn").as("qv"))
     val exact = cand.join(broadcast(qx), "q_id")
-      .join(encoded.select(col("v_id"), col("vn")), "v_id")
+      .join(v.select(col("v_id"), col("vn")), "v_id")
       .withColumn("sim", dot(col("qv"), col("vn")))
     val we = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("v_id"))
     exact.withColumn("rank", row_number().over(we)).filter(col("rank") <= k)

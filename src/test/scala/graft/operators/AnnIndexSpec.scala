@@ -90,6 +90,29 @@ class AnnIndexSpec extends SparkSpec {
     assert(viaIndex.nonEmpty && viaIndex == inline)
   }
 
+  test("OPQ build/search over the artifact == inline opqTopK, bit-for-bit") {
+    val qp = col("v_id") < 10
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("sim"))))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val inline = rows(VectorOps.opqTopK(vecs, "vec_id", "embedding", qp,
+      k = 3, m = 2, codebookK = 8, altIters = 3))
+    graft.CacheRegistry.releaseAll()
+    val dir = tmpDir("opq")
+    assert(AnnIndexIO.buildOpq(vecs, "vec_id", "embedding", dir,
+      m = 2, codebookK = 8, altIters = 3))
+    // the sidecar records the quantizer family
+    val kindBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_KIND"))
+    assert(new String(kindBytes, "UTF-8").trim == "opq")
+    val served = rows(AnnIndexIO.searchOpq(spark, dir, vecs, "vec_id",
+      "embedding", qp, k = 3))
+    graft.CacheRegistry.releaseAll()
+    assert(served.nonEmpty && served == inline)
+  }
+
   test("hier index layout: sid-partitioned dirs, pruned probe scan") {
     val qp = col("v_id") < 10
     val dir = tmpDir("hier_layout")
