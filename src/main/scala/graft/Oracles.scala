@@ -1436,6 +1436,24 @@ object Oracles {
          |FROM s GROUP BY shard""".stripMargin
     },
 
+    // n-gram novelty: distinct shingles per doc, per-gram min owner,
+    // first-owner ratio — shingle rule shared with the dedup oracles
+    "text_novelty" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+        |    string_split(trim(text), ' ') AS toks FROM documents),
+        |s AS (SELECT DISTINCT doc,
+        |    array_to_string(toks[u.i : u.i + 2], ' ') AS g
+        |  FROM d, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+        |  WHERE len(toks) >= 3),
+        |o AS (SELECT g, min(doc) AS own FROM s GROUP BY g),
+        |sc AS (SELECT s.doc, count(*)::BIGINT AS n_grams,
+        |    count(CASE WHEN o.own = s.doc THEN 1 END)::BIGINT AS n_novel
+        |  FROM s JOIN o USING (g) GROUP BY s.doc)
+        |SELECT d.doc, coalesce(sc.n_grams, 0)::BIGINT AS n_grams,
+        |  coalesce(sc.n_novel, 0)::BIGINT AS n_novel,
+        |  round(sc.n_novel::DOUBLE / sc.n_grams, 6) + 0.0e0 AS novelty
+        |FROM d LEFT JOIN sc USING (doc)""".stripMargin,
+
     // overlapping chunking: identical start-sequence rule
     // (1, 1+stride, … ≤ max(n−overlap, 1)), inclusive-slice windows
     "text_chunk" ->

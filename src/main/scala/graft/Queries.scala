@@ -780,6 +780,12 @@ object Queries {
     * [[operators.TextOps.urlCurate]] normalizes, extracts host/domain
     * and flags the blocklist. The oracle plants the identical url and
     * replays the same anchored-regex normalization. */
+  /** Per-doc n-gram novelty ([[operators.TextOps.ngramNovelty]], k=3):
+    * the fraction of each doc's distinct shingles first owned (min doc
+    * id) by that doc — the contribution-of-new-content signal. */
+  def textNovelty(s: SparkSession, dir: String): DataFrame =
+    TextOps.ngramNovelty(Tables.documents(s, dir), "doc_id", "text")
+
   /** Overlapping token-window chunking ([[operators.TextOps
     * .chunkTokens]], 32-token windows, 8 overlap) — the retrieval /
     * pretraining splitter as an oracle row. */

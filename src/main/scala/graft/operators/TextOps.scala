@@ -977,6 +977,35 @@ object TextOps {
         (round(-col("_alp"), 6) + 0.0).as("nll"))
   }
 
+  /** Per-document n-gram NOVELTY — the contribution-of-new-content
+    * signal (the memorization/duplication analyses of Lee et al. and
+    * the dataset-curation practice of preferring novel text): a doc's
+    * novelty is the fraction of its DISTINCT k-token-grams whose
+    * corpus-wide first owner (min doc id) is this doc. 1.0 = every
+    * gram first appears here; 0.0 = everything was already written by
+    * an earlier doc. Deterministic by construction (min over ids).
+    *
+    * Scale shape: one shingle pass → per-gram min-owner aggregate
+    * (map-side combined, gram-bounded) → join back on the gram key
+    * (AQE-skew-handled; hot boilerplate grams are one row on the owner
+    * side) → per-doc ratio. Docs with < k tokens carry null novelty. */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, k)
+      .select(col("doc"), explode(col("sh")).as("g"))
+    val owner = sh.groupBy("g").agg(min(col("doc")).as("_own"))
+    val scored = sh.join(owner, Seq("g"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("_own") === col("doc"), 1)).as("n_novel"))
+    docs.select(col(idCol).as("doc")).join(scored, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (round(col("n_novel").cast("double") / col("n_grams"), 6) + 0.0)
+          .as("novelty"))
+  }
+
   /** Overlapping token-window CHUNKING — the retrieval/pretraining
     * splitter: windows of `size` tokens starting every
     * `stride = size − overlap` tokens; the last window keeps its true

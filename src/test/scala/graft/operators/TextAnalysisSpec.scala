@@ -293,6 +293,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == ((6L, 6L, "")) && out(5L) == ((6L, 6L, "")))
   }
 
+  test("ngramNovelty: first-owner ratio, repeats score zero, short docs null") {
+    val docs = Seq(
+      (1L, "a b c d e"),       // 3 distinct grams, all first-owned → 1.0
+      (2L, "a b c d e"),       // exact repeat → 0.0
+      (3L, "a b c x y z"),     // shares "a b c" (owned by 1), 3 novel of 4
+      (4L, "t u")              // < k tokens → null
+    ).toDF("doc_id", "text")
+    val out = TextOps.ngramNovelty(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out(1L) == ((3L, 3L, Some(1.0))))
+    assert(out(2L) == ((3L, 0L, Some(0.0))))
+    assert(out(3L) == ((4L, 3L, Some(0.75))))
+    assert(out(4L) == ((0L, 0L, None)))
+  }
+
   test("chunkTokens: coverage, overlap, tail, and short-doc laws") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
