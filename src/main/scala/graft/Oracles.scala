@@ -1441,10 +1441,13 @@ object Oracles {
     "text_novelty" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
         |    string_split(trim(text), ' ') AS toks FROM documents),
-        |s AS (SELECT DISTINCT doc,
-        |    array_to_string(toks[u.i : u.i + 2], ' ') AS g
+        |sg AS (SELECT DISTINCT doc,
+        |    array_to_string(toks[u.i : u.i + 2], ' ') AS gs
         |  FROM d, unnest(generate_series(1, len(toks) - 2)) AS u(i)
         |  WHERE len(toks) >= 3),
+        |s AS (SELECT doc,
+        |    ('0x' || substr(md5(gs), 1, 15))::BIGINT % 1000000007 AS g
+        |  FROM sg),
         |o AS (SELECT g, min(doc) AS own FROM s GROUP BY g),
         |sc AS (SELECT s.doc, count(*)::BIGINT AS n_grams,
         |    count(CASE WHEN o.own = s.doc THEN 1 END)::BIGINT AS n_novel

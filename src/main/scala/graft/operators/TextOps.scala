@@ -991,8 +991,15 @@ object TextOps {
     * side) → per-doc ratio. Docs with < k tokens carry null novelty. */
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3): DataFrame = {
-    val sh = shingled(docs, idCol, textCol, k)
-      .select(col("doc"), explode(col("sh")).as("g"))
+    // gram keys are the NATIVE 60-bit shingle hashes (the dedup family's
+    // key space, md5-rule oracle-portable): the string-shingle explode
+    // costs ~5× more (interpreted per-shingle concat — measured 6.4 s
+    // vs ~1 s at sf0.1) and the min-owner/ratio arithmetic only needs
+    // key identity. Hash collisions merge grams deterministically and
+    // identically in any engine — the same modulo-space semantics every
+    // minhash/LSH consumer here already lives in.
+    val sh = shingleHashed(docs, idCol, textCol, k)
+      .select(col("doc"), explode(col("hv")).as("g"))
     val owner = sh.groupBy("g").agg(min(col("doc")).as("_own"))
     val scored = sh.join(owner, Seq("g"))
       .groupBy("doc")

@@ -51,6 +51,16 @@ object DsirProbe {
       df.write.mode("overwrite").format("noop").save()
     }
     graft.CacheRegistry.releaseAll()
+    // novelty phases
+    val sh = graft.operators.TextOps.shingled(docs, "doc_id", "text", 3)
+      .select(col("doc"), explode(col("sh")).as("g"))
+    time("novelty-explode") { sh.count() }
+    time("novelty-owner") { sh.groupBy("g").agg(min(col("doc"))).count() }
+    time("novelty-full") {
+      graft.operators.TextOps.ngramNovelty(docs, "doc_id", "text")
+        .write.mode("overwrite").format("noop").save()
+    }
+    graft.CacheRegistry.releaseAll()
     // bpe_train: all cost is construction
     time("bpe-train-construct") {
       graft.operators.TextOps.bpeTrain(docs, "doc_id", "text")
