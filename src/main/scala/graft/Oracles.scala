@@ -1073,6 +1073,27 @@ object Oracles {
        |QUALIFY rank <= 3""".stripMargin
   }
 
+  /** dedup_simhash_pairs oracle: the simhash replay extended with the
+    * 6×10-bit band split, the shared rank cap, and the exact
+    * bit_count(xor) Hamming verify — integers end to end. */
+  private def simhashPairsSql: String = {
+    val bands = 6; val bandBits = 10; val maxHamming = 5
+    val cap = graft.operators.TextOps.DefaultMaxBandBucket
+    val mask = (1L << bandBits) - 1
+    s"""WITH sh AS ($simhashSql),
+       |band AS (SELECT doc, simhash, t.b AS band_id,
+       |    (simhash >> (t.b * $bandBits)) & $mask AS band_key
+       |  FROM sh, range(0, $bands) t(b)),
+       |cap AS (SELECT doc, simhash, band_id, band_key FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY band_id, band_key
+       |    ORDER BY doc) AS rn FROM band) WHERE rn <= $cap),
+       |pr AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+       |    bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       |  FROM cap a JOIN cap b ON a.band_id = b.band_id
+       |    AND a.band_key = b.band_key AND a.doc < b.doc)
+       |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= $maxHamming""".stripMargin
+  }
+
   /** bpe_train oracle: the vocabulary-induction loop unrolled (the
     * pqSql/ivfSql iteration technique). Per iteration: adjacent-pair
     * counts over the word-frequency table (freq-weighted), the
@@ -1581,6 +1602,7 @@ object Oracles {
         |  floor(cum::DOUBLE / 2048)::BIGINT AS chunk FROM c""".stripMargin,
 
     "dedup_simhash" -> simhashSql,
+    "dedup_simhash_pairs" -> simhashPairsSql,
 
     "bpe_tokenize" -> bpeTokenizeSql,
 

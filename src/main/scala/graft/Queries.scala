@@ -709,6 +709,12 @@ object Queries {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     TextOps.simhash(Tables.documents(s, dir), "doc_id", "text")
 
+  /** SimHash near-dup pairs ([[operators.TextOps.simhashNearDupPairs]],
+    * 6 bands × 10 bits, Hamming ≤ 5 = the pigeonhole-complete regime):
+    * the bag-of-words near-dup family next to the shingle-based LSH. */
+  def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    TextOps.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text")
+
   /** Text analysis: stopword-marker language ID with deterministic argmax. */
   def textLangid(s: SparkSession, dir: String): DataFrame =
     TextOps.langId(Tables.documents(s, dir), "doc_id", "text")

@@ -312,6 +312,45 @@ object TextOps {
     agg.select(col("doc"), sh.as("simhash"))
   }
 
+  /** SimHash NEAR-duplicate pairs — the crawl-dedup classic (Charikar
+    * 2002 / the Google near-dup recipe): the 60-bit simhash splits into
+    * `bands` equal bit fields, docs sharing a field pair up (bucket
+    * rank-capped like every LSH family here), survivors verify with
+    * the EXACT Hamming distance `bit_count(a XOR b)` at `maxHamming`.
+    * Pigeonhole: distance < `bands` guarantees a shared untouched
+    * field, so recall is COMPLETE for `maxHamming ≤ bands − 1` (the
+    * default 5 at 6 bands). Integer-only arithmetic end to end —
+    * engine-portable by construction. Returns (id_a, id_b, hamming). */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          bands: Int = 6, maxHamming: Int = 5,
+                          maxBucket: Int = DefaultMaxBandBucket): DataFrame = {
+    require(bands >= 1 && 60 % bands == 0,
+      s"bands must divide 60, got $bands")
+    val bandBits = 60 / bands
+    val mask = (1L << bandBits) - 1
+    val sh = simhash(docs, idCol, textCol)
+    val banded = sh.select(col("doc"), col("simhash"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band_id"),
+            shiftright(col("simhash"), b * bandBits).bitwiseAND(mask)
+              .as("band_key"))): _*)).as("_b"))
+      .select(col("doc"), col("simhash"),
+        col("_b.band_id"), col("_b.band_key"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_id"), col("band_key")).orderBy(col("doc"))
+    val capped = banded.withColumn("_rn", row_number().over(wb))
+      .filter(col("_rn") <= maxBucket).drop("_rn")
+    capped.as("a").join(capped.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Document fingerprint: min over 4-token k-gram rolling hashes
     * (winnowing-style shingle-min; null for docs with < 4 tokens).
     * Token-hash array is materialized per row before the gram transform —

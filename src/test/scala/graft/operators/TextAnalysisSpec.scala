@@ -293,6 +293,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == ((6L, 6L, "")) && out(5L) == ((6L, 6L, "")))
   }
 
+  test("simhashNearDupPairs == brute-force Hamming <= bands-1 (pigeonhole)") {
+    // near twins: one word changed; far docs: disjoint vocab
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),  // ~1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"), // ==1
+      (4L, "uno dos tres cuatro cinco seis siete ocho"),
+      (5L, "uno dos tres cuatro cinco seis siete nueve"))    // ~4
+      .toDF("doc_id", "text")
+    val got = TextOps.simhashNearDupPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hs = TextOps.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    graft.CacheRegistry.releaseAll()
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 5
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 3L, 0L)))          // exact twin at 0
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L)) // near twin found
+    assert(!got.exists(p => p._1 <= 3L && p._2 >= 4L)) // families separate
+  }
+
   test("ngramNovelty: first-owner ratio, repeats score zero, short docs null") {
     val docs = Seq(
       (1L, "a b c d e"),       // 3 distinct grams, all first-owned → 1.0
