@@ -1098,15 +1098,20 @@ object Oracles {
     * pqSql/ivfSql iteration technique). Per iteration: adjacent-pair
     * counts over the word-frequency table (freq-weighted), the
     * (cnt DESC, l, r) argmax, and the merge applied as the SAME
-    * sentinel-space non-overlapping replace the engine runs — C-style
-    * left-to-right replace IS the leftmost-rescan merge rule, so the
-    * two loops agree word-for-word at every step. */
+    * double-space half-boundary non-overlapping replace the engine
+    * runs (`' l  r ' → ' lr '` over `'  '`-delimited symbols with
+    * single sentinel spaces at the ends): each match consumes only the
+    * INNER space of each flanking double separator, so token-adjacent
+    * repeats both merge in one pass — C-style left-to-right replace
+    * then IS the leftmost-rescan merge rule (see
+    * [[graft.operators.TextOps.bpeTrain]]), and the two loops agree
+    * word-for-word at every step. */
   private def bpeTrainSql: String = {
     val n = 12
     val iters = (1 to n).map { i =>
       s"""p$i AS (SELECT x.toks[u.i] AS l, x.toks[u.i + 1] AS r,
          |    sum(x.freq)::BIGINT AS cnt
-         |  FROM (SELECT freq, string_split(trim(s), ' ') AS toks
+         |  FROM (SELECT freq, string_split(trim(s), '  ') AS toks
          |        FROM s${i - 1}) x,
          |    unnest(generate_series(1, len(x.toks) - 1)) AS u(i)
          |  GROUP BY 1, 2),
@@ -1114,7 +1119,7 @@ object Oracles {
          |  ORDER BY cnt DESC, l, r LIMIT 1),
          |s$i AS MATERIALIZED (SELECT p.freq,
          |    CASE WHEN b.l IS NULL THEN p.s
-         |    ELSE replace(p.s, ' ' || b.l || ' ' || b.r || ' ',
+         |    ELSE replace(p.s, ' ' || b.l || '  ' || b.r || ' ',
          |                 ' ' || b.l || b.r || ' ') END AS s
          |  FROM s${i - 1} p LEFT JOIN b$i b ON true)""".stripMargin
     }.mkString(",\n")
@@ -1126,7 +1131,7 @@ object Oracles {
        |w0 AS (SELECT w, count(*)::BIGINT AS freq FROM t
        |  WHERE w <> '' GROUP BY w),
        |s0 AS MATERIALIZED (SELECT freq,
-       |    ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+       |    ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s
        |  FROM w0),
        |$iters
        |$out""".stripMargin

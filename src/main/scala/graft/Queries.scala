@@ -779,13 +779,6 @@ object Queries {
     TextOps.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
       targetPred = TextOps.qualityCol(col("text")) >= 0.8)
 
-  /** URL curation over DETERMINISTICALLY PLANTED urls (the corpus has no
-    * url column — the `text_pii` planting discipline): mixed-case
-    * schemes, www/cdn subdomains, rotating TLDs, query strings,
-    * fragments and trailing slashes, all functions of doc_id, then
-    * [[operators.TextOps.urlCurate]] normalizes, extracts host/domain
-    * and flags the blocklist. The oracle plants the identical url and
-    * replays the same anchored-regex normalization. */
   /** Per-doc n-gram novelty ([[operators.TextOps.ngramNovelty]], k=3):
     * the fraction of each doc's distinct shingles first owned (min doc
     * id) by that doc — the contribution-of-new-content signal. */
@@ -850,6 +843,13 @@ object Queries {
   /** The shared url blocklist (oracle-mirrored). */
   private val urlBlocklist = Seq("site7.com", "site13.net", "site21.org")
 
+  /** URL curation over DETERMINISTICALLY PLANTED urls (the corpus has no
+    * url column — the `text_pii` planting discipline): mixed-case
+    * schemes, www/cdn subdomains, rotating TLDs, query strings,
+    * fragments and trailing slashes, all functions of doc_id, then
+    * [[operators.TextOps.urlCurate]] normalizes, extracts host/domain
+    * and flags the blocklist. The oracle plants the identical url and
+    * replays the same anchored-regex normalization. */
   def textUrlNormalize(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
     val docs = Tables.documents(s, dir)

@@ -25,10 +25,14 @@ import org.apache.spark.sql.functions._
   * document scores ROW-LOCALLY with an `aggregate` fold over its own
   * transition array. Row-local means stream-legal in append mode with
   * zero state stores: score-at-ingest is the same plan as batch.
-  * Bound: the maps are VOCAB-sized, not corpus-sized — fine for the
-  * function-word-dominated vocabularies LM gates run on; a corpus whose
-  * vocab outgrows executor memory wants the inline join form instead
-  * (both produce identical rows, spec-pinned).
+  * Bound: the c1 map is VOCAB-sized, but the c12 map is
+  * DISTINCT-BIGRAM-sized — that grows roughly with the build corpus
+  * (Heaps-law-ish, far past vocab size), so [[score]] fails fast with a
+  * row count and a pointer at [[scoreJoin]] when the persisted bigram
+  * table exceeds `maxBroadcastRows` instead of OOMing the driver. A
+  * build corpus whose bigram table outgrows executor memory serves
+  * through [[scoreJoin]] — the shuffle-join form over the SAME artifact
+  * (both produce identical rows, spec-pinned by LmStreamSpec).
   */
 object LmModelIO {
 
@@ -54,10 +58,21 @@ object LmModelIO {
     * same (doc, n_trans, nll) rows as [[TextOps.lmScore]] would produce
     * had it been fitted on the build corpus — unseen words/bigrams fall
     * back to the add-one floor exactly like in-corpus rare ones.
-    * Row-local plan: legal in a `readStream` lineage with no state. */
+    * Row-local plan: legal in a `readStream` lineage with no state.
+    * Refuses (fail-fast, not OOM) when the persisted bigram table has
+    * more than `maxBroadcastRows` rows — that bound grows with the BUILD
+    * CORPUS, not the vocab; oversized models serve via [[scoreJoin]]. */
   def score(spark: SparkSession, path: String, docs: DataFrame,
-            idCol: String, textCol: String): DataFrame = {
+            idCol: String, textCol: String,
+            maxBroadcastRows: Long = 5000000L): DataFrame = {
     import spark.implicits._
+    val nBigrams = spark.read.parquet(s"$path/c12").count()
+    require(nBigrams <= maxBroadcastRows,
+      s"persisted bigram table at $path/c12 has $nBigrams rows > " +
+        s"maxBroadcastRows=$maxBroadcastRows; the broadcast-map serving " +
+        "plan would collect it to the driver — serve this model through " +
+        "LmModelIO.scoreJoin (identical rows, shuffle-join plan) or " +
+        "raise the cap deliberately")
     val c12 = spark.read.parquet(s"$path/c12").collect()
       .map(r => (r.getString(0) + " " + r.getString(1), r.getLong(2))).toSeq
     val c1 = spark.read.parquet(s"$path/c1").collect()
@@ -76,6 +91,60 @@ object LmModelIO {
       .join(broadcast(model), "_jk")
       .select(col(idCol).as("doc"), size(toks).as("_ntok"),
         aggregate(lps, lit(0.0), _ + _).as("_slp"))
+      .select(col("doc"),
+        greatest(col("_ntok") - 1, lit(0)).cast("long").as("n_trans"),
+        when(col("_ntok") >= 2,
+          round(-col("_slp") / (col("_ntok") - 1), 6) + 0.0)
+          .otherwise(lit(null).cast("double")).as("nll"))
+  }
+
+  /** The INLINE-JOIN serving form: same artifact, same (doc, n_trans,
+    * nll) rows as [[score]], but the count tables stay DISTRIBUTED —
+    * each document's transitions explode, equi-join the persisted c12/c1
+    * parquet (AQE picks broadcast vs shuffle by actual size), and fold
+    * back per doc. This is the path for build corpora whose
+    * distinct-bigram table outgrows executor memory; nothing collects
+    * beyond the 1-row vocab-size meta.
+    *
+    * Parity is BIT-exact, not just round-6: the per-doc log-prob fold
+    * runs in transition-position order (posexplode → sort_array →
+    * aggregate), the same left-to-right order the broadcast form's
+    * `zip_with`+`aggregate` uses, so fp associativity cannot diverge
+    * the two forms. Spec-pinned (LmStreamSpec). */
+  def scoreJoin(spark: SparkSession, path: String, docs: DataFrame,
+                idCol: String, textCol: String): DataFrame = {
+    val c12 = spark.read.parquet(s"$path/c12")
+      .select(col("w1").as("_jw1"), col("w2").as("_jw2"),
+        col("c12").as("_c12"))
+    val c1 = spark.read.parquet(s"$path/c1")
+      .select(col("w1").as("_kw1"), col("c1").as("_c1"))
+    val nv = spark.read.parquet(s"$path/meta").collect()(0).getLong(0)
+    val toks = TextOps.tokens(col(textCol))
+    val n = greatest(size(toks) - 1, lit(0))
+    // posexplode_OUTER keeps transition-less docs (null _bg) so they
+    // surface with n_trans=0 / null nll exactly like the broadcast form
+    val base = docs.select(col(idCol).as("doc"), size(toks).as("_ntok"),
+      posexplode_outer(zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as(Seq("_pos", "_bg")))
+    val scored = base
+      .join(c12, col("_bg.w1") === col("_jw1") &&
+        col("_bg.w2") === col("_jw2"), "left")
+      .join(c1, col("_bg.w1") === col("_kw1"), "left")
+      .select(col("doc"), col("_ntok"), col("_pos"),
+        when(col("_bg").isNull, lit(null).cast("double"))
+          .otherwise(log(
+            (coalesce(col("_c12"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("_c1"), lit(0L)) + lit(nv)))).as("_lp"))
+    // fold in position order: sort_array on (pos, lp) structs orders by
+    // pos, then the aggregate replays the broadcast form's exact
+    // left-to-right summation (collect_list drops the null-_lp rows of
+    // transition-less docs — their fold is empty, nll null via _ntok)
+    scored.groupBy("doc")
+      .agg(first(col("_ntok")).as("_ntok"),
+        aggregate(transform(array_sort(collect_list(
+            when(col("_lp").isNotNull,
+              struct(col("_pos").as("p"), col("_lp").as("lp"))))),
+          s => s.getField("lp")), lit(0.0), _ + _).as("_slp"))
       .select(col("doc"),
         greatest(col("_ntok") - 1, lit(0)).cast("long").as("n_trans"),
         when(col("_ntok") >= 2,

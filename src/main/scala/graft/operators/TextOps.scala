@@ -1105,13 +1105,14 @@ object TextOps {
     // the full vocab would blow the frame up. The distribution mass a
     // drift monitor watches lives in the head; totals `_n`/`_ns` then
     // renormalize over the kept words so the KL stays a true divergence
-    // on the truncated support.
+    // on the truncated support. orderBy+limit compiles to
+    // TakeOrderedAndProject — per-partition top-K heaps + a K·P driver
+    // merge — so the head-cap stays distributed at exactly the vocab
+    // scales it targets (an unpartitioned row_number window would funnel
+    // the whole vocabulary through one task).
     val cw =
       if (topVocab <= 0) cwAll
-      else cwAll.withColumn("_vr", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("_cw").desc, col("w"))))
-        .filter(col("_vr") <= topVocab).drop("_vr")
+      else cwAll.orderBy(col("_cw").desc, col("w")).limit(topVocab)
     // per-source totals over the SCORED support (≡ all tokens when the
     // vocab is untruncated), so p and q stay true distributions
     val ns = csw.join(cw.select("w"), Seq("w"))
@@ -1173,10 +1174,22 @@ object TextOps {
     * runs on the WORD TABLE, not the corpus — a pair-count aggregate
     * over ≤vocab rows plus a 1-row driver collect (the same
     * driver-iterates / cluster-reduces discipline as the k-means fits).
-    * Words are held as space-delimited symbol strings with sentinel
-    * spaces, so applying a merge is ONE non-overlapping left-to-right
-    * `replace(" l r ", " lr ")` — exactly the leftmost-rescan merge
-    * rule, and bit-identical in any engine with C-style replace. Each
+    * Words are held as DOUBLE-space-delimited symbol strings with single
+    * sentinel spaces at the ends, so applying a merge is ONE
+    * non-overlapping left-to-right `replace(" l  r ", " lr ")`. The
+    * half-boundary trick (each pattern consumes only the INNER space of
+    * each flanking double separator) is what makes a plain C-style
+    * replace equal to the leftmost-rescan merge rule: with single-space
+    * separators the match would consume the shared boundary space and
+    * skip token-adjacent repeats ("banana" + (a,n) → [b,an,a,n,a]
+    * instead of the correct [b,an,an,a] — Sennrich et al. 2016 use
+    * zero-width boundary assertions for exactly this reason). With the
+    * outer space left intact, adjacent occurrences each find their own
+    * boundary, and since merging can never CREATE a new (l,r) occurrence
+    * (the merged symbol is strictly longer than either side), one pass
+    * IS the fixpoint — bit-identical in any engine with C-style replace,
+    * and word-for-word the rule [[graft.functions.BpeMerge.mergeWord]]
+    * applies on the serve side. Each
     * iteration's table is persisted (and materialized by the NEXT
     * iteration's argmax — nothing unpersists mid-loop), so iteration i
     * never re-derives the chain from scratch. */
@@ -1192,7 +1205,7 @@ object TextOps {
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("freq"),
-        concat(lit(" "), concat_ws(" ", split(col("w"), "")), lit(" "))
+        concat(lit(" "), concat_ws("  ", split(col("w"), "")), lit(" "))
           .as("s"))
       .coalesce(8)
     var cur = graft.CacheRegistry.persistTracked(words)
@@ -1201,7 +1214,7 @@ object TextOps {
     var i = 0
     var done = false
     while (i < numMerges && !done) {
-      val toks = split(trim(col("s")), " ")
+      val toks = split(trim(col("s")), "  ")
       val n = greatest(size(toks) - 1, lit(0))
       val best = cur.select(col("freq"), explode(zip_with(
           slice(toks, lit(1), n), slice(toks, lit(2), n),
@@ -1219,7 +1232,7 @@ object TextOps {
         // cache (one replace step over the already-cached parent), and
         // nothing unpersists mid-loop — one job per iteration, not two
         cur = graft.CacheRegistry.persistTracked(cur.select(col("freq"),
-          replace(col("s"), lit(s" $l $r "), lit(s" $l$r ")).as("s")))
+          replace(col("s"), lit(s" $l  $r "), lit(s" $l$r ")).as("s")))
         i += 1
       }
     }
@@ -1291,10 +1304,15 @@ object TextOps {
       b -> math.log(((ct + 1).toDouble / (nt + buckets)) /
         ((cr + 1).toDouble / (nr + buckets)))
     }.toMap
+    // unseen-bucket floor: ln((0+1)/(nt+B) / ((0+1)/(nr+B))). Unreachable
+    // while train and score share one frame (every scored bucket was
+    // counted), but the lookup must stay TOTAL so a future build/serve
+    // split (the LmModelIO pattern) can't silently null-poison the fold.
+    val unseenLr = math.log((nr + buckets).toDouble / (nt + buckets))
     val model = Seq((1, lrMap)).toDF("_jk", "_m")
     val lrs = zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
-      (a, b) => element_at(col("_m"),
-        pmod(hash60(concat_ws(" ", a, b)), lit(buckets))))
+      (a, b) => coalesce(element_at(col("_m"),
+        pmod(hash60(concat_ws(" ", a, b)), lit(buckets))), lit(unseenLr)))
     docs.withColumn("_jk", lit(1))
       .join(broadcast(model), "_jk")
       .select(col(idCol).as("doc"), size(toks).as("_ntok"),

@@ -475,6 +475,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(counts(1L) == 3L && counts(2L) == 1L)
   }
 
+  test("bpeTrain merges token-adjacent repeats in one pass (banana case)") {
+    // "banana" + merge (a,n): the correct Sennrich single-pass result is
+    // [b,an,an,a] — a single-space sentinel replace would consume the
+    // shared boundary space and leave [b,an,a,n,a], skewing iter-2 pair
+    // counts. Corpus: "banana" ×3 so (a,n)=6 dominates iter 1. Iter 2
+    // over the CORRECT [b,an,an,a]: pairs (b,an)/(an,an)/(an,a) all ×3,
+    // lexicographic tie-break picks (an,a). Over the buggy [b,an,a,n,a]
+    // the unmerged (a,n)=3 survives and wins the tie ("a" < "an") — so
+    // the iter-2 argmax separates the two rules.
+    val docs = Seq((1L, "banana banana banana")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs, "doc_id", "text", numMerges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    graft.CacheRegistry.releaseAll()
+    assert(merges == Seq((1, "a", "n", 6L), (2, "an", "a", 3L)))
+    // overlapping l==r runs also match the apply kernel: "aaaa" with
+    // merge (a,a) → [aa,aa] (non-overlapping left-to-right), not [aa,a,a]
+    val docs2 = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val m2 = TextOps.bpeTrain(docs2, "doc_id", "text", numMerges = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    graft.CacheRegistry.releaseAll()
+    // iter1: (a,a)=9 (three per word: positions 1-2,2-3,3-4 counted as
+    // adjacent pairs → 3 each) → merge (a,a); words become [aa,aa]
+    // iter2: (aa,aa)=3
+    assert(m2 == Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
+  }
+
   test("bpeTrain tie-break is lexicographic on (lhs, rhs)") {
     // "xy" and "zw" both occur 3 times and share no symbols: first merge
     // must pick (x,y) < (z,w) lexicographically, second picks (z,w)

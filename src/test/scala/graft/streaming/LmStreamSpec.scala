@@ -50,6 +50,40 @@ class LmStreamSpec extends SparkSpec {
     assert(out(0)._3 > out(1)._3)
   }
 
+  test("scoreJoin (inline-join serving form) == broadcast score, bit-exact") {
+    val dir = tmp()
+    LmModelIO.build(corpus.toDF(), "doc_id", "text", dir)
+    // build corpus + unseen docs in one batch: the join form must hit the
+    // same add-one floors (left-join nulls) the broadcast map lookups do
+    val batch = (corpus ++ Seq(Doc(100L, "zz qq zz"), Doc(101L, "the cat"),
+      Doc(102L, ""))).toDF()
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1).toSeq
+    val viaBroadcast = dump(
+      LmModelIO.score(spark, dir, batch, "doc_id", "text"))
+    val viaJoin = dump(
+      LmModelIO.scoreJoin(spark, dir, batch, "doc_id", "text"))
+    graft.CacheRegistry.releaseAll()
+    // position-ordered fold in scoreJoin ⇒ identical fp sums, not just
+    // round-6-equal — the == below is on raw doubles
+    assert(viaJoin == viaBroadcast && viaJoin.size == corpus.size + 3)
+  }
+
+  test("score fails fast past maxBroadcastRows and names scoreJoin") {
+    val dir = tmp()
+    LmModelIO.build(corpus.toDF(), "doc_id", "text", dir)
+    val err = intercept[IllegalArgumentException] {
+      LmModelIO.score(spark, dir, corpus.toDF(), "doc_id", "text",
+        maxBroadcastRows = 1L)
+    }
+    assert(err.getMessage.contains("scoreJoin"))
+    // at the default cap the same model serves fine
+    assert(LmModelIO.score(spark, dir, corpus.toDF(), "doc_id", "text")
+      .count() == corpus.size)
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("score-at-ingest: stream == batch across micro-batch splits") {
     val dir = tmp()
     LmModelIO.build(corpus.toDF(), "doc_id", "text", dir)
