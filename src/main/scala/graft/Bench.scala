@@ -29,11 +29,23 @@ import org.apache.spark.sql.SparkSession
   *  - the stdout line puts `queries` FIRST and the totals LAST, so the
   *    captured tail always contains the totals plus the trailing queries.
   * CONTENTION GUARD: after the median-of-N, any query whose median
-  * exceeds 2× its previous recorded value (prior round's full per-query
-  * file, falling back to what survives in the driver artifact's tail)
-  * gets ONE quiet re-run and records the min — a box-contended window
-  * that spans all N passes otherwise fabricates a regression (r8's
-  * recorded "8.7×" text_fingerprint spike was exactly this).
+  * exceeds 1.5× its previous recorded value (prior round's full
+  * per-query file, falling back to what survives in the driver
+  * artifact's tail) AND grew by ≥ 0.25 s absolute gets ONE quiet re-run
+  * and records the min — a box-contended window that spans all N passes
+  * otherwise fabricates a regression (r8's recorded "8.7×"
+  * text_fingerprint spike was exactly this). Threshold history: 2× in
+  * r9 let two ~1.9× load artifacts through ungated (r9 verdict #1);
+  * 1.5× catches those while the 0.25 s floor keeps sub-second queries
+  * from re-running on scheduler noise.
+  *
+  * FIXTURE SPLIT (r9 verdict #2): media queries spend much of their
+  * wall time RENDERING planted fixtures (PNG/WAV encode — test
+  * scaffolding, not engine work). A single pre-pass drains each entry
+  * of [[Queries.fixtureFrames]] and records it under `"fixtures"` in
+  * the JSON, so per-query engine cost is readable as
+  * `queries[name] − fixtures[name]` while `queries` itself stays
+  * cross-round comparable (still the full inline-synthesis time).
   */
 object Bench {
 
@@ -60,8 +72,18 @@ object Bench {
       new java.io.File(repo, s"BENCH_r$round.json"))
     val excluded = Set("value", "sf", "runs", "n", "rc", "cpus", "total")
     candidates.find(_.isFile).map { f =>
-      val text = new String(
+      val raw = new String(
         java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      // the fixtures map (r10+) reuses query names with smaller values —
+      // scavenge only up to it so toMap can't shadow a query's time with
+      // its fixture time (which would fire the guard on every media query)
+      val text = raw.indexOf("\"fixtures\\\":") match {
+        case -1 => raw.indexOf("\"fixtures\":") match {
+          case -1 => raw
+          case i => raw.substring(0, i)
+        }
+        case i => raw.substring(0, i)
+      }
       "\"([A-Za-z0-9_]+)\\\\?\":(-?\\d+\\.\\d+)".r.findAllMatchIn(text)
         .map(m => m.group(1) -> m.group(2).toDouble)
         .filterNot { case (k, v) => excluded(k) || v < 0 }
@@ -111,6 +133,12 @@ object Bench {
     }
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // fixture attribution pre-pass: one timed drain of each media
+    // query's fixture-synthesis lineage (also JIT-warms the render
+    // kernels, so fixture compilation isn't billed to the first pass)
+    val fixtureTimes = suite.flatMap { case (name, _) =>
+      Queries.fixtureFrames.get(name).map(fx => name -> timeOne(name, fx))
+    }
     def onePass(): Seq[(String, Double)] =
       suite.map { case (name, fn) => name -> timeOne(name, fn) }
     val passes = Seq.fill(runs)(onePass())
@@ -124,7 +152,7 @@ object Bench {
     val round = lastRecordedRound(repo) + 1
     val prior = priorTimes(repo, round - 1)
     val results = medians.map { case (name, med) =>
-      val guard = prior.get(name).exists(p => med > 2 * p && med - p > 0.25)
+      val guard = prior.get(name).exists(p => med > 1.5 * p && med - p > 0.25)
       if (med >= 0 && guard) {
         val rerun = timeOne(name, SparkEntry.queries(name))
         name -> (if (rerun >= 0) math.min(med, rerun) else med)
@@ -132,9 +160,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fx = fixtureTimes.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // queries first, totals last: the driver's tail capture keeps the end
-    val line = s"""{"queries":$qs,"sf":"$sfDir","runs":$runs,"metric":"total","unit":"sec","value":$total}"""
+    val line = s"""{"queries":$qs,"fixtures":$fx,"sf":"$sfDir","runs":$runs,"metric":"total","unit":"sec","value":$total}"""
     // SPARK_GRAFT_BENCH_TRACK=0: dev smokes (small sf, runs=1) must not
     // clobber the round's recorded full-fidelity bench file
     val track = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRACK", "1") != "0"

@@ -1339,6 +1339,54 @@ object Queries {
 
   // ------------------------------------------------------------ CV kernels
 
+  /** FIXTURE-synthesis lineages, keyed by entry name — each entry is the
+    * exact planted-media frame the same-named query consumes (the
+    * plantMedia/plantAudio call from the query body, nothing more). The
+    * bench drains these separately so `docs/bench_r<N>.json` can
+    * attribute a media query's wall time between fixture rendering
+    * (PNG/WAV encode — pure test scaffolding, absent in production where
+    * media arrives as bytes) and the actual decode→detect query work.
+    * Attribution only: queries still synthesize inline, and their
+    * recorded times keep cross-round comparability. */
+  val fixtureFrames: Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.multimodal.{AudioOps, MultimodalOps, VisionFixtures}
+    def media(kind: String)(s: SparkSession, dir: String): DataFrame =
+      VisionFixtures.plantMedia(Tables.documents(s, dir), "doc_id", kind)
+    Map(
+      "cv_pupil" -> media("pupil") _,
+      "cv_pupil_contour" -> media("pupil") _,
+      "mm_resize_luminance" -> media("pupil") _,
+      "cv_checkerboard" -> media("checkerboard") _,
+      "cv_circles" -> media("circles") _,
+      "cv_multi_markers" -> media("multi_markers") _,
+      "cv_video_pupils" -> media("video") _,
+      "a9_frame_luminance" -> media("video") _,
+      "cv_video_png" -> media("video_png") _,
+      "mm_video_resize" -> media("video_png") _,
+      "cv_subpixel_edge" -> media("edge") _,
+      "mm_frame_sample" -> media("video_long") _,
+      "cv_video_markers" -> media("video_markers") _,
+      "cv_keypoints_pipeline" -> media("video_blink") _,
+      "mm_image_dedup" -> ((s: SparkSession, dir: String) =>
+        VisionFixtures.plantMediaKeyed(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), (col("doc_id") % 40).as("ck")),
+          "doc_id", "ck", "pupil")),
+      "mm_image_neardup" -> ((s: SparkSession, dir: String) => {
+        val id = col("doc_id")
+        VisionFixtures.plantMediaKeyed(
+          Tables.documents(s, dir).select(id.as("doc_id"),
+            ((id % 40) * 2 + when(id % 5 === 4, 1).otherwise(0)).as("ck")),
+          "doc_id", "ck", "pupil_jitter")
+      }),
+      "audio_features" -> ((s: SparkSession, dir: String) =>
+        AudioOps.plantAudioMedia(Tables.documents(s, dir), "doc_id")),
+      "audio_vad" -> ((s: SparkSession, dir: String) =>
+        AudioOps.plantSpeechMedia(Tables.documents(s, dir), "doc_id")),
+      "multimodal_features" -> ((s: SparkSession, dir: String) =>
+        MultimodalOps.packAsMedia(Tables.documents(s, dir), "doc_id", "text")))
+  }
+
   /** C1 pupil detection END-TO-END on real pixels: planted PNG eye
     * frames (one axis-aligned dark ellipse per doc, geometry derived
     * from doc_id) → javax.imageio decode → luma plane → moment-based

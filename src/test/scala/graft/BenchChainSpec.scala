@@ -53,4 +53,20 @@ class BenchChainSpec extends AnyFunSuite {
     assert(!p.contains("sf") && !p.contains("value") && !p.contains("n"))
     assert(Bench.priorTimes(repo, 3).isEmpty) // no artifact for that round
   }
+
+  test("priorTimes ignores the fixtures map (query names recur there)") {
+    val repo = tmpRepo()
+    // r10+ tracked file: fixtures reuse query names with SMALLER values;
+    // scavenging past the "fixtures" key would shadow the query time and
+    // fire the contention guard on every media query next round
+    write(repo, "docs/bench_r10.json",
+      """{"queries":{"cv_pupil":5.5,"q_a":1.0},"fixtures":{"cv_pupil":2.2},"sf":"x","runs":3,"metric":"total","unit":"sec","value":6.5}""")
+    assert(Bench.priorTimes(repo, 10) ==
+      Map("cv_pupil" -> 5.5, "q_a" -> 1.0))
+    // escaped form (driver artifact embeds the line as a JSON string)
+    val repo2 = tmpRepo()
+    write(repo2, "BENCH_r10.json",
+      """{"n":10,"tail":"{\"queries\":{\"cv_pupil\":5.5},\"fixtures\":{\"cv_pupil\":2.2},\"value\":5.5}"}""")
+    assert(Bench.priorTimes(repo2, 10).get("cv_pupil").contains(5.5))
+  }
 }
