@@ -2823,6 +2823,39 @@ object Oracles {
         |FROM jb
         |WHERE greatest(t, at, bt) - least(t, at, bt) < (SELECT gate FROM g)""".stripMargin,
 
+    // PER-KEY cadence gate: per-eye median diffs first (grouped DuckDB
+    // median == Spark exact percentile per group), then the median of
+    // those — the planted 120 Hz / 30 Hz eyes make the per-key gate 1/6
+    // vs the pooled 1/15, and the survivor set pins which one ran
+    "j3_cadence_gate_perkey" ->
+      s"""WITH e AS (SELECT event_id::BIGINT AS n FROM events),
+        |eyeA AS (SELECT n % 5 AS g, n / 120.0e0 AS t, n AS pa_id FROM e),
+        |eyeB AS (SELECT n % 5 AS g, n / 120.0e0 AS t, n AS pb_id FROM e
+        |  WHERE n % 4 = 0 AND n % 64 < 32),
+        |refs AS (SELECT n AS event_id, n % 5 AS g,
+        |    n / 120.0e0 + 1.0e0 / 240.0e0 AS t FROM e WHERE n % 16 = 2),
+        |pup AS (SELECT 0 AS eye, t FROM eyeA
+        |  UNION ALL SELECT 1 AS eye, t FROM eyeB),
+        |diffs AS (SELECT eye, t - lag(t) OVER (
+        |    PARTITION BY eye ORDER BY t) AS dt FROM pup),
+        |keymed AS (SELECT eye, median(dt) AS km FROM diffs
+        |  WHERE dt IS NOT NULL AND dt > 0 GROUP BY eye),
+        |gp AS (SELECT 8.0e0 * median(km) AS gate FROM keymed),
+        |ja AS (SELECT r.event_id, r.g, r.t, a.pa_id AS a_id, a.t AS at
+        |  FROM refs r JOIN eyeA a ON r.g = a.g
+        |  QUALIFY row_number() OVER (PARTITION BY r.event_id
+        |    ORDER BY abs(a.t - r.t), a.t) = 1),
+        |jb AS (SELECT ja.event_id, ja.t, ja.a_id, ja.at, b.pb_id AS b_id,
+        |    b.t AS bt
+        |  FROM ja JOIN eyeB b ON ja.g = b.g
+        |  QUALIFY row_number() OVER (PARTITION BY ja.event_id
+        |    ORDER BY abs(b.t - ja.t), b.t) = 1)
+        |SELECT event_id, a_id, b_id,
+        |  greatest(t, at, bt) - least(t, at, bt) AS dispersion,
+        |  round((SELECT gate FROM gp), 6) AS gate
+        |FROM jb
+        |WHERE greatest(t, at, bt) - least(t, at, bt) < (SELECT gate FROM gp)""".stripMargin,
+
     // closed-form replay of the predict/refresh schedule: full-frame scans
     // at frame 0 of each 37-frame teleport block (ROI miss → fallback) and
     // at offset 31 (the 30-roi-frame refresh), ROI hits everywhere else

@@ -1859,6 +1859,57 @@ object Queries {
         round(lit(gate), 6).as("gate"))
   }
 
+  /** J3 with the PER-KEY cadence gate ([[AsOfJoin.cadenceGatePerKey]]) on
+    * a fixture whose per-key cadences GENUINELY differ — the reference
+    * shape of a binocular rig with mismatched eye cameras (the 1/15 s cut
+    * is 8 sample periods of a 120 Hz stream,
+    * externals/data_processing.py:128-131; an eye at a different rate
+    * wants its own period). Planted from `event_id` (= n, contiguous):
+    *
+    *  - eye A (dense, 120 Hz): every n, t = n/120
+    *  - eye B (sparse, 30 Hz): n % 4 = 0, with periodic DROPOUTS
+    *    (n % 64 < 32) — 7 of 8 surviving diffs are still exactly 1/30,
+    *    so B's per-key median stays the clean sparse cadence
+    *  - refs: n % 16 = 2 (offset +1/240 s), join-keyed by g = n % 5
+    *
+    * Gates: pooled median = 1/120 (the dense eye's diffs outnumber B's
+    * 4:1) → gate 8/120 = 1/15; PER-KEY median = median{1/120, 1/30} =
+    * 1/48 → gate 8/48 = 1/6. The survivor sets diverge maximally: a
+    * ref's in-group B neighbors sit at n ± 10 (the index difference must
+    * be ≡ 2 mod 4 and ≡ 0 mod 5), so every matched triple carries
+    * dispersion 10/120 or 10/120 + 1/240 (0.083/0.088 s) — ABOVE the
+    * pooled 1/15 (which would keep nothing) and below the per-key 1/6 —
+    * while refs whose ±10 neighbors both fall in a B dropout match a
+    * ≥ 30-step B sample and fail both gates (156 of 625 at sf0.01, so
+    * the filter is non-trivial in both directions). The oracle derives
+    * the per-key gate (DuckDB `median` grouped by eye, then median of
+    * the two) and replays the triple, so the hash pins the per-key
+    * semantics, not just the filter; the derived gate also ships as a
+    * column. Multiplier is the reference-shaped default 8. */
+  def binocularTripleCadencePerKey(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(col("event_id").cast("long").as("n"))
+    val eyeA = e.select((col("n") % 5).as("g"),
+      (col("n") / lit(120.0)).as("t"), col("n").as("pa_id"))
+    val eyeB = e.filter(col("n") % 4 === 0 && col("n") % 64 < 32)
+      .select((col("n") % 5).as("g"),
+        (col("n") / lit(120.0)).as("t"), col("n").as("pb_id"))
+    val refs = e.filter(col("n") % 16 === 2)
+      .select(col("n").as("event_id"), (col("n") % 5).as("g"),
+        (col("n") / lit(120.0) + lit(1.0) / lit(240.0)).as("t"))
+    val pupils = eyeA.select(lit(0).as("eye"), col("t"))
+      .unionAll(eyeB.select(lit(1).as("eye"), col("t")))
+    val gate = AsOfJoin.cadenceGatePerKey(pupils, "t", Seq("eye"),
+      multiplier = 8.0, exact = true)
+      .getOrElse(Double.PositiveInfinity)
+    AsOfJoin.triple(refs, eyeA, eyeB, "t", "t", "t", Seq("g"),
+        maxDispersion = gate)
+      .select(col("event_id"), col("a_pa_id").as("a_id"),
+        col("b_pb_id").as("b_id"),
+        (greatest(col("t"), col("a_t"), col("b_t")) -
+          least(col("t"), col("a_t"), col("b_t"))).as("dispersion"),
+        round(lit(gate), 6).as("gate"))
+  }
+
   /** W11: ROI-tracked detection (CircleTracker.update,
     * externals/circle_detector.py:22-202): full-frame detect every 30
     * frames or on ROI miss, else detect inside the ROI around the last
