@@ -1346,6 +1346,36 @@ object Oracles {
 
     "ann_ivf_pq_topk" -> ivfPqSql,
 
+    // PLANTED-RECALL oracle (the m9 discipline): the OPQ rotation fit is
+    // an alternating Procrustes SVD — not replayable in SQL — but the
+    // fixture (25 tight orthogonal-axis clusters, nCells = 25, 1:1
+    // cluster→cell by the deterministic first-k init, rerank ≥ cluster
+    // size) guarantees the composed OPQ×IVF search returns the exact
+    // brute-force top-3, which this computes directly over the same
+    // planted vectors (normalize-then-dot, the engine's arithmetic
+    // order). A dropped true neighbor anywhere in the rotate→cell→
+    // probe→rerank chain breaks the hash.
+    "ann_opq_ivf_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(range(0, 64), j -> CASE
+        |      WHEN j = vec_id % 25 THEN 100.0e0
+        |      WHEN j = 40 + vec_id % 8 THEN 0.001e0 * (1 + vec_id % 11)
+        |      ELSE 0.0e0 END) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM n),
+        |q AS (SELECT vec_id AS q_id, vn AS qv FROM u WHERE vec_id < 10),
+        |scored AS (SELECT q.q_id, u.vec_id,
+        |    list_sum(list_transform(range(1, len(q.qv) + 1),
+        |      i -> q.qv[i] * u.vn[i])) AS sim
+        |  FROM q JOIN u ON q.q_id <> u.vec_id)
+        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, vec_id) AS INT) AS rank,
+        |  vec_id AS n_id, round(sim, 6) + 0.0e0 AS sim
+        |FROM scored
+        |QUALIFY rank <= 3""".stripMargin,
+
     "dedup_minhash_lsh" -> minhashSql,
 
     "dedup_clusters" -> dedupClustersSql,

@@ -1057,6 +1057,61 @@ object Queries {
         (round(col("sim"), 6) + 0.0).as("sim"))
   }
 
+  /** OPQ×IVF probe-pruned tier — planted-fixture constants (shared with
+    * the oracle builder): 25 tight orthogonal-axis clusters of 20
+    * members each over dim 64, nCells = 25 so the deterministic k-means
+    * init (first 25 ids = 25 distinct clusters) makes the cluster→cell
+    * map 1:1 and stable by construction, nprobe 4, rerank 20 ≥ cluster
+    * size. */
+  val annOpqIvfCells: Int = 25
+  val annOpqIvfNprobe: Int = 4
+  val annOpqIvfRerank: Int = 20
+
+  /** The planted vector: axis `vec_id % 25` at 100 plus a tiny jitter
+    * component `0.001·(1 + vec_id % 11)` on axis `40 + vec_id % 8` —
+    * within-cluster cosine ≈ 1, cross-cluster ≤ ~10⁻⁴, so the TRUE top-k
+    * of every query is provably inside its own cluster and provably
+    * survives the probe/rerank cut (own cell probed first, rerank ≥
+    * cluster size, asymmetric margin ≈ 1 vs ≈ 0). Integer-derived
+    * doubles, mirrored verbatim by the oracle. */
+  private def opqIvfPlanted(c: Column): Column =
+    transform(sequence(lit(0), lit(63)), j =>
+      when(j.cast("long") === c % 25, lit(100.0))
+        .when(j.cast("long") === lit(40L) + c % 8,
+          lit(0.001) * (lit(1L) + c % 11).cast("double"))
+        .otherwise(lit(0.0)))
+
+  /** ANN via OPQ composed with the IVF coarse quantizer
+    * ([[operators.AnnIndexIO.buildOpqIvf]]/[[operators.AnnIndexIO
+    * .searchOpqIvf]]): the learned rotation as a pre-transform over the
+    * cell-partitioned flat layout, so OPQ's accuracy rides the
+    * probe-pruned regime (the plain [[operators.AnnIndexIO.buildOpq]]
+    * tier scans every code). The OPQ rotation fit (alternating
+    * Procrustes SVD) cannot be replayed in SQL, so the oracle is the
+    * PLANTED-RECALL kind (the m9 discipline): the fixture guarantees
+    * the composed search returns the exact brute-force top-3 — own cell
+    * probed, every same-cluster member survives the rerank cut, exact
+    * re-rank on original vectors — and the oracle computes that
+    * brute-force top-3 directly. Any engine bug that drops a true
+    * neighbor (bad rotation plumbing, mis-probed cell, wrong residual
+    * reconstruction) breaks the hash. */
+  def annOpqIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.embeddings(s, dir)
+      .select(col("vec_id"), opqIvfPlanted(col("vec_id")).as("pv"))
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|opq_ivf|nCells=$annOpqIvfCells".getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val idxPath = s"${Queries.privateIndexBase}/graft_ann_opqivf_$tag"
+    if (!new java.io.File(s"$idxPath/index").exists())
+      operators.AnnIndexIO.buildOpqIvf(planted, "vec_id", "pv", idxPath,
+        nCells = annOpqIvfCells)
+    operators.AnnIndexIO.searchOpqIvf(s, idxPath, planted, "vec_id", "pv",
+        col("v_id") < 10, k = 3, nprobe = annOpqIvfNprobe,
+        rerank = annOpqIvfRerank)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        (round(col("sim"), 6) + 0.0).as("sim"))
+  }
+
   /** Two-level ANN arity (shared with the oracle builder): 100×100
     * supers × children — k1·k2 = 10⁴ NOMINAL cells, the regime the
     * two-level design exists for (r7 verdict #1: the hier path must be

@@ -329,6 +329,85 @@ object AnnIndexIO {
       spark.read.parquet(s"$path/index"), v, queryPred, k, rerank)
   }
 
+  // -------------------------------------------- OPQ × IVF artifact tier
+
+  /** OPQ+IVF quantizer → typed Parquet rows: kind='rot' (rotation rows)
+    * + the flat layout's 'coarse'/'book' rows — one artifact, three
+    * kinds. */
+  def opqIvfModelToDF(spark: SparkSession, rot: Array[Array[Double]],
+                      model: VectorOps.IvfPqModel): DataFrame = {
+    import spark.implicits._
+    val rotRows = rot.zipWithIndex.toSeq.map { case (r, i) =>
+      ("rot", i, 0, r.toSeq)
+    }
+    rotRows.toDF("kind", "i", "j", "vec")
+      .unionByName(modelToDF(spark, model))
+  }
+
+  def opqIvfModelFromDF(df: DataFrame)
+      : (Array[Array[Double]], VectorOps.IvfPqModel) = {
+    val rot = df.filter(col("kind") === "rot").collect()
+      .sortBy(_.getAs[Int]("i"))
+      .map(_.getAs[scala.collection.Seq[Double]]("vec").toArray)
+    (rot, modelFromDF(df.filter(col("kind") =!= "rot")))
+  }
+
+  /** Build the PROBE-PRUNED OPQ index ([[VectorOps
+    * .opqIvfTrainNormalized]]): the learned rotation rides the flat IVF
+    * layout — quantizer rows (rot + coarse + books) and the
+    * `(v_id, cid, codes)` table CELL-PARTITIONED, so a search probing
+    * `nprobe` of `nCells` cells prunes the rest at the file-listing
+    * level exactly like [[build]]. This closes [[buildOpq]]'s documented
+    * gap (the cell-less tier scans every code); OPQ's accuracy now rides
+    * the pruned regime. Returns false on an empty corpus. */
+  def buildOpqIvf(vecs: DataFrame, idCol: String, vecCol: String,
+                  path: String, nCells: Int = 16, m: Int = 8,
+                  codebookK: Int = 16, altIters: Int = 5,
+                  sampleN: Int = 10000): Boolean = {
+    val spark = vecs.sparkSession
+    val v = graft.CacheRegistry.persistTracked(
+      VectorOps.normalized(vecs, idCol, vecCol)
+        .select(col(idCol).as("v_id"), col("vn")))
+    VectorOps.opqIvfTrainNormalized(v, nCells, m, codebookK, altIters,
+        sampleN) match {
+      case None => false
+      case Some((rot, model)) =>
+        opqIvfModelToDF(spark, rot, model).write.mode("overwrite")
+          .parquet(s"$path/quantizer")
+        VectorOps.opqIvfEncodeNormalized(v, rot, model)
+          .write.mode("overwrite").partitionBy("cid")
+          .parquet(s"$path/index")
+        writeKind(spark, path, "opq_ivf")
+        true
+    }
+  }
+
+  /** Search a prebuilt OPQ+IVF index: rotated probe + asymmetric rank,
+    * exact re-rank on the original vectors ([[VectorOps
+    * .opqIvfSearchNormalized]]). The scan reads only the probed `cid=`
+    * partitions (the probe set folds in as a static `cid IN` filter —
+    * computed from the queries EXACTLY as the search's own probe
+    * explode, so results are bit-identical with or without the pruning;
+    * plan-audited). */
+  def searchOpqIvf(spark: SparkSession, path: String, corpus: DataFrame,
+                   idCol: String, vecCol: String, queryPred: Column, k: Int,
+                   nprobe: Int = 4, rerank: Int = 10): DataFrame = {
+    val (rot, model) = opqIvfModelFromDF(
+      spark.read.parquet(s"$path/quantizer"))
+    val v = graft.CacheRegistry.persistTracked(
+      VectorOps.normalized(corpus, idCol, vecCol)
+        .select(col(idCol).as("v_id"), col("vn")))
+    val cids = VectorOps.opqIvfProbeCids(v.filter(queryPred), rot, model,
+      nprobe)
+    val index0 = spark.read.parquet(s"$path/index")
+    val index =
+      if (cids.length <= CidPushdownLimit)
+        index0.filter(col("cid").isin(cids.toSeq: _*))
+      else index0
+    VectorOps.opqIvfSearchNormalized(rot, model, index, v, queryPred, k,
+      nprobe, rerank)
+  }
+
   // ------------------------------------- arity-dispatched default entry
 
   /** Arity-dispatched build — the DEFAULT index entry point: FLAT coarse

@@ -515,6 +515,112 @@ object VectorOps {
       .select(col("q_id"), col("rank"), col("v_id").as("n_id"), col("sim"))
   }
 
+  // ------------------------------------------- OPQ × IVF (probe-pruned)
+
+  /** OPQ composed with the IVF coarse quantizer — the probe-pruned OPQ
+    * regime (FAISS's `OPQ..,IVF..,PQ..` chain): the learned rotation is
+    * a PRE-TRANSFORM, so everything downstream of it is the plain IVF-PQ
+    * machinery run in the rotated space. Train: learn R on the
+    * deterministic sample ([[opqTrain]] — its books are discarded; the
+    * served books must quantize cell RESIDUALS), rotate the sample,
+    * coarse k-means in rotated space, residual codebooks on the rotated
+    * residuals. Orthogonal R preserves norms and angles, so the rotated
+    * vectors stay unit and every cell/probe margin carries over; the
+    * exact re-rank runs on the ORIGINAL normalized vectors, so rotation
+    * fp noise can't perturb the reported similarities. */
+  private[graft] def opqIvfTrainNormalized(v: DataFrame, nCells: Int, m: Int,
+                                           codebookK: Int, altIters: Int,
+                                           sampleN: Int)
+      : Option[(Array[Array[Double]], IvfPqModel)] = {
+    val sample = v.orderBy("v_id").limit(sampleN).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("vn").toArray)
+    if (sample.isEmpty) None
+    else {
+      val (rot, _) = opqTrain(sample, m, codebookK, altIters)
+      val rotated = sample.map(matVec(rot, _))
+      val cents = kmeans(rotated, nCells)
+      val coarse = IvfPqModel(cents, Array(Array(Array.empty[Double])))
+      val residuals = rotated.map { y =>
+        val ct = cents(coarse.nearestCell(y))
+        Array.tabulate(y.length)(i => y(i) - ct(i))
+      }
+      Some((rot, IvfPqModel(cents, pqTrain(residuals, m, codebookK))))
+    }
+  }
+
+  /** Encode = rotate in-plan (matrix-literal over the native dot kernel),
+    * then the UNCHANGED IVF-PQ encode on the rotated column — zero drift
+    * from the flat path by construction. Output: `(v_id, cid, codes)`. */
+  private[graft] def opqIvfEncodeNormalized(v: DataFrame,
+                                            rot: Array[Array[Double]],
+                                            model: IvfPqModel): DataFrame =
+    ivfPqEncodeNormalized(
+      v.select(col("v_id"), transform(centMatrixLit(rot),
+        r => graft.functions.ArrayDot.array_dot(r, col("vn"))).as("vn")),
+      model)
+
+  /** The distinct probed-cell set of the (rotated) queries — ONE tiny
+    * job, bounded by nCells — so the caller can fold it into the index
+    * scan as a static `cid IN` filter that prunes `cid=` partitions at
+    * file-listing level. Uses the SAME rotation/ranking expressions as
+    * [[opqIvfSearchNormalized]]'s probe, so the pruned scan is
+    * bit-identical to the unpruned one (the downstream cid equi-join
+    * already restricts to these cells). */
+  private[graft] def opqIvfProbeCids(queries: DataFrame,
+                                     rot: Array[Array[Double]],
+                                     model: IvfPqModel,
+                                     nprobe: Int): Array[Int] = {
+    val rotCol = transform(centMatrixLit(rot),
+      r => graft.functions.ArrayDot.array_dot(r, col("vn")))
+    queries.withColumn("_qr", rotCol)
+      .select(explode(probeCids(cellRanks(col("_qr"), model.cents), nprobe))
+        .as("cid"))
+      .distinct().collect().map(_.getInt(0)).sorted
+  }
+
+  /** Search: queries rotate on the fly, probe `nprobe` cells and rank by
+    * the asymmetric similarity IN THE ROTATED SPACE (the space the cells
+    * and codebooks live in); the top `rerank` re-score exactly against
+    * the ORIGINAL normalized vectors (orthogonal R preserves cosine, so
+    * the two spaces rank identically in the exact tier — same contract
+    * as [[opqSearchNormalized]]). Probe and candidate joins are the same
+    * equi-joins as [[ivfPqSearchNormalized]]. */
+  private[graft] def opqIvfSearchNormalized(rot: Array[Array[Double]],
+                                            model: IvfPqModel,
+                                            index: DataFrame, v: DataFrame,
+                                            queryPred: Column, k: Int,
+                                            nprobe: Int,
+                                            rerank: Int): DataFrame = {
+    val m = model.m
+    val centLit = centMatrixLit(model.cents)
+    def bookLit(s: Int): Column = centMatrixLit(model.books(s))
+    val recon = flatten(array((0 until m).map(s =>
+      element_at(bookLit(s), element_at(col("codes"), s + 1))): _*))
+    val rotCol = transform(centMatrixLit(rot),
+      r => graft.functions.ArrayDot.array_dot(r, col("vn")))
+    val q = v.filter(queryPred)
+      .withColumn("_qr", rotCol)
+      .withColumn("_cells", cellRanks(col("_qr"), model.cents))
+      .select(col("v_id").as("q_id"), col("vn").as("qv"), col("_qr").as("qr"),
+        explode(probeCids(col("_cells"), nprobe)).as("cid"))
+    val encoded = index.select(col("v_id"), col("cid"), col("codes"))
+      .withColumn("centroid", element_at(centLit, col("cid") + 1))
+    val approx = q.join(encoded, Seq("cid"))
+      .filter(col("q_id") =!= col("v_id"))
+      .withColumn("asim", dot(col("qr"),
+        zip_with(col("centroid"), recon, _ + _)))
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("asim").desc, col("v_id"))
+    val cand = approx.withColumn("_arn", row_number().over(wa))
+      .filter(col("_arn") <= rerank)
+      .select(col("q_id"), col("qv"), col("v_id"))
+    val exact = cand
+      .join(v.select(col("v_id"), col("vn")), "v_id")
+      .withColumn("sim", dot(col("qv"), col("vn")))
+    val we = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("v_id"))
+    exact.withColumn("rank", row_number().over(we)).filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("v_id").as("n_id"), col("sim"))
+  }
+
   /** Fitted IVF-PQ quantizer: `cents` = coarse k-means centroids (over
     * unit-normalized vectors), `books(s)(c)` = residual-PQ centroid `c` of
     * subspace `s`. A few KB total — it folds into query plans as literals

@@ -113,6 +113,107 @@ class AnnIndexSpec extends SparkSpec {
     assert(served.nonEmpty && served == inline)
   }
 
+  test("OPQ×IVF: artifact round-trip, cid-pruned probe scan, exact planted recall") {
+    // the query fixture's shape in miniature: 6 tight orthogonal-axis
+    // clusters of 20 members (dim 16), nCells = 6 with the first-6-ids
+    // init covering all clusters 1:1 — the composed search must return
+    // the exact brute-force top-3
+    val planted = Seq.tabulate(120) { i =>
+      val v = Array.fill(16)(0.0f)
+      v(i % 6) = 100.0f
+      v(8 + i % 4) = (0.001 * (1 + i % 7)).toFloat
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val dir = tmpDir("opq_ivf")
+    assert(AnnIndexIO.buildOpqIvf(planted, "vec_id", "embedding", dir,
+      nCells = 6, m = 2, codebookK = 8, altIters = 3))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_KIND")), "UTF-8").trim == "opq_ivf")
+    // quantizer artifact round-trips rotation + model exactly
+    val (rot, model) = AnnIndexIO.opqIvfModelFromDF(
+      spark.read.parquet(s"$dir/quantizer"))
+    assert(rot.length == 16 && rot.forall(_.length == 16))
+    assert(model.nCells == 6 && model.m == 2)
+    // index is cid-partitioned and the probe scan carries the static
+    // cid IN pushdown (file-listing pruning, the whole point of the tier)
+    val parts = new java.io.File(s"$dir/index").listFiles()
+      .map(_.getName).filter(_.contains("="))
+    assert(parts.nonEmpty && parts.forall(_.startsWith("cid=")),
+      s"opq_ivf index not cid-partitioned: ${parts.mkString(",")}")
+    val qp = col("v_id") < 6
+    val df = AnnIndexIO.searchOpqIvf(spark, dir, planted, "vec_id",
+      "embedding", qp, k = 3, nprobe = 2, rerank = 20)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined,
+      s"opq_ivf probe scan lost the cid partition filter:\n$plan")
+    val got = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"))).sortBy(t => (t._1, t._2)).toSeq
+    graft.CacheRegistry.releaseAll()
+    // brute-force truth, driver-side over the same planted doubles
+    val raw = planted.collect().map(r => (r.getLong(0),
+      r.getAs[scala.collection.Seq[Float]](1)
+        .map(_.toDouble).toArray)).sortBy(_._1)
+    val unit = raw.map { case (id, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum); (id, v.map(_ / n))
+    }
+    val want = unit.filter(_._1 < 6).flatMap { case (qid, qv) =>
+      unit.filter(_._1 != qid)
+        .map { case (id, v) => (id, qv.zip(v).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).zipWithIndex
+        .map { case ((id, _), r) => (qid, r + 1, id) }
+    }.toSeq.sorted
+    assert(got == want, s"opq_ivf missed a true neighbor:\n$got\nvs\n$want")
+  }
+
+  test("OPQ×IVF recall >= plain IVF-PQ on cross-subspace-correlated corpus") {
+    // correlation straddles the m=2 subspace split (dim j ~ dim j+8, the
+    // opqTrain MSE fixture's regime) under a deliberately tight code
+    // budget, so plain PQ's independent codebooks blur the asymmetric
+    // ranking that feeds the rerank cut; the learned rotation removes
+    // the shared structure
+    val rng = new scala.util.Random(91)
+    val corr = Seq.tabulate(160) { i =>
+      val base = Array.fill(8)(rng.nextGaussian())
+      val x = new Array[Double](16)
+      for (j <- 0 until 8) { x(j) = base(j); x(j + 8) = base(j) + 0.05 * rng.nextGaussian() }
+      (i.toLong, x.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val qp = col("v_id") < 12
+    def recallOf(results: Array[org.apache.spark.sql.Row]): Double = {
+      val raw = corr.collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]](1).map(_.toDouble).toArray))
+      val unit = raw.map { case (id, v) =>
+        val n = math.sqrt(v.map(x => x * x).sum); (id, v.map(_ / n))
+      }
+      val truth = unit.filter(_._1 < 12).map { case (qid, qv) =>
+        qid -> unit.filter(_._1 != qid)
+          .map { case (id, v) => (id, qv.zip(v).map { case (a, b) => a * b }.sum) }
+          .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSet
+      }.toMap
+      val got = results.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      val hits = truth.toSeq.map { case (q, t) =>
+        (t intersect got.getOrElse(q, Set.empty)).size
+      }.sum
+      hits.toDouble / (truth.size * 3)
+    }
+    val pqDir = tmpDir("rc_pq"); val opqDir = tmpDir("rc_opq")
+    assert(AnnIndexIO.build(corr, "vec_id", "embedding", pqDir,
+      nCells = 4, m = 2, codebookK = 4).nonEmpty)
+    val rPq = recallOf(AnnIndexIO.search(spark, pqDir, corr, "vec_id",
+      "embedding", qp, k = 3, nprobe = 2, rerank = 6).collect())
+    graft.CacheRegistry.releaseAll()
+    assert(AnnIndexIO.buildOpqIvf(corr, "vec_id", "embedding", opqDir,
+      nCells = 4, m = 2, codebookK = 4, altIters = 8))
+    val rOpq = recallOf(AnnIndexIO.searchOpqIvf(spark, opqDir, corr,
+      "vec_id", "embedding", qp, k = 3, nprobe = 2, rerank = 6).collect())
+    graft.CacheRegistry.releaseAll()
+    assert(rOpq >= rPq,
+      s"OPQ×IVF recall $rOpq below plain IVF-PQ $rPq on the correlated corpus")
+    assert(rOpq > 0.5, s"OPQ×IVF recall degenerate: $rOpq")
+  }
+
   test("hier index layout: sid-partitioned dirs, pruned probe scan") {
     val qp = col("v_id") < 10
     val dir = tmpDir("hier_layout")
