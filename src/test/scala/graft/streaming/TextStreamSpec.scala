@@ -91,6 +91,28 @@ class TextStreamSpec extends SparkSpec {
       fp(docs.toDF()).orderBy("doc").collect().toSeq)
   }
 
+  test("winnowed fingerprints at ingest: stream == batch, stateless") {
+    // the MOSS selection is row-local (windows over the per-doc gram-hash
+    // array, thinned BEFORE the explode), so fingerprint-at-ingest runs
+    // the same code as batch — the shape that feeds winnowPairs' join
+    // downstream of the ingest edge
+    // k=5, w=6: doc 4 (8 tokens -> 4 grams < w) exercises the short-doc
+    // whole-window pick; docs 5/7 (< k tokens, zero grams) emit nothing
+    val op = (df: DataFrame) =>
+      TextOps.winnowedFingerprints(df, "doc_id", "text", k = 5, w = 6)
+    val got = streamed("winnow_ingest", op)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(identity)
+    val want = op(docs.toDF()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(identity)
+    assert(got == want && got.nonEmpty)
+    // the documented short-doc deviation holds identically across the
+    // stream/batch split: whole-doc pick present, gram-less docs absent
+    assert(got.count(_._1 == 4L) == 1 && !got.exists(_._1 == 5L) &&
+      !got.exists(_._1 == 7L))
+  }
+
   test("centroid classify-at-ingest: frozen apply over stream == batch") {
     // batch-train once, freeze the 6 centroid doubles, serve them at the
     // ingest edge — pure row-local projection, zero state operators
