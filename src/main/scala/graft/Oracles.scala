@@ -1819,6 +1819,71 @@ object Oracles {
         |    ((f1-a1)*(f1-a1) + (f2-a2)*(f2-a2) + (f3-a3)*(f3-a3)) AS margin
         |FROM f CROSS JOIN c""".stripMargin,
 
+    // logistic-regression gate: the gradient-descent loop UNROLLED (the
+    // bpe_train technique) — train-split standardization (round-6
+    // mean/pop-std; zero std ⇒ 1), then per iteration one gradient
+    // aggregate over the standardized train rows and a round-6-quantized
+    // weight update (quantization mirrored by the engine, so
+    // sum-order/exp/stddev-algorithm ulps never compound); final scores
+    // from the shared standardize-then-sigmoid arithmetic
+    "quality_classify_logreg" -> {
+      val lr = graft.Queries.logregLr
+      val iters = (1 to graft.Queries.logregIters).map { i =>
+        s"""g$i AS (SELECT count(*)::DOUBLE AS n,
+           |    sum(p - y) AS g0, sum((p - y) * f1) AS g1,
+           |    sum((p - y) * f2) AS g2, sum((p - y) * f3) AS g3
+           |  FROM (SELECT 1.0e0 / (1.0e0 + exp(-(w.b + w.w1 * t.f1
+           |        + w.w2 * t.f2 + w.w3 * t.f3))) AS p,
+           |      t.y, t.f1, t.f2, t.f3
+           |    FROM tr t CROSS JOIN w${i - 1} w)),
+           |w$i AS MATERIALIZED (SELECT
+           |    round(w.b  - ${d(lr)} * g.g0 / g.n, 6) AS b,
+           |    round(w.w1 - ${d(lr)} * g.g1 / g.n, 6) AS w1,
+           |    round(w.w2 - ${d(lr)} * g.g2 / g.n, 6) AS w2,
+           |    round(w.w3 - ${d(lr)} * g.g3 / g.n, 6) AS w3
+           |  FROM w${i - 1} w CROSS JOIN g$i g)""".stripMargin
+      }.mkString(",\n")
+      val wf = s"w${graft.Queries.logregIters}"
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+        |    string_split(trim(text), ' ') AS toks,
+        |    length(trim(text)) AS nc FROM documents),
+        |f0 AS (SELECT doc,
+        |  len(list_filter(toks, w -> w IN ('the','a','of','and','to','in')))::DOUBLE
+        |    / len(toks) AS f1,
+        |  len(list_filter(toks, w -> length(w) > 6))::DOUBLE / len(toks) AS f2,
+        |  nc::DOUBLE / len(toks)::DOUBLE / 1.0e1 AS f3,
+        |  (1.0e0
+        |    - (CASE WHEN len(list_filter(toks, w -> w IN ('the','a','of','and','to','in')))::DOUBLE / len(toks) < 2.0e-2 THEN 4.0e-1 ELSE 0.0e0 END)
+        |    - (CASE WHEN len(toks) < 5 THEN 4.0e-1 ELSE 0.0e0 END)
+        |    - (CASE WHEN len(list_filter(toks, w -> length(w) > 6))::DOUBLE / len(toks) > 5.0e-1 THEN 2.0e-1 ELSE 0.0e0 END)
+        |  ) >= 8.0e-1 AS yb,
+        |  doc % 5 = 0 AS tr FROM d),
+        |st0 AS (SELECT
+        |    round(avg(f1), 6) AS m1, round(stddev_pop(f1), 6) AS s1r,
+        |    round(avg(f2), 6) AS m2, round(stddev_pop(f2), 6) AS s2r,
+        |    round(avg(f3), 6) AS m3, round(stddev_pop(f3), 6) AS s3r
+        |  FROM f0 WHERE tr),
+        |st AS MATERIALIZED (SELECT m1, m2, m3,
+        |    CASE WHEN s1r = 0 THEN 1.0e0 ELSE s1r END AS s1,
+        |    CASE WHEN s2r = 0 THEN 1.0e0 ELSE s2r END AS s2,
+        |    CASE WHEN s3r = 0 THEN 1.0e0 ELSE s3r END AS s3 FROM st0),
+        |f AS MATERIALIZED (SELECT doc, yb, tr,
+        |    (f1 - m1) / s1 AS f1, (f2 - m2) / s2 AS f2, (f3 - m3) / s3 AS f3
+        |  FROM f0 CROSS JOIN st),
+        |tr AS MATERIALIZED (SELECT f1, f2, f3,
+        |    CASE WHEN yb THEN 1.0e0 ELSE 0.0e0 END AS y
+        |  FROM f WHERE tr),
+        |w0 AS (SELECT 0.0e0 AS b, 0.0e0 AS w1, 0.0e0 AS w2, 0.0e0 AS w3),
+        |""".stripMargin + iters + s""",
+        |sc AS (SELECT f.doc, f.tr AS is_train,
+        |    1.0e0 / (1.0e0 + exp(-(w.b + w.w1 * f.f1 + w.w2 * f.f2
+        |      + w.w3 * f.f3))) AS p
+        |  FROM f CROSS JOIN $wf w)
+        |SELECT doc, is_train, round(p, 6) + 0.0e0 AS score,
+        |  p >= 5.0e-1 AS label_pred
+        |FROM sc""".stripMargin
+    },
+
     // MOSS winnowing replay: dense grams -> per-window rightmost-min
     // selection (windows exploded; short docs = one whole-doc window,
     // the documented deviation) -> distinct (doc, h) -> rank cap ->

@@ -754,6 +754,105 @@ object TextOps {
         (sqDistTo("b") - sqDistTo("a")).as("margin"))
   }
 
+  /** Fitted logistic model: train-split feature means/stds (the
+    * standardization is PART of the model — GD on these small-scale
+    * ratio features barely moves unstandardized, see logregFit) and the
+    * weight vector [b, w1, w2, w3] over the STANDARDIZED features. */
+  case class LogregModel(mu: Array[Double], sd: Array[Double],
+                         w: Array[Double])
+
+  /** LOGISTIC-REGRESSION quality classifier fit — the model-based gate
+    * one step up from [[centroidFit]]'s class means: standardize the
+    * three quality features on the train split (round-6 population
+    * mean/std; zero std ⇒ 1), then full-batch gradient descent on the
+    * logistic loss (+ intercept), `iters` steps at rate `lr`.
+    *
+    * Scale shape: the driver-iterates / cluster-reduces discipline (the
+    * k-means and BPE fits) — the standardized feature projection
+    * (4 doubles/row, persisted once) is all any pass touches, and each
+    * iteration is ONE map-side-combined aggregate (count + 4 gradient
+    * sums) with a 1-row collect; T iterations = T cheap jobs over a
+    * 32-byte-wide frame, never the raw text. Updated weights are
+    * quantized to 6 dp per iteration (the [[centroidFit]] rule,
+    * HALF_UP): a double sum's partition-order ulps would otherwise
+    * compound across iterations and diverge the SQL replay — quantized,
+    * engine and oracle walk the IDENTICAL weight trajectory. */
+  def logregFit(docs: DataFrame, idCol: String, textCol: String,
+                isTrain: Column, label: Column,
+                iters: Int = 50, lr: Double = 1.0): LogregModel = {
+    def q6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val raw = graft.CacheRegistry.persistTracked(
+      docs.select(col(idCol).cast("long").as("doc") +:
+          qualityFeatureCols(textCol) :+ isTrain.as("is_train") :+
+          label.as("_y"): _*)
+        .filter(col("is_train"))
+        .select(col("f1"), col("f2"), col("f3"),
+          when(col("_y"), 1.0).otherwise(0.0).as("y")))
+    val st = raw.agg(
+      avg(col("f1")).as("m1"), stddev_pop(col("f1")).as("s1"),
+      avg(col("f2")).as("m2"), stddev_pop(col("f2")).as("s2"),
+      avg(col("f3")).as("m3"), stddev_pop(col("f3")).as("s3")).head()
+    require(!st.isNullAt(0), "logregFit: no training rows")
+    val mu = Array(q6(st.getDouble(0)), q6(st.getDouble(2)), q6(st.getDouble(4)))
+    val sd = Array(q6(st.getDouble(1)), q6(st.getDouble(3)), q6(st.getDouble(5)))
+      .map(s => if (s == 0.0) 1.0 else s)
+    val feats = graft.CacheRegistry.persistTracked(
+      raw.select(
+        ((col("f1") - mu(0)) / sd(0)).as("f1"),
+        ((col("f2") - mu(1)) / sd(1)).as("f2"),
+        ((col("f3") - mu(2)) / sd(2)).as("f3"), col("y")))
+    val w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 0 until iters) {
+      val z = lit(w(0)) + lit(w(1)) * col("f1") +
+        lit(w(2)) * col("f2") + lit(w(3)) * col("f3")
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val r = feats.agg(
+        count(lit(1)).as("n"),
+        sum(p - col("y")).as("g0"),
+        sum((p - col("y")) * col("f1")).as("g1"),
+        sum((p - col("y")) * col("f2")).as("g2"),
+        sum((p - col("y")) * col("f3")).as("g3")).head()
+      val n = r.getLong(0).toDouble
+      for (j <- 0 to 3) w(j) = q6(w(j) - lr * r.getDouble(j + 1) / n)
+    }
+    LogregModel(mu, sd, w)
+  }
+
+  /** Serve-side apply of a FROZEN logistic model: pure row-local
+    * projection (standardize, z = b + w·f̂, score = σ(z)) — no
+    * aggregate, no state — so it runs UNCHANGED over `readStream` for
+    * classify-at-ingest, exactly like [[centroidApplyFrozen]]. Returns
+    * (doc, score round-6, label_pred = score ≥ 0.5). */
+  def logregApplyFrozen(docs: DataFrame, idCol: String, textCol: String,
+                        model: LogregModel): DataFrame = {
+    val p = logregP(model)
+    docs.select(col(idCol).cast("long").as("doc") +:
+        qualityFeatureCols(textCol): _*)
+      .select(col("doc"), (round(p, 6) + 0.0).as("score"),
+        (p >= 0.5).as("label_pred"))
+  }
+
+  private def logregP(m: LogregModel): Column = {
+    def f(j: Int): Column = (col(s"f${j + 1}") - m.mu(j)) / m.sd(j)
+    val z = lit(m.w(0)) + lit(m.w(1)) * f(0) + lit(m.w(2)) * f(1) +
+      lit(m.w(3)) * f(2)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** Fit on the `isTrain` split, apply corpus-wide:
+    * (doc, is_train, score, label_pred). */
+  def logregClassifier(docs: DataFrame, idCol: String, textCol: String,
+                       isTrain: Column, label: Column,
+                       iters: Int = 50, lr: Double = 1.0): DataFrame = {
+    val m = logregFit(docs, idCol, textCol, isTrain, label, iters, lr)
+    val p = logregP(m)
+    docs.select(col(idCol).cast("long").as("doc") +:
+        qualityFeatureCols(textCol) :+ isTrain.as("is_train"): _*)
+      .select(col("doc"), col("is_train"),
+        (round(p, 6) + 0.0).as("score"), (p >= 0.5).as("label_pred"))
+  }
+
   /** chars/4 LLM-token estimate (the heuristic tier next to the exact
     * [[mergeBpeTokenCount]]). */
   def estTokensCol(text: Column): Column =

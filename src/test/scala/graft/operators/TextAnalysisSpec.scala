@@ -514,6 +514,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(merges == Seq((1, "x", "y", 3L), (2, "z", "w", 3L)))
   }
 
+  test("logregClassifier separates a planted split; frozen apply matches") {
+    // positives: stopword-rich running text; negatives: stopword-free
+    // jargon — f1 (stopword ratio) separates them linearly, so the GD
+    // fit must recover the boundary from the 50% train split
+    val docs = (0L until 40L).map { i =>
+      val text =
+        if (i % 2 == 0) s"the cat and the dog of the house in town v$i"
+        else s"qwzx$i jargon${i}x cryptic blob${i}z stuff$i thing$i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val label = col("doc_id") % 2 === 0
+    val out = TextOps.logregClassifier(docs, "doc_id", "text",
+        isTrain = col("doc_id") < 20, label = label)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    graft.CacheRegistry.releaseAll()
+    // every doc classified correctly, train and holdout alike
+    assert(out.forall { case (id, (_, _, pred)) => pred == (id % 2 == 0) })
+    assert(out.values.forall { case (_, s, _) => s >= 0.0 && s <= 1.0 })
+    // frozen model apply == the classifier's own apply, bit-for-bit
+    val m = TextOps.logregFit(docs, "doc_id", "text",
+      isTrain = col("doc_id") < 20, label = label)
+    graft.CacheRegistry.releaseAll()
+    val frozen = TextOps.logregApplyFrozen(docs, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2))))
+      .toMap
+    graft.CacheRegistry.releaseAll()
+    assert(frozen.forall { case (id, (s, p)) =>
+      out(id)._2 == s && out(id)._3 == p })
+    // determinism: same fit twice (quantized trajectory) == same weights
+    val m2 = TextOps.logregFit(docs, "doc_id", "text",
+      isTrain = col("doc_id") < 20, label = label)
+    graft.CacheRegistry.releaseAll()
+    assert(m.w.sameElements(m2.w) && m.mu.sameElements(m2.mu) &&
+      m.sd.sameElements(m2.sd))
+  }
+
   test("lmScore == hand-computed add-one bigram NLL; short docs null") {
     // corpus: "a b" ×2 docs plus "a c"; vocab {a,b,c} → V=3
     // transitions: (a,b) ×2, (a,c) ×1 → c1(a)=3, c12(a,b)=2, c12(a,c)=1

@@ -113,6 +113,22 @@ class TextStreamSpec extends SparkSpec {
       !got.exists(_._1 == 7L))
   }
 
+  test("logreg classify-at-ingest: frozen model over stream == batch") {
+    // batch-train once, freeze (mu, sd, w), serve at the ingest edge —
+    // standardize + sigmoid is a pure row-local projection, zero state
+    val m = TextOps.logregFit(docs.toDF(), "doc_id", "text",
+      isTrain = col("doc_id") % 2 === 0,
+      label = TextOps.qualityCol(col("text")) >= 0.8)
+    graft.CacheRegistry.releaseAll()
+    val op = (df: DataFrame) =>
+      TextOps.logregApplyFrozen(df, "doc_id", "text", m)
+    val got = streamed("logreg_stream", op)
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    val want = op(docs.toDF()).orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    assert(got == want && got.size == docs.size)
+  }
+
   test("centroid classify-at-ingest: frozen apply over stream == batch") {
     // batch-train once, freeze the 6 centroid doubles, serve them at the
     // ingest edge — pure row-local projection, zero state operators
