@@ -1819,6 +1819,19 @@ object Oracles {
         |    ((f1-a1)*(f1-a1) + (f2-a2)*(f2-a2) + (f3-a3)*(f3-a3)) AS margin
         |FROM f CROSS JOIN c""".stripMargin,
 
+    // heavy-hitter bigrams: the engine's count-min prefilter cannot
+    // change the result (overestimate-only + exact verify pass), so the
+    // oracle is the plain exact HAVING
+    "text_frequent_ngrams" -> {
+      val mc = graft.Queries.frequentNgramMinCount
+      s"""WITH d AS (SELECT string_split(trim(text), ' ') AS toks
+         |  FROM documents),
+         |g AS (SELECT toks[u.i] || ' ' || toks[u.i + 1] AS gram
+         |  FROM d, unnest(generate_series(1, len(toks) - 1)) AS u(i))
+         |SELECT gram, count(*)::BIGINT AS cnt FROM g
+         |GROUP BY gram HAVING count(*) >= $mc""".stripMargin
+    },
+
     // logistic-regression gate: the gradient-descent loop UNROLLED (the
     // bpe_train technique) — train-split standardization (round-6
     // mean/pop-std; zero std ⇒ 1), then per iteration one gradient

@@ -763,6 +763,19 @@ object Queries {
   val logregIters: Int = 50
   val logregLr: Double = 1.0
 
+  /** Heavy-hitter bigrams ([[operators.TextOps.frequentNgrams]], the
+    * count-min sketch-prefilter two-pass): exact corpus-wide bigram
+    * counts at `minCount` 35 — 189 of 916 distinct bigrams at sf0.01,
+    * so the threshold is non-trivial both ways. The sketch is a
+    * bounded-shuffle prefilter with NO effect on the result (count-min
+    * only overestimates; the exact pass removes false positives), so
+    * the oracle is the plain exact HAVING. */
+  val frequentNgramMinCount: Long = 35L
+
+  def textFrequentNgrams(s: SparkSession, dir: String): DataFrame =
+    TextOps.frequentNgrams(Tables.documents(s, dir), "doc_id", "text",
+      n = 2, minCount = frequentNgramMinCount)
+
   def qualityClassifyLogreg(s: SparkSession, dir: String): DataFrame =
     TextOps.logregClassifier(Tables.documents(s, dir), "doc_id", "text",
       isTrain = col("doc_id") % 5 === 0,

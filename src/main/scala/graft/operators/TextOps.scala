@@ -1259,6 +1259,77 @@ object TextOps {
       host.as("host"), domain.as("domain"), blocked.as("blocked"))
   }
 
+  /** CORPUS-WIDE FREQUENT n-GRAMS — the heavy-hitter tier, via the
+    * SKETCH-PREFILTER two-pass (Cormode & Muthukrishnan's count-min,
+    * J. Algorithms 2005, in its exact-verify deployment):
+    *
+    *  1. SKETCH pass: every gram hashes into `depth` rows of `width`
+    *     counters (independent salted [[hash60]] buckets); the aggregate
+    *     is a map-side-combined groupBy over (row, bucket), so the
+    *     SHUFFLE is bounded by depth·width COUNTERS per partition — not
+    *     by the distinct-gram count, which at 100 TB is exactly the
+    *     thing that outgrows a groupBy(gram) shuffle.
+    *  2. PREFILTER: the ≤ depth·width counters collect into lookup maps
+    *     on a one-row broadcast frame (the childMatFrame rule), and each
+    *     gram row keeps only if its count-min estimate
+    *     `min_i counters_i[bucket_i(g)]` reaches `minCount` — row-local,
+    *     zero shuffle.
+    *  3. EXACT pass: groupBy over the SURVIVING grams only (the shuffle
+    *     is now candidate-sized), final `HAVING count ≥ minCount`.
+    *
+    * Correctness is INDEPENDENT of the sketch parameters: count-min only
+    * OVERestimates (a bucket sums every gram that lands in it), so the
+    * prefilter has no false negatives and step 3 removes the false
+    * positives — a width of 1 degrades to a plain exact groupBy, never
+    * to a wrong answer (property-pinned). `depth`/`width` trade
+    * prefilter selectivity against sketch size; the oracle replays the
+    * plain exact HAVING. Returns (gram, cnt). */
+  def frequentNgrams(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 2, minCount: Long = 10,
+                     depth: Int = 3, width: Int = 2048): DataFrame = {
+    require(n >= 1 && depth >= 1 && width >= 1 && minCount >= 1,
+      s"bad params n=$n depth=$depth width=$width minCount=$minCount")
+    val spark = docs.sparkSession
+    val toks = tokens(col(textCol))
+    val gramArr = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    def bucket(i: Int, g: Column): Column =
+      pmod(hash60(concat(lit(s"cms$i|"), g)), lit(width))
+    val grams = graft.CacheRegistry.persistTracked(
+      docs.select(explode(gramArr).as("g")))
+    // pass 1: depth·width bounded counters (collect ≤ depth·width rows)
+    val counters = grams
+      .select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("i"), bucket(i, col("g")).as("b"))): _*)).as("s"))
+      .groupBy(col("s.i").as("i"), col("s.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val maps: Array[Map[Long, Long]] = Array.tabulate(depth)(i =>
+      counters.filter(_._1 == i).map(t => t._2 -> t._3).toMap)
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("_jk",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+      (0 until depth).map(i => org.apache.spark.sql.types.StructField(
+        s"_m$i", org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.LongType), nullable = false)))
+    val model = spark.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row.fromSeq(1 +: maps.toSeq)), schema)
+    val est = (0 until depth).map(i =>
+      coalesce(element_at(col(s"_m$i"), bucket(i, col("g"))), lit(0L)))
+    val estMin = if (est.length == 1) est.head else least(est: _*)
+    // passes 2+3: row-local prefilter, then the exact candidate groupBy
+    grams.withColumn("_jk", lit(1))
+      .join(broadcast(model), "_jk")
+      .filter(estMin >= minCount)
+      .groupBy(col("g").as("gram")).agg(count(lit(1)).as("cnt"))
+      .select(col("gram"), col("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   /** BPE VOCABULARY INDUCTION — learn the merge table itself (Sennrich
     * et al. 2016), the "train a tokenizer on the corpus" pipeline stage
     * next to the APPLY side ([[mergeBpeTokens]], which consumes a given

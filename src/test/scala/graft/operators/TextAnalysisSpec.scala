@@ -514,6 +514,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(merges == Seq((1, "x", "y", 3L), (2, "z", "w", 3L)))
   }
 
+  test("frequentNgrams: exact heavy hitters, result independent of sketch params") {
+    // "a b" ×5 (from three docs), "b c" ×4, "c d" ×1, "x y" ×2
+    val docs = Seq(
+      (1L, "a b c a b c d"),   // a b ×2, b c ×2, c a ×1, c d ×1
+      (2L, "a b c"),           // a b, b c
+      (3L, "a b"), (4L, "x y"), (5L, "x y"), (6L, "z"), (7L, "")
+    ).toDF("doc_id", "text")
+    def run(minCount: Long, depth: Int, width: Int) = {
+      val r = TextOps.frequentNgrams(docs, "doc_id", "text", n = 2,
+          minCount = minCount, depth = depth, width = width)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.CacheRegistry.releaseAll()
+      r
+    }
+    val want = Map("a b" -> 4L, "b c" -> 3L)  // minCount 3 cuts c a/c d/x y
+    assert(run(3, 3, 2048) == want)
+    // the sketch is a prefilter, never the answer: a width-1 sketch (all
+    // grams share every bucket, estimate = corpus gram total) and a
+    // depth-1 sketch must produce the IDENTICAL exact result
+    assert(run(3, 1, 1) == want)
+    assert(run(3, 1, 7) == want)
+    // threshold 1 = every distinct gram, with exact counts
+    assert(run(1, 3, 2048) == Map("a b" -> 4L, "b c" -> 3L, "c a" -> 1L,
+      "c d" -> 1L, "x y" -> 2L))
+    // trigrams: only "a b c" repeats (×2 inside doc 1, ×1 in doc 2)
+    val tri = TextOps.frequentNgrams(docs, "doc_id", "text", n = 3,
+        minCount = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.CacheRegistry.releaseAll()
+    assert(tri == Map("a b c" -> 3L))
+  }
+
   test("logregClassifier separates a planted split; frozen apply matches") {
     // positives: stopword-rich running text; negatives: stopword-free
     // jargon — f1 (stopword ratio) separates them linearly, so the GD
