@@ -1270,10 +1270,12 @@ object TextOps {
     *     by the distinct-gram count, which at 100 TB is exactly the
     *     thing that outgrows a groupBy(gram) shuffle.
     *  2. PREFILTER: the ≤ depth·width counters collect into lookup maps
-    *     on a one-row broadcast frame (the childMatFrame rule), and each
-    *     gram row keeps only if its count-min estimate
-    *     `min_i counters_i[bucket_i(g)]` reaches `minCount` — row-local,
-    *     zero shuffle.
+    *     folded into the plan as single literal nodes (the centMatrixLit
+    *     rule — the payload is CONFIG-bounded, ~depth·width·16 B, so a
+    *     literal beats a broadcast frame whose filter would fold into a
+    *     join condition), and each gram row keeps only if its count-min
+    *     estimate `min_i counters_i[bucket_i(g)]` reaches `minCount` —
+    *     a row-local Filter, zero shuffle, zero join.
     *  3. EXACT pass: groupBy over the SURVIVING grams only (the shuffle
     *     is now candidate-sized), final `HAVING count ≥ minCount`.
     *
@@ -1289,7 +1291,6 @@ object TextOps {
                      depth: Int = 3, width: Int = 2048): DataFrame = {
     require(n >= 1 && depth >= 1 && width >= 1 && minCount >= 1,
       s"bad params n=$n depth=$depth width=$width minCount=$minCount")
-    val spark = docs.sparkSession
     val toks = tokens(col(textCol))
     val gramArr = when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)), i =>
@@ -1308,23 +1309,11 @@ object TextOps {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     val maps: Array[Map[Long, Long]] = Array.tabulate(depth)(i =>
       counters.filter(_._1 == i).map(t => t._2 -> t._3).toMap)
-    val schema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("_jk",
-        org.apache.spark.sql.types.IntegerType, nullable = false) +:
-      (0 until depth).map(i => org.apache.spark.sql.types.StructField(
-        s"_m$i", org.apache.spark.sql.types.MapType(
-          org.apache.spark.sql.types.LongType,
-          org.apache.spark.sql.types.LongType), nullable = false)))
-    val model = spark.createDataFrame(
-      java.util.Collections.singletonList(
-        org.apache.spark.sql.Row.fromSeq(1 +: maps.toSeq)), schema)
     val est = (0 until depth).map(i =>
-      coalesce(element_at(col(s"_m$i"), bucket(i, col("g"))), lit(0L)))
+      coalesce(element_at(typedLit(maps(i)), bucket(i, col("g"))), lit(0L)))
     val estMin = if (est.length == 1) est.head else least(est: _*)
     // passes 2+3: row-local prefilter, then the exact candidate groupBy
-    grams.withColumn("_jk", lit(1))
-      .join(broadcast(model), "_jk")
-      .filter(estMin >= minCount)
+    grams.filter(estMin >= minCount)
       .groupBy(col("g").as("gram")).agg(count(lit(1)).as("cnt"))
       .select(col("gram"), col("cnt"))
       .filter(col("cnt") >= minCount)

@@ -347,6 +347,30 @@ class PlanAuditSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("frequent n-grams: literal count-min prefilter, one exact-pass exchange") {
+    val p = plan(Queries.textFrequentNgrams(spark, dir))
+    // the prefilter is a plain row-local Filter over literal counter
+    // maps — no join of any kind in the plan
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"count-min prefilter grew a join:\n$p")
+    // one gram-keyed exchange: the exact pass over the CANDIDATES, with
+    // map-side partial aggregation (the sketch pass's own counter
+    // aggregate is the only other exchange, bounded by depth·width)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected the single exact-pass exchange, found $exchanges:\n$p")
+    assert(p.contains("partial_count"),
+      s"exact pass lost map-side combine:\n$p")
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("cadence gate per-key: the triple stays a keyed equi-join plan") {
+    val p = plan(Queries.binocularTripleCadencePerKey(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"per-key-gated triple degraded to all-pairs:\n$p")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("vad: kernel emits windows; the RLE merge is one required exchange") {
     // two exchanges total: the deliberate pre-render id repartition
     // (REPARTITION_BY_COL — fixture parallelism, same as the modal
