@@ -2983,6 +2983,13 @@ object Oracles {
         |  (user_id % 20) / 20.0 AS ny, value / 1000.0 AS confidence
         |FROM events""".stripMargin,
 
+    // same fixture + decode through the DataSource V2 surface — the two
+    // readers share conversion, so the oracle is shared verbatim
+    "s4_pldata_v2" ->
+      """SELECT event_id AS id, epoch(ts) AS timestamp, value / 500.0 AS nx,
+        |  (user_id % 20) / 20.0 AS ny, value / 1000.0 AS confidence
+        |FROM events""".stripMargin,
+
     "s2_timestamp_scan" ->
       """SELECT row_number() OVER (ORDER BY epoch(ts), event_id) - 1
         |  AS frame_index, epoch(ts) AS timestamp FROM events""".stripMargin,

@@ -2049,6 +2049,35 @@ object Queries {
         element_at(col("norm_pos"), 2).as("ny"), col("confidence"))
   }
 
+  /** S4 through the DataSource V2 surface ([[sources.PldataV2]]):
+    * identical fixture and output to `s4_pldata_roundtrip`, read via
+    * `spark.read.format("pldata")` with an explicit catalog schema —
+    * the V2 scan prunes to the projected columns (plan-pinned by
+    * PldataV2Spec) and plans one partition per session file. Same
+    * oracle SQL as the programmatic path: the two readers share decode
+    * and conversion, so they cannot drift. */
+  def pldataV2Roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pldata_v2").toString
+    val rows = ev(s, dir)
+      .repartitionByRange(FixturePartitions, col("event_id"))
+      .sortWithinPartitions(col("event_id")).select(
+      lit("gaze").as("topic"), col("t").as("timestamp"),
+      array(col("value") / 500.0, (col("user_id") % 20) / 20.0).as("norm_pos"),
+      (col("value") / 1000.0).as("confidence"), col("event_id").as("id"))
+    PldataSource.write(rows, tmp, "gaze")
+    s.read.format("pldata").option("topic", "gaze")
+      .schema(StructType(Seq(
+        StructField("timestamp", DoubleType),
+        StructField("norm_pos", ArrayType(DoubleType)),
+        StructField("confidence", DoubleType),
+        StructField("id", LongType))))
+      .load(tmp)
+      .select(col("id"), col("timestamp"),
+        element_at(col("norm_pos"), 1).as("nx"),
+        element_at(col("norm_pos"), 2).as("ny"), col("confidence"))
+  }
+
   /** S2: timestamp sidecar scan — the per-topic `_timestamps.npy` world
     * clock (odometry.py:43-58): write the sorted event clock as .npy v1
     * float64, read it back, emit (frame_index, timestamp). Exact doubles

@@ -154,7 +154,7 @@ object PldataSource {
              schema: StructType): DataFrame =
     read(spark, dir, topic, graft.schemas.Schemas.pldataFields(schema))
 
-  private def convert(v: Any, dt: DataType): Any = (v, dt) match {
+  private[sources] def convert(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (x: Long, DoubleType) => x.toDouble
     case (x: Double, DoubleType) => x

@@ -1,0 +1,209 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 front-end for the .pldata session store — the
+  * `spark.read.format("pldata")` surface over the same decode
+  * ([[PldataSource.decodeStream]]) and conversion rules the programmatic
+  * [[PldataSource.read]] uses, so the two paths cannot drift.
+  *
+  * ```
+  * spark.read.format("pldata")
+  *   .option("topic", "gaze")          // <dir>/gaze.pldata (+ sidecar)
+  *   .option("recursive", "true")      // optional: session subdirs too
+  *   .load("/data/session_0001")
+  * ```
+  *
+  * What the V2 plumbing buys over the binaryFile+mapPartitions form:
+  *  - COLUMN PRUNING pushed into the reader
+  *    ([[SupportsPushDownRequiredColumns]]): only requested fields are
+  *    converted, and the `_timestamps.npy` sidecar is not even OPENED
+  *    unless `timestamp` is in the projection (the msgpack stream itself
+  *    must still be walked — it is a length-prefixed stream format with
+  *    no column layout, documented honestly);
+  *  - partition planning by FILE: one input partition per session-topic
+  *    file, the natural distribution axis (each file is one device
+  *    stream of MBs), with `recursive` turning a session-tree root into
+  *    a multi-session scan;
+  *  - schema by CATALOG or INFERENCE: an explicit `.schema(...)` (e.g.
+  *    [[graft.schemas.Schemas.pupil]]) wins; otherwise the first record
+  *    of the first file is decoded driver-side and mapped to Spark types.
+  *
+  * Paths are POSIX/local (the sidecar contract [[PldataSource
+  * .readNpyDoubles]] already sets) — the 100 TB path is Parquet
+  * ([[graft.pipeline.Pipeline]]); this is the session-file ingest edge.
+  */
+class PldataV2 extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "pldata"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PldataV2.inferSchema(options)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    PldataV2.PldataTable(schema,
+      new CaseInsensitiveStringMap(properties).asScala.toMap)
+}
+
+object PldataV2 {
+
+  private def topicOf(options: Map[String, String]): String =
+    options.getOrElse("topic",
+      throw new IllegalArgumentException(
+        "pldata source needs .option(\"topic\", <name>)"))
+
+  /** The session-topic files under `path`: `<path>/<topic>.pldata`, plus
+    * every `<path>/<sub>/<topic>.pldata` when `recursive`. Sorted for a
+    * deterministic partition order. */
+  private[sources] def listFiles(options: Map[String, String]): Seq[String] = {
+    val path = options.getOrElse("path",
+      throw new IllegalArgumentException("pldata source needs a load(path)"))
+    val topic = topicOf(options)
+    val recursive = options.get("recursive").exists(_.toBoolean)
+    val root = java.nio.file.Paths.get(path)
+    val direct = root.resolve(s"$topic.pldata")
+    val dirs =
+      if (!recursive) Seq(root)
+      else root +: {
+        val ds = java.nio.file.Files.newDirectoryStream(root)
+        try ds.asScala.filter(java.nio.file.Files.isDirectory(_)).toSeq
+        finally ds.close()
+      }
+    val files = dirs.map(_.resolve(s"$topic.pldata"))
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(_.toString).sorted
+    require(files.nonEmpty, s"no $topic.pldata under $path" +
+      (if (recursive) " (recursive)" else "") +
+      s" — direct candidate was $direct")
+    files
+  }
+
+  /** Msgpack value → Spark type (first-record inference). */
+  private def typeOf(v: Any): DataType = v match {
+    case _: Long => LongType
+    case _: Double => DoubleType
+    case _: String => StringType
+    case _: Boolean => BooleanType
+    case xs: Vector[_] if xs.nonEmpty => ArrayType(typeOf(xs.head))
+    case _: Vector[_] => ArrayType(DoubleType)
+    case m: Map[_, _] =>
+      StructType(m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
+        .map { case (k, x) => StructField(k, typeOf(x)) })
+    case other => throw new IllegalArgumentException(
+      s"cannot infer a Spark type for msgpack value $other")
+  }
+
+  private[sources] def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val opts = options.asScala.toMap
+    val first = listFiles(opts).head
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(first))
+    val recs = PldataSource.decodeStream(bytes)
+    require(recs.nonEmpty, s"cannot infer schema from empty $first")
+    val payload = recs.head._2
+    // topic/timestamp are STRUCTURAL (record tag + sidecar clock); a
+    // payload that also carries them — PLData_Writer payloads usually
+    // duplicate timestamp — must not shadow them (the pldataFields rule)
+    StructType(
+      StructField("topic", StringType) +:
+      StructField("timestamp", DoubleType) +:
+      payload.toSeq.sortBy(_._1)
+        .filterNot { case (k, _) => k == "topic" || k == "timestamp" }
+        .map { case (k, v) => StructField(k, typeOf(v)) })
+  }
+
+  private[sources] case class PldataTable(tableSchema: StructType,
+                                          options: Map[String, String])
+      extends Table with SupportsRead {
+    override def schema(): StructType = tableSchema
+    override def name(): String =
+      s"pldata(${options.getOrElse("path", "?")}:${topicOf(options)})"
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+      PldataScanBuilder(tableSchema, options ++ o.asScala)
+  }
+
+  private[sources] case class PldataScanBuilder(full: StructType,
+                                                options: Map[String, String])
+      extends ScanBuilder with SupportsPushDownRequiredColumns {
+    private var required: StructType = full
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      required = requiredSchema
+    override def build(): Scan = PldataScan(required, options)
+  }
+
+  private[sources] case class PldataScan(required: StructType,
+                                         options: Map[String, String])
+      extends Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"PldataScan topic=${topicOf(options)} " +
+        s"ReadSchema: ${required.simpleString}"
+    override def planInputPartitions(): Array[InputPartition] =
+      listFiles(options).map(f =>
+        PldataPartition(f): InputPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      PldataReaderFactory(required)
+  }
+
+  private[sources] case class PldataPartition(file: String)
+      extends InputPartition
+
+  private[sources] case class PldataReaderFactory(required: StructType)
+      extends PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      new PldataPartitionReader(
+        p.asInstanceOf[PldataPartition].file, required)
+  }
+
+  /** Per-file reader: decode the msgpack stream, align the `.npy`
+    * sidecar by position (opened ONLY when `timestamp` is projected),
+    * convert just the required fields. */
+  private[sources] class PldataPartitionReader(file: String,
+                                               required: StructType)
+      extends PartitionReader[InternalRow] {
+    private val needTs = required.fieldNames.contains("timestamp")
+    private val ts: Array[Double] =
+      if (!needTs) Array.empty
+      else PldataSource.readNpyDoubles(
+        file.stripSuffix(".pldata") + "_timestamps.npy")
+    private val recs = PldataSource.decodeStream(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)))
+    private val toCatalyst =
+      CatalystTypeConverters.createToCatalystConverter(required)
+    private var i = -1
+
+    override def next(): Boolean = { i += 1; i < recs.length }
+
+    override def get(): InternalRow = {
+      val (topic, payload) = recs(i)
+      val vals = required.fields.map { f =>
+        f.name match {
+          case "topic" => topic
+          case "timestamp" =>
+            if (i < ts.length) ts(i) else Double.NaN
+          case name =>
+            PldataSource.convert(payload.get(name).orNull, f.dataType)
+        }
+      }
+      toCatalyst(org.apache.spark.sql.Row.fromSeq(vals.toSeq))
+        .asInstanceOf[InternalRow]
+    }
+
+    override def close(): Unit = ()
+  }
+}

@@ -1,0 +1,79 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The `spark.read.format("pldata")` V2 surface: same rows as the
+  * programmatic [[PldataSource.read]], real column pruning (the sidecar
+  * is not opened unless `timestamp` is projected), per-file partition
+  * planning, catalog or first-record schema. */
+class PldataV2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeSession(dir: String, ids: Range): Unit = {
+    val rows = ids.map(i => (
+        "gaze", 100.0 + i, Seq(i / 10.0, i / 20.0), 0.5 + i / 100.0, i.toLong))
+      .toDF("topic", "timestamp", "norm_pos", "confidence", "id")
+    PldataSource.write(rows, dir, "gaze")
+  }
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("pldata_v2").toString
+
+  val fields = Seq("norm_pos" -> (ArrayType(DoubleType): DataType),
+    "confidence" -> (DoubleType: DataType), "id" -> (LongType: DataType))
+
+  test("format(\"pldata\") == programmatic read, inferred and explicit schema") {
+    val dir = tmp(); writeSession(dir, 0 until 50)
+    def dump(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("timestamp"), col("confidence"),
+        element_at(col("norm_pos"), 1).as("nx"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    val want = dump(PldataSource.read(spark, dir, "gaze", fields))
+    // inferred schema (first record, driver-side)
+    val inferred = spark.read.format("pldata").option("topic", "gaze").load(dir)
+    assert(inferred.schema.fieldNames.sorted.toSeq ==
+      Seq("confidence", "id", "norm_pos", "timestamp", "topic"))
+    assert(dump(inferred) == want && want.size == 50)
+    // explicit schema wins (catalog shape)
+    val explicit = spark.read.format("pldata").option("topic", "gaze")
+      .schema(StructType(Seq(
+        StructField("timestamp", DoubleType),
+        StructField("norm_pos", ArrayType(DoubleType)),
+        StructField("confidence", DoubleType),
+        StructField("id", LongType))))
+      .load(dir)
+    assert(dump(explicit) == want)
+  }
+
+  test("column pruning is real: sidecar unopened when timestamp unprojected") {
+    val dir = tmp(); writeSession(dir, 0 until 20)
+    // delete the sidecar — a projection without `timestamp` must still
+    // read (proof the pruned reader never opens it), one WITH it must fail
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, "gaze_timestamps.npy"))
+    val noTs = spark.read.format("pldata").option("topic", "gaze").load(dir)
+      .select("id", "confidence")
+    assert(noTs.count() == 20)
+    // the pruned schema reaches the scan node
+    val p = noTs.queryExecution.executedPlan.toString
+    assert(p.contains("PldataScan") && !p.toLowerCase.contains("norm_pos"),
+      s"pruning lost:\n$p")
+    val withTs = spark.read.format("pldata").option("topic", "gaze").load(dir)
+      .select("id", "timestamp")
+    intercept[org.apache.spark.SparkException] { withTs.collect() }
+  }
+
+  test("recursive session tree: one input partition per session file") {
+    val root = tmp()
+    writeSession(s"$root/s1", 0 until 10)
+    writeSession(s"$root/s2", 100 until 115)
+    val df = spark.read.format("pldata").option("topic", "gaze")
+      .option("recursive", "true").load(root)
+    assert(df.rdd.getNumPartitions == 2)
+    val ids = df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == ((0L until 10L) ++ (100L until 115L)).toSeq)
+  }
+}
