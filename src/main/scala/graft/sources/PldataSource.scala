@@ -185,16 +185,27 @@ object PldataSource {
     * time) into buffered file writers — no collect, no whole-stream byte
     * buffer — so the fixture write stays flat in the table size. The
     * 100 TB path writes Parquet; this is the session-file export. */
+  /** Spark value → msgpack value (nested structs, e.g. the pupil
+    * ellipse, become msgpack maps). Shared by the driver-side [[write]]
+    * and the distributed V2 sink ([[PldataV2]]) so the two write paths
+    * produce byte-identical records. */
+  private[sources] def plainValue(v: Any): Any = v match {
+    case r: Row => r.schema.fields.zipWithIndex
+      .map { case (f, i) => f.name -> plainValue(r.get(i)) }.toMap
+    case s: collection.Seq[_] => s.map(plainValue)
+    case x => x
+  }
+
+  /** The msgpack payload of one row: every non-`topic` field (timestamp
+    * included — the PLData_Writer convention). */
+  private[sources] def payloadOf(schema: StructType, r: Row): Map[String, Any] =
+    schema.fields.zipWithIndex.collect {
+      case (f, i) if f.name != "topic" => f.name -> plainValue(r.get(i))
+    }.toMap
+
   def write(df: DataFrame, dir: String, topic: String): Unit = {
     Files.createDirectories(Paths.get(dir))
     val tsIdx = df.schema.fieldIndex("timestamp")
-    // nested structs (e.g. the pupil ellipse) → msgpack maps
-    def plain(v: Any): Any = v match {
-      case r: Row => r.schema.fields.zipWithIndex
-        .map { case (f, i) => f.name -> plain(r.get(i)) }.toMap
-      case s: collection.Seq[_] => s.map(plain)
-      case x => x
-    }
     val out = new java.io.BufferedOutputStream(
       Files.newOutputStream(Paths.get(dir, s"$topic.pldata")), 64 * 1024)
     val tsW = new NpyDoubleWriter(
@@ -202,10 +213,7 @@ object PldataSource {
     try {
       import scala.jdk.CollectionConverters._
       df.toLocalIterator().asScala.foreach { r =>
-        val payload: Map[String, Any] = df.schema.fields.zipWithIndex.collect {
-          case (f, i) if f.name != "topic" => f.name -> plain(r.get(i))
-        }.toMap
-        out.write(MsgPack.pack((topic, MsgPack.pack(payload))))
+        out.write(MsgPack.pack((topic, MsgPack.pack(payloadOf(df.schema, r)))))
         tsW.write(r.getDouble(tsIdx))
       }
     } finally { out.close(); tsW.close() }

@@ -6,9 +6,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -126,14 +127,135 @@ object PldataV2 {
 
   private[sources] case class PldataTable(tableSchema: StructType,
                                           options: Map[String, String])
-      extends Table with SupportsRead {
+      extends Table with SupportsRead with SupportsWrite {
     override def schema(): StructType = tableSchema
     override def name(): String =
       s"pldata(${options.getOrElse("path", "?")}:${topicOf(options)})"
     override def capabilities(): util.Set[TableCapability] =
-      util.EnumSet.of(TableCapability.BATCH_READ)
+      util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
     override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
       PldataScanBuilder(tableSchema, options ++ o.asScala)
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new PldataWriteBuilder(info.schema(),
+        options ++ info.options().asScala, truncateFirst = false)
+  }
+
+  /** V2 sink: each input partition becomes one SESSION SHARD —
+    * `<root>/part-<partition>/<topic>.pldata` + its `.npy` sidecar —
+    * exactly the layout the reader's `recursive` mode scans, so a
+    * distributed export round-trips through `format("pldata")` without a
+    * driver bottleneck (the programmatic [[PldataSource.write]] is the
+    * single-file/driver-side form). Task attempts write into a
+    * uuid-named temp dir and RENAME into place at task commit (one
+    * winner per partition under Spark's commit coordination); abort
+    * deletes the temp. `mode("overwrite")` truncates prior `part-*`
+    * shards and any root-level `<topic>.pldata` first. */
+  private[sources] class PldataWriteBuilder(schema: StructType,
+                                            options: Map[String, String],
+                                            truncateFirst: Boolean)
+      extends WriteBuilder with SupportsTruncate {
+    override def truncate(): WriteBuilder =
+      new PldataWriteBuilder(schema, options, truncateFirst = true)
+    override def build(): Write = new Write {
+      override def toBatch: BatchWrite =
+        PldataBatchWrite(schema, options, truncateFirst)
+    }
+  }
+
+  private[sources] case class PldataBatchWrite(schema: StructType,
+                                               options: Map[String, String],
+                                               truncateFirst: Boolean)
+      extends BatchWrite {
+    private val root = options.getOrElse("path",
+      throw new IllegalArgumentException("pldata sink needs a save(path)"))
+    private val topic = topicOf(options)
+
+    override def createBatchWriterFactory(
+        info: PhysicalWriteInfo): DataWriterFactory = {
+      require(schema.fieldNames.contains("timestamp"),
+        "pldata sink needs a `timestamp` column (the .npy sidecar clock)")
+      val rootPath = java.nio.file.Paths.get(root)
+      java.nio.file.Files.createDirectories(rootPath)
+      if (truncateFirst) {
+        def rm(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p)) {
+            val ds = java.nio.file.Files.newDirectoryStream(p)
+            try ds.asScala.foreach(rm) finally ds.close()
+          }
+          java.nio.file.Files.deleteIfExists(p); ()
+        }
+        val ds = java.nio.file.Files.newDirectoryStream(rootPath)
+        try ds.asScala
+          .filter(p => p.getFileName.toString.startsWith("part-") ||
+            p.getFileName.toString == s"$topic.pldata" ||
+            p.getFileName.toString == s"${topic}_timestamps.npy")
+          .toSeq.foreach(rm)
+        finally ds.close()
+      }
+      PldataWriterFactory(schema, root, topic)
+    }
+    override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  }
+
+  private[sources] case class PldataWriterFactory(schema: StructType,
+                                                  root: String, topic: String)
+      extends DataWriterFactory {
+    override def createWriter(partitionId: Int,
+                              taskId: Long): DataWriter[InternalRow] =
+      new PldataDataWriter(schema, root, topic, partitionId)
+  }
+
+  private[sources] case class PldataCommitted(dir: String)
+      extends WriterCommitMessage
+
+  private[sources] class PldataDataWriter(schema: StructType, root: String,
+                                          topic: String, partitionId: Int)
+      extends DataWriter[InternalRow] {
+    private val tmpDir = java.nio.file.Paths.get(root,
+      s"_tmp-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.createDirectories(tmpDir)
+    private val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(
+        tmpDir.resolve(s"$topic.pldata")), 64 * 1024)
+    private val tsW = new PldataSource.NpyDoubleWriter(
+      tmpDir.resolve(s"${topic}_timestamps.npy").toString)
+    private val tsIdx = schema.fieldIndex("timestamp")
+    private val toScala =
+      CatalystTypeConverters.createToScalaConverter(schema)
+
+    override def write(record: InternalRow): Unit = {
+      val r = toScala(record).asInstanceOf[org.apache.spark.sql.Row]
+      out.write(MsgPack.pack(
+        (topic, MsgPack.pack(PldataSource.payloadOf(schema, r)))))
+      tsW.write(r.getDouble(tsIdx))
+    }
+
+    override def commit(): WriterCommitMessage = {
+      out.close(); tsW.close()
+      val target = java.nio.file.Paths.get(root, f"part-$partitionId%05d")
+      // one committer per partition (Spark's coordination); a leftover
+      // target from a dead prior attempt is stale — replace it
+      if (java.nio.file.Files.exists(target)) {
+        val ds = java.nio.file.Files.newDirectoryStream(target)
+        try ds.asScala.toSeq.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally ds.close()
+        java.nio.file.Files.deleteIfExists(target)
+      }
+      java.nio.file.Files.move(tmpDir, target)
+      PldataCommitted(target.toString)
+    }
+
+    override def abort(): Unit = {
+      try { out.close(); tsW.close() } catch { case _: Throwable => () }
+      val ds = java.nio.file.Files.newDirectoryStream(tmpDir)
+      try ds.asScala.toSeq.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally ds.close()
+      java.nio.file.Files.deleteIfExists(tmpDir); ()
+    }
+
+    override def close(): Unit = ()
   }
 
   private[sources] case class PldataScanBuilder(full: StructType,

@@ -66,6 +66,45 @@ class PldataV2Spec extends SparkSpec {
     intercept[org.apache.spark.SparkException] { withTs.collect() }
   }
 
+  test("V2 sink: distributed shard write round-trips through recursive read") {
+    val dir = tmp()
+    val rows = (0 until 60).map(i => (
+        100.0 + i, Seq(i / 10.0, i / 20.0), 0.5 + i / 100.0, i.toLong))
+      .toDF("timestamp", "norm_pos", "confidence", "id")
+      .repartition(3)
+    rows.write.format("pldata").option("topic", "gaze")
+      .mode("append").save(dir)
+    // one session shard per input partition, reader-compatible layout
+    val parts = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("part-")).sorted
+    assert(parts.length == 3, s"expected 3 shards, got ${parts.mkString(",")}")
+    assert(parts.forall { p =>
+      new java.io.File(s"$dir/$p/gaze.pldata").isFile &&
+      new java.io.File(s"$dir/$p/gaze_timestamps.npy").isFile
+    })
+    val back = spark.read.format("pldata").option("topic", "gaze")
+      .option("recursive", "true")
+      .schema(StructType(Seq(
+        StructField("timestamp", DoubleType),
+        StructField("norm_pos", ArrayType(DoubleType)),
+        StructField("confidence", DoubleType),
+        StructField("id", LongType))))
+      .load(dir)
+    val got = back.collect().map(r => (r.getLong(3), r.getDouble(0),
+        r.getSeq[Double](1), r.getDouble(2))).sortBy(_._1).toSeq
+    val want = (0 until 60).map(i => (i.toLong, 100.0 + i,
+      Seq(i / 10.0, i / 20.0), 0.5 + i / 100.0))
+    assert(got == want)
+    // overwrite truncates the prior shards (no stale part dirs survive)
+    rows.limit(10).repartition(1).write.format("pldata")
+      .option("topic", "gaze").mode("overwrite").save(dir)
+    val after = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("part-"))
+    assert(after.length == 1, s"overwrite left stale shards: ${after.mkString(",")}")
+    assert(spark.read.format("pldata").option("topic", "gaze")
+      .option("recursive", "true").load(dir).count() == 10)
+  }
+
   test("recursive session tree: one input partition per session file") {
     val root = tmp()
     writeSession(s"$root/s1", 0 until 10)
