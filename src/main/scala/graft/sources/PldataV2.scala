@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -67,27 +68,36 @@ object PldataV2 {
 
   /** The session-topic files under `path`: `<path>/<topic>.pldata`, plus
     * every `<path>/<sub>/<topic>.pldata` when `recursive`. Sorted for a
-    * deterministic partition order. */
-  private[sources] def listFiles(options: Map[String, String]): Seq[String] = {
+    * deterministic partition order. Empty is legal for the STREAMING
+    * reader (a tail-ingest may start before the first session lands). */
+  private[sources] def listFilesAllowEmpty(
+      options: Map[String, String]): Seq[String] = {
     val path = options.getOrElse("path",
       throw new IllegalArgumentException("pldata source needs a load(path)"))
     val topic = topicOf(options)
     val recursive = options.get("recursive").exists(_.toBoolean)
     val root = java.nio.file.Paths.get(path)
-    val direct = root.resolve(s"$topic.pldata")
-    val dirs =
-      if (!recursive) Seq(root)
-      else root +: {
-        val ds = java.nio.file.Files.newDirectoryStream(root)
-        try ds.asScala.filter(java.nio.file.Files.isDirectory(_)).toSeq
-        finally ds.close()
-      }
-    val files = dirs.map(_.resolve(s"$topic.pldata"))
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .map(_.toString).sorted
-    require(files.nonEmpty, s"no $topic.pldata under $path" +
-      (if (recursive) " (recursive)" else "") +
-      s" — direct candidate was $direct")
+    if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+    else {
+      val dirs =
+        if (!recursive) Seq(root)
+        else root +: {
+          val ds = java.nio.file.Files.newDirectoryStream(root)
+          try ds.asScala.filter(java.nio.file.Files.isDirectory(_)).toSeq
+          finally ds.close()
+        }
+      dirs.map(_.resolve(s"$topic.pldata"))
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(_.toString).sorted
+    }
+  }
+
+  private[sources] def listFiles(options: Map[String, String]): Seq[String] = {
+    val files = listFilesAllowEmpty(options)
+    require(files.nonEmpty,
+      s"no ${topicOf(options)}.pldata under ${options.getOrElse("path", "?")}" +
+        (if (options.get("recursive").exists(_.toBoolean)) " (recursive)"
+         else ""))
     files
   }
 
@@ -133,6 +143,7 @@ object PldataV2 {
       s"pldata(${options.getOrElse("path", "?")}:${topicOf(options)})"
     override def capabilities(): util.Set[TableCapability] =
       util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
     override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
       PldataScanBuilder(tableSchema, options ++ o.asScala)
@@ -280,6 +291,72 @@ object PldataV2 {
         PldataPartition(f): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
       PldataReaderFactory(required)
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new PldataMicroBatchStream(required, options)
+  }
+
+  /** STREAMING tail-ingest over a session tree: each micro-batch is the
+    * set of session-topic files that APPEARED since the last offset —
+    * the `readStream.format("pldata")` front door for score-at-ingest
+    * lineages (files are device streams, written then closed, so a
+    * present file is immutable — the contract this source assumes).
+    * Offsets are the sorted processed-file list itself (JSON array), so
+    * restart-from-checkpoint replays exactly the unseen files; no file
+    * is ever read twice and arrival order cannot reorder rows within a
+    * file. */
+  private[sources] case class PldataFilesOffset(files: Seq[String])
+      extends Offset {
+    override def json(): String = files.sorted.map(f =>
+      "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+  }
+
+  private[sources] object PldataFilesOffset {
+    def fromJson(json: String): PldataFilesOffset = {
+      val t = json.trim
+      require(t.startsWith("[") && t.endsWith("]"), s"bad offset: $json")
+      val body = t.substring(1, t.length - 1)
+      if (body.trim.isEmpty) PldataFilesOffset(Seq.empty)
+      else {
+        // split on quotes respecting the two escapes the encoder emits
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        val sb = new java.lang.StringBuilder
+        var inStr = false; var i = 0
+        while (i < body.length) {
+          body.charAt(i) match {
+            case '\\' if inStr && i + 1 < body.length =>
+              sb.append(body.charAt(i + 1)); i += 1
+            case '"' if !inStr => inStr = true
+            case '"' => inStr = false; out += sb.toString; sb.setLength(0)
+            case c if inStr => sb.append(c)
+            case _ => ()
+          }
+          i += 1
+        }
+        PldataFilesOffset(out.toSeq)
+      }
+    }
+  }
+
+  private[sources] class PldataMicroBatchStream(required: StructType,
+                                                options: Map[String, String])
+      extends MicroBatchStream {
+    override def initialOffset(): Offset = PldataFilesOffset(Seq.empty)
+    override def latestOffset(): Offset =
+      PldataFilesOffset(listFilesAllowEmpty(options))
+    override def deserializeOffset(json: String): Offset =
+      PldataFilesOffset.fromJson(json)
+    override def planInputPartitions(start: Offset,
+                                     end: Offset): Array[InputPartition] = {
+      val seen = start.asInstanceOf[PldataFilesOffset].files.toSet
+      end.asInstanceOf[PldataFilesOffset].files
+        .filterNot(seen).sorted
+        .map(f => PldataPartition(f): InputPartition).toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      PldataReaderFactory(required)
+    override def commit(end: Offset): Unit = ()
+    override def stop(): Unit = ()
   }
 
   private[sources] case class PldataPartition(file: String)

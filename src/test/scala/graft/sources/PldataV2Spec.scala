@@ -105,6 +105,38 @@ class PldataV2Spec extends SparkSpec {
       .option("recursive", "true").load(dir).count() == 10)
   }
 
+  test("streaming tail-ingest: new session files become micro-batches, no re-reads") {
+    val root = tmp()
+    writeSession(s"$root/s1", 0 until 10)
+    val schema = StructType(Seq(
+      StructField("timestamp", DoubleType),
+      StructField("norm_pos", ArrayType(DoubleType)),
+      StructField("confidence", DoubleType),
+      StructField("id", LongType)))
+    val q = spark.readStream.format("pldata").option("topic", "gaze")
+      .option("recursive", "true").schema(schema).load(root)
+      .select("id", "timestamp")
+      .writeStream.format("memory").queryName("pldata_tail")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("pldata_tail").count() == 10)
+    // a new session lands — ONLY its rows arrive in the next batch
+    writeSession(s"$root/s2", 100 until 115)
+    q.processAllAvailable()
+    // and an idle tick re-reads nothing
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("pldata_tail").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids == ((0L until 10L) ++ (100L until 115L)).toSeq,
+      s"dup or missing rows: $ids")
+    // offset round-trip is exact (restart-from-checkpoint contract)
+    val off = PldataV2.PldataFilesOffset(Seq(s"$root/s1/gaze.pldata",
+      """/weird/"quo"te\path/gaze.pldata"""))
+    assert(PldataV2.PldataFilesOffset.fromJson(off.json()).files.sorted ==
+      off.files.sorted)
+  }
+
   test("recursive session tree: one input partition per session file") {
     val root = tmp()
     writeSession(s"$root/s1", 0 until 10)
