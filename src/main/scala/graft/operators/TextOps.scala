@@ -1298,8 +1298,12 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
     def bucket(i: Int, g: Column): Column =
       pmod(hash60(concat(lit(s"cms$i|"), g)), lit(width))
-    val grams = graft.CacheRegistry.persistTracked(
-      docs.select(explode(gramArr).as("g")))
+    // deliberately NOT cached: the exploded gram frame is corpus-sized
+    // (every token position), so materializing it would cost corpus-scale
+    // storage exactly where this operator exists to avoid corpus-scale
+    // state — both passes recompute the explode from the compressed
+    // columnar scan instead (two cheap narrow scans)
+    val grams = docs.select(explode(gramArr).as("g"))
     // pass 1: depth·width bounded counters (collect ≤ depth·width rows)
     val counters = grams
       .select(explode(array((0 until depth).map(i =>

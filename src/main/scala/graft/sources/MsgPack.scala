@@ -79,6 +79,13 @@ object MsgPack {
     out.result()
   }
 
+  /** Decode only the FIRST value of a stream (None when empty) — schema
+    * inference reads one record, not the whole session file. */
+  def unpackFirst(bytes: Array[Byte]): Option[Any] = {
+    val r = reader(bytes)
+    if (r.hasNext) Some(r.unpack()) else None
+  }
+
   // ------------------------------------------------------------- encode
 
   def pack(v: Any): Array[Byte] = {

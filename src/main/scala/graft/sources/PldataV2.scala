@@ -79,11 +79,18 @@ object PldataV2 {
     val root = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isDirectory(root)) Seq.empty
     else {
+      // `_`/`.`-prefixed subdirs are STAGING (the Hadoop/Spark hidden-file
+      // convention, and what this source's own sink uses for in-progress
+      // shards): producers write there and RENAME into place, so a
+      // listing never sees a torn session — the atomic-appearance
+      // contract the streaming reader depends on
       val dirs =
         if (!recursive) Seq(root)
         else root +: {
           val ds = java.nio.file.Files.newDirectoryStream(root)
-          try ds.asScala.filter(java.nio.file.Files.isDirectory(_)).toSeq
+          try ds.asScala.filter(p => java.nio.file.Files.isDirectory(p) &&
+            !p.getFileName.toString.startsWith("_") &&
+            !p.getFileName.toString.startsWith(".")).toSeq
           finally ds.close()
         }
       dirs.map(_.resolve(s"$topic.pldata"))
@@ -121,9 +128,20 @@ object PldataV2 {
     val first = listFiles(opts).head
     val bytes = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(first))
-    val recs = PldataSource.decodeStream(bytes)
-    require(recs.nonEmpty, s"cannot infer schema from empty $first")
-    val payload = recs.head._2
+    // ONE record decodes (incremental reader) — inference must not pay a
+    // whole-session-file decode on the driver
+    val payload = MsgPack.unpackFirst(bytes) match {
+      case Some(Vector(_: String, p: Array[Byte])) =>
+        MsgPack.unpackFirst(p) match {
+          case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+          case other => throw new IllegalArgumentException(
+            s"bad pldata payload in $first: $other")
+        }
+      case None => throw new IllegalArgumentException(
+        s"cannot infer schema from empty $first")
+      case other => throw new IllegalArgumentException(
+        s"bad pldata record in $first: $other")
+    }
     // topic/timestamp are STRUCTURAL (record tag + sidecar clock); a
     // payload that also carries them — PLData_Writer payloads usually
     // duplicate timestamp — must not shadow them (the pldataFields rule)

@@ -120,8 +120,13 @@ class PldataV2Spec extends SparkSpec {
       .outputMode("append").start()
     q.processAllAvailable()
     assert(spark.table("pldata_tail").count() == 10)
-    // a new session lands — ONLY its rows arrive in the next batch
-    writeSession(s"$root/s2", 100 until 115)
+    // a new session lands ATOMICALLY (stage under a _-prefixed dir the
+    // listing skips, rename into place — the source's documented
+    // contract; an in-place write could be seen torn by the running
+    // trigger thread) — ONLY its rows arrive in the next batch
+    writeSession(s"$root/_staging_s2", 100 until 115)
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$root/_staging_s2"),
+      java.nio.file.Paths.get(s"$root/s2"))
     q.processAllAvailable()
     // and an idle tick re-reads nothing
     q.processAllAvailable()
