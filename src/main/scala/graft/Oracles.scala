@@ -1819,6 +1819,26 @@ object Oracles {
         |    ((f1-a1)*(f1-a1) + (f2-a2)*(f2-a2) + (f3-a3)*(f3-a3)) AS margin
         |FROM f CROSS JOIN c""".stripMargin,
 
+    // WARC ingest: PLANTED identity oracle — the engine packs documents
+    // into multi-record Content-Length-framed blobs and parses them
+    // back; the oracle states the planted fields directly (record_idx =
+    // rank within the blob). Payloads embed the record delimiter and a
+    // fake WARC/1.0 line, so only correct length-framing round-trips.
+    "web_warc_parse" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+        |p AS (SELECT id, id % 50 AS group_id,
+        |    text || chr(13) || chr(10) || chr(13) || chr(10)
+        |      || 'WARC/1.0 fake' || chr(13) || chr(10) || chr(13) || chr(10)
+        |      || 'EMBEDDED:' || id::VARCHAR AS payload,
+        |    'http://ex' || (id % 7)::VARCHAR || '.com/' || id::VARCHAR AS uri
+        |  FROM d)
+        |SELECT group_id,
+        |  row_number() OVER (PARTITION BY group_id ORDER BY id) - 1
+        |    AS record_idx,
+        |  'response' AS warc_type, uri,
+        |  octet_length(encode(payload))::BIGINT AS content_length, payload
+        |FROM p""".stripMargin,
+
     // heavy-hitter bigrams: the engine's count-min prefilter cannot
     // change the result (overestimate-only + exact verify pass), so the
     // oracle is the plain exact HAVING

@@ -763,6 +763,39 @@ object Queries {
   val logregIters: Int = 50
   val logregLr: Double = 1.0
 
+  /** WARC ingest ([[functions.WarcParse]]): documents are packed into 50
+    * multi-record WARC blobs (grouped by `doc_id % 50`, records in
+    * doc_id order) and parsed back out. Every payload EMBEDS the
+    * `\r\n\r\n` record delimiter plus a fake `WARC/1.0` line, so only a
+    * correct Content-Length-framed parser recovers the planted records —
+    * a split-on-delimiter parser shreds every one. The oracle knows the
+    * answer in closed form (the planted fields; record_idx = the doc's
+    * rank within its blob), so the hash attests pack→frame→parse
+    * end-to-end. */
+  def webWarcParse(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("long")
+    val payload = concat(col("text"),
+      lit("\r\n\r\nWARC/1.0 fake\r\n\r\nEMBEDDED:"), id.cast("string"))
+    val uri = concat(lit("http://ex"), (id % 7).cast("string"),
+      lit(".com/"), id.cast("string"))
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), uri,
+      lit("\r\nContent-Length: "), octet_length(payload).cast("string"),
+      lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+    val blobs = Tables.documents(s, dir)
+      .select((id % 50).as("group_id"), struct(id.as("i"), rec.as("r")).as("_s"))
+      .groupBy("group_id")
+      .agg(array_join(transform(array_sort(collect_list(col("_s"))),
+        s0 => s0.getField("r")), "").as("_blob"))
+    blobs.select(col("group_id"),
+        posexplode(graft.functions.WarcParse.warc_records(col("_blob")))
+          .as(Seq("record_idx", "rec")))
+      .select(col("group_id"), col("record_idx").cast("long").as("record_idx"),
+        col("rec.warc_type").as("warc_type"), col("rec.uri").as("uri"),
+        col("rec.content_length").as("content_length"),
+        col("rec.payload").as("payload"))
+  }
+
   /** Heavy-hitter bigrams ([[operators.TextOps.frequentNgrams]], the
     * count-min sketch-prefilter two-pass): exact corpus-wide bigram
     * counts at `minCount` 35 — 189 of 916 distinct bigrams at sf0.01,

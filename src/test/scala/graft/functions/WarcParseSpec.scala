@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[WarcParse.WarcRecords]]: Content-Length framing, lenient tails,
+  * header handling — the crawl-archive ingest contract. */
+class WarcParseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rec(uri: String, payload: String,
+                  wtype: String = "response"): String =
+    s"WARC/1.0\r\nWARC-Type: $wtype\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n" +
+      payload + "\r\n\r\n"
+
+  private def parse(blob: String) =
+    Seq(Tuple1(blob)).toDF("b")
+      .select(explode(WarcParse.warc_records(col("b"))).as("r"))
+      .select(col("r.warc_type"), col("r.uri"), col("r.content_length"),
+        col("r.payload"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3))).toSeq
+
+  test("length framing survives payloads embedding delimiters and fake records") {
+    val evil = "body\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nmore"
+    val blob = rec("http://a", evil) + rec("http://b", "clean")
+    assert(parse(blob) == Seq(
+      ("response", "http://a", evil.length.toLong, evil),
+      ("response", "http://b", 5L, "clean")))
+  }
+
+  test("warcinfo/request types and missing headers surface as-is") {
+    val blob = "WARC/1.0\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n" +
+      rec("http://x", "y", wtype = "request")
+    val out = parse(blob)
+    assert(out.size == 2)
+    assert(out.head._1 == null && out.head._2 == null && out.head._4 == "hi")
+    assert(out(1) == (("request", "http://x", 1L, "y")))
+  }
+
+  test("lenient tail: truncated/corrupt blobs never throw, keep the prefix") {
+    val good = rec("http://a", "hello")
+    val truncations = (0 until good.length * 2).map { n =>
+      (good + rec("http://b", "world")).take(good.length + n)
+    }
+    for (t <- truncations) {
+      val out = parse(t) // must not throw
+      assert(out.nonEmpty && out.head._2 == "http://a")
+    }
+    // pure garbage → zero records, no throw
+    assert(parse("HTTP/1.1 200 OK\r\n\r\nnot a warc").isEmpty)
+    assert(parse("").isEmpty)
+    // declared length past the end → record dropped, prefix kept
+    assert(parse(good + "WARC/1.0\r\nContent-Length: 9999\r\n\r\nshort")
+      .map(_._4) == Seq("hello"))
+  }
+
+  test("multi-byte payloads frame by BYTES, not chars") {
+    val payload = "héllo→" // 6 chars, more bytes
+    val blob = rec("http://u", payload) + rec("http://v", "after")
+    val out = parse(blob)
+    assert(out.map(_._4) == Seq(payload, "after"))
+    assert(out.head._3 == payload.getBytes("UTF-8").length.toLong)
+  }
+}
