@@ -1839,6 +1839,23 @@ object Oracles {
         |  octet_length(encode(payload))::BIGINT AS content_length, payload
         |FROM p""".stripMargin,
 
+    // .warc.gz chain: same planted records through per-record gzip
+    // members — a content identity, so the oracle is shared verbatim
+    "web_warc_gz_parse" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+        |p AS (SELECT id, id % 50 AS group_id,
+        |    text || chr(13) || chr(10) || chr(13) || chr(10)
+        |      || 'WARC/1.0 fake' || chr(13) || chr(10) || chr(13) || chr(10)
+        |      || 'EMBEDDED:' || id::VARCHAR AS payload,
+        |    'http://ex' || (id % 7)::VARCHAR || '.com/' || id::VARCHAR AS uri
+        |  FROM d)
+        |SELECT group_id,
+        |  row_number() OVER (PARTITION BY group_id ORDER BY id) - 1
+        |    AS record_idx,
+        |  'response' AS warc_type, uri,
+        |  octet_length(encode(payload))::BIGINT AS content_length, payload
+        |FROM p""".stripMargin,
+
     // heavy-hitter bigrams: the engine's count-min prefilter cannot
     // change the result (overestimate-only + exact verify pass), so the
     // oracle is the plain exact HAVING

@@ -796,6 +796,41 @@ object Queries {
         col("rec.payload").as("payload"))
   }
 
+  /** The `.warc.gz` chain ([[functions.Gzip]] + [[functions.WarcParse]]):
+    * same planted records as `web_warc_parse`, but each record is its
+    * own GZIP MEMBER and the blob is the member concatenation — exactly
+    * how CommonCrawl archives are laid out — then
+    * `gunzip → warc_records` recovers them (GZIPInputStream reads across
+    * member boundaries). Same oracle SQL verbatim: the chain must be a
+    * content identity, so any compression/framing interaction breaks
+    * the shared hash. */
+  def webWarcGzParse(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Gzip, WarcParse}
+    val id = col("doc_id").cast("long")
+    val payload = concat(col("text"),
+      lit("\r\n\r\nWARC/1.0 fake\r\n\r\nEMBEDDED:"), id.cast("string"))
+    val uri = concat(lit("http://ex"), (id % 7).cast("string"),
+      lit(".com/"), id.cast("string"))
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), uri,
+      lit("\r\nContent-Length: "), octet_length(payload).cast("string"),
+      lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+    val blobs = Tables.documents(s, dir)
+      .select((id % 50).as("group_id"),
+        struct(id.as("i"), Gzip.gzip(rec.cast("binary")).as("r")).as("_s"))
+      .groupBy("group_id")
+      .agg(aggregate(transform(array_sort(collect_list(col("_s"))),
+          s0 => s0.getField("r")),
+        typedLit(Array.empty[Byte]), (acc, m) => concat(acc, m)).as("_gz"))
+    blobs.select(col("group_id"),
+        posexplode(WarcParse.warc_records(Gzip.gunzip(col("_gz"))))
+          .as(Seq("record_idx", "rec")))
+      .select(col("group_id"), col("record_idx").cast("long").as("record_idx"),
+        col("rec.warc_type").as("warc_type"), col("rec.uri").as("uri"),
+        col("rec.content_length").as("content_length"),
+        col("rec.payload").as("payload"))
+  }
+
   /** Heavy-hitter bigrams ([[operators.TextOps.frequentNgrams]], the
     * count-min sketch-prefilter two-pass): exact corpus-wide bigram
     * counts at `minCount` 35 — 189 of 916 distinct bigrams at sf0.01,

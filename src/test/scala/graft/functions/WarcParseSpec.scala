@@ -56,6 +56,29 @@ class WarcParseSpec extends SparkSpec {
       .map(_._4) == Seq("hello"))
   }
 
+  test("gzip members: roundtrip, cross-member reads, corrupt -> null") {
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close(); bos.toByteArray
+    }
+    def gunzipped(b: Array[Byte]): Option[String] =
+      Seq(Tuple1(b)).toDF("b").select(Gzip.gunzip(col("b")).as("o"))
+        .collect().headOption.flatMap(r =>
+          if (r.isNullAt(0)) None
+          else Some(new String(r.getAs[Array[Byte]](0), "UTF-8")))
+    // engine gzip -> engine gunzip identity
+    val rt = Seq(Tuple1("hello warc".getBytes("UTF-8"))).toDF("b")
+      .select(Gzip.gunzip(Gzip.gzip(col("b"))).as("o"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(new String(rt, "UTF-8") == "hello warc")
+    // concatenated members read as one stream (the .warc.gz layout)
+    assert(gunzipped(gz("abc") ++ gz("def")).contains("abcdef"))
+    // corrupt/truncated streams yield null, never a thrown task
+    assert(gunzipped("not gzip at all".getBytes("UTF-8")).isEmpty)
+    assert(gunzipped(gz("abcdefgh").dropRight(3)).isEmpty)
+  }
+
   test("multi-byte payloads frame by BYTES, not chars") {
     val payload = "héllo→" // 6 chars, more bytes
     val blob = rec("http://u", payload) + rec("http://v", "after")
