@@ -1296,8 +1296,13 @@ object TextOps {
       transform(sequence(lit(1), size(toks) - (n - 1)), i =>
         concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
+    // sketch-internal hash: the result is EXACT regardless of the hash
+    // family (overestimate-only + exact verify), so the buckets use the
+    // codegen'd native xxhash64 instead of the md5-based oracle-shared
+    // hash60 (3 md5s per gram per pass gone; the remaining cost is the
+    // interpreted gram-construction HOF, shared with every gram op)
     def bucket(i: Int, g: Column): Column =
-      pmod(hash60(concat(lit(s"cms$i|"), g)), lit(width))
+      pmod(xxhash64(lit(i), g), lit(width))
     // deliberately NOT cached: the exploded gram frame is corpus-sized
     // (every token position), so materializing it would cost corpus-scale
     // storage exactly where this operator exists to avoid corpus-scale
