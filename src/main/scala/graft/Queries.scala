@@ -771,7 +771,10 @@ object Queries {
     * a split-on-delimiter parser shreds every one. The oracle knows the
     * answer in closed form (the planted fields; record_idx = the doc's
     * rank within its blob), so the hash attests pack→frame→parse
-    * end-to-end. */
+    * end-to-end. The PACK side (collect_list per group) is fixture
+    * synthesis only — production ingest reads EXISTING archives as
+    * binary blobs (one ~1 GB file per row via binaryFile) and runs just
+    * the parse, which is the row-local half this oracle pins. */
   def webWarcParse(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id").cast("long")
     val payload = concat(col("text"),
@@ -1166,7 +1169,6 @@ object Queries {
     * size. */
   val annOpqIvfCells: Int = 25
   val annOpqIvfNprobe: Int = 4
-  val annOpqIvfRerank: Int = 20
 
   /** The planted vector: axis `vec_id % 25` at 100 plus a tiny jitter
     * component `0.001·(1 + vec_id % 11)` on axis `40 + vec_id % 8` —
@@ -1199,6 +1201,13 @@ object Queries {
   def annOpqIvfTopk(s: SparkSession, dir: String): DataFrame = {
     val planted = Tables.embeddings(s, dir)
       .select(col("vec_id"), opqIvfPlanted(col("vec_id")).as("pv"))
+    // rerank = the planted CLUSTER SIZE (N/25): the exact-recall
+    // guarantee needs every same-cluster member to survive the
+    // asymmetric cut, so the cut is corpus-derived — the oracle stays
+    // green at any replication factor (10×/100× standing runs), not
+    // just the shipped 500 rows. One cheap count() job.
+    val n = planted.count()
+    val rerank = math.max(20L, n / annOpqIvfCells).toInt
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir|opq_ivf|nCells=$annOpqIvfCells".getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
@@ -1208,7 +1217,7 @@ object Queries {
         nCells = annOpqIvfCells)
     operators.AnnIndexIO.searchOpqIvf(s, idxPath, planted, "vec_id", "pv",
         col("v_id") < 10, k = 3, nprobe = annOpqIvfNprobe,
-        rerank = annOpqIvfRerank)
+        rerank = rerank)
       .select(col("q_id"), col("rank"), col("n_id"),
         (round(col("sim"), 6) + 0.0).as("sim"))
   }
@@ -2041,7 +2050,13 @@ object Queries {
     * the per-key gate (DuckDB `median` grouped by eye, then median of
     * the two) and replays the triple, so the hash pins the per-key
     * semantics, not just the filter; the derived gate also ships as a
-    * column. Multiplier is the reference-shaped default 8. */
+    * column. Multiplier is the reference-shaped default 8.
+    *
+    * Scale note: this fixture keys the gate by EYE alone (one planted
+    * session), so each lag window is one task per eye — fine here, but
+    * a production multi-session corpus should key by (session, eye) so
+    * the diff windows distribute; the operator takes the key list for
+    * exactly that reason. */
   def binocularTripleCadencePerKey(s: SparkSession, dir: String): DataFrame = {
     val e = ev(s, dir).select(col("event_id").cast("long").as("n"))
     val eyeA = e.select((col("n") % 5).as("g"),

@@ -321,7 +321,9 @@ object PldataV2 {
     * Offsets are the sorted processed-file list itself (JSON array), so
     * restart-from-checkpoint replays exactly the unseen files; no file
     * is ever read twice and arrival order cannot reorder rows within a
-    * file. */
+    * file. Offset size grows with the SESSION count (one path per seen
+    * file, like Spark's own FileStreamSource log) — bounded by devices ×
+    * days, not by rows. */
   private[sources] case class PldataFilesOffset(files: Seq[String])
       extends Offset {
     override def json(): String = files.sorted.map(f =>
