@@ -2971,7 +2971,15 @@ object Oracles {
     // PER-KEY cadence gate: per-eye median diffs first (grouped DuckDB
     // median == Spark exact percentile per group), then the median of
     // those — the planted 120 Hz / 30 Hz eyes make the per-key gate 1/6
-    // vs the pooled 1/15, and the survivor set pins which one ran
+    // vs the pooled 1/15, and the survivor set pins which one ran.
+    // BANDED nearest replay (|Δt| < 2 s on both joins): equivalence is
+    // exact, not approximate — the final filter keeps only dispersion <
+    // gate ≈ 0.17 s, so any surviving ref's nearest neighbor lies within
+    // the band, and a ref whose nearest is outside it can never survive
+    // (dispersion ≥ 2 s > gate). The band turns the per-group cross
+    // product (only 5 join groups → quadratic blowup at 10× corpora,
+    // where the unbanded replay spilled past the disk budget) into a
+    // linear candidate join — the J1 banded-oracle rule.
     "j3_cadence_gate_perkey" ->
       s"""WITH e AS (SELECT event_id::BIGINT AS n FROM events),
         |eyeA AS (SELECT n % 5 AS g, n / 120.0e0 AS t, n AS pa_id FROM e),
@@ -2988,11 +2996,13 @@ object Oracles {
         |gp AS (SELECT 8.0e0 * median(km) AS gate FROM keymed),
         |ja AS (SELECT r.event_id, r.g, r.t, a.pa_id AS a_id, a.t AS at
         |  FROM refs r JOIN eyeA a ON r.g = a.g
+        |    AND a.t > r.t - 2.0e0 AND a.t < r.t + 2.0e0
         |  QUALIFY row_number() OVER (PARTITION BY r.event_id
         |    ORDER BY abs(a.t - r.t), a.t) = 1),
         |jb AS (SELECT ja.event_id, ja.t, ja.a_id, ja.at, b.pb_id AS b_id,
         |    b.t AS bt
         |  FROM ja JOIN eyeB b ON ja.g = b.g
+        |    AND b.t > ja.t - 2.0e0 AND b.t < ja.t + 2.0e0
         |  QUALIFY row_number() OVER (PARTITION BY ja.event_id
         |    ORDER BY abs(b.t - ja.t), b.t) = 1)
         |SELECT event_id, a_id, b_id,

@@ -45,6 +45,16 @@ object Queries {
     dir.toString
   }
 
+  /** Per-invocation fixture scratch dir, created UNDER
+    * [[privateIndexBase]] so the JVM-exit hook removes it. Bare
+    * `createTempDirectory` fixtures used to leak ~13 MB per query
+    * invocation into /tmp and accumulate across every bench/verify run
+    * of every round (found when the box hit its disk quota in r10). */
+  private def fixtureTmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(privateIndexBase), tag).toString
+
+
   /** Partition count for driver-side fixture exports (s2/s4/s5): sorted
     * output goes through `repartitionByRange(n) + sortWithinPartitions`
     * (global order across partition index) so `toLocalIterator` pays n
@@ -1177,7 +1187,7 @@ object Queries {
     * survives the probe/rerank cut (own cell probed first, rerank ≥
     * cluster size, asymmetric margin ≈ 1 vs ≈ 0). Integer-derived
     * doubles, mirrored verbatim by the oracle. */
-  private def opqIvfPlanted(c: Column): Column =
+  private[graft] def opqIvfPlanted(c: Column): Column =
     transform(sequence(lit(0), lit(63)), j =>
       when(j.cast("long") === c % 25, lit(100.0))
         .when(j.cast("long") === lit(40L) + c % 8,
@@ -2114,7 +2124,7 @@ object Queries {
     * msgpack and npy both carry IEEE doubles losslessly. */
   def pldataRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_pldata").toString
+    val tmp = fixtureTmp("graft_pldata")
     // bounded + bounded-job fixture write: range-partitioned 8-way sort
     // (see timestampScan) feeding PldataSource.write's toLocalIterator
     val rows = ev(s, dir)
@@ -2141,7 +2151,7 @@ object Queries {
     * and conversion, so they cannot drift. */
   def pldataV2Roundtrip(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_pldata_v2").toString
+    val tmp = fixtureTmp("graft_pldata_v2")
     val rows = ev(s, dir)
       .repartitionByRange(FixturePartitions, col("event_id"))
       .sortWithinPartitions(col("event_id")).select(
@@ -2167,7 +2177,7 @@ object Queries {
     * both ways. */
   def timestampScan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_npy").toString
+    val tmp = fixtureTmp("graft_npy")
     // BOUNDED fixture write (r7 verdict #4): the sorted clock streams out
     // through toLocalIterator (one partition resident at a time) into the
     // buffered npy writer — driver memory stays flat in sf, vs. the old
@@ -2194,7 +2204,7 @@ object Queries {
     * the CSV reader. Exact: Double.toString is shortest-round-trip and
     * the CSV parser reads it back to the same bits. */
   def gazeCsvScan(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val tmp = fixtureTmp("graft_csv")
     val exportDir = java.nio.file.Paths.get(tmp, "exports", "111")
     java.nio.file.Files.createDirectories(exportDir)
     // BOUNDED fixture write (r7 verdict #4): rows stream to the file
@@ -2228,7 +2238,7 @@ object Queries {
     * onto a frame table by (camera, width, height); unknown cameras keep
     * null intrinsics. */
   def intrinsicsAttach(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_intr").toString
+    val tmp = fixtureTmp("graft_intr")
     val store = IntrinsicsStore.toDf(s, Seq(
       IntrinsicsStore.Intrinsics("world", 2048, 1536, "radial",
         Seq(1000.0, 0.0, 1024.0, 0.0, 1000.0, 768.0, 0.0, 0.0, 1.0),
@@ -2259,7 +2269,7 @@ object Queries {
     * yaml, tag + filter a frame table per epoch list (start inclusive,
     * end exclusive). */
   def manualEpochsQuery(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_yaml").toString
+    val tmp = fixtureTmp("graft_yaml")
     val yaml =
       """calibration_frames:
         |  - [1000, 3000]
@@ -2298,7 +2308,7 @@ object Queries {
     * 112-115): the empty stage fails, its dependent is skipped, the
     * independent branch computes. Status table = the queryable lineage. */
   def pipelineSentinel(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    val root = fixtureTmp("graft_pipe")
     val res = Pipeline.run(s, root, sentinelStages(dir))
     Pipeline.statusTable(s, res).select(col("stage"), col("state"), col("rows"))
   }
@@ -2307,7 +2317,7 @@ object Queries {
     * one root; the second run must re-read `_SUCCESS`-marked outputs
     * (Memoized, exact row counts from the sidecar) and re-skip failures. */
   def pipelineMemo(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft_memo").toString
+    val root = fixtureTmp("graft_memo")
     Pipeline.run(s, root, sentinelStages(dir))
     val second = Pipeline.run(s, root, sentinelStages(dir))
     Pipeline.statusTable(s, second).select(col("stage"), col("state"), col("rows"))
@@ -2326,7 +2336,7 @@ object Queries {
     * stage × state × rows, with gaze stages preserving their run's
     * pupil count and the model/error stages each one artifact row. */
   def mriPipelineQuery(s: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_mri").toString
+    val base = fixtureTmp("graft_mri")
     val b = m9Base(s, dir, lit("cal"))
     m9Markers(b).drop("session").coalesce(1).write.mode("overwrite")
       .parquet(s"$base/calibration_markers.parquet")
