@@ -1819,6 +1819,53 @@ object Oracles {
         |    ((f1-a1)*(f1-a1) + (f2-a2)*(f2-a2) + (f3-a3)*(f3-a3)) AS margin
         |FROM f CROSS JOIN c""".stripMargin,
 
+    // Gopher rule set replay: every rule's exact row-local arithmetic
+    // (true mean word length = sum of word lengths / words; symbol
+    // counts via non-overlapping replace, shared both engines; line
+    // fractions over a \n split; distinct-stop-word count)
+    "text_gopher_rules" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc, text,
+        |    trim(text) AS t,
+        |    string_split(trim(text), ' ') AS toks FROM documents),
+        |m AS (SELECT doc,
+        |  len(toks)::BIGINT AS n_words,
+        |  list_sum(list_transform(toks, w -> length(w)))::DOUBLE
+        |    / len(toks) AS mwl,
+        |  (length(t) - length(replace(t, '#', ''))
+        |   + (length(t) - length(replace(t, '...', ''))) / 3
+        |   + (length(t) - length(replace(t, chr(8230), ''))))::DOUBLE
+        |    / len(toks) AS symr,
+        |  len(list_filter(string_split(text, chr(10)), l ->
+        |    starts_with(ltrim(l, ' '), chr(8226)) OR
+        |    starts_with(ltrim(l, ' '), '- ') OR
+        |    starts_with(ltrim(l, ' '), '* ')))::DOUBLE
+        |    / len(string_split(text, chr(10))) AS bulletf,
+        |  len(list_filter(string_split(text, chr(10)), l ->
+        |    ends_with(rtrim(l, ' '), '...') OR
+        |    ends_with(rtrim(l, ' '), chr(8230))))::DOUBLE
+        |    / len(string_split(text, chr(10))) AS ellipsisf,
+        |  len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))::DOUBLE
+        |    / len(toks) AS alphaf,
+        |  len(list_distinct(list_filter(toks, w -> w IN
+        |    ('the','be','to','of','and','that','have','with'))))::BIGINT
+        |    AS n_stop
+        |  FROM d)
+        |SELECT doc, n_words, round(mwl, 6) + 0.0e0 AS mean_word_len,
+        |  round(alphaf, 6) + 0.0e0 AS alpha_word_frac,
+        |  n_stop AS n_stop_distinct,
+        |  n_words BETWEEN 50 AND 100000 AS pass_word_count,
+        |  mwl BETWEEN 3.0e0 AND 10.0e0 AS pass_mean_word_len,
+        |  symr <= 1.0e-1 AS pass_symbol_ratio,
+        |  bulletf <= 9.0e-1 AS pass_bullet_lines,
+        |  ellipsisf <= 3.0e-1 AS pass_ellipsis_lines,
+        |  alphaf >= 8.0e-1 AS pass_alpha_words,
+        |  n_stop >= 2 AS pass_stop_words,
+        |  (n_words BETWEEN 50 AND 100000) AND
+        |  (mwl BETWEEN 3.0e0 AND 10.0e0) AND symr <= 1.0e-1 AND
+        |  bulletf <= 9.0e-1 AND ellipsisf <= 3.0e-1 AND
+        |  alphaf >= 8.0e-1 AND n_stop >= 2 AS pass_all
+        |FROM m""".stripMargin,
+
     // WARC ingest: PLANTED identity oracle — the engine packs documents
     // into multi-record Content-Length-framed blobs and parses them
     // back; the oracle states the planted fields directly (record_idx =

@@ -773,6 +773,15 @@ object Queries {
   val logregIters: Int = 50
   val logregLr: Double = 1.0
 
+  /** Gopher rule-set quality gate ([[operators.TextOps.gopherRules]],
+    * Rae et al. 2021 App. A): every published rule as its own attested
+    * column. On this synthetic non-prose corpus the word-count rule
+    * splits 277/500 and the stop-word rule correctly fails everything
+    * (1 distinct stop word in the whole vocabulary) — the oracle pins
+    * both behaviors. */
+  def textGopherRules(s: SparkSession, dir: String): DataFrame =
+    TextOps.gopherRules(Tables.documents(s, dir), "doc_id", "text")
+
   /** WARC ingest ([[functions.WarcParse]]): documents are packed into 50
     * multi-record WARC blobs (grouped by `doc_id % 50`, records in
     * doc_id order) and parsed back out. Every payload EMBEDS the

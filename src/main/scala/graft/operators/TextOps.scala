@@ -1067,6 +1067,72 @@ object TextOps {
       qualityCol(col(textCol)).as("quality"))
   }
 
+  /** The Gopher stop-word list (Rae et al. 2021, Appendix A). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** GOPHER quality rules (Rae et al. 2021, Appendix A) — the published
+    * named heuristic set, each rule surfaced as its own column so a
+    * curation pass can gate on any subset (and telemetry can watch which
+    * rule rejects what):
+    *
+    *  1. `pass_word_count`    — 50 ≤ words ≤ 100,000
+    *  2. `pass_mean_word_len` — 3 ≤ mean word length ≤ 10 (characters
+    *     per word, not chars/words-with-spaces)
+    *  3. `pass_symbol_ratio`  — (# chars + ellipsis occurrences) /
+    *     words ≤ 0.1
+    *  4. `pass_bullet_lines`  — ≤ 90% of lines start with a bullet
+    *  5. `pass_ellipsis_lines`— ≤ 30% of lines end with an ellipsis
+    *  6. `pass_alpha_words`   — ≥ 80% of words contain an alphabetic
+    *     character
+    *  7. `pass_stop_words`    — ≥ 2 DISTINCT [[GopherStopwords]] present
+    *
+    * plus the measured quantities and `pass_all`. Entirely row-local
+    * (streams unchanged, no shuffle). On a non-prose corpus the
+    * stop-word rule correctly fails everything — that is the rule doing
+    * its job, not a bug; the count/length rules carry the
+    * discrimination there. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = trim(col(textCol))
+    val toks = tokens(col(textCol))
+    val nWords = size(toks).cast("long")
+    val meanWordLen = aggregate(transform(toks, w => length(w)),
+      lit(0), _ + _).cast("double") / size(toks)
+    val nHash = length(t) - length(replace(t, lit("#"), lit("")))
+    val nEllipsis =
+      (length(t) - length(replace(t, lit("..."), lit("")))) / 3 +
+      (length(t) - length(replace(t, lit("…"), lit(""))))
+    val symbolRatio = (nHash + nEllipsis).cast("double") / size(toks)
+    val lines = split(col(textCol), "\n")
+    val bulletFrac = size(filter(lines, l => {
+      val lt = ltrim(l)
+      lt.startsWith("•") || lt.startsWith("- ") || lt.startsWith("* ")
+    })).cast("double") / size(lines)
+    val ellipsisFrac = size(filter(lines, l => {
+      val rt = rtrim(l)
+      rt.endsWith("...") || rt.endsWith("…")
+    })).cast("double") / size(lines)
+    val alphaFrac = size(filter(toks, w => w.rlike("[a-z]")))
+      .cast("double") / size(toks)
+    val nStop = size(array_distinct(filter(toks,
+      w => GopherStopwords.map(s => w === s).reduce(_ || _)))).cast("long")
+    val rules: Seq[(String, Column)] = Seq(
+      "pass_word_count" -> (nWords >= 50 && nWords <= 100000),
+      "pass_mean_word_len" -> (meanWordLen >= 3.0 && meanWordLen <= 10.0),
+      "pass_symbol_ratio" -> (symbolRatio <= 0.1),
+      "pass_bullet_lines" -> (bulletFrac <= 0.9),
+      "pass_ellipsis_lines" -> (ellipsisFrac <= 0.3),
+      "pass_alpha_words" -> (alphaFrac >= 0.8),
+      "pass_stop_words" -> (nStop >= 2))
+    docs.select(col(idCol).cast("long").as("doc") +:
+      nWords.as("n_words") +:
+      (round(meanWordLen, 6) + 0.0).as("mean_word_len") +:
+      (round(alphaFrac, 6) + 0.0).as("alpha_word_frac") +:
+      nStop.as("n_stop_distinct") +:
+      rules.map { case (n, c) => c.as(n) } :+
+      rules.map(_._2).reduce(_ && _).as("pass_all"): _*)
+  }
+
   /** Per-document (w1, w2) adjacent-token transitions — the shared
     * feature explode for [[lmScore]] and [[dsirWeights]]. Docs with
     * < 2 tokens contribute no rows. */

@@ -514,6 +514,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(merges == Seq((1, "x", "y", 3L), (2, "z", "w", 3L)))
   }
 
+  test("gopherRules: every published rule trips on its planted violator") {
+    val prose = ("the cat sat with all of that and they have been " +
+      "going to the market for many fine days ") * 3   // passes everything
+    val docs = Seq(
+      (1L, prose),
+      (2L, "short doc"),                               // word count < 50
+      (3L, ("x " * 60).trim),                          // mean word len < 3
+      (4L, prose + " " + ("### ##### " * 10).trim),    // symbol ratio > 0.1
+      (5L, (1 to 10).map(i => s"- bullet $i").mkString("\n")), // bullets
+      (6L, (1 to 10).map(i => s"line $i goes on...").mkString("\n")), // ellipses
+      (7L, prose.split(" ").map(_ + " 123 42").mkString(" ")), // alpha < 0.8
+      (8L, ("spark rows tables queries scans merge " * 12).trim) // no stops
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    graft.CacheRegistry.releaseAll()
+    def rule(id: Long, name: String): Boolean =
+      out(id).getAs[Boolean](name)
+    assert(rule(1L, "pass_all"), s"prose doc failed: ${out(1L)}")
+    assert(!rule(2L, "pass_word_count") && !rule(2L, "pass_all"))
+    assert(!rule(3L, "pass_mean_word_len"))
+    assert(!rule(4L, "pass_symbol_ratio") && rule(4L, "pass_word_count"))
+    assert(!rule(5L, "pass_bullet_lines"))
+    assert(!rule(6L, "pass_ellipsis_lines"))
+    assert(!rule(7L, "pass_alpha_words"))
+    assert(!rule(8L, "pass_stop_words") &&
+      out(8L).getAs[Long]("n_stop_distinct") == 0L)
+    // the prose doc's measured quantities are sane
+    assert(out(1L).getAs[Long]("n_words") >= 50 &&
+      out(1L).getAs[Double]("alpha_word_frac") == 1.0 &&
+      out(1L).getAs[Long]("n_stop_distinct") >= 5L)
+  }
+
   test("frequentNgrams: exact heavy hitters, result independent of sketch params") {
     // "a b" ×5 (from three docs), "b c" ×4, "c d" ×1, "x y" ×2
     val docs = Seq(
