@@ -91,6 +91,12 @@ class TextStreamSpec extends SparkSpec {
       fp(docs.toDF()).orderBy("doc").collect().toSeq)
   }
 
+  test("gopher rules at ingest: stream == batch, stateless") {
+    val op = (df: DataFrame) => TextOps.gopherRules(df, "doc_id", "text")
+    assert(streamed("gopher_stream", op) ==
+      op(docs.toDF()).orderBy("doc").collect().toSeq)
+  }
+
   test("winnowed fingerprints at ingest: stream == batch, stateless") {
     // the MOSS selection is row-local (windows over the per-doc gram-hash
     // array, thinned BEFORE the explode), so fingerprint-at-ingest runs
