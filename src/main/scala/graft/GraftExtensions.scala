@@ -125,6 +125,32 @@ object GraftExtensions {
           TextOps.DefaultBpeMerges, TextOps.BpeTokenRe)
         case _ => wrongArgs("graft_bpe_merge_count", "1", args.length)
       }),
+    (FunctionIdentifier("graft_warc_records"),
+      info("graft_warc_records",
+        "graft_warc_records(blob) - split a WARC archive (string or " +
+          "binary) into records by Content-Length framing; " +
+          "array<struct<warc_type, uri, content_length, payload>>, " +
+          "lenient on truncated tails"),
+      (args: Seq[Expression]) => args match {
+        case Seq(b) => graft.functions.WarcParse.WarcRecords(b)
+        case _ => wrongArgs("graft_warc_records", "1", args.length)
+      }),
+    (FunctionIdentifier("graft_gzip"),
+      info("graft_gzip",
+        "graft_gzip(binary) - compress as one gzip member"),
+      (args: Seq[Expression]) => args match {
+        case Seq(b) => graft.functions.Gzip.GzipCompress(b)
+        case _ => wrongArgs("graft_gzip", "1", args.length)
+      }),
+    (FunctionIdentifier("graft_gunzip"),
+      info("graft_gunzip",
+        "graft_gunzip(binary) - decompress a gzip stream (concatenated " +
+          "members read as one, the .warc.gz layout); null on corrupt " +
+          "or truncated input"),
+      (args: Seq[Expression]) => args match {
+        case Seq(b) => graft.functions.Gzip.Gunzip(b)
+        case _ => wrongArgs("graft_gunzip", "1", args.length)
+      }),
     (FunctionIdentifier("graft_tps_eval"),
       info("graft_tps_eval",
         "graft_tps_eval(px, py, ax, ay, theta) - evaluate a fitted " +

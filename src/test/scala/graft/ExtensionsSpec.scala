@@ -145,6 +145,26 @@ class ExtensionsSpec extends SparkSpec {
       e2.getMessage.toLowerCase.contains("literal"))
   }
 
+  test("SQL warc/gzip functions match the Column API kernels") {
+    GraftExtensions.install(spark)
+    val rec = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://a\r\nContent-Length: 5\r\n\r\nhello\r\n\r\n"
+    val row = spark.sql(
+      s"""SELECT inline(graft_warc_records('${rec.replace("\r", "\\r")
+        .replace("\n", "\\n")}'))""").collect()
+    assert(row.length == 1 && row.head.getString(1) == "http://a" &&
+      row.head.getString(3) == "hello")
+    // gzip -> gunzip identity through SQL
+    val rt = spark.sql(
+      "SELECT decode(graft_gunzip(graft_gzip(encode('abc', 'UTF-8'))), " +
+        "'UTF-8') AS s").head.getString(0)
+    assert(rt == "abc")
+    // corrupt input -> null, not a thrown task
+    assert(spark.sql(
+      "SELECT graft_gunzip(encode('nope', 'UTF-8')) IS NULL AS n")
+      .head.getBoolean(0))
+  }
+
   test("builder extensions path registers the functions") {
     // `--conf spark.sql.extensions=graft.GraftExtensions` loads the class
     // by name and calls the same `apply` this drives via withExtensions;
