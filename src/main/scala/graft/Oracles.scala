@@ -97,6 +97,51 @@ object Oracles {
        |  coalesce(c.root, d.doc_id) = d.doc_id AS is_keeper
        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin
 
+  /** dedup_cluster_rep oracle: the dedup_clusters chain (shared CTEs)
+    * composed with the text_quality arithmetic, then the keep rule as a
+    * window — representative = first doc under (quality DESC, doc ASC)
+    * per cluster. Same tie law both engines. */
+  private def dedupClusterRepSql: String =
+    s"""WITH RECURSIVE $minhashBandCtes,
+       |prs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+       |  FROM band a JOIN band b ON a.band_id = b.band_id
+       |    AND a.band_hash = b.band_hash AND a.doc < b.doc
+       |  WHERE len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))::DOUBLE
+       |    / 16 >= 0.25),
+       |ed AS (SELECT doc_a AS a, doc_b AS b FROM prs
+       |  UNION SELECT doc_b, doc_a FROM prs),
+       |cc AS (
+       |  SELECT DISTINCT a AS node, a AS lbl FROM ed
+       |  UNION
+       |  SELECT ed.b AS node, cc.lbl FROM cc JOIN ed ON cc.node = ed.a
+       |),
+       |comp AS (SELECT node, min(lbl) AS root FROM cc GROUP BY node),
+       |cl AS (SELECT CAST(d.doc_id AS BIGINT) AS doc,
+       |    coalesce(c.root, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+       |qd AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+       |    string_split(trim(text), ' ') AS toks FROM documents),
+       |qm AS (SELECT doc,
+       |  len(toks)::BIGINT AS n_words,
+       |  len(list_filter(toks, w -> w IN ('the','a','of','and','to','in')))::DOUBLE
+       |    / len(toks) AS stopword_ratio,
+       |  len(list_filter(toks, w -> length(w) > 6))::DOUBLE / len(toks)
+       |    AS long_word_ratio
+       |  FROM qd),
+       |q AS (SELECT doc, 1.0e0
+       |    - (CASE WHEN stopword_ratio < 2.0e-2 THEN 4.0e-1 ELSE 0.0e0 END)
+       |    - (CASE WHEN n_words < 5 THEN 4.0e-1 ELSE 0.0e0 END)
+       |    - (CASE WHEN long_word_ratio > 5.0e-1 THEN 2.0e-1 ELSE 0.0e0 END)
+       |    AS quality
+       |  FROM qm),
+       |j AS (SELECT cl.doc, cl.cluster_id, q.quality
+       |  FROM cl JOIN q ON cl.doc = q.doc),
+       |r AS (SELECT doc, cluster_id, quality,
+       |  first_value(doc) OVER (PARTITION BY cluster_id
+       |    ORDER BY quality DESC, doc) AS rep_doc FROM j)
+       |SELECT doc, cluster_id, quality, rep_doc,
+       |  rep_doc = doc AS is_rep FROM r""".stripMargin
+
   /** Shared language-ID CTE chain (mirrors text_langid / the Spark
     * `TextOps.langId`): yields `l(doc, lang_pred)`. One source of truth
     * for both sampling oracles so the marker lists cannot drift. */
@@ -1376,9 +1421,24 @@ object Oracles {
         |FROM scored
         |QUALIFY rank <= 3""".stripMargin,
 
+    // PCA reduce: PLANTED closed form (Queries.pcaPlanted) — exactly
+    // orthogonal mod-4 sign patterns make the empirical covariance
+    // exactly diagonal, so the top-2 projection IS the signed planted
+    // coordinate pair and the eigenvalues are exactly (16, 4)
+    "emb_pca_reduce" ->
+      """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings),
+        |s AS (SELECT vec_id,
+        |    CASE WHEN vec_id % 2 = 0 THEN 1.0e0 ELSE -1.0e0 END AS s0,
+        |    CASE WHEN vec_id % 4 < 2 THEN 1.0e0 ELSE -1.0e0 END AS s1
+        |  FROM e)
+        |SELECT vec_id, 4.0e0 * s0 AS p1, 2.0e0 * s1 AS p2,
+        |  16.0e0 AS ev1, 4.0e0 AS ev2 FROM s""".stripMargin,
+
     "dedup_minhash_lsh" -> minhashSql,
 
     "dedup_clusters" -> dedupClustersSql,
+
+    "dedup_cluster_rep" -> dedupClusterRepSql,
 
     "sample_stratified" -> sampleStratifiedSql,
     "sample_mixture" -> sampleMixtureSql,
@@ -1820,21 +1880,24 @@ object Oracles {
         |FROM f CROSS JOIN c""".stripMargin,
 
     // Gopher rule set replay: every rule's exact row-local arithmetic
-    // (true mean word length = sum of word lengths / words; symbol
-    // counts via non-overlapping replace, shared both engines; line
-    // fractions over a \n split; distinct-stop-word count)
+    // (whitespace-run tokenization with empty tokens dropped, shared
+    // both engines; true mean word length = sum of word lengths /
+    // words; symbol counts via non-overlapping replace; line fractions
+    // over a \n split; distinct-LOWERCASED-stop-word count;
+    // nullif-guarded divisions mirror Spark's null division)
     "text_gopher_rules" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc, text,
         |    trim(text) AS t,
-        |    string_split(trim(text), ' ') AS toks FROM documents),
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      w -> w <> '') AS toks FROM documents),
         |m AS (SELECT doc,
         |  len(toks)::BIGINT AS n_words,
         |  list_sum(list_transform(toks, w -> length(w)))::DOUBLE
-        |    / len(toks) AS mwl,
+        |    / nullif(len(toks), 0) AS mwl,
         |  (length(t) - length(replace(t, '#', ''))
         |   + (length(t) - length(replace(t, '...', ''))) / 3
         |   + (length(t) - length(replace(t, chr(8230), ''))))::DOUBLE
-        |    / len(toks) AS symr,
+        |    / nullif(len(toks), 0) AS symr,
         |  len(list_filter(string_split(text, chr(10)), l ->
         |    starts_with(ltrim(l, ' '), chr(8226)) OR
         |    starts_with(ltrim(l, ' '), '- ') OR
@@ -1844,10 +1907,11 @@ object Oracles {
         |    ends_with(rtrim(l, ' '), '...') OR
         |    ends_with(rtrim(l, ' '), chr(8230))))::DOUBLE
         |    / len(string_split(text, chr(10))) AS ellipsisf,
-        |  len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))::DOUBLE
-        |    / len(toks) AS alphaf,
-        |  len(list_distinct(list_filter(toks, w -> w IN
-        |    ('the','be','to','of','and','that','have','with'))))::BIGINT
+        |  len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
+        |    / nullif(len(toks), 0) AS alphaf,
+        |  len(list_distinct(list_transform(list_filter(toks, w -> lower(w) IN
+        |    ('the','be','to','of','and','that','have','with')),
+        |    w -> lower(w))))::BIGINT
         |    AS n_stop
         |  FROM d)
         |SELECT doc, n_words, round(mwl, 6) + 0.0e0 AS mean_word_len,

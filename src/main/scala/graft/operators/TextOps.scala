@@ -1091,18 +1091,30 @@ object TextOps {
     * (streams unchanged, no shuffle). On a non-prose corpus the
     * stop-word rule correctly fails everything — that is the rule doing
     * its job, not a bug; the count/length rules carry the
-    * discrimination there. */
+    * discrimination there.
+    *
+    * Tokenization here is WHITESPACE-RUN splitting (empty tokens
+    * dropped), not the corpus catalog's single-space [[tokens]]: the
+    * published rules count words of running prose, so double spaces
+    * must not mint empty words and newlines must separate words. The
+    * alpha test is case-insensitive and stop-words match on the
+    * lowercased token ("The" counts), per Rae et al.'s plain-word
+    * reading. A whitespace-only document has zero words; its ratio
+    * rules go null (null-division) and `pass_word_count` fails it. */
   def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = trim(col(textCol))
-    val toks = tokens(col(textCol))
+    val toks = filter(split(t, "\\s+"), w => w =!= "")
+    // zero-word docs: ratio denominators go null (nullif mirrors the
+    // oracle; ANSI mode would otherwise throw on the 0-divide)
+    val nTok = nullif(size(toks), lit(0))
     val nWords = size(toks).cast("long")
     val meanWordLen = aggregate(transform(toks, w => length(w)),
-      lit(0), _ + _).cast("double") / size(toks)
+      lit(0), _ + _).cast("double") / nTok
     val nHash = length(t) - length(replace(t, lit("#"), lit("")))
     val nEllipsis =
       (length(t) - length(replace(t, lit("..."), lit("")))) / 3 +
       (length(t) - length(replace(t, lit("…"), lit(""))))
-    val symbolRatio = (nHash + nEllipsis).cast("double") / size(toks)
+    val symbolRatio = (nHash + nEllipsis).cast("double") / nTok
     val lines = split(col(textCol), "\n")
     val bulletFrac = size(filter(lines, l => {
       val lt = ltrim(l)
@@ -1112,10 +1124,11 @@ object TextOps {
       val rt = rtrim(l)
       rt.endsWith("...") || rt.endsWith("…")
     })).cast("double") / size(lines)
-    val alphaFrac = size(filter(toks, w => w.rlike("[a-z]")))
-      .cast("double") / size(toks)
-    val nStop = size(array_distinct(filter(toks,
-      w => GopherStopwords.map(s => w === s).reduce(_ || _)))).cast("long")
+    val alphaFrac = size(filter(toks, w => w.rlike("[a-zA-Z]")))
+      .cast("double") / nTok
+    val nStop = size(array_distinct(transform(filter(toks,
+      w => GopherStopwords.map(s => lower(w) === s).reduce(_ || _)),
+      w => lower(w)))).cast("long")
     val rules: Seq[(String, Column)] = Seq(
       "pass_word_count" -> (nWords >= 50 && nWords <= 100000),
       "pass_mean_word_len" -> (meanWordLen >= 3.0 && meanWordLen <= 10.0),

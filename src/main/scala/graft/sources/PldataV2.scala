@@ -123,14 +123,59 @@ object PldataV2 {
       s"cannot infer a Spark type for msgpack value $other")
   }
 
+  /** Bounded prefix read: inference needs only the FIRST record, so a
+    * multi-GB device stream must not be pulled onto the driver heap to
+    * decode it. A record is a small (topic, payload) pair — a 4 MB
+    * prefix covers anything sane; a record that somehow exceeds it
+    * makes the truncated decode throw, and the whole-file read is the
+    * fallback. */
+  private def readPrefix(path: String,
+                         maxBytes: Int = 4 * 1024 * 1024): Array[Byte] = {
+    val p = java.nio.file.Paths.get(path)
+    val size = java.nio.file.Files.size(p)
+    if (size <= maxBytes) java.nio.file.Files.readAllBytes(p)
+    else {
+      val ch = java.nio.file.Files.newByteChannel(p)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(maxBytes)
+        while (buf.hasRemaining && ch.read(buf) >= 0) ()
+        java.util.Arrays.copyOf(buf.array(), buf.position())
+      } finally ch.close()
+    }
+  }
+
   private[sources] def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = options.asScala.toMap
     val first = listFiles(opts).head
-    val bytes = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(first))
+    val bytes =
+      try readPrefix(first)
+      catch { case scala.util.control.NonFatal(_) =>
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(first)) }
     // ONE record decodes (incremental reader) — inference must not pay a
     // whole-session-file decode on the driver
-    val payload = MsgPack.unpackFirst(bytes) match {
+    val payload = decodeFirstRecord(first, bytes)
+    // topic/timestamp are STRUCTURAL (record tag + sidecar clock); a
+    // payload that also carries them — PLData_Writer payloads usually
+    // duplicate timestamp — must not shadow them (the pldataFields rule)
+    StructType(
+      StructField("topic", StringType) +:
+      StructField("timestamp", DoubleType) +:
+      payload.toSeq.sortBy(_._1)
+        .filterNot { case (k, _) => k == "topic" || k == "timestamp" }
+        .map { case (k, v) => StructField(k, typeOf(v)) })
+  }
+
+  private def decodeFirstRecord(first: String,
+                                bytes: Array[Byte]): Map[String, Any] = {
+    val attempt = try MsgPack.unpackFirst(bytes) catch {
+      // truncated prefix mid-record (a >4 MB first record): retry whole
+      case scala.util.control.NonFatal(_)
+          if bytes.length < java.nio.file.Files.size(
+            java.nio.file.Paths.get(first)) =>
+        MsgPack.unpackFirst(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(first)))
+    }
+    attempt match {
       case Some(Vector(_: String, p: Array[Byte])) =>
         MsgPack.unpackFirst(p) match {
           case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
@@ -142,15 +187,6 @@ object PldataV2 {
       case other => throw new IllegalArgumentException(
         s"bad pldata record in $first: $other")
     }
-    // topic/timestamp are STRUCTURAL (record tag + sidecar clock); a
-    // payload that also carries them — PLData_Writer payloads usually
-    // duplicate timestamp — must not shadow them (the pldataFields rule)
-    StructType(
-      StructField("topic", StringType) +:
-      StructField("timestamp", DoubleType) +:
-      payload.toSeq.sortBy(_._1)
-        .filterNot { case (k, _) => k == "topic" || k == "timestamp" }
-        .map { case (k, v) => StructField(k, typeOf(v)) })
   }
 
   private[sources] case class PldataTable(tableSchema: StructType,
@@ -167,34 +203,41 @@ object PldataV2 {
       PldataScanBuilder(tableSchema, options ++ o.asScala)
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new PldataWriteBuilder(info.schema(),
-        options ++ info.options().asScala, truncateFirst = false)
+        options ++ info.options().asScala, truncateFirst = false,
+        queryId = info.queryId())
   }
 
   /** V2 sink: each input partition becomes one SESSION SHARD —
-    * `<root>/part-<partition>/<topic>.pldata` + its `.npy` sidecar —
-    * exactly the layout the reader's `recursive` mode scans, so a
-    * distributed export round-trips through `format("pldata")` without a
-    * driver bottleneck (the programmatic [[PldataSource.write]] is the
-    * single-file/driver-side form). Task attempts write into a
-    * uuid-named temp dir and RENAME into place at task commit (one
-    * winner per partition under Spark's commit coordination); abort
-    * deletes the temp. `mode("overwrite")` truncates prior `part-*`
-    * shards and any root-level `<topic>.pldata` first. */
+    * `<root>/part-<partition>-<job>/<topic>.pldata` + its `.npy`
+    * sidecar — exactly the layout the reader's `recursive` mode scans,
+    * so a distributed export round-trips through `format("pldata")`
+    * without a driver bottleneck (the programmatic [[PldataSource
+    * .write]] is the single-file/driver-side form). The shard name
+    * carries the WRITE's queryId, so `mode("append")` jobs land beside
+    * prior jobs' shards instead of colliding with them (same-named
+    * replacement is then only ever the stale-attempt case WITHIN one
+    * job). Task attempts write into a uuid-named temp dir and RENAME
+    * into place at task commit (one winner per partition under Spark's
+    * commit coordination); abort deletes the temp. `mode("overwrite")`
+    * truncates prior `part-*` shards and any root-level
+    * `<topic>.pldata` first. */
   private[sources] class PldataWriteBuilder(schema: StructType,
                                             options: Map[String, String],
-                                            truncateFirst: Boolean)
+                                            truncateFirst: Boolean,
+                                            queryId: String)
       extends WriteBuilder with SupportsTruncate {
     override def truncate(): WriteBuilder =
-      new PldataWriteBuilder(schema, options, truncateFirst = true)
+      new PldataWriteBuilder(schema, options, truncateFirst = true, queryId)
     override def build(): Write = new Write {
       override def toBatch: BatchWrite =
-        PldataBatchWrite(schema, options, truncateFirst)
+        PldataBatchWrite(schema, options, truncateFirst, queryId)
     }
   }
 
   private[sources] case class PldataBatchWrite(schema: StructType,
                                                options: Map[String, String],
-                                               truncateFirst: Boolean)
+                                               truncateFirst: Boolean,
+                                               queryId: String)
       extends BatchWrite {
     private val root = options.getOrElse("path",
       throw new IllegalArgumentException("pldata sink needs a save(path)"))
@@ -222,25 +265,31 @@ object PldataV2 {
           .toSeq.foreach(rm)
         finally ds.close()
       }
-      PldataWriterFactory(schema, root, topic)
+      PldataWriterFactory(schema, root, topic, jobTag)
     }
     override def commit(messages: Array[WriterCommitMessage]): Unit = ()
     override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+    // short per-job disambiguator baked into shard names; queryId is a
+    // UUID per write job, so appends never replace earlier jobs' shards
+    private def jobTag: String = queryId.replace("-", "").take(12)
   }
 
   private[sources] case class PldataWriterFactory(schema: StructType,
-                                                  root: String, topic: String)
+                                                  root: String, topic: String,
+                                                  jobTag: String)
       extends DataWriterFactory {
     override def createWriter(partitionId: Int,
                               taskId: Long): DataWriter[InternalRow] =
-      new PldataDataWriter(schema, root, topic, partitionId)
+      new PldataDataWriter(schema, root, topic, partitionId, jobTag)
   }
 
   private[sources] case class PldataCommitted(dir: String)
       extends WriterCommitMessage
 
   private[sources] class PldataDataWriter(schema: StructType, root: String,
-                                          topic: String, partitionId: Int)
+                                          topic: String, partitionId: Int,
+                                          jobTag: String)
       extends DataWriter[InternalRow] {
     private val tmpDir = java.nio.file.Paths.get(root,
       s"_tmp-${java.util.UUID.randomUUID()}")
@@ -263,9 +312,11 @@ object PldataV2 {
 
     override def commit(): WriterCommitMessage = {
       out.close(); tsW.close()
-      val target = java.nio.file.Paths.get(root, f"part-$partitionId%05d")
-      // one committer per partition (Spark's coordination); a leftover
-      // target from a dead prior attempt is stale — replace it
+      val target = java.nio.file.Paths.get(root,
+        f"part-$partitionId%05d-$jobTag")
+      // the name is unique per (job, partition): one committer per
+      // partition (Spark's coordination), so a leftover target can only
+      // be a dead prior attempt of THIS job — stale, replace it
       if (java.nio.file.Files.exists(target)) {
         val ds = java.nio.file.Files.newDirectoryStream(target)
         try ds.asScala.toSeq.foreach(java.nio.file.Files.deleteIfExists(_))

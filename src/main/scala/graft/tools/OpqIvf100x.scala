@@ -23,7 +23,9 @@ object OpqIvf100x {
     val n = args.headOption.map(_.toLong).getOrElse(50000L)
     val clusters = 25
     val k = 3
-    val rerank = (n / clusters).toInt
+    // ceiling: fuller clusters hold ⌈n/clusters⌉ members when
+    // n % clusters ≠ 0, and every one must survive the asymmetric cut
+    val rerank = ((n + clusters - 1) / clusters).toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")

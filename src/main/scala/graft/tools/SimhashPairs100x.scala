@@ -41,7 +41,10 @@ object SimhashPairs100x {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(500000L)
     val reps = 5L
-    val nGroups = (n / reps).toInt
+    // ceiling so a non-multiple-of-5 nDocs still models the trailing
+    // PARTIAL group (its docs band-join like any others; the
+    // closed-form expectation must include its token hash too)
+    val nGroups = ((n + reps - 1) / reps).toInt
     val bands = 4; val maxHamming = 3
     val bandBits = 60 / bands
     val spark = SparkSession.builder()
@@ -95,8 +98,10 @@ object SimhashPairs100x {
     }
     val crossPairs = crossGroups.toSeq.flatMap { case (g1, g2) =>
       val ham = java.lang.Long.bitCount(hs(g1) ^ hs(g2)).toLong
-      for (i <- 0L until reps; j <- 0L until reps)
-        yield (g1 * reps + i, g2 * reps + j, ham)
+      for { i <- 0L until reps; j <- 0L until reps
+            a = g1 * reps + i; b = g2 * reps + j
+            if a < n && b < n }   // the trailing group may be partial
+        yield (a, b, ham)
     }
     val ids = spark.range(n).select(col("id"), expr(s"id DIV $reps").as("g"))
     val within = ids.as("x").join(ids.as("y"),

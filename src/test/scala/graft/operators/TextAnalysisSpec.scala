@@ -547,6 +547,27 @@ class TextAnalysisSpec extends SparkSpec {
       out(1L).getAs[Long]("n_stop_distinct") >= 5L)
   }
 
+  test("gopherRules: whitespace runs and case do not corrupt word rules") {
+    // Double spaces after sentences, newline-separated words, and
+    // capitalized stop words — all must tokenize as plain words.
+    val body = ("alpha beta gamma delta epsilon zeta eta theta " * 7).trim
+    val docs = Seq(
+      (1L, s"The cat sat.  With that the dog ran.\nOf all days. $body"),
+      (2L, "a  b")  // 2 real words, not 3 with an empty middle token
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    graft.CacheRegistry.releaseAll()
+    // every token contains a letter; double spaces mint no empty words
+    assert(out(1L).getAs[Double]("alpha_word_frac") == 1.0)
+    assert(out(1L).getAs[Boolean]("pass_alpha_words"))
+    // "The", "With", "that", "the", "Of" → distinct lowercased {the, with, that, of}
+    assert(out(1L).getAs[Long]("n_stop_distinct") == 4L)
+    assert(out(1L).getAs[Boolean]("pass_stop_words"))
+    assert(out(2L).getAs[Long]("n_words") == 2L)
+    assert(out(2L).getAs[Double]("mean_word_len") == 1.0)
+  }
+
   test("frequentNgrams: exact heavy hitters, result independent of sketch params") {
     // "a b" ×5 (from three docs), "b c" ×4, "c d" ×1, "x y" ×2
     val docs = Seq(

@@ -95,6 +95,17 @@ class PldataV2Spec extends SparkSpec {
     val want = (0 until 60).map(i => (i.toLong, 100.0 + i,
       Seq(i / 10.0, i / 20.0), 0.5 + i / 100.0))
     assert(got == want)
+    // a second append LANDS BESIDE the first job's shards (job-tagged
+    // names), never replacing same-numbered partitions from a prior job
+    rows.limit(10).repartition(2).write.format("pldata")
+      .option("topic", "gaze").mode("append").save(dir)
+    val appended = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("part-")).sorted
+    assert(appended.length == 5,
+      s"append replaced prior shards: ${appended.mkString(",")}")
+    assert(spark.read.format("pldata").option("topic", "gaze")
+      .option("recursive", "true")
+      .schema(back.schema).load(dir).count() == 70)
     // overwrite truncates the prior shards (no stale part dirs survive)
     rows.limit(10).repartition(1).write.format("pldata")
       .option("topic", "gaze").mode("overwrite").save(dir)
