@@ -1203,6 +1203,50 @@ object Queries {
           lit(0.001) * (lit(1L) + c % 11).cast("double"))
         .otherwise(lit(0.0)))
 
+  /** The PCA planted construction: three exactly-orthogonal ±sign
+    * patterns over `vec_id mod 4` (Rademacher bits b0, b1 and their
+    * product) carry variances 16/4/1 on axes 5/17/33; every other
+    * axis is CONSTANT `0.25·(j mod 3)` (zero variance, nonzero means —
+    * the μμᵀ subtraction must cancel them exactly). All values are
+    * small power-of-two multiples and the mod-4 classes are balanced
+    * whenever 4 | n, so every empirical moment the one-pass fit
+    * aggregates is EXACT (±c partial sums are small integers): the
+    * covariance is exactly diagonal, its eigenvectors exactly the
+    * planted axes, and the k=2 projection provably equals the signed
+    * planted coordinates the oracle states in closed form — at any
+    * replication factor (uniform duplication keeps the classes
+    * balanced), the [[opqIvfPlanted]] discipline. */
+  private[graft] def pcaPlanted(c: Column): Column = {
+    val s0 = when(c % 2 === 0, 1.0).otherwise(-1.0)
+    val s1 = when(c % 4 < 2, 1.0).otherwise(-1.0)
+    transform(sequence(lit(0), lit(63)), j =>
+      when(j === 5, lit(4.0) * s0)
+        .when(j === 17, lit(2.0) * s1)
+        .when(j === 33, s0 * s1)
+        .otherwise((j % 3).cast("double") * lit(0.25)))
+  }
+
+  /** Distributed PCA reduction over the embedding column
+    * ([[operators.VectorOps.pcaFit]]/[[operators.VectorOps.pcaApply]]) —
+    * the dimensionality-reduction stage a quantized ANN pipeline runs
+    * before indexing (FAISS PCAR). One moment-aggregate pass fits the
+    * model; the apply side is k native dot-product kernels. The
+    * eigendecomposition cannot be replayed in SQL, so the oracle is
+    * the planted kind ([[pcaPlanted]]): top-2 eigenvalues are exactly
+    * (16, 4) and the projections exactly the signed planted
+    * coordinates, which the oracle computes directly from `vec_id`. */
+  def embPcaReduce(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.embeddings(s, dir)
+      .select(col("vec_id"), pcaPlanted(col("vec_id")).as("pv"))
+    val model = operators.VectorOps.pcaFit(planted, "pv", k = 2)
+    operators.VectorOps.pcaApply(planted, "pv", model)
+      .select(col("vec_id"),
+        (round(col("p1"), 6) + 0.0).as("p1"),
+        (round(col("p2"), 6) + 0.0).as("p2"),
+        (round(lit(model.eigenvalues(0)), 6) + 0.0).as("ev1"),
+        (round(lit(model.eigenvalues(1)), 6) + 0.0).as("ev2"))
+  }
+
   /** ANN via OPQ composed with the IVF coarse quantizer
     * ([[operators.AnnIndexIO.buildOpqIvf]]/[[operators.AnnIndexIO
     * .searchOpqIvf]]): the learned rotation as a pre-transform over the
@@ -1220,13 +1264,15 @@ object Queries {
   def annOpqIvfTopk(s: SparkSession, dir: String): DataFrame = {
     val planted = Tables.embeddings(s, dir)
       .select(col("vec_id"), opqIvfPlanted(col("vec_id")).as("pv"))
-    // rerank = the planted CLUSTER SIZE (N/25): the exact-recall
+    // rerank = the planted CLUSTER SIZE (⌈N/25⌉): the exact-recall
     // guarantee needs every same-cluster member to survive the
     // asymmetric cut, so the cut is corpus-derived — the oracle stays
     // green at any replication factor (10×/100× standing runs), not
-    // just the shipped 500 rows. One cheap count() job.
+    // just the shipped 500 rows. CEILING division: when N % 25 ≠ 0 the
+    // fuller clusters hold ⌊N/25⌋+1 members and a floor cut could drop
+    // a true top-3 neighbor at the approximate stage. One count() job.
     val n = planted.count()
-    val rerank = math.max(20L, n / annOpqIvfCells).toInt
+    val rerank = math.max(20L, (n + annOpqIvfCells - 1) / annOpqIvfCells).toInt
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir|opq_ivf|nCells=$annOpqIvfCells".getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
@@ -1385,6 +1431,32 @@ object Queries {
       .select(col("doc"),
         coalesce(col("component"), col("doc")).as("cluster_id"),
         (coalesce(col("component"), col("doc")) === col("doc")).as("is_keeper"))
+  }
+
+  /** Near-dup cluster REPRESENTATIVE selection: production dedup keeps
+    * the best member of each duplicate cluster, not an arbitrary one —
+    * the keep rule here is highest [[operators.TextOps.qualityScore]]
+    * (ties → lowest doc id), composed over the [[dedupClusters]]
+    * lineage (LSH pairs → connected components). Emits the full remap
+    * table: every doc with its cluster, quality, the cluster's chosen
+    * `rep_doc`, and `is_rep` — downstream joins rewrite references to
+    * dropped near-dups through `rep_doc` (the J4 cluster-representative
+    * semantics applied to the text-dedup family).
+    *
+    * Scale: one window over `cluster_id` (group size = near-dup cluster
+    * size, bounded by the LSH band caps upstream) after an equi-join of
+    * two corpus-sized frames on `doc` — no new quadratic surface. */
+  def dedupClusterRep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClusters(s, dir).select("doc", "cluster_id")
+    val q = TextOps.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc").cast("long").as("doc"), col("quality"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc"))
+    clusters.join(q, Seq("doc"))
+      .withColumn("rep_doc", first("doc").over(w))
+      .select(col("doc"), col("cluster_id"), col("quality"),
+        col("rep_doc"), (col("rep_doc") === col("doc")).as("is_rep"))
   }
 
   /** Corpus curation: deterministic stratified sampling — language-ID the

@@ -1292,6 +1292,74 @@ object VectorOps {
     HierKmeansModel(supers, children)
   }
 
+  /** Fitted PCA state: `mean` (d), `components` (k rows of d, unit
+    * length, descending eigenvalue), `eigenvalues` (k, population —
+    * the 1/n covariance the one-pass moment aggregate yields). */
+  case class PcaModel(mean: Array[Double],
+                      components: Array[Array[Double]],
+                      eigenvalues: Array[Double])
+
+  /** Distributed PCA fit over an embedding column — the standard
+    * dimensionality-reduction stage in front of a quantized ANN index
+    * (FAISS's public PCAR preprocessing; Jégou et al. 2011 pair PQ
+    * with a PCA rotation): covariance by ONE map-side-combined moment
+    * aggregate, eigendecomposition on the driver, projection applied
+    * as k codegen'd dot products ([[pcaApply]]).
+    *
+    * Scale shape: the single pass ships d + d² doubles per row into a
+    * partial aggregate (the [[graft.functions.ArrayMean]] buffer), so
+    * the reduce traffic is partitions × d² — independent of row count.
+    * That is the right trade up to d of a few hundred (64² = 4 KB/row
+    * of transient compute, 32 KB total state); past that, fit on a
+    * bounded sample (the fit-small/apply-big discipline every model op
+    * here follows) — the APPLY side stays O(k·d) per row either way.
+    * Driver state is the d×d matrix, never the corpus.
+    *
+    * Determinism: eigenvector SIGN is fixed by making each component's
+    * largest-|entry| coordinate positive (first such index on exact
+    * ties) — the same convention [[graft.operators.LabelingOps]] uses
+    * for its PC1 — and components are ordered by DESCENDING eigenvalue
+    * with the eigendecomposition's own order breaking exact ties. */
+  def pcaFit(vecs: DataFrame, vecCol: String, k: Int): PcaModel = {
+    val vd = toDouble(col(vecCol))
+    // one aggregate row: element-wise means of [x ++ flatten(x ⊗ x)]
+    val moments = vecs
+      .select(concat(vd, flatten(transform(vd,
+        x => transform(vd, y => x * y)))).as("_m"))
+      .agg(graft.functions.ArrayMean.arrayMean(col("_m")).as("m"))
+      .head().getSeq[Double](0).toArray
+    val d = (math.sqrt(moments.length + 0.25) - 0.5).round.toInt
+    require(d.toLong * d + d == moments.length,
+      s"bad moment arity ${moments.length}")
+    val mean = java.util.Arrays.copyOfRange(moments, 0, d)
+    val cov = breeze.linalg.DenseMatrix.tabulate(d, d)((i, j) =>
+      moments(d + i * d + j) - mean(i) * mean(j))
+    val es = breeze.linalg.eigSym(cov)  // ascending eigenvalues
+    require(k >= 1 && k <= d, s"k=$k out of range for dim $d")
+    val order = (0 until d).sortBy(i => (-es.eigenvalues(i), i)).take(k)
+    val comps = order.map { c =>
+      val v = Array.tabulate(d)(r => es.eigenvectors(r, c))
+      val mx = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(mx) < 0) v.map(-_) else v
+    }.toArray
+    PcaModel(mean, comps, order.map(es.eigenvalues(_)).toArray)
+  }
+
+  /** Project `vecCol` onto the fitted components: adds `p1..pk`
+    * columns, each `dot(x, comp_j) − dot(mean, comp_j)` — the centering
+    * folds into one precomputed scalar per component, so the hot path
+    * is k native [[graft.functions.ArrayDot]] kernels over literal
+    * component rows (no broadcast join, no per-row allocation). */
+  def pcaApply(vecs: DataFrame, vecCol: String, model: PcaModel): DataFrame = {
+    val vd = toDouble(col(vecCol))
+    model.components.zipWithIndex.foldLeft(vecs) { case (df, (comp, j)) =>
+      val c = comp.indices.map(i => comp(i) * model.mean(i)).sum
+      df.withColumn(s"p${j + 1}",
+        graft.functions.ArrayDot.array_dot(vd,
+          typedLit(comp.toIndexedSeq)) - lit(c))
+    }
+  }
+
   /** Two-level cell assignment as staged narrow projections (each stage
     * references the previous stage's attribute, so nothing is computed
     * twice): argmin over the k1 super matrix, then argmin over THAT

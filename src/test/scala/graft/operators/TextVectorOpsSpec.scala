@@ -594,4 +594,53 @@ class TextVectorOpsSpec extends SparkSpec {
     assert(kept(Some(1)) == Map(1L -> true, 2L -> true, 3L -> true))
     assert(kept(Some(2)) == Map(1L -> true, 2L -> true, 3L -> false))
   }
+
+  test("pcaFit: planted orthogonal axes recovered exactly, sign fixed") {
+    val vecs = spark.range(200).select(col("id").as("vec_id"),
+      graft.Queries.pcaPlanted(col("id")).as("pv"))
+    val m = VectorOps.pcaFit(vecs, "pv", k = 3)
+    assert(m.eigenvalues.toSeq == Seq(16.0, 4.0, 1.0))
+    // components are exactly the planted axes, largest entry positive
+    def axis(comp: Array[Double]): Int = comp.indexWhere(_ != 0.0)
+    assert(m.components.map(axis).toSeq == Seq(5, 17, 33))
+    assert(m.components.forall(c => c(axis(c)) == 1.0 &&
+      c.count(_ != 0.0) == 1))
+    // constant axes' means survive into the model
+    assert(m.mean(6) == 0.0 && m.mean(7) == 0.25 && m.mean(8) == 0.5)
+    assert(m.mean(5) == 0.0 && m.mean(17) == 0.0)
+  }
+
+  test("pcaApply: rank-2 off-axis data — projection preserves geometry") {
+    // data lies exactly in span{u, w} with u ⊥ w, both OFF-axis: the
+    // k=2 projection must preserve every pairwise squared distance
+    // (rotation invariance) — exercises a real eigendecomposition, not
+    // coordinate selection
+    val u = Array.tabulate(8)(i => if (i < 4) 0.5 else 0.0)
+    val w = Array.tabulate(8)(i => if (i >= 4) 0.5 else 0.0)
+    val coefs = Seq((0.0, 1.0), (1.0, 3.0), (2.0, -1.0), (-3.0, 0.5),
+      (4.0, 2.0), (-1.0, -2.0))
+    val rows = coefs.zipWithIndex.map { case ((a, b), i) =>
+      (i.toLong, Array.tabulate(8)(j => a * u(j) + b * w(j)).toSeq) }
+    val df = rows.toDF("vec_id", "pv")
+    val m = VectorOps.pcaFit(df, "pv", k = 2)
+    val proj = VectorOps.pcaApply(df, "pv", m)
+      .select("vec_id", "p1", "p2").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    def d2(x: (Double, Double), y: (Double, Double)): Double =
+      (x._1 - y._1) * (x._1 - y._1) + (x._2 - y._2) * (x._2 - y._2)
+    for (i <- rows.indices; j <- (i + 1) until rows.size) {
+      val ((ai, bi), (aj, bj)) = (coefs(i), coefs(j))
+      val want = ((ai - aj) * (ai - aj) + (bi - bj) * (bi - bj)) * 0.5 * 0.5 * 4
+      assert(math.abs(d2(proj(i.toLong), proj(j.toLong)) - want) < 1e-9,
+        s"pair ($i,$j): got ${d2(proj(i.toLong), proj(j.toLong))}, want $want")
+    }
+    // projected variance matches the model's eigenvalues
+    val n = rows.size
+    def varOf(xs: Seq[Double]): Double = {
+      val mu = xs.sum / n; xs.map(x => (x - mu) * (x - mu)).sum / n
+    }
+    val (p1s, p2s) = (proj.values.map(_._1).toSeq, proj.values.map(_._2).toSeq)
+    assert(math.abs(varOf(p1s) - m.eigenvalues(0)) < 1e-9)
+    assert(math.abs(varOf(p2s) - m.eigenvalues(1)) < 1e-9)
+  }
 }
