@@ -1440,6 +1440,20 @@ object Oracles {
 
     "dedup_cluster_rep" -> dedupClusterRepSql,
 
+    // phrase search: direct token-slice replay of the positional-index
+    // answer — every overlapping occurrence counts, 0-based positions
+    "text_phrase_search" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+        |    string_split(trim(text), ' ') AS t FROM documents),
+        |g AS (SELECT doc, unnest(range(1, len(t) + 1)) AS i, t FROM d),
+        |m AS (SELECT 'fast table' AS phrase, doc, i - 1 AS pos FROM g
+        |  WHERE array_to_string(t[i:i+1], ' ') = 'fast table'
+        |  UNION ALL
+        |  SELECT 'big order scan' AS phrase, doc, i - 1 AS pos FROM g
+        |  WHERE array_to_string(t[i:i+2], ' ') = 'big order scan')
+        |SELECT phrase, doc, count(*) AS n_matches, min(pos) AS first_pos
+        |FROM m GROUP BY phrase, doc""".stripMargin,
+
     "sample_stratified" -> sampleStratifiedSql,
     "sample_mixture" -> sampleMixtureSql,
 

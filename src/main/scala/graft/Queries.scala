@@ -1433,6 +1433,34 @@ object Queries {
         (coalesce(col("component"), col("doc")) === col("doc")).as("is_keeper"))
   }
 
+  /** Exact phrase serving over the persisted positional inverted index
+    * ([[operators.TextOps.buildPostings]]/[[operators.TextOps
+    * .phraseSearch]]): two phrases (a 2-term and a 3-term) answered
+    * from ONE index build — each search reads only its terms' hash
+    * buckets (foldable `tb` predicate → partition pruning at listing
+    * time) and joins posting streams on `(doc, pos+j)`. The oracle
+    * replays phrase occurrence positions by direct token-slice scan,
+    * so a broken index layout, bucket routing, or join offset breaks
+    * the hash. */
+  def textPhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|postings".getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val idxPath = s"${Queries.privateIndexBase}/graft_postings_$tag"
+    if (!new java.io.File(s"$idxPath/_SUCCESS").exists())
+      TextOps.buildPostings(docs, "doc_id", "text", idxPath)
+    def hits(phrase: Seq[String]): DataFrame =
+      TextOps.phraseSearch(s, idxPath, phrase)
+        .groupBy(col("doc"))
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("pos")).cast("long").as("first_pos"))
+        .withColumn("phrase", lit(phrase.mkString(" ")))
+    hits(Seq("fast", "table"))
+      .unionByName(hits(Seq("big", "order", "scan")))
+      .select(col("phrase"), col("doc"), col("n_matches"), col("first_pos"))
+  }
+
   /** Near-dup cluster REPRESENTATIVE selection: production dedup keeps
     * the best member of each duplicate cluster, not an arbitrary one —
     * the keep rule here is highest [[operators.TextOps.qualityScore]]

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text / document operators for large-scale training-data pipelines.
@@ -639,6 +639,55 @@ object TextOps {
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc"))
       .limit(k)
+  }
+
+  /** Positional posting lists — the persisted INVERTED INDEX for exact
+    * phrase serving ([[phraseSearch]]): one row per token occurrence
+    * `(doc, pos, term)`, written partitioned by `tb = hash(term) mod
+    * buckets` so a query touches only its terms' buckets. Direct term
+    * partitioning would mint one directory per DISTINCT TERM (a
+    * vocabulary-sized small-file explosion at corpus scale); hash
+    * bucketing keeps the layout at `buckets` dirs while a literal
+    * `tb = xxhash64(term) % buckets` predicate still constant-folds
+    * into a partition filter. Build cost: one tokenize + explode, one
+    * shuffle-free write. */
+  def buildPostings(docs: DataFrame, idCol: String, textCol: String,
+                    path: String, buckets: Int = 64): Unit =
+    docs.select(col(idCol).cast("long").as("doc"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(buckets)))
+      .write.mode("overwrite").partitionBy("tb").parquet(path)
+
+  /** Exact phrase matches over a [[buildPostings]] index: one
+    * `(doc, pos)` row per occurrence of `phrase` starting at token
+    * position `pos` (0-based; overlapping occurrences all count — the
+    * standard positional-index semantics, Manning et al. IR ch. 2).
+    *
+    * The m-term phrase is an (m−1)-fold equi-join of per-term posting
+    * streams on `(doc, pos + j)` — each stream reads ONLY its term's
+    * hash bucket (the `tb` predicate is foldable, so Catalyst prunes
+    * partitions at listing time) and pushes `term = t` into the scan.
+    * Join input is occurrence-count-sized, not corpus-sized; the join
+    * keys carry (doc, pos) so skew is bounded by per-doc term
+    * frequency. A single-term phrase is the bare posting lookup. */
+  def phraseSearch(s: SparkSession, path: String, phrase: Seq[String],
+                   buckets: Int = 64): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val post = s.read.parquet(path)
+    // unique column names per term stream (a phrase can repeat a term,
+    // so the join must never see two references to one attribute set)
+    def postingsOf(t: String, j: Int): DataFrame =
+      post.filter(col("tb") === pmod(xxhash64(lit(t)), lit(buckets)) &&
+          col("term") === t)
+        .select(col("doc").as(s"_d$j"), col("pos").as(s"_q$j"))
+    phrase.zipWithIndex.tail.foldLeft(
+        postingsOf(phrase.head, 0)
+          .select(col("_d0").as("doc"), col("_q0").as("pos"))) {
+      case (acc, (t, j)) =>
+        acc.join(postingsOf(t, j), col("doc") === col(s"_d$j") &&
+            col(s"_q$j") === col("pos") + lit(j))
+          .select(col("doc"), col("pos"))
+    }
   }
 
   /** The composite-quality stopword set (distinct from the language

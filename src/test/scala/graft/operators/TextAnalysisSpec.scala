@@ -568,6 +568,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L).getAs[Double]("mean_word_len") == 1.0)
   }
 
+  test("phraseSearch: positional index — overlaps, repeats, pruned buckets") {
+    val docs = Seq(
+      (1L, "a a a b a a"),
+      (2L, "b a a c"),
+      (3L, "x y z")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.Queries.privateIndexBase),
+      "postings_spec").toString
+    TextOps.buildPostings(docs, "doc_id", "text", idx, buckets = 16)
+    def search(ph: String*): Seq[(Long, Int)] =
+      TextOps.phraseSearch(spark, idx, ph, buckets = 16)
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+        .sortBy(identity).toSeq
+    // overlapping occurrences all count (standard positional semantics)
+    assert(search("a", "a") == Seq((1L, 0), (1L, 1), (1L, 4), (2L, 1)))
+    // repeated-term phrase joins the same posting stream twice
+    assert(search("a", "a", "a") == Seq((1L, 0)))
+    // cross-token-boundary phrase + single-term lookup
+    assert(search("b", "a") == Seq((1L, 3), (2L, 0)))
+    assert(search("z") == Seq((3L, 2)))
+    assert(search("a", "z").isEmpty)
+    // serving reads ONLY the phrase terms' hash buckets: the foldable
+    // tb predicate must reach the scan as a partition filter
+    val plan = TextOps.phraseSearch(spark, idx, Seq("a", "b"), buckets = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*tb".r.findFirstIn(plan).isDefined,
+      s"tb partition filter missing:\n$plan")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("frequentNgrams: exact heavy hitters, result independent of sketch params") {
     // "a b" ×5 (from three docs), "b c" ×4, "c d" ×1, "x y" ×2
     val docs = Seq(
