@@ -1440,6 +1440,37 @@ object Oracles {
 
     "dedup_cluster_rep" -> dedupClusterRepSql,
 
+    // domain-suffix blocklist: identical planted url + normalization
+    // chain, suffix law host = p OR ends_with(host, '.'||p), winner =
+    // longest pattern then lexicographic — same precedence both engines
+    "web_domain_filter" ->
+      """WITH u AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END) ||
+        |    (CASE WHEN doc_id % 3 = 1 THEN 'www.'
+        |          WHEN doc_id % 3 = 2 THEN 'cdn.' ELSE '' END) ||
+        |    'Site' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '.com'
+        |          WHEN doc_id % 3 = 1 THEN '.net' ELSE '.org' END) ||
+        |    '/Page/' || CAST(doc_id AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |n AS (SELECT doc,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(url), '^[a-z][a-z0-9+.-]*://', ''), '^www\.', ''),
+        |      '[?#].*$', ''), '/+$', '') AS url_norm FROM u),
+        |h AS (SELECT doc, regexp_extract(url_norm, '^[^/]+') AS host FROM n),
+        |p AS (SELECT unnest(['site7.com', 'site13.net', 'site9.org',
+        |    'cdn.site21.org', 'site21.org']) AS pat),
+        |m AS (SELECT doc, pat FROM h JOIN p
+        |  ON h.host = p.pat OR ends_with(h.host, '.' || p.pat)),
+        |b AS (SELECT doc, pat FROM m QUALIFY row_number() OVER
+        |  (PARTITION BY doc ORDER BY length(pat) DESC, pat) = 1)
+        |SELECT h.doc, h.host, b.pat AS blocked_by,
+        |  b.pat IS NOT NULL AS is_blocked
+        |FROM h LEFT JOIN b ON h.doc = b.doc""".stripMargin,
+
     // phrase search: direct token-slice replay of the positional-index
     // answer — every overlapping occurrence counts, 0-based positions
     "text_phrase_search" ->

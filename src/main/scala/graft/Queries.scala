@@ -980,6 +980,32 @@ object Queries {
     TextOps.urlCurate(docs, "doc_id", "url", blocklist = urlBlocklist)
   }
 
+  /** The shared suffix blocklist (oracle-mirrored): mixes a full-host
+    * pattern with its parent domain (most-specific precedence is
+    * observable) and a bare-domain pattern that only ever matches via
+    * the subdomain suffix rule. */
+  private val domainBlockPatterns = Seq(
+    "site7.com", "site13.net", "site9.org", "cdn.site21.org", "site21.org")
+
+  /** Domain-suffix blocklist filtering over the planted urls
+    * ([[operators.TextOps.domainSuffixBlock]], the broadcast-join form
+    * a UT1-sized list needs): hosts explode into label suffixes,
+    * equi-join the pattern table, most-specific match wins. The
+    * fixture exercises all three behaviors — exact host block, parent-
+    * domain block of a subdomained host (`site9.org` catching
+    * `cdn.site9.org`), and specificity precedence (`cdn.site21.org`
+    * beating `site21.org` on the same host). */
+  def webDomainFilter(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val docs = Tables.documents(s, dir)
+      .select(id.as("doc_id"), plantedUrl(id).as("url"))
+    val hosts = TextOps.urlCurate(docs, "doc_id", "url", Nil)
+      .select(col("doc"), col("host"))
+    import s.implicits._
+    TextOps.domainSuffixBlock(hosts, "doc", "host",
+      domainBlockPatterns.toDF("pattern"))
+  }
+
   /** COMPOSED web-curation lineage — the FineWeb-ish front half of a web
     * pipeline as ONE oracle row: planted urls → [[operators.TextOps
     * .urlCurate]] → blocklist drop → PER-DOMAIN CAP (keep the 3

@@ -1387,6 +1387,57 @@ object TextOps {
       host.as("host"), domain.as("domain"), blocked.as("blocked"))
   }
 
+  /** Every label-boundary suffix of a dotted host, most-specific first
+    * by construction order: `cdn.site3.org` → `[cdn.site3.org,
+    * site3.org, org]`. */
+  private def hostSuffixes(host: Column): Column = {
+    val labels = split(host, "\\.")
+    transform(sequence(lit(0), size(labels) - 1),
+      i => array_join(slice(labels, i + 1, size(labels) - i), "."))
+  }
+
+  /** Domain-suffix blocklisting, the URL-filter stage web curation runs
+    * against published blocklists (UT1/RefinedWeb-style lists match by
+    * registered-domain SUFFIX, not exact host): a host is blocked by
+    * pattern `p` iff `host == p` or `host` ends with `"." + p` — label
+    * boundaries only, so `site3.org` blocks `cdn.site3.org` but never
+    * `notsite3.org`. When several patterns match, the MOST SPECIFIC
+    * wins (longest; exact ties → lexicographically first) — the
+    * standard suffix-list precedence.
+    *
+    * This is the JOIN form for blocklists too large to inline in the
+    * plan: each host explodes into its ≤ label-count suffixes (a
+    * bounded ≤8× fan-out, not a corpus blow-up), equi-joins the
+    * BROADCAST pattern table, and the per-doc argmin picks the winning
+    * pattern. Two bounded shuffles on `doc` (hit aggregation + the
+    * left join back); the literal [[domainSuffixBlockCol]] twin is
+    * zero-shuffle for config-sized lists. */
+  def domainSuffixBlock(docs: DataFrame, idCol: String, hostCol: String,
+                        patterns: DataFrame,
+                        patternCol: String = "pattern"): DataFrame = {
+    val e = docs.select(col(idCol).as("doc"),
+      explode(hostSuffixes(col(hostCol))).as("_sfx"))
+    val hits = e
+      .join(broadcast(patterns.select(col(patternCol).as("_sfx"))), Seq("_sfx"))
+      .groupBy("doc")
+      .agg(min(struct((-length(col("_sfx"))).as("nl"),
+        col("_sfx").as("p"))).as("_m"))
+      .select(col("doc"), col("_m").getField("p").as("blocked_by"))
+    docs.select(col(idCol).as("doc"), col(hostCol).as("host"))
+      .join(hits, Seq("doc"), "left")
+      .withColumn("is_blocked", col("blocked_by").isNotNull)
+  }
+
+  /** Literal-blocklist twin of [[domainSuffixBlock]]: the winning
+    * pattern (or null) as a row-local Column — zero shuffle, streams
+    * unchanged. Same precedence law (longest match, ties lexicographic). */
+  def domainSuffixBlockCol(host: Column, blocklist: Seq[String]): Column = {
+    val ordered = blocklist.distinct.sortBy(b => (-b.length, b))
+    ordered.foldRight(lit(null).cast("string")) { (b, acc) =>
+      when(host === b || host.endsWith("." + b), lit(b)).otherwise(acc)
+    }
+  }
+
   /** CORPUS-WIDE FREQUENT n-GRAMS — the heavy-hitter tier, via the
     * SKETCH-PREFILTER two-pass (Cormode & Muthukrishnan's count-min,
     * J. Algorithms 2005, in its exact-verify deployment):

@@ -568,6 +568,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L).getAs[Double]("mean_word_len") == 1.0)
   }
 
+  test("domainSuffixBlock: label boundaries, specificity, join == literal") {
+    val hosts = Seq(
+      (1L, "site7.com"),          // exact
+      (2L, "cdn.site9.org"),      // parent-domain suffix
+      (3L, "notsite7.com"),       // NOT a label-boundary match
+      (4L, "cdn.site21.org"),     // two patterns match: specificity
+      (5L, "a.b.site21.org"),     // deep subdomain, parent wins
+      (6L, "clean.example")).toDF("doc", "host")
+    val pats = Seq("site7.com", "site9.org", "cdn.site21.org", "site21.org")
+    val joined = TextOps.domainSuffixBlock(hosts, "doc", "host",
+        pats.toDF("pattern"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getAs[String]("blocked_by"))).toMap
+    assert(joined == Map(
+      1L -> Some("site7.com"), 2L -> Some("site9.org"), 3L -> None,
+      4L -> Some("cdn.site21.org"), 5L -> Some("site21.org"), 6L -> None))
+    // the zero-shuffle literal twin applies the identical law
+    val lit0 = hosts.select(col("doc"),
+        TextOps.domainSuffixBlockCol(col("host"), pats).as("b"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("b"))).toMap
+    assert(lit0 == joined)
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("phraseSearch: positional index — overlaps, repeats, pruned buckets") {
     val docs = Seq(
       (1L, "a a a b a a"),
