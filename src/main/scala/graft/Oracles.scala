@@ -1440,6 +1440,19 @@ object Oracles {
 
     "dedup_cluster_rep" -> dedupClusterRepSql,
 
+    // length profile: quantile_cont == Spark's interpolated percentile
+    "text_length_quantiles" ->
+      """WITH d AS (SELECT source,
+        |    len(string_split(trim(text), ' '))::BIGINT AS n FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  round(avg(n), 6) + 0.0e0 AS mean_tokens,
+        |  round(quantile_cont(n, 0.25), 6) + 0.0e0 AS p25,
+        |  round(quantile_cont(n, 0.5), 6) + 0.0e0 AS p50,
+        |  round(quantile_cont(n, 0.75), 6) + 0.0e0 AS p75,
+        |  round(quantile_cont(n, 0.95), 6) + 0.0e0 AS p95,
+        |  max(n) AS max_tokens
+        |FROM d GROUP BY source""".stripMargin,
+
     // domain-suffix blocklist: identical planted url + normalization
     // chain, suffix law host = p OR ends_with(host, '.'||p), winner =
     // longest pattern then lexicographic — same precedence both engines

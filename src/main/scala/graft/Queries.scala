@@ -949,6 +949,13 @@ object Queries {
   def textSourceDrift(s: SparkSession, dir: String): DataFrame =
     TextOps.sourceDrift(Tables.documents(s, dir), "doc_id", "text", "source")
 
+  /** Per-source token-length profile ([[operators.TextOps
+    * .lengthQuantiles]]) — the report that sizes packing and
+    * sequence-length config. */
+  def textLengthQuantiles(s: SparkSession, dir: String): DataFrame =
+    TextOps.lengthQuantiles(Tables.documents(s, dir), "doc_id", "text",
+      "source")
+
   /** The deterministically planted url (shared by [[textUrlNormalize]]
     * and [[webCurationPipeline]], mirrored verbatim in their oracles). */
   private def plantedUrl(id: Column): Column = concat(

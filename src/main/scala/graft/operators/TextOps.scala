@@ -690,6 +690,32 @@ object TextOps {
     }
   }
 
+  /** Per-source token-length PROFILE — the corpus report that sizes
+    * sequence-length and packing config (how long are documents per
+    * source; where do the p95 tails sit): doc count, mean, exact
+    * interpolated quantiles (p25/p50/p75/p95) and max of the
+    * whitespace-token count, one row per source.
+    *
+    * Scale note: EXACT `percentile` buffers each group's values — the
+    * right tool for bounded-cardinality profiling (|sources| rows) on
+    * corpora up to the executor-memory regime, and what the oracle can
+    * replay bit-for-bit (`quantile_cont` = Spark's interpolated law).
+    * Past that, swap `percentile` → `approx_percentile` in place: same
+    * plan shape, sketch-bounded state (the spec pins the approx twin
+    * within its documented error on the same data). */
+  def lengthQuantiles(docs: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String): DataFrame = {
+    val n = size(tokens(col(textCol))).cast("long")
+    def q(p: Double, name: String): Column =
+      (round(percentile(col("_n"), lit(p)), 6) + 0.0).as(name)
+    docs.select(col(sourceCol).as("source"), n.as("_n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        (round(avg(col("_n")), 6) + 0.0).as("mean_tokens"),
+        q(0.25, "p25"), q(0.5, "p50"), q(0.75, "p75"), q(0.95, "p95"),
+        max(col("_n")).as("max_tokens"))
+  }
+
   /** The composite-quality stopword set (distinct from the language
     * markers; shared with [[qualityCol]]). */
   val QualityStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")

@@ -568,6 +568,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L).getAs[Double]("mean_word_len") == 1.0)
   }
 
+  test("lengthQuantiles: exact interpolation, and the approx twin lands close") {
+    // 1..8 tokens in one source: p50 of [1..8] = 4.5 (interpolated)
+    val docs = (1 to 8).map(i => (i.toLong, ("w " * i).trim, "s0"))
+      .toDF("doc_id", "text", "source")
+    val r = TextOps.lengthQuantiles(docs, "doc_id", "text", "source")
+      .collect().head
+    assert(r.getAs[Long]("n_docs") == 8L)
+    assert(r.getAs[Double]("p50") == 4.5)
+    assert(r.getAs[Double]("p25") == 2.75 && r.getAs[Double]("p75") == 6.25)
+    assert(r.getAs[Long]("max_tokens") == 8L)
+    // the documented at-scale swap: approx_percentile on the same data
+    // stays within its accuracy bound of the exact answer
+    val ap = docs.select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(approx_percentile(col("n"), lit(0.5), lit(10000)).as("a"))
+      .collect().head.getLong(0)
+    assert(math.abs(ap - 4.5) <= 1.0)
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("domainSuffixBlock: label boundaries, specificity, join == literal") {
     val hosts = Seq(
       (1L, "site7.com"),          // exact
