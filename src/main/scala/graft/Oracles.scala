@@ -1440,6 +1440,28 @@ object Oracles {
 
     "dedup_cluster_rep" -> dedupClusterRepSql,
 
+    // containment: shared-shingle candidates (hot-bucket cap mirrored),
+    // exact intersection, asymmetric ratios c/|A| and c/|B|, either-
+    // direction gate — deterministic scalar division, no rounding
+    "dedup_containment" -> {
+      val m = graft.operators.TextOps.HashMod
+      s"""WITH $shingleCte,
+         |hv AS (SELECT doc, list_transform(sh,
+         |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $m) AS hv
+         |  FROM s WHERE len(sh) > 0),
+         |e AS (SELECT doc, unnest(hv) AS g FROM hv),
+         |cap AS (SELECT doc, g FROM e QUALIFY row_number() OVER
+         |  (PARTITION BY g ORDER BY doc) <= 1000),
+         |cm AS (SELECT a.doc AS da, b.doc AS db, count(*) AS c
+         |  FROM cap a JOIN cap b ON a.g = b.g AND a.doc < b.doc
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc, len(hv)::BIGINT AS n FROM hv),
+         |r AS (SELECT da, db, c::DOUBLE / sa.n AS ca, c::DOUBLE / sb.n AS cb
+         |  FROM cm JOIN sz sa ON da = sa.doc JOIN sz sb ON db = sb.doc)
+         |SELECT da AS doc_a, db AS doc_b, ca AS cont_a, cb AS cont_b
+         |FROM r WHERE ca >= 0.8e0 OR cb >= 0.8e0""".stripMargin
+    },
+
     // length profile: quantile_cont == Spark's interpolated percentile
     "text_length_quantiles" ->
       """WITH d AS (SELECT source,

@@ -949,6 +949,16 @@ object Queries {
   def textSourceDrift(s: SparkSession, dir: String): DataFrame =
     TextOps.sourceDrift(Tables.documents(s, dir), "doc_id", "text", "source")
 
+  /** Containment pairs ([[operators.TextOps.containmentPairs]]) — the
+    * asymmetric-overlap detector a Jaccard gate is blind to (Broder's
+    * resemblance vs containment distinction): at sf0.01 the 0.8 gate
+    * keeps ~25 of ~11.5k shared-shingle candidates (the rest top out
+    * at 0.27), so both the candidacy and the gate are exercised hard
+    * in both directions. */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    TextOps.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+      minContainment = 0.8)
+
   /** Per-source token-length profile ([[operators.TextOps
     * .lengthQuantiles]]) — the report that sizes packing and
     * sequence-length config. */

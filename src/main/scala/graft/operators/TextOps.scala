@@ -261,6 +261,46 @@ object TextOps {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** CONTAINMENT pairs (Broder 1997's asymmetric resemblance — the
+    * quote/partial-copy detector): `C(A,B) = |S(A)∩S(B)| / |S(A)|`,
+    * which stays high when a small document sits inside a much larger
+    * one even though Jaccard (÷ the union) collapses — exactly the
+    * pairs a Jaccard gate is blind to. Emits `(doc_a, doc_b, cont_a,
+    * cont_b)` for ordered pairs where EITHER direction clears
+    * `minContainment` (cont_a = fraction of A's shingles inside B).
+    *
+    * Candidates come from the shared-shingle inverted buckets (a doc
+    * contained in another shares EVERY shingle, so one shared shingle
+    * is a complete candidacy condition — no band-recall caveat), with
+    * the hot-shingle rank cap bounding boilerplate buckets (capped
+    * recall documented, cap mirrored by the oracle). The exact
+    * intersection count then comes from the pair groupBy — candidate-
+    * sized, never corpus². */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int = 3, minContainment: Double = 0.8,
+                       maxShingleBucket: Int = 1000): DataFrame = {
+    val pre = shingleHashed(docs, idCol, textCol, shingleK)
+      .transform(graft.CacheRegistry.persistTracked(_))
+    val sh = pre.select(col("doc"), explode(col("hv")).as("g"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("doc"))
+    val capped = sh.withColumn("_rn", row_number().over(wb))
+      .filter(col("_rn") <= maxShingleBucket).drop("_rn")
+    val common = capped.select(col("doc").as("doc_a"), col("g"))
+      .join(capped.select(col("doc").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    val sizes = pre.select(col("doc"), size(col("hv")).cast("long").as("n"))
+    common
+      .join(sizes.select(col("doc").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / col("na")).as("cont_a"),
+        (col("c").cast("double") / col("nb")).as("cont_b"))
+      .filter(col("cont_a") >= minContainment ||
+        col("cont_b") >= minContainment)
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs above a threshold:
     * explode shingles → equi-join on the shingle → pair intersection counts
     * → join per-doc set sizes → |A∩B| / (|A|+|B|−|A∩B|). Verification

@@ -568,6 +568,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L).getAs[Double]("mean_word_len") == 1.0)
   }
 
+  test("containmentPairs: catches the asymmetric pair Jaccard is blind to") {
+    val small = "alpha beta gamma delta epsilon"        // 3 shingles
+    val big = ("pad" + (1 to 12).map(i => s" filler$i").mkString) +
+      s" $small " + (13 to 24).map(i => s"filler$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big),
+      (3L, "unrelated words entirely different content here"))
+      .toDF("doc_id", "text")
+    val pairs = TextOps.containmentPairs(docs, "doc_id", "text",
+        minContainment = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3)))).toMap
+    // A ⊂ B: every shingle of A appears in B → cont_a = 1.0
+    assert(pairs.keySet == Set((1L, 2L)))
+    assert(pairs((1L, 2L))._1 == 1.0 && pairs((1L, 2L))._2 < 0.2)
+    // the Jaccard gate at the same strictness misses it entirely
+    val jac = TextOps.ngramJaccardPairs(docs, "doc_id", "text",
+      minJaccard = 0.5).collect()
+    assert(jac.isEmpty, "jaccard should be blind to the contained pair")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("lengthQuantiles: exact interpolation, and the approx twin lands close") {
     // 1..8 tokens in one source: p50 of [1..8] = 4.5 (interpolated)
     val docs = (1 to 8).map(i => (i.toLong, ("w " * i).trim, "s0"))
