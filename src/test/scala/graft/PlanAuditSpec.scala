@@ -371,6 +371,35 @@ class PlanAuditSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("pca: one-pass moment fit, apply is narrow native-dot compute") {
+    // fit = exactly one aggregate job over one scan (the d+d² moment
+    // pass); apply must add NO exchange and ride the native dot kernel
+    val planted = spark.range(64).select(
+      org.apache.spark.sql.functions.col("id").as("vec_id"),
+      Queries.pcaPlanted(org.apache.spark.sql.functions.col("id")).as("pv"))
+    val m = operators.VectorOps.pcaFit(planted, "pv", k = 2)
+    val p = plan(operators.VectorOps.pcaApply(planted, "pv", m))
+    assert(!p.contains("Exchange"),
+      s"pca apply should be a narrow projection:\n$p")
+    assert(p.toLowerCase.contains("arraydotproduct"),
+      s"pca apply lost the native dot kernel:\n$p")
+  }
+
+  test("containment: candidate equi-join only, no all-pairs plan") {
+    val p = plan(Queries.dedupContainment(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"containment degraded to an all-pairs join:\n$p")
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("domain filter: pattern side broadcasts; corpus never nested-loops") {
+    val p = plan(Queries.webDomainFilter(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"pattern join should broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"domain filter degraded:\n$p")
+  }
+
   test("vad: kernel emits windows; the RLE merge is one required exchange") {
     // two exchanges total: the deliberate pre-render id repartition
     // (REPARTITION_BY_COL — fixture parallelism, same as the modal

@@ -91,6 +91,19 @@ class TextStreamSpec extends SparkSpec {
       fp(docs.toDF()).orderBy("doc").collect().toSeq)
   }
 
+  test("domain blocklist at ingest: literal form streams, == batch") {
+    // the zero-shuffle literal twin of domainSuffixBlock is a pure
+    // projection — blocklist gating runs AT INGEST, before any fetch
+    val op = (df: DataFrame) => df.select(col("doc_id").as("doc"),
+      TextOps.domainSuffixBlockCol(
+        concat(lit("h"), col("doc_id"), lit(".site9.org")),
+        Seq("site9.org", "h2.site9.org")).as("blocked_by"))
+    val got = streamed("domain_stream", op)
+    assert(got == op(docs.toDF()).orderBy("doc").collect().toSeq)
+    assert(got.map(r => r.getLong(0) -> r.getString(1)).toMap
+      .apply(2L) == "h2.site9.org") // specificity holds in-stream
+  }
+
   test("gopher rules at ingest: stream == batch, stateless") {
     val op = (df: DataFrame) => TextOps.gopherRules(df, "doc_id", "text")
     assert(streamed("gopher_stream", op) ==
