@@ -318,9 +318,12 @@ object Oracles {
   /** BM25 (rational-idf) keyword search — mirrors TextOps.bm25TopK term by
     * term with the identical float expression tree (same literals, same
     * parenthesization, left-assoc sum), so scores are bit-equal. */
-  private def bm25Sql: String = {
+  /** The BM25 scoring CTE chain (yields `sc(doc, dl, score)`) — shared
+    * by [[bm25Sql]] and the RRF fusion oracle so the expression tree
+    * cannot drift between them. */
+  private def bm25Ctes: String = {
     val terms = graft.Queries.bm25Terms
-    val (k1, b, k) = ("1.2e0", "0.75e0", 20)
+    val (k1, b) = ("1.2e0", "0.75e0")
     val tfCols = terms.indices.map(i =>
       s"len(list_filter(toks, w -> w = '${terms(i)}'))::BIGINT AS tf$i")
       .mkString(",\n    ")
@@ -337,7 +340,7 @@ object Oracles {
          |        + $b * (CAST(dl AS DOUBLE) / $avgdl))))
          |  ELSE 0.0e0 END)""".stripMargin
     }.mkString("\n  + ")
-    s"""WITH d AS (SELECT doc_id AS doc, string_split(trim(text), ' ') AS toks
+    s"""d AS (SELECT doc_id AS doc, string_split(trim(text), ' ') AS toks
        |  FROM documents),
        |tf AS (SELECT doc, len(toks)::BIGINT AS dl,
        |    $tfCols
@@ -347,10 +350,45 @@ object Oracles {
        |  FROM tf),
        |sc AS (SELECT doc, dl,
        |  $contribs AS score
-       |  FROM tf CROSS JOIN st)
-       |SELECT doc, dl, score FROM sc WHERE score > 0
-       |ORDER BY score DESC, doc LIMIT $k""".stripMargin
+       |  FROM tf CROSS JOIN st)""".stripMargin
   }
+
+  private def bm25Sql: String =
+    s"""WITH $bm25Ctes
+       |SELECT doc, dl, score FROM sc WHERE score > 0
+       |ORDER BY score DESC, doc LIMIT 20""".stripMargin
+
+  /** retrieval_rrf oracle: the shared BM25 chain and the sim_brute
+    * cosine chain, each top-20 ranked, fused by reciprocal rank
+    * (1/(60+r), missing list contributes 0 — Cormack et al. 2009),
+    * top-10 by (rrf DESC, doc). Fixed two-term sum order matches the
+    * engine's coalesce(+) expression exactly. */
+  private def retrievalRrfSql: String =
+    s"""WITH $bm25Ctes,
+       |bmt AS (SELECT doc, score FROM sc WHERE score > 0
+       |  ORDER BY score DESC, doc LIMIT 20),
+       |bmr AS (SELECT CAST(doc AS BIGINT) AS doc,
+       |  row_number() OVER (ORDER BY score DESC, doc) AS r_bm FROM bmt),
+       |e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+       |vs AS (SELECT e.vec_id,
+       |    list_sum(list_transform(range(1, len(q) + 1),
+       |      i -> q[i] * v[i]))
+       |    / (sqrt(list_sum(list_transform(q, x -> x * x)))
+       |       * sqrt(list_sum(list_transform(v, x -> x * x)))) AS sim
+       |  FROM e CROSS JOIN qv WHERE e.vec_id <> 0),
+       |vt AS (SELECT vec_id, sim FROM vs ORDER BY sim DESC, vec_id LIMIT 20),
+       |vr AS (SELECT CAST(vec_id AS BIGINT) AS doc,
+       |  row_number() OVER (ORDER BY sim DESC, vec_id) AS r_v FROM vt),
+       |f AS (SELECT coalesce(bmr.doc, vr.doc) AS doc,
+       |    coalesce(1.0e0 / (60 + r_bm), 0.0e0)
+       |      + coalesce(1.0e0 / (60 + r_v), 0.0e0) AS rrf,
+       |    r_bm, r_v
+       |  FROM bmr FULL OUTER JOIN vr ON bmr.doc = vr.doc)
+       |SELECT doc, rrf, r_bm, r_v FROM f
+       |ORDER BY rrf DESC, doc LIMIT 10""".stripMargin
 
   private def minhashSql: String =
     s"""WITH $minhashBandCtes,
@@ -2183,6 +2221,8 @@ object Oracles {
         |FROM m JOIN tc USING (doc)""".stripMargin,
 
     "bm25_topk" -> bm25Sql,
+
+    "retrieval_rrf" -> retrievalRrfSql,
 
     "ann_lsh_topk" -> annLshSql,
 

@@ -2018,6 +2018,40 @@ object Queries {
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"))
   }
 
+  /** HYBRID retrieval — reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher, SIGIR 2009) of the two ranking families this engine
+    * serves: the BM25 keyword list ([[bm25Topk]]) and the cosine
+    * vector list (the [[simBruteTopK]] scoring chain, query = vec 0).
+    * `rrf(d) = Σ_lists 1/(60 + rank_d)` with absent membership
+    * contributing 0; top-10 by (rrf DESC, doc). The list ranks are
+    * computed AFTER a TakeOrderedAndProject limit, so the global
+    * row_number windows only ever see ≤20 rows — no single-partition
+    * corpus sort anywhere. Fusion arithmetic is deterministic scalar
+    * work the oracle replays bit-for-bit (fixed two-term sum order). */
+  def retrievalRrf(s: SparkSession, dir: String): DataFrame = {
+    val kRrf = 60L
+    val wBm = Window.orderBy(col("score").desc, col("doc"))
+    val bmr = bm25Topk(s, dir).select(col("doc"), col("score"))
+      .withColumn("r_bm", row_number().over(wBm).cast("long"))
+      .select(col("doc").cast("long").as("doc"), col("r_bm"))
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("v"))
+    val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val wV = Window.orderBy(col("sim").desc, col("vec_id"))
+    val vr = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .withColumn("sim", VectorOps.cosine(col("qv"), col("v")))
+      .orderBy(col("sim").desc, col("vec_id")).limit(20)
+      .withColumn("r_v", row_number().over(wV).cast("long"))
+      .select(col("vec_id").cast("long").as("doc"), col("r_v"))
+    bmr.join(vr, Seq("doc"), "full_outer")
+      .select(col("doc"),
+        (coalesce(lit(1.0) / (lit(kRrf) + col("r_bm")), lit(0.0)) +
+         coalesce(lit(1.0) / (lit(kRrf) + col("r_v")), lit(0.0))).as("rrf"),
+        col("r_bm"), col("r_v"))
+      .orderBy(col("rrf").desc, col("doc")).limit(10)
+  }
+
   // -------------------------------------- direct per-operator oracles (r5)
   // Every §2 operator that previously rode on ScalaTest alone gets its own
   // hash-matched CORRECTNESS row here.
