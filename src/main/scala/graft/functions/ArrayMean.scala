@@ -17,9 +17,15 @@ object ArrayMean {
       def zero: Buf = (Array.empty[Double], 0L)
       def reduce(b: Buf, a: Seq[Double]): Buf = {
         if (a == null) return b
-        val sums = if (b._1.isEmpty) new Array[Double](a.length) else b._1
+        // iterator traversal, NOT indexed access: the deserialized Seq is
+        // a List, where a(i) is O(i) — indexed summing is O(len²) per row,
+        // which the PCA moment pass (len = d+d² ≈ 4k) turned into a
+        // 10×-corpus hang. One pass via iterator is O(len) regardless of
+        // the runtime Seq type. (a.size is paid once, only on first row.)
+        val sums = if (b._1.isEmpty) new Array[Double](a.size) else b._1
         var i = 0
-        while (i < math.min(sums.length, a.length)) { sums(i) += a(i); i += 1 }
+        val it = a.iterator
+        while (i < sums.length && it.hasNext) { sums(i) += it.next(); i += 1 }
         (sums, b._2 + 1)
       }
       def merge(x: Buf, y: Buf): Buf = {
