@@ -1478,6 +1478,33 @@ object Oracles {
 
     "dedup_cluster_rep" -> dedupClusterRepSql,
 
+    // sft spans: identical turn derivation (8-token turns, cap 4) and
+    // the same prefix-sum law: marker(9 user / 14 assistant) + text +
+    // 1 newline per preceding turn; spans are [start, end) of the TEXT
+    "sft_spans" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+        |    string_split(trim(text), ' ') AS toks FROM documents),
+        |n AS (SELECT doc, toks,
+        |    least((len(toks) + 7) // 8, 4) AS nt FROM d),
+        |t AS (SELECT doc, unnest(range(0, nt)) AS turn_idx, toks FROM n),
+        |r AS (SELECT doc, CAST(turn_idx AS INT) AS turn_idx,
+        |    CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END
+        |      AS role,
+        |    CASE WHEN turn_idx % 2 = 0 THEN 9 ELSE 14 END AS mlen,
+        |    length(array_to_string(
+        |      toks[turn_idx * 8 + 1 : turn_idx * 8 + 8], ' ')) AS tlen
+        |  FROM t),
+        |p AS (SELECT doc, turn_idx, role, mlen, tlen,
+        |    coalesce(sum(mlen + tlen + 1) OVER (PARTITION BY doc
+        |      ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS prefix
+        |  FROM r)
+        |SELECT doc, turn_idx, role,
+        |  (prefix + mlen)::BIGINT AS span_start,
+        |  (prefix + mlen + tlen)::BIGINT AS span_end,
+        |  role = 'assistant' AS in_loss
+        |FROM p""".stripMargin,
+
     // containment: shared-shingle candidates (hot-bucket cap mirrored),
     // exact intersection, asymmetric ratios c/|A| and c/|B|, either-
     // direction gate — deterministic scalar division, no rounding

@@ -959,6 +959,13 @@ object Queries {
     TextOps.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
       minContainment = 0.8)
 
+  /** SFT turn spans ([[operators.TextOps.sftTurnSpans]]) — the chat
+    * templating + loss-mask offsets stage of an instruction-tuning
+    * pipeline, over turn structure derived deterministically from the
+    * corpus (the planting discipline). */
+  def sftSpans(s: SparkSession, dir: String): DataFrame =
+    TextOps.sftTurnSpans(Tables.documents(s, dir), "doc_id", "text")
+
   /** Per-source token-length profile ([[operators.TextOps
     * .lengthQuantiles]]) — the report that sizes packing and
     * sequence-length config. */

@@ -730,6 +730,49 @@ object TextOps {
     }
   }
 
+  /** SFT chat-template TURN SPANS — the loss-masking stage an
+    * instruction-tuning pipeline runs after templating: documents are
+    * cut into alternating user/assistant turns, each turn is rendered
+    * as `<|role|>\n<text>\n`, and the output gives every turn's exact
+    * CHARACTER span `[span_start, span_end)` of its text inside the
+    * rendered conversation plus `in_loss` (assistant turns only — the
+    * spans a trainer masks loss to). One row per (doc, turn).
+    *
+    * Offsets come from a per-doc prefix-sum window (marker + text + 1
+    * newline per preceding turn) — shuffle bounded by doc key, turn
+    * fan-out ≤ `maxTurns`; everything else is row-local, so the chain
+    * composes with scan pushdown and streams with a doc-keyed state.
+    * The fixture derivation (turn k = tokens [k·turnTokens, …)) is the
+    * planting discipline: corpus documents are not conversations, so
+    * the turn structure is derived deterministically and the oracle
+    * replays the identical derivation. */
+  def sftTurnSpans(docs: DataFrame, idCol: String, textCol: String,
+                   turnTokens: Int = 8, maxTurns: Int = 4): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTurns = least(
+      ((size(toks) + lit(turnTokens - 1)) / lit(turnTokens)).cast("int"),
+      lit(maxTurns))
+    val turns = docs.select(col(idCol).cast("long").as("doc"),
+        posexplode(transform(sequence(lit(0), nTurns - 1), i =>
+          array_join(slice(toks, i * turnTokens + 1, lit(turnTokens)), " ")))
+          .as(Seq("turn_idx", "ttext")))
+      .withColumn("role",
+        when(col("turn_idx") % 2 === 0, "user").otherwise("assistant"))
+      .withColumn("_mlen",
+        when(col("role") === "user", lit(9)).otherwise(lit(14)))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("doc")
+      .orderBy("turn_idx").rowsBetween(W.unboundedPreceding, -1)
+    turns
+      .withColumn("_prefix", coalesce(
+        sum(col("_mlen") + length(col("ttext")) + 1).over(w), lit(0L)))
+      .select(col("doc"), col("turn_idx"), col("role"),
+        (col("_prefix") + col("_mlen")).cast("long").as("span_start"),
+        (col("_prefix") + col("_mlen") + length(col("ttext")))
+          .cast("long").as("span_end"),
+        (col("role") === "assistant").as("in_loss"))
+  }
+
   /** Per-source token-length PROFILE — the corpus report that sizes
     * sequence-length and packing config (how long are documents per
     * source; where do the p95 tails sit): doc count, mean, exact

@@ -568,6 +568,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L).getAs[Double]("mean_word_len") == 1.0)
   }
 
+  test("sftTurnSpans: spans index the rendered conversation exactly") {
+    val docs = Seq((1L, "a b c"), (2L, "x")).toDF("doc_id", "text")
+    val rows = TextOps.sftTurnSpans(docs, "doc_id", "text",
+        turnTokens = 2, maxTurns = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // rendered doc 1: "<|user|>\na b\n<|assistant|>\nc\n"
+    assert(rows == Seq(
+      (1L, 0, "user", 9L, 12L, false),
+      (1L, 1, "assistant", 27L, 28L, true),
+      (2L, 0, "user", 9L, 10L, false)))
+    // spans really index the rendered string
+    val rendered = "<|user|>\na b\n<|assistant|>\nc\n"
+    assert(rendered.substring(9, 12) == "a b" &&
+      rendered.substring(27, 28) == "c")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("containmentPairs: catches the asymmetric pair Jaccard is blind to") {
     val small = "alpha beta gamma delta epsilon"        // 3 shingles
     val big = ("pad" + (1 to 12).map(i => s" filler$i").mkString) +
