@@ -1478,6 +1478,34 @@ object Oracles {
 
     "dedup_cluster_rep" -> dedupClusterRepSql,
 
+    // robots gate: CLOSED-FORM verdicts from the planted arithmetic —
+    // graftbot-specific hosts (g%4=0) see ONLY the /bot rule; others
+    // see the * rules (/private disallow, /private/ok allow if g%3=0,
+    // empty Disallow matches nothing); longest match, Allow wins ties
+    "web_robots_filter" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc FROM documents),
+        |b AS (SELECT doc, doc % 50 AS g, doc % 5 AS p FROM d),
+        |v AS (SELECT doc,
+        |  'site' || g::VARCHAR || '.com' AS host,
+        |  CASE p WHEN 0 THEN '/' WHEN 1 THEN '/private/x'
+        |         WHEN 2 THEN '/private/ok/y' WHEN 3 THEN '/bot/z'
+        |         ELSE '/pub' END AS path,
+        |  CASE WHEN g % 4 = 0 THEN (CASE WHEN p = 3 THEN 'disallow' END)
+        |       ELSE (CASE WHEN p = 1 THEN 'disallow'
+        |                  WHEN p = 2 THEN (CASE WHEN g % 3 = 0
+        |                    THEN 'allow' ELSE 'disallow' END) END)
+        |  END AS rule_type,
+        |  CASE WHEN g % 4 = 0 THEN (CASE WHEN p = 3 THEN '/bot' END)
+        |       ELSE (CASE WHEN p = 1 THEN '/private'
+        |                  WHEN p = 2 THEN (CASE WHEN g % 3 = 0
+        |                    THEN '/private/ok' ELSE '/private' END) END)
+        |  END AS rule_path
+        |FROM b)
+        |SELECT doc AS req, host, path,
+        |  (rule_type IS NULL OR rule_type = 'allow') AS allowed,
+        |  rule_type, rule_path
+        |FROM v""".stripMargin,
+
     // sft spans: identical turn derivation (8-token turns, cap 4) and
     // the same prefix-sum law: marker(9 user / 14 assistant) + text +
     // 1 newline per preceding turn; spans are [start, end) of the TEXT

@@ -1004,6 +1004,47 @@ object Queries {
     TextOps.urlCurate(docs, "doc_id", "url", blocklist = urlBlocklist)
   }
 
+  /** Planted robots.txt body per domain id (oracle derives the VERDICTS
+    * closed-form from the same arithmetic): mixed-case keys, a trailing
+    * comment, an empty-value Disallow (matches nothing), a consecutive
+    * two-UA group every 7th host, an Allow override every 3rd, and a
+    * graftbot-specific group every 4th (which, per RFC 9309, then
+    * REPLACES the `*` rules for us entirely). */
+  private def plantedRobots(did: Column): Column = concat(
+    lit("# robots for site"), did.cast("string"), lit("\n"),
+    when(did % 7 === 0, lit("User-agent: otherbot\n")).otherwise(lit("")),
+    lit("User-agent: *\n"),
+    lit("DisAllow: /private # staff only\n"),
+    when(did % 3 === 0, lit("Allow: /private/ok\n")).otherwise(lit("")),
+    lit("Disallow:\n\n"),
+    when(did % 4 === 0,
+      lit("USER-AGENT: graftbot\nDisallow: /bot\n")).otherwise(lit("")))
+
+  /** robots.txt politeness gate ([[operators.RobotsOps.evaluate]]) over
+    * planted per-domain robots bodies and planted request paths: the
+    * engine PARSES for real (comments, casing, grouping, agent
+    * specificity, longest-match + Allow tie-break), while the oracle
+    * states every verdict closed-form from the same doc_id arithmetic —
+    * any parse or precedence bug flips a verdict and breaks the hash. */
+  def webRobotsFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("doc"))
+    val robots = docs.select((col("doc") % 50).as("did")).distinct()
+      .select(
+        concat(lit("site"), col("did").cast("string"), lit(".com")).as("host"),
+        plantedRobots(col("did")).as("robots"))
+    val req = docs.select(col("doc"),
+      concat(lit("site"), (col("doc") % 50).cast("string"), lit(".com"))
+        .as("host"),
+      when(col("doc") % 5 === 0, "/")
+        .when(col("doc") % 5 === 1, "/private/x")
+        .when(col("doc") % 5 === 2, "/private/ok/y")
+        .when(col("doc") % 5 === 3, "/bot/z")
+        .otherwise("/pub").as("path"))
+    operators.RobotsOps.evaluate(robots, "host", "robots",
+      req, "doc", "host", "path", agent = "graftbot")
+  }
+
   /** The shared suffix blocklist (oracle-mirrored): mixes a full-host
     * pattern with its parent domain (most-specific precedence is
     * observable) and a bare-domain pattern that only ever matches via

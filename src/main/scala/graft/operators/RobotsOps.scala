@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt evaluation for crawl-side curation (the politeness gate a
+  * web-scale ingest runs before fetching; RFC 9309 a.k.a. the Robots
+  * Exclusion Protocol). Implements the PREFIX-RULE subset — no `*`/`$`
+  * wildcards inside rule paths (documented; pre-RFC parsers were
+  * prefix-only and the corpus fixtures stay in that subset) — with the
+  * RFC's group and precedence semantics:
+  *
+  *  - lines parse as `key: value` with `#` comments stripped; keys are
+  *    case-insensitive;
+  *  - a GROUP is one or more consecutive `User-agent` lines followed by
+  *    rule lines (all the named agents share the group's rules);
+  *  - if ANY group names the crawler's agent token, exactly the groups
+  *    naming it apply; otherwise the `*` groups apply (RFC 9309 §2.2.1,
+  *    combined across groups);
+  *  - a rule matches a path by PREFIX; an empty rule value matches
+  *    nothing (`Disallow:` alone = allow everything);
+  *  - verdict = the LONGEST matching rule, `Allow` winning exact-length
+  *    ties (§2.2.2); no matching rule = allowed.
+  *
+  * Scale shape: parsing is row-local per robots file; the evaluation is
+  * one broadcast-or-shuffle equi-join of requests onto the (host, rule)
+  * table — rule rows per host are robots-file-sized (tiny) — and one
+  * window over the request key for the argmax. Nothing quadratic,
+  * nothing driver-side.
+  */
+object RobotsOps {
+
+  /** Parse robots bodies into applicable rule rows for `agent`:
+    * `(host, rule_type, rule_path)` — already reduced to the groups
+    * that apply to this agent (specific groups if any name it, else
+    * the `*` groups). One output row per applicable rule. */
+  def applicableRules(robots: DataFrame, hostCol: String, textCol: String,
+                      agent: String): DataFrame = {
+    val lined = robots.select(col(hostCol).as("host"),
+        posexplode(split(col(textCol), "\n")).as(Seq("ln", "raw")))
+      .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
+      .filter(col("line") =!= "")
+      .withColumn("key",
+        lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))))
+      .withColumn("value",
+        trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)))
+      .filter(col("key").isin("user-agent", "allow", "disallow"))
+    val wLn = Window.partitionBy("host").orderBy("ln")
+    val grouped = lined
+      .withColumn("_ua", col("key") === "user-agent")
+      .withColumn("_starts",
+        (col("_ua") && !coalesce(lag(col("_ua"), 1).over(wLn), lit(false)))
+          .cast("int"))
+      .withColumn("grp", sum(col("_starts")).over(wLn))
+    // group membership: which agents each group names
+    val agents = grouped.filter(col("_ua"))
+      .groupBy("host", "grp")
+      .agg(max(lower(col("value")) === agent.toLowerCase).as("g_specific"),
+        max(col("value") === "*").as("g_star"))
+    val hostHasSpecific = agents.groupBy("host")
+      .agg(max(col("g_specific")).as("h_specific"))
+    grouped.filter(!col("_ua"))
+      .select(col("host"), col("grp"),
+        col("key").as("rule_type"), col("value").as("rule_path"))
+      .join(agents, Seq("host", "grp"))
+      .join(hostHasSpecific, Seq("host"))
+      .filter((col("h_specific") && col("g_specific")) ||
+        (!col("h_specific") && col("g_star")))
+      .select("host", "rule_type", "rule_path")
+  }
+
+  /** Evaluate requests `(reqId, host, path)` against robots bodies
+    * `(host, robotsText)` for `agent`: adds `allowed`, `rule_type`,
+    * `rule_path` (nulls when no rule matched — the default-allow case).
+    * Hosts with no robots row are allowed (the fetch-404 convention). */
+  def evaluate(robots: DataFrame, hostCol: String, textCol: String,
+               requests: DataFrame, reqIdCol: String, reqHostCol: String,
+               pathCol: String, agent: String): DataFrame = {
+    val rules = applicableRules(robots, hostCol, textCol, agent)
+    val req = requests.select(col(reqIdCol).as("req"),
+      col(reqHostCol).as("host"), col(pathCol).as("path"))
+    val matched = req.join(rules, Seq("host"))
+      .filter(col("rule_path") =!= "" &&
+        col("path").startsWith(col("rule_path")))
+      // longest rule wins; Allow beats Disallow on equal length
+      .withColumn("_rn", row_number().over(Window.partitionBy("req")
+        .orderBy(length(col("rule_path")).desc,
+          (col("rule_type") === "allow").desc, col("rule_path"))))
+      .filter(col("_rn") === 1)
+      .select(col("req"), col("rule_type"), col("rule_path"))
+    req.join(matched, Seq("req"), "left")
+      .select(col("req"), col("host"), col("path"),
+        (col("rule_type").isNull || col("rule_type") === "allow")
+          .as("allowed"),
+        col("rule_type"), col("rule_path"))
+  }
+}
