@@ -1506,6 +1506,28 @@ object Oracles {
         |  rule_type, rule_path
         |FROM v""".stripMargin,
 
+    // capstone web ingest: closed-form robots verdict ∘ literal domain
+    // blocklist ∘ the attested quality arithmetic, fixed precedence
+    "web_ingest_pipeline" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+        |    string_split(trim(text), ' ') AS toks FROM documents),
+        |b AS (SELECT doc, toks, doc % 50 AS g, doc % 5 AS p FROM d),
+        |v AS (SELECT doc, toks, g,
+        |    'site' || g::VARCHAR || '.com' AS host,
+        |    CASE WHEN g % 4 = 0 THEN (p = 3)
+        |         ELSE (p = 1 OR (p = 2 AND g % 3 <> 0)) END AS denied
+        |  FROM b)
+        |SELECT doc, host,
+        |  CASE WHEN denied THEN 'robots_denied'
+        |       WHEN g IN (10, 24) THEN 'blocked_domain'
+        |       WHEN (1.0e0
+        |    - (CASE WHEN len(list_filter(toks, w -> w IN ('the','a','of','and','to','in')))::DOUBLE / len(toks) < 2.0e-2 THEN 4.0e-1 ELSE 0.0e0 END)
+        |    - (CASE WHEN len(toks) < 5 THEN 4.0e-1 ELSE 0.0e0 END)
+        |    - (CASE WHEN len(list_filter(toks, w -> length(w) > 6))::DOUBLE / len(toks) > 5.0e-1 THEN 2.0e-1 ELSE 0.0e0 END)
+        |       ) < 8.0e-1 THEN 'low_quality'
+        |       ELSE 'kept' END AS verdict
+        |FROM v""".stripMargin,
+
     // sft spans: identical turn derivation (8-token turns, cap 4) and
     // the same prefix-sum law: marker(9 user / 14 assistant) + text +
     // 1 newline per preceding turn; spans are [start, end) of the TEXT

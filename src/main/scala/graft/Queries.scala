@@ -1029,11 +1029,21 @@ object Queries {
   def webRobotsFilter(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id").cast("long").as("doc"))
-    val robots = docs.select((col("doc") % 50).as("did")).distinct()
+    operators.RobotsOps.evaluate(plantedRobotsTable(docs), "host", "robots",
+      plantedRequests(docs), "doc", "host", "path", agent = "graftbot")
+  }
+
+  /** The planted robots table (one per domain) and request table
+    * (one per doc) — shared by [[webRobotsFilter]] and
+    * [[webIngestPipeline]] so the fixtures cannot drift. */
+  private def plantedRobotsTable(docs: DataFrame): DataFrame =
+    docs.select((col("doc") % 50).as("did")).distinct()
       .select(
         concat(lit("site"), col("did").cast("string"), lit(".com")).as("host"),
         plantedRobots(col("did")).as("robots"))
-    val req = docs.select(col("doc"),
+
+  private def plantedRequests(docs: DataFrame): DataFrame =
+    docs.select(col("doc"),
       concat(lit("site"), (col("doc") % 50).cast("string"), lit(".com"))
         .as("host"),
       when(col("doc") % 5 === 0, "/")
@@ -1041,8 +1051,36 @@ object Queries {
         .when(col("doc") % 5 === 2, "/private/ok/y")
         .when(col("doc") % 5 === 3, "/bot/z")
         .otherwise("/pub").as("path"))
-    operators.RobotsOps.evaluate(robots, "host", "robots",
-      req, "doc", "host", "path", agent = "graftbot")
+
+  /** CAPSTONE web-ingest lineage — the crawl-side front half composed
+    * on ONE plan: planted requests → robots gate ([[operators
+    * .RobotsOps]], a polite crawler's first cut) → domain-suffix
+    * blocklist ([[operators.TextOps.domainSuffixBlockCol]]) → composite
+    * quality gate → per-doc verdict with fixed precedence
+    * (`robots_denied` / `blocked_domain` / `low_quality` / `kept`).
+    * Every stage is the already-attested replay; the composition pins
+    * that they survive being chained (the pretrain_pipeline
+    * discipline applied to the web tier). */
+  def webIngestPipeline(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("doc"), col("text"))
+    val docs = base.select(col("doc"))
+    val rv = operators.RobotsOps.evaluate(plantedRobotsTable(docs),
+        "host", "robots", plantedRequests(docs), "doc", "host", "path",
+        agent = "graftbot")
+      .select(col("req").as("doc"), col("host"), col("allowed"))
+    // per-domain docs share one path (doc ≡ g mod 50 fixes doc mod 5),
+    // so the blocklist names domains whose path IS robots-allowed —
+    // g=10 (star rules, path "/") and g=24 (graftbot rules, "/pub") —
+    // keeping the blocked_domain branch genuinely reachable
+    val blockedBy = TextOps.domainSuffixBlockCol(col("host"),
+      Seq("site10.com", "site24.com"))
+    rv.join(base, Seq("doc"))
+      .select(col("doc"), col("host"),
+        when(!col("allowed"), "robots_denied")
+          .when(blockedBy.isNotNull, "blocked_domain")
+          .when(TextOps.qualityCol(col("text")) < 0.8, "low_quality")
+          .otherwise("kept").as("verdict"))
   }
 
   /** The shared suffix blocklist (oracle-mirrored): mixes a full-host
