@@ -773,6 +773,47 @@ object TextOps {
         (col("role") === "assistant").as("in_loss"))
   }
 
+  /** Row-local twin of [[sftTurnSpans]]: the prefix sum folds INSIDE
+    * each row (`aggregate` over the turn array) instead of over a
+    * doc-keyed window, so the op is a pure projection + explode —
+    * stream-legal with zero state, the score-at-ingest form. Identical
+    * output contract (spec-pinned parity). Prefer this on streams and
+    * anywhere the doc-key shuffle isn't already paid; the window form
+    * reads better when turns are ALREADY exploded rows. */
+  def sftTurnSpansLocal(docs: DataFrame, idCol: String, textCol: String,
+                        turnTokens: Int = 8, maxTurns: Int = 4): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTurns = least(
+      ((size(toks) + lit(turnTokens - 1)) / lit(turnTokens)).cast("int"),
+      lit(maxTurns))
+    val turns = transform(sequence(lit(0), nTurns - 1), i => struct(
+      i.as("i"),
+      when(i % 2 === 0, "user").otherwise("assistant").as("role"),
+      when(i % 2 === 0, lit(9)).otherwise(lit(14)).as("mlen"),
+      length(array_join(slice(toks, i * turnTokens + 1, lit(turnTokens)),
+        " ")).as("tlen")))
+    val rowsType = "array<struct<turn_idx:int,role:string," +
+      "span_start:bigint,span_end:bigint>>"
+    val folded = aggregate(turns,
+      struct(lit(0L).as("off"),
+        array().cast(rowsType).as("rows")),
+      (acc, t) => struct(
+        (acc.getField("off") + t.getField("mlen") + t.getField("tlen")
+          + lit(1L)).as("off"),
+        concat(acc.getField("rows"), array(struct(
+          t.getField("i").as("turn_idx"),
+          t.getField("role").as("role"),
+          (acc.getField("off") + t.getField("mlen")).cast("long")
+            .as("span_start"),
+          (acc.getField("off") + t.getField("mlen") + t.getField("tlen"))
+            .cast("long").as("span_end")))).as("rows")))
+    docs.select(col(idCol).cast("long").as("doc"),
+        explode(folded.getField("rows")).as("_t"))
+      .select(col("doc"), col("_t.turn_idx"), col("_t.role"),
+        col("_t.span_start"), col("_t.span_end"),
+        (col("_t.role") === "assistant").as("in_loss"))
+  }
+
   /** Per-source token-length PROFILE — the corpus report that sizes
     * sequence-length and packing config (how long are documents per
     * source; where do the p95 tails sit): doc count, mean, exact
