@@ -37,14 +37,19 @@ object RobotsOps {
     * the `*` groups). One output row per applicable rule. */
   def applicableRules(robots: DataFrame, hostCol: String, textCol: String,
                       agent: String): DataFrame = {
+    // RFC 9309 WS is space OR tab (and a trailing \r from CRLF bodies
+    // must not stick to the value) — Spark's trim() strips spaces only,
+    // so whitespace is stripped with an explicit class
+    def wsTrim(c: Column): Column =
+      regexp_replace(regexp_replace(c, "^[ \\t\\r]+", ""), "[ \\t\\r]+$", "")
     val lined = robots.select(col(hostCol).as("host"),
         posexplode(split(col(textCol), "\n")).as(Seq("ln", "raw")))
-      .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
+      .withColumn("line", wsTrim(regexp_replace(col("raw"), "#.*$", "")))
       .filter(col("line") =!= "")
       .withColumn("key",
-        lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))))
+        lower(wsTrim(regexp_extract(col("line"), "^([^:]+):", 1))))
       .withColumn("value",
-        trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)))
+        wsTrim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)))
       .filter(col("key").isin("user-agent", "allow", "disallow"))
     val wLn = Window.partitionBy("host").orderBy("ln")
     val grouped = lined
@@ -80,16 +85,21 @@ object RobotsOps {
     val rules = applicableRules(robots, hostCol, textCol, agent)
     val req = requests.select(col(reqIdCol).as("req"),
       col(reqHostCol).as("host"), col(pathCol).as("path"))
+    // the verdict key is the full (req, host, path) — a reqId reused
+    // across several requests must not have one row's winning rule
+    // fanned onto the others
     val matched = req.join(rules, Seq("host"))
       .filter(col("rule_path") =!= "" &&
         col("path").startsWith(col("rule_path")))
       // longest rule wins; Allow beats Disallow on equal length
-      .withColumn("_rn", row_number().over(Window.partitionBy("req")
-        .orderBy(length(col("rule_path")).desc,
-          (col("rule_type") === "allow").desc, col("rule_path"))))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("req", "host", "path")
+          .orderBy(length(col("rule_path")).desc,
+            (col("rule_type") === "allow").desc, col("rule_path"))))
       .filter(col("_rn") === 1)
-      .select(col("req"), col("rule_type"), col("rule_path"))
-    req.join(matched, Seq("req"), "left")
+      .select(col("req"), col("host"), col("path"),
+        col("rule_type"), col("rule_path"))
+    req.join(matched, Seq("req", "host", "path"), "left")
       .select(col("req"), col("host"), col("path"),
         (col("rule_type").isNull || col("rule_type") === "allow")
           .as("allowed"),

@@ -276,16 +276,23 @@ object TextOps {
     * recall documented, cap mirrored by the oracle). The exact
     * intersection count then comes from the pair groupBy — candidate-
     * sized, never corpus². */
-  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       shingleK: Int = 3, minContainment: Double = 0.8,
-                       maxShingleBucket: Int = 1000): DataFrame = {
-    val pre = shingleHashed(docs, idCol, textCol, shingleK)
-      .transform(graft.CacheRegistry.persistTracked(_))
+  /** Shared pair-intersection scaffolding for the exact set-overlap
+    * family ([[ngramJaccardPairs]], [[containmentPairs]]): from a
+    * `(doc, hv)` hash-array table, explode → optional hot-bucket rank
+    * cap → self equi-join on the hash → per-pair intersection count →
+    * per-doc sizes. Yields `(doc_a, doc_b, c, na, nb)`; the callers
+    * differ only in the final ratio and gate. */
+  private def pairIntersectionCounts(pre: DataFrame,
+                                     maxBucket: Option[Int]): DataFrame = {
     val sh = pre.select(col("doc"), explode(col("hv")).as("g"))
-    val wb = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("g")).orderBy(col("doc"))
-    val capped = sh.withColumn("_rn", row_number().over(wb))
-      .filter(col("_rn") <= maxShingleBucket).drop("_rn")
+    val capped = maxBucket match {
+      case Some(cap) =>
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("doc"))
+        sh.withColumn("_rn", row_number().over(wb))
+          .filter(col("_rn") <= cap).drop("_rn")
+      case None => sh
+    }
     val common = capped.select(col("doc").as("doc_a"), col("g"))
       .join(capped.select(col("doc").as("doc_b"), col("g")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))
@@ -294,6 +301,14 @@ object TextOps {
     common
       .join(sizes.select(col("doc").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc").as("doc_b"), col("n").as("nb")), "doc_b")
+  }
+
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int = 3, minContainment: Double = 0.8,
+                       maxShingleBucket: Int = 1000): DataFrame = {
+    val pre = shingleHashed(docs, idCol, textCol, shingleK)
+      .transform(graft.CacheRegistry.persistTracked(_))
+    pairIntersectionCounts(pre, Some(maxShingleBucket))
       .select(col("doc_a"), col("doc_b"),
         (col("c").cast("double") / col("na")).as("cont_a"),
         (col("c").cast("double") / col("nb")).as("cont_b"))
@@ -305,28 +320,18 @@ object TextOps {
     * explode shingles → equi-join on the shingle → pair intersection counts
     * → join per-doc set sizes → |A∩B| / (|A|+|B|−|A∩B|). Verification
     * baseline for [[ngramJaccardPairsGated]] — Σd² on hot shingles, do not
-    * run standalone at scale. */
+    * run standalone at scale (containmentPairs shows the capped form). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, minJaccard: Double = 0.2): DataFrame = {
     // join on the 60-bit shingle hash, not the shingle string — same
     // cardinality (collisions are ~1e-13 and mirrored by the oracle), far
-    // smaller shuffle
-    // persist the compact pre-explode (doc, hash-array) table — it feeds
-    // sizes + both join sides (one lineage run instead of three), and the
-    // cheap explode re-derives per consumer
+    // smaller shuffle; the compact pre-explode (doc, hash-array) table
+    // persists once and feeds sizes + both join sides
     val pre = shingled(docs, idCol, textCol, shingleK)
       .withColumn("hv", transform(col("sh"), s => pmod(hash60(s), lit(HashMod))))
       .select(col("doc"), col("hv"))
       .transform(graft.CacheRegistry.persistTracked(_))
-    val sh = pre.select(col("doc"), explode(col("hv")).as("g"))
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
-    val common = sh.select(col("doc").as("doc_a"), col("g"))
-      .join(sh.select(col("doc").as("doc_b"), col("g")), "g")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.select(col("doc").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc").as("doc_b"), col("n").as("nb")), "doc_b")
+    pairIntersectionCounts(pre, None)
       .select(col("doc_a"), col("doc_b"),
         (col("c").cast("double") / (col("na") + col("nb") - col("c")))
           .as("jaccard"))
@@ -692,11 +697,19 @@ object TextOps {
     * into a partition filter. Build cost: one tokenize + explode, one
     * shuffle-free write. */
   def buildPostings(docs: DataFrame, idCol: String, textCol: String,
-                    path: String, buckets: Int = 64): Unit =
+                    path: String, buckets: Int = 64): Unit = {
     docs.select(col(idCol).cast("long").as("doc"),
         posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
       .withColumn("tb", pmod(xxhash64(col("term")), lit(buckets)))
       .write.mode("overwrite").partitionBy("tb").parquet(path)
+    // the bucket arity is part of the LAYOUT: record it so a search
+    // can never route `tb` predicates with a mismatched modulus
+    // (which would silently return empty results)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_graft_buckets"),
+      buckets.toString.getBytes("UTF-8"))
+    ()
+  }
 
   /** Exact phrase matches over a [[buildPostings]] index: one
     * `(doc, pos)` row per occurrence of `phrase` starting at token
@@ -713,11 +726,20 @@ object TextOps {
   def phraseSearch(s: SparkSession, path: String, phrase: Seq[String],
                    buckets: Int = 64): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
+    // the index's RECORDED arity wins over the caller's default — a
+    // modulus mismatch would silently answer every phrase with zero
+    // rows; legacy layouts without the sidecar use the parameter
+    val metaFile = java.nio.file.Paths.get(path, "_graft_buckets")
+    val effBuckets =
+      if (java.nio.file.Files.isRegularFile(metaFile))
+        new String(java.nio.file.Files.readAllBytes(metaFile), "UTF-8")
+          .trim.toInt
+      else buckets
     val post = s.read.parquet(path)
     // unique column names per term stream (a phrase can repeat a term,
     // so the join must never see two references to one attribute set)
     def postingsOf(t: String, j: Int): DataFrame =
-      post.filter(col("tb") === pmod(xxhash64(lit(t)), lit(buckets)) &&
+      post.filter(col("tb") === pmod(xxhash64(lit(t)), lit(effBuckets)) &&
           col("term") === t)
         .select(col("doc").as(s"_d$j"), col("pos").as(s"_q$j"))
     phrase.zipWithIndex.tail.foldLeft(
@@ -752,9 +774,14 @@ object TextOps {
     val nTurns = least(
       ((size(toks) + lit(turnTokens - 1)) / lit(turnTokens)).cast("int"),
       lit(maxTurns))
+    // null text ⇒ null turn array ⇒ posexplode emits NO rows (the
+    // correct zero-turn case; unguarded, least() would skip the null
+    // ceil term and mint maxTurns phantom turns)
     val turns = docs.select(col(idCol).cast("long").as("doc"),
-        posexplode(transform(sequence(lit(0), nTurns - 1), i =>
-          array_join(slice(toks, i * turnTokens + 1, lit(turnTokens)), " ")))
+        posexplode(when(col(textCol).isNotNull,
+          transform(sequence(lit(0), nTurns - 1), i =>
+            array_join(slice(toks, i * turnTokens + 1, lit(turnTokens)),
+              " "))))
           .as(Seq("turn_idx", "ttext")))
       .withColumn("role",
         when(col("turn_idx") % 2 === 0, "user").otherwise("assistant"))
@@ -807,8 +834,10 @@ object TextOps {
             .as("span_start"),
           (acc.getField("off") + t.getField("mlen") + t.getField("tlen"))
             .cast("long").as("span_end")))).as("rows")))
+    // same null-text law as the window form: null ⇒ zero rows
     docs.select(col(idCol).cast("long").as("doc"),
-        explode(folded.getField("rows")).as("_t"))
+        explode(when(col(textCol).isNotNull, folded.getField("rows")))
+          .as("_t"))
       .select(col("doc"), col("_t.turn_idx"), col("_t.role"),
         col("_t.span_start"), col("_t.span_end"),
         (col("_t.role") === "assistant").as("in_loss"))

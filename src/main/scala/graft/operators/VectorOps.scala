@@ -1322,12 +1322,20 @@ object VectorOps {
     * with the eigendecomposition's own order breaking exact ties. */
   def pcaFit(vecs: DataFrame, vecCol: String, k: Int): PcaModel = {
     val vd = toDouble(col(vecCol))
-    // one aggregate row: element-wise means of [x ++ flatten(x ⊗ x)]
-    val moments = vecs
+    // one aggregate row: element-wise means of [x ++ flatten(x ⊗ x)],
+    // plus the input dim range — ragged vectors would silently truncate
+    // or zero-fill inside the moment buffer, so they are rejected here
+    val head = vecs
       .select(concat(vd, flatten(transform(vd,
-        x => transform(vd, y => x * y)))).as("_m"))
-      .agg(graft.functions.ArrayMean.arrayMean(col("_m")).as("m"))
-      .head().getSeq[Double](0).toArray
+        x => transform(vd, y => x * y)))).as("_m"), size(vd).as("_d"))
+      .agg(graft.functions.ArrayMean.arrayMean(col("_m")).as("m"),
+        min(col("_d")).as("dmin"), max(col("_d")).as("dmax"))
+      .head()
+    require(!head.isNullAt(0), "pcaFit needs at least one non-null vector")
+    require(head.getAs[Int]("dmin") == head.getAs[Int]("dmax"),
+      s"pcaFit needs a fixed dimension, got ${head.getAs[Int]("dmin")}" +
+        s"..${head.getAs[Int]("dmax")}")
+    val moments = head.getSeq[Double](0).toArray
     val d = (math.sqrt(moments.length + 0.25) - 0.5).round.toInt
     require(d.toLong * d + d == moments.length,
       s"bad moment arity ${moments.length}")

@@ -61,6 +61,25 @@ class RobotsOpsSpec extends SparkSpec {
     assert(v("/y") == ((true, None, None)))
   }
 
+  test("tab/CRLF whitespace strips (RFC WS is space or tab)") {
+    val body = "User-agent: *\r\nDisallow:\t/private\r\n\tAllow: /private/ok\r\n"
+    val v = verdicts(body, Seq("/private/x", "/private/ok/y"))
+    assert(v("/private/x") == ((false, Some("disallow"), Some("/private"))))
+    assert(v("/private/ok/y") == ((true, Some("allow"), Some("/private/ok"))))
+  }
+
+  test("a reqId reused across requests keeps per-(host,path) verdicts") {
+    val robots = Seq(("a.com", "User-agent: *\nDisallow: /private\n"))
+      .toDF("host", "robots")
+    val req = Seq((1L, "a.com", "/private/x"), (1L, "b.com", "/ok"))
+      .toDF("rid", "host", "path")
+    val out = RobotsOps.evaluate(robots, "host", "robots",
+        req, "rid", "host", "path", "graftbot")
+      .collect().map(r => r.getString(1) -> r.getBoolean(3)).toMap
+    assert(out == Map("a.com" -> false, "b.com" -> true),
+      "one request's verdict must not fan onto the other")
+  }
+
   test("missing robots host defaults to allowed") {
     val robots = Seq(("other", "User-agent: *\nDisallow: /")).toDF("host", "robots")
     val req = Seq((1L, "h1", "/p")).toDF("rid", "host", "path")
