@@ -1577,6 +1577,19 @@ object Oracles {
          |FROM r WHERE ca >= 0.8e0 OR cb >= 0.8e0""".stripMargin
     },
 
+    // vocab profile: exact distinct/type-token/hapax rollup
+    "text_vocab_stats" ->
+      """WITH w AS (SELECT source, unnest(string_split(trim(text), ' '))
+        |    AS w FROM documents),
+        |c AS (SELECT source, w, count(*)::BIGINT AS c FROM w
+        |  GROUP BY source, w)
+        |SELECT source, count(*)::BIGINT AS n_distinct,
+        |  sum(c)::BIGINT AS n_tokens,
+        |  round(count(*)::DOUBLE / sum(c), 6) + 0.0e0 AS type_token_ratio,
+        |  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+        |    + 0.0e0 AS hapax_frac
+        |FROM c GROUP BY source""".stripMargin,
+
     // length profile: quantile_cont == Spark's interpolated percentile
     "text_length_quantiles" ->
       """WITH d AS (SELECT source,

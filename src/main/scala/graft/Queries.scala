@@ -973,6 +973,11 @@ object Queries {
     TextOps.lengthQuantiles(Tables.documents(s, dir), "doc_id", "text",
       "source")
 
+  /** Per-source vocabulary profile ([[operators.TextOps.vocabStats]]) —
+    * lexical diversity next to the length profile. */
+  def textVocabStats(s: SparkSession, dir: String): DataFrame =
+    TextOps.vocabStats(Tables.documents(s, dir), "doc_id", "text", "source")
+
   /** The deterministically planted url (shared by [[textUrlNormalize]]
     * and [[webCurationPipeline]], mirrored verbatim in their oracles). */
   private def plantedUrl(id: Column): Column = concat(

@@ -869,6 +869,33 @@ object TextOps {
         max(col("_n")).as("max_tokens"))
   }
 
+  /** Per-source VOCABULARY profile — distinct words, type/token ratio,
+    * singleton share (hapax fraction): the lexical-diversity report a
+    * mixing pass reads next to [[lengthQuantiles]] (a source whose
+    * type/token ratio collapses is template spam; one whose hapax share
+    * explodes is OCR noise). One tokenize + one (source, word) count
+    * aggregate (map-side combined), then a source rollup — shuffle
+    * bounded by the distinct-(source, word) count.
+    *
+    * EXACT distinct counts, which is what the oracle replays; at
+    * unbounded vocabulary swap the distinct aggregate for
+    * `approx_count_distinct` (HLL++, sketch-bounded state) in place —
+    * the spec pins the approx twin within its error bound on the same
+    * data. */
+  def vocabStats(docs: DataFrame, idCol: String, textCol: String,
+                 sourceCol: String): DataFrame = {
+    val wc = docs.select(col(sourceCol).as("source"),
+        explode(tokens(col(textCol))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    wc.groupBy("source").agg(
+      count(lit(1)).as("n_distinct"),
+      sum(col("c")).as("n_tokens"),
+      (round(count(lit(1)).cast("double") / sum(col("c")), 6) + 0.0)
+        .as("type_token_ratio"),
+      (round(sum(when(col("c") === 1, 1L).otherwise(0L)).cast("double")
+        / count(lit(1)), 6) + 0.0).as("hapax_frac"))
+  }
+
   /** The composite-quality stopword set (distinct from the language
     * markers; shared with [[qualityCol]]). */
   val QualityStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")

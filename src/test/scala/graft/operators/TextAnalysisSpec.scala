@@ -608,6 +608,22 @@ class TextAnalysisSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("vocabStats: exact distinct/hapax law, approx twin within bound") {
+    // s0: tokens a,b,a,c → distinct 3, tokens 4, hapax {b,c} → 2/3
+    val docs = Seq((1L, "a b", "s0"), (2L, "a c", "s0"), (3L, "x x x", "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.vocabStats(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("s0") == ((3L, 4L, 0.75, 0.666667)))
+    assert(out("s1") == ((1L, 3L, 0.333333, 0.0)))
+    // the documented at-scale swap stays within HLL++ error here
+    val approx = docs.select(explode(split(col("text"), " ")).as("w"))
+      .agg(approx_count_distinct(col("w")).as("d")).collect().head.getLong(0)
+    assert(math.abs(approx - 4L) <= 1L)
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("lengthQuantiles: exact interpolation, and the approx twin lands close") {
     // 1..8 tokens in one source: p50 of [1..8] = 4.5 (interpolated)
     val docs = (1 to 8).map(i => (i.toLong, ("w " * i).trim, "s0"))
