@@ -1577,6 +1577,23 @@ object Oracles {
          |FROM r WHERE ca >= 0.8e0 OR cb >= 0.8e0""".stripMargin
     },
 
+    // length-sorted batching: global (n DESC, doc) rank cut into
+    // 32-doc batches; padding = pad-to-longest overhead per batch
+    "pack_length_batches" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+        |    ceil(length(trim(text))::DOUBLE / 4.0e0)::BIGINT AS n
+        |  FROM documents),
+        |r AS (SELECT doc, n,
+        |    row_number() OVER (ORDER BY n DESC, doc) AS rank FROM d),
+        |b AS (SELECT ((rank - 1 - (rank - 1) % 32) / 32)::BIGINT
+        |    AS batch_id, n FROM r)
+        |SELECT batch_id, count(*)::BIGINT AS n_docs,
+        |  max(n) AS max_tokens, sum(n)::BIGINT AS sum_tokens,
+        |  (max(n) * count(*) - sum(n))::BIGINT AS padding,
+        |  round((max(n) * count(*) - sum(n))::DOUBLE
+        |    / (max(n) * count(*)), 6) + 0.0e0 AS pad_frac
+        |FROM b GROUP BY batch_id""".stripMargin,
+
     // vocab profile: exact distinct/type-token/hapax rollup
     "text_vocab_stats" ->
       """WITH w AS (SELECT source, unnest(string_split(trim(text), ' '))

@@ -978,6 +978,13 @@ object Queries {
   def textVocabStats(s: SparkSession, dir: String): DataFrame =
     TextOps.vocabStats(Tables.documents(s, dir), "doc_id", "text", "source")
 
+  /** Length-sorted batch layout ([[operators.SampleOps
+    * .packLengthBatches]]) — per-batch padding overhead under
+    * pad-to-longest, batches cut from the two-pass global length rank. */
+  def packLengthBatches(s: SparkSession, dir: String): DataFrame =
+    SampleOps.packLengthBatches(Tables.documents(s, dir), "doc_id", "text",
+      batchDocs = 32)
+
   /** The deterministically planted url (shared by [[textUrlNormalize]]
     * and [[webCurationPipeline]], mirrored verbatim in their oracles). */
   private def plantedUrl(id: Column): Column = concat(

@@ -109,35 +109,49 @@ object SampleOps {
     *
     * Returns (doc, n_tokens, rank, shard). Ties rank by doc id —
     * deterministic under any partitioning. */
+  /** TWO-PASS DISTRIBUTED GLOBAL RANK — the reusable form of the recipe
+    * a 100 TB sort uses (extracted from [[balancedShards]], which
+    * pioneered it here): a global `row_number()` is a single-partition
+    * window, so instead (1) range-repartition on the sort order and
+    * rank locally per partition, (2) collect the per-partition COUNTS
+    * (≤ `rangeParts` rows — bounded by config, not data) and broadcast
+    * their prefix sums back as offsets; range partition i holds keys ≤
+    * partition i+1's, so `offset(pid) + local_rank` IS the global rank.
+    * `sortOrder` must be a total order (tie-break on a unique id) for
+    * the rank to be deterministic. Adds `rank` (1-based, long). */
+  def globalRank(df: DataFrame, sortOrder: Seq[Column],
+                 rangeParts: Int = 32): DataFrame = {
+    val sorted = df
+      .repartitionByRange(rangeParts, sortOrder: _*)
+      .sortWithinPartitions(sortOrder: _*)
+      .withColumn("_pid", spark_partition_id())
+      .transform(graft.CacheRegistry.persistTracked(_))
+    val counts = sorted.groupBy("_pid").agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
+      (pid, acc + c)
+    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("_pid", "_off")
+    val w = Window.partitionBy("_pid").orderBy(sortOrder: _*)
+    sorted
+      .withColumn("_lr", row_number().over(w).cast("long"))
+      .join(broadcast(offDf), "_pid")
+      .withColumn("rank", col("_off") + col("_lr"))
+      .drop("_pid", "_lr", "_off")
+  }
+
   def balancedShards(docs: DataFrame, idCol: String, textCol: String,
                      numShards: Int = 32,
                      tokenCount: Option[Column] = None,
                      rangeParts: Int = 32): DataFrame = {
     val nTokens = tokenCount.getOrElse(
       ceil(length(trim(col(textCol))).cast("double") / 4.0).cast("long"))
-    val sorted = docs
-      .select(col(idCol).cast("long").as("doc"), nTokens.as("n_tokens"))
-      .repartitionByRange(rangeParts, col("n_tokens").desc, col("doc").asc)
-      .sortWithinPartitions(col("n_tokens").desc, col("doc").asc)
-      .withColumn("_pid", spark_partition_id())
-      .transform(graft.CacheRegistry.persistTracked(_))
-    // per-partition counts: <= rangeParts rows on the driver (bounded by
-    // config, not data)
-    val counts = sorted.groupBy("_pid").agg(count(lit(1)).as("_c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) =>
-      (pid, acc + c)
-    }.init.zip(counts).map { case ((_, off), (pid, _)) => (pid, off) }
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val offDf = offsets.toSeq.toDF("_pid", "_off")
-    val w = Window.partitionBy("_pid")
-      .orderBy(col("n_tokens").desc, col("doc").asc)
-    val ranked = sorted
-      .withColumn("_lr", row_number().over(w).cast("long"))
-      .join(broadcast(offDf), "_pid")
-      .select(col("doc"), col("n_tokens"),
-        (col("_off") + col("_lr")).as("rank"))
+    val ranked = globalRank(
+      docs.select(col(idCol).cast("long").as("doc"), nTokens.as("n_tokens")),
+      Seq(col("n_tokens").desc, col("doc").asc), rangeParts)
+      .select(col("doc"), col("n_tokens"), col("rank"))
     // pos exact via pmod; block via (rank-1-pos)/S — exactly divisible,
     // so the division is exact in any engine (no floor-div semantics to
     // match across SQL dialects)
@@ -178,5 +192,44 @@ object SampleOps {
       .withColumn("chunk",
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)).cast("double")
           / contextTokens).cast("long"))
+  }
+
+  /** LENGTH-SORTED BATCHING — the padding-efficiency layout a
+    * pad-to-longest training loader wants (batch peers of similar
+    * length so `batch_max × batch_size − Σ tokens` stays small; random
+    * batching pads every short doc up to the corpus tail): rank docs by
+    * (token count DESC, doc) with the two-pass [[globalRank]], cut
+    * consecutive ranks into fixed-size batches, and report each batch's
+    * padding overhead. Deterministic (pure function of the rank) and
+    * SQL-replayable; the rank is the only corpus-wide step and it is
+    * the two-pass form, never a single-partition window.
+    *
+    * Returns one row per batch: (batch_id, n_docs, max_tokens,
+    * sum_tokens, padding, pad_frac). */
+  def packLengthBatches(docs: DataFrame, idCol: String, textCol: String,
+                        batchDocs: Int = 32,
+                        tokenCount: Option[Column] = None,
+                        rangeParts: Int = 32): DataFrame = {
+    require(batchDocs >= 1, s"batchDocs must be >= 1, got $batchDocs")
+    val nTokens = tokenCount.getOrElse(
+      ceil(length(trim(col(textCol))).cast("double") / 4.0).cast("long"))
+    val ranked = globalRank(
+      docs.select(col(idCol).cast("long").as("doc"), nTokens.as("n_tokens")),
+      Seq(col("n_tokens").desc, col("doc").asc), rangeParts)
+    ranked
+      .withColumn("batch_id", ((col("rank") - 1 -
+        pmod(col("rank") - 1, lit(batchDocs.toLong))) / batchDocs)
+        .cast("long"))
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .select(col("batch_id"), col("n_docs"), col("max_tokens"),
+        col("sum_tokens"),
+        (col("max_tokens") * col("n_docs") - col("sum_tokens"))
+          .as("padding"),
+        (round((col("max_tokens") * col("n_docs") - col("sum_tokens"))
+          .cast("double") / (col("max_tokens") * col("n_docs")), 6) + 0.0)
+          .as("pad_frac"))
   }
 }

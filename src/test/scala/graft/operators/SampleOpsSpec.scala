@@ -122,4 +122,31 @@ class SampleOpsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(again == out.select("id").as[Long].collect().toSet)
   }
+
+  test("packLengthBatches: length-sorted batches minimize padding") {
+    // 100 docs, token counts 1..100; batchDocs=10 → batch 0 holds
+    // n=100..91 (ranks 1..10), padding = 100*10 − Σ(91..100) = 45
+    val docs = (1 to 100).map(i => (i.toLong, "x " * i)).toDF("doc_id", "text")
+    val n = col("doc_id")  // ceil(len/4) varies; supply exact counts
+    val out = SampleOps.packLengthBatches(docs, "doc_id", "text",
+        batchDocs = 10, tokenCount = Some(col("doc_id").cast("long")),
+        rangeParts = 7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.size == 10)
+    assert(out(0L) == ((10L, 100L, 45L, 0.045)))
+    assert(out(9L) == ((10L, 10L, 45L, 0.45)))  // the short tail pads worst
+    // every batch's padding beats the corpus-wide pad-to-longest bound
+    assert(out.values.forall { case (nd, mx, pad, _) =>
+      pad <= (100L - 1L) * nd && mx <= 100L })
+    // two-pass global rank == single-window rank (determinism across
+    // rangeParts arities)
+    val again = SampleOps.packLengthBatches(docs, "doc_id", "text",
+        batchDocs = 10, tokenCount = Some(col("doc_id").cast("long")),
+        rangeParts = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(again == out)
+    graft.CacheRegistry.releaseAll()
+  }
 }
