@@ -97,6 +97,32 @@ object Oracles {
        |  coalesce(c.root, d.doc_id) = d.doc_id AS is_keeper
        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""".stripMargin
 
+  /** web_pagerank oracle: the 3 synchronous iterations UNROLLED as
+    * MATERIALIZED CTEs, each iteration's ranks quantized to 6 dp — the
+    * k-means/BPE/logreg iterative discipline, so sum-order ulps cannot
+    * compound. Same planted edges, same (1−d)/n + d·Σ rank/odeg law. */
+  private def webPagerankSql: String = {
+    val iters = (0 until 3).map { i =>
+      s"""r${i + 1} AS MATERIALIZED (SELECT nodes.node,
+         |  round((1.0e0 - 0.85e0) / nn.n
+         |    + 0.85e0 * coalesce(s.m, 0.0e0), 6) + 0.0e0 AS rank
+         |  FROM nodes CROSS JOIN nn LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r$i.rank / od.odeg) AS m
+         |    FROM e JOIN r$i ON e.src = r$i.node JOIN od ON e.src = od.src
+         |    GROUP BY e.dst) s ON nodes.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT CAST(doc_id AS BIGINT) % 50 AS src,
+       |    (CAST(doc_id AS BIGINT) * 7 + 3) % 50 AS dst FROM documents),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       |od AS (SELECT src, count(*)::BIGINT AS odeg FROM e GROUP BY src),
+       |r0 AS MATERIALIZED (SELECT node, 1.0e0 / nn.n AS rank
+       |  FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT node, rank FROM r3""".stripMargin
+  }
+
   /** dedup_cluster_rep oracle: the dedup_clusters chain (shared CTEs)
     * composed with the text_quality arithmetic, then the keep rule as a
     * window — representative = first doc under (quality DESC, doc ASC)
@@ -1477,6 +1503,8 @@ object Oracles {
     "dedup_clusters" -> dedupClustersSql,
 
     "dedup_cluster_rep" -> dedupClusterRepSql,
+
+    "web_pagerank" -> webPagerankSql,
 
     // robots gate: CLOSED-FORM verdicts from the planted arithmetic —
     // graftbot-specific hosts (g%4=0) see ONLY the /bot rule; others

@@ -1095,6 +1095,20 @@ object Queries {
           .otherwise("kept").as("verdict"))
   }
 
+  /** Host-graph PageRank ([[operators.GraphOps.pageRank]]) over a
+    * planted 50-domain link graph (one directed edge per doc:
+    * `doc%50 → (doc·7+3)%50`, deduped — dangling-free since every
+    * residue appears as a source). 3 synchronous iterations, d = 0.85,
+    * per-iteration 6 dp quantization; the oracle unrolls the exact
+    * same three iterations as MATERIALIZED CTEs (the k-means/BPE
+    * discipline). */
+  def webPagerank(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("long")
+    val edges = Tables.documents(s, dir)
+      .select((id % 50).as("src"), ((id * 7 + 3) % 50).as("dst"))
+    GraphOps.pageRank(edges, "src", "dst", iters = 3)
+  }
+
   /** The shared suffix blocklist (oracle-mirrored): mixes a full-host
     * pattern with its parent domain (most-specific precedence is
     * observable) and a bare-domain pattern that only ever matches via

@@ -131,4 +131,57 @@ object GraphOps {
     graft.CacheRegistry.persistTracked(out)
     out
   }
+
+  /** PageRank (Page, Brin, Motwani, Winograd 1999) over a directed edge
+    * list, a FIXED number of synchronous iterations — the host-authority
+    * score a web-curation mix weights domains by. Per iteration:
+    * `rank'(v) = (1−d)/n + d · Σ_{(u,v)∈E} rank(u)/outdeg(u)`, each
+    * iteration's ranks quantized to 6 dp (the iterative-oracle
+    * discipline — k-means/BPE/logreg all pin per-iteration state so
+    * sum-order ulps cannot compound across engines or runs).
+    *
+    * DANGLING nodes (no out-edge) leak their mass here (ranks then sum
+    * to < 1) — the caller either accepts the leak (common in practice)
+    * or pre-closes the graph; the planted query uses a dangling-free
+    * construction. Self-loops count as ordinary edges.
+    *
+    * Scale shape: the Pregel loop — each iteration is one equi-join of
+    * the edge list with the (node, rank) table on `src` plus one
+    * map-side-combined groupBy on `dst`; state is node-sized, edges are
+    * scanned once per iteration, nothing is ever collected. Iterations
+    * persist and release round-over-round like [[connectedComponents]];
+    * `iters` is small and fixed (3-20 in practice), so lineage stays
+    * shallow without checkpoints. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = graft.CacheRegistry.persistTracked(
+      edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")).distinct())
+    val nodes = graft.CacheRegistry.persistTracked(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct())
+    val n = nodes.count()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val base = lit(1.0 - damping) / lit(n.toDouble)
+    var ranks = graft.CacheRegistry.persistTracked(
+      nodes.withColumn("rank", lit(1.0) / lit(n.toDouble)))
+    for (_ <- 1 to iters) {
+      val inMass = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outDeg, "src")
+        .select(col("dst").as("node"),
+          (col("rank") / col("odeg")).as("_c"))
+        .groupBy("node").agg(sum(col("_c")).as("_m"))
+      val next = graft.CacheRegistry.persistTracked(
+        nodes.join(inMass, Seq("node"), "left")
+          .select(col("node"),
+            (round(base + lit(damping) * coalesce(col("_m"), lit(0.0)), 6)
+              + 0.0).as("rank")))
+      next.count()  // materialize before releasing the previous round
+      ranks.unpersist()  // handle stays tracked; releaseAll is idempotent
+      ranks = next
+    }
+    ranks
+  }
 }

@@ -95,4 +95,22 @@ class GraphOpsSpec extends SparkSpec {
     // keeper semantics downstream: exactly one self-labeled root
     assert(got.count { case (n, c) => n == c } == 1)
   }
+
+  test("pageRank: closed-form star, cycle fixpoint, dangling leak") {
+    def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] =
+      GraphOps.pageRank(edges.toDF("s", "d"), "s", "d", iters)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // star a→b, c→b, b→a after one iteration (n=3, all odeg 1):
+    // b: 0.05 + 0.85·(⅓+⅓) = 0.616667; a: 0.05 + 0.85·⅓; c: base only
+    val star = ranks(Seq((1L, 2L), (3L, 2L), (2L, 1L)), iters = 1)
+    assert(star(2L) == 0.616667 && star(1L) == 0.333333 && star(3L) == 0.05)
+    assert(math.abs(star.values.sum - 1.0) < 1e-5) // dangling-free: mass kept
+    // 2-cycle is a fixpoint at 0.5/0.5 for any iteration count
+    assert(ranks(Seq((1L, 2L), (2L, 1L)), iters = 4)
+      == Map(1L -> 0.5, 2L -> 0.5))
+    // documented dangling leak: a→b only, b re-emits nothing
+    val leak = ranks(Seq((1L, 2L)), iters = 1)
+    assert(leak == Map(1L -> 0.075, 2L -> 0.5) && leak.values.sum < 1.0)
+    graft.CacheRegistry.releaseAll()
+  }
 }
