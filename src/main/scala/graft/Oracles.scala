@@ -443,6 +443,38 @@ object Oracles {
        |SELECT doc_a, doc_b, c / (na + nb - c) AS jaccard
        |FROM j WHERE c / (na + nb - c) >= 0.2""".stripMargin
 
+  /** LSH recall audit: the gated chain (shared band CTEs, distinct-set
+    * Jaccard) LEFT-joined under the all-pairs exact truth (multiset
+    * count c — mirrors the Spark all-pairs side exactly). */
+  private def lshRecallAuditSql: String =
+    s"""WITH $minhashBandCtes,
+       |cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+       |  FROM band a JOIN band b ON a.band_id = b.band_id
+       |    AND a.band_hash = b.band_hash AND a.doc < b.doc),
+       |fj AS (SELECT doc_a, doc_b FROM (SELECT doc_a, doc_b,
+       |    len(list_intersect(ha.hv, hb.hv))::DOUBLE AS c,
+       |    len(ha.hv) AS na, len(hb.hv) AS nb
+       |  FROM cand JOIN hv ha ON doc_a = ha.doc
+       |  JOIN hv hb ON doc_b = hb.doc)
+       |  WHERE c / (na + nb - c) >= 0.2),
+       |ee AS (SELECT doc, unnest(hv) AS g FROM hv),
+       |cm AS (SELECT a.doc AS doc_a, b.doc AS doc_b, count(*)::DOUBLE AS c
+       |  FROM ee a JOIN ee b ON a.g = b.g AND a.doc < b.doc
+       |  GROUP BY 1, 2),
+       |ex AS (SELECT cm.doc_a, cm.doc_b
+       |  FROM cm JOIN (SELECT doc, len(hv)::BIGINT AS n FROM hv) sa
+       |    ON cm.doc_a = sa.doc
+       |  JOIN (SELECT doc, len(hv)::BIGINT AS n FROM hv) sb
+       |    ON cm.doc_b = sb.doc
+       |  WHERE cm.c / (sa.n + sb.n - cm.c) >= 0.2)
+       |SELECT count(*)::BIGINT AS n_true,
+       |  sum(CASE WHEN fj.doc_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_found,
+       |  round(sum(CASE WHEN fj.doc_a IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+       |    / nullif(count(*), 0), 6) + 0.0e0 AS recall
+       |FROM ex LEFT JOIN fj ON ex.doc_a = fj.doc_a
+       |  AND ex.doc_b = fj.doc_b""".stripMargin
+
   private def simhashSql: String = {
     val sums = (0 until 60).map(j =>
       s"sum(((h >> $j) & 1) * 2 - 1) AS b$j").mkString(",\n    ")
@@ -1957,6 +1989,8 @@ object Oracles {
     "pack_chunks_bpe" -> packChunksBpeSql,
 
     "dedup_ngram_jaccard" -> ngramGatedSql,
+
+    "dedup_lsh_recall_audit" -> lshRecallAuditSql,
 
     "curation_pipeline" -> curationPipelineSql,
 

@@ -949,6 +949,14 @@ object Queries {
   def textSourceDrift(s: SparkSession, dir: String): DataFrame =
     TextOps.sourceDrift(Tables.documents(s, dir), "doc_id", "text", "source")
 
+  /** LSH recall audit ([[operators.TextOps.lshRecallAudit]]): the
+    * measured recall of the banded candidate chain against the
+    * all-pairs exact truth — the tuning row a new corpus runs on a
+    * sample before trusting the band arity/caps. Quadratic ground
+    * truth: audit-scale only, stated in the operator contract. */
+  def dedupLshRecallAudit(s: SparkSession, dir: String): DataFrame =
+    TextOps.lshRecallAudit(Tables.documents(s, dir), "doc_id", "text")
+
   /** Containment pairs ([[operators.TextOps.containmentPairs]]) — the
     * asymmetric-overlap detector a Jaccard gate is blind to (Broder's
     * resemblance vs containment distinction): at sf0.01 the 0.8 gate

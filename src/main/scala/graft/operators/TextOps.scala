@@ -316,6 +316,30 @@ object TextOps {
         col("cont_b") >= minContainment)
   }
 
+  /** LSH RECALL AUDIT — the measured answer to "what does the banded
+    * candidate generation miss?": ground truth = the all-pairs exact
+    * Jaccard gate ([[ngramJaccardPairs]] — quadratic, audit-scale
+    * only), candidate = the shipped banded+verified chain
+    * ([[ngramJaccardPairsGated]]); one row:
+    * `(n_true, n_found, recall)`. Precision needs no audit — the gated
+    * chain verifies exactly, so found ⊆ true by construction (the
+    * LEFT join direction encodes it). Run this on a SAMPLE when tuning
+    * band arity/caps for a new corpus; the quadratic side is the cost. */
+  def lshRecallAudit(docs: DataFrame, idCol: String, textCol: String,
+                     shingleK: Int = 3, minJaccard: Double = 0.2): DataFrame = {
+    val exact = ngramJaccardPairs(docs, idCol, textCol, shingleK, minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val found = ngramJaccardPairsGated(docs, idCol, textCol, shingleK,
+        minJaccard)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("_f"))
+    exact.join(found, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("_f").isNotNull, 1L).otherwise(0L)).as("n_found"))
+      .select(col("n_true"), col("n_found"),
+        (round(col("n_found").cast("double") /
+          nullif(col("n_true"), lit(0L)), 6) + 0.0).as("recall"))
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs above a threshold:
     * explode shingles → equi-join on the shingle → pair intersection counts
     * → join per-doc set sizes → |A∩B| / (|A|+|B|−|A∩B|). Verification

@@ -587,6 +587,25 @@ class TextAnalysisSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("lshRecallAudit: counts found subset of truth; empty truth is null") {
+    val near = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today ok"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight ok"),
+      (3L, "completely different words appear here without any overlap"))
+      .toDF("doc_id", "text")
+    val r = TextOps.lshRecallAudit(near, "doc_id", "text").collect().head
+    assert(r.getLong(0) >= 1L && r.getLong(1) <= r.getLong(0),
+      "found must be a subset of truth")
+    assert(r.getLong(0) == r.getLong(1) && r.getDouble(2) == 1.0,
+      "the near-dup pair shares most shingles: every band matches")
+    // no qualifying pair at all → n_true 0, recall null (not a crash)
+    val none = Seq((1L, "aa bb cc dd ee"), (2L, "vv ww xx yy zz"))
+      .toDF("doc_id", "text")
+    val r0 = TextOps.lshRecallAudit(none, "doc_id", "text").collect().head
+    assert(r0.getLong(0) == 0L && r0.isNullAt(2))
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("containmentPairs: catches the asymmetric pair Jaccard is blind to") {
     val small = "alpha beta gamma delta epsilon"        // 3 shingles
     val big = ("pad" + (1 to 12).map(i => s" filler$i").mkString) +
