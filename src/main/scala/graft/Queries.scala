@@ -978,13 +978,12 @@ object Queries {
     * .lengthQuantiles]]) — the report that sizes packing and
     * sequence-length config. */
   def textLengthQuantiles(s: SparkSession, dir: String): DataFrame =
-    TextOps.lengthQuantiles(Tables.documents(s, dir), "doc_id", "text",
-      "source")
+    TextOps.lengthQuantiles(Tables.documents(s, dir), "text", "source")
 
   /** Per-source vocabulary profile ([[operators.TextOps.vocabStats]]) —
     * lexical diversity next to the length profile. */
   def textVocabStats(s: SparkSession, dir: String): DataFrame =
-    TextOps.vocabStats(Tables.documents(s, dir), "doc_id", "text", "source")
+    TextOps.vocabStats(Tables.documents(s, dir), "text", "source")
 
   /** Length-sorted batch layout ([[operators.SampleOps
     * .packLengthBatches]]) — per-batch padding overhead under

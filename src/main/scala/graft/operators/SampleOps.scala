@@ -121,6 +121,11 @@ object SampleOps {
     * the rank to be deterministic. Adds `rank` (1-based, long). */
   def globalRank(df: DataFrame, sortOrder: Seq[Column],
                  rangeParts: Int = 32): DataFrame = {
+    val reserved = Seq("rank", "_pid", "_lr", "_off")
+      .filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"globalRank reserves column name(s) ${reserved.mkString(", ")} — " +
+        "rename them on the input (they would be silently clobbered)")
     val sorted = df
       .repartitionByRange(rangeParts, sortOrder: _*)
       .sortWithinPartitions(sortOrder: _*)

@@ -233,10 +233,19 @@ object TextOps {
   def ngramJaccardPairsGated(docs: DataFrame, idCol: String, textCol: String,
                              shingleK: Int = 3, minJaccard: Double = 0.2,
                              numHashes: Int = 16, bands: Int = 4,
-                             maxBandBucket: Option[Int] = Some(DefaultMaxBandBucket)): DataFrame = {
+                             maxBandBucket: Option[Int] = Some(DefaultMaxBandBucket)): DataFrame =
+    ngramJaccardPairsGatedFromPre(
+      graft.CacheRegistry.persistTracked(
+        shingleHashed(docs, idCol, textCol, shingleK)),
+      minJaccard, numHashes, bands, maxBandBucket)
+
+  /** [[ngramJaccardPairsGated]] from a prepared (doc, hv) table — lets
+    * [[lshRecallAudit]] feed BOTH sides from one shingle pass. */
+  private def ngramJaccardPairsGatedFromPre(pre: DataFrame,
+                             minJaccard: Double,
+                             numHashes: Int, bands: Int,
+                             maxBandBucket: Option[Int]): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val pre = shingleHashed(docs, idCol, textCol, shingleK)
-      .transform(graft.CacheRegistry.persistTracked(_))
     // band keys only (no signature columns carried into the self-join);
     // persisted because both candidate sides read it
     val banded = capBuckets(
@@ -326,11 +335,17 @@ object TextOps {
     * LEFT join direction encodes it). Run this on a SAMPLE when tuning
     * band arity/caps for a new corpus; the quadratic side is the cost. */
   def lshRecallAudit(docs: DataFrame, idCol: String, textCol: String,
-                     shingleK: Int = 3, minJaccard: Double = 0.2): DataFrame = {
-    val exact = ngramJaccardPairs(docs, idCol, textCol, shingleK, minJaccard)
+                     shingleK: Int = 3, minJaccard: Double = 0.2,
+                     numHashes: Int = 16, bands: Int = 4,
+                     maxBandBucket: Option[Int] = Some(DefaultMaxBandBucket)): DataFrame = {
+    // ONE shingle pass feeds both sides (they are bit-identical on the
+    // (doc, hv) table, so nothing is lost and the corpus is hashed once)
+    val pre = graft.CacheRegistry.persistTracked(
+      shingleHashed(docs, idCol, textCol, shingleK))
+    val exact = ngramJaccardPairsFromPre(pre, minJaccard)
       .select(col("doc_a"), col("doc_b"))
-    val found = ngramJaccardPairsGated(docs, idCol, textCol, shingleK,
-        minJaccard)
+    val found = ngramJaccardPairsGatedFromPre(pre, minJaccard,
+        numHashes, bands, maxBandBucket)
       .select(col("doc_a"), col("doc_b"), lit(1).as("_f"))
     exact.join(found, Seq("doc_a", "doc_b"), "left")
       .agg(count(lit(1)).as("n_true"),
@@ -346,21 +361,24 @@ object TextOps {
     * baseline for [[ngramJaccardPairsGated]] — Σd² on hot shingles, do not
     * run standalone at scale (containmentPairs shows the capped form). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        shingleK: Int = 3, minJaccard: Double = 0.2): DataFrame = {
+                        shingleK: Int = 3, minJaccard: Double = 0.2): DataFrame =
     // join on the 60-bit shingle hash, not the shingle string — same
     // cardinality (collisions are ~1e-13 and mirrored by the oracle), far
     // smaller shuffle; the compact pre-explode (doc, hash-array) table
-    // persists once and feeds sizes + both join sides
-    val pre = shingled(docs, idCol, textCol, shingleK)
-      .withColumn("hv", transform(col("sh"), s => pmod(hash60(s), lit(HashMod))))
-      .select(col("doc"), col("hv"))
-      .transform(graft.CacheRegistry.persistTracked(_))
+    // persists once and feeds sizes + both join sides (native kernel,
+    // bit-identical to the declarative shingled→hash60 chain)
+    ngramJaccardPairsFromPre(
+      graft.CacheRegistry.persistTracked(
+        shingleHashed(docs, idCol, textCol, shingleK)),
+      minJaccard)
+
+  private def ngramJaccardPairsFromPre(pre: DataFrame,
+                                       minJaccard: Double): DataFrame =
     pairIntersectionCounts(pre, None)
       .select(col("doc_a"), col("doc_b"),
         (col("c").cast("double") / (col("na") + col("nb") - col("c")))
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-  }
 
   /** 60-bit numeric hash of a string via md5 prefix (engine-portable). */
   def hash60(c: Column): Column =
@@ -727,12 +745,14 @@ object TextOps {
       .withColumn("tb", pmod(xxhash64(col("term")), lit(buckets)))
       .write.mode("overwrite").partitionBy("tb").parquet(path)
     // the bucket arity is part of the LAYOUT: record it so a search
-    // can never route `tb` predicates with a mismatched modulus
-    // (which would silently return empty results)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(path, "_graft_buckets"),
-      buckets.toString.getBytes("UTF-8"))
-    ()
+    // can never route `tb` predicates with a mismatched modulus (which
+    // would silently return empty results). Through the Hadoop FS like
+    // the parquet write itself — the index path may be hdfs://, s3a://
+    val fsPath = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
+    val fs = fsPath.getFileSystem(
+      docs.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(fsPath, true)
+    try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** Exact phrase matches over a [[buildPostings]] index: one
@@ -753,12 +773,15 @@ object TextOps {
     // the index's RECORDED arity wins over the caller's default — a
     // modulus mismatch would silently answer every phrase with zero
     // rows; legacy layouts without the sidecar use the parameter
-    val metaFile = java.nio.file.Paths.get(path, "_graft_buckets")
+    val metaPath = new org.apache.hadoop.fs.Path(path, "_graft_buckets")
+    val fs = metaPath.getFileSystem(
+      s.sparkContext.hadoopConfiguration)
     val effBuckets =
-      if (java.nio.file.Files.isRegularFile(metaFile))
-        new String(java.nio.file.Files.readAllBytes(metaFile), "UTF-8")
-          .trim.toInt
-      else buckets
+      if (fs.exists(metaPath)) {
+        val in = fs.open(metaPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      } else buckets
     val post = s.read.parquet(path)
     // unique column names per term stream (a phrase can repeat a term,
     // so the join must never see two references to one attribute set)
@@ -880,7 +903,7 @@ object TextOps {
     * Past that, swap `percentile` → `approx_percentile` in place: same
     * plan shape, sketch-bounded state (the spec pins the approx twin
     * within its documented error on the same data). */
-  def lengthQuantiles(docs: DataFrame, idCol: String, textCol: String,
+  def lengthQuantiles(docs: DataFrame, textCol: String,
                       sourceCol: String): DataFrame = {
     val n = size(tokens(col(textCol))).cast("long")
     def q(p: Double, name: String): Column =
@@ -906,7 +929,7 @@ object TextOps {
     * `approx_count_distinct` (HLL++, sketch-bounded state) in place —
     * the spec pins the approx twin within its error bound on the same
     * data. */
-  def vocabStats(docs: DataFrame, idCol: String, textCol: String,
+  def vocabStats(docs: DataFrame, textCol: String,
                  sourceCol: String): DataFrame = {
     val wc = docs.select(col(sourceCol).as("source"),
         explode(tokens(col(textCol))).as("w"))

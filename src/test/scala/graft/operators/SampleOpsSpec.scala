@@ -127,7 +127,7 @@ class SampleOpsSpec extends SparkSpec {
     // 100 docs, token counts 1..100; batchDocs=10 → batch 0 holds
     // n=100..91 (ranks 1..10), padding = 100*10 − Σ(91..100) = 45
     val docs = (1 to 100).map(i => (i.toLong, "x " * i)).toDF("doc_id", "text")
-    val n = col("doc_id")  // ceil(len/4) varies; supply exact counts
+    // exact token counts supplied (the chars/4 default is a heuristic)
     val out = SampleOps.packLengthBatches(docs, "doc_id", "text",
         batchDocs = 10, tokenCount = Some(col("doc_id").cast("long")),
         rangeParts = 7)

@@ -631,7 +631,7 @@ class TextAnalysisSpec extends SparkSpec {
     // s0: tokens a,b,a,c → distinct 3, tokens 4, hapax {b,c} → 2/3
     val docs = Seq((1L, "a b", "s0"), (2L, "a c", "s0"), (3L, "x x x", "s1"))
       .toDF("doc_id", "text", "source")
-    val out = TextOps.vocabStats(docs, "doc_id", "text", "source")
+    val out = TextOps.vocabStats(docs, "text", "source")
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4)))).toMap
     assert(out("s0") == ((3L, 4L, 0.75, 0.666667)))
@@ -647,7 +647,7 @@ class TextAnalysisSpec extends SparkSpec {
     // 1..8 tokens in one source: p50 of [1..8] = 4.5 (interpolated)
     val docs = (1 to 8).map(i => (i.toLong, ("w " * i).trim, "s0"))
       .toDF("doc_id", "text", "source")
-    val r = TextOps.lengthQuantiles(docs, "doc_id", "text", "source")
+    val r = TextOps.lengthQuantiles(docs, "text", "source")
       .collect().head
     assert(r.getAs[Long]("n_docs") == 8L)
     assert(r.getAs[Double]("p50") == 4.5)
