@@ -475,6 +475,22 @@ object Oracles {
        |FROM ex LEFT JOIN fj ON ex.doc_a = fj.doc_a
        |  AND ex.doc_b = fj.doc_b""".stripMargin
 
+  /** text_bpe_fertility oracle: the full recursive BPE replay
+    * (shared [[bpeTokenizeSql]]) joined with whitespace-token counts,
+    * rolled up per source. */
+  private def bpeFertilitySql: String =
+    s"""WITH b AS (SELECT * FROM (
+       |${bpeTokenizeSql.linesIterator.map("  " + _).mkString("\n")}
+       |) t),
+       |d AS (SELECT CAST(doc_id AS BIGINT) AS doc, source,
+       |    len(string_split(trim(text), ' '))::BIGINT AS n_ws
+       |  FROM documents)
+       |SELECT d.source, sum(b.n_bpe_tokens)::BIGINT AS sum_bpe,
+       |  sum(d.n_ws)::BIGINT AS sum_ws,
+       |  round(sum(b.n_bpe_tokens)::DOUBLE / sum(d.n_ws), 6) + 0.0e0
+       |    AS fertility
+       |FROM d JOIN b ON d.doc = b.doc GROUP BY d.source""".stripMargin
+
   private def simhashSql: String = {
     val sums = (0 until 60).map(j =>
       s"sum(((h >> $j) & 1) * 2 - 1) AS b$j").mkString(",\n    ")
@@ -1991,6 +2007,8 @@ object Oracles {
     "dedup_ngram_jaccard" -> ngramGatedSql,
 
     "dedup_lsh_recall_audit" -> lshRecallAuditSql,
+
+    "text_bpe_fertility" -> bpeFertilitySql,
 
     "curation_pipeline" -> curationPipelineSql,
 

@@ -949,6 +949,22 @@ object Queries {
   def textSourceDrift(s: SparkSession, dir: String): DataFrame =
     TextOps.sourceDrift(Tables.documents(s, dir), "doc_id", "text", "source")
 
+  /** Tokenizer FERTILITY per source — exact merge-table BPE tokens per
+    * whitespace word ([[operators.TextOps.mergeBpeTokenCount]] over
+    * [[operators.TextOps.tokens]]): the report that prices each
+    * source's token budget (high fertility = the tokenizer fragments
+    * that source; a mixing pass weights token counts, not doc counts).
+    * Row-local counts + one bounded rollup. */
+  def textBpeFertility(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        TextOps.mergeBpeTokenCount(col("text")).as("_b"),
+        size(TextOps.tokens(col("text"))).cast("long").as("_w"))
+      .groupBy("source")
+      .agg(sum(col("_b")).as("sum_bpe"), sum(col("_w")).as("sum_ws"),
+        (round(sum(col("_b")).cast("double") / sum(col("_w")), 6) + 0.0)
+          .as("fertility"))
+
   /** LSH recall audit ([[operators.TextOps.lshRecallAudit]]): the
     * measured recall of the banded candidate chain against the
     * all-pairs exact truth — the tuning row a new corpus runs on a
