@@ -400,6 +400,13 @@ class PlanAuditSpec extends SparkSpec {
       s"domain filter degraded:\n$p")
   }
 
+  test("pagerank: Pregel iteration joins stay equi (no all-pairs plan)") {
+    val p = plan(Queries.webPagerank(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pagerank iteration degraded to an all-pairs join:\n$p")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("vad: kernel emits windows; the RLE merge is one required exchange") {
     // two exchanges total: the deliberate pre-render id repartition
     // (REPARTITION_BY_COL — fixture parallelism, same as the modal
