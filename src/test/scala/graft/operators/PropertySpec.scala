@@ -215,4 +215,36 @@ class PropertySpec extends SparkSpec {
       assert(out.size == 40 && out.values.forall(!_.isNaN))
     }
   }
+
+  test("containment bounds and the jaccard ≤ min-containment law (seeded)") {
+    // For any pair: 0 < cont ≤ 1, and jaccard = c/(na+nb−c) ≤
+    // c/max(na,nb) = min(cont_a, cont_b) — pins the two set-overlap
+    // operators to each other on random corpora
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed)
+      val docs = (0 until 40).map { i =>
+        val n = 5 + rng.nextInt(20)
+        (i.toLong, Seq.fill(n)(vocab(rng.nextInt(vocab.length)))
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val cont = TextOps.containmentPairs(docs, "doc_id", "text",
+          minContainment = 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3)))).toMap
+      val jac = TextOps.ngramJaccardPairs(docs, "doc_id", "text",
+          minJaccard = 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          r.getDouble(2)).toMap
+      graft.CacheRegistry.releaseAll()
+      assert(cont.nonEmpty && cont.keySet == jac.keySet,
+        "same candidate pair set at threshold 0")
+      for ((pair, (ca, cb)) <- cont) {
+        assert(ca > 0.0 && ca <= 1.0 && cb > 0.0 && cb <= 1.0,
+          s"$pair containment out of bounds: $ca, $cb")
+        assert(jac(pair) <= math.min(ca, cb) + 1e-12,
+          s"$pair: jaccard ${jac(pair)} > min containment ${math.min(ca, cb)}")
+      }
+    }
+  }
 }
