@@ -407,6 +407,33 @@ class PlanAuditSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("rank caps compile to WindowGroupLimit (map-side partial top-k)") {
+    // The hot-bucket rank caps (`row_number() <= cap` over the bucket key)
+    // are the 100-TB safety valve of the ENTIRE banded-dedup tier: Spark's
+    // InferWindowGroupLimit rewrites them into a WindowGroupLimit pair
+    // (Partial before the exchange, Final after), so a mega-hot
+    // shingle/band bucket ships at most cap×partitions rows instead of
+    // sorting the whole bucket in one task. That rewrite is version- and
+    // shape-sensitive (e.g. referencing the rank column downstream blocks
+    // it) — pin it per family so a refactor that silently loses it fails
+    // here, not on a cluster.
+    for ((name, df) <- Seq(
+        "dedup_minhash_lsh (band cap)"   -> Queries.dedupMinhashLsh(spark, dir),
+        "dedup_ngram_jaccard (band cap)" -> Queries.dedupNgramJaccard(spark, dir),
+        "dedup_containment (shingle-bucket cap)" -> Queries.dedupContainment(spark, dir),
+        "dedup_simhash_pairs (band cap)" -> Queries.dedupSimhashPairs(spark, dir),
+        "mm_image_neardup (band cap)"    -> Queries.mmImageNearDup(spark, dir),
+        "emb_neardup (LSH index-side cap)" -> Queries.embNearDup(spark, dir))) {
+      val p = plan(df)
+      val partials = p.split("\n").count(l =>
+        l.contains("WindowGroupLimit") && l.contains("Partial"))
+      assert(partials >= 1,
+        s"$name: rank cap lost its map-side WindowGroupLimit rewrite — " +
+          s"a hot bucket would single-task sort at scale:\n$p")
+    }
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("vad: kernel emits windows; the RLE merge is one required exchange") {
     // two exchanges total: the deliberate pre-render id repartition
     // (REPARTITION_BY_COL — fixture parallelism, same as the modal
