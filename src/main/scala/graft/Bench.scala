@@ -64,32 +64,58 @@ object Bench {
     * closing quote, because the driver artifact embeds the stdout tail
     * as a JSON STRING whose quotes are escaped (`\"name\":1.23`).
     * Non-query scalar keys are excluded. */
-  private[graft] def priorTimes(repo: java.io.File, round: Int): Map[String, Double] = {
-    val candidates = Seq(
+  private def benchFile(repo: java.io.File, round: Int): Option[java.io.File] =
+    Seq(
       new java.io.File(repo, f"docs/bench_r$round%02d.json"),
       new java.io.File(repo, s"docs/bench_r$round.json"),
       new java.io.File(repo, f"BENCH_r$round%02d.json"),
-      new java.io.File(repo, s"BENCH_r$round.json"))
-    val excluded = Set("value", "sf", "runs", "n", "rc", "cpus", "total")
-    candidates.find(_.isFile).map { f =>
+      new java.io.File(repo, s"BENCH_r$round.json")).find(_.isFile)
+
+  private val excludedKeys = Set("value", "sf", "runs", "n", "rc", "cpus", "total")
+
+  private def scavenge(text: String): Map[String, Double] =
+    "\"([A-Za-z0-9_]+)\\\\?\":(-?\\d+\\.\\d+)".r.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filterNot { case (k, v) => excludedKeys(k) || v < 0 }
+      .toMap
+
+  /** Index of the `"fixtures"` key (escaped or plain), or -1. */
+  private def fixturesAt(raw: String): Int =
+    raw.indexOf("\"fixtures\\\":") match {
+      case -1 => raw.indexOf("\"fixtures\":")
+      case i  => i
+    }
+
+  private[graft] def priorTimes(repo: java.io.File, round: Int): Map[String, Double] =
+    benchFile(repo, round).map { f =>
       val raw = new String(
         java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       // the fixtures map (r10+) reuses query names with smaller values —
       // scavenge only up to it so toMap can't shadow a query's time with
       // its fixture time (which would fire the guard on every media query)
-      val text = raw.indexOf("\"fixtures\\\":") match {
-        case -1 => raw.indexOf("\"fixtures\":") match {
-          case -1 => raw
-          case i => raw.substring(0, i)
-        }
-        case i => raw.substring(0, i)
+      val text = fixturesAt(raw) match {
+        case -1 => raw
+        case i  => raw.substring(0, i)
       }
-      "\"([A-Za-z0-9_]+)\\\\?\":(-?\\d+\\.\\d+)".r.findAllMatchIn(text)
-        .map(m => m.group(1) -> m.group(2).toDouble)
-        .filterNot { case (k, v) => excluded(k) || v < 0 }
-        .toMap
+      scavenge(text)
     }.getOrElse(Map.empty)
-  }
+
+  /** Prior per-query FIXTURE seconds (r10+ files): the `"fixtures"` map's
+    * entries, scavenged from the fixtures key up to its closing brace.
+    * Empty for pre-split rounds — the engine-time guard then degrades to
+    * the raw-time comparison those rounds recorded. */
+  private[graft] def priorFixtures(repo: java.io.File, round: Int): Map[String, Double] =
+    benchFile(repo, round).map { f =>
+      val raw = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      fixturesAt(raw) match {
+        case -1 => Map.empty[String, Double]
+        case i =>
+          val tail = raw.substring(i)
+          val end = tail.indexOf('}') // fixtures values are flat scalars
+          scavenge(if (end == -1) tail else tail.substring(0, end + 1))
+      }
+    }.getOrElse(Map.empty)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -148,11 +174,23 @@ object Bench {
       name -> (if (ts.exists(_ < 0)) -1.0
                else ts.sorted.apply((ts.length - 1) / 2))
     }
-    // contention guard vs the prior round's recorded values
+    // contention guard vs the prior round's recorded values — compared on
+    // ENGINE time (query − fixture) when both rounds carry a fixture
+    // entry (r10 verdict #1: cv_keypoints_pipeline's raw 1.46× was
+    // unattributable because the guard billed fixture rendering to the
+    // query). Queries without a fixture entry compare raw, as before.
     val round = lastRecordedRound(repo) + 1
     val prior = priorTimes(repo, round - 1)
+    val priorFx = priorFixtures(repo, round - 1)
+    val fxNow = fixtureTimes.toMap
+    def engineOf(raw: Double, fx: Map[String, Double], name: String): Double =
+      raw - math.max(0.0, fx.getOrElse(name, 0.0))
     val results = medians.map { case (name, med) =>
-      val guard = prior.get(name).exists(p => med > 1.5 * p && med - p > 0.25)
+      val guard = prior.get(name).exists { p =>
+        val e  = engineOf(med, fxNow, name)
+        val pe = engineOf(p, priorFx, name)
+        e > 1.5 * pe && e - pe > 0.25
+      }
       if (med >= 0 && guard) {
         val rerun = timeOne(name, SparkEntry.queries(name))
         name -> (if (rerun >= 0) math.min(med, rerun) else med)
@@ -162,9 +200,16 @@ object Bench {
       .mkString("{", ",", "}")
     val fx = fixtureTimes.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // attributed engine seconds (query − fixture) for fixture-split
+    // queries — placed AFTER "fixtures" so priorTimes' pre-fixtures
+    // truncation and priorFixtures' first-brace bound both skip it
+    val eng = results.collect {
+      case (k, v) if v >= 0 && fxNow.contains(k) =>
+        "\"" + k + "\":" + math.max(0.0, engineOf(v, fxNow, k))
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // queries first, totals last: the driver's tail capture keeps the end
-    val line = s"""{"queries":$qs,"fixtures":$fx,"sf":"$sfDir","runs":$runs,"metric":"total","unit":"sec","value":$total}"""
+    val line = s"""{"queries":$qs,"fixtures":$fx,"engines":$eng,"sf":"$sfDir","runs":$runs,"metric":"total","unit":"sec","value":$total}"""
     // SPARK_GRAFT_BENCH_TRACK=0: dev smokes (small sf, runs=1) must not
     // clobber the round's recorded full-fidelity bench file
     val track = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRACK", "1") != "0"

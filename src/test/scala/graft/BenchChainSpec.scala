@@ -69,4 +69,25 @@ class BenchChainSpec extends AnyFunSuite {
       """{"n":10,"tail":"{\"queries\":{\"cv_pupil\":5.5},\"fixtures\":{\"cv_pupil\":2.2},\"value\":5.5}"}""")
     assert(Bench.priorTimes(repo2, 10).get("cv_pupil").contains(5.5))
   }
+
+  test("priorFixtures reads only the fixtures map (engine-time guard input)") {
+    val repo = tmpRepo()
+    // r11+ tracked file: an "engines" map follows fixtures, reusing the
+    // same query names — priorFixtures must stop at the fixtures map's
+    // closing brace, and priorTimes must still stop before it
+    write(repo, "docs/bench_r11.json",
+      """{"queries":{"cv_pupil":5.5,"q_a":1.0},"fixtures":{"cv_pupil":2.2},"engines":{"cv_pupil":3.3},"sf":"x","runs":3,"metric":"total","unit":"sec","value":6.5}""")
+    assert(Bench.priorFixtures(repo, 11) == Map("cv_pupil" -> 2.2))
+    assert(Bench.priorTimes(repo, 11) == Map("cv_pupil" -> 5.5, "q_a" -> 1.0))
+    // pre-split rounds (no fixtures map): empty — guard degrades to raw
+    val repo2 = tmpRepo()
+    write(repo2, "docs/bench_r09.json",
+      """{"queries":{"q_a":1.0},"sf":"x","runs":3,"metric":"total","unit":"sec","value":1.0}""")
+    assert(Bench.priorFixtures(repo2, 9).isEmpty)
+    // escaped driver-artifact form
+    val repo3 = tmpRepo()
+    write(repo3, "BENCH_r10.json",
+      """{"n":10,"tail":"{\"queries\":{\"cv_pupil\":5.5},\"fixtures\":{\"cv_pupil\":2.2},\"value\":5.5}"}""")
+    assert(Bench.priorFixtures(repo3, 10).get("cv_pupil").contains(2.2))
+  }
 }
