@@ -1555,9 +1555,13 @@ object Oracles {
     "web_pagerank" -> webPagerankSql,
 
     // robots gate: CLOSED-FORM verdicts from the planted arithmetic —
-    // graftbot-specific hosts (g%4=0) see ONLY the /bot rule; others
-    // see the * rules (/private disallow, /private/ok allow if g%3=0,
-    // empty Disallow matches nothing); longest match, Allow wins ties
+    // graftbot-specific hosts (g%4=0, versioned UA token) see ONLY the
+    // /bot rules (anchored Allow /bot/z$ overrides when g%8=0); others
+    // see the * rules: /private disallow, /private/ok allow if g%3=0,
+    // the 13-octet wildcard Disallow /private/*/y$ outranking it when
+    // g%6=0, the anchored /*ub$ catching '/pub' (g%10=9) but never
+    // '/pubx' (g%10=4), empty Disallow matching nothing; longest
+    // rule-octet match, Allow wins ties
     "web_robots_filter" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc FROM documents),
         |b AS (SELECT doc, doc % 50 AS g, doc % 5 AS p FROM d),
@@ -1565,16 +1569,23 @@ object Oracles {
         |  'site' || g::VARCHAR || '.com' AS host,
         |  CASE p WHEN 0 THEN '/' WHEN 1 THEN '/private/x'
         |         WHEN 2 THEN '/private/ok/y' WHEN 3 THEN '/bot/z'
-        |         ELSE '/pub' END AS path,
-        |  CASE WHEN g % 4 = 0 THEN (CASE WHEN p = 3 THEN 'disallow' END)
+        |         ELSE (CASE WHEN doc % 10 = 4 THEN '/pubx'
+        |               ELSE '/pub' END) END AS path,
+        |  CASE WHEN g % 4 = 0 THEN (CASE WHEN p = 3 THEN
+        |         (CASE WHEN g % 8 = 0 THEN 'allow' ELSE 'disallow' END) END)
         |       ELSE (CASE WHEN p = 1 THEN 'disallow'
-        |                  WHEN p = 2 THEN (CASE WHEN g % 3 = 0
-        |                    THEN 'allow' ELSE 'disallow' END) END)
+        |                  WHEN p = 2 THEN (CASE WHEN g % 6 = 0 THEN 'disallow'
+        |                    WHEN g % 3 = 0 THEN 'allow' ELSE 'disallow' END)
+        |                  WHEN p = 4 AND g % 10 = 9 THEN 'disallow' END)
         |  END AS rule_type,
-        |  CASE WHEN g % 4 = 0 THEN (CASE WHEN p = 3 THEN '/bot' END)
+        |  CASE WHEN g % 4 = 0 THEN (CASE WHEN p = 3 THEN
+        |         (CASE WHEN g % 8 = 0 THEN '/bot/z$' ELSE '/bot' END) END)
         |       ELSE (CASE WHEN p = 1 THEN '/private'
-        |                  WHEN p = 2 THEN (CASE WHEN g % 3 = 0
-        |                    THEN '/private/ok' ELSE '/private' END) END)
+        |                  WHEN p = 2 THEN (CASE WHEN g % 6 = 0
+        |                    THEN '/private/*/y$'
+        |                    WHEN g % 3 = 0 THEN '/private/ok'
+        |                    ELSE '/private' END)
+        |                  WHEN p = 4 AND g % 10 = 9 THEN '/*ub$' END)
         |  END AS rule_path
         |FROM b)
         |SELECT doc AS req, host, path,
@@ -1590,8 +1601,9 @@ object Oracles {
         |b AS (SELECT doc, toks, doc % 50 AS g, doc % 5 AS p FROM d),
         |v AS (SELECT doc, toks, g,
         |    'site' || g::VARCHAR || '.com' AS host,
-        |    CASE WHEN g % 4 = 0 THEN (p = 3)
-        |         ELSE (p = 1 OR (p = 2 AND g % 3 <> 0)) END AS denied
+        |    CASE WHEN g % 4 = 0 THEN (p = 3 AND g % 8 <> 0)
+        |         ELSE (p = 1 OR (p = 2 AND (g % 3 <> 0 OR g % 6 = 0))
+        |               OR (p = 4 AND g % 10 = 9)) END AS denied
         |  FROM b)
         |SELECT doc, host,
         |  CASE WHEN denied THEN 'robots_denied'

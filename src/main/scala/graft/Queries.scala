@@ -1042,18 +1042,27 @@ object Queries {
   /** Planted robots.txt body per domain id (oracle derives the VERDICTS
     * closed-form from the same arithmetic): mixed-case keys, a trailing
     * comment, an empty-value Disallow (matches nothing), a consecutive
-    * two-UA group every 7th host, an Allow override every 3rd, and a
-    * graftbot-specific group every 4th (which, per RFC 9309, then
-    * REPLACES the `*` rules for us entirely). */
+    * two-UA group every 7th host, an Allow override every 3rd, a
+    * wildcard+anchor Disallow every 6th (13 octets — outranks the
+    * 11-octet Allow, so the wildcard length precedence is observable),
+    * an anchored star-ub rule every g%5==4 host (matches `/pub`, must
+    * NOT match `/pubx`), and a graftbot-specific group every 4th — named
+    * with a VERSIONED product token (`GraftBot/1.0`, §2.2.1 token
+    * matching) — which, per RFC 9309, then REPLACES the `*` rules for
+    * us entirely; every 8th host that group carries an anchored Allow
+    * override (7 octets beats `/bot`'s 4). */
   private def plantedRobots(did: Column): Column = concat(
     lit("# robots for site"), did.cast("string"), lit("\n"),
     when(did % 7 === 0, lit("User-agent: otherbot\n")).otherwise(lit("")),
     lit("User-agent: *\n"),
     lit("DisAllow: /private # staff only\n"),
     when(did % 3 === 0, lit("Allow: /private/ok\n")).otherwise(lit("")),
+    when(did % 6 === 0, lit("Disallow: /private/*/y$\n")).otherwise(lit("")),
+    when(did % 5 === 4, lit("Disallow: /*ub$\n")).otherwise(lit("")),
     lit("Disallow:\n\n"),
     when(did % 4 === 0,
-      lit("USER-AGENT: graftbot\nDisallow: /bot\n")).otherwise(lit("")))
+      lit("USER-AGENT: GraftBot/1.0\nDisallow: /bot\n")).otherwise(lit("")),
+    when(did % 8 === 0, lit("Allow: /bot/z$\n")).otherwise(lit("")))
 
   /** robots.txt politeness gate ([[operators.RobotsOps.evaluate]]) over
     * planted per-domain robots bodies and planted request paths: the
@@ -1085,6 +1094,9 @@ object Queries {
         .when(col("doc") % 5 === 1, "/private/x")
         .when(col("doc") % 5 === 2, "/private/ok/y")
         .when(col("doc") % 5 === 3, "/bot/z")
+        // p=4 splits on doc%10 (per-host constant since 10 | 50):
+        // "/pub" hits the anchored /*ub$ rule, "/pubx" must slip it
+        .when(col("doc") % 10 === 4, "/pubx")
         .otherwise("/pub").as("path"))
 
   /** CAPSTONE web-ingest lineage — the crawl-side front half composed
@@ -1106,7 +1118,7 @@ object Queries {
       .select(col("req").as("doc"), col("host"), col("allowed"))
     // per-domain docs share one path (doc ≡ g mod 50 fixes doc mod 5),
     // so the blocklist names domains whose path IS robots-allowed —
-    // g=10 (star rules, path "/") and g=24 (graftbot rules, "/pub") —
+    // g=10 (star rules, path "/") and g=24 (graftbot rules, "/pubx") —
     // keeping the blocked_domain branch genuinely reachable
     val blockedBy = TextOps.domainSuffixBlockCol(col("host"),
       Seq("site10.com", "site24.com"))

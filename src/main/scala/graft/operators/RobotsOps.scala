@@ -6,22 +6,29 @@ import org.apache.spark.sql.functions._
 
 /** robots.txt evaluation for crawl-side curation (the politeness gate a
   * web-scale ingest runs before fetching; RFC 9309 a.k.a. the Robots
-  * Exclusion Protocol). Implements the PREFIX-RULE subset — no `*`/`$`
-  * wildcards inside rule paths (documented; pre-RFC parsers were
-  * prefix-only and the corpus fixtures stay in that subset) — with the
-  * RFC's group and precedence semantics:
+  * Exclusion Protocol), with the RFC's group, wildcard, and precedence
+  * semantics:
   *
   *  - lines parse as `key: value` with `#` comments stripped; keys are
   *    case-insensitive;
   *  - a GROUP is one or more consecutive `User-agent` lines followed by
   *    rule lines (all the named agents share the group's rules);
-  *  - if ANY group names the crawler's agent token, exactly the groups
-  *    naming it apply; otherwise the `*` groups apply (RFC 9309 §2.2.1,
-  *    combined across groups);
-  *  - a rule matches a path by PREFIX; an empty rule value matches
-  *    nothing (`Disallow:` alone = allow everything);
-  *  - verdict = the LONGEST matching rule, `Allow` winning exact-length
-  *    ties (§2.2.2); no matching rule = allowed.
+  *  - agent selection matches the crawler's product token against the
+  *    LEADING product token of each `User-agent` value (up to the first
+  *    `/` or whitespace), case-insensitively (§2.2.1 — so
+  *    `User-agent: GraftBot/1.0` selects for agent `graftbot`); if ANY
+  *    group names the agent, exactly the groups naming it apply,
+  *    otherwise the `*` groups apply (combined across groups);
+  *  - a rule value matches a path by PREFIX, where `*` matches any
+  *    character sequence and a TRAILING `$` anchors the match to the
+  *    end of the path (§2.2.2 special characters; a `$` anywhere else
+  *    is a literal octet, matching the reference implementations); an
+  *    empty rule value matches nothing (`Disallow:` alone = allow
+  *    everything);
+  *  - verdict = the matching rule with the most octets in its value as
+  *    written (wildcards count — §2.2.2's longest-match in rule-octet
+  *    form, as the reference parsers implement it), `Allow` winning
+  *    exact-length ties; no matching rule = allowed.
   *
   * Scale shape: parsing is row-local per robots file; the evaluation is
   * one broadcast-or-shuffle equi-join of requests onto the (host, rule)
@@ -59,9 +66,13 @@ object RobotsOps {
           .cast("int"))
       .withColumn("grp", sum(col("_starts")).over(wLn))
     // group membership: which agents each group names
+    // §2.2.1: compare product tokens — the UA value's leading token (up
+    // to the first '/' or whitespace), case-insensitive, so version- or
+    // comment-bearing values like "GraftBot/1.0" still select the group
     val agents = grouped.filter(col("_ua"))
       .groupBy("host", "grp")
-      .agg(max(lower(col("value")) === agent.toLowerCase).as("g_specific"),
+      .agg(max(lower(regexp_extract(col("value"), "^([^/ \\t]+)", 1))
+          === agent.toLowerCase).as("g_specific"),
         max(col("value") === "*").as("g_star"))
     val hostHasSpecific = agents.groupBy("host")
       .agg(max(col("g_specific")).as("h_specific"))
@@ -82,7 +93,23 @@ object RobotsOps {
   def evaluate(robots: DataFrame, hostCol: String, textCol: String,
                requests: DataFrame, reqIdCol: String, reqHostCol: String,
                pathCol: String, agent: String): DataFrame = {
+    // Wildcard rules compile to an anchored regex ONCE per rule row (the
+    // rules table is robots-file-sized, tiny next to the request join):
+    // regex metachars escaped, `*` → `.*`, a trailing `$` kept as the
+    // end anchor. Prefix-only rules (the overwhelming majority in real
+    // corpora) keep the cheap codegen'd startsWith path.
+    val anchored = col("rule_path").endsWith("$")
+    val core = when(anchored,
+        expr("substring(rule_path, 1, length(rule_path) - 1)"))
+      .otherwise(col("rule_path"))
+    val rx = concat(lit("^"),
+      regexp_replace(
+        regexp_replace(core, "([\\\\.\\[\\]\\{\\}\\(\\)\\+\\^\\$\\|\\?])", "\\\\$1"),
+        "\\*", ".*"),
+      when(anchored, lit("$")).otherwise(lit("")))
     val rules = applicableRules(robots, hostCol, textCol, agent)
+      .withColumn("_wild", col("rule_path").contains("*") || anchored)
+      .withColumn("_rx", when(col("rule_path").contains("*") || anchored, rx))
     val req = requests.select(col(reqIdCol).as("req"),
       col(reqHostCol).as("host"), col(pathCol).as("path"))
     // the verdict key is the full (req, host, path) — a reqId reused
@@ -90,7 +117,8 @@ object RobotsOps {
     // fanned onto the others
     val matched = req.join(rules, Seq("host"))
       .filter(col("rule_path") =!= "" &&
-        col("path").startsWith(col("rule_path")))
+        when(col("_wild"), expr("path RLIKE _rx"))
+          .otherwise(col("path").startsWith(col("rule_path"))))
       // longest rule wins; Allow beats Disallow on equal length
       .withColumn("_rn", row_number().over(
         Window.partitionBy("req", "host", "path")

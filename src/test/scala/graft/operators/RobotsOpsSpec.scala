@@ -68,6 +68,68 @@ class RobotsOpsSpec extends SparkSpec {
     assert(v("/private/ok/y") == ((true, Some("allow"), Some("/private/ok"))))
   }
 
+  test("wildcards: * matches any chars, trailing $ anchors the end") {
+    val body =
+      """User-agent: *
+        |Disallow: /*.zip$
+        |Disallow: /tmp*/x
+        |Allow: /tmp-ok/x
+        |""".stripMargin
+    val v = verdicts(body, Seq(
+      "/files/a.zip",      // * spans directories, $ anchors
+      "/files/a.zip.html", // $ must NOT match mid-path
+      "/tmp123/x",         // mid-pattern *
+      "/tmp-ok/x",         // allow (9 octets) beats /tmp*/x (7 octets)
+      "/tmp"))             // prefix of the pattern, not a match
+    assert(v("/files/a.zip") == ((false, Some("disallow"), Some("/*.zip$"))))
+    assert(v("/files/a.zip.html") == ((true, None, None)))
+    assert(v("/tmp123/x") == ((false, Some("disallow"), Some("/tmp*/x"))))
+    assert(v("/tmp-ok/x") == ((true, Some("allow"), Some("/tmp-ok/x"))))
+    assert(v("/tmp") == ((true, None, None)))
+  }
+
+  test("wildcard precedence: rule-octet length, wildcards counted") {
+    val body =
+      """User-agent: *
+        |Allow: /a/b/c
+        |Disallow: /a/*/c/d$
+        |""".stripMargin
+    // the wildcard disallow (9 octets) outranks the literal allow (6)
+    val v = verdicts(body, Seq("/a/b/c/d", "/a/b/c/e"))
+    assert(v("/a/b/c/d") == ((false, Some("disallow"), Some("/a/*/c/d$"))))
+    assert(v("/a/b/c/e") == ((true, Some("allow"), Some("/a/b/c"))))
+  }
+
+  test("a mid-pattern $ is a literal octet; regex metachars stay literal") {
+    val body =
+      """User-agent: *
+        |Disallow: /cgi$bin/
+        |Disallow: /q?(x)+[y]
+        |""".stripMargin
+    val v = verdicts(body, Seq("/cgi$bin/z", "/cgibin/z", "/q?(x)+[y]z"))
+    assert(v("/cgi$bin/z")._1 == false, "literal $ must match itself")
+    assert(v("/cgibin/z")._1 == true, "mid-pattern $ is not a wildcard")
+    assert(v("/q?(x)+[y]z")._1 == false, "regex metachars are literals")
+  }
+
+  test("agent matching is by product token (UA value with version tail)") {
+    val body =
+      """User-agent: *
+        |Disallow: /
+        |
+        |User-agent: GraftBot/1.0
+        |Disallow: /only
+        |""".stripMargin
+    val v = verdicts(body, Seq("/anything", "/only/x"))
+    assert(v("/anything") == ((true, None, None)),
+      "versioned UA value must still select the specific group")
+    assert(v("/only/x") == ((false, Some("disallow"), Some("/only"))))
+    // a DIFFERENT product token must not match (no substring matching)
+    val v2 = verdicts("User-agent: graftbotx\nDisallow: /\n", Seq("/p"))
+    assert(v2("/p") == ((true, None, None)),
+      "graftbotx is a different product token than graftbot")
+  }
+
   test("a reqId reused across requests keeps per-(host,path) verdicts") {
     val robots = Seq(("a.com", "User-agent: *\nDisallow: /private\n"))
       .toDF("host", "robots")
