@@ -102,21 +102,32 @@ object Oracles {
     * k-means/BPE/logreg iterative discipline, so sum-order ulps cannot
     * compound. Same planted edges, same (1−d)/n + d·Σ rank/odeg law. */
   private def webPagerankSql: String = {
+    // the dangling share D/n per iteration: 6-dp-quantized sum of sink
+    // ranks (exactly the engine's driver-side BigDecimal HALF_UP), then
+    // the same IEEE divide by n — both engines walk identical state
     val iters = (0 until 3).map { i =>
-      s"""r${i + 1} AS MATERIALIZED (SELECT nodes.node,
+      s"""dm$i AS MATERIALIZED (SELECT
+         |  round(coalesce((SELECT sum(rank) FROM r$i
+         |    JOIN sinks ON r$i.node = sinks.node), 0.0e0), 6)
+         |    / (SELECT n FROM nn) AS share),
+         |r${i + 1} AS MATERIALIZED (SELECT nodes.node,
          |  round((1.0e0 - 0.85e0) / nn.n
-         |    + 0.85e0 * coalesce(s.m, 0.0e0), 6) + 0.0e0 AS rank
-         |  FROM nodes CROSS JOIN nn LEFT JOIN (
+         |    + 0.85e0 * (coalesce(s.m, 0.0e0) + dm$i.share), 6)
+         |    + 0.0e0 AS rank
+         |  FROM nodes CROSS JOIN nn CROSS JOIN dm$i LEFT JOIN (
          |    SELECT e.dst AS node, sum(r$i.rank / od.odeg) AS m
          |    FROM e JOIN r$i ON e.src = r$i.node JOIN od ON e.src = od.src
          |    GROUP BY e.dst) s ON nodes.node = s.node)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT DISTINCT CAST(doc_id AS BIGINT) % 50 AS src,
-       |    (CAST(doc_id AS BIGINT) * 7 + 3) % 50 AS dst FROM documents),
+       |    (CAST(doc_id AS BIGINT) * 7 + 3) % 50 AS dst FROM documents
+       |  WHERE (CAST(doc_id AS BIGINT) % 50) % 10 <> 9),
        |nodes AS (SELECT DISTINCT node FROM
        |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
        |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
        |od AS (SELECT src, count(*)::BIGINT AS odeg FROM e GROUP BY src),
+       |sinks AS (SELECT node FROM nodes
+       |  WHERE node NOT IN (SELECT src FROM e)),
        |r0 AS MATERIALIZED (SELECT node, 1.0e0 / nn.n AS rank
        |  FROM nodes CROSS JOIN nn),
        |$iters

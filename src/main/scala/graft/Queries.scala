@@ -1131,16 +1131,19 @@ object Queries {
   }
 
   /** Host-graph PageRank ([[operators.GraphOps.pageRank]]) over a
-    * planted 50-domain link graph (one directed edge per doc:
-    * `doc%50 → (doc·7+3)%50`, deduped — dangling-free since every
-    * residue appears as a source). 3 synchronous iterations, d = 0.85,
-    * per-iteration 6 dp quantization; the oracle unrolls the exact
-    * same three iterations as MATERIALIZED CTEs (the k-means/BPE
-    * discipline). */
+    * planted 50-domain link graph with PLANTED SINKS (one directed edge
+    * per doc: `doc%50 → (doc·7+3)%50`, deduped, except sources with
+    * `g%10==9` emit nothing — so nodes 9/19/29/39/49 are dangling yet
+    * still receive mass from 8/38/18/48/28). 3 synchronous iterations,
+    * d = 0.85, canonical dangling redistribution, per-iteration 6 dp
+    * quantization of both ranks and the dangling mass; the oracle
+    * unrolls the exact same three iterations as MATERIALIZED CTEs (the
+    * k-means/BPE discipline). */
   def webPagerank(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id").cast("long")
     val edges = Tables.documents(s, dir)
       .select((id % 50).as("src"), ((id * 7 + 3) % 50).as("dst"))
+      .filter(col("src") % 10 =!= 9)
     GraphOps.pageRank(edges, "src", "dst", iters = 3)
   }
 

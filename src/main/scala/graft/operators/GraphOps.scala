@@ -135,23 +135,24 @@ object GraphOps {
   /** PageRank (Page, Brin, Motwani, Winograd 1999) over a directed edge
     * list, a FIXED number of synchronous iterations — the host-authority
     * score a web-curation mix weights domains by. Per iteration:
-    * `rank'(v) = (1−d)/n + d · Σ_{(u,v)∈E} rank(u)/outdeg(u)`, each
-    * iteration's ranks quantized to 6 dp (the iterative-oracle
-    * discipline — k-means/BPE/logreg all pin per-iteration state so
-    * sum-order ulps cannot compound across engines or runs).
-    *
-    * DANGLING nodes (no out-edge) leak their mass here (ranks then sum
-    * to < 1) — the caller either accepts the leak (common in practice)
-    * or pre-closes the graph; the planted query uses a dangling-free
-    * construction. Self-loops count as ordinary edges.
+    * `rank'(v) = (1−d)/n + d · (Σ_{(u,v)∈E} rank(u)/outdeg(u) + D/n)`,
+    * where `D` is the total rank parked on DANGLING nodes (no out-edge),
+    * redistributed uniformly — the canonical formulation, so ranks sum
+    * to 1 on any graph, sinks included. Each iteration's ranks (and the
+    * dangling mass) quantize to 6 dp (the iterative-oracle discipline —
+    * k-means/BPE/logreg all pin per-iteration state so sum-order ulps
+    * cannot compound across engines or runs). Self-loops count as
+    * ordinary edges.
     *
     * Scale shape: the Pregel loop — each iteration is one equi-join of
     * the edge list with the (node, rank) table on `src` plus one
-    * map-side-combined groupBy on `dst`; state is node-sized, edges are
-    * scanned once per iteration, nothing is ever collected. Iterations
-    * persist and release round-over-round like [[connectedComponents]];
-    * `iters` is small and fixed (3-20 in practice), so lineage stays
-    * shallow without checkpoints. */
+    * map-side-combined groupBy on `dst`; the dangling mass is one
+    * node-sized semi-join aggregate collapsing to a single driver
+    * scalar (config-bounded: 1 row per iteration, never corpus-sized).
+    * State is node-sized, edges are scanned once per iteration.
+    * Iterations persist and release round-over-round like
+    * [[connectedComponents]]; `iters` is small and fixed (3-20 in
+    * practice), so lineage stays shallow without checkpoints. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
@@ -163,10 +164,20 @@ object GraphOps {
         .unionByName(e.select(col("dst").as("node"))).distinct())
     val n = nodes.count()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val sinks = graft.CacheRegistry.persistTracked(
+      nodes.join(outDeg.withColumnRenamed("src", "node"),
+        Seq("node"), "left_anti"))
     val base = lit(1.0 - damping) / lit(n.toDouble)
     var ranks = graft.CacheRegistry.persistTracked(
       nodes.withColumn("rank", lit(1.0) / lit(n.toDouble)))
     for (_ <- 1 to iters) {
+      // dangling mass this round: 6-dp-quantized like every other piece
+      // of per-iteration state, then shared uniformly across all nodes
+      val dmRow = ranks.join(sinks, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("rank")), lit(0.0))).first()
+      val dm = BigDecimal(dmRow.getDouble(0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val dShare = dm / n.toDouble
       val inMass = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .join(outDeg, "src")
@@ -176,7 +187,8 @@ object GraphOps {
       val next = graft.CacheRegistry.persistTracked(
         nodes.join(inMass, Seq("node"), "left")
           .select(col("node"),
-            (round(base + lit(damping) * coalesce(col("_m"), lit(0.0)), 6)
+            (round(base + lit(damping) *
+              (coalesce(col("_m"), lit(0.0)) + lit(dShare)), 6)
               + 0.0).as("rank")))
       next.count()  // materialize before releasing the previous round
       ranks.unpersist()  // handle stays tracked; releaseAll is idempotent

@@ -96,7 +96,7 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.count { case (n, c) => n == c } == 1)
   }
 
-  test("pageRank: closed-form star, cycle fixpoint, dangling leak") {
+  test("pageRank: closed-form star, cycle fixpoint, dangling redistribution") {
     def ranks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] =
       GraphOps.pageRank(edges.toDF("s", "d"), "s", "d", iters)
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -108,9 +108,29 @@ class GraphOpsSpec extends SparkSpec {
     // 2-cycle is a fixpoint at 0.5/0.5 for any iteration count
     assert(ranks(Seq((1L, 2L), (2L, 1L)), iters = 4)
       == Map(1L -> 0.5, 2L -> 0.5))
-    // documented dangling leak: a→b only, b re-emits nothing
-    val leak = ranks(Seq((1L, 2L)), iters = 1)
-    assert(leak == Map(1L -> 0.075, 2L -> 0.5) && leak.values.sum < 1.0)
+    // canonical dangling handling: a→b only, b's parked mass (0.5)
+    // redistributes uniformly (D/n = 0.25 each):
+    // a: 0.075 + 0.85·0.25 = 0.2875; b: 0.075 + 0.85·(0.5 + 0.25)
+    val sink = ranks(Seq((1L, 2L)), iters = 1)
+    assert(sink == Map(1L -> 0.2875, 2L -> 0.7125),
+      s"canonical dangling redistribution broken: $sink")
+    assert(math.abs(sink.values.sum - 1.0) < 1e-9)
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("pageRank rank-sum law: ranks sum to 1 on sink-bearing graphs") {
+    // a chain with a terminal sink, a detached sink pair, and a hub that
+    // is itself dangling — every shape of parked mass must come back
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), // chain into sink 4
+      (5L, 6L),                                   // detached sink 6
+      (1L, 7L), (2L, 7L), (5L, 7L))               // dangling hub 7
+    for (iters <- Seq(1, 3, 7)) {
+      val r = GraphOps.pageRank(edges.toDF("s", "d"), "s", "d", iters)
+        .collect().map(_.getDouble(1))
+      assert(math.abs(r.sum - 1.0) < 5e-6 * r.length,
+        s"iters=$iters: ranks sum to ${r.sum}, not 1 (leaked dangling mass)")
+      assert(r.forall(_ > 0.0), s"iters=$iters: nonpositive rank")
+    }
     graft.CacheRegistry.releaseAll()
   }
 }
