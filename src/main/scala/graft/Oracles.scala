@@ -520,7 +520,10 @@ object Oracles {
     * vec_id 400-415, ordered by anchor id) with Hamming-1 multi-probe on
     * the candidate side, exact-cosine verify — mirrors
     * VectorOps.nearDupPairsLsh(multiProbe = true). */
-  private def embNearDupSql: String = {
+  /** The emb_neardup CTE chain (normalize → anchor sign bits → banded
+    * keys → capped index + multi-probe → verified pairs `pr`), shared
+    * with the recall-audit oracle. */
+  private def embLshCtes: String = {
     val rpb = 4
     // probe keys: r = 0 exact, r = 1..4 the key with bit r flipped
     // (per-position concat — list slicing like bl[1:0] is NULL in DuckDB,
@@ -532,7 +535,7 @@ object Oracles {
       }.mkString(" || ")
       s"SELECT v_id, band_id, $key AS band_key FROM bl"
     }.mkString("\n  UNION ALL ")
-    s"""WITH e AS (SELECT vec_id,
+    s"""e AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |n AS (SELECT vec_id, v,
@@ -561,9 +564,31 @@ object Oracles {
        |      i -> ua.vn[i] * ub.vn[i])) AS sim
        |  FROM cand
        |  JOIN u ua ON id_a = ua.vec_id
-       |  JOIN u ub ON id_b = ub.vec_id)
-       |SELECT id_a, id_b, round(sim, 6) AS sim FROM pr WHERE sim >= 0.45""".stripMargin
+       |  JOIN u ub ON id_b = ub.vec_id)""".stripMargin
   }
+
+  private def embNearDupSql: String =
+    s"""WITH $embLshCtes
+       |SELECT id_a, id_b, round(sim, 6) AS sim FROM pr
+       |WHERE sim >= 0.45""".stripMargin
+
+  /** emb_recall_audit oracle: the shared LSH chain's gated pairs under
+    * the brute all-pairs cosine truth (quadratic — audit scale only,
+    * same as the engine's contract). */
+  private def embRecallAuditSql: String =
+    s"""WITH $embLshCtes,
+       |fnd AS (SELECT id_a, id_b FROM pr WHERE sim >= 0.45),
+       |ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM u a JOIN u b ON a.vec_id < b.vec_id
+       |  WHERE list_sum(list_transform(range(1, len(a.vn) + 1),
+       |    i -> a.vn[i] * b.vn[i])) >= 0.45)
+       |SELECT count(*)::BIGINT AS n_true,
+       |  sum(CASE WHEN fnd.id_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_found,
+       |  round(sum(CASE WHEN fnd.id_a IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+       |    / nullif(count(*), 0), 6) + 0.0e0 AS recall
+       |FROM ex LEFT JOIN fnd ON ex.id_a = fnd.id_a
+       |  AND ex.id_b = fnd.id_b""".stripMargin
 
   /** ann_lsh oracle: 6-bit sign-LSH buckets (anchors vec_id 480-485) with
     * Hamming-1 MULTI-PROBE on the query side — mirrors
@@ -1260,6 +1285,67 @@ object Oracles {
        |  FROM cap a JOIN cap b ON a.band_id = b.band_id
        |    AND a.band_key = b.band_key AND a.doc < b.doc)
        |SELECT id_a, id_b, hamming FROM pr WHERE hamming <= $maxHamming""".stripMargin
+  }
+
+  /** The mm_image_neardup aHash + banding CTE chain (planted-ellipse
+    * render → 8×8 block means → threshold bits → 8-band split), shared
+    * by the pair oracle and its recall audit. */
+  private def imageAHashBandCtes: String =
+    """p AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+      |    CAST(doc_id % 40 AS BIGINT) AS base,
+      |    CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS dx
+      |  FROM documents),
+      |e AS (SELECT media_id,
+      |    24 + base % 13 + dx AS ecx, 24 + (base * 3) % 13 AS ecy,
+      |    8 + base % 5 AS a, 4 + base % 3 AS b FROM p),
+      |g AS (SELECT media_id, gx.x // 8 AS bx, gy.y // 8 AS by,
+      |    CASE WHEN (CAST(gx.x - ecx AS DOUBLE) / a)
+      |             * (CAST(gx.x - ecx AS DOUBLE) / a)
+      |           + (CAST(gy.y - ecy AS DOUBLE) / b)
+      |             * (CAST(gy.y - ecy AS DOUBLE) / b) <= 1.0
+      |      THEN 32 ELSE 224 END AS v
+      |  FROM e, range(0, 64) gx(x), range(0, 64) gy(y)),
+      |blk AS (SELECT media_id, bx, by, sum(v)::BIGINT AS s
+      |  FROM g GROUP BY 1, 2, 3),
+      |tot AS (SELECT media_id, sum(s)::BIGINT AS t FROM blk GROUP BY 1),
+      |bits AS (SELECT b.media_id,
+      |    string_agg(CASE WHEN b.s * 64 >= t.t THEN '1' ELSE '0' END,
+      |      '' ORDER BY b.by, b.bx) AS ahash
+      |  FROM blk b JOIN tot t USING (media_id) GROUP BY b.media_id),
+      |band AS (SELECT media_id, ahash, t.b AS band_id,
+      |    substr(ahash, CAST(t.b * 8 + 1 AS INT), 8) AS band_bits
+      |  FROM bits, range(0, 8) t(b))""".stripMargin
+
+  /** dedup_simhash_recall_audit oracle: the capped chain's verified
+    * pairs under the UNCAPPED band join truth — pigeonhole-complete at
+    * hamming ≤ bands−1, so the truth side is exact without an
+    * all-pairs join (mirrors TextOps.simhashRecallAudit). */
+  private def simhashRecallAuditSql: String = {
+    val bands = 6; val bandBits = 10; val maxHamming = 5
+    val cap = graft.operators.TextOps.DefaultMaxBandBucket
+    val mask = (1L << bandBits) - 1
+    s"""WITH sh AS ($simhashSql),
+       |band AS (SELECT doc, simhash, t.b AS band_id,
+       |    (simhash >> (t.b * $bandBits)) & $mask AS band_key
+       |  FROM sh, range(0, $bands) t(b)),
+       |ex AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+       |  FROM band a JOIN band b ON a.band_id = b.band_id
+       |    AND a.band_key = b.band_key AND a.doc < b.doc
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming),
+       |cp AS (SELECT doc, simhash, band_id, band_key FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY band_id, band_key
+       |    ORDER BY doc) AS rn FROM band) WHERE rn <= $cap),
+       |fnd AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+       |  FROM cp a JOIN cp b ON a.band_id = b.band_id
+       |    AND a.band_key = b.band_key AND a.doc < b.doc
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming)
+       |SELECT count(*)::BIGINT AS n_true,
+       |  sum(CASE WHEN fnd.id_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_found,
+       |  round(sum(CASE WHEN fnd.id_a IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+       |    / nullif(count(*), 0), 6) + 0.0e0 AS recall
+       |FROM ex LEFT JOIN fnd ON ex.id_a = fnd.id_a
+       |  AND ex.id_b = fnd.id_b""".stripMargin
   }
 
   /** bpe_train oracle: the vocabulary-induction loop unrolled (the
@@ -2030,6 +2116,8 @@ object Oracles {
     "dedup_ngram_jaccard" -> ngramGatedSql,
 
     "dedup_lsh_recall_audit" -> lshRecallAuditSql,
+    "dedup_simhash_recall_audit" -> simhashRecallAuditSql,
+    "emb_recall_audit" -> embRecallAuditSql,
 
     "text_bpe_fertility" -> bpeFertilitySql,
 
@@ -3186,30 +3274,7 @@ object Oracles {
     // same rank cap, exact Hamming over the bit strings at <= 7
     "mm_image_neardup" -> {
       val cap = graft.Queries.imageNearDupBucketCap
-      s"""WITH p AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
-        |    CAST(doc_id % 40 AS BIGINT) AS base,
-        |    CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS dx
-        |  FROM documents),
-        |e AS (SELECT media_id,
-        |    24 + base % 13 + dx AS ecx, 24 + (base * 3) % 13 AS ecy,
-        |    8 + base % 5 AS a, 4 + base % 3 AS b FROM p),
-        |g AS (SELECT media_id, gx.x // 8 AS bx, gy.y // 8 AS by,
-        |    CASE WHEN (CAST(gx.x - ecx AS DOUBLE) / a)
-        |             * (CAST(gx.x - ecx AS DOUBLE) / a)
-        |           + (CAST(gy.y - ecy AS DOUBLE) / b)
-        |             * (CAST(gy.y - ecy AS DOUBLE) / b) <= 1.0
-        |      THEN 32 ELSE 224 END AS v
-        |  FROM e, range(0, 64) gx(x), range(0, 64) gy(y)),
-        |blk AS (SELECT media_id, bx, by, sum(v)::BIGINT AS s
-        |  FROM g GROUP BY 1, 2, 3),
-        |tot AS (SELECT media_id, sum(s)::BIGINT AS t FROM blk GROUP BY 1),
-        |bits AS (SELECT b.media_id,
-        |    string_agg(CASE WHEN b.s * 64 >= t.t THEN '1' ELSE '0' END,
-        |      '' ORDER BY b.by, b.bx) AS ahash
-        |  FROM blk b JOIN tot t USING (media_id) GROUP BY b.media_id),
-        |band AS (SELECT media_id, ahash, t.b AS band_id,
-        |    substr(ahash, CAST(t.b * 8 + 1 AS INT), 8) AS band_bits
-        |  FROM bits, range(0, 8) t(b)),
+      s"""WITH $imageAHashBandCtes,
         |cap AS (SELECT media_id, ahash, band_id, band_bits FROM (
         |  SELECT *, row_number() OVER (PARTITION BY band_id, band_bits
         |    ORDER BY media_id) AS rn FROM band) WHERE rn <= $cap),
@@ -3222,6 +3287,35 @@ object Oracles {
         |      <> substr(hb, CAST(i AS INT), 1)))::BIGINT AS hamming
         |  FROM pr)
         |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 7""".stripMargin
+    },
+
+    // capped chain under the UNCAPPED pigeonhole-complete band truth
+    // (hamming <= 7 < 8 bands) — mirrors imageNearDupRecallAudit
+    "mm_image_recall_audit" -> {
+      val cap = graft.Queries.imageNearDupBucketCap
+      s"""WITH $imageAHashBandCtes,
+        |ex AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+        |  FROM band a JOIN band b ON a.band_id = b.band_id
+        |    AND a.band_bits = b.band_bits AND a.media_id < b.media_id
+        |  WHERE len(list_filter(generate_series(1, 64),
+        |    i -> substr(a.ahash, CAST(i AS INT), 1)
+        |      <> substr(b.ahash, CAST(i AS INT), 1))) <= 7),
+        |cp AS (SELECT media_id, ahash, band_id, band_bits FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY band_id, band_bits
+        |    ORDER BY media_id) AS rn FROM band) WHERE rn <= $cap),
+        |fnd AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+        |  FROM cp a JOIN cp b ON a.band_id = b.band_id
+        |    AND a.band_bits = b.band_bits AND a.media_id < b.media_id
+        |  WHERE len(list_filter(generate_series(1, 64),
+        |    i -> substr(a.ahash, CAST(i AS INT), 1)
+        |      <> substr(b.ahash, CAST(i AS INT), 1))) <= 7)
+        |SELECT count(*)::BIGINT AS n_true,
+        |  sum(CASE WHEN fnd.id_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_found,
+        |  round(sum(CASE WHEN fnd.id_a IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    / nullif(count(*), 0), 6) + 0.0e0 AS recall
+        |FROM ex LEFT JOIN fnd ON ex.id_a = fnd.id_a
+        |  AND ex.id_b = fnd.id_b""".stripMargin
     },
 
     "emb_semdedup" -> semDedupSql,

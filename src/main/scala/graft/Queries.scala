@@ -973,6 +973,23 @@ object Queries {
   def dedupLshRecallAudit(s: SparkSession, dir: String): DataFrame =
     TextOps.lshRecallAudit(Tables.documents(s, dir), "doc_id", "text")
 
+  /** SimHash recall audit ([[operators.TextOps.simhashRecallAudit]]):
+    * the cap's measured recall cost against the pigeonhole-complete
+    * uncapped truth — equi-join-shaped on BOTH sides, so this audit
+    * runs at corpus scale, not just sample scale. */
+  def dedupSimhashRecallAudit(s: SparkSession, dir: String): DataFrame =
+    TextOps.simhashRecallAudit(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Embedding-LSH recall audit ([[operators.VectorOps.embRecallAudit]])
+    * on the exact emb_neardup configuration (4×4 sign bands over the
+    * 400-415 anchors, multi-probe, cap 1000): the measured band-miss +
+    * cap recall the (1−pᵏ)ᵇ estimate only bounds. Quadratic truth side
+    * — audit-scale only, stated in the operator contract. */
+  def embRecallAuditQ(s: SparkSession, dir: String): DataFrame =
+    operators.VectorOps.embRecallAudit(Tables.embeddings(s, dir),
+      "vec_id", "embedding", col("vec_id").between(400, 415),
+      bands = 4, rowsPerBand = 4, minCosine = 0.45, multiProbe = true)
+
   /** Containment pairs ([[operators.TextOps.containmentPairs]]) — the
     * asymmetric-overlap detector a Jaccard gate is blind to (Broder's
     * resemblance vs containment distinction): at sf0.01 the 0.8 gate
@@ -2097,15 +2114,30 @@ object Queries {
     * keep pairing. */
   val imageNearDupBucketCap: Int = 100
 
-  def mmImageNearDup(s: SparkSession, dir: String): DataFrame = {
-    import graft.multimodal.{MultimodalOps, VisionFixtures}
+  def mmImageNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.MultimodalOps.imageNearDupPairs(
+      plantedNearDupMedia(s, dir), maxBucket = imageNearDupBucketCap)
+
+  /** The near-dup image fixture (shared by the pair query and its
+    * recall audit so the measured number describes the shipped corpus):
+    * 40 base renders, each repeated, every doc%5==4 row one-pixel
+    * jittered. */
+  private def plantedNearDupMedia(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
-    val media = VisionFixtures.plantMediaKeyed(
+    graft.multimodal.VisionFixtures.plantMediaKeyed(
       Tables.documents(s, dir).select(id.as("doc_id"),
         ((id % 40) * 2 + when(id % 5 === 4, 1).otherwise(0)).as("ck")),
       "doc_id", "ck", "pupil_jitter")
-    MultimodalOps.imageNearDupPairs(media, maxBucket = imageNearDupBucketCap)
   }
+
+  /** Image near-dup recall audit ([[graft.multimodal.MultimodalOps
+    * .imageNearDupRecallAudit]]): uncapped pigeonhole-complete truth vs
+    * the shipped cap-100 chain — the measured price of the cap on the
+    * low-entropy aHash bands (the one family where the cap demonstrably
+    * bites at sf: one all-light band collects 400+ members). */
+  def mmImageRecallAudit(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.MultimodalOps.imageNearDupRecallAudit(
+      plantedNearDupMedia(s, dir), maxBucket = imageNearDupBucketCap)
 
   /** The WORLD-camera video scan (marker_detection.py:98-117): planted
     * PNG-framed video blobs whose 1-2 concentric markers drift one pixel

@@ -361,12 +361,17 @@ object MultimodalOps {
     * (id_a, id_b, hamming), id_a < id_b. */
   def imageNearDupPairs(media: DataFrame, grid: Int = 8, bands: Int = 8,
                         maxHamming: Int = 7,
-                        maxBucket: Int = 1000): DataFrame = {
+                        maxBucket: Int = 1000): DataFrame =
+    imagePairsFromHashes(imageAHash(media, grid), grid, bands, maxHamming,
+      Some(maxBucket))
+
+  private def imagePairsFromHashes(hashes: DataFrame, grid: Int, bands: Int,
+                                   maxHamming: Int,
+                                   maxBucket: Option[Int]): DataFrame = {
     val nBits = grid * grid
     require(bands >= 1 && nBits % bands == 0,
       s"bands must divide $nBits, got $bands")
     val bandLen = nBits / bands
-    val hashes = imageAHash(media, grid)
     val banded = hashes.select(col("media_id"), col("ahash"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band_id"),
@@ -374,10 +379,14 @@ object MultimodalOps {
               .as("band_bits"))): _*)).as("_b"))
       .select(col("media_id"), col("ahash"),
         col("_b.band_id"), col("_b.band_bits"))
-    val wb = Window.partitionBy(col("band_id"), col("band_bits"))
-      .orderBy(col("media_id"))
-    val capped = banded.withColumn("_rn", row_number().over(wb))
-      .filter(col("_rn") <= maxBucket).drop("_rn")
+    val capped = maxBucket match {
+      case Some(c) =>
+        val wb = Window.partitionBy(col("band_id"), col("band_bits"))
+          .orderBy(col("media_id"))
+        banded.withColumn("_rn", row_number().over(wb))
+          .filter(col("_rn") <= c).drop("_rn")
+      case None => banded
+    }
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_bits") === col("b.band_bits") &&
@@ -392,6 +401,28 @@ object MultimodalOps {
     pairs.withColumn("hamming", hamming.cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Image near-dup RECALL AUDIT (the TextOps.lshRecallAudit
+    * discipline): `maxHamming ≤ bands − 1` makes the UNCAPPED band join
+    * pigeonhole-complete, so the uncapped chain is exact ground truth —
+    * still equi-join-shaped — and the measured recall isolates the
+    * hot-bucket rank cap's cost on this corpus (aHash bands are
+    * low-entropy, so the cap genuinely bites; see the planted query's
+    * cap note). ONE aHash decode pass feeds both chains. One row:
+    * `(n_true, n_found, recall)`. */
+  def imageNearDupRecallAudit(media: DataFrame, grid: Int = 8,
+                              bands: Int = 8, maxHamming: Int = 7,
+                              maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming <= bands - 1,
+      s"truth side needs the pigeonhole guarantee: maxHamming $maxHamming > bands-1")
+    val hashes = graft.CacheRegistry.persistTracked(imageAHash(media, grid))
+    val exact = imagePairsFromHashes(hashes, grid, bands, maxHamming, None)
+      .select(col("id_a"), col("id_b"))
+    val found = imagePairsFromHashes(hashes, grid, bands, maxHamming,
+        Some(maxBucket))
+      .select(col("id_a"), col("id_b"), lit(1).as("_f"))
+    graft.operators.TextOps.recallRollup(exact, found, Seq("id_a", "id_b"))
   }
 
   /** Decode/feature-extract: media table → (media_id, features). Rows

@@ -347,12 +347,7 @@ object TextOps {
     val found = ngramJaccardPairsGatedFromPre(pre, minJaccard,
         numHashes, bands, maxBandBucket)
       .select(col("doc_a"), col("doc_b"), lit(1).as("_f"))
-    exact.join(found, Seq("doc_a", "doc_b"), "left")
-      .agg(count(lit(1)).as("n_true"),
-        sum(when(col("_f").isNotNull, 1L).otherwise(0L)).as("n_found"))
-      .select(col("n_true"), col("n_found"),
-        (round(col("n_found").cast("double") /
-          nullif(col("n_true"), lit(0L)), 6) + 0.0).as("recall"))
+    recallRollup(exact, found, Seq("doc_a", "doc_b"))
   }
 
   /** Exact n-gram Jaccard similarity for all pairs above a threshold:
@@ -410,12 +405,16 @@ object TextOps {
     * engine-portable by construction. Returns (id_a, id_b, hamming). */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           bands: Int = 6, maxHamming: Int = 5,
-                          maxBucket: Int = DefaultMaxBandBucket): DataFrame = {
+                          maxBucket: Int = DefaultMaxBandBucket): DataFrame =
+    simhashPairsFromSh(simhash(docs, idCol, textCol), bands, maxHamming,
+      Some(maxBucket))
+
+  private def simhashPairsFromSh(sh: DataFrame, bands: Int, maxHamming: Int,
+                                 maxBucket: Option[Int]): DataFrame = {
     require(bands >= 1 && 60 % bands == 0,
       s"bands must divide 60, got $bands")
     val bandBits = 60 / bands
     val mask = (1L << bandBits) - 1
-    val sh = simhash(docs, idCol, textCol)
     val banded = sh.select(col("doc"), col("simhash"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band_id"),
@@ -423,10 +422,14 @@ object TextOps {
               .as("band_key"))): _*)).as("_b"))
       .select(col("doc"), col("simhash"),
         col("_b.band_id"), col("_b.band_key"))
-    val wb = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band_id"), col("band_key")).orderBy(col("doc"))
-    val capped = banded.withColumn("_rn", row_number().over(wb))
-      .filter(col("_rn") <= maxBucket).drop("_rn")
+    val capped = maxBucket match {
+      case Some(c) =>
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_id"), col("band_key")).orderBy(col("doc"))
+        banded.withColumn("_rn", row_number().over(wb))
+          .filter(col("_rn") <= c).drop("_rn")
+      case None => banded
+    }
     capped.as("a").join(capped.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_key") === col("b.band_key") &&
@@ -437,6 +440,41 @@ object TextOps {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** SimHash RECALL AUDIT — the [[lshRecallAudit]] discipline applied to
+    * the simhash family. Because `maxHamming ≤ bands − 1` makes the
+    * UNCAPPED band join pigeonhole-COMPLETE, the uncapped chain IS the
+    * exact ground truth here (no all-pairs join needed — the audit is
+    * the one banded family whose truth side stays equi-join-shaped),
+    * and the measured number isolates exactly what the audit exists to
+    * measure: the hot-bucket rank cap's recall cost. One simhash pass
+    * feeds both chains; found ⊆ true by construction (capped buckets
+    * generate a candidate subset; both sides verify identically). One
+    * row: `(n_true, n_found, recall)`. */
+  def simhashRecallAudit(docs: DataFrame, idCol: String, textCol: String,
+                         bands: Int = 6, maxHamming: Int = 5,
+                         maxBucket: Int = DefaultMaxBandBucket): DataFrame = {
+    require(maxHamming <= bands - 1,
+      s"truth side needs the pigeonhole guarantee: maxHamming $maxHamming > bands-1")
+    val sh = graft.CacheRegistry.persistTracked(
+      simhash(docs, idCol, textCol))
+    val exact = simhashPairsFromSh(sh, bands, maxHamming, None)
+      .select(col("id_a"), col("id_b"))
+    val found = simhashPairsFromSh(sh, bands, maxHamming, Some(maxBucket))
+      .select(col("id_a"), col("id_b"), lit(1).as("_f"))
+    recallRollup(exact, found, Seq("id_a", "id_b"))
+  }
+
+  /** Shared audit tail: truth LEFT JOIN found → one
+    * `(n_true, n_found, recall)` row (6-dp ratio, null-safe on 0). */
+  private[graft] def recallRollup(exact: DataFrame, found: DataFrame,
+                                  keys: Seq[String]): DataFrame =
+    exact.join(found, keys, "left")
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("_f").isNotNull, 1L).otherwise(0L)).as("n_found"))
+      .select(col("n_true"), col("n_found"),
+        (round(col("n_found").cast("double") /
+          nullif(col("n_true"), lit(0L)), 6) + 0.0).as("recall"))
 
   /** Document fingerprint: min over 4-token k-gram rolling hashes
     * (winnowing-style shingle-min; null for docs with < 4 tokens).

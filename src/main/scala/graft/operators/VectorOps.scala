@@ -1147,6 +1147,31 @@ object VectorOps {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Embedding-LSH RECALL AUDIT (the TextOps.lshRecallAudit discipline
+    * applied to the sign-LSH family): ground truth = the brute all-pairs
+    * cosine gate ([[nearDupPairs]] — QUADRATIC, audit-scale only; unlike
+    * the simhash/image audits there is no pigeonhole equi-join truth for
+    * cosine), candidate = the shipped banded chain
+    * ([[nearDupPairsLsh]]). found ⊆ true by construction (the LSH chain
+    * verifies with the same exact cosine), so one measured row
+    * `(n_true, n_found, recall)` prices the band-miss probability PLUS
+    * the hot-bucket cap on this corpus — the number the (1−pᵏ)ᵇ formula
+    * only estimates. One persisted scan feeds both chains. Run on a
+    * SAMPLE when tuning bands/anchors for a new corpus. */
+  def embRecallAudit(vecs: DataFrame, idCol: String, vecCol: String,
+                     anchorPred: Column, bands: Int, rowsPerBand: Int,
+                     minCosine: Double, multiProbe: Boolean = false,
+                     maxBucket: Option[Int] = Some(DefaultMaxBucket)): DataFrame = {
+    val v = graft.CacheRegistry.persistTracked(
+      vecs.select(col(idCol), col(vecCol)))
+    val exact = nearDupPairs(v, idCol, vecCol, minCosine)
+      .select(col("id_a"), col("id_b"))
+    val found = nearDupPairsLsh(v, idCol, vecCol, anchorPred, bands,
+        rowsPerBand, minCosine, multiProbe, maxBucket)
+      .select(col("id_a"), col("id_b"), lit(1).as("_f"))
+    graft.operators.TextOps.recallRollup(exact, found, Seq("id_a", "id_b"))
+  }
+
   /** SemDeDup — SEMANTIC dedup over embeddings (Abbas et al. 2023,
     * arXiv:2303.09540, "SemDeDup: Data-efficient learning at web-scale
     * through semantic deduplication"): cluster the normalized embeddings
