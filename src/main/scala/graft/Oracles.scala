@@ -2396,6 +2396,21 @@ object Oracles {
          |GROUP BY gram HAVING count(*) >= $mc""".stripMargin
     },
 
+    // per-source heads: exact (source, gram) counts at the per-source
+    // minCount, rank-5 under (cnt DESC, gram) — the sketch prefilter is
+    // result-invisible here exactly as in text_frequent_ngrams
+    "text_top_ngrams_per_source" ->
+      """WITH d AS (SELECT source, string_split(trim(text), ' ') AS toks
+        |  FROM documents),
+        |g AS (SELECT source, toks[u.i] || ' ' || toks[u.i + 1] AS gram
+        |  FROM d, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+        |c AS (SELECT source, gram, count(*)::BIGINT AS cnt FROM g
+        |  GROUP BY source, gram HAVING count(*) >= 3)
+        |SELECT source, gram, cnt,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY cnt DESC, gram) AS BIGINT) AS rank
+        |FROM c QUALIFY rank <= 5""".stripMargin,
+
     // logistic-regression gate: the gradient-descent loop UNROLLED (the
     // bpe_train technique) — train-split standardization (round-6
     // mean/pop-std; zero std ⇒ 1), then per iteration one gradient

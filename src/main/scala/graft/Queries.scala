@@ -866,6 +866,16 @@ object Queries {
     TextOps.frequentNgrams(Tables.documents(s, dir), "doc_id", "text",
       n = 2, minCount = frequentNgramMinCount)
 
+  /** Top-K bigrams per source ([[operators.TextOps.topNgramsPerSource]])
+    * — the heavy-hitter consumer shape (r10 verdict #4): the same
+    * count-min prefilter, then exact per-(source, gram) counts at a
+    * per-source minCount 3 (120-220 qualifiers per source at sf0.01 —
+    * non-trivial heads) and a rank-5 head (ties (cnt DESC, gram))
+    * that compiles to the map-side WindowGroupLimit partial top-k. */
+  def textTopNgramsPerSource(s: SparkSession, dir: String): DataFrame =
+    TextOps.topNgramsPerSource(Tables.documents(s, dir), "source", "text",
+      n = 2, k = 5, minCount = 3)
+
   def qualityClassifyLogreg(s: SparkSession, dir: String): DataFrame =
     TextOps.logregClassifier(Tables.documents(s, dir), "doc_id", "text",
       isTrain = col("doc_id") % 5 === 0,

@@ -1761,11 +1761,36 @@ object TextOps {
                      depth: Int = 3, width: Int = 2048): DataFrame = {
     require(n >= 1 && depth >= 1 && width >= 1 && minCount >= 1,
       s"bad params n=$n depth=$depth width=$width minCount=$minCount")
-    val toks = tokens(col(textCol))
-    val gramArr = when(size(toks) >= n,
+    // deliberately NOT cached: the exploded gram frame is corpus-sized
+    // (every token position), so materializing it would cost corpus-scale
+    // storage exactly where this operator exists to avoid corpus-scale
+    // state — both passes recompute the explode from the compressed
+    // columnar scan instead (two cheap narrow scans)
+    val grams = docs.select(explode(gramArray(col(textCol), n)).as("g"))
+    // passes 2+3: row-local prefilter, then the exact candidate groupBy
+    cmPrefilter(grams, minCount, depth, width)
+      .groupBy(col("g").as("gram")).agg(count(lit(1)).as("cnt"))
+      .select(col("gram"), col("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
+  /** Space-joined n-gram array of a text column (empty when < n tokens). */
+  private def gramArray(textCol: Column, n: Int): Column = {
+    val toks = tokens(textCol)
+    when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)), i =>
         concat_ws(" ", slice(toks, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
+  }
+
+  /** The count-min sketch prefilter (passes 1+2 of [[frequentNgrams]]):
+    * one bounded-shuffle counter aggregate over `grams.g`, counters
+    * folded back as literal lookup maps, rows kept iff the count-min
+    * estimate reaches `minCount`. Row-local on the way back — every
+    * OTHER column of `grams` rides along untouched, which is what lets
+    * the per-source head reuse it. */
+  private def cmPrefilter(grams: DataFrame, minCount: Long,
+                          depth: Int, width: Int): DataFrame = {
     // sketch-internal hash: the result is EXACT regardless of the hash
     // family (overestimate-only + exact verify), so the buckets use the
     // codegen'd native xxhash64 instead of the md5-based oracle-shared
@@ -1773,12 +1798,6 @@ object TextOps {
     // interpreted gram-construction HOF, shared with every gram op)
     def bucket(i: Int, g: Column): Column =
       pmod(xxhash64(lit(i), g), lit(width))
-    // deliberately NOT cached: the exploded gram frame is corpus-sized
-    // (every token position), so materializing it would cost corpus-scale
-    // storage exactly where this operator exists to avoid corpus-scale
-    // state — both passes recompute the explode from the compressed
-    // columnar scan instead (two cheap narrow scans)
-    val grams = docs.select(explode(gramArr).as("g"))
     // pass 1: depth·width bounded counters (collect ≤ depth·width rows)
     val counters = grams
       .select(explode(array((0 until depth).map(i =>
@@ -1791,11 +1810,45 @@ object TextOps {
     val est = (0 until depth).map(i =>
       coalesce(element_at(typedLit(maps(i)), bucket(i, col("g"))), lit(0L)))
     val estMin = if (est.length == 1) est.head else least(est: _*)
-    // passes 2+3: row-local prefilter, then the exact candidate groupBy
     grams.filter(estMin >= minCount)
-      .groupBy(col("g").as("gram")).agg(count(lit(1)).as("cnt"))
-      .select(col("gram"), col("cnt"))
+  }
+
+  /** TOP-K FREQUENT n-GRAMS PER SOURCE — the consumer shape of the
+    * heavy-hitter tier (mixing reports, contamination triage: "what are
+    * source X's dominant bigrams?"): the [[frequentNgrams]] count-min
+    * prefilter composed with a per-source rank head. The global sketch
+    * is a SOUND prefilter for the per-source question because a gram's
+    * per-source count never exceeds its corpus count, and count-min
+    * never underestimates THAT — so any gram clearing `minCount` in
+    * some source survives the row-local gate (no false negatives; the
+    * exact pass removes the rest).
+    *
+    * Scale shape: bounded sketch shuffle → row-local prefilter → exact
+    * (source, gram) groupBy over survivors only → `row_number ≤ k` over
+    * the source key, which InferWindowGroupLimit turns into a map-side
+    * partial top-k (the same WindowGroupLimit machinery PlanAuditSpec
+    * pins for the dedup caps) — no source, however hot, ever
+    * single-task sorts its full gram table. Ties break (cnt DESC,
+    * gram ASC) — fully deterministic. Returns (source, gram, cnt, rank). */
+  def topNgramsPerSource(docs: DataFrame, sourceCol: String,
+                         textCol: String, n: Int = 2, k: Int = 10,
+                         minCount: Long = 10,
+                         depth: Int = 3, width: Int = 2048): DataFrame = {
+    require(n >= 1 && k >= 1 && depth >= 1 && width >= 1 && minCount >= 1,
+      s"bad params n=$n k=$k depth=$depth width=$width minCount=$minCount")
+    val grams = docs.select(col(sourceCol).as("source"),
+      explode(gramArray(col(textCol), n)).as("g"))
+    val counted = cmPrefilter(grams, minCount, depth, width)
+      .groupBy(col("source"), col("g").as("gram"))
+      .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("gram"))
+    counted.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("gram"), col("cnt"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** BPE VOCABULARY INDUCTION — learn the merge table itself (Sennrich

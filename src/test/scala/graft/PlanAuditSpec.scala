@@ -423,7 +423,9 @@ class PlanAuditSpec extends SparkSpec {
         "dedup_containment (shingle-bucket cap)" -> Queries.dedupContainment(spark, dir),
         "dedup_simhash_pairs (band cap)" -> Queries.dedupSimhashPairs(spark, dir),
         "mm_image_neardup (band cap)"    -> Queries.mmImageNearDup(spark, dir),
-        "emb_neardup (LSH index-side cap)" -> Queries.embNearDup(spark, dir))) {
+        "emb_neardup (LSH index-side cap)" -> Queries.embNearDup(spark, dir),
+        "text_top_ngrams_per_source (rank-k head)" ->
+          Queries.textTopNgramsPerSource(spark, dir))) {
       val p = plan(df)
       val partials = p.split("\n").count(l =>
         l.contains("WindowGroupLimit") && l.contains("Partial"))
