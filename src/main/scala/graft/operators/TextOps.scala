@@ -580,11 +580,13 @@ object TextOps {
     * (same oracle SQL attests both), while the corpus-side shuffle
     * shrinks from every shingle to ≈ (overlap + fpp·corpus).
     *
-    * The membership probe is a broadcast-sketch UDF — off the
-    * whole-stage-codegen path by design: it FILTERS the explode output
-    * before the only shuffle, which is the trade that matters at 100 TB
-    * (a codegen'd join that moves 1000× the bytes loses to a UDF filter
-    * that doesn't). */
+    * The membership probe is Spark's native `BloomFilterMightContain`
+    * (the runtime-row-level-filtering expression) over the serialized
+    * sketch folded in as ONE binary literal — the probe stays inside
+    * whole-stage codegen (the bitset deserializes once per task, not
+    * per row) and the literal rides the torrent-broadcast task binary,
+    * so the plan both filters before the only shuffle AND keeps the
+    * explode→filter span fused. */
   def decontaminateBloom(train: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, k: Int = 3, minOverlap: Int = 1,
                          fpp: Double = 0.01): DataFrame = {
@@ -599,8 +601,15 @@ object TextOps {
     // the fixed-size bitset
     val nBench = benchH.count()
     val bloom = benchH.stat.bloomFilter("h", math.max(nBench, 1L), fpp)
-    val bloomB = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    def mightContain(h: Column): Column =
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            bos.toByteArray,
+            org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.graftbridge.Bridge.expression(h)))
     val trainH = train.repartition(col(idCol))
       .select(col(idCol).as("doc"),
         TextHash.shingle_hash60(col(textCol), k, HashMod).as("hv"))

@@ -436,6 +436,15 @@ class PlanAuditSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("bloom decontaminate probes with the native might_contain (codegen)") {
+    val p = plan(Queries.textDecontaminateBloom(spark, dir))
+    assert(p.contains("might_contain"),
+      s"bloom prefilter lost the native BloomFilterMightContain:\n$p")
+    assert(!p.contains("UDF") && !p.contains("BatchEval"),
+      s"bloom prefilter fell back to a UDF (breaks the codegen span):\n$p")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("vad: kernel emits windows; the RLE merge is one required exchange") {
     // two exchanges total: the deliberate pre-render id repartition
     // (REPARTITION_BY_COL — fixture parallelism, same as the modal
