@@ -77,6 +77,42 @@ class WarcParseSpec extends SparkSpec {
     // corrupt/truncated streams yield null, never a thrown task
     assert(gunzipped("not gzip at all".getBytes("UTF-8")).isEmpty)
     assert(gunzipped(gz("abcdefgh").dropRight(3)).isEmpty)
+    // a complete member followed by a JUNK TAIL is poison too — the JDK
+    // stream would return a silently truncated "abc" here (no quarantine
+    // signal); the member-walk contract nulls the whole blob
+    assert(gunzipped(gz("abc") ++ "junk tail!".getBytes("UTF-8")).isEmpty)
+    // ... including a tail that STARTS like a member but dies mid-header
+    assert(gunzipped(gz("abc") ++ Array[Byte](0x1f, 0x8b.toByte, 8)).isEmpty)
+    // a flipped content byte breaks the member CRC -> null
+    val bad = gz("abcdefgh")
+    bad(12) = (bad(12) ^ 0x7f).toByte
+    assert(gunzipped(bad).isEmpty)
+    // empty input is malformed (zero members), not an empty payload
+    assert(gunzipped(Array.emptyByteArray).isEmpty)
+    // FNAME/FCOMMENT/FEXTRA-bearing headers still parse (offset walk)
+    val full = {
+      val bos = new java.io.ByteArrayOutputStream()
+      // hand-build: magic, deflate, FLG=FEXTRA|FNAME|FCOMMENT, mtime, xfl, os
+      bos.write(Array[Byte](0x1f, 0x8b.toByte, 8, (4 | 8 | 16).toByte,
+        0, 0, 0, 0, 0, 0))
+      bos.write(Array[Byte](3, 0, 9, 9, 9)) // FEXTRA len=3 + payload
+      bos.write("name.txt".getBytes("UTF-8")); bos.write(0) // FNAME
+      bos.write("a comment".getBytes("UTF-8")); bos.write(0) // FCOMMENT
+      val raw = "with headers".getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(raw); d.finish()
+      val db = new Array[Byte](256)
+      val n = d.deflate(db); d.end()
+      bos.write(db, 0, n)
+      val crc = new java.util.zip.CRC32(); crc.update(raw)
+      def le32(v: Long): Array[Byte] = Array(v, v >> 8, v >> 16, v >> 24)
+        .map(x => (x & 0xff).toByte)
+      bos.write(le32(crc.getValue)); bos.write(le32(raw.length.toLong))
+      bos.toByteArray
+    }
+    assert(gunzipped(full).contains("with headers"))
+    assert(gunzipped(full ++ gz("+more")).contains("with headers+more"))
   }
 
   test("multi-byte payloads frame by BYTES, not chars") {
