@@ -138,9 +138,14 @@ object PldataSource {
     binDf.mapPartitions { it =>
       it.flatMap { r =>
         val recs = decodeStream(r.getAs[Array[Byte]]("content"))
+        // a short sidecar is corruption — fail loudly (the V2 reader's
+        // contract), never fabricate NaN rows that slide past filters
+        if (recs.length > tsB.value.length)
+          throw new java.io.IOException(
+            s"pldata sidecar misalignment in ${r.getAs[String]("path")}: " +
+              s"${recs.length} records but only ${tsB.value.length} timestamps")
         recs.iterator.zipWithIndex.map { case ((top, payload), i) =>
-          val t = if (i < tsB.value.length) tsB.value(i) else Double.NaN
-          Row.fromSeq(top +: t +: fields.map { case (name, dt) =>
+          Row.fromSeq(top +: tsB.value(i) +: fields.map { case (name, dt) =>
             convert(payload.get(name).orNull, dt)
           })
         }

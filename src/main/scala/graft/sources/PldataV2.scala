@@ -453,6 +453,14 @@ object PldataV2 {
         file.stripSuffix(".pldata") + "_timestamps.npy")
     private val recs = PldataSource.decodeStream(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)))
+    // a sidecar SHORTER than the record stream is data corruption —
+    // fabricating NaN timestamps for the overflow rows would slide
+    // silently past downstream filters/joins; fail the task like the
+    // missing-sidecar case (the spec-pinned behavior), loudly and early
+    if (needTs && recs.length > ts.length)
+      throw new java.io.IOException(
+        s"pldata sidecar misalignment in $file: ${recs.length} records " +
+          s"but only ${ts.length} timestamps")
     private val toCatalyst =
       CatalystTypeConverters.createToCatalystConverter(required)
     private var i = -1
@@ -464,8 +472,7 @@ object PldataV2 {
       val vals = required.fields.map { f =>
         f.name match {
           case "topic" => topic
-          case "timestamp" =>
-            if (i < ts.length) ts(i) else Double.NaN
+          case "timestamp" => ts(i) // length checked at open
           case name =>
             PldataSource.convert(payload.get(name).orNull, f.dataType)
         }

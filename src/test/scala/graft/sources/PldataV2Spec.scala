@@ -66,6 +66,30 @@ class PldataV2Spec extends SparkSpec {
     intercept[org.apache.spark.SparkException] { withTs.collect() }
   }
 
+  test("short sidecar fails the read (no fabricated NaN timestamps)") {
+    val dir = tmp(); writeSession(dir, 0 until 20)
+    // truncate the sidecar to 5 of 20 entries — a misaligned sidecar is
+    // data corruption; fabricated NaN rows would slide past downstream
+    // filters silently, so BOTH the V2 reader and the programmatic read
+    // must fail the task instead
+    val npy = java.nio.file.Paths.get(dir, "gaze_timestamps.npy")
+    val keep = PldataSource.readNpyDoubles(npy.toString).take(5)
+    java.nio.file.Files.delete(npy)
+    PldataSource.writeNpyDoubles(npy.toString, keep)
+    val v2 = spark.read.format("pldata").option("topic", "gaze").load(dir)
+      .select("id", "timestamp")
+    val e1 = intercept[org.apache.spark.SparkException] { v2.collect() }
+    assert(e1.getMessage.contains("misalignment") ||
+      Option(e1.getCause).exists(_.getMessage.contains("misalignment")))
+    val v1 = PldataSource.read(spark, dir, "gaze", fields)
+    val e2 = intercept[org.apache.spark.SparkException] { v1.collect() }
+    assert(e2.getMessage.contains("misalignment") ||
+      Option(e2.getCause).exists(_.getMessage.contains("misalignment")))
+    // a projection WITHOUT timestamp never opens the sidecar: still reads
+    assert(spark.read.format("pldata").option("topic", "gaze").load(dir)
+      .select("id").count() == 20)
+  }
+
   test("V2 sink: distributed shard write round-trips through recursive read") {
     val dir = tmp()
     val rows = (0 until 60).map(i => (
