@@ -1384,13 +1384,19 @@ object VectorOps {
     * is k native [[graft.functions.ArrayDot]] kernels over literal
     * component rows (no broadcast join, no per-row allocation). */
   def pcaApply(vecs: DataFrame, vecCol: String, model: PcaModel): DataFrame = {
-    val vd = toDouble(col(vecCol))
-    model.components.zipWithIndex.foldLeft(vecs) { case (df, (comp, j)) =>
+    // project the converted array ONCE and let every component dot read
+    // the attribute: Catalyst does not CSE an interpreted HOF repeated
+    // across k expressions (the TextOps.shingles re-evaluation pitfall),
+    // and CollapseProject keeps the shared projection because a non-cheap
+    // expression referenced k times is not inlined
+    val out = model.components.zipWithIndex.foldLeft(
+        vecs.withColumn("_vd", toDouble(col(vecCol)))) { case (df, (comp, j)) =>
       val c = comp.indices.map(i => comp(i) * model.mean(i)).sum
       df.withColumn(s"p${j + 1}",
-        graft.functions.ArrayDot.array_dot(vd,
+        graft.functions.ArrayDot.array_dot(col("_vd"),
           typedLit(comp.toIndexedSeq)) - lit(c))
     }
+    out.drop("_vd")
   }
 
   /** Two-level cell assignment as staged narrow projections (each stage
