@@ -86,18 +86,13 @@ object RobotsOps {
       .select("host", "rule_type", "rule_path")
   }
 
-  /** Evaluate requests `(reqId, host, path)` against robots bodies
-    * `(host, robotsText)` for `agent`: adds `allowed`, `rule_type`,
-    * `rule_path` (nulls when no rule matched — the default-allow case).
-    * Hosts with no robots row are allowed (the fetch-404 convention). */
-  def evaluate(robots: DataFrame, hostCol: String, textCol: String,
-               requests: DataFrame, reqIdCol: String, reqHostCol: String,
-               pathCol: String, agent: String): DataFrame = {
-    // Wildcard rules compile to an anchored regex ONCE per rule row (the
-    // rules table is robots-file-sized, tiny next to the request join):
-    // regex metachars escaped, `*` → `.*`, a trailing `$` kept as the
-    // end anchor. Prefix-only rules (the overwhelming majority in real
-    // corpora) keep the cheap codegen'd startsWith path.
+  /** Add the rule-match machinery to a rules frame carrying `rule_path`:
+    * wildcard rules compile to an anchored regex ONCE per rule row (the
+    * rules table is robots-file-sized, tiny next to the request join) —
+    * regex metachars escaped, `*` → `.*`, a trailing `$` kept as the end
+    * anchor. Prefix-only rules (the overwhelming majority in real
+    * corpora) keep the cheap codegen'd startsWith path. */
+  private[operators] def withRuleMatcher(rules: DataFrame): DataFrame = {
     val anchored = col("rule_path").endsWith("$")
     val core = when(anchored,
         expr("substring(rule_path, 1, length(rule_path) - 1)"))
@@ -107,18 +102,34 @@ object RobotsOps {
         regexp_replace(core, "([\\\\.\\[\\]\\{\\}\\(\\)\\+\\^\\$\\|\\?])", "\\\\$1"),
         "\\*", ".*"),
       when(anchored, lit("$")).otherwise(lit("")))
-    val rules = applicableRules(robots, hostCol, textCol, agent)
+    rules
       .withColumn("_wild", col("rule_path").contains("*") || anchored)
       .withColumn("_rx", when(col("rule_path").contains("*") || anchored, rx))
+  }
+
+  /** The match predicate over a frame carrying `path` and the
+    * [[withRuleMatcher]] columns — an empty rule matches nothing. */
+  private[operators] def ruleMatches: Column =
+    col("rule_path") =!= "" &&
+      when(col("_wild"), expr("path RLIKE _rx"))
+        .otherwise(col("path").startsWith(col("rule_path")))
+
+  /** Evaluate requests `(reqId, host, path)` against robots bodies
+    * `(host, robotsText)` for `agent`: adds `allowed`, `rule_type`,
+    * `rule_path` (nulls when no rule matched — the default-allow case).
+    * Hosts with no robots row are allowed (the fetch-404 convention). */
+  def evaluate(robots: DataFrame, hostCol: String, textCol: String,
+               requests: DataFrame, reqIdCol: String, reqHostCol: String,
+               pathCol: String, agent: String): DataFrame = {
+    val rules = withRuleMatcher(
+      applicableRules(robots, hostCol, textCol, agent))
     val req = requests.select(col(reqIdCol).as("req"),
       col(reqHostCol).as("host"), col(pathCol).as("path"))
     // the verdict key is the full (req, host, path) — a reqId reused
     // across several requests must not have one row's winning rule
     // fanned onto the others
     val matched = req.join(rules, Seq("host"))
-      .filter(col("rule_path") =!= "" &&
-        when(col("_wild"), expr("path RLIKE _rx"))
-          .otherwise(col("path").startsWith(col("rule_path"))))
+      .filter(ruleMatches)
       // longest rule wins; Allow beats Disallow on equal length
       .withColumn("_rn", row_number().over(
         Window.partitionBy("req", "host", "path")

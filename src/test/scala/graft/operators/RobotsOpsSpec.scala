@@ -130,6 +130,45 @@ class RobotsOpsSpec extends SparkSpec {
       "graftbotx is a different product token than graftbot")
   }
 
+  test("property: column matcher ≡ the recursive glob definition (800 random pairs)") {
+    // independent reference: the RFC's match semantics stated directly as
+    // a recursion (no regex anywhere) — `*` any chars, trailing `$`
+    // anchors, empty rule matches nothing, everything else literal
+    def m(r: List[Char], p: List[Char], anchored: Boolean): Boolean =
+      (r, p) match {
+        case (Nil, Nil) => true
+        case (Nil, _) => !anchored
+        case ('*' :: rt, _) =>
+          m(rt, p, anchored) || (p.nonEmpty && m(r, p.tail, anchored))
+        case (rc :: rt, pc :: pt) if rc == pc => m(rt, pt, anchored)
+        case _ => false
+      }
+    def refMatch(rule: String, path: String): Boolean =
+      rule.nonEmpty && {
+        val anchored = rule.endsWith("$")
+        val core = if (anchored) rule.dropRight(1) else rule
+        m(core.toList, path.toList, anchored)
+      }
+    val rnd = new scala.util.Random(11)
+    // alphabet deliberately collides literals with regex metachars and
+    // the two special glob chars, so escaping bugs can't hide
+    val alpha = "ab/*$.([+?\\"
+    def str(maxLen: Int): String =
+      (0 until rnd.nextInt(maxLen + 1))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val cases = Seq.tabulate(800)(_ => (str(8), str(8)))
+    val df = cases.toDF("rule_path", "path")
+    val got = RobotsOps.withRuleMatcher(df)
+      .withColumn("_hit", RobotsOps.ruleMatches)
+      .select("rule_path", "path", "_hit")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    got.foreach { case (rule, path, hit) =>
+      assert(hit == refMatch(rule, path),
+        s"matcher disagrees with the glob definition on rule='$rule' path='$path': " +
+          s"engine=$hit ref=${refMatch(rule, path)}")
+    }
+  }
+
   test("a reqId reused across requests keeps per-(host,path) verdicts") {
     val robots = Seq(("a.com", "User-agent: *\nDisallow: /private\n"))
       .toDF("host", "robots")
