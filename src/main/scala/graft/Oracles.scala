@@ -1659,6 +1659,24 @@ object Oracles {
     // g%6=0, the anchored /*ub$ catching '/pub' (g%10=9) but never
     // '/pubx' (g%10=4), empty Disallow matching nothing; longest
     // rule-octet match, Allow wins ties
+    // crawl directives: closed-form sitemaps (sorted join) + the
+    // graftbot-applicable crawl-delay (specific group 0.5 wins on g%4=0
+    // hosts; star 1.5 on the remaining even hosts; the planted
+    // unparseable 'soon' value is ignored on g%9=2 hosts)
+    "web_crawl_directives" ->
+      """WITH d AS (SELECT DISTINCT CAST(doc_id AS BIGINT) % 50 AS g
+        |  FROM documents)
+        |SELECT 'site' || g::VARCHAR || '.com' AS host,
+        |  CASE WHEN g % 3 = 1 THEN
+        |    'https://site' || g::VARCHAR || '.com/news.xml,https://site'
+        |      || g::VARCHAR || '.com/sitemap.xml'
+        |  ELSE 'https://site' || g::VARCHAR || '.com/sitemap.xml'
+        |  END AS sitemaps,
+        |  (CASE WHEN g % 3 = 1 THEN 2 ELSE 1 END)::BIGINT AS n_sitemaps,
+        |  CASE WHEN g % 4 = 0 THEN 0.5e0
+        |       WHEN g % 2 = 0 THEN 1.5e0 END AS crawl_delay
+        |FROM d""".stripMargin,
+
     "web_robots_filter" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc FROM documents),
         |b AS (SELECT doc, doc % 50 AS g, doc % 5 AS p FROM d),

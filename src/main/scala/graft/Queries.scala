@@ -1080,15 +1080,27 @@ object Queries {
     * override (7 octets beats `/bot`'s 4). */
   private def plantedRobots(did: Column): Column = concat(
     lit("# robots for site"), did.cast("string"), lit("\n"),
+    // sitemap + crawl-delay lines are INVISIBLE to the rule queries
+    // (applicableRules keeps only user-agent/allow/disallow keys), so
+    // the directives fixture rides the same bodies without touching the
+    // web_robots_filter / web_ingest verdict arithmetic
+    concat(lit("Sitemap: https://site"), did.cast("string"),
+      lit(".com/sitemap.xml\n")),
     when(did % 7 === 0, lit("User-agent: otherbot\n")).otherwise(lit("")),
     lit("User-agent: *\n"),
     lit("DisAllow: /private # staff only\n"),
     when(did % 3 === 0, lit("Allow: /private/ok\n")).otherwise(lit("")),
     when(did % 6 === 0, lit("Disallow: /private/*/y$\n")).otherwise(lit("")),
     when(did % 5 === 4, lit("Disallow: /*ub$\n")).otherwise(lit("")),
+    when(did % 2 === 0, lit("Crawl-Delay: 1.5\n")).otherwise(lit("")),
+    when(did % 9 === 2, lit("Crawl-delay: soon # unparseable, ignored\n"))
+      .otherwise(lit("")),
     lit("Disallow:\n\n"),
+    when(did % 3 === 1, concat(lit("Sitemap: https://site"),
+      did.cast("string"), lit(".com/news.xml\n"))).otherwise(lit("")),
     when(did % 4 === 0,
-      lit("USER-AGENT: GraftBot/1.0\nDisallow: /bot\n")).otherwise(lit("")),
+      lit("USER-AGENT: GraftBot/1.0\nDisallow: /bot\nCrawl-delay: 0.5\n"))
+      .otherwise(lit("")),
     when(did % 8 === 0, lit("Allow: /bot/z$\n")).otherwise(lit("")))
 
   /** robots.txt politeness gate ([[operators.RobotsOps.evaluate]]) over
@@ -1102,6 +1114,19 @@ object Queries {
       .select(col("doc_id").cast("long").as("doc"))
     operators.RobotsOps.evaluate(plantedRobotsTable(docs), "host", "robots",
       plantedRequests(docs), "doc", "host", "path", agent = "graftbot")
+  }
+
+  /** Per-host crawl directives ([[operators.RobotsOps.hostDirectives]])
+    * over the same planted bodies: host-global Sitemap URLs (sorted
+    * join), group-scoped Crawl-delay for graftbot (specific group wins,
+    * min across applicable groups, unparseable values ignored — the
+    * fixture plants a `soon` value both beside and without a numeric
+    * one). */
+  def webCrawlDirectives(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("doc"))
+    operators.RobotsOps.hostDirectives(plantedRobotsTable(docs),
+      "host", "robots", agent = "graftbot")
   }
 
   /** The planted robots table (one per domain) and request table

@@ -43,13 +43,21 @@ object RobotsOps {
     * that apply to this agent (specific groups if any name it, else
     * the `*` groups). One output row per applicable rule. */
   def applicableRules(robots: DataFrame, hostCol: String, textCol: String,
-                      agent: String): DataFrame = {
-    // RFC 9309 WS is space OR tab (and a trailing \r from CRLF bodies
-    // must not stick to the value) — Spark's trim() strips spaces only,
-    // so whitespace is stripped with an explicit class
-    def wsTrim(c: Column): Column =
-      regexp_replace(regexp_replace(c, "^[ \\t\\r]+", ""), "[ \\t\\r]+$", "")
-    val lined = robots.select(col(hostCol).as("host"),
+                      agent: String): DataFrame =
+    applicableDirectives(robots, hostCol, textCol, agent)
+      .filter(col("rule_type").isin("allow", "disallow"))
+
+  /** RFC 9309 WS is space OR tab (and a trailing \r from CRLF bodies
+    * must not stick to the value) — Spark's trim() strips spaces only,
+    * so whitespace is stripped with an explicit class. */
+  private def wsTrim(c: Column): Column =
+    regexp_replace(regexp_replace(c, "^[ \\t\\r]+", ""), "[ \\t\\r]+$", "")
+
+  /** Parsed `key: value` lines of the robots bodies (comments stripped,
+    * keys lowercased, values ws-trimmed), restricted to `keys`. */
+  private def parsedLines(robots: DataFrame, hostCol: String,
+                          textCol: String, keys: Seq[String]): DataFrame =
+    robots.select(col(hostCol).as("host"),
         posexplode(split(col(textCol), "\n")).as(Seq("ln", "raw")))
       .withColumn("line", wsTrim(regexp_replace(col("raw"), "#.*$", "")))
       .filter(col("line") =!= "")
@@ -57,7 +65,18 @@ object RobotsOps {
         lower(wsTrim(regexp_extract(col("line"), "^([^:]+):", 1))))
       .withColumn("value",
         wsTrim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)))
-      .filter(col("key").isin("user-agent", "allow", "disallow"))
+      .filter(col("key").isin(keys: _*))
+
+  /** All GROUP-SCOPED directives applicable to `agent` — Allow/Disallow
+    * rules plus the (non-RFC but ubiquitous) Crawl-delay — as
+    * `(host, rule_type, rule_path)`. Group selection per §2.2.1 with
+    * product-token matching; group membership is positional, so
+    * non-rule directive lines ride the same window machinery. */
+  private[operators] def applicableDirectives(robots: DataFrame,
+                                              hostCol: String, textCol: String,
+                                              agent: String): DataFrame = {
+    val lined = parsedLines(robots, hostCol, textCol,
+      Seq("user-agent", "allow", "disallow", "crawl-delay"))
     val wLn = Window.partitionBy("host").orderBy("ln")
     val grouped = lined
       .withColumn("_ua", col("key") === "user-agent")
@@ -84,6 +103,39 @@ object RobotsOps {
       .filter((col("h_specific") && col("g_specific")) ||
         (!col("h_specific") && col("g_star")))
       .select("host", "rule_type", "rule_path")
+  }
+
+  /** Per-host crawl DIRECTIVES for the scheduler side of a polite
+    * crawler: `Sitemap:` URLs (host-global per the sitemaps protocol —
+    * NOT group-scoped, any group position applies) and the agent's
+    * applicable `Crawl-delay` (group-scoped exactly like rules;
+    * non-numeric values ignored, several applicable groups resolve to
+    * the MINIMUM — the conservative schedule). One row per robots host:
+    * `(host, sitemaps, n_sitemaps, crawl_delay)` with sitemaps a
+    * lexicographically-sorted comma join (deterministic at any
+    * parallelism) and crawl_delay null when no applicable group sets
+    * one. Row-local parse + two host-keyed aggregates — nothing
+    * quadratic, nothing driver-side. */
+  def hostDirectives(robots: DataFrame, hostCol: String, textCol: String,
+                     agent: String): DataFrame = {
+    val sm = parsedLines(robots, hostCol, textCol, Seq("sitemap"))
+      .filter(col("value") =!= "")
+      .groupBy("host")
+      .agg(sort_array(collect_set(col("value"))).as("_set"))
+      .select(col("host"), array_join(col("_set"), ",").as("_sitemaps"),
+        size(col("_set")).cast("long").as("_n"))
+    val cd = applicableDirectives(robots, hostCol, textCol, agent)
+      .filter(col("rule_type") === "crawl-delay")
+      .select(col("host"), expr("try_cast(rule_path AS double)").as("_d"))
+      .filter(col("_d").isNotNull)
+      .groupBy("host").agg(min(col("_d")).as("_delay"))
+    robots.select(col(hostCol).as("host")).distinct()
+      .join(sm, Seq("host"), "left")
+      .join(cd, Seq("host"), "left")
+      .select(col("host"),
+        coalesce(col("_sitemaps"), lit("")).as("sitemaps"),
+        coalesce(col("_n"), lit(0L)).as("n_sitemaps"),
+        col("_delay").as("crawl_delay"))
   }
 
   /** Add the rule-match machinery to a rules frame carrying `rule_path`:

@@ -181,6 +181,35 @@ class RobotsOpsSpec extends SparkSpec {
       "one request's verdict must not fan onto the other")
   }
 
+  test("hostDirectives: global sitemaps, group-scoped crawl-delay, min rule") {
+    val body =
+      """Sitemap: https://h1/s2.xml
+        |User-agent: *
+        |Crawl-delay: 4
+        |Disallow: /x
+        |Sitemap: https://h1/s1.xml
+        |Sitemap: https://h1/s2.xml # duplicate collapses
+        |
+        |User-agent: graftbot
+        |Crawl-delay: soon
+        |Crawl-delay: 2.5
+        |Crawl-delay: 3.0
+        |""".stripMargin
+    val robots = Seq(("h1", body), ("h2", "User-agent: *\nDisallow:\n"))
+      .toDF("host", "robots")
+    val out = RobotsOps.hostDirectives(robots, "host", "robots", "graftbot")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    // sitemaps are host-global (any position), sorted, deduped; the
+    // crawl-delay comes from the SPECIFIC group only (star's 4 ignored),
+    // min across its parseable values, 'soon' skipped
+    assert(out("h1") ==
+      (("https://h1/s1.xml,https://h1/s2.xml", 2L, Some(2.5))))
+    assert(out("h2") == (("", 0L, None)))
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("missing robots host defaults to allowed") {
     val robots = Seq(("other", "User-agent: *\nDisallow: /")).toDF("host", "robots")
     val req = Seq((1L, "h1", "/p")).toDF("rid", "host", "path")
