@@ -119,8 +119,13 @@ object AudioOps {
       org.apache.spark.sql.Encoders.row(outSchema)
     import org.apache.spark.sql.functions.col
     // pre-render repartition: same single-file-parallelism rationale as
-    // VisionFixtures.plantMedia / TextOps.shingled
-    df.select(col(idCol).cast("long")).repartition(col(idCol)).mapPartitions { it =>
+    // VisionFixtures.plantMedia / TextOps.shingled — and the same
+    // EXPLICIT arity, because AQE coalesces a keys-only exchange to one
+    // partition and would serialize the WAV render onto one task
+    df.select(col(idCol).cast("long"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      .mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val (hp, amp, n) = squareWaveParams(id)
@@ -143,7 +148,11 @@ object AudioOps {
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(outSchema)
     import org.apache.spark.sql.functions.col
-    df.select(col(idCol).cast("long")).repartition(col(idCol)).mapPartitions { it =>
+    // explicit arity: the plantAudioMedia AQE-coalescing rationale
+    df.select(col(idCol).cast("long"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
+      .mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val (hp, amp, n) = squareWaveParams(id)

@@ -313,8 +313,17 @@ object VisionFixtures {
     // repartition BEFORE the render/decode/detect lineage: media corpora
     // often arrive as few large files, and the whole per-row kernel chain
     // would otherwise inherit single-file parallelism (same rationale as
-    // TextOps.shingled). The exchange moves only the tiny id column.
-    val ids = df.select(col(idCol).cast("long")).repartition(col(idCol))
+    // TextOps.shingled). The exchange moves only the tiny id column —
+    // which is exactly why the partition count must be EXPLICIT: AQE
+    // sizes coalescing by shuffled BYTES, so a keys-only exchange
+    // collapses to one partition and the heavy per-row kernels downstream
+    // serialize onto one task (measured 10 s vs 0.8 s on the blink-video
+    // render at sf0.1). A user-specified count is exempt from AQE
+    // coalescing; defaultParallelism = cores locally, executors×cores on
+    // a cluster.
+    val ids = df.select(col(idCol).cast("long"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
     val idIdx = 0
     ids.mapPartitions { it =>
       it.map { r =>
@@ -336,8 +345,10 @@ object VisionFixtures {
     implicit val enc: org.apache.spark.sql.Encoder[Row] =
       org.apache.spark.sql.Encoders.row(outSchema)
     import org.apache.spark.sql.functions.col
+    // explicit arity for the same AQE-coalescing reason as [[plantMedia]]
     val ids = df.select(col(idCol).cast("long"), col(keyCol).cast("long"))
-      .repartition(col(idCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
     ids.mapPartitions { it =>
       it.map { r =>
         val (bytes, fmt, w, h, nf) = render(r.getLong(1))

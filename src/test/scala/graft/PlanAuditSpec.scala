@@ -436,6 +436,23 @@ class PlanAuditSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("planted-media render keeps explicit parallelism under AQE") {
+    // AQE sizes partition coalescing by shuffled BYTES, so a keys-only
+    // pre-render exchange collapses to ONE partition and the heavy
+    // per-row render/decode kernels downstream serialize onto one task
+    // (measured 10 s vs 0.8 s on the blink-video fixture at sf0.1). The
+    // fixtures pin an explicit partition count, which AQE must respect.
+    for ((name, fx) <- Seq(
+        "plantMedia" -> Queries.fixtureFrames("cv_keypoints_pipeline"),
+        "plantMediaKeyed" -> Queries.fixtureFrames("mm_image_neardup"),
+        "plantAudioMedia" -> Queries.fixtureFrames("audio_features"))) {
+      val parts = fx(spark, dir).rdd.getNumPartitions
+      assert(parts >= spark.sparkContext.defaultParallelism,
+        s"$name: render lineage collapsed to $parts partition(s) — " +
+          "AQE re-coalesced the keys-only exchange")
+    }
+  }
+
   test("bloom decontaminate probes with the native might_contain (codegen)") {
     val p = plan(Queries.textDecontaminateBloom(spark, dir))
     assert(p.contains("might_contain"),
