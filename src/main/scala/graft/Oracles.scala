@@ -3326,7 +3326,10 @@ object Oracles {
     // (hamming <= 7 < 8 bands) — mirrors imageNearDupRecallAudit
     "mm_image_recall_audit" -> {
       val cap = graft.Queries.imageNearDupBucketCap
-      s"""WITH $imageAHashBandCtes,
+      val sampledCtes = imageAHashBandCtes.replace(
+        "FROM documents)",
+        "FROM documents WHERE doc_id % 25 < 5)")
+      s"""WITH $sampledCtes,
         |ex AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
         |  FROM band a JOIN band b ON a.band_id = b.band_id
         |    AND a.band_bits = b.band_bits AND a.media_id < b.media_id

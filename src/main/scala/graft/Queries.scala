@@ -2169,10 +2169,22 @@ object Queries {
     * .imageNearDupRecallAudit]]): uncapped pigeonhole-complete truth vs
     * the shipped cap-100 chain — the measured price of the cap on the
     * low-entropy aHash bands (the one family where the cap demonstrably
-    * bites at sf: one all-light band collects 400+ members). */
-  def mmImageRecallAudit(s: SparkSession, dir: String): DataFrame =
-    graft.multimodal.MultimodalOps.imageNearDupRecallAudit(
-      plantedNearDupMedia(s, dir), maxBucket = imageNearDupBucketCap)
+    * bites: one all-light band collects 400+ members). Runs on the
+    * audit contract's deterministic 20% SAMPLE (`doc_id % 25 < 5` —
+    * the residues keep the jittered-twin class, id ≡ 4 mod 25): the
+    * truth side is Σ(copies per render)², so sampling prices the cap at
+    * 1/25th the cost while every pair shape (exact dup, jittered twin,
+    * cap overflow at bench SF) stays represented. */
+  def mmImageRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val media = graft.multimodal.VisionFixtures.plantMediaKeyed(
+      Tables.documents(s, dir).filter(id % 25 < 5)
+        .select(id.as("doc_id"),
+          ((id % 40) * 2 + when(id % 5 === 4, 1).otherwise(0)).as("ck")),
+      "doc_id", "ck", "pupil_jitter")
+    graft.multimodal.MultimodalOps.imageNearDupRecallAudit(media,
+      maxBucket = imageNearDupBucketCap)
+  }
 
   /** The WORLD-camera video scan (marker_detection.py:98-117): planted
     * PNG-framed video blobs whose 1-2 concentric markers drift one pixel
