@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Explicit-arity repartition for exchanges that feed per-row KERNELS
+  * (shingle/hash, render, decode, dot-product chains).
+  *
+  * `df.repartition(col)` leaves the partition count to AQE, and AQE
+  * sizes its coalescing by shuffled BYTES — it is blind to downstream
+  * per-row compute. An id-and-text (or keys-only) exchange is small at
+  * any corpus size, so AQE collapses it to one or a few partitions and
+  * the kernel chain downstream serializes onto one task (measured on
+  * this engine: the blink-video render 10 s vs 0.8 s, the minhash
+  * shingle pass 6.6 s vs 1.4 s — both were running single-task at
+  * bench scale). An explicit user partition count is exempt from AQE
+  * coalescing; `defaultParallelism` = cores locally, executors × cores
+  * on a cluster, and the hash layout on the key is unchanged. */
+object Par {
+  def byKey(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, cols: _*)
+}

@@ -73,7 +73,7 @@ object TextOps {
     * shuffle moves only (id, text) rows. */
   def shingled(docs: DataFrame, idCol: String, textCol: String,
                k: Int): DataFrame =
-    docs.repartition(col(idCol))
+    graft.Par.byKey(docs, col(idCol))
       .select(col(idCol).as("doc"), tokens(col(textCol)).as("_toks"))
       .select(col("doc"), shinglesOf(col("_toks"), k).as("sh"))
 
@@ -126,7 +126,7 @@ object TextOps {
     * the declarative shingled→hash60 chain, ~5× cheaper). */
   private def shingleHashed(docs: DataFrame, idCol: String, textCol: String,
                             k: Int): DataFrame =
-    docs.repartition(col(idCol))
+    graft.Par.byKey(docs, col(idCol))
       .select(col(idCol).as("doc"),
         graft.functions.TextHash.shingle_hash60(col(textCol), k, HashMod).as("hv"))
       .filter(size(col("hv")) > 0)
@@ -199,7 +199,7 @@ object TextOps {
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
                  sep: String = "\n", maxOccurrences: Int = 10): DataFrame = {
     val quoted = java.util.regex.Pattern.quote(sep)
-    val lines = docs.repartition(col(idCol))
+    val lines = graft.Par.byKey(docs, col(idCol))
       .select(col(idCol).as("doc"), split(col(textCol), quoted).as("_parts"))
       .select(col("doc"), size(col("_parts")).as("n_lines"),
         posexplode(col("_parts")).as(Seq("pos", "ln")))
@@ -383,7 +383,7 @@ object TextOps {
     * simhash bit j set iff the vote sum is positive. One explode + one
     * groupBy with 60 declarative sums (map-side combined). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.repartition(col(idCol)).select(col(idCol).as("doc"),
+    val tok = graft.Par.byKey(docs, col(idCol)).select(col(idCol).as("doc"),
       explode(tokens(col(textCol))).as("w"))
       .withColumn("h", hash60(col("w")))
     val bitSums = (0 until 60).map(j =>
@@ -488,7 +488,7 @@ object TextOps {
           * 31 + element_at(hs, i + 2), lit(HashMod))
           * 31 + element_at(hs, i + 3), lit(HashMod)))
     }
-    docs.repartition(col(idCol))
+    graft.Par.byKey(docs, col(idCol))
       .select(col(idCol), tokens(col(textCol)).as("_toks"))
       .select(col(idCol), transform(col("_toks"),
         w => pmod(hash60(w), lit(HashMod))).as("_hs"))
@@ -553,7 +553,7 @@ object TextOps {
       .select(explode(TextHash.shingle_hash60(col(textCol), k, HashMod)).as("h"))
       .distinct()
     // persisted: feeds both the overlap count and the per-doc shingle sizes
-    val trainH = train.repartition(col(idCol))
+    val trainH = graft.Par.byKey(train, col(idCol))
       .select(col(idCol).as("doc"),
         TextHash.shingle_hash60(col(textCol), k, HashMod).as("hv"))
       .transform(graft.CacheRegistry.persistTracked(_))
@@ -610,7 +610,7 @@ object TextOps {
             bos.toByteArray,
             org.apache.spark.sql.types.BinaryType),
           org.apache.spark.sql.graftbridge.Bridge.expression(h)))
-    val trainH = train.repartition(col(idCol))
+    val trainH = graft.Par.byKey(train, col(idCol))
       .select(col(idCol).as("doc"),
         TextHash.shingle_hash60(col(textCol), k, HashMod).as("hv"))
       .transform(graft.CacheRegistry.persistTracked(_))
@@ -708,7 +708,7 @@ object TextOps {
     * top-token multiplicity needs the explode → two-level groupBy (both
     * levels map-side combined, keyed by doc). */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = docs.repartition(col(idCol))
+    val base = graft.Par.byKey(docs, col(idCol))
       .select(col(idCol).as("doc"), tokens(col(textCol)).as("_toks"))
       .select(col("doc"), col("_toks"),
         size(col("_toks")).cast("long").as("n_tokens"),
@@ -747,7 +747,7 @@ object TextOps {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k: Int = 20,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = docs.repartition(col(idCol))
+    val tf = graft.Par.byKey(docs, col(idCol))
       .select(col(idCol).as("doc"), tokens(col(textCol)).as("_toks"))
       .select(Seq(col("doc"), size(col("_toks")).cast("long").as("dl")) ++
         terms.indices.map(i => size(filter(col("_toks"),
@@ -1242,7 +1242,7 @@ object TextOps {
     * [[winnowedFingerprints]] (row-local thinning BEFORE the explode). */
   private def gramHashArray(docs: DataFrame, idCol: String, textCol: String,
                             k: Int): DataFrame =
-    docs.repartition(col(idCol))
+    graft.Par.byKey(docs, col(idCol))
       .select(col(idCol).cast("long").as("doc"), tokens(col(textCol)).as("_toks"))
       .select(col("doc"),
         when(size(col("_toks")) >= k,

@@ -111,7 +111,7 @@ object VectorOps {
     * in its own Project first (a transform lambda referencing norm(v) would
     * recompute the norm per element — no CSE across HOF boundaries). */
   def normalized(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
-    normalizedNarrow(vecs.repartition(col(idCol)), idCol, vecCol)
+    normalizedNarrow(graft.Par.byKey(vecs, col(idCol)), idCol, vecCol)
 
   /** [[normalized]] minus the repartition: a pure narrow projection, the
     * form a STREAMING ingest maps over each micro-batch (and the shared

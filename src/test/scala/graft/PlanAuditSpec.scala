@@ -445,7 +445,10 @@ class PlanAuditSpec extends SparkSpec {
     for ((name, fx) <- Seq(
         "plantMedia" -> Queries.fixtureFrames("cv_keypoints_pipeline"),
         "plantMediaKeyed" -> Queries.fixtureFrames("mm_image_neardup"),
-        "plantAudioMedia" -> Queries.fixtureFrames("audio_features"))) {
+        "plantAudioMedia" -> Queries.fixtureFrames("audio_features"),
+        "TextOps.shingled" -> ((s: org.apache.spark.sql.SparkSession,
+            d: String) => graft.operators.TextOps.shingled(
+          Tables.documents(s, d), "doc_id", "text", 3)))) {
       val parts = fx(spark, dir).rdd.getNumPartitions
       assert(parts >= spark.sparkContext.defaultParallelism,
         s"$name: render lineage collapsed to $parts partition(s) — " +
