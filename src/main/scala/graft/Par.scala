@@ -10,9 +10,12 @@ import org.apache.spark.sql.{Column, DataFrame}
   * per-row compute. An id-and-text (or keys-only) exchange is small at
   * any corpus size, so AQE collapses it to one or a few partitions and
   * the kernel chain downstream serializes onto one task (measured on
-  * this engine: the blink-video render 10 s vs 0.8 s, the minhash
-  * shingle pass 6.6 s vs 1.4 s — both were running single-task at
-  * bench scale). An explicit user partition count is exempt from AQE
+  * this engine: the blink-video render 10 s vs 0.8 s at sf0.1, and
+  * TextOps.shingled observed running at ONE partition — immaterial at
+  * local bench scale where a single task absorbs 5k docs, fatal on a
+  * 1000-executor cluster where the same shape parks the corpus-wide
+  * shingle pass on one core per 64 MB of key bytes). An explicit user
+  * partition count is exempt from AQE
   * coalescing; `defaultParallelism` = cores locally, executors × cores
   * on a cluster, and the hash layout on the key is unchanged. */
 object Par {
