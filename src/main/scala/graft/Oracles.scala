@@ -1645,6 +1645,22 @@ object Oracles {
 
     "dedup_minhash_lsh" -> minhashSql,
 
+    // cross-source matrix: the minhash pair chain joined to the source
+    // dim on both sides, unordered (least/greatest) source-pair rollup
+    "dedup_cross_source_matrix" -> {
+      s"""WITH m AS (SELECT * FROM (
+         |${minhashSql.linesIterator.map("  " + _).mkString("\n")}
+         |) t),
+         |src AS (SELECT CAST(doc_id AS BIGINT) AS doc, source
+         |  FROM documents),
+         |j AS (SELECT least(sa.source, sb.source) AS source_a,
+         |    greatest(sa.source, sb.source) AS source_b
+         |  FROM m JOIN src sa ON m.doc_a = sa.doc
+         |  JOIN src sb ON m.doc_b = sb.doc)
+         |SELECT source_a, source_b, count(*)::BIGINT AS n_pairs
+         |FROM j GROUP BY 1, 2""".stripMargin
+    },
+
     "dedup_clusters" -> dedupClustersSql,
 
     "dedup_cluster_rep" -> dedupClusterRepSql,

@@ -709,6 +709,30 @@ object Queries {
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
     TextOps.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Cross-SOURCE duplication matrix — the mixing-report consumer of
+    * the pair tier ("who duplicates whom": licensing triage, crawl-
+    * overlap pricing, which source to dedup against which): minhash
+    * near-dup pairs joined onto the (doc, source) dim on each side,
+    * rolled up per UNORDERED source pair (least/greatest, so the
+    * matrix is one triangle). Scale shape: two pairs-sized equi-joins
+    * + one ≤|sources|²-row aggregate — nothing beyond what the pair
+    * query already shuffles. */
+  def dedupCrossSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = TextOps.minhashLshPairs(docs, "doc_id", "text")
+      .select(col("doc_a"), col("doc_b"))
+    val src = docs.select(col("doc_id").cast("long").as("doc"), col("source"))
+    pairs
+      .join(src.select(col("doc").as("doc_a"), col("source").as("_sa")),
+        "doc_a")
+      .join(src.select(col("doc").as("doc_b"), col("source").as("_sb")),
+        "doc_b")
+      .select(least(col("_sa"), col("_sb")).as("source_a"),
+        greatest(col("_sa"), col("_sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Dedup (n-gram Jaccard ≥ 0.2): MinHash/LSH band candidates → exact
     * array_intersect verification — the scale shape; the all-pairs
     * shingle equi-join remains in TextOps as the verification baseline. */
