@@ -3345,6 +3345,8 @@ object Oracles {
       val sampledCtes = imageAHashBandCtes.replace(
         "FROM documents)",
         "FROM documents WHERE doc_id % 25 < 5)")
+      require(sampledCtes != imageAHashBandCtes,
+        "sample predicate splice missed — imageAHashBandCtes changed shape")
       s"""WITH $sampledCtes,
         |ex AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
         |  FROM band a JOIN band b ON a.band_id = b.band_id
