@@ -1792,6 +1792,63 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Count-min bucket of gram `g` in sketch row `i` — the sketch-
+    * internal hash: the result is EXACT regardless of the hash family
+    * (overestimate-only + exact verify), so the buckets use the
+    * codegen'd native xxhash64 instead of the md5-based oracle-shared
+    * hash60 (3 md5s per gram per pass gone; the remaining cost is the
+    * interpreted gram-construction HOF, shared with every gram op). */
+  private def cmBucket(i: Int, g: Column, width: Int): Column =
+    pmod(xxhash64(lit(i), g), lit(width))
+
+  /** The count-min COUNTER TABLE over n-grams of `textCol`: one row per
+    * occupied (sketch row `i`, bucket `b`) with its gram count — at most
+    * depth·width rows regardless of corpus size. Purely declarative
+    * (explode → explode → map-side-combined groupBy), so the SAME code
+    * runs batch (the [[frequentNgrams]] sketch pass) or STREAMING,
+    * where it is a stateful aggregate whose state is exactly the
+    * bounded counter grid — the ingest-side sketch maintenance
+    * ([[graft.streaming.SketchStream]]). */
+  def cmSketchCounters(docs: DataFrame, textCol: String, n: Int = 2,
+                       depth: Int = 3, width: Int = 2048): DataFrame =
+    cmCountersFromGrams(
+      docs.select(explode(gramArray(col(textCol), n)).as("g")), depth, width)
+
+  private def cmCountersFromGrams(grams: DataFrame, depth: Int,
+                                  width: Int): DataFrame =
+    grams
+      .select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("i"), cmBucket(i, col("g"), width).as("b"))): _*)).as("s"))
+      .groupBy(col("s.i").as("i"), col("s.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Collect a counter table into per-row literal lookup maps — the
+    * FROZEN sketch (config-bounded: ≤ depth·width entries). */
+  def cmSketchMaps(counters: DataFrame, depth: Int): Array[Map[Long, Long]] = {
+    val rows = counters.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    Array.tabulate(depth)(i =>
+      rows.filter(_._1 == i).map(t => t._2 -> t._3).toMap)
+  }
+
+  /** Count-min estimate of gram `g` under a frozen sketch — min over the
+    * depth rows' literal-map lookups; row-local, stream-legal. */
+  def cmEstimateCol(maps: Array[Map[Long, Long]], g: Column,
+                    width: Int): Column = {
+    val est = maps.indices.map(i =>
+      coalesce(element_at(typedLit(maps(i)), cmBucket(i, g, width)), lit(0L)))
+    if (est.length == 1) est.head else least(est: _*)
+  }
+
+  /** Frozen-sketch DOC gate: true iff any n-gram of `text` has count-min
+    * estimate ≥ `minCount` — the row-local ingest-side flag ("this new
+    * doc contains a candidate corpus-heavy gram"); no false negatives
+    * by the count-min overestimate property. */
+  def cmHeavyFlag(text: Column, maps: Array[Map[Long, Long]], n: Int,
+                  width: Int, minCount: Long): Column =
+    exists(gramArray(text, n), g =>
+      cmEstimateCol(maps, g, width) >= minCount)
+
   /** The count-min sketch prefilter (passes 1+2 of [[frequentNgrams]]):
     * one bounded-shuffle counter aggregate over `grams.g`, counters
     * folded back as literal lookup maps, rows kept iff the count-min
@@ -1800,26 +1857,9 @@ object TextOps {
     * the per-source head reuse it. */
   private def cmPrefilter(grams: DataFrame, minCount: Long,
                           depth: Int, width: Int): DataFrame = {
-    // sketch-internal hash: the result is EXACT regardless of the hash
-    // family (overestimate-only + exact verify), so the buckets use the
-    // codegen'd native xxhash64 instead of the md5-based oracle-shared
-    // hash60 (3 md5s per gram per pass gone; the remaining cost is the
-    // interpreted gram-construction HOF, shared with every gram op)
-    def bucket(i: Int, g: Column): Column =
-      pmod(xxhash64(lit(i), g), lit(width))
-    // pass 1: depth·width bounded counters (collect ≤ depth·width rows)
-    val counters = grams
-      .select(explode(array((0 until depth).map(i =>
-        struct(lit(i).as("i"), bucket(i, col("g")).as("b"))): _*)).as("s"))
-      .groupBy(col("s.i").as("i"), col("s.b").as("b"))
-      .agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-    val maps: Array[Map[Long, Long]] = Array.tabulate(depth)(i =>
-      counters.filter(_._1 == i).map(t => t._2 -> t._3).toMap)
-    val est = (0 until depth).map(i =>
-      coalesce(element_at(typedLit(maps(i)), bucket(i, col("g"))), lit(0L)))
-    val estMin = if (est.length == 1) est.head else least(est: _*)
-    grams.filter(estMin >= minCount)
+    val maps = cmSketchMaps(
+      cmCountersFromGrams(grams.select(col("g")), depth, width), depth)
+    grams.filter(cmEstimateCol(maps, col("g"), width) >= minCount)
   }
 
   /** TOP-K FREQUENT n-GRAMS PER SOURCE — the consumer shape of the
