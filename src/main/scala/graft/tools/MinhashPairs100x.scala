@@ -106,21 +106,22 @@ object MinhashPairs100x {
     require(maxOcc * reps <= TextOps.DefaultMaxBandBucket,
       s"cap would bind (max occupancy ${maxOcc * reps}) — " +
         "the closed-form expectation would no longer model the engine")
-    // every band-colliding group pair, est-gated
+    // every band-colliding group pair — the shared candidate universe of
+    // BOTH chains; the est gate (minhash) and the exact set-Jaccard gate
+    // (gated chain) then select their own subsets from it
     def est(g1: Int, g2: Int): Double =
       sigs(g1).indices.count(i => sigs(g1)(i) == sigs(g2)(i)).toDouble / numHashes
-    val crossGroups = scala.collection.mutable.Map[(Int, Int), Double]()
+    val collide = scala.collection.mutable.Set[(Int, Int)]()
     var bandCandidates = 0L
     for (bmap <- buckets; bucket <- bmap.valuesIterator if bucket.length > 1) {
       for (i <- bucket.indices; j <- (i + 1) until bucket.length) {
         bandCandidates += 1
-        val (g1, g2) = (bucket(i) min bucket(j), bucket(i) max bucket(j))
-        if (!crossGroups.contains((g1, g2))) {
-          val e = est(g1, g2)
-          if (e >= minEst) crossGroups((g1, g2)) = e
-        }
+        collide += ((bucket(i) min bucket(j), bucket(i) max bucket(j)))
       }
     }
+    val crossGroups = collide.iterator
+      .map { case p @ (g1, g2) => p -> est(g1, g2) }
+      .filter(_._2 >= minEst).toMap
     val crossPairs = crossGroups.toSeq.flatMap { case ((g1, g2), e) =>
       for { i <- 0L until reps; j <- 0L until reps
             a = g1 * reps + i; b = g2 * reps + j
@@ -140,16 +141,56 @@ object MinhashPairs100x {
     val extra = resCached.except(expected).count()
     val partnerFound = crossGroups.keysIterator
       .count { case (g1, g2) => g2 == g1 + 1 && g1 % 2 == 0 }
+
+    // ---- phase 2: the GATED-JACCARD chain on the same corpus ----
+    // same band candidates, exact set-Jaccard ≥ 0.2 verify: partner
+    // pairs score inter/(2+2−inter) = 1/3 from the actual reduced hash
+    // sets (hash shares modeled, as in Containment100x), so EVERY
+    // band-colliding partner pair must be KEPT while band collisions
+    // between unrelated groups (0 shared shingles) must be REJECTED
+    val tj0 = System.nanoTime()
+    val resJ = graft.CacheRegistry.persistTracked(
+      TextOps.ngramJaccardPairsGated(docs, "doc_id", "text"))
+    val nResJ = resJ.count()
+    val engineJSec = (System.nanoTime() - tj0) / 1e9
+    val sets: Array[Set[Long]] = gh.map { case (_, h1, h2) =>
+      Set(java.lang.Math.floorMod(h1, TextOps.HashMod),
+        java.lang.Math.floorMod(h2, TextOps.HashMod))
+    }
+    val crossJ = collide.iterator.map { case p @ (g1, g2) =>
+      val inter = (sets(g1) & sets(g2)).size
+      p -> (inter.toDouble / (sets(g1).size + sets(g2).size - inter))
+    }.filter(_._2 >= 0.2).toMap
+    val crossPairsJ = crossJ.toSeq.flatMap { case ((g1, g2), jac) =>
+      for { i <- 0L until reps; j <- 0L until reps
+            a = g1 * reps + i; b = g2 * reps + j
+            if a < n && b < n }
+        yield (a, b, jac)
+    }
+    val expectedJ = ids.as("x").join(ids.as("y"),
+        col("x.g") === col("y.g") && $"x.id" < $"y.id")
+      .select($"x.id".as("doc_a"), $"y.id".as("doc_b"),
+        lit(1.0).as("jaccard"))
+      .unionByName(crossPairsJ.toDF("doc_a", "doc_b", "jaccard"))
+    val nExpectedJ = expectedJ.count()
+    val missingJ = expectedJ.except(resJ).count()
+    val extraJ = resJ.except(expectedJ).count()
     println(s"""{"tool":"minhash_pairs_100x","n_docs":$n,"bands":$bands,""" +
       s""""num_hashes":$numHashes,"min_est":$minEst,"engine_pairs":$nRes,""" +
       s""""expected_pairs":$nExpected,"cross_group_pairs":${crossGroups.size},""" +
       s""""partner_group_pairs_found":$partnerFound,""" +
       s""""band_candidate_group_pairs":$bandCandidates,""" +
       s""""max_bucket_occupancy":${maxOcc * reps},""" +
-      s""""missing":$missing,"extra":$extra,"engine_sec":$engineSec}""")
+      s""""missing":$missing,"extra":$extra,"engine_sec":$engineSec,""" +
+      s""""gated_engine_pairs":$nResJ,"gated_expected_pairs":$nExpectedJ,""" +
+      s""""gated_cross_group_pairs":${crossJ.size},""" +
+      s""""gated_missing":$missingJ,"gated_extra":$extraJ,""" +
+      s""""gated_engine_sec":$engineJSec}""")
     require(missing == 0 && extra == 0 && nRes == nExpected,
       s"planted-oracle mismatch: missing=$missing extra=$extra")
-    println("[minhash_pairs_100x] PLANTED ORACLE GREEN")
+    require(missingJ == 0 && extraJ == 0 && nResJ == nExpectedJ,
+      s"gated-jaccard planted-oracle mismatch: missing=$missingJ extra=$extraJ")
+    println("[minhash_pairs_100x] PLANTED ORACLE GREEN (minhash + gated jaccard)")
     graft.CacheRegistry.releaseAll()
     spark.stop()
   }
