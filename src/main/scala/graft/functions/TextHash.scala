@@ -137,9 +137,60 @@ object TextHash {
       copy(child = c)
   }
 
+  /** Space-joined word n-grams of a text column, ALL positions in order
+    * (duplicates kept — the frequency-counting contract, unlike
+    * [[ShingleHash60]]'s first-occurrence-distinct set); empty array
+    * when the doc has < n tokens. Bit-parity contract with the
+    * declarative `transform(sequence(...), i -> concat_ws(' ',
+    * slice(split(trim(text), ' '), i, n)))` chain (and therefore the
+    * DuckDB `string_split(trim(text), ' ')` oracles): space-only trim,
+    * split keeping empties, single-space join. One eval per row instead
+    * of a per-gram interpreted HOF — the shared hot cost of every
+    * gram-counting op ([[graft.operators.TextOps.frequentNgrams]] and
+    * its per-source/streaming consumers). */
+  case class NgramArray(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ngram_array needs a string arg, got ${child.dataType.simpleString}")
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      // space-only trim (the ShingleHash60 contract note applies)
+      var lo = 0
+      var hi = text.length
+      while (lo < hi && text.charAt(lo) == ' ') lo += 1
+      while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
+      val toks = text.substring(lo, hi).split(" ", -1)
+      if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](toks.length - n + 1)
+      var i = 0
+      while (i <= toks.length - n) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): NgramArray =
+      copy(child = c)
+  }
+
   def shingle_hash60(text: Column, k: Int, mod: Long): Column =
     Bridge.column(ShingleHash60(Bridge.expression(text), k, mod))
 
   def minhash_sig(hv: Column, a: Seq[Long], b: Seq[Long], mod: Long): Column =
     Bridge.column(MinhashSig(Bridge.expression(hv), a, b, mod))
+
+  def ngram_array(text: Column, n: Int): Column =
+    Bridge.column(NgramArray(Bridge.expression(text), n))
 }

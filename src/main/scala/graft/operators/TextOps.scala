@@ -1783,14 +1783,14 @@ object TextOps {
       .filter(col("cnt") >= minCount)
   }
 
-  /** Space-joined n-gram array of a text column (empty when < n tokens). */
-  private def gramArray(textCol: Column, n: Int): Column = {
-    val toks = tokens(textCol)
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-        concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Space-joined n-gram array of a text column (empty when < n tokens)
+    * via the native one-eval-per-row kernel
+    * ([[graft.functions.TextHash.NgramArray]] — bit-identical to the
+    * declarative tokens→transform→concat_ws chain, property-pinned in
+    * TextHashSpec, ~an order of magnitude cheaper than the interpreted
+    * per-gram HOF it replaces). */
+  private def gramArray(textCol: Column, n: Int): Column =
+    graft.functions.TextHash.ngram_array(textCol, n)
 
   /** Count-min bucket of gram `g` in sketch row `i` — the sketch-
     * internal hash: the result is EXACT regardless of the hash family

@@ -58,6 +58,51 @@ class TextVectorOpsSpec extends SparkSpec {
     assert(sigN == sigD)
   }
 
+  test("native ngram_array kernel is bit-equal to the declarative chain") {
+    import graft.functions.TextHash
+    // the frequency-counting contract: ALL positions, duplicates kept,
+    // order preserved (unlike shingle_hash60's distinct set); same
+    // space-only trim / keep-empty split / single-space join
+    val tricky = Seq(
+      (0L, "a b c d"), (1L, ""), (2L, "only"),
+      (3L, "  a b  c d a b  c  "),       // empty tokens from runs
+      (4L, "a b c a b c a b c"),          // repeated grams must repeat
+      (5L, "\tp q r s\n"),                // control chars survive trim
+      (6L, " p q\tr s t\n u "),
+      (7L, "é ü 文 字"),                   // non-ASCII round-trip
+      (8L, "x y")).toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val toks = split(trim(col("text")), " ")
+      val declar = tricky.select(col("doc_id"),
+          when(size(toks) >= n,
+            transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+              concat_ws(" ", slice(toks, i, lit(n)))))
+            .otherwise(array().cast("array<string>")).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val native = tricky.select(col("doc_id"),
+          TextHash.ngram_array(col("text"), n).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(native == declar, s"n=$n kernel diverged from declarative")
+    }
+    // 400 random strings over a space-heavy alphabet, same law
+    val rnd = new scala.util.Random(7)
+    val alpha = "ab  c"
+    val fuzz = Seq.tabulate(400)(i => (i.toLong,
+      (0 until rnd.nextInt(12)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString))
+      .toDF("doc_id", "text")
+    val toks = split(trim(col("text")), " ")
+    val d = fuzz.select(col("doc_id"),
+        when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1), i =>
+            concat_ws(" ", slice(toks, i, lit(2)))))
+          .otherwise(array().cast("array<string>")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val nv = fuzz.select(col("doc_id"),
+        TextHash.ngram_array(col("text"), 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(nv == d, "fuzz: kernel diverged from declarative")
+  }
+
   test("minhash LSH flags the near-duplicate pair and not the distinct one") {
     val pairs = TextOps.minhashLshPairs(docs, "doc_id", "text",
       minEstJaccard = 0.3).collect()
