@@ -195,8 +195,12 @@ object Bench {
       raw - math.max(0.0, fx.getOrElse(name, 0.0))
     val results = medians.map { case (name, med) =>
       val guard = prior.get(name).exists { p =>
-        val e  = engineOf(med, fxNow, name)
-        val pe = engineOf(p, priorFx, name)
+        // subtract fixtures only when BOTH rounds carry an entry —
+        // mixed regimes (prior raw vs current engine) loosen the
+        // threshold and let a real engine regression slide under it
+        val split = fxNow.contains(name) && priorFx.contains(name)
+        val e  = if (split) engineOf(med, fxNow, name) else med
+        val pe = if (split) engineOf(p, priorFx, name) else p
         e > 1.5 * pe && e - pe > 0.25
       }
       if (med >= 0 && guard) {

@@ -1266,6 +1266,82 @@ object Oracles {
        |QUALIFY rank <= 3""".stripMargin
   }
 
+  /** ann_opq_ivf_topk oracle — PLANTED-RECALL (the m9 discipline): the
+    * OPQ rotation fit is an alternating Procrustes SVD — not replayable
+    * in SQL — but the fixture (25 tight orthogonal-axis clusters,
+    * nCells = 25, 1:1 cluster→cell by the deterministic first-k init,
+    * rerank ≥ cluster size) guarantees the composed OPQ×IVF search
+    * returns the exact brute-force top-3, which this computes directly
+    * over the same planted vectors (normalize-then-dot, the engine's
+    * arithmetic order). A dropped true neighbor anywhere in the
+    * rotate→cell→probe→rerank chain breaks the hash. */
+  private def opqIvfSql: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(range(0, 64), j -> CASE
+      |      WHEN j = vec_id % 25 THEN 100.0e0
+      |      WHEN j = 40 + vec_id % 8 THEN 0.001e0 * (1 + vec_id % 11)
+      |      ELSE 0.0e0 END) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM n),
+      |q AS (SELECT vec_id AS q_id, vn AS qv FROM u WHERE vec_id < 10),
+      |scored AS (SELECT q.q_id, u.vec_id,
+      |    list_sum(list_transform(range(1, len(q.qv) + 1),
+      |      i -> q.qv[i] * u.vn[i])) AS sim
+      |  FROM q JOIN u ON q.q_id <> u.vec_id)
+      |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+      |    ORDER BY sim DESC, vec_id) AS INT) AS rank,
+      |  vec_id AS n_id, round(sim, 6) + 0.0e0 AS sim
+      |FROM scored
+      |QUALIFY rank <= 3""".stripMargin
+
+  /** ann_recall_audit oracle: recall@k of each quantized tier against
+    * the exact brute-force truth. The three real-corpus tiers reuse
+    * their own hash-proven replay SQL verbatim as subqueries ([[pqSql]],
+    * [[ivfPqSql]], [[ivfPqHierSql]]) and intersect with the
+    * `sim_brute_topk` truth chain at k=3; the OPQ×IVF tier's replay
+    * ([[opqIvfSql]]) IS the planted brute force, so its truth side is
+    * the same relation — the oracle states recall exactly 1.0 and the
+    * Spark side must MEASURE it (engine search ∩ engine brute force). */
+  private def annRecallAuditSql: String = {
+    val k = graft.Queries.annRecallK
+    def tierRow(tier: String, rel: String, truth: String, den: String) =
+      s"""SELECT '$tier' AS tier, $den.n_queries, $k AS k, h.hits,
+         |  round(h.hits / $den.n_truth, 6) + 0.0e0 AS recall
+         |FROM (SELECT count(*) AS hits
+         |      FROM $rel JOIN $truth USING (q_id, n_id)) h, $den""".stripMargin
+    s"""WITH pq AS ($pqSql),
+       |ivfpq AS ($ivfPqSql),
+       |hier AS ($ivfPqHierSql),
+       |opq AS ($opqIvfSql),
+       |e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+       |scored AS (SELECT q.q_id, e.vec_id,
+       |    list_sum(list_transform(range(1, len(qv) + 1),
+       |      i -> qv[i] * v[i]))
+       |    / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+       |       * sqrt(list_sum(list_transform(v, x -> x * x)))) AS sim
+       |  FROM q JOIN e ON q.q_id <> e.vec_id),
+       |truth AS (SELECT q_id, vec_id AS n_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS rk FROM scored) WHERE rk <= $k),
+       |ptruth AS (SELECT q_id, n_id FROM opq),
+       |den AS (SELECT count(DISTINCT q_id) AS n_queries,
+       |    count(*) AS n_truth FROM truth),
+       |pden AS (SELECT count(DISTINCT q_id) AS n_queries,
+       |    count(*) AS n_truth FROM ptruth)
+       |${tierRow("pq", "pq", "truth", "den")}
+       |UNION ALL
+       |${tierRow("ivf_pq", "ivfpq", "truth", "den")}
+       |UNION ALL
+       |${tierRow("ivf_pq_hier", "hier", "truth", "den")}
+       |UNION ALL
+       |${tierRow("opq_ivf", "opq", "ptruth", "pden")}""".stripMargin
+  }
+
   /** dedup_simhash_pairs oracle: the simhash replay extended with the
     * 6×10-bit band split, the shared rank cap, and the exact
     * bit_count(xor) Hamming verify — integers end to end. */
@@ -1609,26 +1685,9 @@ object Oracles {
     // planted vectors (normalize-then-dot, the engine's arithmetic
     // order). A dropped true neighbor anywhere in the rotate→cell→
     // probe→rerank chain breaks the hash.
-    "ann_opq_ivf_topk" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(range(0, 64), j -> CASE
-        |      WHEN j = vec_id % 25 THEN 100.0e0
-        |      WHEN j = 40 + vec_id % 8 THEN 0.001e0 * (1 + vec_id % 11)
-        |      ELSE 0.0e0 END) AS v
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, v,
-        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-        |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM n),
-        |q AS (SELECT vec_id AS q_id, vn AS qv FROM u WHERE vec_id < 10),
-        |scored AS (SELECT q.q_id, u.vec_id,
-        |    list_sum(list_transform(range(1, len(q.qv) + 1),
-        |      i -> q.qv[i] * u.vn[i])) AS sim
-        |  FROM q JOIN u ON q.q_id <> u.vec_id)
-        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
-        |    ORDER BY sim DESC, vec_id) AS INT) AS rank,
-        |  vec_id AS n_id, round(sim, 6) + 0.0e0 AS sim
-        |FROM scored
-        |QUALIFY rank <= 3""".stripMargin,
+    "ann_opq_ivf_topk" -> opqIvfSql,
+
+    "ann_recall_audit" -> annRecallAuditSql,
 
     // PCA reduce: PLANTED closed form (Queries.pcaPlanted) — exactly
     // orthogonal mod-4 sign patterns make the empirical covariance

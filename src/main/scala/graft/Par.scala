@@ -19,6 +19,17 @@ import org.apache.spark.sql.{Column, DataFrame}
   * coalescing; `defaultParallelism` = cores locally, executors × cores
   * on a cluster, and the hash layout on the key is unchanged. */
 object Par {
+  /** Arity floor: `defaultParallelism` under dynamic allocation on a cold
+    * cluster can be tiny (e.g. 2 before executors ramp), and an explicit
+    * count is EXEMPT from AQE — pinning the kernel chain to those few
+    * partitions would be the opposite failure mode of the collapse this
+    * object exists to prevent. `spark.sql.shuffle.partitions` is the
+    * operator's sizing intent and never ramps down, so take the max. */
+  def arity(df: DataFrame): Int = {
+    val s = df.sparkSession
+    math.max(s.sparkContext.defaultParallelism, s.sessionState.conf.numShufflePartitions)
+  }
+
   def byKey(df: DataFrame, cols: Column*): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, cols: _*)
+    df.repartition(arity(df), cols: _*)
 }

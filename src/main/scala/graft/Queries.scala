@@ -581,9 +581,13 @@ object Queries {
     * reproduces its planted forward affine within [[m9Tol]], plus the
     * weighted validation error bound, exactly the `m9_gaze_pipeline`
     * discipline. */
-  def binocularPipeline(s: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.BinocularMerge
-    import s.implicits._
+  /** The planted per-eye input construction [[binocularPipeline]] fits
+    * and merges: (markers, eye0 pupils, eye1 pupils). Shared with the
+    * query's [[fixtureFrames]] entry so the bench attributes the
+    * events-scan + synthesis lineage separately from the
+    * fit/merge/error-map engine work it feeds. */
+  private def m9bInputs(s: SparkSession, dir: String):
+      (DataFrame, DataFrame, DataFrame) = {
     val base = m9Base(s, dir, lit("cal"))
       .withColumn("jit1", ((col("event_id") * 7 % 11) - 5) / 1e4)
       .withColumn("jit2", ((col("event_id") * 3 % 13) - 6) / 1e4)
@@ -603,6 +607,13 @@ object Queries {
       ((col("mx") - 0.12) / 0.7 + col("jit2")).as("norm_x"),
       ((col("my") - 0.05) / 0.85 - col("jit2")).as("norm_y"),
       lit(0.95).as("confidence"))
+    (markers, pupils0, pupils1)
+  }
+
+  def binocularPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.BinocularMerge
+    import s.implicits._
+    val (markers, pupils0, pupils1) = m9bInputs(s, dir)
     val models = Calibrator.fitBinocular(markers, pupils0, pupils1)
       .getOrElse(throw new IllegalStateException(
         "binocular calibration rejected all points"))
@@ -1605,6 +1616,51 @@ object Queries {
         (round(col("sim"), 6) + 0.0).as("sim"))
   }
 
+  /** k for the [[annRecallAudit]] rows — the tiers' own serving k. */
+  val annRecallK: Int = 3
+
+  /** Measured recall@k for the QUANTIZED ANN tiers (r11 verdict #4):
+    * PQ, IVF-PQ, two-level IVF-PQ, and OPQ×IVF each serve approximate
+    * top-k whose recall was an argument, not a number — this audit
+    * reports it against the exact brute-force truth ([[operators
+    * .VectorOps.bruteTopK]], the `sim_brute_topk` chain). One row per
+    * tier: `hits` = approximate neighbors that are true top-k neighbors,
+    * `recall` = hits / |truth|. The three real-corpus tiers audit
+    * against the embedding-table truth; OPQ×IVF audits against the
+    * brute-force truth over its own planted corpus (where its
+    * construction guarantees — and this MEASURES — recall 1.0).
+    * Audit-scale by contract: the truth side is a broadcast(10-query) ×
+    * corpus scan, linear in the corpus like the serving tiers
+    * themselves. */
+  def annRecallAudit(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val truthEmb = CacheRegistry.persistTracked(
+      VectorOps.bruteTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", annRecallK)
+        .select(col("q_id"), col("n_id")))
+    val planted = emb.select(col("vec_id"), opqIvfPlanted(col("vec_id")).as("pv"))
+    val truthPl = VectorOps.bruteTopK(planted.filter(col("vec_id") < 10),
+        planted, "vec_id", "pv", annRecallK)
+      .select(col("q_id"), col("n_id"))
+    def row(tier: String, approx: DataFrame, truth: DataFrame): DataFrame = {
+      val hits = approx.select(col("q_id"), col("n_id"))
+        .join(truth, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      val denom = truth.agg(
+        countDistinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("n_truth"))
+      hits.crossJoin(denom).select(
+        lit(tier).as("tier"), col("n_queries"), lit(annRecallK).as("k"),
+        col("hits"),
+        (round(col("hits").cast("double") / col("n_truth"), 6) + 0.0)
+          .as("recall"))
+    }
+    row("pq", annPqTopk(s, dir), truthEmb)
+      .unionByName(row("ivf_pq", annIvfPqTopk(s, dir), truthEmb))
+      .unionByName(row("ivf_pq_hier", annIvfPqHierTopk(s, dir), truthEmb))
+      .unionByName(row("opq_ivf", annOpqIvfTopk(s, dir), truthPl))
+  }
+
   /** Shared with the oracle builder so the threshold can't drift. */
   val semDedupThreshold: Double = 0.45
 
@@ -1937,7 +1993,27 @@ object Queries {
       "audio_vad" -> ((s: SparkSession, dir: String) =>
         AudioOps.plantSpeechMedia(Tables.documents(s, dir), "doc_id")),
       "multimodal_features" -> ((s: SparkSession, dir: String) =>
-        MultimodalOps.packAsMedia(Tables.documents(s, dir), "doc_id", "text")))
+        MultimodalOps.packAsMedia(Tables.documents(s, dir), "doc_id", "text")),
+      // r11 verdict #1-2: the suite's most expensive heads were
+      // unattributable because they synthesize inputs inline with no
+      // fixture entry. For these, "fixture" = the input-acquisition
+      // lineage (planted media render, parquet fixture export, or the
+      // events-scan + planted-column synthesis) — everything BEFORE the
+      // operator under test.
+      "mm_image_recall_audit" -> (mmRecallAuditMedia _),
+      "mri_pipeline" -> ((s: SparkSession, dir: String) => {
+        mriFixturePrep(s, dir, fixtureTmp("graft_mri_fx"))
+        s.range(1).toDF("ok") // writes above ARE the fixture cost
+      }),
+      "m9_binocular" -> ((s: SparkSession, dir: String) => {
+        val (markers, pupils0, pupils1) = m9bInputs(s, dir)
+        val shape = (df: DataFrame) => df.select(
+          col("session"), col("timestamp"), col("norm_x"), col("norm_y"))
+        shape(markers).unionByName(shape(pupils0)).unionByName(shape(pupils1))
+      }),
+      "curation_pipeline" -> ((s: SparkSession, dir: String) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("source"))))
   }
 
   /** C1 pupil detection END-TO-END on real pixels: planted PNG eye
@@ -2199,16 +2275,21 @@ object Queries {
     * truth side is Σ(copies per render)², so sampling prices the cap at
     * 1/25th the cost while every pair shape (exact dup, jittered twin,
     * cap overflow at bench SF) stays represented. */
-  def mmImageRecallAudit(s: SparkSession, dir: String): DataFrame = {
+  /** The planted-PNG corpus [[mmImageRecallAudit]] consumes — shared with
+    * its [[fixtureFrames]] entry so the bench attributes the audit's wall
+    * time between PNG rendering and the actual aHash/band/recall work. */
+  private def mmRecallAuditMedia(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
-    val media = graft.multimodal.VisionFixtures.plantMediaKeyed(
+    graft.multimodal.VisionFixtures.plantMediaKeyed(
       Tables.documents(s, dir).filter(id % 25 < 5)
         .select(id.as("doc_id"),
           ((id % 40) * 2 + when(id % 5 === 4, 1).otherwise(0)).as("ck")),
       "doc_id", "ck", "pupil_jitter")
-    graft.multimodal.MultimodalOps.imageNearDupRecallAudit(media,
-      maxBucket = imageNearDupBucketCap)
   }
+
+  def mmImageRecallAudit(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.MultimodalOps.imageNearDupRecallAudit(
+      mmRecallAuditMedia(s, dir), maxBucket = imageNearDupBucketCap)
 
   /** The WORLD-camera video scan (marker_detection.py:98-117): planted
     * PNG-framed video blobs whose 1-2 concentric markers drift one pixel
@@ -2774,8 +2855,12 @@ object Queries {
     * the per-epoch error summary. The status table IS the oracle row:
     * stage × state × rows, with gaze stages preserving their run's
     * pupil count and the model/error stages each one artifact row. */
-  def mriPipelineQuery(s: SparkSession, dir: String): DataFrame = {
-    val base = fixtureTmp("graft_mri")
+  /** The BIDS-layout fixture [[mriPipelineQuery]] consumes: planted
+    * calibration markers + four run pupil files written under `base`.
+    * Shared with the query's [[fixtureFrames]] entry (which writes to its
+    * OWN temp base) so the bench attributes parquet-fixture export
+    * separately from the pipeline run it feeds. */
+  private def mriFixturePrep(s: SparkSession, dir: String, base: String): Unit = {
     val b = m9Base(s, dir, lit("cal"))
     m9Markers(b).drop("session").coalesce(1).write.mode("overwrite")
       .parquet(s"$base/calibration_markers.parquet")
@@ -2788,6 +2873,11 @@ object Queries {
     writeRun("calibration", 1, col("event_id") % 3 === 0)
     writeRun("mri", 0, col("event_id") % 3 === 1)
     writeRun("mri", 1, col("event_id") % 3 === 2)
+  }
+
+  def mriPipelineQuery(s: SparkSession, dir: String): DataFrame = {
+    val base = fixtureTmp("graft_mri")
+    mriFixturePrep(s, dir, base)
     val res = pipeline.MriPipeline.run(s, base, "sub01", "01", "mri")
     Pipeline.statusTable(s, res)
       .select(col("stage"), col("state"), col("rows"))

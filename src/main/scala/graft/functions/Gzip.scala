@@ -133,10 +133,23 @@ object Gzip {
         if (bytes.length == 0) throw BadStream
         val out = new java.io.ByteArrayOutputStream()
         var off = 0
-        while (off < bytes.length) off = Gzip.inflateMember(bytes, off, out)
+        while (off < bytes.length && !zeroPadTail(bytes, off))
+          off = Gzip.inflateMember(bytes, off, out)
         out.toByteArray
       } catch { case _: java.io.IOException => null } // corrupt ⇒ null row
     }
+    /** True when everything from `off` on is zero bytes AND at least one
+      * member was already consumed (`off > 0`): some gzip producers pad
+      * archives to a tape/block boundary with NULs, and losing every valid
+      * leading record to that benign tail would be the wrong poison. Any
+      * NONZERO junk after the last member still nulls the whole blob. */
+    private def zeroPadTail(b: Array[Byte], off: Int): Boolean = {
+      if (off == 0) return false
+      var i = off
+      while (i < b.length) { if (b(i) != 0) return false; i += 1 }
+      true
+    }
+
     override protected def withNewChildInternal(c: Expression): Gunzip =
       copy(child = c)
   }

@@ -151,6 +151,8 @@ object TextHash {
   case class NgramArray(child: Expression, n: Int)
       extends UnaryExpression with CodegenFallback {
 
+    require(n >= 1, s"ngram_array needs n >= 1, got $n")
+
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
     override def checkInputDataTypes():

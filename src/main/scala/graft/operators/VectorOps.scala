@@ -1389,14 +1389,18 @@ object VectorOps {
     // across k expressions (the TextOps.shingles re-evaluation pitfall),
     // and CollapseProject keeps the shared projection because a non-cheap
     // expression referenced k times is not inlined
+    // collision-safe staging name: a caller's own `_vd` column must not be
+    // silently overwritten and dropped
+    val tmp = Iterator.from(0).map(i => if (i == 0) "_vd" else s"_vd$i")
+      .find(n => !vecs.columns.contains(n)).get
     val out = model.components.zipWithIndex.foldLeft(
-        vecs.withColumn("_vd", toDouble(col(vecCol)))) { case (df, (comp, j)) =>
+        vecs.withColumn(tmp, toDouble(col(vecCol)))) { case (df, (comp, j)) =>
       val c = comp.indices.map(i => comp(i) * model.mean(i)).sum
       df.withColumn(s"p${j + 1}",
-        graft.functions.ArrayDot.array_dot(col("_vd"),
+        graft.functions.ArrayDot.array_dot(col(tmp),
           typedLit(comp.toIndexedSeq)) - lit(c))
     }
-    out.drop("_vd")
+    out.drop(tmp)
   }
 
   /** Two-level cell assignment as staged narrow projections (each stage
