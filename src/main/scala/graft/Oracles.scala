@@ -1342,6 +1342,46 @@ object Oracles {
        |${tierRow("opq_ivf", "opq", "ptruth", "pden")}""".stripMargin
   }
 
+  /** web_ingest_pipeline oracle: the closed-form robots verdict, the
+    * literal domain blocklist, the CRAWL-DELAY admission (per-host
+    * fetch budget ⌊window/delay⌋+1 over the eligible-first rank — the
+    * fixture's delays are 0.5 s for graftbot-group hosts and 1.5 s for
+    * even star-group hosts, stated closed-form), and the attested
+    * quality arithmetic, in fetch-order precedence. */
+  private def webIngestSql: String = {
+    val w = graft.Queries.ingestFetchWindowSec
+    val capFast = (math.floor(w / 0.5) + 1).toLong
+    val capSlow = (math.floor(w / 1.5) + 1).toLong
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+       |    string_split(trim(text), ' ') AS toks FROM documents),
+       |b AS (SELECT doc, toks, doc % 50 AS g, doc % 5 AS p FROM d),
+       |v AS (SELECT doc, toks, g,
+       |    'site' || g::VARCHAR || '.com' AS host,
+       |    CASE WHEN g % 4 = 0 THEN (p = 3 AND g % 8 <> 0)
+       |         ELSE (p = 1 OR (p = 2 AND (g % 3 <> 0 OR g % 6 = 0))
+       |               OR (p = 4 AND g % 10 = 9)) END AS denied,
+       |    CASE WHEN g % 4 = 0 THEN 0.5e0
+       |         WHEN g % 2 = 0 THEN 1.5e0 END AS crawl_delay,
+       |    CASE WHEN g % 4 = 0 THEN $capFast
+       |         WHEN g % 2 = 0 THEN $capSlow END AS cap
+       |  FROM b),
+       |r AS (SELECT *, (NOT denied AND g NOT IN (10, 24)) AS eligible
+       |  FROM v),
+       |adm AS (SELECT *, row_number() OVER (PARTITION BY g
+       |    ORDER BY eligible DESC, doc) AS rn FROM r)
+       |SELECT doc, host, crawl_delay,
+       |  CASE WHEN denied THEN 'robots_denied'
+       |       WHEN g IN (10, 24) THEN 'blocked_domain'
+       |       WHEN cap IS NOT NULL AND rn > cap THEN 'deferred_delay'
+       |       WHEN (1.0e0
+       |    - (CASE WHEN len(list_filter(toks, w -> w IN ('the','a','of','and','to','in')))::DOUBLE / len(toks) < 2.0e-2 THEN 4.0e-1 ELSE 0.0e0 END)
+       |    - (CASE WHEN len(toks) < 5 THEN 4.0e-1 ELSE 0.0e0 END)
+       |    - (CASE WHEN len(list_filter(toks, w -> length(w) > 6))::DOUBLE / len(toks) > 5.0e-1 THEN 2.0e-1 ELSE 0.0e0 END)
+       |       ) < 8.0e-1 THEN 'low_quality'
+       |       ELSE 'kept' END AS verdict
+       |FROM adm""".stripMargin
+  }
+
   /** dedup_simhash_pairs oracle: the simhash replay extended with the
     * 6×10-bit band split, the shared rank cap, and the exact
     * bit_count(xor) Hamming verify — integers end to end. */
@@ -1784,27 +1824,9 @@ object Oracles {
         |FROM v""".stripMargin,
 
     // capstone web ingest: closed-form robots verdict ∘ literal domain
-    // blocklist ∘ the attested quality arithmetic, fixed precedence
-    "web_ingest_pipeline" ->
-      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
-        |    string_split(trim(text), ' ') AS toks FROM documents),
-        |b AS (SELECT doc, toks, doc % 50 AS g, doc % 5 AS p FROM d),
-        |v AS (SELECT doc, toks, g,
-        |    'site' || g::VARCHAR || '.com' AS host,
-        |    CASE WHEN g % 4 = 0 THEN (p = 3 AND g % 8 <> 0)
-        |         ELSE (p = 1 OR (p = 2 AND (g % 3 <> 0 OR g % 6 = 0))
-        |               OR (p = 4 AND g % 10 = 9)) END AS denied
-        |  FROM b)
-        |SELECT doc, host,
-        |  CASE WHEN denied THEN 'robots_denied'
-        |       WHEN g IN (10, 24) THEN 'blocked_domain'
-        |       WHEN (1.0e0
-        |    - (CASE WHEN len(list_filter(toks, w -> w IN ('the','a','of','and','to','in')))::DOUBLE / len(toks) < 2.0e-2 THEN 4.0e-1 ELSE 0.0e0 END)
-        |    - (CASE WHEN len(toks) < 5 THEN 4.0e-1 ELSE 0.0e0 END)
-        |    - (CASE WHEN len(list_filter(toks, w -> length(w) > 6))::DOUBLE / len(toks) > 5.0e-1 THEN 2.0e-1 ELSE 0.0e0 END)
-        |       ) < 8.0e-1 THEN 'low_quality'
-        |       ELSE 'kept' END AS verdict
-        |FROM v""".stripMargin,
+    // blocklist ∘ closed-form crawl-delay admission ∘ the attested
+    // quality arithmetic, fixed precedence
+    "web_ingest_pipeline" -> webIngestSql,
 
     // sft spans: identical turn derivation (8-token turns, cap 4) and
     // the same prefix-sum law: marker(9 user / 14 assistant) + text +
@@ -2479,6 +2501,25 @@ object Oracles {
     // heavy-hitter bigrams: the engine's count-min prefilter cannot
     // change the result (overestimate-only + exact verify pass), so the
     // oracle is the plain exact HAVING
+    // streaming count-min maintenance: the drained counter grid replayed
+    // directly — bigrams (the proven gram CTE) × depth salted-hash60
+    // buckets, grouped counts; the stream side must aggregate statefully
+    // to exactly these rows
+    "stream_cm_counters" -> {
+      val depth = graft.Queries.streamCmDepth
+      val width = graft.Queries.streamCmWidth
+      s"""WITH d AS (SELECT string_split(trim(text), ' ') AS toks
+         |  FROM documents),
+         |g AS (SELECT toks[u.i] || ' ' || toks[u.i + 1] AS gram
+         |  FROM d, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+         |bk AS (SELECT r.i AS i,
+         |    ('0x' || substr(md5('cm' || r.i::VARCHAR || ':' || gram),
+         |      1, 15))::BIGINT % $width AS b
+         |  FROM g, range(0, $depth) r(i))
+         |SELECT CAST(i AS INT) AS i, b, count(*)::BIGINT AS c
+         |FROM bk GROUP BY i, b""".stripMargin
+    },
+
     "text_frequent_ngrams" -> {
       val mc = graft.Queries.frequentNgramMinCount
       s"""WITH d AS (SELECT string_split(trim(text), ' ') AS toks

@@ -30,6 +30,14 @@ object Par {
     math.max(s.sparkContext.defaultParallelism, s.sessionState.conf.numShufflePartitions)
   }
 
+  /** A/B probe (dev only — SPARK_GRAFT_PAR_AQE=1): fall back to the
+    * AQE-coalescible keys-only exchange, so the local cost of the
+    * explicit arity is a measured number (docs/SCALE.md r12), not a
+    * guess. Never set in production: the coalesced shape is the
+    * cluster-fatal collapse this object exists to prevent. */
+  private val abProbe = sys.env.get("SPARK_GRAFT_PAR_AQE").contains("1")
+
   def byKey(df: DataFrame, cols: Column*): DataFrame =
-    df.repartition(arity(df), cols: _*)
+    if (abProbe) df.repartition(cols: _*)
+    else df.repartition(arity(df), cols: _*)
 }

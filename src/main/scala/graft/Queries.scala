@@ -1186,15 +1186,30 @@ object Queries {
         .when(col("doc") % 10 === 4, "/pubx")
         .otherwise("/pub").as("path"))
 
+  /** Fetch-window budget (seconds) for the [[webIngestPipeline]]
+    * crawl-delay admission — shared with the oracle builder. A host
+    * whose applicable Crawl-delay is d admits at most ⌊window/d⌋+1
+    * fetches per window; 10 s makes the deferral branch reachable from
+    * sf0.01 up (10 docs/host vs the 1.5 s delay's cap of 7). */
+  val ingestFetchWindowSec: Double = 10.0
+
   /** CAPSTONE web-ingest lineage — the crawl-side front half composed
     * on ONE plan: planted requests → robots gate ([[operators
     * .RobotsOps]], a polite crawler's first cut) → domain-suffix
-    * blocklist ([[operators.TextOps.domainSuffixBlockCol]]) → composite
-    * quality gate → per-doc verdict with fixed precedence
-    * (`robots_denied` / `blocked_domain` / `low_quality` / `kept`).
-    * Every stage is the already-attested replay; the composition pins
-    * that they survive being chained (the pretrain_pipeline
-    * discipline applied to the web tier). */
+    * blocklist ([[operators.TextOps.domainSuffixBlockCol]]) →
+    * CRAWL-DELAY ADMISSION (r11 verdict #5: [[operators.RobotsOps
+    * .hostDirectives]] wired into the fetch schedule — a polite crawler
+    * joins the per-host Crawl-delay verdict in, budgets
+    * ⌊[[ingestFetchWindowSec]]/delay⌋+1 fetches per host-window, and
+    * defers the rest) → composite quality gate → per-doc verdict with
+    * fixed precedence (`robots_denied` / `blocked_domain` /
+    * `deferred_delay` / `low_quality` / `kept`). The precedence encodes
+    * the crawl order: robots and domain verdicts are known pre-fetch,
+    * the delay budget caps actual fetches, quality needs fetched
+    * content. Scale shape: the directives side is one tiny host-keyed
+    * aggregate (broadcast-joined), the admission rank is one window
+    * over the host key — fan-in bounded per host, no corpus-wide
+    * shuffle beyond the host partition. */
   def webIngestPipeline(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir)
       .select(col("doc_id").cast("long").as("doc"), col("text"))
@@ -1209,12 +1224,57 @@ object Queries {
     // keeping the blocked_domain branch genuinely reachable
     val blockedBy = TextOps.domainSuffixBlockCol(col("host"),
       Seq("site10.com", "site24.com"))
+    val delays = operators.RobotsOps.hostDirectives(plantedRobotsTable(docs),
+        "host", "robots", agent = "graftbot")
+      .select(col("host"), col("crawl_delay"))
+    // fetchable docs rank first within their host (eligible-first, then
+    // doc — deterministic), so an eligible doc's row_number IS its
+    // fetch-queue position; ineligible docs never consult the rank
+    val eligible = col("allowed") && blockedBy.isNull
+    val wAdm = Window.partitionBy(col("host"))
+      .orderBy(eligible.desc, col("doc"))
+    val cap = floor(lit(ingestFetchWindowSec) / col("crawl_delay")) + 1
     rv.join(base, Seq("doc"))
-      .select(col("doc"), col("host"),
+      .join(broadcast(delays), Seq("host"))
+      .withColumn("_rn", row_number().over(wAdm))
+      .select(col("doc"), col("host"), col("crawl_delay"),
         when(!col("allowed"), "robots_denied")
           .when(blockedBy.isNotNull, "blocked_domain")
+          .when(col("crawl_delay").isNotNull && col("_rn") > cap,
+            "deferred_delay")
           .when(TextOps.qualityCol(col("text")) < 0.8, "low_quality")
           .otherwise("kept").as("verdict"))
+  }
+
+  /** Sketch arity for [[streamCmCounters]], shared with the oracle. */
+  val streamCmDepth: Int = 3
+  val streamCmWidth: Int = 2048
+
+  /** STREAMING count-min maintenance drained end-to-end (r11 verdict
+    * #6 — the sketch tier's stream form gets an oracle row like every
+    * other streaming twin): the documents table exported once to a
+    * file-stream source dir, read back with `readStream`, run through
+    * the [[graft.streaming.SketchStream.countersShared]] maintenance
+    * aggregate (the oracle-shared salted-hash60 bucket family), and
+    * drained in COMPLETE mode to a memory sink. The drained counter
+    * grid IS the output — DuckDB replays gram→bucket→count directly,
+    * so a stateful-aggregation bug (lost partial, double-counted
+    * restart, wrong state key) breaks the hash. State and output are
+    * bounded at depth×width rows at ANY corpus size — the whole point
+    * of sketch-shaped stream state. */
+  def streamCmCounters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val src = fixtureTmp("graft_cm_src")
+    docs.write.mode("overwrite").parquet(src)
+    val stream = s.readStream.schema(docs.schema).parquet(src)
+    val counters = graft.streaming.SketchStream.countersShared(
+      stream, "text", n = 2, depth = streamCmDepth, width = streamCmWidth)
+    val qn = "graft_cm_drain_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = counters.writeStream.format("memory").queryName(qn)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qn)
   }
 
   /** Host-graph PageRank ([[operators.GraphOps.pageRank]]) over a

@@ -152,9 +152,19 @@ object GraphOps {
     * State is node-sized, edges are scanned once per iteration.
     * Iterations persist and release round-over-round like
     * [[connectedComponents]]; `iters` is small and fixed (3-20 in
-    * practice), so lineage stays shallow without checkpoints. */
+    * practice), so lineage stays shallow without checkpoints.
+    *
+    * `quantize`: decimal places for the per-iteration state pinning
+    * (Some(6) default — the cross-engine-oracle discipline). It is a
+    * PARITY device, not part of the algorithm, and it has a scale
+    * ceiling: at n ≳ 10⁵ nodes per-node ranks approach the quantum
+    * ((1−d)/n < 5·10⁻⁷ already at n > 300k rounds the teleport term to
+    * ZERO) and quantization destroys the distribution. Corpus-scale
+    * runs pass None — full fp precision, rank sum conserved to fp ulps
+    * (asserted by tools/Graph100x). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+               iters: Int = 3, damping: Double = 0.85,
+               quantize: Option[Int] = Some(6)): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = graft.CacheRegistry.persistTracked(
       edges.select(col(srcCol).cast("long").as("src"),
@@ -175,8 +185,9 @@ object GraphOps {
       // of per-iteration state, then shared uniformly across all nodes
       val dmRow = ranks.join(sinks, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("rank")), lit(0.0))).first()
-      val dm = BigDecimal(dmRow.getDouble(0))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val dm = quantize.fold(dmRow.getDouble(0))(q =>
+        BigDecimal(dmRow.getDouble(0))
+          .setScale(q, BigDecimal.RoundingMode.HALF_UP).toDouble)
       val dShare = dm / n.toDouble
       val inMass = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -184,12 +195,13 @@ object GraphOps {
         .select(col("dst").as("node"),
           (col("rank") / col("odeg")).as("_c"))
         .groupBy("node").agg(sum(col("_c")).as("_m"))
+      val rawRank = base + lit(damping) *
+        (coalesce(col("_m"), lit(0.0)) + lit(dShare))
       val next = graft.CacheRegistry.persistTracked(
         nodes.join(inMass, Seq("node"), "left")
           .select(col("node"),
-            (round(base + lit(damping) *
-              (coalesce(col("_m"), lit(0.0)) + lit(dShare)), 6)
-              + 0.0).as("rank")))
+            quantize.fold(rawRank)(q => round(rawRank, q) + 0.0)
+              .as("rank")))
       next.count()  // materialize before releasing the previous round
       ranks.unpersist()  // handle stays tracked; releaseAll is idempotent
       ranks = next

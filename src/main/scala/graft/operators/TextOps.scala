@@ -1812,13 +1812,32 @@ object TextOps {
   def cmSketchCounters(docs: DataFrame, textCol: String, n: Int = 2,
                        depth: Int = 3, width: Int = 2048): DataFrame =
     cmCountersFromGrams(
-      docs.select(explode(gramArray(col(textCol), n)).as("g")), depth, width)
+      docs.select(explode(gramArray(col(textCol), n)).as("g")),
+      depth, width, cmBucket)
 
-  private def cmCountersFromGrams(grams: DataFrame, depth: Int,
-                                  width: Int): DataFrame =
+  /** Oracle-shared bucket family: salted [[hash60]] rows. The count-min
+    * exactness contract is hash-family-independent (overestimate-only +
+    * exact verify), so the production path keeps the cheaper codegen'd
+    * xxhash64 ([[cmBucket]]); THIS family exists for the one place the
+    * counter TABLE itself is the attested output — the streaming
+    * maintenance oracle row — because `md5`-derived hash60 replays in
+    * SQL while xxhash64 does not. */
+  private def cmBucketShared(i: Int, g: Column, width: Int): Column =
+    pmod(hash60(concat(lit(s"cm$i:"), g)), lit(width.toLong))
+
+  /** [[cmSketchCounters]] over the oracle-shared bucket family — same
+    * lineage, same bounded depth×width state, SQL-replayable rows. */
+  def cmSketchCountersShared(docs: DataFrame, textCol: String, n: Int = 2,
+                             depth: Int = 3, width: Int = 2048): DataFrame =
+    cmCountersFromGrams(
+      docs.select(explode(gramArray(col(textCol), n)).as("g")),
+      depth, width, cmBucketShared)
+
+  private def cmCountersFromGrams(grams: DataFrame, depth: Int, width: Int,
+      bucket: (Int, Column, Int) => Column = cmBucket): DataFrame =
     grams
       .select(explode(array((0 until depth).map(i =>
-        struct(lit(i).as("i"), cmBucket(i, col("g"), width).as("b"))): _*)).as("s"))
+        struct(lit(i).as("i"), bucket(i, col("g"), width).as("b"))): _*)).as("s"))
       .groupBy(col("s.i").as("i"), col("s.b").as("b"))
       .agg(count(lit(1)).as("c"))
 

@@ -38,6 +38,14 @@ object SketchStream {
                depth: Int = 3, width: Int = 2048): DataFrame =
     TextOps.cmSketchCounters(docs, textCol, n, depth, width)
 
+  /** [[counters]] over the ORACLE-SHARED bucket family
+    * ([[TextOps.cmSketchCountersShared]], salted hash60): same
+    * maintenance aggregate, same bounded state, rows a SQL oracle can
+    * replay — the attested form the `stream_cm_counters` row drains. */
+  def countersShared(docs: DataFrame, textCol: String, n: Int = 2,
+                     depth: Int = 3, width: Int = 2048): DataFrame =
+    TextOps.cmSketchCountersShared(docs, textCol, n, depth, width)
+
   /** Frozen-sketch ingest gate — see shape 2 above. Row-local. */
   def heavyFlag(text: Column, maps: Array[Map[Long, Long]], n: Int = 2,
                 width: Int = 2048, minCount: Long = 10): Column =

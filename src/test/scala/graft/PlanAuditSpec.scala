@@ -454,6 +454,15 @@ class PlanAuditSpec extends SparkSpec {
         s"$name: render lineage collapsed to $parts partition(s) — " +
           "AQE re-coalesced the keys-only exchange")
     }
+    // the arity FLOOR: defaultParallelism can be tiny on a cold cluster
+    // under dynamic allocation (and the explicit count is AQE-exempt),
+    // so byKey must never pin below the session's shuffle-partition
+    // sizing intent
+    val df = spark.range(10).toDF("id")
+    assert(graft.Par.arity(df) >= math.max(
+      spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions),
+      "Par.arity lost its cold-cluster floor")
   }
 
   test("bloom decontaminate probes with the native might_contain (codegen)") {

@@ -89,6 +89,16 @@ class WarcParseSpec extends SparkSpec {
     assert(gunzipped(bad).isEmpty)
     // empty input is malformed (zero members), not an empty payload
     assert(gunzipped(Array.emptyByteArray).isEmpty)
+    // ALL-ZERO pad tail after the last member is tape/block padding some
+    // producers append — tolerated (valid leading records survive) ...
+    assert(gunzipped(gz("abc") ++ Array.fill[Byte](37)(0)).contains("abc"))
+    assert(gunzipped(gz("abc") ++ gz("def") ++ Array.fill[Byte](512)(0))
+      .contains("abcdef"))
+    // ... but any NONZERO junk in the tail still poisons the whole blob,
+    // and an all-zero BLOB has no member at all — malformed
+    assert(gunzipped(gz("abc") ++ Array.fill[Byte](8)(0) ++ Array[Byte](7))
+      .isEmpty)
+    assert(gunzipped(Array.fill[Byte](64)(0)).isEmpty)
     // FNAME/FCOMMENT/FEXTRA-bearing headers still parse (offset walk)
     val full = {
       val bos = new java.io.ByteArrayOutputStream()

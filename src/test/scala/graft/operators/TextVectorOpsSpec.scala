@@ -103,6 +103,16 @@ class TextVectorOpsSpec extends SparkSpec {
     assert(nv == d, "fuzz: kernel diverged from declarative")
   }
 
+  test("ngram_array: n < 1 fails at construction with a clear message") {
+    import graft.functions.TextHash
+    val e = intercept[IllegalArgumentException] {
+      TextHash.ngram_array(col("text"), 0)
+    }
+    assert(e.getMessage.contains("n >= 1"),
+      "misuse must fail at plan time, not as an opaque task error")
+    intercept[IllegalArgumentException] { TextHash.ngram_array(col("text"), -3) }
+  }
+
   test("minhash LSH flags the near-duplicate pair and not the distinct one") {
     val pairs = TextOps.minhashLshPairs(docs, "doc_id", "text",
       minEstJaccard = 0.3).collect()
@@ -687,5 +697,18 @@ class TextVectorOpsSpec extends SparkSpec {
     val (p1s, p2s) = (proj.values.map(_._1).toSeq, proj.values.map(_._2).toSeq)
     assert(math.abs(varOf(p1s) - m.eigenvalues(0)) < 1e-9)
     assert(math.abs(varOf(p2s) - m.eigenvalues(1)) < 1e-9)
+  }
+
+  test("pcaApply: an input frame's own _vd column survives the staging") {
+    val rows = (0 until 8).map(i =>
+      (i.toLong, Seq.tabulate(4)(j => (i * (j + 1)).toDouble), s"keep$i"))
+    val df = rows.toDF("vec_id", "pv", "_vd")
+    val m = VectorOps.pcaFit(df, "pv", k = 1)
+    val out = VectorOps.pcaApply(df, "pv", m)
+    assert(out.columns.contains("_vd"), "caller's _vd column was dropped")
+    val got = out.select("vec_id", "_vd").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == rows.map(r => r._1 -> r._3).toMap,
+      "caller's _vd values were overwritten by the staging column")
   }
 }
