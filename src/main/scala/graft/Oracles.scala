@@ -1382,6 +1382,63 @@ object Oracles {
        |FROM adm""".stripMargin
   }
 
+  /** audio_spectral oracle — PLANTED closed form per half-period class
+    * (doc_id % 5 fixes hp = 4+m; amplitude is a pure scalar factor, so
+    * the 512-sample spectrum SHAPE depends only on hp): `dc` and
+    * `nyquist` are the exact integer generator sums × amp, computed
+    * here by replaying the square-wave sign sequence; `dominant_bin`
+    * is computed here by a NAIVE O(w²) DFT over the unit-amp wave — an
+    * algorithm-independent cross-check of the engine's radix-2 FFT
+    * (different evaluation order, no butterflies; the argmax margins
+    * are sinc-lobe-sized, far above trig ulps); `parseval_ok` is the
+    * law the engine must measure true. */
+  private def audioSpectralSql: String = {
+    val w = 512
+    val rows = (0 until 5).map { m =>
+      val hp = 4 + m
+      val sign = Array.tabulate(w)(i => if ((i / hp) % 2 == 0) 1 else -1)
+      val sSum = sign.sum
+      val nSum = sign.zipWithIndex
+        .map { case (s, i) => if (i % 2 == 0) s else -s }.sum
+      var best = 1; var bestMag = -1.0
+      var k = 1
+      while (k < w / 2) {
+        var re = 0.0; var im = 0.0
+        var i = 0
+        while (i < w) {
+          val a = -2.0 * math.Pi * k * i / w
+          re += sign(i) * math.cos(a); im += sign(i) * math.sin(a)
+          i += 1
+        }
+        val m2 = re * re + im * im
+        if (m2 > bestMag) { bestMag = m2; best = k }
+        k += 1
+      }
+      (m, sSum, nSum, best)
+    }
+    def cases(f: ((Int, Int, Int, Int)) => Int): String =
+      "CASE doc_id % 5 " +
+        rows.map(r => s"WHEN ${r._1} THEN ${f(r)}").mkString(" ") + " END"
+    s"""SELECT CAST(doc_id AS BIGINT) AS media_id,
+       |  CAST((8000 + 100 * (doc_id % 7)) * (${cases(_._2)}) AS BIGINT)
+       |    AS dc,
+       |  CAST((8000 + 100 * (doc_id % 7)) * (${cases(_._3)}) AS BIGINT)
+       |    AS nyquist,
+       |  CAST(${cases(_._4)} AS INT) AS dominant_bin,
+       |  (${cases(_._4)}) * 15.625e0 AS dominant_freq_hz,
+       |  true AS parseval_ok
+       |FROM documents""".stripMargin
+  }
+
+  /** The pldata gaze-catalog replay — shared by the batch V2 scan row
+    * (`s4_pldata_v2`) and its streaming tail-ingest twin
+    * (`stream_pldata_tail`): both readers must recover exactly this
+    * row set from the exported session files. */
+  private def pldataGazeSql: String =
+    """SELECT event_id AS id, epoch(ts) AS timestamp, value / 500.0 AS nx,
+      |  (user_id % 20) / 20.0 AS ny, value / 1000.0 AS confidence
+      |FROM events""".stripMargin
+
   /** dedup_simhash_pairs oracle: the simhash replay extended with the
     * 6×10-bit band split, the shared rank cap, and the exact
     * bit_count(xor) Hamming verify — integers end to end. */
@@ -3721,10 +3778,21 @@ object Oracles {
 
     // same fixture + decode through the DataSource V2 surface — the two
     // readers share conversion, so the oracle is shared verbatim
-    "s4_pldata_v2" ->
-      """SELECT event_id AS id, epoch(ts) AS timestamp, value / 500.0 AS nx,
-        |  (user_id % 20) / 20.0 AS ny, value / 1000.0 AS confidence
-        |FROM events""".stripMargin,
+    "audio_spectral" -> audioSpectralSql,
+
+    "s4_pldata_v2" -> pldataGazeSql,
+
+    // the streaming tail-ingest drain must recover the identical row set
+    // (two session files, each a micro-batch) — same catalog replay
+    "stream_pldata_tail" -> pldataGazeSql,
+
+    // streaming ANN ingest on the planted OPQ corpus: the cluster→cell
+    // map is 1:1 by the deterministic first-k init (the ann_opq_ivf
+    // fixture guarantee), so the assigned cell is closed-form; codes are
+    // always m = 8 bytes
+    "stream_ann_ingest" ->
+      """SELECT vec_id AS v_id, CAST(vec_id % 25 AS INT) AS cid,
+        |  8 AS n_codes FROM embeddings""".stripMargin,
 
     "s2_timestamp_scan" ->
       """SELECT row_number() OVER (ORDER BY epoch(ts), event_id) - 1

@@ -1277,6 +1277,78 @@ object Queries {
     s.table(qn)
   }
 
+  /** STREAMING ANN ingest drained end-to-end on the planted OPQ corpus
+    * (the [[annOpqIvfTopk]] fixture): quantizer trained batch-side
+    * (nCells = 25, deterministic first-k init ⇒ the cluster→cell map is
+    * 1:1 and closed-form), the planted vectors exported to a
+    * file-stream source dir, read back with `readStream`, encoded by
+    * [[graft.streaming.AnnIngest.encodeStream]] (stateless append — no
+    * state store, no watermark, no shuffle), drained to a memory sink.
+    * Output per vector: its assigned cell and code arity. The oracle
+    * states the planted truth closed-form (`cid = vec_id % 25`), so a
+    * mis-assignment anywhere in the real stream path — schema, decode,
+    * normalize, literal-matrix ranking — breaks the hash. Codes-level
+    * stream≡batch parity is AnnIndexSpec's split sweep; THIS row is the
+    * end-to-end drain no spec exercised. */
+  def streamAnnIngest(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.embeddings(s, dir)
+      .select(col("vec_id"), opqIvfPlanted(col("vec_id")).as("pv"))
+    val model = VectorOps.ivfPqTrain(planted, "vec_id", "pv",
+      nCells = annOpqIvfCells, m = 8, codebookK = 16)
+      .getOrElse(sys.error("empty planted corpus"))
+    val src = fixtureTmp("graft_ann_src")
+    planted.write.mode("overwrite").parquet(src)
+    val stream = s.readStream.schema(planted.schema).parquet(src)
+    val qn = "graft_ann_drain_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.AnnIngest
+      .encodeStream(stream, "vec_id", "pv", model)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qn).select(col("v_id"), col("cid"),
+      size(col("codes")).as("n_codes"))
+  }
+
+  /** STREAMING pldata tail-ingest drained end-to-end (the
+    * [[pldataV2Roundtrip]] fixture split across TWO session dirs — the
+    * shape the MICRO_BATCH source exists for: each session file is its
+    * own input partition/batch): export → `readStream.format("pldata")`
+    * recursive → append drain → the same catalog projection as
+    * `s4_pldata_v2`, hash-matched against the same events replay. A
+    * drift anywhere in the streaming path (offset tracking, re-reads,
+    * dropped session, decode) changes the row set and breaks the
+    * hash. */
+  def streamPldataTail(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val root = fixtureTmp("graft_pldata_tail")
+    val base = ev(s, dir)
+      .repartitionByRange(FixturePartitions, col("event_id"))
+      .sortWithinPartitions(col("event_id")).select(
+        lit("gaze").as("topic"), col("t").as("timestamp"),
+        array(col("value") / 500.0, (col("user_id") % 20) / 20.0)
+          .as("norm_pos"),
+        (col("value") / 1000.0).as("confidence"), col("event_id").as("id"))
+    PldataSource.write(base.filter(col("id") % 2 === 0), s"$root/s1", "gaze")
+    PldataSource.write(base.filter(col("id") % 2 =!= 0), s"$root/s2", "gaze")
+    val schema = StructType(Seq(
+      StructField("timestamp", DoubleType),
+      StructField("norm_pos", ArrayType(DoubleType)),
+      StructField("confidence", DoubleType),
+      StructField("id", LongType)))
+    val qn = "graft_pldata_drain_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.format("pldata").option("topic", "gaze")
+      .option("recursive", "true").schema(schema).load(root)
+      .select(col("id"), col("timestamp"),
+        element_at(col("norm_pos"), 1).as("nx"),
+        element_at(col("norm_pos"), 2).as("ny"), col("confidence"))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qn)
+  }
+
   /** Host-graph PageRank ([[operators.GraphOps.pageRank]]) over a
     * planted 50-domain link graph with PLANTED SINKS (one directed edge
     * per doc: `doc%50 → (doc·7+3)%50`, deduped, except sources with
@@ -2073,7 +2145,34 @@ object Queries {
       }),
       "curation_pipeline" -> ((s: SparkSession, dir: String) =>
         Tables.documents(s, dir)
-          .select(col("doc_id"), col("text"), col("source"))))
+          .select(col("doc_id"), col("text"), col("source"))),
+      // the drained-stream rows export their file-stream source inline;
+      // the export is fixture cost, the readStream→drain is the engine
+      "stream_cm_counters" -> ((s: SparkSession, dir: String) => {
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(fixtureTmp("graft_cm_src_fx"))
+        s.range(1).toDF("ok")
+      }),
+      "stream_ann_ingest" -> ((s: SparkSession, dir: String) => {
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), opqIvfPlanted(col("vec_id")).as("pv"))
+          .write.mode("overwrite").parquet(fixtureTmp("graft_ann_src_fx"))
+        s.range(1).toDF("ok")
+      }),
+      "stream_pldata_tail" -> ((s: SparkSession, dir: String) => {
+        val root = fixtureTmp("graft_pldata_tail_fx")
+        val base = ev(s, dir)
+          .repartitionByRange(FixturePartitions, col("event_id"))
+          .sortWithinPartitions(col("event_id")).select(
+            lit("gaze").as("topic"), col("t").as("timestamp"),
+            array(col("value") / 500.0, (col("user_id") % 20) / 20.0)
+              .as("norm_pos"),
+            (col("value") / 1000.0).as("confidence"),
+            col("event_id").as("id"))
+        PldataSource.write(base.filter(col("id") % 2 === 0), s"$root/s1", "gaze")
+        PldataSource.write(base.filter(col("id") % 2 =!= 0), s"$root/s2", "gaze")
+        s.range(1).toDF("ok")
+      }))
   }
 
   /** C1 pupil detection END-TO-END on real pixels: planted PNG eye
@@ -2382,6 +2481,21 @@ object Queries {
       (round(col("duration_sec"), 6) + 0.0).as("duration_sec"),
       (round(col("rms"), 6) + 0.0).as("rms"),
       col("peak"), col("zero_crossings"))
+  }
+
+  /** SPECTRAL features over the planted WAV corpus — a real radix-2 FFT
+    * per clip ([[graft.multimodal.AudioOps.spectralFeatures]], the
+    * dominant-frequency / band-energy stage an audio curation pipeline
+    * runs after decode). The oracle is the planted kind: dc and nyquist
+    * are exact integer generator sums, the dominant bin is a pure
+    * function of the planted half-period (5 distinct spectra), stated
+    * by an INDEPENDENT naive O(w²) DFT in the oracle builder — an
+    * FFT-vs-DFT cross-check — and `parseval_ok` is the engine-measured
+    * whole-spectrum energy law. */
+  def audioSpectral(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.AudioOps
+    AudioOps.spectralFeatures(
+      AudioOps.plantAudioMedia(Tables.documents(s, dir), "doc_id"))
   }
 
   /** Energy-threshold VAD segmentation over speech-shaped planted WAVs

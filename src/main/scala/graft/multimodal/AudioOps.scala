@@ -332,4 +332,119 @@ object AudioOps {
       }
     }
   }
+
+  /** In-place iterative radix-2 FFT (Cooley-Tukey, decimation in time,
+    * negative-exponent convention). Zero-dependency — the JVM ships no
+    * FFT — and allocation-free past the caller's two arrays, so the
+    * per-clip spectral pass stays a narrow mapPartitions kernel at any
+    * corpus size. Length must be a power of two. */
+  def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n == im.length && n > 0 && (n & (n - 1)) == 0,
+      s"fft length must be a power of 2, got $n")
+    // bit-reversal permutation
+    var j = 0
+    var i = 1
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val half = len >> 1
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var s = 0
+      while (s < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < half) {
+          val ur = re(s + k); val ui = im(s + k)
+          val xr = re(s + k + half); val xi = im(s + k + half)
+          val vr = xr * cr - xi * ci
+          val vi = xr * ci + xi * cr
+          re(s + k) = ur + vr; im(s + k) = ui + vi
+          re(s + k + half) = ur - vr; im(s + k + half) = ui - vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        s += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Per-clip SPECTRAL features over the first `window` frames of
+    * channel 0 (clips shorter than the window yield no row — the
+    * detector contract): one [[fft]] per clip inside the same
+    * mapPartitions shape as [[extractAudioFeatures]].
+    *
+    *  - `dc`, `nyquist`: Σs and Σ(−1)ⁱs — computed as EXACT integer
+    *    sums (not read off the fp spectrum), so an external oracle can
+    *    state them; the spec pins X[0]/X[w/2] against them.
+    *  - `dominant_bin`: argmax |X[k]| over k ∈ [1, window/2), first
+    *    maximum — the fundamental detector.
+    *  - `dominant_freq_hz` = bin · rate/window.
+    *  - `parseval_ok`: |Σ|X|²/(w·Σx²) − 1| < 1e-9 — Parseval's theorem,
+    *    an engine-measured law over the WHOLE spectrum: any butterfly,
+    *    twiddle, or indexing bug in the kernel breaks it. */
+  def spectralFeatures(media: DataFrame, window: Int = 512): DataFrame = {
+    require(window > 0 && (window & (window - 1)) == 0,
+      s"window must be a power of 2, got $window")
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dc", LongType),
+      StructField("nyquist", LongType),
+      StructField("dominant_bin", IntegerType),
+      StructField("dominant_freq_hz", DoubleType),
+      StructField("parseval_ok", BooleanType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeWav(r.getAs[Array[Byte]](bIdx)).iterator
+          .filter(w => w.samples.length / w.channels >= window)
+          .map { w =>
+            val ch = w.channels
+            val re = new Array[Double](window)
+            val im = new Array[Double](window)
+            var dc = 0L; var nyq = 0L; var e2 = 0L
+            var i = 0
+            while (i < window) {
+              val s = w.samples(i * ch) // channel 0
+              re(i) = s.toDouble
+              dc += s
+              nyq += (if ((i & 1) == 0) s.toLong else -s.toLong)
+              e2 += s.toLong * s
+              i += 1
+            }
+            fft(re, im)
+            var best = 1; var bestMag = -1.0
+            var specE = 0.0
+            var k = 0
+            while (k < window) {
+              val m2 = re(k) * re(k) + im(k) * im(k)
+              specE += m2
+              if (k >= 1 && k < window / 2 && m2 > bestMag) {
+                bestMag = m2; best = k
+              }
+              k += 1
+            }
+            val ratio = specE / (window.toDouble * e2.toDouble)
+            Row(r.getLong(idIdx), dc, nyq, best,
+              best * (w.sampleRate.toDouble / window),
+              math.abs(ratio - 1.0) < 1e-9)
+          }
+      }
+    }
+  }
 }

@@ -90,4 +90,18 @@ class BenchChainSpec extends AnyFunSuite {
       """{"n":10,"tail":"{\"queries\":{\"cv_pupil\":5.5},\"fixtures\":{\"cv_pupil\":2.2},\"value\":5.5}"}""")
     assert(Bench.priorFixtures(repo3, 10).get("cv_pupil").contains(2.2))
   }
+
+  test("every fixtureFrames key is a real query (attribution can't dangle)") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = Queries.fixtureFrames.keySet.diff(qs)
+    assert(orphans.isEmpty,
+      s"fixtureFrames entries with no matching query: $orphans")
+  }
+
+  test("every query has an oracle row (the correctness gate is total)") {
+    val missing = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(missing.isEmpty, s"queries with no oracleSql entry: $missing")
+    val stale = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(stale.isEmpty, s"oracleSql rows with no query: $stale")
+  }
 }

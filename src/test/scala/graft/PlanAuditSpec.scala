@@ -465,6 +465,27 @@ class PlanAuditSpec extends SparkSpec {
       "Par.arity lost its cold-cluster floor")
   }
 
+  test("web ingest: delay admission is one host window + a broadcast dim") {
+    val p = plan(Queries.webIngestPipeline(spark, dir))
+    // the crawl-delay side is a 50-row host table — it must ride a
+    // broadcast, never a shuffle join against the request corpus
+    assert(p.contains("BroadcastHashJoin"),
+      s"crawl-delay dim join lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"ingest lineage degraded to an all-pairs join:\n$p")
+    // the admission rank is ONE row_number window over the host key
+    // alone; the robots-parse lineage adds its own windows but every
+    // one must stay KEYED (a keyless window = a single-task corpus sort)
+    val admission = "Window \\[row_number\\(\\)[^\\n]*\\], \\[host#\\d+\\]".r
+      .findAllIn(p).length
+    assert(admission == 1,
+      s"expected exactly 1 host-keyed admission rank window, got $admission:\n$p")
+    assert(!"Window \\[[^\\n]*\\], \\[\\]".r.findFirstIn(p).isDefined,
+      s"a KEYLESS window appeared in the ingest lineage:\n$p")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("bloom decontaminate probes with the native might_contain (codegen)") {
     val p = plan(Queries.textDecontaminateBloom(spark, dir))
     assert(p.contains("might_contain"),

@@ -143,6 +143,67 @@ class AudioOpsSpec extends SparkSpec {
     assert(a == Seq((3L, 1, 1, 2, 2L, 100L)))
   }
 
+  test("fft: matches a naive DFT, linearity, and the analytic lines") {
+    val rnd = new scala.util.Random(11)
+    def naive(x: Array[Double]): (Array[Double], Array[Double]) = {
+      val n = x.length
+      val re = new Array[Double](n); val im = new Array[Double](n)
+      for (k <- 0 until n; i <- 0 until n) {
+        val a = -2.0 * math.Pi * k * i / n
+        re(k) += x(i) * math.cos(a); im(k) += x(i) * math.sin(a)
+      }
+      (re, im)
+    }
+    for (n <- Seq(8, 64, 256)) {
+      val x = Array.fill(n)(rnd.nextInt(2001) - 1000.0)
+      val (wr, wi) = naive(x)
+      val re = x.clone(); val im = new Array[Double](n)
+      AudioOps.fft(re, im)
+      val scale = math.max(1.0, x.map(math.abs).sum)
+      for (k <- 0 until n) {
+        assert(math.abs(re(k) - wr(k)) / scale < 1e-12, s"n=$n re[$k]")
+        assert(math.abs(im(k) - wi(k)) / scale < 1e-12, s"n=$n im[$k]")
+      }
+    }
+    // impulse → flat spectrum; pure cosine → two exact lines
+    val imp = new Array[Double](16); imp(0) = 1.0
+    val impIm = new Array[Double](16)
+    AudioOps.fft(imp, impIm)
+    assert(imp.forall(v => math.abs(v - 1.0) < 1e-12) &&
+      impIm.forall(v => math.abs(v) < 1e-12))
+    val cos = Array.tabulate(32)(i => math.cos(2.0 * math.Pi * 5 * i / 32))
+    val cosIm = new Array[Double](32)
+    AudioOps.fft(cos, cosIm)
+    for (k <- 0 until 32) {
+      val mag = math.sqrt(cos(k) * cos(k) + cosIm(k) * cosIm(k))
+      val want = if (k == 5 || k == 27) 16.0 else 0.0
+      assert(math.abs(mag - want) < 1e-9, s"cosine line at $k: $mag")
+    }
+    // non-power-of-two rejected at call time
+    intercept[IllegalArgumentException] {
+      AudioOps.fft(new Array[Double](12), new Array[Double](12))
+    }
+  }
+
+  test("spectralFeatures: integer dc/nyquist pin the fp spectrum ends") {
+    val rnd = new scala.util.Random(23)
+    val s = Array.fill(600)(rnd.nextInt(4001) - 2000)
+    val out = AudioOps.spectralFeatures(mediaOf(9L, s), window = 512)
+      .collect().head
+    val dc = s.take(512).map(_.toLong).sum
+    val nyq = s.take(512).zipWithIndex
+      .map { case (v, i) => if (i % 2 == 0) v.toLong else -v.toLong }.sum
+    assert(out.getLong(1) == dc && out.getLong(2) == nyq)
+    assert(out.getBoolean(5), "Parseval law failed on random samples")
+    // X[0] and X[w/2] of the fp spectrum equal the integer sums
+    val re = s.take(512).map(_.toDouble); val im = new Array[Double](512)
+    AudioOps.fft(re, im)
+    assert(math.abs(re(0) - dc) < 1e-6 && math.abs(re(256) - nyq) < 1e-6)
+    // clips shorter than the window yield no row
+    assert(AudioOps.spectralFeatures(
+      mediaOf(10L, Array.fill(100)(5)), window = 512).count() == 0)
+  }
+
   test("vadSegments: all-silent and all-voiced clips are the edge laws") {
     val silent = AudioOps.vadSegments(
       mediaOf(1L, Array.fill(8)(0)), win = 2, threshold = 1L)
