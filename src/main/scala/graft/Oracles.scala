@@ -2577,6 +2577,41 @@ object Oracles {
          |FROM bk GROUP BY i, b""".stripMargin
     },
 
+    // content-defined chunking: the same gram/hash60 parity chain as the
+    // substring tier, with the cut rule, end-list construction, and
+    // per-chunk md5 replayed exactly — integers and strings end to end
+    "text_cdc_chunks" -> {
+      val w = graft.Queries.cdcW
+      val d = graft.Queries.cdcDivisor
+      s"""WITH dd AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+         |    string_split(trim(text), ' ') AS toks FROM documents),
+         |nn AS (SELECT doc, toks, len(toks) AS n FROM dd),
+         |ct AS (SELECT doc, toks, n,
+         |    CASE WHEN n >= $w THEN list_filter(
+         |      list_transform(range(1, n - $w + 2), j ->
+         |        CASE WHEN ('0x' || substr(md5(
+         |            array_to_string(toks[j:j+${w - 1}], ' ')), 1, 15))::BIGINT
+         |            % $d = 0
+         |          THEN j + ${w - 1} END),
+         |      x -> x IS NOT NULL)
+         |    ELSE []::BIGINT[] END AS cuts
+         |  FROM nn),
+         |en AS (SELECT doc, toks,
+         |    CASE WHEN len(cuts) > 0 AND cuts[-1] = n THEN cuts
+         |         ELSE list_append(cuts, n) END AS ends
+         |  FROM ct),
+         |ex AS (SELECT doc, toks, ends,
+         |    unnest(range(1, len(ends) + 1)) AS ci FROM en),
+         |sp AS (SELECT doc, toks, ci, ends[ci] AS e,
+         |    CASE WHEN ci = 1 THEN 1 ELSE ends[ci - 1] + 1 END AS s
+         |  FROM ex)
+         |SELECT doc, CAST(ci AS BIGINT) AS chunk_idx,
+         |  CAST(s AS BIGINT) AS start_word, CAST(e AS BIGINT) AS end_word,
+         |  CAST(e - s + 1 AS BIGINT) AS n_words,
+         |  md5(array_to_string(toks[s:e], ' ')) AS chunk_md5
+         |FROM sp""".stripMargin
+    },
+
     "text_frequent_ngrams" -> {
       val mc = graft.Queries.frequentNgramMinCount
       s"""WITH d AS (SELECT string_split(trim(text), ' ') AS toks

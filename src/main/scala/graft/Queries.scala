@@ -1045,6 +1045,19 @@ object Queries {
     TextOps.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
       minContainment = 0.8)
 
+  /** CDC arity, shared with the oracle builder. */
+  val cdcW: Int = 4
+  val cdcDivisor: Int = 16
+
+  /** Content-defined chunking ([[operators.TextOps.cdcChunks]]) — the
+    * storage-dedup boundary rule applied to the token stream: chunk
+    * ends wherever the 4-gram hash ≡ 0 (mod 16), expected ~16-word
+    * chunks, edit-robust boundaries. The chunk_md5 column is the
+    * chunk-level dedup key downstream. Fully row-local. */
+  def textCdcChunks(s: SparkSession, dir: String): DataFrame =
+    TextOps.cdcChunks(Tables.documents(s, dir), "doc_id", "text",
+      w = cdcW, divisor = cdcDivisor, target = 0)
+
   /** SFT turn spans ([[operators.TextOps.sftTurnSpans]]) — the chat
     * templating + loss-mask offsets stage of an instruction-tuning
     * pipeline, over turn structure derived deterministically from the

@@ -196,6 +196,65 @@ object TextOps {
     * re-join sorted, so surviving text is the original minus dropped
     * lines. Docs whose every line drops stay in the output with empty
     * text (auditable, not silently vanished). */
+  /** CONTENT-DEFINED CHUNKING at word granularity — the Rabin/FastCDC
+    * idea (Muthitacharoen et al., LBFS, SOSP'01) re-expressed over the
+    * token stream: cut AFTER word `i` whenever the w-gram ENDING at `i`
+    * hashes to the target residue mod `divisor`, so chunk boundaries
+    * depend only on LOCAL content — an insertion early in a document
+    * shifts every fixed-size block but leaves all later CDC chunks
+    * byte-identical, which is what makes chunk-level dedup/delta robust
+    * under edits (the storage-dedup property, applied to training-data
+    * incremental updates). Expected chunk length ≈ `divisor` words; a
+    * trailing partial chunk always closes at the last word. Production
+    * FastCDC adds min/max bounds — here the divisor is the lever and
+    * the semantics stay exactly replayable.
+    *
+    * One row per chunk: `(doc, chunk_idx, start_word, end_word,
+    * n_words, chunk_md5)` — the md5 of the space-joined chunk text is
+    * the dedup key downstream. Scale shape: fully ROW-LOCAL (per-doc
+    * HOFs over the token array, no window, no join — the only exchange
+    * is the kernel-feed [[graft.Par.byKey]]); the chunk table then
+    * feeds the same hash-groupBy dedup the exact tier uses. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                w: Int = 4, divisor: Int = 16, target: Int = 0): DataFrame = {
+    require(w >= 1, s"gram width must be >= 1, got $w")
+    require(divisor >= 1 && target >= 0 && target < divisor,
+      s"need 0 <= target < divisor, got $target / $divisor")
+    val spanned = graft.Par.byKey(docs, col(idCol))
+      .select(col(idCol).cast("long").as("doc"),
+        tokens(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      // residues of the w-gram ending at each word (gram j0, 0-based,
+      // ends at word j0 + w); empty below w tokens
+      .withColumn("_gh", when(col("_n") >= w,
+          transform(sequence(lit(1), col("_n").cast("int") - (w - 1)), i =>
+            pmod(hash60(array_join(slice(col("_toks"), i, lit(w)), " ")),
+              lit(divisor.toLong))))
+        .otherwise(array().cast("array<long>")))
+      .withColumn("_cuts", filter(
+        transform(col("_gh"), (h, j) =>
+          when(h === target.toLong, (j + w).cast("long"))),
+        c => c.isNotNull))
+      // chunk END positions: every cut, plus the last word unless a cut
+      // already landed there
+      // try_element_at: ANSI element_at THROWS on the empty cuts array
+      .withColumn("_ends",
+        when(expr("try_element_at(_cuts, -1)") === col("_n"), col("_cuts"))
+          .otherwise(concat(col("_cuts"), array(col("_n")))))
+      .select(col("doc"), col("_toks"), col("_ends"),
+        posexplode(col("_ends")).as(Seq("_i", "_end")))
+      .withColumn("_start", when(col("_i") === 0, lit(1L))
+        .otherwise(element_at(col("_ends"), col("_i")) + 1L))
+    spanned.select(col("doc"),
+      (col("_i") + 1).cast("long").as("chunk_idx"),
+      col("_start").as("start_word"), col("_end").as("end_word"),
+      (col("_end") - col("_start") + 1L).as("n_words"),
+      md5(array_join(
+        slice(col("_toks"), col("_start").cast("int"),
+          (col("_end") - col("_start") + 1L).cast("int")), " ")
+        .cast("binary")).as("chunk_md5"))
+  }
+
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
                  sep: String = "\n", maxOccurrences: Int = 10): DataFrame = {
     val quoted = java.util.regex.Pattern.quote(sep)

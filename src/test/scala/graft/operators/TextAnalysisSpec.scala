@@ -840,4 +840,40 @@ class TextAnalysisSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
     assert(again == out.map { case (k, v) => (k, v._2) }.toSet)
   }
+
+  test("cdcChunks: spans tile the doc; boundaries are content-defined") {
+    val words = (0 until 200).map(i => s"w${i * 7 % 97}")
+    val doc = words.mkString(" ")
+    def chunksOf(id: Long, text: String) =
+      TextOps.cdcChunks(Seq((id, text)).toDF("doc_id", "text"),
+          "doc_id", "text", w = 4, divisor = 8)
+        .orderBy("chunk_idx")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getString(5)))
+    val base = chunksOf(1L, doc)
+    // spans tile [1, n] exactly: contiguous, non-overlapping, full cover
+    assert(base.head._2 == 1L && base.last._3 == 200L)
+    base.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 == a._3 + 1, s"gap/overlap between $a and $b")
+    }
+    base.foreach { case (_, s0, e0, nw, _) => assert(nw == e0 - s0 + 1) }
+    // THE CDC property: inserting words at the FRONT shifts early
+    // chunks but leaves every chunk after the first post-insertion
+    // boundary byte-identical (a fixed-size blocker would shift all)
+    val edited = chunksOf(2L, "zz yy " + doc)
+    val baseTail = base.map(_._5).toSeq.tail
+    val editTail = edited.map(_._5).toSeq
+    assert(baseTail.nonEmpty && baseTail.forall(editTail.contains),
+      "post-edit chunks lost the content-defined alignment")
+    // an empty-token doc is ONE empty chunk (the tokens('') contract)
+    val empty = chunksOf(3L, "")
+    assert(empty.toSeq == Seq((1L, 1L, 1L, 1L,
+      java.security.MessageDigest.getInstance("MD5").digest("".getBytes)
+        .map("%02x".format(_)).mkString)))
+    // bad arity fails at call time
+    intercept[IllegalArgumentException] {
+      TextOps.cdcChunks(Seq((1L, "a")).toDF("doc_id", "text"),
+        "doc_id", "text", w = 4, divisor = 8, target = 8)
+    }
+  }
 }
