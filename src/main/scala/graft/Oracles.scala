@@ -2612,6 +2612,41 @@ object Oracles {
          |FROM sp""".stripMargin
     },
 
+    // chunk-level dedup: the cdc chain rolled up by chunk hash — the
+    // cross-document duplicated-chunk report
+    "dedup_cdc_chunks" -> {
+      val w = graft.Queries.cdcW
+      val d = graft.Queries.cdcDivisor
+      s"""WITH dd AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+         |    string_split(trim(text), ' ') AS toks FROM documents),
+         |nn AS (SELECT doc, toks, len(toks) AS n FROM dd),
+         |ct AS (SELECT doc, toks, n,
+         |    CASE WHEN n >= $w THEN list_filter(
+         |      list_transform(range(1, n - $w + 2), j ->
+         |        CASE WHEN ('0x' || substr(md5(
+         |            array_to_string(toks[j:j+${w - 1}], ' ')), 1, 15))::BIGINT
+         |            % $d = 0
+         |          THEN j + ${w - 1} END),
+         |      x -> x IS NOT NULL)
+         |    ELSE []::BIGINT[] END AS cuts
+         |  FROM nn),
+         |en AS (SELECT doc, toks,
+         |    CASE WHEN len(cuts) > 0 AND cuts[-1] = n THEN cuts
+         |         ELSE list_append(cuts, n) END AS ends
+         |  FROM ct),
+         |ex AS (SELECT doc, toks, ends,
+         |    unnest(range(1, len(ends) + 1)) AS ci FROM en),
+         |sp AS (SELECT doc, toks, ends[ci] AS e,
+         |    CASE WHEN ci = 1 THEN 1 ELSE ends[ci - 1] + 1 END AS s
+         |  FROM ex),
+         |ch AS (SELECT doc, CAST(e - s + 1 AS BIGINT) AS n_words,
+         |    md5(array_to_string(toks[s:e], ' ')) AS chunk_md5 FROM sp)
+         |SELECT chunk_md5, n_words, count(*)::BIGINT AS n_copies,
+         |  count(DISTINCT doc)::BIGINT AS n_docs, min(doc) AS first_doc
+         |FROM ch GROUP BY chunk_md5, n_words
+         |HAVING count(DISTINCT doc) > 1""".stripMargin
+    },
+
     "text_frequent_ngrams" -> {
       val mc = graft.Queries.frequentNgramMinCount
       s"""WITH d AS (SELECT string_split(trim(text), ' ') AS toks

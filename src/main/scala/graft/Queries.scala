@@ -1058,6 +1058,19 @@ object Queries {
     TextOps.cdcChunks(Tables.documents(s, dir), "doc_id", "text",
       w = cdcW, divisor = cdcDivisor, target = 0)
 
+  /** CHUNK-LEVEL dedup over the CDC table — the consumer the chunking
+    * exists for: duplicated chunks across documents (boilerplate,
+    * quoted passages, shared headers) surface as md5 groups with
+    * multiple owners; `first_doc` is the canonical keeper. One
+    * map-side-combined groupBy over the row-local chunk table. */
+  def dedupCdcChunks(s: SparkSession, dir: String): DataFrame =
+    textCdcChunks(s, dir)
+      .groupBy(col("chunk_md5"), col("n_words"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc")).as("n_docs"),
+        min(col("doc")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+
   /** SFT turn spans ([[operators.TextOps.sftTurnSpans]]) — the chat
     * templating + loss-mask offsets stage of an instruction-tuning
     * pipeline, over turn structure derived deterministically from the
