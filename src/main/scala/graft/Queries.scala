@@ -586,8 +586,12 @@ object Queries {
     * query's [[fixtureFrames]] entry so the bench attributes the
     * events-scan + synthesis lineage separately from the
     * fit/merge/error-map engine work it feeds. */
-  private def m9bInputs(s: SparkSession, dir: String):
+  private[graft] def m9bInputs(s: SparkSession, dir: String):
       (DataFrame, DataFrame, DataFrame) = {
+    // NOT persisted: measured in r12 — caching this base moves
+    // m9_binocular by nothing (6.7 vs 6.65 s at sf0.1, inside noise),
+    // because the synthesis is cheap column arithmetic and the engine
+    // time lives in the fit/merge/error-map phase downstream
     val base = m9Base(s, dir, lit("cal"))
       .withColumn("jit1", ((col("event_id") * 7 % 11) - 5) / 1e4)
       .withColumn("jit2", ((col("event_id") * 3 % 13) - 6) / 1e4)
