@@ -2467,7 +2467,7 @@ object Queries {
   /** The planted-PNG corpus [[mmImageRecallAudit]] consumes — shared with
     * its [[fixtureFrames]] entry so the bench attributes the audit's wall
     * time between PNG rendering and the actual aHash/band/recall work. */
-  private def mmRecallAuditMedia(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def mmRecallAuditMedia(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
     graft.multimodal.VisionFixtures.plantMediaKeyed(
       Tables.documents(s, dir).filter(id % 25 < 5)

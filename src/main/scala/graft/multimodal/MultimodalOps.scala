@@ -365,7 +365,7 @@ object MultimodalOps {
     imagePairsFromHashes(imageAHash(media, grid), grid, bands, maxHamming,
       Some(maxBucket))
 
-  private def imagePairsFromHashes(hashes: DataFrame, grid: Int, bands: Int,
+  private[graft] def imagePairsFromHashes(hashes: DataFrame, grid: Int, bands: Int,
                                    maxHamming: Int,
                                    maxBucket: Option[Int]): DataFrame = {
     val nBits = grid * grid
