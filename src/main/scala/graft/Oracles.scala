@@ -1849,6 +1849,31 @@ object Oracles {
         |       WHEN g % 2 = 0 THEN 1.5e0 END AS crawl_delay
         |FROM d""".stripMargin,
 
+    // sitemap parse: every entry closed-form from the did arithmetic —
+    // urlset hosts emit 1-3 page urls (lastmod on alternating entries),
+    // index hosts emit their two child sitemaps (whitespace-padded loc
+    // stripped, lastmod only on the first)
+    "web_sitemap_urls" ->
+      """WITH d AS (SELECT DISTINCT CAST(doc_id AS BIGINT) % 50 AS g
+        |  FROM documents),
+        |us AS (SELECT g, unnest(range(1, 2 + g % 3)) AS j
+        |  FROM d WHERE g % 5 <> 0)
+        |SELECT 'site' || g::VARCHAR || '.com' AS host,
+        |  'https://site' || g::VARCHAR || '.com/p' || j::VARCHAR AS url,
+        |  CASE WHEN (g + j) % 2 = 0
+        |    THEN '2026-0' || (g % 9 + 1)::VARCHAR || '-15' END AS lastmod,
+        |  false AS is_index
+        |FROM us
+        |UNION ALL
+        |SELECT 'site' || g::VARCHAR || '.com',
+        |  'https://site' || g::VARCHAR || '.com/sm1.xml',
+        |  '2026-01-0' || (g % 9 + 1)::VARCHAR, true
+        |FROM d WHERE g % 5 = 0
+        |UNION ALL
+        |SELECT 'site' || g::VARCHAR || '.com',
+        |  'https://site' || g::VARCHAR || '.com/sm2.xml', NULL, true
+        |FROM d WHERE g % 5 = 0""".stripMargin,
+
     "web_robots_filter" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc FROM documents),
         |b AS (SELECT doc, doc % 50 AS g, doc % 5 AS p FROM d),

@@ -1194,6 +1194,48 @@ object Queries {
       "host", "robots", agent = "graftbot")
   }
 
+  /** Planted sitemap XML per domain id: every 5th host serves a
+    * `<sitemapindex>` (two child sitemaps — one with lastmod, one
+    * whose `<loc>` carries surrounding WHITESPACE the parser must
+    * strip), the rest a `<urlset>` of 1-3 url entries with lastmod on
+    * alternating entries. All values closed-form from `did`. */
+  private def plantedSitemap(did: Column): Column = {
+    val ds = did.cast("string")
+    val month = ((did % 9) + 1).cast("string")
+    when(did % 5 === 0, concat(
+      lit("<?xml version=\"1.0\"?>\n<sitemapindex>\n<sitemap><loc>https://site"),
+      ds, lit(".com/sm1.xml</loc><lastmod>2026-01-0"), month,
+      lit("</lastmod></sitemap>\n<sitemap><loc> https://site"), ds,
+      lit(".com/sm2.xml </loc></sitemap>\n</sitemapindex>")))
+    .otherwise(concat(
+      lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+      concat_ws("", transform(
+        sequence(lit(1), (lit(1) + did % 3).cast("int")), j =>
+          concat(lit("<url><loc>https://site"), ds, lit(".com/p"),
+            j.cast("string"), lit("</loc>"),
+            when((did + j) % 2 === 0,
+              concat(lit("<lastmod>2026-0"), month, lit("-15</lastmod>")))
+              .otherwise(lit("")),
+            lit("</url>\n")))),
+      lit("</urlset>")))
+  }
+
+  /** Sitemap-document parsing ([[operators.RobotsOps.sitemapUrls]]) —
+    * the crawl-scheduler stage after [[webCrawlDirectives]] surfaces
+    * the sitemap URLs: per-host planted sitemap XML → (url, lastmod,
+    * is_index) entries, with `<sitemapindex>` children flagged for
+    * re-queueing. The oracle states every entry closed-form from the
+    * same did arithmetic — a parse bug (missed block, unstripped
+    * whitespace, lastmod misattribution) breaks the hash. */
+  def webSitemapUrls(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select((col("doc_id").cast("long") % 50).as("did")).distinct()
+    val sm = docs.select(
+      concat(lit("site"), col("did").cast("string"), lit(".com")).as("host"),
+      plantedSitemap(col("did")).as("xml"))
+    operators.RobotsOps.sitemapUrls(sm, "host", "xml")
+  }
+
   /** The planted robots table (one per domain) and request table
     * (one per doc) — shared by [[webRobotsFilter]] and
     * [[webIngestPipeline]] so the fixtures cannot drift. */

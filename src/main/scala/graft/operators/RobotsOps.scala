@@ -138,6 +138,41 @@ object RobotsOps {
         col("_delay").as("crawl_delay"))
   }
 
+  /** SITEMAP-DOCUMENT parsing — the crawl-scheduler stage AFTER
+    * [[hostDirectives]] surfaces the sitemap URLs: fetch each sitemap,
+    * extract its `<url><loc>…</loc><lastmod>…</lastmod></url>` entries
+    * (sitemaps.org protocol), or — for a `<sitemapindex>` document —
+    * its child `<sitemap><loc>…` entries, flagged `is_index = true` so
+    * the scheduler re-queues them as sitemap fetches instead of page
+    * fetches. `lastmod` is the protocol's optional freshness hint
+    * (null when absent) — the incremental-recrawl lever.
+    *
+    * Parsing is deliberately XML-lite (block split on the closing tag +
+    * one anchored regex per field): entity-free well-formed sitemaps —
+    * the overwhelming real-corpus shape — parse exactly, and a malformed
+    * block yields no row rather than a thrown task. Row-local at any
+    * corpus size: one split + two regexp_extracts per entry, no join,
+    * no window, no state. */
+  def sitemapUrls(sitemaps: DataFrame, hostCol: String,
+                  xmlCol: String): DataFrame = {
+    val base = sitemaps.select(col(hostCol).as("host"), col(xmlCol).as("_xml"))
+    def entries(frame: DataFrame, closeTag: String, isIndex: Boolean) =
+      frame
+        .select(col("host"), explode(split(col("_xml"), closeTag)).as("_b"))
+        .select(col("host"),
+          regexp_extract(col("_b"), "<loc>\\s*([^<]+?)\\s*</loc>", 1)
+            .as("url"),
+          regexp_extract(col("_b"), "<lastmod>\\s*([^<]+?)\\s*</lastmod>", 1)
+            .as("_lm"))
+        .filter(col("url") =!= "")
+        .select(col("host"), col("url"),
+          when(col("_lm") =!= "", col("_lm")).as("lastmod"),
+          lit(isIndex).as("is_index"))
+    val idx = col("_xml").contains("<sitemapindex")
+    entries(base.filter(!idx), "</url>", isIndex = false)
+      .unionByName(entries(base.filter(idx), "</sitemap>", isIndex = true))
+  }
+
   /** Add the rule-match machinery to a rules frame carrying `rule_path`:
     * wildcard rules compile to an anchored regex ONCE per rule row (the
     * rules table is robots-file-sized, tiny next to the request join) —

@@ -486,6 +486,24 @@ class PlanAuditSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("r12 lineages: no all-pairs joins, cdc stays keyless-window-free") {
+    // ann_recall_audit composes four tier searches + two brute-force
+    // truth chains — the truth side is a deliberate broadcast(10-query)
+    // join; nothing may degrade to a cartesian product
+    val pa = plan(Queries.annRecallAudit(spark, dir))
+    assert(!pa.contains("CartesianProduct"),
+      s"recall audit grew a cartesian join:\n$pa")
+    graft.CacheRegistry.releaseAll()
+    // cdc chunking is fully row-local: the only exchange is the
+    // kernel-feed repartition, and there is no Window at all
+    val pc = plan(Queries.textCdcChunks(spark, dir))
+    assert(!"\\bWindow\\b".r.findFirstIn(pc).isDefined &&
+      !pc.contains("Join"),
+      s"cdc chunking lost its row-local shape:\n$pc")
+    val exchanges = "Exchange".r.findAllIn(pc).length
+    assert(exchanges == 1, s"cdc expected 1 kernel-feed exchange, got $exchanges:\n$pc")
+  }
+
   test("bloom decontaminate probes with the native might_contain (codegen)") {
     val p = plan(Queries.textDecontaminateBloom(spark, dir))
     assert(p.contains("might_contain"),

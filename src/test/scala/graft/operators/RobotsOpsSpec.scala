@@ -218,4 +218,32 @@ class RobotsOpsSpec extends SparkSpec {
     assert(out.getBoolean(3) && out.isNullAt(4))
     graft.CacheRegistry.releaseAll()
   }
+
+  test("sitemapUrls: urlset vs index, whitespace strip, malformed blocks") {
+    val urlset =
+      """<?xml version="1.0"?><urlset>
+        |<url><loc>https://a.com/p1</loc><lastmod>2026-02-15</lastmod></url>
+        |<url><loc>  https://a.com/p2  </loc></url>
+        |<url><lastmod>2026-01-01</lastmod></url>
+        |<url><loc></loc></url>
+        |</urlset>""".stripMargin
+    val index =
+      """<sitemapindex>
+        |<sitemap><loc>https://b.com/sm1.xml</loc></sitemap>
+        |<sitemap><loc>https://b.com/sm2.xml</loc><lastmod>2025-12-31</lastmod></sitemap>
+        |</sitemapindex>""".stripMargin
+    val out = RobotsOps.sitemapUrls(
+        Seq(("a.com", urlset), ("b.com", index)).toDF("host", "xml"),
+        "host", "xml")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), r.getBoolean(3))).toSet
+    assert(out == Set(
+      // lastmod attaches to ITS url block only; whitespace-padded loc
+      // is stripped; loc-less and empty-loc blocks yield NO row
+      ("a.com", "https://a.com/p1", Some("2026-02-15"), false),
+      ("a.com", "https://a.com/p2", None, false),
+      ("b.com", "https://b.com/sm1.xml", None, true),
+      ("b.com", "https://b.com/sm2.xml", Some("2025-12-31"), true)),
+      s"got $out")
+  }
 }
