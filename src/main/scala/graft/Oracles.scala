@@ -1874,6 +1874,22 @@ object Oracles {
         |  'https://site' || g::VARCHAR || '.com/sm2.xml', NULL, true
         |FROM d WHERE g % 5 = 0""".stripMargin,
 
+    // fetch schedule: page entries (index hosts contribute none — their
+    // children are sitemap fetches) × closed-form delay, rank = j by
+    // the lexicographic url order, offset exact scalar arithmetic
+    "web_fetch_schedule" ->
+      """WITH d AS (SELECT DISTINCT CAST(doc_id AS BIGINT) % 50 AS g
+        |  FROM documents),
+        |us AS (SELECT g, unnest(range(1, 2 + g % 3)) AS j
+        |  FROM d WHERE g % 5 <> 0)
+        |SELECT 'site' || g::VARCHAR || '.com' AS host,
+        |  'https://site' || g::VARCHAR || '.com/p' || j::VARCHAR AS url,
+        |  CAST(j AS BIGINT) AS fetch_rank,
+        |  (j - 1) * (CASE WHEN g % 4 = 0 THEN 0.5e0
+        |                  WHEN g % 2 = 0 THEN 1.5e0
+        |                  ELSE 0.0e0 END) AS start_offset_sec
+        |FROM us""".stripMargin,
+
     "web_robots_filter" ->
       """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc FROM documents),
         |b AS (SELECT doc, doc % 50 AS g, doc % 5 AS p FROM d),

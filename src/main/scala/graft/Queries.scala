@@ -1236,6 +1236,31 @@ object Queries {
     operators.RobotsOps.sitemapUrls(sm, "host", "xml")
   }
 
+  /** COMPOSED fetch schedule — the polite-crawler scheduler view over
+    * the whole directives tier on one plan: sitemap PAGE entries
+    * ([[webSitemapUrls]], index children excluded — they re-queue as
+    * sitemap fetches, not page fetches) joined with the per-host
+    * Crawl-delay verdict ([[operators.RobotsOps.hostDirectives]],
+    * broadcast — host-table-sized), ranked per host (lexicographic —
+    * deterministic), each fetch stamped with its earliest start offset
+    * `(rank−1)·delay` (no applicable delay ⇒ the host fetches
+    * immediately, offset 0). Exact scalar arithmetic — no rounding:
+    * rank ≤ 3 and delays {0.5, 1.5} make every offset binary-exact. */
+  def webFetchSchedule(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("doc"))
+    val pages = webSitemapUrls(s, dir).filter(!col("is_index"))
+    val delays = operators.RobotsOps.hostDirectives(
+        plantedRobotsTable(docs), "host", "robots", agent = "graftbot")
+      .select(col("host"), col("crawl_delay"))
+    val w = Window.partitionBy(col("host")).orderBy(col("url"))
+    pages.join(broadcast(delays), Seq("host"))
+      .withColumn("fetch_rank", row_number().over(w).cast("long"))
+      .select(col("host"), col("url"), col("fetch_rank"),
+        ((col("fetch_rank") - 1) * coalesce(col("crawl_delay"), lit(0.0)))
+          .as("start_offset_sec"))
+  }
+
   /** The planted robots table (one per domain) and request table
     * (one per doc) — shared by [[webRobotsFilter]] and
     * [[webIngestPipeline]] so the fixtures cannot drift. */
