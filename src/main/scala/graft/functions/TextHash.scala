@@ -187,8 +187,68 @@ object TextHash {
       copy(child = c)
   }
 
+  /** Raw hash60 of the word k-gram at EVERY position in order
+    * (duplicates kept, no modulus — unlike [[ShingleHash60]]'s
+    * first-occurrence-distinct mod-M set): position p (1-based) at
+    * array index p, empty below k tokens. Bit-parity contract with the
+    * declarative `transform(sequence(...), i -> hash60(array_join(
+    * slice(split(trim(text), ' '), i, k), ' ')))` chain and therefore
+    * with the DuckDB `('0x' || substr(md5(...), 1, 15))::BIGINT`
+    * oracles. One eval per row replacing the interpreted HOF chain —
+    * the shared hot cost of the positional gram tiers
+    * ([[graft.operators.TextOps.substringDedupSpans]], winnowing,
+    * content-defined chunking). */
+  case class GramHash60Array(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+
+    require(k >= 1, s"gram_hash60_array needs k >= 1, got $k")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"gram_hash60_array needs a string arg, got ${child.dataType.simpleString}")
+
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      // space-only trim (the ShingleHash60 contract note applies)
+      var lo = 0
+      var hi = text.length
+      while (lo < hi && text.charAt(lo) == ' ') lo += 1
+      while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
+      val toks = text.substring(lo, hi).split(" ", -1)
+      if (toks.length < k) return new GenericArrayData(Array.empty[Long])
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = new Array[Long](toks.length - k + 1)
+      var i = 0
+      while (i <= toks.length - k) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+        val digest = md.digest(sb.toString.getBytes("UTF-8"))
+        var h = 0L
+        var b = 0
+        while (b < 7) { h = (h << 8) | (digest(b) & 0xffL); b += 1 }
+        h = (h << 4) | ((digest(7) & 0xf0L) >> 4) // 7.5 bytes = 15 hex chars
+        out(i) = h
+        md.reset()
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): GramHash60Array =
+      copy(child = c)
+  }
+
   def shingle_hash60(text: Column, k: Int, mod: Long): Column =
     Bridge.column(ShingleHash60(Bridge.expression(text), k, mod))
+
+  def gram_hash60_array(text: Column, k: Int): Column =
+    Bridge.column(GramHash60Array(Bridge.expression(text), k))
 
   def minhash_sig(hv: Column, a: Seq[Long], b: Seq[Long], mod: Long): Column =
     Bridge.column(MinhashSig(Bridge.expression(hv), a, b, mod))

@@ -221,16 +221,15 @@ object TextOps {
     require(divisor >= 1 && target >= 0 && target < divisor,
       s"need 0 <= target < divisor, got $target / $divisor")
     val spanned = graft.Par.byKey(docs, col(idCol))
-      .select(col(idCol).cast("long").as("doc"),
+      .select(col(idCol).cast("long").as("doc"), col(textCol).as("_text"),
         tokens(col(textCol)).as("_toks"))
       .withColumn("_n", size(col("_toks")).cast("long"))
       // residues of the w-gram ending at each word (gram j0, 0-based,
-      // ends at word j0 + w); empty below w tokens
-      .withColumn("_gh", when(col("_n") >= w,
-          transform(sequence(lit(1), col("_n").cast("int") - (w - 1)), i =>
-            pmod(hash60(array_join(slice(col("_toks"), i, lit(w)), " ")),
-              lit(divisor.toLong))))
-        .otherwise(array().cast("array<long>")))
+      // ends at word j0 + w); empty below w tokens. Native kernel for
+      // the md5 pass; the mod is a cheap per-element transform
+      .withColumn("_gh", transform(
+        graft.functions.TextHash.gram_hash60_array(col("_text"), w),
+        h => pmod(h, lit(divisor.toLong))))
       .withColumn("_cuts", filter(
         transform(col("_gh"), (h, j) =>
           when(h === target.toLong, (j + w).cast("long"))),
@@ -1295,19 +1294,18 @@ object TextOps {
     * SIGMOD'03) — keep only per-window minimum hashes, which this
     * layout composes with by replacing step 1's dense positions. */
   /** (doc, _gh): per-document array of `hash60(md5)` k-token-gram keys,
-    * position p (1-based) at array index p. The token array materializes
-    * as a named column before the gram lambda (docs/SCALE.md pitfall 1).
-    * Shared by [[substringDedupSpans]] (dense positions) and
-    * [[winnowedFingerprints]] (row-local thinning BEFORE the explode). */
+    * position p (1-based) at array index p. Shared by
+    * [[substringDedupSpans]] (dense positions), [[winnowedFingerprints]]
+    * (row-local thinning BEFORE the explode), and [[cdcChunks]].
+    * r12: the native [[graft.functions.TextHash.GramHash60Array]]
+    * kernel — one eval per row instead of the interpreted
+    * transform→slice→array_join→conv(md5) HOF chain (bit-parity pinned
+    * in TextVectorOpsSpec, the NgramArray discipline). */
   private def gramHashArray(docs: DataFrame, idCol: String, textCol: String,
                             k: Int): DataFrame =
     graft.Par.byKey(docs, col(idCol))
-      .select(col(idCol).cast("long").as("doc"), tokens(col(textCol)).as("_toks"))
-      .select(col("doc"),
-        when(size(col("_toks")) >= k,
-          transform(sequence(lit(1), size(col("_toks")) - (k - 1)), i =>
-            hash60(array_join(slice(col("_toks"), i, lit(k)), " "))))
-          .otherwise(array().cast("array<long>")).as("_gh"))
+      .select(col(idCol).cast("long").as("doc"),
+        graft.functions.TextHash.gram_hash60_array(col(textCol), k).as("_gh"))
 
   def substringDedupSpans(docs: DataFrame, idCol: String, textCol: String,
                           k: Int = 10): DataFrame = {

@@ -103,6 +103,37 @@ class TextVectorOpsSpec extends SparkSpec {
     assert(nv == d, "fuzz: kernel diverged from declarative")
   }
 
+  test("native gram_hash60_array kernel is bit-equal to the declarative chain") {
+    import graft.functions.TextHash
+    import graft.operators.TextOps
+    val tricky = Seq(
+      (0L, "a b c d e"), (1L, ""), (2L, "only two"),
+      (3L, "  a b  c d a b  c  "),
+      (4L, "a b c a b c a b c"),           // duplicate grams kept, in order
+      (5L, "\tp q r s\n"), (6L, "é ü 文 字 x")).toDF("doc_id", "text")
+    val rnd = new scala.util.Random(13)
+    val alpha = "ab  c"
+    val fuzz = Seq.tabulate(300)(i => (100L + i,
+      (0 until rnd.nextInt(14)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString))
+      .toDF("doc_id", "text")
+    for (k <- Seq(1, 3, 4); df <- Seq(tricky, fuzz)) {
+      val toks = split(trim(col("text")), " ")
+      val declar = df.select(col("doc_id"),
+          when(size(toks) >= k,
+            transform(sequence(lit(1), size(toks) - (k - 1)), i =>
+              TextOps.hash60(concat_ws(" ", slice(toks, i, lit(k))))))
+            .otherwise(array().cast("array<long>")).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val native = df.select(col("doc_id"),
+          TextHash.gram_hash60_array(col("text"), k).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(native == declar, s"k=$k kernel diverged from declarative")
+    }
+    intercept[IllegalArgumentException] {
+      TextHash.gram_hash60_array(col("text"), 0)
+    }
+  }
+
   test("ngram_array: n < 1 fails at construction with a clear message") {
     import graft.functions.TextHash
     val e = intercept[IllegalArgumentException] {
