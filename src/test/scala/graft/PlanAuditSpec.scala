@@ -253,23 +253,27 @@ class PlanAuditSpec extends SparkSpec {
     // predicate pushdown substitute the whole gram/selection chain into
     // a scan Filter — md5 would then appear in several plan positions
     // and re-evaluate with no CSE (measured 22× on winnow selection)
+    // r12: the gram pass is the native GramHash60Array kernel — the
+    // pitfall's signature is the KERNEL appearing in several plan
+    // positions (a pushed-down generate-filter re-evaluates the whole
+    // md5 pass with no CSE), so the pin counts kernel sites now
     val docs = Tables.documents(spark, dir)
     val winnowed = operators.TextOps
       .winnowedFingerprints(docs, "doc_id", "text")
-      .queryExecution.optimizedPlan.toString
-    assert("md5".r.findAllIn(winnowed).length == 1,
-      s"gram hash duplicated in winnow plan:\n${winnowed.take(3000)}")
-    // the spans plan persists the gram table and reads it twice, so md5
-    // prints once per cached consumer — the pitfall's actual signature
-    // is the gram chain substituted into a FILTER node
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert("gramhash60array".r.findAllIn(winnowed).length == 1,
+      s"gram kernel duplicated in winnow plan:\n${winnowed.take(3000)}")
+    // the spans plan persists the gram table and reads it twice, so the
+    // kernel prints once per cached consumer — the pitfall's actual
+    // signature is the gram chain substituted into a FILTER node
     val spans = operators.TextOps
       .substringDedupSpans(docs, "doc_id", "text")
-      .queryExecution.optimizedPlan.toString
+      .queryExecution.optimizedPlan.toString.toLowerCase
     graft.CacheRegistry.releaseAll()
-    val md5Filters = spans.split("\n")
-      .filter(l => l.contains("Filter ") && l.contains("md5"))
-    assert(md5Filters.isEmpty,
-      s"gram hash substituted into a Filter:\n${md5Filters.mkString("\n").take(2000)}")
+    val kernelFilters = spans.split("\n")
+      .filter(l => l.contains("filter ") && l.contains("gramhash60array"))
+    assert(kernelFilters.isEmpty,
+      s"gram kernel substituted into a Filter:\n${kernelFilters.mkString("\n").take(2000)}")
   }
 
   test("dsir serving: zero corpus shuffles — model rides a 1-row broadcast") {
