@@ -2240,6 +2240,18 @@ object Queries {
           col("session"), col("timestamp"), col("norm_x"), col("norm_y"))
         shape(markers).unionByName(shape(pupils0)).unionByName(shape(pupils1))
       }),
+      "m9_gaze_pipeline" -> ((s: SparkSession, dir: String) => {
+        val base = m9Base(s, dir, lit("cal"))
+        val shape = (df: DataFrame) => df.select(
+          col("session"), col("timestamp"), col("norm_x"), col("norm_y"))
+        shape(m9Markers(base)).unionByName(shape(m9Pupils(base)))
+      }),
+      "m9_multisession" -> ((s: SparkSession, dir: String) => {
+        val base = m9Base(s, dir, concat(lit("s"), col("user_id") % 100))
+        val shape = (df: DataFrame) => df.select(
+          col("session"), col("timestamp"), col("norm_x"), col("norm_y"))
+        shape(m9Markers(base)).unionByName(shape(m9Pupils(base)))
+      }),
       "curation_pipeline" -> ((s: SparkSession, dir: String) =>
         Tables.documents(s, dir)
           .select(col("doc_id"), col("text"), col("source"))),
