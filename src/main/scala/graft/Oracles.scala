@@ -1427,7 +1427,12 @@ object Oracles {
        |  CAST(${cases(_._4)} AS INT) AS dominant_bin,
        |  (${cases(_._4)}) * 15.625e0 AS dominant_freq_hz,
        |  true AS parseval_ok
-       |FROM documents""".stripMargin
+       |FROM documents
+       |UNION ALL
+       |-- the planted silent clip: the degenerate contract row —
+       |-- no dominant bin, Parseval passes in its two-sided-zero form
+       |SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |  CAST(NULL AS INT), CAST(NULL AS DOUBLE), true""".stripMargin
   }
 
   /** The pldata gaze-catalog replay — shared by the batch V2 scan row

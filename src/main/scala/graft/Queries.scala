@@ -1366,12 +1366,23 @@ object Queries {
     val stream = s.readStream.schema(docs.schema).parquet(src)
     val counters = graft.streaming.SketchStream.countersShared(
       stream, "text", n = 2, depth = streamCmDepth, width = streamCmWidth)
-    val qn = "graft_cm_drain_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
+    val qn = dropStaleDrain(s, "graft_cm_drain")
     val q = counters.writeStream.format("memory").queryName(qn)
       .outputMode("complete").start()
     try q.processAllAvailable() finally q.stop()
     s.table(qn)
+  }
+
+  /** Fixed memory-sink name per drained-stream query, stale copy dropped
+    * before the next start (ADVICE r12): a fresh UUID name per invocation
+    * leaked every prior drain's full row set into driver memory for the
+    * JVM's lifetime (bench runs=3 × Verify passes — stream_pldata_tail
+    * retains ~1M rows per invocation at the 10× corpus). Callers that
+    * already drained their returned frame are unaffected — the frame
+    * captures the sink's plan, not the view name. */
+  private def dropStaleDrain(s: SparkSession, name: String): String = {
+    s.catalog.dropTempView(name)
+    name
   }
 
   /** STREAMING ANN ingest drained end-to-end on the planted OPQ corpus
@@ -1396,8 +1407,7 @@ object Queries {
     val src = fixtureTmp("graft_ann_src")
     planted.write.mode("overwrite").parquet(src)
     val stream = s.readStream.schema(planted.schema).parquet(src)
-    val qn = "graft_ann_drain_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
+    val qn = dropStaleDrain(s, "graft_ann_drain")
     val q = graft.streaming.AnnIngest
       .encodeStream(stream, "vec_id", "pv", model)
       .writeStream.format("memory").queryName(qn)
@@ -1433,8 +1443,7 @@ object Queries {
       StructField("norm_pos", ArrayType(DoubleType)),
       StructField("confidence", DoubleType),
       StructField("id", LongType)))
-    val qn = "graft_pldata_drain_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
+    val qn = dropStaleDrain(s, "graft_pldata_drain")
     val q = s.readStream.format("pldata").option("topic", "gaze")
       .option("recursive", "true").schema(schema).load(root)
       .select(col("id"), col("timestamp"),
@@ -2600,11 +2609,23 @@ object Queries {
     * function of the planted half-period (5 distinct spectra), stated
     * by an INDEPENDENT naive O(w²) DFT in the oracle builder — an
     * FFT-vs-DFT cross-check — and `parseval_ok` is the engine-measured
-    * whole-spectrum energy law. */
+    * whole-spectrum energy law. One planted SILENT clip (media_id = −1)
+    * rides along so the degenerate contract (null dominant bin,
+    * two-sided-zero Parseval pass — r12 verdict #5) carries an oracle
+    * row, not just a spec. */
   def audioSpectral(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.AudioOps
+    val outSchema = graft.multimodal.MultimodalOps.mediaSchema
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    val silent = s.range(1).toDF("i").mapPartitions { it =>
+      it.map(_ => org.apache.spark.sql.Row(-1L,
+        AudioOps.encodeWavMono(AudioOps.FixtureRate, new Array[Int](512)),
+        org.apache.spark.sql.Row("audio/wav", 0, 0, 1)))
+    }
     AudioOps.spectralFeatures(
-      AudioOps.plantAudioMedia(Tables.documents(s, dir), "doc_id"))
+      AudioOps.plantAudioMedia(Tables.documents(s, dir), "doc_id")
+        .unionByName(silent))
   }
 
   /** Energy-threshold VAD segmentation over speech-shaped planted WAVs

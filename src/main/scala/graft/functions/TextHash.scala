@@ -155,6 +155,16 @@ object TextHash {
 
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+    // NULL text ⇒ EMPTY array, not null (ADVICE r12): the declarative
+    // chain this kernel replaces falls through `when(size(split(null)…))`
+    // to `otherwise(array())`, so bit-parity demands the same here
+    override def nullable: Boolean = false
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) new GenericArrayData(Array.empty[Any]) else nullSafeEval(v)
+    }
+
     override def checkInputDataTypes():
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       if (child.dataType == StringType)
@@ -204,6 +214,15 @@ object TextHash {
     require(k >= 1, s"gram_hash60_array needs k >= 1, got $k")
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    // NULL text ⇒ EMPTY array, not null (ADVICE r12) — the NgramArray
+    // rationale: parity with the `otherwise(array())` declarative chain
+    override def nullable: Boolean = false
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) new GenericArrayData(Array.empty[Long]) else nullSafeEval(v)
+    }
 
     override def checkInputDataTypes():
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

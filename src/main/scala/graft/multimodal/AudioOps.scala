@@ -394,7 +394,15 @@ object AudioOps {
     *  - `dominant_freq_hz` = bin · rate/window.
     *  - `parseval_ok`: |Σ|X|²/(w·Σx²) − 1| < 1e-9 — Parseval's theorem,
     *    an engine-measured law over the WHOLE spectrum: any butterfly,
-    *    twiddle, or indexing bug in the kernel breaks it. */
+    *    twiddle, or indexing bug in the kernel breaks it.
+    *
+    * SILENT-CLIP contract (r12 verdict "what's wrong" #1): an all-zero
+    * window has no spectrum to rank, so `dominant_bin`/`dominant_freq_hz`
+    * are NULL and `parseval_ok` asserts the two-sided-zero form of the
+    * law — the measured spectral energy must be EXACTLY 0.0 (a kernel
+    * bug that conjures energy from silence still fails it). The ratio
+    * form would be 0/0; reporting that NaN as a law violation mislabeled
+    * a correct FFT. */
   def spectralFeatures(media: DataFrame, window: Int = 512): DataFrame = {
     require(window > 0 && (window & (window - 1)) == 0,
       s"window must be a power of 2, got $window")
@@ -439,10 +447,14 @@ object AudioOps {
               }
               k += 1
             }
-            val ratio = specE / (window.toDouble * e2.toDouble)
-            Row(r.getLong(idIdx), dc, nyq, best,
-              best * (w.sampleRate.toDouble / window),
-              math.abs(ratio - 1.0) < 1e-9)
+            if (e2 == 0L) // silent clip: no spectrum to rank (see contract)
+              Row(r.getLong(idIdx), dc, nyq, null, null, specE == 0.0)
+            else {
+              val ratio = specE / (window.toDouble * e2.toDouble)
+              Row(r.getLong(idIdx), dc, nyq, best,
+                best * (w.sampleRate.toDouble / window),
+                math.abs(ratio - 1.0) < 1e-9)
+            }
           }
       }
     }

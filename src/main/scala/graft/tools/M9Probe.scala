@@ -35,8 +35,16 @@ object M9Probe {
     def drain(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    // one warm pass absorbs JIT/codegen (the bench-warmup discipline)
-    drain(graft.Queries.binocularPipeline(spark, "/root/testdata/sf0.001"))
+    // one warm pass absorbs JIT/codegen (the bench-warmup discipline);
+    // warm on the small sibling fixture when it exists, else the
+    // measured dir itself (ADVICE r12: a hardcoded path died on boxes
+    // without it, and silently warmed a different lineage than timed)
+    val warmDir = {
+      val small = new java.io.File(
+        new java.io.File(dir).getParentFile, "sf0.001")
+      if (small.isDirectory) small.getPath else dir
+    }
+    drain(graft.Queries.binocularPipeline(spark, warmDir))
 
     val (markers, p0, p1) = graft.Queries.m9bInputs(spark, dir)
     time("inputs") {

@@ -204,6 +204,21 @@ class AudioOpsSpec extends SparkSpec {
       mediaOf(10L, Array.fill(100)(5)), window = 512).count() == 0)
   }
 
+  test("spectralFeatures: silent clip has null dominant bin, zero-form Parseval") {
+    // r12 verdict #5: the degenerate contract — an all-zero window has
+    // no spectrum to rank, so the bin/freq are NULL rather than a
+    // meaningless argmax, and the law holds in its two-sided-zero form
+    // (measured spectral energy must be EXACTLY 0.0)
+    val out = AudioOps.spectralFeatures(
+      mediaOf(11L, new Array[Int](512)), window = 512).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 0L && r.getLong(2) == 0L, "dc/nyquist must be 0")
+    assert(r.isNullAt(3) && r.isNullAt(4),
+      "silent clip must not report a dominant bin/freq")
+    assert(r.getBoolean(5), "two-sided-zero Parseval must PASS, not NaN-fail")
+  }
+
   test("vadSegments: all-silent and all-voiced clips are the edge laws") {
     val silent = AudioOps.vadSegments(
       mediaOf(1L, Array.fill(8)(0)), win = 2, threshold = 1L)

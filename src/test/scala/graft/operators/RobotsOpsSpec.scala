@@ -246,4 +246,52 @@ class RobotsOpsSpec extends SparkSpec {
       ("b.com", "https://b.com/sm2.xml", Some("2025-12-31"), true)),
       s"got $out")
   }
+
+  test("sitemapUrls routes on the ROOT element, not substring presence") {
+    // r12 verdict #6: a urlset that merely MENTIONS '<sitemapindex' (in a
+    // comment or a loc) must still parse as a urlset; an index document
+    // behind a prologue (declaration + comment + doctype) still routes
+    // to the index arm
+    val trapUrlset =
+      """<?xml version="1.0"?>
+        |<!-- mirrors the <sitemapindex> at /idx.xml -->
+        |<urlset>
+        |<url><loc>https://a.com/see-sitemapindex-docs</loc></url>
+        |</urlset>""".stripMargin
+    val prologueIndex =
+      """  <?xml version="1.0" encoding="UTF-8"?>
+        |<!-- generated nightly --><!DOCTYPE sitemapindex>
+        |<sitemapindex>
+        |<sitemap><loc>https://b.com/sm1.xml</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    val out = RobotsOps.sitemapUrls(
+        Seq(("a.com", trapUrlset), ("b.com", prologueIndex))
+          .toDF("host", "xml"), "host", "xml")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(3)))
+      .toSet
+    assert(out == Set(
+      ("a.com", "https://a.com/see-sitemapindex-docs", false),
+      ("b.com", "https://b.com/sm1.xml", true)), s"got $out")
+  }
+
+  test("sitemapUrlsBin: gzip bodies inflate, plain bytes pass, corrupt drops") {
+    val urlset =
+      """<urlset><url><loc>https://g.com/p1</loc></url></urlset>"""
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close()
+      bos.toByteArray
+    }
+    val rows = Seq(
+      ("g.com", gz(urlset)),                        // .xml.gz body
+      ("p.com", urlset.getBytes("UTF-8")),          // plain .xml body
+      ("x.com", Array[Byte](0x1f, 0x8b.toByte, 9, 9, 9))) // corrupt gzip
+      .toDF("host", "body")
+    val out = RobotsOps.sitemapUrlsBin(rows, "host", "body")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(
+      ("g.com", "https://g.com/p1"),
+      ("p.com", "https://g.com/p1")), s"got $out")
+  }
 }

@@ -134,6 +134,33 @@ class TextVectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("ngram/gram kernels: NULL text yields an EMPTY array (declarative parity)") {
+    import graft.functions.TextHash
+    import graft.operators.TextOps
+    // ADVICE r12: the declarative chains fall through when(size(split(
+    // null))…) to otherwise(array()) — the kernels must match, not null
+    val df = Seq((0L, Some("a b c")), (1L, None))
+      .toDF("doc_id", "text")
+    val toks = split(trim(col("text")), " ")
+    for (k <- Seq(1, 2)) {
+      val declar = df.select(col("doc_id"),
+          when(size(toks) >= k,
+            transform(sequence(lit(1), size(toks) - (k - 1)), i =>
+              TextOps.hash60(concat_ws(" ", slice(toks, i, lit(k))))))
+            .otherwise(array().cast("array<long>")).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val native = df.select(col("doc_id"),
+          TextHash.gram_hash60_array(col("text"), k).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(native == declar, s"k=$k null-text parity broken")
+      assert(native(1L).isEmpty, "null text must give an EMPTY gram array")
+    }
+    val ng = df.select(col("doc_id"), TextHash.ngram_array(col("text"), 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(ng(1L).isEmpty && ng(0L) == Seq("a b", "b c"),
+      "null text must give an EMPTY ngram array")
+  }
+
   test("ngram_array: n < 1 fails at construction with a clear message") {
     import graft.functions.TextHash
     val e = intercept[IllegalArgumentException] {
