@@ -359,7 +359,7 @@ object PldataV2 {
       listFiles(options).map(f =>
         PldataPartition(f): InputPartition).toArray
     override def createReaderFactory(): PartitionReaderFactory =
-      PldataReaderFactory(required)
+      PldataReaderFactory(required, chaosOf(options))
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
       new PldataMicroBatchStream(required, options)
   }
@@ -433,18 +433,31 @@ object PldataV2 {
   private[sources] case class PldataPartition(file: String)
       extends InputPartition
 
-  private[sources] case class PldataReaderFactory(required: StructType)
+  /** TEST-ONLY: count of chaos-seam throws, so the retry specs can
+    * assert a failure was actually injected (same-JVM local mode). */
+  private[graft] val chaosInjected = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The dev-only `.option("chaosFailFirstAttemptAfter", n)` knob —
+    * absent/0 in production reads; see [[PldataPartitionReader.next]]. */
+  private def chaosOf(options: Map[String, String]): Int =
+    options.get("chaosfailfirstattemptafter")
+      .orElse(options.get("chaosFailFirstAttemptAfter")).map(_.toInt)
+      .getOrElse(0)
+
+  private[sources] case class PldataReaderFactory(required: StructType,
+                                                  chaosAfter: Int = 0)
       extends PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] =
       new PldataPartitionReader(
-        p.asInstanceOf[PldataPartition].file, required)
+        p.asInstanceOf[PldataPartition].file, required, chaosAfter)
   }
 
   /** Per-file reader: decode the msgpack stream, align the `.npy`
     * sidecar by position (opened ONLY when `timestamp` is projected),
     * convert just the required fields. */
   private[sources] class PldataPartitionReader(file: String,
-                                               required: StructType)
+                                               required: StructType,
+                                               chaosAfter: Int = 0)
       extends PartitionReader[InternalRow] {
     private val needTs = required.fieldNames.contains("timestamp")
     private val ts: Array[Double] =
@@ -465,7 +478,21 @@ object PldataV2 {
       CatalystTypeConverters.createToCatalystConverter(required)
     private var i = -1
 
-    override def next(): Boolean = { i += 1; i < recs.length }
+    override def next(): Boolean = {
+      // TEST-ONLY chaos seam (ChaosRetrySpec): a first-attempt task dies
+      // mid-read, and the retry must re-open the file and reproduce the
+      // same rows — the executor-loss event a 100 TB scan sees daily.
+      // Disabled (0) unless the scan was opened with the chaos option.
+      if (chaosAfter > 0 && i + 1 == chaosAfter) {
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null && tc.attemptNumber() == 0) {
+          PldataV2.chaosInjected.incrementAndGet()
+          throw new java.io.IOException(
+            "graft chaos: injected first-attempt read failure")
+        }
+      }
+      i += 1; i < recs.length
+    }
 
     override def get(): InternalRow = {
       val (topic, payload) = recs(i)

@@ -6,8 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all suites (one JVM, forked by sbt). */
 object TestSpark {
   lazy val spark: SparkSession = {
+    // local[4, 2]: maxFailures = 2, so the chaos specs (ChaosRetrySpec)
+    // can fail a task's first attempt and assert the retry reproduces
+    // bit-identical results — the dominant failure mode at cluster scale.
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
