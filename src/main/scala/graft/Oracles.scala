@@ -935,7 +935,8 @@ object Oracles {
     * the lower global cid — exactly VectorOps.hierProbeCids — feeding the
     * asymmetric rank + exact re-rank tail. */
   private def ivfPqHierSql: String = {
-    val m = 8; val subDim = 8; val k = 16; val rerank = 10
+    val m = 8; val subDim = 8; val k = 16
+    val rerank = graft.Queries.annIvfPqHierRerank
     val probeSupers = graft.Queries.annIvfPqHierProbeSupers
     val nprobe = graft.Queries.annIvfPqHierNprobe
     val pq = (0 until 10).map { i =>
@@ -1205,7 +1206,9 @@ object Oracles {
     * fold run in the same sequential order as the Spark kernels, so the
     * tie-breaks are bit-identical. */
   private def pqSql: String = {
-    val m = 8; val subDim = 8; val k = 16; val rerank = 10
+    val m = 8; val subDim = 8
+    val k = graft.Queries.annPqCodebookK
+    val rerank = graft.Queries.annPqRerank
     val iters = (0 until 10).map { i =>
       s"""a$i AS MATERIALIZED (SELECT vec_id, sub, sv, cid,
          |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rk
@@ -1633,7 +1636,8 @@ object Oracles {
     * exactly. Every fold runs in the same sequential order as the Spark
     * kernels, so ties break bit-identically. */
   private def ivfPqSql: String = {
-    val m = 8; val subDim = 8; val k = 16; val rerank = 10
+    val m = 8; val subDim = 8; val k = 16
+    val rerank = graft.Queries.annIvfPqRerank
     val nc = graft.Queries.annIvfPqCells
     val nprobe = graft.Queries.annIvfPqNprobe
     val coarse = (0 until 10).map { i =>

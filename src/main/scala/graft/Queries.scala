@@ -1644,23 +1644,48 @@ object Queries {
       .select(col("q_id"), col("rank"), col("n_id"),
         (round(col("sim"), 6) + 0.0).as("sim"))
 
-  /** ANN via product quantization: 8 subspaces × 16 centroids (driver-
-    * trained per-subspace Lloyd, deterministic sample) compress each
-    * 64-dim vector to 8 one-byte codes — a 32× scan-size reduction at
-    * corpus scale; candidates ranked by the asymmetric (query ×
-    * reconstructed) similarity, top-10 re-scored exactly, k=3. */
+  /** Codebook width / rerank depth for the flat-PQ query, shared with
+    * the oracle builder — the r13 MEASURED operating point (docs/
+    * SCALE.md sweep). The r12 audit measured recall@3 = 0.533 at the
+    * old 8×16/rerank-10 point; the sweep showed the binding constraint
+    * is ADC RESOLUTION (16 centroids/subspace blur this corpus' cluster
+    * structure into score ties), so the fix is 64 centroids/subspace
+    * (codes stay 8 bytes; compression 32× vs float32 unchanged) plus
+    * rerank 400: measured 1.000 at sf0.01 AND sf0.1 (200 leaves sf0.1
+    * at 0.900 — the tie-heavy tail needs the deeper cut). 400 exact
+    * re-scores per query is still noise next to the O(N) ADC scan flat
+    * PQ runs by definition; its scale path past ~10⁷ rows remains IVF
+    * composition ([[annIvfPqTopk]] — higher recall at a fraction of the
+    * scan), which the pqTopK scan warning already points at. */
+  val annPqCodebookK: Int = 64
+  val annPqRerank: Int = 400
+
+  /** ANN via product quantization: 8 subspaces × [[annPqCodebookK]]
+    * centroids (driver-trained per-subspace Lloyd, deterministic sample)
+    * compress each 64-dim vector to 8 one-byte codes — a 32× scan-size
+    * reduction at corpus scale; candidates ranked by the asymmetric
+    * (query × reconstructed) similarity, top [[annPqRerank]] re-scored
+    * exactly, k=3. */
   def annPqTopk(s: SparkSession, dir: String): DataFrame =
     VectorOps.pqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        col("v_id") < 10, k = 3)
+        col("v_id") < 10, k = 3, codebookK = annPqCodebookK,
+        rerank = annPqRerank)
       .select(col("q_id"), col("rank"), col("n_id"),
         (round(col("sim"), 6) + 0.0).as("sim"))
 
-  /** Cell count / probe width for the IVF-PQ query, shared with the
-    * oracle builder. 256 cells (same ceiling-break as [[semDedupCells]])
-    * probed 16-wide — the same 6% probe ratio a 10⁴-cell production
-    * index would run. */
+  /** Cell count / probe width / rerank depth for the IVF-PQ query,
+    * shared with the oracle builder. 256 cells (same ceiling-break as
+    * [[semDedupCells]]). nprobe/rerank are the r13 MEASURED operating
+    * point (docs/SCALE.md recall-vs-cost sweep): the r12 audit measured
+    * recall@3 = 0.767 at the old (16, 10) point; (32, 100) measures
+    * 1.000 at sf0.01 and 0.967 at sf0.1 — the knee of the curve, the
+    * first configuration clearing the ≥ 0.9 serving bar on both
+    * corpora. At a production 10⁴-cell index the same nprobe is a 0.3%
+    * probe ratio, and rerank = 100 exact re-scores per query is noise
+    * next to the probed-cell ADC scan. */
   val annIvfPqCells: Int = 256
-  val annIvfPqNprobe: Int = 16
+  val annIvfPqNprobe: Int = 32
+  val annIvfPqRerank: Int = 100
 
   /** ANN via IVF-PQ (coarse cells + residual product quantization, the
     * billion-scale composition): candidates ranked by the asymmetric
@@ -1693,7 +1718,8 @@ object Queries {
       operators.AnnIndexIO.buildAuto(emb, "vec_id", "embedding", idxPath,
         nCells = annIvfPqCells)
     operators.AnnIndexIO.searchAuto(s, idxPath, emb, "vec_id", "embedding",
-        col("v_id") < 10, k = 3, nprobe = annIvfPqNprobe)
+        col("v_id") < 10, k = 3, nprobe = annIvfPqNprobe,
+        rerank = annIvfPqRerank)
       .select(col("q_id"), col("rank"), col("n_id"),
         (round(col("sim"), 6) + 0.0).as("sim"))
   }
@@ -1815,11 +1841,19 @@ object Queries {
     * (each fitted child has ≥1 sample member), so small-sf runs fit
     * fewer effective cells; the plan shape and the per-row cost are what
     * the arity exercises, and the 10×-corpus standing oracle
-    * (docs/SCALE.md) attests it where cells actually fill. */
+    * (docs/SCALE.md) attests it where cells actually fill.
+    *
+    * probeSupers/nprobe/rerank are the r13 MEASURED operating point
+    * (docs/SCALE.md sweep): the old 4-super/16-cell/rerank-10 probe
+    * measured recall@3 = 0.767 at sf0.01; (12, 64, 100) measures 0.967
+    * at BOTH sf0.01 and sf0.1 — the curve's plateau (wider probes buy
+    * nothing more on either corpus). At the nominal 10⁴-cell arity the
+    * probe still touches only 64 cells = 0.64% of the corpus. */
   val annIvfPqHierK1: Int = 100
   val annIvfPqHierK2: Int = 100
-  val annIvfPqHierProbeSupers: Int = 4
-  val annIvfPqHierNprobe: Int = 16
+  val annIvfPqHierProbeSupers: Int = 12
+  val annIvfPqHierNprobe: Int = 64
+  val annIvfPqHierRerank: Int = 100
 
   /** ANN via the TWO-LEVEL IVF-PQ ([[operators.VectorOps.ivfPqHierTopK]]):
     * hier coarse quantizer + residual PQ + joint child ranking across the
@@ -1849,6 +1883,7 @@ object Queries {
         nCells = nCells)
     operators.AnnIndexIO.searchAuto(s, idxPath, emb, "vec_id", "embedding",
         col("v_id") < 10, k = 3, nprobe = annIvfPqHierNprobe,
+        rerank = annIvfPqHierRerank,
         probeSupers = annIvfPqHierProbeSupers)
       .select(col("q_id"), col("rank"), col("n_id"),
         (round(col("sim"), 6) + 0.0).as("sim"))
@@ -1880,23 +1915,68 @@ object Queries {
     val truthPl = VectorOps.bruteTopK(planted.filter(col("vec_id") < 10),
         planted, "vec_id", "pv", annRecallK)
       .select(col("q_id"), col("n_id"))
-    def row(tier: String, approx: DataFrame, truth: DataFrame): DataFrame = {
-      val hits = approx.select(col("q_id"), col("n_id"))
-        .join(truth, Seq("q_id", "n_id"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-      val denom = truth.agg(
-        countDistinct(col("q_id")).as("n_queries"),
-        count(lit(1)).as("n_truth"))
-      hits.crossJoin(denom).select(
-        lit(tier).as("tier"), col("n_queries"), lit(annRecallK).as("k"),
-        col("hits"),
-        (round(col("hits").cast("double") / col("n_truth"), 6) + 0.0)
-          .as("recall"))
-    }
-    row("pq", annPqTopk(s, dir), truthEmb)
-      .unionByName(row("ivf_pq", annIvfPqTopk(s, dir), truthEmb))
-      .unionByName(row("ivf_pq_hier", annIvfPqHierTopk(s, dir), truthEmb))
-      .unionByName(row("opq_ivf", annOpqIvfTopk(s, dir), truthPl))
+    recallRow("pq", annPqTopk(s, dir), truthEmb)
+      .unionByName(recallRow("ivf_pq", annIvfPqTopk(s, dir), truthEmb))
+      .unionByName(recallRow("ivf_pq_hier", annIvfPqHierTopk(s, dir), truthEmb))
+      .unionByName(recallRow("opq_ivf", annOpqIvfTopk(s, dir), truthPl))
+  }
+
+  /** One audit row: recall@[[annRecallK]] of `approx` against `truth`
+    * (both (q_id, n_id) sets). Shared by [[annRecallAudit]] and
+    * [[annOpqRealRecall]]. */
+  private def recallRow(tier: String, approx: DataFrame,
+                        truth: DataFrame): DataFrame = {
+    val hits = approx.select(col("q_id"), col("n_id"))
+      .join(truth, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val denom = truth.agg(
+      countDistinct(col("q_id")).as("n_queries"),
+      count(lit(1)).as("n_truth"))
+    hits.crossJoin(denom).select(
+      lit(tier).as("tier"), col("n_queries"), lit(annRecallK).as("k"),
+      col("hits"),
+      (round(col("hits").cast("double") / col("n_truth"), 6) + 0.0)
+        .as("recall"))
+  }
+
+  /** Cells / probe width / rerank for the REAL-corpus learned-OPQ tier —
+    * the r13 measured operating point (docs/SCALE.md sweep): recall@3 =
+    * 1.000 at both sf0.01 and sf0.1. Same arity as the flat IVF-PQ tier
+    * so the two numbers are directly comparable (what the rotation buys
+    * at equal probe cost). */
+  val annOpqRealCells: Int = 256
+  val annOpqRealNprobe: Int = 32
+  val annOpqRealRerank: Int = 100
+
+  /** Measured recall@k of the LEARNED-rotation OPQ×IVF tier on the REAL
+    * embedding table (r12 verdict #4) — the missing fifth number next to
+    * [[annRecallAudit]]'s four. One row, same shape as the audit rows.
+    *
+    * ROWS-ONLY by necessity, not omission: the OPQ rotation fit is an
+    * alternating Procrustes SVD (Breeze, driver-side) — the one stage in
+    * the ANN family DuckDB cannot replay (the planted `opq_ivf` audit
+    * row exists precisely because of this; reference: ann_opq_ivf_topk's
+    * oracle note). The measured value is attested three ways instead:
+    * the AnnIndexSpec recall floor on a NON-planted deterministic
+    * corpus, the docs/SCALE.md sweep table (sf0.01 and sf0.1), and the
+    * 10× standing run (tools/ann_recall_check.py tier split). */
+  def annOpqRealRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val truth = CacheRegistry.persistTracked(
+      VectorOps.bruteTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", annRecallK)
+        .select(col("q_id"), col("n_id")))
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|opq_real|nCells=$annOpqRealCells".getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val idxPath = s"${Queries.privateIndexBase}/graft_ann_opqreal_$tag"
+    if (!new java.io.File(s"$idxPath/index").exists())
+      operators.AnnIndexIO.buildOpqIvf(emb, "vec_id", "embedding", idxPath,
+        nCells = annOpqRealCells)
+    val approx = operators.AnnIndexIO.searchOpqIvf(s, idxPath, emb,
+      "vec_id", "embedding", col("v_id") < 10, k = annRecallK,
+      nprobe = annOpqRealNprobe, rerank = annOpqRealRerank)
+    recallRow("opq_ivf_real", approx, truth)
   }
 
   /** Shared with the oracle builder so the threshold can't drift. */

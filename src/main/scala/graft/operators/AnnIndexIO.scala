@@ -124,7 +124,7 @@ object AnnIndexIO {
     * refit and the corpus re-encode. */
   def search(spark: SparkSession, path: String, corpus: DataFrame,
              idCol: String, vecCol: String, queryPred: Column, k: Int,
-             nprobe: Int = 4, rerank: Int = 10): DataFrame = {
+             nprobe: Int = 4, rerank: Int = 100): DataFrame = {
     val (model, index) = load(spark, path)
     VectorOps.ivfPqSearch(model, index, corpus, idCol, vecCol, queryPred,
       k, nprobe, rerank)
@@ -243,7 +243,7 @@ object AnnIndexIO {
   def searchHier(spark: SparkSession, path: String, corpus: DataFrame,
                  idCol: String, vecCol: String, queryPred: Column, k: Int,
                  probeSupers: Int = 4, nprobe: Int = 16,
-                 rerank: Int = 10): DataFrame = {
+                 rerank: Int = 100): DataFrame = {
     val model = hierModelFromDF(spark.read.parquet(s"$path/quantizer"))
     val v = graft.CacheRegistry.persistTracked(
       VectorOps.normalized(corpus, idCol, vecCol)
@@ -320,7 +320,7 @@ object AnnIndexIO {
     * ran. */
   def searchOpq(spark: SparkSession, path: String, corpus: DataFrame,
                 idCol: String, vecCol: String, queryPred: Column, k: Int,
-                rerank: Int = 10): DataFrame = {
+                rerank: Int = 100): DataFrame = {
     val (rot, books) = opqModelFromDF(spark.read.parquet(s"$path/quantizer"))
     val v = graft.CacheRegistry.persistTracked(
       VectorOps.normalized(corpus, idCol, vecCol)
@@ -391,7 +391,7 @@ object AnnIndexIO {
     * plan-audited). */
   def searchOpqIvf(spark: SparkSession, path: String, corpus: DataFrame,
                    idCol: String, vecCol: String, queryPred: Column, k: Int,
-                   nprobe: Int = 4, rerank: Int = 10): DataFrame = {
+                   nprobe: Int = 4, rerank: Int = 100): DataFrame = {
     val (rot, model) = opqIvfModelFromDF(
       spark.read.parquet(s"$path/quantizer"))
     val v = graft.CacheRegistry.persistTracked(
@@ -518,7 +518,7 @@ object AnnIndexIO {
     * quantizer table. */
   def searchAuto(spark: SparkSession, path: String, corpus: DataFrame,
                  idCol: String, vecCol: String, queryPred: Column, k: Int,
-                 nprobe: Int = 4, rerank: Int = 10,
+                 nprobe: Int = 4, rerank: Int = 100,
                  probeSupers: Int = 4): DataFrame = {
     val qdf = spark.read.parquet(s"$path/quantizer")
     val isHier = readKind(spark, path) match {

@@ -293,7 +293,7 @@ object VectorOps {
     * exceeds `flatScanWarnRows`. */
   def pqTopK(vecs: DataFrame, idCol: String, vecCol: String,
              queryPred: Column, k: Int, m: Int = 8, codebookK: Int = 16,
-             rerank: Int = 10, sampleN: Int = 10000,
+             rerank: Int = 100, sampleN: Int = 10000,
              flatScanWarnRows: Long = 10000000L): DataFrame = {
     val spark = vecs.sparkSession
     vecs.queryExecution.optimizedPlan.stats.rowCount.foreach { n =>
@@ -456,7 +456,7 @@ object VectorOps {
     * to [[pqTopK]] (spec-pinned). */
   def opqTopK(vecs: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, m: Int = 8, codebookK: Int = 16,
-              rerank: Int = 10, sampleN: Int = 10000,
+              rerank: Int = 100, sampleN: Int = 10000,
               altIters: Int = 5): DataFrame = {
     val spark = vecs.sparkSession
     val v0 = normalized(vecs, idCol, vecCol)
@@ -738,7 +738,7 @@ object VectorOps {
     * and re-rank joins are equi-joins (plan-audited: zero nested-loop). */
   def ivfPqSearch(model: IvfPqModel, index: DataFrame, corpus: DataFrame,
                   idCol: String, vecCol: String, queryPred: Column, k: Int,
-                  nprobe: Int = 4, rerank: Int = 10): DataFrame =
+                  nprobe: Int = 4, rerank: Int = 100): DataFrame =
     // persisted (tracked): the normalized corpus feeds the probe side and
     // the exact re-rank — two consumers of the same normalize lineage
     ivfPqSearchNormalized(model, index,
@@ -788,7 +788,7 @@ object VectorOps {
     * no per-call refit/re-encode. */
   def ivfPqTopK(vecs: DataFrame, idCol: String, vecCol: String,
                 queryPred: Column, k: Int, nCells: Int = 16, nprobe: Int = 4,
-                m: Int = 8, codebookK: Int = 16, rerank: Int = 10,
+                m: Int = 8, codebookK: Int = 16, rerank: Int = 100,
                 sampleN: Int = 10000): DataFrame = {
     // ONE normalize lineage, persisted, shared by all three stages —
     // train sample, corpus encode, and probe/re-rank all read `v`
@@ -1030,7 +1030,7 @@ object VectorOps {
   def ivfPqHierTopK(vecs: DataFrame, idCol: String, vecCol: String,
                     queryPred: Column, k: Int, k1: Int = 16, k2: Int = 16,
                     probeSupers: Int = 4, nprobe: Int = 16, m: Int = 8,
-                    codebookK: Int = 16, rerank: Int = 10,
+                    codebookK: Int = 16, rerank: Int = 100,
                     sampleN: Int = 10000): DataFrame = {
     val v = graft.CacheRegistry.persistTracked(
       normalized(vecs, idCol, vecCol).select(col(idCol).as("v_id"), col("vn")))

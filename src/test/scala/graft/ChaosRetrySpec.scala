@@ -125,6 +125,39 @@ class ChaosRetrySpec extends SparkSpec {
       "CDC chunking diverged after a task retry")
   }
 
+  test("pldata V2 sink: writer task death → abort cleans, retry commits once") {
+    // the WRITE side of the retry story: the task dies after the
+    // DataWriter has already streamed real records into its temp dir;
+    // abort() must clean that attempt and the retry's commit must
+    // produce exactly the undisturbed shard set (no dup rows, no
+    // leftover _tmp- attempt dirs — the 100 TB sink invariant)
+    val dir = java.nio.file.Files.createTempDirectory("pldata_chaos_w").toString
+    val rows = (0 until 40).map(i => (
+        100.0 + i, Seq(i / 10.0, i / 20.0), 0.5 + i / 100.0, i.toLong))
+      .toDF("timestamp", "norm_pos", "confidence", "id")
+      .repartition(2)
+    val c0 = ChaosRetrySpec.injected.get()
+    chaos(rows, failAfter = 7).write.format("pldata")
+      .option("topic", "gaze").mode("append").save(dir)
+    assertChaosHappened(c0)
+    val got = spark.read.format("pldata").option("topic", "gaze")
+      .option("recursive", "true")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("timestamp",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+      .load(dir)
+      .select("id", "timestamp").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(got == (0 until 40).map(i => (i.toLong, 100.0 + i)),
+      "retried write lost or duplicated rows")
+    val leftovers = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_tmp-"))
+    assert(leftovers.isEmpty,
+      s"aborted attempt left temp dirs: ${leftovers.map(_.getName).toSeq}")
+  }
+
   test("pldata DSv2 reader: mid-read task death, retry re-opens the file") {
     val dir = java.nio.file.Files.createTempDirectory("pldata_chaos").toString
     val rows = (0 until 40).map(i => (

@@ -13,6 +13,10 @@ object RestartRecoverySpec {
     * downstream contract foreachBatch consumers carry anyway. */
   val drained: mutable.Map[Long, Seq[(Long, Long, Double)]] =
     mutable.Map.empty
+  /** Generic row drain for the pack/binocular restart tests, keyed
+    * (test, batchId). */
+  val drainedRows: mutable.Map[(String, Long), Seq[String]] =
+    mutable.Map.empty
 }
 
 /** Restart-recovery parity for the stateful streaming twins (r12 verdict
@@ -120,5 +124,138 @@ class RestartRecoverySpec extends SparkSpec {
     // doc 1's bucket membership survived the state-store round-trip
     assert(streamed.exists(p => (p._1, p._2) == ((1L, 4L))),
       "cross-restart pair missing: bucket state did not recover")
+  }
+
+  /** foreachBatch sink into [[RestartRecoverySpec.drainedRows]] under
+    * `test` (rows stringified — schema-agnostic). */
+  private def rowSink[T](test: String)(
+      batch: org.apache.spark.sql.Dataset[T], batchId: Long): Unit =
+    RestartRecoverySpec.drainedRows.synchronized {
+      RestartRecoverySpec.drainedRows((test, batchId)) =
+        batch.toDF().collect().map(_.toString).toSeq
+    }
+
+  private def drainedOf(test: String): Seq[String] =
+    RestartRecoverySpec.drainedRows.synchronized {
+      RestartRecoverySpec.drainedRows.collect {
+        case ((t, _), rows) if t == test => rows
+      }.flatten.toSeq
+    }
+
+  test("pack shard offsets recover: chunks after restart continue mid-shard") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0 until 40).map { i =>
+      PackDoc(i.toLong, ("word" + i + " ") * (5 + (i * 7) % 23))
+    }
+    val cp = tmp()
+    val input = MemoryStream[PackDoc]
+    def start() = PackStream.packChunksStream(input.toDF(), "doc_id", "text",
+        contextTokens = 64, numShards = 4)
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) => rowSink("pack")(b, id) }
+      .outputMode("append").start()
+
+    val q1 = start()
+    input.addData(docs.take(20))
+    q1.processAllAvailable()
+    q1.stop() // each shard's running token offset lives in the state store
+    val q2 = start()
+    input.addData(docs.drop(20))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val want = graft.operators.SampleOps.packChunks(docs.toDF(), "doc_id",
+        "text", contextTokens = 64, numShards = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val got = drainedOf("pack").sorted
+    assert(got == want,
+      "restarted packing diverged from batch: shard offsets did not recover")
+  }
+
+  test("binocular FSM queues recover: a pair split across the restart merges") {
+    implicit val sqlCtx = spark.sqlContext
+    import BinocularMerge.{Pupil, mergeStream, runSeries}
+    // the planted m9 schedule: one eye0+eye1 pair per event; splitting
+    // at an ODD index leaves event 15's eye0 alone in the FSM queue at
+    // stop time — its binocular pair exists only if that queue survives
+    val ps = (0 until 30).flatMap { i =>
+      Seq(Pupil("cal", i + 0.002, 0, 0.1 * i, 0.2, 0.95),
+          Pupil("cal", i + 0.004, 1, 0.3, 0.1 * i, 0.95))
+    }
+    val cp = tmp()
+    val input = MemoryStream[Pupil]
+    def start() = mergeStream(input.toDS(), reorder = false)
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[BinocularMerge.Gaze],
+                       id: Long) => rowSink("bino")(b, id) }
+      .outputMode("append").start()
+
+    val q1 = start()
+    input.addData(ps.take(31))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    input.addData(ps.drop(31))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = drainedOf("bino").sorted
+    val wantRows = runSeriesRows(ps).sorted
+    assert(got == wantRows,
+      "restarted binocular merge diverged: FSM queue state did not recover")
+    assert(runSeries(ps).count(_.binocular) == 30,
+      "fixture lost its binocular schedule")
+  }
+
+  /** The batch-FSM truth, stringified through the SAME Dataset encoder
+    * the drained rows came through. */
+  private def runSeriesRows(ps: Seq[BinocularMerge.Pupil]): Seq[String] = {
+    import spark.implicits._
+    BinocularMerge.runSeries(ps).toDS().toDF().collect()
+      .map(_.toString).toSeq
+  }
+
+  test("pldata tail source recovers offsets: files landed while down " +
+       "arrive once, ingested files are never re-read") {
+    import org.apache.spark.sql.types._
+    val root = tmp(); val cp = tmp()
+    def writeSession(dir: String, ids: Range): Unit = {
+      val rows = ids.map(i => (
+          "gaze", 100.0 + i, Seq(i / 10.0, i / 20.0), 0.5 + i / 100.0,
+          i.toLong))
+        .toDF("topic", "timestamp", "norm_pos", "confidence", "id")
+      graft.sources.PldataSource.write(rows, dir, "gaze")
+    }
+    val schema = StructType(Seq(
+      StructField("timestamp", DoubleType),
+      StructField("norm_pos", ArrayType(DoubleType)),
+      StructField("confidence", DoubleType),
+      StructField("id", LongType)))
+    def start() = spark.readStream.format("pldata").option("topic", "gaze")
+      .option("recursive", "true").schema(schema).load(root)
+      .select("id", "timestamp")
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) => rowSink("pldata")(b, id) }
+      .outputMode("append").start()
+
+    writeSession(s"$root/s1", 0 until 10)
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    // two sessions land WHILE THE QUERY IS DOWN — the restart must pick
+    // up exactly these from the recovered file-list offset
+    writeSession(s"$root/s2", 100 until 115)
+    writeSession(s"$root/s3", 200 until 208)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = drainedOf("pldata")
+    val want = ((0 until 10) ++ (100 until 115) ++ (200 until 208))
+      .map(i => s"[${i.toLong},${100.0 + i}]")
+    assert(got.sorted == want.sorted,
+      s"tail restart re-read or dropped rows: ${got.sorted}")
   }
 }

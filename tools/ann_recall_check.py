@@ -92,6 +92,22 @@ def main():
             print("FAIL " + line); ok = False
         else:
             print("ok   " + line)
+
+    # opq_ivf_real (r13): the learned rotation is not SQL-replayable, so
+    # the 10x standing is the ENGINE-measured recall against the
+    # engine's own brute truth (bruteTopK is hash-proven at sf via
+    # sim_brute_topk) holding the >= 0.9 operating floor at scale.
+    real = glob.glob(os.path.join(out_dir, "ann_opq_real_recall",
+                                  "*.parquet"))
+    if real:
+        row = duckdb.sql(f"SELECT tier, n_queries, k, hits, recall "
+                         f"FROM read_parquet({real!r})").fetchall()[0]
+        line = f"{'opq_ivf_real':12} spark-measured={row}"
+        if row[4] >= 0.9:
+            print("ok   " + line)
+        else:
+            print("FAIL " + line + " (below the 0.9 operating floor)")
+            ok = False
     print("== PASS" if ok else "== FAIL")
     sys.exit(0 if ok else 1)
 
