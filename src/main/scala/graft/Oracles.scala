@@ -438,6 +438,29 @@ object Oracles {
        |    AS est_jaccard
        |FROM pairs WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i]))::DOUBLE / 16 >= 0.25""".stripMargin
 
+  /** Incremental snapshot dedup: the full-corpus band CTEs (union-capped
+    * buckets — the engine caps on old ∪ new membership too), restricted
+    * to pairs with a new-batch side: new×old every collision, new×new
+    * ordered — the operator's "incremental ≡ from-scratch, restricted"
+    * semantics pin, stated directly in SQL. */
+  private def dedupIncrementalSql: String =
+    s"""WITH $minhashBandCtes,
+       |n AS (SELECT CAST(doc_id AS BIGINT) AS doc FROM documents
+       |  WHERE CAST(substr(source, 4, 10) AS INT) >= 15),
+       |pairs AS (SELECT DISTINCT a.doc AS doc_new, b.doc AS doc_match,
+       |    b.doc IN (SELECT doc FROM n) AS match_is_new,
+       |    a.sig AS sa, b.sig AS sb
+       |  FROM band a JOIN band b ON a.band_id = b.band_id
+       |    AND a.band_hash = b.band_hash
+       |  WHERE a.doc IN (SELECT doc FROM n)
+       |    AND (b.doc NOT IN (SELECT doc FROM n) OR a.doc < b.doc))
+       |SELECT doc_new, doc_match, match_is_new,
+       |  len(list_filter(range(1, 17), i -> sa[i] = sb[i]))::DOUBLE / 16
+       |    AS est_jaccard
+       |FROM pairs
+       |WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i]))::DOUBLE / 16
+       |  >= 0.25""".stripMargin
+
   /** Gated n-gram Jaccard: MinHash band candidates → exact set Jaccard via
     * list_intersect — mirrors TextOps.ngramJaccardPairsGated. */
   private def ngramGatedSql: String =
@@ -1809,6 +1832,7 @@ object Oracles {
         |  16.0e0 AS ev1, 4.0e0 AS ev2 FROM s""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashSql,
+    "dedup_incremental" -> dedupIncrementalSql,
 
     // cross-source matrix: the minhash pair chain joined to the source
     // dim on both sides, unordered (least/greatest) source-pair rollup
@@ -2604,6 +2628,39 @@ object Oracles {
         |  'response' AS warc_type, uri,
         |  octet_length(encode(payload))::BIGINT AS content_length, payload
         |FROM p""".stripMargin,
+
+    // HTML extraction: PLANTED closed-form oracle — the engine renders
+    // each document into a full page (script/style/comment traps, nav +
+    // link-only + link-heavy-footer boilerplate, the entity paragraph)
+    // and extracts it back; the oracle states the expected title / text
+    // / block counts directly, so the hash attests every contract
+    // clause (removal ordering, block split, strip-then-decode,
+    // ws-normalize, link-density rule) end to end
+    "web_html_extract" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents)
+        |SELECT id AS doc,
+        |  'Doc & Title ' || id::VARCHAR AS title,
+        |  'Heading ' || (id % 10)::VARCHAR || chr(10)
+        |    || trim(regexp_replace(text, '\s+', ' ', 'g')) || chr(10)
+        |    || 'Entities <b> "q" ''s'' & tail ' || id::VARCHAR AS text,
+        |  3::BIGINT AS n_blocks, 3::BIGINT AS n_dropped
+        |FROM d""".stripMargin,
+
+    // WET chain: the same planted pages through Content-Length-framed
+    // WARC records first — archive → payload → text must be a content
+    // identity, so the extraction columns share the closed form above
+    "web_wet_extract" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents)
+        |SELECT id % 50 AS group_id,
+        |  row_number() OVER (PARTITION BY id % 50 ORDER BY id) - 1
+        |    AS record_idx,
+        |  'http://ex' || (id % 7)::VARCHAR || '.com/' || id::VARCHAR AS uri,
+        |  'Doc & Title ' || id::VARCHAR AS title,
+        |  'Heading ' || (id % 10)::VARCHAR || chr(10)
+        |    || trim(regexp_replace(text, '\s+', ' ', 'g')) || chr(10)
+        |    || 'Entities <b> "q" ''s'' & tail ' || id::VARCHAR AS text,
+        |  3::BIGINT AS n_blocks, 3::BIGINT AS n_dropped
+        |FROM d""".stripMargin,
 
     // heavy-hitter bigrams: the engine's count-min prefilter cannot
     // change the result (overestimate-only + exact verify pass), so the

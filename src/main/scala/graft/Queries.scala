@@ -892,6 +892,92 @@ object Queries {
         col("rec.payload").as("payload"))
   }
 
+  /** The planted HTML page for the [[webHtmlExtract]]/[[webWetExtract]]
+    * oracles — one full page per document, every extraction-contract
+    * clause made load-bearing:
+    *  - a `<script>` whose string literal embeds `</p><div>…</div>` —
+    *    a tag-stripper that does not remove scripts FIRST shreds the
+    *    block structure and leaks "trap" into the text;
+    *  - a `<style>` block and an HTML comment wrapping a fake `<p>` —
+    *    both must vanish;
+    *  - a `<title>` with an entity and padding whitespace;
+    *  - a nav bar, a link-only paragraph, and a link-heavy footer with
+    *    REAL non-anchor text ("Copyright", density 25/35) — all three
+    *    must drop under the 0.5 link-density rule, each exercising a
+    *    different density regime;
+    *  - an entity paragraph covering the whole decoded set (named +
+    *    numeric quotes + `&nbsp;` collapse), whose decoded `<b>` must
+    *    survive as TEXT (decode-after-strip ordering);
+    *  - the document text as the main content paragraph.
+    * Expected extraction (the closed-form oracle): title
+    * `Doc & Title {id}`, text = heading + text + entity line, 3 blocks
+    * kept, 3 dropped. */
+  private def plantedHtml(id: Column, text: Column): Column = concat(
+    lit("<html><head><title> Doc &amp; Title "), id.cast("string"),
+    lit(" </title>\n<style type=\"text/css\"> .menu{color:#fff} </style>\n" +
+      "<script type=\"text/javascript\">var s=\"</p><div>trap</div>\";" +
+      "</script>\n</head>\n<body>\n" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+      "<a href=\"/more\">More pages here</a></nav>\n<h1>Heading "),
+    (id % 10).cast("string"),
+    lit("</h1>\n<div class=\"content\"><p>"), text,
+    lit("</p>\n<p>Entities &lt;b&gt; &quot;q&quot; &#39;s&#39; " +
+      "&nbsp;&amp; tail "),
+    id.cast("string"),
+    lit("</p></div>\n<!-- <p>comment trap</p> -->\n" +
+      "<p><a href=\"/x\">link only block</a></p>\n" +
+      "<footer>Copyright <a href=\"/tos\">Terms</a> " +
+      "<a href=\"/priv\">Privacy</a> <a href=\"/c\">Contact</a> " +
+      "<a href=\"/d\">D</a> <a href=\"/e\">E</a></footer>\n</body></html>"))
+
+  /** HTML → text extraction ([[operators.HtmlOps.htmlExtract]]): every
+    * document rendered into the planted full-page HTML and extracted
+    * back. The oracle states the expected title/text/counts in CLOSED
+    * FORM from the documents table (the `web_warc_parse` technique), so
+    * the hash attests the whole contract — script/comment removal
+    * ordering, block segmentation, strip-then-decode, whitespace
+    * normalization, and the link-density boilerplate rule — end to end;
+    * any deviation on any clause shifts the text of every row. */
+  def webHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val pages = Tables.documents(s, dir).select(
+      col("doc_id").cast("long").as("doc"),
+      plantedHtml(col("doc_id").cast("long"), col("text")).as("html"))
+    operators.HtmlOps.htmlExtract(pages, "html")
+  }
+
+  /** COMPOSED WET chain — the Common Crawl derived-text path on one
+    * plan: the planted HTML pages packed as Content-Length-framed WARC
+    * response records ([[webWarcParse]]'s blob builder, html payloads),
+    * parsed back ([[functions.WarcParse.warc_records]]), then text-
+    * extracted ([[operators.HtmlOps.htmlExtract]]) into WET-style rows
+    * `(group_id, record_idx, uri, title, text, n_blocks, n_dropped)`.
+    * The payloads embed multi-line HTML with CRLF-free `\n` newlines
+    * AND the entity paragraph, so Content-Length framing must deliver
+    * the page byte-exactly for the extraction hash to survive — the
+    * archive→payload→text identity, attested by one closed-form
+    * oracle. */
+  def webWetExtract(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("long")
+    val payload = plantedHtml(id, col("text"))
+    val uri = concat(lit("http://ex"), (id % 7).cast("string"),
+      lit(".com/"), id.cast("string"))
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), uri,
+      lit("\r\nContent-Length: "), octet_length(payload).cast("string"),
+      lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+    val blobs = Tables.documents(s, dir)
+      .select((id % 50).as("group_id"), struct(id.as("i"), rec.as("r")).as("_s"))
+      .groupBy("group_id")
+      .agg(array_join(transform(array_sort(collect_list(col("_s"))),
+        s0 => s0.getField("r")), "").as("_blob"))
+    val recs = blobs.select(col("group_id"),
+        posexplode(graft.functions.WarcParse.warc_records(col("_blob")))
+          .as(Seq("record_idx", "rec")))
+      .select(col("group_id"), col("record_idx").cast("long").as("record_idx"),
+        col("rec.uri").as("uri"), col("rec.payload").as("html"))
+    operators.HtmlOps.htmlExtract(recs, "html")
+  }
+
   /** Heavy-hitter bigrams ([[operators.TextOps.frequentNgrams]], the
     * count-min sketch-prefilter two-pass): exact corpus-wide bigram
     * counts at `minCount` 35 — 189 of 916 distinct bigrams at sf0.01,
@@ -2050,6 +2136,32 @@ object Queries {
     * costs one corpus scan, not one per consumer. Pair values are
     * bit-identical to the inline lineage (Parquet round-trips the
     * long/array columns exactly), so the hash oracle is unchanged. */
+  /** INCREMENTAL snapshot dedup ([[operators.LshIndexIO.probe]]): the
+    * corpus is split into an EXISTING snapshot (sources src0-src14,
+    * built + persisted as the LSH band index) and a NEW batch
+    * (src15-src19, 25% of docs); the batch is probed against the index
+    * artifact — every candidate pair touching the new batch, none of
+    * the already-decided old×old pairs. The 100 TB admission shape:
+    * snapshot N+1's dedup cost is one batch shingle pass + one band
+    * join against the stored index, not a corpus re-pair.
+    *
+    * The oracle replays the full-corpus band CTEs (shared with
+    * `dedup_minhash_lsh` — union-capped buckets, identical constants)
+    * and restricts to new-touching pairs, which IS the operator's
+    * semantics pin: incremental ≡ from-scratch, restricted. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isNew = substring(col("source"), 4, 10).cast("int") >= 15
+    val base = s.conf.getOption("spark.graft.lsh.indexDir")
+      .getOrElse(Queries.privateIndexBase)
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val idxPath = s"$base/graft_lsh_inc_$tag"
+    operators.LshIndexIO.build(docs.filter(!isNew), "doc_id", "text", idxPath)
+    operators.LshIndexIO.probe(s, idxPath, docs.filter(isNew),
+      "doc_id", "text")
+  }
+
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     // per-corpus artifact path, overwritten on rebuild — repeated

@@ -53,4 +53,38 @@ object LshIndexIO {
             maxBandBucket: Option[Int] = Some(TextOps.DefaultMaxBandBucket)): DataFrame =
     TextOps.minhashPairsFromBands(load(spark, path), numHashes,
       minEstJaccard, maxBandBucket)
+
+  /** Admit a new batch into the index (snapshot N → N+1): one shingle
+    * pass over the BATCH only, appended under the existing band_id
+    * partition dirs — the old corpus is never re-read, never rewritten.
+    * Same row-count observation discipline as [[build]]. After an
+    * [[append]], [[pairs]]/[[probe]] over the index see old ∪ new
+    * exactly as a from-scratch [[build]] would (spec-proven). */
+  def append(docs: DataFrame, idCol: String, textCol: String, path: String,
+             shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4): Long = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{count, lit}
+    val table = TextOps.lshBandTable(docs, idCol, textCol, shingleK,
+      numHashes, bands)
+    val obs = Observation()
+    table.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("append").partitionBy("band_id")
+      .parquet(s"$path/bands")
+    obs.get("rows").asInstanceOf[Long]
+  }
+
+  /** Incremental dedup probe ([[TextOps.minhashProbePairs]]): candidate
+    * pairs between a new batch and the persisted index (plus the batch's
+    * internal pairs) WITHOUT re-pairing the indexed corpus against
+    * itself — the admission decision for snapshot N+1 costs one batch
+    * shingle pass + one band join against the index artifact. */
+  def probe(spark: SparkSession, path: String, newDocs: DataFrame,
+            idCol: String, textCol: String, shingleK: Int = 3,
+            numHashes: Int = 16, bands: Int = 4,
+            minEstJaccard: Double = 0.25,
+            maxBandBucket: Option[Int] = Some(TextOps.DefaultMaxBandBucket)): DataFrame =
+    TextOps.minhashProbePairs(load(spark, path),
+      TextOps.lshBandTable(newDocs, idCol, textCol, shingleK, numHashes,
+        bands),
+      numHashes, minEstJaccard, maxBandBucket)
 }

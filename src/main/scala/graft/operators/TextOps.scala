@@ -175,6 +175,47 @@ object TextOps {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
+  /** INCREMENTAL candidate pairs: a NEW batch's bands probed against a
+    * (persisted) index's bands — the snapshot-over-snapshot dedup shape.
+    * At 100 TB you never re-pair snapshot N against itself to admit
+    * snapshot N+1: old×old pairs were already decided when N was built,
+    * so the probe generates only pairs TOUCHING the new batch —
+    * new×index (every collision, oriented `(doc_new, doc_match)`) plus
+    * new×new (`doc_new < doc_match`, the batch's internal duplicates,
+    * without which two copies arriving together would both be admitted).
+    *
+    * Semantics pin: the result is EXACTLY [[minhashPairsFromBands]] over
+    * the unioned band table, restricted to pairs with a new-batch side
+    * (spec-proven) — the bucket cap applies to UNION membership, so
+    * admitting a batch incrementally and rebuilding from scratch agree
+    * row-for-row. Doc ids must be disjoint across index and batch (a
+    * re-crawl carries a new revision id, not the old one).
+    *
+    * Scale shape: one shuffle on (band_id, band_hash); the probe side is
+    * batch-sized (days of crawl), the index side corpus-sized — AQE
+    * broadcasts the batch side when it fits, and the bucket cap bounds
+    * the worst band fan-out either way. */
+  def minhashProbePairs(indexBands: DataFrame, batchBands: DataFrame,
+                        numHashes: Int = 16, minEstJaccard: Double = 0.25,
+                        maxBandBucket: Option[Int] = Some(DefaultMaxBandBucket)): DataFrame = {
+    val all = capBuckets(
+      indexBands.withColumn("_new", lit(false))
+        .unionByName(batchBands.withColumn("_new", lit(true))), maxBandBucket)
+      .transform(graft.CacheRegistry.persistTracked(_))
+    val a = all.filter(col("_new")).select(col("band_id"), col("band_hash"),
+      col("doc").as("doc_new"), col("sig").as("sig_a"))
+    val b = all.select(col("band_id"), col("band_hash"),
+      col("doc").as("doc_match"), col("sig").as("sig_b"),
+      col("_new").as("match_is_new"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(!col("match_is_new") || (col("doc_new") < col("doc_match")))
+      .select(col("doc_new"), col("doc_match"), col("match_is_new"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), x => x))
+          .cast("double") / numHashes).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
                       minEstJaccard: Double = 0.25,

@@ -44,6 +44,59 @@ class LshIndexSpec extends SparkSpec {
     assert(viaIndex.map(t => (t._1, t._2)).contains((0L, 1L)))
   }
 
+  test("probe == from-scratch pairs restricted to new-touching, bit-for-bit") {
+    // old snapshot: docs 0-4 and 6-7; new batch: doc 5 plus 9 (a
+    // byte-identical copy of 5 — the new×new branch, colliding in every
+    // band) plus 8 (a near-dup of OLD doc 0 — the new×old branch)
+    val old = docs.filter("doc_id in (0, 1, 2, 3, 4, 6, 7)")
+    val batch = docs.filter("doc_id = 5").union(Seq(
+      (8L, "the quick brown fox jumps over the lazy dog again and anew"),
+      (9L, "minhash signatures band together into lsh buckets for dedup runs"))
+      .toDF("doc_id", "text"))
+    val all = old.union(batch)
+    val newIds = Set(5L, 8L, 9L)
+    // full-corpus pairs, restricted to new-touching, re-oriented to the
+    // probe's (doc_new, doc_match) convention
+    val expected = TextOps.minhashLshPairs(all, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("est_jaccard"))))
+      .filter(t => newIds(t._1) || newIds(t._2))
+      .map { case (a, b, j) =>
+        if (newIds(a)) (a, b, newIds(b), j) else (b, a, newIds(a), j) }
+      .toSet
+    graft.CacheRegistry.releaseAll()
+    val dir = java.nio.file.Files.createTempDirectory("lsh_idx_inc").toString
+    LshIndexIO.build(old, "doc_id", "text", dir)
+    val probed = LshIndexIO.probe(spark, dir, batch, "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_match"),
+        r.getAs[Boolean]("match_is_new"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("est_jaccard"))))
+      .toSet
+    graft.CacheRegistry.releaseAll()
+    assert(probed == expected && expected.nonEmpty)
+    // both branches genuinely exercised
+    assert(probed.exists(_._3) && probed.exists(!_._3))
+    // no old×old pair leaks into the probe
+    assert(probed.forall(t => newIds(t._1)))
+  }
+
+  test("append == rebuild: admitted batch extends the index exactly") {
+    val old = docs.filter("doc_id in (0, 1, 2, 3, 6, 7)")
+    val batch = docs.filter("doc_id in (4, 5)")
+    val dirInc = java.nio.file.Files.createTempDirectory("lsh_app").toString
+    LshIndexIO.build(old, "doc_id", "text", dirInc)
+    val nApp = LshIndexIO.append(batch, "doc_id", "text", dirInc)
+    assert(nApp > 0 && nApp % 4 == 0)
+    val dirFull = java.nio.file.Files.createTempDirectory("lsh_full").toString
+    LshIndexIO.build(docs, "doc_id", "text", dirFull)
+    val viaApp = pairKey(LshIndexIO.pairs(spark, dirInc))
+    graft.CacheRegistry.releaseAll()
+    val viaFull = pairKey(LshIndexIO.pairs(spark, dirFull))
+    graft.CacheRegistry.releaseAll()
+    assert(viaApp == viaFull && viaFull.nonEmpty)
+  }
+
   test("bucket cap applies identically over the loaded index") {
     val inline = pairKey(TextOps.minhashLshPairs(docs, "doc_id", "text",
       maxBandBucket = Some(2)))
