@@ -2643,7 +2643,7 @@ object Oracles {
         |  'Heading ' || (id % 10)::VARCHAR || chr(10)
         |    || trim(regexp_replace(text, '\s+', ' ', 'g')) || chr(10)
         |    || 'Entities <b> "q" ''s'' & tail ' || id::VARCHAR AS text,
-        |  3::BIGINT AS n_blocks, 3::BIGINT AS n_dropped
+        |  3::BIGINT AS n_blocks, 4::BIGINT AS n_dropped
         |FROM d""".stripMargin,
 
     // WET chain: the same planted pages through Content-Length-framed
@@ -2659,8 +2659,104 @@ object Oracles {
         |  'Heading ' || (id % 10)::VARCHAR || chr(10)
         |    || trim(regexp_replace(text, '\s+', ' ', 'g')) || chr(10)
         |    || 'Entities <b> "q" ''s'' & tail ' || id::VARCHAR AS text,
-        |  3::BIGINT AS n_blocks, 3::BIGINT AS n_dropped
+        |  3::BIGINT AS n_blocks, 4::BIGINT AS n_dropped
         |FROM d""".stripMargin,
+
+    // outlink graph: all 14 planted anchors per page in document order,
+    // each href resolved per the RFC-3986-lite contract — stated row by
+    // row in closed form (extraction order, quote handling, and every
+    // resolution branch share the one hash)
+    "web_link_graph" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |b AS (SELECT id,
+        |    'http://ex' || (id % 7)::VARCHAR || '.com' AS root,
+        |    'ex' || (id % 7)::VARCHAR || '.com' AS host,
+        |    'http://ex' || (id % 7)::VARCHAR || '.com/' || id::VARCHAR
+        |      AS page_url
+        |  FROM d)
+        |SELECT id AS doc, page_url, 0::BIGINT AS link_idx, '/' AS href,
+        |  'Home' AS anchor, root || '/' AS url, host AS dst_host FROM b
+        |UNION ALL SELECT id, page_url, 1, '/about', 'About',
+        |  root || '/about', host FROM b
+        |UNION ALL SELECT id, page_url, 2, '/more', 'More pages here',
+        |  root || '/more', host FROM b
+        |UNION ALL SELECT id, page_url, 3, '/x', 'link only block',
+        |  root || '/x', host FROM b
+        |UNION ALL SELECT id, page_url, 4,
+        |  'http://ex' || ((id + 1) % 7)::VARCHAR || '.com/p'
+        |    || ((id * 3) % 1000)::VARCHAR, 'n1',
+        |  'http://ex' || ((id + 1) % 7)::VARCHAR || '.com/p'
+        |    || ((id * 3) % 1000)::VARCHAR,
+        |  'ex' || ((id + 1) % 7)::VARCHAR || '.com' FROM b
+        |UNION ALL SELECT id, page_url, 5,
+        |  '//ex' || ((id + 2) % 7)::VARCHAR || '.com/q' || (id % 10)::VARCHAR,
+        |  'n2',
+        |  'http://ex' || ((id + 2) % 7)::VARCHAR || '.com/q'
+        |    || (id % 10)::VARCHAR,
+        |  'ex' || ((id + 2) % 7)::VARCHAR || '.com' FROM b
+        |UNION ALL SELECT id, page_url, 6,
+        |  '../d' || (id % 5)::VARCHAR || '/./g' || (id % 3)::VARCHAR, 'n3',
+        |  root || '/d' || (id % 5)::VARCHAR || '/g' || (id % 3)::VARCHAR,
+        |  host FROM b
+        |UNION ALL SELECT id, page_url, 7,
+        |  'mailto:u' || id::VARCHAR || '@ex.com', 'n4', NULL, NULL FROM b
+        |UNION ALL SELECT id, page_url, 8, '#frag', 'n5', NULL, NULL FROM b
+        |UNION ALL SELECT id, page_url, 9, '/tos', 'Terms',
+        |  root || '/tos', host FROM b
+        |UNION ALL SELECT id, page_url, 10, '/priv', 'Privacy',
+        |  root || '/priv', host FROM b
+        |UNION ALL SELECT id, page_url, 11, '/c', 'Contact',
+        |  root || '/c', host FROM b
+        |UNION ALL SELECT id, page_url, 12, '/d', 'D',
+        |  root || '/d', host FROM b
+        |UNION ALL SELECT id, page_url, 13, '/e', 'E',
+        |  root || '/e', host FROM b""".stripMargin,
+
+    // WET curation capstone: the extracted text is closed form, so the
+    // whole crawl-bytes→verdict lineage replays — extraction stated
+    // directly, langid/quality/token arithmetic over it with the shared
+    // constants (same lists, same literals, same comparison order)
+    "wet_curation_pipeline" ->
+      """WITH d0 AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+        |d AS (SELECT id AS doc,
+        |    'Heading ' || (id % 10)::VARCHAR || chr(10)
+        |      || trim(regexp_replace(text, '\s+', ' ', 'g')) || chr(10)
+        |      || 'Entities <b> "q" ''s'' & tail ' || id::VARCHAR AS ext
+        |  FROM d0),
+        |t AS (SELECT doc, ext, string_split(trim(ext), ' ') AS toks FROM d),
+        |m AS (SELECT doc,
+        |    length(trim(ext))::BIGINT AS n_chars,
+        |    len(toks)::BIGINT AS n_words,
+        |    len(list_filter(toks, w -> w IN
+        |      ('the','a','of','and','to','in')))::DOUBLE / len(toks) AS sr,
+        |    len(list_filter(toks, w -> length(w) > 6))::DOUBLE / len(toks)
+        |      AS lr,
+        |    len(list_filter(toks, w -> w IN
+        |      ('der','die','und','nicht','das')))::BIGINT AS s_de,
+        |    len(list_filter(toks, w -> w IN
+        |      ('the','and','of','to','in')))::BIGINT AS s_en,
+        |    len(list_filter(toks, w -> w IN
+        |      ('el','la','de','que','y')))::BIGINT AS s_es,
+        |    len(list_filter(toks, w -> w IN
+        |      ('le','les','et','des','un')))::BIGINT AS s_fr
+        |  FROM t),
+        |k AS (SELECT doc,
+        |    1.0e0 - (CASE WHEN sr < 2.0e-2 THEN 4.0e-1 ELSE 0.0e0 END)
+        |          - (CASE WHEN n_words < 5 THEN 4.0e-1 ELSE 0.0e0 END)
+        |          - (CASE WHEN lr > 5.0e-1 THEN 2.0e-1 ELSE 0.0e0 END)
+        |      AS quality,
+        |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+        |        THEN 'de'
+        |      WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |      WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred,
+        |    ceil(n_chars::DOUBLE / 4.0e0)::BIGINT AS est_tokens
+        |  FROM m)
+        |SELECT doc, lang_pred, round(quality, 6) + 0.0e0 AS quality,
+        |  est_tokens,
+        |  CASE WHEN quality < 8.0e-1 THEN 'low_quality'
+        |    WHEN est_tokens < 60 THEN 'short'
+        |    ELSE 'kept' END AS verdict
+        |FROM k""".stripMargin,
 
     // heavy-hitter bigrams: the engine's count-min prefilter cannot
     // change the result (overestimate-only + exact verify pass), so the

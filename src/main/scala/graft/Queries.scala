@@ -908,10 +908,15 @@ object Queries {
     *  - an entity paragraph covering the whole decoded set (named +
     *    numeric quotes + `&nbsp;` collapse), whose decoded `<b>` must
     *    survive as TEXT (decode-after-strip ordering);
-    *  - the document text as the main content paragraph.
+    *  - the document text as the main content paragraph;
+    *  - a LINK-FARM paragraph (all-anchor, dropped by density) whose
+    *    five hrefs vary per doc and cover every [[operators.HtmlOps
+    *    .resolveUrl]] branch — absolute cross-host, protocol-relative,
+    *    dot-segment relative, `mailto:`, fragment-only — the
+    *    `web_link_graph` fixture riding inside the same page.
     * Expected extraction (the closed-form oracle): title
     * `Doc & Title {id}`, text = heading + text + entity line, 3 blocks
-    * kept, 3 dropped. */
+    * kept, 4 dropped. */
   private def plantedHtml(id: Column, text: Column): Column = concat(
     lit("<html><head><title> Doc &amp; Title "), id.cast("string"),
     lit(" </title>\n<style type=\"text/css\"> .menu{color:#fff} </style>\n" +
@@ -925,7 +930,14 @@ object Queries {
       "&nbsp;&amp; tail "),
     id.cast("string"),
     lit("</p></div>\n<!-- <p>comment trap</p> -->\n" +
-      "<p><a href=\"/x\">link only block</a></p>\n" +
+      "<p><a href=\"/x\">link only block</a></p>\n<p><a href=\"http://ex"),
+    ((id + 1) % 7).cast("string"), lit(".com/p"), ((id * 3) % 1000).cast("string"),
+    lit("\">n1</a> <a href='//ex"), ((id + 2) % 7).cast("string"),
+    lit(".com/q"), (id % 10).cast("string"),
+    lit("'>n2</a> <a href=\"../d"), (id % 5).cast("string"),
+    lit("/./g"), (id % 3).cast("string"),
+    lit("\">n3</a> <a href=\"mailto:u"), id.cast("string"),
+    lit("@ex.com\">n4</a> <a href=\"#frag\">n5</a></p>\n" +
       "<footer>Copyright <a href=\"/tos\">Terms</a> " +
       "<a href=\"/priv\">Privacy</a> <a href=\"/c\">Contact</a> " +
       "<a href=\"/d\">D</a> <a href=\"/e\">E</a></footer>\n</body></html>"))
@@ -976,6 +988,58 @@ object Queries {
       .select(col("group_id"), col("record_idx").cast("long").as("record_idx"),
         col("rec.uri").as("uri"), col("rec.payload").as("html"))
     operators.HtmlOps.htmlExtract(recs, "html")
+  }
+
+  /** OUTLINK GRAPH ([[operators.HtmlOps.extractLinks]]): every anchor of
+    * every planted page, in document order, each href resolved against
+    * the page URL — the frontier-discovery stage that feeds the crawl
+    * scheduler ([[webFetchSchedule]]) and, aggregated to (src_host,
+    * dst_host) edges, the [[webPagerank]] graph tier. The planted link
+    * farm varies five hrefs per doc across every resolution branch
+    * (absolute cross-host, protocol-relative, dot-segment relative,
+    * mailto, fragment-only), and nav/footer links exercise the
+    * path-absolute branch — the oracle states all 14 rows per doc in
+    * closed form, so the hash attests element extraction order, quote
+    * handling, and every resolution rule at once. */
+  def webLinkGraph(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("long")
+    val pages = Tables.documents(s, dir).select(
+      id.as("doc"),
+      concat(lit("http://ex"), (id % 7).cast("string"), lit(".com/"),
+        id.cast("string")).as("page_url"),
+      plantedHtml(id, col("text")).as("html"))
+    operators.HtmlOps.extractLinks(pages, "html", "page_url")
+  }
+
+  /** CAPSTONE WET curation — crawl ARCHIVE BYTES to training verdicts on
+    * one plan, the composition a real web pipeline runs end to end:
+    * Content-Length-framed WARC records ([[webWetExtract]]'s chain) →
+    * HTML text extraction ([[operators.HtmlOps.htmlExtract]]) → language
+    * ID + quality heuristics + token estimate computed over the
+    * EXTRACTED text (not the raw page) → per-doc verdict with fixed
+    * precedence (`low_quality` / `short` / `kept`). The judgment
+    * columns see boilerplate-free text only — scoring raw HTML would
+    * count nav/footer anchors as words, which is exactly the mistake
+    * this composition exists to avoid.
+    *
+    * Oracle: the extracted text is CLOSED FORM (the planted-page
+    * identity), so the whole lineage replays in SQL — the extraction
+    * stated directly, the langid/quality/token arithmetic over it with
+    * the shared constants. Scale shape: extraction and scoring are all
+    * row-local projections; the only exchange is the fixture pack. */
+  def wetCurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val wet = webWetExtract(s, dir)
+    val doc = regexp_extract(col("uri"), "/([0-9]+)$", 1).cast("long")
+    val base = wet.select(doc.as("doc"), col("text").as("_t"))
+    val q = TextOps.qualityCol(col("_t"))
+    val est = TextOps.estTokensCol(col("_t"))
+    base.select(col("doc"),
+      TextOps.langPredCol(col("_t")).as("lang_pred"),
+      round(q, 6).as("quality"),
+      est.as("est_tokens"),
+      when(q < 0.8, "low_quality")
+        .when(est < 60, "short")
+        .otherwise("kept").as("verdict"))
   }
 
   /** Heavy-hitter bigrams ([[operators.TextOps.frequentNgrams]], the

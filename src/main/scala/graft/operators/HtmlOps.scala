@@ -102,6 +102,98 @@ object HtmlOps {
       regexp_replace(c, "(?is)^.*?<body\\b[^>]*>", " "),
       "(?is)</body\\s*>.*$", " ")
 
+  /** OUTLINK EXTRACTION — frontier discovery, the other half of what a
+    * crawler reads from a page: one row per `<a href="…">…</a>` element
+    * (double- or single-quoted href; unquoted attributes are outside
+    * the XML-lite contract and yield no row), in document order, from
+    * the whole page INCLUDING boilerplate blocks (links live in
+    * nav/footer — the text extractor drops those blocks, the frontier
+    * must not). Script/style/comment regions are removed first: markup
+    * inside a script string is not a link.
+    *
+    * Each href is RESOLVED against the page URL (RFC-3986-lite,
+    * documented subset):
+    *  - `scheme://…` absolute → kept verbatim;
+    *  - `//host/…` protocol-relative → base scheme + `:` + href;
+    *  - `/path` → base `scheme://host` + dot-normalized path;
+    *  - `relative` → resolved against the base DIRECTORY (path up to
+    *    the last `/`), dot-normalized;
+    *  - `mailto:`/`javascript:`/any non-hierarchical scheme, fragment-
+    *    only (`#…`) and empty hrefs → `url` NULL (recorded — auditable
+    *    — but not a frontier edge);
+    *  - the href's `?query`/`#fragment` suffix survives resolution
+    *    untouched; dot-normalization (`.` dropped, `..` pops, no-op at
+    *    root) applies to the PATH only.
+    *
+    * Output: input columns (html dropped) + `link_idx`, `href`,
+    * `anchor` (cleaned inner text), `url` (resolved or null),
+    * `dst_host`. Row-local like the text extractor: regex + HOF
+    * projections, zero exchanges — frontier discovery pipelines inside
+    * the same scan as text extraction at any corpus size. */
+  def extractLinks(pages: DataFrame, htmlCol: String,
+                   baseUrlCol: String): DataFrame = {
+    val keep = pages.columns.filterNot(_ == htmlCol).map(col).toSeq
+    val elems = pages.select(
+      keep :+ regexp_extract_all(stripNonContent(col(htmlCol)),
+        lit("(?is)<a\\b[^>]*>.*?</a\\s*>"), lit(0)).as("_elems"): _*)
+    val exploded = elems.select(
+      keep :+ posexplode(col("_elems")).as(Seq("link_idx", "_e")): _*)
+    // href: double-quoted form wins, else single-quoted; anchored to
+    // the OPENING tag so 'href=' inside anchor text cannot match
+    val dq = regexp_extract(col("_e"),
+      "(?is)^<a\\b[^>]*?\\bhref\\s*=\\s*\"([^\"]*)\"", 1)
+    val sq = regexp_extract(col("_e"),
+      "(?is)^<a\\b[^>]*?\\bhref\\s*=\\s*'([^']*)'", 1)
+    val parsed = exploded.select(
+      keep :+ col("link_idx").cast("long").as("link_idx") :+
+        when(dq =!= "", dq).otherwise(sq).as("href") :+
+        cleanFragment(col("_e")).as("anchor"): _*)
+      .filter(col("href") =!= "")
+    val resolved = parsed.select(
+      keep :+ col("link_idx") :+ col("href") :+ col("anchor") :+
+        resolveUrl(col(baseUrlCol), col("href")).as("url"): _*)
+    resolved.select(
+      keep :+ col("link_idx") :+ col("href") :+ col("anchor") :+
+        col("url") :+
+        when(col("url").isNotNull,
+          regexp_extract(col("url"), "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+          .as("dst_host"): _*)
+  }
+
+  /** RFC-3986-lite reference resolution (see [[extractLinks]]). */
+  def resolveUrl(base: Column, href: Column): Column = {
+    val scheme = regexp_extract(base, "^([a-z][a-z0-9+.-]*):", 1)
+    val hostRoot = regexp_extract(base, "^([a-z][a-z0-9+.-]*://[^/?#]+)", 1)
+    val basePath = regexp_extract(base,
+      "^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?", 1)
+    val baseDir = when(basePath === "", lit("/"))
+      .otherwise(regexp_replace(basePath, "[^/]*$", ""))
+    val isAbs = href.rlike("^[a-z][a-z0-9+.-]*://")
+    val isProtoRel = href.startsWith("//")
+    val isOtherScheme = href.rlike("^[a-z][a-z0-9+.-]*:") && !isAbs
+    val isFragOrEmpty = href.startsWith("#") || href === ""
+    // path/suffix split: dot-normalization applies to the path only
+    val suffix = regexp_extract(href, "([?#].*)$", 1)
+    val hrefPath = regexp_replace(href, "[?#].*$", "")
+    val isPathAbs = href.startsWith("/")
+    val joined = when(isPathAbs, hrefPath)
+      .otherwise(concat(baseDir, hrefPath))
+    val segs = split(joined, "/")
+    val folded = aggregate(segs,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(x === "" || x === ".", acc)
+          .when(x === "..",
+            when(size(acc) > 0, slice(acc, lit(1), size(acc) - 1))
+              .otherwise(acc))
+          .otherwise(concat(acc, array(x))))
+    val normPath = concat(lit("/"), array_join(folded, "/"))
+    when(isAbs, href)
+      .when(isProtoRel, concat(scheme, lit(":"), href))
+      .when(isFragOrEmpty || isOtherScheme, lit(null).cast("string"))
+      .otherwise(concat(hostRoot, normPath, suffix))
+  }
+
   /** Append `title`, `text`, `n_blocks`, `n_dropped` (html column
     * dropped). See the object contract. */
   def htmlExtract(pages: DataFrame, htmlCol: String,

@@ -29,11 +29,19 @@ import org.apache.spark.sql.functions._
   * `full_sec` (re-pair the whole corpus from text) — the SCALE.md
   * number for "snapshot N+1 does not pay for snapshot N".
   *
-  * Usage: runMain graft.tools.IncDedup100x [nDocs]
+  * `newMod` (second arg, default 5, must be a multiple of 5) sets the
+  * snapshot ratio: a doc is NEW iff `id % newMod == newMod - 1`, so 5 →
+  * 20% new (every group's last copy) and 25 → 4% new (a realistic
+  * snapshot ratio: the last copy of every 5th group). The closed form
+  * restricts by the same predicate either way.
+  *
+  * Usage: runMain graft.tools.IncDedup100x [nDocs] [newMod]
   */
 object IncDedup100x {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(500000L)
+    val newMod = args.drop(1).headOption.map(_.toLong).getOrElse(5L)
+    require(newMod % 5 == 0, s"newMod must be a multiple of 5, got $newMod")
     val reps = 5L
     val nGroups = ((n + reps - 1) / reps).toInt
     val numHashes = 16; val bands = 4; val rowsPerBand = 4
@@ -56,8 +64,8 @@ object IncDedup100x {
     }
     val docs = spark.range(n).select(col("id").as("doc_id"),
       textExpr.as("text"))
-    val oldDocs = docs.filter(col("doc_id") % reps =!= (reps - 1))
-    val newDocs = docs.filter(col("doc_id") % reps === (reps - 1))
+    val oldDocs = docs.filter(col("doc_id") % newMod =!= (newMod - 1))
+    val newDocs = docs.filter(col("doc_id") % newMod === (newMod - 1))
 
     // ---- engine: build index over the snapshot, probe the batch ----
     val idxDir = java.nio.file.Files.createTempDirectory("inc100x").toString
@@ -117,10 +125,12 @@ object IncDedup100x {
       .map { case p @ (g1, g2) => p -> est(g1, g2) }
       .filter(_._2 >= minEst).toMap
 
-    def isNew(id: Long) = id % reps == reps - 1
-    // within-group: the batch copy against its 4 indexed siblings
+    def isNew(id: Long) = id % newMod == newMod - 1
+    // within-group: each NEW copy against its 4 indexed siblings (a
+    // group's last copy is new iff its id clears the newMod predicate)
     val withinExp = spark.range(n / reps).select(
-      (col("id") * reps).as("g0")).as("g")
+      (col("id") * reps).as("g0"))
+      .filter((col("g0") + reps - 1) % newMod === (newMod - 1))
       .select(explode(sequence(lit(0L), lit(reps - 2))).as("i"), col("g0"))
       .select((col("g0") + reps - 1).as("doc_new"),
         (col("g0") + col("i")).as("doc_match"),
@@ -142,7 +152,7 @@ object IncDedup100x {
     val extra = probed.except(expected).count()
     val newNewGroups = crossGroups.size
 
-    println(s"""{"tool":"inc_dedup_100x","n_docs":$n,"n_new":${n / reps},""" +
+    println(s"""{"tool":"inc_dedup_100x","n_docs":$n,"n_new":${n / newMod},""" +
       s""""index_band_rows":$nBands,"engine_pairs":$nProbed,""" +
       s""""expected_pairs":$nExpected,"cross_group_pairs":$newNewGroups,""" +
       s""""max_bucket_occupancy":${maxOcc * reps},""" +

@@ -517,6 +517,31 @@ class PlanAuditSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("r13 lineages: html extract row-local; inc probe banded, cap keyed") {
+    // html extraction pipelines inside the scan: regex/HOF projections
+    // only — no Join, no Window, no Exchange anywhere in the plan
+    val ph = plan(Queries.webHtmlExtract(spark, dir))
+    assert(!ph.contains("Exchange") && !ph.contains("Join") &&
+      "\\bWindow\\b".r.findFirstIn(ph).isEmpty,
+      s"html extract lost its row-local zero-exchange shape:\n$ph")
+    // incremental probe: the index×batch candidate join must stay a
+    // banded equi-join (never all-pairs), and the bucket cap's window
+    // must stay KEYED on the band key (a keyless window would funnel
+    // the whole band table through one task)
+    val probe = Queries.dedupIncremental(spark, dir)
+    val pp = plan(probe)
+    assert(!pp.contains("CartesianProduct") &&
+      !pp.contains("BroadcastNestedLoop"),
+      s"incremental probe degraded to an all-pairs join:\n$pp")
+    val keyless = probe.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(keyless.isEmpty,
+      s"incremental probe: ${keyless.length} keyless window(s)")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("vad: kernel emits windows; the RLE merge is one required exchange") {
     // two exchanges total: the deliberate pre-render id repartition
     // (REPARTITION_BY_COL — fixture parallelism, same as the modal

@@ -80,6 +80,59 @@ class HtmlOpsSpec extends SparkSpec {
     assert(r.getLong(2) == 1L && r.getLong(3) == 0L)
   }
 
+  private def links(html: String, base: String = "http://h.com/a/b") =
+    HtmlOps.extractLinks(
+      Seq((1L, base, html)).toDF("doc", "page_url", "html"), "html",
+      "page_url")
+      .select("link_idx", "href", "anchor", "url", "dst_host").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), Option(r.getString(4)))).toSeq
+
+  test("link extraction: document order, quotes, script/comment removal") {
+    val got = links(
+      """<body><script>var x = '<a href="/ghost">g</a>';</script>
+        |<a href="/one">first</a><!-- <a href="/two">c</a> -->
+        |<a href='/three'>third <b>bold</b></a>
+        |<a href=/unquoted>skipped</a>
+        |<a name="no-href">skipped too</a></body>""".stripMargin)
+    assert(got.map(_._2) == Seq("/one", "/three"))
+    assert(got.map(_._3) == Seq("first", "third bold"))
+    assert(got.map(_._1) == Seq(0L, 1L))
+    assert(got.forall(_._5.contains("h.com")))
+  }
+
+  test("resolution: relative, query preserved, dot segments, root ..") {
+    val got = links(
+      """<body><a href="c?q=1#z">rel-q</a>
+        |<a href="../../../up">over-pop</a>
+        |<a href="./x/../y">dots</a></body>""".stripMargin)
+      .map(_._4.orNull)
+    assert(got(0) == "http://h.com/a/c?q=1#z")
+    // base dir /a/, three ".." pop past root and stop there
+    assert(got(1) == "http://h.com/up")
+    assert(got(2) == "http://h.com/a/y")
+  }
+
+  test("resolution: absolute, protocol-relative, opaque schemes, fragment") {
+    val got = links(
+      """<body><a href="https://x.org/p">abs</a>
+        |<a href="//cdn.x.org/q">pr</a>
+        |<a href="mailto:a@b.c">m</a>
+        |<a href="javascript:void(0)">j</a>
+        |<a href="#top">f</a></body>""".stripMargin)
+    assert(got(0)._4.contains("https://x.org/p") &&
+      got(0)._5.contains("x.org"))
+    assert(got(1)._4.contains("http://cdn.x.org/q") &&
+      got(1)._5.contains("cdn.x.org"))
+    assert(got(2)._4.isEmpty && got(3)._4.isEmpty && got(4)._4.isEmpty)
+    assert(got(2)._2 == "mailto:a@b.c")
+  }
+
+  test("resolution against a path-less base") {
+    val got = links("<body><a href=\"r\">r</a></body>", "http://h.com")
+    assert(got(0)._4.contains("http://h.com/r"))
+  }
+
   test("title entity-decoded and normalized; absent title is empty") {
     val r = extract(
       "<html><head><title>  A &amp;  B </title></head><body><p>t</p></body></html>")

@@ -181,4 +181,26 @@ class TextStreamSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getBoolean(2), r.getDouble(3)))
     assert(got == want)
   }
+
+  test("html extract at ingest: stream == batch, stateless") {
+    // the WET path's extraction stage is pure row-local column logic —
+    // it must ride a readStream unchanged, growing zero state operators
+    val op = (df: DataFrame) => graft.operators.HtmlOps.htmlExtract(
+      df.select(col("doc_id").as("doc"),
+        concat(lit("<html><head><title>T</title></head><body>" +
+            "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav><p>"),
+          col("text"),
+          lit("</p><p>tail &amp; more</p></body></html>")).as("html")),
+      "html")
+    val got = streamed("html_ingest", op)
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val want = op(docs.toDF()).orderBy("doc").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got == want && got.nonEmpty)
+    // the boilerplate nav dropped, the entity decoded, on every row
+    assert(got.forall(t => !t._3.contains("Home") &&
+      t._3.endsWith("tail & more")))
+  }
 }
