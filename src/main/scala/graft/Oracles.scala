@@ -1658,7 +1658,16 @@ object Oracles {
     * similarity within the probed cells, and the top 10 re-scored
     * exactly. Every fold runs in the same sequential order as the Spark
     * kernels, so ties break bit-identically. */
-  private def ivfPqSql: String = {
+  private def ivfPqSql: String = ivfPqSqlTrained("TRUE")
+
+  /** The same chain with the TRAINING SAMPLE restricted by `trainPred` —
+    * the incremental-admission oracle (`ann_index_append`): the engine
+    * fits the quantizer on the existing snapshot only and admits the new
+    * batch through the frozen model, so the replay must train on the
+    * same restricted sample while assigning/encoding/searching the FULL
+    * corpus. A refit-on-union bug changes the centroids and every
+    * downstream row. */
+  private def ivfPqSqlTrained(trainPred: String): String = {
     val m = 8; val subDim = 8; val k = 16
     val rerank = graft.Queries.annIvfPqRerank
     val nc = graft.Queries.annIvfPqCells
@@ -1699,7 +1708,8 @@ object Oracles {
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
        |u AS MATERIALIZED (SELECT vec_id,
        |    list_transform(v, x -> x / nrm) AS vn FROM n),
-       |s AS MATERIALIZED (SELECT vec_id, vn FROM u ORDER BY vec_id LIMIT 10000),
+       |s AS MATERIALIZED (SELECT vec_id, vn FROM u WHERE $trainPred
+       |  ORDER BY vec_id LIMIT 10000),
        |c0 AS MATERIALIZED (SELECT
        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, vn AS c
        |  FROM (SELECT vec_id, vn FROM s ORDER BY vec_id LIMIT $nc)),
@@ -1804,6 +1814,10 @@ object Oracles {
     "ann_pq_topk" -> pqSql,
 
     "ann_ivf_pq_topk" -> ivfPqSql,
+    // incremental ANN admission: same chain, quantizer trained on the
+    // existing snapshot only (the appended batch must ride the frozen
+    // model — Queries.annIndexAppend)
+    "ann_index_append" -> ivfPqSqlTrained("vec_id % 5 <> 4"),
 
     // PLANTED-RECALL oracle (the m9 discipline): the OPQ rotation fit is
     // an alternating Procrustes SVD — not replayable in SQL — but the

@@ -1874,6 +1874,36 @@ object Queries {
         (round(col("sim"), 6) + 0.0).as("sim"))
   }
 
+  /** INCREMENTAL ANN admission ([[operators.AnnIndexIO.appendAuto]]) —
+    * the snapshot theme on the vector tier: the quantizer trains on the
+    * EXISTING snapshot only (vec_id % 5 ≠ 4), the new batch is admitted
+    * through the frozen model (encode + cell-partitioned append, no
+    * refit, no rewrite of existing encodings), and the search runs over
+    * the combined index. The oracle is the full Lloyd-replay chain with
+    * its training CTE restricted to the snapshot — a refit-on-union bug
+    * (or an append that re-encodes the old rows) changes the centroids
+    * and every downstream row, so the hash pins the admission contract
+    * end to end. */
+  def annIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val isNew = col("vec_id") % 5 === 4
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|append|nCells=$annIvfPqCells".getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val idxPath = s"${Queries.privateIndexBase}/graft_ann_app_$tag"
+    if (!new java.io.File(s"$idxPath/index").exists()) {
+      operators.AnnIndexIO.buildAuto(emb.filter(!isNew), "vec_id",
+        "embedding", idxPath, nCells = annIvfPqCells)
+      operators.AnnIndexIO.appendAuto(s, idxPath, emb.filter(isNew),
+        "vec_id", "embedding")
+    }
+    operators.AnnIndexIO.searchAuto(s, idxPath, emb, "vec_id", "embedding",
+        col("v_id") < 10, k = 3, nprobe = annIvfPqNprobe,
+        rerank = annIvfPqRerank)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        (round(col("sim"), 6) + 0.0).as("sim"))
+  }
+
   /** OPQ×IVF probe-pruned tier — planted-fixture constants (shared with
     * the oracle builder): 25 tight orthogonal-axis clusters of 20
     * members each over dim 64, nCells = 25 so the deterministic k-means
@@ -2213,17 +2243,28 @@ object Queries {
     * `dedup_minhash_lsh` — union-capped buckets, identical constants)
     * and restricts to new-touching pairs, which IS the operator's
     * semantics pin: incremental ≡ from-scratch, restricted. */
-  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+  /** The dedup_incremental snapshot split, shared by query + fixture. */
+  private def incIsNew = substring(col("source"), 4, 10).cast("int") >= 15
+
+  /** Builds (or rebuilds) the snapshot index — the SETUP a production
+    * run pays once at snapshot N, so the bench attributes it as fixture
+    * cost via the [[fixtureFrames]] entry; the probe is the engine. */
+  private def incIdxBuild(s: SparkSession, dir: String): String = {
     val docs = Tables.documents(s, dir)
-    val isNew = substring(col("source"), 4, 10).cast("int") >= 15
     val base = s.conf.getOption("spark.graft.lsh.indexDir")
       .getOrElse(Queries.privateIndexBase)
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val idxPath = s"$base/graft_lsh_inc_$tag"
-    operators.LshIndexIO.build(docs.filter(!isNew), "doc_id", "text", idxPath)
-    operators.LshIndexIO.probe(s, idxPath, docs.filter(isNew),
-      "doc_id", "text")
+    operators.LshIndexIO.build(docs.filter(!incIsNew), "doc_id", "text",
+      idxPath)
+    idxPath
+  }
+
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val idxPath = incIdxBuild(s, dir)
+    operators.LshIndexIO.probe(s, idxPath,
+      Tables.documents(s, dir).filter(incIsNew), "doc_id", "text")
   }
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
@@ -2498,6 +2539,10 @@ object Queries {
       "mri_pipeline" -> ((s: SparkSession, dir: String) => {
         mriFixturePrep(s, dir, fixtureTmp("graft_mri_fx"))
         s.range(1).toDF("ok") // writes above ARE the fixture cost
+      }),
+      "dedup_incremental" -> ((s: SparkSession, dir: String) => {
+        incIdxBuild(s, dir) // snapshot-N index build = the setup cost
+        s.range(1).toDF("ok")
       }),
       "m9_binocular" -> ((s: SparkSession, dir: String) => {
         val (markers, pupils0, pupils1) = m9bInputs(s, dir)
