@@ -1847,6 +1847,10 @@ object Oracles {
 
     "dedup_minhash_lsh" -> minhashSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    // generational variant: snapshot index assembled via build(src0-9) +
+    // append(src10-14) — append must equal a from-scratch build over
+    // src0-14, so the oracle is shared verbatim
+    "dedup_incremental_append" -> dedupIncrementalSql,
 
     // cross-source matrix: the minhash pair chain joined to the source
     // dim on both sides, unordered (least/greatest) source-pair rollup

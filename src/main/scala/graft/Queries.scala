@@ -2267,6 +2267,32 @@ object Queries {
       Tables.documents(s, dir).filter(incIsNew), "doc_id", "text")
   }
 
+  /** The same probe with the snapshot index assembled THROUGH the
+    * append path — two generations (src0-9 built, src10-14 appended as
+    * snapshot N's own admission), then the src15-19 batch probed. The
+    * oracle is [[dedupIncremental]]'s SQL VERBATIM: append must leave
+    * the index indistinguishable from a from-scratch build over
+    * src0-14 (partition placement, row completeness, band values), or
+    * the shared hash breaks. Attests the generational shape a real
+    * snapshot chain accumulates: build once, append every batch
+    * thereafter. */
+  def dedupIncrementalAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val gen = substring(col("source"), 4, 10).cast("int")
+    val base = s.conf.getOption("spark.graft.lsh.indexDir")
+      .getOrElse(Queries.privateIndexBase)
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|gen".getBytes("UTF-8")).take(6)
+      .map("%02x".format(_)).mkString
+    val idxPath = s"$base/graft_lsh_gen_$tag"
+    operators.LshIndexIO.build(docs.filter(gen < 10), "doc_id", "text",
+      idxPath)
+    operators.LshIndexIO.append(
+      docs.filter(gen >= 10 && gen < 15), "doc_id", "text", idxPath)
+    operators.LshIndexIO.probe(s, idxPath, docs.filter(gen >= 15),
+      "doc_id", "text")
+  }
+
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     // per-corpus artifact path, overwritten on rebuild — repeated

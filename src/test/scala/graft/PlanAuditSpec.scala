@@ -524,6 +524,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!ph.contains("Exchange") && !ph.contains("Join") &&
       "\\bWindow\\b".r.findFirstIn(ph).isEmpty,
       s"html extract lost its row-local zero-exchange shape:\n$ph")
+    // frontier discovery shares the shape: the only non-Project node is
+    // the per-anchor Generate (posexplode)
+    val pl = plan(Queries.webLinkGraph(spark, dir))
+    assert(!pl.contains("Exchange") && !pl.contains("Join") &&
+      "\\bWindow\\b".r.findFirstIn(pl).isEmpty && pl.contains("Generate"),
+      s"link extraction lost its row-local zero-exchange shape:\n$pl")
     // incremental probe: the index×batch candidate join must stay a
     // banded equi-join (never all-pairs), and the bucket cap's window
     // must stay KEYED on the band key (a keyless window would funnel
