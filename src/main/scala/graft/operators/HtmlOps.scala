@@ -89,12 +89,32 @@ object HtmlOps {
   private def cleanFragment(c: Column): Column =
     normalizeWs(decodeEntities(regexp_replace(c, "<[^>]*>", " ")))
 
-  /** script/style elements, then comments, removed (contract steps 1-2). */
-  private def stripNonContent(html: Column): Column =
-    regexp_replace(
-      regexp_replace(html,
-        "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " "),
-      "(?s)<!--.*?-->", " ")
+  /** LINEAR-TIME span removal: split the page at span openers
+    * (zero-width lookahead — nothing consumed), then match the close
+    * with an ^-ANCHORED lazy regex per segment. Each page character is
+    * scanned a bounded number of times, so adversarial pages stay
+    * O(page size) — the naive whole-document `<x>.*?</x>` form is
+    * O(openers × page size): measured 0.33→0.68→2.2 s per page at
+    * 200→400→800 KB with unclosed openers, i.e. minutes per page at
+    * archive-side sizes, a genuine corpus-scale DoS (crawled corpora
+    * contain adversarial pages with certainty). Unclosed spans follow
+    * BROWSER semantics: they swallow to end of document. */
+  private def stripSpansLinear(c: Column, lookahead: String,
+                               opener: String, elem: String): Column =
+    array_join(transform(split(c, lookahead), s =>
+      when(!s.rlike(opener), s)
+        .when(s.rlike(elem), regexp_replace(s, elem, " "))
+        .otherwise(lit(" "))), "")
+
+  /** script/style elements, then comments, removed (contract steps 1-2,
+    * each a [[stripSpansLinear]] pass in that order). */
+  private def stripNonContent(html: Column): Column = {
+    val noScript = stripSpansLinear(html, "(?i)(?=<script\\b)",
+      "(?i)^<script\\b", "(?is)^<script\\b[^>]*>.*?</script\\s*>")
+    val noStyle = stripSpansLinear(noScript, "(?i)(?=<style\\b)",
+      "(?i)^<style\\b", "(?is)^<style\\b[^>]*>.*?</style\\s*>")
+    stripSpansLinear(noStyle, "(?=<!--)", "^<!--", "(?s)^<!--.*?-->")
+  }
 
   /** The `<body>` slice (whole document when no body tag). */
   private def bodyOf(c: Column): Column =
@@ -133,21 +153,34 @@ object HtmlOps {
   def extractLinks(pages: DataFrame, htmlCol: String,
                    baseUrlCol: String): DataFrame = {
     val keep = pages.columns.filterNot(_ == htmlCol).map(col).toSeq
-    val elems = pages.select(
-      keep :+ regexp_extract_all(stripNonContent(col(htmlCol)),
-        lit("(?is)<a\\b[^>]*>.*?</a\\s*>"), lit(0)).as("_elems"): _*)
+    // linear anchor scan (the stripSpansLinear discipline): split at
+    // every `<a` opener, match the element with ^-anchored regexes per
+    // segment — a whole-document `<a…>.*?</a>` extract_all is
+    // O(anchors × page size) on unclosed-anchor link farms (measured).
+    // One anchor per segment by construction; unclosed elements yield
+    // no row; a nested `<a` starts its own segment, so the INNERMOST
+    // anchor wins (browsers auto-close — same family of behavior).
+    val segd = pages.select(
+      keep :+ split(stripNonContent(col(htmlCol)), "(?i)(?=<a\\b)")
+        .as("_segs"): _*)
+    val elems = segd.select(
+      keep :+ filter(transform(col("_segs"), s => struct(
+          regexp_extract(s,
+            "(?is)^<a\\b[^>]*?\\bhref\\s*=\\s*\"([^\"]*)\"", 1).as("dq"),
+          regexp_extract(s,
+            "(?is)^<a\\b[^>]*?\\bhref\\s*=\\s*'([^']*)'", 1).as("sq"),
+          regexp_extract(s, "(?is)^(<a\\b[^>]*>.*?</a\\s*>)", 1)
+            .as("elem"))),
+        x => x("elem") =!= "").as("_elems"): _*)
     val exploded = elems.select(
       keep :+ posexplode(col("_elems")).as(Seq("link_idx", "_e")): _*)
     // href: double-quoted form wins, else single-quoted; anchored to
     // the OPENING tag so 'href=' inside anchor text cannot match
-    val dq = regexp_extract(col("_e"),
-      "(?is)^<a\\b[^>]*?\\bhref\\s*=\\s*\"([^\"]*)\"", 1)
-    val sq = regexp_extract(col("_e"),
-      "(?is)^<a\\b[^>]*?\\bhref\\s*=\\s*'([^']*)'", 1)
     val parsed = exploded.select(
       keep :+ col("link_idx").cast("long").as("link_idx") :+
-        when(dq =!= "", dq).otherwise(sq).as("href") :+
-        cleanFragment(col("_e")).as("anchor"): _*)
+        when(col("_e.dq") =!= "", col("_e.dq")).otherwise(col("_e.sq"))
+          .as("href") :+
+        cleanFragment(col("_e.elem")).as("anchor"): _*)
       .filter(col("href") =!= "")
     val resolved = parsed.select(
       keep :+ col("link_idx") :+ col("href") :+ col("anchor") :+
@@ -203,10 +236,13 @@ object HtmlOps {
       keep :+ stripNonContent(col(htmlCol)).as("_h"): _*)
     // each stage in its own Project: HOF lambdas must read attributes,
     // not re-run the regex chain per element (no CSE across HOFs)
+    // title searched in the first 64 KB only: real titles live at the
+    // top of the head, and bounding the search keeps the first-match
+    // scan O(1) in page size on adversarial many-`<title`-no-close pages
     val segged = stripped.select(
       keep :+
-        regexp_extract(col("_h"), "(?is)<title[^>]*>(.*?)</title", 1)
-          .as("_rawTitle") :+
+        regexp_extract(substring(col("_h"), 1, 65536),
+          "(?is)<title[^>]*>(.*?)</title", 1).as("_rawTitle") :+
         split(bodyOf(col("_h")), BlockTagRx).as("_segs"): _*)
     val cleaned = segged.select(
       keep :+ col("_rawTitle") :+

@@ -67,12 +67,24 @@ class HtmlOpsSpec extends SparkSpec {
     assert(r.getString(1).startsWith("ok"))
   }
 
-  test("unclosed script eats to end of page (lazy close never found)") {
-    // contract: script removal needs its close tag; without one the
-    // regex does not match and the script TEXT falls through to blocks
-    // (tags stripped) — degraded, not thrown
-    val r = extract("<body><p>pre</p><script>var x = 1;</body></html>")
-    assert(r.getString(1).contains("pre"))
+  test("unclosed script swallows to end of page (browser semantics)") {
+    // matches what browsers do with an unclosed <script>, and what keeps
+    // span removal linear-time: content BEFORE the opener survives, the
+    // script text and everything after it are gone
+    val r = extract("<body><p>pre</p><script>var x = 1;<p>after</p>")
+    assert(r.getString(1) == "pre")
+  }
+
+  test("unclosed comment swallows to end; closed one does not") {
+    assert(extract("<body><p>a</p><!-- open <p>b</p>").getString(1) == "a")
+    assert(extract("<body><p>a</p><!-- c --><p>b</p>").getString(1)
+      == "a\nb")
+  }
+
+  test("nested anchor: the innermost element wins (linear scan)") {
+    val got = links(
+      "<body><a href=\"/outer\">x <a href=\"/inner\">y</a></a></body>")
+    assert(got.map(_._2) == Seq("/inner") && got.head._3 == "y")
   }
 
   test("empty and whitespace-only blocks are neither kept nor dropped") {
