@@ -438,6 +438,20 @@ object Oracles {
        |    AS est_jaccard
        |FROM pairs WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i]))::DOUBLE / 16 >= 0.25""".stripMargin
 
+  /** The WET chain's closed form (shared batch + streaming twin). */
+  private def wetExtractSql: String =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents)
+      |SELECT id % 50 AS group_id,
+      |  row_number() OVER (PARTITION BY id % 50 ORDER BY id) - 1
+      |    AS record_idx,
+      |  'http://ex' || (id % 7)::VARCHAR || '.com/' || id::VARCHAR AS uri,
+      |  'Doc & Title ' || id::VARCHAR AS title,
+      |  'Heading ' || (id % 10)::VARCHAR || chr(10)
+      |    || trim(regexp_replace(text, '\s+', ' ', 'g')) || chr(10)
+      |    || 'Entities <b> "q" ''s'' & tail ' || id::VARCHAR AS text,
+      |  3::BIGINT AS n_blocks, 4::BIGINT AS n_dropped
+      |FROM d""".stripMargin
+
   /** Incremental snapshot dedup: the full-corpus band CTEs (union-capped
     * buckets — the engine caps on old ∪ new membership too), restricted
     * to pairs with a new-batch side: new×old every collision, new×new
@@ -2667,18 +2681,10 @@ object Oracles {
     // WET chain: the same planted pages through Content-Length-framed
     // WARC records first — archive → payload → text must be a content
     // identity, so the extraction columns share the closed form above
-    "web_wet_extract" ->
-      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents)
-        |SELECT id % 50 AS group_id,
-        |  row_number() OVER (PARTITION BY id % 50 ORDER BY id) - 1
-        |    AS record_idx,
-        |  'http://ex' || (id % 7)::VARCHAR || '.com/' || id::VARCHAR AS uri,
-        |  'Doc & Title ' || id::VARCHAR AS title,
-        |  'Heading ' || (id % 10)::VARCHAR || chr(10)
-        |    || trim(regexp_replace(text, '\s+', ' ', 'g')) || chr(10)
-        |    || 'Entities <b> "q" ''s'' & tail ' || id::VARCHAR AS text,
-        |  3::BIGINT AS n_blocks, 4::BIGINT AS n_dropped
-        |FROM d""".stripMargin,
+    "web_wet_extract" -> wetExtractSql,
+    // the drained streaming twin shares it VERBATIM: a record clipped at
+    // a micro-batch boundary or a re-delivered source file breaks it
+    "stream_wet_extract" -> wetExtractSql,
 
     // outlink graph: all 14 planted anchors per page in document order,
     // each href resolved per the RFC-3986-lite contract — stated row by

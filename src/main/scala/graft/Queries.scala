@@ -968,7 +968,9 @@ object Queries {
     * the page byte-exactly for the extraction hash to survive — the
     * archive→payload→text identity, attested by one closed-form
     * oracle. */
-  def webWetExtract(s: SparkSession, dir: String): DataFrame = {
+  /** The planted WARC blob table (group_id, _blob) with HTML payloads —
+    * shared by the batch chain and its streaming twin. */
+  private def wetBlobs(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id").cast("long")
     val payload = plantedHtml(id, col("text"))
     val uri = concat(lit("http://ex"), (id % 7).cast("string"),
@@ -977,17 +979,49 @@ object Queries {
       lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), uri,
       lit("\r\nContent-Length: "), octet_length(payload).cast("string"),
       lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
-    val blobs = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select((id % 50).as("group_id"), struct(id.as("i"), rec.as("r")).as("_s"))
       .groupBy("group_id")
       .agg(array_join(transform(array_sort(collect_list(col("_s"))),
         s0 => s0.getField("r")), "").as("_blob"))
+  }
+
+  /** blob → WARC records → extracted WET rows: per-blob row-local, so
+    * the SAME lineage runs on a batch frame or a readStream. */
+  private def wetRows(blobs: DataFrame): DataFrame = {
     val recs = blobs.select(col("group_id"),
         posexplode(graft.functions.WarcParse.warc_records(col("_blob")))
           .as(Seq("record_idx", "rec")))
       .select(col("group_id"), col("record_idx").cast("long").as("record_idx"),
         col("rec.uri").as("uri"), col("rec.payload").as("html"))
     operators.HtmlOps.htmlExtract(recs, "html")
+  }
+
+  def webWetExtract(s: SparkSession, dir: String): DataFrame =
+    wetRows(wetBlobs(s, dir))
+
+  /** STREAMING WET extraction drained end-to-end — archive blobs as they
+    * LAND: the planted blobs exported to a file-stream source dir
+    * (8 files), read back with `readStream` in REAL micro-batches
+    * (maxFilesPerTrigger = 2 ⇒ 4 batches), parsed + extracted on the
+    * stream ([[wetRows]] — Content-Length framing, block segmentation,
+    * entity decode, link-density rule all per-blob row-local: no state
+    * store, no watermark, no shuffle), drained to a memory sink. The
+    * oracle is [[webWetExtract]]'s closed form VERBATIM — a record
+    * clipped at a batch boundary or a re-delivered file breaks the
+    * shared hash. The continuous twin of the batch chain: a crawler's
+    * archive writer drops `.warc` files, this lineage tails them. */
+  def streamWetExtract(s: SparkSession, dir: String): DataFrame = {
+    val blobs = wetBlobs(s, dir)
+    val src = fixtureTmp("graft_wet_src")
+    blobs.repartition(8).write.mode("overwrite").parquet(src)
+    val stream = s.readStream.schema(blobs.schema)
+      .option("maxFilesPerTrigger", 2).parquet(src)
+    val qn = dropStaleDrain(s, "graft_wet_drain")
+    val q = wetRows(stream).writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qn)
   }
 
   /** OUTLINK GRAPH ([[operators.HtmlOps.extractLinks]]): every anchor of
@@ -2602,6 +2636,11 @@ object Queries {
         Tables.embeddings(s, dir)
           .select(col("vec_id"), opqIvfPlanted(col("vec_id")).as("pv"))
           .write.mode("overwrite").parquet(fixtureTmp("graft_ann_src_fx"))
+        s.range(1).toDF("ok")
+      }),
+      "stream_wet_extract" -> ((s: SparkSession, dir: String) => {
+        wetBlobs(s, dir).repartition(8)
+          .write.mode("overwrite").parquet(fixtureTmp("graft_wet_src_fx"))
         s.range(1).toDF("ok")
       }),
       "stream_pldata_tail" -> ((s: SparkSession, dir: String) => {
