@@ -33,11 +33,11 @@ import org.apache.spark.sql.functions._
   *     inside their block;
   *  6. per block: tags stripped, THEN entities decoded (a decoded
   *     `&lt;script&gt;` is text, never re-parsed markup), THEN
-  *     whitespace collapsed (`\s+` → one space) and trimmed. The decoded
-  *     entity set is the named core + the numeric quote forms
-  *     (`&amp; &lt; &gt; &quot; &apos; &nbsp; &#39; &#34;`); other
-  *     numeric references pass through verbatim — same XML-lite
-  *     degradation rule as the sitemap parser;
+  *     whitespace collapsed (`\s+` → one space) and trimmed. Decoding
+  *     is the one-pass [[decodeEntities]] kernel: the named core plus
+  *     all valid numeric references, NBSP → space, malformed
+  *     references verbatim — same XML-lite degradation rule as the
+  *     sitemap parser;
   *  7. BOILERPLATE RULE: a block whose anchor-text length exceeds
   *     `maxLinkDensity` × its total text length is dropped (nav bars,
   *     footers, link farms — the readability/jusText line-density
@@ -68,18 +68,16 @@ object HtmlOps {
       "|article|aside|main|table|thead|tbody|tr|td|th|blockquote|pre" +
       "|form|title|head|body|html)\\b[^>]*>"
 
-  /** Named core + numeric quote forms; `&amp;` decodes LAST so
+  /** General character-reference decode ([[graft.functions.HtmlEntities
+    * .HtmlEntityDecode]] — one linear kernel pass): the named core
+    * (`&amp; &lt; &gt; &quot; &apos; &nbsp;`) plus ALL valid decimal and
+    * hex numeric references (`&#8217; &#xe9; …` — ubiquitous in real
+    * pages), NBSP normalized to a plain space. Single-pass, so
     * double-escaped text (`&amp;lt;`) yields the literal `&lt;` it
-    * denotes, never a re-decoded `<`. */
-  def decodeEntities(c: Column): Column = {
-    val named = Seq(
-      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&apos;" -> "'", "&#39;" -> "'", "&#34;" -> "\"")
-    val partial = named.foldLeft(c) { case (acc, (k, v)) =>
-      replace(acc, lit(k), lit(v))
-    }
-    replace(partial, lit("&amp;"), lit("&"))
-  }
+    * denotes, never a re-decoded `<`; malformed references copy through
+    * verbatim. */
+  def decodeEntities(c: Column): Column =
+    graft.functions.HtmlEntities.html_entity_decode(c)
 
   /** Collapse runs of whitespace to one space and trim. */
   def normalizeWs(c: Column): Column =

@@ -32,6 +32,21 @@ class HtmlOpsSpec extends SparkSpec {
     assert(r.getString(1) == "a &lt; b")
   }
 
+  test("numeric references: decimal, hex, nbsp-to-space, malformed verbatim") {
+    val r = extract(
+      "<body><p>it&#8217;s &#xe9;t&#233; &#160;here &#; &#xG; &#999999999; x</p></body>")
+    assert(r.getString(1) == "it’s été here &#; &#xG; &#999999999; x")
+  }
+
+  test("null html degrades to null outputs, never throws") {
+    val df = HtmlOps.htmlExtract(
+      Seq((1L, Option.empty[String]), (2L, Some("<body><p>ok</p></body>")))
+        .toDF("doc", "html"), "html")
+      .orderBy("doc").collect()
+    assert(df(0).isNullAt(1) && df(0).isNullAt(2))
+    assert(df(1).getString(2) == "ok")
+  }
+
   test("body-less fragment is all content; head is cut when body exists") {
     assert(extract("<p>frag one</p><p>frag two</p>").getString(1)
       == "frag one\nfrag two")
