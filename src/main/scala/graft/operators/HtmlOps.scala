@@ -186,8 +186,11 @@ object HtmlOps {
     resolved.select(
       keep :+ col("link_idx") :+ col("href") :+ col("anchor") :+
         col("url") :+
+        // host matching is case-insensitive, so the edge key is
+        // lowercased — EX.COM and ex.com must aggregate to one node
         when(col("url").isNotNull,
-          regexp_extract(col("url"), "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+          lower(regexp_extract(col("url"),
+            "(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)))
           .as("dst_host"): _*)
   }
 
@@ -199,9 +202,11 @@ object HtmlOps {
       "^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?", 1)
     val baseDir = when(basePath === "", lit("/"))
       .otherwise(regexp_replace(basePath, "[^/]*$", ""))
-    val isAbs = href.rlike("^[a-z][a-z0-9+.-]*://")
+    // schemes are case-insensitive (RFC 3986 §3.1): HREF="HTTP://…" is
+    // absolute, not a relative path named "HTTP:"
+    val isAbs = href.rlike("(?i)^[a-z][a-z0-9+.-]*://")
     val isProtoRel = href.startsWith("//")
-    val isOtherScheme = href.rlike("^[a-z][a-z0-9+.-]*:") && !isAbs
+    val isOtherScheme = href.rlike("(?i)^[a-z][a-z0-9+.-]*:") && !isAbs
     val isFragOrEmpty = href.startsWith("#") || href === ""
     // path/suffix split: dot-normalization applies to the path only
     val suffix = regexp_extract(href, "([?#].*)$", 1)

@@ -155,6 +155,12 @@ class HtmlOpsSpec extends SparkSpec {
     assert(got(2)._2 == "mailto:a@b.c")
   }
 
+  test("uppercase scheme is absolute; dst_host lowercases") {
+    val got = links("<body><a href=\"HTTP://EX.COM/Page\">u</a></body>")
+    assert(got(0)._4.contains("HTTP://EX.COM/Page"))
+    assert(got(0)._5.contains("ex.com"))
+  }
+
   test("resolution against a path-less base") {
     val got = links("<body><a href=\"r\">r</a></body>", "http://h.com")
     assert(got(0)._4.contains("http://h.com/r"))
