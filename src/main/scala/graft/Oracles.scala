@@ -1865,6 +1865,23 @@ object Oracles {
     // append(src10-14) — append must equal a from-scratch build over
     // src0-14, so the oracle is shared verbatim
     "dedup_incremental_append" -> dedupIncrementalSql,
+    // index-health monitor: bucket occupancies replayed from the shared
+    // UNCAPPED band CTE (band0 — stats reads raw bands; the cap is a
+    // query-time lever), mean/skew derived from the exact integer
+    // aggregates on both sides
+    "dedup_index_stats" ->
+      s"""WITH $minhashBandCtes,
+         |b2 AS (SELECT band_id, band_hash, count(*)::BIGINT AS n
+         |  FROM band0 GROUP BY 1, 2)
+         |SELECT sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_buckets,
+         |  round(sum(n)::DOUBLE / count(*)::DOUBLE, 6) + 0.0e0
+         |    AS mean_occupancy,
+         |  max(n)::BIGINT AS max_occupancy,
+         |  round(max(n)::DOUBLE * count(*)::DOUBLE / sum(n)::DOUBLE, 6)
+         |    + 0.0e0 AS skew,
+         |  sum(CASE WHEN n >= ${graft.operators.TextOps.DefaultMaxBandBucket}
+         |    THEN 1 ELSE 0 END)::BIGINT AS capped_buckets
+         |FROM b2""".stripMargin,
 
     // cross-source matrix: the minhash pair chain joined to the source
     // dim on both sides, unordered (least/greatest) source-pair rollup

@@ -2327,6 +2327,25 @@ object Queries {
       "doc_id", "text")
   }
 
+  /** LSH index-health monitor ([[operators.LshIndexIO.stats]]) — the
+    * text tier's occupancy/skew/cap-pressure row, the "compact or
+    * re-shingle" maintenance signal (the ANN tier's occupancyStats,
+    * applied to bands). Build the full-corpus band index, then one
+    * aggregate over it; the oracle replays bucket occupancies from the
+    * shared (uncapped) band CTEs, with mean/skew derived from the exact
+    * integer aggregates so the doubles are bit-deterministic. */
+  def dedupIndexStats(s: SparkSession, dir: String): DataFrame = {
+    val base = s.conf.getOption("spark.graft.lsh.indexDir")
+      .getOrElse(Queries.privateIndexBase)
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|stats".getBytes("UTF-8")).take(6)
+      .map("%02x".format(_)).mkString
+    val idxPath = s"$base/graft_lsh_stats_$tag"
+    operators.LshIndexIO.build(Tables.documents(s, dir), "doc_id", "text",
+      idxPath)
+    operators.LshIndexIO.stats(s, idxPath)
+  }
+
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     // per-corpus artifact path, overwritten on rebuild — repeated

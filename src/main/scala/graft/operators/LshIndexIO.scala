@@ -73,6 +73,40 @@ object LshIndexIO {
     obs.get("rows").asInstanceOf[Long]
   }
 
+  /** Bucket-occupancy monitor for a built band index — the LSH tier's
+    * [[AnnIndexIO.occupancyStats]]: one map-side-combined aggregate over
+    * the band table. A healthy shingle distribution keeps buckets tiny;
+    * boilerplate-heavy corpora (or drifted appends) pile docs into few
+    * (band, hash) buckets, which first costs candidate recall (the
+    * [[TextOps.DefaultMaxBandBucket]] rank cap starts truncating real
+    * pairs) and then join cost (a hot bucket is quadratic in its kept
+    * size). `capped_buckets` — buckets at or over the cap — is the
+    * direct "the cap is binding, compact or re-shingle with a larger
+    * k" signal; `max_occupancy`/`mean` is the skew early-warning.
+    * Returns one row: `n_rows, n_buckets, mean_occupancy,
+    * max_occupancy, skew, capped_buckets`. */
+  def stats(spark: SparkSession, path: String,
+            cap: Int = TextOps.DefaultMaxBandBucket): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val perBucket = load(spark, path)
+      .groupBy("band_id", "band_hash").agg(count(lit(1)).as("n"))
+    // mean/skew derived from the exact integer aggregates (one division
+    // each) so the oracle replay is bit-deterministic on any engine
+    perBucket.agg(
+        sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_buckets"),
+        max(col("n")).as("max_occupancy"),
+        sum(when(col("n") >= cap, 1L).otherwise(0L)).as("capped_buckets"))
+      .select(col("n_rows"), col("n_buckets"),
+        (round(col("n_rows").cast("double") /
+          col("n_buckets").cast("double"), 6) + 0.0).as("mean_occupancy"),
+        col("max_occupancy"),
+        (round(col("max_occupancy").cast("double") *
+          col("n_buckets").cast("double") /
+          col("n_rows").cast("double"), 6) + 0.0).as("skew"),
+        col("capped_buckets"))
+  }
+
   /** Incremental dedup probe ([[TextOps.minhashProbePairs]]): candidate
     * pairs between a new batch and the persisted index (plus the batch's
     * internal pairs) WITHOUT re-pairing the indexed corpus against

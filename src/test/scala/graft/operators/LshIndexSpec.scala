@@ -97,6 +97,25 @@ class LshIndexSpec extends SparkSpec {
     assert(viaApp == viaFull && viaFull.nonEmpty)
   }
 
+  test("stats: cap-pressure trips on a mass-dup corpus, quiet otherwise") {
+    import spark.implicits._
+    val dirQ = java.nio.file.Files.createTempDirectory("lsh_stats_q").toString
+    LshIndexIO.build(docs, "doc_id", "text", dirQ)
+    val quiet = LshIndexIO.stats(spark, dirQ).head()
+    assert(quiet.getAs[Long]("capped_buckets") == 0L &&
+      quiet.getAs[Long]("max_occupancy") >= 1L)
+    // 40 byte-identical docs against cap=10: every one of their 4 shared
+    // buckets holds 40 >= cap — the "cap is binding" signal must trip
+    val dup = (0L until 40L).map(i => (i, "all the same text in every copy here"))
+      .toDF("doc_id", "text")
+    val dirH = java.nio.file.Files.createTempDirectory("lsh_stats_h").toString
+    LshIndexIO.build(dup, "doc_id", "text", dirH)
+    val hot = LshIndexIO.stats(spark, dirH, cap = 10).head()
+    assert(hot.getAs[Long]("capped_buckets") == 4L &&
+      hot.getAs[Long]("max_occupancy") == 40L &&
+      hot.getAs[Double]("skew") == 1.0)
+  }
+
   test("bucket cap applies identically over the loaded index") {
     val inline = pairKey(TextOps.minhashLshPairs(docs, "doc_id", "text",
       maxBandBucket = Some(2)))
