@@ -43,17 +43,11 @@ object HtmlEntities {
         .TypeCheckFailure(
           s"html_entity_decode needs a string arg, got ${child.dataType.simpleString}")
 
-    private def namedAt(s: String, i: Int): (String, Int) = {
-      // i points at '&'; returns (replacement, chars consumed) or (null, 0)
-      def is(lit: String, repl: String): (String, Int) =
-        if (s.regionMatches(i, lit, 0, lit.length)) (repl, lit.length)
-        else (null, 0)
-      val probes = Seq(
-        () => is("&amp;", "&"), () => is("&lt;", "<"),
-        () => is("&gt;", ">"), () => is("&quot;", "\""),
-        () => is("&apos;", "'"), () => is("&nbsp;", " "))
-      probes.iterator.map(_.apply()).find(_._1 != null).getOrElse((null, 0))
-    }
+    // the named table as parallel arrays — probed per '&' in the hot
+    // loop, so no per-call closure/tuple allocation
+    private val namedLits =
+      Array("&amp;", "&lt;", "&gt;", "&quot;", "&apos;", "&nbsp;")
+    private val namedRepls = Array('&', '<', '>', '"', '\'', ' ')
 
     override def nullSafeEval(input: Any): Any = {
       val s = input.asInstanceOf[UTF8String].toString
@@ -83,8 +77,14 @@ object HtmlEntities {
             i = j + 1
           } else { out.append(c); i += 1 }
         } else {
-          val (repl, consumed) = namedAt(s, i)
-          if (repl != null) { out.append(repl); i += consumed }
+          var m = 0
+          var hit = -1
+          while (hit < 0 && m < namedLits.length) {
+            if (s.regionMatches(i, namedLits(m), 0, namedLits(m).length))
+              hit = m
+            m += 1
+          }
+          if (hit >= 0) { out.append(namedRepls(hit)); i += namedLits(hit).length }
           else { out.append(c); i += 1 }
         }
       }

@@ -24,6 +24,26 @@ import org.apache.spark.sql.functions._
   * 24:1 old:new ratio). Prints one JSON line for docs/SCALE.md.
   *
   * Usage: runMain graft.tools.IncProbeBench [sfDir] [newMinId]
+  *
+  * Reproducing the SCALE.md 500k-real-doc measurement: replicate the
+  * sf0.1 documents table 100× with per-replica id offsets and text
+  * suffixes (the make_bench_sf discipline), then split the last 4
+  * replicas off as the arriving batch —
+  * {{{
+  * python3 - <<'PY'
+  * import duckdb, os
+  * os.makedirs('/tmp/docs100x', exist_ok=True)
+  * con = duckdb.connect()
+  * con.execute("CREATE VIEW ks AS SELECT unnest(range(0,100)) AS k")
+  * q = ("SELECT doc_id + k*5000 AS doc_id, source, "
+  *      "text || ' r' || k::VARCHAR AS text FROM "
+  *      "read_parquet('/root/testdata/sf0.1/documents.parquet') "
+  *      "CROSS JOIN ks")
+  * con.execute("COPY (" + q + ") TO '/tmp/docs100x/documents.parquet'"
+  *             " (FORMAT PARQUET)")
+  * PY
+  * sbt "runMain graft.tools.IncProbeBench /tmp/docs100x 480000"
+  * }}}
   */
 object IncProbeBench {
   def main(args: Array[String]): Unit = {
