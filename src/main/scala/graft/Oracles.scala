@@ -2753,6 +2753,21 @@ object Oracles {
         |UNION ALL SELECT id, page_url, 13, '/e', 'E',
         |  root || '/e', host FROM b""".stripMargin,
 
+    // host-graph rollup: the planted per-page link counts in closed
+    // form — every page emits 10 own-host edges plus one to each of its
+    // two cross-host neighbors ((id+1)%7, (id+2)%7); mailto/fragment
+    // rows have null dst and are excluded
+    "web_host_graph" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |c AS (SELECT id % 7 AS h, count(*)::BIGINT AS n FROM d GROUP BY 1)
+        |SELECT 'ex' || h::VARCHAR || '.com' AS src_host,
+        |  'ex' || h::VARCHAR || '.com' AS dst_host,
+        |  10 * n AS n_links FROM c
+        |UNION ALL SELECT 'ex' || h::VARCHAR || '.com',
+        |  'ex' || ((h + 1) % 7)::VARCHAR || '.com', n FROM c
+        |UNION ALL SELECT 'ex' || h::VARCHAR || '.com',
+        |  'ex' || ((h + 2) % 7)::VARCHAR || '.com', n FROM c""".stripMargin,
+
     // WET curation capstone: the extracted text is closed form, so the
     // whole crawl-bytes→verdict lineage replays — extraction stated
     // directly, langid/quality/token arithmetic over it with the shared

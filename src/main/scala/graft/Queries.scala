@@ -1045,6 +1045,22 @@ object Queries {
     operators.HtmlOps.extractLinks(pages, "html", "page_url")
   }
 
+  /** HOST-GRAPH edge rollup over the extracted outlinks — the table the
+    * graph tier consumes: resolvable links only (null urls audited out
+    * upstream), grouped to `(src_host, dst_host, n_links)`. One
+    * map-side-combined shuffle on the host pair — host-pair-bounded at
+    * any corpus size; this output IS [[webPagerank]]/[[GraphOps]]'s
+    * input shape, closing extract → edges → rank on attested stages.
+    * The oracle states the edge weights in closed form from the planted
+    * link counts (10 own-host + one to each of the two planted
+    * cross-host neighbors, per page). */
+  def webHostGraph(s: SparkSession, dir: String): DataFrame =
+    webLinkGraph(s, dir).filter(col("dst_host").isNotNull)
+      .select(lower(regexp_extract(col("page_url"),
+          "(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)).as("src_host"),
+        col("dst_host"))
+      .groupBy("src_host", "dst_host").agg(count(lit(1)).as("n_links"))
+
   /** CAPSTONE WET curation — crawl ARCHIVE BYTES to training verdicts on
     * one plan, the composition a real web pipeline runs end to end:
     * Content-Length-framed WARC records ([[webWetExtract]]'s chain) →
