@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver json-parses the tail of `sbt runMain` stdout (BENCH_r*).
+// sbt's default output strategy logs every forked-process line through
+// its logger with an `[info] ` prefix, and appends a `[success] Total
+// time` epilogue — both have made the bench artifact unparseable for 13
+// rounds ("parsed": null). StdoutOutput inherits the fork's stdout
+// unprefixed; showSuccess/showTiming drop the epilogue so the LAST
+// stdout line is the Bench's own compact JSON object.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming, run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

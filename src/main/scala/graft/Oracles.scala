@@ -1783,6 +1783,67 @@ object Oracles {
        |QUALIFY rank <= 3""".stripMargin
   }
 
+  /** The logreg training chain (features → train-split standardization →
+    * unrolled round-6-quantized gradient iterations → corpus-wide
+    * sigmoid scores with truth label and split flag in `sc`) — shared by
+    * the `quality_classify_logreg` score oracle and the
+    * `quality_classify_audit` held-out evaluation so the replayed model
+    * cannot drift between them. */
+  private def logregCtes: String = {
+    val lr = graft.Queries.logregLr
+    val iters = (1 to graft.Queries.logregIters).map { i =>
+      s"""g$i AS (SELECT count(*)::DOUBLE AS n,
+         |    sum(p - y) AS g0, sum((p - y) * f1) AS g1,
+         |    sum((p - y) * f2) AS g2, sum((p - y) * f3) AS g3
+         |  FROM (SELECT 1.0e0 / (1.0e0 + exp(-(w.b + w.w1 * t.f1
+         |        + w.w2 * t.f2 + w.w3 * t.f3))) AS p,
+         |      t.y, t.f1, t.f2, t.f3
+         |    FROM tr t CROSS JOIN w${i - 1} w)),
+         |w$i AS MATERIALIZED (SELECT
+         |    round(w.b  - ${d(lr)} * g.g0 / g.n, 6) AS b,
+         |    round(w.w1 - ${d(lr)} * g.g1 / g.n, 6) AS w1,
+         |    round(w.w2 - ${d(lr)} * g.g2 / g.n, 6) AS w2,
+         |    round(w.w3 - ${d(lr)} * g.g3 / g.n, 6) AS w3
+         |  FROM w${i - 1} w CROSS JOIN g$i g)""".stripMargin
+    }.mkString(",\n")
+    val wf = s"w${graft.Queries.logregIters}"
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
+      |    string_split(trim(text), ' ') AS toks,
+      |    length(trim(text)) AS nc FROM documents),
+      |f0 AS (SELECT doc,
+      |  len(list_filter(toks, w -> w IN ('the','a','of','and','to','in')))::DOUBLE
+      |    / len(toks) AS f1,
+      |  len(list_filter(toks, w -> length(w) > 6))::DOUBLE / len(toks) AS f2,
+      |  nc::DOUBLE / len(toks)::DOUBLE / 1.0e1 AS f3,
+      |  (1.0e0
+      |    - (CASE WHEN len(list_filter(toks, w -> w IN ('the','a','of','and','to','in')))::DOUBLE / len(toks) < 2.0e-2 THEN 4.0e-1 ELSE 0.0e0 END)
+      |    - (CASE WHEN len(toks) < 5 THEN 4.0e-1 ELSE 0.0e0 END)
+      |    - (CASE WHEN len(list_filter(toks, w -> length(w) > 6))::DOUBLE / len(toks) > 5.0e-1 THEN 2.0e-1 ELSE 0.0e0 END)
+      |  ) >= 8.0e-1 AS yb,
+      |  doc % 5 = 0 AS tr FROM d),
+      |st0 AS (SELECT
+      |    round(avg(f1), 6) AS m1, round(stddev_pop(f1), 6) AS s1r,
+      |    round(avg(f2), 6) AS m2, round(stddev_pop(f2), 6) AS s2r,
+      |    round(avg(f3), 6) AS m3, round(stddev_pop(f3), 6) AS s3r
+      |  FROM f0 WHERE tr),
+      |st AS MATERIALIZED (SELECT m1, m2, m3,
+      |    CASE WHEN s1r = 0 THEN 1.0e0 ELSE s1r END AS s1,
+      |    CASE WHEN s2r = 0 THEN 1.0e0 ELSE s2r END AS s2,
+      |    CASE WHEN s3r = 0 THEN 1.0e0 ELSE s3r END AS s3 FROM st0),
+      |f AS MATERIALIZED (SELECT doc, yb, tr,
+      |    (f1 - m1) / s1 AS f1, (f2 - m2) / s2 AS f2, (f3 - m3) / s3 AS f3
+      |  FROM f0 CROSS JOIN st),
+      |tr AS MATERIALIZED (SELECT f1, f2, f3,
+      |    CASE WHEN yb THEN 1.0e0 ELSE 0.0e0 END AS y
+      |  FROM f WHERE tr),
+      |w0 AS (SELECT 0.0e0 AS b, 0.0e0 AS w1, 0.0e0 AS w2, 0.0e0 AS w3),
+      |""".stripMargin + iters + s""",
+      |sc AS (SELECT f.doc, f.tr AS is_train, f.yb AS y,
+      |    1.0e0 / (1.0e0 + exp(-(w.b + w.w1 * f.f1 + w.w2 * f.f2
+      |      + w.w3 * f.f3))) AS p
+      |  FROM f CROSS JOIN $wf w)""".stripMargin
+  }
+
   val sql: Map[String, String] = sqlMain ++ sqlRest
 
   private def sqlMain: Map[String, String] = Map(
@@ -1832,6 +1893,24 @@ object Oracles {
     // existing snapshot only (the appended batch must ride the frozen
     // model — Queries.annIndexAppend)
     "ann_index_append" -> ivfPqSqlTrained("vec_id % 5 <> 4"),
+    // retrain-after-append: maintenance must leave the index
+    // indistinguishable from a from-scratch build over the FULL corpus,
+    // so the oracle is ann_ivf_pq_topk's full-corpus chain VERBATIM —
+    // paired with ann_index_append's snapshot-trained chain, the two
+    // hashes pin the whole model lifecycle (Queries.annIndexRetrain)
+    "ann_index_retrain" -> ivfPqSql,
+
+    // recall-floor attestation for the learned-OPQ real-corpus tier: the
+    // rotation fit is not SQL-replayable (see ann_opq_ivf_topk's note),
+    // so the row is the CLOSED-FORM floor contract — recall_ok flips and
+    // breaks the hash if measured recall@k drops below the shared floor
+    "ann_opq_real_recall" ->
+      s"""SELECT 'opq_ivf_real' AS tier,
+         |  count(DISTINCT vec_id)::BIGINT AS n_queries,
+         |  ${graft.Queries.annRecallK} AS k,
+         |  ${d(graft.Queries.annOpqRealFloor)} + 0.0e0 AS recall_floor,
+         |  true AS recall_ok
+         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     // PLANTED-RECALL oracle (the m9 discipline): the OPQ rotation fit is
     // an alternating Procrustes SVD — not replayable in SQL — but the
@@ -1865,6 +1944,11 @@ object Oracles {
     // append(src10-14) — append must equal a from-scratch build over
     // src0-14, so the oracle is shared verbatim
     "dedup_incremental_append" -> dedupIncrementalSql,
+    // maintenance variant: the append-chain index COMPACTED (band
+    // partitions rewritten, atomic generation swap) before the probe —
+    // compaction must be row-invisible, so the oracle is shared verbatim
+    // a third time (Queries.dedupIncrementalCompact)
+    "dedup_incremental_compact" -> dedupIncrementalSql,
     // index-health monitor: bucket occupancies replayed from the shared
     // UNCAPPED band CTE (band0 — stats reads raw bands; the cap is a
     // query-time lever), mean/skew derived from the exact integer
@@ -2768,6 +2852,35 @@ object Oracles {
         |UNION ALL SELECT 'ex' || h::VARCHAR || '.com',
         |  'ex' || ((h + 2) % 7)::VARCHAR || '.com', n FROM c""".stripMargin,
 
+    // frontier admission: every candidate URL restated from doc_id
+    // arithmetic (directory link with its trailing slash, query-only
+    // self link on the FULL base path, the real href beside the
+    // data-href decoy, cross-host absolute; the fragment resolves null
+    // and is no candidate), rolled up to reference counts, with the
+    // planted crawled set (every even /q page on every host) excluded —
+    // exactly the anti-join's survivor set (Queries.webFrontier)
+    "web_frontier" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        |l AS (
+        |  SELECT 'http://ex' || (id % 7)::VARCHAR || '.com/p'
+        |      || (id % 10)::VARCHAR || '/' AS url,
+        |    'ex' || (id % 7)::VARCHAR || '.com' AS dst_host FROM d
+        |  UNION ALL
+        |  SELECT 'http://ex' || (id % 7)::VARCHAR || '.com/' || id::VARCHAR
+        |      || '?page=' || (id % 3)::VARCHAR,
+        |    'ex' || (id % 7)::VARCHAR || '.com' FROM d
+        |  UNION ALL
+        |  SELECT 'http://ex' || (id % 7)::VARCHAR || '.com/q'
+        |      || (id % 5)::VARCHAR,
+        |    'ex' || (id % 7)::VARCHAR || '.com' FROM d
+        |  UNION ALL
+        |  SELECT 'http://ex' || ((id + 1) % 7)::VARCHAR || '.com/x'
+        |      || (id % 4)::VARCHAR,
+        |    'ex' || ((id + 1) % 7)::VARCHAR || '.com' FROM d)
+        |SELECT url, min(dst_host) AS dst_host, count(*)::BIGINT AS n_refs
+        |FROM l WHERE NOT regexp_matches(url, '/q[024]$')
+        |GROUP BY url""".stripMargin,
+
     // WET curation capstone: the extracted text is closed form, so the
     // whole crawl-bytes→verdict lineage replays — extraction stated
     // directly, langid/quality/token arithmetic over it with the shared
@@ -2938,63 +3051,52 @@ object Oracles {
     // weight update (quantization mirrored by the engine, so
     // sum-order/exp/stddev-algorithm ulps never compound); final scores
     // from the shared standardize-then-sigmoid arithmetic
-    "quality_classify_logreg" -> {
-      val lr = graft.Queries.logregLr
-      val iters = (1 to graft.Queries.logregIters).map { i =>
-        s"""g$i AS (SELECT count(*)::DOUBLE AS n,
-           |    sum(p - y) AS g0, sum((p - y) * f1) AS g1,
-           |    sum((p - y) * f2) AS g2, sum((p - y) * f3) AS g3
-           |  FROM (SELECT 1.0e0 / (1.0e0 + exp(-(w.b + w.w1 * t.f1
-           |        + w.w2 * t.f2 + w.w3 * t.f3))) AS p,
-           |      t.y, t.f1, t.f2, t.f3
-           |    FROM tr t CROSS JOIN w${i - 1} w)),
-           |w$i AS MATERIALIZED (SELECT
-           |    round(w.b  - ${d(lr)} * g.g0 / g.n, 6) AS b,
-           |    round(w.w1 - ${d(lr)} * g.g1 / g.n, 6) AS w1,
-           |    round(w.w2 - ${d(lr)} * g.g2 / g.n, 6) AS w2,
-           |    round(w.w3 - ${d(lr)} * g.g3 / g.n, 6) AS w3
-           |  FROM w${i - 1} w CROSS JOIN g$i g)""".stripMargin
-      }.mkString(",\n")
-      val wf = s"w${graft.Queries.logregIters}"
-      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
-        |    string_split(trim(text), ' ') AS toks,
-        |    length(trim(text)) AS nc FROM documents),
-        |f0 AS (SELECT doc,
-        |  len(list_filter(toks, w -> w IN ('the','a','of','and','to','in')))::DOUBLE
-        |    / len(toks) AS f1,
-        |  len(list_filter(toks, w -> length(w) > 6))::DOUBLE / len(toks) AS f2,
-        |  nc::DOUBLE / len(toks)::DOUBLE / 1.0e1 AS f3,
-        |  (1.0e0
-        |    - (CASE WHEN len(list_filter(toks, w -> w IN ('the','a','of','and','to','in')))::DOUBLE / len(toks) < 2.0e-2 THEN 4.0e-1 ELSE 0.0e0 END)
-        |    - (CASE WHEN len(toks) < 5 THEN 4.0e-1 ELSE 0.0e0 END)
-        |    - (CASE WHEN len(list_filter(toks, w -> length(w) > 6))::DOUBLE / len(toks) > 5.0e-1 THEN 2.0e-1 ELSE 0.0e0 END)
-        |  ) >= 8.0e-1 AS yb,
-        |  doc % 5 = 0 AS tr FROM d),
-        |st0 AS (SELECT
-        |    round(avg(f1), 6) AS m1, round(stddev_pop(f1), 6) AS s1r,
-        |    round(avg(f2), 6) AS m2, round(stddev_pop(f2), 6) AS s2r,
-        |    round(avg(f3), 6) AS m3, round(stddev_pop(f3), 6) AS s3r
-        |  FROM f0 WHERE tr),
-        |st AS MATERIALIZED (SELECT m1, m2, m3,
-        |    CASE WHEN s1r = 0 THEN 1.0e0 ELSE s1r END AS s1,
-        |    CASE WHEN s2r = 0 THEN 1.0e0 ELSE s2r END AS s2,
-        |    CASE WHEN s3r = 0 THEN 1.0e0 ELSE s3r END AS s3 FROM st0),
-        |f AS MATERIALIZED (SELECT doc, yb, tr,
-        |    (f1 - m1) / s1 AS f1, (f2 - m2) / s2 AS f2, (f3 - m3) / s3 AS f3
-        |  FROM f0 CROSS JOIN st),
-        |tr AS MATERIALIZED (SELECT f1, f2, f3,
-        |    CASE WHEN yb THEN 1.0e0 ELSE 0.0e0 END AS y
-        |  FROM f WHERE tr),
-        |w0 AS (SELECT 0.0e0 AS b, 0.0e0 AS w1, 0.0e0 AS w2, 0.0e0 AS w3),
-        |""".stripMargin + iters + s""",
-        |sc AS (SELECT f.doc, f.tr AS is_train,
-        |    1.0e0 / (1.0e0 + exp(-(w.b + w.w1 * f.f1 + w.w2 * f.f2
-        |      + w.w3 * f.f3))) AS p
-        |  FROM f CROSS JOIN $wf w)
-        |SELECT doc, is_train, round(p, 6) + 0.0e0 AS score,
-        |  p >= 5.0e-1 AS label_pred
-        |FROM sc""".stripMargin
-    },
+    "quality_classify_logreg" ->
+      s"""$logregCtes
+         |SELECT doc, is_train, round(p, 6) + 0.0e0 AS score,
+         |  p >= 5.0e-1 AS label_pred
+         |FROM sc""".stripMargin,
+
+    // held-out operating point of the logreg gate: the shared training
+    // chain replayed, then rank-statistic AUC (average ranks over tied
+    // round-6 scores), precision/recall/F1 at 0.5, and the best-F1
+    // threshold on the held-out curve (ties to the higher cut). Every
+    // statistic derives from integer group counts (rank terms are exact
+    // multiples of ½), so the doubles are bit-deterministic on both
+    // engines before the one round-6 at output
+    "quality_classify_audit" ->
+      s"""$logregCtes,
+         |ho AS (SELECT round(p, 6) + 0.0e0 AS score, y FROM sc
+         |  WHERE NOT is_train),
+         |g AS (SELECT score, count(*)::BIGINT AS n,
+         |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS np
+         |  FROM ho GROUP BY score),
+         |c AS (SELECT score, n, np,
+         |    sum(n) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum_n,
+         |    sum(np) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum_np
+         |  FROM g),
+         |t AS (SELECT sum(n)::BIGINT AS t_n, sum(np)::BIGINT AS t_p FROM g),
+         |s AS (SELECT max(t_n)::BIGINT AS t_n, max(t_p)::BIGINT AS t_p,
+         |    sum(np::DOUBLE * (cum_n - n)::DOUBLE
+         |      + np::DOUBLE * (n + 1)::DOUBLE / 2.0e0) AS rank_sum,
+         |    sum(CASE WHEN score >= 5.0e-1 THEN np ELSE 0 END)::BIGINT AS tp05,
+         |    sum(CASE WHEN score >= 5.0e-1 THEN n - np ELSE 0 END)::BIGINT
+         |      AS fp05
+         |  FROM c CROSS JOIN t),
+         |b AS (SELECT score,
+         |    2.0e0 * (t.t_p - cum_np + np)::DOUBLE
+         |      / ((t.t_n - cum_n + n) + t.t_p)::DOUBLE AS f1
+         |  FROM c CROSS JOIN t ORDER BY f1 DESC, score DESC LIMIT 1)
+         |SELECT s.t_n AS n_eval, s.t_p AS n_pos,
+         |  round((rank_sum - t_p::DOUBLE * (t_p + 1)::DOUBLE / 2.0e0)
+         |    / (t_p::DOUBLE * (t_n - t_p)::DOUBLE), 6) + 0.0e0 AS auc,
+         |  round(tp05::DOUBLE / (tp05 + fp05)::DOUBLE, 6) + 0.0e0
+         |    AS precision_at_half,
+         |  round(tp05::DOUBLE / t_p::DOUBLE, 6) + 0.0e0 AS recall_at_half,
+         |  round(2.0e0 * tp05::DOUBLE / ((tp05 + fp05) + t_p)::DOUBLE, 6)
+         |    + 0.0e0 AS f1_at_half,
+         |  b.score AS best_threshold, round(b.f1, 6) + 0.0e0 AS best_f1
+         |FROM s CROSS JOIN b""".stripMargin,
 
     // MOSS winnowing replay: dense grams -> per-window rightmost-min
     // selection (windows exploded; short docs = one whole-doc window,

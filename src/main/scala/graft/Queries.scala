@@ -1061,6 +1061,50 @@ object Queries {
         col("dst_host"))
       .groupBy("src_host", "dst_host").agg(count(lit(1)).as("n_links"))
 
+  /** Planted frontier page: five hrefs per doc, each exercising a
+    * resolution branch the admission fixture must attest — a DIRECTORY
+    * link (trailing slash preserved, RFC 3986 §5.2.4), a QUERY-ONLY
+    * self link (full base path kept, §5.3), a `data-href` decoy beside
+    * the real single-quoted href (attribute-key matching), a cross-host
+    * absolute, and a fragment (resolves null — never a candidate). */
+  private def frontierHtml(id: Column): Column = concat(
+    lit("<body><p><a href=\"/p"), (id % 10).cast("string"),
+    lit("/\">dir</a> <a href=\"?page="), (id % 3).cast("string"),
+    lit("\">self</a> <a data-href=\"/ghost\" href='/q"),
+    (id % 5).cast("string"),
+    lit("'>q</a> <a href=\"http://ex"), ((id + 1) % 7).cast("string"),
+    lit(".com/x"), (id % 4).cast("string"),
+    lit("\">x</a> <a href=\"#top\">f</a></p></body>"))
+
+  /** CRAWL-FRONTIER ADMISSION ([[operators.HtmlOps.frontierFilter]],
+    * r13 verdict #3 — the crawl loop's last unattested stage): outlinks
+    * extracted and resolved from the planted pages, rolled up to one
+    * row per distinct URL with its reference count, then the URLs the
+    * crawler has ALREADY fetched anti-joined away. The planted crawled
+    * set (every even `/q{j}` page on every host) makes the survivor set
+    * closed-form: the oracle re-derives every candidate URL from
+    * doc_id arithmetic and excludes exactly the crawled pattern — a
+    * resolution bug (lost trailing slash, query-only mis-base,
+    * data-href ghost) or an anti-join bug (dropped survivor, admitted
+    * duplicate) shifts rows and breaks the hash. Plan-pinned: the
+    * rollup and the anti-join share one hash partitioning on `url`
+    * (single exchange on the candidate side), and the join is equi —
+    * never a nested loop. */
+  def webFrontier(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("long")
+    val pages = Tables.documents(s, dir).select(
+      id.as("doc"),
+      concat(lit("http://ex"), (id % 7).cast("string"), lit(".com/"),
+        id.cast("string")).as("page_url"),
+      frontierHtml(id).as("html"))
+    val links = operators.HtmlOps.extractLinks(pages, "html", "page_url")
+    val crawled = s.range(21).select(
+      concat(lit("http://ex"), (col("id") % 7).cast("string"),
+        lit(".com/q"), (floor(col("id") / 7).cast("long") * 2)
+          .cast("string")).as("url"))
+    operators.HtmlOps.frontierFilter(links, crawled, "url")
+  }
+
   /** CAPSTONE WET curation — crawl ARCHIVE BYTES to training verdicts on
     * one plan, the composition a real web pipeline runs end to end:
     * Content-Length-framed WARC records ([[webWetExtract]]'s chain) →
@@ -1120,6 +1164,72 @@ object Queries {
       isTrain = col("doc_id") % 5 === 0,
       label = TextOps.qualityCol(col("text")) >= 0.8,
       iters = logregIters, lr = logregLr)
+
+  /** MEASURED OPERATING POINT for the logreg quality classifier (r13
+    * verdict #7 — the ANN recall-audit discipline applied to curation):
+    * the classifier ships scores, this row states what they are WORTH
+    * on the held-out split (doc_id % 5 ≠ 0 — never seen by the
+    * gradient loop). One row: held-out size and positive count,
+    * rank-statistic AUC (Mann-Whitney with average ranks over tied
+    * scores), precision/recall/F1 at the default 0.5 cut, and the
+    * BEST-F1 threshold chosen on the held-out curve (ties broken to the
+    * higher threshold — the conservative cut) — the number a curation
+    * deployment actually sets its gate with.
+    *
+    * All arithmetic runs on the ROUND-6 score (the classifier's own
+    * output quantization, mirrored by the oracle), so every group
+    * statistic is integer-exact: rank sums are multiples of ½ (exact in
+    * doubles at any corpus size), the F1 argmax compares single-division
+    * ratios of small integers — bit-identical across engines. The
+    * oracle replays the full training chain (the shared logreg CTEs)
+    * and states the same statistics in SQL. Scale shape: one groupBy
+    * on score, then windows/aggregates over AT MOST 10⁶+1 rows (the
+    * round-6 score domain) — corpus-size-independent after the first
+    * aggregate, which is why the keyless window is admissible here. */
+  def qualityClassifyAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val truth = docs.select(col("doc_id").cast("long").as("doc"),
+      (TextOps.qualityCol(col("text")) >= 0.8).as("y"))
+    val ho = qualityClassifyLogreg(s, dir).filter(!col("is_train"))
+      .join(truth, "doc").select(col("score"), col("y"))
+    val g = ho.groupBy("score").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("y"), 1L).otherwise(0L)).as("np"))
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.withColumn("cum_n", sum("n").over(w))
+      .withColumn("cum_np", sum("np").over(w))
+      .crossJoin(g.agg(sum("n").as("t_n"), sum("np").as("t_p")))
+    val stats = cum.agg(
+      max(col("t_n")).as("t_n"), max(col("t_p")).as("t_p"),
+      sum(col("np").cast("double") * (col("cum_n") - col("n")).cast("double")
+        + col("np").cast("double") * (col("n") + 1).cast("double") / 2.0)
+        .as("rank_sum"),
+      sum(when(col("score") >= 0.5, col("np")).otherwise(0L)).as("tp05"),
+      sum(when(col("score") >= 0.5, col("n") - col("np")).otherwise(0L))
+        .as("fp05"))
+    val best = cum.select(col("score"),
+        (lit(2.0) * (col("t_p") - col("cum_np") + col("np")).cast("double")
+          / ((col("t_n") - col("cum_n") + col("n")) + col("t_p"))
+            .cast("double")).as("f1"))
+      .orderBy(col("f1").desc, col("score").desc).limit(1)
+    stats.crossJoin(best).select(
+      col("t_n").as("n_eval"), col("t_p").as("n_pos"),
+      (round((col("rank_sum")
+          - col("t_p").cast("double") * (col("t_p") + 1).cast("double") / 2.0)
+        / (col("t_p").cast("double")
+          * (col("t_n") - col("t_p")).cast("double")), 6) + 0.0).as("auc"),
+      (round(col("tp05").cast("double")
+        / (col("tp05") + col("fp05")).cast("double"), 6) + 0.0)
+        .as("precision_at_half"),
+      (round(col("tp05").cast("double") / col("t_p").cast("double"), 6)
+        + 0.0).as("recall_at_half"),
+      (round(lit(2.0) * col("tp05").cast("double")
+        / ((col("tp05") + col("fp05")) + col("t_p")).cast("double"), 6)
+        + 0.0).as("f1_at_half"),
+      col("score").as("best_threshold"),
+      (round(col("f1"), 6) + 0.0).as("best_f1"))
+  }
 
   /** Decontamination via the BLOOM-PREFILTERED plan ([[operators.TextOps
     * .decontaminateBloom]]) — the shape for benchmark sets too big to
@@ -1954,6 +2064,41 @@ object Queries {
         (round(col("sim"), 6) + 0.0).as("sim"))
   }
 
+  /** INDEX RETRAIN — the maintenance valve for the drift the append
+    * path accumulates ([[operators.AnnIndexIO.retrain]], r13 verdict
+    * #1): the snapshot index is assembled exactly as [[annIndexAppend]]
+    * does (quantizer frozen on vec_id % 5 ≠ 4, new batch admitted
+    * through it), then RETRAINED from the full accumulated corpus at
+    * the persisted configuration and atomically swapped. The oracle is
+    * [[annIvfPqTopk]]'s full-corpus Lloyd-replay SQL VERBATIM — retrain
+    * must leave the index indistinguishable from a from-scratch build
+    * over everything it has absorbed (centroids, codebooks, every
+    * encoding), or the shared hash breaks. The
+    * [[annIndexAppend]]/[[annIndexRetrain]] oracle PAIR pins the whole
+    * lifecycle: append alone ⇒ the snapshot-trained chain, append +
+    * retrain ⇒ the full-corpus chain — same search, two different
+    * attested models. */
+  def annIndexRetrain(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val isNew = col("vec_id") % 5 === 4
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|retrain|nCells=$annIvfPqCells".getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val idxPath = s"${Queries.privateIndexBase}/graft_ann_rt_$tag"
+    if (!new java.io.File(s"$idxPath/index").exists()) {
+      operators.AnnIndexIO.buildAuto(emb.filter(!isNew), "vec_id",
+        "embedding", idxPath, nCells = annIvfPqCells)
+      operators.AnnIndexIO.appendAuto(s, idxPath, emb.filter(isNew),
+        "vec_id", "embedding")
+      operators.AnnIndexIO.retrain(emb, "vec_id", "embedding", idxPath)
+    }
+    operators.AnnIndexIO.searchAuto(s, idxPath, emb, "vec_id", "embedding",
+        col("v_id") < 10, k = 3, nprobe = annIvfPqNprobe,
+        rerank = annIvfPqRerank)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        (round(col("sim"), 6) + 0.0).as("sim"))
+  }
+
   /** OPQ×IVF probe-pruned tier — planted-fixture constants (shared with
     * the oracle builder): 25 tight orthogonal-axis clusters of 20
     * members each over dim 64, nCells = 25 so the deterministic k-means
@@ -2178,18 +2323,27 @@ object Queries {
   val annOpqRealNprobe: Int = 32
   val annOpqRealRerank: Int = 100
 
-  /** Measured recall@k of the LEARNED-rotation OPQ×IVF tier on the REAL
-    * embedding table (r12 verdict #4) — the missing fifth number next to
-    * [[annRecallAudit]]'s four. One row, same shape as the audit rows.
-    *
-    * ROWS-ONLY by necessity, not omission: the OPQ rotation fit is an
-    * alternating Procrustes SVD (Breeze, driver-side) — the one stage in
-    * the ANN family DuckDB cannot replay (the planted `opq_ivf` audit
-    * row exists precisely because of this; reference: ann_opq_ivf_topk's
-    * oracle note). The measured value is attested three ways instead:
-    * the AnnIndexSpec recall floor on a NON-planted deterministic
-    * corpus, the docs/SCALE.md sweep table (sf0.01 and sf0.1), and the
-    * 10× standing run (tools/ann_recall_check.py tier split). */
+  /** Shared operating floor for the learned-OPQ real-corpus tier: the
+    * AnnIndexSpec contract floor, the r13 sweep's measured 1.000 at
+    * sf0.01/sf0.1 sits far above it. Shared with the oracle builder so
+    * the stated floor can't drift from the asserted one. */
+  val annOpqRealFloor: Double = 0.9
+
+  /** Recall FLOOR attestation for the LEARNED-rotation OPQ×IVF tier on
+    * the REAL embedding table (r12 verdict #4; r13 verdict wrong #2) —
+    * the fifth number next to [[annRecallAudit]]'s four, emitted as a
+    * CLOSED-FORM row the driver gate can hash: `(tier, n_queries, k,
+    * recall_floor, recall_ok)` where `recall_ok` is the engine's
+    * measured recall@k against the exact brute-force truth compared to
+    * [[annOpqRealFloor]], and the oracle states the whole row in closed
+    * form (`recall_ok = true`). The OPQ rotation fit (alternating
+    * Procrustes SVD, Breeze, driver-side) is the one ANN stage DuckDB
+    * cannot replay, so the measured VALUE cannot be hash-pinned — but
+    * the floor CONTRACT can: any regression that drops measured recall
+    * below the floor flips the boolean and breaks the hash. The
+    * measured value itself stays attested by the AnnIndexSpec floor
+    * test, the docs/SCALE.md sweep (sf0.01 and sf0.1), and the 10×
+    * standing (tools/ann_recall_check.py tier split). */
   def annOpqRealRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val truth = CacheRegistry.persistTracked(
@@ -2207,6 +2361,9 @@ object Queries {
       "vec_id", "embedding", col("v_id") < 10, k = annRecallK,
       nprobe = annOpqRealNprobe, rerank = annOpqRealRerank)
     recallRow("opq_ivf_real", approx, truth)
+      .select(col("tier"), col("n_queries"), col("k"),
+        (lit(annOpqRealFloor) + 0.0).as("recall_floor"),
+        (col("recall") >= annOpqRealFloor).as("recall_ok"))
   }
 
   /** Shared with the oracle builder so the threshold can't drift. */
@@ -2350,6 +2507,39 @@ object Queries {
       Tables.documents(s, dir)
         .filter(substring(col("source"), 4, 10).cast("int") >= 15),
       "doc_id", "text")
+  }
+
+  /** The same probe against an index COMPACTED after its append chain
+    * ([[operators.LshIndexIO.compact]], r13 verdict #1 — the valve for
+    * the small-file pressure [[dedupIndexStats]] gauges): the
+    * two-generation assembly of [[dedupIncrementalAppend]], then the
+    * band partitions rewritten into a fresh generation (atomic swap),
+    * then the src15+ batch probed. The oracle is [[dedupIncremental]]'s
+    * SQL VERBATIM — the third query on one shared hash: from-scratch
+    * build, build+append, and build+append+compact must all present the
+    * identical index to a probe (row completeness, band values,
+    * partition semantics), or maintenance is corrupting the artifact. */
+  private def compactIdxBuild(s: SparkSession, dir: String): String = {
+    val docs = Tables.documents(s, dir)
+    val gen = substring(col("source"), 4, 10).cast("int")
+    val base = s.conf.getOption("spark.graft.lsh.indexDir")
+      .getOrElse(Queries.privateIndexBase)
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|compact".getBytes("UTF-8")).take(6)
+      .map("%02x".format(_)).mkString
+    val idxPath = s"$base/graft_lsh_cpt_$tag"
+    operators.LshIndexIO.build(docs.filter(gen < 10), "doc_id", "text",
+      idxPath)
+    operators.LshIndexIO.append(
+      docs.filter(gen >= 10 && gen < 15), "doc_id", "text", idxPath)
+    idxPath
+  }
+
+  def dedupIncrementalCompact(s: SparkSession, dir: String): DataFrame = {
+    val idxPath = compactIdxBuild(s, dir)
+    operators.LshIndexIO.compact(s, idxPath)
+    operators.LshIndexIO.probe(s, idxPath,
+      Tables.documents(s, dir).filter(incIsNew), "doc_id", "text")
   }
 
   /** LSH index-health monitor ([[operators.LshIndexIO.stats]]) — the
@@ -2652,6 +2842,12 @@ object Queries {
         // both generations' index assembly = the setup a snapshot chain
         // paid before this batch arrived; the probe is the engine
         genIdxBuild(s, dir)
+        s.range(1).toDF("ok")
+      }),
+      "dedup_incremental_compact" -> ((s: SparkSession, dir: String) => {
+        // same split: the chain assembly is setup; compact + probe are
+        // the maintenance engine under measurement
+        compactIdxBuild(s, dir)
         s.range(1).toDF("ok")
       }),
       "m9_binocular" -> ((s: SparkSession, dir: String) => {

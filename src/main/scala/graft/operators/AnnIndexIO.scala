@@ -478,6 +478,83 @@ object AnnIndexIO {
     }
   }
 
+  /** The persisted quantizer's configuration, read back from the
+    * artifact rows: (nCells, m, codebookK) — flat nCells = coarse-row
+    * count; hier nCells = supers × children-per-super. One small driver
+    * collect over the quantizer table (model-sized, the same rows
+    * [[modelFromDF]] collects). Lets [[retrain]] preserve the built
+    * configuration without the caller re-stating it — maintenance must
+    * not silently change the index's operating point. */
+  private def persistedConfig(spark: SparkSession,
+                              path: String): (Int, Int, Int) = {
+    val rows = spark.read.parquet(s"$path/quantizer")
+      .groupBy("kind", "i").agg(count(lit(1)).as("n")).collect()
+    val byKind = rows.groupBy(_.getAs[String]("kind"))
+    val m = byKind.get("book").map(_.length).getOrElse(0)
+    val codebookK = byKind.get("book")
+      .map(_.head.getAs[Long]("n").toInt).getOrElse(16)
+    val nCells = byKind.get("super") match {
+      case Some(supers) =>
+        val childrenPerSuper = byKind("child").head.getAs[Long]("n").toInt
+        supers.length * childrenPerSuper
+      case None => byKind.get("coarse").map(_.length).getOrElse(16)
+    }
+    (nCells, m, codebookK)
+  }
+
+  /** RETRAIN the index from the accumulated corpus — the actuator
+    * [[occupancyStats]]'s `recommend_retrain` flag demands (the gauge
+    * shipped earlier; this is the valve): an [[appendAuto]] chain admits
+    * every batch through the FROZEN quantizer, so a shifted ingest
+    * distribution crowds new vectors into few cells — probe recall
+    * degrades first, then the hot cell serializes its scan. Retrain
+    * refits quantizer + codebooks on the CURRENT corpus at the
+    * persisted configuration (arity/m/codebookK read back from the
+    * artifact — maintenance preserves the operating point), re-encodes
+    * everything, and promotes the new generation with one atomic
+    * directory swap ([[ArtifactSwap]]): searches keep serving the old
+    * generation until the new one is complete, and the promoted index
+    * is indistinguishable from a from-scratch [[buildAuto]] over the
+    * same corpus (oracle-pinned VERBATIM). Flat/hier tiers only — the
+    * kinds [[appendAuto]] admits into, hence the kinds that drift.
+    * Returns false (nothing changed) on an empty corpus. */
+  def retrain(vecs: DataFrame, idCol: String, vecCol: String,
+              path: String, sampleN: Int = 10000): Boolean = {
+    val spark = vecs.sparkSession
+    val (nCells, m, codebookK) = persistedConfig(spark, path)
+    val next = s"${path}_next"
+    ArtifactSwap.clearStale(spark, next)
+    val built = buildAuto(vecs, idCol, vecCol, next, nCells, m, codebookK,
+      sampleN)
+    if (built) ArtifactSwap.swap(spark, path, next)
+    else ArtifactSwap.clearStale(spark, next)
+    built
+  }
+
+  /** Drift-gated maintenance: read the [[occupancyStats]] monitor and
+    * [[retrain]] only when it recommends to — the closed loop a snapshot
+    * chain runs after each [[appendAuto]] batch. Returns true iff a
+    * retrain happened. The monitor read is one tiny aggregate job; the
+    * skew threshold is the monitor's (see its toy-arity note).
+    *
+    * NOTE the skew gauge measures cell CONCENTRATION, which retrain
+    * cures only when the cause is a stale quantizer (codebooks that
+    * cannot resolve the drifted region — the damage the spec measures
+    * as code-word collapse). A corpus whose mass is GENUINELY
+    * concentrated keeps a high skew after a perfect retrain, so a
+    * deployment driving this in a loop should re-arm on skew INCREASE
+    * since the last retrain (one stored number next to the artifact)
+    * rather than on the absolute flag, or it will retrain every
+    * batch. */
+  def retrainIfDrifted(spark: SparkSession, path: String, vecs: DataFrame,
+                       idCol: String, vecCol: String,
+                       skewThreshold: Double = 8.0,
+                       sampleN: Int = 10000): Boolean = {
+    val drifted = occupancyStats(spark, path, skewThreshold)
+      .select("recommend_retrain").head().getBoolean(0)
+    drifted && retrain(vecs, idCol, vecCol, path, sampleN)
+  }
+
   /** Cell-occupancy monitor for a built index: one map-side-combined
     * aggregate over the (pruned-to-metadata) index scan. Returns a
     * single-row frame —

@@ -161,12 +161,16 @@ object HtmlOps {
     val segd = pages.select(
       keep :+ split(stripNonContent(col(htmlCol)), "(?i)(?=<a\\b)")
         .as("_segs"): _*)
+    // href attribute key: lookbehind forbids a word-or-hyphen character
+    // before it, so `data-href`/`xhref` never match (`\bhref` did — `-`
+    // is a word boundary, so `data-href="x"` won the double-quoted slot
+    // over a real single-quoted href and emitted a wrong frontier edge)
     val elems = segd.select(
       keep :+ filter(transform(col("_segs"), s => struct(
           regexp_extract(s,
-            "(?is)^<a\\b[^>]*?\\bhref\\s*=\\s*\"([^\"]*)\"", 1).as("dq"),
+            "(?is)^<a\\b[^>]*?(?<![\\w-])href\\s*=\\s*\"([^\"]*)\"", 1).as("dq"),
           regexp_extract(s,
-            "(?is)^<a\\b[^>]*?\\bhref\\s*=\\s*'([^']*)'", 1).as("sq"),
+            "(?is)^<a\\b[^>]*?(?<![\\w-])href\\s*=\\s*'([^']*)'", 1).as("sq"),
           regexp_extract(s, "(?is)^(<a\\b[^>]*>.*?</a\\s*>)", 1)
             .as("elem"))),
         x => x("elem") =!= "").as("_elems"): _*)
@@ -223,11 +227,59 @@ object HtmlOps {
             when(size(acc) > 0, slice(acc, lit(1), size(acc) - 1))
               .otherwise(acc))
           .otherwise(concat(acc, array(x))))
-    val normPath = concat(lit("/"), array_join(folded, "/"))
+    // RFC 3986 §5.2.4: a reference whose path ends in "/", "/." or
+    // "/.." denotes a DIRECTORY — the fold drops the empty/dot tail
+    // segment, so re-append the trailing slash it removed ("/a/b/" must
+    // not collapse to "/a/b": pagination/self links break otherwise).
+    val dirLike = joined.rlike("(?:/|/\\.|/\\.\\.)$")
+    val normPath = when(dirLike && size(folded) > 0,
+        concat(lit("/"), array_join(folded, "/"), lit("/")))
+      .otherwise(concat(lit("/"), array_join(folded, "/")))
     when(isAbs, href)
       .when(isProtoRel, concat(scheme, lit(":"), href))
       .when(isFragOrEmpty || isOtherScheme, lit(null).cast("string"))
+      // §5.3: an empty href path with a non-empty suffix (a query-only
+      // reference like "?page=2") keeps the base's FULL path, not the
+      // base directory — self-links with a changed query are the most
+      // common relative reference on real pages
+      .when(hrefPath === "",
+        concat(hostRoot, when(basePath === "", lit("/")).otherwise(basePath),
+          suffix))
       .otherwise(concat(hostRoot, normPath, suffix))
+  }
+
+  /** FRONTIER URL-SEEN FILTER — the crawl loop's admission step between
+    * outlink discovery ([[extractLinks]]) and the fetch scheduler
+    * ([[RobotsOps]]/`web_fetch_schedule`): aggregate the discovered
+    * outlinks to one row per distinct URL (`n_refs` = how many page→link
+    * references point at it — the frontier's natural priority signal)
+    * and ANTI-JOIN away every URL the crawler has already fetched.
+    *
+    * Scale shape (the 100 TB admission path): the rollup shuffles once
+    * on `url`, and the anti-join runs on the SAME key — Catalyst reuses
+    * the rollup's hash partitioning, so the candidate side pays exactly
+    * one exchange; the crawled side is a plain equi anti-join input
+    * (shuffled, or broadcast when the crawled set is small — never a
+    * nested loop; plan-pinned). `dst_host` rides along so downstream
+    * politeness stages (per-host delay budgeting) group without
+    * re-parsing the URL. The crawled set here is EXACT; at sizes where
+    * shuffling it dominates, the established Bloom discipline
+    * ([[TextOps.decontaminateBloom]]: broadcast sketch prefilter +
+    * exact verify join on the survivors — no false admissions, bounded
+    * shuffle) composes verbatim with this rollup, since both sides key
+    * on the same `url`.
+    *
+    * Input `links` is [[extractLinks]] output (or anything with a
+    * resolved `url` + `dst_host`); null urls (mailto/fragment/opaque)
+    * are not frontier candidates. Output: (url, dst_host, n_refs). */
+  def frontierFilter(links: DataFrame, crawled: DataFrame,
+                     crawledUrlCol: String): DataFrame = {
+    val cand = links.filter(col("url").isNotNull)
+      .groupBy(col("url"))
+      .agg(min(col("dst_host")).as("dst_host"), // url-determined: one value per group
+        count(lit(1)).as("n_refs"))
+    cand.join(crawled.select(col(crawledUrlCol).as("url")),
+      Seq("url"), "left_anti")
   }
 
   /** Append `title`, `text`, `n_blocks`, `n_dropped` (html column
@@ -247,13 +299,26 @@ object HtmlOps {
         regexp_extract(substring(col("_h"), 1, 65536),
           "(?is)<title[^>]*>(.*?)</title", 1).as("_rawTitle") :+
         split(bodyOf(col("_h")), BlockTagRx).as("_segs"): _*)
+    // anchor text via the split-at-opener + ^-anchored-close discipline
+    // ([[stripSpansLinear]]/[[extractLinks]]): a page with NO block-level
+    // tags is one huge segment, so the old whole-block lazy
+    // `<a…>.*?</a>` extract_all was O(anchors × block size) on
+    // unclosed-anchor single-block pages — the same measured quadratic
+    // the r13 hardening removed from span removal. Each `<a` opener
+    // starts its own sub-segment and the close matches ^-anchored, so
+    // every block character is scanned a bounded number of times; on
+    // nested anchors the INNERMOST element wins, the extractLinks rule
+    // (the old scan kept the outer opener's span — same text after
+    // tag-stripping except for nested-anchor pages, which the planted
+    // fixtures don't contain).
     val cleaned = segged.select(
       keep :+ col("_rawTitle") :+
         transform(col("_segs"), s => struct(
           cleanFragment(s).as("t"),
-          cleanFragment(
-            array_join(regexp_extract_all(s,
-              lit("(?is)<a\\b[^>]*>(.*?)</a\\s*>"), lit(1)), " ")).as("a")))
+          cleanFragment(array_join(
+            filter(transform(split(s, "(?i)(?=<a\\b)"), seg =>
+              regexp_extract(seg, "(?is)^<a\\b[^>]*>(.*?)</a\\s*>", 1)),
+              x => x =!= ""), " ")).as("a")))
           .as("_blocks"): _*)
     val judged = cleaned.select(
       keep :+ col("_rawTitle") :+

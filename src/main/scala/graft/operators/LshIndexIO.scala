@@ -107,6 +107,70 @@ object LshIndexIO {
         col("capped_buckets"))
   }
 
+  /** COMPACT the band index — the actuator for [[stats]]'s small-file
+    * pressure (the gauge shipped r13; this is the valve): a months-long
+    * [[append]] chain adds files under every `band_id=` partition on
+    * every batch, so probe cost creeps up with FILE COUNT (listing +
+    * footer reads + tiny row groups) even though row count barely moves.
+    * Compaction rewrites the band table into a fresh generation —
+    * range-placed on (band_id, band_hash) so each writer task covers a
+    * contiguous key range (few large files per partition dir, row-group
+    * stats tight for the band-join's hash pushdown) — and promotes it
+    * with [[ArtifactSwap]]'s atomic rename. Rows are untouched: a probe
+    * against the compacted index is bit-identical to one against the
+    * fragmented chain (oracle-pinned via the VERBATIM shared SQL, and
+    * spec-pinned pair-for-pair), and [[stats]] reads identically.
+    *
+    * `targetPartitions` bounds writer parallelism (defaults to the
+    * cluster's): file count after compaction is `≈ targetPartitions`
+    * TOTAL across all band dirs — bounded by writer arity, never by
+    * append count. Returns (files_before, files_after). */
+  def compact(spark: SparkSession, path: String,
+              targetPartitions: Int = 0): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val live = s"$path/bands"
+    val next = s"$path/bands_next"
+    val parts = if (targetPartitions > 0) targetPartitions
+                else spark.sparkContext.defaultParallelism
+    val before = ArtifactSwap.dataFileCount(spark, live)
+    ArtifactSwap.clearStale(spark, next)
+    load(spark, path)
+      .repartitionByRange(parts, col("band_id"), col("band_hash"))
+      .sortWithinPartitions("band_id", "band_hash")
+      .write.mode("overwrite").partitionBy("band_id").parquet(next)
+    ArtifactSwap.swap(spark, live, next)
+    (before, ArtifactSwap.dataFileCount(spark, live))
+  }
+
+  /** RE-SHINGLE the index into a new generation — the actuator for
+    * [[stats]]'s `capped_buckets` signal: when boilerplate-heavy content
+    * piles documents into few (band, hash) buckets, the rank cap starts
+    * truncating real candidate pairs, and the fix is a LARGER shingle k
+    * (more discriminative shingles spread the buckets). That changes
+    * every band hash, so it costs what [[build]] costs — one full corpus
+    * shingle pass — which is exactly why it runs as index MAINTENANCE
+    * (amortized across all future [[probe]]s) rather than per query.
+    * Built next to the live table, promoted by atomic swap: probes keep
+    * serving the old generation until the new one is complete. The
+    * result is indistinguishable from a from-scratch [[build]] at the
+    * new k (spec-pinned frame-identical). Returns rows written. */
+  def reshingle(docs: DataFrame, idCol: String, textCol: String,
+                path: String, shingleK: Int, numHashes: Int = 16,
+                bands: Int = 4): Long = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{count, lit}
+    val spark = docs.sparkSession
+    val next = s"$path/bands_next"
+    ArtifactSwap.clearStale(spark, next)
+    val table = TextOps.lshBandTable(docs, idCol, textCol, shingleK,
+      numHashes, bands)
+    val obs = Observation()
+    table.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").partitionBy("band_id").parquet(next)
+    ArtifactSwap.swap(spark, s"$path/bands", next)
+    obs.get("rows").asInstanceOf[Long]
+  }
+
   /** Incremental dedup probe ([[TextOps.minhashProbePairs]]): candidate
     * pairs between a new batch and the persisted index (plus the batch's
     * internal pairs) WITHOUT re-pairing the indexed corpus against

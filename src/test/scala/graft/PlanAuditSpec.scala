@@ -548,6 +548,31 @@ class PlanAuditSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("r14 lineages: frontier anti-join equi + single exchange; compact probe banded") {
+    // frontier admission: the url rollup and the seen-set anti-join key
+    // identically, so the candidate side pays ONE hash exchange; the
+    // crawled side broadcasts (or shuffles on the same key at scale) —
+    // never a nested loop
+    val fr = Queries.webFrontier(spark, dir)
+    val pf = plan(fr)
+    assert(pf.contains("LeftAnti"),
+      s"frontier lost its anti-join:\n$pf")
+    assert(!pf.contains("CartesianProduct") &&
+      !pf.contains("BroadcastNestedLoop"),
+      s"frontier degraded to an all-pairs join:\n$pf")
+    val hashEx = pf.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 1,
+      s"frontier expected one candidate-side hash exchange, got $hashEx:\n$pf")
+    graft.CacheRegistry.releaseAll()
+    // probe over a compacted index keeps the banded equi-join shape the
+    // fragmented chain had (compaction must not change the plan family)
+    val pc = plan(Queries.dedupIncrementalCompact(spark, dir))
+    assert(!pc.contains("CartesianProduct") &&
+      !pc.contains("BroadcastNestedLoop"),
+      s"compacted-index probe degraded to an all-pairs join:\n$pc")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("vad: kernel emits windows; the RLE merge is one required exchange") {
     // two exchanges total: the deliberate pre-render id repartition
     // (REPARTITION_BY_COL — fixture parallelism, same as the modal

@@ -460,4 +460,70 @@ class AnnIndexSpec extends SparkSpec {
     assert(after.getAs[Boolean]("recommend_retrain"),
       s"drifted append not flagged: skew ${after.getAs[Double]("skew")}")
   }
+
+  test("planted drift trips the monitor and HEALS through retrainIfDrifted") {
+    def topKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("sim"))))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // toy-arity threshold (see occupancyStats doc): 8 populated cells
+    // bound skew at 8; the planted blob straddles two cells (measured
+    // skew ≈ 3.9 at 620 rows), so the gate sits at 3
+    val thr = 3.0
+    val dir = tmpDir("retrain")
+    assert(AnnIndexIO.buildAuto(vecs, "vec_id", "embedding", dir, nCells = 8))
+    // healthy index: the drift gate must be a no-op (actuator not fired)
+    assert(!AnnIndexIO.retrainIfDrifted(spark, dir, vecs, "vec_id",
+      "embedding", skewThreshold = thr))
+    // drift: one tight off-distribution blob, admitted through the FROZEN
+    // quantizer — every member lands in one cell, and the base-fitted
+    // codebooks cannot discriminate inside the blob (residual = large
+    // constant + tiny jitter), so a bounded rerank cut loses true
+    // neighbors: recall damage, not just occupancy damage
+    // jitter 0.6 over |off| ≈ 24 ⇒ ~0.025 RELATIVE spread after the
+    // cosine normalization — the same relative scale as the base
+    // clusters' 0.25-over-|v|≈8, so a retrained quantizer CAN
+    // discriminate inside the blob; the frozen one cannot (its
+    // codebooks never saw the region — the whole blob collapses onto
+    // one code word)
+    val rng = new scala.util.Random(97)
+    val off = Array.fill(64)(rng.nextGaussian() * 3)
+    val drifted = Seq.tabulate(500) { i =>
+      (10000L + i, off.map(x => (x + 0.6 * rng.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    AnnIndexIO.appendAuto(spark, dir, drifted, "vec_id", "embedding")
+    val union = vecs.union(drifted)
+    val qp = col("v_id") >= 10000L && col("v_id") < 10005L
+    def distinctBlobCodes(): Long = spark.read.parquet(s"$dir/index")
+      .filter(col("v_id") >= 10000L)
+      .select("codes").distinct().count()
+    val codesBefore = distinctBlobCodes()
+    // the closed loop: monitor trips -> actuator retrains -> swap
+    assert(AnnIndexIO.retrainIfDrifted(spark, dir, union, "vec_id",
+      "embedding", skewThreshold = thr), "drift did not trip the actuator")
+    val codesAfter = distinctBlobCodes()
+    // code-level heal — the measurable damage drift does and retrain
+    // undoes: the frozen books never saw the blob's region, so its 500
+    // members collapse onto a handful of code words (asymmetric ranks
+    // tie; the rerank cut is arbitrary inside them — measured 39
+    // distinct codes for 500 rows); the retrained books resolve the
+    // region at the base clusters' own relative residual scale
+    // (measured 500/500 distinct)
+    assert(codesBefore < 100 && codesAfter >= 400,
+      s"codes did not heal: $codesBefore distinct before, $codesAfter after")
+    // maintenance contract: the promoted generation is indistinguishable
+    // from a from-scratch build over the accumulated corpus
+    val fresh = tmpDir("retrain_fresh")
+    assert(AnnIndexIO.buildAuto(union, "vec_id", "embedding", fresh, nCells = 8))
+    val servedHealed = topKey(AnnIndexIO.searchAuto(spark, dir, union,
+      "vec_id", "embedding", qp, k = 3, nprobe = 3, rerank = 10))
+    graft.CacheRegistry.releaseAll()
+    val servedFresh = topKey(AnnIndexIO.searchAuto(spark, fresh, union,
+      "vec_id", "embedding", qp, k = 3, nprobe = 3, rerank = 10))
+    graft.CacheRegistry.releaseAll()
+    assert(servedHealed.nonEmpty && servedHealed == servedFresh)
+    // retrain preserved the persisted configuration (arity unchanged)
+    assert(AnnIndexIO.loadModel(spark, dir).nCells == 8)
+  }
 }

@@ -166,6 +166,49 @@ class HtmlOpsSpec extends SparkSpec {
     assert(got(0)._4.contains("http://h.com/r"))
   }
 
+  test("directory references keep their trailing slash (RFC 3986 §5.2.4)") {
+    val got = links(
+      """<body><a href="/a/b/">abs-dir</a>
+        |<a href="sub/">rel-dir</a>
+        |<a href="x/..">pop-dir</a>
+        |<a href="x/.">dot-dir</a>
+        |<a href="/">root</a></body>""".stripMargin)
+      .map(_._4.orNull)
+    assert(got(0) == "http://h.com/a/b/")
+    assert(got(1) == "http://h.com/a/sub/")
+    assert(got(2) == "http://h.com/a/") // /a/x/.. → /a/
+    assert(got(3) == "http://h.com/a/x/")
+    assert(got(4) == "http://h.com/") // root never doubles
+  }
+
+  test("query-only href keeps the FULL base path (RFC 3986 §5.3)") {
+    val got = links(
+      "<body><a href=\"?page=2\">next</a></body>", "http://h.com/list/b")
+    assert(got(0)._4.contains("http://h.com/list/b?page=2"))
+  }
+
+  test("data-href is not an href; the real attribute wins") {
+    val got = links(
+      "<body><a data-href=\"/ghost\" href='/real'>t</a></body>")
+    assert(got(0)._2 == "/real")
+    assert(got(0)._4.contains("http://h.com/real"))
+  }
+
+  test("adversarial single-block unclosed-anchor page stays linear") {
+    // no block-level tags ⇒ the whole page is ONE density-judged block;
+    // ~40k unclosed `<a` openers over ~800 KB was the O(anchors × block
+    // size) shape the old whole-block extract_all scan blew up on
+    // (minutes per page) — the split-at-opener scan finishes in well
+    // under a second and judges the block by its CLOSED anchors only
+    val openers = Array.fill(50000)("<a href=\"/x\">w").mkString(" ")
+    val page = s"<body>real text here $openers <a href=\"/y\">tail</a></body>"
+    assert(page.length > 700000)
+    val r = extract(page)
+    // unclosed openers contribute their text to the block but not to the
+    // anchor tally; only "tail" is closed anchor text, so density keeps it
+    assert(r.getLong(2) == 1L && r.getString(1).startsWith("real text here"))
+  }
+
   test("title entity-decoded and normalized; absent title is empty") {
     val r = extract(
       "<html><head><title>  A &amp;  B </title></head><body><p>t</p></body></html>")

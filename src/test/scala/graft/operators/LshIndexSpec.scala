@@ -116,6 +116,54 @@ class LshIndexSpec extends SparkSpec {
       hot.getAs[Double]("skew") == 1.0)
   }
 
+  test("compact: file count collapses, probe and stats are bit-invisible") {
+    val old = docs.filter("doc_id in (0, 1, 2, 3, 6, 7)")
+    val dir = java.nio.file.Files.createTempDirectory("lsh_cpt").toString
+    LshIndexIO.build(old, "doc_id", "text", dir)
+    // a short append chain: each batch adds files under every band dir
+    LshIndexIO.append(docs.filter("doc_id = 4"), "doc_id", "text", dir)
+    LshIndexIO.append(docs.filter("doc_id = 5"), "doc_id", "text", dir)
+    val batch = Seq((8L, "the quick brown fox jumps over the lazy dog again and anew"))
+      .toDF("doc_id", "text")
+    val before = LshIndexIO.probe(spark, dir, batch, "doc_id", "text")
+      .collect().map(_.toString).toSet
+    graft.CacheRegistry.releaseAll()
+    val statsBefore = LshIndexIO.stats(spark, dir).head().toString
+    val (filesBefore, filesAfter) = LshIndexIO.compact(spark, dir,
+      targetPartitions = 4)
+    // the chain fragmented the table (build + 2 appends × 4 band dirs ⇒
+    // ≥ 12 files); compaction bounds files by writer arity (4 range
+    // tasks, plus at most one dir-boundary straddle each), not by
+    // append count
+    assert(filesBefore >= 12, s"append chain left only $filesBefore files")
+    assert(filesAfter <= 8 && filesAfter < filesBefore,
+      s"compact left $filesAfter files (before: $filesBefore)")
+    val after = LshIndexIO.probe(spark, dir, batch, "doc_id", "text")
+      .collect().map(_.toString).toSet
+    graft.CacheRegistry.releaseAll()
+    assert(after == before && before.nonEmpty)
+    assert(LshIndexIO.stats(spark, dir).head().toString == statsBefore)
+  }
+
+  test("reshingle == from-scratch build at the new k, frame-identical") {
+    def bandKey(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc"), r.getAs[Int]("band_id"),
+        r.getAs[Long]("band_hash"),
+        r.getAs[scala.collection.Seq[Long]]("sig").toList)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("lsh_rs").toString
+    LshIndexIO.build(docs, "doc_id", "text", dir, shingleK = 3)
+    val k3 = bandKey(LshIndexIO.load(spark, dir))
+    val n = LshIndexIO.reshingle(docs, "doc_id", "text", dir, shingleK = 5)
+    assert(n > 0)
+    val dirFresh = java.nio.file.Files.createTempDirectory("lsh_rs_f").toString
+    LshIndexIO.build(docs, "doc_id", "text", dirFresh, shingleK = 5)
+    val viaReshingle = bandKey(LshIndexIO.load(spark, dir))
+    val viaFresh = bandKey(LshIndexIO.load(spark, dirFresh))
+    assert(viaReshingle == viaFresh && viaFresh.nonEmpty)
+    // the generation actually changed (k=5 hashes differ from k=3's)
+    assert(viaReshingle != k3)
+  }
+
   test("bucket cap applies identically over the loaded index") {
     val inline = pairKey(TextOps.minhashLshPairs(docs, "doc_id", "text",
       maxBandBucket = Some(2)))
