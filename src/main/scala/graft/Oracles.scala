@@ -1844,6 +1844,31 @@ object Oracles {
       |  FROM f CROSS JOIN $wf w)""".stripMargin
   }
 
+  /** The frontier-admission candidate/survivor CTEs (`c` = one row per
+    * admitted URL with host + reference count) — shared by the
+    * `web_frontier` row and its `web_frontier_schedule` composition. */
+  private def frontierCtes: String =
+    """d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+      |l AS (
+      |  SELECT 'http://ex' || (id % 7)::VARCHAR || '.com/p'
+      |      || (id % 10)::VARCHAR || '/' AS url,
+      |    'ex' || (id % 7)::VARCHAR || '.com' AS dst_host FROM d
+      |  UNION ALL
+      |  SELECT 'http://ex' || (id % 7)::VARCHAR || '.com/' || id::VARCHAR
+      |      || '?page=' || (id % 3)::VARCHAR,
+      |    'ex' || (id % 7)::VARCHAR || '.com' FROM d
+      |  UNION ALL
+      |  SELECT 'http://ex' || (id % 7)::VARCHAR || '.com/q'
+      |      || (id % 5)::VARCHAR,
+      |    'ex' || (id % 7)::VARCHAR || '.com' FROM d
+      |  UNION ALL
+      |  SELECT 'http://ex' || ((id + 1) % 7)::VARCHAR || '.com/x'
+      |      || (id % 4)::VARCHAR,
+      |    'ex' || ((id + 1) % 7)::VARCHAR || '.com' FROM d),
+      |c AS (SELECT url, min(dst_host) AS dst_host, count(*)::BIGINT AS n_refs
+      |  FROM l WHERE NOT regexp_matches(url, '/q[024]$')
+      |  GROUP BY url)""".stripMargin
+
   val sql: Map[String, String] = sqlMain ++ sqlRest
 
   private def sqlMain: Map[String, String] = Map(
@@ -2859,27 +2884,27 @@ object Oracles {
     // and is no candidate), rolled up to reference counts, with the
     // planted crawled set (every even /q page on every host) excluded —
     // exactly the anti-join's survivor set (Queries.webFrontier)
+    // NOTE the interpolated CTE block is concatenated, never run through
+    // an outer stripMargin — margin stripping would eat the leading pipe
+    // of the SQL `||` concatenation lines inside it
     "web_frontier" ->
-      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
-        |l AS (
-        |  SELECT 'http://ex' || (id % 7)::VARCHAR || '.com/p'
-        |      || (id % 10)::VARCHAR || '/' AS url,
-        |    'ex' || (id % 7)::VARCHAR || '.com' AS dst_host FROM d
-        |  UNION ALL
-        |  SELECT 'http://ex' || (id % 7)::VARCHAR || '.com/' || id::VARCHAR
-        |      || '?page=' || (id % 3)::VARCHAR,
-        |    'ex' || (id % 7)::VARCHAR || '.com' FROM d
-        |  UNION ALL
-        |  SELECT 'http://ex' || (id % 7)::VARCHAR || '.com/q'
-        |      || (id % 5)::VARCHAR,
-        |    'ex' || (id % 7)::VARCHAR || '.com' FROM d
-        |  UNION ALL
-        |  SELECT 'http://ex' || ((id + 1) % 7)::VARCHAR || '.com/x'
-        |      || (id % 4)::VARCHAR,
-        |    'ex' || ((id + 1) % 7)::VARCHAR || '.com' FROM d)
-        |SELECT url, min(dst_host) AS dst_host, count(*)::BIGINT AS n_refs
-        |FROM l WHERE NOT regexp_matches(url, '/q[024]$')
-        |GROUP BY url""".stripMargin,
+      ("WITH " + frontierCtes + "\nSELECT url, dst_host, n_refs FROM c"),
+
+    // frontier -> schedule composition: the admitted set ranked per host
+    // by (n_refs DESC, url) and stamped with (rank-1)*delay against the
+    // planted per-host delay (host digit % 3 * 0.5) — exact scalar
+    // arithmetic, no rounding (Queries.webFrontierSchedule)
+    "web_frontier_schedule" ->
+      ("WITH " + frontierCtes + ",\n" +
+        """r AS (SELECT dst_host, url, n_refs,
+          |    CAST(row_number() OVER (PARTITION BY dst_host
+          |      ORDER BY n_refs DESC, url) AS BIGINT) AS fetch_rank
+          |  FROM c)
+          |SELECT dst_host, url, n_refs, fetch_rank,
+          |  (fetch_rank - 1)::DOUBLE
+          |    * ((CAST(substr(dst_host, 3, 1) AS INT) % 3)::DOUBLE * 5.0e-1)
+          |    AS start_offset_sec
+          |FROM r""".stripMargin),
 
     // WET curation capstone: the extracted text is closed form, so the
     // whole crawl-bytes→verdict lineage replays — extraction stated

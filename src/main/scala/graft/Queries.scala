@@ -1105,6 +1105,32 @@ object Queries {
     operators.HtmlOps.frontierFilter(links, crawled, "url")
   }
 
+  /** FRONTIER → FETCH SCHEDULE — the composition that finishes the
+    * crawl loop's control plane on one plan: admitted frontier URLs
+    * ([[webFrontier]]'s lineage) ranked per host by PRIORITY (`n_refs`
+    * DESC — most-referenced pages first, ties lexicographic on url) and
+    * stamped with the politeness start offset `(rank−1)·delay` against
+    * a planted per-host Crawl-delay table ([[webFetchSchedule]]'s
+    * arithmetic — exact scalars: delays are multiples of 0.5, ranks
+    * small ints, every offset binary-exact). Discover → admit →
+    * schedule now runs end-to-end on attested stages. Scale shape: the
+    * frontier's single url exchange, then one host-keyed window over
+    * the admitted set (host-bounded partitions) and a broadcast of the
+    * host-table-sized delay side. */
+  def webFrontierSchedule(s: SparkSession, dir: String): DataFrame = {
+    val frontier = webFrontier(s, dir)
+    val delays = s.range(7).select(
+      concat(lit("ex"), col("id").cast("string"), lit(".com")).as("dst_host"),
+      ((col("id") % 3).cast("double") * 0.5).as("crawl_delay"))
+    val w = Window.partitionBy(col("dst_host"))
+      .orderBy(col("n_refs").desc, col("url"))
+    frontier.join(broadcast(delays), Seq("dst_host"))
+      .withColumn("fetch_rank", row_number().over(w).cast("long"))
+      .select(col("dst_host"), col("url"), col("n_refs"), col("fetch_rank"),
+        ((col("fetch_rank") - 1) * col("crawl_delay"))
+          .as("start_offset_sec"))
+  }
+
   /** CAPSTONE WET curation — crawl ARCHIVE BYTES to training verdicts on
     * one plan, the composition a real web pipeline runs end to end:
     * Content-Length-framed WARC records ([[webWetExtract]]'s chain) →

@@ -43,8 +43,10 @@ import org.apache.spark.sql.functions._
   *     footers, link farms — the readability/jusText line-density
   *     heuristic, at block granularity). Anchor text is the
   *     concatenation of `<a>…</a>` inner texts (tag-stripped, decoded,
-  *     normalized, single-space-joined). Empty blocks are neither kept
-  *     nor counted as dropped.
+  *     normalized, single-space-joined; nested anchors resolve
+  *     INNERMOST — the [[extractLinks]] rule — and unclosed openers
+  *     contribute nothing). Empty blocks are neither kept nor counted
+  *     as dropped.
   *
   * Output: the input frame minus the html column, plus `title`,
   * `text` (kept blocks joined with `\n`), `n_blocks` (kept) and
