@@ -2890,6 +2890,11 @@ object Oracles {
     "web_frontier" ->
       ("WITH " + frontierCtes + "\nSELECT url, dst_host, n_refs FROM c"),
 
+    // streaming twin: the drained first-seen admission set — the same
+    // survivor CTEs minus the reference totals a stream cannot finalize
+    "stream_web_frontier" ->
+      ("WITH " + frontierCtes + "\nSELECT url, dst_host FROM c"),
+
     // frontier -> schedule composition: the admitted set ranked per host
     // by (n_refs DESC, url) and stamped with (rank-1)*delay against the
     // planted per-host delay (host digit % 3 * 0.5) — exact scalar

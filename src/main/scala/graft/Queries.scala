@@ -1105,6 +1105,41 @@ object Queries {
     operators.HtmlOps.frontierFilter(links, crawled, "url")
   }
 
+  /** STREAMING frontier admission drained end-to-end
+    * ([[streaming.FrontierStream.admittedStream]]): the planted pages
+    * exported to a file-stream source dir (8 files), read back in REAL
+    * micro-batches (maxFilesPerTrigger = 2 ⇒ 4 batches), outlinks
+    * extracted on the stream, crawled urls dropped by the stream-static
+    * anti-join, each surviving url admitted exactly once through the
+    * first-seen state — every crawl stage now has a batch lineage and a
+    * streaming twin. The oracle is [[webFrontier]]'s survivor set
+    * (url, dst_host — admissions, not reference totals): a url emitted
+    * twice across batch boundaries, a crawled url leaking through, or
+    * a lost admission breaks the shared closed form. */
+  def streamWebFrontier(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("long")
+    val pages = Tables.documents(s, dir).select(
+      id.as("doc"),
+      concat(lit("http://ex"), (id % 7).cast("string"), lit(".com/"),
+        id.cast("string")).as("page_url"),
+      frontierHtml(id).as("html"))
+    val src = fixtureTmp("graft_frontier_src")
+    pages.repartition(8).write.mode("overwrite").parquet(src)
+    val crawled = s.range(21).select(
+      concat(lit("http://ex"), (col("id") % 7).cast("string"),
+        lit(".com/q"), (floor(col("id") / 7).cast("long") * 2)
+          .cast("string")).as("url"))
+    val stream = s.readStream.schema(pages.schema)
+      .option("maxFilesPerTrigger", 2).parquet(src)
+    val qn = dropStaleDrain(s, "graft_frontier_drain")
+    val q = streaming.FrontierStream
+      .admittedStream(stream, "html", "page_url", crawled, "url")
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qn)
+  }
+
   /** FRONTIER → FETCH SCHEDULE — the composition that finishes the
     * crawl loop's control plane on one plan: admitted frontier URLs
     * ([[webFrontier]]'s lineage) ranked per host by PRIORITY (`n_refs`
@@ -2913,6 +2948,16 @@ object Queries {
       "stream_wet_extract" -> ((s: SparkSession, dir: String) => {
         wetBlobs(s, dir).repartition(8)
           .write.mode("overwrite").parquet(fixtureTmp("graft_wet_src_fx"))
+        s.range(1).toDF("ok")
+      }),
+      "stream_web_frontier" -> ((s: SparkSession, dir: String) => {
+        val id = col("doc_id").cast("long")
+        Tables.documents(s, dir).select(id.as("doc"),
+            concat(lit("http://ex"), (id % 7).cast("string"), lit(".com/"),
+              id.cast("string")).as("page_url"),
+            frontierHtml(id).as("html"))
+          .repartition(8).write.mode("overwrite")
+          .parquet(fixtureTmp("graft_frontier_src_fx"))
         s.range(1).toDF("ok")
       }),
       "stream_pldata_tail" -> ((s: SparkSession, dir: String) => {
