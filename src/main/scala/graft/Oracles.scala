@@ -2890,6 +2890,12 @@ object Oracles {
     "web_frontier" ->
       ("WITH " + frontierCtes + "\nSELECT url, dst_host, n_refs FROM c"),
 
+    // Bloom-fronted admission: bit-identical to the exact anti-join (no
+    // Bloom false negatives; the maybe-sliver is exactly verified), so
+    // the oracle is shared verbatim — the decontaminate/bloom pairing
+    "web_frontier_bloom" ->
+      ("WITH " + frontierCtes + "\nSELECT url, dst_host, n_refs FROM c"),
+
     // streaming twin: the drained first-seen admission set — the same
     // survivor CTEs minus the reference totals a stream cannot finalize
     "stream_web_frontier" ->

@@ -1090,20 +1090,41 @@ object Queries {
     * rollup and the anti-join share one hash partitioning on `url`
     * (single exchange on the candidate side), and the join is equi —
     * never a nested loop. */
-  def webFrontier(s: SparkSession, dir: String): DataFrame = {
+  /** The frontier fixture's page and crawled-set tables — shared by the
+    * exact, Bloom-fronted, and streaming admission queries so the three
+    * attestations run over one planted world. */
+  private def frontierPages(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id").cast("long")
-    val pages = Tables.documents(s, dir).select(
+    Tables.documents(s, dir).select(
       id.as("doc"),
       concat(lit("http://ex"), (id % 7).cast("string"), lit(".com/"),
         id.cast("string")).as("page_url"),
       frontierHtml(id).as("html"))
-    val links = operators.HtmlOps.extractLinks(pages, "html", "page_url")
-    val crawled = s.range(21).select(
+  }
+
+  private def frontierCrawled(s: SparkSession): DataFrame =
+    s.range(21).select(
       concat(lit("http://ex"), (col("id") % 7).cast("string"),
         lit(".com/q"), (floor(col("id") / 7).cast("long") * 2)
           .cast("string")).as("url"))
-    operators.HtmlOps.frontierFilter(links, crawled, "url")
-  }
+
+  def webFrontier(s: SparkSession, dir: String): DataFrame =
+    operators.HtmlOps.frontierFilter(
+      operators.HtmlOps.extractLinks(frontierPages(s, dir), "html",
+        "page_url"),
+      frontierCrawled(s), "url")
+
+  /** The same admission through the BLOOM-FRONTED plan ([[operators
+    * .HtmlOps.frontierFilterBloom]]) — bit-identical output (no Bloom
+    * false negatives; the maybe-sliver is exactly verified), so the
+    * SAME oracle SQL attests both plans, the
+    * `text_decontaminate`/`text_decontaminate_bloom` pairing applied to
+    * the crawl loop. */
+  def webFrontierBloom(s: SparkSession, dir: String): DataFrame =
+    operators.HtmlOps.frontierFilterBloom(
+      operators.HtmlOps.extractLinks(frontierPages(s, dir), "html",
+        "page_url"),
+      frontierCrawled(s), "url")
 
   /** STREAMING frontier admission drained end-to-end
     * ([[streaming.FrontierStream.admittedStream]]): the planted pages
@@ -1117,23 +1138,14 @@ object Queries {
     * twice across batch boundaries, a crawled url leaking through, or
     * a lost admission breaks the shared closed form. */
   def streamWebFrontier(s: SparkSession, dir: String): DataFrame = {
-    val id = col("doc_id").cast("long")
-    val pages = Tables.documents(s, dir).select(
-      id.as("doc"),
-      concat(lit("http://ex"), (id % 7).cast("string"), lit(".com/"),
-        id.cast("string")).as("page_url"),
-      frontierHtml(id).as("html"))
+    val pages = frontierPages(s, dir)
     val src = fixtureTmp("graft_frontier_src")
     pages.repartition(8).write.mode("overwrite").parquet(src)
-    val crawled = s.range(21).select(
-      concat(lit("http://ex"), (col("id") % 7).cast("string"),
-        lit(".com/q"), (floor(col("id") / 7).cast("long") * 2)
-          .cast("string")).as("url"))
     val stream = s.readStream.schema(pages.schema)
       .option("maxFilesPerTrigger", 2).parquet(src)
     val qn = dropStaleDrain(s, "graft_frontier_drain")
     val q = streaming.FrontierStream
-      .admittedStream(stream, "html", "page_url", crawled, "url")
+      .admittedStream(stream, "html", "page_url", frontierCrawled(s), "url")
       .writeStream.format("memory").queryName(qn)
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
@@ -2951,12 +2963,7 @@ object Queries {
         s.range(1).toDF("ok")
       }),
       "stream_web_frontier" -> ((s: SparkSession, dir: String) => {
-        val id = col("doc_id").cast("long")
-        Tables.documents(s, dir).select(id.as("doc"),
-            concat(lit("http://ex"), (id % 7).cast("string"), lit(".com/"),
-              id.cast("string")).as("page_url"),
-            frontierHtml(id).as("html"))
-          .repartition(8).write.mode("overwrite")
+        frontierPages(s, dir).repartition(8).write.mode("overwrite")
           .parquet(fixtureTmp("graft_frontier_src_fx"))
         s.range(1).toDF("ok")
       }),

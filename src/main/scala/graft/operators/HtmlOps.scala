@@ -284,6 +284,53 @@ object HtmlOps {
       Seq("url"), "left_anti")
   }
 
+  /** The BLOOM-FRONTED frontier filter — [[frontierFilter]]'s 100 TB
+    * fast path, now implemented rather than only documented: the
+    * crawled set is NEVER SHUFFLED. The seen-set's Bloom sketch (a few
+    * MB at any fpp·n, built once per snapshot — the amortized cost)
+    * probes every candidate row-locally ([[TextOps.bloomMightContain]]
+    * over [[TextOps.hash60]] of the url — native codegen, no UDF);
+    * definite-new candidates (no false negatives in a Bloom) are
+    * admitted straight through, and only the MAYBE-crawled sliver —
+    * true duplicates plus fpp·|candidates| — is verified exactly:
+    * the sliver semi-probes the crawled scan as the BROADCAST side
+    * (crawled is scanned, never exchanged), and the resulting hit set
+    * (≤ |sliver|) anti-joins back. Output is bit-identical to
+    * [[frontierFilter]] for every fpp (spec-pinned at fpp = 0.5 where
+    * false positives are forced through the verify path; the
+    * `web_frontier` oracle SQL attests both plans verbatim).
+    *
+    * Scale ledger vs the exact form: the exact anti-join shuffles
+    * candidates AND the full crawled set on url; this shape shuffles
+    * only the candidate rollup, scans crawled twice (count + sketch
+    * build; once more per admission batch for the semi-probe), and
+    * exchanges nothing crawled-sized — scans parallelize for free at
+    * 1000 executors, exchanges do not. */
+  def frontierFilterBloom(links: DataFrame, crawled: DataFrame,
+                          crawledUrlCol: String,
+                          fpp: Double = 0.01): DataFrame = {
+    val cand = graft.CacheRegistry.persistTracked(
+      links.filter(col("url").isNotNull)
+        .groupBy(col("url"))
+        .agg(min(col("dst_host")).as("dst_host"),
+          count(lit(1)).as("n_refs")))
+    val crawledUrls = crawled.select(col(crawledUrlCol).as("url"))
+    val n = crawledUrls.count()
+    if (n == 0) cand
+    else {
+      val bloom = crawledUrls.select(TextOps.hash60(col("url")).as("h"))
+        .stat.bloomFilter("h", n, fpp)
+      val probe = TextOps.bloomMightContain(bloom)(TextOps.hash60(col("url")))
+      val maybe = graft.CacheRegistry.persistTracked(cand.filter(probe))
+      val definite = cand.filter(!probe) // row-local split of the cached rollup
+      // crawled ∩ maybe, with the SLIVER broadcast: crawled is the
+      // streamed probe side of a semi-join — scanned, never shuffled
+      val hits = crawledUrls
+        .join(broadcast(maybe.select("url")), Seq("url"), "left_semi")
+      definite.unionByName(maybe.join(hits, Seq("url"), "left_anti"))
+    }
+  }
+
   /** Append `title`, `text`, `n_blocks`, `n_dropped` (html column
     * dropped). See the object contract. */
   def htmlExtract(pages: DataFrame, htmlCol: String,

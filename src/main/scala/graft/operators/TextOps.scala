@@ -686,6 +686,27 @@ object TextOps {
     * per row) and the literal rides the torrent-broadcast task binary,
     * so the plan both filters before the only shuffle AND keeps the
     * explode→filter span fused. */
+  /** Column probe of a driver-built Bloom sketch via Spark's native
+    * `BloomFilterMightContain` (the runtime-row-level-filtering
+    * expression) over the serialized bitset folded in as ONE binary
+    * literal: the probe stays inside whole-stage codegen (the bitset
+    * deserializes once per task, not per row) and the literal rides the
+    * torrent-broadcast task binary. `h` must be a LONG column (the
+    * expression probes `mightContainLong`) — hash strings through
+    * [[hash60]] first. Shared by [[decontaminateBloom]] and
+    * [[graft.operators.HtmlOps.frontierFilterBloom]]. */
+  def bloomMightContain(bloom: org.apache.spark.util.sketch.BloomFilter)
+                       (h: Column): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bos.toByteArray,
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.graftbridge.Bridge.expression(h)))
+  }
+
   def decontaminateBloom(train: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, k: Int = 3, minOverlap: Int = 1,
                          fpp: Double = 0.01): DataFrame = {
@@ -700,15 +721,7 @@ object TextOps {
     // the fixed-size bitset
     val nBench = benchH.count()
     val bloom = benchH.stat.bloomFilter("h", math.max(nBench, 1L), fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(bos)
-    def mightContain(h: Column): Column =
-      org.apache.spark.sql.graftbridge.Bridge.column(
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          org.apache.spark.sql.catalyst.expressions.Literal(
-            bos.toByteArray,
-            org.apache.spark.sql.types.BinaryType),
-          org.apache.spark.sql.graftbridge.Bridge.expression(h)))
+    val mightContain = bloomMightContain(bloom) _
     val trainH = graft.Par.byKey(train, col(idCol))
       .select(col(idCol).as("doc"),
         TextHash.shingle_hash60(col(textCol), k, HashMod).as("hv"))

@@ -564,6 +564,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashEx <= 1,
       s"frontier expected one candidate-side hash exchange, got $hashEx:\n$pf")
     graft.CacheRegistry.releaseAll()
+    // bloom-fronted admission: the seen-set probe is the native codegen
+    // might_contain (no UDF), and nothing degrades to a nested loop —
+    // the crawled side rides scans + broadcast semi, never a
+    // crawled-sized exchange
+    val pb = plan(Queries.webFrontierBloom(spark, dir))
+    assert(pb.contains("might_contain"),
+      s"bloom frontier lost the native BloomFilterMightContain:\n$pb")
+    assert(!pb.contains("CartesianProduct") &&
+      !pb.contains("BroadcastNestedLoop") && !pb.contains("UDF"),
+      s"bloom frontier degraded:\n$pb")
+    graft.CacheRegistry.releaseAll()
     // probe over a compacted index keeps the banded equi-join shape the
     // fragmented chain had (compaction must not change the plan family)
     val pc = plan(Queries.dedupIncrementalCompact(spark, dir))

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 
 /** Contract edges of [[HtmlOps.htmlExtract]] the planted oracle cannot
   * reach: body-less fragments, script/comment trap ordering, the decode-
@@ -207,6 +208,36 @@ class HtmlOpsSpec extends SparkSpec {
     // unclosed openers contribute their text to the block but not to the
     // anchor tally; only "tail" is closed anchor text, so density keeps it
     assert(r.getLong(2) == 1L && r.getString(1).startsWith("real text here"))
+  }
+
+  test("bloom-fronted frontier == exact frontier, any fpp; empty seen-set") {
+    val pages = Seq(
+      (1L, "http://a.com/1",
+        "<body><a href=\"/p1\">x</a> <a href=\"/seen\">s</a></body>"),
+      (2L, "http://b.com/2",
+        "<body><a href=\"/p1\">y</a> <a href=\"http://a.com/p1\">z</a></body>"))
+      .toDF("doc", "page_url", "html")
+    val lnk = HtmlOps.extractLinks(pages, "html", "page_url")
+    val crawled = Seq("http://a.com/seen", "http://c.com/other").toDF("url")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val exact = key(HtmlOps.frontierFilter(lnk, crawled, "url"))
+    graft.CacheRegistry.releaseAll()
+    // /p1 referenced by both hosts' pages → two distinct urls, one with
+    // n_refs 2; the crawled url is excluded
+    assert(exact.contains(("http://a.com/p1", "a.com", 2L)))
+    assert(!exact.exists(_._1 == "http://a.com/seen"))
+    // fpp 0.5 forces false positives through the exact verify path
+    for (fpp <- Seq(0.5, 0.01)) {
+      val viaBloom = key(HtmlOps.frontierFilterBloom(lnk, crawled, "url", fpp))
+      graft.CacheRegistry.releaseAll()
+      assert(viaBloom == exact, s"bloom/exact divergence at fpp $fpp")
+    }
+    // empty seen-set short-circuits to the bare rollup
+    val open = key(HtmlOps.frontierFilterBloom(lnk,
+      crawled.filter(col("url") === "nope"), "url"))
+    graft.CacheRegistry.releaseAll()
+    assert(open == exact + (("http://a.com/seen", "a.com", 1L)))
   }
 
   test("title entity-decoded and normalized; absent title is empty") {
