@@ -479,27 +479,35 @@ object AnnIndexIO {
   }
 
   /** The persisted quantizer's configuration, read back from the
-    * artifact rows: (nCells, m, codebookK) — flat nCells = coarse-row
-    * count; hier nCells = supers × children-per-super. One small driver
-    * collect over the quantizer table (model-sized, the same rows
-    * [[modelFromDF]] collects). Lets [[retrain]] preserve the built
-    * configuration without the caller re-stating it — maintenance must
-    * not silently change the index's operating point. */
+    * artifact rows — flat: coarse-cell count; hier: (k1 supers,
+    * k2 children per super); both: (m subspaces, codebookK entries).
+    * One small driver collect over the quantizer table (model-sized,
+    * the same rows [[modelFromDF]] collects). Lets [[retrain]] preserve
+    * the built configuration without the caller re-stating it —
+    * maintenance must not silently change the index's operating
+    * point. */
+  private case class PersistedConfig(isHier: Boolean, k1: Int, k2: Int,
+                                     nCells: Int, m: Int, codebookK: Int)
+
   private def persistedConfig(spark: SparkSession,
-                              path: String): (Int, Int, Int) = {
+                              path: String): PersistedConfig = {
     val rows = spark.read.parquet(s"$path/quantizer")
       .groupBy("kind", "i").agg(count(lit(1)).as("n")).collect()
     val byKind = rows.groupBy(_.getAs[String]("kind"))
     val m = byKind.get("book").map(_.length).getOrElse(0)
     val codebookK = byKind.get("book")
       .map(_.head.getAs[Long]("n").toInt).getOrElse(16)
-    val nCells = byKind.get("super") match {
+    byKind.get("super") match {
       case Some(supers) =>
-        val childrenPerSuper = byKind("child").head.getAs[Long]("n").toInt
-        supers.length * childrenPerSuper
-      case None => byKind.get("coarse").map(_.length).getOrElse(16)
+        val k1 = supers.length
+        // children can be RAGGED (fitted children are sample-bounded per
+        // super), so the requested arity is the widest fitted one
+        val k2 = byKind("child").map(_.getAs[Long]("n").toInt).max
+        PersistedConfig(isHier = true, k1, k2, k1 * k2, m, codebookK)
+      case None =>
+        val nCells = byKind.get("coarse").map(_.length).getOrElse(16)
+        PersistedConfig(isHier = false, 0, 0, nCells, m, codebookK)
     }
-    (nCells, m, codebookK)
   }
 
   /** RETRAIN the index from the accumulated corpus — the actuator
@@ -521,11 +529,20 @@ object AnnIndexIO {
   def retrain(vecs: DataFrame, idCol: String, vecCol: String,
               path: String, sampleN: Int = 10000): Boolean = {
     val spark = vecs.sparkSession
-    val (nCells, m, codebookK) = persistedConfig(spark, path)
+    val cfg = persistedConfig(spark, path)
     val next = s"${path}_next"
     ArtifactSwap.clearStale(spark, next)
-    val built = buildAuto(vecs, idCol, vecCol, next, nCells, m, codebookK,
-      sampleN)
+    // dispatch on the PERSISTED kind, not the arity threshold: a hier
+    // index must retrain hier at its own (k1, k2) even where buildAuto
+    // would pick flat — maintenance preserves the family, not just the
+    // cell count
+    val built =
+      if (cfg.isHier)
+        buildHier(vecs, idCol, vecCol, next, cfg.k1, cfg.k2, cfg.m,
+          cfg.codebookK, sampleN).nonEmpty
+      else
+        build(vecs, idCol, vecCol, next, cfg.nCells, cfg.m, cfg.codebookK,
+          sampleN).nonEmpty
     if (built) ArtifactSwap.swap(spark, path, next)
     else ArtifactSwap.clearStale(spark, next)
     built

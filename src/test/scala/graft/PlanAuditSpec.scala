@@ -564,6 +564,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashEx <= 1,
       s"frontier expected one candidate-side hash exchange, got $hashEx:\n$pf")
     graft.CacheRegistry.releaseAll()
+    // the schedule composition: politeness ranking stays HOST-KEYED (a
+    // keyless window would funnel the whole frontier through one task)
+    // and the tiny delay side broadcasts
+    val sched = Queries.webFrontierSchedule(spark, dir)
+    val keyless = sched.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(keyless.isEmpty, s"frontier schedule: keyless window")
+    val ps = plan(sched)
+    assert(ps.contains("BroadcastHashJoin") &&
+      !ps.contains("BroadcastNestedLoop") && !ps.contains("CartesianProduct"),
+      s"frontier schedule lost the broadcast delay join:\n$ps")
+    graft.CacheRegistry.releaseAll()
     // bloom-fronted admission: the seen-set probe is the native codegen
     // might_contain (no UDF), and nothing degrades to a nested loop —
     // the crawled side rides scans + broadcast semi, never a

@@ -526,4 +526,36 @@ class AnnIndexSpec extends SparkSpec {
     // retrain preserved the persisted configuration (arity unchanged)
     assert(AnnIndexIO.loadModel(spark, dir).nCells == 8)
   }
+
+  test("retrain on a HIER index preserves the two-level family and arity") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("sim"))))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val first = vecs.filter(col("vec_id") < 60)
+    val rest = vecs.filter(col("vec_id") >= 60)
+    val qp = col("v_id") < 10
+    val dir = tmpDir("retrain_hier")
+    // 3×3 is far below the hier threshold: a retrain routed through the
+    // arity dispatch would silently rebuild FLAT — the family must come
+    // from the artifact, not the threshold
+    assert(AnnIndexIO.buildAuto(first, "vec_id", "embedding", dir,
+      nCells = 9, hierThreshold = 9))
+    AnnIndexIO.appendAuto(spark, dir, rest, "vec_id", "embedding")
+    assert(AnnIndexIO.retrain(vecs, "vec_id", "embedding", dir))
+    val kind = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_KIND")), "UTF-8").trim
+    assert(kind == "hier", s"retrain changed the quantizer family: $kind")
+    val fresh = tmpDir("retrain_hier_fresh")
+    assert(AnnIndexIO.buildAuto(vecs, "vec_id", "embedding", fresh,
+      nCells = 9, hierThreshold = 9))
+    val healed = key(AnnIndexIO.searchAuto(spark, dir, vecs, "vec_id",
+      "embedding", qp, k = 3, nprobe = 4, probeSupers = 2))
+    graft.CacheRegistry.releaseAll()
+    val freshly = key(AnnIndexIO.searchAuto(spark, fresh, vecs, "vec_id",
+      "embedding", qp, k = 3, nprobe = 4, probeSupers = 2))
+    graft.CacheRegistry.releaseAll()
+    assert(healed.nonEmpty && healed == freshly)
+  }
 }

@@ -258,4 +258,46 @@ class RestartRecoverySpec extends SparkSpec {
     assert(got.sorted == want.sorted,
       s"tail restart re-read or dropped rows: ${got.sorted}")
   }
+
+  test("frontier first-seen state recovers: no duplicate admission after restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val pages: Seq[(Long, String, String)] = Seq(
+      (1L, "http://a.com/1",
+        "<body><a href=\"/p1\">x</a> <a href=\"/seen\">s</a></body>"),
+      (2L, "http://a.com/2",
+        "<body><a href=\"http://b.com/z\">z</a></body>"),
+      // arrives AFTER the restart and re-references /p1: the suppression
+      // is only reachable through the RECOVERED first-seen state
+      (3L, "http://a.com/3",
+        "<body><a href=\"/p1\">x again</a> <a href=\"/p9\">new</a></body>"))
+    val crawled = Seq("http://a.com/seen").toDF("url")
+    val cp = tmp()
+    val input = MemoryStream[(Long, String, String)]
+    def start() = FrontierStream.admittedStream(
+        input.toDF().toDF("doc", "page_url", "html"), "html", "page_url",
+        crawled, "url")
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[FrontierStream.Admitted],
+         id: Long) => rowSink("frontier")(b, id) }
+      .outputMode("append").start()
+
+    val q1 = start()
+    input.addData(pages.take(2))
+    q1.processAllAvailable()
+    q1.stop() // /p1's admission lives only in the state store now
+    val q2 = start()
+    input.addData(pages.drop(2))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = drainedOf("frontier")
+    // exactly one admission per distinct new url, across the restart
+    assert(got.size == got.distinct.size,
+      s"duplicate admission after restart: $got")
+    assert(got.toSet == Set(
+      "[http://a.com/p1,a.com]", "[http://b.com/z,b.com]",
+      "[http://a.com/p9,a.com]"),
+      s"restarted frontier diverged: $got")
+  }
 }
