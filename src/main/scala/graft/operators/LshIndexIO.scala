@@ -142,6 +142,24 @@ object LshIndexIO {
     (before, ArtifactSwap.dataFileCount(spark, live))
   }
 
+  /** Fragmentation-gated compaction — the closed monitor→actuator loop
+    * a snapshot chain runs after each [[append]] (the text tier's
+    * [[AnnIndexIO.retrainIfDrifted]]): the gauge here is the artifact's
+    * own DATA FILE COUNT (listing cost is exactly what compaction
+    * exists to bound), the default threshold 8× the cluster parallelism
+    * — comfortably above any single build's writer arity, crossed only
+    * by an append chain. Returns true iff a compaction ran; a healthy
+    * index is a no-op (one file listing, no job). */
+  def compactIfFragmented(spark: SparkSession, path: String,
+                          maxFiles: Int = 0,
+                          targetPartitions: Int = 0): Boolean = {
+    val cap = if (maxFiles > 0) maxFiles
+              else 8 * spark.sparkContext.defaultParallelism
+    val fragmented = ArtifactSwap.dataFileCount(spark, s"$path/bands") > cap
+    if (fragmented) compact(spark, path, targetPartitions)
+    fragmented
+  }
+
   /** RE-SHINGLE the index into a new generation — the actuator for
     * [[stats]]'s `capped_buckets` signal: when boilerplate-heavy content
     * piles documents into few (band, hash) buckets, the rank cap starts
