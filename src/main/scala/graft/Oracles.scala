@@ -1918,6 +1918,10 @@ object Oracles {
     // existing snapshot only (the appended batch must ride the frozen
     // model — Queries.annIndexAppend)
     "ann_index_append" -> ivfPqSqlTrained("vec_id % 5 <> 4"),
+    // append-chain + compaction: the file-merge rewrite moves bytes,
+    // never values — shared verbatim with the append row
+    // (Queries.annIndexCompact)
+    "ann_index_compact" -> ivfPqSqlTrained("vec_id % 5 <> 4"),
     // retrain-after-append: maintenance must leave the index
     // indistinguishable from a from-scratch build over the FULL corpus,
     // so the oracle is ann_ivf_pq_topk's full-corpus chain VERBATIM —

@@ -2137,6 +2137,41 @@ object Queries {
         (round(col("sim"), 6) + 0.0).as("sim"))
   }
 
+  /** INDEX COMPACTION on the vector side ([[operators.AnnIndexIO
+    * .compact]]): the [[annIndexAppend]] assembly with the new batch
+    * admitted in THREE slices (each append adds files under the touched
+    * cell partitions — the fragmentation a daily chain accrues), then
+    * the table rewritten into a fresh generation and the same search
+    * served. The oracle is [[annIndexAppend]]'s snapshot-trained SQL
+    * VERBATIM — compaction moves bytes, never values: encodings, cells,
+    * and every search row must be bit-identical across the rewrite or
+    * the shared hash breaks. With [[dedupIncrementalCompact]] this puts
+    * the file-merge maintenance under a verbatim oracle on BOTH index
+    * families. */
+  def annIndexCompact(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val isNew = col("vec_id") % 5 === 4
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|compact|nCells=$annIvfPqCells".getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val idxPath = s"${Queries.privateIndexBase}/graft_ann_cpt_$tag"
+    if (!new java.io.File(s"$idxPath/index").exists()) {
+      operators.AnnIndexIO.buildAuto(emb.filter(!isNew), "vec_id",
+        "embedding", idxPath, nCells = annIvfPqCells)
+      (0 until 3).foreach { slice =>
+        operators.AnnIndexIO.appendAuto(s, idxPath,
+          emb.filter(isNew && col("vec_id") % 3 === slice),
+          "vec_id", "embedding")
+      }
+      operators.AnnIndexIO.compact(s, idxPath)
+    }
+    operators.AnnIndexIO.searchAuto(s, idxPath, emb, "vec_id", "embedding",
+        col("v_id") < 10, k = 3, nprobe = annIvfPqNprobe,
+        rerank = annIvfPqRerank)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        (round(col("sim"), 6) + 0.0).as("sim"))
+  }
+
   /** INDEX RETRAIN — the maintenance valve for the drift the append
     * path accumulates ([[operators.AnnIndexIO.retrain]], r13 verdict
     * #1): the snapshot index is assembled exactly as [[annIndexAppend]]

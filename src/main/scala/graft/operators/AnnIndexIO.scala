@@ -572,6 +572,54 @@ object AnnIndexIO {
     drifted && retrain(vecs, idCol, vecCol, path, sampleN)
   }
 
+  /** COMPACT the encoded index table — the file-merge maintenance the
+    * LSH band table gets from [[LshIndexIO.compact]], on the vector
+    * side: an [[appendAuto]] chain adds files under the touched cell
+    * partitions every batch, so probe-pruned searches pay creeping
+    * listing/footer/tiny-row-group costs while the encodings themselves
+    * never change. Compaction rewrites the table into a fresh
+    * generation in the SAME layout family it found (flat: cid
+    * partitions; hier: sid partitions with the (sid, cid) within-file
+    * sort the cid pushdown depends on), file count bounded by writer
+    * arity, promoted by [[ArtifactSwap]]'s atomic rename. NO model
+    * change, NO re-encode: search results are bit-identical before and
+    * after (the `ann_index_compact` oracle shares `ann_index_append`'s
+    * SQL verbatim). Returns (files_before, files_after). */
+  def compact(spark: SparkSession, path: String,
+              targetPartitions: Int = 0): (Long, Long) = {
+    val live = s"$path/index"
+    val next = s"$path/index_next"
+    val parts = if (targetPartitions > 0) targetPartitions
+                else spark.sparkContext.defaultParallelism
+    val before = ArtifactSwap.dataFileCount(spark, live)
+    ArtifactSwap.clearStale(spark, next)
+    val index = spark.read.parquet(live)
+    if (index.columns.contains("sid"))
+      index.repartitionByRange(parts, col("sid"), col("cid"))
+        .sortWithinPartitions("sid", "cid")
+        .write.mode("overwrite").partitionBy("sid").parquet(next)
+    else
+      index.repartitionByRange(parts, col("cid"))
+        .sortWithinPartitions("cid")
+        .write.mode("overwrite").partitionBy("cid").parquet(next)
+    ArtifactSwap.swap(spark, live, next)
+    (before, ArtifactSwap.dataFileCount(spark, live))
+  }
+
+  /** Fragmentation-gated compaction ([[LshIndexIO.compactIfFragmented]]'s
+    * twin): gauge = the index table's own data-file count, default cap
+    * 8× cluster parallelism; healthy indexes are a listing-only no-op.
+    * Returns true iff a compaction ran. */
+  def compactIfFragmented(spark: SparkSession, path: String,
+                          maxFiles: Int = 0,
+                          targetPartitions: Int = 0): Boolean = {
+    val cap = if (maxFiles > 0) maxFiles
+              else 8 * spark.sparkContext.defaultParallelism
+    val fragmented = ArtifactSwap.dataFileCount(spark, s"$path/index") > cap
+    if (fragmented) compact(spark, path, targetPartitions)
+    fragmented
+  }
+
   /** Cell-occupancy monitor for a built index: one map-side-combined
     * aggregate over the (pruned-to-metadata) index scan. Returns a
     * single-row frame —

@@ -527,6 +527,46 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndexIO.loadModel(spark, dir).nCells == 8)
   }
 
+  test("compact: files collapse, search and occupancy bit-invisible, both layouts") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("sim"))))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val qp = col("v_id") < 10
+    for ((nCells, thr, tag, cap) <- Seq((8, 1000, "flat", 16), (9, 9, "hier", 8))) {
+      val dir = tmpDir(s"cpt_$tag")
+      assert(AnnIndexIO.buildAuto(vecs.filter(col("vec_id") < 60), "vec_id",
+        "embedding", dir, nCells = nCells, hierThreshold = thr))
+      // a 3-batch admission chain fragments the cell partitions
+      (0 until 3).foreach { b =>
+        AnnIndexIO.appendAuto(spark, dir,
+          vecs.filter(col("vec_id") >= 60 && col("vec_id") % 3 === b),
+          "vec_id", "embedding")
+      }
+      // fresh build cap: under it the gate is a no-op only when healthy —
+      // the chain is NOT, so it fires
+      val before = key(AnnIndexIO.searchAuto(spark, dir, vecs, "vec_id",
+        "embedding", qp, k = 3, nprobe = 4, probeSupers = 2))
+      graft.CacheRegistry.releaseAll()
+      val occBefore = AnnIndexIO.occupancyStats(spark, dir).head().toString
+      assert(AnnIndexIO.compactIfFragmented(spark, dir, maxFiles = cap,
+        targetPartitions = 4), s"$tag: chain did not trip the gate")
+      assert(!AnnIndexIO.compactIfFragmented(spark, dir, maxFiles = cap),
+        s"$tag: gate re-fired on a compacted index")
+      // layout family preserved: hier keeps sid dirs, flat keeps cid dirs
+      val dirs = new java.io.File(s"$dir/index").listFiles().map(_.getName)
+      assert(dirs.exists(_.startsWith(if (tag == "hier") "sid=" else "cid=")),
+        s"$tag: compaction changed the partition layout: ${dirs.toSeq}")
+      val after = key(AnnIndexIO.searchAuto(spark, dir, vecs, "vec_id",
+        "embedding", qp, k = 3, nprobe = 4, probeSupers = 2))
+      graft.CacheRegistry.releaseAll()
+      assert(after == before && before.nonEmpty, s"$tag: search changed")
+      assert(AnnIndexIO.occupancyStats(spark, dir).head().toString
+        == occBefore, s"$tag: occupancy changed")
+    }
+  }
+
   test("retrain on a HIER index preserves the two-level family and arity") {
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
