@@ -34,20 +34,26 @@ object Oracles {
        |SELECT event_id, round($affine + $warp, 6) AS gaze_x FROM s""".stripMargin
   }
 
-  /** Shared doc-shingle CTE (3-shingles over whitespace tokens, distinct,
-    * empty when < 3 tokens) — mirrors TextOps.shingles. */
-  private val shingleCte =
-    """d AS (SELECT doc_id AS doc, string_split(trim(text), ' ') AS toks
-      |  FROM documents),
-      |s AS (SELECT doc, list_distinct(list_transform(range(1, len(toks) - 1),
-      |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM d)""".stripMargin
+  /** Shared doc-shingle CTE (k-shingles over whitespace tokens, distinct,
+    * empty when < k tokens) — mirrors TextOps.shingles. */
+  private def shingleCteK(k: Int): String = {
+    val terms = (0 until k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""d AS (SELECT doc_id AS doc, string_split(trim(text), ' ') AS toks
+       |  FROM documents),
+       |s AS (SELECT doc, list_distinct(list_transform(range(1, len(toks) - ${k - 2}),
+       |  i -> $terms)) AS sh FROM d)""".stripMargin
+  }
+
+  private val shingleCte = shingleCteK(3)
 
   /** Shared MinHash CTE chain (shingles → 60-bit hash arrays → 16-hash
     * signatures → 4 LSH bands, hot buckets capped) — mirrors
     * TextOps.minhashSignature/lshBands + the default-on capBuckets skew
     * lever; prefix for both the LSH-candidate and the gated-exact-Jaccard
     * oracles. */
-  private def minhashBandCtes: String = {
+  private def minhashBandCtes: String = minhashBandCtesK(3)
+
+  private def minhashBandCtesK(k: Int): String = {
     val M = graft.operators.TextOps.HashMod
     val a = graft.operators.TextOps.MinhashA
     val bc = graft.operators.TextOps.MinhashB
@@ -62,7 +68,7 @@ object Oracles {
       }
       s"SELECT doc, sig, $b AS band_id, $hash AS band_hash FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""$shingleCte,
+    s"""${shingleCteK(k)},
        |hv AS (SELECT doc, list_transform(sh,
        |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $M) AS hv
        |  FROM s WHERE len(sh) > 0),
@@ -427,8 +433,10 @@ object Oracles {
        |SELECT doc, rrf, r_bm, r_v FROM f
        |ORDER BY rrf DESC, doc LIMIT 10""".stripMargin
 
-  private def minhashSql: String =
-    s"""WITH $minhashBandCtes,
+  private def minhashSql: String = minhashSqlK(3)
+
+  private def minhashSqlK(k: Int): String =
+    s"""WITH ${minhashBandCtesK(k)},
        |pairs AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
        |    a.sig AS sa, b.sig AS sb
        |  FROM band a JOIN band b ON a.band_id = b.band_id
@@ -1978,6 +1986,10 @@ object Oracles {
     // compaction must be row-invisible, so the oracle is shared verbatim
     // a third time (Queries.dedupIncrementalCompact)
     "dedup_incremental_compact" -> dedupIncrementalSql,
+    // reshingle actuator: the whole band chain replayed AT the new k —
+    // stale or mixed-generation rows break the hash
+    // (Queries.dedupReshingle)
+    "dedup_reshingle" -> minhashSqlK(graft.Queries.reshingleK),
     // index-health monitor: bucket occupancies replayed from the shared
     // UNCAPPED band CTE (band0 — stats reads raw bands; the cap is a
     // query-time lever), mean/skew derived from the exact integer

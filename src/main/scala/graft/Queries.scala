@@ -2669,6 +2669,34 @@ object Queries {
     operators.LshIndexIO.stats(s, idxPath)
   }
 
+  /** The reshingle actuator's target k — shared with the oracle builder
+    * (the parameterized band-CTE chain at k = 4 instead of the default
+    * 3), so the stated generation can't drift from the built one. */
+  val reshingleK: Int = 4
+
+  /** RESHINGLE under its own hash ([[operators.LshIndexIO.reshingle]] —
+    * the `capped_buckets` actuator): a k=3 generation built, then
+    * re-shingled to k=[[reshingleK]] (full corpus pass into a fresh
+    * generation, atomic swap), then candidate pairs served from the
+    * NEW generation. The oracle replays the entire band chain AT k=4 —
+    * a reshingle that left stale k=3 rows behind, mixed generations, or
+    * mis-parameterized the shingle width changes the pair set and
+    * breaks the hash. (The spec additionally pins reshingle ≡
+    * from-scratch build at the new k, frame-identical.) */
+  def dedupReshingle(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = s.conf.getOption("spark.graft.lsh.indexDir")
+      .getOrElse(Queries.privateIndexBase)
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|reshingle".getBytes("UTF-8")).take(6)
+      .map("%02x".format(_)).mkString
+    val idxPath = s"$base/graft_lsh_rs_$tag"
+    operators.LshIndexIO.build(docs, "doc_id", "text", idxPath)
+    operators.LshIndexIO.reshingle(docs, "doc_id", "text", idxPath,
+      shingleK = reshingleK)
+    operators.LshIndexIO.pairs(s, idxPath)
+  }
+
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     // per-corpus artifact path, overwritten on rebuild — repeated
