@@ -101,9 +101,11 @@ class BenchChainSpec extends AnyFunSuite {
   test("every query has an oracle row (the correctness gate is total)") {
     // rows-only by NECESSITY, each with a named non-replayable stage and
     // a compensating attestation (spec floor + SCALE.md measurement +
-    // 10x standing) — anything else here is a bug, keep this set tiny
-    val rowsOnlyByNecessity = Set(
-      "ann_opq_real_recall") // learned OPQ rotation = Procrustes SVD
+    // 10x standing) — anything else here is a bug, keep this set tiny.
+    // EMPTY since r14: the last member (ann_opq_real_recall, learned OPQ
+    // rotation = Procrustes SVD) was reshaped into a closed-form
+    // recall-floor row, so the gate is fully total
+    val rowsOnlyByNecessity = Set.empty[String]
     val missing = SparkEntry.queries.keySet
       .diff(SparkEntry.oracleSql.keySet).diff(rowsOnlyByNecessity)
     assert(missing.isEmpty, s"queries with no oracleSql entry: $missing")
