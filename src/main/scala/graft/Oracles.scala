@@ -1852,6 +1852,31 @@ object Oracles {
       |  FROM f CROSS JOIN $wf w)""".stripMargin
   }
 
+  /** The LM scoring chain (transition explode → count tables → vocab →
+    * per-doc add-one bigram NLL; `lmbase` = one row per doc with source,
+    * n_trans, round-6 nll, null for < 2 tokens) — shared by the
+    * `text_lm_score` row and the `text_ccnet_buckets` split so the
+    * replayed model cannot drift between them. Concatenated, never
+    * outer-stripMargin'd (see the frontier CTE note). */
+  private def lmScoreCtes: String =
+    """d AS (SELECT CAST(doc_id AS BIGINT) AS doc, source,
+      |    string_split(trim(text), ' ') AS toks FROM documents),
+      |tr AS (SELECT doc, toks[u.i] AS w1, toks[u.i + 1] AS w2
+      |  FROM d, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+      |c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM tr GROUP BY w1),
+      |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12
+      |  FROM tr GROUP BY w1, w2),
+      |v AS (SELECT count(DISTINCT t.tok)::BIGINT AS nv
+      |  FROM (SELECT unnest(toks) AS tok FROM d) t),
+      |sc AS (SELECT tr.doc, count(*)::BIGINT AS n_trans,
+      |    avg(ln((c12.c12 + 1)::DOUBLE / (c1.c1 + v.nv))) AS alp
+      |  FROM tr JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      |  GROUP BY tr.doc),
+      |lmbase AS (SELECT d.doc, d.source,
+      |    coalesce(sc.n_trans, 0)::BIGINT AS n_trans,
+      |    round(-sc.alp, 6) + 0.0e0 AS nll
+      |  FROM d LEFT JOIN sc USING (doc))""".stripMargin
+
   /** The frontier-admission candidate/survivor CTEs (`c` = one row per
     * admitted URL with host + reference count) — shared by the
     * `web_frontier` row and its `web_frontier_schedule` composition. */
@@ -2448,22 +2473,25 @@ object Oracles {
     // order-insensitive at round-6 (ln magnitudes ≤ ~15, ≤ a few
     // hundred transitions per doc)
     "text_lm_score" ->
-      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc,
-        |    string_split(trim(text), ' ') AS toks FROM documents),
-        |tr AS (SELECT doc, toks[u.i] AS w1, toks[u.i + 1] AS w2
-        |  FROM d, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
-        |c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM tr GROUP BY w1),
-        |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12
-        |  FROM tr GROUP BY w1, w2),
-        |v AS (SELECT count(DISTINCT t.tok)::BIGINT AS nv
-        |  FROM (SELECT unnest(toks) AS tok FROM d) t),
-        |sc AS (SELECT tr.doc, count(*)::BIGINT AS n_trans,
-        |    avg(ln((c12.c12 + 1)::DOUBLE / (c1.c1 + v.nv))) AS alp
-        |  FROM tr JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
-        |  GROUP BY tr.doc)
-        |SELECT d.doc, coalesce(sc.n_trans, 0)::BIGINT AS n_trans,
-        |  round(-sc.alp, 6) + 0.0e0 AS nll
-        |FROM d LEFT JOIN sc USING (doc)""".stripMargin,
+      ("WITH " + lmScoreCtes + "\nSELECT doc, n_trans, nll FROM lmbase"),
+
+    // CCNet bucketing: the shared LM chain, then per-source thirds via
+    // plain ntile — the engine's closed-form rank arithmetic must equal
+    // it bucket-for-bucket (Queries.textCcnetBuckets)
+    "text_ccnet_buckets" ->
+      ("WITH " + lmScoreCtes + """,
+        |r AS (SELECT doc, source, n_trans, nll,
+        |    CAST(ntile(3) OVER (PARTITION BY source ORDER BY nll, doc)
+        |      AS BIGINT) AS bucket
+        |  FROM lmbase WHERE nll IS NOT NULL)
+        |SELECT doc, source, n_trans, nll, bucket,
+        |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
+        |       ELSE 'middle' END AS ccnet_label
+        |FROM r
+        |UNION ALL
+        |SELECT doc, source, n_trans, nll, CAST(NULL AS BIGINT),
+        |  'unscored'
+        |FROM lmbase WHERE nll IS NULL""".stripMargin),
 
     // DSIR importance weights: hashed bigram buckets (the shared md5
     // 60-bit rule), target/raw bucket distributions add-one smoothed

@@ -1326,6 +1326,18 @@ object Queries {
   def textLmScore(s: SparkSession, dir: String): DataFrame =
     TextOps.lmScore(Tables.documents(s, dir), "doc_id", "text")
 
+  /** CCNet perplexity bucketing ([[operators.TextOps.lmBuckets]]): the
+    * stage between [[textLmScore]] and the keep decision — per-source
+    * head/middle/tail thirds in nll order, the exact split the CCNet
+    * pipeline trains from. The engine computes the bucket closed-form
+    * over the two-pass global rank (no per-source window task); the
+    * oracle replays the shared LM chain and states the same buckets
+    * with a plain SQL `ntile` — the two are identical by ntile's
+    * definition, so any off-by-one in the closed form breaks the
+    * hash. */
+  def textCcnetBuckets(s: SparkSession, dir: String): DataFrame =
+    TextOps.lmBuckets(Tables.documents(s, dir), "doc_id", "text", "source")
+
   /** DSIR importance weights ([[operators.TextOps.dsirWeights]]): hashed
     * bigram-bucket features, target = docs passing the composite quality
     * gate at 0.8 (the same expression `quality_classify` labels with, so

@@ -1654,6 +1654,62 @@ object TextOps {
         (round(-col("_alp"), 6) + 0.0).as("nll"))
   }
 
+  /** CCNet PERPLEXITY BUCKETS (Wenzek et al. 2020 §4.3: each dump is
+    * split per language into head/middle/tail THIRDS by LM perplexity,
+    * and training recipes keep head(+middle)) — here per SOURCE over
+    * [[lmScore]]'s nll: bucket 1..`nBuckets` in score order (low nll =
+    * fluent = head), docs with no transitions labeled `unscored`.
+    *
+    * Scale shape — deliberately NOT a per-source ntile window: a window
+    * partitioned by source funnels a whole source (corpus/#sources rows
+    * — terabytes at 100 TB) through one sort task. Instead the global
+    * two-pass rank ([[SampleOps.globalRank]] — range-repartition +
+    * local ranks + a driver prefix bounded by `rangeParts`) orders
+    * (source, nll, doc) once with bounded partitions, per-source
+    * offsets/counts come back as one source-bounded broadcast, and the
+    * bucket is CLOSED-FORM integer arithmetic on the per-source rank —
+    * bit-identical to SQL `ntile` by construction (first `n mod k`
+    * buckets take the extra row), which is what the oracle replays
+    * directly as a window. Returns
+    * (doc, source, n_trans, nll, bucket, ccnet_label). */
+  def lmBuckets(docs: DataFrame, idCol: String, textCol: String,
+                sourceCol: String, nBuckets: Int = 3,
+                rangeParts: Int = 32): DataFrame = {
+    val scored = docs.select(col(idCol).as("doc"), col(sourceCol).as("source"))
+      .join(lmScore(docs, idCol, textCol), Seq("doc"))
+    val ranked = SampleOps.globalRank(scored.filter(col("nll").isNotNull),
+      Seq(col("source").asc, col("nll").asc, col("doc").asc), rangeParts)
+    val per = ranked.groupBy("source")
+      .agg(min(col("rank")).as("_r0"), count(lit(1)).as("_ns"))
+    val k = lit(nBuckets.toLong)
+    // exact integer ceil-div (the balancedShards discipline: subtract the
+    // pmod so the division is exactly divisible — no floor-div or double
+    // rounding semantics to match across engines)
+    def ceilDiv(a: Column, b: Column): Column = {
+      val m = a + b - 1
+      ((m - pmod(m, b)) / b).cast("long")
+    }
+    val srank = col("rank") - col("_r0") + 1
+    val r = pmod(col("_ns"), k)
+    val q = ((col("_ns") - r) / k).cast("long")
+    val cut = r * (q + 1) // rows in the first r (larger) buckets
+    val bucketed = ranked.join(broadcast(per), Seq("source"))
+      .withColumn("bucket",
+        when(srank <= cut, ceilDiv(srank, q + 1))
+          .otherwise(r + ceilDiv(srank - cut, q)))
+      .drop("rank", "_r0", "_ns")
+    val unscored = scored.filter(col("nll").isNull)
+      .withColumn("bucket", lit(null).cast("long"))
+    bucketed.unionByName(unscored)
+      .withColumn("ccnet_label",
+        when(col("bucket").isNull, "unscored")
+          .when(col("bucket") === 1, "head")
+          .when(col("bucket") === nBuckets.toLong, "tail")
+          .otherwise("middle"))
+      .select(col("doc"), col("source"), col("n_trans"), col("nll"),
+        col("bucket"), col("ccnet_label"))
+  }
+
   /** Per-document n-gram NOVELTY — the contribution-of-new-content
     * signal (the memorization/duplication analyses of Lee et al. and
     * the dataset-curation practice of preferring novel text): a doc's

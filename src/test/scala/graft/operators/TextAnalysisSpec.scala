@@ -809,6 +809,54 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == ((0L, None)) && out(5L) == ((0L, None)))
   }
 
+  test("ccnet buckets: closed form == ntile window, any source size; labels") {
+    import org.apache.spark.sql.expressions.Window
+    // per-source sizes 1..8 (exercises n < k, n = k, n mod k ∈ {0,1,2}),
+    // texts varying in repetitiveness so nll genuinely orders; a 1-token
+    // doc per even source for the unscored path
+    val rng = new scala.util.Random(11)
+    val vocab = Array("the", "cat", "sat", "mat", "dog", "ran", "far")
+    var id = 0L
+    val rows = (0 until 6).flatMap { s =>
+      val n = s + 1 + (s % 3)
+      val scoredDocs = (0 until n).map { _ =>
+        id += 1
+        (id, s"src$s",
+          Array.fill(4 + rng.nextInt(6))(vocab(rng.nextInt(vocab.length)))
+            .mkString(" "))
+      }
+      val un = if (s % 2 == 0) { id += 1; Seq((id, s"src$s", "solo")) }
+               else Seq.empty
+      scoredDocs ++ un
+    }
+    val docs = rows.toDF("doc_id", "source", "text")
+    val got = TextOps.lmBuckets(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(4)) None else Some(r.getLong(4))), r.getString(5)))
+      .toMap
+    graft.CacheRegistry.releaseAll()
+    // reference: the SAME scores through Spark's own ntile window
+    val scored = docs.select(col("doc_id").as("doc"), col("source"))
+      .join(TextOps.lmScore(docs, "doc_id", "text"), Seq("doc"))
+    val w = Window.partitionBy("source").orderBy(col("nll"), col("doc"))
+    val ref = scored.filter(col("nll").isNotNull)
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("bucket"))
+      .toMap
+    graft.CacheRegistry.releaseAll()
+    assert(got.size == rows.size && ref.nonEmpty)
+    ref.foreach { case (doc, b) =>
+      assert(got(doc)._1.contains(b),
+        s"doc $doc: closed-form ${got(doc)._1} != ntile $b")
+      val want = if (b == 1) "head" else if (b == 3) "tail" else "middle"
+      assert(got(doc)._2 == want)
+    }
+    // unscored docs carry no bucket and the explicit label
+    rows.filter(_._3 == "solo").foreach { case (d, _, _) =>
+      assert(got(d) == ((None, "unscored")))
+    }
+  }
+
   test("dsirWeights: target-like docs score higher; flags and nulls right") {
     // target style: "the cat sat on the mat"-ish function-word bigrams;
     // raw-only style: code-ish tokens. The target gate is a planted flag.
