@@ -4041,6 +4041,19 @@ object Oracles {
     },
 
     "emb_semdedup" -> semDedupSql,
+    // cluster-balanced mixture: the attested 256-cell Lloyd chain
+    // composed with sample_mixture's sqrt-rate + salted-hash threshold
+    // (Queries.embClusterMixture, salt cm42)
+    "emb_cluster_mixture" ->
+      s"""WITH ${ivfCellCtes(graft.Queries.semDedupCells)},
+         |cnt AS (SELECT cid, count(*)::BIGINT AS cnt FROM cells GROUP BY cid),
+         |mm AS (SELECT cid, cnt, min(cnt) OVER () AS cmin FROM cnt),
+         |rr AS (SELECT cid,
+         |  sqrt(cmin::DOUBLE / cnt::DOUBLE) AS rate FROM mm)
+         |SELECT cells.v_id, cells.cid, rr.rate
+         |FROM cells JOIN rr USING (cid)
+         |WHERE ('0x' || substr(md5('cm42' || cells.v_id), 1, 15))::BIGINT <
+         |  CAST(floor(rr.rate * 1.152921504606846976e18) AS BIGINT)""".stripMargin,
     "emb_semdedup_hier" -> semDedupHierSql,
     "ann_ivf_pq_hier_topk" -> ivfPqHierSql,
     "mm_resize_luminance" -> resizeLuminanceSql,

@@ -2515,6 +2515,18 @@ object Queries {
   /** Hot-cell comparison cap, shared with the oracle builder. */
   val semDedupCellCap: Int = 128
 
+  /** CLUSTER-BALANCED embedding mixture ([[operators.VectorOps
+    * .clusterMixture]]): the τ=1/2 temperature rebalance applied to
+    * SEMANTIC cells instead of source labels — the quantizer chain is
+    * the `emb_semdedup` one (same [[semDedupCells]] arity, so the
+    * oracle reuses the attested Lloyd replay), the rate/threshold
+    * arithmetic is `sample_mixture`'s. Over-represented semantic
+    * regions down-sample at sqrt(c_min/c); the keep decision is the
+    * shared salted-hash threshold, bit-deterministic. */
+  def embClusterMixture(s: SparkSession, dir: String): DataFrame =
+    VectorOps.clusterMixture(Tables.embeddings(s, dir), "vec_id",
+      "embedding", nCells = semDedupCells, salt = "cm42")
+
   /** SemDeDup over the TWO-LEVEL quantizer (100×100 supers×children,
     * k1·k2 = 10⁴ nominal cells — the regime the SemDeDup recipe actually
     * wants at 10⁹ rows, and the arity the r7 verdict required the

@@ -1189,6 +1189,47 @@ object VectorOps {
     * recall tradeoff, tuned via nCells.
     *
     * Output: (v_id, cid, is_kept) for every input vector. */
+  /** CLUSTER-BALANCED temperature sampling — the data-mixing stage over
+    * the EMBEDDING space instead of source labels: assign each vector to
+    * a deterministic coarse k-means cell (the [[semDedup]] quantizer
+    * contract: sample by id, [[kmeans]], nearest-cell with (distance,
+    * cid) tie-break) and rebalance across cells with the
+    * [[SampleOps.mixtureTemperature]] τ=1/2 rule — keep-rate
+    * `sqrt(c_min/c_cell)`, salted-hash thresholding, so over-represented
+    * semantic regions (boilerplate clusters, template farms) are
+    * down-sampled and rare regions survive whole. The semantic sibling
+    * of source-mixture sampling: sources say where text CAME FROM,
+    * cells say what it IS ABOUT. Returns kept rows (v_id, cid, rate).
+    *
+    * Scale shape: the quantizer is a fit-small collect (`limit(sampleN)`
+    * codebook discipline); assignment is the single-literal centroid
+    * matrix (no join); rates are a cell-bounded aggregate broadcast
+    * back; the keep decision is row-local hashing — the corpus never
+    * shuffles. */
+  def clusterMixture(vecs: DataFrame, idCol: String, vecCol: String,
+                     nCells: Int = 256, sampleN: Int = 10000,
+                     salt: String = "graft"): DataFrame = {
+    // vn MUST be materialized (persistTracked — the AnnIndexIO serving
+    // discipline): CollapseProject inlines the normalize chain into
+    // cellRanks' per-cell lambda (one reference → "cheap" to inline),
+    // and with no CSE across HOF boundaries the norm aggregate then
+    // re-evaluates per cell per element — measured as one AQE-coalesced
+    // task interpreting O(cells·dim²) per row at 10×
+    val v = graft.CacheRegistry.persistTracked(
+      normalized(vecs, idCol, vecCol)
+        .select(col(idCol).as("v_id"), col("vn")))
+    val sample = v.orderBy("v_id").limit(sampleN).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("vn").toArray)
+    val cells =
+      if (sample.isEmpty) v.select(col("v_id"), lit(0).as("cid")).limit(0)
+      else {
+        val cents = kmeans(sample, nCells)
+        v.select(col("v_id"),
+          cellRanks(col("vn"), cents).getItem(0).getField("cid").as("cid"))
+      }
+    SampleOps.mixtureTemperature(cells, "v_id", "cid", salt)
+  }
+
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nCells: Int = 16,
                sampleN: Int = 10000,

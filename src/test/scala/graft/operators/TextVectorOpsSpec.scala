@@ -506,6 +506,41 @@ class TextVectorOpsSpec extends SparkSpec {
     assert(ivf == ivf2)
   }
 
+  test("clusterMixture: hot semantic cells down-sample at sqrt(cmin/c)") {
+    val rng = new scala.util.Random(31)
+    // 4 tight clusters with sizes 4 / 4 / 40 / 4: the hot cluster must
+    // keep ≈ sqrt(4/40) of its members, the small ones keep everything
+    val centers = Array.fill(4)(Array.fill(8)(rng.nextGaussian() * 3))
+    val sizes = Seq(4, 4, 40, 4)
+    var id = -1L
+    val vecs = sizes.zipWithIndex.flatMap { case (n, c) =>
+      (0 until n).map { _ =>
+        id += 1
+        (id, centers(c).map(x => (x + 0.05 * rng.nextGaussian()).toFloat).toSeq)
+      }
+    }.toDF("vec_id", "embedding")
+    val out = VectorOps.clusterMixture(vecs, "vec_id", "embedding",
+      nCells = 4, salt = "t1").collect()
+      .map(r => (r.getAs[Long]("v_id"), r.getAs[Int]("cid"),
+        r.getAs[Double]("rate")))
+    graft.CacheRegistry.releaseAll()
+    val byCell = out.groupBy(_._2)
+    // every cell's rate is sqrt(cmin / count); the small cells keep all
+    val rates = byCell.view.mapValues(_.head._3).toMap
+    assert(rates.values.toSet.contains(1.0), "no cell kept whole")
+    val hot = rates.minBy(_._2)
+    assert(math.abs(hot._2 - math.sqrt(4.0 / 40.0)) < 1e-12,
+      s"hot-cell rate ${hot._2} != sqrt(0.1)")
+    // the hot cluster genuinely thinned; small clusters survived whole
+    assert(byCell(hot._1).length < 40)
+    assert(byCell.filter(_._1 != hot._1).values.map(_.length).sum == 12)
+    // deterministic: same salt, same rows
+    val again = VectorOps.clusterMixture(vecs, "vec_id", "embedding",
+      nCells = 4, salt = "t1").collect().length
+    graft.CacheRegistry.releaseAll()
+    assert(again == out.length)
+  }
+
   test("semDedup: lower-id rule per cell, chains keep one representative") {
     val rng = new scala.util.Random(47)
     // 20 scattered vectors FIRST (they seed the k-means init), then 3
