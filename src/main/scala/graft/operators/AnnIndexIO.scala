@@ -529,6 +529,20 @@ object AnnIndexIO {
   def retrain(vecs: DataFrame, idCol: String, vecCol: String,
               path: String, sampleN: Int = 10000): Boolean = {
     val spark = vecs.sparkSession
+    // refuse the OPQ families outright: their learned rotation is not
+    // part of this fit path, so "retraining" one here would overwrite
+    // the quantizer WITHOUT rot rows and flatten the artifact —
+    // precisely the silent family change maintenance must never make.
+    // (Detected via the _KIND sidecar, falling back to the rot rows for
+    // pre-sidecar artifacts.)
+    val kind = readKind(spark, path)
+    val hasRot = kind.isEmpty &&
+      spark.read.parquet(s"$path/quantizer")
+        .filter(col("kind") === "rot").limit(1).count() > 0
+    require(kind.forall(k => k == "flat" || k == "hier") && !hasRot,
+      s"retrain supports flat/hier indexes only; $path is " +
+        s"'${kind.getOrElse("opq-family (rot rows present)")}' — rebuild " +
+        "it with buildOpq/buildOpqIvf instead")
     val cfg = persistedConfig(spark, path)
     val next = s"${path}_next"
     ArtifactSwap.clearStale(spark, next)
@@ -586,39 +600,30 @@ object AnnIndexIO {
     * after (the `ann_index_compact` oracle shares `ann_index_append`'s
     * SQL verbatim). Returns (files_before, files_after). */
   def compact(spark: SparkSession, path: String,
-              targetPartitions: Int = 0): (Long, Long) = {
-    val live = s"$path/index"
-    val next = s"$path/index_next"
-    val parts = if (targetPartitions > 0) targetPartitions
-                else spark.sparkContext.defaultParallelism
-    val before = ArtifactSwap.dataFileCount(spark, live)
-    ArtifactSwap.clearStale(spark, next)
-    val index = spark.read.parquet(live)
-    if (index.columns.contains("sid"))
-      index.repartitionByRange(parts, col("sid"), col("cid"))
-        .sortWithinPartitions("sid", "cid")
-        .write.mode("overwrite").partitionBy("sid").parquet(next)
-    else
-      index.repartitionByRange(parts, col("cid"))
-        .sortWithinPartitions("cid")
-        .write.mode("overwrite").partitionBy("cid").parquet(next)
-    ArtifactSwap.swap(spark, live, next)
-    (before, ArtifactSwap.dataFileCount(spark, live))
+              targetPartitions: Int = 0,
+              knownBefore: Long = -1L): (Long, Long) = {
+    // layout family detected from the live table, preserved by the plan
+    val isHier = spark.read.parquet(s"$path/index").columns.contains("sid")
+    ArtifactSwap.compactTable(spark, s"$path/index",
+      (df, parts) =>
+        if (isHier) df.repartitionByRange(parts, col("sid"), col("cid"))
+          .sortWithinPartitions("sid", "cid")
+        else df.repartitionByRange(parts, col("cid"))
+          .sortWithinPartitions("cid"),
+      if (isHier) "sid" else "cid", targetPartitions, knownBefore)
   }
 
   /** Fragmentation-gated compaction ([[LshIndexIO.compactIfFragmented]]'s
-    * twin): gauge = the index table's own data-file count, default cap
-    * 8× cluster parallelism; healthy indexes are a listing-only no-op.
-    * Returns true iff a compaction ran. */
+    * twin, sharing [[ArtifactSwap.fragmentedAt]] — the gate's listing is
+    * reused as the compactor's `before`): healthy indexes are a
+    * listing-only no-op. Returns true iff a compaction ran. */
   def compactIfFragmented(spark: SparkSession, path: String,
                           maxFiles: Int = 0,
-                          targetPartitions: Int = 0): Boolean = {
-    val cap = if (maxFiles > 0) maxFiles
-              else 8 * spark.sparkContext.defaultParallelism
-    val fragmented = ArtifactSwap.dataFileCount(spark, s"$path/index") > cap
-    if (fragmented) compact(spark, path, targetPartitions)
-    fragmented
-  }
+                          targetPartitions: Int = 0): Boolean =
+    ArtifactSwap.fragmentedAt(spark, s"$path/index", maxFiles) match {
+      case Some(n) => compact(spark, path, targetPartitions, n); true
+      case None => false
+    }
 
   /** Cell-occupancy monitor for a built index: one map-side-combined
     * aggregate over the (pruned-to-metadata) index scan. Returns a

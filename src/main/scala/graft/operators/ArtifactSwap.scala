@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Generation swap for persisted index artifacts — the promotion step of
   * every maintenance operator ([[LshIndexIO.compact]]/
@@ -52,6 +52,43 @@ private[operators] object ArtifactSwap {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** The shared compaction core (both index families' `compact` is this
+    * with a family-specific range placement): read the live table,
+    * rewrite it through `place` (range-repartition + within-partition
+    * sort at `parts` writer arity), land it partitioned on
+    * `partitionCol` next to the live dir, promote by [[swap]]. Pass
+    * `knownBefore` when the caller already listed the tree (the
+    * fragmentation gates do) so the listing isn't paid twice — on
+    * object stores the listing RPCs are exactly what compaction exists
+    * to bound. Returns (files_before, files_after). */
+  def compactTable(spark: SparkSession, live: String,
+                   place: (DataFrame, Int) => DataFrame,
+                   partitionCol: String, targetPartitions: Int,
+                   knownBefore: Long = -1L): (Long, Long) = {
+    val parts = if (targetPartitions > 0) targetPartitions
+                else spark.sparkContext.defaultParallelism
+    val before = if (knownBefore >= 0) knownBefore
+                 else dataFileCount(spark, live)
+    val next = live + "_next"
+    clearStale(spark, next)
+    place(spark.read.parquet(live), parts)
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(next)
+    swap(spark, live, next)
+    (before, dataFileCount(spark, live))
+  }
+
+  /** The shared fragmentation gate: ONE recursive listing, compared to
+    * `maxFiles` (default 8× cluster parallelism — above any single
+    * build's writer arity). Returns Some(count) when over the cap —
+    * the caller feeds it to [[compactTable]] as `knownBefore`. */
+  def fragmentedAt(spark: SparkSession, live: String,
+                   maxFiles: Int): Option[Long] = {
+    val cap = if (maxFiles > 0) maxFiles
+              else 8 * spark.sparkContext.defaultParallelism
+    val n = dataFileCount(spark, live)
+    if (n > cap) Some(n) else None
   }
 
   /** Recursive data-file count under a path (parquet part files only —

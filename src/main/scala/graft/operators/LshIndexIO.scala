@@ -23,6 +23,61 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object LshIndexIO {
 
+  /** Operating-point sidecar (`path/_CONF`, ASCII "shingleK numHashes
+    * bands"), written at [[build]]/[[reshingle]] time and VALIDATED by
+    * every consumer that re-derives band keys ([[append]], [[probe]])
+    * or signature agreement ([[pairs]]): band hashes carry no trace of
+    * the parameters that produced them, so without the sidecar an
+    * [[append]] at the default k against a [[reshingle]]d-to-k=5 index
+    * would silently mix generations — garbage candidate pairs with no
+    * error. The same fail-fast contract as [[AnnIndexIO.retrain]]'s
+    * persisted-configuration rule: maintenance and admission must never
+    * silently change (or silently mismatch) the index's operating
+    * point. Pre-sidecar artifacts validate as a no-op. */
+  private def confPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_CONF")
+
+  private def writeConf(spark: SparkSession, path: String, shingleK: Int,
+                        numHashes: Int, bands: Int): Unit = {
+    val p = confPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$shingleK $numHashes $bands".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readConf(spark: SparkSession,
+                       path: String): Option[(Int, Int, Int)] = {
+    val p = confPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        val parts = new String(buf, 0, math.max(n, 0), "UTF-8")
+          .trim.split("\\s+")
+        Some((parts(0).toInt, parts(1).toInt, parts(2).toInt))
+      } finally in.close()
+    }
+  }
+
+  private def requireConf(spark: SparkSession, path: String, op: String,
+                          shingleK: Option[Int], numHashes: Option[Int],
+                          bands: Option[Int]): Unit =
+    readConf(spark, path).foreach { case (pk, ph, pb) =>
+      def check(name: String, got: Option[Int], persisted: Int): Unit =
+        got.foreach(g => require(g == persisted,
+          s"$op called with $name=$g against an index built at " +
+            s"$name=$persisted ($path/_CONF) — mixed generations would " +
+            "corrupt the band space; pass the persisted value or " +
+            "reshingle/rebuild"))
+      check("shingleK", shingleK, pk)
+      check("numHashes", numHashes, ph)
+      check("bands", bands, pb)
+    }
+
   /** One full corpus pass: shingle → minhash → band keys, written as the
     * persisted band table. Returns the row count written — observed on the
     * write itself (`Dataset.observe`), NOT by re-reading the artifact: at
@@ -38,6 +93,7 @@ object LshIndexIO {
     table.observe(obs, count(lit(1)).as("rows"))
       .write.mode("overwrite").partitionBy("band_id")
       .parquet(s"$path/bands")
+    writeConf(docs.sparkSession, path, shingleK, numHashes, bands)
     obs.get("rows").asInstanceOf[Long]
   }
 
@@ -50,9 +106,11 @@ object LshIndexIO {
     * minus the full-corpus shingle pass. */
   def pairs(spark: SparkSession, path: String, numHashes: Int = 16,
             minEstJaccard: Double = 0.25,
-            maxBandBucket: Option[Int] = Some(TextOps.DefaultMaxBandBucket)): DataFrame =
+            maxBandBucket: Option[Int] = Some(TextOps.DefaultMaxBandBucket)): DataFrame = {
+    requireConf(spark, path, "pairs", None, Some(numHashes), None)
     TextOps.minhashPairsFromBands(load(spark, path), numHashes,
       minEstJaccard, maxBandBucket)
+  }
 
   /** Admit a new batch into the index (snapshot N → N+1): one shingle
     * pass over the BATCH only, appended under the existing band_id
@@ -64,6 +122,8 @@ object LshIndexIO {
              shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4): Long = {
     import org.apache.spark.sql.Observation
     import org.apache.spark.sql.functions.{count, lit}
+    requireConf(docs.sparkSession, path, "append", Some(shingleK),
+      Some(numHashes), Some(bands))
     val table = TextOps.lshBandTable(docs, idCol, textCol, shingleK,
       numHashes, bands)
     val obs = Observation()
@@ -126,39 +186,31 @@ object LshIndexIO {
     * TOTAL across all band dirs — bounded by writer arity, never by
     * append count. Returns (files_before, files_after). */
   def compact(spark: SparkSession, path: String,
-              targetPartitions: Int = 0): (Long, Long) = {
+              targetPartitions: Int = 0,
+              knownBefore: Long = -1L): (Long, Long) = {
     import org.apache.spark.sql.functions.col
-    val live = s"$path/bands"
-    val next = s"$path/bands_next"
-    val parts = if (targetPartitions > 0) targetPartitions
-                else spark.sparkContext.defaultParallelism
-    val before = ArtifactSwap.dataFileCount(spark, live)
-    ArtifactSwap.clearStale(spark, next)
-    load(spark, path)
-      .repartitionByRange(parts, col("band_id"), col("band_hash"))
-      .sortWithinPartitions("band_id", "band_hash")
-      .write.mode("overwrite").partitionBy("band_id").parquet(next)
-    ArtifactSwap.swap(spark, live, next)
-    (before, ArtifactSwap.dataFileCount(spark, live))
+    ArtifactSwap.compactTable(spark, s"$path/bands",
+      (df, parts) => df
+        .repartitionByRange(parts, col("band_id"), col("band_hash"))
+        .sortWithinPartitions("band_id", "band_hash"),
+      "band_id", targetPartitions, knownBefore)
   }
 
   /** Fragmentation-gated compaction — the closed monitor→actuator loop
     * a snapshot chain runs after each [[append]] (the text tier's
-    * [[AnnIndexIO.retrainIfDrifted]]): the gauge here is the artifact's
-    * own DATA FILE COUNT (listing cost is exactly what compaction
-    * exists to bound), the default threshold 8× the cluster parallelism
-    * — comfortably above any single build's writer arity, crossed only
-    * by an append chain. Returns true iff a compaction ran; a healthy
-    * index is a no-op (one file listing, no job). */
+    * [[AnnIndexIO.retrainIfDrifted]]): the gauge is the artifact's own
+    * DATA FILE COUNT via [[ArtifactSwap.fragmentedAt]] (listing cost is
+    * exactly what compaction exists to bound; the gate's listing is
+    * reused as the compactor's `before`, never paid twice). Returns
+    * true iff a compaction ran; a healthy index is a no-op (one file
+    * listing, no job). */
   def compactIfFragmented(spark: SparkSession, path: String,
                           maxFiles: Int = 0,
-                          targetPartitions: Int = 0): Boolean = {
-    val cap = if (maxFiles > 0) maxFiles
-              else 8 * spark.sparkContext.defaultParallelism
-    val fragmented = ArtifactSwap.dataFileCount(spark, s"$path/bands") > cap
-    if (fragmented) compact(spark, path, targetPartitions)
-    fragmented
-  }
+                          targetPartitions: Int = 0): Boolean =
+    ArtifactSwap.fragmentedAt(spark, s"$path/bands", maxFiles) match {
+      case Some(n) => compact(spark, path, targetPartitions, n); true
+      case None => false
+    }
 
   /** RE-SHINGLE the index into a new generation — the actuator for
     * [[stats]]'s `capped_buckets` signal: when boilerplate-heavy content
@@ -186,6 +238,9 @@ object LshIndexIO {
     table.observe(obs, count(lit(1)).as("rows"))
       .write.mode("overwrite").partitionBy("band_id").parquet(next)
     ArtifactSwap.swap(spark, s"$path/bands", next)
+    // the sidecar records the NEW operating point: consumers at the old
+    // k now fail fast instead of silently mixing generations
+    writeConf(spark, path, shingleK, numHashes, bands)
     obs.get("rows").asInstanceOf[Long]
   }
 
@@ -198,9 +253,12 @@ object LshIndexIO {
             idCol: String, textCol: String, shingleK: Int = 3,
             numHashes: Int = 16, bands: Int = 4,
             minEstJaccard: Double = 0.25,
-            maxBandBucket: Option[Int] = Some(TextOps.DefaultMaxBandBucket)): DataFrame =
+            maxBandBucket: Option[Int] = Some(TextOps.DefaultMaxBandBucket)): DataFrame = {
+    requireConf(spark, path, "probe", Some(shingleK), Some(numHashes),
+      Some(bands))
     TextOps.minhashProbePairs(load(spark, path),
       TextOps.lshBandTable(newDocs, idCol, textCol, shingleK, numHashes,
         bands),
       numHashes, minEstJaccard, maxBandBucket)
+  }
 }

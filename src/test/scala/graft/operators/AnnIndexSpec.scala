@@ -567,6 +567,20 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("retrain refuses OPQ-family artifacts instead of flattening them") {
+    val dir = tmpDir("retrain_opq")
+    assert(AnnIndexIO.buildOpqIvf(vecs, "vec_id", "embedding", dir,
+      nCells = 6, m = 2, codebookK = 8, altIters = 2))
+    val e = intercept[IllegalArgumentException] {
+      AnnIndexIO.retrain(vecs, "vec_id", "embedding", dir)
+    }
+    assert(e.getMessage.contains("flat/hier"))
+    // the artifact is untouched: the rotation still loads and serves
+    val (rot, _) = AnnIndexIO.opqIvfModelFromDF(
+      spark.read.parquet(s"$dir/quantizer"))
+    assert(rot.nonEmpty)
+  }
+
   test("retrain on a HIER index preserves the two-level family and arity") {
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),

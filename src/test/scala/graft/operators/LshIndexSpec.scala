@@ -181,6 +181,30 @@ class LshIndexSpec extends SparkSpec {
     assert(viaReshingle != k3)
   }
 
+  test("operating-point sidecar: mismatched append/probe fail fast") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh_conf").toString
+    LshIndexIO.build(docs, "doc_id", "text", dir, shingleK = 3)
+    // mismatched probe rejected with the persisted value in the message
+    val e = intercept[IllegalArgumentException] {
+      LshIndexIO.probe(spark, dir, docs.filter("doc_id = 0"),
+        "doc_id", "text", shingleK = 4)
+    }
+    assert(e.getMessage.contains("shingleK") &&
+      e.getMessage.contains("mixed generations"))
+    // after a reshingle the sidecar moves: the OLD default k now fails
+    // fast instead of silently appending k=3 rows into a k=5 index
+    LshIndexIO.reshingle(docs, "doc_id", "text", dir, shingleK = 5)
+    intercept[IllegalArgumentException] {
+      LshIndexIO.append(docs.filter("doc_id = 0"), "doc_id", "text", dir)
+    }
+    // matching parameters pass
+    LshIndexIO.append(docs.filter("doc_id = 0"), "doc_id", "text", dir,
+      shingleK = 5)
+    assert(LshIndexIO.probe(spark, dir, docs.filter("doc_id = 1"),
+      "doc_id", "text", shingleK = 5).columns.contains("doc_new"))
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("bucket cap applies identically over the loaded index") {
     val inline = pairKey(TextOps.minhashLshPairs(docs, "doc_id", "text",
       maxBandBucket = Some(2)))
