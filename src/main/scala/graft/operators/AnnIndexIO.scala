@@ -50,19 +50,34 @@ object AnnIndexIO {
     try out.write(kind.getBytes("UTF-8")) finally out.close()
   }
 
-  private def readKind(spark: SparkSession, path: String): Option[String] = {
-    val p = kindPath(path)
+  private def readKind(spark: SparkSession, path: String): Option[String] =
+    ArtifactSwap.readSmall(spark, kindPath(path)).map(_.trim)
+
+  /** Requested-configuration sidecar (`path/_CONF`, ASCII
+    * "<kind> <arity...> <m> <codebookK> [altIters]"), written at build
+    * time so maintenance ([[retrain]], [[rebuildOpq]]) preserves the
+    * operating point the caller REQUESTED rather than re-deriving it
+    * from fitted rows — fitted arity can silently narrow on
+    * sample-bounded builds (a hier child list is ragged when few sample
+    * points land in a super), and the OPQ families' `altIters` leaves no
+    * trace in the artifact at all. Pre-sidecar artifacts fall back to
+    * the fitted-row derivation in [[persistedConfig]]. */
+  private def confPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_CONF")
+
+  private def writeConf(spark: SparkSession, path: String,
+                        fields: Seq[Int]): Unit = {
+    val p = confPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new Array[Byte](16)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim)
-      } finally in.close()
-    }
+    val out = fs.create(p, true)
+    try out.write(fields.mkString(" ").getBytes("UTF-8"))
+    finally out.close()
   }
+
+  private def readConfFields(spark: SparkSession,
+                             path: String): Option[Array[Int]] =
+    ArtifactSwap.readSmall(spark, confPath(path))
+      .map(_.trim.split("\\s+").map(_.toInt))
 
   /** Quantizer → typed Parquet rows (the persisted layout). */
   def modelToDF(spark: SparkSession, model: VectorOps.IvfPqModel): DataFrame = {
@@ -112,6 +127,7 @@ object AnnIndexIO {
           .write.mode("overwrite").partitionBy("cid")
           .parquet(s"$path/index")
         writeKind(vecs.sparkSession, path, "flat")
+        writeConf(vecs.sparkSession, path, Seq(nCells, m, codebookK))
         model
       }
 
@@ -198,6 +214,7 @@ object AnnIndexIO {
           .write.mode("overwrite").partitionBy("sid")
           .parquet(s"$path/index")
         writeKind(vecs.sparkSession, path, "hier")
+        writeConf(vecs.sparkSession, path, Seq(k1, k2, m, codebookK))
         model
       }
   }
@@ -309,6 +326,7 @@ object AnnIndexIO {
         .select(col("v_id"), col("codes"))
         .write.mode("overwrite").parquet(s"$path/index")
       writeKind(spark, path, "opq")
+      writeConf(spark, path, Seq(m, codebookK, altIters))
       true
     }
   }
@@ -378,6 +396,7 @@ object AnnIndexIO {
           .write.mode("overwrite").partitionBy("cid")
           .parquet(s"$path/index")
         writeKind(spark, path, "opq_ivf")
+        writeConf(spark, path, Seq(nCells, m, codebookK, altIters))
         true
     }
   }
@@ -478,19 +497,31 @@ object AnnIndexIO {
     }
   }
 
-  /** The persisted quantizer's configuration, read back from the
-    * artifact rows — flat: coarse-cell count; hier: (k1 supers,
-    * k2 children per super); both: (m subspaces, codebookK entries).
-    * One small driver collect over the quantizer table (model-sized,
-    * the same rows [[modelFromDF]] collects). Lets [[retrain]] preserve
-    * the built configuration without the caller re-stating it —
-    * maintenance must not silently change the index's operating
-    * point. */
+  /** The persisted quantizer's configuration — flat: coarse-cell count;
+    * hier: (k1 supers, k2 children per super); both: (m subspaces,
+    * codebookK entries). Read from the `_CONF` sidecar when present
+    * (the configuration the caller REQUESTED at build time — exact even
+    * when sample-bounded fitting narrowed the fitted arity); pre-sidecar
+    * artifacts fall back to one small driver collect over the quantizer
+    * table (model-sized, the same rows [[modelFromDF]] collects). Lets
+    * [[retrain]] preserve the built configuration without the caller
+    * re-stating it — maintenance must not silently change the index's
+    * operating point. */
   private case class PersistedConfig(isHier: Boolean, k1: Int, k2: Int,
                                      nCells: Int, m: Int, codebookK: Int)
 
   private def persistedConfig(spark: SparkSession,
                               path: String): PersistedConfig = {
+    // the sidecar layout is kind-specific (the OPQ kinds persist
+    // altIters too), so the fast path dispatches on the _KIND sidecar —
+    // never on field count alone
+    (readKind(spark, path), readConfFields(spark, path)) match {
+      case (Some("hier"), Some(Array(k1, k2, m, codebookK))) =>
+        return PersistedConfig(isHier = true, k1, k2, k1 * k2, m, codebookK)
+      case (Some("flat"), Some(Array(nCells, m, codebookK))) =>
+        return PersistedConfig(isHier = false, 0, 0, nCells, m, codebookK)
+      case _ => // pre-sidecar artifact (or a foreign layout): derive
+    }
     val rows = spark.read.parquet(s"$path/quantizer")
       .groupBy("kind", "i").agg(count(lit(1)).as("n")).collect()
     val byKind = rows.groupBy(_.getAs[String]("kind"))
@@ -500,6 +531,11 @@ object AnnIndexIO {
     byKind.get("super") match {
       case Some(supers) =>
         val k1 = supers.length
+        // a hier quantizer with super rows but NO child rows is not a
+        // fittable artifact — fail with the cause, not a key miss
+        require(byKind.contains("child"),
+          s"$path/quantizer has ${k1} super rows but no child rows — " +
+            "degenerate hier artifact; rebuild it with buildHier")
         // children can be RAGGED (fitted children are sample-bounded per
         // super), so the requested arity is the widest fitted one
         val k2 = byKind("child").map(_.getAs[Long]("n").toInt).max
@@ -529,20 +565,22 @@ object AnnIndexIO {
   def retrain(vecs: DataFrame, idCol: String, vecCol: String,
               path: String, sampleN: Int = 10000): Boolean = {
     val spark = vecs.sparkSession
+    ArtifactSwap.recover(spark, path) // heal a stranded-prev crash state
     // refuse the OPQ families outright: their learned rotation is not
     // part of this fit path, so "retraining" one here would overwrite
     // the quantizer WITHOUT rot rows and flatten the artifact —
     // precisely the silent family change maintenance must never make.
     // (Detected via the _KIND sidecar, falling back to the rot rows for
-    // pre-sidecar artifacts.)
+    // pre-sidecar artifacts.) The OPQ families' maintenance valve is
+    // [[rebuildOpq]].
     val kind = readKind(spark, path)
     val hasRot = kind.isEmpty &&
       spark.read.parquet(s"$path/quantizer")
         .filter(col("kind") === "rot").limit(1).count() > 0
     require(kind.forall(k => k == "flat" || k == "hier") && !hasRot,
       s"retrain supports flat/hier indexes only; $path is " +
-        s"'${kind.getOrElse("opq-family (rot rows present)")}' — rebuild " +
-        "it with buildOpq/buildOpqIvf instead")
+        s"'${kind.getOrElse("opq-family (rot rows present)")}' — use " +
+        "rebuildOpq (or buildOpq/buildOpqIvf) instead")
     val cfg = persistedConfig(spark, path)
     val next = s"${path}_next"
     ArtifactSwap.clearStale(spark, next)
@@ -584,6 +622,72 @@ object AnnIndexIO {
     val drifted = occupancyStats(spark, path, skewThreshold)
       .select("recommend_retrain").head().getBoolean(0)
     drifted && retrain(vecs, idCol, vecCol, path, sampleN)
+  }
+
+  /** REBUILD an OPQ-family index from the accumulated corpus — the
+    * retrain valve for the two kinds [[retrain]] rightly refuses: an OPQ
+    * artifact's accuracy lives in the LEARNED ROTATION (the alternating
+    * Procrustes fit), so healing drift means re-learning rotation AND
+    * codebooks (and, for `opq_ivf`, the coarse quantizer) from the
+    * current corpus, then re-encoding everything — a flat refit would
+    * silently destroy the rotation (the guard the r14 round added; this
+    * is the action it pointed at). Preserves the persisted operating
+    * point (`_CONF`: nCells/m/codebookK/altIters as requested at build
+    * time) and promotes with the same [[ArtifactSwap]] atomic
+    * generation swap as [[retrain]]: searches serve the old generation
+    * until the new one is complete, and the promoted artifact is
+    * indistinguishable from a from-scratch [[buildOpq]]/[[buildOpqIvf]]
+    * over the same corpus (the deterministic sample makes the fit
+    * replayable — oracle-pinned VERBATIM against the from-scratch SQL).
+    * With this, all four persisted index kinds have an actionable
+    * maintenance valve for the occupancy monitor's drift signal.
+    * Returns false (nothing changed) on an empty corpus. */
+  def rebuildOpq(vecs: DataFrame, idCol: String, vecCol: String,
+                 path: String, sampleN: Int = 10000): Boolean = {
+    val spark = vecs.sparkSession
+    ArtifactSwap.recover(spark, path) // heal a stranded-prev crash state
+    val kind = readKind(spark, path).getOrElse {
+      // pre-sidecar artifact: the rot rows identify the family, the
+      // coarse rows split opq_ivf from the cell-less opq
+      val q = spark.read.parquet(s"$path/quantizer")
+      require(q.filter(col("kind") === "rot").limit(1).count() > 0,
+        s"rebuildOpq supports the OPQ families only; $path has no " +
+          "rotation — use retrain instead")
+      if (q.filter(col("kind") === "coarse").limit(1).count() > 0) "opq_ivf"
+      else "opq"
+    }
+    require(kind == "opq" || kind == "opq_ivf",
+      s"rebuildOpq supports the OPQ families only; $path is '$kind' — " +
+        "use retrain instead")
+    val next = s"${path}_next"
+    ArtifactSwap.clearStale(spark, next)
+    val built = (kind, readConfFields(spark, path)) match {
+      case ("opq", conf) =>
+        // pre-sidecar (or foreign-layout) conf: the build defaults
+        val c = conf.filter(_.length == 3).getOrElse(Array(8, 16, 5))
+        buildOpq(vecs, idCol, vecCol, next, c(0), c(1), c(2), sampleN)
+      case (_, conf) =>
+        val c = conf.filter(_.length == 4).getOrElse(Array(16, 8, 16, 5))
+        buildOpqIvf(vecs, idCol, vecCol, next, c(0), c(1), c(2), c(3),
+          sampleN)
+    }
+    if (built) ArtifactSwap.swap(spark, path, next)
+    else ArtifactSwap.clearStale(spark, next)
+    built
+  }
+
+  /** Drift-gated OPQ rebuild — [[retrainIfDrifted]]'s twin for the
+    * probe-pruned OPQ family (`opq_ivf`: the occupancy monitor reads
+    * `cid`, which the cell-less `opq` kind does not have — gate that one
+    * on corpus-growth policy and call [[rebuildOpq]] directly). Returns
+    * true iff a rebuild happened. */
+  def rebuildOpqIfDrifted(spark: SparkSession, path: String,
+                          vecs: DataFrame, idCol: String, vecCol: String,
+                          skewThreshold: Double = 8.0,
+                          sampleN: Int = 10000): Boolean = {
+    val drifted = occupancyStats(spark, path, skewThreshold)
+      .select("recommend_retrain").head().getBoolean(0)
+    drifted && rebuildOpq(vecs, idCol, vecCol, path, sampleN)
   }
 
   /** COMPACT the encoded index table — the file-merge maintenance the

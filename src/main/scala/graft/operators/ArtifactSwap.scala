@@ -19,9 +19,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (live → `_prev`, next → live) plus a cleanup delete. On HDFS and
   * POSIX filesystems each rename is atomic, so the only crash window
   * leaves the live name ABSENT with both generations intact under
-  * `_prev`/the next path — recoverable, never corrupt, and [[swap]]
-  * rolls the previous generation back if the promote rename itself
-  * fails. Readers that already listed the old generation's files finish
+  * `_prev`/the next path — recoverable, never corrupt; [[recover]]
+  * rolls that state back automatically on the next maintenance entry,
+  * and [[swap]] rolls the previous generation back if the promote
+  * rename itself fails. Readers that already listed the old generation's files finish
   * their scan against the `_prev` inodes (POSIX) — new queries list the
   * new generation. Object stores without atomic rename (S3) should wrap
   * the artifact root in a manifest-pointer layout instead; the swap is
@@ -30,9 +31,46 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[operators] object ArtifactSwap {
 
+  /** Heal the one crash window [[swap]] leaves: both renames are atomic,
+    * so the only bad state is `live` ABSENT with the old generation
+    * stranded under `_prev` (crash between retire and promote). Rolls
+    * `_prev` back to `live` and returns true iff it did. Called on entry
+    * by [[swap]] and [[compactTable]] and by the maintenance operators
+    * before they read the live artifact — recovery is automatic on the
+    * next maintenance pass, never a manual rename. */
+  def recover(spark: SparkSession, live: String): Boolean = {
+    val livePath = new Path(live)
+    val fs = livePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = new Path(live + "_prev")
+    if (!fs.exists(livePath) && fs.exists(prev)) fs.rename(prev, livePath)
+    else false
+  }
+
+  /** Read a small sidecar file FULLY before parsing: a single
+    * `InputStream.read` may return fewer bytes than available (short
+    * reads are legal and real on HDFS/object-store streams), which would
+    * truncate the payload mid-token. Loops to EOF over a bounded buffer
+    * (sidecars are tens of bytes; `max` caps pathological files). */
+  def readSmall(spark: SparkSession, p: Path, max: Int = 256): Option[String] = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](max)
+        var off = 0
+        var n = 0
+        while (off < max && { n = in.read(buf, off, max - off); n >= 0 })
+          off += n
+        Some(new String(buf, 0, off, "UTF-8"))
+      } finally in.close()
+    }
+  }
+
   /** Replace the `live` artifact (dir or file) with `next`. `live` may
     * not exist yet (first generation); `next` must. */
   def swap(spark: SparkSession, live: String, next: String): Unit = {
+    recover(spark, live) // heal a prior crash's stranded-prev state first
     val livePath = new Path(live)
     val fs = livePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prev = new Path(live + "_prev")
@@ -62,11 +100,16 @@ private[operators] object ArtifactSwap {
     * `knownBefore` when the caller already listed the tree (the
     * fragmentation gates do) so the listing isn't paid twice — on
     * object stores the listing RPCs are exactly what compaction exists
-    * to bound. Returns (files_before, files_after). */
+    * to bound. `carrySidecars` names in-dir sidecar files (e.g. `_CONF`)
+    * copied from the live generation into the next one BEFORE the swap,
+    * so operating-point metadata rides the same atomic rename as the
+    * data it describes. Returns (files_before, files_after). */
   def compactTable(spark: SparkSession, live: String,
                    place: (DataFrame, Int) => DataFrame,
                    partitionCol: String, targetPartitions: Int,
-                   knownBefore: Long = -1L): (Long, Long) = {
+                   knownBefore: Long = -1L,
+                   carrySidecars: Seq[String] = Nil): (Long, Long) = {
+    recover(spark, live) // heal a prior crash's stranded-prev state first
     val parts = if (targetPartitions > 0) targetPartitions
                 else spark.sparkContext.defaultParallelism
     val before = if (knownBefore >= 0) knownBefore
@@ -75,6 +118,15 @@ private[operators] object ArtifactSwap {
     clearStale(spark, next)
     place(spark.read.parquet(live), parts)
       .write.mode("overwrite").partitionBy(partitionCol).parquet(next)
+    val fs = new Path(live).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    carrySidecars.foreach { name =>
+      val src = new Path(s"$live/$name")
+      if (fs.exists(src))
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+          new Path(s"$next/$name"), false, true,
+          spark.sparkContext.hadoopConfiguration)
+    }
     swap(spark, live, next)
     (before, dataFileCount(spark, live))
   }

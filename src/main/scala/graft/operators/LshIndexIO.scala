@@ -23,23 +23,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object LshIndexIO {
 
-  /** Operating-point sidecar (`path/_CONF`, ASCII "shingleK numHashes
-    * bands"), written at [[build]]/[[reshingle]] time and VALIDATED by
-    * every consumer that re-derives band keys ([[append]], [[probe]])
-    * or signature agreement ([[pairs]]): band hashes carry no trace of
-    * the parameters that produced them, so without the sidecar an
-    * [[append]] at the default k against a [[reshingle]]d-to-k=5 index
-    * would silently mix generations — garbage candidate pairs with no
-    * error. The same fail-fast contract as [[AnnIndexIO.retrain]]'s
+  /** Operating-point sidecar (`path/bands/_CONF`, ASCII "shingleK
+    * numHashes bands"), written at [[build]]/[[reshingle]] time and
+    * VALIDATED by every consumer that re-derives band keys ([[append]],
+    * [[probe]]) or signature agreement ([[pairs]]): band hashes carry no
+    * trace of the parameters that produced them, so without the sidecar
+    * an [[append]] at the default k against a [[reshingle]]d-to-k=5
+    * index would silently mix generations — garbage candidate pairs with
+    * no error. The same fail-fast contract as [[AnnIndexIO.retrain]]'s
     * persisted-configuration rule: maintenance and admission must never
-    * silently change (or silently mismatch) the index's operating
-    * point. Pre-sidecar artifacts validate as a no-op. */
+    * silently change (or silently mismatch) the index's operating point.
+    *
+    * The sidecar lives INSIDE the band-table dir (underscore-prefixed,
+    * invisible to the parquet reader) so [[reshingle]]'s generation swap
+    * moves data and operating point in ONE atomic rename — a sidecar
+    * outside the dir could desynchronize in the crash window between the
+    * swap and a separate conf write, leaving a new-k band table
+    * described by an old-k conf (silent mixed generations, the exact
+    * corruption the sidecar exists to prevent). [[compact]] carries it
+    * into the rewritten generation. Pre-sidecar artifacts (conf at the
+    * legacy `path/_CONF`) still validate; artifacts with no conf at all
+    * validate as a no-op. */
   private def confPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_CONF")
 
-  private def writeConf(spark: SparkSession, path: String, shingleK: Int,
+  private def writeConf(spark: SparkSession, bandsDir: String, shingleK: Int,
                         numHashes: Int, bands: Int): Unit = {
-    val p = confPath(path)
+    val p = confPath(bandsDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(s"$shingleK $numHashes $bands".getBytes("UTF-8"))
@@ -47,21 +57,13 @@ object LshIndexIO {
   }
 
   private def readConf(spark: SparkSession,
-                       path: String): Option[(Int, Int, Int)] = {
-    val p = confPath(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        val parts = new String(buf, 0, math.max(n, 0), "UTF-8")
-          .trim.split("\\s+")
-        Some((parts(0).toInt, parts(1).toInt, parts(2).toInt))
-      } finally in.close()
-    }
-  }
+                       path: String): Option[(Int, Int, Int)] =
+    ArtifactSwap.readSmall(spark, confPath(s"$path/bands"))
+      .orElse(ArtifactSwap.readSmall(spark, confPath(path))) // legacy spot
+      .map { s =>
+        val parts = s.trim.split("\\s+")
+        (parts(0).toInt, parts(1).toInt, parts(2).toInt)
+      }
 
   private def requireConf(spark: SparkSession, path: String, op: String,
                           shingleK: Option[Int], numHashes: Option[Int],
@@ -93,7 +95,7 @@ object LshIndexIO {
     table.observe(obs, count(lit(1)).as("rows"))
       .write.mode("overwrite").partitionBy("band_id")
       .parquet(s"$path/bands")
-    writeConf(docs.sparkSession, path, shingleK, numHashes, bands)
+    writeConf(docs.sparkSession, s"$path/bands", shingleK, numHashes, bands)
     obs.get("rows").asInstanceOf[Long]
   }
 
@@ -193,7 +195,8 @@ object LshIndexIO {
       (df, parts) => df
         .repartitionByRange(parts, col("band_id"), col("band_hash"))
         .sortWithinPartitions("band_id", "band_hash"),
-      "band_id", targetPartitions, knownBefore)
+      "band_id", targetPartitions, knownBefore,
+      carrySidecars = Seq("_CONF"))
   }
 
   /** Fragmentation-gated compaction — the closed monitor→actuator loop
@@ -237,10 +240,13 @@ object LshIndexIO {
     val obs = Observation()
     table.observe(obs, count(lit(1)).as("rows"))
       .write.mode("overwrite").partitionBy("band_id").parquet(next)
+    // the NEW operating point is staged INSIDE the next generation, so
+    // data and sidecar promote in the SAME atomic rename — no crash
+    // window can pair a new-k band table with an old-k conf (or vice
+    // versa): consumers at the old k fail fast after the swap, and a
+    // crash before it leaves the live generation fully consistent
+    writeConf(spark, next, shingleK, numHashes, bands)
     ArtifactSwap.swap(spark, s"$path/bands", next)
-    // the sidecar records the NEW operating point: consumers at the old
-    // k now fail fast instead of silently mixing generations
-    writeConf(spark, path, shingleK, numHashes, bands)
     obs.get("rows").asInstanceOf[Long]
   }
 

@@ -612,4 +612,96 @@ class AnnIndexSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
     assert(healed.nonEmpty && healed == freshly)
   }
+
+  test("rebuildOpq heals a snapshot-fit OPQ×IVF index == from-scratch build") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("sim"))))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val planted = Seq.tabulate(120) { i =>
+      val v = Array.fill(16)(0.0f)
+      v(i % 6) = 100.0f
+      v(8 + i % 4) = (0.001 * (1 + i % 7)).toFloat
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val snapshot = planted.filter(col("vec_id") % 5 =!= 4)
+    val qp = col("v_id") < 6
+    val dir = tmpDir("rebuild_opq")
+    // drift planting: rotation/codebooks/coarse fitted on the SNAPSHOT
+    // only; the index holds only snapshot rows (no OPQ append path —
+    // rebuild is the whole admission valve for this family)
+    assert(AnnIndexIO.buildOpqIvf(snapshot, "vec_id", "embedding", dir,
+      nCells = 6, m = 2, codebookK = 8, altIters = 3))
+    // the valve: re-learn everything from the accumulated corpus
+    assert(AnnIndexIO.rebuildOpq(planted, "vec_id", "embedding", dir))
+    // family and operating point preserved across the swap
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_KIND")), "UTF-8").trim == "opq_ivf")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_CONF")), "UTF-8").trim == "6 2 8 3")
+    // the promoted artifact is indistinguishable from a from-scratch
+    // build over the same corpus (deterministic sample ⇒ same fit)
+    val fresh = tmpDir("rebuild_opq_fresh")
+    assert(AnnIndexIO.buildOpqIvf(planted, "vec_id", "embedding", fresh,
+      nCells = 6, m = 2, codebookK = 8, altIters = 3))
+    val healed = key(AnnIndexIO.searchOpqIvf(spark, dir, planted, "vec_id",
+      "embedding", qp, k = 3, nprobe = 2, rerank = 20))
+    graft.CacheRegistry.releaseAll()
+    val freshly = key(AnnIndexIO.searchOpqIvf(spark, fresh, planted,
+      "vec_id", "embedding", qp, k = 3, nprobe = 2, rerank = 20))
+    graft.CacheRegistry.releaseAll()
+    assert(healed.nonEmpty && healed == freshly)
+    // and the guard rails hold in both directions
+    val flatDir = tmpDir("rebuild_flat")
+    assert(AnnIndexIO.build(planted, "vec_id", "embedding", flatDir,
+      nCells = 6).nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndexIO.rebuildOpq(planted, "vec_id", "embedding", flatDir)
+    }
+    assert(e.getMessage.contains("OPQ families only"))
+  }
+
+  test("ArtifactSwap.recover: stranded-prev crash state heals on maintenance entry") {
+    val dir = tmpDir("recover")
+    assert(AnnIndexIO.build(vecs, "vec_id", "embedding", dir,
+      nCells = 8).nonEmpty)
+    val qp = col("v_id") < 10
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(_.toString).sorted.toSeq
+    val before = key(AnnIndexIO.search(spark, dir, vecs, "vec_id",
+      "embedding", qp, k = 3, nprobe = 3))
+    graft.CacheRegistry.releaseAll()
+    // simulate retrain's crash window: live retired to _prev, the
+    // promote rename never ran — the live path is ABSENT
+    val live = new java.io.File(dir)
+    val prev = new java.io.File(dir + "_prev")
+    assert(live.renameTo(prev) && !live.exists())
+    // the next maintenance entry recovers _prev and completes normally
+    assert(AnnIndexIO.retrain(vecs, "vec_id", "embedding", dir))
+    val after = key(AnnIndexIO.search(spark, dir, vecs, "vec_id",
+      "embedding", qp, k = 3, nprobe = 3))
+    graft.CacheRegistry.releaseAll()
+    // same corpus, same persisted configuration ⇒ same served answer
+    assert(after == before && before.nonEmpty)
+    assert(!prev.exists(), "recovery left the stranded generation behind")
+  }
+
+  test("persistedConfig fails fast on a degenerate hier artifact (no child rows)") {
+    import spark.implicits._
+    val dir = tmpDir("degenerate")
+    // super + book rows but NO child rows — an artifact no build path
+    // produces; the derivation must name the cause, not throw a key miss
+    (Seq(("super", 0, 0, Seq(1.0, 0.0)), ("super", 1, 0, Seq(0.0, 1.0)),
+        ("book", 0, 0, Seq(0.1, 0.1))))
+      .toDF("kind", "i", "j", "vec")
+      .write.mode("overwrite").parquet(s"$dir/quantizer")
+    spark.range(1).selectExpr("id AS v_id", "0 AS cid",
+        "array(0, 0) AS codes")
+      .write.mode("overwrite").parquet(s"$dir/index")
+    val e = intercept[IllegalArgumentException] {
+      AnnIndexIO.retrain(vecs, "vec_id", "embedding", dir)
+    }
+    assert(e.getMessage.contains("degenerate hier artifact"))
+  }
 }

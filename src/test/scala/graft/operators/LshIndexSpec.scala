@@ -205,6 +205,50 @@ class LshIndexSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("conf sidecar rides the generation: in-dir, swap-atomic, compact-carried") {
+    def conf(dir: String): String = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "bands", "_CONF")), "UTF-8").trim
+    val dir = java.nio.file.Files.createTempDirectory("lsh_conf_gen").toString
+    LshIndexIO.build(docs, "doc_id", "text", dir, shingleK = 3)
+    assert(conf(dir) == "3 16 4") // written INSIDE the band-table dir
+    // reshingle stages the NEW conf inside the next generation, so data
+    // and operating point promote in one atomic rename
+    LshIndexIO.reshingle(docs, "doc_id", "text", dir, shingleK = 5)
+    assert(conf(dir) == "5 16 4")
+    // compact rewrites the generation and must CARRY the sidecar — a
+    // compacted index that forgot its k would stop fail-fasting appends
+    LshIndexIO.compact(spark, dir, targetPartitions = 2)
+    assert(conf(dir) == "5 16 4")
+    intercept[IllegalArgumentException] { // default k=3 still rejected
+      LshIndexIO.append(docs.filter("doc_id = 0"), "doc_id", "text", dir)
+    }
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("recover: stranded-prev crash state heals on the next compact") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh_recover").toString
+    LshIndexIO.build(docs, "doc_id", "text", dir)
+    val batch = Seq(
+      (8L, "the quick brown fox jumps over the lazy dog again and anew"))
+      .toDF("doc_id", "text")
+    val before = LshIndexIO.probe(spark, dir, batch, "doc_id", "text")
+      .collect().map(_.toString).toSet
+    graft.CacheRegistry.releaseAll()
+    // simulate the swap crash window: bands retired to _prev, promote
+    // never ran — the live band table is ABSENT
+    val live = new java.io.File(s"$dir/bands")
+    assert(live.renameTo(new java.io.File(s"$dir/bands_prev")))
+    // the next maintenance entry recovers and completes normally
+    val (_, filesAfter) = LshIndexIO.compact(spark, dir,
+      targetPartitions = 2)
+    assert(filesAfter > 0)
+    val after = LshIndexIO.probe(spark, dir, batch, "doc_id", "text")
+      .collect().map(_.toString).toSet
+    graft.CacheRegistry.releaseAll()
+    assert(after == before && before.nonEmpty)
+  }
+
   test("bucket cap applies identically over the loaded index") {
     val inline = pairKey(TextOps.minhashLshPairs(docs, "doc_id", "text",
       maxBandBucket = Some(2)))
