@@ -1984,6 +1984,12 @@ object Oracles {
     // order). A dropped true neighbor anywhere in the rotate→cell→
     // probe→rerank chain breaks the hash.
     "ann_opq_ivf_topk" -> opqIvfSql,
+    // OPQ rebuild valve: a snapshot-fitted (planted-drift) OPQ×IVF index
+    // rebuilt from the full corpus must be indistinguishable from a
+    // from-scratch build over everything — the planted brute-force SQL
+    // VERBATIM (the ann_index_retrain discipline on the OPQ family;
+    // Queries.annIndexRebuildOpq)
+    "ann_index_rebuild_opq" -> opqIvfSql,
 
     "ann_recall_audit" -> annRecallAuditSql,
 
@@ -2943,6 +2949,14 @@ object Oracles {
     // streaming twin: the drained first-seen admission set — the same
     // survivor CTEs minus the reference totals a stream cannot finalize
     "stream_web_frontier" ->
+      ("WITH " + frontierCtes + "\nSELECT url, dst_host FROM c"),
+
+    // bounded-state streaming loop (Bloom front + inter-epoch state
+    // drain): two drained epochs over the same planted world must union
+    // to EXACTLY the batch survivor set — shared closed form verbatim; a
+    // drain leak (url re-admitted across the snapshot), a sketch+verify
+    // miss, or a lost admission breaks the shared hash
+    "stream_web_frontier_bloom" ->
       ("WITH " + frontierCtes + "\nSELECT url, dst_host FROM c"),
 
     // frontier -> schedule composition: the admitted set ranked per host

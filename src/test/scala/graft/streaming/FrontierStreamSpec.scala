@@ -58,6 +58,47 @@ class FrontierStreamSpec extends SparkSpec {
     assert(runStream(Seq(pages.take(1), pages.drop(1))) == expected)
   }
 
+  test("bloom epoch loop: admissions == batch exactly once; state bounded by epoch") {
+    implicit val sqlCtx = spark.sqlContext
+    val crawledPath = java.nio.file.Files
+      .createTempDirectory("frontier_crawled").toString + "/crawled"
+    crawled.write.mode("overwrite").parquet(crawledPath)
+    // fpp = 0.5 forces genuinely-new urls through the maybe-verify path
+    // too: exactness must come from the sketch+verify PAIR, not from a
+    // lucky sketch
+    def epoch(rows: Seq[(Long, String, String)],
+              tag: String): (Set[(String, String)], Long) = {
+      val input = MemoryStream[(Long, String, String)]
+      val name = s"frontier_bloom_${tag}_${System.nanoTime()}"
+      val q = FrontierStream.admittedStreamBloom(
+          input.toDF().toDF("doc", "page_url", "html"), "html", "page_url",
+          crawledPath, fpp = 0.5)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      input.addData(rows); q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      q.stop()
+      (spark.table(name).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet, stateRows)
+    }
+    val (e1, s1) = epoch(pages.take(2), "e1")
+    assert(e1 == Set(("http://a.com/p1", "a.com"), ("http://b.com/z", "b.com")))
+    // the drain: epoch-1 admissions become crawled rows, epoch 2 starts
+    // with EMPTY state and must not re-admit /p1 (doc 3 references it)
+    FrontierStream.snapshotAdmitted(spark,
+      e1.toSeq.toDF("url", "dst_host"), crawledPath)
+    val (e2, s2) = epoch(pages.drop(2), "e2")
+    assert(e2 == Set(("http://a.com/sub/q2/", "a.com")))
+    // exactly-once across the epoch boundary, and the union is the batch
+    // frontier over the whole corpus
+    assert((e1 & e2).isEmpty && (e1 ++ e2) == batchSet(pages))
+    // THE state bound: each epoch's state store holds its OWN admissions
+    // only — the already-crawled majority (incl. last epoch's /p1) dies
+    // at the sketch/verify front and never creates a state row
+    assert(s1 == e1.size.toLong, s"epoch-1 state $s1 != admissions ${e1.size}")
+    assert(s2 == e2.size.toLong, s"epoch-2 state $s2 != admissions ${e2.size}")
+  }
+
   test("at-least-once: a re-delivered page admits nothing new") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, String)]
