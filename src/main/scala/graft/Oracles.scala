@@ -289,7 +289,15 @@ object Oracles {
     * set, PII scrub, quality score OVER THE SCRUBBED TEXT, language ID +
     * salted stratified threshold. Same constants as the Spark stages
     * (regexes, HashMod, thresholds) inlined from the same objects. */
-  private def curationPipelineSql: String = {
+  /** The five curation stages as a reusable CTE chain ending in
+    * `cur(doc, lang_pred, quality, est_tokens, sc)` — shared by the
+    * plain `curation_pipeline` row and the classifier-gated
+    * `curation_pipeline_tuned` composition so the stage replay cannot
+    * drift between them. The decontamination train-side CTE is named
+    * `ctr` (not `tr`) to stay disjoint from the logreg chain's CTE
+    * namespace. Concatenated, never outer-stripMargin'd (the frontier
+    * CTE note). */
+  private def curationCtes: String = {
     val M = graft.operators.TextOps.HashMod
     val (em, ip, ph) = (graft.operators.TextOps.EmailRe,
       graft.operators.TextOps.Ipv4Re, graft.operators.TextOps.PhoneRe)
@@ -297,7 +305,7 @@ object Oracles {
     val cases = graft.Queries.sampleRates.map { case (stratum, rate) =>
       s"WHEN lang_pred = '$stratum' THEN ${graft.operators.SampleOps.threshold(rate)}"
     }.mkString(" ")
-    s"""WITH uniq AS (SELECT doc_id, text, source FROM (
+    s"""uniq AS (SELECT doc_id, text, source FROM (
        |    SELECT doc_id, text, source,
        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
        |    FROM documents) WHERE rn = 1),
@@ -307,7 +315,7 @@ object Oracles {
        |    list_distinct(list_transform(range(1, len(toks) - 1),
        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])),
        |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $M)) AS h FROM bd),
-       |tr AS (SELECT doc_id AS doc, text,
+       |ctr AS (SELECT doc_id AS doc, text,
        |    list_transform(list_distinct(list_transform(
        |      range(1, len(string_split(trim(text), ' ')) - 1),
        |      i -> string_split(trim(text), ' ')[i] || ' '
@@ -315,10 +323,10 @@ object Oracles {
        |        || string_split(trim(text), ' ')[i+2])),
        |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $M) AS hv
        |  FROM uniq WHERE source <> 'src0'),
-       |ex AS (SELECT doc, unnest(hv) AS h FROM tr),
+       |ex AS (SELECT doc, unnest(hv) AS h FROM ctr),
        |ov AS (SELECT ex.doc, count(*) AS novl FROM ex
        |  JOIN bs USING (h) GROUP BY ex.doc),
-       |clean AS (SELECT tr.doc, tr.text FROM tr LEFT JOIN ov USING (doc)
+       |clean AS (SELECT ctr.doc, ctr.text FROM ctr LEFT JOIN ov USING (doc)
        |  WHERE coalesce(ov.novl, 0) < 5),
        |scr AS (SELECT doc, regexp_replace(regexp_replace(regexp_replace(
        |    text, '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
@@ -349,14 +357,40 @@ object Oracles {
        |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
        |       WHEN s_es >= s_fr THEN 'es'
        |       ELSE 'fr' END AS lang_pred
-       |  FROM sc2)
-       |SELECT doc, lang_pred, round(quality, 6) + 0.0e0 AS quality,
+       |  FROM sc2),
+       |cur AS (SELECT doc, lang_pred,
+       |  round(quality, 6) + 0.0e0 AS quality,
        |  ceil(n_chars::DOUBLE / 4.0e0)::BIGINT AS est_tokens,
        |  md5(sc) AS scrub_hash
        |FROM l
        |WHERE ('0x' || substr(md5('s42' || doc), 1, 15))::BIGINT <
-       |  CASE $cases ELSE $dflt END""".stripMargin
+       |  CASE $cases ELSE $dflt END)""".stripMargin
   }
+
+  private def curationPipelineSql: String =
+    "WITH " + curationCtes +
+      "\nSELECT doc, lang_pred, quality, est_tokens, scrub_hash FROM cur"
+
+  /** The audit's best-F1-threshold chain over the shared logreg `sc`
+    * scores (held-out grouping → cumulative counts → the (f1 DESC,
+    * score DESC) argmax as the 1-row `b`) — shared by the
+    * `quality_classify_audit` row and the `curation_pipeline_tuned`
+    * gate so the replayed threshold cannot drift between them. */
+  private def auditThresholdCtes: String =
+    """ho AS (SELECT round(p, 6) + 0.0e0 AS score, y FROM sc
+      |  WHERE NOT is_train),
+      |g AS (SELECT score, count(*)::BIGINT AS n,
+      |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS np
+      |  FROM ho GROUP BY score),
+      |c AS (SELECT score, n, np,
+      |    sum(n) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum_n,
+      |    sum(np) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum_np
+      |  FROM g),
+      |t AS (SELECT sum(n)::BIGINT AS t_n, sum(np)::BIGINT AS t_p FROM g),
+      |b AS (SELECT score,
+      |    2.0e0 * (t.t_p - cum_np + np)::DOUBLE
+      |      / ((t.t_n - cum_n + n) + t.t_p)::DOUBLE AS f1
+      |  FROM c CROSS JOIN t ORDER BY f1 DESC, score DESC LIMIT 1)""".stripMargin
 
   /** BM25 (rational-idf) keyword search — mirrors TextOps.bm25TopK term by
     * term with the identical float expression tree (same literals, same
@@ -3159,38 +3193,35 @@ object Oracles {
     // multiples of ½), so the doubles are bit-deterministic on both
     // engines before the one round-6 at output
     "quality_classify_audit" ->
-      s"""$logregCtes,
-         |ho AS (SELECT round(p, 6) + 0.0e0 AS score, y FROM sc
-         |  WHERE NOT is_train),
-         |g AS (SELECT score, count(*)::BIGINT AS n,
-         |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS np
-         |  FROM ho GROUP BY score),
-         |c AS (SELECT score, n, np,
-         |    sum(n) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum_n,
-         |    sum(np) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum_np
-         |  FROM g),
-         |t AS (SELECT sum(n)::BIGINT AS t_n, sum(np)::BIGINT AS t_p FROM g),
-         |s AS (SELECT max(t_n)::BIGINT AS t_n, max(t_p)::BIGINT AS t_p,
-         |    sum(np::DOUBLE * (cum_n - n)::DOUBLE
-         |      + np::DOUBLE * (n + 1)::DOUBLE / 2.0e0) AS rank_sum,
-         |    sum(CASE WHEN score >= 5.0e-1 THEN np ELSE 0 END)::BIGINT AS tp05,
-         |    sum(CASE WHEN score >= 5.0e-1 THEN n - np ELSE 0 END)::BIGINT
-         |      AS fp05
-         |  FROM c CROSS JOIN t),
-         |b AS (SELECT score,
-         |    2.0e0 * (t.t_p - cum_np + np)::DOUBLE
-         |      / ((t.t_n - cum_n + n) + t.t_p)::DOUBLE AS f1
-         |  FROM c CROSS JOIN t ORDER BY f1 DESC, score DESC LIMIT 1)
-         |SELECT s.t_n AS n_eval, s.t_p AS n_pos,
-         |  round((rank_sum - t_p::DOUBLE * (t_p + 1)::DOUBLE / 2.0e0)
-         |    / (t_p::DOUBLE * (t_n - t_p)::DOUBLE), 6) + 0.0e0 AS auc,
-         |  round(tp05::DOUBLE / (tp05 + fp05)::DOUBLE, 6) + 0.0e0
-         |    AS precision_at_half,
-         |  round(tp05::DOUBLE / t_p::DOUBLE, 6) + 0.0e0 AS recall_at_half,
-         |  round(2.0e0 * tp05::DOUBLE / ((tp05 + fp05) + t_p)::DOUBLE, 6)
-         |    + 0.0e0 AS f1_at_half,
-         |  b.score AS best_threshold, round(b.f1, 6) + 0.0e0 AS best_f1
-         |FROM s CROSS JOIN b""".stripMargin,
+      (s"$logregCtes,\n" + auditThresholdCtes + ",\n" +
+        """s AS (SELECT max(t_n)::BIGINT AS t_n, max(t_p)::BIGINT AS t_p,
+          |    sum(np::DOUBLE * (cum_n - n)::DOUBLE
+          |      + np::DOUBLE * (n + 1)::DOUBLE / 2.0e0) AS rank_sum,
+          |    sum(CASE WHEN score >= 5.0e-1 THEN np ELSE 0 END)::BIGINT AS tp05,
+          |    sum(CASE WHEN score >= 5.0e-1 THEN n - np ELSE 0 END)::BIGINT
+          |      AS fp05
+          |  FROM c CROSS JOIN t)
+          |SELECT s.t_n AS n_eval, s.t_p AS n_pos,
+          |  round((rank_sum - t_p::DOUBLE * (t_p + 1)::DOUBLE / 2.0e0)
+          |    / (t_p::DOUBLE * (t_n - t_p)::DOUBLE), 6) + 0.0e0 AS auc,
+          |  round(tp05::DOUBLE / (tp05 + fp05)::DOUBLE, 6) + 0.0e0
+          |    AS precision_at_half,
+          |  round(tp05::DOUBLE / t_p::DOUBLE, 6) + 0.0e0 AS recall_at_half,
+          |  round(2.0e0 * tp05::DOUBLE / ((tp05 + fp05) + t_p)::DOUBLE, 6)
+          |    + 0.0e0 AS f1_at_half,
+          |  b.score AS best_threshold, round(b.f1, 6) + 0.0e0 AS best_f1
+          |FROM s CROSS JOIN b""".stripMargin),
+
+    // tuned curation capstone: the audit's measured best-F1 threshold IS
+    // the gate — curation survivors joined to the replayed logreg scores
+    // and kept at score >= b.score (the 1-row threshold CTE), so the
+    // operating point the audit measures is the one the pipeline runs
+    "curation_pipeline_tuned" ->
+      (s"$logregCtes,\n" + auditThresholdCtes + ",\n" + curationCtes + "\n" +
+        """SELECT cur.doc, cur.lang_pred, cur.quality, cur.est_tokens,
+          |  round(sc.p, 6) + 0.0e0 AS score, cur.scrub_hash
+          |FROM cur JOIN sc ON sc.doc = cur.doc CROSS JOIN b
+          |WHERE round(sc.p, 6) + 0.0e0 >= b.score""".stripMargin),
 
     // MOSS winnowing replay: dense grams -> per-window rightmost-min
     // selection (windows exploded; short docs = one whole-doc window,

@@ -598,6 +598,56 @@ class PlanAuditSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("quality audit: its keyless window is the allowlisted score-domain one") {
+    // THE one shipped lineage allowed a keyless window (r14 verdict
+    // wrong #1): the audit's cumulative pass runs after groupBy("score"),
+    // so the window input is bounded by the round-6 score DOMAIN
+    // (<= 10^6 + 1 rows) — corpus-size-independent. This test makes the
+    // exemption intentional and enforced: every keyless window in the
+    // audit (and in its tuned-curation consumer) must sit directly above
+    // a score-grouped Aggregate; a keyless window over corpus-sized
+    // input fails here
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    def keylessBounded(df: org.apache.spark.sql.DataFrame, name: String,
+                       requirePresent: Boolean): Unit = {
+      val keyless = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      if (requirePresent) assert(keyless.nonEmpty,
+        s"$name lost its cumulative score window — lineage changed?")
+      keyless.foreach { w =>
+        val bounded = w.child.collectFirst {
+          case a: Aggregate if a.groupingExpressions
+            .exists(_.references.exists(_.name == "score")) => a
+        }
+        assert(bounded.nonEmpty,
+          s"$name: keyless window input is NOT the score-domain " +
+            s"aggregate (unbounded single-partition stage):\n$w")
+      }
+    }
+    keylessBounded(Queries.qualityClassifyAudit(spark, dir), "audit",
+      requirePresent = true)
+    // the tuned capstone's threshold lineage runs eagerly (1-row read);
+    // its RETURNED gate plan must not have grown a keyless window of its
+    // own (the dedup window is md5-keyed)
+    keylessBounded(Queries.curationPipelineTuned(spark, dir),
+      "curation_pipeline_tuned", requirePresent = false)
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("tuned curation: one model fit feeds threshold AND gate; no all-pairs") {
+    val p = plan(Queries.curationPipelineTuned(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"tuned curation degraded to all-pairs:\n$p")
+    // the scored frame is cached and reused (threshold read + gate join):
+    // the gate side must read the InMemoryRelation, not refit the model
+    assert(p.contains("InMemoryTableScan"),
+      s"tuned curation gate refits the classifier instead of reusing " +
+        s"the cached scores:\n$p")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("vad: kernel emits windows; the RLE merge is one required exchange") {
     // two exchanges total: the deliberate pre-render id repartition
     // (REPARTITION_BY_COL — fixture parallelism, same as the modal
