@@ -3055,6 +3055,67 @@ object Oracles {
         |    ELSE 'kept' END AS verdict
         |FROM k""".stripMargin,
 
+    // crawl->shards mega-capstone: all nine stages as composed CTEs —
+    // admission survivors restated from doc_id arithmetic (the frontier
+    // discipline), the per-host fetch budget as the same (n_refs DESC,
+    // url) rank (n_refs is constant 1 in this world: one seed link per
+    // doc page), the closed-form extraction identity, the wet verdict
+    // arithmetic, content-line exact dedup, and the pretrain chunk/
+    // serpentine-shard tail — one hash over stage ORDER and interaction
+    "crawl_pretrain_pipeline" -> {
+      val sh = graft.Queries.pretrainShardCount
+      val budget = graft.Queries.crawlHostBudget
+      s"""WITH d0 AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents),
+         |adm AS (SELECT id, text,
+         |    'http://ex' || (id % 7)::VARCHAR || '.com/' || id::VARCHAR AS url,
+         |    'ex' || (id % 7)::VARCHAR || '.com' AS host
+         |  FROM d0 WHERE id % 4 <> 0),
+         |sch AS (SELECT id, text FROM (SELECT id, text,
+         |    row_number() OVER (PARTITION BY host ORDER BY url) AS rk
+         |  FROM adm) WHERE rk <= $budget),
+         |d AS (SELECT id AS doc,
+         |    'Heading ' || (id % 10)::VARCHAR || chr(10)
+         |      || trim(regexp_replace(text, '\\s+', ' ', 'g')) || chr(10)
+         |      || 'Entities <b> "q" ''s'' & tail ' || id::VARCHAR AS ext
+         |  FROM sch),
+         |t AS (SELECT doc, ext, string_split(trim(ext), ' ') AS toks FROM d),
+         |m AS (SELECT doc, ext, toks,
+         |    length(trim(ext))::BIGINT AS n_chars,
+         |    len(toks)::BIGINT AS n_words,
+         |    len(list_filter(toks, w -> w IN
+         |      ('the','a','of','and','to','in')))::DOUBLE / len(toks) AS sr,
+         |    len(list_filter(toks, w -> length(w) > 6))::DOUBLE / len(toks)
+         |      AS lr
+         |  FROM t),
+         |k AS (SELECT doc, ext, toks,
+         |    1.0e0 - (CASE WHEN sr < 2.0e-2 THEN 4.0e-1 ELSE 0.0e0 END)
+         |          - (CASE WHEN n_words < 5 THEN 4.0e-1 ELSE 0.0e0 END)
+         |          - (CASE WHEN lr > 5.0e-1 THEN 2.0e-1 ELSE 0.0e0 END)
+         |      AS quality,
+         |    ceil(n_chars::DOUBLE / 4.0e0)::BIGINT AS est_tokens
+         |  FROM m),
+         |kept AS (SELECT doc, ext, toks FROM k
+         |  WHERE NOT (quality < 8.0e-1) AND NOT (est_tokens < 60)),
+         |uniq AS (SELECT doc, toks FROM (SELECT doc, toks,
+         |    row_number() OVER (PARTITION BY md5(string_split(ext, chr(10))[2])
+         |      ORDER BY doc) AS rn FROM kept) WHERE rn = 1),
+         |c AS (SELECT doc, CAST((u.i - 1) / 24 + 1 AS BIGINT) AS chunk_id,
+         |    len(toks[u.i : least(u.i + 31, len(toks))])::BIGINT AS nt
+         |  FROM uniq, unnest(generate_series(1,
+         |    greatest(len(toks) - 8, 1), 24)) AS u(i)),
+         |ch AS (SELECT doc * 1000000 + chunk_id AS cid, nt FROM c),
+         |r AS (SELECT cid, nt, row_number() OVER
+         |    (ORDER BY nt DESC, cid) AS rank FROM ch),
+         |s AS (SELECT nt,
+         |    CASE WHEN ((rank - 1 - (rank - 1) % $sh) / $sh)::BIGINT % 2 = 0
+         |         THEN (rank - 1) % $sh
+         |         ELSE $sh - 1 - (rank - 1) % $sh END AS shard
+         |  FROM r)
+         |SELECT shard, count(*)::BIGINT AS n_chunks,
+         |  sum(nt)::BIGINT AS sum_tokens
+         |FROM s GROUP BY shard""".stripMargin
+    },
+
     // heavy-hitter bigrams: the engine's count-min prefilter cannot
     // change the result (overestimate-only + exact verify pass), so the
     // oracle is the plain exact HAVING

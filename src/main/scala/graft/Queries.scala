@@ -1464,6 +1464,114 @@ object Queries {
       .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("sum_tokens"))
   }
 
+  /** Per-host fetch budget for the crawl capstone (oracle-shared): sized
+    * to BITE at the gated sf0.01 (~1071 admitted urls per host → 800
+    * fetched) so the schedule stage is load-bearing, not a pass-through. */
+  val crawlHostBudget: Int = 800
+
+  /** MEGA-CAPSTONE: discovered URL → balanced training shard as ONE
+    * lineage (r14 verdict #6 — every stage existed attested, no row
+    * stated the end-to-end book):
+    *
+    *   1. DISCOVER: one seed page per doc, its single anchor pointing at
+    *      the doc's own page through a rotating resolution branch
+    *      (path-absolute / absolute / dot-segment relative — all must
+    *      land on `http://ex{id%7}.com/{id}` or the admission set
+    *      shifts);
+    *   2. ADMIT: [[operators.HtmlOps.frontierFilter]] against the
+    *      already-fetched set (every id % 4 = 0 page) — survivors are
+    *      exactly the id % 4 ≠ 0 pages;
+    *   3. SCHEDULE: per-host politeness budget — rank (n_refs DESC, url)
+    *      within dst_host, fetch only the first [[crawlHostBudget]]
+    *      (the [[webFrontierSchedule]] ranking made load-bearing: it
+    *      DECIDES which docs enter the archive);
+    *   4. FETCH+ARCHIVE: the scheduled urls select their documents,
+    *      packed as Content-Length-framed WARC response records
+    *      ([[webWarcParse]]'s framing, [[wetBlobs]]' html payloads);
+    *   5. EXTRACT: [[functions.WarcParse.warc_records]] →
+    *      [[operators.HtmlOps.htmlExtract]] — the WET chain;
+    *   6. CURATE: language-blind quality + token verdicts over the
+    *      EXTRACTED text ([[wetCurationPipeline]]'s arithmetic), keep
+    *      `kept` only;
+    *   7. DEDUP: exact, on the CONTENT line of the extraction (line 2 —
+    *      heading and entity tail are id-salted, the document text is
+    *      not), min-doc keeper;
+    *   8. CHUNK: overlapping 32/8 token windows ([[textChunk]]);
+    *   9. SHARD: serpentine token-balanced placement over the chunk
+    *      table ([[pretrainPipeline]]'s tail) → per-shard totals.
+    *
+    * The oracle replays all nine stages as composed CTEs over the
+    * closed-form extraction identity, so the hash checks stage ORDER and
+    * INTERACTION (the budget bites before the archive; verdicts score
+    * extracted text; dedup sees only kept docs), not each stage alone.
+    * Scale shape: one url exchange for the rollup+anti-join, one
+    * host-keyed window, the url fetch join, the group_id archive pack,
+    * one md5-keyed dedup window, the two-pass rank — every join equi,
+    * every window keyed (plan-pinned). */
+  def crawlPretrainPipeline(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("long")
+    val docs = Tables.documents(s, dir)
+    val ownUrl = concat(lit("http://ex"), (id % 7).cast("string"),
+      lit(".com/"), id.cast("string"))
+    // 1. discovery world
+    val href = when(id % 3 === 0, concat(lit("/"), id.cast("string")))
+      .when(id % 3 === 1, ownUrl)
+      .otherwise(concat(lit("../"), id.cast("string")))
+    val seeds = docs.select(id.as("doc"),
+      concat(lit("http://ex"), (id % 7).cast("string"), lit(".com/seed/"),
+        id.cast("string")).as("page_url"),
+      concat(lit("<body><p><a href=\""), href,
+        lit("\">d</a></p></body>")).as("html"))
+    // 2. admission
+    val crawled = docs.filter(id % 4 === 0).select(ownUrl.as("url"))
+    val frontier = operators.HtmlOps.frontierFilter(
+      operators.HtmlOps.extractLinks(seeds, "html", "page_url"),
+      crawled, "url")
+    // 3. per-host fetch budget
+    val wh = Window.partitionBy(col("dst_host"))
+      .orderBy(col("n_refs").desc, col("url"))
+    val scheduled = frontier.withColumn("_rk", row_number().over(wh))
+      .filter(col("_rk") <= crawlHostBudget).select(col("url"))
+    // 4. fetch + archive pack (the wetBlobs framing over the FETCHED set)
+    val fetched = docs.select(id.as("_fid"), col("text"), ownUrl.as("url"))
+      .join(scheduled, "url")
+    val payload = plantedHtml(col("_fid"), col("text"))
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+      col("url"), lit("\r\nContent-Length: "),
+      octet_length(payload).cast("string"),
+      lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+    val blobs = fetched
+      .select((col("_fid") % 50).as("group_id"),
+        struct(col("_fid").as("i"), rec.as("r")).as("_s"))
+      .groupBy("group_id")
+      .agg(array_join(transform(array_sort(collect_list(col("_s"))),
+        s0 => s0.getField("r")), "").as("_blob"))
+    // 5. parse + extract (the attested WET chain)
+    val wet = wetRows(blobs)
+    val doc = regexp_extract(col("uri"), "/([0-9]+)$", 1).cast("long")
+    val base = wet.select(doc.as("doc"), col("text").as("_t"))
+    // 6. verdicts over the extracted text; keep 'kept' only
+    val q = TextOps.qualityCol(col("_t"))
+    val est = TextOps.estTokensCol(col("_t"))
+    val kept = base.filter(!(q < 0.8) && !(est < 60))
+    // 7. exact dedup on the content line (min-doc keeper)
+    val contentLine = element_at(split(col("_t"), "\n"), 2)
+    val wd = Window.partitionBy(md5(contentLine.cast("binary")))
+      .orderBy(col("doc"))
+    val uniq = kept.withColumn("_rn", row_number().over(wd))
+      .filter(col("_rn") === 1).select(col("doc"), col("_t"))
+    // 8-9. chunk, serpentine shard, per-shard totals
+    val chunks = TextOps.chunkTokens(uniq, "doc", "_t")
+      .withColumn("cid", col("doc") * 1000000L + col("chunk_id"))
+    val sharded = operators.SampleOps.balancedShards(
+      chunks.select(col("cid"), col("n_tokens").as("_nt")),
+      "cid", "_nt", numShards = pretrainShardCount,
+      tokenCount = Some(col("_nt")))
+    sharded.groupBy("shard")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("sum_tokens"))
+  }
+
   /** Per-source token-distribution drift ([[operators.TextOps
     * .sourceDrift]]): KL divergence of each source's smoothed unigram
     * distribution to the corpus mixture — the data-mixing QA row. */
@@ -3148,6 +3256,8 @@ object Queries {
       "curation_pipeline_tuned" -> ((s: SparkSession, dir: String) =>
         Tables.documents(s, dir)
           .select(col("doc_id"), col("text"), col("source"))),
+      "crawl_pretrain_pipeline" -> ((s: SparkSession, dir: String) =>
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))),
       // the drained-stream rows export their file-stream source inline;
       // the export is fixture cost, the readStream→drain is the engine
       "stream_cm_counters" -> ((s: SparkSession, dir: String) => {

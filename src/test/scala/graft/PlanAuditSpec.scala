@@ -648,6 +648,41 @@ class PlanAuditSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
   }
 
+  test("crawl capstone: every join equi, every window keyed, bounded exchanges") {
+    val df = Queries.crawlPretrainPipeline(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"crawl capstone degraded to an all-pairs join:\n$p")
+    // all nine stages on ONE plan must stay inside the per-stage
+    // exchange budget: url rollup+anti (1, shared key), host-budget
+    // window (1), fetch join (1), archive group (1), dedup window (1),
+    // chunk explode (0), two-pass rank (range + broadcast offsets), final
+    // shard rollup (1) = 6 executed hash exchanges. The plan STRING
+    // additionally prints the rank input's build lineage inline under
+    // its InMemoryRelation (url/host/group/dedup again — built once,
+    // cached by globalRank, the offsets job populates it), so the line
+    // count reads 10; anything beyond means a stage stopped reusing its
+    // upstream partitioning
+    val hashEx = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx <= 10,
+      s"crawl capstone grew to $hashEx hash exchanges:\n$p")
+    // and the rank input must actually BE cached — without it the whole
+    // crawl chain (archive pack + extraction included) executes twice,
+    // once per globalRank pass
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"crawl capstone rank input lost its cache (chain runs twice):\n$p")
+    // no keyless window anywhere: the global chunk rank must stay the
+    // two-pass range-partitioned recipe, never a single-task row_number
+    val keyless = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(keyless.isEmpty,
+      s"crawl capstone grew ${keyless.length} keyless window(s)")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("vad: kernel emits windows; the RLE merge is one required exchange") {
     // two exchanges total: the deliberate pre-render id repartition
     // (REPARTITION_BY_COL — fixture parallelism, same as the modal
