@@ -53,15 +53,18 @@ object AnnIndexIO {
   private def readKind(spark: SparkSession, path: String): Option[String] =
     ArtifactSwap.readSmall(spark, kindPath(path)).map(_.trim)
 
-  /** Requested-configuration sidecar (`path/_CONF`, ASCII
-    * "<kind> <arity...> <m> <codebookK> [altIters]"), written at build
-    * time so maintenance ([[retrain]], [[rebuildOpq]]) preserves the
-    * operating point the caller REQUESTED rather than re-deriving it
-    * from fitted rows — fitted arity can silently narrow on
-    * sample-bounded builds (a hier child list is ragged when few sample
-    * points land in a super), and the OPQ families' `altIters` leaves no
-    * trace in the artifact at all. Pre-sidecar artifacts fall back to
-    * the fitted-row derivation in [[persistedConfig]]. */
+  /** Requested-configuration sidecar (`path/_CONF`, space-separated
+    * ASCII integers; the kind comes from `_KIND`, never repeated here —
+    * flat: "nCells m codebookK"; hier: "k1 k2 m codebookK";
+    * opq: "m codebookK altIters"; opq_ivf: "nCells m codebookK
+    * altIters"), written at build time so maintenance ([[retrain]],
+    * [[rebuildOpq]]) preserves the operating point the caller REQUESTED
+    * rather than re-deriving it from fitted rows — fitted arity can
+    * silently narrow on sample-bounded builds (a hier child list is
+    * ragged when few sample points land in a super), and the OPQ
+    * families' `altIters` leaves no trace in the artifact at all.
+    * Pre-sidecar (or unparseable) artifacts fall back to the fitted-row
+    * derivation in [[persistedConfig]]/[[derivedBookConf]]. */
   private def confPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_CONF")
 
@@ -76,8 +79,29 @@ object AnnIndexIO {
 
   private def readConfFields(spark: SparkSession,
                              path: String): Option[Array[Int]] =
-    ArtifactSwap.readSmall(spark, confPath(path))
-      .map(_.trim.split("\\s+").map(_.toInt))
+    ArtifactSwap.readSmall(spark, confPath(path)).flatMap { s =>
+      // a non-integer token (corrupt/foreign file) means NO usable conf,
+      // not a NumberFormatException — the callers' fitted-row derivation
+      // fallback must stay reachable for exactly these files
+      scala.util.Try(s.trim.split("\\s+").map(_.toInt)).toOption
+    }
+
+  /** Fitted-row derivation of (nCells-if-coarse, m, codebookK) for the
+    * OPQ families — the pre-sidecar fallback [[rebuildOpq]] uses so a
+    * rebuild never silently changes an artifact's operating point to
+    * compile-time defaults (only `altIters` is genuinely untraceable
+    * from fitted rows). One model-sized driver collect, the
+    * [[persistedConfig]] discipline. */
+  private def derivedBookConf(spark: SparkSession,
+                              path: String): (Option[Int], Int, Int) = {
+    val rows = spark.read.parquet(s"$path/quantizer")
+      .groupBy("kind", "i").agg(count(lit(1)).as("n")).collect()
+    val byKind = rows.groupBy(_.getAs[String]("kind"))
+    val m = byKind.get("book").map(_.length).getOrElse(8)
+    val codebookK = byKind.get("book")
+      .map(_.head.getAs[Long]("n").toInt).getOrElse(16)
+    (byKind.get("coarse").map(_.length), m, codebookK)
+  }
 
   /** Quantizer → typed Parquet rows (the persisted layout). */
   def modelToDF(spark: SparkSession, model: VectorOps.IvfPqModel): DataFrame = {
@@ -662,14 +686,22 @@ object AnnIndexIO {
     val next = s"${path}_next"
     ArtifactSwap.clearStale(spark, next)
     val built = (kind, readConfFields(spark, path)) match {
-      case ("opq", conf) =>
-        // pre-sidecar (or foreign-layout) conf: the build defaults
-        val c = conf.filter(_.length == 3).getOrElse(Array(8, 16, 5))
+      case ("opq", Some(c)) if c.length == 3 =>
         buildOpq(vecs, idCol, vecCol, next, c(0), c(1), c(2), sampleN)
-      case (_, conf) =>
-        val c = conf.filter(_.length == 4).getOrElse(Array(16, 8, 16, 5))
+      case ("opq", _) =>
+        // pre-sidecar artifact: derive m/codebookK from the fitted rows
+        // (altIters alone falls to the build default — it leaves no
+        // trace); hardcoded defaults here would silently change the
+        // index's operating point, the one thing maintenance must not do
+        val (_, m, codebookK) = derivedBookConf(spark, path)
+        buildOpq(vecs, idCol, vecCol, next, m, codebookK, 5, sampleN)
+      case (_, Some(c)) if c.length == 4 =>
         buildOpqIvf(vecs, idCol, vecCol, next, c(0), c(1), c(2), c(3),
           sampleN)
+      case _ =>
+        val (nCellsOpt, m, codebookK) = derivedBookConf(spark, path)
+        buildOpqIvf(vecs, idCol, vecCol, next, nCellsOpt.getOrElse(16), m,
+          codebookK, 5, sampleN)
     }
     if (built) ArtifactSwap.swap(spark, path, next)
     else ArtifactSwap.clearStale(spark, next)

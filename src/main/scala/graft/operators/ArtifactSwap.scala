@@ -50,18 +50,24 @@ private[operators] object ArtifactSwap {
     * `InputStream.read` may return fewer bytes than available (short
     * reads are legal and real on HDFS/object-store streams), which would
     * truncate the payload mid-token. Loops to EOF over a bounded buffer
-    * (sidecars are tens of bytes; `max` caps pathological files). */
+    * (sidecars are tens of bytes); a file LARGER than `max` fails loudly
+    * rather than handing a truncated prefix to a parser — a cut-off
+    * numeric field can parse cleanly to a wrong-but-plausible value,
+    * which is a silent operating-point change, not an error. */
   def readSmall(spark: SparkSession, p: Path, max: Int = 256): Option[String] = {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       try {
-        val buf = new Array[Byte](max)
+        val buf = new Array[Byte](max + 1)
         var off = 0
         var n = 0
-        while (off < max && { n = in.read(buf, off, max - off); n >= 0 })
+        while (off <= max && { n = in.read(buf, off, max + 1 - off); n >= 0 })
           off += n
+        if (off > max) throw new java.io.IOException(
+          s"sidecar $p exceeds $max bytes — refusing to parse a " +
+            "truncated prefix (corrupt or foreign file)")
         Some(new String(buf, 0, off, "UTF-8"))
       } finally in.close()
     }

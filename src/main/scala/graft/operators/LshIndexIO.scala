@@ -65,6 +65,17 @@ object LshIndexIO {
         (parts(0).toInt, parts(1).toInt, parts(2).toInt)
       }
 
+  /** Remove a legacy OUTER `$path/_CONF` once an in-dir one exists: a
+    * stale outer conf left after migration would resurface (and validate
+    * appends at the OLD operating point) in the one window where the
+    * in-dir copy is unavailable. */
+  private def clearLegacyConf(spark: SparkSession, path: String): Unit = {
+    val p = confPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+    ()
+  }
+
   private def requireConf(spark: SparkSession, path: String, op: String,
                           shingleK: Option[Int], numHashes: Option[Int],
                           bands: Option[Int]): Unit =
@@ -96,12 +107,17 @@ object LshIndexIO {
       .write.mode("overwrite").partitionBy("band_id")
       .parquet(s"$path/bands")
     writeConf(docs.sparkSession, s"$path/bands", shingleK, numHashes, bands)
+    clearLegacyConf(docs.sparkSession, path)
     obs.get("rows").asInstanceOf[Long]
   }
 
-  /** Load the persisted band table. */
-  def load(spark: SparkSession, path: String): DataFrame =
+  /** Load the persisted band table. Heals a stranded-prev crash state
+    * first — a read during the maintenance crash window must see the
+    * retired generation, not a missing-path error. */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    ArtifactSwap.recover(spark, s"$path/bands")
     spark.read.parquet(s"$path/bands")
+  }
 
   /** Candidate pairs over the prebuilt index — bit-identical to the
     * inline [[TextOps.minhashLshPairs]] on the same corpus (spec-proven),
@@ -124,6 +140,12 @@ object LshIndexIO {
              shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4): Long = {
     import org.apache.spark.sql.Observation
     import org.apache.spark.sql.functions.{count, lit}
+    // heal a stranded-prev crash state BEFORE the mode('append') write:
+    // an append into the crash window would otherwise CREATE a fresh
+    // batch-only bands dir, permanently defeating recover (live exists
+    // again) — the next compact would then promote the batch-only table
+    // and delete the real corpus index under _prev
+    ArtifactSwap.recover(docs.sparkSession, s"$path/bands")
     requireConf(docs.sparkSession, path, "append", Some(shingleK),
       Some(numHashes), Some(bands))
     val table = TextOps.lshBandTable(docs, idCol, textCol, shingleK,
@@ -247,6 +269,7 @@ object LshIndexIO {
     // crash before it leaves the live generation fully consistent
     writeConf(spark, next, shingleK, numHashes, bands)
     ArtifactSwap.swap(spark, s"$path/bands", next)
+    clearLegacyConf(spark, path)
     obs.get("rows").asInstanceOf[Long]
   }
 

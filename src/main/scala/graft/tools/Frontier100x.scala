@@ -87,7 +87,7 @@ object Frontier100x {
     val crawled = spark.read.parquet(crawledDir)
 
     val expSurvivors = nUrls - nUrls / 5
-    def check(admitted: DataFrame, tag: String): (Long, Long, Double, Long) = {
+    def check(admitted: DataFrame): (Long, Long, Double, Long) = {
       Thread.sleep(2000); shuffleBytes.set(0L)
       val t0 = System.nanoTime()
       val got = graft.CacheRegistry.persistTracked(admitted)
@@ -104,9 +104,9 @@ object Frontier100x {
     }
 
     val (nExact, badExact, secExact, shufExact) =
-      check(HtmlOps.frontierFilter(links, crawled, "url"), "exact")
+      check(HtmlOps.frontierFilter(links, crawled, "url"))
     val (nBloom, badBloom, secBloom, shufBloom) =
-      check(HtmlOps.frontierFilterBloom(links, crawled, "url"), "bloom")
+      check(HtmlOps.frontierFilterBloom(links, crawled, "url"))
 
     println(s"""{"tool":"frontier_100x","n_urls":$nUrls,""" +
       s""""n_crawled":${nUrls / 5 + 3L * nUrls},""" +

@@ -615,12 +615,21 @@ class PlanAuditSpec extends SparkSpec {
       }
       if (requirePresent) assert(keyless.nonEmpty,
         s"$name lost its cumulative score window — lineage changed?")
+      // the bounded aggregate must be the window's DIRECT input (through
+      // grain-preserving nodes only): a score Aggregate merely SOMEWHERE
+      // below — e.g. joined back to a corpus-sized frame before the
+      // window — would not bound the window's row count
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan, Project => LProject}
+      def boundedInput(p: LogicalPlan): Boolean = p match {
+        case a: Aggregate => a.groupingExpressions
+          .exists(_.references.exists(_.name == "score"))
+        case pr: LProject => boundedInput(pr.child)
+        case f: LFilter => boundedInput(f.child)
+        case w2: LWindow => boundedInput(w2.child) // stacked cum windows
+        case _ => false
+      }
       keyless.foreach { w =>
-        val bounded = w.child.collectFirst {
-          case a: Aggregate if a.groupingExpressions
-            .exists(_.references.exists(_.name == "score")) => a
-        }
-        assert(bounded.nonEmpty,
+        assert(boundedInput(w.child),
           s"$name: keyless window input is NOT the score-domain " +
             s"aggregate (unbounded single-partition stage):\n$w")
       }

@@ -249,6 +249,31 @@ class LshIndexSpec extends SparkSpec {
     assert(after == before && before.nonEmpty)
   }
 
+  test("append into the crash window heals first — never a batch-only table") {
+    // the silent-loss scenario: bands retired to _prev, promote never
+    // ran; a scheduled append's mode('append') write would CREATE a
+    // fresh bands dir holding only the batch — recover() would then see
+    // live-exists and never roll _prev back, and the next compact would
+    // promote the batch-only table and DELETE the real index. The
+    // append must heal the window before writing.
+    val old = docs.filter("doc_id in (0, 1, 2, 3, 6, 7)")
+    val batch = docs.filter("doc_id in (4, 5)")
+    val dir = java.nio.file.Files.createTempDirectory("lsh_app_rec").toString
+    LshIndexIO.build(old, "doc_id", "text", dir)
+    assert(new java.io.File(s"$dir/bands")
+      .renameTo(new java.io.File(s"$dir/bands_prev")))
+    LshIndexIO.append(batch, "doc_id", "text", dir)
+    assert(!new java.io.File(s"$dir/bands_prev").exists(),
+      "append left the retired generation stranded")
+    val dirFull = java.nio.file.Files.createTempDirectory("lsh_app_rec_f").toString
+    LshIndexIO.build(docs, "doc_id", "text", dirFull)
+    val viaApp = pairKey(LshIndexIO.pairs(spark, dir))
+    graft.CacheRegistry.releaseAll()
+    val viaFull = pairKey(LshIndexIO.pairs(spark, dirFull))
+    graft.CacheRegistry.releaseAll()
+    assert(viaApp == viaFull && viaFull.nonEmpty)
+  }
+
   test("bucket cap applies identically over the loaded index") {
     val inline = pairKey(TextOps.minhashLshPairs(docs, "doc_id", "text",
       maxBandBucket = Some(2)))
