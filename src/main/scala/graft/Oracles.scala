@@ -2000,6 +2000,19 @@ object Oracles {
     // rotation fit is not SQL-replayable (see ann_opq_ivf_topk's note),
     // so the row is the CLOSED-FORM floor contract — recall_ok flips and
     // breaks the hash if measured recall@k drops below the shared floor
+    // OPQ frozen-model admission: snapshot-fitted index + appended batch
+    // must keep serving recall over the floor against the FULL-corpus
+    // brute truth (appended vectors must be findable) — the same
+    // closed-form floor contract as ann_opq_real_recall; the bit-level
+    // append ≡ union-encode identity is AnnIndexSpec-pinned
+    "ann_index_append_opq" ->
+      s"""SELECT 'opq_ivf_append' AS tier,
+         |  count(DISTINCT vec_id)::BIGINT AS n_queries,
+         |  ${graft.Queries.annRecallK} AS k,
+         |  ${d(graft.Queries.annOpqRealFloor)} + 0.0e0 AS recall_floor,
+         |  true AS recall_ok
+         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
     "ann_opq_real_recall" ->
       s"""SELECT 'opq_ivf_real' AS tier,
          |  count(DISTINCT vec_id)::BIGINT AS n_queries,

@@ -2708,6 +2708,48 @@ object Queries {
         (col("recall") >= annOpqRealFloor).as("recall_ok"))
   }
 
+  /** OPQ INCREMENTAL APPEND ([[operators.AnnIndexIO.appendOpq]]) — the
+    * admission path for the two families [[operators.AnnIndexIO
+    * .appendAuto]] refuses, closing the last lifecycle asymmetry (all
+    * four persisted kinds now build → append → monitor → maintain): the
+    * rotation/codebooks/coarse quantizer are FROZEN on the snapshot
+    * (vec_id % 5 ≠ 4), the new batch is admitted through them (encode +
+    * cell-partitioned append, no refit, no rewrite), and the search runs
+    * over the combined index. The Procrustes rotation is not
+    * SQL-replayable, so the row is the CLOSED-FORM floor contract
+    * ([[annOpqRealRecall]]'s discipline): measured recall@k against the
+    * exact brute-force truth over the FULL corpus (incl. the appended
+    * rows — admitted vectors must be findable) compared to the shared
+    * floor; a frozen-model admission bug that loses appended rows or
+    * degrades the probe flips the boolean and breaks the hash. The
+    * bit-level admission contract (append ≡ union encode under the
+    * frozen model) is AnnIndexSpec-pinned. */
+  def annIndexAppendOpq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val isNew = col("vec_id") % 5 === 4
+    val truth = CacheRegistry.persistTracked(
+      VectorOps.bruteTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", annRecallK)
+        .select(col("q_id"), col("n_id")))
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|opq_append|nCells=$annOpqRealCells".getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val idxPath = s"${Queries.privateIndexBase}/graft_ann_opqapp_$tag"
+    if (!new java.io.File(s"$idxPath/index").exists()) {
+      operators.AnnIndexIO.buildOpqIvf(emb.filter(!isNew), "vec_id",
+        "embedding", idxPath, nCells = annOpqRealCells)
+      operators.AnnIndexIO.appendOpq(s, idxPath, emb.filter(isNew),
+        "vec_id", "embedding")
+    }
+    val approx = operators.AnnIndexIO.searchOpqIvf(s, idxPath, emb,
+      "vec_id", "embedding", col("v_id") < 10, k = annRecallK,
+      nprobe = annOpqRealNprobe, rerank = annOpqRealRerank)
+    recallRow("opq_ivf_append", approx, truth)
+      .select(col("tier"), col("n_queries"), col("k"),
+        (lit(annOpqRealFloor) + 0.0).as("recall_floor"),
+        (col("recall") >= annOpqRealFloor).as("recall_ok"))
+  }
+
   /** Shared with the oracle builder so the threshold can't drift. */
   val semDedupThreshold: Double = 0.45
 

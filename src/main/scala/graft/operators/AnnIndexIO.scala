@@ -494,7 +494,20 @@ object AnnIndexIO {
     */
   def appendAuto(spark: SparkSession, path: String, newVecs: DataFrame,
                  idCol: String, vecCol: String): Unit = {
-    val isHier = readKind(spark, path) match {
+    // refuse the OPQ families (their admission valve is [[appendOpq]]):
+    // treating an opq artifact as flat here would reconstruct an EMPTY
+    // coarse quantizer from the rot-rows-only table and write garbage
+    // encodings with no error — the silent family mix-up the retrain
+    // guard closed on the maintenance side
+    val kind0 = readKind(spark, path)
+    val hasRot = kind0.isEmpty &&
+      spark.read.parquet(s"$path/quantizer")
+        .filter(col("kind") === "rot").limit(1).count() > 0
+    require(kind0.forall(k => k == "flat" || k == "hier") && !hasRot,
+      s"appendAuto supports flat/hier indexes only; $path is " +
+        s"'${kind0.getOrElse("opq-family (rot rows present)")}' — use " +
+        "appendOpq instead")
+    val isHier = kind0 match {
       case Some(kind) => kind == "hier"
       case None => spark.read.parquet(s"$path/quantizer")
         .filter(col("kind") === "super").limit(1).count() > 0
@@ -517,6 +530,49 @@ object AnnIndexIO {
     } else {
       val model = modelFromDF(spark.read.parquet(s"$path/quantizer"))
       VectorOps.ivfPqEncode(newVecs, idCol, vecCol, model)
+        .write.mode("append").partitionBy("cid").parquet(s"$path/index")
+    }
+  }
+
+  /** INCREMENTAL append for the OPQ families — [[appendAuto]]'s
+    * discipline on the two kinds it refuses: encode `newVecs` against
+    * the PERSISTED rotation + codebooks (and, for `opq_ivf`, the
+    * persisted coarse quantizer) and append the encoded rows to the
+    * index table (cell-partitioned for `opq_ivf` — only the touched
+    * `cid=` dirs gain files; plain for the cell-less `opq`). The model
+    * is FROZEN: the rotation/codebooks never change under append, so
+    * searching appended rows is bit-identical to a fresh encode of the
+    * union under the same model (spec-pinned), and the drift the frozen
+    * rotation accrues is exactly what [[occupancyStats]] watches
+    * (`opq_ivf`) and [[rebuildOpq]] heals. With this, all four
+    * persisted families carry the full lifecycle:
+    * build → append → monitor → maintain. */
+  def appendOpq(spark: SparkSession, path: String, newVecs: DataFrame,
+                idCol: String, vecCol: String): Unit = {
+    ArtifactSwap.recover(spark, path) // heal a stranded-prev crash state
+    val kind = readKind(spark, path).getOrElse {
+      val q = spark.read.parquet(s"$path/quantizer")
+      require(q.filter(col("kind") === "rot").limit(1).count() > 0,
+        s"appendOpq supports the OPQ families only; $path has no " +
+          "rotation — use appendAuto instead")
+      if (q.filter(col("kind") === "coarse").limit(1).count() > 0) "opq_ivf"
+      else "opq"
+    }
+    require(kind == "opq" || kind == "opq_ivf",
+      s"appendOpq supports the OPQ families only; $path is '$kind' — " +
+        "use appendAuto instead")
+    if (kind == "opq") {
+      val (rot, books) = opqModelFromDF(
+        spark.read.parquet(s"$path/quantizer"))
+      VectorOps.opqEncode(newVecs, idCol, vecCol, rot, books)
+        .select(col("v_id"), col("codes"))
+        .write.mode("append").parquet(s"$path/index")
+    } else {
+      val (rot, model) = opqIvfModelFromDF(
+        spark.read.parquet(s"$path/quantizer"))
+      val v = VectorOps.normalized(newVecs, idCol, vecCol)
+        .select(col(idCol).as("v_id"), col("vn"))
+      VectorOps.opqIvfEncodeNormalized(v, rot, model)
         .write.mode("append").partitionBy("cid").parquet(s"$path/index")
     }
   }

@@ -308,7 +308,8 @@ object HtmlOps {
     * 1000 executors, exchanges do not. */
   def frontierFilterBloom(links: DataFrame, crawled: DataFrame,
                           crawledUrlCol: String,
-                          fpp: Double = 0.01): DataFrame = {
+                          fpp: Double = 0.01,
+                          maxBroadcastSliver: Long = 5000000L): DataFrame = {
     val cand = graft.CacheRegistry.persistTracked(
       links.filter(col("url").isNotNull)
         .groupBy(col("url"))
@@ -324,9 +325,25 @@ object HtmlOps {
       val maybe = graft.CacheRegistry.persistTracked(cand.filter(probe))
       val definite = cand.filter(!probe) // row-local split of the cached rollup
       // crawled ∩ maybe, with the SLIVER broadcast: crawled is the
-      // streamed probe side of a semi-join — scanned, never shuffled
-      val hits = crawledUrls
-        .join(broadcast(maybe.select("url")), Seq("url"), "left_semi")
+      // streamed probe side of a semi-join — scanned, never shuffled.
+      // SIZE-GATED (the SessionCalibrator.transform discipline): the
+      // sliver is true-dups + fpp·batch, and on a mature crawl most of
+      // a discovery batch IS already crawled — a 5·10⁷-url sliver is an
+      // executor OOM as a forced broadcast, not an optimization. The
+      // probe is a limit(n+1) count against the already-persisted
+      // sliver — bounded work at any size. Past the gate the hint drops
+      // and the verify join shuffles BOTH sides on url — still strictly
+      // cheaper than the exact plan (which shuffles crawled + ALL
+      // candidates; this shuffles crawled + the sliver only), and
+      // bit-identical output either way (spec-pinned at gate 0).
+      val gateProbe = math.min(maxBroadcastSliver + 1,
+        Int.MaxValue.toLong).toInt
+      val sliverUrls = maybe.select("url")
+      val hitsSide =
+        if (sliverUrls.limit(gateProbe).count() <= maxBroadcastSliver)
+          broadcast(sliverUrls)
+        else sliverUrls
+      val hits = crawledUrls.join(hitsSide, Seq("url"), "left_semi")
       definite.unionByName(maybe.join(hits, Seq("url"), "left_anti"))
     }
   }

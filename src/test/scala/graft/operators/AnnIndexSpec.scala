@@ -662,6 +662,50 @@ class AnnIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("OPQ families only"))
   }
 
+  test("appendOpq == union encode under the frozen model; appendAuto/appendOpq guard rails") {
+    val planted = Seq.tabulate(120) { i =>
+      val v = Array.fill(16)(0.0f)
+      v(i % 6) = 100.0f
+      v(8 + i % 4) = (0.001 * (1 + i % 7)).toFloat
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val first = planted.filter(col("vec_id") < 80)
+    val rest = planted.filter(col("vec_id") >= 80)
+    val dir = tmpDir("opq_append")
+    assert(AnnIndexIO.buildOpqIvf(first, "vec_id", "embedding", dir,
+      nCells = 6, m = 2, codebookK = 8, altIters = 3))
+    AnnIndexIO.appendOpq(spark, dir, rest, "vec_id", "embedding")
+    // the admission contract: the appended table IS the frozen-model
+    // encode of the union, row for row (no refit, no re-encode of the
+    // old rows, appended rows through the same rotation)
+    def codesKey(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("v_id"), col("cid").cast("long").as("cid"),
+        org.apache.spark.sql.functions.concat_ws(",",
+          col("codes").cast("array<string>")).as("cs"))
+      .collect().map(_.toString).toSet
+    val (rot, model) = AnnIndexIO.opqIvfModelFromDF(
+      spark.read.parquet(s"$dir/quantizer"))
+    val v = VectorOps.normalized(planted, "vec_id", "embedding")
+      .select(col("vec_id").as("v_id"), col("vn"))
+    val want = codesKey(VectorOps.opqIvfEncodeNormalized(v, rot, model))
+    val got = codesKey(spark.read.parquet(s"$dir/index"))
+    graft.CacheRegistry.releaseAll()
+    assert(got == want && want.nonEmpty,
+      "appended index table != frozen-model union encode")
+    // guard rails, both directions
+    val eAuto = intercept[IllegalArgumentException] {
+      AnnIndexIO.appendAuto(spark, dir, rest, "vec_id", "embedding")
+    }
+    assert(eAuto.getMessage.contains("appendOpq"))
+    val flatDir = tmpDir("opq_append_flat")
+    assert(AnnIndexIO.build(planted, "vec_id", "embedding", flatDir,
+      nCells = 6).nonEmpty)
+    val eOpq = intercept[IllegalArgumentException] {
+      AnnIndexIO.appendOpq(spark, flatDir, rest, "vec_id", "embedding")
+    }
+    assert(eOpq.getMessage.contains("appendAuto"))
+  }
+
   test("ArtifactSwap.recover: stranded-prev crash state heals on maintenance entry") {
     val dir = tmpDir("recover")
     assert(AnnIndexIO.build(vecs, "vec_id", "embedding", dir,

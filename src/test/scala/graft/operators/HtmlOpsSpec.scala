@@ -238,6 +238,13 @@ class HtmlOpsSpec extends SparkSpec {
       crawled.filter(col("url") === "nope"), "url"))
     graft.CacheRegistry.releaseAll()
     assert(open == exact + (("http://a.com/seen", "a.com", 1L)))
+    // sliver-broadcast size gate at 0: the verify join must drop the
+    // broadcast hint (a mature crawl's sliver is most of the batch — a
+    // forced broadcast there is an OOM) and stay bit-identical
+    val gated = key(HtmlOps.frontierFilterBloom(lnk, crawled, "url",
+      fpp = 0.5, maxBroadcastSliver = 0L))
+    graft.CacheRegistry.releaseAll()
+    assert(gated == exact, "gated (non-broadcast) sliver path diverged")
   }
 
   test("title entity-decoded and normalized; absent title is empty") {
