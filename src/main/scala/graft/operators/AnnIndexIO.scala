@@ -155,9 +155,15 @@ object AnnIndexIO {
         model
       }
 
-  /** Load the persisted (quantizer, index-table) pair. */
-  def load(spark: SparkSession, path: String): (VectorOps.IvfPqModel, DataFrame) =
+  /** Load the persisted (quantizer, index-table) pair. Heals a
+    * stranded-prev crash state first ([[retrain]]/[[rebuildOpq]] swap
+    * the WHOLE artifact dir, so their crash window leaves `path` absent
+    * with the old generation under `_prev`) — a serving read during the
+    * window must see the retired generation, not a missing-path error. */
+  def load(spark: SparkSession, path: String): (VectorOps.IvfPqModel, DataFrame) = {
+    ArtifactSwap.recover(spark, path)
     (loadModel(spark, path), spark.read.parquet(s"$path/index"))
+  }
 
   /** Search a prebuilt index: bit-identical to the inline
     * [[VectorOps.ivfPqTopK]] on the same corpus (spec-proven), minus the
@@ -285,6 +291,7 @@ object AnnIndexIO {
                  idCol: String, vecCol: String, queryPred: Column, k: Int,
                  probeSupers: Int = 4, nprobe: Int = 16,
                  rerank: Int = 100): DataFrame = {
+    ArtifactSwap.recover(spark, path) // serve through a maintenance crash
     val model = hierModelFromDF(spark.read.parquet(s"$path/quantizer"))
     val v = graft.CacheRegistry.persistTracked(
       VectorOps.normalized(corpus, idCol, vecCol)
@@ -363,6 +370,7 @@ object AnnIndexIO {
   def searchOpq(spark: SparkSession, path: String, corpus: DataFrame,
                 idCol: String, vecCol: String, queryPred: Column, k: Int,
                 rerank: Int = 100): DataFrame = {
+    ArtifactSwap.recover(spark, path) // serve through a maintenance crash
     val (rot, books) = opqModelFromDF(spark.read.parquet(s"$path/quantizer"))
     val v = graft.CacheRegistry.persistTracked(
       VectorOps.normalized(corpus, idCol, vecCol)
@@ -435,6 +443,7 @@ object AnnIndexIO {
   def searchOpqIvf(spark: SparkSession, path: String, corpus: DataFrame,
                    idCol: String, vecCol: String, queryPred: Column, k: Int,
                    nprobe: Int = 4, rerank: Int = 100): DataFrame = {
+    ArtifactSwap.recover(spark, path) // serve through a maintenance crash
     val (rot, model) = opqIvfModelFromDF(
       spark.read.parquet(s"$path/quantizer"))
     val v = graft.CacheRegistry.persistTracked(
@@ -494,6 +503,11 @@ object AnnIndexIO {
     */
   def appendAuto(spark: SparkSession, path: String, newVecs: DataFrame,
                  idCol: String, vecCol: String): Unit = {
+    // heal a stranded-prev crash state BEFORE the mode('append') write
+    // (the LshIndexIO.append rationale: an append into the window would
+    // otherwise create a fresh batch-only index dir and strand the
+    // corpus under _prev forever)
+    ArtifactSwap.recover(spark, path)
     // refuse the OPQ families (their admission valve is [[appendOpq]]):
     // treating an opq artifact as flat here would reconstruct an EMPTY
     // coarse quantizer from the rot-rows-only table and write garbage
@@ -835,6 +849,7 @@ object AnnIndexIO {
     * smaller `skewThreshold` to be able to trip at all. */
   def occupancyStats(spark: SparkSession, path: String,
                      skewThreshold: Double = 8.0): DataFrame = {
+    ArtifactSwap.recover(spark, path) // gauge through a maintenance crash
     val perCell = spark.read.parquet(s"$path/index")
       .groupBy("cid").agg(count(lit(1)).as("n"))
     perCell.agg(
@@ -859,6 +874,7 @@ object AnnIndexIO {
                  idCol: String, vecCol: String, queryPred: Column, k: Int,
                  nprobe: Int = 4, rerank: Int = 100,
                  probeSupers: Int = 4): DataFrame = {
+    ArtifactSwap.recover(spark, path) // serve through a maintenance crash
     val qdf = spark.read.parquet(s"$path/quantizer")
     val isHier = readKind(spark, path) match {
       case Some(kind) => kind == "hier"

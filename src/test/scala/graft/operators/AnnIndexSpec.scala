@@ -721,7 +721,14 @@ class AnnIndexSpec extends SparkSpec {
     val live = new java.io.File(dir)
     val prev = new java.io.File(dir + "_prev")
     assert(live.renameTo(prev) && !live.exists())
-    // the next maintenance entry recovers _prev and completes normally
+    // a SERVING read during the window heals and answers from the
+    // retired generation — never a missing-path error
+    val served = key(AnnIndexIO.searchAuto(spark, dir, vecs, "vec_id",
+      "embedding", qp, k = 3, nprobe = 3))
+    graft.CacheRegistry.releaseAll()
+    assert(served == before, "serve-through-crash answer changed")
+    // re-create the window; the next maintenance entry also recovers
+    assert(live.renameTo(prev) && !live.exists())
     assert(AnnIndexIO.retrain(vecs, "vec_id", "embedding", dir))
     val after = key(AnnIndexIO.search(spark, dir, vecs, "vec_id",
       "embedding", qp, k = 3, nprobe = 3))
