@@ -527,6 +527,55 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndexIO.loadModel(spark, dir).nCells == 8)
   }
 
+  test("OPQ drift trips the monitor and HEALS through rebuildOpqIfDrifted") {
+    // the flat family's closed-loop spec, on the fourth family: gauge
+    // (occupancyStats over the opq_ivf cell table) → drift gate →
+    // rebuild valve → atomic swap, with the maintenance contract
+    // (rebuilt ≡ from-scratch) checked on the served answer
+    def topKey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("sim"))))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val thr = 3.0 // toy-arity threshold (see occupancyStats doc)
+    val dir = tmpDir("rebuild_loop")
+    assert(AnnIndexIO.buildOpqIvf(vecs, "vec_id", "embedding", dir,
+      nCells = 8, m = 2, codebookK = 8, altIters = 3))
+    // healthy index: the drift gate must be a no-op
+    assert(!AnnIndexIO.rebuildOpqIfDrifted(spark, dir, vecs, "vec_id",
+      "embedding", skewThreshold = thr))
+    // drift: one tight off-distribution blob admitted through the FROZEN
+    // rotation + coarse quantizer — every member lands in one cell
+    val rng = new scala.util.Random(97)
+    val off = Array.fill(64)(rng.nextGaussian() * 3)
+    val drifted = Seq.tabulate(500) { i =>
+      (10000L + i, off.map(x => (x + 0.6 * rng.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    AnnIndexIO.appendOpq(spark, dir, drifted, "vec_id", "embedding")
+    val union = vecs.union(drifted)
+    // the closed loop: monitor trips → rebuild re-learns rotation +
+    // codebooks + coarse cells from the accumulated corpus → swap
+    assert(AnnIndexIO.rebuildOpqIfDrifted(spark, dir, union, "vec_id",
+      "embedding", skewThreshold = thr), "drift did not trip the valve")
+    // family and operating point survive the loop
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_KIND")), "UTF-8").trim == "opq_ivf")
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_CONF")), "UTF-8").trim == "8 2 8 3")
+    // maintenance contract: rebuilt ≡ from-scratch build over everything
+    val fresh = tmpDir("rebuild_loop_fresh")
+    assert(AnnIndexIO.buildOpqIvf(union, "vec_id", "embedding", fresh,
+      nCells = 8, m = 2, codebookK = 8, altIters = 3))
+    val qp = col("v_id") >= 10000L && col("v_id") < 10005L
+    val healed = topKey(AnnIndexIO.searchOpqIvf(spark, dir, union,
+      "vec_id", "embedding", qp, k = 3, nprobe = 3, rerank = 10))
+    graft.CacheRegistry.releaseAll()
+    val freshly = topKey(AnnIndexIO.searchOpqIvf(spark, fresh, union,
+      "vec_id", "embedding", qp, k = 3, nprobe = 3, rerank = 10))
+    graft.CacheRegistry.releaseAll()
+    assert(healed.nonEmpty && healed == freshly)
+  }
+
   test("compact: files collapse, search and occupancy bit-invisible, both layouts") {
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
