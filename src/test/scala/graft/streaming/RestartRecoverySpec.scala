@@ -300,4 +300,51 @@ class RestartRecoverySpec extends SparkSpec {
       "[http://a.com/p9,a.com]"),
       s"restarted frontier diverged: $got")
   }
+
+  test("bloom-fronted frontier recovers: sketch rebuilt, state resumed, no dupes") {
+    // the bounded-state operator's restart axis: the Bloom sketch is
+    // DRIVER-side and rebuilt deterministically from the crawled table
+    // at every (re)start — only the first-seen state rides the
+    // checkpoint, and a post-restart re-reference of a pre-restart
+    // admission is suppressible ONLY through the recovered state store.
+    // fpp = 0.5 keeps the verify path load-bearing across the restart.
+    implicit val sqlCtx = spark.sqlContext
+    val pages: Seq[(Long, String, String)] = Seq(
+      (1L, "http://a.com/1",
+        "<body><a href=\"/p1\">x</a> <a href=\"/seen\">s</a></body>"),
+      (2L, "http://a.com/2",
+        "<body><a href=\"http://b.com/z\">z</a></body>"),
+      (3L, "http://a.com/3",
+        "<body><a href=\"/p1\">x again</a> <a href=\"/p9\">new</a></body>"))
+    val crawledPath = tmp() + "/crawled"
+    Seq("http://a.com/seen").toDF("url")
+      .write.mode("overwrite").parquet(crawledPath)
+    val cp = tmp()
+    val input = MemoryStream[(Long, String, String)]
+    def start() = FrontierStream.admittedStreamBloom(
+        input.toDF().toDF("doc", "page_url", "html"), "html", "page_url",
+        crawledPath, fpp = 0.5)
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[FrontierStream.Admitted],
+         id: Long) => rowSink("frontier_bloom")(b, id) }
+      .outputMode("append").start()
+
+    val q1 = start()
+    input.addData(pages.take(2))
+    q1.processAllAvailable()
+    q1.stop() // /p1's admission lives only in the state store now
+    val q2 = start()
+    input.addData(pages.drop(2))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = drainedOf("frontier_bloom")
+    assert(got.size == got.distinct.size,
+      s"duplicate admission after restart: $got")
+    assert(got.toSet == Set(
+      "[http://a.com/p1,a.com]", "[http://b.com/z,b.com]",
+      "[http://a.com/p9,a.com]"),
+      s"restarted bloom frontier diverged: $got")
+  }
 }
