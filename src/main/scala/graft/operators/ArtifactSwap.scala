@@ -29,7 +29,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * kept directory-shaped so that wrapper is a deployment concern, not an
   * operator rewrite.
   */
-private[operators] object ArtifactSwap {
+private[graft] object ArtifactSwap {
 
   /** Heal the one crash window [[swap]] leaves: both renames are atomic,
     * so the only bad state is `live` ABSENT with the old generation

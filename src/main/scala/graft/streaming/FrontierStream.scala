@@ -146,4 +146,50 @@ object FrontierStream {
       .write.mode("append").parquet(crawledPath)
     obs.get("rows").asInstanceOf[Long]
   }
+
+  /** COMPACT the crawled-set snapshot table — the file-merge maintenance
+    * the index families get from their `compact`, on the crawl loop's
+    * own artifact: every [[snapshotAdmitted]] epoch APPENDS files, so a
+    * long-lived crawl accrues one file batch per epoch and the
+    * per-epoch sketch build + verify scans pay creeping listing/footer
+    * costs while the url set itself only grows by admissions. Rewrites
+    * the table range-placed on `url` (few large files, tight row-group
+    * stats for the verify join) into a fresh generation, promoted by
+    * [[graft.operators.ArtifactSwap]]'s atomic rename — rows untouched,
+    * so the next epoch's admissions are bit-identical before and after
+    * (spec-pinned). Returns (files_before, files_after);
+    * [[compactCrawledIfFragmented]] is the gauged loop. */
+  def compactCrawled(spark: SparkSession, crawledPath: String,
+                     targetPartitions: Int = 0,
+                     knownBefore: Long = -1L): (Long, Long) = {
+    import graft.operators.ArtifactSwap
+    ArtifactSwap.recover(spark, crawledPath)
+    val parts = if (targetPartitions > 0) targetPartitions
+                else spark.sparkContext.defaultParallelism
+    val before = if (knownBefore >= 0) knownBefore
+                 else ArtifactSwap.dataFileCount(spark, crawledPath)
+    val next = crawledPath + "_next"
+    ArtifactSwap.clearStale(spark, next)
+    spark.read.parquet(crawledPath)
+      .repartitionByRange(parts, col("url"))
+      .sortWithinPartitions("url")
+      .write.mode("overwrite").parquet(next)
+    ArtifactSwap.swap(spark, crawledPath, next)
+    (before, ArtifactSwap.dataFileCount(spark, crawledPath))
+  }
+
+  /** Fragmentation-gated crawled-table compaction — the closed
+    * monitor→actuator loop an epoch chain runs after each
+    * [[snapshotAdmitted]] (the index families' `compactIfFragmented`):
+    * one recursive listing, reused as the compactor's before-count.
+    * Returns true iff a compaction ran. */
+  def compactCrawledIfFragmented(spark: SparkSession, crawledPath: String,
+                                 maxFiles: Int = 0,
+                                 targetPartitions: Int = 0): Boolean =
+    graft.operators.ArtifactSwap.fragmentedAt(spark, crawledPath,
+        maxFiles) match {
+      case Some(n) =>
+        compactCrawled(spark, crawledPath, targetPartitions, n); true
+      case None => false
+    }
 }

@@ -99,6 +99,47 @@ class FrontierStreamSpec extends SparkSpec {
     assert(s2 == e2.size.toLong, s"epoch-2 state $s2 != admissions ${e2.size}")
   }
 
+  test("crawled-table compaction: admission-invisible, gauge-gated") {
+    // the crawl loop's own artifact accrues one file batch per
+    // snapshotAdmitted epoch — the compactor must collapse files
+    // without changing a single admission decision
+    implicit val sqlCtx = spark.sqlContext
+    val crawledPath = java.nio.file.Files
+      .createTempDirectory("frontier_cpt").toString + "/crawled"
+    crawled.write.mode("overwrite").parquet(crawledPath)
+    // two drained epochs' appends: q1 and q2 join the seen set
+    FrontierStream.snapshotAdmitted(spark,
+      Seq(("http://a.com/q1", "a.com")).toDF("url", "dst_host"), crawledPath)
+    FrontierStream.snapshotAdmitted(spark,
+      Seq(("http://a.com/q2", "a.com")).toDF("url", "dst_host"), crawledPath)
+    // the epoch references BOTH appended urls, so the compacted rows are
+    // load-bearing for the admission decision
+    val page = Seq((1L, "http://a.com/1",
+      """<body><a href="/p1">n</a> <a href="/q1">s</a> <a href="/q2">s</a> <a href="/seen">s</a></body>"""))
+    def epoch(tag: String): Set[(String, String)] = {
+      val input = MemoryStream[(Long, String, String)]
+      val name = s"frontier_cpt_${tag}_${System.nanoTime()}"
+      val q = FrontierStream.admittedStreamBloom(
+          input.toDF().toDF("doc", "page_url", "html"), "html", "page_url",
+          crawledPath, fpp = 0.5)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      input.addData(page); q.processAllAvailable(); q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    }
+    val before = epoch("pre")
+    assert(before == Set(("http://a.com/p1", "a.com")))
+    // the gauge fires past the cap, the rewrite lands under it, and the
+    // re-armed gauge is a no-op
+    assert(FrontierStream.compactCrawledIfFragmented(spark, crawledPath,
+      maxFiles = 2, targetPartitions = 1))
+    assert(!FrontierStream.compactCrawledIfFragmented(spark, crawledPath,
+      maxFiles = 2, targetPartitions = 1))
+    // bit-identical admissions over the compacted table
+    assert(epoch("post") == before)
+  }
+
   test("at-least-once: a re-delivered page admits nothing new") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, String)]
