@@ -353,6 +353,10 @@ object AnnIndexIO {
       val (rot, books) = VectorOps.opqTrain(sample, m, codebookK, altIters)
       opqModelToDF(spark, rot, books).write.mode("overwrite")
         .parquet(s"$path/quantizer")
+      // build-time quantization-error baseline (the objective opqTrain
+      // descends, on its own training sample) — [[quantDrift]]'s
+      // self-calibrating reference
+      writeQerr(spark, path, VectorOps.pqMse(sample, rot, books))
       VectorOps.opqEncode(vecs, idCol, vecCol, rot, books)
         .select(col("v_id"), col("codes"))
         .write.mode("overwrite").parquet(s"$path/index")
@@ -861,6 +865,73 @@ object AnnIndexIO {
         col("max_occupancy"),
         (col("max_occupancy") / col("mean_occupancy")).as("skew"))
       .withColumn("recommend_retrain", col("skew") > skewThreshold)
+  }
+
+  /** Build-time quantization-error sidecar (`path/_QERR`, one ASCII
+    * double): [[buildOpq]] records its training sample's reconstruction
+    * MSE so [[quantDrift]] can compare the CURRENT corpus against the
+    * quantizer's own birth certificate — self-calibrating, no absolute
+    * threshold to size per corpus. */
+  private def qerrPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_QERR")
+
+  private def writeQerr(spark: SparkSession, path: String,
+                        mse: Double): Unit = {
+    val p = qerrPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(mse.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Quantization-error drift monitor for the CELL-LESS `opq` family —
+    * [[occupancyStats]]' counterpart where there is no `cid` to gauge:
+    * drift under a frozen rotation/codebook shows up as RECONSTRUCTION
+    * ERROR (regions the books never saw quantize onto far-away code
+    * words — asymmetric ranks go arbitrary there, the recall damage the
+    * retrain spec measures). Takes a deterministic hash-spread sample of
+    * the CURRENT corpus (old and appended rows alike), measures its MSE
+    * through the persisted rotation + books ([[VectorOps.pqMse]], the
+    * objective the build descended), and compares against the
+    * build-time baseline the artifact carries (`_QERR`): a healthy
+    * corpus sits near 1×; `recommend_rebuild` trips past `factor`. The
+    * actuator is [[rebuildOpq]], which resets the baseline. Driver-side
+    * sample math bounded by `sampleN` (the fit-sample discipline).
+    * Returns one row: `n_sample, baseline_mse, sample_mse, ratio,
+    * recommend_rebuild`. Pre-sidecar artifacts fail fast (no baseline
+    * to gauge against — rebuild once to mint one). */
+  def quantDrift(spark: SparkSession, path: String, vecs: DataFrame,
+                 idCol: String, vecCol: String, sampleN: Int = 2000,
+                 factor: Double = 2.0): DataFrame = {
+    import spark.implicits._
+    ArtifactSwap.recover(spark, path)
+    val baseline = ArtifactSwap.readSmall(spark, qerrPath(path))
+      .map(_.trim.toDouble)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path carries no _QERR baseline (pre-r15 artifact) — " +
+          "rebuildOpq once to mint one"))
+    val (rot, books) = opqModelFromDF(spark.read.parquet(s"$path/quantizer"))
+    val sample = VectorOps.normalized(vecs, idCol, vecCol)
+      .select(col(idCol).cast("string").as("_k"), col("vn"))
+      .orderBy(md5(col("_k"))) // hash-spread: old AND appended rows
+      .limit(sampleN)
+      .collect().map(_.getAs[scala.collection.Seq[Double]]("vn").toArray)
+    val mse = VectorOps.pqMse(sample, rot, books)
+    val ratio = mse / math.max(baseline, 1e-300)
+    Seq((sample.length.toLong, baseline, mse, ratio, ratio > factor))
+      .toDF("n_sample", "baseline_mse", "sample_mse", "ratio",
+        "recommend_rebuild")
+  }
+
+  /** Drift-gated rebuild for the cell-less family — the closed
+    * monitor→actuator loop ([[retrainIfDrifted]]'s shape) on the one
+    * kind with no occupancy axis. Returns true iff a rebuild ran. */
+  def rebuildOpqIfQuantDrifted(spark: SparkSession, path: String,
+                               vecs: DataFrame, idCol: String,
+                               vecCol: String, sampleN: Int = 2000,
+                               factor: Double = 2.0): Boolean = {
+    val drifted = quantDrift(spark, path, vecs, idCol, vecCol, sampleN,
+      factor).select("recommend_rebuild").head().getBoolean(0)
+    drifted && rebuildOpq(vecs, idCol, vecCol, path)
   }
 
   /** Search a [[buildAuto]]-built index: dispatches on the persisted

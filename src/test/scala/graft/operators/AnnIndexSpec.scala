@@ -576,6 +576,51 @@ class AnnIndexSpec extends SparkSpec {
     assert(healed.nonEmpty && healed == freshly)
   }
 
+  test("cell-less OPQ: quantization drift trips quantDrift; rebuild resets the baseline") {
+    // the fourth family's GAUGE: no cid to watch, so drift is measured
+    // as RECONSTRUCTION ERROR against the artifact's own build-time
+    // baseline (_QERR) — self-calibrating, unlike a code-share gauge,
+    // which cannot tell drift from genuine concentration (a blob that
+    // IS 80% of the corpus keeps its code share after a perfect
+    // rebuild; its reconstruction error does not stay high)
+    val dir = tmpDir("quant_drift")
+    assert(AnnIndexIO.buildOpq(vecs, "vec_id", "embedding", dir,
+      m = 2, codebookK = 8, altIters = 3))
+    val healthy = AnnIndexIO.quantDrift(spark, dir, vecs, "vec_id",
+      "embedding").head()
+    // gauge sample == training sample here (both cover the whole toy
+    // corpus), so the healthy ratio is exactly 1
+    assert(math.abs(healthy.getAs[Double]("ratio") - 1.0) < 1e-9 &&
+      !healthy.getAs[Boolean]("recommend_rebuild"),
+      s"healthy build flagged: $healthy")
+    // drift: an off-distribution blob admitted through the FROZEN
+    // rotation/books — a region the books never saw reconstructs badly
+    val rng = new scala.util.Random(97)
+    val off = Array.fill(64)(rng.nextGaussian() * 3)
+    val drifted = Seq.tabulate(500) { i =>
+      (10000L + i, off.map(x => (x + 0.6 * rng.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    AnnIndexIO.appendOpq(spark, dir, drifted, "vec_id", "embedding")
+    val union = vecs.union(drifted)
+    val after = AnnIndexIO.quantDrift(spark, dir, union, "vec_id",
+      "embedding").head()
+    assert(after.getAs[Boolean]("recommend_rebuild") &&
+      after.getAs[Double]("ratio") > 5.0,
+      s"drift not flagged: $after")
+    // the closed loop: gauge trips → rebuild re-learns rotation + books
+    // where the mass now is → the minted baseline reads healthy again
+    assert(AnnIndexIO.rebuildOpqIfQuantDrifted(spark, dir, union,
+      "vec_id", "embedding"), "drift did not trip the valve")
+    val healed = AnnIndexIO.quantDrift(spark, dir, union, "vec_id",
+      "embedding").head()
+    assert(!healed.getAs[Boolean]("recommend_rebuild") &&
+      math.abs(healed.getAs[Double]("ratio") - 1.0) < 1e-9,
+      s"rebuild did not reset the gauge: $healed")
+    // a healthy index is a no-op for the gated loop
+    assert(!AnnIndexIO.rebuildOpqIfQuantDrifted(spark, dir, union,
+      "vec_id", "embedding"))
+  }
+
   test("compact: files collapse, search and occupancy bit-invisible, both layouts") {
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
