@@ -53,6 +53,22 @@ object AnnIndexIO {
   private def readKind(spark: SparkSession, path: String): Option[String] =
     ArtifactSwap.readSmall(spark, kindPath(path)).map(_.trim)
 
+  /** Heal BOTH crash windows this artifact family can be left in: the
+    * whole-dir swap root (`path` — what [[retrain]]/[[rebuildOpq]]
+    * promote) AND the encoded-table swap root (`path/index` — what
+    * [[compact]] promotes via [[ArtifactSwap.compactTable]]). Every
+    * entry point that reads or appends the artifact must recover both:
+    * an append landing in compact's window would `mode('append')`-create
+    * a fresh batch-only `index/` dir, and the NEXT compact's swap would
+    * then delete the stranded real table under `index_prev` — permanent
+    * data loss with no error. Order matters: the whole-dir root first
+    * (when `path` itself is stranded, `path/index` does not exist to
+    * recover). Two driver-side FS existence checks — free. */
+  private def recoverRoots(spark: SparkSession, path: String): Unit = {
+    ArtifactSwap.recover(spark, path)
+    ArtifactSwap.recover(spark, s"$path/index")
+  }
+
   /** Requested-configuration sidecar (`path/_CONF`, space-separated
     * ASCII integers; the kind comes from `_KIND`, never repeated here —
     * flat: "nCells m codebookK"; hier: "k1 k2 m codebookK";
@@ -161,7 +177,7 @@ object AnnIndexIO {
     * with the old generation under `_prev`) — a serving read during the
     * window must see the retired generation, not a missing-path error. */
   def load(spark: SparkSession, path: String): (VectorOps.IvfPqModel, DataFrame) = {
-    ArtifactSwap.recover(spark, path)
+    recoverRoots(spark, path)
     (loadModel(spark, path), spark.read.parquet(s"$path/index"))
   }
 
@@ -291,7 +307,7 @@ object AnnIndexIO {
                  idCol: String, vecCol: String, queryPred: Column, k: Int,
                  probeSupers: Int = 4, nprobe: Int = 16,
                  rerank: Int = 100): DataFrame = {
-    ArtifactSwap.recover(spark, path) // serve through a maintenance crash
+    recoverRoots(spark, path) // serve through a maintenance crash
     val model = hierModelFromDF(spark.read.parquet(s"$path/quantizer"))
     val v = graft.CacheRegistry.persistTracked(
       VectorOps.normalized(corpus, idCol, vecCol)
@@ -374,7 +390,7 @@ object AnnIndexIO {
   def searchOpq(spark: SparkSession, path: String, corpus: DataFrame,
                 idCol: String, vecCol: String, queryPred: Column, k: Int,
                 rerank: Int = 100): DataFrame = {
-    ArtifactSwap.recover(spark, path) // serve through a maintenance crash
+    recoverRoots(spark, path) // serve through a maintenance crash
     val (rot, books) = opqModelFromDF(spark.read.parquet(s"$path/quantizer"))
     val v = graft.CacheRegistry.persistTracked(
       VectorOps.normalized(corpus, idCol, vecCol)
@@ -447,7 +463,7 @@ object AnnIndexIO {
   def searchOpqIvf(spark: SparkSession, path: String, corpus: DataFrame,
                    idCol: String, vecCol: String, queryPred: Column, k: Int,
                    nprobe: Int = 4, rerank: Int = 100): DataFrame = {
-    ArtifactSwap.recover(spark, path) // serve through a maintenance crash
+    recoverRoots(spark, path) // serve through a maintenance crash
     val (rot, model) = opqIvfModelFromDF(
       spark.read.parquet(s"$path/quantizer"))
     val v = graft.CacheRegistry.persistTracked(
@@ -511,7 +527,7 @@ object AnnIndexIO {
     // (the LshIndexIO.append rationale: an append into the window would
     // otherwise create a fresh batch-only index dir and strand the
     // corpus under _prev forever)
-    ArtifactSwap.recover(spark, path)
+    recoverRoots(spark, path)
     // refuse the OPQ families (their admission valve is [[appendOpq]]):
     // treating an opq artifact as flat here would reconstruct an EMPTY
     // coarse quantizer from the rot-rows-only table and write garbage
@@ -567,7 +583,7 @@ object AnnIndexIO {
     * build → append → monitor → maintain. */
   def appendOpq(spark: SparkSession, path: String, newVecs: DataFrame,
                 idCol: String, vecCol: String): Unit = {
-    ArtifactSwap.recover(spark, path) // heal a stranded-prev crash state
+    recoverRoots(spark, path) // heal a stranded-prev crash state
     val kind = readKind(spark, path).getOrElse {
       val q = spark.read.parquet(s"$path/quantizer")
       require(q.filter(col("kind") === "rot").limit(1).count() > 0,
@@ -663,7 +679,7 @@ object AnnIndexIO {
   def retrain(vecs: DataFrame, idCol: String, vecCol: String,
               path: String, sampleN: Int = 10000): Boolean = {
     val spark = vecs.sparkSession
-    ArtifactSwap.recover(spark, path) // heal a stranded-prev crash state
+    recoverRoots(spark, path) // heal a stranded-prev crash state
     // refuse the OPQ families outright: their learned rotation is not
     // part of this fit path, so "retraining" one here would overwrite
     // the quantizer WITHOUT rot rows and flatten the artifact —
@@ -743,7 +759,7 @@ object AnnIndexIO {
   def rebuildOpq(vecs: DataFrame, idCol: String, vecCol: String,
                  path: String, sampleN: Int = 10000): Boolean = {
     val spark = vecs.sparkSession
-    ArtifactSwap.recover(spark, path) // heal a stranded-prev crash state
+    recoverRoots(spark, path) // heal a stranded-prev crash state
     val kind = readKind(spark, path).getOrElse {
       // pre-sidecar artifact: the rot rows identify the family, the
       // coarse rows split opq_ivf from the cell-less opq
@@ -812,6 +828,10 @@ object AnnIndexIO {
   def compact(spark: SparkSession, path: String,
               targetPartitions: Int = 0,
               knownBefore: Long = -1L): (Long, Long) = {
+    // heal a prior crash BEFORE the layout sniff: compactTable recovers
+    // its own swap root, but the isHier read below precedes it and would
+    // throw missing-path inside the crash window otherwise
+    recoverRoots(spark, path)
     // layout family detected from the live table, preserved by the plan
     val isHier = spark.read.parquet(s"$path/index").columns.contains("sid")
     ArtifactSwap.compactTable(spark, s"$path/index",
@@ -853,7 +873,7 @@ object AnnIndexIO {
     * smaller `skewThreshold` to be able to trip at all. */
   def occupancyStats(spark: SparkSession, path: String,
                      skewThreshold: Double = 8.0): DataFrame = {
-    ArtifactSwap.recover(spark, path) // gauge through a maintenance crash
+    recoverRoots(spark, path) // gauge through a maintenance crash
     val perCell = spark.read.parquet(s"$path/index")
       .groupBy("cid").agg(count(lit(1)).as("n"))
     perCell.agg(
@@ -903,7 +923,7 @@ object AnnIndexIO {
                  idCol: String, vecCol: String, sampleN: Int = 2000,
                  factor: Double = 2.0): DataFrame = {
     import spark.implicits._
-    ArtifactSwap.recover(spark, path)
+    recoverRoots(spark, path)
     val baseline = ArtifactSwap.readSmall(spark, qerrPath(path))
       .map(_.trim.toDouble)
       .getOrElse(throw new IllegalArgumentException(
@@ -917,7 +937,16 @@ object AnnIndexIO {
       .collect().map(_.getAs[scala.collection.Seq[Double]]("vn").toArray)
     val mse = VectorOps.pqMse(sample, rot, books)
     val ratio = mse / math.max(baseline, 1e-300)
-    Seq((sample.length.toLong, baseline, mse, ratio, ratio > factor))
+    // a legitimately ~zero baseline (toy corpus with <= codebookK
+    // distinct vectors — the books memorize the training sample exactly)
+    // makes the ratio astronomical forever: the monitor would recommend
+    // a rebuild on EVERY call and each rebuild re-mints a zero baseline,
+    // a non-converging monitor→actuator loop. Gate the recommendation on
+    // the sample error also clearing an absolute floor (1e-12 on unit
+    // vectors is far below any real quantization error), so a perfectly
+    // memorizing quantizer reads as not-drifted.
+    val drifted = ratio > factor && mse > math.max(baseline * factor, 1e-12)
+    Seq((sample.length.toLong, baseline, mse, ratio, drifted))
       .toDF("n_sample", "baseline_mse", "sample_mse", "ratio",
         "recommend_rebuild")
   }
@@ -945,7 +974,7 @@ object AnnIndexIO {
                  idCol: String, vecCol: String, queryPred: Column, k: Int,
                  nprobe: Int = 4, rerank: Int = 100,
                  probeSupers: Int = 4): DataFrame = {
-    ArtifactSwap.recover(spark, path) // serve through a maintenance crash
+    recoverRoots(spark, path) // serve through a maintenance crash
     val qdf = spark.read.parquet(s"$path/quantizer")
     val isHier = readKind(spark, path) match {
       case Some(kind) => kind == "hier"

@@ -57,13 +57,27 @@ object LshIndexIO {
   }
 
   private def readConf(spark: SparkSession,
-                       path: String): Option[(Int, Int, Int)] =
-    ArtifactSwap.readSmall(spark, confPath(s"$path/bands"))
-      .orElse(ArtifactSwap.readSmall(spark, confPath(path))) // legacy spot
-      .map { s =>
+                       path: String): Option[(Int, Int, Int)] = {
+    def parse(where: org.apache.hadoop.fs.Path, s: String): (Int, Int, Int) =
+      // a truncated/corrupt/foreign conf must fail WITH the file named —
+      // a bare NumberFormatException/ArrayIndexOutOfBounds from here has
+      // no path context, and silently treating it as "no conf" would
+      // skip the operating-point validation the sidecar exists for
+      scala.util.Try {
         val parts = s.trim.split("\\s+")
+        require(parts.length == 3)
         (parts(0).toInt, parts(1).toInt, parts(2).toInt)
+      }.getOrElse(throw new IllegalArgumentException(
+        s"LSH conf sidecar $where is corrupt (expected 3 integer " +
+          s"tokens 'shingleK numHashes bands', got '${s.trim}') — " +
+          "rebuild the index or repair the sidecar"))
+    val inDir = confPath(s"$path/bands")
+    ArtifactSwap.readSmall(spark, inDir).map(parse(inDir, _))
+      .orElse { // legacy spot
+        val legacy = confPath(path)
+        ArtifactSwap.readSmall(spark, legacy).map(parse(legacy, _))
       }
+  }
 
   /** Remove a legacy OUTER `$path/_CONF` once an in-dir one exists: a
     * stale outer conf left after migration would resurface (and validate

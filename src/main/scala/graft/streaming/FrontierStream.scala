@@ -105,6 +105,11 @@ object FrontierStream {
                           fpp: Double = 0.01): Dataset[Admitted] = {
     import pages.sparkSession.implicits._
     val spark = pages.sparkSession
+    // heal a compactCrawled crash window first (crawledPath absent, real
+    // table stranded under `_prev`) — a missing-path throw here would
+    // stall the epoch loop on a state ArtifactSwap.recover repairs in one
+    // rename (the LshIndexIO.append discipline)
+    graft.operators.ArtifactSwap.recover(spark, crawledPath)
     val crawledUrls = spark.read.parquet(crawledPath)
       .select(col("url"))
     val n = crawledUrls.count()
@@ -140,6 +145,12 @@ object FrontierStream {
   def snapshotAdmitted(spark: SparkSession, admitted: DataFrame,
                        crawledPath: String): Long = {
     import org.apache.spark.sql.Observation
+    // heal a compactCrawled crash window BEFORE the mode('append') write:
+    // an append landing while crawledPath is absent (real table stranded
+    // under `_prev`) would silently create a fresh one-epoch table, and
+    // the NEXT compactCrawled's swap would delete the real seen set under
+    // `_prev` — after which the bloom front re-admits every crawled url
+    graft.operators.ArtifactSwap.recover(spark, crawledPath)
     val obs = Observation()
     admitted.select(col("url")).distinct()
       .observe(obs, count(lit(1)).as("rows"))

@@ -849,4 +849,85 @@ class AnnIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("degenerate hier artifact"))
   }
+
+  test("compact crash window: stranded index/ root heals at serve, append, gauge, compact") {
+    // compact() swaps `$path/index` — a DIFFERENT root from the
+    // whole-dir swap retrain/rebuildOpq promote. Every entry must heal
+    // BOTH: an append landing while `index/` is stranded under
+    // `index_prev` would otherwise mode('append')-create a fresh
+    // batch-only table, and the NEXT compact's swap would delete the
+    // real corpus under `_prev` — silent, permanent loss.
+    val dir = tmpDir("idx_window")
+    assert(AnnIndexIO.build(vecs.filter(col("vec_id") < 100), "vec_id",
+      "embedding", dir, nCells = 8).nonEmpty)
+    val qp = col("v_id") < 10
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(_.toString).sorted.toSeq
+    val before = key(AnnIndexIO.search(spark, dir, vecs, "vec_id",
+      "embedding", qp, k = 3, nprobe = 3))
+    graft.CacheRegistry.releaseAll()
+    val live = new java.io.File(dir, "index")
+    val prev = new java.io.File(dir, "index_prev")
+    def strand(): Unit =
+      assert(live.renameTo(prev) && !live.exists(), "could not strand")
+    // 1. a SERVING read during the window heals the table root
+    strand()
+    assert(key(AnnIndexIO.search(spark, dir, vecs, "vec_id",
+      "embedding", qp, k = 3, nprobe = 3)) == before)
+    graft.CacheRegistry.releaseAll()
+    // 2. an append during the window must extend the REAL table
+    strand()
+    AnnIndexIO.appendAuto(spark, dir, vecs.filter(col("vec_id") >= 100),
+      "vec_id", "embedding")
+    assert(!prev.exists(), "append stranded the real table under _prev")
+    // 3. the gauge sees the full (healed + appended) corpus
+    strand()
+    val occ = AnnIndexIO.occupancyStats(spark, dir).head()
+    assert(occ.getAs[Long]("n_rows") == 120L,
+      s"gauge lost rows through the window: $occ")
+    val appended = key(AnnIndexIO.search(spark, dir, vecs, "vec_id",
+      "embedding", qp, k = 3, nprobe = 3))
+    graft.CacheRegistry.releaseAll()
+    // 4. compact itself heals before its layout sniff, and the rewrite
+    // is bit-invisible to search
+    strand()
+    val (b, a) = AnnIndexIO.compact(spark, dir, targetPartitions = 1)
+    assert(a <= b && !prev.exists())
+    assert(key(AnnIndexIO.search(spark, dir, vecs, "vec_id",
+      "embedding", qp, k = 3, nprobe = 3)) == appended)
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("quantDrift: a memorizing quantizer (zero baseline) is not read as drift") {
+    // <= codebookK distinct vectors per subspace: singleton k-means
+    // clusters reproduce the final rotated sample exactly, so the
+    // build-time _QERR baseline is (near-)zero. The gauge must not read
+    // `fp-dust / zero = astronomical ratio` as drift — a rebuild cannot
+    // help (it re-mints a zero baseline), so the old behavior was a
+    // never-converging monitor→actuator loop.
+    val rng = new scala.util.Random(11)
+    val basis = Array.fill(8)(Array.fill(16)(rng.nextGaussian()))
+    val tiny = Seq.tabulate(8) { i =>
+      (i.toLong, basis(i).map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val dir = tmpDir("qd_zero")
+    assert(AnnIndexIO.buildOpq(tiny, "vec_id", "embedding", dir,
+      m = 2, codebookK = 8, altIters = 3))
+    // a near-duplicate admission (1e-6 off basis(0)) makes the gauge
+    // sample's MSE tiny-but-NONZERO — exactly the state whose ratio
+    // blows up against a zero baseline
+    val eps = Seq((999L, basis(0).zipWithIndex.map { case (x, j) =>
+      (x + (if (j == 0) 1e-6 else 0.0)).toFloat }.toSeq))
+      .toDF("vec_id", "embedding")
+    AnnIndexIO.appendOpq(spark, dir, eps, "vec_id", "embedding")
+    val g = AnnIndexIO.quantDrift(spark, dir, tiny.union(eps), "vec_id",
+      "embedding").head()
+    assert(g.getAs[Double]("baseline_mse") < 1e-20,
+      s"scenario not realized — baseline should memorize: $g")
+    assert(!g.getAs[Boolean]("recommend_rebuild"),
+      s"zero-baseline false alarm: $g")
+    assert(!AnnIndexIO.rebuildOpqIfQuantDrifted(spark, dir,
+      tiny.union(eps), "vec_id", "embedding"),
+      "memorizing quantizer tripped the rebuild valve")
+  }
 }

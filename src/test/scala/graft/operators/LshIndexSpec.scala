@@ -285,4 +285,37 @@ class LshIndexSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
     assert(viaIndex == inline)
   }
+
+  test("corrupt conf sidecar fails with the file named, never a bare parse error") {
+    // a truncated or foreign _CONF must not surface as a context-free
+    // ArrayIndexOutOfBounds/NumberFormatException — and must NOT be
+    // silently treated as "no conf" (that would skip the operating-point
+    // validation the sidecar exists for)
+    val dir = java.nio.file.Files.createTempDirectory("lsh_badconf").toString
+    LshIndexIO.build(docs, "doc_id", "text", dir, shingleK = 3)
+    val confFile = java.nio.file.Paths.get(dir, "bands", "_CONF")
+    // corrupting the file out-of-band: drop the local FS checksum
+    // sidecar too, or the read fails on the crc before the parse
+    def corrupt(payload: String): Unit = {
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, "bands", "._CONF.crc"))
+      java.nio.file.Files.write(confFile, payload.getBytes("UTF-8"))
+    }
+    for (bad <- Seq("3 16", "a b c", "3 16 4 9")) {
+      corrupt(bad)
+      val e = intercept[IllegalArgumentException] {
+        LshIndexIO.probe(spark, dir, docs.filter("doc_id = 0"),
+          "doc_id", "text", shingleK = 3)
+      }
+      graft.CacheRegistry.releaseAll()
+      assert(e.getMessage.contains("_CONF") &&
+        e.getMessage.contains(bad) && e.getMessage.contains("corrupt"),
+        s"for '$bad': ${e.getMessage}")
+    }
+    // a repaired sidecar serves again
+    corrupt("3 16 4")
+    assert(LshIndexIO.probe(spark, dir, docs.filter("doc_id = 1"),
+      "doc_id", "text", shingleK = 3).columns.contains("doc_new"))
+    graft.CacheRegistry.releaseAll()
+  }
 }

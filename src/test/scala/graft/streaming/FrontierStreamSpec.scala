@@ -156,4 +156,48 @@ class FrontierStreamSpec extends SparkSpec {
     q.stop()
     assert(afterFirst == 3L && afterSecond == afterFirst)
   }
+
+  test("compactCrawled crash window: snapshot and epoch heal, never strand the seen set") {
+    // compactCrawled promotes crawledPath by ArtifactSwap; its crash
+    // window leaves crawledPath ABSENT with the real seen set under
+    // `_prev`. A snapshotAdmitted landing there must heal FIRST — a
+    // mode('append') into the window would create a fresh one-epoch
+    // table, and the NEXT compact's swap would delete the real seen set
+    // under `_prev`, after which the bloom front re-admits every crawled
+    // url. Same discipline for the epoch's own read.
+    implicit val sqlCtx = spark.sqlContext
+    val crawledPath = java.nio.file.Files
+      .createTempDirectory("frontier_window").toString + "/crawled"
+    crawled.write.mode("overwrite").parquet(crawledPath)
+    val live = new java.io.File(crawledPath)
+    val prev = new java.io.File(crawledPath + "_prev")
+    def strand(): Unit =
+      assert(live.renameTo(prev) && !live.exists(), "could not strand")
+    strand()
+    FrontierStream.snapshotAdmitted(spark,
+      Seq(("http://a.com/q1", "a.com")).toDF("url", "dst_host"),
+      crawledPath)
+    assert(!prev.exists(), "snapshot stranded the seen set under _prev")
+    assert(spark.read.parquet(crawledPath).collect()
+      .map(_.getString(0)).toSet ==
+      Set("http://a.com/seen", "http://a.com/q1"),
+      "snapshot append lost the pre-crash seen set")
+    // an epoch run through a re-created window still rejects BOTH the
+    // pre-crash url (/seen) and the snapshot-drained one (/q1)
+    strand()
+    val input = MemoryStream[(Long, String, String)]
+    val name = s"frontier_window_${System.nanoTime()}"
+    val q = FrontierStream.admittedStreamBloom(
+        input.toDF().toDF("doc", "page_url", "html"), "html", "page_url",
+        crawledPath, fpp = 0.5)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    input.addData(Seq((1L, "http://a.com/1",
+      """<body><a href="/p1">n</a> <a href="/q1">s</a> <a href="/seen">s</a></body>""")))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table(name).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("http://a.com/p1", "a.com")))
+    assert(!prev.exists(), "epoch read left the window unhealed")
+  }
 }
