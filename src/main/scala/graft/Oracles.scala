@@ -3949,6 +3949,10 @@ object Oracles {
         |FROM mstat""".stripMargin,
 
     "cv_video_png" -> videoPupilsSql,
+    // MJPEG-in-AVI: REAL lossy codec, same closed-form raster truth —
+    // the 32/224-vs-128 binarization margin dominates max-quality JPEG
+    // error, so the dark mask is bit-identical (AviCodecSpec pins it)
+    "cv_video_avi" -> videoPupilsSql,
 
     // gradient-CoM replay: weights are the integer gray-level differences
     // across the anti-aliased boundary column, den = (m−32)+(224−m) = 192

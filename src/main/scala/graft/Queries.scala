@@ -3224,6 +3224,7 @@ object Queries {
       "cv_video_pupils" -> media("video") _,
       "a9_frame_luminance" -> media("video") _,
       "cv_video_png" -> media("video_png") _,
+      "cv_video_avi" -> media("video_avi") _,
       "mm_video_resize" -> media("video_png") _,
       "cv_subpixel_edge" -> media("edge") _,
       "mm_frame_sample" -> media("video_long") _,
@@ -3496,6 +3497,28 @@ object Queries {
     * ([[graft.multimodal.MultimodalOps.decodePngVideo]]) — the video path
     * exercising an actual image codec end-to-end. PNG is lossless, so
     * the oracle replay is identical to the raw-gray arm. */
+  /** S1 video batch scan over a REAL container with a REAL lossy codec:
+    * the same planted drifting-pupil geometry, muxed as MJPEG-in-AVI
+    * ([[graft.multimodal.AviCodec]]) — RIFF walk + per-frame JDK JPEG
+    * decode, the container class the reference's mp4 scans ingest
+    * (pupil_detection_pl.py:94-112, marker_detection.py:98-117). The
+    * closed-form oracle survives the LOSSY codec because the planted
+    * 32/224 levels leave 96 gray levels of binarization margin —
+    * orders above max-quality grayscale JPEG error — so the dark mask
+    * (and every moment over it) is bit-identical to the planted raster
+    * (AviCodecSpec pins the claim per pixel). */
+  def cvVideoAvi(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{VisionFixtures, VisionOps}
+    val media = VisionFixtures.plantMedia(
+      Tables.documents(s, dir), "doc_id", "video_avi")
+    VisionOps.detectPupilsVideo(media).select(
+      col("media_id"), col("frame_index"), col("n_dark"),
+      (round(col("center_x"), 6) + 0.0).as("center_x"),
+      (round(col("center_y"), 6) + 0.0).as("center_y"),
+      (round(col("axis_major"), 6) + 0.0).as("axis_major"),
+      (round(col("axis_minor"), 6) + 0.0).as("axis_minor"))
+  }
+
   def cvVideoPng(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.{VisionFixtures, VisionOps}
     val media = VisionFixtures.plantMedia(

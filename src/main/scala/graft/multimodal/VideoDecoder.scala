@@ -102,6 +102,27 @@ object VideoDecoder {
     }
   }
 
+  /** RIFF/AVI — the REAL-container member of the chain
+    * ([[AviCodec]]): MJPG payloads decode through the JDK's actual
+    * lossy JPEG codec (the container class the reference's mp4 scans
+    * ingest, pupil_detection_pl.py:94-112); uncompressed DIB payloads
+    * (8-bit palettized / 24-bit BGR) round-trip integers exactly, so
+    * the closed-form raster oracles hold through a real container
+    * walk. */
+  object Avi extends VideoDecoder {
+    def frames(bytes: Array[Byte]): Option[Iterator[Gray]] =
+      AviCodec.decode(bytes).map(_.iterator)
+
+    /** The movi chunk walk validates every frame's framing but runs the
+      * codec only on sampled frames — MJPEG is all-keyframe, so any
+      * stride is seekable. */
+    override def framesStrided(bytes: Array[Byte],
+                               stride: Int): Option[Iterator[(Int, Gray)]] = {
+      require(stride >= 1, s"stride must be >= 1, got $stride")
+      AviCodec.decodeStrided(bytes, stride)
+    }
+  }
+
   /** First-match dispatch over a decoder list — prepend an FFI decoder
     * to the defaults to add a container without touching the kernels. */
   final case class Chain(decoders: Seq[VideoDecoder]) extends VideoDecoder {
@@ -125,7 +146,8 @@ object VideoDecoder {
     }
   }
 
-  /** The shipped dispatch: GRVD (cheap 4-byte sniff) then GPNV — the
-    * order `VisionOps.videoFrames` has always used. */
-  val default: VideoDecoder = Chain(Seq(Grvd, Gpnv))
+  /** The shipped dispatch: GRVD (cheap 4-byte sniff), then GPNV, then
+    * the real RIFF/AVI container (12-byte sniff) — existing blobs
+    * dispatch exactly as before; AVI blobs decode for real. */
+  val default: VideoDecoder = Chain(Seq(Grvd, Gpnv, Avi))
 }

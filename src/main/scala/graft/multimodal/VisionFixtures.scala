@@ -262,6 +262,45 @@ object VisionFixtures {
     MultimodalOps.encodeRawVideo(48, 48, frames)
   }
 
+  /** The drifting-pupil planes of [[videoParams]] (the [[renderVideo]]
+    * raster, verbatim) — shared by the container muxers below. */
+  private def videoPlanes(id: Long): (Int, Seq[Array[Byte]]) = {
+    val (nf, cx0, cy0, a, b) = videoParams(id)
+    (nf, (0 until nf).map { f =>
+      val cx = cx0 + f; val cy = cy0 + f
+      Array.tabulate(48 * 48) { i =>
+        val x = i % 48; val y = i / 48
+        val tx = (x - cx).toDouble / a
+        val ty = (y - cy).toDouble / b
+        (if (tx * tx + ty * ty <= 1.0) Dark else Light).toByte
+      }
+    })
+  }
+
+  /** MJPEG-in-AVI video: the [[renderVideo]] drifting-pupil geometry,
+    * every frame REAL-JPEG-encoded (grayscale, max quality) and muxed
+    * into a spec-valid RIFF/AVI — the real-container tier
+    * (marker_detection.py:98-117's mp4 scan, restated in the one real
+    * video container the JDK can decode end-to-end). The closed-form
+    * raster oracle survives the LOSSY codec because the binarization
+    * margin dominates the JPEG error: planted levels 32/224 vs
+    * threshold 128 leave 96 gray levels of headroom, two orders above
+    * max-quality single-component JPEG error — so the dark MASK (and
+    * with it every moment statistic) is bit-identical to the planted
+    * raster. AviCodecSpec pins that mask-exactness claim per pixel. */
+  def renderVideoAvi(id: Long): Array[Byte] = {
+    val (_, planes) = videoPlanes(id)
+    AviCodec.encode(48, 48,
+      planes.map(p => AviCodec.jpegGray(48, 48, p)), "MJPG")
+  }
+
+  /** Uncompressed-DIB-in-AVI video: same geometry through the same real
+    * container walk with exact integer pixels (8-bit gray palette). */
+  def renderVideoAviDib(id: Long): Array[Byte] = {
+    val (_, planes) = videoPlanes(id)
+    AviCodec.encodeDibGray(48, 48, planes)
+  }
+
   /** Plant a media table (media_id, bytes, meta) from any id column:
     * one real PNG per row. `kind` ∈ pupil | checkerboard | circles. */
   /** The per-kind renderer: id → (bytes, format, width, height, n_frames). */
@@ -292,6 +331,12 @@ object VisionFixtures {
       case "video_png" => id =>
         val nf = videoParams(id)._1
         (renderVideoPng(id), "video/x-graft-png", 48, 48, nf)
+      case "video_avi" => id =>
+        val nf = videoParams(id)._1
+        (renderVideoAvi(id), "video/avi", 48, 48, nf)
+      case "video_avi_dib" => id =>
+        val nf = videoParams(id)._1
+        (renderVideoAviDib(id), "video/avi", 48, 48, nf)
       case "video_long" => id =>
         val nf = videoLongParams(id)._1
         (renderVideoLongPng(id), "video/x-graft-png", 48, 48, nf)

@@ -45,12 +45,32 @@ class VideoDecoderFuzzSpec extends SparkSpec {
     }
   }
 
+  private val aviBlob = VisionFixtures.renderVideoAvi(2L)    // MJPG, nf=4
+  private val aviDibBlob = VisionFixtures.renderVideoAviDib(2L)
+
   test("every truncation prefix of both containers decodes to None or a valid prefix") {
     for (blob <- Seq(grvdBlob, gpnvBlob); n <- 0 until blob.length)
       decodeSane(blob.take(n), s"truncate($n)")
+    // AVI blobs are larger — sample prefixes densely through the headers
+    // and sparsely through frame data
+    for (blob <- Seq(aviBlob, aviDibBlob);
+         n <- (0 until 300) ++ (300 until blob.length by 37))
+      decodeSane(blob.take(n), s"avi truncate($n)")
     // and the intact blobs still decode fully (the fuzz isn't vacuous)
     assert(VideoDecoder.default.frames(grvdBlob).get.length == 3)
     assert(VideoDecoder.default.frames(gpnvBlob).get.length == 2)
+    assert(VideoDecoder.default.frames(aviBlob).get.length == 4)
+    assert(VideoDecoder.default.frames(aviDibBlob).get.length == 4)
+  }
+
+  test("random byte flips across the whole AVI container never throw (seeded)") {
+    val rng = new scala.util.Random(53)
+    for (blob <- Seq(aviBlob, aviDibBlob); _ <- 0 until 300) {
+      val b = blob.clone()
+      val i = rng.nextInt(b.length)
+      b(i) = (b(i) ^ (1 << rng.nextInt(8))).toByte
+      decodeSane(b, s"avi flip@$i")
+    }
   }
 
   test("corrupt header fields: zero/negative/overflowing dims and counts never throw") {
