@@ -1976,6 +1976,126 @@ object Oracles {
         |SELECT session, n_gaze, true AS planted_ok FROM g
         |WHERE ncl >= 4""".stripMargin,
 
+    // Session QC report: every closed-form fact replayed exactly from
+    // the planted construction (counts, kept fractions, EXACT confidence
+    // deciles via quantile_cont — the same (n-1)p linear interpolation
+    // Spark's percentile uses — coverage, cal/error point counts, the
+    // status cascade incl. the three planted failures s7/s13/s3);
+    // TPS-dependent error stats as analytic bounds, TRUE wherever the
+    // error step ran (planted jitter => ~0.06 deg). Kept-threshold
+    // arithmetic is exact: conf = x/100 + 0.5 hits 0.75/0.6/0.7 only at
+    // x = 25/10/20, and both engines compute the identical doubles.
+    "qc_session_report" ->
+      """WITH e AS (SELECT 's' || (user_id % 20) AS session,
+        |    user_id % 20 AS sn, event_id % 25 AS cl,
+        |    (event_id * 13) % 46 AS xl, (event_id * 7) % 46 AS xr
+        |  FROM events),
+        |sess AS (SELECT DISTINCT session, sn FROM e),
+        |mk AS (SELECT session, cl, count(*) AS n FROM e
+        |  WHERE sn <> 13 GROUP BY 1, 2),
+        |ms AS (SELECT session, sum(n) AS n_markers_raw,
+        |    sum(CASE WHEN n >= 3 THEN n ELSE 0 END) AS n_markers_filtered,
+        |    count(*) AS n_clusters, min(n) AS cov_min, max(n) AS cov_max
+        |  FROM mk GROUP BY 1),
+        |pl AS (SELECT session, cl, xl AS x, xl / 100.0e0 + 5.0e-1 AS conf
+        |  FROM e WHERE sn <> 7),
+        |pr AS (SELECT session, cl, xr AS x, xr / 100.0e0 + 5.0e-1 AS conf
+        |  FROM e WHERE sn <> 7 AND sn <> 3),
+        |psl AS (SELECT session, count(*) AS n_pupils,
+        |    round(avg(CASE WHEN conf > 7.0e-1 THEN 1.0e0 ELSE 0.0e0 END), 6)
+        |      + 0.0e0 AS pct_kept,
+        |    list_transform(quantile_cont(conf, [0.0e0, 1.0e-1, 2.0e-1,
+        |      3.0e-1, 4.0e-1, 5.0e-1, 6.0e-1, 7.0e-1, 8.0e-1, 9.0e-1,
+        |      1.0e0]), v -> round(v, 6) + 0.0e0) AS conf_deciles
+        |  FROM pl GROUP BY 1),
+        |psr AS (SELECT session, count(*) AS n_pupils,
+        |    round(avg(CASE WHEN conf > 7.0e-1 THEN 1.0e0 ELSE 0.0e0 END), 6)
+        |      + 0.0e0 AS pct_kept,
+        |    list_transform(quantile_cont(conf, [0.0e0, 1.0e-1, 2.0e-1,
+        |      3.0e-1, 4.0e-1, 5.0e-1, 6.0e-1, 7.0e-1, 8.0e-1, 9.0e-1,
+        |      1.0e0]), v -> round(v, 6) + 0.0e0) AS conf_deciles
+        |  FROM pr GROUP BY 1),
+        |cpl AS (SELECT session, count(DISTINCT cl) AS n_cal FROM e
+        |  WHERE sn <> 7 AND sn <> 13 AND xl > 25 GROUP BY 1),
+        |cpr AS (SELECT session, count(DISTINCT cl) AS n_cal FROM e
+        |  WHERE sn <> 7 AND sn <> 3 AND sn <> 13 AND xr > 25 GROUP BY 1),
+        |epl AS (SELECT session, count(DISTINCT cl) AS nep FROM e
+        |  WHERE sn <> 7 AND sn <> 13 AND xl > 10 GROUP BY 1),
+        |epr AS (SELECT session, count(DISTINCT cl) AS nep FROM e
+        |  WHERE sn <> 7 AND sn <> 3 AND sn <> 13 AND xr > 10 GROUP BY 1)
+        |SELECT s.session,
+        |  CASE WHEN s.sn = 13 THEN 'failed' ELSE 'ok' END AS status_markers,
+        |  COALESCE(ms.n_markers_raw, 0)::BIGINT AS n_markers_raw,
+        |  COALESCE(ms.n_markers_filtered, 0)::BIGINT AS n_markers_filtered,
+        |  COALESCE(ms.n_clusters, 0)::BIGINT AS n_clusters,
+        |  COALESCE(ms.cov_min, 0)::BIGINT AS cov_min,
+        |  COALESCE(ms.cov_max, 0)::BIGINT AS cov_max,
+        |  CASE WHEN s.sn = 7 THEN 'failed' ELSE 'ok' END AS status_pupil_l,
+        |  COALESCE(psl.n_pupils, 0)::BIGINT AS n_pupils_l,
+        |  COALESCE(psl.pct_kept, 0.0e0) AS pct_kept_l,
+        |  COALESCE(psl.conf_deciles, []::DOUBLE[]) AS conf_deciles_l,
+        |  CASE WHEN s.sn IN (7, 13) THEN 'not run'
+        |    WHEN COALESCE(cpl.n_cal, 0) >= 4 THEN 'ok'
+        |    ELSE 'failed' END AS status_calibration_l,
+        |  CASE WHEN s.sn = 13 THEN 0
+        |    ELSE COALESCE(cpl.n_cal, 0) END::BIGINT AS n_cal_points_l,
+        |  CASE WHEN s.sn IN (7, 13) OR COALESCE(cpl.n_cal, 0) < 4
+        |    THEN 'not run' ELSE 'ok' END AS status_gaze_l,
+        |  CASE WHEN s.sn NOT IN (7, 13) AND COALESCE(cpl.n_cal, 0) >= 4
+        |    THEN psl.n_pupils ELSE 0 END::BIGINT AS n_gaze_l,
+        |  (s.sn NOT IN (7, 13) AND COALESCE(cpl.n_cal, 0) >= 4)
+        |    AS planted_ok_l,
+        |  CASE WHEN s.sn IN (7, 13) OR COALESCE(cpl.n_cal, 0) < 4
+        |      THEN 'not run'
+        |    WHEN COALESCE(epl.nep, 0) >= 4 THEN 'ok'
+        |    ELSE 'failed' END AS status_error_l,
+        |  CASE WHEN s.sn NOT IN (7, 13) AND COALESCE(cpl.n_cal, 0) >= 4
+        |      AND COALESCE(epl.nep, 0) >= 4
+        |    THEN epl.nep ELSE 0 END::BIGINT AS n_error_points_l,
+        |  (s.sn NOT IN (7, 13) AND COALESCE(cpl.n_cal, 0) >= 4
+        |    AND COALESCE(epl.nep, 0) >= 4) AS err_median_ok_l,
+        |  (s.sn NOT IN (7, 13) AND COALESCE(cpl.n_cal, 0) >= 4
+        |    AND COALESCE(epl.nep, 0) >= 4) AS err_weighted_ok_l,
+        |  (s.sn NOT IN (7, 13) AND COALESCE(cpl.n_cal, 0) >= 4
+        |    AND COALESCE(epl.nep, 0) >= 4) AS excl_frac_ok_l,
+        |  CASE WHEN s.sn IN (7, 3) THEN 'failed' ELSE 'ok' END
+        |    AS status_pupil_r,
+        |  COALESCE(psr.n_pupils, 0)::BIGINT AS n_pupils_r,
+        |  COALESCE(psr.pct_kept, 0.0e0) AS pct_kept_r,
+        |  COALESCE(psr.conf_deciles, []::DOUBLE[]) AS conf_deciles_r,
+        |  CASE WHEN s.sn IN (7, 3, 13) THEN 'not run'
+        |    WHEN COALESCE(cpr.n_cal, 0) >= 4 THEN 'ok'
+        |    ELSE 'failed' END AS status_calibration_r,
+        |  CASE WHEN s.sn = 13 THEN 0
+        |    ELSE COALESCE(cpr.n_cal, 0) END::BIGINT AS n_cal_points_r,
+        |  CASE WHEN s.sn IN (7, 3, 13) OR COALESCE(cpr.n_cal, 0) < 4
+        |    THEN 'not run' ELSE 'ok' END AS status_gaze_r,
+        |  CASE WHEN s.sn NOT IN (7, 3, 13) AND COALESCE(cpr.n_cal, 0) >= 4
+        |    THEN psr.n_pupils ELSE 0 END::BIGINT AS n_gaze_r,
+        |  (s.sn NOT IN (7, 3, 13) AND COALESCE(cpr.n_cal, 0) >= 4)
+        |    AS planted_ok_r,
+        |  CASE WHEN s.sn IN (7, 3, 13) OR COALESCE(cpr.n_cal, 0) < 4
+        |      THEN 'not run'
+        |    WHEN COALESCE(epr.nep, 0) >= 4 THEN 'ok'
+        |    ELSE 'failed' END AS status_error_r,
+        |  CASE WHEN s.sn NOT IN (7, 3, 13) AND COALESCE(cpr.n_cal, 0) >= 4
+        |      AND COALESCE(epr.nep, 0) >= 4
+        |    THEN epr.nep ELSE 0 END::BIGINT AS n_error_points_r,
+        |  (s.sn NOT IN (7, 3, 13) AND COALESCE(cpr.n_cal, 0) >= 4
+        |    AND COALESCE(epr.nep, 0) >= 4) AS err_median_ok_r,
+        |  (s.sn NOT IN (7, 3, 13) AND COALESCE(cpr.n_cal, 0) >= 4
+        |    AND COALESCE(epr.nep, 0) >= 4) AS err_weighted_ok_r,
+        |  (s.sn NOT IN (7, 3, 13) AND COALESCE(cpr.n_cal, 0) >= 4
+        |    AND COALESCE(epr.nep, 0) >= 4) AS excl_frac_ok_r
+        |FROM sess s
+        |LEFT JOIN ms USING (session)
+        |LEFT JOIN psl USING (session)
+        |LEFT JOIN psr USING (session)
+        |LEFT JOIN cpl USING (session)
+        |LEFT JOIN cpr USING (session)
+        |LEFT JOIN epl USING (session)
+        |LEFT JOIN epr USING (session)""".stripMargin,
+
     "ann_ivf_topk" -> ivfSql,
 
     "ann_pq_topk" -> pqSql,

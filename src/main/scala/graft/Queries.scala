@@ -548,6 +548,165 @@ object Queries {
           .as("planted_ok"))
   }
 
+  /** SESSION QC REPORT — the data products behind `plot_session_qc`
+    * (visualization.py:804-1147: per-step status panels, per-eye pupil-
+    * confidence histogram + %-kept, marker coverage, calibration, and
+    * the per-eye 'Err: med, wt' panel), as ONE row per session over the
+    * whole session corpus — the summary a user runs after every
+    * pipeline sweep.
+    *
+    * Planted construction: the m9 affine-inverse geometry per eye
+    * (eye R mirrors the jitter, rides t+0.004) with VARIED per-row
+    * confidence (0.50..0.95 in exact 0.01 steps from event_id), over
+    * sessions `user_id % 20`, with three planted per-step failures the
+    * status cascade must report (the whole point of the QC plot):
+    * s7 = no pupils at all, s13 = no markers, s3 = right eye dead.
+    *
+    * Status semantics are the reference's `check_status`/`check_failed`
+    * (empty product = failed; downstream of a failure = not run).
+    * Closed-form-replayable facts are emitted EXACTLY (counts, kept
+    * fractions, exact confidence deciles, per-epoch coverage,
+    * calibration/error point counts — all integer/step arithmetic the
+    * oracle replays from `events`); TPS-dependent error statistics are
+    * emitted as ANALYTIC BOUNDS (the m9 oracle discipline): median
+    * error < 0.5°, weighted error < 1° (planted jitter maps to ~0.06°),
+    * excluded fraction < 0.9 (boundary-node histogram cells fall
+    * outside the anchor hull by construction, so the exclusion
+    * machinery is exercised, not vacuous). The per-session error
+    * summaries come from the DISTRIBUTED [[graft.model.ErrorMap
+    * .summaryBySession]] (cogroup per session — no driver loop), with
+    * `outlierStds = None` so error-row presence is the closed-form
+    * `kept-clusters ≥ 4` condition the oracle can state. */
+  def qcSessionReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.{Calibrator, ErrorMap, SessionCalibrator}
+    val base = m9Base(s, dir, concat(lit("s"), col("user_id") % 20))
+      .withColumn("sn", expr("cast(substring(session, 2) as int)"))
+    val markers = m9Markers(base.filter(col("sn") =!= 13))
+    def eyeStream(conf: Column, jitSign: Int, dt: Double,
+                  drop: Column): DataFrame =
+      base.filter(!drop).select(
+        col("session"),
+        (col("event_id").cast("double") + dt).as("timestamp"),
+        (((col("mx") - 0.05) * 0.9 - (col("my") - 0.03) * 0.1 / 0.9) / 0.8
+          + col("jit") * jitSign).as("norm_x"),
+        ((col("my") - 0.03) / 0.9 - col("jit") * jitSign).as("norm_y"),
+        conf.as("confidence"))
+    val confL = (col("event_id") * 13 % 46).cast("double") / 100.0 + 0.5
+    val confR = (col("event_id") * 7 % 46).cast("double") / 100.0 + 0.5
+    val pupL = eyeStream(confL, 1, 0.002, col("sn") === 7)
+    val pupR = eyeStream(confR, -1, 0.004, col("sn") === 7 || col("sn") === 3)
+    val sessions = base.select(col("session")).distinct()
+
+    // marker coverage per epoch (cluster): raw count, epoch-gated
+    // "filtered" count (clusters with >= 3 detections — the find_epochs
+    // too-few-in-epoch gate), cluster count, min/max per-epoch coverage
+    val perCluster = markers.groupBy("session", "marker_cluster_index")
+      .agg(count(lit(1)).as("n"))
+    val mStats = perCluster.groupBy("session").agg(
+      sum(col("n")).as("n_markers_raw"),
+      sum(when(col("n") >= 3, col("n")).otherwise(0L))
+        .as("n_markers_filtered"),
+      count(lit(1)).as("n_clusters"),
+      min(col("n")).as("cov_min"), max(col("n")).as("cov_max"))
+
+    val decilePs = (0 to 10).map(_ / 10.0).mkString("array(", "D, ", "D)")
+    def pupilStats(pup: DataFrame, sfx: String): DataFrame =
+      pup.groupBy("session").agg(
+          count(lit(1)).as(s"n_pupils_$sfx"),
+          (round(avg(when(col("confidence") > 0.7, 1.0).otherwise(0.0)), 6)
+            + 0.0).as(s"pct_kept_$sfx"),
+          expr(s"percentile(confidence, $decilePs)").as("_dec"))
+        .select(col("session"), col(s"n_pupils_$sfx"),
+          col(s"pct_kept_$sfx"),
+          transform(col("_dec"), v => round(v, 6) + 0.0)
+            .as(s"conf_deciles_$sfx"))
+
+    val calCfg = Calibrator.Config()
+    def eyeChain(pup: DataFrame, sfx: String): DataFrame = {
+      val reduced = CacheRegistry.persistTracked(
+        SessionCalibrator.reducedPoints(markers, pup, "session",
+          1.0 / 60.0, calCfg.minConfidence))
+      val calPts = reduced.groupBy("session")
+        .agg(count(lit(1)).as(s"n_cal_points_$sfx"))
+      val models = CacheRegistry.persistTracked(
+        SessionCalibrator.fitModels(s, reduced, "session", calCfg))
+      val gaze = CacheRegistry.persistTracked(
+        SessionCalibrator.transform(pup, models, "session"))
+      val (ax, ay) = m9Affine(col("px"), col("py"))
+      val gStats = gaze
+        .join(pup.select(col("session"), col("timestamp"),
+          col("norm_x").as("px"), col("norm_y").as("py")),
+          Seq("session", "timestamp"))
+        .groupBy("session").agg(
+          count(lit(1)).as(s"n_gaze_$sfx"),
+          (count(lit(1)) === sum(when(
+            abs(col("gaze_x") - ax) < m9Tol &&
+            abs(col("gaze_y") - ay) < m9Tol, 1L).otherwise(0L)))
+            .as(s"planted_ok_$sfx"))
+      val err = ErrorMap.summaryBySession(markers,
+          gaze.select(col("session"), col("timestamp"),
+            col("gaze_x").as("norm_x"), col("gaze_y").as("norm_y"),
+            col("confidence")),
+          "session",
+          ErrorMap.Config(resolution = (60, 80), outlierStds = None))
+        .select(col("session"),
+          col("n_points").as(s"n_error_points_$sfx"),
+          (col("err_median") < 0.5).as(s"err_median_ok_$sfx"),
+          (col("gaze_err_weighted") < 1.0).as(s"err_weighted_ok_$sfx"),
+          (col("gaze_fraction_excluded") < 0.9).as(s"excl_frac_ok_$sfx"))
+      calPts.join(gStats, Seq("session"), "left")
+        .join(err, Seq("session"), "left")
+    }
+
+    def status(ok: Column, upstreamOk: Column): Column =
+      when(!upstreamOk, "not run").when(ok, "ok").otherwise("failed")
+
+    val joined = sessions
+      .join(mStats, Seq("session"), "left")
+      .join(pupilStats(pupL, "l"), Seq("session"), "left")
+      .join(pupilStats(pupR, "r"), Seq("session"), "left")
+      .join(eyeChain(pupL, "l"), Seq("session"), "left")
+      .join(eyeChain(pupR, "r"), Seq("session"), "left")
+    val mkOk = col("n_markers_raw").isNotNull
+    def eyeCols(sfx: String): Seq[Column] = {
+      val pupOk = col(s"n_pupils_$sfx").isNotNull
+      val calOk = coalesce(col(s"n_cal_points_$sfx"), lit(0L)) >= 4
+      val gazeOk = pupOk && mkOk && calOk
+      val errOk = col(s"n_error_points_$sfx").isNotNull
+      Seq(
+        when(pupOk, "ok").otherwise("failed").as(s"status_pupil_$sfx"),
+        coalesce(col(s"n_pupils_$sfx"), lit(0L)).as(s"n_pupils_$sfx"),
+        coalesce(col(s"pct_kept_$sfx"), lit(0.0)).as(s"pct_kept_$sfx"),
+        coalesce(col(s"conf_deciles_$sfx"), typedLit(Seq.empty[Double]))
+          .as(s"conf_deciles_$sfx"),
+        status(calOk, pupOk && mkOk).as(s"status_calibration_$sfx"),
+        coalesce(col(s"n_cal_points_$sfx"), lit(0L))
+          .as(s"n_cal_points_$sfx"),
+        status(gazeOk, pupOk && mkOk && calOk).as(s"status_gaze_$sfx"),
+        coalesce(col(s"n_gaze_$sfx"), lit(0L)).as(s"n_gaze_$sfx"),
+        coalesce(col(s"planted_ok_$sfx"), lit(false))
+          .as(s"planted_ok_$sfx"),
+        status(errOk, gazeOk).as(s"status_error_$sfx"),
+        coalesce(col(s"n_error_points_$sfx"), lit(0L))
+          .as(s"n_error_points_$sfx"),
+        coalesce(col(s"err_median_ok_$sfx"), lit(false))
+          .as(s"err_median_ok_$sfx"),
+        coalesce(col(s"err_weighted_ok_$sfx"), lit(false))
+          .as(s"err_weighted_ok_$sfx"),
+        coalesce(col(s"excl_frac_ok_$sfx"), lit(false))
+          .as(s"excl_frac_ok_$sfx"))
+    }
+    joined.select((Seq(
+      col("session"),
+      when(mkOk, "ok").otherwise("failed").as("status_markers"),
+      coalesce(col("n_markers_raw"), lit(0L)).as("n_markers_raw"),
+      coalesce(col("n_markers_filtered"), lit(0L)).as("n_markers_filtered"),
+      coalesce(col("n_clusters"), lit(0L)).as("n_clusters"),
+      coalesce(col("cov_min"), lit(0L)).as("cov_min"),
+      coalesce(col("cov_max"), lit(0L)).as("cov_max")) ++
+      eyeCols("l") ++ eyeCols("r")): _*)
+  }
+
   /** Forward affine planted into the EYE1 stream of `m9_binocular`
     * (eye0 reuses [[m9Affine]]): A1(px, py) = (0.7·px + 0.12,
     * 0.85·py + 0.05). */

@@ -160,6 +160,127 @@ object ErrorMap {
     Result(pts, grid, summary)
   }
 
+  /** PER-SESSION weighted-error summaries, distributed — the QC-report
+    * shape of [[compute]] (plot_session_qc's per-eye 'Err: med, wt'
+    * panel, visualization.py:1134-1147, over a whole session corpus).
+    *
+    * [[compute]] is single-session by contract: its outlier stats, TPS
+    * fit, and hull run on the driver, so "one compute per session" is a
+    * driver loop — the anti-pattern at 10⁵ sessions. This form keeps
+    * every step keyed by session: the nearest match and cluster
+    * reduction shuffle once on the session key, and the per-session
+    * model work (outlier cut → TPS LOO-CV fit → hull → weighted
+    * summary) runs inside a COGROUP of the session's reduced points
+    * (≤10² rows) with its OCCUPIED gaze-histogram cells — the vres×hres
+    * grid is never materialized at all, because empty cells contribute
+    * zero to every summary sum (they carry no gaze weight); each
+    * session's fit is pure JVM work on one executor (the
+    * [[SessionCalibrator.fitModels]] discipline).
+    *
+    * Same numbers as [[compute]].summary per session (parity-spec'd to
+    * fp tolerance — anchor order inside the linear solve is the only
+    * difference): `session, n_points, err_median, err_mean,
+    * gaze_err_weighted, gaze_fraction_excluded`. Sessions whose reduced
+    * points number < 4 after the outlier cut (the reference's too-few-
+    * points failure, error_computation.py:149) emit NO row — the
+    * caller's left-join reads the absence as a failed error step, the
+    * check_failed semantics of plot_session_qc. */
+  def summaryBySession(markers: DataFrame, gaze: DataFrame,
+                       sessionCol: String,
+                       cfg: Config = Config()): DataFrame = {
+    val spark = markers.sparkSession
+    import spark.implicits._
+    val ppd = pixelsPerDegree(cfg)
+    val (vres, hres) = cfg.resolution
+    val (iw, ih) = cfg.imageResolution
+    val lambdas = cfg.lambdas
+    val outlierStds = cfg.outlierStds
+    val extrapolate = cfg.extrapolate
+
+    val matched = AsOfJoin.nearest(
+        markers.select(col(sessionCol), col("timestamp"), col("norm_x"),
+          col("norm_y"), col("marker_cluster_index")),
+        gaze.select(col(sessionCol), col("timestamp"),
+          col("norm_x").as("gx"), col("norm_y").as("gy"),
+          col("confidence")),
+        "timestamp", "timestamp", Seq(sessionCol), rightPrefix = "g_")
+      .filter(col("g_confidence") > cfg.minPupilConfidence)
+      .withColumnRenamed("g_gx", "gx").withColumnRenamed("g_gy", "gy")
+    val reduced = matched
+      .groupBy(col(sessionCol), col("marker_cluster_index")).agg(
+        expr("percentile(norm_x, 0.5)").as("mx"),
+        expr("percentile(norm_y, 0.5)").as("my"),
+        expr("percentile(gx, 0.5)").as("gx"),
+        expr("percentile(gy, 0.5)").as("gy"))
+    val exPix = (col("gx") - col("mx")) * iw
+    val eyPix = (col("gy") - col("my")) * ih
+    val pts = reduced
+      .select(col(sessionCol).cast("string"), col("mx"), col("my"),
+        (sqrt(exPix * exPix + eyPix * eyPix) / ppd).as("err_deg"))
+      .as[(String, Double, Double, Double)]
+      .groupByKey(_._1)
+
+    // occupied histogram cells only (the [[compute]] step-7 binning)
+    val cells = gaze
+      .filter(col("norm_x").between(0, 1) && col("norm_y").between(0, 1))
+      .select(col(sessionCol).cast("string"),
+        least(floor(col("norm_x") * hres), lit(hres - 1)).cast("long").as("ix"),
+        least(floor(col("norm_y") * vres), lit(vres - 1)).cast("long").as("iy"))
+      .groupBy(sessionCol, "ix", "iy").agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+
+    pts.cogroup(cells) { (session, ptIt, cellIt) =>
+      // deterministic fit-input order (shuffle-independent), the
+      // SessionCalibrator discipline
+      val rows = ptIt.toArray.sortBy(r => (r._2, r._3, r._4))
+      if (rows.isEmpty) Iterator.empty
+      else {
+        // outlier cut — [[compute]] step 4, session-local
+        val all = rows.map(_._4)
+        val kept = outlierStds match {
+          case Some(k) =>
+            val med = Stats.median(all); val sd = Stats.stdPop(all)
+            rows.filter(r => math.abs(r._4 - med) <= k * sd)
+          case None => rows
+        }
+        if (kept.length < 4) Iterator.empty
+        else {
+          val anchors = kept.map(r => Array(r._2, r._3))
+          val errs = kept.map(_._4)
+          val minErr = errs.min
+          val (bestI, _) = Tps.looSelect(anchors, errs, lambdas,
+            resid => math.sqrt(resid.map(r => r * r).sum / resid.length))
+          val theta = Tps.fit(anchors, errs, lambdas(bestI))
+          // hull membership — the same CCW half-plane rule as
+          // [[hullPredicate]], evaluated in-task
+          val hull = convexHull(anchors)
+          def inHull(x: Double, y: Double): Boolean = extrapolate || (
+            hull.length >= 3 && hull.indices.forall { i =>
+              val a = hull(i); val b = hull((i + 1) % hull.length)
+              (b(0) - a(0)) * (y - a(1)) - (b(1) - a(1)) * (x - a(0)) >= 0
+            })
+          var total = 0L; var inside = 0L; var werr = 0.0
+          cellIt.foreach { case (_, ix, iy, n) =>
+            total += n
+            val x = ix.toDouble / (hres - 1)
+            val y = iy.toDouble / (vres - 1)
+            if (inHull(x, y)) {
+              inside += n
+              werr += n * math.max(Tps.z(x, y, anchors, theta), minErr)
+            }
+          }
+          if (total == 0) Iterator.empty // no gaze in frame: nothing to weight
+          else Iterator((session, kept.length.toLong, Stats.median(errs),
+            Stats.mean(errs),
+            werr / total / (inside.toDouble / total),
+            (total - inside).toDouble / total))
+        }
+      }
+    }.toDF(sessionCol, "n_points", "err_median", "err_mean",
+      "gaze_err_weighted", "gaze_fraction_excluded")
+  }
+
   /** Convex hull of the anchor points (driver-side monotone chain) as a
     * conjunction of half-plane predicates — the declarative stand-in for
     * scipy griddata's convex-hull interpolation domain. */

@@ -75,7 +75,8 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for ((name, df) <- Seq(
         "m9_multisession" -> Queries.multiSessionPipeline(spark, dir),
-        "m9_gaze_pipeline" -> Queries.gazePipeline(spark, dir))) {
+        "m9_gaze_pipeline" -> Queries.gazePipeline(spark, dir),
+        "qc_session_report" -> Queries.qcSessionReport(spark, dir))) {
       val keyless = df.queryExecution.optimizedPlan.collect {
         case w: LWindow if w.partitionSpec.isEmpty => w
       }

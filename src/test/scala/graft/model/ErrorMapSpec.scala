@@ -48,6 +48,58 @@ class ErrorMapSpec extends SparkSpec {
     }
   }
 
+  test("summaryBySession == compute().summary per session (distributed parity)") {
+    // two sessions with DIFFERENT planted offsets: the cogrouped form
+    // must reproduce the single-session driver form's summary for each,
+    // to fp tolerance (anchor order inside the TPS solve is the only
+    // difference between the two paths)
+    val offs = Map("sA" -> 0.01, "sB" -> 0.02)
+    val ms = scala.collection.mutable.ArrayBuffer[(String, Double, Double, Double, Long)]()
+    val gs = scala.collection.mutable.ArrayBuffer[(String, Double, Double, Double, Double)]()
+    for ((sess, off) <- offs) {
+      var t = 0.0; var c = 0L
+      for (i <- 0 until 4; j <- 0 until 4) {
+        val mx = 0.15 + 0.2 * i; val my = 0.15 + 0.2 * j
+        for (_ <- 0 until 5) {
+          ms += ((sess, t, mx, my, c))
+          gs += ((sess, t + 0.001, mx + off, my, 0.95))
+          t += 1.0 / 30.0
+        }
+        c += 1; t += 0.3
+      }
+    }
+    val mdf = ms.toSeq.toDF("session", "timestamp", "norm_x", "norm_y",
+      "marker_cluster_index")
+    val gdf = gs.toSeq.toDF("session", "timestamp", "norm_x", "norm_y",
+      "confidence")
+    val cfg = ErrorMap.Config(resolution = (60, 80))
+    val bySession = ErrorMap.summaryBySession(mdf, gdf, "session", cfg)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(bySession.keySet == offs.keySet)
+    for (sess <- offs.keys) {
+      val single = ErrorMap.compute(
+        mdf.filter(col("session") === sess),
+        gdf.filter(col("session") === sess),
+        cfg.copy(matchKeys = Seq("session"))).summary.collect()(0)
+      val r = bySession(sess)
+      assert(r.getAs[Long]("n_points") ==
+        single.getAs[Int]("n_points").toLong ||
+        r.getAs[Long]("n_points") == single.getAs[Number]("n_points").longValue,
+        s"$sess n_points")
+      for (c <- Seq("err_median", "err_mean", "gaze_err_weighted",
+          "gaze_fraction_excluded")) {
+        val a = r.getAs[Double](c); val b = single.getAs[Double](c)
+        assert(math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b)),
+          s"$sess $c: distributed $a vs single $b")
+      }
+      graft.CacheRegistry.releaseAll()
+    }
+    // the planted offsets actually differ between sessions — the
+    // per-session isolation is load-bearing, not vacuous
+    assert(math.abs(bySession("sB").getAs[Double]("err_median") -
+      2 * bySession("sA").getAs[Double]("err_median")) < 1e-6)
+  }
+
   test("convex hull is correct and masks outside points") {
     val square = Array(Array(0.0, 0.0), Array(1.0, 0.0), Array(1.0, 1.0),
       Array(0.0, 1.0), Array(0.5, 0.5))
