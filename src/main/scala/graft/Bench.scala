@@ -121,6 +121,30 @@ object Bench {
       }
     }.getOrElse(Map.empty)
 
+  /** SAME-BOX CALIBRATION SUBSET (r15 verdict #4): cross-round bench
+    * ratios against a recording made rounds ago just produced a false
+    * regression scare — r15's uniform 1.15-1.33× "slowdown" was box
+    * drift, proven only by a forensic re-bench of unchanged r14 code.
+    * Instead of re-proving that per round, every BENCH invocation
+    * re-times a pinned 10-query subset at a FIXED sf (0.01 — cheap,
+    * SF-independent of the main sweep) and reports
+    * `calibration_ratio` = median(now / ref), where `ref` is the
+    * subset's median-of-3 recording on the r16 box (ratio 1.0 ≡ that
+    * box state). A cross-round comparison divides by the two rounds'
+    * ratios before claiming a regression. The subset spans regimes —
+    * scan+join+agg, window/sessionize, as-of join, pure-JVM fit loops
+    * (bpe, rbf), shuffle-heavy dedup — and none has a fixture stage. */
+  private val calibrationRef: Seq[(String, Double)] = Seq(
+    // per-query median across 3 idle-box r16 CALIBRATION passes (refs
+    // must come from this pass's own regime — the suite path measures
+    // the same queries warmer and under different neighbors)
+    "a7_dbscan" -> 0.641, "bpe_train" -> 6.927,
+    "dedup_minhash_lsh" -> 0.834, "j2_asof_nearest" -> 0.409,
+    "join_agg_revenue" -> 0.586, "m7_rbf_cv" -> 0.807,
+    "o2_union_stats" -> 0.264, "p10_median_detrend" -> 0.286,
+    "text_quality" -> 0.159, "w2_sessionize" -> 0.227)
+  private val calibrationSf = "/root/testdata/sf0.01"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")
@@ -147,6 +171,38 @@ object Bench {
     // dev-only subset filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 (driver runs unset)
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+
+    // same-box calibration pass (skipped in dev-subset smokes and via
+    // SPARK_GRAFT_BENCH_CALIBRATE=0): median-of-3 per pinned query at the
+    // fixed calibration sf, ratio vs the pinned r16-box reference
+    val calibrate = sys.env.get("SPARK_GRAFT_BENCH_CALIBRATE") match {
+      case Some("0") => false
+      case Some(_)   => true // dev: force on even in a subset smoke
+      case None      => only.isEmpty
+    }
+    val calTimes: Seq[(String, Double)] =
+      if (!calibrate) Nil
+      else calibrationRef.map { case (name, _) =>
+        val fn = SparkEntry.queries(name)
+        val ts = Seq.fill(3) {
+          val t0 = System.nanoTime()
+          val ok = try {
+            fn(spark, calibrationSf).write.mode("overwrite")
+              .format("noop").save(); true
+          } catch { case _: Throwable => false }
+          CacheRegistry.releaseAll()
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(1))
+      }
+    val calRatio: Double =
+      if (calTimes.isEmpty) -1.0
+      else {
+        val rs = calTimes.flatMap { case (n, t) =>
+          calibrationRef.toMap.get(n).filter(_ => t >= 0).map(t / _)
+        }.sorted
+        if (rs.isEmpty) -1.0 else rs((rs.length - 1) / 2)
+      }
     def timeOne(name: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -224,8 +280,10 @@ object Bench {
         "\"" + k + "\":" + math.max(0.0, engineOf(v, fxNow, k))
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val cal = calTimes.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     // queries first, totals last: the driver's tail capture keeps the end
-    val line = s"""{"queries":$qs,"fixtures":$fx,"engines":$eng,"sf":"$sfDir","runs":$runs,"metric":"total","unit":"sec","value":$total}"""
+    val line = s"""{"queries":$qs,"fixtures":$fx,"engines":$eng,"calibration":$cal,"calibration_sf":"$calibrationSf","calibration_ratio":$calRatio,"sf":"$sfDir","runs":$runs,"metric":"total","unit":"sec","value":$total}"""
     // SPARK_GRAFT_BENCH_TRACK=0: dev smokes (small sf, runs=1) must not
     // clobber the round's recorded full-fidelity bench file
     val track = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRACK", "1") != "0"
@@ -255,6 +313,7 @@ object Bench {
     }
     val compact = head + entries.mkString(",") +
       "},\"queries_omitted\":" + (results.size - entries.size) +
+      ",\"calibration_ratio\":" + calRatio +
       ",\"metric\":\"total\",\"unit\":\"sec\",\"value\":" + total + "}"
     println(compact)
     spark.stop()

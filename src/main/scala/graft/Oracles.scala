@@ -1976,6 +1976,16 @@ object Oracles {
         |SELECT session, n_gaze, true AS planted_ok FROM g
         |WHERE ncl >= 4""".stripMargin,
 
+    // Streaming gaze mapping: the stream-static broadcast apply must be
+    // bit-identical to the batch apply (same persisted model table, same
+    // TPS expression), across two real micro-batches, with zero state
+    // operators — all analytic constants under the planted construction
+    // (n_gaze = one gaze row per event of the single 'cal' session)
+    "stream_gaze_map" ->
+      """SELECT count(*)::BIGINT AS n_gaze, true AS equal_batch,
+        |  true AS planted_ok, CAST(2 AS BIGINT) AS n_batches,
+        |  true AS stateless_ok FROM events""".stripMargin,
+
     // Session QC report: every closed-form fact replayed exactly from
     // the planted construction (counts, kept fractions, EXACT confidence
     // deciles via quantile_cont — the same (n-1)p linear interpolation

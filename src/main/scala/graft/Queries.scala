@@ -520,6 +520,71 @@ object Queries {
         (col("gaze_err_weighted") < 1.0).as("err_weighted_ok")))
   }
 
+  /** STREAMING gaze mapping — the calibration.py:635-673 lifecycle as a
+    * stream (r15 verdict #3): the model is FITTED IN BATCH from the
+    * calibration slice (the reference persists `map_params` and replays
+    * it over the session), then pupils arrive as a `readStream` and the
+    * broadcast model table maps each micro-batch append-mode — the
+    * model-apply analogue of the LmStream score-at-ingest shape. The
+    * mapping join is STATELESS (stream–static broadcast join + the
+    * data-driven TPS columns): no state store rows, no watermark, so a
+    * 100 TB/day pupil firehose maps with per-batch cost only.
+    *
+    * Attestation (the analytic m9 discipline): the planted construction
+    * streams through TWO real micro-batches (two range-split parquet
+    * files, maxFilesPerTrigger = 1) and the drained gaze must be
+    * BIT-IDENTICAL to the batch [[gazePipeline]] apply over the same
+    * pupils (same persisted model table, same expression — streaming
+    * must not change a single ULP), every row within [[m9Tol]] of the
+    * planted forward affine, with zero stateOperators in the progress
+    * log. */
+  def streamGazeMap(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.SessionCalibrator
+    val base = m9Base(s, dir, lit("cal"))
+    val markers = m9Markers(base)
+    val pupils = m9Pupils(base)
+    val reduced = SessionCalibrator.reducedPoints(markers, pupils,
+      "session", 1.0 / 60.0, graft.model.Calibrator.Config().minConfidence)
+    val models = CacheRegistry.persistTracked(
+      SessionCalibrator.fitModels(s, reduced, "session"))
+    val batchGaze = SessionCalibrator.transform(pupils, models, "session")
+    // two real micro-batches: two range-split files, one file per trigger
+    val src = fixtureTmp("graft_gaze_src")
+    pupils.repartitionByRange(2, col("timestamp"))
+      .write.mode("overwrite").parquet(src)
+    val qn = dropStaleDrain(s, "graft_gaze_drain")
+    val stream = s.readStream.option("maxFilesPerTrigger", 1)
+      .schema(pupils.schema).parquet(src)
+    val q = SessionCalibrator.transform(stream, models, "session")
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    val (nBatches, nStateOps) = try {
+      q.processAllAvailable()
+      (q.recentProgress.count(_.numInputRows > 0).toLong,
+        q.recentProgress.map(_.stateOperators.length).max.toLong)
+    } finally q.stop()
+    val streamed = s.table(qn)
+    val (ax, ay) = m9Affine(col("px"), col("py"))
+    streamed.as("a")
+      .join(batchGaze.select(col("session"), col("timestamp"),
+        col("gaze_x").as("bx"), col("gaze_y").as("by")).as("b"),
+        Seq("session", "timestamp"))
+      .join(pupils.select(col("session"), col("timestamp"),
+        col("norm_x").as("px"), col("norm_y").as("py")),
+        Seq("session", "timestamp"))
+      .agg(
+        count(lit(1)).as("n_gaze"),
+        (count(lit(1)) === sum(when(
+          col("gaze_x") === col("bx") && col("gaze_y") === col("by"),
+          1L).otherwise(0L))).as("equal_batch"),
+        (count(lit(1)) === sum(when(
+          abs(col("gaze_x") - ax) < m9Tol &&
+          abs(col("gaze_y") - ay) < m9Tol, 1L).otherwise(0L)))
+          .as("planted_ok"))
+      .withColumn("n_batches", lit(nBatches))
+      .withColumn("stateless_ok", lit(nStateOps == 0L))
+  }
+
   /** Multi-session calibration fan-out over the full session axis
     * (session = user_id mod 100): the same planted construction per
     * session, SessionCalibrator's distributed reduce → flatMapGroups TPS
