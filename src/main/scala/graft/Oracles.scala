@@ -1976,6 +1976,25 @@ object Oracles {
         |SELECT session, n_gaze, true AS planted_ok FROM g
         |WHERE ncl >= 4""".stripMargin,
 
+    // P3 direct: the (timestamp, norm_pos) column subset of the wide
+    // pupil-datum replay — projection-only, exact arithmetic
+    "p3_project_pairs" ->
+      """SELECT event_id AS id, epoch(ts) AS timestamp,
+        |  value / 500.0 AS norm_x, (user_id % 20) / 20.0 AS norm_y
+        |FROM events""".stripMargin,
+
+    // O4 direct: epoch-range filter + tag over the frame column; ranges
+    // are disjoint so the last-match fold is order-free
+    "o4_frame_range" ->
+      """SELECT event_id, value, CASE
+        |    WHEN event_id >= 2500 AND event_id < 2600 THEN 2
+        |    WHEN event_id >= 1000 AND event_id < 1500 THEN 1
+        |    ELSE 0 END AS epoch
+        |FROM events
+        |WHERE (event_id >= 100 AND event_id < 400)
+        |   OR (event_id >= 1000 AND event_id < 1500)
+        |   OR (event_id >= 2500 AND event_id < 2600)""".stripMargin,
+
     // Streaming gaze mapping: the stream-static broadcast apply must be
     // bit-identical to the batch apply (same persisted model table, same
     // TPS expression), across two real micro-batches, with zero state

@@ -77,6 +77,38 @@ object Queries {
       .filter(col("l_quantity") > 45)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
 
+  /** P3 direct (r15 verdict #6): column-subset extraction as its own
+    * named row — the reference pulls key subsets out of its arraydict
+    * products (e.g. ('timestamp', 'norm_pos') from a gaze dict,
+    * marker_parsing.py's data slicing); Spark-first this is `select`
+    * over the wide pupil-datum frame, and Catalyst prunes the unread
+    * columns all the way into the parquet ReadSchema (the s3_scan_prune
+    * plan pin). Previously attested only via composition (j1/j2). */
+  def p3ProjectPairs(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir).select(
+        col("event_id").as("id"), col("t").as("timestamp"),
+        (col("value") / 500.0).as("norm_x"),
+        ((col("user_id") % 20) / 20.0).as("norm_y"),
+        (col("value") / 1000.0).as("confidence"),
+        col("event_type"))
+      .select("id", "timestamp", "norm_x", "norm_y")
+
+  /** O4 direct (r15 verdict #6): frame-range limit over a REAL frame
+    * column — [[graft.pipeline.ManualEpochs.applyEpochs]] filters to the
+    * epoch ranges and tags each surviving row with its epoch index
+    * (split_time → per-epoch scan, pipelines.py:630-649). The range
+    * disjunction reaches the parquet scan filter (PlanAuditSpec's
+    * manual-epochs pin). Previously attested only inside s3_scan_prune. */
+  def o4FrameRange(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.ManualEpochs
+    val epochs = Seq(
+      ManualEpochs.Epoch(0, 100L, 400L),
+      ManualEpochs.Epoch(1, 1000L, 1500L),
+      ManualEpochs.Epoch(2, 2500L, 2600L))
+    ManualEpochs.applyEpochs(
+      ev(s, dir).select(col("event_id"), col("value")), "event_id", epochs)
+  }
+
   // ------------------------------------------------- projections / filters
 
   /** P1: pixel ↔ normalized coords with y-flip
