@@ -4200,6 +4200,31 @@ object Oracles {
         |    + 0.0e0 AS luminance
         |FROM px GROUP BY media_id, frame_index""".stripMargin,
 
+    // the same luminance replay through the REAL RIFF/AVI container
+    // (DIB payloads are exact integers; the strided movi walk seeks
+    // unsampled bodies by chunk length — Queries.mmFrameSampleAvi)
+    "mm_frame_sample_avi" ->
+      """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    8 + CAST(doc_id AS BIGINT) % 5 AS nf,
+        |    16 + CAST(doc_id AS BIGINT) % 9 AS cx0,
+        |    16 + (CAST(doc_id AS BIGINT) * 3) % 9 AS cy0,
+        |    6 + CAST(doc_id AS BIGINT) % 3 AS a,
+        |    3 + CAST(doc_id AS BIGINT) % 2 AS b FROM documents),
+        |fr AS (SELECT media_id, CAST(t.f AS INT) AS frame_index,
+        |    cx0 + t.f AS ecx, cy0 + t.f AS ecy, a, b
+        |  FROM p, range(0, 12) t(f) WHERE t.f < nf AND t.f % 3 = 0),
+        |px AS (SELECT media_id, frame_index,
+        |    CASE WHEN (CAST(gx.x - ecx AS DOUBLE) / a)
+        |             * (CAST(gx.x - ecx AS DOUBLE) / a)
+        |           + (CAST(gy.y - ecy AS DOUBLE) / b)
+        |             * (CAST(gy.y - ecy AS DOUBLE) / b) <= 1.0
+        |      THEN 32 ELSE 224 END AS v
+        |  FROM fr, range(0, 48) gx(x), range(0, 48) gy(y))
+        |SELECT media_id, frame_index,
+        |  round(sum(0.299e0 * v + 0.587e0 * v + 0.114e0 * v) / 2304.0e0, 6)
+        |    + 0.0e0 AS luminance
+        |FROM px GROUP BY media_id, frame_index""".stripMargin,
+
     // VAD segmentation: the gated square wave replayed sample-exact,
     // integer window energies, the same IS-DISTINCT-FROM break rule and
     // cumsum segment ids, active runs renumbered by start window

@@ -3481,6 +3481,7 @@ object Queries {
       "a9_frame_luminance" -> media("video") _,
       "cv_video_png" -> media("video_png") _,
       "cv_video_avi" -> media("video_avi") _,
+      "mm_frame_sample_avi" -> media("video_avi_dib_long") _,
       "mm_video_resize" -> media("video_png") _,
       "cv_subpixel_edge" -> media("edge") _,
       "mm_frame_sample" -> media("video_long") _,
@@ -3824,6 +3825,22 @@ object Queries {
     import graft.multimodal.{MultimodalOps, VisionFixtures}
     val media = VisionFixtures.plantMedia(
       Tables.documents(s, dir), "doc_id", "video_long")
+    MultimodalOps.sampleFramesLuminance(media, stride = 3).select(
+      col("media_id"), col("frame_index"),
+      (round(col("luminance"), 6) + 0.0).as("luminance"))
+  }
+
+  /** [[mmFrameSample]] through the REAL RIFF/AVI container: same
+    * stride-3 decode-skip sampling, but the walk that seeks past
+    * unsampled bodies is [[graft.multimodal.AviCodec]]'s movi chunk
+    * walk (validate every chunk header, decode only sampled frames) —
+    * the decode-cut scale property attested on a container real files
+    * actually use. DIB payloads keep the pixels exact integers, so the
+    * oracle is the `mm_frame_sample` luminance replay VERBATIM. */
+  def mmFrameSampleAvi(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{MultimodalOps, VisionFixtures}
+    val media = VisionFixtures.plantMedia(
+      Tables.documents(s, dir), "doc_id", "video_avi_dib_long")
     MultimodalOps.sampleFramesLuminance(media, stride = 3).select(
       col("media_id"), col("frame_index"),
       (round(col("luminance"), 6) + 0.0).as("luminance"))

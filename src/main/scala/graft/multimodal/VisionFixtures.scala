@@ -301,6 +301,25 @@ object VisionFixtures {
     AviCodec.encodeDibGray(48, 48, planes)
   }
 
+  /** LONG DIB-in-AVI video ([[videoLongParams]] geometry, 8-12 frames):
+    * the strided-sampling fixture for the real container — the movi
+    * chunk walk must SEEK past unsampled frame bodies by their chunk
+    * lengths, and the exact integer pixels keep the luminance replay
+    * oracle unchanged from the GPNV form. */
+  def renderVideoAviDibLong(id: Long): Array[Byte] = {
+    val (nf, cx0, cy0, a, b) = videoLongParams(id)
+    val planes = (0 until nf).map { f =>
+      val cx = cx0 + f; val cy = cy0 + f
+      Array.tabulate(48 * 48) { i =>
+        val x = i % 48; val y = i / 48
+        val tx = (x - cx).toDouble / a
+        val ty = (y - cy).toDouble / b
+        (if (tx * tx + ty * ty <= 1.0) Dark else Light).toByte
+      }
+    }
+    AviCodec.encodeDibGray(48, 48, planes)
+  }
+
   /** Plant a media table (media_id, bytes, meta) from any id column:
     * one real PNG per row. `kind` ∈ pupil | checkerboard | circles. */
   /** The per-kind renderer: id → (bytes, format, width, height, n_frames). */
@@ -337,6 +356,9 @@ object VisionFixtures {
       case "video_avi_dib" => id =>
         val nf = videoParams(id)._1
         (renderVideoAviDib(id), "video/avi", 48, 48, nf)
+      case "video_avi_dib_long" => id =>
+        val nf = videoLongParams(id)._1
+        (renderVideoAviDibLong(id), "video/avi", 48, 48, nf)
       case "video_long" => id =>
         val nf = videoLongParams(id)._1
         (renderVideoLongPng(id), "video/x-graft-png", 48, 48, nf)
