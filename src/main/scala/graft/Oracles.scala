@@ -4102,6 +4102,21 @@ object Oracles {
     // the 32/224-vs-128 binarization margin dominates max-quality JPEG
     // error, so the dark mask is bit-identical (AviCodecSpec pins it)
     "cv_video_avi" -> videoPupilsSql,
+    // JPEG-in-MP4: same real JDK JPEG codec behind the ISO-BMFF sample-
+    // table walk — identical margin argument (Mp4CodecSpec pins it)
+    "cv_video_mp4" -> videoPupilsSql,
+
+    // H.264-shaped mp4 structural tier: track metadata replayed from
+    // the fixture's deterministic parameters (avc1, 48×48, nf samples
+    // at timescale 600 / 20 ticks per frame) — no sample body read
+    "mm_mp4_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  'avc1' AS codec,
+        |  CAST(48 AS INT) AS width, CAST(48 AS INT) AS height,
+        |  CAST(2 + CAST(doc_id AS BIGINT) % 3 AS BIGINT) AS n_samples,
+        |  CAST(600 AS BIGINT) AS timescale,
+        |  CAST((2 + CAST(doc_id AS BIGINT) % 3) * 20 AS BIGINT) AS duration
+        |FROM documents""".stripMargin,
 
     // gradient-CoM replay: weights are the integer gray-level differences
     // across the anti-aliased boundary column, den = (m−32)+(224−m) = 192

@@ -3481,6 +3481,8 @@ object Queries {
       "a9_frame_luminance" -> media("video") _,
       "cv_video_png" -> media("video_png") _,
       "cv_video_avi" -> media("video_avi") _,
+      "cv_video_mp4" -> media("video_mp4") _,
+      "mm_mp4_meta" -> media("video_mp4_avc") _,
       "mm_frame_sample_avi" -> media("video_avi_dib_long") _,
       "mm_video_resize" -> media("video_png") _,
       "cv_subpixel_edge" -> media("edge") _,
@@ -3774,6 +3776,47 @@ object Queries {
       (round(col("center_y"), 6) + 0.0).as("center_y"),
       (round(col("axis_major"), 6) + 0.0).as("axis_major"),
       (round(col("axis_minor"), 6) + 0.0).as("axis_minor"))
+  }
+
+  /** S1 video batch scan over the container the reference ACTUALLY
+    * ingests — ISO-BMFF mp4 (`world.mp4`/`eye0.mp4`,
+    * pupil_detection_pl.py:94-112): the same planted drifting-pupil
+    * geometry, real-JPEG-encoded per frame and muxed as a `jpeg`-coded
+    * video track ([[graft.multimodal.Mp4Codec]]), demuxed by the
+    * `stsc`/`stsz`/`stco` sample-table walk and decoded per sample by
+    * the JDK's actual JPEG codec. The closed-form oracle survives the
+    * lossy codec for the same reason the AVI arm's does: planted levels
+    * 32/224 leave 96 gray levels of binarization margin, orders above
+    * max-quality grayscale JPEG error, so the dark mask (and every
+    * moment over it) is bit-identical to the planted raster
+    * (Mp4CodecSpec pins the claim per pixel). */
+  def cvVideoMp4(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{VisionFixtures, VisionOps}
+    val media = VisionFixtures.plantMedia(
+      Tables.documents(s, dir), "doc_id", "video_mp4")
+    VisionOps.detectPupilsVideo(media).select(
+      col("media_id"), col("frame_index"), col("n_dark"),
+      (round(col("center_x"), 6) + 0.0).as("center_x"),
+      (round(col("center_y"), 6) + 0.0).as("center_y"),
+      (round(col("axis_major"), 6) + 0.0).as("axis_major"),
+      (round(col("axis_minor"), 6) + 0.0).as("axis_minor"))
+  }
+
+  /** S1 STRUCTURAL tier over H.264-shaped mp4
+    * ([[graft.multimodal.MultimodalOps.mp4Meta]]): `avc1` tracks the JVM
+    * cannot decode still yield their full track metadata — codec fourcc,
+    * dimensions, sample count, timescale, duration — from the `moov` box
+    * walk alone, no sample body read. This is the listing pass a 100 TB
+    * mp4 corpus runs BEFORE committing decode CPU, and the honest
+    * boundary of a codec-less JVM (decode defers, metadata does not).
+    * Oracle: the fixture's track parameters replayed from `doc_id`. */
+  def mmMp4Meta(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{MultimodalOps, VisionFixtures}
+    val media = VisionFixtures.plantMedia(
+      Tables.documents(s, dir), "doc_id", "video_mp4_avc")
+    MultimodalOps.mp4Meta(media).select(
+      col("media_id"), col("codec"), col("width"), col("height"),
+      col("n_samples"), col("timescale"), col("duration"))
   }
 
   def cvVideoPng(s: SparkSession, dir: String): DataFrame = {

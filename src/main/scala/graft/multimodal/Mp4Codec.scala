@@ -1,0 +1,340 @@
+package graft.multimodal
+
+import java.nio.ByteBuffer
+
+/** Zero-dependency ISO-BMFF (MP4/QuickTime) demuxer — the container the
+  * reference actually ingests (`world.mp4` / `eye0.mp4`,
+  * pupil_detection_pl.py:94-112, marker_detection.py:98-117).
+  *
+  * Two tiers, split by what the JVM can decode:
+  *
+  *  - '''Full decode''' for JPEG-coded video tracks (`jpeg`/`mjpa`
+  *    sample entries — motion-JPEG-in-MP4, a real QuickTime/camera
+  *    lineage): the box walk resolves every sample's byte range from
+  *    the `stsc`/`stsz`/`stco` tables and each sample decodes through
+  *    the JDK's actual JPEG codec. [[VideoDecoder.Mp4]] rides this.
+  *  - '''Metadata scan''' for ANY codec (including `avc1`/H.264, which
+  *    the JVM cannot decode): track dimensions, sample count, codec
+  *    fourcc, timescale and duration from `stsd`/`stsz`/`mdhd` — the
+  *    S1 structural tier a 100 TB listing pass runs BEFORE committing
+  *    decode CPU (what to decode, how many frames, at what rate), and
+  *    the honest boundary of a codec-less JVM: an H.264 mp4 yields its
+  *    full metadata here and `None` from [[decode]], so the decoder
+  *    chain defers rather than fabricating frames.
+  *
+  * Boxes are big-endian (unlike RIFF); 64-bit `largesize` and `co64`
+  * chunk offsets are handled; unknown boxes are skipped by size. Same
+  * never-throw tolerance contract as [[AviCodec]]: bad magic → not ours
+  * (`None`); BMFF magic but corrupt structure → `None` for the blob.
+  */
+object Mp4Codec {
+
+  private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+  final case class Meta(codec: String, width: Int, height: Int,
+                        nSamples: Long, timescale: Long, duration: Long)
+
+  private def u32(b: Array[Byte], off: Int): Long =
+    if (off < 0 || off + 4 > b.length) -1L
+    else ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def u64(b: Array[Byte], off: Int): Long =
+    if (off < 0 || off + 8 > b.length) -1L
+    else (u32(b, off) << 32) | u32(b, off + 4)
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    if (off < 0 || off + 2 > b.length) -1
+    else ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  private def tag(b: Array[Byte], off: Int): String =
+    if (off < 0 || off + 4 > b.length) ""
+    else new String(b, off, 4, Ascii)
+
+  /** Is this ISO-BMFF at all? (`ftyp` first box, or a bare `moov` — the
+    * spec allows moov-first files). */
+  def sniff(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 &&
+      (tag(bytes, 4) == "ftyp" || tag(bytes, 4) == "moov")
+
+  /** One box at `off`: (type, payloadStart, payloadEnd, nextBoxOff), or
+    * None when the header is malformed/truncated. */
+  private def box(b: Array[Byte], off: Int,
+                  limit: Int): Option[(String, Int, Int, Int)] = {
+    if (off + 8 > limit) return None
+    val sz0 = u32(b, off)
+    val t = tag(b, off + 4)
+    val (payload, size) =
+      if (sz0 == 1L) {
+        val big = u64(b, off + 8)
+        (off + 16, big)
+      } else if (sz0 == 0L) (off + 8, (limit - off).toLong) // to end
+      else (off + 8, sz0)
+    if (size < (payload - off).toLong || off + size > limit) None
+    else Some((t, payload, off + size.toInt, off + size.toInt))
+  }
+
+  /** First child box of `typ` inside [from, to). */
+  private def child(b: Array[Byte], from: Int, to: Int,
+                    typ: String): Option[(Int, Int)] = {
+    var off = from
+    while (off + 8 <= to) {
+      box(b, off, to) match {
+        case Some((t, p, e, n)) =>
+          if (t == typ) return Some((p, e))
+          off = n
+        case None => return None
+      }
+    }
+    None
+  }
+
+  /** All child boxes of `typ` inside [from, to). */
+  private def children(b: Array[Byte], from: Int, to: Int,
+                       typ: String): Seq[(Int, Int)] = {
+    val out = Vector.newBuilder[(Int, Int)]
+    var off = from
+    var ok = true
+    while (ok && off + 8 <= to) {
+      box(b, off, to) match {
+        case Some((t, p, e, n)) =>
+          if (t == typ) out += ((p, e))
+          off = n
+        case None => ok = false
+      }
+    }
+    out.result()
+  }
+
+  /** The video track's sample tables, fully resolved. */
+  private final case class Track(codec: String, width: Int, height: Int,
+                                 timescale: Long, duration: Long,
+                                 samples: Vector[(Long, Long)] /* off,len */)
+
+  private def parseVideoTrack(b: Array[Byte]): Option[Track] = {
+    val (moovP, moovE) = child(b, 0, b.length, "moov").getOrElse(return None)
+    for ((trakP, trakE) <- children(b, moovP, moovE, "trak")) {
+      val r = for {
+        (mdiaP, mdiaE) <- child(b, trakP, trakE, "mdia")
+        (hdlrP, _) <- child(b, mdiaP, mdiaE, "hdlr")
+        if tag(b, hdlrP + 8) == "vide"
+        (mdhdP, _) <- child(b, mdiaP, mdiaE, "mdhd")
+        (minfP, minfE) <- child(b, mdiaP, mdiaE, "minf")
+        (stblP, stblE) <- child(b, minfP, minfE, "stbl")
+        (stsdP, stsdE) <- child(b, stblP, stblE, "stsd")
+        (stszP, _) <- child(b, stblP, stblE, "stsz")
+        (stscP, _) <- child(b, stblP, stblE, "stsc")
+      } yield {
+        // mdhd: v0 timescale@12 duration@16 (u32); v1 @20 (u32) / @24 (u64)
+        val v = b(mdhdP) & 0xff
+        val (tsc, dur) =
+          if (v == 1) (u32(b, mdhdP + 20), u64(b, mdhdP + 24))
+          else (u32(b, mdhdP + 12), u32(b, mdhdP + 16))
+        // stsd: count@4, first entry at +8: size, format, then the
+        // VisualSampleEntry fields — width/height at entry+32/+34
+        if (u32(b, stsdP + 4) < 1) return None
+        val entry = stsdP + 8
+        if (entry + 36 > stsdE) return None
+        val codec = tag(b, entry + 4)
+        val w = u16(b, entry + 32)
+        val h = u16(b, entry + 34)
+        // stsz: sample_size@4 (0 = table), count@8, sizes
+        val fixedSz = u32(b, stszP + 4)
+        val n = u32(b, stszP + 8)
+        if (n < 0 || n > Int.MaxValue) return None
+        val sizes = (0L until n).map { i =>
+          if (fixedSz != 0) fixedSz else u32(b, stszP + 12 + 4 * i.toInt)
+        }
+        if (sizes.exists(_ < 0)) return None
+        // chunk offsets: stco (u32) or co64 (u64)
+        val offsets: Seq[Long] =
+          child(b, stblP, stblE, "stco") match {
+            case Some((p, _)) =>
+              val c = u32(b, p + 4)
+              if (c < 0 || c > Int.MaxValue) return None
+              (0L until c).map(i => u32(b, p + 8 + 4 * i.toInt))
+            case None => child(b, stblP, stblE, "co64") match {
+              case Some((p, _)) =>
+                val c = u32(b, p + 4)
+                if (c < 0 || c > Int.MaxValue) return None
+                (0L until c).map(i => u64(b, p + 8 + 8 * i.toInt))
+              case None => return None
+            }
+          }
+        if (offsets.exists(_ < 0)) return None
+        // stsc runs: (first_chunk 1-based, samples_per_chunk)
+        val nRuns = u32(b, stscP + 4)
+        if (nRuns < 0 || nRuns > Int.MaxValue) return None
+        val runs = (0L until nRuns).map { i =>
+          val base = stscP + 8 + 12 * i.toInt
+          (u32(b, base), u32(b, base + 4))
+        }
+        if (runs.exists(r => r._1 < 1 || r._2 < 1)) return None
+        // expand: walk chunks, assign consecutive samples
+        val samples = Vector.newBuilder[(Long, Long)]
+        var sample = 0
+        var run = 0
+        var chunkIdx = 0
+        while (sample < n && chunkIdx < offsets.length) {
+          while (run + 1 < runs.length &&
+            runs(run + 1)._1 <= chunkIdx + 1) run += 1
+          val spc = runs(run)._2.toInt
+          var within = 0
+          var off = offsets(chunkIdx)
+          while (within < spc && sample < n) {
+            val len = sizes(sample)
+            if (off < 0 || len < 0 || off + len > b.length) return None
+            samples += ((off, len))
+            off += len
+            within += 1
+            sample += 1
+          }
+          chunkIdx += 1
+        }
+        if (samples.result().length.toLong != n) return None
+        Track(codec, w, h, tsc, dur, samples.result())
+      }
+      r match {
+        case Some(t) => return Some(t)
+        case None => () // not the video trak (or malformed) — next trak
+      }
+    }
+    None
+  }
+
+  /** Structural metadata for ANY codec — never decodes a sample. */
+  def meta(bytes: Array[Byte]): Option[Meta] =
+    if (!sniff(bytes)) None
+    else try parseVideoTrack(bytes).map(t =>
+      Meta(t.codec, t.width, t.height, t.samples.length.toLong,
+        t.timescale, t.duration))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodable(codec: String): Boolean =
+    codec == "jpeg" || codec == "mjpa"
+
+  /** Full decode — JPEG-coded tracks only (`None` for codecs the JVM
+    * cannot run, so the [[VideoDecoder]] chain defers honestly). */
+  def decode(bytes: Array[Byte]): Option[Seq[VisionOps.Gray]] =
+    if (!sniff(bytes)) None
+    else try {
+      parseVideoTrack(bytes).filter(t => decodable(t.codec)).flatMap { t =>
+        t.samples.foldLeft(Option(Vector.empty[VisionOps.Gray])) {
+          case (accOpt, (off, len)) => accOpt.flatMap { acc =>
+            val body = new Array[Byte](len.toInt)
+            System.arraycopy(bytes, off.toInt, body, 0, len.toInt)
+            MultimodalOps.decodeImage(body).map(g => acc :+ VisionOps.grayOf(g))
+          }
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Strided decode: the sample TABLE is fully validated (it is the
+    * container contract — parseVideoTrack bounds-checks every sample
+    * range), the codec runs only on sampled frames. MJPEG samples are
+    * all keyframes, so any stride is seekable. */
+  def decodeStrided(bytes: Array[Byte],
+                    stride: Int): Option[Iterator[(Int, VisionOps.Gray)]] =
+    if (!sniff(bytes)) None
+    else try {
+      parseVideoTrack(bytes).filter(t => decodable(t.codec)).flatMap { t =>
+        t.samples.zipWithIndex
+          .collect { case (s, f) if f % stride == 0 => (s, f) }
+          .foldLeft(Option(Vector.empty[(Int, VisionOps.Gray)])) {
+            case (accOpt, ((off, len), f)) => accOpt.flatMap { acc =>
+              val body = new Array[Byte](len.toInt)
+              System.arraycopy(bytes, off.toInt, body, 0, len.toInt)
+              MultimodalOps.decodeImage(body)
+                .map(g => acc :+ ((f, VisionOps.grayOf(g))))
+            }
+          }.map(_.iterator)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ------------------------------------------------------------- encoder
+  // (fixture/spec muxer — a minimal, spec-valid single-video-track mp4)
+
+  private def bbox(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val out = ByteBuffer.allocate(8 + payload.length)
+    out.putInt(8 + payload.length).put(typ.getBytes(Ascii)).put(payload)
+    out.array()
+  }
+
+  private def full(typ: String, payload: Array[Byte],
+                   version: Int = 0): Array[Byte] =
+    bbox(typ, ByteBuffer.allocate(4 + payload.length)
+      .putInt(version << 24).put(payload).array())
+
+  /** Mux JPEG (or any single-codec) samples into a minimal mp4: ftyp,
+    * mdat (samples back-to-back), moov with one `vide` track whose
+    * stsd carries `codecTag` and whose stco points into the mdat.
+    * `codecTag` defaults to "jpeg" (decodable); pass "avc1" to build a
+    * metadata-only fixture (payloads opaque). */
+  def encode(w: Int, h: Int, samples: Seq[Array[Byte]],
+             fps: Int = 30, codecTag: String = "jpeg"): Array[Byte] = {
+    require(codecTag.length == 4, "codec tag must be a fourcc")
+    val ftyp = bbox("ftyp", ByteBuffer.allocate(16)
+      .put("isom".getBytes(Ascii)).putInt(0x200)
+      .put("isom".getBytes(Ascii)).put("mp41".getBytes(Ascii)).array())
+    val mdatPayload = samples.flatten.toArray
+    val mdat = bbox("mdat", mdatPayload)
+    val firstSample = ftyp.length + 8 // into mdat payload
+    val n = samples.length
+    val timescale = 600
+    val delta = if (fps > 0) timescale / fps else 20
+    val duration = n.toLong * delta
+
+    // VisualSampleEntry: 6 reserved + dref idx + 16 predefined/reserved
+    // + w + h + 72 dpi×2 + reserved + frame_count + compressorname(32)
+    // + depth + pre_defined
+    val entry = ByteBuffer.allocate(8 + 78)
+    entry.putInt(8 + 78).put(codecTag.getBytes(Ascii))
+      .put(new Array[Byte](6)).putShort(1)
+      .putShort(0).putShort(0).putInt(0).putInt(0).putInt(0)
+      .putShort(w.toShort).putShort(h.toShort)
+      .putInt(0x480000).putInt(0x480000).putInt(0).putShort(1)
+      .put(new Array[Byte](32)).putShort(24).putShort(-1)
+    val stsd = full("stsd", ByteBuffer.allocate(4 + entry.capacity())
+      .putInt(1).put(entry.array()).array())
+    val stts = full("stts", ByteBuffer.allocate(12)
+      .putInt(1).putInt(n).putInt(delta).array())
+    val stsc = full("stsc", ByteBuffer.allocate(16)
+      .putInt(1).putInt(1).putInt(math.max(n, 1)).putInt(1).array())
+    val stszB = ByteBuffer.allocate(8 + 4 * n).putInt(0).putInt(n)
+    samples.foreach(s => stszB.putInt(s.length))
+    val stsz = full("stsz", stszB.array())
+    val stco = full("stco", ByteBuffer.allocate(8)
+      .putInt(1).putInt(firstSample).array())
+    val stbl = bbox("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val vmhd = full("vmhd", new Array[Byte](8), version = 0)
+    val dref = full("dref", ByteBuffer.allocate(4 + 12).putInt(1)
+      .putInt(12).put("url ".getBytes(Ascii)).putInt(1).array())
+    val dinf = bbox("dinf", dref)
+    val minf = bbox("minf", vmhd ++ dinf ++ stbl)
+    val hdlr = full("hdlr", ByteBuffer.allocate(21)
+      .putInt(0).put("vide".getBytes(Ascii))
+      .putInt(0).putInt(0).putInt(0).put(0.toByte).array())
+    val mdhd = full("mdhd", ByteBuffer.allocate(16)
+      .putInt(0).putInt(0).putInt(timescale).putInt(duration.toInt).array())
+    val mdia = bbox("mdia", mdhd ++ hdlr ++ minf)
+    val tkhd = full("tkhd", ByteBuffer.allocate(80)
+      .putInt(0).putInt(0).putInt(1).putInt(0).putInt(duration.toInt)
+      .putInt(0).putInt(0).putShort(0).putShort(0).putShort(0).putShort(0)
+      .putInt(0x10000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x10000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(w << 16).putInt(h << 16).array(), version = 0)
+    val trak = bbox("trak", tkhd ++ mdia)
+    val mvhd = full("mvhd", ByteBuffer.allocate(96)
+      .putInt(0).putInt(0).putInt(timescale).putInt(duration.toInt)
+      .putInt(0x10000).putShort(0x100).putShort(0)
+      .putInt(0).putInt(0)
+      .putInt(0x10000).putInt(0).putInt(0)
+      .putInt(0).putInt(0x10000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      .putInt(2).array())
+    val moov = bbox("moov", mvhd ++ trak)
+    ftyp ++ mdat ++ moov
+  }
+}

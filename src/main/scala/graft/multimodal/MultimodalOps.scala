@@ -493,6 +493,38 @@ object MultimodalOps {
     }
   }
 
+  /** S1 STRUCTURAL tier for ISO-BMFF video ([[Mp4Codec.meta]]): per-blob
+    * track metadata — codec fourcc, dimensions, sample count, timescale,
+    * duration — from the box walk ALONE; no sample body is ever read, so
+    * the scan cost is the `moov` parse, not the decode. This is the
+    * listing pass a 100 TB mp4 corpus runs BEFORE committing decode CPU
+    * (what to decode, how many frames, at what rate — the batching
+    * decision in pupil_detection_pl.py:94-112), and the honest tier for
+    * codecs the JVM cannot run: an avc1/H.264 track yields its full
+    * metadata here and no fabricated frames anywhere. One row per blob
+    * that parses as BMFF with a video track; non-BMFF blobs drop. */
+  def mp4Meta(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("codec", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("timescale", LongType),
+      StructField("duration", LongType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        Mp4Codec.meta(r.getAs[Array[Byte]](bIdx)).map(m =>
+          Row(r.getLong(idIdx), m.codec, m.width, m.height,
+            m.nSamples, m.timescale, m.duration))
+      }
+    }
+  }
+
   /** A9 for VIDEO: per-frame mean gray (`np.mean(frame)` per frame,
     * pupil_detection_pl.py:126) over the raw-video container — one row
     * per (media, frame). Raw gray planes make the mean exact integer

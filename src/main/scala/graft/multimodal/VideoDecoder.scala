@@ -123,6 +123,27 @@ object VideoDecoder {
     }
   }
 
+  /** ISO-BMFF (MP4/QuickTime) — the container the reference ACTUALLY
+    * ingests (`world.mp4`/`eye0.mp4`, pupil_detection_pl.py:94-112,
+    * marker_detection.py:98-117), via [[Mp4Codec]]'s zero-dep box walk:
+    * `stsc`/`stsz`/`stco`-resolved sample ranges, per-sample JDK JPEG
+    * decode for `jpeg`/`mjpa` tracks. Codecs the JVM cannot run (avc1/
+    * H.264) yield `None` here — the chain defers honestly rather than
+    * fabricating frames; their structural tier is [[Mp4Codec.meta]]. */
+  object Mp4 extends VideoDecoder {
+    def frames(bytes: Array[Byte]): Option[Iterator[Gray]] =
+      Mp4Codec.decode(bytes).map(_.iterator)
+
+    /** The sample TABLE (not the bodies) addresses every frame, so the
+      * codec runs only on sampled frames — MJPEG-in-MP4 is all-keyframe,
+      * any stride is seekable. */
+    override def framesStrided(bytes: Array[Byte],
+                               stride: Int): Option[Iterator[(Int, Gray)]] = {
+      require(stride >= 1, s"stride must be >= 1, got $stride")
+      Mp4Codec.decodeStrided(bytes, stride)
+    }
+  }
+
   /** First-match dispatch over a decoder list — prepend an FFI decoder
     * to the defaults to add a container without touching the kernels. */
   final case class Chain(decoders: Seq[VideoDecoder]) extends VideoDecoder {
@@ -147,7 +168,8 @@ object VideoDecoder {
   }
 
   /** The shipped dispatch: GRVD (cheap 4-byte sniff), then GPNV, then
-    * the real RIFF/AVI container (12-byte sniff) — existing blobs
-    * dispatch exactly as before; AVI blobs decode for real. */
-  val default: VideoDecoder = Chain(Seq(Grvd, Gpnv, Avi))
+    * the real RIFF/AVI container (12-byte sniff), then ISO-BMFF mp4 —
+    * existing blobs dispatch exactly as before; AVI and JPEG-coded mp4
+    * blobs decode for real. */
+  val default: VideoDecoder = Chain(Seq(Grvd, Gpnv, Avi, Mp4))
 }

@@ -320,6 +320,36 @@ object VisionFixtures {
     AviCodec.encodeDibGray(48, 48, planes)
   }
 
+  /** JPEG-in-MP4 video: the [[renderVideo]] drifting-pupil geometry,
+    * every frame REAL-JPEG-encoded and muxed as a `jpeg`-coded video
+    * track in a spec-valid ISO-BMFF mp4 ([[Mp4Codec.encode]]) — the
+    * container the reference ACTUALLY ingests (pupil_detection_pl
+    * .py:94-112). Same mask-exactness argument as [[renderVideoAvi]]:
+    * the 96-gray-level binarization margin dominates max-quality JPEG
+    * error, so the dark mask replays bit-identically (Mp4CodecSpec
+    * pins it per pixel). */
+  def renderVideoMp4(id: Long): Array[Byte] = {
+    val (_, planes) = videoPlanes(id)
+    Mp4Codec.encode(48, 48,
+      planes.map(p => AviCodec.jpegGray(48, 48, p)))
+  }
+
+  /** H.264-SHAPED mp4: an `avc1` video track whose sample payloads are
+    * deterministic opaque bytes (sizes vary per sample so the `stsz`
+    * table is exercised for real). The JVM ships no H.264 codec, so this
+    * fixture attests the STRUCTURAL tier — [[Mp4Codec.meta]] yields the
+    * full track metadata while [[Mp4Codec.decode]] honestly returns
+    * `None` — the listing pass a 100 TB video corpus runs before
+    * committing decode CPU. */
+  def renderVideoMp4Avc(id: Long): Array[Byte] = {
+    val nf = videoParams(id)._1
+    val samples = (0 until nf).map { f =>
+      Array.tabulate(50 + ((id + f) % 30).toInt)(j =>
+        ((id * 31 + f * 7 + j) % 256).toByte)
+    }
+    Mp4Codec.encode(48, 48, samples, codecTag = "avc1")
+  }
+
   /** Plant a media table (media_id, bytes, meta) from any id column:
     * one real PNG per row. `kind` ∈ pupil | checkerboard | circles. */
   /** The per-kind renderer: id → (bytes, format, width, height, n_frames). */
@@ -359,6 +389,12 @@ object VisionFixtures {
       case "video_avi_dib_long" => id =>
         val nf = videoLongParams(id)._1
         (renderVideoAviDibLong(id), "video/avi", 48, 48, nf)
+      case "video_mp4" => id =>
+        val nf = videoParams(id)._1
+        (renderVideoMp4(id), "video/mp4", 48, 48, nf)
+      case "video_mp4_avc" => id =>
+        val nf = videoParams(id)._1
+        (renderVideoMp4Avc(id), "video/mp4", 48, 48, nf)
       case "video_long" => id =>
         val nf = videoLongParams(id)._1
         (renderVideoLongPng(id), "video/x-graft-png", 48, 48, nf)

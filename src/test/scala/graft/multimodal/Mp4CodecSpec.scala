@@ -1,0 +1,163 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ISO-BMFF (mp4) codec contract ([[Mp4Codec]]): the box walk resolves
+  * every sample's byte range from the `stsc`/`stsz`/`stco` tables, JPEG-
+  * coded tracks decode through the JDK's actual codec, ANY codec yields
+  * its structural metadata without a sample body being read, and the
+  * never-throw tolerance rule holds under truncation and byte-flip fuzz.
+  * The load-bearing claim for the `cv_video_mp4` oracle row is the same
+  * MASK-EXACTNESS the AVI arm pins: max-quality grayscale JPEG error
+  * stays far inside the 96-gray-level binarization margin, so the
+  * thresholded dark mask (and every moment statistic over it) is
+  * bit-identical to the planted raster — pinned per pixel here. */
+class Mp4CodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plantedPlanes(id: Long): (Int, Int, Seq[Array[Byte]]) = {
+    val (nf, cx0, cy0, a, b) = VisionFixtures.videoParams(id)
+    (48, nf, (0 until nf).map { f =>
+      val cx = cx0 + f; val cy = cy0 + f
+      Array.tabulate(48 * 48) { i =>
+        val x = i % 48; val y = i / 48
+        val tx = (x - cx).toDouble / a
+        val ty = (y - cy).toDouble / b
+        (if (tx * tx + ty * ty <= 1.0) VisionFixtures.Dark
+         else VisionFixtures.Light).toByte
+      }
+    })
+  }
+
+  test("jpeg track: decode == direct ImageIO; dark mask == planted raster, per pixel") {
+    for (id <- Seq(0L, 3L, 7L, 11L)) {
+      val (w, nf, planes) = plantedPlanes(id)
+      val jpegs = planes.map(p => AviCodec.jpegGray(w, w, p))
+      val mp4 = Mp4Codec.encode(w, w, jpegs)
+      val frames = Mp4Codec.decode(mp4).get
+      assert(frames.length == nf, s"id=$id")
+      frames.zipWithIndex.foreach { case (g, f) =>
+        // 1. container transparency: the sample-table walk hands the
+        // codec the exact payload — pixels == ImageIO over the raw bytes
+        val direct = VisionOps.grayOf(
+          javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(jpegs(f))))
+        assert(g.w == direct.w && g.h == direct.h &&
+          g.px.sameElements(direct.px), s"id=$id frame=$f payload drift")
+        // 2. the oracle-carrying claim: lossy error never crosses the
+        // binarization threshold — mask == planted, every pixel
+        var i = 0
+        while (i < g.px.length) {
+          val plantedDark = (planes(f)(i) & 0xff) == VisionFixtures.Dark
+          assert((g.px(i) < VisionOps.DarkThreshold) == plantedDark,
+            s"id=$id frame=$f px=$i: JPEG error crossed the threshold " +
+              s"(decoded ${g.px(i)}, planted ${planes(f)(i) & 0xff})")
+          i += 1
+        }
+      }
+    }
+  }
+
+  test("meta resolves track structure for decodable AND undecodable codecs") {
+    val (w, nf, planes) = plantedPlanes(5L)
+    val jpegMp4 = Mp4Codec.encode(w, w,
+      planes.map(p => AviCodec.jpegGray(w, w, p)))
+    val m = Mp4Codec.meta(jpegMp4).get
+    assert(m.codec == "jpeg" && m.width == w && m.height == w &&
+      m.nSamples == nf && m.timescale == 600 && m.duration == nf * 20L)
+    // avc1: full metadata from the moov walk, decode defers honestly —
+    // the structural/decode tier split a codec-less JVM must keep
+    val avc = VisionFixtures.renderVideoMp4Avc(5L)
+    val ma = Mp4Codec.meta(avc).get
+    assert(ma.codec == "avc1" && ma.width == w && ma.height == w &&
+      ma.nSamples == nf)
+    assert(Mp4Codec.decode(avc).isEmpty)
+    assert(VideoDecoder.default.frames(avc).isEmpty)
+    // meta never touches sample bodies: zero out the mdat payload and
+    // the same metadata comes back
+    val gutted = avc.clone()
+    val mdat = { var o = 0
+      while (new String(gutted, o + 4, 4, "US-ASCII") != "mdat") {
+        val sz = java.nio.ByteBuffer.wrap(gutted, o, 4).getInt
+        o += sz
+      }
+      o }
+    val mdatSz = java.nio.ByteBuffer.wrap(gutted, mdat, 4).getInt
+    java.util.Arrays.fill(gutted, mdat + 8, mdat + mdatSz, 0.toByte)
+    assert(Mp4Codec.meta(gutted).contains(ma))
+  }
+
+  test("strided decode: sample table addresses frames, codec runs on sampled only") {
+    val (w, _, planes) = plantedPlanes(2L)
+    val many = (planes ++ planes ++ planes).take(7)
+    val mp4 = Mp4Codec.encode(w, w, many.map(p => AviCodec.jpegGray(w, w, p)))
+    val full = Mp4Codec.decode(mp4).get
+    val strided = Mp4Codec.decodeStrided(mp4, 3).get.toSeq
+    assert(strided.map(_._1) == Seq(0, 3, 6))
+    strided.foreach { case (f, g) => assert(g.px.sameElements(full(f).px)) }
+    // a corrupt stsz length fails the whole blob at the WALK, before any
+    // decode — the sample table is the validated container contract
+    val bad = mp4.clone()
+    val stsz = { var o = 0
+      while (o + 8 <= bad.length &&
+        new String(bad, o + 4, 4, "US-ASCII") != "stsz") o += 1
+      o }
+    assert(stsz + 8 <= bad.length, "stsz box not found")
+    // third sample's size entry → absurd (entries at box+20, v0 full box)
+    java.nio.ByteBuffer.wrap(bad, stsz + 8 + 4 + 12 + 4, 4)
+      .putInt(Int.MaxValue - 7)
+    assert(Mp4Codec.decodeStrided(bad, 3).isEmpty &&
+      Mp4Codec.decode(bad).isEmpty)
+  }
+
+  test("tolerance: bad magic defers, corrupt structure fails to None, never throws") {
+    assert(Mp4Codec.decode(null).isEmpty && !Mp4Codec.sniff(null))
+    assert(Mp4Codec.decode(Array[Byte]()).isEmpty)
+    assert(Mp4Codec.decode("RIFFxxxxAVI LIST".getBytes).isEmpty) // an AVI, not ours
+    val (w, _, planes) = plantedPlanes(2L)
+    val mp4 = Mp4Codec.encode(w, w, planes.map(p => AviCodec.jpegGray(w, w, p)))
+    // truncation anywhere must give None, not an exception (moov is
+    // LAST in the mux, so any cut loses the sample tables)
+    for (cut <- Seq(4, 11, 12, 40, 100, mp4.length / 2, mp4.length - 3))
+      assert(Mp4Codec.decode(mp4.take(cut)).isEmpty, s"cut=$cut")
+    // deterministic byte-flip fuzz over the structural region (moov is
+    // at the tail; fuzz both ends)
+    val rng = new scala.util.Random(5678)
+    for (i <- 0 until 400) {
+      val b = mp4.clone()
+      val at = if (i % 2 == 0) rng.nextInt(math.min(b.length, 200))
+      else b.length - 1 - rng.nextInt(math.min(b.length, 400))
+      b(at) = rng.nextInt(256).toByte
+      Mp4Codec.decode(b)   // any Option is fine; throwing is the failure
+      Mp4Codec.meta(b)
+    }
+  }
+
+  test("default chain dispatches mp4 last; kernels see the same rows as the AVI arm") {
+    val (_, nf, _) = plantedPlanes(4L)
+    val mp4 = VisionFixtures.renderVideoMp4(4L)
+    val avi = VisionFixtures.renderVideoAvi(4L)
+    def mediaDf(bytes: Array[Byte], fmt: String) =
+      Seq((4L, bytes, (fmt, 48, 48, nf)))
+        .toDF("media_id", "bytes", "m")
+        .select(col("media_id"), col("bytes"),
+          struct(col("m._1").as("format"), col("m._2").as("width"),
+            col("m._3").as("height"), col("m._4").as("n_frames")).as("meta"))
+    // mask-exactness holds through BOTH real containers (same JPEG
+    // payloads, different demux) — identical detection rows
+    val viaMp4 = VisionOps.detectPupilsVideo(mediaDf(mp4, "video/mp4"))
+      .orderBy("frame_index").collect().map(_.toString).toSeq
+    val viaAvi = VisionOps.detectPupilsVideo(mediaDf(avi, "video/avi"))
+      .orderBy("frame_index").collect().map(_.toString).toSeq
+    assert(viaMp4.nonEmpty && viaMp4.length == nf && viaMp4 == viaAvi)
+    // other containers never reach the mp4 decoder (sniff order), and
+    // mp4 bytes defer past the other decoders
+    assert(VideoDecoder.Mp4.frames(VisionFixtures.renderVideo(4L)).isEmpty)
+    assert(VideoDecoder.Mp4.frames(VisionFixtures.renderVideoPng(4L)).isEmpty)
+    assert(VideoDecoder.Mp4.frames(avi).isEmpty)
+    assert(VideoDecoder.Avi.frames(mp4).isEmpty)
+    assert(VideoDecoder.Grvd.frames(mp4).isEmpty)
+    assert(VideoDecoder.Gpnv.frames(mp4).isEmpty)
+  }
+}
