@@ -185,6 +185,8 @@ class PlanAuditSpec extends SparkSpec {
         ("cv_checkerboard", 1, Queries.cvCheckerboard(spark, dir)),
         ("cv_circles", 2, Queries.cvCircles(spark, dir)), // normal + inverted
         ("cv_video_pupils", 1, Queries.cvVideoPupils(spark, dir)),
+        ("cv_video_mp4", 1, Queries.cvVideoMp4(spark, dir)),
+        ("mm_mp4_meta", 1, Queries.mmMp4Meta(spark, dir)),
         ("audio_features", 1, Queries.audioFeatures(spark, dir)))) {
       val p = plan(df)
       val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
