@@ -197,21 +197,39 @@ object ErrorMap {
     val outlierStds = cfg.outlierStds
     val extrapolate = cfg.extrapolate
 
+    // sessionCol IS the match key of this form (the per-session analog
+    // of compute's matchKeys); extra keys would silently change the
+    // reduction grain, so reject them loudly rather than ignore them
+    require(cfg.matchKeys.isEmpty,
+      s"summaryBySession keys by '$sessionCol'; Config.matchKeys " +
+        s"(${cfg.matchKeys.mkString(",")}) would be silently ignored — " +
+        "fold them into the session column instead")
+    // cluster reduction mirrors [[compute]] step 2 exactly: reduce only
+    // when configured AND the column exists; otherwise every matched
+    // point is its own anchor (same numbers as compute for the same
+    // Config + input shape)
+    val doReduce = cfg.clusterReduce &&
+      markers.columns.contains("marker_cluster_index")
+    val markerCols = Seq(col(sessionCol), col("timestamp"),
+      col("norm_x"), col("norm_y")) ++
+      (if (doReduce) Seq(col("marker_cluster_index")) else Nil)
     val matched = AsOfJoin.nearest(
-        markers.select(col(sessionCol), col("timestamp"), col("norm_x"),
-          col("norm_y"), col("marker_cluster_index")),
+        markers.select(markerCols: _*),
         gaze.select(col(sessionCol), col("timestamp"),
           col("norm_x").as("gx"), col("norm_y").as("gy"),
           col("confidence")),
         "timestamp", "timestamp", Seq(sessionCol), rightPrefix = "g_")
       .filter(col("g_confidence") > cfg.minPupilConfidence)
       .withColumnRenamed("g_gx", "gx").withColumnRenamed("g_gy", "gy")
-    val reduced = matched
-      .groupBy(col(sessionCol), col("marker_cluster_index")).agg(
-        expr("percentile(norm_x, 0.5)").as("mx"),
-        expr("percentile(norm_y, 0.5)").as("my"),
-        expr("percentile(gx, 0.5)").as("gx"),
-        expr("percentile(gy, 0.5)").as("gy"))
+    val reduced =
+      if (doReduce) matched
+        .groupBy(col(sessionCol), col("marker_cluster_index")).agg(
+          expr("percentile(norm_x, 0.5)").as("mx"),
+          expr("percentile(norm_y, 0.5)").as("my"),
+          expr("percentile(gx, 0.5)").as("gx"),
+          expr("percentile(gy, 0.5)").as("gy"))
+      else matched.select(col(sessionCol), col("norm_x").as("mx"),
+        col("norm_y").as("my"), col("gx"), col("gy"))
     val exPix = (col("gx") - col("mx")) * iw
     val eyPix = (col("gy") - col("my")) * ih
     val pts = reduced
@@ -270,11 +288,18 @@ object ErrorMap {
               werr += n * math.max(Tps.z(x, y, anchors, theta), minErr)
             }
           }
-          if (total == 0) Iterator.empty // no gaze in frame: nothing to weight
+          // no in-frame gaze: the FIT succeeded (>= 4 kept points), only
+          // the gaze weighting is undefined — emit the row with null
+          // weighted fields. Row-ABSENCE is reserved for the too-few-
+          // points failure (error_computation.py:149); conflating the
+          // two would make the QC report call a healthy fit "failed".
+          if (total == 0) Iterator((session, kept.length.toLong,
+            Stats.median(errs), Stats.mean(errs),
+            Option.empty[Double], Option.empty[Double]))
           else Iterator((session, kept.length.toLong, Stats.median(errs),
             Stats.mean(errs),
-            werr / total / (inside.toDouble / total),
-            (total - inside).toDouble / total))
+            Some(werr / total / (inside.toDouble / total)),
+            Some((total - inside).toDouble / total)))
         }
       }
     }.toDF(sessionCol, "n_points", "err_median", "err_mean",

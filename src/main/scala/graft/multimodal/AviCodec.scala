@@ -42,7 +42,8 @@ object AviCodec {
   /** Everything a frame decode needs from the header walk. */
   private final case class VideoStream(
       streamNo: Int, isMjpg: Boolean, width: Int, height: Int,
-      bitCount: Int, palette: Array[Int] /* 256 packed RGB, 8-bit only */)
+      bitCount: Int, palette: Array[Int] /* 256 packed RGB, 8-bit only */,
+      topDown: Boolean /* DIB biHeight < 0: rows stored top-down */)
 
   private def fourcc(bytes: Array[Byte], off: Int): String =
     if (off + 4 > bytes.length) ""
@@ -120,8 +121,11 @@ object AviCodec {
                     i += 1
                   }
                 }
+                // biHeight < 0 = top-down row order (Windows capture
+                // stacks emit it); honoring the sign, not dropping it,
+                // keeps the never-silently-wrong contract
                 found = Some(VideoStream(streamNo, isMjpg, w,
-                  math.abs(hRaw), bits, pal))
+                  math.abs(hRaw), bits, pal, hRaw < 0))
               }
               so += 8 + ssz.toInt + (ssz.toInt & 1)
             }
@@ -166,16 +170,41 @@ object AviCodec {
       }
       Some(out)
     }
+    // Accumulate across ALL movi lists: OpenDML (>1 GB) files carry the
+    // tail frames in `RIFF AVIX` extension elements, each with its own
+    // movi — stopping at the first movi would return a silent PARTIAL
+    // decode of a multi-segment recording, which the never-silently-
+    // wrong contract forbids. Descend into AVIX elements; any other
+    // top-level chunk skips by size.
     var off = 12
+    var out = Vector.empty[(Int, Int)]
+    var seenMovi = false
     while (off + 8 <= bytes.length) {
       val id = fourcc(bytes, off)
       val sz = u32(bytes, off + 4)
-      if (sz < 0 || off + 8 + sz > bytes.length) return None
-      if (id == "LIST" && fourcc(bytes, off + 8) == "movi")
-        return walk(off + 12, off + 8 + sz.toInt, Vector.empty)
-      off += 8 + sz.toInt + (sz.toInt & 1)
+      if (sz < 0 || off + 8 + sz > bytes.length) {
+        // a malformed TRAILING chunk after frames were found is the
+        // truncated-optional-index tolerance (idx1/JUNK — the walk
+        // never relies on it); a malformed frame-bearing element
+        // (another RIFF segment, a movi list) is corrupt frame data
+        // and must fail the blob, never yield a silent partial
+        return if (seenMovi && id != "RIFF" &&
+          !(id == "LIST" && fourcc(bytes, off + 8) == "movi")) Some(out)
+        else None
+      }
+      if (id == "LIST" && fourcc(bytes, off + 8) == "movi") {
+        walk(off + 12, off + 8 + sz.toInt, out) match {
+          case Some(v) => out = v; seenMovi = true
+          case None => return None
+        }
+        off += 8 + sz.toInt + (sz.toInt & 1)
+      } else if (id == "RIFF" && fourcc(bytes, off + 8) == "AVIX") {
+        off += 12 // walk the extension element's own chunk sequence
+      } else {
+        off += 8 + sz.toInt + (sz.toInt & 1)
+      }
     }
-    None
+    if (seenMovi) Some(out) else None
   }
 
   /** Decode one frame body to a luma plane. */
@@ -186,7 +215,8 @@ object AviCodec {
       System.arraycopy(bytes, off, body, 0, len)
       MultimodalOps.decodeImage(body).map(VisionOps.grayOf)
     } else {
-      // uncompressed DIB: bottom-up rows, each padded to 4 bytes
+      // uncompressed DIB: bottom-up rows (top-down when biHeight was
+      // negative), each padded to 4 bytes
       val bytesPerPx = s.bitCount / 8
       val rowStride = (s.width * bytesPerPx + 3) & ~3
       if (len < rowStride * s.height) None
@@ -194,7 +224,8 @@ object AviCodec {
         val px = new Array[Double](s.width * s.height)
         var y = 0
         while (y < s.height) {
-          val row = off + (s.height - 1 - y) * rowStride // bottom-up
+          val srcY = if (s.topDown) y else s.height - 1 - y
+          val row = off + srcY * rowStride
           var x = 0
           while (x < s.width) {
             if (s.bitCount == 8) {

@@ -51,11 +51,34 @@ object Mp4Codec {
     if (off < 0 || off + 4 > b.length) ""
     else new String(b, off, 4, Ascii)
 
-  /** Is this ISO-BMFF at all? (`ftyp` first box, or a bare `moov` — the
-    * spec allows moov-first files). */
-  def sniff(bytes: Array[Byte]): Boolean =
-    bytes != null && bytes.length >= 12 &&
-      (tag(bytes, 4) == "ftyp" || tag(bytes, 4) == "moov")
+  /** Is this ISO-BMFF at all? `ftyp`/`styp`/`moov` found within the
+    * first few TOP-LEVEL boxes — the spec allows moov-first files, and
+    * QuickTime-lineage muxers front valid files with `wide`/`free`/
+    * `skip` padding or a progressive `mdat`-first layout; a sniff that
+    * only accepted ftyp-first would silently drop those whole files
+    * from the 100 TB structural listing tier. Leading boxes of those
+    * padding/media types are hopped by size (bounded hops); any other
+    * leading type means "not ours". */
+  def sniff(bytes: Array[Byte]): Boolean = {
+    if (bytes == null || bytes.length < 12) return false
+    var off = 0
+    var hops = 0
+    while (hops < 4 && off + 8 <= bytes.length) {
+      val t = tag(bytes, off + 4)
+      if (t == "ftyp" || t == "styp" || t == "moov") return true
+      if (t != "free" && t != "skip" && t != "wide" &&
+          t != "mdat" && t != "pdin" && t != "uuid") return false
+      val sz0 = u32(bytes, off)
+      val adv: Long =
+        if (sz0 == 1L) u64(bytes, off + 8)
+        else if (sz0 == 0L) return false // box runs to EOF, nothing after
+        else sz0
+      if (adv < 8L || off + adv > bytes.length) return false
+      off += adv.toInt
+      hops += 1
+    }
+    false
+  }
 
   /** One box at `off`: (type, payloadStart, payloadEnd, nextBoxOff), or
     * None when the header is malformed/truncated. */

@@ -248,9 +248,16 @@ object VisionFixtures {
     MultimodalOps.encodePngVideo(frames)
   }
 
-  def renderVideo(id: Long): Array[Byte] = {
-    val (nf, cx0, cy0, a, b) = videoParams(id)
-    val frames = (0 until nf).map { f =>
+  def renderVideo(id: Long): Array[Byte] =
+    MultimodalOps.encodeRawVideo(48, 48, videoPlanes(id)._2)
+
+  /** THE drifting-ellipse raster (one 48×48 plane per frame, center
+    * drifting +1/frame) — the single source of the oracle-bearing
+    * geometry every video-container muxer AND codec spec replays; any
+    * second copy of this loop is a divergence hazard. */
+  private[multimodal] def ellipsePlanes(nf: Int, cx0: Int, cy0: Int,
+                                        a: Int, b: Int): Seq[Array[Byte]] =
+    (0 until nf).map { f =>
       val cx = cx0 + f; val cy = cy0 + f
       Array.tabulate(48 * 48) { i =>
         val x = i % 48; val y = i / 48
@@ -259,22 +266,12 @@ object VisionFixtures {
         (if (tx * tx + ty * ty <= 1.0) Dark else Light).toByte
       }
     }
-    MultimodalOps.encodeRawVideo(48, 48, frames)
-  }
 
   /** The drifting-pupil planes of [[videoParams]] (the [[renderVideo]]
     * raster, verbatim) — shared by the container muxers below. */
-  private def videoPlanes(id: Long): (Int, Seq[Array[Byte]]) = {
+  private[multimodal] def videoPlanes(id: Long): (Int, Seq[Array[Byte]]) = {
     val (nf, cx0, cy0, a, b) = videoParams(id)
-    (nf, (0 until nf).map { f =>
-      val cx = cx0 + f; val cy = cy0 + f
-      Array.tabulate(48 * 48) { i =>
-        val x = i % 48; val y = i / 48
-        val tx = (x - cx).toDouble / a
-        val ty = (y - cy).toDouble / b
-        (if (tx * tx + ty * ty <= 1.0) Dark else Light).toByte
-      }
-    })
+    (nf, ellipsePlanes(nf, cx0, cy0, a, b))
   }
 
   /** MJPEG-in-AVI video: the [[renderVideo]] drifting-pupil geometry,
@@ -308,16 +305,7 @@ object VisionFixtures {
     * oracle unchanged from the GPNV form. */
   def renderVideoAviDibLong(id: Long): Array[Byte] = {
     val (nf, cx0, cy0, a, b) = videoLongParams(id)
-    val planes = (0 until nf).map { f =>
-      val cx = cx0 + f; val cy = cy0 + f
-      Array.tabulate(48 * 48) { i =>
-        val x = i % 48; val y = i / 48
-        val tx = (x - cx).toDouble / a
-        val ty = (y - cy).toDouble / b
-        (if (tx * tx + ty * ty <= 1.0) Dark else Light).toByte
-      }
-    }
-    AviCodec.encodeDibGray(48, 48, planes)
+    AviCodec.encodeDibGray(48, 48, ellipsePlanes(nf, cx0, cy0, a, b))
   }
 
   /** JPEG-in-MP4 video: the [[renderVideo]] drifting-pupil geometry,

@@ -849,11 +849,17 @@ object AnnIndexIO {
     * listing-only no-op. Returns true iff a compaction ran. */
   def compactIfFragmented(spark: SparkSession, path: String,
                           maxFiles: Int = 0,
-                          targetPartitions: Int = 0): Boolean =
+                          targetPartitions: Int = 0): Boolean = {
+    // heal BEFORE the gate's listing: in compact()'s crash window the
+    // live dir is absent, so dataFileCount would report 0 (healthy) and
+    // a gated-only maintenance loop would never recover the stranded
+    // corpus under _prev
+    recoverRoots(spark, path)
     ArtifactSwap.fragmentedAt(spark, s"$path/index", maxFiles) match {
       case Some(n) => compact(spark, path, targetPartitions, n); true
       case None => false
     }
+  }
 
   /** Cell-occupancy monitor for a built index: one map-side-combined
     * aggregate over the (pruned-to-metadata) index scan. Returns a

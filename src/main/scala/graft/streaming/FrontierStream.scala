@@ -196,11 +196,16 @@ object FrontierStream {
     * Returns true iff a compaction ran. */
   def compactCrawledIfFragmented(spark: SparkSession, crawledPath: String,
                                  maxFiles: Int = 0,
-                                 targetPartitions: Int = 0): Boolean =
+                                 targetPartitions: Int = 0): Boolean = {
+    // heal BEFORE the gate's listing: in compactCrawled()'s crash window
+    // the live dir is absent, so the count reads 0 (healthy) and a
+    // gated-only epoch loop would never recover the seen set from _prev
+    graft.operators.ArtifactSwap.recover(spark, crawledPath)
     graft.operators.ArtifactSwap.fragmentedAt(spark, crawledPath,
         maxFiles) match {
       case Some(n) =>
         compactCrawled(spark, crawledPath, targetPartitions, n); true
       case None => false
     }
+  }
 }

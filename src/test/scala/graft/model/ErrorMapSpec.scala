@@ -100,6 +100,64 @@ class ErrorMapSpec extends SparkSpec {
       2 * bySession("sA").getAs[Double]("err_median")) < 1e-6)
   }
 
+  test("summaryBySession honors clusterReduce=false, mci-less markers, zero-gaze sessions, and rejects matchKeys") {
+    // one session, 4x4 anchor grid, 3 samples per anchor, constant offset
+    val ms = scala.collection.mutable.ArrayBuffer[(String, Double, Double, Double, Long)]()
+    val gs = scala.collection.mutable.ArrayBuffer[(String, Double, Double, Double, Double)]()
+    var t = 0.0; var c = 0L
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val mx = 0.15 + 0.2 * i; val my = 0.15 + 0.2 * j
+      for (_ <- 0 until 3) {
+        ms += (("s1", t, mx, my, c))
+        gs += (("s1", t + 0.001, mx + 0.015, my, 0.95))
+        t += 1.0 / 30.0
+      }
+      c += 1; t += 0.3
+    }
+    val mdf = ms.toSeq.toDF("session", "timestamp", "norm_x", "norm_y",
+      "marker_cluster_index")
+    val gdf = gs.toSeq.toDF("session", "timestamp", "norm_x", "norm_y",
+      "confidence")
+    val cfg = ErrorMap.Config(resolution = (60, 80))
+    def parity(m: org.apache.spark.sql.DataFrame, cc: ErrorMap.Config): Unit = {
+      val dist = ErrorMap.summaryBySession(m, gdf, "session", cc).collect()(0)
+      val single = ErrorMap.compute(m, gdf, cc).summary.collect()(0)
+      assert(dist.getAs[Long]("n_points") ==
+        single.getAs[Number]("n_points").longValue)
+      for (col <- Seq("err_median", "err_mean", "gaze_err_weighted",
+          "gaze_fraction_excluded")) {
+        val a = dist.getAs[Double](col); val b = single.getAs[Double](col)
+        assert(math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b)),
+          s"$col: distributed $a vs single $b")
+      }
+      graft.CacheRegistry.releaseAll()
+    }
+    // 1. clusterReduce=false: every matched point its own anchor (48),
+    // same numbers as compute for the same Config — previously the
+    // config was silently ignored and the numbers were the reduced ones
+    parity(mdf, cfg.copy(clusterReduce = false))
+    // 2. markers WITHOUT marker_cluster_index: the compute() column-
+    // presence fallback, not an AnalysisException
+    parity(mdf.drop("marker_cluster_index"), cfg)
+    // 3. zero in-frame gaze: the fit succeeded (>= 4 points), so the row
+    // EXISTS with null weighted fields — absence stays reserved for the
+    // too-few-points failure
+    val gOut = gdf.withColumn("norm_x", col("norm_x") + 1.5)
+    val zr = ErrorMap.summaryBySession(mdf, gOut, "session",
+      cfg.copy(outlierStds = None)).collect()
+    assert(zr.length == 1, "zero-gaze session lost its summary row")
+    assert(zr(0).getAs[Long]("n_points") == 16L)
+    assert(!zr(0).isNullAt(zr(0).fieldIndex("err_median")))
+    assert(zr(0).isNullAt(zr(0).fieldIndex("gaze_err_weighted")) &&
+      zr(0).isNullAt(zr(0).fieldIndex("gaze_fraction_excluded")),
+      "weighted fields must be null when there is no gaze to weight")
+    // 4. matchKeys would be silently ignored — reject loudly
+    intercept[IllegalArgumentException] {
+      ErrorMap.summaryBySession(mdf, gdf, "session",
+        cfg.copy(matchKeys = Seq("session")))
+    }
+  }
+
   test("convex hull is correct and masks outside points") {
     val square = Array(Array(0.0, 0.0), Array(1.0, 0.0), Array(1.0, 1.0),
       Array(0.0, 1.0), Array(0.5, 0.5))

@@ -15,17 +15,9 @@ class AviCodecSpec extends SparkSpec {
   import spark.implicits._
 
   private def plantedPlanes(id: Long): (Int, Int, Seq[Array[Byte]]) = {
-    val (nf, cx0, cy0, a, b) = VisionFixtures.videoParams(id)
-    (48, nf, (0 until nf).map { f =>
-      val cx = cx0 + f; val cy = cy0 + f
-      Array.tabulate(48 * 48) { i =>
-        val x = i % 48; val y = i / 48
-        val tx = (x - cx).toDouble / a
-        val ty = (y - cy).toDouble / b
-        (if (tx * tx + ty * ty <= 1.0) VisionFixtures.Dark
-         else VisionFixtures.Light).toByte
-      }
-    })
+    // the single-sourced oracle-bearing raster, NOT a copy of its loop
+    val (nf, planes) = VisionFixtures.videoPlanes(id)
+    (48, nf, planes)
   }
 
   test("DIB: exact integer round-trip through the real container walk") {
@@ -101,6 +93,73 @@ class AviCodecSpec extends SparkSpec {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(Int.MaxValue - 7)
     assert(AviCodec.decodeStrided(bad, 3).isEmpty &&
       AviCodec.decode(bad).isEmpty)
+  }
+
+  test("top-down DIB (negative biHeight) honors the sign instead of flipping") {
+    val (w, nf, planes) = plantedPlanes(6L)
+    val avi = AviCodec.encodeDibGray(w, w, planes)
+    val bottomUp = AviCodec.decode(avi).get
+    // flip biHeight's sign in the strf BITMAPINFOHEADER (biHeight at
+    // header+8, little-endian); the stored rows are unchanged, so a
+    // sign-honoring decoder must return the VERTICAL MIRROR of the
+    // bottom-up read — a sign-dropping decoder would silently return
+    // the unmirrored frames (the exact corruption this pins against)
+    val td = avi.clone()
+    val strf = { var o = 0
+      while (new String(td, o, 4, "US-ASCII") != "strf") o += 1
+      o }
+    val hdr = strf + 8 // BITMAPINFOHEADER start
+    val h0 = java.nio.ByteBuffer.wrap(td, hdr + 8, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(h0 == w, "unexpected biHeight in fixture")
+    java.nio.ByteBuffer.wrap(td, hdr + 8, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-h0)
+    val topDown = AviCodec.decode(td).get
+    assert(topDown.length == nf)
+    topDown.zip(bottomUp).foreach { case (t, bu) =>
+      for (y <- 0 until w; x <- 0 until w)
+        assert(t.px(y * w + x) == bu.px((w - 1 - y) * w + x),
+          s"($x,$y): top-down decode is not the vertical mirror")
+    }
+  }
+
+  test("OpenDML: frames in RIFF AVIX extension elements are decoded, not dropped") {
+    val (w, _, planes) = plantedPlanes(3L)
+    val seg1 = planes
+    val seg2: Seq[Array[Byte]] =
+      planes.map(_.map(b => (255 - (b & 0xff)).toByte))
+    val base = AviCodec.encodeDibGray(w, w, seg1)
+    // splice the second segment's movi (copied verbatim from its own
+    // valid mux) into a RIFF AVIX extension element appended to base —
+    // the >1 GB multi-segment layout. All frames must come back: a
+    // first-movi-only walk would return seg1 alone as a SILENT partial.
+    val donor = AviCodec.encodeDibGray(w, w, seg2)
+    val movi = { var o = 12
+      while (!(new String(donor, o, 4, "US-ASCII") == "LIST" &&
+        new String(donor, o + 8, 4, "US-ASCII") == "movi")) o += 1
+      o }
+    val moviSz = java.nio.ByteBuffer.wrap(donor, movi + 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    val moviAll = donor.slice(movi, movi + 8 + moviSz + (moviSz & 1))
+    val avixPayload = "AVIX".getBytes ++ moviAll
+    val avixHdr = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes).putInt(avixPayload.length).array()
+    val multi = base ++ avixHdr ++ avixPayload
+    val frames = AviCodec.decode(multi).get
+    assert(frames.length == seg1.length + seg2.length,
+      s"AVIX segment dropped: got ${frames.length}")
+    // seg2's inverted pixels prove the tail frames are the AVIX ones
+    val lumaOf = (v: Int) => 0.299 * v + 0.587 * v + 0.114 * v
+    frames.takeRight(seg2.length).zip(seg2).foreach { case (g, plane) =>
+      plane.zipWithIndex.foreach { case (p, i) =>
+        assert(g.px(i) == lumaOf(p & 0xff), s"AVIX pixel $i drifted")
+      }
+    }
+    // strided decode walks the extension too (global frame indices)
+    val strided = AviCodec.decodeStrided(multi, 2).get.toSeq
+    assert(strided.map(_._1) ==
+      (0 until seg1.length + seg2.length by 2).toSeq)
   }
 
   test("tolerance: bad magic defers, corrupt structure fails to None, never throws") {

@@ -17,17 +17,9 @@ class Mp4CodecSpec extends SparkSpec {
   import spark.implicits._
 
   private def plantedPlanes(id: Long): (Int, Int, Seq[Array[Byte]]) = {
-    val (nf, cx0, cy0, a, b) = VisionFixtures.videoParams(id)
-    (48, nf, (0 until nf).map { f =>
-      val cx = cx0 + f; val cy = cy0 + f
-      Array.tabulate(48 * 48) { i =>
-        val x = i % 48; val y = i / 48
-        val tx = (x - cx).toDouble / a
-        val ty = (y - cy).toDouble / b
-        (if (tx * tx + ty * ty <= 1.0) VisionFixtures.Dark
-         else VisionFixtures.Light).toByte
-      }
-    })
+    // the single-sourced oracle-bearing raster, NOT a copy of its loop
+    val (nf, planes) = VisionFixtures.videoPlanes(id)
+    (48, nf, planes)
   }
 
   test("jpeg track: decode == direct ImageIO; dark mask == planted raster, per pixel") {
@@ -132,6 +124,29 @@ class Mp4CodecSpec extends SparkSpec {
       Mp4Codec.decode(b)   // any Option is fine; throwing is the failure
       Mp4Codec.meta(b)
     }
+  }
+
+  test("sniff hops leading wide/free padding boxes (QuickTime lineage)") {
+    val (w, _, planes) = plantedPlanes(3L)
+    val mp4 = Mp4Codec.encode(w, w, planes.map(p => AviCodec.jpegGray(w, w, p)))
+    val m = Mp4Codec.meta(mp4).get
+    // a `wide` (8-byte) and a `free` box in front of ftyp: still ours —
+    // a first-box-only sniff would drop the whole file from the listing
+    // tier. The moov walk is offset-tolerant, so meta is unchanged
+    // (sample offsets shift but stay in-bounds; meta reads no body).
+    val wide = Array[Byte](0, 0, 0, 8) ++ "wide".getBytes
+    val free = Array[Byte](0, 0, 0, 12) ++ "free".getBytes ++
+      Array[Byte](1, 2, 3, 4)
+    for (prefix <- Seq(wide, free, wide ++ free)) {
+      val padded = prefix ++ mp4
+      assert(Mp4Codec.sniff(padded), s"prefix ${prefix.length}B rejected")
+      assert(Mp4Codec.meta(padded).contains(m),
+        s"meta drifted under a ${prefix.length}B prefix")
+    }
+    // an unknown leading type is still not ours
+    assert(!Mp4Codec.sniff(Array[Byte](0, 0, 0, 8) ++ "abcd".getBytes ++ mp4))
+    // a zero-size (runs-to-EOF) leading box can't be followed by moov
+    assert(!Mp4Codec.sniff(Array[Byte](0, 0, 0, 0) ++ "free".getBytes ++ mp4))
   }
 
   test("default chain dispatches mp4 last; kernels see the same rows as the AVI arm") {

@@ -896,6 +896,18 @@ class AnnIndexSpec extends SparkSpec {
     assert(key(AnnIndexIO.search(spark, dir, vecs, "vec_id",
       "embedding", qp, k = 3, nprobe = 3)) == appended)
     graft.CacheRegistry.releaseAll()
+    // 5. the fragmentation-GATED wrapper heals even when the gate does
+    // not trip: a stranded live dir lists 0 files (reads "healthy"), so
+    // without an up-front recover a gated-only maintenance loop would
+    // report false forever while the corpus stays under _prev
+    strand()
+    assert(!AnnIndexIO.compactIfFragmented(spark, dir,
+      maxFiles = 1000000), "gate tripped on a 1-partition table")
+    assert(!prev.exists(),
+      "gated wrapper returned without healing the crash window")
+    assert(key(AnnIndexIO.search(spark, dir, vecs, "vec_id",
+      "embedding", qp, k = 3, nprobe = 3)) == appended)
+    graft.CacheRegistry.releaseAll()
   }
 
   test("quantDrift: a memorizing quantizer (zero baseline) is not read as drift") {

@@ -199,5 +199,15 @@ class FrontierStreamSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet ==
       Set(("http://a.com/p1", "a.com")))
     assert(!prev.exists(), "epoch read left the window unhealed")
+    // the fragmentation-GATED compactor heals even when the gate does
+    // not trip: a stranded live dir lists 0 files (reads "healthy"), so
+    // without an up-front recover a gated-only epoch loop would report
+    // false forever while the seen set stays under _prev
+    strand()
+    assert(!FrontierStream.compactCrawledIfFragmented(spark, crawledPath,
+      maxFiles = 1000000), "gate tripped on a tiny table")
+    assert(!prev.exists(),
+      "gated compactor returned without healing the crash window")
+    assert(spark.read.parquet(crawledPath).count() >= 2L)
   }
 }
