@@ -4105,11 +4105,24 @@ object Oracles {
     // JPEG-in-MP4: same real JDK JPEG codec behind the ISO-BMFF sample-
     // table walk — identical margin argument (Mp4CodecSpec pins it)
     "cv_video_mp4" -> videoPupilsSql,
+    // fragmented (moof/trun) layout of the same samples: demux-invisible
+    "cv_video_mp4_frag" -> videoPupilsSql,
 
     // H.264-shaped mp4 structural tier: track metadata replayed from
     // the fixture's deterministic parameters (avc1, 48×48, nf samples
     // at timescale 600 / 20 ticks per frame) — no sample body read
     "mm_mp4_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  'avc1' AS codec,
+        |  CAST(48 AS INT) AS width, CAST(48 AS INT) AS height,
+        |  CAST(2 + CAST(doc_id AS BIGINT) % 3 AS BIGINT) AS n_samples,
+        |  CAST(600 AS BIGINT) AS timescale,
+        |  CAST((2 + CAST(doc_id AS BIGINT) % 3) * 20 AS BIGINT) AS duration
+        |FROM documents""".stripMargin,
+
+    // fragmented avc1: the listing counts trun-table samples (the moov
+    // tables are empty in fMP4) — same replay, different demux tier
+    "mm_mp4_frag_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  'avc1' AS codec,
         |  CAST(48 AS INT) AS width, CAST(48 AS INT) AS height,

@@ -3483,6 +3483,8 @@ object Queries {
       "cv_video_avi" -> media("video_avi") _,
       "cv_video_mp4" -> media("video_mp4") _,
       "mm_mp4_meta" -> media("video_mp4_avc") _,
+      "cv_video_mp4_frag" -> media("video_mp4_frag") _,
+      "mm_mp4_frag_meta" -> media("video_mp4_frag_avc") _,
       "mm_frame_sample_avi" -> media("video_avi_dib_long") _,
       "mm_video_resize" -> media("video_png") _,
       "cv_subpixel_edge" -> media("edge") _,
@@ -3800,6 +3802,40 @@ object Queries {
       (round(col("center_y"), 6) + 0.0).as("center_y"),
       (round(col("axis_major"), 6) + 0.0).as("axis_major"),
       (round(col("axis_minor"), 6) + 0.0).as("axis_minor"))
+  }
+
+  /** [[cvVideoMp4]] through a FRAGMENTED mp4 (fMP4/CMAF — the layout
+    * streaming captures emit): the moov sample tables are EMPTY and
+    * every frame's byte range resolves from `moof`→`traf`→`tfhd`/`trun`
+    * tables ([[graft.multimodal.Mp4Codec]] §8.8 walk). Same planted
+    * geometry, same JPEG mask-exactness margin, so the oracle is the
+    * progressive arm's replay VERBATIM — attesting that fragmented and
+    * progressive layouts of the same samples are indistinguishable to
+    * every kernel downstream of the demux. */
+  def cvVideoMp4Frag(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{VisionFixtures, VisionOps}
+    val media = VisionFixtures.plantMedia(
+      Tables.documents(s, dir), "doc_id", "video_mp4_frag")
+    VisionOps.detectPupilsVideo(media).select(
+      col("media_id"), col("frame_index"), col("n_dark"),
+      (round(col("center_x"), 6) + 0.0).as("center_x"),
+      (round(col("center_y"), 6) + 0.0).as("center_y"),
+      (round(col("axis_major"), 6) + 0.0).as("axis_major"),
+      (round(col("axis_minor"), 6) + 0.0).as("axis_minor"))
+  }
+
+  /** [[mmMp4Meta]] over FRAGMENTED H.264-shaped mp4: the structural
+    * listing must count `trun`-table samples (the moov tables are
+    * empty in fMP4) — a moov-only scan would report every streaming
+    * capture as zero frames. Oracle: same per-doc replay as
+    * `mm_mp4_meta`. */
+  def mmMp4FragMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{MultimodalOps, VisionFixtures}
+    val media = VisionFixtures.plantMedia(
+      Tables.documents(s, dir), "doc_id", "video_mp4_frag_avc")
+    MultimodalOps.mp4Meta(media).select(
+      col("media_id"), col("codec"), col("width"), col("height"),
+      col("n_samples"), col("timescale"), col("duration"))
   }
 
   /** S1 STRUCTURAL tier over H.264-shaped mp4

@@ -141,6 +141,7 @@ object Mp4Codec {
         (mdiaP, mdiaE) <- child(b, trakP, trakE, "mdia")
         (hdlrP, _) <- child(b, mdiaP, mdiaE, "hdlr")
         if tag(b, hdlrP + 8) == "vide"
+        (tkhdP, _) <- child(b, trakP, trakE, "tkhd")
         (mdhdP, _) <- child(b, mdiaP, mdiaE, "mdhd")
         (minfP, minfE) <- child(b, mdiaP, mdiaE, "minf")
         (stblP, stblE) <- child(b, minfP, minfE, "stbl")
@@ -215,7 +216,17 @@ object Mp4Codec {
           chunkIdx += 1
         }
         if (samples.result().length.toLong != n) return None
-        Track(codec, w, h, tsc, dur, samples.result())
+        // movie fragments (fMP4/CMAF — what streaming captures emit):
+        // the moov tables above cover only the progressive samples
+        // (often ZERO in a fragmented file); the rest live in moof/trun
+        // tables. Resolving them here keeps decode/meta honest — a
+        // fragmented file must never read as "this container holds n
+        // frames" when the fragments hold more (the silent-partial
+        // class of error).
+        val tkv = b(tkhdP) & 0xff // tkhd v1 has 8-byte create/modify
+        val trackId = u32(b, tkhdP + (if (tkv == 1) 20 else 12))
+        val frags = parseFragments(b, trackId).getOrElse(return None)
+        Track(codec, w, h, tsc, dur, samples.result() ++ frags)
       }
       r match {
         case Some(t) => return Some(t)
@@ -223,6 +234,87 @@ object Mp4Codec {
       }
     }
     None
+  }
+
+  /** Sample ranges carried by movie fragments (`moof`→`traf`→`tfhd`/
+    * `trun`, ISO 14496-12 §8.8): `Some(empty)` when the file has no
+    * fragments (the plain progressive case), `None` when fragments
+    * exist but use a layout this walk cannot resolve (missing trun data
+    * offset, no per-sample or default size, a non-first traf relying on
+    * the end-of-previous-traf base default, corrupt tables) — the
+    * caller then fails the WHOLE parse rather than returning the moov
+    * samples as a silent partial. Supported bases: explicit
+    * base-data-offset (0x1), default-base-is-moof (0x20000), and the
+    * first-traf-defaults-to-moof-start rule. */
+  private def parseFragments(b: Array[Byte],
+                             trackId: Long): Option[Vector[(Long, Long)]] = {
+    val out = Vector.newBuilder[(Long, Long)]
+    // STRICT top-level walk (unlike the tolerant children()): a
+    // malformed top-level box must fail the parse, because a fragmented
+    // file truncated mid-moof would otherwise decode its surviving
+    // prefix as a shorter full success — the silent-partial error again
+    val moofs = Vector.newBuilder[(Int, Int)]
+    var top = 0
+    while (top + 8 <= b.length) {
+      box(b, top, b.length) match {
+        case Some((t, p, e, n)) =>
+          if (t == "moof") moofs += ((p, e))
+          top = n
+        case None => return None
+      }
+    }
+    for ((moofP, moofE) <- moofs.result()) {
+      val moofStart = (moofP - 8).toLong
+      var trafIdx = 0
+      for ((trafP, trafE) <- children(b, moofP, moofE, "traf")) {
+        val (tfhdP, _) = child(b, trafP, trafE, "tfhd").getOrElse(return None)
+        val tfFlags = u32(b, tfhdP) & 0xffffffL
+        if (u32(b, tfhdP + 4) == trackId) {
+          // optional tfhd fields, in spec order
+          var p = tfhdP + 8
+          val baseOff: Long =
+            if ((tfFlags & 0x1L) != 0) { val v = u64(b, p); p += 8; v }
+            else if ((tfFlags & 0x20000L) != 0) moofStart
+            else if (trafIdx == 0) moofStart // spec first-traf default
+            else return None // end-of-previous-traf chaining: unsupported
+          if ((tfFlags & 0x2L) != 0) p += 4 // sample_description_index
+          if ((tfFlags & 0x8L) != 0) p += 4 // default_sample_duration
+          val defSize: Long =
+            if ((tfFlags & 0x10L) != 0) { val v = u32(b, p); p += 4; v }
+            else -1L
+          for ((trunP, trunE) <- children(b, trafP, trafE, "trun")) {
+            val trFlags = u32(b, trunP) & 0xffffffL
+            val count = u32(b, trunP + 4)
+            if (count < 0 || count > Int.MaxValue) return None
+            var q = trunP + 8
+            if ((trFlags & 0x1L) == 0) return None // need explicit offset
+            val dataOff = u32(b, q).toInt; q += 4 // signed 32
+            if ((trFlags & 0x4L) != 0) q += 4 // first_sample_flags
+            val hasDur = (trFlags & 0x100L) != 0
+            val hasSize = (trFlags & 0x200L) != 0
+            val hasFl = (trFlags & 0x400L) != 0
+            val hasCts = (trFlags & 0x800L) != 0
+            if (!hasSize && defSize < 0) return None
+            var off = baseOff + dataOff
+            var i = 0
+            while (i < count) {
+              if (hasDur) q += 4
+              val len =
+                if (hasSize) { val v = u32(b, q); q += 4; v } else defSize
+              if (hasFl) q += 4
+              if (hasCts) q += 4
+              if (q > trunE || off < 0 || len < 0 ||
+                off + len > b.length) return None
+              out += ((off, len))
+              off += len
+              i += 1
+            }
+          }
+        }
+        trafIdx += 1
+      }
+    }
+    Some(out.result())
   }
 
   /** Structural metadata for ANY codec — never decodes a sample. */
@@ -288,6 +380,11 @@ object Mp4Codec {
     bbox(typ, ByteBuffer.allocate(4 + payload.length)
       .putInt(version << 24).put(payload).array())
 
+  private def fullF(typ: String, flags: Int,
+                    payload: Array[Byte]): Array[Byte] =
+    bbox(typ, ByteBuffer.allocate(4 + payload.length)
+      .putInt(flags & 0xffffff).put(payload).array())
+
   /** Mux JPEG (or any single-codec) samples into a minimal mp4: ftyp,
     * mdat (samples back-to-back), moov with one `vide` track whose
     * stsd carries `codecTag` and whose stco points into the mdat.
@@ -296,9 +393,7 @@ object Mp4Codec {
   def encode(w: Int, h: Int, samples: Seq[Array[Byte]],
              fps: Int = 30, codecTag: String = "jpeg"): Array[Byte] = {
     require(codecTag.length == 4, "codec tag must be a fourcc")
-    val ftyp = bbox("ftyp", ByteBuffer.allocate(16)
-      .put("isom".getBytes(Ascii)).putInt(0x200)
-      .put("isom".getBytes(Ascii)).put("mp41".getBytes(Ascii)).array())
+    val ftyp = ftypBox
     val mdatPayload = samples.flatten.toArray
     val mdat = bbox("mdat", mdatPayload)
     val firstSample = ftyp.length + 8 // into mdat payload
@@ -310,15 +405,6 @@ object Mp4Codec {
     // VisualSampleEntry: 6 reserved + dref idx + 16 predefined/reserved
     // + w + h + 72 dpi×2 + reserved + frame_count + compressorname(32)
     // + depth + pre_defined
-    val entry = ByteBuffer.allocate(8 + 78)
-    entry.putInt(8 + 78).put(codecTag.getBytes(Ascii))
-      .put(new Array[Byte](6)).putShort(1)
-      .putShort(0).putShort(0).putInt(0).putInt(0).putInt(0)
-      .putShort(w.toShort).putShort(h.toShort)
-      .putInt(0x480000).putInt(0x480000).putInt(0).putShort(1)
-      .put(new Array[Byte](32)).putShort(24).putShort(-1)
-    val stsd = full("stsd", ByteBuffer.allocate(4 + entry.capacity())
-      .putInt(1).put(entry.array()).array())
     val stts = full("stts", ByteBuffer.allocate(12)
       .putInt(1).putInt(n).putInt(delta).array())
     val stsc = full("stsc", ByteBuffer.allocate(16)
@@ -328,7 +414,33 @@ object Mp4Codec {
     val stsz = full("stsz", stszB.array())
     val stco = full("stco", ByteBuffer.allocate(8)
       .putInt(1).putInt(firstSample).array())
-    val stbl = bbox("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val moov = moovBox(w, h, codecTag, timescale, duration.toInt,
+      stts ++ stsc ++ stsz ++ stco, Array.emptyByteArray)
+    ftyp ++ mdat ++ moov
+  }
+
+  private def ftypBox: Array[Byte] =
+    bbox("ftyp", ByteBuffer.allocate(16)
+      .put("isom".getBytes(Ascii)).putInt(0x200)
+      .put("isom".getBytes(Ascii)).put("mp41".getBytes(Ascii)).array())
+
+  /** The shared moov: one `vide` track (track_ID 1) whose stsd carries
+    * `codecTag`; `tables` supplies stts/stsc/stsz/stco (empty tables
+    * for the fragmented form) and `mvex` is appended when fragments
+    * follow. */
+  private def moovBox(w: Int, h: Int, codecTag: String, timescale: Int,
+                      duration: Int, tables: Array[Byte],
+                      mvex: Array[Byte]): Array[Byte] = {
+    val entry = ByteBuffer.allocate(8 + 78)
+    entry.putInt(8 + 78).put(codecTag.getBytes(Ascii))
+      .put(new Array[Byte](6)).putShort(1)
+      .putShort(0).putShort(0).putInt(0).putInt(0).putInt(0)
+      .putShort(w.toShort).putShort(h.toShort)
+      .putInt(0x480000).putInt(0x480000).putInt(0).putShort(1)
+      .put(new Array[Byte](32)).putShort(24).putShort(-1)
+    val stsd = full("stsd", ByteBuffer.allocate(4 + entry.capacity())
+      .putInt(1).put(entry.array()).array())
+    val stbl = bbox("stbl", stsd ++ tables)
     val vmhd = full("vmhd", new Array[Byte](8), version = 0)
     val dref = full("dref", ByteBuffer.allocate(4 + 12).putInt(1)
       .putInt(12).put("url ".getBytes(Ascii)).putInt(1).array())
@@ -338,10 +450,10 @@ object Mp4Codec {
       .putInt(0).put("vide".getBytes(Ascii))
       .putInt(0).putInt(0).putInt(0).put(0.toByte).array())
     val mdhd = full("mdhd", ByteBuffer.allocate(16)
-      .putInt(0).putInt(0).putInt(timescale).putInt(duration.toInt).array())
+      .putInt(0).putInt(0).putInt(timescale).putInt(duration).array())
     val mdia = bbox("mdia", mdhd ++ hdlr ++ minf)
     val tkhd = full("tkhd", ByteBuffer.allocate(80)
-      .putInt(0).putInt(0).putInt(1).putInt(0).putInt(duration.toInt)
+      .putInt(0).putInt(0).putInt(1).putInt(0).putInt(duration)
       .putInt(0).putInt(0).putShort(0).putShort(0).putShort(0).putShort(0)
       .putInt(0x10000).putInt(0).putInt(0)
       .putInt(0).putInt(0x10000).putInt(0)
@@ -349,7 +461,7 @@ object Mp4Codec {
       .putInt(w << 16).putInt(h << 16).array(), version = 0)
     val trak = bbox("trak", tkhd ++ mdia)
     val mvhd = full("mvhd", ByteBuffer.allocate(96)
-      .putInt(0).putInt(0).putInt(timescale).putInt(duration.toInt)
+      .putInt(0).putInt(0).putInt(timescale).putInt(duration)
       .putInt(0x10000).putShort(0x100).putShort(0)
       .putInt(0).putInt(0)
       .putInt(0x10000).putInt(0).putInt(0)
@@ -357,7 +469,50 @@ object Mp4Codec {
       .putInt(0).putInt(0).putInt(0x40000000)
       .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
       .putInt(2).array())
-    val moov = bbox("moov", mvhd ++ trak)
-    ftyp ++ mdat ++ moov
+    bbox("moov", mvhd ++ trak ++ mvex)
+  }
+
+  /** Mux samples as a FRAGMENTED mp4 (the fMP4/CMAF shape streaming
+    * captures emit): ftyp, a moov whose sample tables are EMPTY (the
+    * `mvex`/`trex` declares fragment defaults), then one `moof`+`mdat`
+    * pair per `perFrag` samples — tfhd sets default-base-is-moof, each
+    * trun carries an explicit data offset and per-sample sizes. The
+    * spec/fixture muxer for [[parseFragments]]. */
+  def encodeFragmented(w: Int, h: Int, samples: Seq[Array[Byte]],
+                       perFrag: Int = 2, fps: Int = 30,
+                       codecTag: String = "jpeg"): Array[Byte] = {
+    require(codecTag.length == 4, "codec tag must be a fourcc")
+    require(perFrag >= 1, "perFrag must be >= 1")
+    val timescale = 600
+    val delta = if (fps > 0) timescale / fps else 20
+    val duration = samples.length.toLong * delta
+    val emptyTables =
+      full("stts", ByteBuffer.allocate(4).putInt(0).array()) ++
+      full("stsc", ByteBuffer.allocate(4).putInt(0).array()) ++
+      full("stsz", ByteBuffer.allocate(8).putInt(0).putInt(0).array()) ++
+      full("stco", ByteBuffer.allocate(4).putInt(0).array())
+    val trex = fullF("trex", 0, ByteBuffer.allocate(20)
+      .putInt(1).putInt(1).putInt(delta).putInt(0).putInt(0).array())
+    val moov = moovBox(w, h, codecTag, timescale, duration.toInt,
+      emptyTables, bbox("mvex", trex))
+    val frags = samples.grouped(perFrag).zipWithIndex.map {
+      case (grp, seq) =>
+        val mfhd = full("mfhd", ByteBuffer.allocate(4)
+          .putInt(seq + 1).array())
+        val tfhd = fullF("tfhd", 0x020000, // default-base-is-moof
+          ByteBuffer.allocate(4).putInt(1).array())
+        // moof = 8 + mfhd(16) + traf(8 + tfhd(16) + trun(20 + 4n));
+        // first sample starts right after the following mdat header
+        val trunSz = 20 + 4 * grp.length
+        val moofSz = 8 + 16 + 8 + 16 + trunSz
+        val trunB = ByteBuffer.allocate(8 + 4 * grp.length)
+          .putInt(grp.length).putInt(moofSz + 8)
+        grp.foreach(s => trunB.putInt(s.length))
+        val trun = fullF("trun", 0x000201, trunB.array()) // offset+sizes
+        val moof = bbox("moof", mfhd ++ bbox("traf", tfhd ++ trun))
+        assert(moof.length == moofSz, s"moof size drift: ${moof.length}")
+        moof ++ bbox("mdat", grp.flatten.toArray)
+    }
+    ftypBox ++ moov ++ frags.flatten.toArray
   }
 }

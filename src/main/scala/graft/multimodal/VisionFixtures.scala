@@ -329,14 +329,32 @@ object VisionFixtures {
     * full track metadata while [[Mp4Codec.decode]] honestly returns
     * `None` — the listing pass a 100 TB video corpus runs before
     * committing decode CPU. */
-  def renderVideoMp4Avc(id: Long): Array[Byte] = {
+  private def avcSamples(id: Long): Seq[Array[Byte]] = {
     val nf = videoParams(id)._1
-    val samples = (0 until nf).map { f =>
+    (0 until nf).map { f =>
       Array.tabulate(50 + ((id + f) % 30).toInt)(j =>
         ((id * 31 + f * 7 + j) % 256).toByte)
     }
-    Mp4Codec.encode(48, 48, samples, codecTag = "avc1")
   }
+
+  def renderVideoMp4Avc(id: Long): Array[Byte] =
+    Mp4Codec.encode(48, 48, avcSamples(id), codecTag = "avc1")
+
+  /** FRAGMENTED mp4 (fMP4/CMAF, [[Mp4Codec.encodeFragmented]]): the
+    * same drifting-pupil JPEG samples split across moof+mdat fragments
+    * of 2 — the layout streaming captures emit, where the moov sample
+    * tables are EMPTY and every frame lives in a trun table. */
+  def renderVideoMp4Frag(id: Long): Array[Byte] = {
+    val (_, planes) = videoPlanes(id)
+    Mp4Codec.encodeFragmented(48, 48,
+      planes.map(p => AviCodec.jpegGray(48, 48, p)), perFrag = 2)
+  }
+
+  /** H.264-shaped FRAGMENTED mp4: the structural tier must count
+    * trun-table samples, not the (empty) moov tables. */
+  def renderVideoMp4FragAvc(id: Long): Array[Byte] =
+    Mp4Codec.encodeFragmented(48, 48, avcSamples(id), perFrag = 2,
+      codecTag = "avc1")
 
   /** Plant a media table (media_id, bytes, meta) from any id column:
     * one real PNG per row. `kind` ∈ pupil | checkerboard | circles. */
@@ -383,6 +401,12 @@ object VisionFixtures {
       case "video_mp4_avc" => id =>
         val nf = videoParams(id)._1
         (renderVideoMp4Avc(id), "video/mp4", 48, 48, nf)
+      case "video_mp4_frag" => id =>
+        val nf = videoParams(id)._1
+        (renderVideoMp4Frag(id), "video/mp4", 48, 48, nf)
+      case "video_mp4_frag_avc" => id =>
+        val nf = videoParams(id)._1
+        (renderVideoMp4FragAvc(id), "video/mp4", 48, 48, nf)
       case "video_long" => id =>
         val nf = videoLongParams(id)._1
         (renderVideoLongPng(id), "video/x-graft-png", 48, 48, nf)

@@ -187,6 +187,8 @@ class PlanAuditSpec extends SparkSpec {
         ("cv_video_pupils", 1, Queries.cvVideoPupils(spark, dir)),
         ("cv_video_mp4", 1, Queries.cvVideoMp4(spark, dir)),
         ("mm_mp4_meta", 1, Queries.mmMp4Meta(spark, dir)),
+        ("cv_video_mp4_frag", 1, Queries.cvVideoMp4Frag(spark, dir)),
+        ("mm_mp4_frag_meta", 1, Queries.mmMp4FragMeta(spark, dir)),
         ("audio_features", 1, Queries.audioFeatures(spark, dir)))) {
       val p = plan(df)
       val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

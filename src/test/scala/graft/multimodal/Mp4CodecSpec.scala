@@ -126,6 +126,59 @@ class Mp4CodecSpec extends SparkSpec {
     }
   }
 
+  test("fragmented mp4 (moof/trun): decode == progressive, meta counts trun samples") {
+    for (id <- Seq(1L, 5L, 9L)) {
+      val (w, nf, planes) = plantedPlanes(id)
+      val jpegs = planes.map(p => AviCodec.jpegGray(w, w, p))
+      val prog = Mp4Codec.encode(w, w, jpegs)
+      val frag = Mp4Codec.encodeFragmented(w, w, jpegs, perFrag = 2)
+      // the fragmented layout is demux-invisible: same frames, same
+      // pixels as the progressive mux of the same samples
+      val pf = Mp4Codec.decode(prog).get
+      val ff = Mp4Codec.decode(frag).get
+      assert(ff.length == nf, s"id=$id: ${ff.length} frames, want $nf")
+      pf.zip(ff).foreach { case (a, c) =>
+        assert(a.px.sameElements(c.px), s"id=$id fragmented pixels drift")
+      }
+      // the structural tier counts trun samples (moov tables are empty)
+      val m = Mp4Codec.meta(frag).get
+      assert(m.codec == "jpeg" && m.nSamples == nf &&
+        m.width == w && m.height == w, s"id=$id meta: $m")
+      // strided indices are global across fragments
+      val strided = Mp4Codec.decodeStrided(frag, 2).get.toSeq
+      assert(strided.map(_._1) == (0 until nf by 2).toSeq)
+      strided.foreach { case (f, g) => assert(g.px.sameElements(pf(f).px)) }
+    }
+    // fragmented avc1: trun-counted metadata, honest decode deferral —
+    // a moov-only scan would list every streaming capture as 0 frames
+    val avcF = VisionFixtures.renderVideoMp4FragAvc(5L)
+    val ma = Mp4Codec.meta(avcF).get
+    assert(ma.codec == "avc1" &&
+      ma.nSamples == VisionFixtures.videoParams(5L)._1)
+    assert(Mp4Codec.decode(avcF).isEmpty &&
+      VideoDecoder.default.frames(avcF).isEmpty)
+  }
+
+  test("fragmented mp4 truncation: mid-structure cuts fail, never a shorter success") {
+    val (w, nf, planes) = plantedPlanes(1L)
+    assert(nf >= 2, "need >= 2 fragments for the truncation to bite")
+    val frag = Mp4Codec.encodeFragmented(w, w,
+      planes.map(p => AviCodec.jpegGray(w, w, p)), perFrag = 1)
+    // any cut through a trailing fragment (or its header) must fail the
+    // WHOLE blob — returning the surviving prefix would be the silent
+    // partial decode of a truncated streaming capture
+    for (cut <- Seq(frag.length - 3, frag.length - 20,
+        frag.length * 3 / 4, frag.length / 2))
+      assert(Mp4Codec.decode(frag.take(cut)).isEmpty, s"cut=$cut")
+    // byte-flip fuzz across the whole blob (trun tables included)
+    val rng = new scala.util.Random(9012)
+    for (_ <- 0 until 300) {
+      val b = frag.clone()
+      b(rng.nextInt(b.length)) = rng.nextInt(256).toByte
+      Mp4Codec.decode(b); Mp4Codec.meta(b) // throwing is the failure
+    }
+  }
+
   test("sniff hops leading wide/free padding boxes (QuickTime lineage)") {
     val (w, _, planes) = plantedPlanes(3L)
     val mp4 = Mp4Codec.encode(w, w, planes.map(p => AviCodec.jpegGray(w, w, p)))
