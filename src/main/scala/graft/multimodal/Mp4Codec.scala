@@ -389,14 +389,23 @@ object Mp4Codec {
     * mdat (samples back-to-back), moov with one `vide` track whose
     * stsd carries `codecTag` and whose stco points into the mdat.
     * `codecTag` defaults to "jpeg" (decodable); pass "avc1" to build a
-    * metadata-only fixture (payloads opaque). */
+    * metadata-only fixture (payloads opaque). `largeFile = true` emits
+    * the >4 GB shapes — a 64-bit `largesize` mdat header and `co64`
+    * chunk offsets (what the reference's 4 GB session videos require) —
+    * so the 64-bit parse paths are PINNABLE on small fixtures. */
   def encode(w: Int, h: Int, samples: Seq[Array[Byte]],
-             fps: Int = 30, codecTag: String = "jpeg"): Array[Byte] = {
+             fps: Int = 30, codecTag: String = "jpeg",
+             largeFile: Boolean = false): Array[Byte] = {
     require(codecTag.length == 4, "codec tag must be a fourcc")
     val ftyp = ftypBox
     val mdatPayload = samples.flatten.toArray
-    val mdat = bbox("mdat", mdatPayload)
-    val firstSample = ftyp.length + 8 // into mdat payload
+    val mdat =
+      if (largeFile) ByteBuffer.allocate(16 + mdatPayload.length)
+        .putInt(1).put("mdat".getBytes(Ascii))
+        .putLong(16L + mdatPayload.length).put(mdatPayload).array()
+      else bbox("mdat", mdatPayload)
+    val mdatHdr = if (largeFile) 16 else 8
+    val firstSample = ftyp.length + mdatHdr // into mdat payload
     val n = samples.length
     val timescale = 600
     val delta = if (fps > 0) timescale / fps else 20
@@ -412,10 +421,13 @@ object Mp4Codec {
     val stszB = ByteBuffer.allocate(8 + 4 * n).putInt(0).putInt(n)
     samples.foreach(s => stszB.putInt(s.length))
     val stsz = full("stsz", stszB.array())
-    val stco = full("stco", ByteBuffer.allocate(8)
-      .putInt(1).putInt(firstSample).array())
+    val chunkOffs =
+      if (largeFile) full("co64", ByteBuffer.allocate(12)
+        .putInt(1).putLong(firstSample.toLong).array())
+      else full("stco", ByteBuffer.allocate(8)
+        .putInt(1).putInt(firstSample).array())
     val moov = moovBox(w, h, codecTag, timescale, duration.toInt,
-      stts ++ stsc ++ stsz ++ stco, Array.emptyByteArray)
+      stts ++ stsc ++ stsz ++ chunkOffs, Array.emptyByteArray)
     ftyp ++ mdat ++ moov
   }
 

@@ -126,6 +126,27 @@ class Mp4CodecSpec extends SparkSpec {
     }
   }
 
+  test("large-file shapes: largesize mdat + co64 offsets decode identically") {
+    // >4 GB files (the reference's session videos) REQUIRE the 64-bit
+    // container shapes; pin the parse paths on a small fixture muxed
+    // with them — bit-identical frames, identical metadata, and the
+    // mjpa (QuickTime motion-JPEG) tag dispatches like jpeg
+    for (tagName <- Seq("jpeg", "mjpa")) {
+      val (w, nf, planes) = plantedPlanes(7L)
+      val jpegs = planes.map(p => AviCodec.jpegGray(w, w, p))
+      val small = Mp4Codec.encode(w, w, jpegs, codecTag = tagName)
+      val large = Mp4Codec.encode(w, w, jpegs, codecTag = tagName,
+        largeFile = true)
+      val a = Mp4Codec.decode(small).get
+      val b = Mp4Codec.decode(large).get
+      assert(a.length == nf && b.length == nf, s"tag=$tagName")
+      a.zip(b).foreach { case (x, y) =>
+        assert(x.px.sameElements(y.px), s"tag=$tagName 64-bit path drift") }
+      val (ms, ml) = (Mp4Codec.meta(small).get, Mp4Codec.meta(large).get)
+      assert(ms == ml && ml.nSamples == nf, s"tag=$tagName meta drift")
+    }
+  }
+
   test("fragmented mp4 (moof/trun): decode == progressive, meta counts trun samples") {
     for (id <- Seq(1L, 5L, 9L)) {
       val (w, nf, planes) = plantedPlanes(id)
