@@ -431,6 +431,47 @@ object Mp4Codec {
     ftyp ++ mdat ++ moov
   }
 
+  /** Mux with an EXPLICIT chunk layout — multiple `stco` entries and
+    * run-length-encoded `stsc` runs, the shape real progressive muxers
+    * emit when interleaving tracks. Pins the stsc run-expansion walk
+    * beyond the single-chunk layout [[encode]] produces. */
+  def encodeChunked(w: Int, h: Int, chunks: Seq[Seq[Array[Byte]]],
+                    fps: Int = 30,
+                    codecTag: String = "jpeg"): Array[Byte] = {
+    require(codecTag.length == 4, "codec tag must be a fourcc")
+    require(chunks.nonEmpty && chunks.forall(_.nonEmpty),
+      "every chunk must hold at least one sample")
+    val ftyp = ftypBox
+    val samples = chunks.flatten
+    val mdat = bbox("mdat", samples.flatten.toArray)
+    val n = samples.length
+    val timescale = 600
+    val delta = if (fps > 0) timescale / fps else 20
+    val stts = full("stts", ByteBuffer.allocate(12)
+      .putInt(1).putInt(n).putInt(delta).array())
+    // stsc: RLE over samples-per-chunk (first_chunk is 1-based)
+    val runs = chunks.map(_.length).zipWithIndex
+      .foldLeft(Vector.empty[(Int, Int)]) { case (acc, (spc, i)) =>
+        if (acc.nonEmpty && acc.last._2 == spc) acc
+        else acc :+ ((i + 1, spc))
+      }
+    val stscB = ByteBuffer.allocate(4 + 12 * runs.length).putInt(runs.length)
+    runs.foreach { case (first, spc) =>
+      stscB.putInt(first).putInt(spc).putInt(1) }
+    val stsc = full("stsc", stscB.array())
+    val stszB = ByteBuffer.allocate(8 + 4 * n).putInt(0).putInt(n)
+    samples.foreach(s => stszB.putInt(s.length))
+    val stsz = full("stsz", stszB.array())
+    val offs = chunks.scanLeft(ftyp.length + 8) { (off, c) =>
+      off + c.map(_.length).sum }.init
+    val stcoB = ByteBuffer.allocate(4 + 4 * offs.length).putInt(offs.length)
+    offs.foreach(stcoB.putInt)
+    val stco = full("stco", stcoB.array())
+    val moov = moovBox(w, h, codecTag, timescale, (n.toLong * delta).toInt,
+      stts ++ stsc ++ stsz ++ stco, Array.emptyByteArray)
+    ftyp ++ mdat ++ moov
+  }
+
   private def ftypBox: Array[Byte] =
     bbox("ftyp", ByteBuffer.allocate(16)
       .put("isom".getBytes(Ascii)).putInt(0x200)

@@ -126,6 +126,31 @@ class Mp4CodecSpec extends SparkSpec {
     }
   }
 
+  test("multi-chunk layouts: stsc run expansion matches the single-chunk decode") {
+    // real progressive muxers interleave tracks, so samples arrive in
+    // MANY chunks with run-length-encoded samples-per-chunk; the
+    // expansion walk (run advancement + per-chunk byte walk) must yield
+    // exactly the single-chunk frames for any chunking of the same
+    // samples — including patterns whose equal neighbors RLE-collapse
+    val (w, _, planes) = plantedPlanes(2L)
+    val many = (planes ++ planes ++ planes).take(7)
+    val jpegs = many.map(p => AviCodec.jpegGray(w, w, p))
+    val ref = Mp4Codec.decode(Mp4Codec.encode(w, w, jpegs)).get
+    for (pattern <- Seq(Seq(3, 1, 2, 1), Seq(2, 2, 3), Seq(1, 1, 1, 1, 1, 1, 1),
+        Seq(7))) {
+      assert(pattern.sum == 7)
+      val chunks = pattern.foldLeft((jpegs, Vector.empty[Seq[Array[Byte]]])) {
+        case ((rest, acc), k) => (rest.drop(k), acc :+ rest.take(k))
+      }._2
+      val blob = Mp4Codec.encodeChunked(w, w, chunks)
+      val got = Mp4Codec.decode(blob).get
+      assert(got.length == 7, s"pattern=$pattern: ${got.length} frames")
+      got.zip(ref).foreach { case (a, b) =>
+        assert(a.px.sameElements(b.px), s"pattern=$pattern frame drift") }
+      assert(Mp4Codec.meta(blob).get.nSamples == 7L, s"pattern=$pattern")
+    }
+  }
+
   test("large-file shapes: largesize mdat + co64 offsets decode identically") {
     // >4 GB files (the reference's session videos) REQUIRE the 64-bit
     // container shapes; pin the parse paths on a small fixture muxed
