@@ -3740,10 +3740,15 @@ object Queries {
     * the reference's find_pupils-over-video shape
     * (pupil_detection_pl.py:94-133). The oracle replays the per-frame
     * inclusion rule and moment arithmetic over the integer grid. */
-  def cvVideoPupils(s: SparkSession, dir: String): DataFrame = {
+  /** THE pupil-video select list — the hash-normalization columns
+    * (round 6dp + 0.0, the oracle-parity discipline) exist ONCE, so the
+    * "progressive == fragmented == AVI == PNG == raw" oracle family can
+    * never silently desynchronize across containers. */
+  private def pupilVideoQuery(kind: String)(s: SparkSession,
+                                            dir: String): DataFrame = {
     import graft.multimodal.{VisionFixtures, VisionOps}
     val media = VisionFixtures.plantMedia(
-      Tables.documents(s, dir), "doc_id", "video")
+      Tables.documents(s, dir), "doc_id", kind)
     VisionOps.detectPupilsVideo(media).select(
       col("media_id"), col("frame_index"), col("n_dark"),
       (round(col("center_x"), 6) + 0.0).as("center_x"),
@@ -3751,6 +3756,21 @@ object Queries {
       (round(col("axis_major"), 6) + 0.0).as("axis_major"),
       (round(col("axis_minor"), 6) + 0.0).as("axis_minor"))
   }
+
+  /** The mp4 structural-tier select, shared by the progressive and
+    * fragmented meta rows. */
+  private def mp4MetaQuery(kind: String)(s: SparkSession,
+                                         dir: String): DataFrame = {
+    import graft.multimodal.{MultimodalOps, VisionFixtures}
+    val media = VisionFixtures.plantMedia(
+      Tables.documents(s, dir), "doc_id", kind)
+    MultimodalOps.mp4Meta(media).select(
+      col("media_id"), col("codec"), col("width"), col("height"),
+      col("n_samples"), col("timescale"), col("duration"))
+  }
+
+  def cvVideoPupils(s: SparkSession, dir: String): DataFrame =
+    pupilVideoQuery("video")(s, dir)
 
   /** S1 video batch scan over the PNG-FRAMED container: same planted
     * drifting-pupil geometry as `cv_video_pupils`, but every frame passes
@@ -3768,17 +3788,8 @@ object Queries {
     * orders above max-quality grayscale JPEG error — so the dark mask
     * (and every moment over it) is bit-identical to the planted raster
     * (AviCodecSpec pins the claim per pixel). */
-  def cvVideoAvi(s: SparkSession, dir: String): DataFrame = {
-    import graft.multimodal.{VisionFixtures, VisionOps}
-    val media = VisionFixtures.plantMedia(
-      Tables.documents(s, dir), "doc_id", "video_avi")
-    VisionOps.detectPupilsVideo(media).select(
-      col("media_id"), col("frame_index"), col("n_dark"),
-      (round(col("center_x"), 6) + 0.0).as("center_x"),
-      (round(col("center_y"), 6) + 0.0).as("center_y"),
-      (round(col("axis_major"), 6) + 0.0).as("axis_major"),
-      (round(col("axis_minor"), 6) + 0.0).as("axis_minor"))
-  }
+  def cvVideoAvi(s: SparkSession, dir: String): DataFrame =
+    pupilVideoQuery("video_avi")(s, dir)
 
   /** S1 video batch scan over the container the reference ACTUALLY
     * ingests — ISO-BMFF mp4 (`world.mp4`/`eye0.mp4`,
@@ -3792,17 +3803,8 @@ object Queries {
     * max-quality grayscale JPEG error, so the dark mask (and every
     * moment over it) is bit-identical to the planted raster
     * (Mp4CodecSpec pins the claim per pixel). */
-  def cvVideoMp4(s: SparkSession, dir: String): DataFrame = {
-    import graft.multimodal.{VisionFixtures, VisionOps}
-    val media = VisionFixtures.plantMedia(
-      Tables.documents(s, dir), "doc_id", "video_mp4")
-    VisionOps.detectPupilsVideo(media).select(
-      col("media_id"), col("frame_index"), col("n_dark"),
-      (round(col("center_x"), 6) + 0.0).as("center_x"),
-      (round(col("center_y"), 6) + 0.0).as("center_y"),
-      (round(col("axis_major"), 6) + 0.0).as("axis_major"),
-      (round(col("axis_minor"), 6) + 0.0).as("axis_minor"))
-  }
+  def cvVideoMp4(s: SparkSession, dir: String): DataFrame =
+    pupilVideoQuery("video_mp4")(s, dir)
 
   /** [[cvVideoMp4]] through a FRAGMENTED mp4 (fMP4/CMAF — the layout
     * streaming captures emit): the moov sample tables are EMPTY and
@@ -3812,31 +3814,16 @@ object Queries {
     * progressive arm's replay VERBATIM — attesting that fragmented and
     * progressive layouts of the same samples are indistinguishable to
     * every kernel downstream of the demux. */
-  def cvVideoMp4Frag(s: SparkSession, dir: String): DataFrame = {
-    import graft.multimodal.{VisionFixtures, VisionOps}
-    val media = VisionFixtures.plantMedia(
-      Tables.documents(s, dir), "doc_id", "video_mp4_frag")
-    VisionOps.detectPupilsVideo(media).select(
-      col("media_id"), col("frame_index"), col("n_dark"),
-      (round(col("center_x"), 6) + 0.0).as("center_x"),
-      (round(col("center_y"), 6) + 0.0).as("center_y"),
-      (round(col("axis_major"), 6) + 0.0).as("axis_major"),
-      (round(col("axis_minor"), 6) + 0.0).as("axis_minor"))
-  }
+  def cvVideoMp4Frag(s: SparkSession, dir: String): DataFrame =
+    pupilVideoQuery("video_mp4_frag")(s, dir)
 
   /** [[mmMp4Meta]] over FRAGMENTED H.264-shaped mp4: the structural
     * listing must count `trun`-table samples (the moov tables are
     * empty in fMP4) — a moov-only scan would report every streaming
     * capture as zero frames. Oracle: same per-doc replay as
     * `mm_mp4_meta`. */
-  def mmMp4FragMeta(s: SparkSession, dir: String): DataFrame = {
-    import graft.multimodal.{MultimodalOps, VisionFixtures}
-    val media = VisionFixtures.plantMedia(
-      Tables.documents(s, dir), "doc_id", "video_mp4_frag_avc")
-    MultimodalOps.mp4Meta(media).select(
-      col("media_id"), col("codec"), col("width"), col("height"),
-      col("n_samples"), col("timescale"), col("duration"))
-  }
+  def mmMp4FragMeta(s: SparkSession, dir: String): DataFrame =
+    mp4MetaQuery("video_mp4_frag_avc")(s, dir)
 
   /** S1 STRUCTURAL tier over H.264-shaped mp4
     * ([[graft.multimodal.MultimodalOps.mp4Meta]]): `avc1` tracks the JVM
@@ -3846,26 +3833,11 @@ object Queries {
     * mp4 corpus runs BEFORE committing decode CPU, and the honest
     * boundary of a codec-less JVM (decode defers, metadata does not).
     * Oracle: the fixture's track parameters replayed from `doc_id`. */
-  def mmMp4Meta(s: SparkSession, dir: String): DataFrame = {
-    import graft.multimodal.{MultimodalOps, VisionFixtures}
-    val media = VisionFixtures.plantMedia(
-      Tables.documents(s, dir), "doc_id", "video_mp4_avc")
-    MultimodalOps.mp4Meta(media).select(
-      col("media_id"), col("codec"), col("width"), col("height"),
-      col("n_samples"), col("timescale"), col("duration"))
-  }
+  def mmMp4Meta(s: SparkSession, dir: String): DataFrame =
+    mp4MetaQuery("video_mp4_avc")(s, dir)
 
-  def cvVideoPng(s: SparkSession, dir: String): DataFrame = {
-    import graft.multimodal.{VisionFixtures, VisionOps}
-    val media = VisionFixtures.plantMedia(
-      Tables.documents(s, dir), "doc_id", "video_png")
-    VisionOps.detectPupilsVideo(media).select(
-      col("media_id"), col("frame_index"), col("n_dark"),
-      (round(col("center_x"), 6) + 0.0).as("center_x"),
-      (round(col("center_y"), 6) + 0.0).as("center_y"),
-      (round(col("axis_major"), 6) + 0.0).as("axis_major"),
-      (round(col("axis_minor"), 6) + 0.0).as("axis_minor"))
-  }
+  def cvVideoPng(s: SparkSession, dir: String): DataFrame =
+    pupilVideoQuery("video_png")(s, dir)
 
   /** Sub-pixel edge localization (the cornerSubPix tier,
     * marker_detection.py:234-240, restated in 1-D): planted anti-aliased

@@ -146,8 +146,8 @@ object Mp4Codec {
         (minfP, minfE) <- child(b, mdiaP, mdiaE, "minf")
         (stblP, stblE) <- child(b, minfP, minfE, "stbl")
         (stsdP, stsdE) <- child(b, stblP, stblE, "stsd")
-        (stszP, _) <- child(b, stblP, stblE, "stsz")
-        (stscP, _) <- child(b, stblP, stblE, "stsc")
+        (stszP, stszE) <- child(b, stblP, stblE, "stsz")
+        (stscP, stscE) <- child(b, stblP, stblE, "stsc")
       } yield {
         // mdhd: v0 timescale@12 duration@16 (u32); v1 @20 (u32) / @24 (u64)
         val v = b(mdhdP) & 0xff
@@ -162,35 +162,43 @@ object Mp4Codec {
         val codec = tag(b, entry + 4)
         val w = u16(b, entry + 32)
         val h = u16(b, entry + 34)
-        // stsz: sample_size@4 (0 = table), count@8, sizes
+        // stsz: sample_size@4 (0 = table), count@8, sizes. Every count
+        // is validated against the BOX'S OWN byte length BEFORE any
+        // allocation — a corrupt count must fail to None, not
+        // materialize a multi-GB table (OOM is a VirtualMachineError
+        // the never-throw handlers cannot catch).
         val fixedSz = u32(b, stszP + 4)
-        val n = u32(b, stszP + 8)
-        if (n < 0 || n > Int.MaxValue) return None
-        val sizes = (0L until n).map { i =>
-          if (fixedSz != 0) fixedSz else u32(b, stszP + 12 + 4 * i.toInt)
+        val n0 = u32(b, stszP + 8)
+        if (n0 < 0 || n0 > Int.MaxValue) return None
+        if (fixedSz == 0 && 12L + 4L * n0 > (stszE - stszP).toLong)
+          return None
+        val n = n0.toInt
+        val sizes = Array.tabulate(n) { i =>
+          if (fixedSz != 0) fixedSz else u32(b, stszP + 12 + 4 * i)
         }
         if (sizes.exists(_ < 0)) return None
         // chunk offsets: stco (u32) or co64 (u64)
-        val offsets: Seq[Long] =
+        val offsets: Array[Long] =
           child(b, stblP, stblE, "stco") match {
-            case Some((p, _)) =>
+            case Some((p, e)) =>
               val c = u32(b, p + 4)
-              if (c < 0 || c > Int.MaxValue) return None
-              (0L until c).map(i => u32(b, p + 8 + 4 * i.toInt))
+              if (c < 0 || 8L + 4L * c > (e - p).toLong) return None
+              Array.tabulate(c.toInt)(i => u32(b, p + 8 + 4 * i))
             case None => child(b, stblP, stblE, "co64") match {
-              case Some((p, _)) =>
+              case Some((p, e)) =>
                 val c = u32(b, p + 4)
-                if (c < 0 || c > Int.MaxValue) return None
-                (0L until c).map(i => u64(b, p + 8 + 8 * i.toInt))
+                if (c < 0 || 8L + 8L * c > (e - p).toLong) return None
+                Array.tabulate(c.toInt)(i => u64(b, p + 8 + 8 * i))
               case None => return None
             }
           }
         if (offsets.exists(_ < 0)) return None
         // stsc runs: (first_chunk 1-based, samples_per_chunk)
         val nRuns = u32(b, stscP + 4)
-        if (nRuns < 0 || nRuns > Int.MaxValue) return None
-        val runs = (0L until nRuns).map { i =>
-          val base = stscP + 8 + 12 * i.toInt
+        if (nRuns < 0 || 8L + 12L * nRuns > (stscE - stscP).toLong)
+          return None
+        val runs = Array.tabulate(nRuns.toInt) { i =>
+          val base = stscP + 8 + 12 * i
           (u32(b, base), u32(b, base + 4))
         }
         if (runs.exists(r => r._1 < 1 || r._2 < 1)) return None
@@ -215,7 +223,8 @@ object Mp4Codec {
           }
           chunkIdx += 1
         }
-        if (samples.result().length.toLong != n) return None
+        val moovSamples0 = samples.result()
+        if (moovSamples0.length != n) return None
         // movie fragments (fMP4/CMAF — what streaming captures emit):
         // the moov tables above cover only the progressive samples
         // (often ZERO in a fragmented file); the rest live in moof/trun
@@ -225,8 +234,15 @@ object Mp4Codec {
         // class of error).
         val tkv = b(tkhdP) & 0xff // tkhd v1 has 8-byte create/modify
         val trackId = u32(b, tkhdP + (if (tkv == 1) 20 else 12))
-        val frags = parseFragments(b, trackId).getOrElse(return None)
-        Track(codec, w, h, tsc, dur, samples.result() ++ frags)
+        val hasMvex = child(b, moovP, moovE, "mvex").isDefined
+        val (frags, moofsUnmatched) =
+          parseFragments(b, trackId, hasMvex).getOrElse(return None)
+        // moofs exist, none carried this track, and the moov tables are
+        // empty too: a corrupt tkhd track_ID reading as garbage would
+        // otherwise turn a streaming capture into a zero-frame SUCCESS
+        if (moovSamples0.isEmpty && frags.isEmpty && moofsUnmatched)
+          return None
+        Track(codec, w, h, tsc, dur, moovSamples0 ++ frags)
       }
       r match {
         case Some(t) => return Some(t)
@@ -237,39 +253,57 @@ object Mp4Codec {
   }
 
   /** Sample ranges carried by movie fragments (`moof`→`traf`→`tfhd`/
-    * `trun`, ISO 14496-12 §8.8): `Some(empty)` when the file has no
-    * fragments (the plain progressive case), `None` when fragments
-    * exist but use a layout this walk cannot resolve (missing trun data
-    * offset, no per-sample or default size, a non-first traf relying on
-    * the end-of-previous-traf base default, corrupt tables) — the
-    * caller then fails the WHOLE parse rather than returning the moov
-    * samples as a silent partial. Supported bases: explicit
-    * base-data-offset (0x1), default-base-is-moof (0x20000), and the
-    * first-traf-defaults-to-moof-start rule. */
-  private def parseFragments(b: Array[Byte],
-                             trackId: Long): Option[Vector[(Long, Long)]] = {
+    * `trun`, ISO 14496-12 §8.8). Returns `(samples, moofsUnmatched)`:
+    * empty samples when the file has no fragments (the plain
+    * progressive case), `None` when fragments exist but use a layout
+    * this walk cannot resolve (missing trun data offset, no per-sample
+    * or default size, a non-first traf relying on the
+    * end-of-previous-traf base default, corrupt tables) — the caller
+    * then fails the WHOLE parse rather than returning the moov samples
+    * as a silent partial. `moofsUnmatched` = moofs exist but none
+    * carried this track (legal when the track is fully progressive;
+    * the silent-empty hazard when the moov tables are ALSO empty — the
+    * caller decides). `expectFrags` (the moov declared `mvex`) makes
+    * the top-level walk strict even before the first moof. Supported
+    * bases: explicit base-data-offset (0x1), default-base-is-moof
+    * (0x20000), and the first-traf-defaults-to-moof-start rule. */
+  private def parseFragments(
+      b: Array[Byte], trackId: Long,
+      expectFrags: Boolean): Option[(Vector[(Long, Long)], Boolean)] = {
     val out = Vector.newBuilder[(Long, Long)]
-    // STRICT top-level walk (unlike the tolerant children()): a
-    // malformed top-level box must fail the parse, because a fragmented
-    // file truncated mid-moof would otherwise decode its surviving
-    // prefix as a shorter full success — the silent-partial error again
-    val moofs = Vector.newBuilder[(Int, Int)]
+    // Top-level walk, STRICT once fragments are in play (unlike the
+    // tolerant children()): a malformed top-level box must fail the
+    // parse when the file declares fragments (mvex) or has already
+    // shown a moof — a fragmented file truncated mid-moof would
+    // otherwise decode its surviving prefix as a shorter full success.
+    // A plain progressive file (no mvex, no moof yet) keeps its old
+    // tolerance for trailing non-box data (vendor trailers like
+    // Samsung SEF / GoPro appendices), which never held frames.
+    // (moofBoxStart, payloadStart, payloadEnd) — the box's TRUE start
+    // is recorded, not reconstructed as payload-8, so a 64-bit
+    // largesize moof header keeps default-base-is-moof offsets right.
+    val moofs = Vector.newBuilder[(Long, Int, Int)]
+    var sawMoof = false
     var top = 0
-    while (top + 8 <= b.length) {
+    var walking = true
+    while (walking && top + 8 <= b.length) {
       box(b, top, b.length) match {
         case Some((t, p, e, n)) =>
-          if (t == "moof") moofs += ((p, e))
+          if (t == "moof") { moofs += ((top.toLong, p, e)); sawMoof = true }
           top = n
-        case None => return None
+        case None =>
+          if (expectFrags || sawMoof) return None
+          walking = false // trailing junk on a progressive file
       }
     }
-    for ((moofP, moofE) <- moofs.result()) {
-      val moofStart = (moofP - 8).toLong
+    var matchedTraf = false
+    for ((moofStart, moofP, moofE) <- moofs.result()) {
       var trafIdx = 0
       for ((trafP, trafE) <- children(b, moofP, moofE, "traf")) {
         val (tfhdP, _) = child(b, trafP, trafE, "tfhd").getOrElse(return None)
         val tfFlags = u32(b, tfhdP) & 0xffffffL
         if (u32(b, tfhdP + 4) == trackId) {
+          matchedTraf = true
           // optional tfhd fields, in spec order
           var p = tfhdP + 8
           val baseOff: Long =
@@ -295,6 +329,18 @@ object Mp4Codec {
             val hasFl = (trFlags & 0x400L) != 0
             val hasCts = (trFlags & 0x800L) != 0
             if (!hasSize && defSize < 0) return None
+            // bound count BEFORE appending anything: a corrupt count
+            // must fail to None, never allocate 2^31 tuples (OOM is a
+            // VirtualMachineError the never-throw handlers can't catch)
+            val perSample = (if (hasDur) 4 else 0) + (if (hasSize) 4 else 0) +
+              (if (hasFl) 4 else 0) + (if (hasCts) 4 else 0)
+            if (perSample > 0) {
+              if (q + perSample.toLong * count > trunE) return None
+            } else {
+              // fixed-size samples: the run must fit in the file
+              if (defSize <= 0 ||
+                baseOff + dataOff + defSize * count > b.length) return None
+            }
             var off = baseOff + dataOff
             var i = 0
             while (i < count) {
@@ -314,7 +360,11 @@ object Mp4Codec {
         trafIdx += 1
       }
     }
-    Some(out.result())
+    // moofs present but NONE carried the video track while the moov
+    // tables are also empty = the silent-empty hazard (a corrupt tkhd
+    // track_ID reading as garbage) — the CALLER decides with its moov
+    // sample count; we report what we saw.
+    Some((out.result(), sawMoof && !matchedTraf))
   }
 
   /** Structural metadata for ANY codec — never decodes a sample. */

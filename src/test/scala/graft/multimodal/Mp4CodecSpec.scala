@@ -225,6 +225,41 @@ class Mp4CodecSpec extends SparkSpec {
     }
   }
 
+  test("hardening: trailing junk, corrupt counts, and garbage track ids stay safe") {
+    val (w, nf, planes) = plantedPlanes(3L)
+    val jpegs = planes.map(p => AviCodec.jpegGray(w, w, p))
+    val prog = Mp4Codec.encode(w, w, jpegs)
+    val frag = Mp4Codec.encodeFragmented(w, w, jpegs, perFrag = 1)
+    val junk = "not-a-box-trailer-SEF".getBytes
+    // progressive files keep their tolerance for vendor trailers
+    // (Samsung SEF / GoPro appendices) — frames never lived there
+    assert(Mp4Codec.decode(prog ++ junk).exists(_.length == nf),
+      "trailing junk broke a complete progressive file")
+    assert(Mp4Codec.meta(prog ++ junk).exists(_.nSamples == nf))
+    // a FRAGMENTED file (mvex declared) stays strict: junk where a
+    // fragment could be must fail, not shorter-succeed
+    assert(Mp4Codec.decode(frag ++ junk).isEmpty,
+      "fragmented file accepted unparseable trailing bytes")
+    // a corrupt trun sample_count must fail to None BEFORE allocating
+    // (the count is bounded by the trun box's own byte length)
+    val badCount = frag.clone()
+    val trun = { var o = 0
+      while (new String(badCount, o + 4, 4, "US-ASCII") != "trun") o += 1
+      o }
+    java.nio.ByteBuffer.wrap(badCount, trun + 12, 4).putInt(0x7ffffff0)
+    assert(Mp4Codec.decode(badCount).isEmpty &&
+      Mp4Codec.meta(badCount).isEmpty)
+    // a garbage tkhd track_ID on a moov-empty fragmented file must be
+    // None, not a zero-frame SUCCESS (the silent-empty hazard)
+    val badTid = frag.clone()
+    val tkhd = { var o = 0
+      while (new String(badTid, o + 4, 4, "US-ASCII") != "tkhd") o += 1
+      o }
+    java.nio.ByteBuffer.wrap(badTid, tkhd + 20, 4).putInt(99)
+    assert(Mp4Codec.meta(badTid).isEmpty && Mp4Codec.decode(badTid).isEmpty,
+      "unmatched fragments + empty moov read as a zero-frame success")
+  }
+
   test("sniff hops leading wide/free padding boxes (QuickTime lineage)") {
     val (w, _, planes) = plantedPlanes(3L)
     val mp4 = Mp4Codec.encode(w, w, planes.map(p => AviCodec.jpegGray(w, w, p)))
