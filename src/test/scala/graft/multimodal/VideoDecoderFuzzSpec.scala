@@ -47,29 +47,34 @@ class VideoDecoderFuzzSpec extends SparkSpec {
 
   private val aviBlob = VisionFixtures.renderVideoAvi(2L)    // MJPG, nf=4
   private val aviDibBlob = VisionFixtures.renderVideoAviDib(2L)
+  private val mp4Blob = VisionFixtures.renderVideoMp4(2L)    // jpeg, nf=4
+  private val mp4FragBlob = VisionFixtures.renderVideoMp4Frag(2L)
 
   test("every truncation prefix of both containers decodes to None or a valid prefix") {
     for (blob <- Seq(grvdBlob, gpnvBlob); n <- 0 until blob.length)
       decodeSane(blob.take(n), s"truncate($n)")
-    // AVI blobs are larger — sample prefixes densely through the headers
-    // and sparsely through frame data
-    for (blob <- Seq(aviBlob, aviDibBlob);
+    // AVI/mp4 blobs are larger — sample prefixes densely through the
+    // headers and sparsely through frame data
+    for (blob <- Seq(aviBlob, aviDibBlob, mp4Blob, mp4FragBlob);
          n <- (0 until 300) ++ (300 until blob.length by 37))
-      decodeSane(blob.take(n), s"avi truncate($n)")
+      decodeSane(blob.take(n), s"real-container truncate($n)")
     // and the intact blobs still decode fully (the fuzz isn't vacuous)
     assert(VideoDecoder.default.frames(grvdBlob).get.length == 3)
     assert(VideoDecoder.default.frames(gpnvBlob).get.length == 2)
     assert(VideoDecoder.default.frames(aviBlob).get.length == 4)
     assert(VideoDecoder.default.frames(aviDibBlob).get.length == 4)
+    assert(VideoDecoder.default.frames(mp4Blob).get.length == 4)
+    assert(VideoDecoder.default.frames(mp4FragBlob).get.length == 4)
   }
 
-  test("random byte flips across the whole AVI container never throw (seeded)") {
+  test("random byte flips across the whole AVI/mp4 containers never throw (seeded)") {
     val rng = new scala.util.Random(53)
-    for (blob <- Seq(aviBlob, aviDibBlob); _ <- 0 until 300) {
+    for (blob <- Seq(aviBlob, aviDibBlob, mp4Blob, mp4FragBlob);
+         _ <- 0 until 300) {
       val b = blob.clone()
       val i = rng.nextInt(b.length)
       b(i) = (b(i) ^ (1 << rng.nextInt(8))).toByte
-      decodeSane(b, s"avi flip@$i")
+      decodeSane(b, s"real-container flip@$i")
     }
   }
 
@@ -124,7 +129,9 @@ class VideoDecoderFuzzSpec extends SparkSpec {
       5L -> patched(gpnvBlob, 8, -7),              // negative frame length
       6L -> flipped(gpnvBlob, 40),                 // shredded PNG payload
       7L -> Array.empty[Byte],                     // empty blob
-      8L -> "not a container at all".getBytes("UTF-8"))
+      8L -> "not a container at all".getBytes("UTF-8"),
+      9L -> mp4Blob.take(40),                      // truncated mp4
+      10L -> flipped(mp4FragBlob, 40))             // shredded fragments
     val media = rows.toDF("media_id", "bytes")
     val pupils = VisionOps.detectPupilsVideo(media).collect()
     assert(pupils.nonEmpty && pupils.forall(_.getAs[Long]("media_id") == 1L),
