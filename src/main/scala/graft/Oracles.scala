@@ -4120,6 +4120,20 @@ object Oracles {
         |  CAST((2 + CAST(doc_id AS BIGINT) % 3) * 20 AS BIGINT) AS duration
         |FROM documents""".stripMargin,
 
+    // unified mixed-corpus listing: container schedule is doc_id % 4,
+    // dims/frame counts replay from the shared drifting-pupil fixture
+    "mm_video_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CASE CAST(doc_id AS BIGINT) % 4 WHEN 0 THEN 'grvd'
+        |    WHEN 1 THEN 'gpnv' WHEN 2 THEN 'avi' ELSE 'mp4' END
+        |    AS container,
+        |  CASE CAST(doc_id AS BIGINT) % 4 WHEN 0 THEN 'raw'
+        |    WHEN 1 THEN 'png' WHEN 2 THEN 'MJPG' ELSE 'jpeg' END
+        |    AS codec,
+        |  CAST(48 AS INT) AS width, CAST(48 AS INT) AS height,
+        |  CAST(2 + CAST(doc_id AS BIGINT) % 3 AS INT) AS n_frames
+        |FROM documents""".stripMargin,
+
     // fragmented avc1: the listing counts trun-table samples (the moov
     // tables are empty in fMP4) — same replay, different demux tier
     "mm_mp4_frag_meta" ->

@@ -3485,6 +3485,7 @@ object Queries {
       "mm_mp4_meta" -> media("video_mp4_avc") _,
       "cv_video_mp4_frag" -> media("video_mp4_frag") _,
       "mm_mp4_frag_meta" -> media("video_mp4_frag_avc") _,
+      "mm_video_meta" -> media("video_mixed") _,
       "mm_frame_sample_avi" -> media("video_avi_dib_long") _,
       "mm_video_resize" -> media("video_png") _,
       "cv_subpixel_edge" -> media("edge") _,
@@ -3824,6 +3825,23 @@ object Queries {
     * `mm_mp4_meta`. */
   def mmMp4FragMeta(s: SparkSession, dir: String): DataFrame =
     mp4MetaQuery("video_mp4_frag_avc")(s, dir)
+
+  /** UNIFIED structural listing over a MIXED-container corpus
+    * ([[graft.multimodal.MultimodalOps.videoMeta]]): GRVD, PNG-framed,
+    * RIFF/AVI-MJPEG and ISO-BMFF mp4 blobs share one binary column
+    * (container chosen by `doc_id % 4`) and ONE listing pass resolves
+    * every blob's container, codec, dims and frame count from structure
+    * alone — no frame body read, the per-blob-header cost a 100 TB
+    * media lake's what-to-decode pass must have. Oracle: the fixture's
+    * container schedule and frame counts replayed from `doc_id`. */
+  def mmVideoMeta(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.{MultimodalOps, VisionFixtures}
+    val media = VisionFixtures.plantMedia(
+      Tables.documents(s, dir), "doc_id", "video_mixed")
+    MultimodalOps.videoMeta(media).select(
+      col("media_id"), col("container"), col("codec"),
+      col("width"), col("height"), col("n_frames"))
+  }
 
   /** S1 STRUCTURAL tier over H.264-shaped mp4
     * ([[graft.multimodal.MultimodalOps.mp4Meta]]): `avc1` tracks the JVM

@@ -249,6 +249,20 @@ object AviCodec {
 
   /** Full decode: every video frame as a luma plane. None = not AVI or
     * corrupt (never throws — the [[VideoDecoder]] contract). */
+  /** Structural metadata — (codec, width, height, nFrames) — without
+    * decoding a single frame body: the stream-header parse plus the
+    * movi chunk-HEADER walk (every chunk's framing is validated, bodies
+    * are never read). The AVI arm of the mixed-corpus listing tier. */
+  def meta(bytes: Array[Byte]): Option[(String, Int, Int, Int)] =
+    if (!sniff(bytes)) None
+    else try {
+      for {
+        s <- videoStreamInfo(bytes)
+        chunks <- videoChunks(bytes, s)
+      } yield ((if (s.isMjpg) "MJPG" else s"DIB${s.bitCount}"),
+        s.width, s.height, chunks.length)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   def decode(bytes: Array[Byte]): Option[Seq[VisionOps.Gray]] =
     if (!sniff(bytes)) None
     else try {

@@ -493,6 +493,98 @@ object MultimodalOps {
     }
   }
 
+  /** GRVD structural metadata, header-only: (w, h, n) with the same
+    * validation as [[decodeRawVideo]] but ZERO plane copies. */
+  private[multimodal] def rawVideoMeta(
+      bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes == null || bytes.length < 16) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4); bb.get(magic)
+    if (!magic.sameElements("GRVD".getBytes)) return None
+    val w = bb.getInt; val h = bb.getInt; val n = bb.getInt
+    if (w <= 0 || h <= 0 || n < 0 ||
+        bytes.length < 16L + n.toLong * w * h) None
+    else Some((w, h, n))
+  }
+
+  /** GPNV structural metadata, header-only: the length walk validates
+    * every frame's framing; dims come from the FIRST frame's PNG IHDR
+    * (width/height big-endian at payload+16/+20) — no codec runs. */
+  private[multimodal] def pngVideoMeta(
+      bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes == null || bytes.length < 8) return None
+    if (!(bytes(0) == 'G' && bytes(1) == 'P' && bytes(2) == 'N' &&
+        bytes(3) == 'V')) return None
+    val n = java.nio.ByteBuffer.wrap(bytes, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    if (n < 0) return None
+    var off = 8
+    var w = 0; var h = 0
+    var i = 0
+    while (i < n) {
+      if (off + 4 > bytes.length) return None
+      val len = java.nio.ByteBuffer.wrap(bytes, off, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      if (len <= 0 || off + 4L + len > bytes.length) return None
+      if (i == 0) {
+        val p = off + 4
+        // PNG signature (8B) + IHDR length/type (8B) precede the dims
+        if (len < 24 || (bytes(p) & 0xff) != 0x89 || bytes(p + 1) != 'P')
+          return None
+        w = java.nio.ByteBuffer.wrap(bytes, p + 16, 4).getInt
+        h = java.nio.ByteBuffer.wrap(bytes, p + 20, 4).getInt
+        if (w <= 0 || h <= 0) return None
+      }
+      off += 4 + len
+      i += 1
+    }
+    Some((w, h, n))
+  }
+
+  /** UNIFIED structural listing over a MIXED video corpus — the real
+    * shape of a 100 TB media lake, where GRVD/GPNV stand-ins, RIFF/AVI
+    * and ISO-BMFF mp4 blobs share one binary column. One row per blob
+    * that parses as ANY of the four containers: (container, codec,
+    * width, height, n_frames), resolved from container STRUCTURE alone
+    * — GRVD/GPNV headers, the AVI movi chunk-header walk, the mp4
+    * moov/moof table walk; no frame body is ever read, so the listing
+    * cost is per-blob-header, not per-byte. This is the pass that
+    * decides WHAT to decode before any decode CPU is committed (the
+    * batching decision in pupil_detection_pl.py:94-112, corpus-wide);
+    * [[mp4Meta]] remains the BMFF-specific tier with timescale/
+    * duration. Unparseable blobs drop (the S7 sentinel tier owns bad
+    * media). */
+  def videoMeta(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("container", StringType),
+      StructField("codec", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        val id = r.getLong(idIdx)
+        rawVideoMeta(bytes).map { case (w, h, n) =>
+          Row(id, "grvd", "raw", w, h, n)
+        }.orElse(pngVideoMeta(bytes).map { case (w, h, n) =>
+          Row(id, "gpnv", "png", w, h, n)
+        }).orElse(AviCodec.meta(bytes).map { case (codec, w, h, n) =>
+          Row(id, "avi", codec, w, h, n)
+        }).orElse(Mp4Codec.meta(bytes).collect {
+          case m if m.nSamples <= Int.MaxValue =>
+            Row(id, "mp4", m.codec, m.width, m.height, m.nSamples.toInt)
+        })
+      }
+    }
+  }
+
   /** S1 STRUCTURAL tier for ISO-BMFF video ([[Mp4Codec.meta]]): per-blob
     * track metadata — codec fourcc, dimensions, sample count, timescale,
     * duration — from the box walk ALONE; no sample body is ever read, so

@@ -407,6 +407,16 @@ object VisionFixtures {
       case "video_mp4_frag_avc" => id =>
         val nf = videoParams(id)._1
         (renderVideoMp4FragAvc(id), "video/mp4", 48, 48, nf)
+      // MIXED corpus: container chosen by id % 4 — the real shape of a
+      // media lake, for the unified structural-listing tier
+      case "video_mixed" => id =>
+        val nf = videoParams(id)._1
+        (id % 4) match {
+          case 0 => (renderVideo(id), "video/x-graft-raw", 48, 48, nf)
+          case 1 => (renderVideoPng(id), "video/x-graft-png", 48, 48, nf)
+          case 2 => (renderVideoAvi(id), "video/avi", 48, 48, nf)
+          case _ => (renderVideoMp4(id), "video/mp4", 48, 48, nf)
+        }
       case "video_long" => id =>
         val nf = videoLongParams(id)._1
         (renderVideoLongPng(id), "video/x-graft-png", 48, 48, nf)

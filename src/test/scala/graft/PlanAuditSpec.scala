@@ -189,6 +189,7 @@ class PlanAuditSpec extends SparkSpec {
         ("mm_mp4_meta", 1, Queries.mmMp4Meta(spark, dir)),
         ("cv_video_mp4_frag", 1, Queries.cvVideoMp4Frag(spark, dir)),
         ("mm_mp4_frag_meta", 1, Queries.mmMp4FragMeta(spark, dir)),
+        ("mm_video_meta", 1, Queries.mmVideoMeta(spark, dir)),
         ("audio_features", 1, Queries.audioFeatures(spark, dir)))) {
       val p = plan(df)
       val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

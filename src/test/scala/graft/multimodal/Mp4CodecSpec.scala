@@ -283,6 +283,39 @@ class Mp4CodecSpec extends SparkSpec {
     assert(!Mp4Codec.sniff(Array[Byte](0, 0, 0, 0) ++ "free".getBytes ++ mp4))
   }
 
+  test("unified videoMeta lists all four containers header-only") {
+    import org.apache.spark.sql.Row
+    val id = 4L
+    val nf = VisionFixtures.videoParams(id)._1
+    val blobs = Seq(
+      ("grvd", "raw", VisionFixtures.renderVideo(id)),
+      ("gpnv", "png", VisionFixtures.renderVideoPng(id)),
+      ("avi", "MJPG", VisionFixtures.renderVideoAvi(id)),
+      ("avi", "DIB8", VisionFixtures.renderVideoAviDib(id)),
+      ("mp4", "jpeg", VisionFixtures.renderVideoMp4(id)),
+      ("mp4", "jpeg", VisionFixtures.renderVideoMp4Frag(id)),
+      ("mp4", "avc1", VisionFixtures.renderVideoMp4Avc(id)))
+    val media = blobs.zipWithIndex.map { case ((_, _, b), i) =>
+      (i.toLong, b) }.toDF("media_id", "bytes")
+    val rows = MultimodalOps.videoMeta(media)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.size == blobs.length, "a container fell out of the listing")
+    for (((cont, codec, _), i) <- blobs.zipWithIndex) {
+      val r = rows(i.toLong)
+      assert(r.getString(1) == cont && r.getString(2) == codec &&
+        r.getInt(3) == 48 && r.getInt(4) == 48 && r.getInt(5) == nf,
+        s"blob $i ($cont/$codec): $r")
+    }
+    // (the no-body-read claim is pinned by the mdat-gutting case in the
+    // meta test above; GRVD/GPNV walks are header-only by construction)
+    // corrupt garbage and truncations never throw and never emit rows
+    val junk = Seq((100L, "garbage".getBytes),
+      (101L, Array.empty[Byte]),
+      (102L, VisionFixtures.renderVideoMp4(id).take(30)))
+      .toDF("media_id", "bytes")
+    assert(MultimodalOps.videoMeta(junk).collect().isEmpty)
+  }
+
   test("default chain dispatches mp4 last; kernels see the same rows as the AVI arm") {
     val (_, nf, _) = plantedPlanes(4L)
     val mp4 = VisionFixtures.renderVideoMp4(4L)
