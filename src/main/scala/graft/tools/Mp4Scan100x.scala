@@ -80,6 +80,29 @@ object Mp4Scan100x {
     assertPlan("mp4_meta", planOf(metaDf))
     graft.CacheRegistry.releaseAll()
 
+    // ---- mixed-corpus tier: the unified listing over all four
+    // containers (the real media-lake shape), nMeta/2 blobs ----
+    val nMixed = nMeta / 2
+    val mixedDf = MultimodalOps.videoMeta(
+      VisionFixtures.plantMedia(spark.range(nMixed).toDF("doc_id"),
+        "doc_id", "video_mixed"))
+    val t2 = System.nanoTime()
+    val mixed = graft.CacheRegistry.persistTracked(mixedDf)
+    val nMixedListed = mixed.count()
+    val mixedSec = (System.nanoTime() - t2) / 1e9
+    val contOf = expr("CASE media_id % 4 WHEN 0 THEN 'grvd' " +
+      "WHEN 1 THEN 'gpnv' WHEN 2 THEN 'avi' ELSE 'mp4' END")
+    val badMixed = mixed.filter(!(
+      col("container") === contOf && col("width") === 48 &&
+      col("height") === 48 &&
+      col("n_frames") === (lit(2) + pmod(col("media_id"), lit(3L)))
+        .cast("int"))).count()
+    assert(nMixedListed == nMixed,
+      s"mixed listing lost blobs: $nMixedListed of $nMixed")
+    assert(badMixed == 0, s"$badMixed mixed blobs listed wrongly")
+    assertPlan("video_meta_mixed", planOf(mixedDf))
+    graft.CacheRegistry.releaseAll()
+
     // ---- decode tier: fragmented jpeg through the pupil kernel ----
     val decIds = spark.range(nDecode).toDF("doc_id")
     val det = VisionOps.detectPupilsVideo(
@@ -95,6 +118,8 @@ object Mp4Scan100x {
 
     println(f"[mp4scan100x] meta tier: $nMeta%d fragmented avc1 blobs " +
       f"listed in $metaSec%.1f s (${nMeta / metaSec}%.0f blobs/s), " +
+      f"0 mismatches; mixed tier: $nMixed%d four-container blobs " +
+      f"listed in $mixedSec%.1f s (${nMixed / mixedSec}%.0f blobs/s), " +
       f"0 mismatches; decode tier: $nDecode%d jpeg blobs -> $nDet%d " +
       f"detection rows in $decSec%.1f s (${nDecode / decSec}%.0f blobs/s)")
     spark.stop()
