@@ -54,16 +54,29 @@ object MsgPack {
       }
     }
 
+    // every length/count is validated BEFORE allocation or iteration:
+    // a corrupt str32/bin32 length must fail loudly, not allocate up to
+    // 2 GB first; and a corrupt NEGATIVE array32/map32 count must fail,
+    // not silently decode as EMPTY (Vector.fill(n<=0) returns empty —
+    // the silent-wrong-result class, worse than a throw here because
+    // the pldata readers' failure contract is the S7 sentinel tier)
+    private def checkLen(n: Int, what: String): Int = {
+      if (n < 0 || n > buf.remaining())
+        throw new IllegalArgumentException(
+          s"msgpack $what length $n exceeds remaining ${buf.remaining()}")
+      n
+    }
     private def readStr(n: Int): String = {
-      val a = new Array[Byte](n); buf.get(a); new String(a, "UTF-8")
+      val a = new Array[Byte](checkLen(n, "str")); buf.get(a)
+      new String(a, "UTF-8")
     }
     private def readBin(n: Int): Array[Byte] = {
-      val a = new Array[Byte](n); buf.get(a); a
+      val a = new Array[Byte](checkLen(n, "bin")); buf.get(a); a
     }
     private def readArray(n: Int): Vector[Any] =
-      Vector.fill(n)(unpack())
+      Vector.fill(checkLen(n, "array"))(unpack())
     private def readMap(n: Int): Map[String, Any] =
-      (0 until n).map { _ =>
+      (0 until checkLen(n, "map")).map { _ =>
         val k = unpack().toString; k -> unpack()
       }.toMap
   }

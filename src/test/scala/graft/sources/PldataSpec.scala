@@ -30,6 +30,35 @@ class PldataSpec extends SparkSpec {
     assert(MsgPack.unpackStream(MsgPack.pack(v2)).head == v2)
   }
 
+  test("msgpack corrupt lengths fail loudly: no pre-validation allocation, no silent empty") {
+    def payload(marker: Int, count: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(5)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      bb.put(marker.toByte).putInt(count)
+      bb.array()
+    }
+    // str32/bin32 with a length far past the buffer must throw a
+    // DESCRIPTIVE error before allocating (a 2 GB new Array[Byte] on
+    // one corrupt byte is the OOM class), never return
+    for (marker <- Seq(0xdb /*str32*/, 0xc6 /*bin32*/);
+         n <- Seq(Int.MaxValue - 1, 1000000, -7)) {
+      val e = intercept[IllegalArgumentException] {
+        MsgPack.unpackStream(payload(marker, n))
+      }
+      assert(e.getMessage.contains("exceeds remaining"), e.getMessage)
+    }
+    // array32/map32 with a NEGATIVE count previously decoded as a
+    // silently EMPTY collection (Vector.fill(n<=0)) — must throw
+    for (marker <- Seq(0xdd /*array32*/, 0xdf /*map32*/)) {
+      val e = intercept[IllegalArgumentException] {
+        MsgPack.unpackStream(payload(marker, -3))
+      }
+      assert(e.getMessage.contains("exceeds remaining"), e.getMessage)
+    }
+    // a VALID zero count still decodes as genuinely empty
+    assert(MsgPack.unpackStream(payload(0xdd, 0)).head == Vector())
+  }
+
   test("npy round-trip") {
     val p = Files.createTempDirectory("npy").resolve("t.npy").toString
     val a = Array(1.5, -2.25, 3.75e10, 0.0)
