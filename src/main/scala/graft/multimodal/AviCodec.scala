@@ -247,8 +247,6 @@ object AviCodec {
       }
     }
 
-  /** Full decode: every video frame as a luma plane. None = not AVI or
-    * corrupt (never throws — the [[VideoDecoder]] contract). */
   /** Structural metadata — (codec, width, height, nFrames) — without
     * decoding a single frame body: the stream-header parse plus the
     * movi chunk-HEADER walk (every chunk's framing is validated, bodies
@@ -263,6 +261,8 @@ object AviCodec {
         s.width, s.height, chunks.length)
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Full decode: every video frame as a luma plane. None = not AVI or
+    * corrupt (never throws — the [[VideoDecoder]] contract). */
   def decode(bytes: Array[Byte]): Option[Seq[VisionOps.Gray]] =
     if (!sniff(bytes)) None
     else try {

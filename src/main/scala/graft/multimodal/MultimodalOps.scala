@@ -135,21 +135,33 @@ object MultimodalOps {
     out.array()
   }
 
-  def decodeRawVideo(bytes: Array[Byte]): Option[RawVideo] = {
+  /** THE GRVD header parse — the single source of acceptance for the
+    * decode, strided, and listing tiers (three verbatim copies of this
+    * check drifted once; never again). Overflow-safe: the total-size
+    * bound compares by DIVISION — `16L + n*w*h` at header-controlled
+    * magnitudes reaches 2^93 and wraps Long, which once let a crafted
+    * 16-byte header list as a 2M-frame video. */
+  private[multimodal] def parseGrvdHeader(
+      bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     if (bytes == null || bytes.length < 16) return None
-    val bb = java.nio.ByteBuffer.wrap(bytes)
+    if (!(bytes(0) == 'G' && bytes(1) == 'R' &&
+        bytes(2) == 'V' && bytes(3) == 'D')) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes, 4, 12)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val magic = new Array[Byte](4); bb.get(magic)
-    if (!magic.sameElements("GRVD".getBytes)) return None
     val w = bb.getInt; val h = bb.getInt; val n = bb.getInt
     if (w <= 0 || h <= 0 || n < 0 ||
-        bytes.length < 16L + n.toLong * w * h) return None
-    Some(RawVideo(w, h, Array.tabulate(n) { i =>
-      val plane = new Array[Byte](w * h)
-      System.arraycopy(bytes, 16 + i * w * h, plane, 0, w * h)
-      plane
-    }))
+        (n > 0 && (bytes.length - 16L) / n < w.toLong * h)) None
+    else Some((w, h, n))
   }
+
+  def decodeRawVideo(bytes: Array[Byte]): Option[RawVideo] =
+    parseGrvdHeader(bytes).map { case (w, h, n) =>
+      RawVideo(w, h, Array.tabulate(n) { i =>
+        val plane = new Array[Byte](w * h)
+        System.arraycopy(bytes, 16 + i * w * h, plane, 0, w * h)
+        plane
+      })
+    }
 
   /** PNG-framed video container: `GPNV | n:i32le | n × (len:i32le, PNG
     * bytes)`. Unlike the raw-gray GRVD stand-in, every frame decodes
@@ -197,21 +209,14 @@ object MultimodalOps {
     * skipped frames are never copied. Same validation as
     * [[decodeRawVideo]] (magic, dims, total length). */
   private[multimodal] def decodeRawVideoStrided(bytes: Array[Byte],
-      stride: Int): Option[Iterator[(Int, Int, Int, Array[Byte])]] = {
-    if (bytes == null || bytes.length < 16) return None
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val magic = new Array[Byte](4); bb.get(magic)
-    if (!magic.sameElements("GRVD".getBytes)) return None
-    val w = bb.getInt; val h = bb.getInt; val n = bb.getInt
-    if (w <= 0 || h <= 0 || n < 0 ||
-        bytes.length < 16L + n.toLong * w * h) return None
-    Some((0 until n by stride).iterator.map { f =>
-      val plane = new Array[Byte](w * h)
-      System.arraycopy(bytes, 16 + f * w * h, plane, 0, w * h)
-      (f, w, h, plane)
-    })
-  }
+      stride: Int): Option[Iterator[(Int, Int, Int, Array[Byte])]] =
+    parseGrvdHeader(bytes).map { case (w, h, n) =>
+      (0 until n by stride).iterator.map { f =>
+        val plane = new Array[Byte](w * h)
+        System.arraycopy(bytes, 16 + f * w * h, plane, 0, w * h)
+        (f, w, h, plane)
+      }
+    }
 
   /** STRIDED GPNV walk: the per-frame length headers are validated for
     * EVERY frame (the walk is the container contract), but the PNG codec
@@ -493,24 +498,21 @@ object MultimodalOps {
     }
   }
 
-  /** GRVD structural metadata, header-only: (w, h, n) with the same
-    * validation as [[decodeRawVideo]] but ZERO plane copies. */
+  /** GRVD structural metadata, header-only: IS [[parseGrvdHeader]] —
+    * identical acceptance to the decode tiers by construction, zero
+    * plane copies. */
   private[multimodal] def rawVideoMeta(
-      bytes: Array[Byte]): Option[(Int, Int, Int)] = {
-    if (bytes == null || bytes.length < 16) return None
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val magic = new Array[Byte](4); bb.get(magic)
-    if (!magic.sameElements("GRVD".getBytes)) return None
-    val w = bb.getInt; val h = bb.getInt; val n = bb.getInt
-    if (w <= 0 || h <= 0 || n < 0 ||
-        bytes.length < 16L + n.toLong * w * h) None
-    else Some((w, h, n))
-  }
+      bytes: Array[Byte]): Option[(Int, Int, Int)] = parseGrvdHeader(bytes)
 
-  /** GPNV structural metadata, header-only: the length walk validates
-    * every frame's framing; dims come from the FIRST frame's PNG IHDR
-    * (width/height big-endian at payload+16/+20) — no codec runs. */
+  /** GPNV structural metadata: the length walk validates every frame's
+    * framing (the same acceptance as the decode walk); dims come from
+    * the FIRST frame's PNG IHDR when it IS a PNG (width/height
+    * big-endian at payload+16/+20, no codec run), falling back to ONE
+    * real decode of the first frame for any other `javax.imageio`
+    * format the container legally carries (GPNV frames are
+    * format-generic on the decode side) — still one frame's cost, not
+    * the blob's. A zero-frame blob lists as (0, 0, 0): valid-empty has
+    * no dims, and a 0×0×0 row correctly prices its decode at zero. */
   private[multimodal] def pngVideoMeta(
       bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     if (bytes == null || bytes.length < 8) return None
@@ -529,11 +531,18 @@ object MultimodalOps {
       if (len <= 0 || off + 4L + len > bytes.length) return None
       if (i == 0) {
         val p = off + 4
-        // PNG signature (8B) + IHDR length/type (8B) precede the dims
-        if (len < 24 || (bytes(p) & 0xff) != 0x89 || bytes(p + 1) != 'P')
-          return None
-        w = java.nio.ByteBuffer.wrap(bytes, p + 16, 4).getInt
-        h = java.nio.ByteBuffer.wrap(bytes, p + 20, 4).getInt
+        if (len >= 24 && (bytes(p) & 0xff) == 0x89 && bytes(p + 1) == 'P') {
+          w = java.nio.ByteBuffer.wrap(bytes, p + 16, 4).getInt
+          h = java.nio.ByteBuffer.wrap(bytes, p + 20, 4).getInt
+        } else {
+          // non-PNG-framed (JPEG etc.): dims need the real codec once
+          val body = new Array[Byte](len)
+          System.arraycopy(bytes, p, body, 0, len)
+          decodeImage(body) match {
+            case Some(img) => w = img.getWidth; h = img.getHeight
+            case None => return None // decode tier would reject it too
+          }
+        }
         if (w <= 0 || h <= 0) return None
       }
       off += 4 + len
@@ -577,9 +586,9 @@ object MultimodalOps {
           Row(id, "gpnv", "png", w, h, n)
         }).orElse(AviCodec.meta(bytes).map { case (codec, w, h, n) =>
           Row(id, "avi", codec, w, h, n)
-        }).orElse(Mp4Codec.meta(bytes).collect {
-          case m if m.nSamples <= Int.MaxValue =>
-            Row(id, "mp4", m.codec, m.width, m.height, m.nSamples.toInt)
+        }).orElse(Mp4Codec.meta(bytes).map { m =>
+          // nSamples is a resolved sample-table length — always an Int
+          Row(id, "mp4", m.codec, m.width, m.height, m.nSamples.toInt)
         })
       }
     }

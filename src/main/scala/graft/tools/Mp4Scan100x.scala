@@ -92,9 +92,11 @@ object Mp4Scan100x {
     val mixedSec = (System.nanoTime() - t2) / 1e9
     val contOf = expr("CASE media_id % 4 WHEN 0 THEN 'grvd' " +
       "WHEN 1 THEN 'gpnv' WHEN 2 THEN 'avi' ELSE 'mp4' END")
+    val codecOf = expr("CASE media_id % 4 WHEN 0 THEN 'raw' " +
+      "WHEN 1 THEN 'png' WHEN 2 THEN 'MJPG' ELSE 'jpeg' END")
     val badMixed = mixed.filter(!(
-      col("container") === contOf && col("width") === 48 &&
-      col("height") === 48 &&
+      col("container") === contOf && col("codec") === codecOf &&
+      col("width") === 48 && col("height") === 48 &&
       col("n_frames") === (lit(2) + pmod(col("media_id"), lit(3L)))
         .cast("int"))).count()
     assert(nMixedListed == nMixed,

@@ -308,6 +308,36 @@ class Mp4CodecSpec extends SparkSpec {
     }
     // (the no-body-read claim is pinned by the mdat-gutting case in the
     // meta test above; GRVD/GPNV walks are header-only by construction)
+    // LISTING == DECODE acceptance parity at the edges:
+    // 1. a crafted GRVD header whose n*w*h overflows Long must be
+    // rejected by BOTH tiers (it once listed as a 2M-frame video)
+    val overflow = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("GRVD".getBytes).putInt(2097152).putInt(2097152)
+      .putInt(2097152).array()
+    assert(MultimodalOps.decodeRawVideo(overflow).isEmpty)
+    assert(MultimodalOps.videoMeta(Seq((50L, overflow))
+      .toDF("media_id", "bytes")).collect().isEmpty,
+      "overflowing GRVD header listed as a valid video")
+    // 2. a JPEG-framed GPNV (the container is format-generic on the
+    // decode side) must LIST too — one first-frame decode for dims
+    val jpegGpnv = MultimodalOps.encodePngVideo(
+      Seq(AviCodec.jpegGray(48, 48, Array.fill(48 * 48)(100.toByte)),
+          AviCodec.jpegGray(48, 48, Array.fill(48 * 48)(200.toByte))))
+    assert(MultimodalOps.decodePngVideo(jpegGpnv).exists(_.length == 2))
+    val jr = MultimodalOps.videoMeta(Seq((51L, jpegGpnv))
+      .toDF("media_id", "bytes")).collect()
+    assert(jr.length == 1 && jr(0).getString(1) == "gpnv" &&
+      jr(0).getInt(3) == 48 && jr(0).getInt(4) == 48 &&
+      jr(0).getInt(5) == 2, s"jpeg-framed GPNV mislisted: ${jr.toSeq}")
+    // 3. a zero-frame GPNV is valid-empty on both tiers: decode yields
+    // no frames, the listing prices it at 0×0×0 (documented contract)
+    val emptyGpnv = MultimodalOps.encodePngVideo(Seq.empty)
+    assert(MultimodalOps.decodePngVideo(emptyGpnv).exists(_.isEmpty))
+    val er = MultimodalOps.videoMeta(Seq((52L, emptyGpnv))
+      .toDF("media_id", "bytes")).collect()
+    assert(er.length == 1 && er(0).getInt(5) == 0 &&
+      er(0).getInt(3) == 0 && er(0).getInt(4) == 0)
     // corrupt garbage and truncations never throw and never emit rows
     val junk = Seq((100L, "garbage".getBytes),
       (101L, Array.empty[Byte]),
