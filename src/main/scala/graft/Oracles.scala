@@ -2033,16 +2033,32 @@ object Oracles {
         |psl AS (SELECT session, count(*) AS n_pupils,
         |    round(avg(CASE WHEN conf > 7.0e-1 THEN 1.0e0 ELSE 0.0e0 END), 6)
         |      + 0.0e0 AS pct_kept,
-        |    list_transform(quantile_cont(conf, [0.0e0, 1.0e-1, 2.0e-1,
-        |      3.0e-1, 4.0e-1, 5.0e-1, 6.0e-1, 7.0e-1, 8.0e-1, 9.0e-1,
-        |      1.0e0]), v -> round(v, 6) + 0.0e0) AS conf_deciles
+        |    round(quantile_cont(conf, 0.0e0), 6) + 0.0e0 AS conf_dec_0,
+        |    round(quantile_cont(conf, 1.0e-1), 6) + 0.0e0 AS conf_dec_1,
+        |    round(quantile_cont(conf, 2.0e-1), 6) + 0.0e0 AS conf_dec_2,
+        |    round(quantile_cont(conf, 3.0e-1), 6) + 0.0e0 AS conf_dec_3,
+        |    round(quantile_cont(conf, 4.0e-1), 6) + 0.0e0 AS conf_dec_4,
+        |    round(quantile_cont(conf, 5.0e-1), 6) + 0.0e0 AS conf_dec_5,
+        |    round(quantile_cont(conf, 6.0e-1), 6) + 0.0e0 AS conf_dec_6,
+        |    round(quantile_cont(conf, 7.0e-1), 6) + 0.0e0 AS conf_dec_7,
+        |    round(quantile_cont(conf, 8.0e-1), 6) + 0.0e0 AS conf_dec_8,
+        |    round(quantile_cont(conf, 9.0e-1), 6) + 0.0e0 AS conf_dec_9,
+        |    round(quantile_cont(conf, 1.0e0), 6) + 0.0e0 AS conf_dec_10
         |  FROM pl GROUP BY 1),
         |psr AS (SELECT session, count(*) AS n_pupils,
         |    round(avg(CASE WHEN conf > 7.0e-1 THEN 1.0e0 ELSE 0.0e0 END), 6)
         |      + 0.0e0 AS pct_kept,
-        |    list_transform(quantile_cont(conf, [0.0e0, 1.0e-1, 2.0e-1,
-        |      3.0e-1, 4.0e-1, 5.0e-1, 6.0e-1, 7.0e-1, 8.0e-1, 9.0e-1,
-        |      1.0e0]), v -> round(v, 6) + 0.0e0) AS conf_deciles
+        |    round(quantile_cont(conf, 0.0e0), 6) + 0.0e0 AS conf_dec_0,
+        |    round(quantile_cont(conf, 1.0e-1), 6) + 0.0e0 AS conf_dec_1,
+        |    round(quantile_cont(conf, 2.0e-1), 6) + 0.0e0 AS conf_dec_2,
+        |    round(quantile_cont(conf, 3.0e-1), 6) + 0.0e0 AS conf_dec_3,
+        |    round(quantile_cont(conf, 4.0e-1), 6) + 0.0e0 AS conf_dec_4,
+        |    round(quantile_cont(conf, 5.0e-1), 6) + 0.0e0 AS conf_dec_5,
+        |    round(quantile_cont(conf, 6.0e-1), 6) + 0.0e0 AS conf_dec_6,
+        |    round(quantile_cont(conf, 7.0e-1), 6) + 0.0e0 AS conf_dec_7,
+        |    round(quantile_cont(conf, 8.0e-1), 6) + 0.0e0 AS conf_dec_8,
+        |    round(quantile_cont(conf, 9.0e-1), 6) + 0.0e0 AS conf_dec_9,
+        |    round(quantile_cont(conf, 1.0e0), 6) + 0.0e0 AS conf_dec_10
         |  FROM pr GROUP BY 1),
         |cpl AS (SELECT session, count(DISTINCT cl) AS n_cal FROM e
         |  WHERE sn <> 7 AND sn <> 13 AND xl > 25 GROUP BY 1),
@@ -2062,7 +2078,17 @@ object Oracles {
         |  CASE WHEN s.sn = 7 THEN 'failed' ELSE 'ok' END AS status_pupil_l,
         |  COALESCE(psl.n_pupils, 0)::BIGINT AS n_pupils_l,
         |  COALESCE(psl.pct_kept, 0.0e0) AS pct_kept_l,
-        |  COALESCE(psl.conf_deciles, []::DOUBLE[]) AS conf_deciles_l,
+        |  COALESCE(psl.conf_dec_0, 0.0e0) AS conf_dec_0_l,
+        |  COALESCE(psl.conf_dec_1, 0.0e0) AS conf_dec_1_l,
+        |  COALESCE(psl.conf_dec_2, 0.0e0) AS conf_dec_2_l,
+        |  COALESCE(psl.conf_dec_3, 0.0e0) AS conf_dec_3_l,
+        |  COALESCE(psl.conf_dec_4, 0.0e0) AS conf_dec_4_l,
+        |  COALESCE(psl.conf_dec_5, 0.0e0) AS conf_dec_5_l,
+        |  COALESCE(psl.conf_dec_6, 0.0e0) AS conf_dec_6_l,
+        |  COALESCE(psl.conf_dec_7, 0.0e0) AS conf_dec_7_l,
+        |  COALESCE(psl.conf_dec_8, 0.0e0) AS conf_dec_8_l,
+        |  COALESCE(psl.conf_dec_9, 0.0e0) AS conf_dec_9_l,
+        |  COALESCE(psl.conf_dec_10, 0.0e0) AS conf_dec_10_l,
         |  CASE WHEN s.sn IN (7, 13) THEN 'not run'
         |    WHEN COALESCE(cpl.n_cal, 0) >= 4 THEN 'ok'
         |    ELSE 'failed' END AS status_calibration_l,
@@ -2091,7 +2117,17 @@ object Oracles {
         |    AS status_pupil_r,
         |  COALESCE(psr.n_pupils, 0)::BIGINT AS n_pupils_r,
         |  COALESCE(psr.pct_kept, 0.0e0) AS pct_kept_r,
-        |  COALESCE(psr.conf_deciles, []::DOUBLE[]) AS conf_deciles_r,
+        |  COALESCE(psr.conf_dec_0, 0.0e0) AS conf_dec_0_r,
+        |  COALESCE(psr.conf_dec_1, 0.0e0) AS conf_dec_1_r,
+        |  COALESCE(psr.conf_dec_2, 0.0e0) AS conf_dec_2_r,
+        |  COALESCE(psr.conf_dec_3, 0.0e0) AS conf_dec_3_r,
+        |  COALESCE(psr.conf_dec_4, 0.0e0) AS conf_dec_4_r,
+        |  COALESCE(psr.conf_dec_5, 0.0e0) AS conf_dec_5_r,
+        |  COALESCE(psr.conf_dec_6, 0.0e0) AS conf_dec_6_r,
+        |  COALESCE(psr.conf_dec_7, 0.0e0) AS conf_dec_7_r,
+        |  COALESCE(psr.conf_dec_8, 0.0e0) AS conf_dec_8_r,
+        |  COALESCE(psr.conf_dec_9, 0.0e0) AS conf_dec_9_r,
+        |  COALESCE(psr.conf_dec_10, 0.0e0) AS conf_dec_10_r,
         |  CASE WHEN s.sn IN (7, 3, 13) THEN 'not run'
         |    WHEN COALESCE(cpr.n_cal, 0) >= 4 THEN 'ok'
         |    ELSE 'failed' END AS status_calibration_r,

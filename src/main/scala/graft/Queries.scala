@@ -706,6 +706,10 @@ object Queries {
       count(lit(1)).as("n_clusters"),
       min(col("n")).as("cov_min"), max(col("n")).as("cov_max"))
 
+    // Deciles are emitted as 11 SCALAR columns (conf_dec_0 … conf_dec_10)
+    // rather than one array column: the driver's oracle comparator sorts
+    // rows by every column before hashing and cannot sort LIST cells, so
+    // a multi-row result must stay fully scalar (Verify lints this).
     val decilePs = (0 to 10).map(_ / 10.0).mkString("array(", "D, ", "D)")
     def pupilStats(pup: DataFrame, sfx: String): DataFrame =
       pup.groupBy("session").agg(
@@ -713,10 +717,11 @@ object Queries {
           (round(avg(when(col("confidence") > 0.7, 1.0).otherwise(0.0)), 6)
             + 0.0).as(s"pct_kept_$sfx"),
           expr(s"percentile(confidence, $decilePs)").as("_dec"))
-        .select(col("session"), col(s"n_pupils_$sfx"),
-          col(s"pct_kept_$sfx"),
-          transform(col("_dec"), v => round(v, 6) + 0.0)
-            .as(s"conf_deciles_$sfx"))
+        .select(Seq(col("session"), col(s"n_pupils_$sfx"),
+          col(s"pct_kept_$sfx")) ++
+          (0 to 10).map(i =>
+            (round(element_at(col("_dec"), i + 1), 6) + 0.0)
+              .as(s"conf_dec_${i}_$sfx")): _*)
 
     val calCfg = Calibrator.Config()
     def eyeChain(pup: DataFrame, sfx: String): DataFrame = {
@@ -773,9 +778,11 @@ object Queries {
       Seq(
         when(pupOk, "ok").otherwise("failed").as(s"status_pupil_$sfx"),
         coalesce(col(s"n_pupils_$sfx"), lit(0L)).as(s"n_pupils_$sfx"),
-        coalesce(col(s"pct_kept_$sfx"), lit(0.0)).as(s"pct_kept_$sfx"),
-        coalesce(col(s"conf_deciles_$sfx"), typedLit(Seq.empty[Double]))
-          .as(s"conf_deciles_$sfx"),
+        coalesce(col(s"pct_kept_$sfx"), lit(0.0)).as(s"pct_kept_$sfx")) ++
+      (0 to 10).map(i =>
+        coalesce(col(s"conf_dec_${i}_$sfx"), lit(0.0))
+          .as(s"conf_dec_${i}_$sfx")) ++
+      Seq(
         status(calOk, pupOk && mkOk).as(s"status_calibration_$sfx"),
         coalesce(col(s"n_cal_points_$sfx"), lit(0L))
           .as(s"n_cal_points_$sfx"),

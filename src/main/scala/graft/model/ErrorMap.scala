@@ -149,9 +149,15 @@ object ErrorMap {
         sum(when(col("err").isNotNull, col("n_gaze")).otherwise(0L)).as("_in"),
         sum(when(col("err").isNotNull, col("n_gaze") * col("err"))).as("_werr"))
       .select(
-        (col("_werr") / col("_total") / (col("_in") / col("_total")))
+        // guard the empty-inside / empty-total edges: the weighted mean
+        // over an empty set is null (ANSI division would throw on the
+        // zero ratio), and the in>0 branch keeps the reference's exact
+        // double-rounding shape for oracle parity
+        when(col("_in") > 0,
+          col("_werr") / col("_total") / (col("_in") / col("_total")))
           .as("gaze_err_weighted"),
-        ((col("_total") - col("_in")) / col("_total"))
+        when(col("_total") > 0,
+          (col("_total") - col("_in")) / col("_total"))
           .as("gaze_fraction_excluded"),
         lit(ptArr.length).as("n_points"),
         lit(Stats.median(errs)).as("err_median"),
@@ -298,7 +304,13 @@ object ErrorMap {
             Option.empty[Double], Option.empty[Double]))
           else Iterator((session, kept.length.toLong, Stats.median(errs),
             Stats.mean(errs),
-            Some(werr / total / (inside.toDouble / total)),
+            // inside == 0 with total > 0: every gaze cell fell outside
+            // the hull — the weighted mean is over an empty set. SQL
+            // sum over an empty when-set is null, so compute() emits
+            // null here; 0.0/0.0 would be NaN and break downstream
+            // null-aware gates (err_weighted_ok).
+            if (inside == 0) Option.empty[Double]
+            else Some(werr / total / (inside.toDouble / total)),
             Some((total - inside).toDouble / total)))
         }
       }

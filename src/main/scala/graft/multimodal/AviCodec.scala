@@ -107,6 +107,15 @@ object AviCodec {
                 if (w <= 0 || hRaw == 0) return None
                 if (!isMjpg && compN != 0) return None // codec we can't run
                 if (!isMjpg && bits != 8 && bits != 24) return None
+                // DIB frames are stored raw: one frame's padded rows
+                // must fit in the blob, or the declared dims are
+                // corrupt. Long math — w/h are header-controlled and
+                // w*h can wrap Int (30000×40000×3B ≈ 3.6e9).
+                if (!isMjpg) {
+                  val stride = (w.toLong * (bits / 8) + 3L) & ~3L
+                  if (stride * math.abs(hRaw.toLong) > bytes.length)
+                    return None
+                }
                 val pal = new Array[Int](256)
                 if (!isMjpg && bits == 8) {
                   val clrUsed0 = u32(bytes, b + 32).toInt
@@ -219,7 +228,7 @@ object AviCodec {
       // negative), each padded to 4 bytes
       val bytesPerPx = s.bitCount / 8
       val rowStride = (s.width * bytesPerPx + 3) & ~3
-      if (len < rowStride * s.height) None
+      if (len.toLong < rowStride.toLong * s.height) None
       else {
         val px = new Array[Double](s.width * s.height)
         var y = 0

@@ -172,6 +172,11 @@ object Mp4Codec {
         if (n0 < 0 || n0 > Int.MaxValue) return None
         if (fixedSz == 0 && 12L + 4L * n0 > (stszE - stszP).toLong)
           return None
+        // fixed-size path: the count is not backed by a table in the
+        // box, so bound it by the blob itself — n samples of fixedSz
+        // bytes must fit in the file, or the count is corrupt.
+        if (fixedSz != 0 && fixedSz * n0 > (b.length - 16).toLong)
+          return None
         val n = n0.toInt
         val sizes = Array.tabulate(n) { i =>
           if (fixedSz != 0) fixedSz else u32(b, stszP + 12 + 4 * i)

@@ -158,6 +158,41 @@ class ErrorMapSpec extends SparkSpec {
     }
   }
 
+  test("in-frame gaze entirely outside the hull: weighted error null (compute parity), excluded fraction 1.0") {
+    // anchors confined to a corner patch so the hull covers almost
+    // nothing; gaze lands IN frame but far outside it → total > 0,
+    // inside == 0. The weighted mean is over an empty set: compute()'s
+    // SQL sum over an empty when-set is null, and the distributed path
+    // must match — 0.0/0.0 would be NaN and break null-aware downstream
+    // gates (qc err_weighted_ok).
+    val ms2 = scala.collection.mutable.ArrayBuffer[(String, Double, Double, Double, Long)]()
+    val gs2 = scala.collection.mutable.ArrayBuffer[(String, Double, Double, Double, Double)]()
+    var t2 = 0.0; var c2 = 0L
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val mx = 0.10 + 0.06 * i; val my = 0.10 + 0.06 * j
+      for (_ <- 0 until 3) {
+        ms2 += (("s1", t2, mx, my, c2))
+        gs2 += (("s1", t2 + 0.001, 0.85, 0.85, 0.95))
+        t2 += 1.0 / 30.0
+      }
+      c2 += 1; t2 += 0.3
+    }
+    val m2 = ms2.toSeq.toDF("session", "timestamp", "norm_x", "norm_y",
+      "marker_cluster_index")
+    val g2 = gs2.toSeq.toDF("session", "timestamp", "norm_x", "norm_y",
+      "confidence")
+    val cfg2 = ErrorMap.Config(resolution = (60, 80), outlierStds = None)
+    val r = ErrorMap.summaryBySession(m2, g2, "session", cfg2).collect()(0)
+    assert(r.getAs[Long]("n_points") == 9L)
+    assert(r.isNullAt(r.fieldIndex("gaze_err_weighted")),
+      "empty-inside weighted error must be null, not NaN")
+    assert(r.getAs[Double]("gaze_fraction_excluded") == 1.0)
+    val s = ErrorMap.compute(m2, g2, cfg2).summary.collect()(0)
+    assert(s.isNullAt(s.fieldIndex("gaze_err_weighted")),
+      "compute() contract drifted: expected null for empty inside-set")
+    graft.CacheRegistry.releaseAll()
+  }
+
   test("convex hull is correct and masks outside points") {
     val square = Array(Array(0.0, 0.0), Array(1.0, 0.0), Array(1.0, 1.0),
       Array(0.0, 1.0), Array(0.5, 0.5))

@@ -111,6 +111,138 @@ class VideoDecoderFuzzSpec extends SparkSpec {
     }
   }
 
+  // ---- r17 arms: the two OOM-class header regressions + the AVI
+  // index/extension surfaces the r16 sweep didn't reach ----
+
+  /** First occurrence of an ASCII fourcc in the blob. */
+  private def findTag(blob: Array[Byte], t: String): Int = {
+    val tb = t.getBytes("US-ASCII")
+    var i = 0
+    while (i + 4 <= blob.length) {
+      if (blob(i) == tb(0) && blob(i + 1) == tb(1) &&
+          blob(i + 2) == tb(2) && blob(i + 3) == tb(3)) return i
+      i += 1
+    }
+    fail(s"fourcc $t not found in fixture blob")
+  }
+
+  /** Overwrite a BIG-endian i32 (ISO-BMFF field order) in a copy. */
+  private def patchedBE(bytes: Array[Byte], off: Int, v: Int): Array[Byte] = {
+    val b = bytes.clone()
+    b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+    b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+    b
+  }
+
+  test("mp4 stsz fixed-size path: hostile sample counts reject before allocation") {
+    // stsz payload: version/flags@0, sample_size@4, sample_count@8.
+    // sample_size != 0 means NO table backs the count, so the only
+    // honest bound is the blob itself — a crafted (size=1,
+    // count=0x7FFFFFFF) header must go to None, not tabulate a ~17 GB
+    // Array[Long] (OOM is a VirtualMachineError the never-throw
+    // handlers cannot catch).
+    val p = findTag(mp4Blob, "stsz") + 4
+    for ((sz, n) <- Seq((1, Int.MaxValue), (Int.MaxValue, Int.MaxValue),
+                        (1000000, 1000000), (1, 1 << 30), (1 << 30, 4))) {
+      val b = patchedBE(patchedBE(mp4Blob, p + 4, sz), p + 8, n)
+      assert(Mp4Codec.meta(b).isEmpty, s"stsz fixed sz=$sz n=$n accepted")
+      assert(Mp4Codec.decode(b).isEmpty)
+      decodeSane(b, s"stsz fixed sz=$sz n=$n")
+    }
+    // a sane fixed-size header must survive the new bound (the samples
+    // no longer match real JPEG framing, so decode may refuse — but it
+    // must refuse for CONTENT reasons, with metadata still served)
+    val sane = patchedBE(patchedBE(mp4Blob, p + 4, 8), p + 8, 4)
+    assert(Mp4Codec.meta(sane).nonEmpty,
+      "bound rejects a fixed-size table that fits the blob")
+    decodeSane(sane, "stsz fixed sane")
+  }
+
+  test("AVI DIB: header dims that overflow Int or exceed the blob reject without allocation") {
+    // strf chunk body: biSize@0, biWidth@4, biHeight@8 (LE). A crafted
+    // 30000x40000 24-bit frame puts rowStride*height at 3.6e9 — wrapping
+    // the old Int guard negative and allocating ~9.6 GB of Double. All
+    // hostile dims must go to None inside videoStreamInfo.
+    val b0 = findTag(aviDibBlob, "strf") + 8
+    for ((w, h) <- Seq((30000, 40000), (46341, 46341), (1 << 20, 1 << 20),
+                       (0x40000000, 2), (2, 0x40000000))) {
+      val b = patched(patched(aviDibBlob, b0 + 4, w), b0 + 8, h)
+      assert(AviCodec.decode(b).isEmpty, s"dims ${w}x$h accepted")
+      decodeSane(b, s"dib dims ${w}x$h")
+      // negative biHeight (top-down order) with the same magnitude
+      val bn = patched(patched(aviDibBlob, b0 + 4, w), b0 + 8, -h)
+      assert(AviCodec.decode(bn).isEmpty, s"dims ${w}x-$h accepted")
+      decodeSane(bn, s"dib dims ${w}x-$h")
+    }
+    // the legit fixture still decodes — the bound is not over-tight
+    assert(AviCodec.decode(aviDibBlob).get.length == 4)
+  }
+
+  test("AVI DIB palette edges: clrUsed 0 / oversized / negative are clamped, never thrown") {
+    // biClrUsed@32 in the strf body: 0 means "full palette" per the DIB
+    // spec; >256 and negative are hostile. All clamp to a 256-quad read
+    // the fixture's palette actually carries, so decode still succeeds
+    // bit-identically.
+    val b0 = findTag(aviDibBlob, "strf") + 8
+    val want = AviCodec.decode(aviDibBlob).get.length
+    for (v <- Seq(0, 1, 255, 256, 300, 100000, -1, Int.MinValue)) {
+      val b = patched(aviDibBlob, b0 + 32, v)
+      decodeSane(b, s"clrUsed=$v")
+      assert(AviCodec.decode(b).map(_.length).contains(want),
+        s"clrUsed=$v broke the decode")
+    }
+  }
+
+  test("idx1 index chunk: hostile size fields and shredded bodies never throw") {
+    val idx = findTag(aviBlob, "idx1")
+    for (v <- Seq(-1, Int.MaxValue, aviBlob.length, 0))
+      decodeSane(patched(aviBlob, idx + 4, v), s"idx1 sz=$v")
+    // the walk never relies on idx1 CONTENT: a shredded body is benign
+    val b = aviBlob.clone()
+    var i = idx + 8
+    while (i < math.min(b.length, idx + 72)) { b(i) = 0x5a; i += 1 }
+    assert(AviCodec.decode(b).get.length == 4,
+      "idx1 body corruption changed the frame walk")
+  }
+
+  test("OpenDML AVIX extension: truncation fails whole (never a silent partial) and flips never throw") {
+    // two-segment OpenDML layout: base AVI + RIFF AVIX carrying a second
+    // movi (the >1 GB capture shape), built exactly as AviCodecSpec does
+    val donor = aviDibBlob
+    val movi = findTag(donor, "movi") - 8
+    val moviSz = java.nio.ByteBuffer.wrap(donor, movi + 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    val moviAll = donor.slice(movi, movi + 8 + moviSz + (moviSz & 1))
+    val avixPayload = "AVIX".getBytes("US-ASCII") ++ moviAll
+    val avixHdr = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(avixPayload.length).array()
+    val multi = aviDibBlob ++ avixHdr ++ avixPayload
+    val total = AviCodec.decode(multi).get.length
+    assert(total == 8, s"fixture mux wrong: $total frames")
+    // every truncation point inside the extension element: all-or-None.
+    // Exemption: cutting at the segment boundary (or leaving < 8 bytes,
+    // below one chunk header) reproduces a self-consistent single-
+    // segment AVI / trailing padding — structurally indistinguishable
+    // from a file that never had an extension, so tolerance there is
+    // correct, not a silent partial.
+    for (n <- aviDibBlob.length until multi.length) {
+      val r = AviCodec.decode(multi.take(n))
+      if (n >= aviDibBlob.length + 8)
+        assert(r.isEmpty || r.get.length == total,
+          s"truncate($n) returned a silent partial of ${r.map(_.length)}")
+      decodeSane(multi.take(n), s"avix truncate($n)")
+    }
+    // seeded random flips across the whole extension region
+    val rng = new scala.util.Random(71)
+    for (_ <- 0 until 300) {
+      val b = multi.clone()
+      val i = aviDibBlob.length + rng.nextInt(multi.length - aviDibBlob.length)
+      b(i) = (b(i) ^ (1 << rng.nextInt(8))).toByte
+      decodeSane(b, s"avix flip@$i")
+    }
+  }
+
   test("full video operators on corrupt blobs: no rows, no throw; intact blob still detects") {
     val rng = new scala.util.Random(31)
     def flipped(blob: Array[Byte], n: Int): Array[Byte] = {

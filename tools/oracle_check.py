@@ -18,6 +18,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
+    # Sort FIRST, on raw values — the driver's comparator sorts before any
+    # stringification and throws on unsortable cells (numpy.ndarray in an
+    # object column, the r16 qc_session_report failure). Stringifying
+    # before the sort masked exactly that class of driver failure.
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
@@ -25,7 +30,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("int64")
         if np.issubdtype(df[c].dtype, np.floating):
             df[c] = df[c].astype("float64")
-    return df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
