@@ -268,6 +268,57 @@ object Bench {
         name -> (if (rerun >= 0) math.min(med, rerun) else med)
       } else name -> med
     }
+    // DEEP INTERLEAVED PASS (r16 verdict #7): the 10 most expensive
+    // queries get 5 extra timed runs each, bracketed A/B/A/B/…/A by a
+    // cheap pinned probe triple at the calibration sf, so a future
+    // regression call reads variance attribution straight from the
+    // round record: a deep-min move with flat probe ratios is code; a
+    // move tracked by the probes is the box. No more same-code
+    // forensic re-benches. Off in dev subset smokes
+    // (SPARK_GRAFT_BENCH_DEEP=1 forces on, =0 forces off).
+    val deepOn = sys.env.get("SPARK_GRAFT_BENCH_DEEP") match {
+      case Some("0") => false
+      case Some(_)   => true
+      case None      => only.isEmpty
+    }
+    val deepRuns = 5
+    val probeSet = Seq("j2_asof_nearest", "o2_union_stats", "w2_sessionize")
+    def probeOnce(): Double = {
+      val rs = probeSet.flatMap { name =>
+        val t0 = System.nanoTime()
+        val ok = try {
+          drain(SparkEntry.queries(name)(spark, calibrationSf)); true
+        } catch { case _: Throwable => false }
+        CacheRegistry.releaseAll()
+        val t = (System.nanoTime() - t0) / 1e9
+        calibrationRef.toMap.get(name).filter(_ => ok).map(t / _)
+      }.sorted
+      if (rs.isEmpty) -1.0 else rs((rs.length - 1) / 2)
+    }
+    val deepNames =
+      if (!deepOn) Seq.empty
+      else results.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1)
+    val probeRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val deepTimes: Map[String, Double] =
+      if (deepNames.isEmpty) Map.empty
+      else {
+        val perQuery = scala.collection.mutable.Map.empty[String, List[Double]]
+        for (_ <- 1 to deepRuns) {
+          probeRatios += probeOnce()
+          deepNames.foreach { name =>
+            val t = timeOne(name, SparkEntry.queries(name))
+            perQuery(name) = t :: perQuery.getOrElse(name, Nil)
+          }
+        }
+        probeRatios += probeOnce()
+        perQuery.map { case (k, ts) =>
+          k -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+        }.toMap
+      }
+    val deepRatio: Double = {
+      val rs = probeRatios.filter(_ >= 0).sorted
+      if (rs.isEmpty) -1.0 else rs((rs.length - 1) / 2)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fx = fixtureTimes.map { case (k, v) => "\"" + k + "\":" + v }
@@ -282,8 +333,12 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val cal = calTimes.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val deepJson = deepTimes.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val probesJson = probeRatios.map(r => f"$r%.3f").mkString("[", ",", "]")
     // queries first, totals last: the driver's tail capture keeps the end
-    val line = s"""{"queries":$qs,"fixtures":$fx,"engines":$eng,"calibration":$cal,"calibration_sf":"$calibrationSf","calibration_ratio":$calRatio,"sf":"$sfDir","runs":$runs,"metric":"total","unit":"sec","value":$total}"""
+    val line = s"""{"queries":$qs,"fixtures":$fx,"engines":$eng,"calibration":$cal,"calibration_sf":"$calibrationSf","calibration_ratio":$calRatio,"deep":$deepJson,"deep_runs":$deepRuns,"deep_probe_ratios":$probesJson,"deep_ratio":$deepRatio,"sf":"$sfDir","runs":$runs,"metric":"total","unit":"sec","value":$total}"""
     // SPARK_GRAFT_BENCH_TRACK=0: dev smokes (small sf, runs=1) must not
     // clobber the round's recorded full-fidelity bench file
     val track = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRACK", "1") != "0"
@@ -301,7 +356,7 @@ object Bench {
     // 1400-char budget, and a pointer to the full tracked file — so the
     // tail always ends with one complete, parseable JSON object.
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2)
-    val budget = 1400
+    val budget = 1100
     val head = "{\"sf\":\"" + sfDir + "\",\"runs\":" + runs +
       ",\"n_queries\":" + results.size +
       ",\"full\":\"" + f"docs/bench_r$round%02d.json" + "\",\"queries\":{"
@@ -314,6 +369,10 @@ object Bench {
     val compact = head + entries.mkString(",") +
       "},\"queries_omitted\":" + (results.size - entries.size) +
       ",\"calibration_ratio\":" + calRatio +
+      // deep min-of-5 per top-10 query + the interleaved probe ratio —
+      // the variance-attribution record (full probe list in the
+      // tracked file); ~300 bytes, inside the driver's 2000-char tail
+      ",\"deep\":" + deepJson + ",\"deep_ratio\":" + f"$deepRatio%.3f" +
       ",\"metric\":\"total\",\"unit\":\"sec\",\"value\":" + total + "}"
     println(compact)
     spark.stop()

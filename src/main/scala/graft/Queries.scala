@@ -693,6 +693,21 @@ object Queries {
     val pupL = eyeStream(confL, 1, 0.002, col("sn") === 7)
     val pupR = eyeStream(confR, -1, 0.004, col("sn") === 7 || col("sn") === 3)
     val sessions = base.select(col("session")).distinct()
+    qcReportFrom(s, markers, pupL, pupR, sessions)
+  }
+
+  /** Core QC-report composition over pre-built streams — every stage
+    * keyed by session (groupBys, SessionCalibrator cogroups,
+    * ErrorMap.summaryBySession cogroup, left joins), so the session
+    * axis scales by ADDING PARTITIONS; `tools/Qc100x` stands exactly
+    * this lineage at 10⁴ planted sessions with the no-funnel plan laws
+    * asserted. Inputs: markers (session, timestamp, norm_x, norm_y,
+    * marker_cluster_index), per-eye pupil streams (session, timestamp,
+    * norm_x, norm_y, confidence), and the session universe (failed
+    * sessions appear here with their products absent). */
+  def qcReportFrom(s: SparkSession, markers: DataFrame, pupL: DataFrame,
+                   pupR: DataFrame, sessions: DataFrame): DataFrame = {
+    import graft.model.{Calibrator, ErrorMap, SessionCalibrator}
 
     // marker coverage per epoch (cluster): raw count, epoch-gated
     // "filtered" count (clusters with >= 3 detections — the find_epochs
