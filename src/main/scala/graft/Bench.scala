@@ -83,24 +83,29 @@ object Bench {
       .filterNot { case (k, v) => excludedKeys(k) || v < 0 }
       .toMap
 
-  /** Index of the `"fixtures"` key (escaped or plain), or -1. */
-  private def fixturesAt(raw: String): Int =
-    raw.indexOf("\"fixtures\\\":") match {
-      case -1 => raw.indexOf("\"fixtures\":")
+  /** Index of a JSON key (escaped or plain form), or -1. */
+  private def keyAt(raw: String, key: String): Int =
+    raw.indexOf("\"" + key + "\\\":") match {
+      case -1 => raw.indexOf("\"" + key + "\":")
       case i  => i
     }
+
+  private def fixturesAt(raw: String): Int = keyAt(raw, "fixtures")
 
   private[graft] def priorTimes(repo: java.io.File, round: Int): Map[String, Double] =
     benchFile(repo, round).map { f =>
       val raw = new String(
         java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      // the fixtures map (r10+) reuses query names with smaller values —
-      // scavenge only up to it so toMap can't shadow a query's time with
-      // its fixture time (which would fire the guard on every media query)
-      val text = fixturesAt(raw) match {
-        case -1 => raw
-        case i  => raw.substring(0, i)
-      }
+      // the fixtures map (r10+) and the deep min-of-runs map (r17+)
+      // both reuse query names with SMALLER values — scavenge only up
+      // to the first of them, or toMap keeps the last occurrence and
+      // the contention guard compares a median against a min (firing
+      // spuriously and re-running exactly the expensive queries).
+      // The driver-artifact tail can start mid-line AFTER "fixtures",
+      // so "deep" must be its own truncation point, not an assumption
+      // that the fixtures cut already removed it.
+      val cuts = Seq(fixturesAt(raw), keyAt(raw, "deep")).filter(_ >= 0)
+      val text = if (cuts.isEmpty) raw else raw.substring(0, cuts.min)
       scavenge(text)
     }.getOrElse(Map.empty)
 

@@ -675,7 +675,6 @@ object Queries {
     * `outlierStds = None` so error-row presence is the closed-form
     * `kept-clusters ≥ 4` condition the oracle can state. */
   def qcSessionReport(s: SparkSession, dir: String): DataFrame = {
-    import graft.model.{Calibrator, ErrorMap, SessionCalibrator}
     val base = m9Base(s, dir, concat(lit("s"), col("user_id") % 20))
       .withColumn("sn", expr("cast(substring(session, 2) as int)"))
     val markers = m9Markers(base.filter(col("sn") =!= 13))

@@ -109,11 +109,14 @@ object AviCodec {
                 if (!isMjpg && bits != 8 && bits != 24) return None
                 // DIB frames are stored raw: one frame's padded rows
                 // must fit in the blob, or the declared dims are
-                // corrupt. Long math — w/h are header-controlled and
-                // w*h can wrap Int (30000×40000×3B ≈ 3.6e9).
+                // corrupt. Compare by DIVISION — w/h are header-
+                // controlled, and the product stride×|h| can wrap not
+                // just Int (30000×40000×3B ≈ 3.6e9) but Long too
+                // (2e9×2e9×3B ≈ 1.2e19 > Long.MaxValue), which would
+                // slip a garbage-dims header past a multiply-form guard.
                 if (!isMjpg) {
                   val stride = (w.toLong * (bits / 8) + 3L) & ~3L
-                  if (stride * math.abs(hRaw.toLong) > bytes.length)
+                  if (math.abs(hRaw.toLong) > bytes.length / stride)
                     return None
                 }
                 val pal = new Array[Int](256)

@@ -44,30 +44,13 @@ object Qc100x {
 
     // 25 clusters × 3 repeats per session, one marker per second, the
     // eye samples 2/4 ms later; conf 0.95/0.95/0.55 per repeat triple
+    // (shared planted construction: PlantedSessions)
     val per = 75L
-    val base = spark.range(nSessions * per).select(
-        concat(lit("s"), expr(s"id DIV $per")).as("session"),
-        (col("id") % per).cast("double").as("k"),
-        ((col("id") % per) % 25).as("cluster"),
-        expr(s"(id % $per) DIV 25").as("rep"),
-        (((col("id") * 7) % 97 - 48).cast("double") / 1e5).as("jit"))
-      .withColumn("mx", lit(0.1) + (col("cluster") % 5) * 0.2)
-      .withColumn("my", lit(0.1) + floor(col("cluster") / 5) * 0.2)
-      .withColumn("conf",
-        when(col("rep") === 2, 0.55).otherwise(0.95))
-    val markers = base.select(
-      col("session"), col("k").as("timestamp"),
-      (col("mx") + col("jit")).as("norm_x"),
-      (col("my") - col("jit")).as("norm_y"),
-      col("cluster").cast("long").as("marker_cluster_index"))
-    def eye(jitSign: Int, dt: Double) = base.select(
-      col("session"), (col("k") + dt).as("timestamp"),
-      (((col("mx") - 0.05) * 0.9 - (col("my") - 0.03) * 0.1 / 0.9) / 0.8
-        + col("jit") * jitSign).as("norm_x"),
-      ((col("my") - 0.03) / 0.9 - col("jit") * jitSign).as("norm_y"),
-      col("conf").as("confidence"))
-    val pupL = eye(1, 0.002)
-    val pupR = eye(-1, 0.004)
+    val base = PlantedSessions.base(spark, nSessions, per)
+    val conf = when(col("rep") === 2, 0.55).otherwise(0.95)
+    val markers = PlantedSessions.markers(base)
+    val pupL = PlantedSessions.eye(base, 1, 0.002, conf)
+    val pupR = PlantedSessions.eye(base, -1, 0.004, conf)
     val sessions = base.select(col("session")).distinct()
 
     val t0 = System.nanoTime()

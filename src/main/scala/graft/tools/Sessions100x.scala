@@ -40,26 +40,12 @@ object Sessions100x {
     // the m9 planted construction, session-parameterized: 25 clusters
     // × 2 repeats per session, one marker per integer second, its pupil
     // 2 ms later (inside the 1/60 s nearest-match window; the next
-    // marker a full second outside it)
+    // marker a full second outside it). Shared construction:
+    // PlantedSessions (one source of truth with Qc100x).
     val per = 50L
-    val base = spark.range(nSessions * per).select(
-        concat(lit("s"), expr(s"id DIV $per")).as("session"),
-        (col("id") % per).cast("double").as("k"),
-        ((col("id") % per) % 25).as("cluster"),
-        (((col("id") * 7) % 97 - 48).cast("double") / 1e5).as("jit"))
-      .withColumn("mx", lit(0.1) + (col("cluster") % 5) * 0.2)
-      .withColumn("my", lit(0.1) + floor(col("cluster") / 5) * 0.2)
-    val markers = base.select(
-      col("session"), col("k").as("timestamp"),
-      (col("mx") + col("jit")).as("norm_x"),
-      (col("my") - col("jit")).as("norm_y"),
-      col("cluster").cast("long").as("marker_cluster_index"))
-    val pupils = base.select(
-      col("session"), (col("k") + 0.002).as("timestamp"),
-      (((col("mx") - 0.05) * 0.9 - (col("my") - 0.03) * 0.1 / 0.9) / 0.8
-        + col("jit")).as("norm_x"),
-      ((col("my") - 0.03) / 0.9 - col("jit")).as("norm_y"),
-      lit(0.95).as("confidence"))
+    val base = PlantedSessions.base(spark, nSessions, per)
+    val markers = PlantedSessions.markers(base)
+    val pupils = PlantedSessions.eye(base, 1, 0.002, lit(0.95))
 
     val t0 = System.nanoTime()
     val gaze = SessionCalibrator.fitTransform(markers, pupils, "session",
@@ -75,8 +61,7 @@ object Sessions100x {
       (if (p.contains("BroadcastNestedLoopJoin")) 1 else 0)
 
     // the planted-affine check, per session: every gaze row within tol
-    val ax = (col("px") * 0.8 + col("py") * 0.1) / 0.9 + 0.05
-    val ay = col("py") * 0.9 + 0.03
+    val (ax, ay) = PlantedSessions.forwardAffine(col("px"), col("py"))
     val perSession = gaze
       .join(pupils.select(col("session"), col("timestamp"),
         col("norm_x").as("px"), col("norm_y").as("py")),

@@ -70,6 +70,25 @@ class BenchChainSpec extends AnyFunSuite {
     assert(Bench.priorTimes(repo2, 10).get("cv_pupil").contains(5.5))
   }
 
+  test("priorTimes ignores the deep min-of-runs map (r17: query names recur there too)") {
+    // the driver-artifact tail can start AFTER "fixtures" was cut off,
+    // leaving the compact line's "deep" map in scope — its min-of-5
+    // values reuse the 10 slowest queries' names. Scavenging past it
+    // would make next round's guard compare a median against a MIN,
+    // firing spuriously on exactly the expensive queries.
+    val repo = tmpRepo()
+    write(repo, "BENCH_r17.json",
+      """{"n":17,"tail":"3,\"deep_q\":12.3,\"other_q\":4.0},\"queries_omitted\":5,\"calibration_ratio\":0.95,\"deep\":{\"deep_q\":9.1,\"other_q\":2.9},\"deep_ratio\":0.9,\"value\":100.0}"}""")
+    val p = Bench.priorTimes(repo, 17)
+    assert(p.get("deep_q").contains(12.3) && p.get("other_q").contains(4.0),
+      s"median values lost: $p")
+    // plain (unescaped) form in a tracked file missing "fixtures"
+    val repo2 = tmpRepo()
+    write(repo2, "docs/bench_r17.json",
+      """{"queries":{"q_a":5.5},"deep":{"q_a":3.3},"deep_ratio":0.9,"value":5.5}""")
+    assert(Bench.priorTimes(repo2, 17) == Map("q_a" -> 5.5))
+  }
+
   test("priorFixtures reads only the fixtures map (engine-time guard input)") {
     val repo = tmpRepo()
     // r11+ tracked file: an "engines" map follows fixtures, reusing the

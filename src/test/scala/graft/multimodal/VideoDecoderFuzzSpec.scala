@@ -164,8 +164,12 @@ class VideoDecoderFuzzSpec extends SparkSpec {
     // the old Int guard negative and allocating ~9.6 GB of Double. All
     // hostile dims must go to None inside videoStreamInfo.
     val b0 = findTag(aviDibBlob, "strf") + 8
+    // includes the LONG-wrap window: 2e9×2e9×3B ≈ 1.2e19 > Long.MaxValue
+    // wraps a multiply-form guard negative (the division-form guard is
+    // immune), and biHeight = Int.MinValue whose Int abs stays negative
     for ((w, h) <- Seq((30000, 40000), (46341, 46341), (1 << 20, 1 << 20),
-                       (0x40000000, 2), (2, 0x40000000))) {
+                       (0x40000000, 2), (2, 0x40000000),
+                       (2000000000, 2000000000), (3, 0x80000000))) {
       val b = patched(patched(aviDibBlob, b0 + 4, w), b0 + 8, h)
       assert(AviCodec.decode(b).isEmpty, s"dims ${w}x$h accepted")
       decodeSane(b, s"dib dims ${w}x$h")
