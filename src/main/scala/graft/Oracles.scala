@@ -480,6 +480,26 @@ object Oracles {
        |    AS est_jaccard
        |FROM pairs WHERE len(list_filter(range(1, 17), i -> sa[i] = sb[i]))::DOUBLE / 16 >= 0.25""".stripMargin
 
+  /** Streaming dedup admission (DedupAdmitStream): the shared band CTEs
+    * (UNCAPPED — band0; admission needs every band of a doc) plus the
+    * first-owner window law over the global order key
+    * `(doc % 2)·10⁸ + doc` (epoch = doc parity, exactly the engine's
+    * two-epoch split). Non-recursive semantics make this closed form:
+    * admitted(d) ⟺ every band of d has its minimum-ord owner at d.
+    * Shingle-less docs carry no bands and admit trivially. */
+  private def streamDedupAdmitSql: String =
+    s"""WITH $minhashBandCtes,
+       |ob AS (SELECT doc, (CAST(doc AS BIGINT) % 2) * 100000000
+       |    + CAST(doc AS BIGINT) AS ord, band_id, band_hash FROM band0),
+       |mo AS (SELECT doc, ord, min(ord) OVER
+       |    (PARTITION BY band_id, band_hash) AS m FROM ob),
+       |ad AS (SELECT doc, bool_and(m = ord) AS admitted,
+       |    count(*) AS n_bands FROM mo GROUP BY doc)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc,
+       |  coalesce(ad.admitted, true) AS admitted,
+       |  coalesce(ad.n_bands, 0)::BIGINT AS n_bands
+       |FROM documents d LEFT JOIN ad ON d.doc_id = ad.doc""".stripMargin
+
   /** The WET chain's closed form (shared batch + streaming twin). */
   private def wetExtractSql: String =
     """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents)
@@ -2239,6 +2259,8 @@ object Oracles {
         |  16.0e0 AS ev1, 4.0e0 AS ev2 FROM s""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashSql,
+
+    "stream_dedup_admit" -> streamDedupAdmitSql,
     "dedup_incremental" -> dedupIncrementalSql,
     // generational variant: snapshot index assembled via build(src0-9) +
     // append(src10-14) — append must equal a from-scratch build over

@@ -1475,6 +1475,67 @@ object Queries {
     e1.unionByName(e2)
   }
 
+  /** STREAMING DEDUP ADMISSION drained end-to-end
+    * ([[streaming.DedupAdmitStream]] — the ingest-side twin of the batch
+    * LSH dedup tier): the documents table split into TWO EPOCHS (even
+    * doc_ids, then odd), each drained as one real micro-batch; per
+    * batch, the doc's LSH bands (the `dedup_minhash_lsh` chain,
+    * UNCAPPED — admission needs every band) probe the persisted
+    * seen-band table through a Bloom front with exact sliver verify,
+    * the batch's own rows resolve by first-owner window on the global
+    * order key `(epoch·10⁸ + doc)`, and the batch's bands SNAPSHOT
+    * into the seen table so the next epoch's Bloom/verify own them —
+    * the [[streamWebFrontierBloom]] bounded-state discipline applied
+    * to dedup-at-ingest.
+    *
+    * Admission is NON-recursive (the seen set accrues every earlier
+    * doc's bands, admitted or not), so the drained result is CLOSED
+    * FORM: admitted(d) ⟺ every band of d has its first owner (min
+    * `ord` over the band key) at d itself; shingle-less docs admit
+    * trivially with 0 bands. The oracle replays the shared minhash
+    * band CTEs plus that window law — a doc re-admitted across the
+    * snapshot boundary, a seen band surviving the Bloom+verify pair,
+    * or a first-owner tie-break drift all break the hash.
+    * DedupStreamSpec pins Bloom exactness at fpp 0.5, the
+    * non-recursive family rule, and the compaction crash window. */
+  def streamDedupAdmit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("doc"), col("text"))
+    val srcA = fixtureTmp("graft_dedup_admit_srcA")
+    val srcB = fixtureTmp("graft_dedup_admit_srcB")
+    val seenPath = fixtureTmp("graft_dedup_admit_state") + "/seen"
+    val outPath = fixtureTmp("graft_dedup_admit_state") + "/out"
+    docs.filter(col("doc") % 2 === 0).repartition(4)
+      .write.mode("overwrite").parquet(srcA)
+    docs.filter(col("doc") % 2 =!= 0).repartition(4)
+      .write.mode("overwrite").parquet(srcB)
+    val big = 100000000L
+    def epoch(src: String, ep: Int): Unit = {
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 4).parquet(src)
+      val sink = (bdf: DataFrame, _: Long) => {
+        val ordered = bdf
+          .withColumn("ord", lit(ep.toLong) * big + col("doc")).persist()
+        val bands = streaming.DedupAdmitStream
+          .bandsWithOrd(ordered, "doc", "text", "ord").persist()
+        try {
+          streaming.DedupAdmitStream
+            .admitBatch(s, ordered.select(col("doc"), col("ord")), bands,
+              "ord", seenPath)
+            .write.mode("append").parquet(outPath)
+          streaming.DedupAdmitStream.snapshotSeen(s, bands, seenPath)
+          ()
+        } finally { bands.unpersist(); ordered.unpersist(); () }
+      }
+      val q = stream.writeStream.foreachBatch(sink).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    epoch(srcA, 0)
+    epoch(srcB, 1)
+    s.read.parquet(outPath)
+      .select(col("doc"), col("admitted"), col("n_bands"))
+  }
+
   /** FRONTIER → FETCH SCHEDULE — the composition that finishes the
     * crawl loop's control plane on one plan: admitted frontier URLs
     * ([[webFrontier]]'s lineage) ranked per host by PRIORITY (`n_refs`
@@ -3618,6 +3679,19 @@ object Queries {
           .parquet(fixtureTmp("graft_frontier_bloom_fxB"))
         frontierCrawled(s).write.mode("overwrite")
           .parquet(fixtureTmp("graft_frontier_bloom_fxC"))
+        s.range(1).toDF("ok")
+      }),
+      "stream_dedup_admit" -> ((s: SparkSession, dir: String) => {
+        // the two-epoch doc export (the admission state tables are the
+        // measured engine work, not fixture synthesis)
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id").cast("long").as("doc"), col("text"))
+        docs.filter(col("doc") % 2 === 0).repartition(4)
+          .write.mode("overwrite")
+          .parquet(fixtureTmp("graft_dedup_admit_fxA"))
+        docs.filter(col("doc") % 2 =!= 0).repartition(4)
+          .write.mode("overwrite")
+          .parquet(fixtureTmp("graft_dedup_admit_fxB"))
         s.range(1).toDF("ok")
       }),
       "stream_pldata_tail" -> ((s: SparkSession, dir: String) => {
