@@ -92,7 +92,12 @@ object DedupAdmitStream {
       else spark.read.parquet(seenPath).select("band_id", "band_hash")
     val n = if (hasSeen) seen.count() else 0L
     // per-band cross-batch membership: Bloom miss = definitely new
-    // (row-local, no join); Bloom hit = verify exactly via left join
+    // (row-local, no join). Bloom hits verify exactly with the join
+    // ORIENTED so the corpus-sized seen table is only ever SCANNED:
+    // seen ⋉ broadcast(sliver keys) yields the true-hit key set
+    // (bounded by the sliver, itself batch-bounded), which broadcasts
+    // back onto the batch — a left join against the big table would
+    // shuffle the whole seen set every batch instead.
     val marked =
       if (n == 0) batchBands.withColumn("_seen", lit(false))
       else {
@@ -103,9 +108,15 @@ object DedupAdmitStream {
           bandKeyHash(col("band_id"), col("band_hash")))
         val definite = batchBands.filter(!probe)
           .withColumn("_seen", lit(false))
-        val maybe = batchBands.filter(probe)
-          .join(seen.withColumn("_hit", lit(true)),
-            Seq("band_id", "band_hash"), "left")
+        val sliver = batchBands.filter(probe)
+        val sliverKeys = sliver.select("band_id", "band_hash").distinct()
+        val hits = seen
+          .join(broadcast(sliverKeys), Seq("band_id", "band_hash"),
+            "left_semi")
+          .distinct()
+          .withColumn("_hit", lit(true))
+        val maybe = sliver
+          .join(broadcast(hits), Seq("band_id", "band_hash"), "left")
           .withColumn("_seen", coalesce(col("_hit"), lit(false)))
           .drop("_hit")
         definite.unionByName(maybe)
