@@ -1496,8 +1496,9 @@ object Queries {
     * band CTEs plus that window law — a doc re-admitted across the
     * snapshot boundary, a seen band surviving the Bloom+verify pair,
     * or a first-owner tie-break drift all break the hash.
-    * DedupStreamSpec pins Bloom exactness at fpp 0.5, the
-    * non-recursive family rule, and the compaction crash window. */
+    * DedupAdmitStreamSpec pins Bloom exactness at fpp 0.5, the
+    * non-recursive family rule, and the compaction crash window
+    * (DedupStreamSpec covers the separate candidatesStream operator). */
   def streamDedupAdmit(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id").cast("long").as("doc"), col("text"))
@@ -1510,6 +1511,12 @@ object Queries {
     docs.filter(col("doc") % 2 =!= 0).repartition(4)
       .write.mode("overwrite").parquet(srcB)
     val big = 100000000L
+    // the order key is epoch·big + doc, and the ORACLE replays it as
+    // (doc % 2)·big + doc — both silently wrong if a doc_id reaches
+    // the stride. Fail loudly instead of hash-mismatching opaquely.
+    val maxDoc = docs.agg(max(col("doc"))).head().getLong(0)
+    require(maxDoc < big,
+      s"doc_id $maxDoc >= epoch stride $big: the order key would alias")
     def epoch(src: String, ep: Int): Unit = {
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 4).parquet(src)

@@ -109,7 +109,11 @@ private[graft] object ArtifactSwap {
     * to bound. `carrySidecars` names in-dir sidecar files (e.g. `_CONF`)
     * copied from the live generation into the next one BEFORE the swap,
     * so operating-point metadata rides the same atomic rename as the
-    * data it describes. Returns (files_before, files_after). */
+    * data it describes. An EMPTY `partitionCol` writes unpartitioned —
+    * the flat-table form (crawled-url / seen-band sets), whose appends
+    * land unpartitioned files that a partitioned rewrite would split
+    * into a mixed, undiscoverable layout.
+    * Returns (files_before, files_after). */
   def compactTable(spark: SparkSession, live: String,
                    place: (DataFrame, Int) => DataFrame,
                    partitionCol: String, targetPartitions: Int,
@@ -122,8 +126,10 @@ private[graft] object ArtifactSwap {
                  else dataFileCount(spark, live)
     val next = live + "_next"
     clearStale(spark, next)
-    place(spark.read.parquet(live), parts)
-      .write.mode("overwrite").partitionBy(partitionCol).parquet(next)
+    val placed = place(spark.read.parquet(live), parts)
+      .write.mode("overwrite")
+    (if (partitionCol.isEmpty) placed else placed.partitionBy(partitionCol))
+      .parquet(next)
     val fs = new Path(live).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     carrySidecars.foreach { name =>

@@ -86,11 +86,9 @@ object DedupAdmitStream {
                  batchBands: DataFrame, ordCol: String, seenPath: String,
                  fpp: Double = 0.01): DataFrame = {
     ArtifactSwap.recover(spark, seenPath)
-    val hasSeen = ArtifactSwap.dataFileCount(spark, seenPath) > 0
-    val seen =
-      if (!hasSeen) null
-      else spark.read.parquet(seenPath).select("band_id", "band_hash")
-    val n = if (hasSeen) seen.count() else 0L
+    val seenOpt =
+      if (ArtifactSwap.dataFileCount(spark, seenPath) == 0) None
+      else Some(spark.read.parquet(seenPath).select("band_id", "band_hash"))
     // per-band cross-batch membership: Bloom miss = definitely new
     // (row-local, no join). Bloom hits verify exactly with the join
     // ORIENTED so the corpus-sized seen table is only ever SCANNED:
@@ -98,9 +96,12 @@ object DedupAdmitStream {
     // (bounded by the sliver, itself batch-bounded), which broadcasts
     // back onto the batch — a left join against the big table would
     // shuffle the whole seen set every batch instead.
-    val marked =
-      if (n == 0) batchBands.withColumn("_seen", lit(false))
-      else {
+    val marked = seenOpt match {
+      case None => batchBands.withColumn("_seen", lit(false))
+      case Some(seen) =>
+        val n = seen.count()
+        if (n == 0) batchBands.withColumn("_seen", lit(false))
+        else {
         val bloom = seen
           .select(bandKeyHash(col("band_id"), col("band_hash")).as("h"))
           .stat.bloomFilter("h", n, fpp)
@@ -120,7 +121,8 @@ object DedupAdmitStream {
           .withColumn("_seen", coalesce(col("_hit"), lit(false)))
           .drop("_hit")
         definite.unionByName(maybe)
-      }
+        }
+    }
     // intra-batch first-owner + cross-batch seen, conjoined per doc
     val w = Window.partitionBy("band_id", "band_hash")
     val banded = marked
@@ -157,26 +159,22 @@ object DedupAdmitStream {
   }
 
   /** Seen-table compaction: re-distinct + range-place on the band key
-    * into a fresh generation, promoted atomically ([[ArtifactSwap]]).
-    * Membership — hence every future admission — is identical before
-    * and after. Returns (files_before, files_after). */
+    * into a fresh generation through the SHARED crash-window protocol
+    * ([[ArtifactSwap.compactTable]] — one implementation of the
+    * recover/clearStale/write/swap sequence across the index families,
+    * the crawled set, and this table; empty partition column = the
+    * flat layout the appends use). Membership — hence every future
+    * admission — is identical before and after.
+    * Returns (files_before, files_after). */
   def compactSeen(spark: SparkSession, seenPath: String,
                   targetPartitions: Int = 0,
-                  knownBefore: Long = -1L): (Long, Long) = {
-    ArtifactSwap.recover(spark, seenPath)
-    val parts = if (targetPartitions > 0) targetPartitions
-                else spark.sparkContext.defaultParallelism
-    val before = if (knownBefore >= 0) knownBefore
-                 else ArtifactSwap.dataFileCount(spark, seenPath)
-    val next = seenPath + "_next"
-    ArtifactSwap.clearStale(spark, next)
-    spark.read.parquet(seenPath).distinct()
-      .repartitionByRange(parts, col("band_hash"))
-      .sortWithinPartitions("band_hash", "band_id")
-      .write.mode("overwrite").parquet(next)
-    ArtifactSwap.swap(spark, seenPath, next)
-    (before, ArtifactSwap.dataFileCount(spark, seenPath))
-  }
+                  knownBefore: Long = -1L): (Long, Long) =
+    ArtifactSwap.compactTable(spark, seenPath,
+      (df, parts) => df.distinct()
+        .repartitionByRange(parts, col("band_hash"))
+        .sortWithinPartitions("band_hash", "band_id"),
+      partitionCol = "", targetPartitions = targetPartitions,
+      knownBefore = knownBefore)
 
   /** Fragmentation-gated seen-table compaction (the epoch chain's
     * monitor→actuator loop; heals the compactor's own crash window

@@ -172,22 +172,12 @@ object FrontierStream {
     * [[compactCrawledIfFragmented]] is the gauged loop. */
   def compactCrawled(spark: SparkSession, crawledPath: String,
                      targetPartitions: Int = 0,
-                     knownBefore: Long = -1L): (Long, Long) = {
-    import graft.operators.ArtifactSwap
-    ArtifactSwap.recover(spark, crawledPath)
-    val parts = if (targetPartitions > 0) targetPartitions
-                else spark.sparkContext.defaultParallelism
-    val before = if (knownBefore >= 0) knownBefore
-                 else ArtifactSwap.dataFileCount(spark, crawledPath)
-    val next = crawledPath + "_next"
-    ArtifactSwap.clearStale(spark, next)
-    spark.read.parquet(crawledPath)
-      .repartitionByRange(parts, col("url"))
-      .sortWithinPartitions("url")
-      .write.mode("overwrite").parquet(next)
-    ArtifactSwap.swap(spark, crawledPath, next)
-    (before, ArtifactSwap.dataFileCount(spark, crawledPath))
-  }
+                     knownBefore: Long = -1L): (Long, Long) =
+    graft.operators.ArtifactSwap.compactTable(spark, crawledPath,
+      (df, parts) => df.repartitionByRange(parts, col("url"))
+        .sortWithinPartitions("url"),
+      partitionCol = "", targetPartitions = targetPartitions,
+      knownBefore = knownBefore)
 
   /** Fragmentation-gated crawled-table compaction — the closed
     * monitor→actuator loop an epoch chain runs after each

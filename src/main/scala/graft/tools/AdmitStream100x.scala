@@ -100,6 +100,13 @@ object AdmitStream100x {
         smj = plan.collect {
           case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
             if rawSeenBelow(ex.child) => 1
+          // broadcasting the raw seen table is the SAME scale-bug class
+          // (whole corpus collected to the driver every batch) — the
+          // legit broadcast is of `hits`, whose child is the distinct
+          // AGGREGATE (a rawSeenBelow boundary), so only a regression
+          // that broadcasts the unreduced seen scan trips this
+          case bx: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+            if rawSeenBelow(bx.child) => 1
         }.sum
         planChecked = true
       }
@@ -141,6 +148,13 @@ object AdmitStream100x {
       "admission plan funneled or sort-merge-joined the seen table")
     println("[admit_stream_100x] STREAM ≡ BATCH TWIN " +
       "(boundary-independent, seen table scan-only)")
+    // clean the run's /tmp state — stranded standings are the disk-leak
+    // class that filled the box quota in r10
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(root))
     spark.stop()
   }
 }
