@@ -1228,19 +1228,29 @@ object TextOps {
     * mean/std; zero std ⇒ 1), then full-batch gradient descent on the
     * logistic loss (+ intercept), `iters` steps at rate `lr`.
     *
-    * Scale shape: the driver-iterates / cluster-reduces discipline (the
-    * k-means and BPE fits) — the standardized feature projection
-    * (4 doubles/row, persisted once) is all any pass touches, and each
-    * iteration is ONE map-side-combined aggregate (count + 4 gradient
-    * sums) with a 1-row collect; T iterations = T cheap jobs over a
-    * 32-byte-wide frame, never the raw text. Updated weights are
-    * quantized to 6 dp per iteration (the [[centroidFit]] rule,
-    * HALF_UP): a double sum's partition-order ulps would otherwise
-    * compound across iterations and diverge the SQL replay — quantized,
-    * engine and oracle walk the IDENTICAL weight trajectory. */
+    * Scale shape (r17 optimization): the gradient only sees each DISTINCT
+    * standardized feature tuple once per iteration — the features are
+    * ratios of small per-doc integer counts, so the train split collapses
+    * into a (f1, f2, f3, y) → multiplicity HISTOGRAM far smaller than the
+    * corpus (one map-side-combined shuffle). The fit then runs the T
+    * gradient steps over the histogram: collected to the driver when it
+    * is small (size-gated like [[graft.model.SessionCalibrator]]'s
+    * broadcast probe — bounded work however large the corpus), else as T
+    * multiplicity-weighted aggregates over the persisted histogram (the
+    * pre-r17 job-per-iteration shape, now over the reduced frame). The
+    * pre-r17 loop ran T×2 single-task AQE stage-jobs over the row-level
+    * frame — 106 jobs ≈ 4.3 s of pure scheduling at sf0.1.
+    *
+    * Parity: multiplicity-weighted sums equal row-level sums in real
+    * arithmetic; the per-iteration 6-dp weight quantization (the
+    * [[centroidFit]] rule, HALF_UP) absorbs the float reassociation —
+    * exactly the mechanism that already makes Spark's partition-order
+    * sums match the DuckDB replay's. The collected histogram is sorted
+    * before the loop so the local sum order is run-reproducible. */
   def logregFit(docs: DataFrame, idCol: String, textCol: String,
                 isTrain: Column, label: Column,
-                iters: Int = 50, lr: Double = 1.0): LogregModel = {
+                iters: Int = 50, lr: Double = 1.0,
+                maxHistRows: Int = 262144): LogregModel = {
     def q6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val raw = graft.CacheRegistry.persistTracked(
@@ -1258,24 +1268,50 @@ object TextOps {
     val mu = Array(q6(st.getDouble(0)), q6(st.getDouble(2)), q6(st.getDouble(4)))
     val sd = Array(q6(st.getDouble(1)), q6(st.getDouble(3)), q6(st.getDouble(5)))
       .map(s => if (s == 0.0) 1.0 else s)
-    val feats = graft.CacheRegistry.persistTracked(
-      raw.select(
-        ((col("f1") - mu(0)) / sd(0)).as("f1"),
-        ((col("f2") - mu(1)) / sd(1)).as("f2"),
-        ((col("f3") - mu(2)) / sd(2)).as("f3"), col("y")))
+    val histDf = raw.groupBy("f1", "f2", "f3", "y")
+      .agg(count(lit(1)).as("cnt"))
+    // gate for the driver-side loop (~10 MB at the default)
+    val probe = histDf.limit(maxHistRows + 1).collect()
     val w = Array(0.0, 0.0, 0.0, 0.0)
-    for (_ <- 0 until iters) {
-      val z = lit(w(0)) + lit(w(1)) * col("f1") +
-        lit(w(2)) * col("f2") + lit(w(3)) * col("f3")
-      val p = lit(1.0) / (lit(1.0) + exp(-z))
-      val r = feats.agg(
-        count(lit(1)).as("n"),
-        sum(p - col("y")).as("g0"),
-        sum((p - col("y")) * col("f1")).as("g1"),
-        sum((p - col("y")) * col("f2")).as("g2"),
-        sum((p - col("y")) * col("f3")).as("g3")).head()
-      val n = r.getLong(0).toDouble
-      for (j <- 0 to 3) w(j) = q6(w(j) - lr * r.getDouble(j + 1) / n)
+    if (probe.length <= maxHistRows) {
+      // standardize locally with the identical IEEE expression per value
+      val rows = probe.map { r =>
+        ((r.getDouble(0) - mu(0)) / sd(0), (r.getDouble(1) - mu(1)) / sd(1),
+          (r.getDouble(2) - mu(2)) / sd(2), r.getDouble(3), r.getLong(4))
+      }.sortBy(t => (t._1, t._2, t._3, t._4))
+      val n = rows.map(_._5).sum.toDouble
+      for (_ <- 0 until iters) {
+        var g0 = 0.0; var g1 = 0.0; var g2 = 0.0; var g3 = 0.0
+        rows.foreach { case (f1, f2, f3, y, cnt) =>
+          val z = w(0) + w(1) * f1 + w(2) * f2 + w(3) * f3
+          val d = (1.0 / (1.0 + math.exp(-z)) - y) * cnt
+          g0 += d; g1 += d * f1; g2 += d * f2; g3 += d * f3
+        }
+        w(0) = q6(w(0) - lr * g0 / n); w(1) = q6(w(1) - lr * g1 / n)
+        w(2) = q6(w(2) - lr * g2 / n); w(3) = q6(w(3) - lr * g3 / n)
+      }
+    } else {
+      // corpus too diverse for the gate: the distributed iteration loop,
+      // weighted by multiplicity over the (still reduced) histogram
+      val feats = graft.CacheRegistry.persistTracked(
+        histDf.select(
+          ((col("f1") - mu(0)) / sd(0)).as("f1"),
+          ((col("f2") - mu(1)) / sd(1)).as("f2"),
+          ((col("f3") - mu(2)) / sd(2)).as("f3"), col("y"), col("cnt")))
+      for (_ <- 0 until iters) {
+        val z = lit(w(0)) + lit(w(1)) * col("f1") +
+          lit(w(2)) * col("f2") + lit(w(3)) * col("f3")
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        val c = col("cnt").cast("double")
+        val r = feats.agg(
+          sum(col("cnt")).as("n"),
+          sum((p - col("y")) * c).as("g0"),
+          sum((p - col("y")) * col("f1") * c).as("g1"),
+          sum((p - col("y")) * col("f2") * c).as("g2"),
+          sum((p - col("y")) * col("f3") * c).as("g3")).head()
+        val n = r.getLong(0).toDouble
+        for (j <- 0 to 3) w(j) = q6(w(j) - lr * r.getDouble(j + 1) / n)
+      }
     }
     LogregModel(mu, sd, w)
   }

@@ -784,6 +784,14 @@ class TextAnalysisSpec extends SparkSpec {
     graft.CacheRegistry.releaseAll()
     assert(m.w.sameElements(m2.w) && m.mu.sameElements(m2.mu) &&
       m.sd.sameElements(m2.sd))
+    // r17: the size-gated driver-side histogram loop and the distributed
+    // weighted-aggregate fallback (maxHistRows = 0 forces it) walk the
+    // same q6-quantized weight trajectory
+    val m3 = TextOps.logregFit(docs, "doc_id", "text",
+      isTrain = col("doc_id") < 20, label = label, maxHistRows = 0)
+    graft.CacheRegistry.releaseAll()
+    assert(m.w.sameElements(m3.w) && m.mu.sameElements(m3.mu) &&
+      m.sd.sameElements(m3.sd))
   }
 
   test("lmScore == hand-computed add-one bigram NLL; short docs null") {
