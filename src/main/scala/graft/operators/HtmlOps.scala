@@ -160,22 +160,18 @@ object HtmlOps {
     // One anchor per segment by construction; unclosed elements yield
     // no row; a nested `<a` starts its own segment, so the INNERMOST
     // anchor wins (browsers auto-close — same family of behavior).
-    val segd = pages.select(
-      keep :+ split(stripNonContent(col(htmlCol)), "(?i)(?=<a\\b)")
-        .as("_segs"): _*)
     // href attribute key: lookbehind forbids a word-or-hyphen character
     // before it, so `data-href`/`xhref` never match (`\bhref` did — `-`
     // is a word boundary, so `data-href="x"` won the double-quoted slot
-    // over a real single-quoted href and emitted a wrong frontier edge)
-    val elems = segd.select(
-      keep :+ filter(transform(col("_segs"), s => struct(
-          regexp_extract(s,
-            "(?is)^<a\\b[^>]*?(?<![\\w-])href\\s*=\\s*\"([^\"]*)\"", 1).as("dq"),
-          regexp_extract(s,
-            "(?is)^<a\\b[^>]*?(?<![\\w-])href\\s*=\\s*'([^']*)'", 1).as("sq"),
-          regexp_extract(s, "(?is)^(<a\\b[^>]*>.*?</a\\s*>)", 1)
-            .as("elem"))),
-        x => x("elem") =!= "").as("_elems"): _*)
+    // over a real single-quoted href and emitted a wrong frontier edge).
+    // r17: the strip → segment → per-segment extract chain runs as ONE
+    // native kernel eval per page ([[graft.functions.HtmlKernels
+    // .anchor_scan]], bit-parity-pinned in HtmlOpsSpec) — the HOF
+    // formulation paid three interpreted regexp_extract evals per
+    // segment plus two interpreted array passes per strip stage.
+    val elems = pages.select(
+      keep :+ graft.functions.HtmlKernels.anchor_scan(col(htmlCol))
+        .as("_elems"): _*)
     val exploded = elems.select(
       keep :+ posexplode(col("_elems")).as(Seq("link_idx", "_e")): _*)
     // href: double-quoted form wins, else single-quoted; anchored to
@@ -200,55 +196,17 @@ object HtmlOps {
           .as("dst_host"): _*)
   }
 
-  /** RFC-3986-lite reference resolution (see [[extractLinks]]). */
-  def resolveUrl(base: Column, href: Column): Column = {
-    val scheme = regexp_extract(base, "^([a-z][a-z0-9+.-]*):", 1)
-    val hostRoot = regexp_extract(base, "^([a-z][a-z0-9+.-]*://[^/?#]+)", 1)
-    val basePath = regexp_extract(base,
-      "^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?", 1)
-    val baseDir = when(basePath === "", lit("/"))
-      .otherwise(regexp_replace(basePath, "[^/]*$", ""))
-    // schemes are case-insensitive (RFC 3986 §3.1): HREF="HTTP://…" is
-    // absolute, not a relative path named "HTTP:"
-    val isAbs = href.rlike("(?i)^[a-z][a-z0-9+.-]*://")
-    val isProtoRel = href.startsWith("//")
-    val isOtherScheme = href.rlike("(?i)^[a-z][a-z0-9+.-]*:") && !isAbs
-    val isFragOrEmpty = href.startsWith("#") || href === ""
-    // path/suffix split: dot-normalization applies to the path only
-    val suffix = regexp_extract(href, "([?#].*)$", 1)
-    val hrefPath = regexp_replace(href, "[?#].*$", "")
-    val isPathAbs = href.startsWith("/")
-    val joined = when(isPathAbs, hrefPath)
-      .otherwise(concat(baseDir, hrefPath))
-    val segs = split(joined, "/")
-    val folded = aggregate(segs,
-      array().cast("array<string>"),
-      (acc, x) =>
-        when(x === "" || x === ".", acc)
-          .when(x === "..",
-            when(size(acc) > 0, slice(acc, lit(1), size(acc) - 1))
-              .otherwise(acc))
-          .otherwise(concat(acc, array(x))))
-    // RFC 3986 §5.2.4: a reference whose path ends in "/", "/." or
-    // "/.." denotes a DIRECTORY — the fold drops the empty/dot tail
-    // segment, so re-append the trailing slash it removed ("/a/b/" must
-    // not collapse to "/a/b": pagination/self links break otherwise).
-    val dirLike = joined.rlike("(?:/|/\\.|/\\.\\.)$")
-    val normPath = when(dirLike && size(folded) > 0,
-        concat(lit("/"), array_join(folded, "/"), lit("/")))
-      .otherwise(concat(lit("/"), array_join(folded, "/")))
-    when(isAbs, href)
-      .when(isProtoRel, concat(scheme, lit(":"), href))
-      .when(isFragOrEmpty || isOtherScheme, lit(null).cast("string"))
-      // §5.3: an empty href path with a non-empty suffix (a query-only
-      // reference like "?page=2") keeps the base's FULL path, not the
-      // base directory — self-links with a changed query are the most
-      // common relative reference on real pages
-      .when(hrefPath === "",
-        concat(hostRoot, when(basePath === "", lit("/")).otherwise(basePath),
-          suffix))
-      .otherwise(concat(hostRoot, normPath, suffix))
-  }
+  /** RFC-3986-lite reference resolution (see [[extractLinks]]): scheme
+    * case-insensitivity (§3.1), dot-segment normalization with directory
+    * references preserved (§5.2.4), query-only self links keeping the
+    * base's full path (§5.3), non-hierarchical schemes / fragments /
+    * empty hrefs → null. r17: one native kernel eval per anchor
+    * ([[graft.functions.HtmlKernels.url_resolve]]) — the declarative
+    * form's dot-segment fold was an interpreted `aggregate` HOF per
+    * anchor; branch-for-branch parity is pinned in HtmlOpsSpec and by
+    * the closed-form frontier/link oracles. */
+  def resolveUrl(base: Column, href: Column): Column =
+    graft.functions.HtmlKernels.url_resolve(base, href)
 
   /** FRONTIER URL-SEEN FILTER — the crawl loop's admission step between
     * outlink discovery ([[extractLinks]]) and the fetch scheduler

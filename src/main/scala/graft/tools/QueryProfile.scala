@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import java.util.concurrent.atomic.AtomicLong
 
 /** Dev profiling harness for the optimization rounds: for each named
@@ -32,9 +32,24 @@ object QueryProfile {
     val jobs = new AtomicLong(0)
     val stages = new AtomicLong(0)
     val tasks = new AtomicLong(0)
+    // per-job wall + call site, for SPARK_GRAFT_PROFILE_JOBS=1 deep dives
+    val jobStartMs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    val logJobs = sys.env.contains("SPARK_GRAFT_PROFILE_JOBS")
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (logJobs) {
+          val site = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          jobStartMs.put(j.jobId, (System.currentTimeMillis(), site))
+        }
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        if (logJobs) Option(jobStartMs.remove(j.jobId)).foreach {
+          case (t0, site) =>
+            jobLog.add((System.currentTimeMillis() - t0, site)); ()
+        }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
         tasks.addAndGet(sc.stageInfo.numTasks.toLong)
@@ -67,7 +82,8 @@ object QueryProfile {
       } catch { case e: Throwable =>
         System.err.println(s"[profile] $name explain failed: $e")
       }
-      val ts = (1 to runs).map { _ =>
+      val ts = (1 to runs).map { runIdx =>
+        if (logJobs && runIdx == runs) jobLog.clear()
         val (j0, s0, t0) = (jobs.get, stages.get, tasks.get)
         val n0 = System.nanoTime()
         val ok = try {
@@ -86,6 +102,15 @@ object QueryProfile {
       }
       val (_, j, st, tk) = ts.last
       println(f"[profile] $name%-30s min=$best%7.2f s  jobs=$j%4d stages=$st%4d tasks=$tk%6d  (runs=${ts.map(t => f"${t._1}%.2f").mkString(",")})")
+      if (logJobs) {
+        import scala.jdk.CollectionConverters._
+        val bySite = jobLog.asScala.toSeq.groupBy(_._2)
+          .map { case (s, xs) => (xs.map(_._1).sum, xs.length, s) }
+          .toSeq.sortBy(-_._1).take(14)
+        bySite.foreach { case (ms, n, s) =>
+          println(f"[profile]    $ms%6d ms over $n%3d jobs  $s")
+        }
+      }
     }
     spark.stop()
   }
