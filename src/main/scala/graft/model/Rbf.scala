@@ -88,29 +88,14 @@ object Rbf {
   }
 }
 
-/** RBF gaze map (x and y interpolators), Column apply via the same
-  * literal-anchor HOF pattern as TPS. */
+/** RBF gaze map (x and y interpolators), Column apply via the native
+  * [[graft.functions.RbfEval]] kernel (r17 — the TpsEval discipline; the
+  * typedLit-packed HOF fold paid interpreted evaluation per node per row,
+  * bit-parity pinned in GazeModelSpec). */
 case class RbfMapModel(fx: Rbf.Model, fy: Rbf.Model) extends GazeModel {
   import org.apache.spark.sql.Column
-  import org.apache.spark.sql.functions._
-
-  private def rbfCol(px: Column, py: Column, m: Rbf.Model): Column = {
-    val packed: Seq[(Double, Double, Double)] =
-      m.xy.zip(m.w).map { case (a, wi) => (a(0), a(1), wi) }.toSeq
-    aggregate(typedLit(packed), lit(0.0), (acc, s) => {
-      val dx = px - s.getField("_1")
-      val dy = py - s.getField("_2")
-      val r = sqrt(dx * dx + dy * dy)
-      val k = m.kernel match {
-        case "multiquadric" => sqrt((r / m.eps) * (r / m.eps) + 1.0)
-        case "linear" => r
-        case "cubic" => r * r * r
-        case "thin_plate" => when(r === 0.0, 0.0).otherwise(r * r * log(r))
-      }
-      acc + s.getField("_3") * k
-    })
-  }
 
   def mapCols(px: Column, py: Column): (Column, Column) =
-    (rbfCol(px, py, fx), rbfCol(px, py, fy))
+    (graft.functions.RbfEval.rbf_eval(px, py, fx),
+      graft.functions.RbfEval.rbf_eval(px, py, fy))
 }
