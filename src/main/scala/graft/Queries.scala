@@ -528,15 +528,17 @@ object Queries {
     val pupils = m9Pupils(base)
     // persisted (tracked): the gaze stream feeds both the planted-affine
     // check and the ErrorMap histogram — two actions over the full
-    // match + fit + apply lineage
+    // match + fit + apply lineage. px/py CARRY through the map apply
+    // (SessionCalibrator.transform carry) instead of re-joining gaze
+    // back onto pupils on (session, timestamp) — that join was a full
+    // double shuffle of the corpus-sized pupil stream (r17, guide §2.4;
+    // timestamps are per-session unique, so join ≡ carry row-for-row).
     val gaze = graft.CacheRegistry.persistTracked(
       SessionCalibrator.fitTransform(markers, pupils, "session",
-        window = 1.0 / 60.0))
+        window = 1.0 / 60.0,
+        carry = Seq("norm_x" -> "px", "norm_y" -> "py")))
     val (ax, ay) = m9Affine(col("px"), col("py"))
     val checked = gaze
-      .join(pupils.select(col("session"), col("timestamp"),
-        col("norm_x").as("px"), col("norm_y").as("py")),
-        Seq("session", "timestamp"))
       .withColumn("_ok",
         abs(col("gaze_x") - ax) < m9Tol && abs(col("gaze_y") - ay) < m9Tol)
     val summary = ErrorMap.compute(markers,
@@ -579,7 +581,10 @@ object Queries {
       "session", 1.0 / 60.0, graft.model.Calibrator.Config().minConfidence)
     val models = CacheRegistry.persistTracked(
       SessionCalibrator.fitModels(s, reduced, "session"))
-    val batchGaze = SessionCalibrator.transform(pupils, models, "session")
+    // px/py carry through the batch apply (see gazePipeline; the
+    // pupil-stream re-join was the corpus-sized shuffle — r17 §2.4)
+    val batchGaze = SessionCalibrator.transform(pupils, models, "session",
+      carry = Seq("norm_x" -> "px", "norm_y" -> "py"))
     // two real micro-batches: two range-split files, one file per trigger
     val src = fixtureTmp("graft_gaze_src")
     pupils.repartitionByRange(2, col("timestamp"))
@@ -599,10 +604,8 @@ object Queries {
     val (ax, ay) = m9Affine(col("px"), col("py"))
     streamed.as("a")
       .join(batchGaze.select(col("session"), col("timestamp"),
-        col("gaze_x").as("bx"), col("gaze_y").as("by")).as("b"),
-        Seq("session", "timestamp"))
-      .join(pupils.select(col("session"), col("timestamp"),
-        col("norm_x").as("px"), col("norm_y").as("py")),
+        col("gaze_x").as("bx"), col("gaze_y").as("by"),
+        col("px"), col("py")).as("b"),
         Seq("session", "timestamp"))
       .agg(
         count(lit(1)).as("n_gaze"),
@@ -630,13 +633,13 @@ object Queries {
     val base = m9Base(s, dir, concat(lit("s"), col("user_id") % 100))
     val markers = m9Markers(base)
     val pupils = m9Pupils(base)
+    // px/py carry through the map apply (see gazePipeline — the re-join
+    // onto pupils was a corpus-sized double shuffle; r17, guide §2.4)
     val gaze = SessionCalibrator.fitTransform(markers, pupils, "session",
-      window = 1.0 / 60.0)
+      window = 1.0 / 60.0,
+      carry = Seq("norm_x" -> "px", "norm_y" -> "py"))
     val (ax, ay) = m9Affine(col("px"), col("py"))
     gaze
-      .join(pupils.select(col("session"), col("timestamp"),
-        col("norm_x").as("px"), col("norm_y").as("py")),
-        Seq("session", "timestamp"))
       .withColumn("_ok",
         abs(col("gaze_x") - ax) < m9Tol && abs(col("gaze_y") - ay) < m9Tol)
       .groupBy("session")
@@ -746,13 +749,14 @@ object Queries {
         .agg(count(lit(1)).as(s"n_cal_points_$sfx"))
       val models = CacheRegistry.persistTracked(
         SessionCalibrator.fitModels(s, reduced, "session", calCfg))
+      // px/py carry through the map apply (see gazePipeline — the
+      // re-join onto the pupil stream was a corpus-sized double shuffle
+      // PER EYE here; r17, guide §2.4)
       val gaze = CacheRegistry.persistTracked(
-        SessionCalibrator.transform(pup, models, "session"))
+        SessionCalibrator.transform(pup, models, "session",
+          carry = Seq("norm_x" -> "px", "norm_y" -> "py")))
       val (ax, ay) = m9Affine(col("px"), col("py"))
       val gStats = gaze
-        .join(pup.select(col("session"), col("timestamp"),
-          col("norm_x").as("px"), col("norm_y").as("py")),
-          Seq("session", "timestamp"))
         .groupBy("session").agg(
           count(lit(1)).as(s"n_gaze_$sfx"),
           (count(lit(1)) === sum(when(

@@ -99,7 +99,8 @@ object SessionCalibrator {
     * model table of KB-sized TPS rows stops being broadcast-material, and
     * a forced broadcast there is an executor OOM, not an optimization. */
   def transform(pupils: DataFrame, models: DataFrame, sessionCol: String,
-                maxBroadcastSessions: Long = 10000L): DataFrame = {
+                maxBroadcastSessions: Long = 10000L,
+                carry: Seq[(String, String)] = Nil): DataFrame = {
     val probe = math.min(maxBroadcastSessions + 1, Int.MaxValue.toLong).toInt
     val modelSide =
       if (models.limit(probe).count() <= maxBroadcastSessions) broadcast(models)
@@ -109,8 +110,17 @@ object SessionCalibrator {
       col("ax"), col("ay"), col("theta_x"))
     val gy = TpsMapModel.tpsColFromColumns(col("norm_x"), col("norm_y"),
       col("ax"), col("ay"), col("theta_y"))
-    joined.select(col(sessionCol), col("timestamp"), gx.as("gaze_x"),
-      gy.as("gaze_y"), col("confidence"))
+    // `carry`: (pupilCol → outName) columns riding the map apply — a
+    // consumer that needs pupil fields next to the gaze (the planted-
+    // affine checks) reads them HERE instead of re-joining the mapped
+    // stream back onto the pupil stream on (session, timestamp): that
+    // join is a full double shuffle of the corpus-sized stream (the r17
+    // optimization pass removed one per eye-chain; guide §2.4 — remove
+    // shuffles outright). Row set is untouched: carry only widens the
+    // projection of the same broadcast-join apply.
+    joined.select(Seq(col(sessionCol), col("timestamp"), gx.as("gaze_x"),
+      gy.as("gaze_y"), col("confidence")) ++
+      carry.map { case (src, out) => col(src).as(out) }: _*)
   }
 
   /** The full fan-out: reduce → fit per session → apply. The model table
@@ -119,12 +129,13 @@ object SessionCalibrator {
     * re-runs the whole reduce + fit lineage. */
   def fitTransform(markers: DataFrame, pupils: DataFrame, sessionCol: String,
                    window: Double = 1.0 / 60.0,
-                   cfg: Calibrator.Config = Calibrator.Config()): DataFrame = {
+                   cfg: Calibrator.Config = Calibrator.Config(),
+                   carry: Seq[(String, String)] = Nil): DataFrame = {
     val spark = markers.sparkSession
     val reduced = reducedPoints(markers, pupils, sessionCol, window,
       cfg.minConfidence)
     val models = graft.CacheRegistry.persistTracked(
       fitModels(spark, reduced, sessionCol, cfg))
-    transform(pupils, models, sessionCol)
+    transform(pupils, models, sessionCol, carry = carry)
   }
 }

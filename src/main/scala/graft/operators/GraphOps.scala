@@ -62,17 +62,59 @@ object GraphOps {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 64,
-                          checkpointDir: Option[String] = None): DataFrame = {
-    val sc = edges.sparkSession.sparkContext
+                          checkpointDir: Option[String] = None,
+                          maxLocalEdges: Int = 1 << 20): DataFrame = {
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
-    var e = cut(edges
+    val norm = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct())
+      .distinct()
+    // r17 size-gated driver fast path (the logreg-histogram / broadcast-
+    // gate discipline): a deduplicated edge set within the gate resolves
+    // by driver-side union-find in ONE job — the O(log n) distributed
+    // rounds each cost ~10 scheduled jobs, pure overhead at this size.
+    // EXACT integer labels, so the two paths are bit-identical by
+    // construction (GraphOpsSpec pins parity). The gate is bounded work
+    // at any corpus size (limit-probe collect); past it — or whenever a
+    // durable checkpointDir signals cluster-scale intent — the
+    // alternating-star loop below runs unchanged.
+    if (checkpointDir.isEmpty) {
+      val probe = norm.limit(maxLocalEdges + 1).collect()
+      if (probe.length <= maxLocalEdges) {
+        import spark.implicits._
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(a: Long): Long = {
+          var r = a
+          while (parent.get(r) != r) r = parent.get(r)
+          var x = a
+          while (parent.get(x) != r) { val nx = parent.get(x); parent.put(x, r); x = nx }
+          r
+        }
+        probe.foreach { row =>
+          val u = row.getLong(0); val v = row.getLong(1)
+          if (!parent.containsKey(u)) parent.put(u, u)
+          if (!parent.containsKey(v)) parent.put(v, v)
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+        }
+        val minLabel = new java.util.HashMap[Long, Long]()
+        parent.keySet().forEach { n =>
+          val r = find(n)
+          val cur = minLabel.getOrDefault(r, Long.MaxValue)
+          if (n < cur) minLabel.put(r, n)
+        }
+        val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        parent.keySet().forEach { n => rows += ((n, minLabel.get(find(n)))) }
+        return rows.toSeq.toDF("node", "component")
+      }
+    }
+    var e = cut(norm)
     var eCount = e.count()
     var converged = eCount == 0L
     var it = 0

@@ -66,6 +66,19 @@ class GraphOpsSpec extends SparkSpec {
     assert(run(Nil).isEmpty)
   }
 
+  test("r17: driver union-find fast path == forced distributed loop") {
+    val rnd = new scala.util.Random(23)
+    val edges = (0L until 80L).map(i => (i, i + 1)) ++ // long chain
+      Seq.fill(60)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+        .filter { case (a, b) => a != b }
+    val local = run(edges) // default gate → driver union-find
+    val dist = GraphOps.connectedComponents(
+        edges.toDF("a", "b"), "a", "b", maxLocalEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    graft.CacheRegistry.releaseAll()
+    assert(local == dist)
+  }
+
   test("reliable checkpointDir: same labels, round files actually written") {
     val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
     // chain + clique mix so the run takes several rounds
