@@ -1678,11 +1678,19 @@ object TextOps {
     val c12 = tr.groupBy("w1", "w2").agg(count(lit(1)).as("_c12"))
     val vocab = docs.select(explode(tokens(col(textCol))).as("_w"))
       .agg(countDistinct(col("_w")).as("_nv"))
-    val scored = tr
-      .join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+    // r17 (guide §3): fold the unigram counts and the smoothing into a
+    // per-DISTINCT-bigram log-prob table first — c12⋈c1 is bigram-
+    // vocabulary-sized — so the corpus-sized transition stream pays ONE
+    // equi-join instead of two. Identical _lp per transition; the
+    // round-6 on the per-doc mean absorbs the sum-order change exactly
+    // as it absorbs Spark-vs-DuckDB partition order.
+    val lp = c12.join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .withColumn("_lp", log((col("_c12") + 1).cast("double") /
-        (col("_c1") + col("_nv"))))
+      .select(col("w1"), col("w2"),
+        log((col("_c12") + 1).cast("double") /
+          (col("_c1") + col("_nv"))).as("_lp"))
+    val scored = tr
+      .join(lp, Seq("w1", "w2"))
       .groupBy("doc")
       .agg(count(lit(1)).as("n_trans"), avg(col("_lp")).as("_alp"))
     docs.select(col(idCol).as("doc")).join(scored, Seq("doc"), "left")
