@@ -129,21 +129,59 @@ object VectorOps {
     require(vecs.nonEmpty, "kmeans on empty input")
     val k = math.min(k0, vecs.length) // fewer points than cells: one each
     var cents = vecs.take(k).map(_.clone())
+    val dim = vecs(0).length
+    // r17: the assignment pass parallelizes over FIXED 512-point chunks —
+    // chunk boundaries and the partial-sum merge order derive from the
+    // input length only (never the core count), so every centroid bit is
+    // machine-independent and run-reproducible; a fit under 512 points is
+    // ONE chunk, i.e. the exact pre-r17 sequential sum order. The big
+    // driver-side quantizer fits (IVF/PQ/OPQ/semdedup samples, ≤10⁴
+    // points × 10²-cell × dim, 10 Lloyd rounds ≈ 10⁹-10¹⁰ flops) were
+    // single-threaded on a 32-core box.
+    val chunkSize = 512
+    val nChunks = (vecs.length + chunkSize - 1) / chunkSize
     for (_ <- 0 until iters) {
-      val sums = Array.fill(k)(new Array[Double](vecs(0).length))
+      val cur = cents
+      val partials = new Array[(Array[Array[Double]], Array[Long])](nChunks)
+      def assignChunk(ci: Int): Unit = {
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Long](k)
+        val lo = ci * chunkSize
+        val hi = math.min(lo + chunkSize, vecs.length)
+        var p = lo
+        while (p < hi) {
+          val v = vecs(p)
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d = 0.0; var i = 0
+            while (i < dim) { val t = v(i) - cur(c)(i); d += t * t; i += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < dim) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+          p += 1
+        }
+        partials(ci) = (sums, counts)
+      }
+      if (nChunks == 1) assignChunk(0)
+      else java.util.stream.IntStream.range(0, nChunks).parallel()
+        .forEach(ci => assignChunk(ci))
+      val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)
-      vecs.foreach { v =>
-        var best = 0; var bd = Double.MaxValue
+      var ci = 0
+      while (ci < nChunks) { // merge in chunk order: deterministic bits
+        val (ps, pc) = partials(ci)
         var c = 0
         while (c < k) {
-          var d = 0.0; var i = 0
-          while (i < v.length) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
-          if (d < bd) { bd = d; best = c }
+          var i = 0
+          while (i < dim) { sums(c)(i) += ps(c)(i); i += 1 }
+          counts(c) += pc(c)
           c += 1
         }
-        var i = 0
-        while (i < v.length) { sums(best)(i) += v(i); i += 1 }
-        counts(best) += 1
+        ci += 1
       }
       cents = Array.tabulate(k)(c =>
         if (counts(c) == 0) cents(c)
@@ -1352,9 +1390,15 @@ object VectorOps {
       }
       members(best) += v
     }
-    val children = Array.tabulate(supers.length)(s =>
-      if (members(s).isEmpty) Array(supers(s).clone())
-      else kmeans(members(s).toArray, k2, iters))
+    // r17: the per-super child fits are independent sequential kmeans
+    // calls — run them in parallel into fixed slots (bit-identical to
+    // the sequential loop regardless of scheduling)
+    val children = new Array[Array[Array[Double]]](supers.length)
+    java.util.stream.IntStream.range(0, supers.length).parallel().forEach { s =>
+      children(s) =
+        if (members(s).isEmpty) Array(supers(s).clone())
+        else kmeans(members(s).toArray, k2, iters)
+    }
     HierKmeansModel(supers, children)
   }
 
