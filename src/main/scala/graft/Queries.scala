@@ -3533,17 +3533,21 @@ object Queries {
         "doc")
     val scrubbed = TextOps.piiScrub(clean, "doc", "text")
       .select(col("doc"), col("scrubbed"))
-    val kept = TextOps.qualityScore(scrubbed, "doc", "scrubbed")
-      .filter(col("quality") >= 0.6)
-      .select(col("doc"), col("est_tokens"), col("quality"))
-      .join(scrubbed, "doc")
-    val lang = TextOps.langId(kept, "doc", "scrubbed")
-      .select(col("doc"), col("lang_pred"))
-    SampleOps.stratified(lang, "doc", "lang_pred", sampleRates,
+    // r17 (guide §2.4): quality, token estimate, and language are all
+    // ROW-LOCAL columns of the scrubbed text (the shared qualityCol /
+    // estTokensCol / langPredCol definitions — value-identical to the
+    // operator frames), so the gate → langid → sample tail runs as one
+    // projection chain; the pre-r17 form re-joined the corpus to itself
+    // twice (kept⋈scrubbed, sampled⋈kept) just to re-attach columns.
+    val enriched = scrubbed.select(col("doc"), col("scrubbed"),
+        TextOps.qualityCol(col("scrubbed")).as("_q"),
+        TextOps.estTokensCol(col("scrubbed")).as("est_tokens"),
+        TextOps.langPredCol(col("scrubbed")).as("lang_pred"))
+      .filter(col("_q") >= 0.6)
+    SampleOps.stratified(enriched, "doc", "lang_pred", sampleRates,
         defaultRate = 1.0, salt = "s42")
-      .join(kept, "doc")
       .select(col("doc"), col("lang_pred"),
-        (round(col("quality"), 6) + 0.0).as("quality"),
+        (round(col("_q"), 6) + 0.0).as("quality"),
         col("est_tokens"),
         md5(col("scrubbed").cast("binary")).as("scrub_hash"))
   }
