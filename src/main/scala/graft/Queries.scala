@@ -3539,11 +3539,12 @@ object Queries {
     // operator frames), so the gate → langid → sample tail runs as one
     // projection chain; the pre-r17 form re-joined the corpus to itself
     // twice (kept⋈scrubbed, sampled⋈kept) just to re-attach columns.
-    val enriched = scrubbed.select(col("doc"), col("scrubbed"),
-        TextOps.qualityCol(col("scrubbed")).as("_q"),
-        TextOps.estTokensCol(col("scrubbed")).as("est_tokens"),
-        TextOps.langPredCol(col("scrubbed")).as("lang_pred"))
+    val gated = scrubbed.select(col("doc"), col("scrubbed"),
+        TextOps.qualityCol(col("scrubbed")).as("_q"))
       .filter(col("_q") >= 0.6)
+    val enriched = gated.select(col("doc"), col("scrubbed"), col("_q"),
+      TextOps.estTokensCol(col("scrubbed")).as("est_tokens"),
+      TextOps.langPredCol(col("scrubbed")).as("lang_pred"))
     SampleOps.stratified(enriched, "doc", "lang_pred", sampleRates,
         defaultRate = 1.0, salt = "s42")
       .select(col("doc"), col("lang_pred"),

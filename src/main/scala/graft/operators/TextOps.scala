@@ -606,12 +606,12 @@ object TextOps {
     "fr" -> Seq("le", "les", "et", "des", "un"))
 
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    def score(ws: Seq[String]): Column =
-      size(filter(toks, w => ws.map(m => w === m).reduce(_ || _))).cast("long")
+    val st = graft.functions.QualityStats.quality_stats(col(textCol))
     val scored = docs.select(col(idCol).as("doc"),
-      score(langMarkers("de")).as("s_de"), score(langMarkers("en")).as("s_en"),
-      score(langMarkers("es")).as("s_es"), score(langMarkers("fr")).as("s_fr"))
+      st.getField("s_de").cast("long").as("s_de"),
+      st.getField("s_en").cast("long").as("s_en"),
+      st.getField("s_es").cast("long").as("s_es"),
+      st.getField("s_fr").cast("long").as("s_fr"))
     scored.withColumn("lang_pred",
       when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
         col("s_de") >= col("s_fr"), "de")
@@ -624,11 +624,11 @@ object TextOps {
     * lineage streaming chain needs (same marker sets, same ≥ tie order;
     * value-identical to joining `langId` back). */
   def langPredCol(text: Column): Column = {
-    val toks = tokens(text)
-    def score(ws: Seq[String]): Column =
-      size(filter(toks, w => ws.map(m => w === m).reduce(_ || _))).cast("long")
-    val de = score(langMarkers("de")); val en = score(langMarkers("en"))
-    val es = score(langMarkers("es")); val fr = score(langMarkers("fr"))
+    val st = graft.functions.QualityStats.quality_stats(text)
+    val de = st.getField("s_de").cast("long")
+    val en = st.getField("s_en").cast("long")
+    val es = st.getField("s_es").cast("long")
+    val fr = st.getField("s_fr").cast("long")
     when(de >= en && de >= es && de >= fr, "de")
       .when(en >= es && en >= fr, "en")
       .when(es >= fr, "es")
@@ -1110,12 +1110,13 @@ object TextOps {
     * truth shared by [[qualityScore]] and the streaming curation chain
     * (favor mid-length docs with some stopwords, few long words). */
   def qualityCol(text: Column): Column = {
-    val toks = tokens(text)
-    val nWords = size(toks).cast("long")
-    val stopRatio = size(filter(toks,
-        w => QualityStopwords.map(m => w === m).reduce(_ || _)))
-      .cast("double") / size(toks)
-    val longRatio = size(filter(toks, w => length(w) > 6)).cast("double") / size(toks)
+    // r17: fields of the one-pass native [[graft.functions.QualityStats]]
+    // kernel instead of size(filter(tokens…)) HOFs — same when-chain, so
+    // null propagation and every ratio are value-identical (spec-pinned)
+    val st = graft.functions.QualityStats.quality_stats(text)
+    val nWords = st.getField("n_words").cast("long")
+    val stopRatio = st.getField("n_stop").cast("double") / st.getField("n_words")
+    val longRatio = st.getField("n_long").cast("double") / st.getField("n_words")
     lit(1.0) -
       when(stopRatio < 0.02, 0.4).otherwise(0.0) -
       when(nWords < 5, 0.4).otherwise(0.0) -
@@ -1149,14 +1150,11 @@ object TextOps {
   /** The classifier's feature projection — one definition feeds batch
     * train, batch apply, and the frozen streaming apply. */
   private def qualityFeatureCols(textCol: String): Seq[Column] = {
-    val t = trim(col(textCol))
-    val toks = tokens(col(textCol))
-    val stopRatio = size(filter(toks,
-        w => QualityStopwords.map(m => w === m).reduce(_ || _)))
-      .cast("double") / size(toks)
-    val longRatio = size(filter(toks, w => length(w) > 6))
-      .cast("double") / size(toks)
-    val meanLen10 = length(t).cast("double") / size(toks).cast("double") / 10.0
+    val st = graft.functions.QualityStats.quality_stats(col(textCol))
+    val stopRatio = st.getField("n_stop").cast("double") / st.getField("n_words")
+    val longRatio = st.getField("n_long").cast("double") / st.getField("n_words")
+    val meanLen10 = st.getField("n_chars").cast("double") /
+      st.getField("n_words").cast("double") / 10.0
     Seq(stopRatio.as("f1"), longRatio.as("f2"), meanLen10.as("f3"))
   }
 
@@ -1545,22 +1543,28 @@ object TextOps {
     * stopword ratios, est. LLM tokens (chars/4 rule), plus a composite
     * keep/drop score in [0,1]. */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = trim(col(textCol))
-    val toks = tokens(col(textCol))
-    val nChars = length(t).cast("long")
-    val nWords = size(toks).cast("long")
-    val stopRatio = size(filter(toks,
-        w => QualityStopwords.map(m => w === m).reduce(_ || _)))
-      .cast("double") / size(toks)
-    val longRatio = size(filter(toks, w => length(w) > 6)).cast("double") / size(toks)
-    val meanLen = nChars.cast("double") / nWords
-    docs.select(col(idCol).as("doc"),
-      nChars.as("n_chars"), nWords.as("n_words"),
+    // kernel struct materialized ONCE per row; every statistic is a
+    // field read (the attribute-not-re-derive discipline)
+    val staged = docs.select(col(idCol).as("doc"),
       estTokensCol(col(textCol)).as("est_tokens"),
+      graft.functions.QualityStats.quality_stats(col(textCol)).as("_st"))
+    val st = col("_st")
+    val nChars = st.getField("n_chars").cast("long")
+    val nWords = st.getField("n_words").cast("long")
+    val stopRatio = st.getField("n_stop").cast("double") / st.getField("n_words")
+    val longRatio = st.getField("n_long").cast("double") / st.getField("n_words")
+    val meanLen = nChars.cast("double") / nWords
+    val quality = lit(1.0) -
+      when(stopRatio < 0.02, 0.4).otherwise(0.0) -
+      when(nWords < 5, 0.4).otherwise(0.0) -
+      when(longRatio > 0.5, 0.2).otherwise(0.0)
+    staged.select(col("doc"),
+      nChars.as("n_chars"), nWords.as("n_words"),
+      col("est_tokens"),
       meanLen.as("mean_word_len"),
       stopRatio.as("stopword_ratio"),
       longRatio.as("long_word_ratio"),
-      qualityCol(col(textCol)).as("quality"))
+      quality.as("quality"))
   }
 
   /** The Gopher stop-word list (Rae et al. 2021, Appendix A). */
