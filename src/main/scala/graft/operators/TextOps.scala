@@ -2237,25 +2237,22 @@ object TextOps {
                   targetPred: Column, buckets: Int = 1024): DataFrame = {
     // the flag rides the explode (a join back on doc would shuffle the
     // corpus-sized transition table for a per-doc boolean)
-    val toks = tokens(col(textCol))
-    val n = greatest(size(toks) - 1, lit(0))
-    // NOT persisted: the three train aggregates each re-run the explode,
-    // but the re-evaluation (sub-second, codegen'd) is cheaper than
-    // building a columnar cache of the exploded rows (measured 0.5 s vs
-    // 6 s at sf0.1 — tools/DsirProbe); at real scale the aggregates are
-    // map-side-combined over the same scan anyway
-    // targetPred (interpreted HOF filters over the token array) must
-    // evaluate ONCE PER DOC, not once per exploded feature: the Project
-    // sits UNDER the Generate (CollapseProject cannot merge across it),
-    // so `_is_t` reaches the explode as a materialized attribute
+    // r17: bigram hashing through the native [[graft.functions.TextHash
+    // .GramHash60Array]] kernel (one md5 pass per gram in one eval per
+    // doc) — the zip_with/concat_ws/md5-expression chain evaluated the
+    // whole hash pipeline interpreted per exploded bigram. hash60 parity
+    // is the kernel's spec-pinned contract.
+    // targetPred must evaluate ONCE PER DOC, not once per exploded
+    // feature: the Project sits UNDER the Generate (CollapseProject
+    // cannot merge across it), so `_is_t` and the gram array reach the
+    // explode as materialized attributes
     val flagged = docs.select(col(idCol).as("doc"),
-      targetPred.as("_is_t"), col(textCol))
-    val feats = flagged.select(col("doc"), col("_is_t"),
-        explode(zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("_bg"))
-      .withColumn("_b", pmod(hash60(concat_ws(" ",
-        col("_bg.w1"), col("_bg.w2"))), lit(buckets)))
-      .select(col("doc"), col("_is_t"), col("_b"))
+      targetPred.as("_is_t"),
+      graft.functions.TextHash.gram_hash60_array(col(textCol), 2).as("_gh"))
+    val feats = flagged
+      .select(col("doc"), col("_is_t"), explode(col("_gh")).as("_h"))
+      .select(col("doc"), col("_is_t"),
+        pmod(col("_h"), lit(buckets.toLong)).as("_b"))
     // ONE train pass: per-bucket raw AND target counts from a single
     // map-side-combined aggregate (three separate aggregates would each
     // re-run the explode — measured ~3× the train cost); the totals and
@@ -2284,17 +2281,26 @@ object TextOps {
     // split (the LmModelIO pattern) can't silently null-poison the fold.
     val unseenLr = math.log((nr + buckets).toDouble / (nt + buckets))
     val model = Seq((1, lrMap)).toDF("_jk", "_m")
-    val lrs = zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
-      (a, b) => coalesce(element_at(col("_m"),
-        pmod(hash60(concat_ws(" ", a, b)), lit(buckets))), lit(unseenLr)))
+    // score over the SAME kernel gram array (materialized under the
+    // projection so the fold reads an attribute): per-gram cost is one
+    // map lookup instead of an interpreted md5 expression chain. Fold
+    // order = gram position order, exactly the zip_with order; n_feat =
+    // gram count (== ntok−1 for ntok ≥ 2, 0 otherwise — greatest(−1, 0)
+    // parity included).
+    val lrs = transform(col("_gh"),
+      h => coalesce(element_at(col("_m"), pmod(h, lit(buckets.toLong))),
+        lit(unseenLr)))
     docs.withColumn("_jk", lit(1))
       .join(broadcast(model), "_jk")
-      .select(col(idCol).as("doc"), size(toks).as("_ntok"),
+      .select(col(idCol).as("doc"),
+        graft.functions.TextHash.gram_hash60_array(col(textCol), 2).as("_gh"),
+        col("_m"), targetPred.as("is_target"))
+      .select(col("doc"), size(col("_gh")).as("_nf"),
         aggregate(lrs, lit(0.0), _ + _).as("_lw"),
-        targetPred.as("is_target"))
+        col("is_target"))
       .select(col("doc"),
-        greatest(col("_ntok") - 1, lit(0)).cast("long").as("n_feat"),
-        when(col("_ntok") >= 2, round(col("_lw"), 6) + 0.0)
+        col("_nf").cast("long").as("n_feat"),
+        when(col("_nf") >= 1, round(col("_lw"), 6) + 0.0)
           .otherwise(lit(null).cast("double")).as("logw"),
         col("is_target"))
   }
