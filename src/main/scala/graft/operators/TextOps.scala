@@ -2168,20 +2168,83 @@ object TextOps {
     * iteration's argmax — nothing unpersists mid-loop), so iteration i
     * never re-derives the chain from scratch. */
   def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
-               numMerges: Int = 12): DataFrame = {
+               numMerges: Int = 12, maxLocalWords: Int = 1 << 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // the word table is vocab-bounded — coalesce it so the 12 iteration
-    // jobs schedule a handful of tasks each instead of a full shuffle
-    // width of near-empty ones (measured: most of the fit's wall time
-    // was per-job scheduling overhead at sf0.1's ~40-word vocab)
-    val words = docs.select(explode(tokens(col(textCol))).as("w"))
+    val words0 = docs.select(explode(tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("freq"),
         concat(lit(" "), concat_ws("  ", split(col("w"), "")), lit(" "))
           .as("s"))
-      .coalesce(8)
+    // r17 size-gated driver fast path (the connectedComponents /
+    // logreg-histogram discipline): the word table is VOCAB-bounded, and
+    // every merge decision is exact integer/string arithmetic — within
+    // the gate the whole loop runs on the collected table in one job
+    // instead of ~3 scheduled jobs per merge. Tie order compares UTF-8
+    // BYTES unsigned (UTF8String's binary ordering, which the
+    // distributed orderBy used); the same " l  r " → " lr " literal
+    // replace applies. Past the gate the distributed loop below runs
+    // unchanged — BpeTrainSpec pins path parity.
+    val probe = words0.limit(maxLocalWords + 1).collect()
+    if (probe.length <= maxLocalWords) {
+      def byteLt(a: String, b: String): Boolean = {
+        val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+        var i = 0
+        val n = math.min(x.length, y.length)
+        while (i < n) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c < 0
+          i += 1
+        }
+        x.length < y.length
+      }
+      var cur = probe.map(r => (r.getLong(0), r.getString(1)))
+      val merges =
+        scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      var i = 0
+      var done = false
+      while (i < numMerges && !done) {
+        val counts = new java.util.HashMap[(String, String), Long]()
+        cur.foreach { case (freq, s) =>
+          // tokens of the double-spaced symbol string: trim spaces, split
+          // on the two-space separator (split(trim(s), "  ") parity)
+          var lo = 0; var hi = s.length
+          while (lo < hi && s.charAt(lo) == ' ') lo += 1
+          while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+          val toks = s.substring(lo, hi).split("  ", -1)
+          var j = 0
+          while (j < toks.length - 1) {
+            val key = (toks(j), toks(j + 1))
+            counts.put(key, counts.getOrDefault(key, 0L) + freq)
+            j += 1
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          var best: (String, String) = null
+          var bc = -1L
+          counts.forEach { (k, c) =>
+            if (c > bc || (c == bc && (byteLt(k._1, best._1) ||
+              (k._1 == best._1 && byteLt(k._2, best._2))))) {
+              best = k; bc = c
+            }
+          }
+          val (l, r) = best
+          merges += ((i + 1, l, r, bc))
+          cur = cur.map { case (freq, s) =>
+            (freq, s.replace(s" $l  $r ", s" $l$r "))
+          }
+          i += 1
+        }
+      }
+      return merges.toSeq.toDF("rank", "lhs", "rhs", "cnt")
+    }
+    // the word table is vocab-bounded — coalesce it so the 12 iteration
+    // jobs schedule a handful of tasks each instead of a full shuffle
+    // width of near-empty ones (measured: most of the fit's wall time
+    // was per-job scheduling overhead at sf0.1's ~40-word vocab)
+    val words = words0.coalesce(8)
     var cur = graft.CacheRegistry.persistTracked(words)
     cur.count()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()

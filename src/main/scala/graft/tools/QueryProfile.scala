@@ -86,13 +86,18 @@ object QueryProfile {
         if (logJobs && runIdx == runs) jobLog.clear()
         val (j0, s0, t0) = (jobs.get, stages.get, tasks.get)
         val n0 = System.nanoTime()
+        var buildSec = -1.0
         val ok = try {
           spark.sparkContext.setJobDescription(name)
-          fn(spark, dir).write.mode("overwrite").format("noop").save(); true
+          val df = fn(spark, dir) // eager driver work (fits, probes) here
+          buildSec = (System.nanoTime() - n0) / 1e9
+          df.write.mode("overwrite").format("noop").save(); true
         } catch { case e: Throwable =>
           System.err.println(s"[profile] $name failed: $e"); false
         }
         val dt = (System.nanoTime() - n0) / 1e9
+        if (ok && runIdx == runs)
+          println(f"[profile]    $name build=$buildSec%6.2f s drain=${dt - buildSec}%6.2f s")
         graft.CacheRegistry.releaseAll()
         (if (ok) dt else -1.0, jobs.get - j0, stages.get - s0, tasks.get - t0)
       }

@@ -503,6 +503,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m2 == Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
   }
 
+  test("r17: bpeTrain driver fast path == forced distributed loop") {
+    val docs = Seq((1L, "aaab aaab banana"), (2L, "ab banana the cat"),
+      (3L, "banana band bandit")).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) = {
+      val out = df.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      graft.CacheRegistry.releaseAll()
+      out
+    }
+    val local = norm(TextOps.bpeTrain(docs, "doc_id", "text", numMerges = 6))
+    val dist = norm(TextOps.bpeTrain(docs, "doc_id", "text", numMerges = 6,
+      maxLocalWords = 0))
+    assert(local == dist)
+  }
+
   test("bpeTrain tie-break is lexicographic on (lhs, rhs)") {
     // "xy" and "zw" both occur 3 times and share no symbols: first merge
     // must pick (x,y) < (z,w) lexicographically, second picks (z,w)
