@@ -55,6 +55,29 @@ object M9Probe {
     val models = time("fit") {
       graft.model.Calibrator.fitBinocular(markers, p0, p1).get
     }
+    // finer fit attribution: the triple match+collect vs the driver fits
+    val matchedRows = time("fit.match") {
+      import graft.operators.AsOfJoin
+      val m = markers.select(col("timestamp"), col("norm_x").as("mx"),
+        col("norm_y").as("my"))
+      def eye(df: org.apache.spark.sql.DataFrame, p: String) = df.select(
+        col("timestamp"), col("norm_x").as(s"${p}x"),
+        col("norm_y").as(s"${p}y"), col("confidence").as(s"${p}c"))
+      AsOfJoin.triple(m, eye(p0, "p0"), eye(p1, "p1"),
+          "timestamp", "timestamp", "timestamp", Nil)
+        .filter(col("a_p0c") > 0.75 && col("b_p1c") > 0.75)
+        .select("a_p0x", "a_p0y", "b_p1x", "b_p1y", "mx", "my").collect()
+    }
+    println(s"[probe] matched rows = ${matchedRows.length}")
+    time("fit.poly") {
+      val ins = matchedRows.map(r => Array(r.getDouble(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3)))
+      val mx = matchedRows.map(_.getDouble(4))
+      val my = matchedRows.map(_.getDouble(5))
+      graft.model.Poly.calibrateRaw(ins, mx, my, n = 13)
+      graft.model.Poly.calibrate(ins.map(a => Array(a(0), a(1))), mx, my, n = 7)
+      graft.model.Poly.calibrate(ins.map(a => Array(a(2), a(3))), mx, my, n = 7)
+    }
     time("merge") {
       import graft.streaming.BinocularMerge
       def asPupil(df: org.apache.spark.sql.DataFrame, id: Int) = df.select(
