@@ -352,14 +352,13 @@ object VectorOps {
     val codebooks = pqTrain(sample, m, codebookK)
     val encoded = graft.CacheRegistry.persistTracked(
       pqEncode(vecs, idCol, vecCol, codebooks))
-    def bookLit(s: Int): Column = centMatrixLit(codebooks(s))
-    val recon = flatten(array((0 until m).map(s =>
-      element_at(bookLit(s), element_at(col("codes"), s + 1))): _*))
     val q = encoded.filter(queryPred)
       .select(col("v_id").as("q_id"), col("vn").as("qv"))
+    // native ADC kernel (flat form) — see ivfPqSearchNormalized
     val approx = broadcast(q)
       .join(encoded.select(col("v_id"), col("codes")), col("q_id") =!= col("v_id"))
-      .withColumn("asim", dot(col("qv"), recon))
+      .withColumn("asim",
+        graft.functions.PqAsim.pq_asim(col("qv"), col("codes"), codebooks))
     val wa = Window.partitionBy(col("q_id")).orderBy(col("asim").desc, col("v_id"))
     val cand = approx.withColumn("_arn", row_number().over(wa))
       .filter(col("_arn") <= rerank)
@@ -525,20 +524,18 @@ object VectorOps {
                                          index: DataFrame, v: DataFrame,
                                          queryPred: Column, k: Int,
                                          rerank: Int): DataFrame = {
-    val m = books.length
-    def bookLit(s: Int): Column = centMatrixLit(books(s))
-    val recon = flatten(array((0 until m).map(s =>
-      element_at(bookLit(s), element_at(col("codes"), s + 1))): _*))
     val qsrc =
       if (v.columns.contains("_vr")) v
       else v.withColumn("_vr", transform(centMatrixLit(rot),
         r => graft.functions.ArrayDot.array_dot(r, col("vn"))))
     val q = qsrc.filter(queryPred)
       .select(col("v_id").as("q_id"), col("_vr").as("qr"))
+    // native ADC kernel (flat form) — see ivfPqSearchNormalized
     val approx = broadcast(q)
       .join(index.select(col("v_id"), col("codes")),
         col("q_id") =!= col("v_id"))
-      .withColumn("asim", dot(col("qr"), recon))
+      .withColumn("asim",
+        graft.functions.PqAsim.pq_asim(col("qr"), col("codes"), books))
     val wa = Window.partitionBy(col("q_id")).orderBy(col("asim").desc, col("v_id"))
     val cand = approx.withColumn("_arn", row_number().over(wa))
       .filter(col("_arn") <= rerank)
@@ -629,11 +626,7 @@ object VectorOps {
                                             queryPred: Column, k: Int,
                                             nprobe: Int,
                                             rerank: Int): DataFrame = {
-    val m = model.m
     val centLit = centMatrixLit(model.cents)
-    def bookLit(s: Int): Column = centMatrixLit(model.books(s))
-    val recon = flatten(array((0 until m).map(s =>
-      element_at(bookLit(s), element_at(col("codes"), s + 1))): _*))
     val rotCol = transform(centMatrixLit(rot),
       r => graft.functions.ArrayDot.array_dot(r, col("vn")))
     val q = v.filter(queryPred)
@@ -643,10 +636,11 @@ object VectorOps {
         explode(probeCids(col("_cells"), nprobe)).as("cid"))
     val encoded = index.select(col("v_id"), col("cid"), col("codes"))
       .withColumn("centroid", element_at(centLit, col("cid") + 1))
+    // native ADC kernel — see ivfPqSearchNormalized
     val approx = q.join(encoded, Seq("cid"))
       .filter(col("q_id") =!= col("v_id"))
-      .withColumn("asim", dot(col("qr"),
-        zip_with(col("centroid"), recon, _ + _)))
+      .withColumn("asim", graft.functions.PqAsim.pq_asim(
+        col("qr"), col("centroid"), col("codes"), model.books))
     val wa = Window.partitionBy(col("q_id")).orderBy(col("asim").desc, col("v_id"))
     val cand = approx.withColumn("_arn", row_number().over(wa))
       .filter(col("_arn") <= rerank)
@@ -791,21 +785,21 @@ object VectorOps {
                                            v: DataFrame, queryPred: Column,
                                            k: Int, nprobe: Int,
                                            rerank: Int): DataFrame = {
-    val m = model.m
     val centLit = centMatrixLit(model.cents)
-    def bookLit(s: Int): Column = centMatrixLit(model.books(s))
-    val recon = flatten(array((0 until m).map(s =>
-      element_at(bookLit(s), element_at(col("codes"), s + 1))): _*))
     val q = v.filter(queryPred)
       .withColumn("_cells", cellRanks(col("vn"), model.cents))
       .select(col("v_id").as("q_id"), col("vn").as("qv"),
         explode(probeCids(col("_cells"), nprobe)).as("cid"))
     val encoded = index.select(col("v_id"), col("cid"), col("codes"))
       .withColumn("centroid", element_at(centLit, col("cid") + 1))
+    // r17: the ADC rank runs as ONE native kernel eval per candidate
+    // ([[graft.functions.PqAsim]]) — the element_at/flatten/zip_with/dot
+    // chain allocated three arrays and evaluated interpreted lambdas per
+    // candidate row (bit parity spec-pinned)
     val approx = q.join(encoded, Seq("cid"))
       .filter(col("q_id") =!= col("v_id"))
-      .withColumn("asim", dot(col("qv"),
-        zip_with(col("centroid"), recon, _ + _)))
+      .withColumn("asim", graft.functions.PqAsim.pq_asim(
+        col("qv"), col("centroid"), col("codes"), model.books))
     val wa = Window.partitionBy(col("q_id")).orderBy(col("asim").desc, col("v_id"))
     val cand = approx.withColumn("_arn", row_number().over(wa))
       .filter(col("_arn") <= rerank)
@@ -1029,11 +1023,7 @@ object VectorOps {
                                                probeSupers: Int, nprobe: Int,
                                                rerank: Int): DataFrame = {
     val spark = index.sparkSession
-    val m = model.m
     val stride = model.coarse.stride
-    def bookLit(s: Int): Column = centMatrixLit(model.books(s))
-    val recon = flatten(array((0 until m).map(s =>
-      element_at(bookLit(s), element_at(col("codes"), s + 1))): _*))
     // both sides ride broadcast relations, not plan literals — see
     // childMatFrame: a 5 MB literal re-deserializes per task per stage
     val q = v.filter(queryPred)
@@ -1044,10 +1034,11 @@ object VectorOps {
           model.coarse.supers, stride, probeSupers, nprobe)).as("cid"))
     val encoded = index.select(col("v_id"), col("cid"), col("codes"))
       .join(broadcast(childCentFrame(spark, model.coarse)), Seq("cid"))
+    // native ADC kernel — see ivfPqSearchNormalized
     val approx = q.join(encoded, Seq("cid"))
       .filter(col("q_id") =!= col("v_id"))
-      .withColumn("asim", dot(col("qv"),
-        zip_with(col("centroid"), recon, _ + _)))
+      .withColumn("asim", graft.functions.PqAsim.pq_asim(
+        col("qv"), col("centroid"), col("codes"), model.books))
     val wa = Window.partitionBy(col("q_id")).orderBy(col("asim").desc, col("v_id"))
     val cand = approx.withColumn("_arn", row_number().over(wa))
       .filter(col("_arn") <= rerank)
